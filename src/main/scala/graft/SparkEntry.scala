@@ -1,13 +1,210 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q04JoinStar(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing"    -> Relational.q01AggPricing _,
+    "q02_filter_project" -> Relational.q02FilterProject _,
+    "q03_topn"           -> Relational.q03TopN _,
+    "q04_join_star"      -> Relational.q04JoinStar _,
+    "q05_count_distinct" -> Relational.q05CountDistinct _,
+    "q06_window_rank"    -> Relational.q06WindowRank _,
+    "q07_moving_avg"     -> Relational.q07MovingAvg _,
+    "q08_cumulative"     -> Relational.q08Cumulative _,
+    "q09_growth_rate"    -> Relational.q09GrowthRate _,
+    "q10_pivot"          -> Relational.q10Pivot _,
+    "q11_rollup"         -> Relational.q11Rollup _,
+    "q12_anti_join"      -> Relational.q12AntiJoin _,
+    "q13_union_distinct" -> Relational.q13UnionDistinct _,
+    "q14_ratio_metric"   -> Relational.q14RatioMetric _,
+    "q15_having"         -> Relational.q15Having _,
+    "q16_semi_join"      -> Relational.q16SemiJoin _,
+    "q17_stats"          -> Relational.q17Stats _,
+    "q18_ntile"          -> Relational.q18Ntile _,
+    "q19_events_daily"   -> Relational.q19EventsDaily _,
+    "q20_sessionize"     -> Relational.q20Sessionize _,
+    "q21_json_extract"   -> Relational.q21JsonExtract _,
+    "q22_asof_join"      -> Relational.q22AsOfJoin _,
+  )
+
+  /** DuckDB-equivalent SQL per query key (driver hash-compares). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-30'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 48.0 AND l_discount <= 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "q04_join_star" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q05_count_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_buyers, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q06_window_rank" ->
+      """WITH ranked AS (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+        |  FROM customer)
+        |SELECT n_name, rnk, c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rnk <= 3
+        |ORDER BY n_name, rnk""".stripMargin,
+    "q07_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(sum(o_totalprice * 100.0), 0) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT d, rev_cents,
+        |  CAST(round(avg(rev_cents) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS ma7_cents
+        |FROM daily ORDER BY d""".stripMargin,
+    "q08_cumulative" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(sum(o_totalprice * 100.0), 0) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT d, rev_cents,
+        |  CAST(sum(rev_cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |FROM daily ORDER BY d""".stripMargin,
+    "q09_growth_rate" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1)
+        |SELECT d, n,
+        |  lag(n, 1) OVER (ORDER BY d) AS prev_n,
+        |  n - lag(n, 1) OVER (ORDER BY d) AS delta,
+        |  round((n - lag(n, 1) OVER (ORDER BY d)) * 100.0 / lag(n, 1) OVER (ORDER BY d), 4) AS growth_pct
+        |FROM daily ORDER BY d""".stripMargin,
+    "q10_pivot" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        | CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        | CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+        | CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q11_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_union_distinct" ->
+      """SELECT DISTINCT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier) t
+        |ORDER BY nk""".stripMargin,
+    "q14_ratio_metric" ->
+      """SELECT p_brand,
+        | round(sum(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
+        |   / sum(l_extendedprice * (1.0 - l_discount)), 4) AS economy_pct,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q15_having" ->
+      """SELECT l_partkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING round(sum(l_quantity), 2) > 300.0
+        |ORDER BY l_partkey""".stripMargin,
+    "q16_semi_join" ->
+      """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q17_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q18_ntile" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        |  FROM customer)
+        |SELECT quartile, count(*) AS n, round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+        |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "q19_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY d, event_type""".stripMargin,
+    "q20_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q21_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(*) AS n,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (
+        |  SELECT event_type, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events) t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q22_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, r.o_orderkey
+        |FROM p ASOF LEFT JOIN r ON p.user_id = r.o_custkey AND p.ts >= r.o_orderdate
+        |ORDER BY p.event_id""".stripMargin,
+  )
 }

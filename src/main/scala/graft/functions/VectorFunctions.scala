@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions._
+
+/** Vector math over ArrayType(FloatType) embedding columns.
+  *
+  * Pure `Column`-expression implementations (zip_with / aggregate) keep
+  * everything inside Catalyst codegen; [[graft.plans.CosineSim]] is the
+  * native-Expression fast path registered via GraftExtensions.
+  */
+object VectorFunctions {
+
+  /** Dot product of two float-array columns (codegen'd higher-order fn). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm of a float-array column. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity via composed built-ins (baseline path). */
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Native codegen'd cosine similarity (fast path). */
+  def cosineSimNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** SQL registrations consumed by GraftExtensions. */
+  def registrations: Map[FunctionIdentifier, (ExpressionInfo, Seq[Expression] => Expression)] =
+    Map(
+      FunctionIdentifier("graft_cosine_sim") -> ((
+        new ExpressionInfo(classOf[graft.plans.CosineSim].getName, "graft_cosine_sim"),
+        (exprs: Seq[Expression]) => graft.plans.CosineSim(exprs(0), exprs(1)))))
+}

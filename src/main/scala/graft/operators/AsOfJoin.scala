@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic as-of join (an operator Spark SQL lacks natively).
+  *
+  * Semantics: for each left row, attach `payload` from the right row
+  * with the greatest `rightTime <= leftTime` sharing the join key
+  * (DuckDB `ASOF JOIN` with `l.t >= r.t`); left rows with no match keep
+  * null payload (left-join semantics).
+  *
+  * Implementation is the scalable union/last_value trick rather than an
+  * inequality join: tag both sides, union them into one timeline,
+  * shuffle ONCE on the key, sort each partition by (time, side), and
+  * forward-fill the right payload with `last(ignoreNulls)` over an
+  * unbounded-preceding running window. At equal timestamps right rows
+  * sort before left rows so the match is inclusive (>=).
+  *
+  * Scale: one shuffle + partition-local sort — same cost shape as a
+  * sort-merge join; no O(|L|x|R|) inequality-join explosion, no
+  * broadcast requirement. Skewed keys are handled by AQE.
+  *
+  * Caveats: right should be unique per (key, time) — pre-aggregate
+  * otherwise (ties are resolved by union order, not a defined rule).
+  * With multiple payload columns, nulls inside right payload columns
+  * forward-fill independently.
+  */
+object AsOfJoin {
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload columns ${payload.intersect(leftCols)} clash with left columns")
+
+    val lTagged = payload.foldLeft(
+      left
+        .withColumn("__k", col(leftKey))
+        .withColumn("__t", col(leftTime))
+        .withColumn("__isR", lit(0))) { (df, p) =>
+      df.withColumn(p, lit(null).cast(right.schema(p).dataType))
+    }
+    val rTagged = leftCols.foldLeft(
+      right
+        .withColumn("__k", col(rightKey).cast(left.schema(leftKey).dataType))
+        .withColumn("__t", col(rightTime).cast(left.schema(leftTime).dataType))
+        .withColumn("__isR", lit(1))
+        .select((Seq("__k", "__t", "__isR") ++ payload).map(col): _*)) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    val ordered: Seq[Column] = (leftCols ++ payload ++ Seq("__k", "__t", "__isR")).map(col)
+    val timeline = lTagged.select(ordered: _*).union(rTagged.select(ordered: _*))
+
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payload.foldLeft(timeline) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__isR") === 0).select((leftCols ++ payload).map(col): _*)
+  }
+}

@@ -1,0 +1,15 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Engine extension point: registers graft's native Catalyst functions
+  * so they are usable from SQL as well as the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    graft.functions.VectorFunctions.registrations.foreach {
+      case (ident, (info, builder)) =>
+        ext.injectFunction((ident, info, builder))
+    }
+  }
+}

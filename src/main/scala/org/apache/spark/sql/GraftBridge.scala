@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Expression interop bridge.
+  *
+  * Spark 4 made `Column` implementation-agnostic; the classic
+  * conversions live in `private[sql]` scope, so third-party engines
+  * expose them via a package-local shim (the same pattern public Spark
+  * extension libraries use).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
