@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -35,6 +37,19 @@ object SparkEntry {
     "q20_sessionize"     -> Relational.q20Sessionize _,
     "q21_json_extract"   -> Relational.q21JsonExtract _,
     "q22_asof_join"      -> Relational.q22AsOfJoin _,
+    "d01_dedup_exact"    -> TextAnalysis.d01DedupExact _,
+    "d02_token_count"    -> TextAnalysis.d02TokenCount _,
+    "d03_quality_score"  -> TextAnalysis.d03QualityScore _,
+    "d04_langid"         -> TextAnalysis.d04LangId _,
+    "d05_fingerprint"    -> TextAnalysis.d05Fingerprint _,
+    "d06_dedup_minhash"  -> Dedup.d06DedupMinhash _,
+    "d07_dedup_simhash"  -> Dedup.d07DedupSimhash _,
+    "d08_ngram_jaccard"  -> Dedup.d08NgramJaccard _,
+    "s01_ann_brute"      -> Similarity.s01AnnBrute _,
+    "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
+    "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
+    "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
+    "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
   )
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares). */
@@ -206,5 +221,54 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, r.o_orderkey
         |FROM p ASOF LEFT JOIN r ON p.user_id = r.o_custkey AND p.ts >= r.o_orderdate
         |ORDER BY p.event_id""".stripMargin,
+    "d01_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY content_hash""".stripMargin,
+    "d02_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "d03_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_text,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
+        |  round(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) * 1.0
+        |    / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |  round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+        |    + (1.0 - round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4)) * 0.3
+        |    + round(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) * 1.0
+        |      / len(string_split(text, ' ')), 4) * 0.2, 4) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "d04_langid" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) AS INT) AS h_en,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ein'))) AS INT) AS h_de,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les','et','un'))) AS INT) AS h_fr,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','los','las','y','una'))) AS INT) AS h_es,
+        |  CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+        |       WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+        |       WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+        |       WHEN h_es > 0 THEN 'es'
+        |       ELSE 'und' END AS predicted
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "d05_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(text))) AS fp,
+        |  substr(md5(lower(trim(text))), 1, 16) AS fp64,
+        |  CAST(greatest(len(string_split(trim(text), ' ')) - 2, 1) AS INT) AS n_shingles
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "st01_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
   )
 }

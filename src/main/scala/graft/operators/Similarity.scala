@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2: s01, s02).
+  *
+  * s01 is the exact brute-force baseline (query set broadcast, one
+  * scan over candidates, native codegen'd cosine). s02 is the scale
+  * path: random-hyperplane LSH buckets bound the candidate set per
+  * query — at 100 TB the bucket join touches a small fraction of the
+  * corpus instead of all of it.
+  */
+object Similarity {
+
+  private val K = 5
+  private val NQueries = 10
+
+  private def split(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = emb.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    (q, c)
+  }
+
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** s01: exact top-k — broadcast the query set, single candidate scan. */
+  def s01AnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(spark, dir)
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+
+  /** Number of hyperplanes (signature bits). 8 bits = 256 buckets —
+    * sized so buckets stay populated at test SFs; at production scale
+    * raise bits with corpus size to keep per-bucket candidate counts
+    * bounded (buckets ~ n / 2^bits).
+    */
+  private val Bits = 8
+
+  /** Deterministic random-hyperplane matrix: Bits x 64 dims of N(0,1)
+    * from a fixed-seed JDK PRNG (spec-stable across JVMs).
+    */
+  private lazy val hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(Bits)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  private def dot(vec: Column, hp: Column): Column =
+    aggregate(zip_with(vec, hp, (x, h) => x * h), lit(0.0), (acc, x) => acc + x)
+
+  /** Signature: sign pattern of the hyperplane projections. */
+  private def signature(vec: Column): Column = {
+    val hpLit = typedLit(hyperplanes)
+    val bits = transform(
+      sequence(lit(0), lit(Bits - 1)),
+      i => when(dot(vec, element_at(hpLit, i + 1)) > 0, 1).otherwise(0))
+    aggregate(bits, lit(0), (acc, b) => acc * 2 + b)
+  }
+
+  /** s02: LSH-bucketed ANN. Queries multiprobe their bucket plus all
+    * hamming-distance-1 buckets; cosine + top-k run only on the
+    * bucket-joined candidates.
+    */
+  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(spark, dir)
+    val cSig = c.withColumn("sig", signature(col("n_emb")))
+    val powLit = typedLit((0 until Bits).map(i => 1 << i))
+    val qSig = q
+      .withColumn("sig0", signature(col("q_emb")))
+      .withColumn("probe", array_union(
+        array(col("sig0")),
+        transform(sequence(lit(0), lit(Bits - 1)),
+          i => col("sig0").bitwiseXOR(element_at(powLit, i + 1)))))
+      .select(col("q_id"), col("q_emb"), explode(col("probe")).as("sig"))
+    val scored = cSig.join(broadcast(qSig), "sig")
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+}

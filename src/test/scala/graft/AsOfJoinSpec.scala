@@ -1,0 +1,43 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("as-of join picks latest right row at-or-before left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 12:00:00")), // after both rights of key 10
+      (2L, 10L, ts("2024-01-01 10:00:00")), // exactly at second right (inclusive)
+      (3L, 10L, ts("2024-01-01 08:00:00")), // before 10:00, after 09:00
+      (4L, 10L, ts("2024-01-01 01:00:00")), // before all rights -> null
+      (5L, 99L, ts("2024-01-01 12:00:00")) // key with no right rows -> null
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 05:00:00"), 100L),
+      (10L, ts("2024-01-01 10:00:00"), 200L)
+    ).toDF("rk", "rt", "payload")
+
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"))
+      .orderBy("event_id").collect()
+
+    assert(out.map(r => Option(r.getAs[java.lang.Long]("payload"))).toSeq == Seq(
+      Some(200L), Some(200L), Some(100L), None, None))
+  }
+
+  test("as-of join preserves every left row exactly once") {
+    import spark.implicits._
+    val left = (1 to 50).map(i => (i.toLong, (i % 3).toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00")))
+      .toDF("event_id", "k", "t")
+    val right = Seq((0L, ts("2024-01-01 00:00:00"), 7L)).toDF("rk", "rt", "payload")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"))
+    assert(out.count() == 50)
+    assert(out.select("event_id").distinct().count() == 50)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  test("simhash64 is deterministic and near-dup-sensitive") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today".split(" ")
+    val b = "the quick brown fox jumps over the lazy cat again and again today".split(" ")
+    val c = "completely different words entirely unrelated content here now folks".split(" ")
+    val ha = Dedup.simhash64(a)
+    assert(ha == Dedup.simhash64(a)) // deterministic
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(ha, Dedup.simhash64(b)) < hamming(ha, Dedup.simhash64(c)))
+  }
+
+  test("d06 minhash dedup: every doc mapped, canonical <= doc_id") {
+    val rows = Dedup.d06DedupMinhash(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach(r =>
+      assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id")))
+  }
+
+  test("d07 simhash dedup: identical texts collapse to one canonical") {
+    import spark.implicits._
+    // Property check on the primitive instead of the table (testdata has
+    // no exact dups): identical token streams hash identically.
+    val t = "spark group query row data slow small filter".split(" ")
+    assert(Dedup.simhash64(t) == Dedup.simhash64(t.toVector))
+    val rows = Dedup.d07DedupSimhash(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+  }
+
+  test("d08 jaccard is within [0,1] and defined for all adjacent pairs") {
+    val rows = Dedup.d08NgramJaccard(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count() - 1)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jacc")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+}

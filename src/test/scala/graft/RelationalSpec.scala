@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite with SparkSpec {
+
+  test("q01 aggregates by returnflag x linestatus with positive sums") {
+    val rows = Relational.q01AggPricing(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("q03 top-N is sorted descending by totalprice") {
+    val prices = Relational.q03TopN(spark, sf).collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length == 20)
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q04 star join covers all regions present") {
+    val rows = Relational.q04JoinStar(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("r_name")).distinct.length == 5)
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+  }
+
+  test("q08 cumulative is monotonically nondecreasing") {
+    val cum = Relational.q08Cumulative(spark, sf).collect().map(_.getAs[Long]("cum_cents"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q11 rollup has exactly one grand-total row equal to table size") {
+    val rows = Relational.q11Rollup(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val total = Tables.customer(spark, sf).count()
+    assert(grand.head.getAs[Long]("n_cust") == total)
+  }
+
+  test("q20 session counts are bounded by event counts") {
+    Relational.q20Sessionize(spark, sf).collect().foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val s = r.getAs[Long]("n_sessions")
+      assert(s >= 1 && s <= n)
+    }
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  test("s01 brute-force: 5 ranked neighbors per query, ranks dense, cos sorted") {
+    val rows = Similarity.s01AnnBrute(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 5))
+      val cs = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s02 LSH: results are a plausible subset (recall@5 vs brute force > 0)") {
+    val brute = Similarity.s01AnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val lsh = Similarity.s02AnnLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(lsh.nonEmpty)
+    // LSH neighbors must rank identically when they coincide with brute's.
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f (candidates bounded by buckets)")
+    assert(recall > 0.0)
+  }
+}

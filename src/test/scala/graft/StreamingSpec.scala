@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Event
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ev(id: Long, t: String, user: Long, typ: String): Event =
+    Event(id, Timestamp.valueOf(t), user, typ, 1.0, "{\"k\": 1}")
+
+  test("windowedCounts: streaming result equals batch result on same data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 00:10:00", 1, "click"),
+      ev(2, "2024-01-01 00:50:00", 1, "click"),
+      ev(3, "2024-01-01 01:10:00", 2, "view"),
+      ev(4, "2024-01-01 01:20:00", 2, "click"))
+
+    val stream = MemoryStream[Event]
+    stream.addData(data)
+    val q = EventStreams.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("wc_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.sql("SELECT * FROM wc_out ORDER BY window_start, event_type").collect()
+    val batch = EventStreams.windowedCounts(data.toDF())
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(streamed.length == 3) // (00h click x2), (01h view), (01h click)
+  }
+
+  test("stateful sessionization splits on 30-min gaps, streaming == batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "click"),
+      ev(2, "2024-01-01 00:10:00", 1, "click"), // same session
+      ev(3, "2024-01-01 01:00:00", 1, "click"), // 50-min gap -> new session
+      ev(4, "2024-01-01 00:00:00", 2, "view")) // other user
+
+    val stream = MemoryStream[Event]
+    stream.addData(data)
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.sql("SELECT * FROM sess_out ORDER BY user_id, session_idx").collect()
+    val batch = EventStreams.sessionize(data.toDS()).toDF()
+      .orderBy("user_id", "session_idx").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+
+    val u1 = streamed.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 2)
+    assert(u1.map(_.getAs[Int]("n_events")).toSeq == Seq(2, 1))
+  }
+}
