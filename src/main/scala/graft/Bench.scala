@@ -32,7 +32,7 @@ object Bench {
     val results = names.map { name =>
       val t = try {
         materialize(name) // warmup: JIT, codegen cache, footers
-        val runs = (1 to 2).map { _ =>
+        val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           materialize(name)
           (System.nanoTime() - t0) / 1e9

@@ -45,6 +45,7 @@ object SparkEntry {
     "d06_dedup_minhash"  -> Dedup.d06DedupMinhash _,
     "d07_dedup_simhash"  -> Dedup.d07DedupSimhash _,
     "d08_ngram_jaccard"  -> Dedup.d08NgramJaccard _,
+    "d09_embedding_dedup" -> Similarity.d09EmbeddingDedup _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
     "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
@@ -63,7 +64,7 @@ object SparkEntry {
         | round(avg(l_discount), 4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-30'
+        |WHERE l_shipdate < TIMESTAMP '2001-07-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->

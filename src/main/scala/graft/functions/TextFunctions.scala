@@ -18,10 +18,13 @@ object TextFunctions {
 
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish tokenizer: letter runs, digit runs, single punctuation. */
+  /** BPE-ish tokenizer: letter runs, digit runs, single punctuation.
+    * regexp_count, not size(regexp_extract_all): counting avoids
+    * materializing a per-match string array on every row.
+    */
   val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0)))
+    regexp_count(text, lit(BpeTokenRe)).cast("int")
 
   /** Count of tokens that appear in `words`. */
   def hitCount(toks: Column, words: Seq[String]): Column =

@@ -28,7 +28,9 @@ object Relational {
     */
   def q01AggPricing(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .filter(to_date(col("l_shipdate")) <= lit("2001-06-30"))
+      // Plain timestamp comparison (not to_date(col) <= d): a cast on
+      // the column would block parquet predicate pushdown.
+      .filter(col("l_shipdate") < lit("2001-07-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         r2(sum(col("l_quantity"))).as("sum_qty"),

@@ -93,4 +93,27 @@ object Similarity {
       .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
     topK(scored)
   }
+
+  /** d09: embedding-cosine near-dup dedup. Candidates = same LSH
+    * bucket (one O(n) signature pass + an equi-join, never O(n^2));
+    * verify cosine >= 0.95; canonicalize to the smallest matched id.
+    * Every vector appears in the output (self-canonical when unique).
+    */
+  def d09EmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("sig"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("sig"))
+    val dups = a.join(b, "sig")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.95)
+    val canon = dups
+      .select(col("vec_b").as("vec_id"), col("vec_a").as("partner"))
+      .groupBy("vec_id").agg(min("partner").as("canonical_id"))
+    emb.select("vec_id")
+      .join(canon, Seq("vec_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("vec_id")))
+      .orderBy("vec_id")
+  }
 }

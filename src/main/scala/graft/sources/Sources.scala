@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File-format sources & sinks (SURVEY.md §2: engine I/O surface).
+  *
+  * Readers take an explicit schema where the format can't carry one
+  * (CSV/JSON) — at 100 TB, schema inference means a full extra pass
+  * over the data and is never acceptable; parquet carries its own.
+  *
+  * `writePartitioned` lays data out hive-style so downstream readers
+  * get partition PRUNING (directory-level skipping) for free — the
+  * single most important layout decision for a 100 TB fact table.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Hive-style partitioned parquet layout. `partitionCols` should be
+    * low-cardinality derived columns (e.g. a date bucket), never a
+    * high-cardinality key — millions of directories kill the driver
+    * and the filesystem alike.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Orders laid out by order year — the canonical time-partitioned
+    * fact-table layout; `readParquet(path).filter(year === y)` then
+    * prunes at directory level (verify via explain PartitionFilters).
+    */
+  def exportOrdersByYear(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val orders = graft.Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    writePartitioned(orders, outPath, Seq("o_year"))
+  }
+}

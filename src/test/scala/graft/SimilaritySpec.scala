@@ -28,4 +28,11 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     info(f"LSH recall@5 = $recall%.2f (candidates bounded by buckets)")
     assert(recall > 0.0)
   }
+
+  test("d09 embedding dedup maps every vector; canonical <= vec_id") {
+    val rows = Similarity.d09EmbeddingDedup(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach(r =>
+      assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("vec_id")))
+  }
 }
