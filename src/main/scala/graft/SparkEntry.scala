@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Relational2, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -37,6 +37,15 @@ object SparkEntry {
     "q20_sessionize"     -> Relational.q20Sessionize _,
     "q21_json_extract"   -> Relational.q21JsonExtract _,
     "q22_asof_join"      -> Relational.q22AsOfJoin _,
+    "q23_scalar_subquery" -> Relational2.q23ScalarSubquery _,
+    "q24_cube"           -> Relational2.q24Cube _,
+    "q25_explode_words"  -> Relational2.q25ExplodeWords _,
+    "q26_string_funcs"   -> Relational2.q26StringFuncs _,
+    "q27_date_funcs"     -> Relational2.q27DateFuncs _,
+    "q28_null_handling"  -> Relational2.q28NullHandling _,
+    "q29_window_pct"     -> Relational2.q29WindowPct _,
+    "q30_first_last"     -> Relational2.q30FirstLast _,
+    "q31_range_join"     -> Relational2.q31RangeJoin _,
     "d01_dedup_exact"    -> TextAnalysis.d01DedupExact _,
     "d02_token_count"    -> TextAnalysis.d02TokenCount _,
     "d03_quality_score"  -> TextAnalysis.d03QualityScore _,
@@ -222,6 +231,75 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, r.o_orderkey
         |FROM p ASOF LEFT JOIN r ON p.user_id = r.o_custkey AND p.ts >= r.o_orderdate
         |ORDER BY p.event_id""".stripMargin,
+    "q23_scalar_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q24_cube" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, c_mktsegment)
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "q25_explode_words" ->
+      """SELECT w, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |GROUP BY w
+        |ORDER BY n DESC, w
+        |LIMIT 20""".stripMargin,
+    "q26_string_funcs" ->
+      """SELECT n_nationkey,
+        |  upper(n_name) AS u,
+        |  lower(n_name) AS l,
+        |  substr(n_name, 1, 3) AS pre,
+        |  CAST(length(n_name) AS INT) AS len,
+        |  concat(n_name, '-', CAST(n_regionkey AS VARCHAR)) AS ck
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "q27_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+        |FROM orders
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q28_null_handling" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q29_window_pct" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cume
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q30_first_last" ->
+      """SELECT c_custkey, c_nationkey,
+        |  first_value(c_custkey) OVER w AS richest,
+        |  last_value(c_custkey) OVER w AS poorest,
+        |  nth_value(c_custkey, 2) OVER w AS second
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
+    "q31_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t_err FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT user_id AS p_user, epoch_us(ts) AS t_pur FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, count(p.t_pur) AS n_nearby
+        |FROM e LEFT JOIN p ON e.user_id = p.p_user AND abs(e.t_err - p.t_pur) <= 1800000000
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
         |FROM documents

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second batch of relational query shapes (SURVEY.md §2: q23..q31). */
+object Relational2 {
+
+  /** q23: correlated scalar subquery — customers above their nation's
+    * average balance. Expressed as agg + broadcast-join (what a
+    * decorrelation rule produces anyway; one pass, no per-row subquery).
+    */
+  def q23ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(avg(col("c_acctbal")).as("nation_avg"))
+    c.join(broadcast(avgBal), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q24: CUBE — all subtotal combinations over (region, segment). */
+  def q24Cube(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
+  }
+
+  /** q25: explode/unnest — corpus-wide word frequencies, top 20. */
+  def q25ExplodeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(20)
+
+  /** q26: string function suite over a dimension. */
+  def q26StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(
+        col("n_nationkey"),
+        upper(col("n_name")).as("u"),
+        lower(col("n_name")).as("l"),
+        substring(col("n_name"), 1, 3).as("pre"),
+        length(col("n_name")).as("len"),
+        concat(col("n_name"), lit("-"), col("n_regionkey").cast("string")).as("ck"))
+      .orderBy(col("n_nationkey"))
+
+  /** q27: date/time function suite. */
+  def q27DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
+  /** q28: null-handling semantics — coalesce / nullif / case bands. */
+  def q28NullHandling(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("band"))
+      .orderBy(col("c_custkey"))
+
+  /** q29: analytic distribution windows — percent_rank / cume_dist
+    * partitioned by segment (deterministic via unique order key).
+    */
+  def q29WindowPct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q30: first/last/nth value over an explicit full-partition frame. */
+  def q30FirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"), col("c_nationkey"),
+        first(col("c_custkey")).over(w).as("richest"),
+        last(col("c_custkey")).over(w).as("poorest"),
+        nth_value(col("c_custkey"), 2).over(w).as("second"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q31: time-range join — purchases within ±30 min of each error
+    * event by the same user. The user_id equi-key carries the shuffle;
+    * the range predicate applies post-join (sort-merge, no
+    * nested-loop explosion). Without an equi key, bucketize time and
+    * equi-join on (bucket, neighbor buckets) instead.
+    */
+  def q31RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_err"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("t_pur"))
+    errors
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          abs(col("t_err") - col("t_pur")) <= 1800L * 1000000L,
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("t_pur")).as("n_nearby"))
+      .orderBy(col("event_id"))
+  }
+}
