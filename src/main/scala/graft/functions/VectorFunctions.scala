@@ -34,6 +34,18 @@ object VectorFunctions {
       graft.plans.CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** Bounded top-k aggregate (map-side partial; see
+    * [[graft.plans.TopKByScore]]). Returns array<struct<id,score>>
+    * sorted best-first.
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.TopKByScore(
+        GraftBridge.expression(score), GraftBridge.expression(id), k)
+        .toAggregateExpression())
+  }
+
   /** SQL registrations consumed by GraftExtensions. */
   def registrations: Map[FunctionIdentifier, (ExpressionInfo, Seq[Expression] => Expression)] =
     Map(

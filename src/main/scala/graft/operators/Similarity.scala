@@ -30,13 +30,40 @@ object Similarity {
     (q, c)
   }
 
-  private def topK(scored: DataFrame): DataFrame = {
+  /** Per-query top-k via the bounded-heap aggregate: each scan
+    * partition reduces to <= k pairs before the shuffle (map-side
+    * partial), so shuffle volume is O(partitions x k), not
+    * O(candidates) as a window/row_number plan would be.
+    */
+  private def topK(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(VectorFunctions.topKByScore(col("cos"), col("n_id"), K).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("n_id"),
+        round(col("col.score"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rnk"))
+
+  /** Window/row_number top-k — the naive formulation, kept as the
+    * reference implementation for the TopKByScore spec.
+    */
+  private[graft] def topKWindow(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Brute-force scoring, exposed for the spec's agg-vs-window check. */
+  private[graft] def bruteScored(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(spark, dir)
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
   }
 
   /** s01: exact top-k — broadcast the query set, single candidate scan. */

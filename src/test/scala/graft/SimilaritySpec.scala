@@ -29,6 +29,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("TopKByScore aggregate matches the window/row_number reference") {
+    val scored = Similarity.bruteScored(spark, sf)
+    val agg = Similarity.s01AnnBrute(spark, sf).collect().map(_.toString).toSeq
+    val win = Similarity.topKWindow(scored).collect().map(_.toString).toSeq
+    assert(agg == win)
+  }
+
   test("d09 embedding dedup maps every vector; canonical <= vec_id") {
     val rows = Similarity.d09EmbeddingDedup(spark, sf).collect()
     assert(rows.length == Tables.embeddings(spark, sf).count())
