@@ -57,6 +57,7 @@ object SparkEntry {
     "d09_embedding_dedup" -> Similarity.d09EmbeddingDedup _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
+    "s03_ann_ivf"        -> Similarity.s03AnnIvf _,
     "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,

@@ -74,49 +74,137 @@ object Similarity {
     topK(scored)
   }
 
-  /** Number of hyperplanes (signature bits). 8 bits = 256 buckets —
-    * sized so buckets stay populated at test SFs; at production scale
-    * raise bits with corpus size to keep per-bucket candidate counts
-    * bounded (buckets ~ n / 2^bits).
+  /** Multi-table random-hyperplane LSH: NTables independent tables of
+    * Bits bits each. More tables = higher recall (a neighbor is found
+    * if ANY table buckets it with the query); more bits = smaller,
+    * more selective buckets. 4 x 8 bits suits the test SFs; at
+    * production scale grow Bits with corpus size (buckets ~ n/2^Bits)
+    * and NTables with the recall target.
     */
   private val Bits = 8
+  private val NTables = 4
 
-  /** Deterministic random-hyperplane matrix: Bits x 64 dims of N(0,1)
-    * from a fixed-seed JDK PRNG (spec-stable across JVMs).
+  /** Deterministic hyperplane tensor: NTables x Bits x 64 dims of
+    * N(0,1) from a fixed-seed JDK PRNG (spec-stable across JVMs).
     */
-  private lazy val hyperplanes: Seq[Seq[Double]] = {
+  private lazy val hyperplanes: Seq[Seq[Seq[Double]]] = {
     val rnd = new java.util.Random(42)
-    Seq.fill(Bits)(Seq.fill(64)(rnd.nextGaussian()))
+    Seq.fill(NTables)(Seq.fill(Bits)(Seq.fill(64)(rnd.nextGaussian())))
   }
 
   private def dot(vec: Column, hp: Column): Column =
     aggregate(zip_with(vec, hp, (x, h) => x * h), lit(0.0), (acc, x) => acc + x)
 
-  /** Signature: sign pattern of the hyperplane projections. */
-  private def signature(vec: Column): Column = {
-    val hpLit = typedLit(hyperplanes)
+  /** Signature in table `t`: sign pattern of the projections. */
+  private def signature(vec: Column, t: Int): Column = {
+    val hpLit = typedLit(hyperplanes(t))
     val bits = transform(
       sequence(lit(0), lit(Bits - 1)),
       i => when(dot(vec, element_at(hpLit, i + 1)) > 0, 1).otherwise(0))
     aggregate(bits, lit(0), (acc, b) => acc * 2 + b)
   }
 
-  /** s02: LSH-bucketed ANN. Queries multiprobe their bucket plus all
-    * hamming-distance-1 buckets; cosine + top-k run only on the
-    * bucket-joined candidates.
+  /** s02: LSH-bucketed ANN. Corpus vectors index into one bucket per
+    * table; queries probe, per table, their bucket plus all
+    * hamming-distance-1 buckets. Candidates are the union over tables
+    * (deduped before scoring), so cosine + top-k run on a small
+    * bucket-bounded set instead of the whole corpus.
     */
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val (q, c) = split(spark, dir)
-    val cSig = c.withColumn("sig", signature(col("n_emb")))
     val powLit = typedLit((0 until Bits).map(i => 1 << i))
-    val qSig = q
-      .withColumn("sig0", signature(col("q_emb")))
-      .withColumn("probe", array_union(
-        array(col("sig0")),
-        transform(sequence(lit(0), lit(Bits - 1)),
-          i => col("sig0").bitwiseXOR(element_at(powLit, i + 1)))))
-      .select(col("q_id"), col("q_emb"), explode(col("probe")).as("sig"))
-    val scored = cSig.join(broadcast(qSig), "sig")
+
+    val cSig = c.select(
+      col("n_id"), col("n_emb"),
+      posexplode(array((0 until NTables).map(t => signature(col("n_emb"), t)): _*)))
+      .toDF("n_id", "n_emb", "t", "sig")
+
+    val qSig = q.select(
+      col("q_id"), col("q_emb"),
+      posexplode(array((0 until NTables).map { t =>
+        val s0 = signature(col("q_emb"), t)
+        array_union(
+          array(s0),
+          transform(sequence(lit(0), lit(Bits - 1)),
+            i => s0.bitwiseXOR(element_at(powLit, i + 1))))
+      }: _*)))
+      .toDF("q_id", "q_emb", "t", "probes")
+      .select(col("q_id"), col("q_emb"), col("t"), explode(col("probes")).as("sig"))
+
+    val candidates = cSig.join(broadcast(qSig), Seq("t", "sig"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = candidates
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+
+  /** IVF coarse-quantizer training: deterministic k-means (first
+    * nClusters ids as seeds, fixed Lloyd iterations). Centroids are a
+    * tiny driver-side matrix (nClusters x dim) — at 100 TB you train
+    * them on a sample exactly like this and broadcast; the corpus-wide
+    * passes (assign, mean) stay fully distributed.
+    */
+  private[graft] def trainCentroids(
+      c: DataFrame, nClusters: Int, iters: Int): Seq[Seq[Float]] = {
+    var centroids: Seq[Seq[Float]] = c.orderBy(col("n_id")).limit(nClusters)
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("n_emb").toSeq).toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = c.withColumn("cluster", assignCluster(col("n_emb"), centroids))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("n_emb")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getAs[Int]("cluster"))
+      centroids = centroids.indices.map { k =>
+        byCluster.get(k + 1) match {
+          case Some(rows) =>
+            rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m").toFloat).toSeq
+          case None => centroids(k) // empty cluster keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Cosine scores of a vector against each centroid (codegen'd). */
+  private def centroidScores(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val cLit = typedLit(centroids)
+    transform(sequence(lit(0), lit(centroids.size - 1)),
+      i => VectorFunctions.cosineSimNative(vec, element_at(cLit, i + 1)))
+  }
+
+  /** 1-based index of the nearest centroid (first-max on ties). */
+  private def assignCluster(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val scores = centroidScores(vec, centroids)
+    array_position(scores, array_max(scores)).cast("int")
+  }
+
+  /** s03: IVF ANN — corpus vectors indexed under their nearest coarse
+    * centroid; queries probe only the nProbe nearest centroids'
+    * inverted lists. The cluster id is the equi-join key, so the
+    * candidate set per query is |corpus| x nProbe / nClusters on
+    * average instead of the whole corpus.
+    */
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(spark, dir)
+    val nClusters = 16
+    val nProbe = 4
+    val centroids = trainCentroids(c, nClusters, iters = 2)
+
+    val cIdx = c.withColumn("cluster", assignCluster(col("n_emb"), centroids))
+    val qProbes = q
+      .withColumn("scores", centroidScores(col("q_emb"), centroids))
+      .withColumn("ranked",
+        sort_array(
+          zip_with(col("scores"), sequence(lit(1), lit(nClusters)),
+            (s, i) => struct(s.as("s"), i.as("i"))),
+          asc = false))
+      .withColumn("cluster", explode(
+        transform(slice(col("ranked"), 1, nProbe), r => r.getField("i").cast("int"))))
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+
+    val scored = cIdx.join(broadcast(qProbes), "cluster")
       .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
     topK(scored)
   }
@@ -128,7 +216,7 @@ object Similarity {
     */
   def d09EmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+      .select(col("vec_id"), col("embedding"), signature(col("embedding"), 0).as("sig"))
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("sig"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("sig"))
     val dups = a.join(b, "sig")

@@ -11,5 +11,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case (ident, (info, builder)) =>
         ext.injectFunction((ident, info, builder))
     }
+    ext.injectResolutionRule(_ => ApproxDistinctRule)
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+import graft.plans.ApproxDistinctRule
+
+class SkewAndRulesSpec extends AnyFunSuite with SparkSpec {
+
+  test("salted join returns exactly the plain join's rows") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sf).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = o.join(c, Seq("o_custkey")).orderBy("o_orderkey")
+      .collect().map(_.toString).toSeq
+    val salted = SkewJoin.saltedJoin(o, c, Seq("o_custkey"), numSalts = 7)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(salted == plain)
+  }
+
+  test("salted left join preserves unmatched left rows") {
+    import spark.implicits._
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
+    val r = Seq((1, "x")).toDF("k", "rv")
+    val out = SkewJoin.saltedJoin(l, r, Seq("k"), numSalts = 4, joinType = "left")
+      .orderBy("k").collect()
+    assert(out.length == 3)
+    assert(out.count(_.isNullAt(2)) == 2)
+  }
+
+  test("approx-distinct rule rewrites count(distinct) to HLL++ when enabled") {
+    val q = Tables.orders(spark, sf).agg(countDistinct(col("o_custkey")).as("n"))
+    val exact = q.collect().head.getLong(0)
+
+    spark.conf.set(ApproxDistinctRule.ConfKey, "true")
+    try {
+      val q2 = Tables.orders(spark, sf).agg(countDistinct(col("o_custkey")).as("n"))
+      val plan = q2.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct") || plan.contains("hyperloglog"),
+        s"expected HLL++ in plan:\n$plan")
+      val approx = q2.collect().head.getLong(0)
+      assert(math.abs(approx - exact).toDouble / exact < 0.15)
+    } finally spark.conf.set(ApproxDistinctRule.ConfKey, "false")
+
+    // And with the flag off, the exact path is untouched.
+    val q3 = Tables.orders(spark, sf).agg(countDistinct(col("o_custkey")).as("n"))
+    assert(q3.collect().head.getLong(0) == exact)
+  }
+
+  test("s03 IVF ANN: full ranked output, recall vs brute force") {
+    val brute = graft.operators.Similarity.s01AnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = graft.operators.Similarity.s03AnnIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val pairs = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (brute & pairs).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f")
+    assert(recall > 0.3) // nProbe=4 of 16 clusters should catch most
+  }
+}
