@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
+
+  test("raw SQL over registered views matches the DataFrame API result") {
+    val viaSql = GraftSession.sql(spark, sf,
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2001-07-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(_.toString).toSeq
+
+    val viaDf = Relational.q01AggPricing(spark, sf)
+      .selectExpr("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+      .collect().map(_.toString).toSeq
+
+    assert(viaSql == viaDf)
+  }
+
+  test("graft extension functions are callable from registered-view SQL") {
+    val r = GraftSession.sql(spark, sf,
+      """SELECT e1.vec_id AS a, e2.vec_id AS b,
+        |  graft_cosine_sim(e1.embedding, e2.embedding) AS cos
+        |FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id = e2.vec_id
+        |WHERE e1.vec_id < 3
+        |ORDER BY a""".stripMargin).collect()
+    assert(r.length == 3)
+    r.foreach(row => assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-6))
+  }
+}
