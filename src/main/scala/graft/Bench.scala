@@ -28,18 +28,25 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Round-robin rounds (not per-query back-to-back runs): this host
+    // shows occasional ~30s stall windows; interleaving means a stall
+    // degrades one round of several queries — the min over rounds
+    // still reflects true per-query cost.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.Set[String]()
+    def timedRound(): Map[String, Double] = names.flatMap { name =>
+      if (failed(name)) None
+      else try {
+        val t0 = System.nanoTime()
+        materialize(name)
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => failed += name; None }
+    }.toMap
+    timedRound() // warmup round: JIT, codegen cache, footers
+    val rounds = Seq(timedRound(), timedRound(), timedRound())
     val results = names.map { name =>
-      val t = try {
-        materialize(name) // warmup: JIT, codegen cache, footers
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          materialize(name)
-          (System.nanoTime() - t0) / 1e9
-        }
-        runs.min
-      } catch { case _: Throwable => -1.0 }
-      name -> t
+      val rs = rounds.flatMap(_.get(name))
+      name -> (if (rs.nonEmpty) rs.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -46,6 +46,10 @@ object SparkEntry {
     "q29_window_pct"     -> Relational2.q29WindowPct _,
     "q30_first_last"     -> Relational2.q30FirstLast _,
     "q31_range_join"     -> Relational2.q31RangeJoin _,
+    "q32_intersect"      -> Relational2.q32Intersect _,
+    "q33_except"         -> Relational2.q33Except _,
+    "q34_percentiles"    -> Relational2.q34Percentiles _,
+    "q35_like"           -> Relational2.q35Like _,
     "d01_dedup_exact"    -> TextAnalysis.d01DedupExact _,
     "d02_token_count"    -> TextAnalysis.d02TokenCount _,
     "d03_quality_score"  -> TextAnalysis.d03QualityScore _,
@@ -301,6 +305,29 @@ object SparkEntry {
         |FROM e LEFT JOIN p ON e.user_id = p.p_user AND abs(e.t_err - p.t_pur) <= 1800000000
         |GROUP BY e.event_id
         |ORDER BY e.event_id""".stripMargin,
+    "q32_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "q33_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "q34_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q35_like" ->
+      """SELECT p_partkey, p_name, p_type
+        |FROM part
+        |WHERE p_name LIKE '%bolt%' OR p_type LIKE 'STANDARD%'
+        |ORDER BY p_partkey""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
         |FROM documents

@@ -110,6 +110,39 @@ object Relational2 {
       .orderBy(col("c_custkey"))
   }
 
+  /** q32: INTERSECT — nation keys present among both customers and
+    * suppliers (plans as a distinct + semi join).
+    */
+  def q32Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk"))
+    c.intersect(s).orderBy(col("nk"))
+  }
+
+  /** q33: EXCEPT — nation keys with customers but no suppliers. */
+  def q33Except(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk"))
+    c.except(s).orderBy(col("nk"))
+  }
+
+  /** q34: exact continuous percentiles (median / p90) per group. */
+  def q34Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** q35: LIKE / string-predicate filter (pushes as StringContains). */
+  def q35Like(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("%bolt%") || col("p_type").like("STANDARD%"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
   /** q31: time-range join — purchases within ±30 min of each error
     * event by the same user. The user_id equi-key carries the shuffle;
     * the range predicate applies post-join (sort-merge, no

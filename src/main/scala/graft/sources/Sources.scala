@@ -47,6 +47,20 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed table write: pre-shuffles data into `numBuckets` hash
+    * buckets on the join key at WRITE time, so every later join or
+    * aggregation on that key runs with NO exchange — the 100 TB
+    * pattern for a fact table joined repeatedly on the same key.
+    */
+  def writeBucketed(
+      df: DataFrame, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head)
+      .saveAsTable(tableName)
+
   /** Orders laid out by order year — the canonical time-partitioned
     * fact-table layout; `readParquet(path).filter(year === y)` then
     * prunes at directory level (verify via explain PartitionFilters).

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -30,6 +31,26 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     val back = Sources.readJson(spark, out, region.schema)
     assert(back.orderBy("r_regionkey").collect().map(_.toString).toSeq ==
       region.orderBy("r_regionkey").collect().map(_.toString).toSeq)
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    Sources.writeBucketed(o, "b_orders", Seq("o_custkey"), 8)
+    Sources.writeBucketed(c, "b_customer", Seq("c_custkey"), 8)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          functions.col("o_custkey") === functions.col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      val expected = o.join(c, functions.col("o_custkey") === functions.col("c_custkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("partitioned layout enables partition pruning") {
