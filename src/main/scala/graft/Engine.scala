@@ -13,9 +13,12 @@ object Engine {
   def session(
       master: String = "local[32]",
       appName: String = "graft",
-      shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
+      shufflePartitions: Int = 32,
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession
       .builder()
+    extraConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -63,6 +63,17 @@ object SparkEntry {
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
     "s03_ann_ivf"        -> Similarity.s03AnnIvf _,
     "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
+    "src01_synth_scan" -> ((s: SparkSession, _: String) =>
+      s.read.format("graft-synth")
+        .option("rows", "10000").option("partitions", "8").load()
+        .groupBy(org.apache.spark.sql.functions.col("category"))
+        .agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("value")), 2).as("sum_v"))
+        .orderBy("category")),
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
   )

@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector: deterministic synthetic rows, for testing
+  * operators at arbitrary scale without files.
+  *
+  * `spark.read.format("graft-synth").option("rows", n)
+  *   .option("partitions", p).load()`
+  *
+  * Scale surface demonstrated:
+  *  - partition planning: the row range splits into `partitions`
+  *    independent [start, end) slices, one task each — embarrassingly
+  *    parallel across executors, no driver materialization;
+  *  - column pruning: SupportsPushDownRequiredColumns — pruned columns
+  *    are never computed (verify via ReadSchema in explain);
+  *  - deterministic content: row i is a pure function of i, so any
+  *    result is reproducible at any parallelism.
+  */
+class SynthSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-synth"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SynthTable(
+      properties.asScala.getOrElse("rows", "1000").toLong,
+      properties.asScala.getOrElse("partitions", "8").toInt)
+}
+
+object SynthSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("category", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** Deterministic per-row value (splitmix64-style finalizer). */
+  def valueOf(i: Long): Double = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z & 0xfffffffL).toDouble / 0xfffffffL.toDouble * 1000.0
+  }
+
+  def categoryOf(i: Long): String = s"cat_${i % 10}"
+}
+
+private[sources] class SynthTable(rows: Long, partitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_synth($rows)"
+  override def schema(): StructType = SynthSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, partitions)
+}
+
+private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SynthSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SynthScan(rows, partitions, required)
+}
+
+private[sources] case class SynthRange(start: Long, end: Long) extends InputPartition
+
+private[sources] class SynthScan(rows: Long, partitions: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    (0L until rows by per).map(s => SynthRange(s, math.min(s + per, rows)))
+      .toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+}
+
+private[sources] class SynthReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val SynthRange(start, end) = partition.asInstanceOf[SynthRange]
+    val fields = required.fieldNames
+    new PartitionReader[InternalRow] {
+      private var i = start - 1
+      override def next(): Boolean = { i += 1; i < end }
+      override def get(): InternalRow =
+        new GenericInternalRow(fields.map {
+          case "id" => i
+          case "category" => UTF8String.fromString(SynthSource.categoryOf(i))
+          case "value" => SynthSource.valueOf(i)
+        }.asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}
