@@ -76,6 +76,9 @@ object SparkEntry {
         .orderBy("category")),
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
+    "st03_dedup_counts"  -> EventStreams.st03DedupCounts _,
+    "st04_stream_join"   -> EventStreams.st04StreamJoin _,
+    "d10_rolling_fingerprint" -> Dedup.d10RollingFingerprint _,
   )
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares). */
@@ -388,5 +391,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    // event_id is unique in the corpus, so dedup-then-aggregate equals
+    // plain aggregate; the dedup path itself is exercised in specs
+    // with injected duplicates.
+    "st03_dedup_counts" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "st04_stream_join" ->
+      """WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id AS user_id
+        |FROM e JOIN p ON e.user_id = p.user_id
+        |  AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+        |ORDER BY error_id, purchase_id""".stripMargin,
   )
 }

@@ -152,6 +152,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d10: rolling-hash document fingerprinting (winnowing, MOSS-style).
+    * Polynomial Rabin hash over a sliding character window; one
+    * fingerprint selected per winnow window (the minimum), giving a
+    * position-robust compact sketch. Typed single pass per document —
+    * O(chars), no shuffle.
+    */
+  def d10RollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 8 // char window for the rolling hash
+    val W = 4 // winnow window (fingerprints per ~W hashes)
+    val B = 257L
+    val M = 1000000007L
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.trim.toLowerCase
+        if (t.length < K) (id, 0, 0L, 0L)
+        else {
+          // rolling Rabin hashes of every K-gram
+          var pow = 1L
+          (1 until K).foreach(_ => pow = pow * B % M)
+          var h = 0L
+          val hashes = new Array[Long](t.length - K + 1)
+          var i = 0
+          while (i < t.length) {
+            h = (h * B + t.charAt(i)) % M
+            if (i >= K) h = (h - t.charAt(i - K) * pow % M + M * M) % M
+            if (i >= K - 1) hashes(i - K + 1) = h
+            i += 1
+          }
+          // winnowing: min hash of each W-window, deduped consecutively
+          val picks = hashes.sliding(W, 1).map(_.min).toArray.distinct
+          (id, picks.length, picks.min, picks.max)
+        }
+      }
+      .toDF("doc_id", "n_fp", "min_fp", "max_fp")
+      .orderBy("doc_id")
+  }
+
   /** d08: exact character-trigram Jaccard over deterministic
     * adjacent-id pairs (the verify primitive of the dedup stack,
     * exercised standalone).

@@ -86,6 +86,48 @@ object EventStreams {
         })
   }
 
+  /** Exactly-once event dedup — unified batch/stream form. Streaming
+    * callers add `.withWatermark("ts", ...)` upstream and Spark keeps
+    * only watermark-bounded dedup state
+    * (`dropDuplicatesWithinWatermark`); in batch it's a plain
+    * distinct-on-key.
+    */
+  def dedupEvents(events: DataFrame, streaming: Boolean): DataFrame =
+    if (streaming) events.dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
+  /** st03 (oracle-checked in batch): per-type counts after dedup. */
+  def st03DedupCounts(spark: SparkSession, dir: String): DataFrame =
+    dedupEvents(Tables.events(spark, dir), streaming = false)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+
+  /** Stream-stream interval join: purchases within 30 min AFTER an
+    * error by the same user. Works identically on batch frames; in
+    * streaming both sides carry watermarks and the time-interval
+    * predicate bounds the join state Spark must retain.
+    */
+  def errorPurchaseJoin(errors: DataFrame, purchases: DataFrame): DataFrame =
+    errors.alias("e")
+      .join(purchases.alias("p"),
+        col("e.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("e.ts") &&
+          col("p.ts") <= col("e.ts") + expr("INTERVAL 30 MINUTES"))
+      .select(
+        col("e.event_id").as("error_id"),
+        col("p.event_id").as("purchase_id"),
+        col("e.user_id").as("user_id"))
+
+  /** st04 (oracle-checked in batch): error→purchase conversions. */
+  def st04StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    errorPurchaseJoin(
+      ev.filter(col("event_type") === "error"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("error_id", "purchase_id")
+  }
+
   /** st02 (rows-only): batch run of the stateful sessionizer. */
   def st02StatefulSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -35,6 +35,58 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.length == 3) // (00h click x2), (01h view), (01h click)
   }
 
+  test("watermarked streaming dedup drops duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "click"),
+      ev(1, "2024-01-01 00:00:30", 1, "click"), // duplicate id
+      ev(2, "2024-01-01 00:01:00", 1, "view"),
+      ev(2, "2024-01-01 00:01:10", 1, "view"), // duplicate id
+      ev(3, "2024-01-01 00:02:00", 2, "click"))
+    val stream = MemoryStream[Event]
+    stream.addData(data)
+    val deduped = EventStreams.dedupEvents(
+      stream.toDF().withWatermark("ts", "10 minutes"), streaming = true)
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.sql("SELECT event_id FROM dedup_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-stream interval join, streaming == batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val errors = Seq(
+      ev(10, "2024-01-01 01:00:00", 1, "error"),
+      ev(11, "2024-01-01 05:00:00", 2, "error"))
+    val purchases = Seq(
+      ev(20, "2024-01-01 01:10:00", 1, "purchase"), // within 30m of 10
+      ev(21, "2024-01-01 01:40:00", 1, "purchase"), // outside 30m
+      ev(22, "2024-01-01 05:05:00", 2, "purchase"), // within 30m of 11
+      ev(23, "2024-01-01 04:00:00", 2, "purchase")) // before the error
+
+    val eStream = MemoryStream[Event]
+    val pStream = MemoryStream[Event]
+    eStream.addData(errors)
+    pStream.addData(purchases)
+    val joined = EventStreams.errorPurchaseJoin(
+      eStream.toDF().withWatermark("ts", "1 hour"),
+      pStream.toDF().withWatermark("ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.sql("SELECT * FROM ss_join_out ORDER BY error_id, purchase_id")
+      .collect().map(_.toString).toSeq
+    val batch = EventStreams.errorPurchaseJoin(errors.toDF(), purchases.toDF())
+      .orderBy("error_id", "purchase_id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq("[10,20,1]", "[11,22,2]"))
+  }
+
   test("stateful sessionization splits on 30-min gaps, streaming == batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
