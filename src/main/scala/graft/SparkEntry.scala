@@ -63,6 +63,8 @@ object SparkEntry {
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
     "s03_ann_ivf"        -> Similarity.s03AnnIvf _,
     "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
+    "m02_resize" -> ((s: SparkSession, d: String) => Multimodal.m02Resize(s, d)),
+    "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.m03FrameSample(s, d)),
     "src01_synth_scan" -> ((s: SparkSession, _: String) =>
       s.read.format("graft-synth")
         .option("rows", "10000").option("partitions", "8").load()

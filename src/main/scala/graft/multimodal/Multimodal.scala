@@ -49,4 +49,57 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  case class ResizedMeta(
+      doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, scale_x: Double, scale_y: Double)
+
+  /** m02: resize planning — STUB for the pixel resample (real codecs
+    * would transform the payload); emits the aspect-preserving target
+    * geometry per media item. Runs on m01's decoded metadata.
+    */
+  def m02Resize(spark: SparkSession, dir: String, target: Int = 32): DataFrame = {
+    import spark.implicits._
+    m01MultimodalMeta(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        val s = target.toDouble / math.max(w, h)
+        ResizedMeta(id, w, h,
+          math.max(1, math.round(w * s).toInt),
+          math.max(1, math.round(h * s).toInt),
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  case class FrameSample(
+      doc_id: Long, n_frames: Int, n_sampled: Int, first_checksum: Long)
+
+  /** m03: frame sampling — treats the payload as fixed-size frames
+    * (video analog) and keeps every `stride`-th frame; decode is the
+    * same STUB boundary. Per-row O(bytes), partition-parallel.
+    */
+  def m03FrameSample(
+      spark: SparkSession, dir: String,
+      frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val frames = bytes.grouped(frameBytes).toArray
+        val sampled = frames.zipWithIndex.collect {
+          case (f, i) if i % stride == 0 => f
+        }
+        val checksum =
+          if (sampled.isEmpty) 0L
+          else sampled.head.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+        FrameSample(id, frames.length, sampled.length, checksum)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
 }

@@ -27,4 +27,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.length == n)
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n)
   }
+
+  test("m02 resize: longest edge hits the target, aspect preserved") {
+    val rows = Multimodal.m02Resize(spark, sf, target = 32).collect()
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(math.max(w, h) == 32)
+      assert(w >= 1 && h >= 1)
+    }
+  }
+
+  test("m03 frame sampling: stride-4 keeps ceil(n/4) frames") {
+    val rows = Multimodal.m03FrameSample(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_frames")
+      val s = r.getAs[Int]("n_sampled")
+      assert(s == (n + 3) / 4)
+    }
+  }
 }
