@@ -40,7 +40,11 @@ object Bench {
         val t0 = System.nanoTime()
         materialize(name)
         Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => failed += name; None }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed += name
+        None
+      }
     }.toMap
     timedRound() // warmup round: JIT, codegen cache, footers
     val rounds = Seq(timedRound(), timedRound(), timedRound())

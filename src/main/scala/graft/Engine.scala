@@ -17,8 +17,6 @@ object Engine {
       extraConfs: Map[String, String] = Map.empty): SparkSession = {
     val builder = SparkSession
       .builder()
-    extraConfs.foreach { case (k, v) => builder.config(k, v) }
-    val spark = builder
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -27,10 +25,10 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config(
-        "spark.sql.extensions",
-        "graft.plans.GraftExtensions")
-      .getOrCreate()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    // extraConfs LAST so callers can override any default above.
+    extraConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -25,12 +25,18 @@ object GraftSession {
     "embeddings" -> Tables.embeddings _)
 
   /** Register every table under its canonical name. */
-  def registerTables(spark: SparkSession, dir: String): Unit =
+  def registerTables(spark: SparkSession, dir: String): Unit = synchronized {
     TableNames.foreach(n => loaders(n)(spark, dir).createOrReplaceTempView(n))
+    registered = Some((spark, dir))
+  }
+
+  // Last (session, dir) registered — avoids re-reading 10 parquet
+  // schemas on every sql() call.
+  @volatile private var registered: Option[(SparkSession, String)] = None
 
   /** Run a SQL query against the registered star schema. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
-    registerTables(spark, dir)
+    if (!registered.contains((spark, dir))) registerTables(spark, dir)
     spark.sql(query)
   }
 }

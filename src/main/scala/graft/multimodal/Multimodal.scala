@@ -39,16 +39,21 @@ object Multimodal {
     * partition — codec init amortized across the partition, the same
     * shape a vectorized/Arrow UDF would have).
     */
-  def m01MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+  /** Decoded metadata, unsorted — the composable internal form (no
+    * global sort; downstream operators pay ordering only at their own
+    * output surface).
+    */
+  private def decodedMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val payloads = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
-    payloads
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
       .toDF()
-      .orderBy("doc_id")
   }
+
+  def m01MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    decodedMeta(spark, dir).orderBy("doc_id")
 
   case class ResizedMeta(
       doc_id: Long, width: Int, height: Int,
@@ -60,7 +65,7 @@ object Multimodal {
     */
   def m02Resize(spark: SparkSession, dir: String, target: Int = 32): DataFrame = {
     import spark.implicits._
-    m01MultimodalMeta(spark, dir)
+    decodedMeta(spark, dir)
       .select(col("doc_id"), col("width"), col("height"))
       .as[(Long, Int, Int)]
       .map { case (id, w, h) =>

@@ -50,6 +50,10 @@ object AsOfJoin {
     }
     val rTagged = leftCols.foldLeft(
       right
+        // Null keys never match in join/ASOF semantics; dropping them
+        // here keeps null-key left rows from being forward-filled by
+        // null-key right rows sharing the window partition.
+        .filter(col(rightKey).isNotNull)
         .withColumn("__k", col(rightKey).cast(left.schema(leftKey).dataType))
         .withColumn("__t", col(rightTime).cast(left.schema(leftTime).dataType))
         .withColumn("__isR", lit(1))

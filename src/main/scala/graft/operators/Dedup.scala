@@ -158,34 +158,41 @@ object Dedup {
     * position-robust compact sketch. Typed single pass per document —
     * O(chars), no shuffle.
     */
-  def d10RollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val K = 8 // char window for the rolling hash
-    val W = 4 // winnow window (fingerprints per ~W hashes)
+  /** Winnowed rolling-hash fingerprint set of one normalized string:
+    * Rabin hashes of every K-gram (hash depends ONLY on the K-char
+    * window — position-independent), then the min hash per W-window.
+    */
+  def rollingFingerprints(text: String, K: Int = 8, W: Int = 4): Array[Long] = {
     val B = 257L
     val M = 1000000007L
+    val t = text.trim.toLowerCase
+    if (t.length < K) Array.empty
+    else {
+      // After appending char i, evict char i-K weighted by B^K
+      // (post-multiply weight), leaving exactly the K-char window hash.
+      var powK = 1L
+      (1 to K).foreach(_ => powK = powK * B % M)
+      var h = 0L
+      val hashes = new Array[Long](t.length - K + 1)
+      var i = 0
+      while (i < t.length) {
+        h = (h * B + t.charAt(i)) % M
+        if (i >= K) h = ((h - t.charAt(i - K) * powK) % M + M) % M
+        if (i >= K - 1) hashes(i - K + 1) = h
+        i += 1
+      }
+      hashes.sliding(W, 1).map(_.min).toArray.distinct
+    }
+  }
+
+  def d10RollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val t = text.trim.toLowerCase
-        if (t.length < K) (id, 0, 0L, 0L)
-        else {
-          // rolling Rabin hashes of every K-gram
-          var pow = 1L
-          (1 until K).foreach(_ => pow = pow * B % M)
-          var h = 0L
-          val hashes = new Array[Long](t.length - K + 1)
-          var i = 0
-          while (i < t.length) {
-            h = (h * B + t.charAt(i)) % M
-            if (i >= K) h = (h - t.charAt(i - K) * pow % M + M * M) % M
-            if (i >= K - 1) hashes(i - K + 1) = h
-            i += 1
-          }
-          // winnowing: min hash of each W-window, deduped consecutively
-          val picks = hashes.sliding(W, 1).map(_.min).toArray.distinct
-          (id, picks.length, picks.min, picks.max)
-        }
+        val picks = rollingFingerprints(text)
+        if (picks.isEmpty) (id, 0, 0L, 0L)
+        else (id, picks.length, picks.min, picks.max)
       }
       .toDF("doc_id", "n_fp", "min_fp", "max_fp")
       .orderBy("doc_id")

@@ -25,6 +25,12 @@ object SkewJoin {
       numSalts: Int,
       joinType: String = "inner"): DataFrame = {
     require(numSalts > 1, "numSalts must be > 1")
+    // Right-preserving join types would emit numSalts copies of every
+    // unmatched right row (the right side is replicated per salt).
+    val supported =
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support right-preserving joinType '$joinType'")
     // Per-row deterministic salt from the full row content (a salt
     // derived only from the key would keep the hot key in one bucket).
     val l = left.withColumn("__salt",

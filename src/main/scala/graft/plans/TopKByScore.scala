@@ -36,6 +36,14 @@ case class TopKByScore(
   override def dataType: DataType = TopKByScore.ResultType
   override def prettyName: String = "graft_topk_by_score"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (double, bigint), got (${score.dataType}, ${id.dataType})")
+  }
+
   /** Min-heap: the WORST kept pair on top, so eviction is O(log k).
     * "a is worse than b" = lower score, or equal score and larger id.
     */

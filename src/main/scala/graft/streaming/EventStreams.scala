@@ -69,20 +69,45 @@ object EventStreams {
     }
   }
 
-  /** Stateful sessionization via flatMapGroupsWithState. In streaming,
-    * state carries the open session across micro-batches; in batch each
-    * group arrives complete and the state is simply unused.
+  /** Carried state: next session index + the open session's events. */
+  case class SessState(nextIdx: Int, open: List[Event])
+
+  /** Stateful sessionization via flatMapGroupsWithState.
+    *
+    * Streaming (`emitOpenTail = false`): each invocation merges the
+    * carried open-session events with the batch's events, emits every
+    * session CLOSED by a 30-min gap, and persists the open tail plus
+    * the running session index via `state.update` — a session spanning
+    * micro-batches is emitted once, merged, when a later event closes
+    * it. The final open session stays pending (an infinite stream
+    * never ends; pair with a timeout to flush on inactivity).
+    *
+    * Batch (`emitOpenTail = true`, the default): every session
+    * including the open tail is emitted — the dataset is complete.
     */
-  def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {
+  def sessionize(
+      events: Dataset[Event],
+      emitOpenTail: Boolean = true): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
-        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) => {
-          // Streaming: prepend any carried-over open-session events.
-          val carried = state.getOption.getOrElse(Nil)
-          if (state.exists) state.remove()
-          sessionsOf(userId, carried.iterator ++ it)
+        (userId: Long, it: Iterator[Event], state: GroupState[SessState]) => {
+          val carried = state.getOption.getOrElse(SessState(0, Nil))
+          val merged = carried.open ++ it
+          val sessions = sessionsOf(userId, merged.iterator)
+            .map(s => s.copy(session_idx = s.session_idx + carried.nextIdx))
+            .toVector
+          if (emitOpenTail || sessions.isEmpty) {
+            if (state.exists) state.remove()
+            sessions.iterator
+          } else {
+            val open = sessions.last
+            state.update(SessState(
+              open.session_idx,
+              merged.filter(e => micros(e.ts) >= open.start_us)))
+            sessions.init.iterator
+          }
         })
   }
 

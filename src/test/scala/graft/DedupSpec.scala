@@ -33,6 +33,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(rows.length == Tables.documents(spark, sf).count())
   }
 
+  test("d10 rolling-hash fingerprints are position-independent (shared content overlaps)") {
+    // The same long core embedded at different offsets must yield
+    // heavily overlapping winnow fingerprints — the property a
+    // prefix-dependent (broken) rolling hash cannot satisfy.
+    val core = "the quick brown fox jumps over the lazy dog near the river bank"
+    val a = Dedup.rollingFingerprints("xx " + core).toSet
+    val b = Dedup.rollingFingerprints("yyyyy " + core).toSet
+    val overlap = (a & b).size.toDouble / math.min(a.size, b.size)
+    assert(overlap > 0.7, s"expected shared-core overlap, got $overlap")
+    // And disjoint content barely collides.
+    val c = Dedup.rollingFingerprints("entirely different words with no common substring at all").toSet
+    assert((a & c).isEmpty)
+    // Operator-level: one row per document.
+    assert(Dedup.d10RollingFingerprint(spark, sf).count() ==
+      Tables.documents(spark, sf).count())
+  }
+
   test("d08 jaccard is within [0,1] and defined for all adjacent pairs") {
     val rows = Dedup.d08NgramJaccard(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count() - 1)

@@ -87,28 +87,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == Seq("[10,20,1]", "[11,22,2]"))
   }
 
-  test("stateful sessionization splits on 30-min gaps, streaming == batch") {
+  test("stateful sessionization splits on 30-min gaps (batch complete)") {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val data = Seq(
       ev(1, "2024-01-01 00:00:00", 1, "click"),
       ev(2, "2024-01-01 00:10:00", 1, "click"), // same session
       ev(3, "2024-01-01 01:00:00", 1, "click"), // 50-min gap -> new session
       ev(4, "2024-01-01 00:00:00", 2, "view")) // other user
-
-    val stream = MemoryStream[Event]
-    stream.addData(data)
-    val q = EventStreams.sessionize(stream.toDS())
-      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-
-    val streamed = spark.sql("SELECT * FROM sess_out ORDER BY user_id, session_idx").collect()
     val batch = EventStreams.sessionize(data.toDS()).toDF()
       .orderBy("user_id", "session_idx").collect()
-    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
-
-    val u1 = streamed.filter(_.getAs[Long]("user_id") == 1L)
+    val u1 = batch.filter(_.getAs[Long]("user_id") == 1L)
     assert(u1.length == 2)
     assert(u1.map(_.getAs[Int]("n_events")).toSeq == Seq(2, 1))
+    assert(batch.count(_.getAs[Long]("user_id") == 2L) == 1)
+  }
+
+  test("stateful sessionization merges a session spanning micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS(), emitOpenTail = false)
+      .writeStream.format("memory").queryName("sess2_out").outputMode("append").start()
+    try {
+      // Batch 1: two events 10 min apart — one OPEN session, not emitted.
+      stream.addData(Seq(
+        ev(1, "2024-01-01 00:00:00", 1, "click"),
+        ev(2, "2024-01-01 00:10:00", 1, "click")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess2_out").count() == 0)
+
+      // Batch 2: 00:15 continues the session (5-min gap), then a
+      // 2-hour jump closes it -> exactly one MERGED 3-event session.
+      stream.addData(Seq(
+        ev(3, "2024-01-01 00:15:00", 1, "click"),
+        ev(4, "2024-01-01 02:30:00", 1, "click")))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM sess2_out ORDER BY session_idx").collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[Int]("session_idx") == 0)
+      assert(out.head.getAs[Int]("n_events") == 3) // merged across batches
+      assert(out.head.getAs[Double]("duration_sec") == 900.0)
+
+      // Batch 3: another jump closes the 02:30 session with idx 1.
+      stream.addData(Seq(ev(5, "2024-01-01 06:00:00", 1, "click")))
+      q.processAllAvailable()
+      val out2 = spark.sql("SELECT * FROM sess2_out ORDER BY session_idx").collect()
+      assert(out2.length == 2)
+      assert(out2(1).getAs[Int]("session_idx") == 1) // index carried in state
+      assert(out2(1).getAs[Int]("n_events") == 1)
+    } finally q.stop()
   }
 }
