@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.AsOfJoin
+
+/** Randomized-property checks of the custom operators against
+  * brute-force reference implementations (fixed seeds — reproducible).
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(minutes: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minutes / 60}%02d:${minutes % 60}%02d:00")
+
+  test("AsOfJoin matches brute-force latest-at-or-before semantics on random data") {
+    import spark.implicits._
+    (1 to 6).foreach { trial =>
+      val rnd = new Random(1000 + trial)
+      val ls = List.fill(40)((rnd.nextInt(5).toLong, rnd.nextInt(600)))
+      val rs = List.fill(25)((rnd.nextInt(5).toLong, rnd.nextInt(600))).distinct
+
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        .toDF("event_id", "k", "t")
+      val right = rs.map { case (k, t) => (k, ts(t), k * 10000L + t) }
+        .toDF("rk", "rt", "payload")
+
+      val got = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"))
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("payload")).map(_.toLong))
+        .toMap
+
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.filter { case (rk, rt) => rk == k && rt <= t }
+        i.toLong -> (if (cands.isEmpty) None
+                     else {
+                       val (bk, bt) = cands.maxBy(_._2)
+                       Some(bk * 10000L + bt)
+                     })
+      }.toMap
+
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("TopKByScore matches sort-take reference on random scores (incl. ties)") {
+    import spark.implicits._
+    (1 to 6).foreach { trial =>
+      val rnd = new Random(2000 + trial)
+      // Coarse scores + distinct ids per group: frequent score ties,
+      // unambiguous (score desc, id asc) reference order.
+      val rows = (0 until 3).flatMap { g =>
+        rnd.shuffle((0L until 300L).toList).take(40)
+          .map(id => (g.toLong, id, rnd.nextInt(50) / 10.0))
+      }
+
+      val got = rows.toDF("g", "id", "s")
+        .groupBy("g")
+        .agg(VectorFunctions.topKByScore(col("s"), col("id"), 5).as("tk"))
+        .select(col("g"), explode(col("tk")).as("e"))
+        .select(col("g"), col("e.id"), col("e.score"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+      val want = rows.groupBy(_._1).view.mapValues { grp =>
+        grp.map { case (_, id, s) => (s, id) }
+          .sortBy { case (s, id) => (-s, id) }
+          .take(5).map { case (s, id) => (id, s) }.toSeq
+      }.toMap
+
+      got.foreach { case (g, pairs) =>
+        assert(pairs == want(g), s"trial $trial group $g: $pairs vs ${want(g)}")
+      }
+    }
+  }
+}
