@@ -87,26 +87,41 @@ object EventStreams {
     */
   def sessionize(
       events: Dataset[Event],
-      emitOpenTail: Boolean = true): Dataset[SessionSummary] = {
+      emitOpenTail: Boolean = true,
+      eventTimeTimeout: Boolean = false): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (eventTimeTimeout) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (userId: Long, it: Iterator[Event], state: GroupState[SessState]) => {
-          val carried = state.getOption.getOrElse(SessState(0, Nil))
-          val merged = carried.open ++ it
-          val sessions = sessionsOf(userId, merged.iterator)
-            .map(s => s.copy(session_idx = s.session_idx + carried.nextIdx))
-            .toVector
-          if (emitOpenTail || sessions.isEmpty) {
-            if (state.exists) state.remove()
-            sessions.iterator
+          if (state.hasTimedOut) {
+            // Watermark passed the open session's inactivity horizon:
+            // no on-time event can extend it — flush it.
+            val carried = state.get
+            state.remove()
+            sessionsOf(userId, carried.open.iterator)
+              .map(s => s.copy(session_idx = s.session_idx + carried.nextIdx))
           } else {
-            val open = sessions.last
-            state.update(SessState(
-              open.session_idx,
-              merged.filter(e => micros(e.ts) >= open.start_us)))
-            sessions.init.iterator
+            val carried = state.getOption.getOrElse(SessState(0, Nil))
+            val merged = carried.open ++ it
+            val sessions = sessionsOf(userId, merged.iterator)
+              .map(s => s.copy(session_idx = s.session_idx + carried.nextIdx))
+              .toVector
+            if (emitOpenTail || sessions.isEmpty) {
+              if (state.exists) state.remove()
+              sessions.iterator
+            } else {
+              val open = sessions.last
+              state.update(SessState(
+                open.session_idx,
+                merged.filter(e => micros(e.ts) >= open.start_us)))
+              if (eventTimeTimeout)
+                state.setTimeoutTimestamp(open.end_us / 1000L + GapUs / 1000L)
+              sessions.init.iterator
+            }
           }
         })
   }

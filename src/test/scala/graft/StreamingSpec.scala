@@ -56,6 +56,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("event-time timeout flushes an open session once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(
+      stream.toDS().withWatermark("ts", "10 minutes"),
+      emitOpenTail = false, eventTimeTimeout = true)
+      .writeStream.format("memory").queryName("sess3_out").outputMode("append").start()
+    try {
+      // User 1's open session (ends 00:10; inactivity horizon 00:40).
+      stream.addData(Seq(
+        ev(1, "2024-01-01 00:00:00", 1, "click"),
+        ev(2, "2024-01-01 00:10:00", 1, "click")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess3_out").count() == 0)
+
+      // Another user's late activity drives the watermark to 01:50,
+      // far past user 1's horizon -> timeout fires on the next trigger.
+      stream.addData(Seq(ev(3, "2024-01-01 02:00:00", 2, "click")))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(4, "2024-01-01 02:05:00", 2, "click")))
+      q.processAllAvailable()
+
+      val out = spark.sql("SELECT * FROM sess3_out WHERE user_id = 1").collect()
+      assert(out.length == 1, s"expected flushed session, got ${out.toSeq}")
+      assert(out.head.getAs[Int]("n_events") == 2)
+      assert(out.head.getAs[Double]("duration_sec") == 600.0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join, streaming == batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
