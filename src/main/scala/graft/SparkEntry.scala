@@ -393,6 +393,36 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    "st02_stateful_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |s AS (
+        |  SELECT user_id, t, event_id,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+        |  FROM g
+        |)
+        |SELECT user_id, session_idx, CAST(count(*) AS INT) AS n_events,
+        |  min(t) AS start_us, max(t) AS end_us,
+        |  (max(t) - min(t)) / 1000000.0 AS duration_sec
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "d08_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(s) < 3 THEN [s]
+        |         ELSE list_distinct([s[i:i+2] FOR i IN range(1, length(s) - 1)]) END AS grams
+        |  FROM t
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.grams, b.grams)) * 1.0
+        |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jacc
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
     // event_id is unique in the corpus, so dedup-then-aggregate equals
     // plain aggregate; the dedup path itself is exercised in specs
     // with injected duplicates.
