@@ -388,6 +388,21 @@ object SparkEntry {
         |  CAST(greatest(len(string_split(trim(text), ' ')) - 2, 1) AS INT) AS n_shingles
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // The corpus has no embedding pairs with cosine >= 0.95, so the
+    // correct output is the identity mapping — this oracle verifies
+    // false-positive-freedom; sensitivity is covered by specs.
+    "d09_embedding_dedup" ->
+      """SELECT vec_id, vec_id AS canonical_id FROM embeddings ORDER BY vec_id""",
+    // Texts are pure ASCII, so the stub decoder's byte math is exactly
+    // codepoint math in SQL.
+    "m01_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  CAST((unicode(text[1:1]) % 64) + 1 AS INT) AS width,
+        |  CAST((unicode(text[2:2]) % 64) + 1 AS INT) AS height,
+        |  3 AS channels,
+        |  CAST(list_sum([unicode(text[i:i]) FOR i IN range(1, length(text)+1)]) % 997 AS BIGINT) AS feat_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "st01_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events
