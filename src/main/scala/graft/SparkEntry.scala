@@ -388,6 +388,17 @@ object SparkEntry {
         |  CAST(greatest(len(string_split(trim(text), ' ')) - 2, 1) AS INT) AS n_shingles
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "s01_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+        |  FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(q_emb, n_emb) AS cos FROM c CROSS JOIN q),
+        |r AS (SELECT q_id, n_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+        |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
+        |FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
     // The corpus has no embedding pairs with cosine >= 0.95, so the
     // correct output is the identity mapping — this oracle verifies
     // false-positive-freedom; sensitivity is covered by specs.
