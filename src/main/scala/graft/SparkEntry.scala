@@ -50,6 +50,8 @@ object SparkEntry {
     "q33_except"         -> Relational2.q33Except _,
     "q34_percentiles"    -> Relational2.q34Percentiles _,
     "q35_like"           -> Relational2.q35Like _,
+    "q36_range_frame"    -> Relational2.q36RangeFrame _,
+    "q37_listagg"        -> Relational2.q37ListAgg _,
     "d01_dedup_exact"    -> TextAnalysis.d01DedupExact _,
     "d02_token_count"    -> TextAnalysis.d02TokenCount _,
     "d03_quality_score"  -> TextAnalysis.d03QualityScore _,
@@ -388,6 +390,22 @@ object SparkEntry {
         |  CAST(greatest(len(string_split(trim(text), ' ')) - 2, 1) AS INT) AS n_shingles
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q36_range_frame" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(sum(o_totalprice * 100.0), 0) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT d, rev_cents,
+        |  CAST(sum(rev_cents) OVER (ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS w7_cents
+        |FROM daily ORDER BY d""".stripMargin,
+    "q37_listagg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
     "s01_ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
         |  FROM embeddings WHERE vec_id < 10),

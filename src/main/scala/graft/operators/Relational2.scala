@@ -143,6 +143,31 @@ object Relational2 {
       .select(col("p_partkey"), col("p_name"), col("p_type"))
       .orderBy(col("p_partkey"))
 
+  /** q36: RANGE-interval window frame (date-distance, not row-count —
+    * calendar gaps matter). Expressed through the engine's SQL surface
+    * to exercise GraftSession in the correctness gate.
+    */
+  def q36RangeFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.sql(spark, dir,
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(sum(o_totalprice * 100.0), 0) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT d, rev_cents,
+        |  CAST(sum(rev_cents) OVER (ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS w7_cents
+        |FROM daily ORDER BY d""".stripMargin)
+
+  /** q37: ordered string aggregation (listagg / string_agg). */
+  def q37ListAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.sql(spark, dir,
+      """SELECT r_name,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin)
+
   /** q31: time-range join — purchases within ±30 min of each error
     * event by the same user. The user_id equi-key carries the shuffle;
     * the range predicate applies post-join (sort-merge, no
