@@ -50,6 +50,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("d06/d07 collapse planted near-duplicates to the smallest id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, base + " rho", "en", "s1", 0L), // one appended word
+      (2L, "totally different content words here entirely unrelated material", "en", "s2", 0L),
+      (3L, base.replace(" pi", " pi sigma tau"), "en", "s3", 0L), // suffix edit
+      (4L, "another standalone document about nothing shared with others", "en", "s4", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val mh = Dedup.d06DedupMinhash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(mh(1L) == 0L && mh(3L) == 0L, s"minhash missed planted dups: $mh")
+    assert(mh(2L) == 2L && mh(4L) == 4L, s"minhash false positive: $mh")
+
+    val sh = Dedup.d07DedupSimhash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(sh(1L) == 0L, s"simhash missed planted dup: $sh")
+    assert(sh(2L) == 2L && sh(4L) == 4L, s"simhash false positive: $sh")
+  }
+
   test("d08 jaccard is within [0,1] and defined for all adjacent pairs") {
     val rows = Dedup.d08NgramJaccard(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count() - 1)
