@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   * forward-fill independently.
   */
 object AsOfJoin {
+  /** @param toleranceUs optional lookback bound in microseconds: a
+    *   right row only matches while `leftTime - rightTime <=
+    *   toleranceUs` (pandas merge_asof semantics). None = unbounded.
+    */
   def asOf(
       left: DataFrame,
       right: DataFrame,
@@ -35,7 +39,8 @@ object AsOfJoin {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     val leftCols = left.columns.toSeq
     require(payload.intersect(leftCols).isEmpty,
@@ -68,9 +73,24 @@ object AsOfJoin {
       .partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__isR").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payload.foldLeft(timeline) { (df, p) =>
+    // Forward-fill the matched right row's own time alongside the
+    // payload so a tolerance bound can be applied afterwards.
+    val withRt = timeline.withColumn("__rt",
+      when(col("__isR") === 1, col("__t")).otherwise(lit(null).cast(timeline.schema("__t").dataType)))
+    val filled = (payload :+ "__rt").foldLeft(withRt) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__isR") === 0).select((leftCols ++ payload).map(col): _*)
+    val bounded = toleranceUs match {
+      case None => filled
+      case Some(tol) =>
+        val inRange =
+          col("__rt").isNotNull &&
+            unix_micros(col("__t").cast("timestamp")) -
+              unix_micros(col("__rt").cast("timestamp")) <= tol
+        payload.foldLeft(filled) { (df, p) =>
+          df.withColumn(p, when(inRange, col(p)).otherwise(lit(null).cast(right.schema(p).dataType)))
+        }
+    }
+    bounded.filter(col("__isR") === 0).select((leftCols ++ payload).map(col): _*)
   }
 }

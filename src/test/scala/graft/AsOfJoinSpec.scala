@@ -31,6 +31,20 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       Some(200L), Some(200L), Some(100L), None, None))
   }
 
+  test("as-of join tolerance bound nulls out stale matches") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:30:00")), // 30 min after right -> in tolerance
+      (2L, 10L, ts("2024-01-01 12:00:00")) // 2 h after right -> too stale
+    ).toDF("event_id", "k", "t")
+    val right = Seq((10L, ts("2024-01-01 10:00:00"), 100L)).toDF("rk", "rt", "payload")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"),
+      toleranceUs = Some(3600L * 1000000L))
+      .orderBy("event_id").collect()
+    assert(Option(out(0).getAs[java.lang.Long]("payload")).contains(100L))
+    assert(out(1).isNullAt(out(1).fieldIndex("payload")))
+  }
+
   test("as-of join preserves every left row exactly once") {
     import spark.implicits._
     val left = (1 to 50).map(i => (i.toLong, (i % 3).toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00")))
