@@ -93,4 +93,40 @@ object AsOfJoin {
     }
     bounded.filter(col("__isR") === 0).select((leftCols ++ payload).map(col): _*)
   }
+
+  /** Native-operator variant: plans as [[graft.plans.AsOfJoinExec]]
+    * (custom LogicalPlan -> Strategy -> SparkPlan, registered via
+    * GraftExtensions — requires an Engine.session). Same semantics as
+    * [[asOf]] without tolerance; a per-partition two-pointer merge
+    * instead of union + window.
+    */
+  def asOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.IsNotNull
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    def attrOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' in ${plan.output.map(_.name)}"))
+    val rk = attrOf(rPlan0, rightKey)
+    val rPlan = Filter(IsNotNull(rk), rPlan0)
+    require(attrOf(lPlan, leftKey).dataType == rk.dataType,
+      "as-of key types must match")
+    require(attrOf(lPlan, leftTime).dataType == attrOf(rPlan0, rightTime).dataType,
+      "as-of time types must match")
+    GraftBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(
+        lPlan, rPlan,
+        attrOf(lPlan, leftKey), rk,
+        attrOf(lPlan, leftTime), attrOf(rPlan0, rightTime),
+        payload.map(attrOf(rPlan0, _))))
+  }
 }

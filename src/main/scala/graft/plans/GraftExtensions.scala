@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ext.injectFunction((ident, info, builder))
     }
     ext.injectResolutionRule(_ => ApproxDistinctRule)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

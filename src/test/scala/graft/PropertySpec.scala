@@ -50,6 +50,33 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("native AsOfJoinExec matches the union/window implementation on random data") {
+    import spark.implicits._
+    (1 to 6).foreach { trial =>
+      val rnd = new Random(3000 + trial)
+      val ls = List.fill(50)((rnd.nextInt(6).toLong, rnd.nextInt(600)))
+      val rs = List.fill(30)((rnd.nextInt(6).toLong, rnd.nextInt(600))).distinct
+
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        .toDF("event_id", "k", "t")
+      val right = rs.map { case (k, t) => (k, ts(t), k * 10000L + t) }
+        .toDF("rk", "rt", "payload")
+
+      val native = AsOfJoin.asOfNative(left, right, "k", "rk", "t", "rt", Seq("payload"))
+      assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        "expected the custom exec in the plan")
+      val gotN = native.collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("payload")).map(_.toLong)).toMap
+      val gotU = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"))
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("payload")).map(_.toLong)).toMap
+      assert(gotN == gotU, s"trial $trial")
+    }
+  }
+
   test("TopKByScore matches sort-take reference on random scores (incl. ties)") {
     import spark.implicits._
     (1 to 6).foreach { trial =>
