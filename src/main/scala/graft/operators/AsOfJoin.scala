@@ -111,17 +111,20 @@ object AsOfJoin {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.IsNotNull
     import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // Align right key/time types to the left side (e.g. parquet
+    // TIMESTAMP_NTZ vs session-tz TIMESTAMP), as the union form does.
+    val rightAligned = Seq(rightKey -> leftKey, rightTime -> leftTime)
+      .foldLeft(right) { case (df, (rc, lc)) =>
+        if (df.schema(rc).dataType == left.schema(lc).dataType) df
+        else df.withColumn(rc, col(rc).cast(left.schema(lc).dataType))
+      }
     val lPlan = left.queryExecution.analyzed
-    val rPlan0 = right.queryExecution.analyzed
+    val rPlan0 = rightAligned.queryExecution.analyzed
     def attrOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column '$name' in ${plan.output.map(_.name)}"))
     val rk = attrOf(rPlan0, rightKey)
     val rPlan = Filter(IsNotNull(rk), rPlan0)
-    require(attrOf(lPlan, leftKey).dataType == rk.dataType,
-      "as-of key types must match")
-    require(attrOf(lPlan, leftTime).dataType == attrOf(rPlan0, rightTime).dataType,
-      "as-of time types must match")
     GraftBridge.ofRows(left.sparkSession,
       graft.plans.AsOfJoinPlan(
         lPlan, rPlan,
