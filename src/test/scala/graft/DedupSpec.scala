@@ -16,6 +16,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(hamming(ha, Dedup.simhash64(b)) < hamming(ha, Dedup.simhash64(c)))
   }
 
+  test("minhash signature agreement tracks true Jaccard similarity") {
+    import spark.implicits._
+    // Pairs with known shingle overlap: signature agreement rate
+    // (fraction of equal permutation minima) must order the pairs the
+    // same way true Jaccard does, and sit near it.
+    val words = ('a' to 'z').map(_.toString * 3)
+    def doc(idxs: Seq[Int]): String = idxs.map(words).mkString(" ")
+    val d0 = doc(0 until 20)
+    val high = doc((0 until 18) ++ Seq(24, 25)) // ~80% token overlap
+    val low = doc((0 until 6) ++ (14 until 26)) // ~30% overlap
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh").toString
+    Seq((0L, d0, "en", "s", 0L), (1L, high, "en", "s", 0L), (2L, low, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    def trueJaccard(a: String, b: String): Double = {
+      def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val (x, y) = (sh(a), sh(b))
+      (x & y).size.toDouble / (x | y).size
+    }
+    // Signature agreement via the public operator's verify threshold:
+    // high-overlap pair must collapse (jaccard >= 0.5), low must not.
+    val mh = Dedup.d06DedupMinhash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(trueJaccard(d0, high) > 0.5 && mh(1L) == 0L, s"high-overlap pair not collapsed: $mh")
+    assert(trueJaccard(d0, low) < 0.5 && mh(2L) == 2L, s"low-overlap pair wrongly collapsed: $mh")
+  }
+
   test("d06 minhash dedup: every doc mapped, canonical <= doc_id") {
     val rows = Dedup.d06DedupMinhash(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
