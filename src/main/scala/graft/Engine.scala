@@ -26,6 +26,10 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // events.parquet carries TIMESTAMP(NANOS); reading nanos as long
+      // is an engine-wide default set at construction (a mid-query
+      // spark.conf.set would surprise concurrent readers).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // extraConfs LAST so callers can override any default above.
     extraConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()

@@ -55,7 +55,13 @@ object Tables {
     * DuckDB's nanos->micros read, so oracle comparisons line up.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is a session-construction default (Engine.session /
+    // Verify / Bench all set it before any query runs) — per-reader
+    // options can't express it because parquet schema inference reads
+    // the session conf directly. The set below is only a fallback for
+    // foreign sessions; engine-built sessions never mutate conf here.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -83,10 +83,21 @@ object AsOfJoin {
     val bounded = toleranceUs match {
       case None => filled
       case Some(tol) =>
-        val inRange =
-          col("__rt").isNotNull &&
+        // Tolerance units: micros for timestamp time columns, the raw
+        // column units for integral ones. Casting an integral to
+        // timestamp would interpret it as SECONDS and misscale the
+        // bound by 1e6, so branch on the type instead.
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
+        val diff = filled.schema("__t").dataType match {
+          case TimestampType | TimestampNTZType =>
             unix_micros(col("__t").cast("timestamp")) -
-              unix_micros(col("__rt").cast("timestamp")) <= tol
+              unix_micros(col("__rt").cast("timestamp"))
+          case ByteType | ShortType | IntegerType | LongType =>
+            col("__t").cast("long") - col("__rt").cast("long")
+          case other => throw new IllegalArgumentException(
+            s"toleranceUs needs a timestamp or integral time column, got $other")
+        }
+        val inRange = col("__rt").isNotNull && diff <= tol
         payload.foldLeft(filled) { (df, p) =>
           df.withColumn(p, when(inRange, col(p)).otherwise(lit(null).cast(right.schema(p).dataType)))
         }
@@ -97,8 +108,8 @@ object AsOfJoin {
   /** Native-operator variant: plans as [[graft.plans.AsOfJoinExec]]
     * (custom LogicalPlan -> Strategy -> SparkPlan, registered via
     * GraftExtensions — requires an Engine.session). Same semantics as
-    * [[asOf]] without tolerance; a per-partition two-pointer merge
-    * instead of union + window.
+    * [[asOf]], incl. the optional tolerance bound; a per-partition
+    * two-pointer merge instead of union + window.
     */
   def asOfNative(
       left: DataFrame,
@@ -107,10 +118,23 @@ object AsOfJoin {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.IsNotNull
     import org.apache.spark.sql.catalyst.plans.logical.Filter
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    require(payload.intersect(left.columns.toSeq).isEmpty,
+      s"payload columns ${payload.intersect(left.columns.toSeq)} clash with left columns")
+    toleranceUs.foreach { _ =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
+      left.schema(leftTime).dataType match {
+        case TimestampType | TimestampNTZType => () // physical micros
+        case ByteType | ShortType | IntegerType | LongType => () // raw column units
+        case other => throw new IllegalArgumentException(
+          s"toleranceUs needs a timestamp or integral time column, got $other")
+      }
+    }
     // Align right key/time types to the left side (e.g. parquet
     // TIMESTAMP_NTZ vs session-tz TIMESTAMP), as the union form does.
     val rightAligned = Seq(rightKey -> leftKey, rightTime -> leftTime)
@@ -130,6 +154,7 @@ object AsOfJoin {
         lPlan, rPlan,
         attrOf(lPlan, leftKey), rk,
         attrOf(lPlan, leftTime), attrOf(rPlan0, rightTime),
-        payload.map(attrOf(rPlan0, _))))
+        payload.map(attrOf(rPlan0, _)),
+        toleranceUs))
   }
 }

@@ -241,11 +241,37 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
-  /** q18: ntile percentile banding over a deterministic total order. */
+  /** q18: ntile percentile banding over a deterministic total order.
+    *
+    * NOT `ntile(4) over (order by ...)`: an unpartitioned window drags
+    * the whole table into one task — the textbook scale-killer. Instead
+    * a distributed two-pass rank: range-partition on the sort key (each
+    * partition holds a contiguous key range), sort within partitions,
+    * then zipWithIndex (pass 1 counts per-partition rows, pass 2 adds
+    * the partition offset — no single-task sort anywhere). The global
+    * rank feeds SQL-standard ntile bucket math, then a partial-agg
+    * rollup. Scales linearly with partitions at any corpus size.
+    */
   def q18Ntile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(spark, dir)
-      .withColumn("quartile", ntile(4).over(w))
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).select(col("c_acctbal"), col("c_custkey"))
+    val n = cust.count()
+    val q = n / 4
+    val rem = n % 4
+    val banded = cust
+      .repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
+      .select(col("c_acctbal")).as[Double]
+      .rdd.zipWithIndex
+      .map { case (bal, idx) =>
+        // SQL ntile(4): first (n%4) buckets take ceil(n/4) rows.
+        val quartile =
+          if (idx < rem * (q + 1)) idx / (q + 1) + 1
+          else rem + (idx - rem * (q + 1)) / q + 1
+        (quartile.toInt, bal)
+      }
+      .toDF("quartile", "c_acctbal")
+    banded
       .groupBy(col("quartile"))
       .agg(
         count(lit(1)).as("n"),

@@ -82,17 +82,52 @@ object Relational2 {
           .otherwise("high").as("band"))
       .orderBy(col("c_custkey"))
 
-  /** q29: analytic distribution windows — percent_rank / cume_dist
-    * partitioned by segment (deterministic via unique order key).
+  /** q29: analytic distribution windows — percent_rank / cume_dist per
+    * segment (deterministic via unique order key).
+    *
+    * NOT a window partitioned by c_mktsegment: ~5 segment values means
+    * each window partition is 20% of the table sorted in ONE task — a
+    * skewed single-task sort at scale. Instead: range-partition on
+    * (segment, acctbal, custkey) so each segment spreads over many
+    * contiguous partitions, two-pass global rank via zipWithIndex, and
+    * broadcast per-segment counts/offsets (|segments| rows). Within-
+    * segment rank = global rank - segment offset; percent_rank and
+    * cume_dist are then pure arithmetic. The ordering key is unique, so
+    * rank == row_number and cume_dist == rn/n — the same values the
+    * window functions produce.
     */
   def q29WindowPct(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(spark, dir)
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    // Tiny: one row per segment. Sorted lexicographically — the same
+    // order the range partitioner gives the leading sort column, so
+    // cumulative counts are exactly each segment's global-rank offset.
+    val segCounts = cust.groupBy(col("c_mktsegment")).count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = segCounts.scanLeft(0L)(_ + _._2).init
+    val info: Map[String, (Long, Long)] =
+      segCounts.zip(offsets).map { case ((seg, cnt), off) => seg -> (cnt, off) }.toMap
+    val bInfo = spark.sparkContext.broadcast(info)
+
+    cust
+      .repartitionByRange(32, col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment")).as[(Long, String)]
+      .rdd.zipWithIndex
+      .map { case ((ck, seg), idx) =>
+        val (nSeg, off) = bInfo.value(seg)
+        val rn = idx - off + 1
+        val pct = if (nSeg <= 1) 0.0 else (rn - 1).toDouble / (nSeg - 1)
+        (ck, seg, pct, rn.toDouble / nSeg)
+      }
+      .toDF("c_custkey", "c_mktsegment", "pct_raw", "cume_raw")
       .select(
         col("c_custkey"), col("c_mktsegment"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        round(col("pct_raw"), 6).as("pct_rank"),
+        round(col("cume_raw"), 6).as("cume"))
       .orderBy(col("c_custkey"))
   }
 

@@ -30,7 +30,8 @@ case class AsOfJoinPlan(
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
-    payload: Seq[Attribute])
+    payload: Seq[Attribute],
+    toleranceUs: Option[Long] = None)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -41,8 +42,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, pay) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, pay) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, pay, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, pay, tol) :: Nil
     case _ => Nil
   }
 }
@@ -54,7 +55,8 @@ case class AsOfJoinExec(
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
-    payload: Seq[Attribute])
+    payload: Seq[Attribute],
+    toleranceUs: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -87,6 +89,8 @@ case class AsOfJoinExec(
     val rOutput = right.output
     val payTypes = payload.map(_.dataType)
 
+    val tol = toleranceUs
+
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val nullPayload = new GenericInternalRow(payload.size)
       val joiner = new JoinedRow
@@ -95,9 +99,21 @@ case class AsOfJoinExec(
       var pending: InternalRow = null // right row read but not consumed
       var lastKey: Any = null
       var lastPayload: InternalRow = null // copy of best right row's payload
+      var lastTime: Any = null // time of the matched right row (tolerance)
 
       def rightKeyOf(r: InternalRow): Any = r.get(rKeyIdx, lKeyType)
       def rightTimeOf(r: InternalRow): Any = r.get(rTimeIdx, lTimeType)
+
+      // Sort iterators reuse row buffers (UnsafeRow / spill readers), so
+      // any value held across iterator steps must own its bytes — else
+      // a held UTF8String/byte[] silently re-points at the current row.
+      def ownedCopy(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case b: Array[Byte] => b.clone()
+        case d: org.apache.spark.sql.types.Decimal =>
+          org.apache.spark.sql.types.Decimal(d.toJavaBigDecimal, d.precision, d.scale)
+        case x => x
+      }
 
       def payloadOf(r: InternalRow): InternalRow = {
         val g = new GenericInternalRow(payload.size)
@@ -107,14 +123,24 @@ case class AsOfJoinExec(
         g
       }
 
+      def withinTolerance(lt: Any): Boolean = tol match {
+        case None => true
+        case Some(t) =>
+          lastTime != null &&
+            lt.asInstanceOf[java.lang.Number].longValue -
+              lastTime.asInstanceOf[java.lang.Number].longValue <= t
+      }
+
       lIt.map { lRow =>
         val lk = lRow.get(lKeyIdx, lKeyType)
         val lt = lRow.get(lTimeIdx, lTimeType)
-        if (lk == null) {
+        if (lk == null || lt == null) {
+          // Null key never matches; null time has nothing <= it (the
+          // union/window form degrades identically to a null payload).
           outProj(joiner(lRow, nullPayload))
         } else {
           if (lastKey == null || keyOrd.compare(lastKey, lk) != 0) {
-            lastKey = lk; lastPayload = null
+            lastKey = ownedCopy(lk); lastPayload = null; lastTime = null
           }
           // Advance right while its (key, time) <= (lk, lt).
           var advancing = true
@@ -123,16 +149,24 @@ case class AsOfJoinExec(
             if (pending == null) advancing = false
             else {
               val rk = rightKeyOf(pending)
+              val rt = rightTimeOf(pending)
               val cmpK = if (rk == null) -1 else keyOrd.compare(rk, lk)
               if (cmpK < 0) pending = null // behind: discard, keep advancing
-              else if (cmpK == 0 && timeOrd.compare(rightTimeOf(pending), lt) <= 0) {
-                lastKey = lk
-                lastPayload = payloadOf(pending.copy())
+              else if (cmpK == 0 && rt != null && timeOrd.compare(rt, lt) <= 0) {
+                val owned = pending.copy()
+                lastKey = ownedCopy(lk)
+                lastPayload = payloadOf(owned)
+                lastTime = ownedCopy(rightTimeOf(owned))
                 pending = null
+              } else if (cmpK == 0 && rt == null) {
+                pending = null // null right time matches nothing; skip
               } else advancing = false // ahead of this left row: hold
             }
           }
-          outProj(joiner(lRow, if (lastPayload != null) lastPayload else nullPayload))
+          val emit =
+            if (lastPayload != null && withinTolerance(lt)) lastPayload
+            else nullPayload
+          outProj(joiner(lRow, emit))
         }
       }
     }

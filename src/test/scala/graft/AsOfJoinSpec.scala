@@ -45,6 +45,44 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("payload")))
   }
 
+  test("native as-of handles string keys and null left times/keys") {
+    import spark.implicits._
+    // String keys exercise the owned-copy path (held UTF8String must not
+    // re-point at the sort iterator's reused buffer); null time/key left
+    // rows must degrade to a null payload, not throw.
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 12:00:00")),
+      (2L, "b", ts("2024-01-01 12:00:00")),
+      (3L, "b", null.asInstanceOf[Timestamp]),
+      (4L, null.asInstanceOf[String], ts("2024-01-01 12:00:00")),
+      (5L, "c", ts("2024-01-01 12:00:00"))
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 100L),
+      ("b", ts("2024-01-01 11:00:00"), 200L)
+    ).toDF("rk", "rt", "payload")
+
+    val out = AsOfJoin.asOfNative(left, right, "k", "rk", "t", "rt", Seq("payload"))
+      .orderBy("event_id").collect()
+    assert(out.map(r => Option(r.getAs[java.lang.Long]("payload"))).toSeq == Seq(
+      Some(100L), Some(200L), None, None, None))
+  }
+
+  test("native as-of tolerance works on integral (raw-unit) time columns") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 130L), (2L, 10L, 500L)).toDF("event_id", "k", "t")
+    val right = Seq((10L, 100L, 7L)).toDF("rk", "rt", "payload")
+    val out = AsOfJoin.asOfNative(left, right, "k", "rk", "t", "rt", Seq("payload"),
+      toleranceUs = Some(50L)).orderBy("event_id").collect()
+    assert(Option(out(0).getAs[java.lang.Long]("payload")).contains(7L))
+    assert(out(1).isNullAt(out(1).fieldIndex("payload")))
+    // Union/window form agrees on integral times (no seconds misscale).
+    val outU = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"),
+      toleranceUs = Some(50L)).orderBy("event_id").collect()
+    assert(Option(outU(0).getAs[java.lang.Long]("payload")).contains(7L))
+    assert(outU(1).isNullAt(outU(1).fieldIndex("payload")))
+  }
+
   test("as-of join preserves every left row exactly once") {
     import spark.implicits._
     val left = (1 to 50).map(i => (i.toLong, (i % 3).toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00")))

@@ -77,6 +77,29 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("native AsOfJoinExec matches union/window form under a tolerance bound") {
+    import spark.implicits._
+    (1 to 6).foreach { trial =>
+      val rnd = new Random(4000 + trial)
+      val ls = List.fill(50)((rnd.nextInt(6).toLong, rnd.nextInt(600)))
+      val rs = List.fill(30)((rnd.nextInt(6).toLong, rnd.nextInt(600))).distinct
+      val tol = Some((rnd.nextInt(120) + 1) * 60L * 1000000L) // 1..120 min in us
+
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        .toDF("event_id", "k", "t")
+      val right = rs.map { case (k, t) => (k, ts(t), k * 10000L + t) }
+        .toDF("rk", "rt", "payload")
+
+      def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("payload")).map(_.toLong)).toMap
+      val gotN = res(AsOfJoin.asOfNative(left, right, "k", "rk", "t", "rt", Seq("payload"), tol))
+      val gotU = res(AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"), tol))
+      assert(gotN == gotU, s"trial $trial tol=$tol")
+    }
+  }
+
   test("TopKByScore matches sort-take reference on random scores (incl. ties)") {
     import spark.implicits._
     (1 to 6).foreach { trial =>
