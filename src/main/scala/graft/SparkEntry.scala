@@ -67,17 +67,19 @@ object SparkEntry {
     "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
     "m02_resize" -> ((s: SparkSession, d: String) => Multimodal.m02Resize(s, d)),
     "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.m03FrameSample(s, d)),
-    "src01_synth_scan" -> ((s: SparkSession, _: String) =>
+    // The id filter pushes into the DSv2 scan (SupportsPushDownFilters
+    // narrows the generated range at planning time), `value` is pruned
+    // away, and row content is pure f(id) — so DuckDB `range()`
+    // reproduces the scan exactly.
+    "src01_synth_scan" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
       s.read.format("graft-synth")
-        .option("rows", "10000").option("partitions", "8").load()
-        .groupBy(org.apache.spark.sql.functions.col("category"))
-        .agg(
-          org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n"),
-          org.apache.spark.sql.functions.round(
-            org.apache.spark.sql.functions.sum(
-              org.apache.spark.sql.functions.col("value")), 2).as("sum_v"))
-        .orderBy("category")),
+        .option("rows", "20000").option("partitions", "8").load()
+        .filter(col("id") < 10000)
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+        .orderBy("category")
+    }),
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
     "st03_dedup_counts"  -> EventStreams.st03DedupCounts _,
@@ -432,6 +434,74 @@ object SparkEntry {
         |  3 AS channels,
         |  CAST(list_sum([unicode(text[i:i]) FOR i IN range(1, length(text)+1)]) % 997 AS BIGINT) AS feat_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Synthetic-source content is a pure function of the row id, so
+    // range() reproduces the pushed-down scan exactly.
+    "src01_synth_scan" ->
+      """SELECT 'cat_' || CAST(i % 10 AS VARCHAR) AS category,
+        |  count(*) AS n,
+        |  CAST(sum(i) AS BIGINT) AS sum_id
+        |FROM range(20000) t(i)
+        |WHERE i < 10000
+        |GROUP BY 1
+        |ORDER BY category""".stripMargin,
+    // Resize geometry is pure arithmetic over m01's (oracled) stub
+    // header fields; ASCII texts make byte math == codepoint math.
+    "m02_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST((unicode(text[1:1]) % 64) + 1 AS INT) AS width,
+        |    CAST((unicode(text[2:2]) % 64) + 1 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(greatest(1, round(width * (32.0 / greatest(width, height)))) AS INT) AS out_w,
+        |  CAST(greatest(1, round(height * (32.0 / greatest(width, height)))) AS INT) AS out_h,
+        |  round(32.0 / greatest(width, height), 6) AS scale_x,
+        |  round(32.0 / greatest(width, height), 6) AS scale_y
+        |FROM meta ORDER BY doc_id""".stripMargin,
+    // Frame sampling: 64-byte frames, every 4th kept; the checksum is
+    // a base-31 Horner hash of frame 0 with JVM long wraparound,
+    // emulated via HUGEINT mod 2^64 then two's-complement to signed.
+    "m03_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(ceil(length(text) / 64.0) AS INT) AS n_frames,
+        |  CAST(ceil(ceil(length(text) / 64.0) / 4.0) AS INT) AS n_sampled,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE (
+        |    SELECT CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616 ELSE v END AS BIGINT)
+        |    FROM (SELECT list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        [CAST(unicode(text[i:i]) AS HUGEINT) FOR i IN range(1, least(length(text), 64) + 1)]),
+        |      (a, x) -> (a * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS v)
+        |  ) END AS first_checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Rabin winnowing is pure modular arithmetic: 8-gram polynomial
+    // hashes (base 257 mod 1e9+7, powers precomputed), min per 4-wide
+    // winnow window, distinct count + extremes.
+    "d10_rolling_fingerprint" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+        |c AS (
+        |  SELECT doc_id, length(s) AS L,
+        |    [CAST(unicode(s[k:k]) AS BIGINT) FOR k IN range(1, length(s) + 1)] AS cd
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, L,
+        |    CASE WHEN L < 8 THEN CAST([] AS BIGINT[]) ELSE
+        |      [(cd[i] * 13163680 + cd[i+1] * 805498697 + cd[i+2] * 154885210
+        |        + cd[i+3] * 362470373 + cd[i+4] * 16974593 + cd[i+5] * 66049
+        |        + cd[i+6] * 257 + cd[i+7]) % 1000000007
+        |       FOR i IN range(1, L - 8 + 2)] END AS hs
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN len(hs) < 4 THEN [list_min(hs)]
+        |         ELSE [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 4 + 2)]
+        |    END AS mins
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(mins)) AS INT) AS n_fp,
+        |  coalesce(list_min(mins), 0) AS min_fp,
+        |  coalesce(list_max(mins), 0) AS max_fp
+        |FROM w ORDER BY doc_id""".stripMargin,
     "st01_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events

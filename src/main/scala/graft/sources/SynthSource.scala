@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,23 +70,71 @@ private[sources] class SynthTable(rows: Long, partitions: Int)
     new SynthScanBuilder(rows, partitions)
 }
 
+/** Scan builder with the full V2 pushdown surface: column pruning +
+  * id-range filter pushdown. Pushed id predicates narrow the generated
+  * [lo, hi) row range at PLANNING time, so pruned rows are never
+  * produced — the synthetic analog of parquet row-group skipping.
+  * Conjuncts arrive pre-split; the handled shapes are exact, so they
+  * need no residual re-evaluation by Spark.
+  */
 private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = SynthSource.Schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // generated ids span [lo, hi)
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SynthScan(rows, partitions, required)
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case IsNotNull("id") => true // non-nullable: vacuously true
+      case GreaterThan("id", v) => asLong(v).isDefined
+      case GreaterThanOrEqual("id", v) => asLong(v).isDefined
+      case LessThan("id", v) => asLong(v).isDefined
+      case LessThanOrEqual("id", v) => asLong(v).isDefined
+      case EqualTo("id", v) => asLong(v).isDefined
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("id", v) => lo = math.max(lo, asLong(v).get + 1)
+      case GreaterThanOrEqual("id", v) => lo = math.max(lo, asLong(v).get)
+      case LessThan("id", v) => hi = math.min(hi, asLong(v).get)
+      case LessThanOrEqual("id", v) => hi = math.min(hi, asLong(v).get + 1)
+      case EqualTo("id", v) =>
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SynthScan(lo, math.max(lo, hi), partitions, required, pushed)
 }
 
-private[sources] case class SynthRange(start: Long, end: Long) extends InputPartition
+private[graft] case class SynthRange(start: Long, end: Long) extends InputPartition
 
-private[sources] class SynthScan(rows: Long, partitions: Int, required: StructType)
+private[sources] class SynthScan(
+    lo: Long, hi: Long, partitions: Int, required: StructType,
+    pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth [$lo, $hi) PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] = {
+    val rows = hi - lo
     val per = math.max(1L, (rows + partitions - 1) / partitions)
-    (0L until rows by per).map(s => SynthRange(s, math.min(s + per, rows)))
+    (lo until hi by per).map(s => SynthRange(s, math.min(s + per, hi)))
       .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -26,6 +26,27 @@ class SynthSourceSpec extends AnyFunSuite with SparkSpec {
     assert(df.distinct().count() == 10)
   }
 
+  test("id-range filters push into the scan and shrink generated partitions") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = synth(100000, 8).filter(col("id") >= 99990 && col("id") < 99995)
+    assert(df.collect().map(_.getAs[Long]("id")).sorted.toSeq ==
+      (99990L until 99995L).toSeq)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect { case b: BatchScanExec => b }.headOption
+      .getOrElse(fail(s"no BatchScanExec in:\n$plan"))
+    assert(scan.scan.description().contains("PushedFilters"),
+      scan.scan.description())
+    assert(scan.scan.description().contains("[99990, 99995)"),
+      s"range not narrowed at planning time: ${scan.scan.description()}")
+    val generated = scan.inputPartitions
+      .collect { case r: graft.sources.SynthRange => r.end - r.start }.sum
+    assert(generated == 5, s"scan still generates $generated rows")
+  }
+
   test("synthetic source composes with engine operators") {
     val agg = synth(10000)
       .groupBy("category")
