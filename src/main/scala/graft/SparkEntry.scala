@@ -434,6 +434,11 @@ object SparkEntry {
         |  3 AS channels,
         |  CAST(list_sum([unicode(text[i:i]) FOR i IN range(1, length(text)+1)]) % 997 AS BIGINT) AS feat_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The dedup pipelines hash with polynomial/affine modular
+    // arithmetic precisely so these oracles can replay them end to end
+    // (signatures, banding, candidates, verify, canonicalization).
+    "d06_dedup_minhash" -> graft.operators.Dedup.d06OracleSql,
+    "d07_dedup_simhash" -> graft.operators.Dedup.d07OracleSql,
     // Synthetic-source content is a pure function of the row id, so
     // range() reproduces the pushed-down scan exactly.
     "src01_synth_scan" ->

@@ -1,41 +1,79 @@
 package graft.operators
 
-import scala.util.hashing.MurmurHash3
-
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
 
-/** Near-duplicate detection (SURVEY.md §2: d06..d08).
+/** Near-duplicate detection (SURVEY.md §2: d06..d08, d10).
   *
   * Scale design: both MinHash-LSH and SimHash are strictly
   * O(n) signature passes + an equi-join on bucket keys — never an
   * O(n^2) pairwise compare. The expensive verify (exact Jaccard /
   * hamming) runs only on bucket-collided candidate pairs. Candidate
   * pairs carry only ids through the shuffle; payloads are re-joined
-  * afterwards.
+  * afterwards. Matched pairs collapse to per-component canonical ids
+  * via [[canonicalizeComponents]].
+  *
+  * All hash functions are polynomial/affine modular arithmetic (not
+  * JVM-private hashes) so the driver's DuckDB oracle can replay the
+  * ENTIRE pipeline — signatures, banding, candidate generation, verify
+  * and canonicalization — and hash-compare the result. See
+  * [[d06OracleSql]] / [[d07OracleSql]].
   */
 object Dedup {
 
-  /** JVM-stable seeded 64-bit string hash — the MinHash "permutation"
-    * family (one seed pair per permutation index).
+  /** Modulus for all mod-p hashing (fits products in a Long). */
+  val M: Long = 1000000007L
+  /** Horner base for string hashes. */
+  val StrBase: Long = 131L
+  /** Horner base for band (signature-combining) hashes. */
+  val BandBase: Long = 1000003L
+
+  val NPerms = 32
+  val NBands = 8
+  val BandRows = 4 // NPerms / NBands
+
+  /** Affine "permutation" family h_i(x) = (A_i x + B_i) mod M, with
+    * fixed-seed constants (inlined into the DuckDB oracle).
     */
-  private def saltedHash64(seed: Int, s: String): Long = {
-    val h1 = MurmurHash3.stringHash(s, seed * 0x9e3779b9 + 1)
-    val h2 = MurmurHash3.stringHash(s, seed * 0x85ebca6b + 7)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  private[operators] val (permA, permB): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(271828)
+    val a = Array.fill(NPerms)(1L + rnd.nextInt((M - 1).toInt))
+    val b = Array.fill(NPerms)(rnd.nextInt(M.toInt).toLong)
+    (a, b)
+  }
+
+  /** Horner base-131 hash of a string, mod M. */
+  def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * StrBase + s.charAt(i)) % M; i += 1 }
+    h
+  }
+
+  private def bandHash(sig: Array[Long], from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = (h * BandBase + sig(i)) % M; i += 1 }
+    h
+  }
+
+  private[operators] def shinglesOf(text: String): Array[String] = {
+    val toks = text.trim.toLowerCase.split(" ")
+    (if (toks.length < 3) Array(toks.mkString(" "))
+     else toks.sliding(3).map(_.mkString(" ")).toArray).distinct
   }
 
   /** One-pass MinHash signature computation per document: distinct
-    * 3-word shingles → 32 permutation minima → 8 bands of 4.
+    * 3-word shingles → NPerms affine-permutation minima → NBands bands.
     *
     * Deliberately a typed `map`, not nested Catalyst lambdas: Catalyst
     * inlines aliased expressions into higher-order-function bodies
     * (CollapseProject has no CSE there), which re-evaluates the
     * tokenizer per shingle x per permutation x per band — a
-    * combinatorial blowup. One JVM pass is O(shingles x 32) and
+    * combinatorial blowup. One JVM pass is O(shingles x NPerms) and
     * shuffles nothing.
     */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
@@ -43,21 +81,75 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.trim.toLowerCase.split(" ")
-        val sh =
-          (if (toks.length < 3) Array(toks.mkString(" "))
-           else toks.sliding(3).map(_.mkString(" ")).toArray).distinct
-        val sig = Array.tabulate(32)(s => sh.iterator.map(x => saltedHash64(s, x)).min)
-        val bands = Array.tabulate(8)(b =>
-          MurmurHash3.arrayHash(sig.slice(b * 4, b * 4 + 4), 0x12345671).toLong)
+        val sh = shinglesOf(text)
+        val base = sh.map(polyHash)
+        val sig = Array.tabulate(NPerms) { p =>
+          var m = Long.MaxValue
+          base.foreach { h => val v = (permA(p) * h + permB(p)) % M; if (v < m) m = v }
+          m
+        }
+        val bands = Array.tabulate(NBands)(b =>
+          bandHash(sig, b * BandRows, b * BandRows + BandRows))
         (id, sh, bands)
       }
       .toDF("doc_id", "shingles", "bands")
   }
 
+  /** Connected-component canonicalization: map every node to the
+    * minimum id in its match-graph component, so transitive chains
+    * A~B~C collapse to one canonical id (a single min-partner pass
+    * would leave them split).
+    *
+    * Iterative min-label propagation with pointer jumping: per round,
+    * label(x) := min(label(x), min over neighbors' labels,
+    * label(label(x))). The neighbor step moves labels one hop, the
+    * pointer jump halves chain depth, so convergence is
+    * O(log(diameter)) rounds; near-dup components are tiny, so 2-3
+    * rounds in practice. Every round is joins + partial-agg min — the
+    * alternating large-star/small-star shape — and the loop is bounded.
+    * localCheckpoint truncates lineage between rounds (a reliable
+    * checkpoint dir in production).
+    *
+    * @param nodes one column `id`; @param edges columns `a`, `b`.
+    * @return (id, canonical_id)
+    */
+  private[graft] def canonicalizeComponents(
+      nodes: DataFrame, edges: DataFrame, maxIters: Int = 15): DataFrame = {
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .union(edges.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("y"), col("label").as("ylab")), "y")
+        .groupBy(col("x")).agg(min(col("ylab")).as("nbr"))
+        .select(col("x").as("id"), col("nbr"))
+      val jumped = labels
+        .join(
+          labels.select(col("id").as("label"), col("label").as("jlab")),
+          Seq("label"), "left")
+      val next = jumped
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(
+            col("label"),
+            coalesce(col("jlab"), col("label")),
+            coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
   /** d06: MinHash + LSH near-dup dedup.
-    * Output: every doc with its canonical (smallest matched) id —
-    * docs with no near-dup map to themselves.
+    * Output: every doc with the canonical (minimum) id of its near-dup
+    * component — docs with no near-dup map to themselves.
     */
   def d06DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatures(spark, dir)
@@ -78,22 +170,25 @@ object Dedup {
       .withColumn("jacc", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jacc") >= 0.5)
 
-    // Single-pass canonicalization: min matched partner (not full
-    // connected components; transitive chains resolve over reruns).
-    val canon = dups
-      .select(col("doc_b").as("doc_id"), col("doc_a").as("partner"))
-      .groupBy("doc_id").agg(min("partner").as("canonical_id"))
-    sigs.select("doc_id")
-      .join(canon, Seq("doc_id"), "left")
-      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
+    canonicalizeComponents(
+      sigs.select(col("doc_id").as("id")),
+      dups.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("canonical_id"))
       .orderBy("doc_id")
   }
 
-  /** JVM-stable 64-bit word hash (MurmurHash3 x2, fixed seeds). */
-  private def wordHash64(w: String): Long = {
-    val h1 = MurmurHash3.stringHash(w, 0x9747b28c)
-    val h2 = MurmurHash3.stringHash(w, 0x85ebca6b)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  /** splitmix64-style finalizer over a base-31 Horner word hash: the
+    * Horner pass alone leaves short words in the low bits only (useless
+    * for per-bit votes); the finalizer avalanches all 64. Pure wrapping
+    * Long arithmetic — replayable in DuckDB via UHUGEINT mod 2^64.
+    */
+  def wordHash64(w: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < w.length) { h = h * 31 + w.charAt(i); i += 1 }
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
   }
 
   /** Classic SimHash: per-bit vote of all word hashes. */
@@ -115,7 +210,7 @@ object Dedup {
 
   /** d07: SimHash near-dup dedup. Bucket by the four 16-bit chunks
     * (any chunk equal → candidate), verify hamming <= 6, canonicalize
-    * to the smallest matched id.
+    * per connected component.
     */
   def d07DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -142,12 +237,13 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= 6)
 
-    val canon = dups
-      .select(col("doc_b").as("doc_id"), col("doc_a").as("partner"))
-      .groupBy("doc_id").agg(min("partner").as("canonical_id"))
     sims
-      .join(canon, Seq("doc_id"), "left")
-      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
+      .join(
+        canonicalizeComponents(
+          sims.select(col("doc_id").as("id")),
+          dups.select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .select(col("id").as("doc_id"), col("canonical_id")),
+        "doc_id")
       .select("doc_id", "simhash", "canonical_id")
       .orderBy("doc_id")
   }
@@ -164,20 +260,20 @@ object Dedup {
     */
   def rollingFingerprints(text: String, K: Int = 8, W: Int = 4): Array[Long] = {
     val B = 257L
-    val M = 1000000007L
+    val Mod = 1000000007L
     val t = text.trim.toLowerCase
     if (t.length < K) Array.empty
     else {
       // After appending char i, evict char i-K weighted by B^K
       // (post-multiply weight), leaving exactly the K-char window hash.
       var powK = 1L
-      (1 to K).foreach(_ => powK = powK * B % M)
+      (1 to K).foreach(_ => powK = powK * B % Mod)
       var h = 0L
       val hashes = new Array[Long](t.length - K + 1)
       var i = 0
       while (i < t.length) {
-        h = (h * B + t.charAt(i)) % M
-        if (i >= K) h = ((h - t.charAt(i - K) * powK) % M + M) % M
+        h = (h * B + t.charAt(i)) % Mod
+        if (i >= K) h = ((h - t.charAt(i - K) * powK) % Mod + Mod) % Mod
         if (i >= K - 1) hashes(i - K + 1) = h
         i += 1
       }
@@ -223,5 +319,134 @@ object Dedup {
         col("doc_a"), col("doc_b"),
         round(TextFunctions.jaccard(col("g_a"), col("g_b")), 4).as("jacc"))
       .orderBy("doc_a")
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle twins: replay the exact pipelines above in SQL.
+  // ---------------------------------------------------------------
+
+  /** Shared SQL fragment: distinct 3-word shingles of the normalized
+    * text (mirrors [[shinglesOf]]).
+    */
+  private val shingleSql =
+    """CASE WHEN len(string_split(s, ' ')) < 3 THEN [s]
+      |     ELSE list_distinct([array_to_string(string_split(s, ' ')[i:i+2], ' ')
+      |                         FOR i IN range(1, len(string_split(s, ' ')) - 1)]) END""".stripMargin
+
+  /** Shared SQL fragment: recursive-CTE connected components over
+    * `dups(doc_a, doc_b)` + all-`doc_id` `docs`, emitting
+    * (doc_id, canonical_id) — the closure twin of
+    * [[canonicalizeComponents]] (fine at oracle scale; Spark side uses
+    * bounded label propagation instead).
+    */
+  private val ccSql =
+    """sym(x, y) AS (SELECT doc_a, doc_b FROM dups UNION SELECT doc_b, doc_a FROM dups),
+      |reach(s, t) AS (
+      |  SELECT x, y FROM sym
+      |  UNION
+      |  SELECT r.s, e.y FROM reach r JOIN sym e ON r.t = e.x
+      |),
+      |canon AS (
+      |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS canonical_id
+      |  FROM docs d LEFT JOIN reach r ON r.s = d.doc_id
+      |  GROUP BY d.doc_id
+      |)""".stripMargin
+
+  /** Full DuckDB replay of d06: shingle → base hash → NPerms affine
+    * minima → NBands Horner band hashes → band-bucket candidate join →
+    * exact-Jaccard verify → connected-component canonicalization.
+    * Every constant is inlined from the Scala definitions above.
+    */
+  def d06OracleSql: String = {
+    val sigExprs = (0 until NPerms).map { p =>
+      s"list_min([(${permA(p)} * h + ${permB(p)}) % $M FOR h IN hs])"
+    }.mkString("[\n      ", ",\n      ", "\n    ]")
+    val bandExprs = (0 until NBands).map { b =>
+      val terms = (0 until BandRows).map(r => b * BandRows + r + 1) // 1-based
+      terms.foldLeft("CAST(0 AS BIGINT)") { (acc, idx) =>
+        s"(($acc * $BandBase + sig[$idx]) % $M)"
+      }
+    }.mkString("[\n      ", ",\n      ", "\n    ]")
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+       |sh AS (SELECT doc_id, $shingleSql AS shingles FROM t),
+       |bh AS (SELECT doc_id, shingles,
+       |  [list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |     [CAST(unicode(g[i:i]) AS BIGINT) FOR i IN range(1, length(g) + 1)]),
+       |   (a, c) -> (a * $StrBase + c) % $M) FOR g IN shingles] AS hs
+       |  FROM sh),
+       |sg AS (SELECT doc_id, shingles, $sigExprs AS sig FROM bh),
+       |bd AS (SELECT doc_id, shingles, $bandExprs AS bands FROM sg),
+       |e AS (SELECT doc_id, i AS band_idx, bands[i] AS band_hash
+       |      FROM bd CROSS JOIN range(1, ${NBands + 1}) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM e a JOIN e b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |dups AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN (SELECT doc_id AS doc_a, shingles AS sh_a FROM bd) USING (doc_a)
+       |  JOIN (SELECT doc_id AS doc_b, shingles AS sh_b FROM bd) USING (doc_b)
+       |  WHERE len(list_intersect(sh_a, sh_b)) * 1.0
+       |      / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5),
+       |docs AS (SELECT doc_id FROM t),
+       |$ccSql
+       |SELECT doc_id, canonical_id FROM canon ORDER BY doc_id""".stripMargin
+  }
+
+  /** Full DuckDB replay of d07: per-word base-31 Horner hash with a
+    * splitmix64 finalizer (wrapping 64-bit arithmetic via UHUGEINT mod
+    * 2^64), per-bit majority vote, 16-bit chunk candidate buckets,
+    * hamming <= 6 verify, connected components.
+    */
+  def d07OracleSql: String = {
+    val p64 = "CAST('18446744073709551616' AS UHUGEINT)"
+    val c1 = "CAST('13787848793156543929' AS UHUGEINT)" // 0xbf58476d1ce4e5b9
+    val c2 = "CAST('10723151780598845931' AS UHUGEINT)" // 0x94d049bb133111eb
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+       |w0 AS (SELECT doc_id,
+       |  [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      [CAST(unicode(w[i:i]) AS HUGEINT) FOR i IN range(1, length(w) + 1)]),
+       |    (a, c) -> (a * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS UBIGINT)
+       |   FOR w IN string_split(s, ' ')] AS h0 FROM t),
+       |w1 AS (SELECT doc_id,
+       |  list_transform(h0, h -> xor(h, h >> 30)) AS h1 FROM w0),
+       |w2 AS (SELECT doc_id,
+       |  list_transform(h1, h -> CAST(CAST(h AS UHUGEINT) * $c1 % $p64 AS UBIGINT)) AS h2 FROM w1),
+       |w3 AS (SELECT doc_id,
+       |  list_transform(h2, h -> xor(h, h >> 27)) AS h3 FROM w2),
+       |w4 AS (SELECT doc_id,
+       |  list_transform(h3, h -> CAST(CAST(h AS UHUGEINT) * $c2 % $p64 AS UBIGINT)) AS h4 FROM w3),
+       |wh AS (SELECT doc_id,
+       |  list_transform(h4, h -> xor(h, h >> 31)) AS hashes FROM w4),
+       |sv AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS UBIGINT),
+       |    [CASE WHEN list_sum([CASE WHEN CAST((h >> j) & CAST(1 AS UBIGINT) AS BIGINT) = 1
+       |                              THEN 1 ELSE -1 END FOR h IN hashes]) > 0
+       |          THEN CAST(1 AS UBIGINT) << j ELSE CAST(0 AS UBIGINT) END
+       |     FOR j IN range(0, 64)]),
+       |    (a, b) -> a + b) AS sim_u
+       |  FROM wh),
+       |sm AS (SELECT doc_id, sim_u,
+       |  CAST(CASE WHEN CAST(sim_u AS HUGEINT) >= CAST('9223372036854775808' AS HUGEINT)
+       |            THEN CAST(sim_u AS HUGEINT) - CAST('18446744073709551616' AS HUGEINT)
+       |            ELSE CAST(sim_u AS HUGEINT) END AS BIGINT) AS simhash
+       |  FROM sv),
+       |ch AS (SELECT doc_id, sim_u, simhash, i AS chunk_idx,
+       |  CAST((sim_u >> (16 * i)) & CAST(65535 AS UBIGINT) AS BIGINT) AS chunk_val
+       |  FROM sm CROSS JOIN range(0, 4) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.sim_u AS ua, b.doc_id AS doc_b, b.sim_u AS ub
+       |  FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       |  WHERE a.doc_id < b.doc_id),
+       |dups AS (
+       |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ua, ub)) <= 6),
+       |docs AS (SELECT doc_id FROM t),
+       |$ccSql
+       |SELECT c.doc_id, s.simhash, c.canonical_id
+       |FROM canon c JOIN sm s USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
   }
 }

@@ -87,7 +87,10 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (1L, base + " rho", "en", "s1", 0L), // one appended word
       (2L, "totally different content words here entirely unrelated material", "en", "s2", 0L),
       (3L, base.replace(" pi", " pi sigma tau"), "en", "s3", 0L), // suffix edit
-      (4L, "another standalone document about nothing shared with others", "en", "s4", 0L))
+      (4L, "another standalone document about nothing shared with others", "en", "s4", 0L),
+      // word reorder: identical word multiset -> identical simhash
+      // (hamming 0) regardless of the hash family draw
+      (5L, base.replace("delta epsilon", "epsilon delta"), "en", "s5", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
 
@@ -98,8 +101,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
 
     val sh = Dedup.d07DedupSimhash(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
-    assert(sh(1L) == 0L, s"simhash missed planted dup: $sh")
+    assert(sh(5L) == 0L, s"simhash missed reordered dup: $sh")
     assert(sh(2L) == 2L && sh(4L) == 4L, s"simhash false positive: $sh")
+  }
+
+  test("near-dup chains collapse transitively to one canonical id (A~B~C)") {
+    import spark.implicits._
+    // A~B and B~C are near-dups (jaccard >= 0.5) but A~C is NOT —
+    // a single min-partner pass would leave C pointing at B; connected
+    // components must pull the whole chain to A's id.
+    val a = (0 until 50).map(i => s"alpha$i")
+    val tail = (42 until 50).map(i => s"beta$i")
+    val docA = a.mkString(" ")
+    val docB = (a.take(42) ++ tail).mkString(" ")
+    val docC = ((0 until 9).map(i => s"gamma$i") ++ a.slice(9, 42) ++ tail).mkString(" ")
+
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def jacc(x: String, y: String) =
+      (sh(x) & sh(y)).size.toDouble / (sh(x) | sh(y)).size
+    assert(jacc(docA, docB) >= 0.5 && jacc(docB, docC) >= 0.5 && jacc(docA, docC) < 0.5,
+      s"test corpus broken: ${jacc(docA, docB)} ${jacc(docB, docC)} ${jacc(docA, docC)}")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    Seq((0L, docA, "en", "s", 0L), (1L, docB, "en", "s", 0L), (2L, docC, "en", "s", 0L),
+      (3L, "unrelated filler content entirely different from the rest", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val mh = Dedup.d06DedupMinhash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(mh == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L),
+      s"chain did not collapse to one component: $mh")
   }
 
   test("d08 jaccard is within [0,1] and defined for all adjacent pairs") {
