@@ -419,11 +419,26 @@ object SparkEntry {
         |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
         |FROM r WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
-    // The corpus has no embedding pairs with cosine >= 0.95, so the
-    // correct output is the identity mapping — this oracle verifies
-    // false-positive-freedom; sensitivity is covered by specs.
-    "d09_embedding_dedup" ->
-      """SELECT vec_id, vec_id AS canonical_id FROM embeddings ORDER BY vec_id""",
+    // Full pipeline replay: the hyperplane tensor is data-independent,
+    // so it inlines as a SQL literal and DuckDB recomputes signatures,
+    // candidate buckets, cosine verify, and connected components.
+    "d09_embedding_dedup" -> graft.operators.Similarity.d09OracleSql,
+    "s02_ann_lsh" -> graft.operators.Similarity.s02OracleSql,
+    // The gated IVF config probes every inverted list; clusters
+    // partition the corpus, so the result provably equals brute-force
+    // top-k — s01's oracle. A broken quantizer/assignment/probe still
+    // breaks the hash (lost or duplicated vectors change the top-k).
+    "s03_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+        |  FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(q_emb, n_emb) AS cos FROM c CROSS JOIN q),
+        |r AS (SELECT q_id, n_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+        |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
+        |FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
     // Texts are pure ASCII, so the stub decoder's byte math is exactly
     // codepoint math in SQL.
     "m01_multimodal_meta" ->

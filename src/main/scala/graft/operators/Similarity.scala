@@ -7,19 +7,49 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions
 
-/** Approximate-nearest-neighbor search over the embeddings table
-  * (SURVEY.md §2: s01, s02).
+/** Approximate-nearest-neighbor search + embedding dedup over the
+  * embeddings table (SURVEY.md §2: s01..s03, d09).
   *
   * s01 is the exact brute-force baseline (query set broadcast, one
   * scan over candidates, native codegen'd cosine). s02 is the scale
   * path: random-hyperplane LSH buckets bound the candidate set per
   * query — at 100 TB the bucket join touches a small fraction of the
-  * corpus instead of all of it.
+  * corpus instead of all of it. s03 is IVF: a coarse k-means quantizer
+  * whose inverted lists are probed by cluster-id equi-join.
+  *
+  * LSH knobs (tables/bits) are arguments: buckets ~ n / 2^bits, so
+  * [[lshBitsFor]] derives bits from the corpus size to hold the mean
+  * bucket size (and with it candidate volume) constant as the corpus
+  * grows; more tables buy recall. The gated queries pin the defaults
+  * so the driver's DuckDB oracle (hyperplane tensor inlined as a SQL
+  * literal — see [[s02OracleSql]]/[[d09OracleSql]]) can replay the
+  * exact pipeline; the scaling behavior of the knobs is spec-checked.
   */
 object Similarity {
 
   private val K = 5
   private val NQueries = 10
+  val Dim = 64
+  val DefaultTables = 4
+  val DefaultBits = 8
+
+  /** Deterministic hyperplane tensor: nTables x bits x Dim of N(0,1)
+    * from a fixed-seed JDK PRNG (stable across JVMs, inlineable into
+    * the DuckDB oracle).
+    */
+  def hyperplanes(nTables: Int = DefaultTables, bits: Int = DefaultBits): Seq[Seq[Seq[Double]]] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(nTables)(Seq.fill(bits)(Seq.fill(Dim)(rnd.nextGaussian())))
+  }
+  private lazy val defaultPlanes = hyperplanes()
+
+  /** Signature bits for a corpus: buckets ~ n / 2^bits, so bits grows
+    * with log2(n) to pin the expected bucket size — the knob that keeps
+    * candidate volume linear in n instead of quadratic.
+    */
+  def lshBitsFor(corpusSize: Long, targetBucketSize: Int = 16): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
 
   private def split(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, dir)
@@ -74,32 +104,16 @@ object Similarity {
     topK(scored)
   }
 
-  /** Multi-table random-hyperplane LSH: NTables independent tables of
-    * Bits bits each. More tables = higher recall (a neighbor is found
-    * if ANY table buckets it with the query); more bits = smaller,
-    * more selective buckets. 4 x 8 bits suits the test SFs; at
-    * production scale grow Bits with corpus size (buckets ~ n/2^Bits)
-    * and NTables with the recall target.
-    */
-  private val Bits = 8
-  private val NTables = 4
-
-  /** Deterministic hyperplane tensor: NTables x Bits x 64 dims of
-    * N(0,1) from a fixed-seed JDK PRNG (spec-stable across JVMs).
-    */
-  private lazy val hyperplanes: Seq[Seq[Seq[Double]]] = {
-    val rnd = new java.util.Random(42)
-    Seq.fill(NTables)(Seq.fill(Bits)(Seq.fill(64)(rnd.nextGaussian())))
-  }
-
   private def dot(vec: Column, hp: Column): Column =
     aggregate(zip_with(vec, hp, (x, h) => x * h), lit(0.0), (acc, x) => acc + x)
 
-  /** Signature in table `t`: sign pattern of the projections. */
-  private def signature(vec: Column, t: Int): Column = {
-    val hpLit = typedLit(hyperplanes(t))
+  /** Signature under one table's plane matrix: the sign pattern of the
+    * projections, folded MSB-first into an int.
+    */
+  private def signature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val hpLit = typedLit(planes)
     val bits = transform(
-      sequence(lit(0), lit(Bits - 1)),
+      sequence(lit(0), lit(planes.size - 1)),
       i => when(dot(vec, element_at(hpLit, i + 1)) > 0, 1).otherwise(0))
     aggregate(bits, lit(0), (acc, b) => acc * 2 + b)
   }
@@ -110,22 +124,26 @@ object Similarity {
     * (deduped before scoring), so cosine + top-k run on a small
     * bucket-bounded set instead of the whole corpus.
     */
-  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    s02AnnLsh(spark, dir, DefaultTables, DefaultBits)
+
+  def s02AnnLsh(spark: SparkSession, dir: String, nTables: Int, bits: Int): DataFrame = {
+    val planes = hyperplanes(nTables, bits)
     val (q, c) = split(spark, dir)
-    val powLit = typedLit((0 until Bits).map(i => 1 << i))
+    val powLit = typedLit((0 until bits).map(i => 1 << i))
 
     val cSig = c.select(
       col("n_id"), col("n_emb"),
-      posexplode(array((0 until NTables).map(t => signature(col("n_emb"), t)): _*)))
+      posexplode(array((0 until nTables).map(t => signature(col("n_emb"), planes(t))): _*)))
       .toDF("n_id", "n_emb", "t", "sig")
 
     val qSig = q.select(
       col("q_id"), col("q_emb"),
-      posexplode(array((0 until NTables).map { t =>
-        val s0 = signature(col("q_emb"), t)
+      posexplode(array((0 until nTables).map { t =>
+        val s0 = signature(col("q_emb"), planes(t))
         array_union(
           array(s0),
-          transform(sequence(lit(0), lit(Bits - 1)),
+          transform(sequence(lit(0), lit(bits - 1)),
             i => s0.bitwiseXOR(element_at(powLit, i + 1))))
       }: _*)))
       .toDF("q_id", "q_emb", "t", "probes")
@@ -138,16 +156,60 @@ object Similarity {
     topK(scored)
   }
 
-  /** IVF coarse-quantizer training: deterministic k-means (first
-    * nClusters ids as seeds, fixed Lloyd iterations). Centroids are a
-    * tiny driver-side matrix (nClusters x dim) — at 100 TB you train
-    * them on a sample exactly like this and broadcast; the corpus-wide
-    * passes (assign, mean) stay fully distributed.
+  /** Count of distinct (table, signature) buckets the corpus lands in
+    * under a config — the spec's handle on the scaling knobs.
+    */
+  private[graft] def bucketCount(emb: DataFrame, nTables: Int, bits: Int): Long = {
+    val planes = hyperplanes(nTables, bits)
+    emb.select(
+      posexplode(array((0 until nTables).map(t =>
+        signature(col("embedding"), planes(t))): _*)))
+      .toDF("t", "sig")
+      .distinct().count()
+  }
+
+  /** IVF coarse-quantizer training.
+    *
+    * Seeding is deterministic kmeans++-style maximin (Gonzalez) on a
+    * driver-side sample: every stride-th vector by id (<= sampleCap
+    * rows collected — at 100 TB the sample is still tiny and the rule
+    * is a pushdown-friendly filter), first center = lowest id, then
+    * repeatedly the sample point farthest (in cosine distance) from
+    * its nearest chosen center. Lloyd refinement stays fully
+    * distributed: assign (broadcast centroids) + per-cluster means are
+    * partial-aggregating passes over the corpus; only the
+    * nClusters x dim means matrix ever reaches the driver.
     */
   private[graft] def trainCentroids(
-      c: DataFrame, nClusters: Int, iters: Int): Seq[Seq[Float]] = {
-    var centroids: Seq[Seq[Float]] = c.orderBy(col("n_id")).limit(nClusters)
-      .collect().map(_.getAs[scala.collection.Seq[Float]]("n_emb").toSeq).toSeq
+      c: DataFrame, nClusters: Int, iters: Int, sampleCap: Int = 256): Seq[Seq[Float]] = {
+    import org.apache.spark.sql.Row
+    val n = c.count()
+    val stride = math.max(1L, n / sampleCap)
+    val sample: Array[(Long, Array[Float])] = c
+      .filter(col("n_id") % stride === 0)
+      .orderBy(col("n_id"))
+      .limit(sampleCap)
+      .collect()
+      .map { r: Row =>
+        (r.getAs[Long]("n_id"),
+          r.getAs[scala.collection.Seq[Float]]("n_emb").toArray)
+      }
+
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      1.0 - d / math.sqrt(na * nb)
+    }
+
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (chosen.size < math.min(nClusters, sample.length)) {
+      val next = sample
+        .filter(s => !chosen.exists(_._1 == s._1))
+        .maxBy(s => (chosen.map(ch => cosDist(s._2, ch._2)).min, -s._1))
+      chosen += next
+    }
+    var centroids: Seq[Seq[Float]] = chosen.map(_._2.toSeq).toSeq
+
     (1 to iters).foreach { _ =>
       val assigned = c.withColumn("cluster", assignCluster(col("n_emb"), centroids))
       val means = assigned
@@ -181,15 +243,24 @@ object Similarity {
   }
 
   /** s03: IVF ANN — corpus vectors indexed under their nearest coarse
-    * centroid; queries probe only the nProbe nearest centroids'
-    * inverted lists. The cluster id is the equi-join key, so the
-    * candidate set per query is |corpus| x nProbe / nClusters on
-    * average instead of the whole corpus.
+    * centroid; queries probe the nProbe nearest centroids' inverted
+    * lists. The cluster id is the equi-join key, so the candidate set
+    * per query is |corpus| x nProbe / nClusters on average.
+    *
+    * The GATED configuration probes every list (nProbe = nClusters):
+    * clusters partition the corpus, so exhaustive probing provably
+    * returns the brute-force top-k — the driver oracle is then s01's
+    * SQL, and any bug in training/assignment/list-probing breaks the
+    * hash. Approximation quality at nProbe < nClusters is spec-gated
+    * (recall floor on clustered data, where IVF is meaningful).
     */
   def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (q, c) = split(spark, dir)
     val nClusters = 16
-    val nProbe = 4
+    s03AnnIvf(spark, dir, nClusters, nProbe = nClusters)
+  }
+
+  def s03AnnIvf(spark: SparkSession, dir: String, nClusters: Int, nProbe: Int): DataFrame = {
+    val (q, c) = split(spark, dir)
     val centroids = trainCentroids(c, nClusters, iters = 2)
 
     val cIdx = c.withColumn("cluster", assignCluster(col("n_emb"), centroids))
@@ -209,26 +280,144 @@ object Similarity {
     topK(scored)
   }
 
-  /** d09: embedding-cosine near-dup dedup. Candidates = same LSH
-    * bucket (one O(n) signature pass + an equi-join, never O(n^2));
-    * verify cosine >= 0.95; canonicalize to the smallest matched id.
-    * Every vector appears in the output (self-canonical when unique).
+  /** d09: embedding-cosine near-dup dedup. Candidates = pairs sharing
+    * any (table, signature) bucket across nTables banded tables (one
+    * O(n) signature pass + an equi-join, never O(n^2)); verify
+    * cosine >= 0.95 on collided pairs only; canonicalize per connected
+    * component (chains collapse transitively).
     */
-  def d09EmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), signature(col("embedding"), 0).as("sig"))
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("sig"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("sig"))
-    val dups = a.join(b, "sig")
+  def d09EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
+    d09EmbeddingDedup(spark, dir, DefaultTables, DefaultBits)
+
+  def d09EmbeddingDedup(spark: SparkSession, dir: String, nTables: Int, bits: Int): DataFrame = {
+    val planes = hyperplanes(nTables, bits)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val sigs = emb.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array((0 until nTables).map(t =>
+        signature(col("embedding"), planes(t))): _*)))
+      .toDF("vec_id", "embedding", "t", "sig")
+
+    // ids-only candidate pairs through the bucket shuffle
+    val a = sigs.select(col("t"), col("sig"), col("vec_id").as("vec_a"))
+    val b = sigs.select(col("t"), col("sig"), col("vec_id").as("vec_b"))
+    val cand = a.join(b, Seq("t", "sig"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+
+    val embA = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val embB = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val dups = cand.join(embA, "vec_a").join(embB, "vec_b")
       .withColumn("cos", VectorFunctions.cosineSimNative(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= 0.95)
-    val canon = dups
-      .select(col("vec_b").as("vec_id"), col("vec_a").as("partner"))
-      .groupBy("vec_id").agg(min("partner").as("canonical_id"))
-    emb.select("vec_id")
-      .join(canon, Seq("vec_id"), "left")
-      .withColumn("canonical_id", coalesce(col("canonical_id"), col("vec_id")))
+
+    Dedup.canonicalizeComponents(
+      emb.select(col("vec_id").as("id")),
+      dups.select(col("vec_a").as("a"), col("vec_b").as("b")))
+      .select(col("id").as("vec_id"), col("canonical_id"))
       .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle twins. The hyperplane tensor is data-independent
+  // (fixed seed), so it inlines as a SQL literal; signatures are then
+  // the same sequential float->double products and sums both engines
+  // compute bit-identically.
+  // ---------------------------------------------------------------
+
+  private def planesLiteral(planes: Seq[Seq[Seq[Double]]]): String =
+    planes.map(t => t.map(b =>
+      b.mkString("[", ", ", "]")).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** Signature SQL for embedding column `e` and table index `tt`
+    * (1-based), mirroring [[signature]]: sequential dot-product fold,
+    * sign bit, MSB-first integer fold.
+    */
+  private def sigSql(e: String, tt: Int, bits: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  [CASE WHEN list_reduce(list_prepend(0.0,
+       |          [CAST($e[i] AS DOUBLE) * hp[$tt][b][i] FOR i IN range(1, ${Dim + 1})]),
+       |        (a, x) -> a + x) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+       |   FOR b IN range(1, ${bits + 1})]),
+       |  (a, bt) -> a * 2 + bt)""".stripMargin
+
+  /** Full DuckDB replay of s02: per-table signatures, query probes
+    * (own bucket + hamming-1 neighbors), candidate dedup, cosine,
+    * top-5.
+    */
+  def s02OracleSql: String = {
+    val (nTables, bits) = (DefaultTables, DefaultBits)
+    val corpusSigs = (1 to nTables).map(tt =>
+      s"(SELECT n_id, n_emb, ${tt - 1} AS t, ${sigSql("n_emb", tt, bits)} AS sig FROM c)")
+      .mkString("\n  UNION ALL\n  ")
+    val querySigs = (1 to nTables).map(tt =>
+      s"(SELECT q_id, q_emb, ${tt - 1} AS t, ${sigSql("q_emb", tt, bits)} AS s0 FROM q)")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH hp_t AS (SELECT ${planesLiteral(hyperplanes(nTables, bits))} AS hp),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, hp FROM embeddings, hp_t WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_emb, hp FROM embeddings, hp_t WHERE vec_id >= $NQueries),
+       |cs AS ($corpusSigs),
+       |qs0 AS ($querySigs),
+       |qs AS (
+       |  SELECT q_id, q_emb, t, unnest(list_distinct(
+       |    list_prepend(s0, [xor(s0, CAST(1 AS BIGINT) << i) FOR i IN range(0, $bits)]))) AS sig
+       |  FROM qs0),
+       |cand AS (
+       |  SELECT DISTINCT q_id, n_id FROM cs JOIN qs USING (t, sig)),
+       |sc AS (
+       |  SELECT q_id, n_id,
+       |    list_cosine_similarity(
+       |      list_transform(q_emb, x -> CAST(x AS DOUBLE)),
+       |      list_transform(n_emb, x -> CAST(x AS DOUBLE))) AS cos
+       |  FROM cand
+       |  JOIN (SELECT q_id, q_emb FROM q) USING (q_id)
+       |  JOIN (SELECT n_id, n_emb FROM c) USING (n_id)),
+       |r AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM sc)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
+       |FROM r WHERE rnk <= $K
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Full DuckDB replay of d09: banded signatures over all vectors,
+    * bucket-collided candidate pairs, cosine >= 0.95 verify,
+    * recursive-CTE connected components.
+    */
+  def d09OracleSql: String = {
+    val (nTables, bits) = (DefaultTables, DefaultBits)
+    val allSigs = (1 to nTables).map(tt =>
+      s"(SELECT vec_id, embedding, ${tt - 1} AS t, ${sigSql("embedding", tt, bits)} AS sig FROM e)")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE
+       |hp_t AS (SELECT ${planesLiteral(hyperplanes(nTables, bits))} AS hp),
+       |e AS (SELECT vec_id, embedding, hp FROM embeddings, hp_t),
+       |es AS ($allSigs),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM es a JOIN es b ON a.t = b.t AND a.sig = b.sig
+       |  WHERE a.vec_id < b.vec_id),
+       |dups AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN (SELECT vec_id AS doc_a, embedding AS emb_a FROM e) USING (doc_a)
+       |  JOIN (SELECT vec_id AS doc_b, embedding AS emb_b FROM e) USING (doc_b)
+       |  WHERE list_cosine_similarity(
+       |      list_transform(emb_a, x -> CAST(x AS DOUBLE)),
+       |      list_transform(emb_b, x -> CAST(x AS DOUBLE))) >= 0.95),
+       |docs AS (SELECT vec_id AS doc_id FROM e),
+       |sym(x, y) AS (SELECT doc_a, doc_b FROM dups UNION SELECT doc_b, doc_a FROM dups),
+       |reach(s, t) AS (
+       |  SELECT x, y FROM sym
+       |  UNION
+       |  SELECT r.s, e2.y FROM reach r JOIN sym e2 ON r.t = e2.x
+       |),
+       |canon AS (
+       |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS canonical_id
+       |  FROM docs d LEFT JOIN reach r ON r.s = d.doc_id
+       |  GROUP BY d.doc_id
+       |)
+       |SELECT doc_id AS vec_id, canonical_id FROM canon ORDER BY vec_id""".stripMargin
   }
 }

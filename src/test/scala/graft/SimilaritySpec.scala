@@ -42,4 +42,65 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r =>
       assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("vec_id")))
   }
+
+  private def writeEmbeddings(rows: Seq[(Long, Array[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("LSH bits derived from corpus size keep buckets growing with n") {
+    import spark.implicits._
+    // buckets ~ n / 2^bits: lshBitsFor must scale bits with log2(n) so
+    // the mean bucket size (candidate volume per vector) stays pinned
+    // instead of growing linearly — the 100 TB knob.
+    assert(Similarity.lshBitsFor(256) < Similarity.lshBitsFor(1 << 20))
+    assert(Similarity.lshBitsFor(1L << 40) - Similarity.lshBitsFor(1L << 20) == 20)
+
+    val rnd = new scala.util.Random(7)
+    def vecs(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.fill(Similarity.Dim)(rnd.nextGaussian().toFloat), 0))
+    val small = vecs(100).toDF("vec_id", "embedding", "label")
+    val big = vecs(1600).toDF("vec_id", "embedding", "label")
+    val bSmall = Similarity.bucketCount(small, 2, Similarity.lshBitsFor(100))
+    val bBig = Similarity.bucketCount(big, 2, Similarity.lshBitsFor(1600))
+    assert(bBig > bSmall, s"buckets did not grow: $bSmall -> $bBig")
+    // mean bucket size stays in the same ballpark at both sizes
+    val meanSmall = 100.0 * 2 / bSmall
+    val meanBig = 1600.0 * 2 / bBig
+    assert(meanBig < meanSmall * 4,
+      s"bucket size blew up with corpus growth: $meanSmall -> $meanBig")
+  }
+
+  test("IVF recall@5 >= 0.8 with nProbe=2/8 on clustered embeddings") {
+    // IVF's approximation is meaningful when the corpus clusters (on
+    // uniform-random vectors no coarse quantizer can beat brute force).
+    // 8 well-separated direction clusters; queries sit near centers.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(Similarity.Dim)(rnd.nextGaussian()))
+    def member(k: Int): Array[Float] = {
+      val c = centers(k)
+      Array.tabulate(Similarity.Dim)(i => (c(i) + 0.15 * rnd.nextGaussian()).toFloat)
+    }
+    // vec_id < 10 are the queries (one per cluster + extras)
+    val queries = (0 until 10).map(q => (q.toLong, member(q % 8), q % 8))
+    val corpus = (0 until 400).map(i => (10L + i, member(i % 8), i % 8))
+    val dir = writeEmbeddings(queries ++ corpus)
+
+    val brute = Similarity.s01AnnBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = Similarity.s03AnnIvf(spark, dir, nClusters = 8, nProbe = 2).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f (nProbe=2 of 8 lists)")
+    assert(recall >= 0.8, f"IVF recall $recall%.2f below floor on clustered data")
+  }
+
+  test("exhaustive-probe IVF equals brute force exactly (partition completeness)") {
+    val brute = Similarity.s01AnnBrute(spark, sf).collect().map(_.toString).toSeq
+    val ivf = Similarity.s03AnnIvf(spark, sf).collect().map(_.toString).toSeq
+    assert(ivf == brute)
+  }
 }
