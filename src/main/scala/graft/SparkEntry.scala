@@ -80,6 +80,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
         .orderBy("category")
     }),
+    // Round-trips the hive-partitioned layout inside the gate: write
+    // orders partitioned by o_year, read back with a partition filter
+    // (directory-level pruning — explain shows PartitionFilters), agg.
+    "src02_partition_prune" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${sys.props("java.io.tmpdir")}/graft_orders_by_year_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.Sources.exportOrdersByYear(s, dir, out)
+      s.read.parquet(out)
+        .filter(col("o_year") === 2000)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
     "st03_dedup_counts"  -> EventStreams.st03DedupCounts _,
@@ -454,6 +467,14 @@ object SparkEntry {
     // (signatures, banding, candidates, verify, canonicalization).
     "d06_dedup_minhash" -> graft.operators.Dedup.d06OracleSql,
     "d07_dedup_simhash" -> graft.operators.Dedup.d07OracleSql,
+    // The partitioned round-trip preserves row content exactly, so the
+    // oracle is the same filter+agg over the source table.
+    "src02_partition_prune" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE year(o_orderdate) = 2000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // Synthetic-source content is a pure function of the row id, so
     // range() reproduces the pushed-down scan exactly.
     "src01_synth_scan" ->
