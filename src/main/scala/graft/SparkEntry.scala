@@ -57,6 +57,8 @@ object SparkEntry {
     "d03_quality_score"  -> TextAnalysis.d03QualityScore _,
     "d04_langid"         -> TextAnalysis.d04LangId _,
     "d05_fingerprint"    -> TextAnalysis.d05Fingerprint _,
+    "d11_normalize"      -> TextAnalysis.d11Normalize _,
+    "d12_pii_redact"     -> TextAnalysis.d12PiiRedact _,
     "d06_dedup_minhash"  -> Dedup.d06DedupMinhash _,
     "d07_dedup_simhash"  -> Dedup.d07DedupSimhash _,
     "d08_ngram_jaccard"  -> Dedup.d08NgramJaccard _,
@@ -93,6 +95,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
         .orderBy("o_orderstatus")
     }),
+    "q38_sketch_quantiles" -> Relational2.q38SketchQuantiles _,
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
     "st03_dedup_counts"  -> EventStreams.st03DedupCounts _,
@@ -467,6 +470,35 @@ object SparkEntry {
     // (signatures, banding, candidates, verify, canonicalization).
     "d06_dedup_minhash" -> graft.operators.Dedup.d06OracleSql,
     "d07_dedup_simhash" -> graft.operators.Dedup.d07OracleSql,
+    "d11_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_raw,
+        |  CAST(length(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 .,]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS n_clean,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 .,]', '', 'g'), ' +', ' ', 'g'))) AS clean_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "d12_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(lower(text), '[0-9]{7,}')) AS INT) AS n_longnums,
+        |  md5(regexp_replace(
+        |    regexp_replace(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{7,}', '[NUM]', 'g')) AS scrubbed_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // Below sketch capacity the quantile sketch is provably exact
+    // (no compaction => type-7 order statistics), so quantile_cont is
+    // the oracle; the compacted regime is spec-bounded instead.
+    "q38_sketch_quantiles" ->
+      """SELECT c_nationkey,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS med_bal,
+        |  round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+        |  count(*) AS n
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     // The partitioned round-trip preserves row content exactly, so the
     // oracle is the same filter+agg over the source table.
     "src02_partition_prune" ->

@@ -46,6 +46,19 @@ object VectorFunctions {
         .toAggregateExpression())
   }
 
+  /** Mergeable KLL-style quantile sketch (map-side partial; exact
+    * below capacity — see [[graft.plans.QuantileSketch]]). Returns
+    * array<double>, one entry per requested fraction.
+    */
+  def quantileSketch(value: Column, percentages: Seq[Double],
+      capacity: Int = graft.plans.QuantileSketch.DefaultCapacity): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.QuantileSketch(
+        GraftBridge.expression(value), percentages, capacity)
+        .toAggregateExpression())
+  }
+
   /** SQL registrations consumed by GraftExtensions. */
   def registrations: Map[FunctionIdentifier, (ExpressionInfo, Seq[Expression] => Expression)] =
     Map(

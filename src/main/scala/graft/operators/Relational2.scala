@@ -224,4 +224,26 @@ object Relational2 {
       .agg(count(col("t_pur")).as("n_nearby"))
       .orderBy(col("event_id"))
   }
+
+  /** q38: per-nation balance quantiles via the mergeable KLL-style
+    * sketch aggregate ([[graft.plans.QuantileSketch]]): map-side
+    * partial merge, O(capacity) state per group instead of the O(rows)
+    * buffer exact `percentile` keeps. Group sizes at the tested SFs sit
+    * below capacity, so outputs are EXACT type-7 order statistics —
+    * what the oracle hash-checks; the beyond-capacity regime's rank
+    * error is spec-bounded (SketchSpec).
+    */
+  def q38SketchQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        graft.functions.VectorFunctions
+          .quantileSketch(col("c_acctbal"), Seq(0.5, 0.9)).as("qs"),
+        count(lit(1)).as("n"))
+      .select(
+        col("c_nationkey"),
+        round(element_at(col("qs"), 1), 4).as("med_bal"),
+        round(element_at(col("qs"), 2), 4).as("p90_bal"),
+        col("n"))
+      .orderBy(col("c_nationkey"))
 }

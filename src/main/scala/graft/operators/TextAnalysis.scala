@@ -86,4 +86,50 @@ object TextAnalysis {
         greatest(words - 2, lit(1)).as("n_shingles"))
       .orderBy(col("doc_id"))
   }
+
+  /** Canonical text-cleaning pipeline: lowercase, strip everything
+    * outside [a-z0-9 .,], collapse runs of whitespace, trim. Pure
+    * codegen'd regex Column ops — scan-dominated at scale.
+    */
+  def normalized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 .,]", ""),
+      " +", " "))
+
+  /** d11: text normalization — the standard pre-tokenization cleanup a
+    * training-data pipeline applies corpus-wide; emits the cleaned-text
+    * hash plus before/after lengths so the oracle checks the transform
+    * without shipping full texts.
+    */
+  def d11Normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_raw"),
+        length(normalized(col("text"))).as("n_clean"),
+        md5(normalized(col("text"))).as("clean_hash"))
+      .orderBy(col("doc_id"))
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val LongNumRe = "[0-9]{7,}"
+
+  /** d12: PII scrubbing — redact email addresses and long digit runs
+    * (simple, portable regexes: no lookaround, identical semantics in
+    * Java regex and RE2), count what was redacted, and hash the
+    * scrubbed text. The count columns make redaction auditable; at
+    * corpus scale this is the pass that runs before any text leaves
+    * the raw zone.
+    */
+  def d12PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(lower(col("text")), EmailRe, "[EMAIL]"),
+      LongNumRe, "[NUM]")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(lower(col("text")), lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(lower(col("text")), lit(LongNumRe)).cast("int").as("n_longnums"),
+        md5(scrubbed).as("scrubbed_hash"))
+      .orderBy(col("doc_id"))
+  }
 }

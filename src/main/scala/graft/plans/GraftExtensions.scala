@@ -12,6 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ext.injectFunction((ident, info, builder))
     }
     ext.injectResolutionRule(_ => ApproxDistinctRule)
+    ext.injectResolutionRule(_ => ApproxPercentileRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.plans.QuantileSketchBuffer
+
+class SketchSpec extends AnyFunSuite with SparkSpec {
+
+  test("quantile sketch is exact below capacity, across partition merges") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    val vals = Seq.fill(3000)(rnd.nextDouble() * 1000 - 200)
+    // 8 partitions force partial buffers + serialize/merge on the way
+    // to the final aggregation.
+    val df = vals.toDF("v").repartition(8)
+      .agg(VectorFunctions.quantileSketch(col("v"), Seq(0.25, 0.5, 0.9)).as("qs"))
+      .select(element_at(col("qs"), 1), element_at(col("qs"), 2), element_at(col("qs"), 3))
+    val Array(q25, q50, q90) = df.collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+
+    def exact(p: Double): Double = {
+      val v = vals.sorted.toArray
+      val pos = p * (v.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) v(lo) else v(lo) * (hi - pos) + v(hi) * (pos - lo)
+    }
+    assert(q25 == exact(0.25) && q50 == exact(0.5) && q90 == exact(0.9),
+      s"sub-capacity sketch not exact: ($q25,$q50,$q90) vs (${exact(0.25)},${exact(0.5)},${exact(0.9)})")
+  }
+
+  test("compacted sketch keeps rank error within 3% at 50x capacity") {
+    val rnd = new Random(9)
+    val n = 25600
+    val vals = Array.fill(n)(rnd.nextDouble())
+    val buf = new QuantileSketchBuffer(512)
+    vals.foreach(buf.insert)
+    assert(!buf.isExact, "expected the sketch to have compacted")
+
+    val sorted = vals.sorted
+    Seq(0.1, 0.25, 0.5, 0.75, 0.9).foreach { p =>
+      val est = buf.quantiles(Seq(p)).head
+      // true rank of the estimate (fraction of values <= est)
+      val rank = sorted.count(_ <= est).toDouble / n
+      assert(math.abs(rank - p) <= 0.03,
+        f"p=$p: estimate $est%.4f has true rank $rank%.4f (err ${math.abs(rank - p)}%.4f)")
+    }
+  }
+
+  test("sketch merge order does not change the exact-regime answer") {
+    val rnd = new Random(13)
+    val chunks = Seq.fill(6)(Array.fill(100)(rnd.nextDouble() * 50))
+    def mergedQuantile(order: Seq[Int]): Double = {
+      val target = new QuantileSketchBuffer(4096)
+      order.foreach { i =>
+        val b = new QuantileSketchBuffer(4096)
+        chunks(i).foreach(b.insert)
+        target.mergeIn(b)
+      }
+      target.quantiles(Seq(0.5)).head
+    }
+    val a = mergedQuantile(0 until 6)
+    val b = mergedQuantile((0 until 6).reverse)
+    assert(a == b)
+  }
+}

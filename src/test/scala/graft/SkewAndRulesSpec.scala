@@ -47,6 +47,29 @@ class SkewAndRulesSpec extends AnyFunSuite with SparkSpec {
     assert(q3.collect().head.getLong(0) == exact)
   }
 
+  test("approx-percentile rule swaps exact percentile for a GK sketch when enabled") {
+    import graft.plans.ApproxPercentileRule
+    def q = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      .orderBy("l_returnflag")
+    val exact = q.collect().map(_.getDouble(1))
+
+    spark.conf.set(ApproxPercentileRule.ConfKey, "true")
+    try {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("percentile_approx") || plan.contains("approx_percentile"),
+        s"expected approx percentile in plan:\n$plan")
+      val approx = q.collect().map(_.getDouble(1))
+      exact.zip(approx).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= math.max(1.0, e * 0.05), s"$e vs $a")
+      }
+    } finally spark.conf.set(ApproxPercentileRule.ConfKey, "false")
+
+    // Flag off: exact path untouched.
+    assert(q.collect().map(_.getDouble(1)).toSeq == exact.toSeq)
+  }
+
   test("s03 IVF ANN: full ranked output, recall vs brute force") {
     val brute = graft.operators.Similarity.s01AnnBrute(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
