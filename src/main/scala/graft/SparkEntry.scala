@@ -96,10 +96,39 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
     "q38_sketch_quantiles" -> Relational2.q38SketchQuantiles _,
+    // Salted join in the gate: same rows as a plain join (oracle), with
+    // the skew-resistant salted physical shape.
+    "q39_salted_join" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(o, c, Seq("o_custkey"), numSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("c_mktsegment")
+    }),
+    // Bucketed co-located join in the gate: bucketBy write, then a
+    // catalog-table join that plans with NO shuffle exchange (asserted
+    // in SourcesSpec); content equals the plain join (oracle).
+    "src03_bucketed_join" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val tag = Integer.toHexString(dir.hashCode)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      graft.sources.Sources.writeBucketed(o, s"b_orders_$tag", Seq("o_custkey"), 8)
+      graft.sources.Sources.writeBucketed(c, s"b_customer_$tag", Seq("c_custkey"), 8)
+      s.table(s"b_orders_$tag")
+        .join(s.table(s"b_customer_$tag"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("c_mktsegment")
+    }),
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
     "st03_dedup_counts"  -> EventStreams.st03DedupCounts _,
     "st04_stream_join"   -> EventStreams.st04StreamJoin _,
+    "st05_top_users"     -> EventStreams.st05TopUsers _,
     "d10_rolling_fingerprint" -> Dedup.d10RollingFingerprint _,
   )
 
@@ -499,6 +528,18 @@ object SparkEntry {
         |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    // Salting/bucketing change the physical plan, never the rows — the
+    // oracle for both is the plain join + aggregate.
+    "q39_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "src03_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // The partitioned round-trip preserves row content exactly, so the
     // oracle is the same filter+agg over the source table.
     "src02_partition_prune" ->
@@ -618,6 +659,17 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "st05_top_users" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT window_start, user_id, n,
+        |    CAST(row_number() OVER (PARTITION BY window_start ORDER BY n DESC, user_id) AS INT) AS rnk
+        |  FROM c)
+        |SELECT window_start, rnk, user_id, n
+        |FROM r WHERE rnk <= 3
+        |ORDER BY window_start, rnk""".stripMargin,
     "st04_stream_join" ->
       """WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
         |p AS (SELECT * FROM events WHERE event_type = 'purchase')

@@ -118,6 +118,11 @@ object Dedup {
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint(true)
+    // Fast path: no matches at all (common for clean corpora) — skip
+    // the propagation loop's join/count rounds entirely.
+    if (sym.isEmpty) {
+      return nodes.select(col("id"), col("id").as("canonical_id"))
+    }
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
     var changed = 1L
     var it = 0

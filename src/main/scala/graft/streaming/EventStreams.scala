@@ -175,4 +175,35 @@ object EventStreams {
       .toDF()
       .orderBy("user_id", "session_idx")
   }
+
+  /** Hourly per-user activity counts — the update-mode streaming
+    * aggregate (watermark added by streaming callers). The rank step
+    * runs downstream of the aggregate (foreachBatch in streaming,
+    * directly in batch): windows are high-cardinality, so the rank's
+    * window partitioning shards by hour, never a global sort.
+    */
+  def hourlyUserCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("n"))
+
+  def rankTopUsers(counts: DataFrame, k: Int = 3): DataFrame = {
+    val byHour = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("user_id"))
+    counts
+      .withColumn("rnk", row_number().over(byHour).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("window_start"), col("rnk"), col("user_id"), col("n"))
+  }
+
+  /** st05 (oracle-checked in batch): top-3 most active users per hour.
+    * The streaming twin runs hourlyUserCounts in update mode with a
+    * watermark and ranks per micro-batch via foreachBatch — exercised
+    * in StreamingSpec against this batch result.
+    */
+  def st05TopUsers(spark: SparkSession, dir: String): DataFrame =
+    rankTopUsers(hourlyUserCounts(Tables.events(spark, dir)))
+      .orderBy("window_start", "rnk")
 }

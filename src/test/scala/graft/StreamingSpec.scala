@@ -35,6 +35,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.length == 3) // (00h click x2), (01h view), (01h click)
   }
 
+  test("st05 streaming top-users: update-mode agg + foreachBatch rank equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 00:05:00", 1, "click"),
+      ev(2, "2024-01-01 00:10:00", 1, "click"),
+      ev(3, "2024-01-01 00:15:00", 2, "click"),
+      ev(4, "2024-01-01 00:20:00", 2, "click"),
+      ev(5, "2024-01-01 00:25:00", 2, "view"),
+      ev(6, "2024-01-01 00:30:00", 3, "view"),
+      ev(7, "2024-01-01 00:35:00", 4, "view"),
+      ev(8, "2024-01-01 01:05:00", 5, "click"))
+
+    // The production streaming shape: update-mode windowed aggregate
+    // (watermark bounds state), rank applied per micro-batch output in
+    // foreachBatch over the maintained result table.
+    val sink = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+    val stream = MemoryStream[Event]
+    stream.addData(data)
+    val counts = EventStreams.hourlyUserCounts(
+      stream.toDF().withWatermark("ts", "10 minutes"))
+    val q = counts.writeStream
+      .format("memory").queryName("st05_counts").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val ranked = EventStreams.rankTopUsers(spark.table("st05_counts"))
+        .orderBy("window_start", "rnk")
+      sink.set(ranked.collect().map(_.toString).toSeq)
+    } finally q.stop()
+
+    val batch = EventStreams.rankTopUsers(EventStreams.hourlyUserCounts(data.toDF()))
+      .orderBy("window_start", "rnk").collect().map(_.toString).toSeq
+    assert(sink.get == batch)
+    // hour 0: user 2 (3 events) ranks first, then user 1 (2), then 3/4 tie->3
+    assert(batch.length == 4) // 3 ranked in hour 0 + 1 in hour 1
+  }
+
   test("watermarked streaming dedup drops duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
