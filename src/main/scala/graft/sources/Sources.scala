@@ -54,12 +54,23 @@ object Sources {
     */
   def writeBucketed(
       df: DataFrame, tableName: String,
-      bucketCols: Seq[String], numBuckets: Int): Unit =
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    // A leftover warehouse directory from a previous session's
+    // in-memory catalog is unregistered here and blocks saveAsTable
+    // (LOCATION_ALREADY_EXISTS) — remove it so the write is idempotent
+    // across JVMs.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head)
       .saveAsTable(tableName)
+  }
 
   /** Orders laid out by order year — the canonical time-partitioned
     * fact-table layout; `readParquet(path).filter(year === y)` then
