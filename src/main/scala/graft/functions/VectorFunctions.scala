@@ -59,10 +59,42 @@ object VectorFunctions {
         .toAggregateExpression())
   }
 
+  private def literalInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def literalDoubleArray(e: Expression): Seq[Double] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, Decimal, DecimalType, DoubleType}
+    require(e.foldable, s"percentages must be a foldable array literal, got $e")
+    (e.dataType, e.eval(null)) match {
+      case (ArrayType(DoubleType, _), a: ArrayData) => a.toDoubleArray.toSeq
+      case (ArrayType(dt: DecimalType, _), a: ArrayData) =>
+        a.toArray[Decimal](dt).map(_.toDouble).toSeq
+      case other => throw new IllegalArgumentException(
+        s"percentages must be array<double> or array<decimal>, got $other")
+    }
+  }
+
   /** SQL registrations consumed by GraftExtensions. */
   def registrations: Map[FunctionIdentifier, (ExpressionInfo, Seq[Expression] => Expression)] =
     Map(
       FunctionIdentifier("graft_cosine_sim") -> ((
         new ExpressionInfo(classOf[graft.plans.CosineSim].getName, "graft_cosine_sim"),
-        (exprs: Seq[Expression]) => graft.plans.CosineSim(exprs(0), exprs(1)))))
+        (exprs: Seq[Expression]) => graft.plans.CosineSim(exprs(0), exprs(1)))),
+      // Aggregates return the bare AggregateFunction — the analyzer
+      // wraps it in an AggregateExpression, as for built-ins.
+      FunctionIdentifier("graft_topk_by_score") -> ((
+        new ExpressionInfo(classOf[graft.plans.TopKByScore].getName, "graft_topk_by_score"),
+        (exprs: Seq[Expression]) => graft.plans.TopKByScore(
+          exprs(0), exprs(1), literalInt(exprs(2), "k")))),
+      FunctionIdentifier("graft_quantile_sketch") -> ((
+        new ExpressionInfo(classOf[graft.plans.QuantileSketch].getName, "graft_quantile_sketch"),
+        (exprs: Seq[Expression]) => {
+          val capacity =
+            if (exprs.size > 2) literalInt(exprs(2), "capacity")
+            else graft.plans.QuantileSketch.DefaultCapacity
+          graft.plans.QuantileSketch(exprs(0), literalDoubleArray(exprs(1)), capacity)
+        })))
 }

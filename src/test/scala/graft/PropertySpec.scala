@@ -100,6 +100,44 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connected-component canonicalization matches union-find on random graphs") {
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val rnd = new Random(7000 + trial)
+      val n = 60
+      val edges = List.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+
+      // brute union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+
+      val got = graft.operators.Dedup.canonicalizeComponents(
+        (0L until n.toLong).toDF("id"),
+        edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("QuantileSketch serialize/deserialize round-trips the buffer") {
+    val rnd = new Random(17)
+    val buf = new graft.plans.QuantileSketchBuffer(64)
+    (1 to 1000).foreach(_ => buf.insert(rnd.nextDouble() * 100))
+    val agg = graft.plans.QuantileSketch(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0), Seq(0.5), 64)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.quantiles(Seq(0.1, 0.5, 0.9)) == buf.quantiles(Seq(0.1, 0.5, 0.9)))
+    assert(back.totalWeight == buf.totalWeight)
+  }
+
   test("TopKByScore matches sort-take reference on random scores (incl. ties)") {
     import spark.implicits._
     (1 to 6).foreach { trial =>

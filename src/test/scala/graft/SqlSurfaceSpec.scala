@@ -34,4 +34,28 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(r.length == 3)
     r.foreach(row => assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-6))
   }
+
+  test("custom aggregates are callable from SQL (topk, quantile sketch)") {
+    val topk = GraftSession.sql(spark, sf,
+      """SELECT graft_topk_by_score(CAST(c_acctbal AS DOUBLE), c_custkey, 3) AS tk
+        |FROM customer""".stripMargin).collect()
+    val tk = topk.head.getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.length == 3)
+    assert(tk.map(_.getAs[Double]("score")).sliding(2).forall(p => p.head >= p.last))
+
+    val qs = GraftSession.sql(spark, sf,
+      """SELECT c_nationkey,
+        |  graft_quantile_sketch(CAST(c_acctbal AS DOUBLE), array(0.5D, 0.9D)) AS q
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin).collect()
+    assert(qs.length == 25)
+    qs.foreach { r =>
+      val arr = r.getSeq[Double](1)
+      assert(arr.length == 2 && arr(0) <= arr(1))
+    }
+    // decimal-literal percentages coerce too
+    val dec = GraftSession.sql(spark, sf,
+      "SELECT graft_quantile_sketch(CAST(c_acctbal AS DOUBLE), array(0.5)) AS q FROM customer")
+      .collect()
+    assert(dec.head.getSeq[Double](0).length == 1)
+  }
 }

@@ -72,6 +72,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.length == 4) // 3 ranked in hour 0 + 1 in hour 1
   }
 
+  test("stateful streaming runs on the RocksDB state store (production backend)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The default in-memory (HDFS-backed) provider keeps all state on
+    // the executor heap; RocksDB spills to local disk and is the
+    // 100 TB-state backend. Same query, same results, different store.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val data = Seq(
+        ev(1, "2024-01-01 00:10:00", 1, "click"),
+        ev(2, "2024-01-01 00:20:00", 1, "click"),
+        ev(3, "2024-01-01 01:10:00", 2, "view"))
+      val stream = MemoryStream[Event]
+      stream.addData(data)
+      val q = EventStreams.windowedCounts(stream.toDF())
+        .writeStream.format("memory").queryName("rocks_out")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.sql("SELECT * FROM rocks_out ORDER BY window_start, event_type")
+        .collect().map(_.toString).toSeq
+      val batch = EventStreams.windowedCounts(data.toDF())
+        .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+      assert(got == batch)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("watermarked streaming dedup drops duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
