@@ -124,6 +124,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
         .orderBy("c_mktsegment")
     }),
+    "mv01_incremental_agg" -> graft.operators.Materialized.mv01IncrementalAgg _,
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
     "st03_dedup_counts"  -> EventStreams.st03DedupCounts _,
@@ -528,6 +529,15 @@ object SparkEntry {
         |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    // Incremental refresh must equal the full recompute — which IS the
+    // oracle: the view state merges partial aggregates across deltas.
+    "mv01_incremental_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_orderstatus""".stripMargin,
     // Salting/bucketing change the physical plan, never the rows — the
     // oracle for both is the plain join + aggregate.
     "q39_salted_join" ->

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Incremental materialized-view maintenance for algebraic aggregates
+  * (SURVEY.md §2: mv01).
+  *
+  * The view is the partial-aggregate state itself (count + raw sum per
+  * group): refreshing with an insert-only delta merges the delta's
+  * partial aggregate into the maintained state by addition — cost is
+  * O(|delta| + |view|), never a recompute over the base. This is the
+  * classic algebraic-MV algebra (sum/count/min/max merge; avg derives
+  * as sum/count at read time), the same shape Spark itself uses for
+  * two-phase aggregation — applied across refreshes instead of across
+  * partitions. At 100 TB the base is petabyte-scale parquet and the
+  * delta a daily partition; the refresh touches only the delta and the
+  * group-count-sized view.
+  */
+object Materialized {
+
+  /** Partial-aggregate state of one batch: (year, status) -> count,
+    * raw (unrounded) revenue sum. Final presentation rounds once at
+    * read time, so merge stays exact-in-kind with a full recompute.
+    */
+  def partialState(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev_raw"))
+
+  /** Merge an insert-only delta into the maintained view state. */
+  def mergeDelta(view: DataFrame, delta: DataFrame): DataFrame =
+    view.unionByName(partialState(delta))
+      .groupBy(col("o_year"), col("o_orderstatus"))
+      .agg(sum(col("n")).as("n"), sum(col("rev_raw")).as("rev_raw"))
+
+  /** Read-time presentation of the view state. */
+  def present(view: DataFrame): DataFrame =
+    view.select(
+      col("o_year"), col("o_orderstatus"), col("n"),
+      round(col("rev_raw"), 2).as("rev"))
+      .orderBy(col("o_year"), col("o_orderstatus"))
+
+  /** mv01: build the view on the pre-2001 base, then apply the 2001
+    * orders as two incremental refresh batches (H1, H2). The oracle is
+    * the full recompute over all orders — equality shows the refresh
+    * algebra loses nothing across repeated merges.
+    */
+  def mv01IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val base = orders.filter(year(col("o_orderdate")) < 2001)
+    val h1 = orders.filter(year(col("o_orderdate")) === 2001 && month(col("o_orderdate")) <= 6)
+    val h2 = orders.filter(year(col("o_orderdate")) === 2001 && month(col("o_orderdate")) > 6)
+    present(mergeDelta(mergeDelta(partialState(base), h1), h2))
+  }
+}
