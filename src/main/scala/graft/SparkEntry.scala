@@ -124,6 +124,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
         .orderBy("c_mktsegment")
     }),
+    // CSV round-trip inside the gate: schema-explicit read (never
+    // inference — that is a full extra pass at scale); values survive
+    // the text round-trip exactly (round-trip double formatting).
+    "src04_csv_roundtrip" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val out = s"${sys.props("java.io.tmpdir")}/graft_orders_csv_${Integer.toHexString(dir.hashCode)}"
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.Sources.writeCsv(o, out)
+      graft.sources.Sources.readCsv(s, out, StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType))))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
     "mv01_incremental_agg" -> graft.operators.Materialized.mv01IncrementalAgg _,
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
@@ -529,6 +546,11 @@ object SparkEntry {
         |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "src04_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // Incremental refresh must equal the full recompute — which IS the
     // oracle: the view state merges partial aggregates across deltas.
     "mv01_incremental_agg" ->
