@@ -344,12 +344,12 @@ object Dedup {
     * [[canonicalizeComponents]] (fine at oracle scale; Spark side uses
     * bounded label propagation instead).
     */
-  private val ccSql =
+  private[operators] val ccSql =
     """sym(x, y) AS (SELECT doc_a, doc_b FROM dups UNION SELECT doc_b, doc_a FROM dups),
       |reach(s, t) AS (
       |  SELECT x, y FROM sym
       |  UNION
-      |  SELECT r.s, e.y FROM reach r JOIN sym e ON r.t = e.x
+      |  SELECT r.s, ed.y FROM reach r JOIN sym ed ON r.t = ed.x
       |),
       |canon AS (
       |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS canonical_id

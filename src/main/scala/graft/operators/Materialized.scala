@@ -43,16 +43,21 @@ object Materialized {
       round(col("rev_raw"), 2).as("rev"))
       .orderBy(col("o_year"), col("o_orderstatus"))
 
-  /** mv01: build the view on the pre-2001 base, then apply the 2001
-    * orders as two incremental refresh batches (H1, H2). The oracle is
-    * the full recompute over all orders — equality shows the refresh
+  /** mv01: build the view on all years before the newest, then apply
+    * the newest year's orders as two incremental refresh batches
+    * (H1, H2). The horizon is derived from the data (max year), and
+    * null order dates stay in the base, so every row lands in exactly
+    * one batch regardless of the corpus's time span. The oracle is the
+    * full recompute over all orders — equality shows the refresh
     * algebra loses nothing across repeated merges.
     */
   def mv01IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
-    val base = orders.filter(year(col("o_orderdate")) < 2001)
-    val h1 = orders.filter(year(col("o_orderdate")) === 2001 && month(col("o_orderdate")) <= 6)
-    val h2 = orders.filter(year(col("o_orderdate")) === 2001 && month(col("o_orderdate")) > 6)
+    val y = year(col("o_orderdate"))
+    val maxYear = orders.agg(max(y)).collect().head.getInt(0)
+    val base = orders.filter(y.isNull || y < maxYear)
+    val h1 = orders.filter(y === maxYear && month(col("o_orderdate")) <= 6)
+    val h2 = orders.filter(y === maxYear && month(col("o_orderdate")) > 6)
     present(mergeDelta(mergeDelta(partialState(base), h1), h2))
   }
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed global ordering without a single-task window.
+  *
+  * The invariants of the two-pass rank pattern live in ONE place:
+  *  - `repartitionByRange` must use exactly the rank's sort columns, so
+  *    every partition holds a contiguous key range and partition order
+  *    IS global order (true for any sampled boundaries);
+  *  - the partition-local sort must use the same columns;
+  *  - `zipWithIndex` then assigns global indices with one extra
+  *    per-partition count pass — no task ever sorts more than
+  *    1/numPartitions of the data.
+  * Callers turning the index into a per-group rank must subtract
+  * per-group offsets whose ordering matches the leading sort column's
+  * partitioner ordering (for strings: UTF8 binary order — equal to
+  * JVM lexicographic order only for ASCII keys).
+  */
+object Ranks {
+
+  /** The input's columns plus a 0-based global index column over the
+    * total order defined by `sortCols` (which must be a total order —
+    * include a unique tiebreaker).
+    */
+  def withGlobalIndex(
+      df: DataFrame, sortCols: Seq[Column], idxCol: String,
+      numPartitions: Int = 32): DataFrame = {
+    val sorted = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(idxCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -253,25 +253,20 @@ object Relational {
     * rollup. Scales linearly with partitions at any corpus size.
     */
   def q18Ntile(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val cust = Tables.customer(spark, dir).select(col("c_acctbal"), col("c_custkey"))
     val n = cust.count()
     val q = n / 4
     val rem = n % 4
-    val banded = cust
-      .repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
-      .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
-      .select(col("c_acctbal")).as[Double]
-      .rdd.zipWithIndex
-      .map { case (bal, idx) =>
-        // SQL ntile(4): first (n%4) buckets take ceil(n/4) rows.
-        val quartile =
-          if (idx < rem * (q + 1)) idx / (q + 1) + 1
-          else rem + (idx - rem * (q + 1)) / q + 1
-        (quartile.toInt, bal)
-      }
-      .toDF("quartile", "c_acctbal")
-    banded
+    // SQL ntile(4): first (n%4) buckets take ceil(n/4) rows. Index is
+    // non-negative, so cast-truncating the division == floor division.
+    def fdiv(a: Column, b: Long): Column = (a / lit(b)).cast("long")
+    val idx = col("__idx")
+    val quartile =
+      when(idx < rem * (q + 1), fdiv(idx, q + 1) + 1)
+        .otherwise(lit(rem) + fdiv(idx - rem * (q + 1), math.max(q, 1)) + 1)
+        .cast("int")
+    Ranks.withGlobalIndex(cust, Seq(col("c_acctbal"), col("c_custkey")), "__idx")
+      .withColumn("quartile", quartile)
       .groupBy(col("quartile"))
       .agg(
         count(lit(1)).as("n"),

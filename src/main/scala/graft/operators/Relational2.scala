@@ -100,34 +100,28 @@ object Relational2 {
     import spark.implicits._
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-    // Tiny: one row per segment. Sorted lexicographically — the same
-    // order the range partitioner gives the leading sort column, so
-    // cumulative counts are exactly each segment's global-rank offset.
+    // Tiny: one row per segment. Sorted lexicographically — ASCII
+    // segment names make JVM string order equal the range partitioner's
+    // UTF8 binary order, so cumulative counts are exactly each
+    // segment's global-rank offset (see Ranks scaladoc).
     val segCounts = cust.groupBy(col("c_mktsegment")).count()
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
     val offsets = segCounts.scanLeft(0L)(_ + _._2).init
-    val info: Map[String, (Long, Long)] =
-      segCounts.zip(offsets).map { case ((seg, cnt), off) => seg -> (cnt, off) }.toMap
-    val bInfo = spark.sparkContext.broadcast(info)
+    val segStats = segCounts.zip(offsets)
+      .map { case ((seg, cnt), off) => (seg, cnt, off) }.toSeq
+      .toDF("c_mktsegment", "__cnt", "__off")
 
-    cust
-      .repartitionByRange(32, col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
-      .sortWithinPartitions(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
-      .select(col("c_custkey"), col("c_mktsegment")).as[(Long, String)]
-      .rdd.zipWithIndex
-      .map { case ((ck, seg), idx) =>
-        val (nSeg, off) = bInfo.value(seg)
-        val rn = idx - off + 1
-        val pct = if (nSeg <= 1) 0.0 else (rn - 1).toDouble / (nSeg - 1)
-        (ck, seg, pct, rn.toDouble / nSeg)
-      }
-      .toDF("c_custkey", "c_mktsegment", "pct_raw", "cume_raw")
+    val rn = col("__idx") - col("__off") + 1
+    Ranks.withGlobalIndex(
+      cust, Seq(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")), "__idx")
+      .join(broadcast(segStats), "c_mktsegment")
       .select(
         col("c_custkey"), col("c_mktsegment"),
-        round(col("pct_raw"), 6).as("pct_rank"),
-        round(col("cume_raw"), 6).as("cume"))
+        round(when(col("__cnt") <= 1, 0.0)
+          .otherwise((rn - 1) / (col("__cnt") - 1)), 6).as("pct_rank"),
+        round(rn / col("__cnt"), 6).as("cume"))
       .orderBy(col("c_custkey"))
   }
 

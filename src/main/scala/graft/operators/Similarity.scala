@@ -108,14 +108,17 @@ object Similarity {
     aggregate(zip_with(vec, hp, (x, h) => x * h), lit(0.0), (acc, x) => acc + x)
 
   /** Signature under one table's plane matrix: the sign pattern of the
-    * projections, folded MSB-first into an int.
+    * projections, folded MSB-first into a LONG — lshBitsFor legitimately
+    * returns > 31 bits at petabyte corpus sizes, where an Int fold
+    * would silently alias bit positions.
     */
   private def signature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.size <= 62, s"at most 62 signature bits, got ${planes.size}")
     val hpLit = typedLit(planes)
     val bits = transform(
       sequence(lit(0), lit(planes.size - 1)),
-      i => when(dot(vec, element_at(hpLit, i + 1)) > 0, 1).otherwise(0))
-    aggregate(bits, lit(0), (acc, b) => acc * 2 + b)
+      i => when(dot(vec, element_at(hpLit, i + 1)) > 0, 1L).otherwise(0L))
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
   }
 
   /** s02: LSH-bucketed ANN. Corpus vectors index into one bucket per
@@ -130,7 +133,7 @@ object Similarity {
   def s02AnnLsh(spark: SparkSession, dir: String, nTables: Int, bits: Int): DataFrame = {
     val planes = hyperplanes(nTables, bits)
     val (q, c) = split(spark, dir)
-    val powLit = typedLit((0 until bits).map(i => 1 << i))
+    val powLit = typedLit((0 until bits).map(i => 1L << i))
 
     val cSig = c.select(
       col("n_id"), col("n_emb"),
@@ -407,17 +410,7 @@ object Similarity {
        |      list_transform(emb_a, x -> CAST(x AS DOUBLE)),
        |      list_transform(emb_b, x -> CAST(x AS DOUBLE))) >= 0.95),
        |docs AS (SELECT vec_id AS doc_id FROM e),
-       |sym(x, y) AS (SELECT doc_a, doc_b FROM dups UNION SELECT doc_b, doc_a FROM dups),
-       |reach(s, t) AS (
-       |  SELECT x, y FROM sym
-       |  UNION
-       |  SELECT r.s, e2.y FROM reach r JOIN sym e2 ON r.t = e2.x
-       |),
-       |canon AS (
-       |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS canonical_id
-       |  FROM docs d LEFT JOIN reach r ON r.s = d.doc_id
-       |  GROUP BY d.doc_id
-       |)
+       |${Dedup.ccSql}
        |SELECT doc_id AS vec_id, canonical_id FROM canon ORDER BY vec_id""".stripMargin
   }
 }

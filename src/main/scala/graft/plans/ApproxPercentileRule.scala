@@ -1,7 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -36,8 +37,12 @@ object ApproxPercentileRule extends Rule[LogicalPlan] {
           case ae @ AggregateExpression(pc: Percentile, _, false, _, _)
               // frequency 1L is the plain two-arg percentile form
               if pc.frequencyExpression == Literal(1L) =>
+            // Percentile always returns DoubleType; ApproximatePercentile
+            // returns child.dataType. Cast the child so the rewrite never
+            // changes the aggregate's result type under a resolved ExprId
+            // (an int-typed swap would break downstream expressions).
             ae.copy(aggregateFunction = new ApproximatePercentile(
-              pc.child, pc.percentageExpression, Literal(accuracy)))
+              Cast(pc.child, DoubleType), pc.percentageExpression, Literal(accuracy)))
         }
       }
     }

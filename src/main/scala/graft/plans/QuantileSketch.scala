@@ -32,7 +32,10 @@ final class QuantileSketchBuffer(val capacity: Int) {
 
   def insert(v: Double): Unit = {
     levels(0) += v
-    if (levels(0).length >= capacity) compact(0)
+    // strictly-greater trigger: a group of exactly `capacity` values
+    // stays uncompacted, keeping the documented "exact while
+    // n <= capacity" contract the q38 oracle relies on
+    if (levels(0).length > capacity) compact(0)
   }
 
   private def compact(i: Int): Unit = {
@@ -43,7 +46,7 @@ final class QuantileSketchBuffer(val capacity: Int) {
     var j = keepFrom
     while (j < sorted.length) { levels(i + 1) += sorted(j); j += 2 }
     levels(i).clear()
-    if (levels(i + 1).length >= capacity) compact(i + 1)
+    if (levels(i + 1).length > capacity) compact(i + 1)
   }
 
   def mergeIn(other: QuantileSketchBuffer): Unit = {
@@ -51,7 +54,7 @@ final class QuantileSketchBuffer(val capacity: Int) {
     while (i < other.levels.length) {
       while (levels.length <= i) levels += ArrayBuffer.empty[Double]
       levels(i) ++= other.levels(i)
-      if (levels(i).length >= capacity) compact(i)
+      if (levels(i).length > capacity) compact(i)
       i += 1
     }
   }

@@ -176,11 +176,13 @@ object EventStreams {
       .orderBy("user_id", "session_idx")
   }
 
-  /** Hourly per-user activity counts — the update-mode streaming
-    * aggregate (watermark added by streaming callers). The rank step
-    * runs downstream of the aggregate (foreachBatch in streaming,
-    * directly in batch): windows are high-cardinality, so the rank's
-    * window partitioning shards by hour, never a global sort.
+  /** Hourly per-user activity counts — the streaming aggregate
+    * (watermark added by streaming callers). The rank step runs over
+    * the MAINTAINED result table, never over a single micro-batch's
+    * delta: update-mode output alone carries only changed rows, and
+    * ranking those would crown whichever user happened to change last.
+    * Windows are high-cardinality, so the rank's partitioning shards
+    * by hour — no global sort.
     */
   def hourlyUserCounts(events: DataFrame): DataFrame =
     events
@@ -199,9 +201,9 @@ object EventStreams {
   }
 
   /** st05 (oracle-checked in batch): top-3 most active users per hour.
-    * The streaming twin runs hourlyUserCounts in update mode with a
-    * watermark and ranks per micro-batch via foreachBatch — exercised
-    * in StreamingSpec against this batch result.
+    * The streaming twin maintains hourlyUserCounts as a streaming
+    * aggregate and ranks the maintained table downstream (exercised in
+    * StreamingSpec against this batch result).
     */
   def st05TopUsers(spark: SparkSession, dir: String): DataFrame =
     rankTopUsers(hourlyUserCounts(Tables.events(spark, dir)))

@@ -105,6 +105,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(sh(2L) == 2L && sh(4L) == 4L, s"simhash false positive: $sh")
   }
 
+  test("d07 collapses a fuzzy near-dup (hamming in 1..6), not only identical hashes") {
+    import spark.implicits._
+    // One replaced word in a 40-word doc: hamming must land strictly
+    // inside the verify tolerance, so this covers the fuzzy range a
+    // word-reorder (hamming 0) cannot.
+    val base = (0 until 40).map(i => s"tok$i")
+    val edited = base.updated(10, "changedword0")
+    val h = java.lang.Long.bitCount(
+      Dedup.simhash64(base) ^ Dedup.simhash64(edited))
+    assert(h >= 1 && h <= 6, s"re-pick the edit for this hash family: hamming $h")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
+    Seq(
+      (0L, base.mkString(" "), "en", "s", 0L),
+      (1L, edited.mkString(" "), "en", "s", 0L),
+      (2L, "wholly unrelated content with none of those tokens present", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val sh = Dedup.d07DedupSimhash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(sh == Map(0L -> 0L, 1L -> 0L, 2L -> 2L), s"fuzzy pair not collapsed: $sh (hamming $h)")
+  }
+
   test("near-dup chains collapse transitively to one canonical id (A~B~C)") {
     import spark.implicits._
     // A~B and B~C are near-dups (jaccard >= 0.5) but A~C is NOT —

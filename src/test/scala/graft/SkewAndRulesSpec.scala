@@ -70,6 +70,22 @@ class SkewAndRulesSpec extends AnyFunSuite with SparkSpec {
     assert(q.collect().map(_.getDouble(1)).toSeq == exact.toSeq)
   }
 
+  test("approx-percentile rewrite keeps DoubleType for integral inputs") {
+    import graft.plans.ApproxPercentileRule
+    // Percentile is always double; ApproximatePercentile returns the
+    // child type — the rule must cast so a resolved plan's types never
+    // shift (median of an int column stays fractional).
+    def q = Tables.lineitem(spark, sf)
+      .agg(expr("percentile(l_linenumber, 0.5)").as("med"))
+    spark.conf.set(ApproxPercentileRule.ConfKey, "true")
+    try {
+      val row = q.collect().head
+      assert(q.schema("med").dataType == org.apache.spark.sql.types.DoubleType)
+      val v = row.getDouble(0)
+      assert(v >= 1.0 && v <= 7.0)
+    } finally spark.conf.set(ApproxPercentileRule.ConfKey, "false")
+  }
+
   test("s03 IVF ANN: full ranked output, recall vs brute force") {
     val brute = graft.operators.Similarity.s01AnnBrute(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet

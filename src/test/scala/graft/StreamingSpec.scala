@@ -48,9 +48,10 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       ev(7, "2024-01-01 00:35:00", 4, "view"),
       ev(8, "2024-01-01 01:05:00", 5, "click"))
 
-    // The production streaming shape: update-mode windowed aggregate
-    // (watermark bounds state), rank applied per micro-batch output in
-    // foreachBatch over the maintained result table.
+    // The production streaming shape: windowed aggregate maintained by
+    // the engine (watermark bounds state), rank applied over the FULL
+    // maintained result table — never over one micro-batch's changed
+    // rows, which would rank only whoever changed last.
     val sink = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
     val stream = MemoryStream[Event]
     stream.addData(data)
