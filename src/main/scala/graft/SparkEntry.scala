@@ -529,7 +529,8 @@ object SparkEntry {
     "d12_pii_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
-        |  CAST(len(regexp_extract_all(lower(text), '[0-9]{7,}')) AS INT) AS n_longnums,
+        |  CAST(len(regexp_extract_all(regexp_replace(lower(text),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'), '[0-9]{7,}')) AS INT) AS n_longnums,
         |  md5(regexp_replace(
         |    regexp_replace(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
         |    '[0-9]{7,}', '[NUM]', 'g')) AS scrubbed_hash

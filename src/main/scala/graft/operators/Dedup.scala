@@ -149,6 +149,12 @@ object Dedup {
       labels = next
       it += 1
     }
+    // With pointer jumping, non-convergence needs a component diameter
+    // ~2^maxIters — pathological, but returning silently-wrong canonical
+    // ids would be worse than failing loudly.
+    require(changed == 0,
+      s"connected-components did not converge in $maxIters rounds " +
+        s"($changed labels still decreasing) — raise maxIters")
     labels.select(col("id"), col("label").as("canonical_id"))
   }
 

@@ -54,7 +54,11 @@ object Materialized {
   def mv01IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val y = year(col("o_orderdate"))
-    val maxYear = orders.agg(max(y)).collect().head.getInt(0)
+    // max(year) is null on an empty table or all-null order dates; then
+    // there is no delta horizon and the view is just the base state.
+    val maxRow = orders.agg(max(y)).collect().head
+    if (maxRow.isNullAt(0)) return present(partialState(orders))
+    val maxYear = maxRow.getInt(0)
     val base = orders.filter(y.isNull || y < maxYear)
     val h1 = orders.filter(y === maxYear && month(col("o_orderdate")) <= 6)
     val h2 = orders.filter(y === maxYear && month(col("o_orderdate")) > 6)

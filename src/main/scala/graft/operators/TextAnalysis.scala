@@ -121,14 +121,17 @@ object TextAnalysis {
     * the raw zone.
     */
   def d12PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(lower(col("text")), EmailRe, "[EMAIL]"),
-      LongNumRe, "[NUM]")
+    // Redaction order is emails first, then digit runs; n_longnums counts
+    // on the email-scrubbed intermediate so the audit counts exactly the
+    // [NUM] replacements actually made (a digit run inside an email
+    // local-part is swallowed by [EMAIL], not double-counted here).
+    val emailScrubbed = regexp_replace(lower(col("text")), EmailRe, "[EMAIL]")
+    val scrubbed = regexp_replace(emailScrubbed, LongNumRe, "[NUM]")
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         regexp_count(lower(col("text")), lit(EmailRe)).cast("int").as("n_emails"),
-        regexp_count(lower(col("text")), lit(LongNumRe)).cast("int").as("n_longnums"),
+        regexp_count(emailScrubbed, lit(LongNumRe)).cast("int").as("n_longnums"),
         md5(scrubbed).as("scrubbed_hash"))
       .orderBy(col("doc_id"))
   }

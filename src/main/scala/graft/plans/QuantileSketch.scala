@@ -28,7 +28,9 @@ import org.apache.spark.sql.types._
   */
 final class QuantileSketchBuffer(val capacity: Int) {
   val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
-  private var parity = 0
+  // Keep-even/keep-odd alternation state; must survive serialization so
+  // a shuffled buffer compacts identically to an in-memory one.
+  var parity = 0
 
   def insert(v: Double): Unit = {
     levels(0) += v
@@ -146,7 +148,8 @@ case class QuantileSketch(
 
   override def serialize(buf: QuantileSketchBuffer): Array[Byte] = {
     val n = buf.levels.map(_.length).sum
-    val bb = ByteBuffer.allocate(4 + buf.levels.length * 4 + n * 8)
+    val bb = ByteBuffer.allocate(8 + buf.levels.length * 4 + n * 8)
+    bb.putInt(buf.parity)
     bb.putInt(buf.levels.length)
     buf.levels.foreach { l =>
       bb.putInt(l.length)
@@ -158,6 +161,7 @@ case class QuantileSketch(
   override def deserialize(bytes: Array[Byte]): QuantileSketchBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val buf = new QuantileSketchBuffer(capacity)
+    buf.parity = bb.getInt
     val nLevels = bb.getInt
     (0 until nLevels).foreach { i =>
       while (buf.levels.length <= i) buf.levels += ArrayBuffer.empty[Double]

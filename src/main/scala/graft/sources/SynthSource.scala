@@ -88,8 +88,15 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // Integral types only: a fractional comparison value (e.g. id < 5.5)
+  // would truncate under longValue and wrongly drop boundary rows while
+  // the filter is reported as fully handled. Non-integral values stay
+  // residual so Spark re-evaluates them exactly.
   private def asLong(v: Any): Option[Long] = v match {
-    case n: java.lang.Number => Some(n.longValue)
+    case n: java.lang.Byte => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Long => Some(n.longValue)
     case _ => None
   }
 
