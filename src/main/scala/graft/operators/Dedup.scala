@@ -123,10 +123,22 @@ object Dedup {
     if (sym.isEmpty) {
       return nodes.select(col("id"), col("id").as("canonical_id"))
     }
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var changed = 1L
+    // Propagate over MATCHED nodes only (edge endpoints): the label
+    // tables are O(|matched|), not O(|corpus|) — at 100 TB the near-dup
+    // graph is orders of magnitude smaller than the corpus, so every
+    // per-round join shrinks accordingly. Untouched nodes map to
+    // themselves in one final left join against the full node set.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+    var labels = sym.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // Labels only ever decrease, so the round changed something iff the
+    // label sum strictly dropped — one partial agg per round instead of
+    // a join + count against the previous round's table.
+    var prevSum = labelSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (!converged && it < maxIters) {
       val nbrMin = sym
         .join(labels.select(col("id").as("y"), col("label").as("ylab")), "y")
         .groupBy(col("x")).agg(min(col("ylab")).as("nbr"))
@@ -143,19 +155,19 @@ object Dedup {
             coalesce(col("jlab"), col("label")),
             coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") < col("old")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       it += 1
     }
     // With pointer jumping, non-convergence needs a component diameter
     // ~2^maxIters — pathological, but returning silently-wrong canonical
     // ids would be worse than failing loudly.
-    require(changed == 0,
-      s"connected-components did not converge in $maxIters rounds " +
-        s"($changed labels still decreasing) — raise maxIters")
-    labels.select(col("id"), col("label").as("canonical_id"))
+    require(converged,
+      s"connected-components did not converge in $maxIters rounds — raise maxIters")
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("canonical_id"))
   }
 
   /** d06: MinHash + LSH near-dup dedup.

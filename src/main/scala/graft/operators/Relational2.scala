@@ -155,15 +155,29 @@ object Relational2 {
     c.except(s).orderBy(col("nk"))
   }
 
-  /** q34: exact continuous percentiles (median / p90) per group. */
-  def q34Percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+  /** q34: exact continuous percentiles (median / p90) per group.
+    *
+    * NOT the built-in exact `percentile` aggregate: that holds a
+    * value->count map per group in one task — O(distinct values) state,
+    * which for high-cardinality columns (prices) is an O(rows) buffer
+    * at 100 TB. [[Percentiles.exactByRank]] computes the same type-7
+    * order statistics via a distributed two-pass rank + broadcast
+    * index-target pick, one range-shuffle pass per ranked column.
+    */
+  def q34Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val qty = Percentiles.exactByRank(
+      li, "l_returnflag", "l_quantity", Seq(0.5, 0.9), Seq("mq", "pq"))
+    val price = Percentiles.exactByRank(
+      li, "l_returnflag", "l_extendedprice", Seq(0.5), Seq("mp"))
+    qty.join(price, "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        round(col("mq"), 4).as("median_qty"),
+        round(col("pq"), 4).as("p90_qty"),
+        round(col("mp"), 4).as("median_price"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** q35: LIKE / string-predicate filter (pushes as StringContains). */
   def q35Like(spark: SparkSession, dir: String): DataFrame =

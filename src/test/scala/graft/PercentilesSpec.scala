@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Percentiles
+
+class PercentilesSpec extends AnyFunSuite with SparkSpec {
+
+  test("rank-based exact percentiles equal the built-in percentile aggregate") {
+    val li = Tables.lineitem(spark, sf)
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("mq"),
+        expr("percentile(l_quantity, 0.9)").as("pq"),
+        expr("percentile(l_extendedprice, 0.5)").as("mp"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 1e4), math.round(r.getDouble(2) * 1e4),
+        math.round(r.getDouble(3) * 1e4)))
+
+    val qty = Percentiles.exactByRank(
+      li, "l_returnflag", "l_quantity", Seq(0.5, 0.9), Seq("mq", "pq"))
+    val price = Percentiles.exactByRank(
+      li, "l_returnflag", "l_extendedprice", Seq(0.5), Seq("mp"))
+    val ranked = qty.join(price, "l_returnflag").orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 1e4), math.round(r.getDouble(2) * 1e4),
+        math.round(r.getDouble(3) * 1e4)))
+
+    assert(ranked.toSeq == builtin.toSeq)
+  }
+
+  test("numeric group keys and single-row groups interpolate correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 10.0), (1, 20.0), (1, 30.0), (1, 40.0), // p50 = 25, p90 = 37
+      (2, 7.5) // single row: every percentile is the value itself
+    ).toDF("g", "v")
+    val out = Percentiles.exactByRank(df, "g", "v", Seq(0.5, 0.9), Seq("p50", "p90"))
+      .orderBy("g").collect()
+    assert(out(0).getInt(0) == 1)
+    assert(math.abs(out(0).getDouble(1) - 25.0) < 1e-9)
+    assert(math.abs(out(0).getDouble(2) - 37.0) < 1e-9)
+    assert(out(1).getInt(0) == 2)
+    assert(out(1).getDouble(1) == 7.5 && out(1).getDouble(2) == 7.5)
+  }
+
+  test("null values are excluded like SQL percentile semantics") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None)
+    ).toDF("g", "v")
+    val out = Percentiles.exactByRank(df, "g", "v", Seq(0.5), Seq("p50"))
+      .orderBy("g").collect()
+    // group b is all-null → omitted; a's median over (1, 3) = 2
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "a" && math.abs(out(0).getDouble(1) - 2.0) < 1e-9)
+  }
+}

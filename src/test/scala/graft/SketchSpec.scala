@@ -66,4 +66,28 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     val b = mergedQuantile((0 until 6).reverse)
     assert(a == b)
   }
+
+  test("serialize round-trip preserves compaction parity") {
+    import graft.plans.QuantileSketch
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = QuantileSketch(Literal(0.0), Seq(0.5), capacity = 8)
+    val rnd = new Random(21)
+    val vals = Array.fill(64)(rnd.nextDouble())
+
+    // In-memory run vs a run whose buffer round-trips through
+    // serialize/deserialize mid-stream: identical keep-even/keep-odd
+    // alternation requires the parity bit to survive the round-trip.
+    val direct = new QuantileSketchBuffer(8)
+    vals.foreach(direct.insert)
+
+    var shuffled = new QuantileSketchBuffer(8)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      shuffled.insert(v)
+      if (i % 16 == 15) shuffled = agg.deserialize(agg.serialize(shuffled))
+    }
+
+    assert(shuffled.parity == direct.parity)
+    assert(shuffled.levels.map(_.sorted.toSeq).toSeq ==
+      direct.levels.map(_.sorted.toSeq).toSeq)
+  }
 }
