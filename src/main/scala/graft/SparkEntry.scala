@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Relational, Relational2, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Relational2, Similarity, TextAnalysis, TextCorpus}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -148,6 +148,13 @@ object SparkEntry {
     "st04_stream_join"   -> EventStreams.st04StreamJoin _,
     "st05_top_users"     -> EventStreams.st05TopUsers _,
     "d10_rolling_fingerprint" -> Dedup.d10RollingFingerprint _,
+    "q40_grouping_sets"  -> Relational2.q40GroupingSets _,
+    "d13_paragraph_dedup" -> TextCorpus.d13ParagraphDedup _,
+    "d14_repetition"     -> TextCorpus.d14Repetition _,
+    "d15_tfidf"          -> TextCorpus.d15Tfidf _,
+    "s04_quantize"       -> Similarity.s04Quantize _,
+    "st06_session_window" -> EventStreams.st06SessionWindow _,
+    "mv02_join_view"     -> graft.operators.Materialized.mv02JoinView _,
   )
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares). */
@@ -710,5 +717,86 @@ object SparkEntry {
         |FROM e JOIN p ON e.user_id = p.user_id
         |  AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
         |ORDER BY error_id, purchase_id""".stripMargin,
+    "q40_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "d13_paragraph_dedup" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM documents),
+        |s1 AS (
+        |  SELECT DISTINCT doc_id, md5(lower(trim(s))) AS h
+        |  FROM s0 WHERE length(trim(s)) > 0),
+        |f AS (SELECT h, count(DISTINCT doc_id) AS n_docs_with FROM s1 GROUP BY h)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_sents,
+        |  CAST(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS INT) AS n_shared,
+        |  round(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio
+        |FROM s1 JOIN f USING (h)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "d14_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, count(*) AS f FROM w WHERE w <> '' GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(sum(f) AS INT) AS n_words,
+        |  CAST(count(*) AS INT) AS n_types,
+        |  CAST(max(f) AS INT) AS max_freq,
+        |  round(max(f) * 1.0 / sum(f), 4) AS rep_ratio,
+        |  round(count(*) * 1.0 / sum(f), 4) AS ttr
+        |FROM f GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // Unlogged N/df idf: rational arithmetic ranks identically across
+    // engines (ln differs in the last ulp between libm implementations
+    // and could flip near-tied ranks).
+    "d15_tfidf" ->
+      """WITH n AS (SELECT count(*) AS n_corpus FROM documents),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w WHERE w <> '' GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |s AS (
+        |  SELECT doc_id, w, CAST(tf AS DOUBLE) * n_corpus / df AS score
+        |  FROM tf JOIN df USING (w) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, w, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+        |  FROM s)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, w AS term, round(score, 4) AS tfidf
+        |FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "s04_quantize" -> graft.operators.Similarity.s04OracleSql,
+    // session_window's merge rule replayed as a lag-gap sessionizer:
+    // new session when gap >= 30 min (half-open [start, last + gap)
+    // windows), end = last event + gap.
+    "st06_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, value, epoch_us(ts) AS t,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |s AS (
+        |  SELECT user_id, value, t,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(t) AS start_us, max(t) + 1800000000 AS end_us,
+        |  CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+    // Incremental join-view refresh must equal the full join recompute.
+    "mv02_join_view" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
   )
 }

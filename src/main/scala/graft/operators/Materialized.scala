@@ -64,4 +64,48 @@ object Materialized {
     val h2 = orders.filter(y === maxYear && month(col("o_orderdate")) > 6)
     present(mergeDelta(mergeDelta(partialState(base), h1), h2))
   }
+
+  /** Partial-aggregate state of a JOIN view batch: order deltas joined
+    * against the (slowly-changing, here static) customer dimension,
+    * aggregated to (mktsegment, orderstatus). The join distributes over
+    * insert-only fact deltas — ΔV = agg(ΔO ⋈ C) — so each refresh
+    * joins ONLY the delta against the dimension, never re-touching the
+    * base fact table. At 100 TB the dimension side broadcasts and the
+    * refresh cost is O(|delta|).
+    */
+  def partialJoinState(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select(
+        col("c_custkey").as("o_custkey"), col("c_mktsegment"))), "o_custkey")
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev_raw"))
+
+  private def mergeJoinDelta(view: DataFrame, delta: DataFrame, customer: DataFrame): DataFrame =
+    view.unionByName(partialJoinState(delta, customer))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(sum(col("n")).as("n"), sum(col("rev_raw")).as("rev_raw"))
+
+  /** mv02: incremental maintenance of an aggregate-JOIN view — same
+    * base/H1/H2 refresh schedule as mv01, with the fact⋈dim join inside
+    * the view definition. Oracle = full join recompute: equality shows
+    * the delta-join algebra loses nothing across merges.
+    */
+  def mv02JoinView(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val y = year(col("o_orderdate"))
+    val maxRow = orders.agg(max(y)).collect().head
+    def pres(v: DataFrame): DataFrame =
+      v.select(
+        col("c_mktsegment"), col("o_orderstatus"), col("n"),
+        round(col("rev_raw"), 2).as("rev"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    if (maxRow.isNullAt(0)) return pres(partialJoinState(orders, customer))
+    val maxYear = maxRow.getInt(0)
+    val base = orders.filter(y.isNull || y < maxYear)
+    val h1 = orders.filter(y === maxYear && month(col("o_orderdate")) <= 6)
+    val h2 = orders.filter(y === maxYear && month(col("o_orderdate")) > 6)
+    pres(mergeJoinDelta(
+      mergeJoinDelta(partialJoinState(base, customer), h1, customer), h2, customer))
+  }
 }

@@ -241,6 +241,23 @@ object Relational2 {
     * what the oracle hash-checks; the beyond-capacity regime's rank
     * error is spec-bounded (SketchSpec).
     */
+  /** q40: GROUPING SETS — an explicit subtotal lattice that is neither
+    * a rollup prefix chain nor the full cube: per-status totals,
+    * per-priority totals, and the grand total, disambiguated by
+    * grouping() markers (a NULL group value vs a subtotal row).
+    * Through the SQL surface; plans as a single Expand + partial agg.
+    */
+  def q40GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.sql(spark, dir,
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+
   def q38SketchQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .groupBy(col("c_nationkey"))

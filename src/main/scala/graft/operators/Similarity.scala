@@ -321,6 +321,77 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** s04: int8 scalar quantization of the embedding column — the
+    * compression step a 100 TB vector corpus applies before indexing
+    * (4x smaller than float32, cache-resident distance kernels).
+    * Symmetric max-abs scaling per vector: scale = max|x| / 127,
+    * q_i = floor(x_i / scale + 0.5) — floor(+0.5) instead of round()
+    * because round-half ties are engine-specific while floor is IEEE-
+    * portable. Emits the scale, an order-free integer checksum of the
+    * codes, and the L2 reconstruction error.
+    *
+    * Typed single pass per vector (same rationale as Dedup.signatures:
+    * a Catalyst lambda nest would re-reduce max|x| per element);
+    * O(dim) per row, shuffles nothing.
+    */
+  def s04Quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val xs = emb.map(_.toDouble)
+        var maxAbs = 0.0
+        xs.foreach(x => maxAbs = math.max(maxAbs, math.abs(x)))
+        if (maxAbs == 0.0) (id, 0.0, 0L, 0.0)
+        else {
+          val scale = maxAbs / 127.0
+          val q = xs.map(x => math.floor(x / scale + 0.5).toLong)
+          var cks = 0L
+          var se = 0.0
+          var i = 0
+          while (i < xs.length) {
+            cks += q(i) * (i + 1)
+            val d = xs(i) - q(i) * scale
+            se += d * d
+            i += 1
+          }
+          (id, scale, cks, math.sqrt(se))
+        }
+      }
+      .toDF("vec_id", "scale_raw", "checksum", "err_raw")
+      .select(
+        col("vec_id"),
+        round(col("scale_raw"), 8).as("q_scale"),
+        col("checksum"),
+        round(col("err_raw"), 6).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of s04: identical float->double casts, division
+    * sequence, floor(+0.5) code assignment, and sequential
+    * error-accumulation order (list_reduce mirrors the JVM loop).
+    */
+  def s04OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, xs,
+       |  list_max(list_transform(xs, x -> abs(x))) AS maxabs FROM e),
+       |q AS (SELECT vec_id, xs, maxabs,
+       |  CASE WHEN maxabs = 0 THEN list_transform(xs, x -> CAST(0 AS BIGINT))
+       |       ELSE list_transform(xs, x -> CAST(floor(x / (maxabs / 127.0) + 0.5) AS BIGINT))
+       |  END AS qs
+       |  FROM m)
+       |SELECT vec_id,
+       |  round(CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs / 127.0 END, 8) AS q_scale,
+       |  CAST(list_sum([qs[i] * i FOR i IN range(1, len(qs) + 1)]) AS BIGINT) AS checksum,
+       |  round(CASE WHEN maxabs = 0 THEN 0.0 ELSE sqrt(list_reduce(
+       |    list_prepend(CAST(0 AS DOUBLE),
+       |      [(xs[i] - qs[i] * (maxabs / 127.0)) * (xs[i] - qs[i] * (maxabs / 127.0))
+       |       FOR i IN range(1, len(xs) + 1)]),
+       |    (a, v) -> a + v)) END, 6) AS recon_err
+       |FROM q ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------
   // DuckDB oracle twins. The hyperplane tensor is data-independent
   // (fixed seed), so it inlines as a SQL literal; signatures are then

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level text statistics for training-data curation
+  * (SURVEY.md §2: d13..d15) — the passes that run AFTER per-doc
+  * cleanup (d11/d12) and alongside dedup (d01/d06..): cross-document
+  * boilerplate detection, within-document repetition scoring, and
+  * TF-IDF salient-term extraction.
+  *
+  * All three are pure relational plans (explode → partial-agg groupBy →
+  * equi-join), so every stage shuffles on a high-cardinality key
+  * (sentence hash, (doc, word), word) and map-side combines — the
+  * shapes that survive a 100 TB corpus.
+  */
+object TextCorpus {
+
+  /** Distinct normalized sentences per document: (doc_id, h). */
+  private def sentences(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("s"))
+      .filter(length(trim(col("s"))) > 0)
+      .select(col("doc_id"), md5(lower(trim(col("s")))).as("h"))
+      .distinct()
+
+  /** d13: cross-document boilerplate (paragraph/sentence dedup) — for
+    * each document, how many of its distinct sentences also occur in at
+    * least one OTHER document. High dup_ratio flags templated /
+    * mirrored pages, the classic pre-training corpus pollution.
+    *
+    * Shape: explode to (doc, sentence-hash), per-hash distinct-doc
+    * count (one shuffle on the hash), join back, per-doc agg. Never
+    * pairwise: a sentence shared by k docs costs k rows, not k².
+    */
+  def d13ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sents = sentences(spark, dir)
+    val docFreq = sents.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    sents.join(docFreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_sents"),
+        sum(when(col("n_docs_with") >= 2, 1).otherwise(0)).cast("int").as("n_shared"))
+      .withColumn("dup_ratio", round(col("n_shared") * 1.0 / col("n_sents"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d14: within-document repetition scoring — max-word-frequency ratio
+    * (repeated-phrase degeneracy signal) and type-token ratio (lexical
+    * diversity). Low-TTR / high-repetition docs are the "aaaa aaaa"
+    * degenerate pages a quality filter drops.
+    */
+  def d14Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("f")).cast("int").as("n_words"),
+        count(lit(1)).cast("int").as("n_types"),
+        max(col("f")).cast("int").as("max_freq"))
+      .withColumn("rep_ratio", round(col("max_freq") * 1.0 / col("n_words"), 4))
+      .withColumn("ttr", round(col("n_types") * 1.0 / col("n_words"), 4))
+      .orderBy(col("doc_id"))
+
+  /** d15: TF-IDF salient terms — top 3 terms per document by
+    * tf x (N / df), ties broken lexicographically.
+    *
+    * The idf factor is the UNLOGGED N/df variant: rational arithmetic
+    * only (+,-,*,/ are IEEE-exact and engine-portable), so the oracle
+    * ranks identically — ln() differs in the last ulp across libm
+    * implementations and could flip near-tied ranks.
+    *
+    * The per-doc top-k window partitions by doc_id (high cardinality —
+    * no skewed single-task sort), and df is a partial-agg groupBy on
+    * the word, not a broadcast of the vocabulary.
+    */
+  def d15Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(df, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_corpus") / col("df"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 3)
+      .select(
+        col("doc_id"), col("rnk").cast("int").as("rnk"), col("w").as("term"),
+        round(col("score"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+}

@@ -208,4 +208,31 @@ object EventStreams {
   def st05TopUsers(spark: SparkSession, dir: String): DataFrame =
     rankTopUsers(hourlyUserCounts(Tables.events(spark, dir)))
       .orderBy("window_start", "rnk")
+
+  /** Native session-window aggregation — Spark's `session_window`
+    * merges events whose gaps are strictly under 30 min into one
+    * growing window (end = last event + gap). Unified batch/stream
+    * form: streaming callers watermark `ts` upstream and Spark merges
+    * session state incrementally per key.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events").cast("int").as("n_events"),
+        col("sum_value"))
+
+  /** st06 (oracle-checked in batch): per-user session windows. The
+    * oracle replays the merge rule with a lag-gap sessionizer (new
+    * session when gap >= 30 min — session_window's half-open [start,
+    * last + gap) interval); the streaming twin is driven in
+    * StreamingSpec and must equal this batch result.
+    */
+  def st06SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(Tables.events(spark, dir))
+      .orderBy("user_id", "start_us")
 }

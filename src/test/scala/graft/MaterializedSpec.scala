@@ -27,6 +27,28 @@ class MaterializedSpec extends AnyFunSuite with SparkSpec {
     assert(Materialized.present(byYear).collect().map(_.toString).toSeq == full)
   }
 
+  test("mv02 incremental join-view refresh equals the full join recompute") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val full = Materialized.partialJoinState(orders, customer)
+      .select(col("c_mktsegment"), col("o_orderstatus"), col("n"),
+        round(col("rev_raw"), 2).as("rev"))
+      .orderBy("c_mktsegment", "o_orderstatus")
+      .collect().map(_.toString).toSeq
+    val inc = Materialized.mv02JoinView(spark, sf).collect().map(_.toString).toSeq
+    assert(inc == full)
+  }
+
+  test("mv01/mv02 degrade gracefully on an empty base table") {
+    import spark.implicits._
+    val empty = Tables.orders(spark, sf).filter(col("o_orderkey") < 0)
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-mv-empty").toString
+    empty.write.parquet(s"$emptyDir/orders.parquet")
+    Tables.customer(spark, sf).write.parquet(s"$emptyDir/customer.parquet")
+    assert(Materialized.mv01IncrementalAgg(spark, emptyDir).collect().isEmpty)
+    assert(Materialized.mv02JoinView(spark, emptyDir).collect().isEmpty)
+  }
+
   test("refresh cost is delta-sized: merge plan never rescans the base table") {
     // The merged plan reads the view state (already aggregated) and the
     // delta; the base orders scan appears only under the view lineage,

@@ -48,4 +48,29 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       assert(s >= 1 && s <= n)
     }
   }
+
+  test("q40 grouping sets equals the union of the three explicit groupings") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf)
+    def g(cols: Seq[String]): Seq[(Option[String], Option[String], Long)] = {
+      val grouped =
+        if (cols.isEmpty) o.agg(count(lit(1)).as("n"))
+        else o.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      grouped.collect().map { r =>
+        val m = cols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap
+        (m.get("o_orderstatus"), m.get("o_orderpriority"), r.getAs[Long]("n"))
+      }.toSeq
+    }
+    val expected = (g(Seq("o_orderstatus")) ++ g(Seq("o_orderpriority")) ++ g(Nil))
+      .sortBy(t => (t._1.getOrElse(""), t._2.getOrElse(""), t._3))
+    val got = graft.operators.Relational2.q40GroupingSets(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getAs[Long]("n")))
+      .sortBy(t => (t._1.getOrElse(""), t._2.getOrElse(""), t._3)).toSeq
+    assert(got == expected)
+    // grouping() markers disambiguate subtotal rows from NULL values
+    graft.operators.Relational2.q40GroupingSets(spark, sf).collect().foreach { r =>
+      assert((r.getInt(4) == 1) == r.isNullAt(0))
+      assert((r.getInt(5) == 1) == r.isNullAt(1))
+    }
+  }
 }

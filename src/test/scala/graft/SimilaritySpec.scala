@@ -103,4 +103,56 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val ivf = Similarity.s03AnnIvf(spark, sf).collect().map(_.toString).toSeq
     assert(ivf == brute)
   }
+
+  test("s04 int8 quantization: scale and error bound hold for every vector") {
+    val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)).toMap
+    val out = Similarity.s04Quantize(spark, sf).collect()
+    assert(out.length == raw.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val scale = r.getDouble(1)
+      val err = r.getDouble(3)
+      val xs = raw(id)
+      val maxAbs = xs.map(math.abs).max
+      // scale is max|x|/127 (round 8)
+      assert(math.abs(scale - maxAbs / 127.0) < 5e-9, s"vec $id scale")
+      // per-element quantization error <= scale/2, so the L2 error is
+      // bounded by sqrt(dim) * scale / 2
+      val bound = math.sqrt(xs.length) * (maxAbs / 127.0) / 2 + 1e-6
+      assert(err >= 0 && err <= bound, s"vec $id err $err > bound $bound")
+    }
+  }
+
+  test("s04 codes round-trip: dequantized vector ranks like the original") {
+    // Quantization must preserve nearest-neighbor structure well enough
+    // that the top-1 neighbor under dequantized cosine matches the exact
+    // top-1 for most queries (int8 keeps ~2 decimal digits per weight).
+    val ex = Similarity.s01AnnBrute(spark, sf).collect()
+      .filter(_.getInt(1) == 1).map(r => (r.getLong(0), r.getLong(2))).toMap
+    val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
+    def quantized(xs: Array[Double]): Array[Double] = {
+      val maxAbs = xs.map(math.abs).max
+      if (maxAbs == 0) xs
+      else {
+        val s = maxAbs / 127.0
+        xs.map(x => math.floor(x / s + 0.5) * s)
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val queries = raw.filter(_._1 < 10).map { case (id, xs) => (id, quantized(xs)) }
+    val corpus = raw.filter(_._1 >= 10).map { case (id, xs) => (id, quantized(xs)) }
+    val hits = queries.count { case (qid, qv) =>
+      val top1 = corpus.maxBy { case (nid, nv) => (cos(qv, nv), -nid) }._1
+      ex(qid) == top1
+    }
+    assert(hits >= 8, s"quantized top-1 agreement $hits/10 below floor")
+  }
 }

@@ -187,6 +187,59 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == Seq("[10,20,1]", "[11,22,2]"))
   }
 
+  test("st06 session_window: streaming result equals batch, and merges gaps under 30 min") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "click"),
+      ev(2, "2024-01-01 00:20:00", 1, "click"), // 20-min gap: merges
+      ev(3, "2024-01-01 01:30:00", 1, "click"), // 70-min gap: new session
+      ev(4, "2024-01-01 00:00:00", 2, "view"))
+
+    val stream = MemoryStream[Event]
+    stream.addData(data)
+    val q = EventStreams.sessionWindowAgg(
+      stream.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sw_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.sql("SELECT * FROM sw_out ORDER BY user_id, start_us")
+      .collect().map(_.toString).toSeq
+    val batch = EventStreams.sessionWindowAgg(data.toDF())
+      .orderBy("user_id", "start_us").collect()
+    assert(streamed == batch.map(_.toString).toSeq)
+
+    val u1 = batch.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 2)
+    assert(u1.head.getAs[Int]("n_events") == 2)
+    // end = last event + gap: 00:20 + 30 min = 00:50
+    assert(u1.head.getAs[Long]("end_us") ==
+      Timestamp.valueOf("2024-01-01 00:50:00").getTime * 1000L)
+  }
+
+  test("streaming aggregates report state-store metrics in progress") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(Seq(
+      ev(1, "2024-01-01 00:10:00", 1, "click"),
+      ev(2, "2024-01-01 00:20:00", 2, "view")))
+    val q = EventStreams.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("metrics_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // The operator surface the driver of a 100 TB stream watches:
+      // per-operator state rows/bytes must be reported and non-empty.
+      val progress = q.lastProgress
+      assert(progress != null, "expected at least one progress event")
+      val ops = progress.stateOperators
+      assert(ops.nonEmpty, "stateful agg must report a state operator")
+      assert(ops.head.numRowsTotal > 0, "state rows should be tracked")
+      assert(ops.head.memoryUsedBytes > 0, "state memory should be tracked")
+    } finally q.stop()
+  }
+
   test("stateful sessionization splits on 30-min gaps (batch complete)") {
     import spark.implicits._
     val data = Seq(
