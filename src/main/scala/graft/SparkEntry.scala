@@ -155,6 +155,9 @@ object SparkEntry {
     "s04_quantize"       -> Similarity.s04Quantize _,
     "st06_session_window" -> EventStreams.st06SessionWindow _,
     "mv02_join_view"     -> graft.operators.Materialized.mv02JoinView _,
+    "q41_gap_fill"       -> Relational2.q41GapFill _,
+    "d16_ngram_stats"    -> TextCorpus.d16NgramStats _,
+    "d17_contamination"  -> TextCorpus.d17Contamination _,
   )
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares). */
@@ -798,5 +801,58 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2
         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "q41_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(sum(o_totalprice * 100.0), 0) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo, max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+        |grid AS (SELECT o_orderstatus, d
+        |  FROM (SELECT DISTINCT o_orderstatus FROM orders) s CROSS JOIN spine),
+        |f AS (SELECT g.o_orderstatus, g.d, daily.rev_cents
+        |  FROM grid g LEFT JOIN daily ON g.o_orderstatus = daily.o_orderstatus AND g.d = daily.d)
+        |SELECT o_orderstatus, d, rev_cents,
+        |  last_value(rev_cents IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS filled_cents
+        |FROM f ORDER BY o_orderstatus, d""".stripMargin,
+    "d16_ngram_stats" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        |b AS (SELECT unnest(CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+        |                         ELSE [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] END) AS bg FROM t)
+        |SELECT bg, count(*) AS n FROM b GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin,
+    // Contamination replay: the d10 winnowing CTEs compute each doc's
+    // fingerprint set; benchmark docs (id < 50) donate the held-out
+    // set, corpus docs (id >= 50) count overlaps.
+    "d17_contamination" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+        |c AS (
+        |  SELECT doc_id, length(s) AS L,
+        |    [CAST(unicode(s[k:k]) AS BIGINT) FOR k IN range(1, length(s) + 1)] AS cd
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, L,
+        |    CASE WHEN L < 8 THEN CAST([] AS BIGINT[]) ELSE
+        |      [(cd[i] * 13163680 + cd[i+1] * 805498697 + cd[i+2] * 154885210
+        |        + cd[i+3] * 362470373 + cd[i+4] * 16974593 + cd[i+5] * 66049
+        |        + cd[i+6] * 257 + cd[i+7]) % 1000000007
+        |       FOR i IN range(1, L - 8 + 2)] END AS hs
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN len(hs) < 4 THEN [list_min(hs)]
+        |         ELSE [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 4 + 2)]
+        |    END AS mins
+        |  FROM h),
+        |fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w),
+        |bench AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 50),
+        |hits AS (SELECT f.doc_id, count(*) AS n_shared
+        |         FROM fp f JOIN bench USING (fp) WHERE f.doc_id >= 50 GROUP BY f.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS INT) AS n_shared_fp,
+        |  coalesce(h.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+        |LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -160,15 +160,17 @@ object Relational2 {
     * NOT the built-in exact `percentile` aggregate: that holds a
     * value->count map per group in one task — O(distinct values) state,
     * which for high-cardinality columns (prices) is an O(rows) buffer
-    * at 100 TB. [[Percentiles.exactByRank]] computes the same type-7
-    * order statistics via a distributed two-pass rank + broadcast
-    * index-target pick, one range-shuffle pass per ranked column.
+    * at 100 TB. [[Percentiles.exactByHistogram]] computes the same
+    * type-7 order statistics via iterative histogram narrowing: no data
+    * shuffle at all, only O(buckets) aggregate rows per pass (the
+    * rank-shuffle form, [[Percentiles.exactByRank]], is kept for
+    * callers needing full rank assignment).
     */
   def q34Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val qty = Percentiles.exactByRank(
+    val qty = Percentiles.exactByHistogram(
       li, "l_returnflag", "l_quantity", Seq(0.5, 0.9), Seq("mq", "pq"))
-    val price = Percentiles.exactByRank(
+    val price = Percentiles.exactByHistogram(
       li, "l_returnflag", "l_extendedprice", Seq(0.5), Seq("mp"))
     qty.join(price, "l_returnflag")
       .select(
@@ -231,6 +233,34 @@ object Relational2 {
       .groupBy(col("event_id"))
       .agg(count(col("t_pur")).as("n_nearby"))
       .orderBy(col("event_id"))
+  }
+
+  /** q41: calendar gap-fill — build the full (status x day) date spine,
+    * left-join the daily revenue series, and carry the last observation
+    * forward over the gaps with an IGNORE NULLS window (LOCF, the
+    * standard time-series repair for reporting dashboards). Days before
+    * a status's first observation stay null.
+    *
+    * The window partitions by the low-cardinality status — safe ONLY
+    * because its input is the pre-aggregated |days| x |statuses| grid
+    * (thousands of rows at any corpus size), the same category as
+    * q07/q08's day-series windows, never raw fact rows.
+    */
+  def q41GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val daily = o.groupBy(col("o_orderstatus"), to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum(col("o_totalprice") * 100.0), 0).cast("long").as("rev_cents"))
+    val spine = o
+      .agg(to_date(min(col("o_orderdate"))).as("lo"), to_date(max(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+    val grid = spine.crossJoin(o.select(col("o_orderstatus")).distinct())
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("o_orderstatus", "d"), "left")
+      .select(
+        col("o_orderstatus"), col("d"), col("rev_cents"),
+        last(col("rev_cents"), ignoreNulls = true).over(w).as("filled_cents"))
+      .orderBy(col("o_orderstatus"), col("d"))
   }
 
   /** q38: per-nation balance quantiles via the mergeable KLL-style

@@ -80,6 +80,68 @@ object TextCorpus {
     * no skewed single-task sort), and df is a partial-agg groupBy on
     * the word, not a broadcast of the vocabulary.
     */
+  /** d16: corpus n-gram statistics — top-20 word bigrams. The n-gram
+    * language-model-style counts a data pipeline uses for boilerplate
+    * lists, tokenizer corpus analysis, and quality heuristics.
+    *
+    * Typed pairing pass per document (a Catalyst lambda nest over
+    * split() would re-tokenize per index — the CollapseProject/HOF
+    * re-evaluation blowup), then a plain partial-agg count: shuffle is
+    * O(distinct bigrams), and the global top-20 is a TakeOrdered, not
+    * a full sort.
+    */
+  def d16NgramStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        if (ws.length < 2) Iterator.empty
+        else ws.sliding(2).map(p => p(0) + " " + p(1))
+      }
+      .toDF("bg")
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(20)
+  }
+
+  /** d17: benchmark-contamination check — which corpus documents share
+    * winnowed rolling-hash fingerprints ([[Dedup.rollingFingerprints]])
+    * with a benchmark set (here: doc_id < 50 plays the held-out eval
+    * set). The canonical decontamination pass before training: n-gram
+    * fingerprint overlap, not exact match, so paraphrase-adjacent
+    * copies still hit.
+    *
+    * Shape: O(chars) fingerprint pass on both sides, equi-join on the
+    * fingerprint (benchmark side is tiny → broadcast), per-doc count.
+    * Never compares documents pairwise.
+    */
+  def d17Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Dedup.rollingFingerprints(text).map(fp => (id, fp))
+      }
+      .toDF("doc_id", "fp")
+    val benchFps = fps.filter(col("doc_id") < 50)
+      .select(col("fp")).distinct()
+    val corpus = fps.filter(col("doc_id") >= 50)
+    val hits = corpus.join(broadcast(benchFps), "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_shared_fp"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 50)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared_fp"), lit(0)).as("n_shared_fp"),
+        (coalesce(col("n_shared_fp"), lit(0)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   def d15Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)

@@ -81,4 +81,32 @@ object Sources {
       .withColumn("o_year", year(col("o_orderdate")))
     writePartitioned(orders, outPath, Seq("o_year"))
   }
+
+  /** Small-files compaction — the table-maintenance pass every
+    * long-lived 100 TB dataset needs: streaming sinks and fine-grained
+    * partition writes accumulate thousands of tiny files, and each file
+    * costs a task, a footer read, and a namenode entry. Rewrites the
+    * dataset into ~`targetFileBytes` files based on its measured
+    * on-disk size.
+    *
+    * Uses coalesce (narrow — no shuffle: merging files doesn't need a
+    * repartition) unless the caller asks to also sort, in which case a
+    * repartitionByRange lays files out for min/max data skipping.
+    */
+  def compact(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): Int = {
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(in).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (sortCols.isEmpty) df.coalesce(nFiles)
+      else df.repartitionByRange(nFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    out.write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
 }

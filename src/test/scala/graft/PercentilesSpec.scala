@@ -31,6 +31,45 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
     assert(ranked.toSeq == builtin.toSeq)
   }
 
+  test("histogram-based exact percentiles equal the built-in percentile aggregate") {
+    val li = Tables.lineitem(spark, sf)
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("mq"),
+        expr("percentile(l_quantity, 0.9)").as("pq"),
+        expr("percentile(l_extendedprice, 0.5)").as("mp"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 1e4), math.round(r.getDouble(2) * 1e4),
+        math.round(r.getDouble(3) * 1e4)))
+
+    val qty = Percentiles.exactByHistogram(
+      li, "l_returnflag", "l_quantity", Seq(0.5, 0.9), Seq("mq", "pq"))
+    val price = Percentiles.exactByHistogram(
+      li, "l_returnflag", "l_extendedprice", Seq(0.5), Seq("mp"))
+    val got = qty.join(price, "l_returnflag").orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 1e4), math.round(r.getDouble(2) * 1e4),
+        math.round(r.getDouble(3) * 1e4)))
+    assert(got.toSeq == builtin.toSeq)
+  }
+
+  test("histogram narrowing survives tiny collect budgets and duplicate floods") {
+    import spark.implicits._
+    // Forces multi-round narrowing (budget 16 rows) over a group of
+    // 500 values, plus a duplicate flood where the median bucket can
+    // never split (all-equal guard must resolve it).
+    val varied = (1 to 500).map(i => ("a", i * 1.0))
+    val flood = Seq.fill(400)(("b", 7.0)) ++ Seq(("b", 1.0), ("b", 99.0))
+    val df = (varied ++ flood).toDF("g", "v")
+    val out = Percentiles.exactByHistogram(
+      df, "g", "v", Seq(0.5), Seq("p50"), nBuckets = 8, maxCollect = 16)
+      .orderBy("g").collect()
+    // a: median of 1..500 = 250.5; b: 402 values, 400 of them 7.0
+    assert(math.abs(out(0).getDouble(1) - 250.5) < 1e-9)
+    assert(out(1).getDouble(1) == 7.0)
+  }
+
   test("numeric group keys and single-row groups interpolate correctly") {
     import spark.implicits._
     val df = Seq(

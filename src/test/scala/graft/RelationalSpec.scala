@@ -49,6 +49,25 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q41 gap-fill carries the last observation forward over calendar gaps") {
+    val rows = graft.operators.Relational2.q41GapFill(spark, sf).collect()
+    // Spine completeness: every status covers the same full day range.
+    val byStatus = rows.groupBy(_.getString(0))
+    val nDays = byStatus.values.map(_.length).toSet
+    assert(nDays.size == 1, s"statuses cover different day counts: $nDays")
+    byStatus.values.foreach { rs =>
+      var lastSeen: Option[Long] = None
+      rs.sortBy(_.getDate(1).toString).foreach { r =>
+        val obs = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        val filled = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        if (obs.isDefined) lastSeen = obs
+        assert(filled == lastSeen, s"LOCF violated at $r")
+      }
+    }
+    // The fill actually did something: some gap day inherits a value.
+    assert(rows.exists(r => r.isNullAt(2) && !r.isNullAt(3)))
+  }
+
   test("q40 grouping sets equals the union of the three explicit groupings") {
     import org.apache.spark.sql.functions._
     val o = Tables.orders(spark, sf)

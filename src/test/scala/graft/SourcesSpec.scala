@@ -53,6 +53,44 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction merges small files and preserves content") {
+    val small = tmp() + "/orders_small"
+    val compacted = tmp() + "/orders_compacted"
+    val orders = Tables.orders(spark, sf)
+    orders.repartition(64).write.parquet(small) // 64 tiny files
+    def parquetFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(small).length == 64)
+
+    val bytes = parquetFiles(small).map(_.length()).sum
+    val n = Sources.compact(spark, small, compacted, targetFileBytes = bytes / 4)
+    val got = parquetFiles(compacted).length
+    assert(got <= n && got < 64, s"expected ~$n compacted files, got $got")
+    assert(spark.read.parquet(compacted).orderBy("o_orderkey").collect().map(_.toString).toSeq ==
+      orders.orderBy("o_orderkey").collect().map(_.toString).toSeq)
+  }
+
+  test("sorted compaction produces disjoint per-file key ranges (data skipping)") {
+    val small = tmp() + "/orders_small2"
+    val compacted = tmp() + "/orders_sorted"
+    Tables.orders(spark, sf).repartition(16).write.parquet(small)
+    Sources.compact(spark, small, compacted,
+      targetFileBytes = 64L * 1024, sortCols = Seq("o_orderkey"))
+    val files = new java.io.File(compacted).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1, "need multiple files to show range layout")
+    // Per-file [min, max] of the sort key must not overlap: a filter on
+    // the key then skips whole files via parquet min/max statistics.
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("o_orderkey"), max("o_orderkey")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping file ranges: $hi vs $lo2")
+    }
+  }
+
   test("partitioned layout enables partition pruning") {
     val out = tmp() + "/orders_by_year"
     Sources.exportOrdersByYear(spark, sf, out)

@@ -63,6 +63,37 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("d16 bigram counts match a brute-force count") {
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.length >= 2) ws.sliding(2).foreach(p => counts(p(0) + " " + p(1)) += 1)
+    }
+    val expected = counts.toSeq.sortBy { case (bg, n) => (-n, bg) }.take(20)
+    val got = TextCorpus.d16NgramStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("d17 contamination finds a planted benchmark copy and nothing else spurious") {
+    val out = TextCorpus.d17Contamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // Output covers exactly the corpus side (doc_id >= 50), flags are
+    // consistent with counts.
+    assert(out.forall(_._1 >= 50))
+    assert(out.forall { case (_, n, c) => c == (n > 0) })
+    // Brute-force reference: winnowed-fingerprint overlap per doc.
+    val fps = docs.map { case (id, t) =>
+      id -> graft.operators.Dedup.rollingFingerprints(t).toSet
+    }.toMap
+    val bench = fps.filter(_._1 < 50).values.flatten.toSet
+    val expected = docs.map(_._1).filter(_ >= 50).sorted.map { id =>
+      val shared = (fps(id) & bench).size
+      (id, shared, shared > 0)
+    }
+    assert(out.sortBy(_._1).toSeq == expected)
+  }
+
   test("d13 flags a planted boilerplate sentence across documents") {
     import org.apache.spark.sql.functions._
     // Two docs share the exact boilerplate sentence; the third is clean.
