@@ -34,7 +34,12 @@ object Bench {
     // shows occasional ~30s stall windows; interleaving means a stall
     // degrades one round of several queries — the min over rounds
     // still reflects true per-query cost.
+    // SPARK_GRAFT_ONLY=q01_agg_pricing,d07_dedup_simhash restricts the
+    // run — for controlled single-query measurement while iterating.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val failed = scala.collection.mutable.Set[String]()
     def timedRound(): Map[String, Double] = names.flatMap { name =>
       if (failed(name)) None
