@@ -134,8 +134,11 @@ object Dedup {
       .select(col("id"), col("id").as("label")).localCheckpoint(true)
     // Labels only ever decrease, so the round changed something iff the
     // label sum strictly dropped — one partial agg per round instead of
-    // a join + count against the previous round's table.
-    var prevSum = labelSum(labels)
+    // a join + count against the previous round's table. No initial sum
+    // job: round 1 always changes labels when edges exist (the larger
+    // endpoint of any edge takes a smaller label), so the first
+    // comparison is against round 1's sum.
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -156,7 +159,7 @@ object Dedup {
             coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true)
       val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       it += 1

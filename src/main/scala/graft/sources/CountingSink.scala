@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 WRITE connector — the other half of the V2 surface
+  * next to [[SynthSource]]'s read path. A metrics-only sink
+  * (`format("graft-counting-sink").option("tag", ...)`) that exercises
+  * the full distributed commit protocol:
+  *
+  *  - one [[DataWriter]] per task buffers only a COUNT (no data): at
+  *    100 TB a sink writer must never hold rows;
+  *  - each task emits a [[WriterCommitMessage]]; the driver commits the
+  *    job only when EVERY task reported success — Spark re-attempts
+  *    failed tasks and calls `abort` on job failure, which is exactly
+  *    the two-phase protocol a real table format (Iceberg/Delta-style)
+  *    plugs into;
+  *  - committed totals land in a driver-side registry keyed by the
+  *    caller's `tag`, where the spec (and any metrics scraper) reads
+  *    them; aborted jobs record nothing.
+  */
+class CountingSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-counting-sink"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CountingSinkTable(schema, properties.getOrDefault("tag", "default"))
+}
+
+object CountingSink {
+  /** tag -> (committed row count, task commit messages seen). */
+  private val committed = new ConcurrentHashMap[String, (Long, Int)]()
+
+  def committedRows(tag: String): Option[Long] =
+    Option(committed.get(tag)).map(_._1)
+  def committedTasks(tag: String): Option[Int] =
+    Option(committed.get(tag)).map(_._2)
+  private[sources] def record(tag: String, rows: Long, tasks: Int): Unit =
+    committed.put(tag, (rows, tasks))
+}
+
+private[sources] class CountingSinkTable(schema: StructType, tag: String)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft_counting_sink($tag)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // Truncate is a no-op for a metrics sink; accepting it lets
+      // callers use SaveMode.Overwrite.
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new CountingBatchWrite(tag)
+      }
+    }
+}
+
+private[sources] case class CountMessage(rows: Long) extends WriterCommitMessage
+
+private[sources] class CountingBatchWrite(tag: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new CountingWriterFactory
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.collect { case CountMessage(n) => n }.sum
+    CountingSink.record(tag, rows, messages.length)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class CountingWriterFactory extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var n = 0L
+      override def write(record: InternalRow): Unit = n += 1
+      override def commit(): WriterCommitMessage = CountMessage(n)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}

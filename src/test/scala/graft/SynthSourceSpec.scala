@@ -47,6 +47,30 @@ class SynthSourceSpec extends AnyFunSuite with SparkSpec {
     assert(generated == 5, s"scan still generates $generated rows")
   }
 
+  test("counting sink runs the full V2 batch commit protocol") {
+    import graft.sources.CountingSink
+    val df = synth(5000, 6)
+    df.write.format("graft-counting-sink")
+      .option("tag", "sink-spec").mode("overwrite").save()
+    assert(CountingSink.committedRows("sink-spec").contains(5000L))
+    // One commit message per input partition — the driver saw every
+    // task's two-phase commit, not a collapsed single-writer path.
+    assert(CountingSink.committedTasks("sink-spec").contains(6))
+    // A second job with the same tag overwrites the registry entry.
+    df.filter(col("id") < 100).write.format("graft-counting-sink")
+      .option("tag", "sink-spec").mode("overwrite").save()
+    assert(CountingSink.committedRows("sink-spec").contains(100L))
+  }
+
+  test("counting sink accepts any upstream plan (end of a real pipeline)") {
+    import graft.sources.CountingSink
+    graft.operators.Relational.q04JoinStar(spark, sf)
+      .write.format("graft-counting-sink")
+      .option("tag", "sink-pipeline").mode("overwrite").save()
+    val rows = graft.operators.Relational.q04JoinStar(spark, sf).count()
+    assert(CountingSink.committedRows("sink-pipeline").contains(rows))
+  }
+
   test("synthetic source composes with engine operators") {
     val agg = synth(10000)
       .groupBy("category")
