@@ -158,6 +158,9 @@ object SparkEntry {
     "q41_gap_fill"       -> Relational2.q41GapFill _,
     "d16_ngram_stats"    -> TextCorpus.d16NgramStats _,
     "d17_contamination"  -> TextCorpus.d17Contamination _,
+    "q42_full_outer"     -> Relational2.q42FullOuter _,
+    "d18_stable_split"   -> TextCorpus.d18StableSplit _,
+    "d19_edit_distance"  -> TextCorpus.d19EditDistance _,
   )
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares). */
@@ -854,5 +857,35 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
         |LEFT JOIN hits h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q42_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(nk_c, nk_s) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
+    // Same Horner base-131 mod-p content hash as d06 — the split is a
+    // pure function of the text, replayed exactly.
+    "d18_stable_split" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(unicode(s[i:i]) AS BIGINT) FOR i IN range(1, length(s) + 1)]),
+        |  (a, c) -> (a * 131 + c) % 1000000007) AS ph FROM t)
+        |SELECT doc_id, CAST(ph % 100 AS INT) AS bucket,
+        |  CASE WHEN ph % 100 < 80 THEN 'train'
+        |       WHEN ph % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "d19_edit_distance" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist,
+        |  CASE WHEN greatest(length(a.s), length(b.s)) = 0 THEN 1.0
+        |       ELSE round(1.0 - levenshtein(a.s, b.s) * 1.0
+        |         / greatest(length(a.s), length(b.s)), 4) END AS sim
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
   )
 }

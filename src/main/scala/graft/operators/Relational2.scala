@@ -263,6 +263,25 @@ object Relational2 {
       .orderBy(col("o_orderstatus"), col("d"))
   }
 
+  /** q42: FULL OUTER join — per-nation customer vs supplier presence,
+    * keeping nations that appear on either side only. Plans as a
+    * sort-merge full outer (no broadcast form exists for full outer);
+    * both sides are pre-aggregated to |nation| rows before the join,
+    * so the shuffle carries group-sized data.
+    */
+  def q42FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
   /** q38: per-nation balance quantiles via the mergeable KLL-style
     * sketch aggregate ([[graft.plans.QuantileSketch]]): map-side
     * partial merge, O(capacity) state per group instead of the O(rows)

@@ -142,6 +142,50 @@ object TextCorpus {
       .orderBy(col("doc_id"))
   }
 
+  /** d18: stable train/val/test split — every document lands in a
+    * split determined ONLY by its content hash (Horner base-131 mod p,
+    * the same replayable hash family as d06), never by row order or
+    * partitioning: 80/10/10 by hash bucket. The property that matters
+    * at 100 TB: adding or removing documents never reshuffles the
+    * split of any other document, and re-runs are bit-identical.
+    */
+  def d18StableSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bucket = (Dedup.polyHash(text.trim.toLowerCase) % 100L).toInt
+        val split =
+          if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+        (id, bucket, split)
+      }
+      .toDF("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  /** d19: fuzzy near-match scoring — Levenshtein edit distance over
+    * deterministic adjacent-id pairs (the d08 pattern), normalized by
+    * the longer length. The verify primitive for fuzzy entity
+    * resolution; at scale it runs only on candidate pairs from a
+    * blocking stage (d06/d07-style), never all pairs.
+    */
+  def d19EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("s"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
+    val b = docs.select((col("doc_id") - 1).as("doc_a"),
+      col("doc_id").as("doc_b"), col("s").as("s_b"))
+    val maxLen = greatest(length(col("s_a")), length(col("s_b")))
+    a.join(b, "doc_a")
+      .select(
+        col("doc_a"), col("doc_b"),
+        levenshtein(col("s_a"), col("s_b")).as("edit_dist"),
+        when(maxLen === 0, 1.0) // two empty strings are identical
+          .otherwise(round(
+            lit(1.0) - levenshtein(col("s_a"), col("s_b")) / maxLen, 4)).as("sim"))
+      .orderBy("doc_a")
+  }
+
   def d15Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)

@@ -68,6 +68,21 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(r => r.isNullAt(2) && !r.isNullAt(3)))
   }
 
+  test("q42 full outer keeps every nation present on either side") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Relational2.q42FullOuter(spark, sf).collect()
+    val cKeys = Tables.customer(spark, sf).select("c_nationkey").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val sKeys = Tables.supplier(spark, sf).select("s_nationkey").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(rows.map(_.getInt(0)).toSet == (cKeys ++ sKeys))
+    rows.foreach { r =>
+      val nk = r.getInt(0)
+      assert((r.getLong(1) > 0) == cKeys(nk))
+      assert((r.getLong(2) > 0) == sKeys(nk))
+    }
+  }
+
   test("q40 grouping sets equals the union of the three explicit groupings") {
     import org.apache.spark.sql.functions._
     val o = Tables.orders(spark, sf)

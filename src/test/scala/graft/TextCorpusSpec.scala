@@ -94,6 +94,44 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(out.sortBy(_._1).toSeq == expected)
   }
 
+  test("d18 split is stable: removing documents never moves the others") {
+    val full = TextCorpus.d18StableSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    // Buckets roughly follow 80/10/10 (hash uniformity, loose bounds).
+    val n = full.size.toDouble
+    val train = full.values.count(_ == "train") / n
+    assert(train > 0.6 && train < 0.95, s"train fraction $train implausible")
+
+    // Re-split a half-corpus written elsewhere: every retained doc must
+    // keep its split — the property that makes the split usable across
+    // corpus versions.
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      .write.parquet(s"$dir/documents.parquet")
+    val half = TextCorpus.d18StableSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(half.nonEmpty)
+    half.foreach { case (id, split) => assert(full(id) == split, s"doc $id moved") }
+  }
+
+  test("d19 edit distance matches a brute-force Levenshtein DP") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val norm = docs.map { case (id, t) => (id, t.trim.toLowerCase) }.sortBy(_._1)
+    val expected = norm.zip(norm.tail).map { case ((ia, sa), (ib, sb)) =>
+      (ia, ib, lev(sa, sb))
+    }
+    val got = TextCorpus.d19EditDistance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected)
+  }
+
   test("d13 flags a planted boilerplate sentence across documents") {
     import org.apache.spark.sql.functions._
     // Two docs share the exact boilerplate sentence; the third is clean.
