@@ -127,6 +127,21 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CC collapses a 100-deep chain within the pointer-jumping round bound") {
+    import spark.implicits._
+    // Path graph 0-1-2-...-100: worst-case diameter for label
+    // propagation. With the neighbor step + pointer jumping the chain
+    // depth roughly halves per round, so maxIters=15 (2^14 bound) must
+    // comfortably converge — and every node must land on canonical 0.
+    val n = 101L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.operators.Dedup.canonicalizeComponents(
+      (0L until n).toDF("id"), edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), s"chain not fully collapsed: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("QuantileSketch serialize/deserialize round-trips the buffer") {
     val rnd = new Random(17)
     val buf = new graft.plans.QuantileSketchBuffer(64)
