@@ -879,7 +879,7 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
     "d19_edit_distance" ->
-      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+      """WITH t AS (SELECT doc_id, substr(lower(trim(text)), 1, 256) AS s FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist,
         |  CASE WHEN greatest(length(a.s), length(b.s)) = 0 THEN 1.0

@@ -167,22 +167,61 @@ object TextCorpus {
     * deterministic adjacent-id pairs (the d08 pattern), normalized by
     * the longer length. The verify primitive for fuzzy entity
     * resolution; at scale it runs only on candidate pairs from a
-    * blocking stage (d06/d07-style), never all pairs.
+    * blocking stage (d06/d07-style), never all pairs — and ONLY on a
+    * bounded prefix: the DP is O(len_a x len_b) per pair, so unbounded
+    * document-length inputs are quadratic-cost landmines (measured
+    * 12s vs 0.5s at sf0.1). Fuzzy matching keys/titles is what edit
+    * distance is for; whole-document similarity is d06/d08's job.
     */
+  val EditDistancePrefix = 256
+
+  /** Classic unit-cost Levenshtein, two-row DP — O(min len) memory.
+    * Matches Spark's `levenshtein` and DuckDB's `levenshtein` exactly
+    * (the unambiguous textbook recurrence).
+    */
+  private[operators] def levenshteinDist(a: String, b: String): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
   def d19EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), lower(trim(col("text"))).as("s"))
+      .select(col("doc_id"),
+        substring(lower(trim(col("text"))), 1, EditDistancePrefix).as("s"))
     val a = docs.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
     val b = docs.select((col("doc_id") - 1).as("doc_a"),
       col("doc_id").as("doc_b"), col("s").as("s_b"))
-    val maxLen = greatest(length(col("s_a")), length(col("s_b")))
+    // Typed pass so the O(len^2) DP runs ONCE per pair — as a Column
+    // expression CollapseProject inlines it into both output columns
+    // (2x the dominant cost, measured).
     a.join(b, "doc_a")
-      .select(
-        col("doc_a"), col("doc_b"),
-        levenshtein(col("s_a"), col("s_b")).as("edit_dist"),
-        when(maxLen === 0, 1.0) // two empty strings are identical
-          .otherwise(round(
-            lit(1.0) - levenshtein(col("s_a"), col("s_b")) / maxLen, 4)).as("sim"))
+      .select(col("doc_a"), col("doc_b"), col("s_a"), col("s_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (da, db, sa, sb) =>
+        val d = levenshteinDist(sa, sb)
+        val m = math.max(sa.length, sb.length)
+        val sim = if (m == 0) 1.0 else 1.0 - d.toDouble / m
+        (da, db, d, sim)
+      }
+      .toDF("doc_a", "doc_b", "edit_dist", "sim_raw")
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        round(col("sim_raw"), 4).as("sim"))
       .orderBy("doc_a")
   }
 
