@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,13 +43,22 @@ class CountingSink extends TableProvider with DataSourceRegister {
 object CountingSink {
   /** tag -> (committed row count, task commit messages seen). */
   private val committed = new ConcurrentHashMap[String, (Long, Int)]()
+  /** tag -> committed streaming epoch ids, in commit order. */
+  private val epochs = new ConcurrentHashMap[String, List[Long]]()
 
   def committedRows(tag: String): Option[Long] =
     Option(committed.get(tag)).map(_._1)
   def committedTasks(tag: String): Option[Int] =
     Option(committed.get(tag)).map(_._2)
+  def committedEpochs(tag: String): List[Long] =
+    Option(epochs.get(tag)).getOrElse(Nil).reverse
   private[sources] def record(tag: String, rows: Long, tasks: Int): Unit =
     committed.put(tag, (rows, tasks))
+  private[sources] def recordEpoch(tag: String, epochId: Long, rows: Long): Unit = {
+    committed.merge(tag, (rows, 1),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
+    epochs.merge(tag, List(epochId), (a, b) => b ++ a)
+  }
 }
 
 private[sources] class CountingSinkTable(schema: StructType, tag: String)
@@ -56,7 +66,9 @@ private[sources] class CountingSinkTable(schema: StructType, tag: String)
   override def name(): String = s"graft_counting_sink($tag)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       // Truncate is a no-op for a metrics sink; accepting it lets
@@ -64,6 +76,7 @@ private[sources] class CountingSinkTable(schema: StructType, tag: String)
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new CountingBatchWrite(tag)
+        override def toStreaming: StreamingWrite = new CountingStreamingWrite(tag)
       }
     }
 }
@@ -82,11 +95,33 @@ private[sources] class CountingBatchWrite(tag: String) extends BatchWrite {
 
 private[sources] class CountingWriterFactory extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private var n = 0L
-      override def write(record: InternalRow): Unit = n += 1
-      override def commit(): WriterCommitMessage = CountMessage(n)
-      override def abort(): Unit = ()
-      override def close(): Unit = ()
+    new CountingWriter
+}
+
+private[sources] class CountingWriter extends DataWriter[InternalRow] {
+  private var n = 0L
+  override def write(record: InternalRow): Unit = n += 1
+  override def commit(): WriterCommitMessage = CountMessage(n)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+/** Streaming half of the commit protocol: per-epoch (micro-batch)
+  * two-phase commit. The engine calls `commit(epochId, messages)`
+  * exactly once per successful epoch and replays FAILED epochs with
+  * the same id — an idempotent downstream (a real table format keys
+  * its transaction log by epoch) gets exactly-once semantics.
+  */
+private[sources] class CountingStreamingWrite(tag: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new StreamingDataWriterFactory {
+      override def createWriter(
+          partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+        new CountingWriter
     }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    CountingSink.recordEpoch(
+      tag, epochId, messages.collect { case CountMessage(n) => n }.sum)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

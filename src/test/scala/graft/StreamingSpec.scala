@@ -240,6 +240,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming write to the V2 counting sink commits per-epoch exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.CountingSink
+    val stream = MemoryStream[Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+    val q = stream.toDF()
+      .writeStream.format("graft-counting-sink")
+      .option("tag", "stream-sink").option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        ev(1, "2024-01-01 00:00:00", 1, "click"),
+        ev(2, "2024-01-01 00:01:00", 1, "click")))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(3, "2024-01-01 00:02:00", 2, "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(CountingSink.committedRows("stream-sink").contains(3L))
+    val epochs = CountingSink.committedEpochs("stream-sink")
+    assert(epochs.length == 2 && epochs == epochs.distinct,
+      s"expected two distinct committed epochs, got $epochs")
+  }
+
   test("stateful sessionization splits on 30-min gaps (batch complete)") {
     import spark.implicits._
     val data = Seq(
