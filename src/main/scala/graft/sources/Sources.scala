@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -107,6 +107,57 @@ object Sources {
       else df.repartitionByRange(nFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
     out.write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
+
+  /** 16-bit-per-dimension Morton (Z-order) key of two numeric columns,
+    * each min-max normalized into [0, 65535] then bit-interleaved —
+    * pure Column arithmetic, fully codegen'd.
+    */
+  private[sources] def zorderKey(
+      a: Column, aLo: Double, aHi: Double,
+      b: Column, bLo: Double, bHi: Double): Column = {
+    def norm(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(greatest(
+        (((c.cast("double") - lit(lo)) / lit(hi - lo)) * 65535.0).cast("long"),
+        lit(0L)), lit(65535L))
+    val na = norm(a, aLo, aHi)
+    val nb = norm(b, bLo, bHi)
+    (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(na, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftrightunsigned(nb, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order compaction — multi-dimensional clustering for min/max
+    * data skipping: a linear sort makes ONE column's per-file ranges
+    * disjoint while leaving every other column full-range per file;
+    * interleaving the bits of two dimensions makes BOTH columns'
+    * per-file ranges ~sqrt(1/nFiles) of the global range, so filters
+    * on either (or both) skip most files via parquet statistics —
+    * the lakehouse layout for fact tables filtered on two axes.
+    */
+  def compactZOrder(
+      spark: SparkSession, inPath: String, outPath: String,
+      colA: String, colB: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(in).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).collect().head
+    val z = zorderKey(
+      col(colA), r.getDouble(0), r.getDouble(1),
+      col(colB), r.getDouble(2), r.getDouble(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
     nFiles
   }
 }

@@ -91,6 +91,39 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("z-order compaction narrows per-file ranges on BOTH dimensions") {
+    val small = tmp() + "/li_small"
+    val zout = tmp() + "/li_zorder"
+    // Two independent-ish dimensions a filter might hit.
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey", "l_quantity")
+    li.repartition(8).write.parquet(small)
+    val bytes = new java.io.File(small).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    Sources.compactZOrder(spark, small, zout, "l_partkey", "l_suppkey",
+      targetFileBytes = bytes / 8)
+    val files = new java.io.File(zout).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 4, s"need several files, got ${files.length}")
+
+    def ranges(c: String): Seq[(Double, Double)] = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c).cast("double")), max(col(c).cast("double"))).collect().head
+      (r.getDouble(0), r.getDouble(1))
+    }.toSeq
+    def globalRange(c: String): Double = {
+      val r = li.agg(min(col(c).cast("double")), max(col(c).cast("double"))).collect().head
+      r.getDouble(1) - r.getDouble(0)
+    }
+    // With a LINEAR sort one dimension would stay full-range in every
+    // file; z-order must shrink the AVERAGE per-file span of both.
+    Seq("l_partkey", "l_suppkey").foreach { c =>
+      val g = globalRange(c)
+      val avg = ranges(c).map { case (lo, hi) => hi - lo }.sum / files.length
+      assert(avg < 0.75 * g,
+        f"$c avg per-file range $avg%.0f not narrowed vs global $g%.0f")
+    }
+  }
+
   test("partitioned layout enables partition pruning") {
     val out = tmp() + "/orders_by_year"
     Sources.exportOrdersByYear(spark, sf, out)
