@@ -141,18 +141,22 @@ object Percentiles {
       }
     }.toMap
 
-    // Per-group narrowing state. `pred` is the ACCUMULATED bucket
-    // predicate chain: each round's bucket expression clamps into
-    // [0, nBuckets-1], so every round partitions exactly the rows the
-    // previous round counted — FP wobble at bucket edges merely moves a
-    // row between adjacent buckets of the SAME partition, never in or
-    // out of it, which keeps `base` (rows ranked below the kept range)
-    // exact. `lo`/`hi` only seed the next bucket width and a widened,
-    // parquet-pushable pre-filter.
-    case class St(pred: Column, base: Long, cnt: Long, lo: Double, hi: Double)
-    var state: Map[Any, St] = stats.map { case (g, (n, lo, hi)) =>
-      g -> St(col(groupCol) === lit(g), 0L, n, lo, hi)
-    }.toMap
+    // The resolution unit is an ORDER-STATISTIC RANK: each target needs
+    // the value at `rank` (and `rank + 1` when it interpolates), and
+    // ranks resolve independently — so p01 and p99 narrow separate
+    // bucket clusters instead of pinning one giant contiguous range
+    // that could never shrink.
+    //
+    // Narrowing state (one per bucket cluster): `pred` is the
+    // ACCUMULATED bucket-predicate chain — every round's bucket
+    // expression clamps into [0, nBuckets-1], so each round partitions
+    // exactly the rows the previous round counted. FP wobble at bucket
+    // edges merely moves a row between adjacent buckets of the SAME
+    // partition, never in or out of it, keeping `base` (rows ranked
+    // below the cluster) exact. `lo`/`hi` seed the next bucket grid
+    // and a widened, parquet-pushable pre-filter.
+    case class St(g: Any, ranks: Seq[Long], pred: Column,
+        base: Long, cnt: Long, lo: Double, hi: Double)
 
     def widened(s: St): Column =
       col("__v") >= lit(math.nextDown(s.lo)) && col("__v") <= lit(math.nextUp(s.hi))
@@ -165,74 +169,79 @@ object Percentiles {
         lit(0))
     }
 
-    var out = Map.empty[Any, Seq[(Int, Double)]] // group -> (j, value)
+    val neededRanks: Map[Any, Seq[Long]] = targets.map { case (g, ts) =>
+      g -> ts.flatMap(t =>
+        if (t.frac == 0.0) Seq(t.rank) else Seq(t.rank, t.rank + 1)).distinct.sorted
+    }
+    var live: List[St] = stats.toList.map { case (g, (n, lo, hi)) =>
+      St(g, neededRanks(g), col(groupCol) === lit(g), 0L, n, lo, hi)
+    }
+    val resolved = scala.collection.mutable.Map.empty[(String, Long), Double]
     var rounds = 0
-    while (out.size < state.size && rounds < 8) {
+    while (live.nonEmpty && rounds < 12) {
       rounds += 1
-      val remaining = state.filter { case (g, _) => !out.contains(g) }
-      val small = remaining.filter(_._2.cnt <= maxCollect / math.max(1, remaining.size))
-      val big = remaining -- small.keys
+      val budget = math.max(1L, maxCollect.toLong / live.size)
+      val (small, big) = live.partition(_.cnt <= budget)
 
-      if (small.nonEmpty) {
-        // Resolved groups: collect exactly the counted candidate rows.
-        val cond = small.values.map(s => s.pred && widened(s)).reduce(_ || _)
-        val collected = rows.filter(cond).collect()
-          .map(r => (r.get(0), r.getDouble(1)))
-          .groupBy(_._1)
-        small.foreach { case (g, s) =>
-          val vs = collected.getOrElse(g, Array.empty).map(_._2).sorted
-          out += g -> targets(g).map { t =>
-            val i = (t.rank - s.base).toInt
-            val vLo = vs(i)
-            val vHi = if (t.frac == 0.0) vLo else vs(i + 1)
-            (t.j, vLo + (vHi - vLo) * t.frac)
-          }
-        }
+      small.foreach { s =>
+        // Cluster fits in one collect: read the order statistics off
+        // the sorted candidate rows (rank - base indexes into them).
+        val vs = rows.filter(s.pred && widened(s))
+          .collect().map(_.getDouble(1)).sorted
+        s.ranks.foreach(r => resolved((s.g.toString, r)) = vs((r - s.base).toInt))
       }
 
-      big.foreach { case (g, s) =>
-        // One histogram pass per oversized group (few groups by
-        // contract; a multi-group pass would need per-group bucket
-        // exprs in one CASE — not worth it for the target shape).
+      live = big.flatMap { s =>
+        // One histogram pass per oversized cluster (cluster count is
+        // bounded by |groups| x |ranks| and shrinks every round).
         val hist = rows
           .filter(s.pred && widened(s))
           .groupBy(bucketOf(s).as("__b"))
           .agg(count(lit(1)).as("c"), min(col("__v")).as("mn"), max(col("__v")).as("mx"))
-          .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
-        val counts = new Array[Long](nBuckets)
-        hist.foreach { case (b, (c, _, _)) => counts(b) = c }
+          .collect()
+          .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+          .toMap
+        val counts = Array.tabulate(nBuckets)(b => hist.get(b).map(_._1).getOrElse(0L))
         val cum = counts.scanLeft(s.base)(_ + _) // cum(b) = rows ranked below bucket b
-        val needed = targets(g).flatMap(t => Seq(t.rank, math.min(t.rank + 1, cum.last - 1)))
-        val bs = needed.map(r => counts.indices.find(b => cum(b + 1) > r).getOrElse(nBuckets - 1))
-        val bLo = bs.min
-        val bHi = bs.max
-        val kept = hist.filter { case (b, _) => b >= bLo && b <= bHi }
-        val keptMin = kept.map(_._2._2).min
-        val keptMax = kept.map(_._2._3).max
-        if (keptMin == keptMax) {
-          // A duplicate-heavy bucket that can't narrow further: every
-          // needed order statistic IS that value — resolve directly
-          // instead of looping on an unsplittable range.
-          out += g -> targets(g).map(t => (t.j, keptMin))
-        } else {
-          val w = (s.hi - s.lo) / nBuckets
-          state += g -> St(
+        def bucketFor(r: Long): Int =
+          counts.indices.find(b => cum(b + 1) > r).getOrElse(nBuckets - 1)
+        // A rank whose bucket holds a single distinct value resolves
+        // exactly — this is what terminates duplicate floods.
+        val open = s.ranks.filter { r =>
+          val (_, mn, mx) = hist(bucketFor(r))
+          if (mn == mx) { resolved((s.g.toString, r)) = mn; false } else true
+        }
+        // Remaining ranks cluster by contiguous runs of their buckets;
+        // each run narrows independently next round.
+        val byBucket = open.groupBy(bucketFor)
+        val runs = byBucket.keys.toSeq.sorted
+          .foldLeft(List.empty[List[Int]]) {
+            case (acc @ (run :: rest), b) if b == run.head + 1 => (b :: run) :: rest
+            case (acc, b) => List(b) :: acc
+          }
+        runs.map { run =>
+          val (bLo, bHi) = (run.min, run.max)
+          St(s.g, run.flatMap(byBucket.getOrElse(_, Nil)).sorted,
             s.pred && bucketOf(s).between(bLo, bHi),
-            cum(bLo),
-            (bLo to bHi).map(counts).sum,
-            math.max(s.lo + bLo * w, keptMin),
-            math.min(if (bHi >= nBuckets - 1) s.hi else s.lo + (bHi + 1) * w, keptMax))
+            cum(bLo), (bLo to bHi).map(counts).sum,
+            run.map(b => hist(b)._2).min, run.map(b => hist(b)._3).max)
         }
       }
     }
-    require(out.size == state.size,
+    require(live.isEmpty,
       s"histogram percentile did not converge in $rounds rounds")
+
+    val out: Seq[(String, Seq[Double])] = stats.toSeq.map { case (g, _) =>
+      g.toString -> targets(g).sortBy(_.j).map { t =>
+        val vLo = resolved((g.toString, t.rank))
+        val vHi = if (t.frac == 0.0) vLo else resolved((g.toString, t.rank + 1))
+        vLo + (vHi - vLo) * t.frac
+      }
+    }
 
     // Restore the ORIGINAL group key type: join the computed values
     // back to the |groups|-row key list on a stringified key.
-    val resultRows = out.toSeq.map { case (g, vs) =>
-      (g.toString, vs.sortBy(_._1).map(_._2))
-    }.toDF("__g", "__vs")
+    val resultRows = out.toDF("__g", "__vs")
     val groups = spark.createDataFrame(
       spark.sparkContext.parallelize(
         stats.map(_._1).map(org.apache.spark.sql.Row(_)).toSeq, 1),

@@ -70,6 +70,33 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
     assert(out(1).getDouble(1) == 7.0)
   }
 
+  test("histogram percentiles match the builtin on randomized distributions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { trial =>
+      // Mixed shapes per group: uniform, heavy-duplicate, exponential
+      // tail, including negative values and a tiny group.
+      val data =
+        Seq.fill(400)(("u", rnd.nextDouble() * 200 - 100)) ++
+        Seq.fill(300)(("dup", (rnd.nextInt(5) * 10).toDouble)) ++
+        Seq.fill(500)(("exp", -math.log(rnd.nextDouble()) * 50)) ++
+        Seq.fill(3)(("tiny", rnd.nextDouble()))
+      val df = data.toDF("g", "v").repartition(7)
+      val ps = Seq(0.01, 0.25, 0.5, 0.9, 0.99)
+      val names = ps.indices.map(i => s"p$i")
+      val expected = df.groupBy(col("g"))
+        .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getSeq[Double](1).map(x => math.round(x * 1e9)).toSeq))
+      val got = Percentiles.exactByHistogram(df, "g", "v", ps, names,
+        nBuckets = 32, maxCollect = 64)
+        .orderBy("g").collect()
+        .map(r => (r.getString(0),
+          names.indices.map(i => math.round(r.getDouble(i + 1) * 1e9)).toSeq))
+      assert(got.toSeq == expected.toSeq, s"trial $trial")
+    }
+  }
+
   test("numeric group keys and single-row groups interpolate correctly") {
     import spark.implicits._
     val df = Seq(
