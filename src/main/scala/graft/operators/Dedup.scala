@@ -113,8 +113,15 @@ object Dedup {
     * @param nodes one column `id`; @param edges columns `a`, `b`.
     * @return (id, canonical_id)
     */
+  /** Above this many (undirected) match edges the driver union-find
+    * path gives way to distributed label propagation — the same
+    * adaptive cutoff logic as broadcast-vs-shuffle join selection.
+    */
+  val DriverCCEdgeLimit: Long = 500000L
+
   private[graft] def canonicalizeComponents(
-      nodes: DataFrame, edges: DataFrame, maxIters: Int = 15): DataFrame = {
+      nodes: DataFrame, edges: DataFrame, maxIters: Int = 15,
+      driverEdgeLimit: Long = DriverCCEdgeLimit): DataFrame = {
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint(true)
@@ -122,6 +129,37 @@ object Dedup {
     // the propagation loop's join/count rounds entirely.
     if (sym.isEmpty) {
       return nodes.select(col("id"), col("id").as("canonical_id"))
+    }
+    // Small-graph path: near-dup match graphs are usually orders of
+    // magnitude smaller than the corpus, so below the cutoff a driver
+    // union-find + one broadcast map-back replaces ~3 jobs PER
+    // PROPAGATION ROUND with 2 jobs total. The iterative path below
+    // remains the unbounded-scale fallback (forced in specs).
+    // (sym is localCheckpoint'ed, so counting/collecting it never
+    // recomputes the upstream candidate-verify pipeline.)
+    if (sym.count() <= 2 * driverEdgeLimit) {
+      val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // Smaller id becomes the root, so every root IS its
+        // component's minimum — the canonical id by definition.
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => (x, find(x)))
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      return nodes
+        .join(broadcast(labels.toSeq.toDF("id", "cc_label")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cc_label"), col("id")).as("canonical_id"))
     }
     // Propagate over MATCHED nodes only (edge endpoints): the label
     // tables are O(|matched|), not O(|corpus|) — at 100 TB the near-dup

@@ -119,11 +119,16 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
       val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
 
-      val got = graft.operators.Dedup.canonicalizeComponents(
-        (0L until n.toLong).toDF("id"),
-        edges.toDF("a", "b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"trial $trial")
+      // Both execution paths must agree with the reference: the
+      // driver union-find (default cutoff) and the distributed label
+      // propagation (forced with a zero cutoff).
+      Seq(graft.operators.Dedup.DriverCCEdgeLimit, 0L).foreach { cutoff =>
+        val got = graft.operators.Dedup.canonicalizeComponents(
+          (0L until n.toLong).toDF("id"),
+          edges.toDF("a", "b"), driverEdgeLimit = cutoff)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial cutoff $cutoff")
+      }
     }
   }
 
@@ -135,8 +140,10 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     // comfortably converge — and every node must land on canonical 0.
     val n = 101L
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    // Forced onto the ITERATIVE path: the chain-depth bound is the
+    // label-propagation property under test.
     val got = graft.operators.Dedup.canonicalizeComponents(
-      (0L until n).toDF("id"), edges)
+      (0L until n).toDF("id"), edges, driverEdgeLimit = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == n)
     assert(got.forall(_._2 == 0L), s"chain not fully collapsed: ${got.filter(_._2 != 0L).take(5).toSeq}")
