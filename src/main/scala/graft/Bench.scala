@@ -39,7 +39,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val failed = scala.collection.mutable.Set[String]()
     def timedRound(): Map[String, Double] = names.flatMap { name =>
       if (failed(name)) None
@@ -62,7 +62,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line: console tails can truncate the per-query
+    // map past ~60 entries, losing numbers the round report needs.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     spark.stop()
   }
 }

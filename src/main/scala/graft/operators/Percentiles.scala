@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
 
 /** Exact per-group continuous percentiles WITHOUT a per-group O(rows)
   * aggregation buffer.
@@ -25,7 +26,8 @@ import org.apache.spark.sql.functions._
   *
   * Group keys must order identically under the range partitioner and
   * the driver-side sort building offsets (ASCII strings / numerics —
-  * see [[Ranks]] scaladoc).
+  * see [[Ranks]] scaladoc). Null group keys sort first, matching
+  * Spark's ascending null ordering.
   */
 object Percentiles {
 
@@ -46,10 +48,13 @@ object Percentiles {
 
     // |groups| rows: partial-aggregated count, then driver-side offsets
     // in the SAME order the range partitioner sorts the group key
-    // (numeric order for numbers, UTF8 binary order for ASCII strings).
+    // (nulls first, numeric order for numbers, UTF8 binary order for
+    // ASCII strings).
     val counts = rows.groupBy(col(groupCol)).count().collect()
       .map(r => (r.get(0), r.getLong(1)))
       .sortWith((a, b) => (a._1, b._1) match {
+        case (null, _) => true
+        case (_, null) => false
         case (x: java.lang.Number, y: java.lang.Number) => x.doubleValue < y.doubleValue
         case (x, y) => x.toString < y.toString
       })
@@ -99,159 +104,183 @@ object Percentiles {
     * distributed exact-median algorithm:
     *
     *  1. per-group (count, min, max) — one partial-agg scan;
-    *  2. per-group equi-width histogram over [min, max] — one
-    *     partial-agg scan producing O(|groups| x nBuckets) counts;
-    *  3. cumulative counts locate the bucket(s) holding each target
-    *     order statistic; ONLY those buckets' rows (re-selected with
-    *     the SAME bucket expression, so FP bucket-edge wobble cannot
-    *     mis-rank) are collected and the order statistic is read off
-    *     exactly, with type-7 interpolation.
+    *  2. per round, ONE histogram job covering EVERY live bucket
+    *     cluster: rows broadcast-join the tiny (cluster, group-key,
+    *     lo, hi) table (null-safe on the key), bucket into the
+    *     cluster's equi-width grid over [lo, hi], and a single
+    *     partial-agg groupBy(cluster, bucket) emits
+    *     O(|clusters| x nBuckets) (count, min, max) rows;
+    *  3. cumulative counts locate the bucket run holding each target
+    *     order statistic; each run becomes next round's cluster,
+    *     narrowed to the run's ACTUAL data min/max. The bucket
+    *     expression clamp(floor((v - lo) / w)) is monotone in v and
+    *     deterministic per value, so buckets are value-ordered with
+    *     strict value boundaries — a run's rows are EXACTLY the
+    *     group's rows with v in [run-min, run-max], which keeps
+    *     `base` (rows ranked below the cluster) exact under FP
+    *     bucket-edge wobble, and the range predicate re-selects the
+    *     identical row set each round;
+    *  4. clusters that fit the driver budget resolve by reading the
+    *     order statistic off their sorted rows — ALL small clusters
+    *     batched into one collect job (<= maxCollect rows total) —
+    *     with type-7 interpolation; buckets where min == max resolve
+    *     exactly (what terminates duplicate floods).
     *
-    * If the needed buckets still hold too many rows (pathological
-    * skew), the histogram pass repeats on the narrowed range — each
-    * round divides the candidate count by ~nBuckets, so two passes
-    * cover 10^8 rows per group at nBuckets=8192. Compared to
-    * [[exactByRank]] this never range-shuffles the table: all data
-    * movement is O(|groups| x nBuckets) aggregate rows, the shape
-    * that wins at 100 TB (and locally).
+    * Each round divides a cluster's candidate count by ~nBuckets, so
+    * two histogram passes cover 10^8-row groups at the default budget.
+    * Compared to [[exactByRank]] this never shuffles data: all
+    * movement is O(|clusters| x nBuckets) aggregate rows — the shape
+    * that wins at 100 TB. The 2-column projection is cached across
+    * rounds (rounds 2+ touch only narrowed clusters).
+    *
+    * The default `maxCollect` is deliberately small (2^18) so that
+    * benchmark-scale runs exercise the histogram rounds — the plan
+    * being measured IS the plan that runs at scale, not a
+    * driver-collect shortcut. Null group keys are supported (driver
+    * state keys by group INDEX, never a stringified key).
     */
   def exactByHistogram(
       df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], outNames: Seq[String],
-      nBuckets: Int = 8192, maxCollect: Int = 1 << 22): DataFrame = {
+      nBuckets: Int = 8192, maxCollect: Int = 1 << 18): DataFrame = {
     require(ps.length == outNames.length, "one output name per fraction")
     val spark = df.sparkSession
-    import spark.implicits._
 
-    val rows = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    val rows = df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
+      .persist()
 
-    val stats = rows.groupBy(col(groupCol))
+    val stats: Array[(Any, (Long, Double, Double))] = rows.groupBy(col("__g"))
       .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
       .collect()
       .map(r => (r.get(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
 
-    // Per group: the 0-based target order-statistic ranks and their
-    // type-7 interpolation fractions.
+    // Per group (keyed by index into `stats`): the 0-based target
+    // order-statistic ranks and their type-7 interpolation fractions.
     case class Target(j: Int, rank: Long, frac: Double)
-    val targets: Map[Any, Seq[Target]] = stats.map { case (g, (n, _, _)) =>
-      g -> ps.zipWithIndex.map { case (p, j) =>
+    val targets: Array[Seq[Target]] = stats.map { case (_, (n, _, _)) =>
+      ps.zipWithIndex.map { case (p, j) =>
         val pos = p * (n - 1)
         Target(j, math.floor(pos).toLong, pos - math.floor(pos))
       }
-    }.toMap
-
-    // The resolution unit is an ORDER-STATISTIC RANK: each target needs
-    // the value at `rank` (and `rank + 1` when it interpolates), and
-    // ranks resolve independently — so p01 and p99 narrow separate
-    // bucket clusters instead of pinning one giant contiguous range
-    // that could never shrink.
-    //
-    // Narrowing state (one per bucket cluster): `pred` is the
-    // ACCUMULATED bucket-predicate chain — every round's bucket
-    // expression clamps into [0, nBuckets-1], so each round partitions
-    // exactly the rows the previous round counted. FP wobble at bucket
-    // edges merely moves a row between adjacent buckets of the SAME
-    // partition, never in or out of it, keeping `base` (rows ranked
-    // below the cluster) exact. `lo`/`hi` seed the next bucket grid
-    // and a widened, parquet-pushable pre-filter.
-    case class St(g: Any, ranks: Seq[Long], pred: Column,
-        base: Long, cnt: Long, lo: Double, hi: Double)
-
-    def widened(s: St): Column =
-      col("__v") >= lit(math.nextDown(s.lo)) && col("__v") <= lit(math.nextUp(s.hi))
-
-    def bucketOf(s: St): Column = {
-      val w = (s.hi - s.lo) / nBuckets
-      if (w <= 0.0) lit(0)
-      else greatest(
-        least(floor((col("__v") - lit(s.lo)) / lit(w)).cast("int"), lit(nBuckets - 1)),
-        lit(0))
     }
+    val neededRanks: Array[Seq[Long]] = targets.map(ts =>
+      ts.flatMap(t =>
+        if (t.frac == 0.0) Seq(t.rank) else Seq(t.rank, t.rank + 1)).distinct.sorted)
 
-    val neededRanks: Map[Any, Seq[Long]] = targets.map { case (g, ts) =>
-      g -> ts.flatMap(t =>
-        if (t.frac == 0.0) Seq(t.rank) else Seq(t.rank, t.rank + 1)).distinct.sorted
+    // One cluster per contiguous run of unresolved ranks: its rows are
+    // exactly { group == key(gid) && lo <= v <= hi } with lo/hi actual
+    // data min/max; `base` = group rows ranked strictly below it.
+    case class St(gid: Int, ranks: Seq[Long], base: Long, cnt: Long, lo: Double, hi: Double)
+    var live: List[St] = stats.toList.zipWithIndex.map { case ((_, (n, lo, hi)), gid) =>
+      St(gid, neededRanks(gid), 0L, n, lo, hi)
     }
-    var live: List[St] = stats.toList.map { case (g, (n, lo, hi)) =>
-      St(g, neededRanks(g), col(groupCol) === lit(g), 0L, n, lo, hi)
-    }
-    val resolved = scala.collection.mutable.Map.empty[(String, Long), Double]
+    val resolved = scala.collection.mutable.Map.empty[(Int, Long), Double]
+
+    val keyField = df.schema(groupCol)
+    def clusterDf(cs: Seq[(St, Int)]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(cs.map { case (s, cid) =>
+          Row(cid, stats(s.gid)._1, s.lo, s.hi)
+        }.toSeq, 1),
+        StructType(Seq(
+          StructField("__cid", IntegerType, nullable = false),
+          StructField("__gk", keyField.dataType, nullable = true),
+          StructField("__lo", DoubleType, nullable = false),
+          StructField("__hi", DoubleType, nullable = false))))
+
+    // Membership: null-safe equi-join on the group key (a broadcast
+    // hash join) with the cluster's closed value range as the join
+    // filter. The cluster table is O(|groups| x |ranks|) rows.
+    def memberRows(cs: Seq[(St, Int)]): DataFrame =
+      rows.join(broadcast(clusterDf(cs)),
+        col("__g") <=> col("__gk") && col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+
     var rounds = 0
     while (live.nonEmpty && rounds < 12) {
       rounds += 1
       val budget = math.max(1L, maxCollect.toLong / live.size)
       val (small, big) = live.partition(_.cnt <= budget)
 
-      small.foreach { s =>
-        // Cluster fits in one collect: read the order statistics off
-        // the sorted candidate rows (rank - base indexes into them).
-        val vs = rows.filter(s.pred && widened(s))
-          .collect().map(_.getDouble(1)).sorted
-        s.ranks.foreach(r => resolved((s.g.toString, r)) = vs((r - s.base).toInt))
+      if (small.nonEmpty) {
+        // Every small cluster resolves from ONE collect job, bounded by
+        // maxCollect rows total across clusters.
+        val byCid = memberRows(small.zipWithIndex)
+          .select(col("__cid"), col("__v")).collect()
+          .groupBy(_.getInt(0))
+        small.zipWithIndex.foreach { case (s, cid) =>
+          val vs = byCid.getOrElse(cid, Array.empty[Row]).map(_.getDouble(1)).sorted
+          require(vs.length == s.cnt,
+            s"histogram-percentile cluster drift: expected ${s.cnt} rows, got ${vs.length}")
+          s.ranks.foreach(r => resolved((s.gid, r)) = vs((r - s.base).toInt))
+        }
       }
 
-      live = big.flatMap { s =>
-        // One histogram pass per oversized cluster (cluster count is
-        // bounded by |groups| x |ranks| and shrinks every round).
-        val hist = rows
-          .filter(s.pred && widened(s))
-          .groupBy(bucketOf(s).as("__b"))
-          .agg(count(lit(1)).as("c"), min(col("__v")).as("mn"), max(col("__v")).as("mx"))
-          .collect()
-          .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
-          .toMap
-        val counts = Array.tabulate(nBuckets)(b => hist.get(b).map(_._1).getOrElse(0L))
-        val cum = counts.scanLeft(s.base)(_ + _) // cum(b) = rows ranked below bucket b
-        def bucketFor(r: Long): Int =
-          counts.indices.find(b => cum(b + 1) > r).getOrElse(nBuckets - 1)
-        // A rank whose bucket holds a single distinct value resolves
-        // exactly — this is what terminates duplicate floods.
-        val open = s.ranks.filter { r =>
-          val (_, mn, mx) = hist(bucketFor(r))
-          if (mn == mx) { resolved((s.g.toString, r)) = mn; false } else true
-        }
-        // Remaining ranks cluster by contiguous runs of their buckets;
-        // each run narrows independently next round.
-        val byBucket = open.groupBy(bucketFor)
-        val runs = byBucket.keys.toSeq.sorted
-          .foldLeft(List.empty[List[Int]]) {
-            case (acc @ (run :: rest), b) if b == run.head + 1 => (b :: run) :: rest
-            case (acc, b) => List(b) :: acc
+      live = if (big.isEmpty) Nil
+      else {
+        // ONE histogram job across every oversized cluster.
+        val w = (col("__hi") - col("__lo")) / lit(nBuckets.toDouble)
+        val bkt = when(col("__hi") <= col("__lo"), lit(0)).otherwise(
+          greatest(
+            least(floor((col("__v") - col("__lo")) / w).cast("int"), lit(nBuckets - 1)),
+            lit(0)))
+        val hists: Map[Int, Map[Int, (Long, Double, Double)]] =
+          memberRows(big.zipWithIndex)
+            .groupBy(col("__cid"), bkt.as("__b"))
+            .agg(count(lit(1)).as("c"), min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+            .collect()
+            .map(r => (r.getInt(0), (r.getInt(1), (r.getLong(2), r.getDouble(3), r.getDouble(4)))))
+            .groupBy(_._1)
+            .map { case (cid, rs) => cid -> rs.map(_._2).toMap }
+
+        big.zipWithIndex.flatMap { case (s, cid) =>
+          val hist = hists.getOrElse(cid, Map.empty)
+          val counts = Array.tabulate(nBuckets)(b => hist.get(b).map(_._1).getOrElse(0L))
+          require(counts.sum == s.cnt,
+            s"histogram-percentile cluster drift: expected ${s.cnt} rows, counted ${counts.sum}")
+          val cum = counts.scanLeft(s.base)(_ + _) // cum(b) = rows ranked below bucket b
+          def bucketFor(r: Long): Int =
+            counts.indices.find(b => cum(b + 1) > r).getOrElse(nBuckets - 1)
+          // A rank whose bucket holds a single distinct value resolves
+          // exactly — this is what terminates duplicate floods.
+          val open = s.ranks.filter { r =>
+            val (_, mn, mx) = hist(bucketFor(r))
+            if (mn == mx) { resolved((s.gid, r)) = mn; false } else true
           }
-        runs.map { run =>
-          val (bLo, bHi) = (run.min, run.max)
-          St(s.g, run.flatMap(byBucket.getOrElse(_, Nil)).sorted,
-            s.pred && bucketOf(s).between(bLo, bHi),
-            cum(bLo), (bLo to bHi).map(counts).sum,
-            run.map(b => hist(b)._2).min, run.map(b => hist(b)._3).max)
+          // Remaining ranks cluster by contiguous runs of their buckets;
+          // each run narrows independently next round.
+          val byBucket = open.groupBy(bucketFor)
+          val runs = byBucket.keys.toSeq.sorted
+            .foldLeft(List.empty[List[Int]]) {
+              case (run :: rest, b) if b == run.head + 1 => (b :: run) :: rest
+              case (acc, b) => List(b) :: acc
+            }
+          runs.map { run =>
+            val (bLo, bHi) = (run.min, run.max)
+            St(s.gid, run.flatMap(byBucket.getOrElse(_, Nil)).sorted,
+              cum(bLo), (bLo to bHi).map(counts(_)).sum,
+              run.map(b => hist(b)._2).min, run.map(b => hist(b)._3).max)
+          }
         }
       }
     }
     require(live.isEmpty,
       s"histogram percentile did not converge in $rounds rounds")
+    rows.unpersist(false)
 
-    val out: Seq[(String, Seq[Double])] = stats.toSeq.map { case (g, _) =>
-      g.toString -> targets(g).sortBy(_.j).map { t =>
-        val vLo = resolved((g.toString, t.rank))
-        val vHi = if (t.frac == 0.0) vLo else resolved((g.toString, t.rank + 1))
+    // Assemble the |groups|-row result on the driver with the ORIGINAL
+    // key objects — no stringified-key re-join, so Decimal / Float /
+    // null keys round-trip exactly.
+    val outRows = stats.zipWithIndex.map { case ((g, _), gid) =>
+      val vals = targets(gid).sortBy(_.j).map { t =>
+        val vLo = resolved((gid, t.rank))
+        val vHi = if (t.frac == 0.0) vLo else resolved((gid, t.rank + 1))
         vLo + (vHi - vLo) * t.frac
       }
+      Row.fromSeq(g +: vals)
     }
-
-    // Restore the ORIGINAL group key type: join the computed values
-    // back to the |groups|-row key list on a stringified key.
-    val resultRows = out.toDF("__g", "__vs")
-    val groups = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        stats.map(_._1).map(org.apache.spark.sql.Row(_)).toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(df.schema(groupCol))))
-    val sel = outNames.zipWithIndex.map { case (name, j) =>
-      element_at(col("__vs"), j + 1).as(name)
-    }
-    groups
-      .withColumn("__g", col(groupCol).cast("string"))
-      .join(resultRows, "__g")
-      .select(col(groupCol) +: sel: _*)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toSeq, 1),
+      StructType(keyField +: outNames.map(n => StructField(n, DoubleType))))
   }
 }

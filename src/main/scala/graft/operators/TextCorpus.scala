@@ -36,7 +36,10 @@ object TextCorpus {
     * pairwise: a sentence shared by k docs costs k rows, not k².
     */
   def d13ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sents = sentences(spark, dir)
+    // sents feeds BOTH the doc-frequency agg and the join-back; without
+    // a checkpoint the explode+md5+distinct scan runs twice (same
+    // pattern as Dedup's `sym`). A reliable checkpoint dir in production.
+    val sents = sentences(spark, dir).localCheckpoint(true)
     val docFreq = sents.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
     sents.join(docFreq, "h")
@@ -119,15 +122,22 @@ object TextCorpus {
     */
   def d17Contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fps = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        Dedup.rollingFingerprints(text).map(fp => (id, fp))
-      }
-      .toDF("doc_id", "fp")
-    val benchFps = fps.filter(col("doc_id") < 50)
+    // Fingerprint each side from a PRE-filtered scan: filtering doc_id
+    // after one shared opaque flatMap would (a) block pushdown into the
+    // parquet scan and (b) run the winnowing pass — the dominant cost —
+    // over the WHOLE corpus once per branch. Split first, and the bench
+    // side fingerprints only the tiny held-out set.
+    def fingerprints(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          Dedup.rollingFingerprints(text).map(fp => (id, fp))
+        }
+        .toDF("doc_id", "fp")
+    val benchFps = fingerprints(
+      Tables.documents(spark, dir).filter(col("doc_id") < 50))
       .select(col("fp")).distinct()
-    val corpus = fps.filter(col("doc_id") >= 50)
+    val corpus = fingerprints(
+      Tables.documents(spark, dir).filter(col("doc_id") >= 50))
     val hits = corpus.join(broadcast(benchFps), "fp")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_shared_fp"))

@@ -112,6 +112,30 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
     assert(out(1).getDouble(1) == 7.5 && out(1).getDouble(2) == 7.5)
   }
 
+  test("null group keys resolve in both forms") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), 1.0), (Option("a"), 3.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 20.0),
+      (Option.empty[String], 30.0)
+    ).toDF("g", "v")
+    // maxCollect = 2 forces the histogram path for both groups, so the
+    // null key flows through the cluster join (null-safe <=>), not just
+    // the small-collect path.
+    val hist = Percentiles.exactByHistogram(
+      df, "g", "v", Seq(0.5), Seq("p50"), nBuckets = 4, maxCollect = 2)
+      .orderBy("g").collect()
+    assert(hist.length == 2)
+    assert(hist(0).isNullAt(0) && math.abs(hist(0).getDouble(1) - 20.0) < 1e-9)
+    assert(hist(1).getString(0) == "a" && math.abs(hist(1).getDouble(1) - 2.0) < 1e-9)
+
+    val ranked = Percentiles.exactByRank(df, "g", "v", Seq(0.5), Seq("p50"))
+      .orderBy("g").collect()
+    assert(ranked.length == 2)
+    assert(ranked(0).isNullAt(0) && math.abs(ranked(0).getDouble(1) - 20.0) < 1e-9)
+    assert(ranked(1).getString(0) == "a" && math.abs(ranked(1).getDouble(1) - 2.0) < 1e-9)
+  }
+
   test("null values are excluded like SQL percentile semantics") {
     import spark.implicits._
     val df = Seq(
