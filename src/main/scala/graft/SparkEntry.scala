@@ -155,12 +155,14 @@ object SparkEntry {
     "s04_quantize"       -> Similarity.s04Quantize _,
     "st06_session_window" -> EventStreams.st06SessionWindow _,
     "mv02_join_view"     -> graft.operators.Materialized.mv02JoinView _,
+    "mv03_stream_refresh" -> graft.operators.Materialized.mv03StreamRefresh _,
     "q41_gap_fill"       -> Relational2.q41GapFill _,
     "d16_ngram_stats"    -> TextCorpus.d16NgramStats _,
     "d17_contamination"  -> TextCorpus.d17Contamination _,
     "q42_full_outer"     -> Relational2.q42FullOuter _,
     "d18_stable_split"   -> TextCorpus.d18StableSplit _,
     "d19_edit_distance"  -> TextCorpus.d19EditDistance _,
+    "d20_fuzzy_dedup"    -> Dedup.d20FuzzyDedup _,
   )
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares). */
@@ -530,6 +532,9 @@ object SparkEntry {
     // (signatures, banding, candidates, verify, canonicalization).
     "d06_dedup_minhash" -> graft.operators.Dedup.d06OracleSql,
     "d07_dedup_simhash" -> graft.operators.Dedup.d07OracleSql,
+    // The composed pipeline (block → edit-distance verify → CC) replays
+    // end to end too: DuckDB's levenshtein is the same textbook DP.
+    "d20_fuzzy_dedup"   -> graft.operators.Dedup.d20OracleSql,
     "d11_normalize" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_raw,
@@ -568,6 +573,15 @@ object SparkEntry {
     // Incremental refresh must equal the full recompute — which IS the
     // oracle: the view state merges partial aggregates across deltas.
     "mv01_incremental_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_orderstatus""".stripMargin,
+    // The streaming foreachBatch refresh folds to the same view as the
+    // batch path — one full-recompute oracle covers it.
+    "mv03_stream_refresh" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
         |  count(*) AS n,
         |  round(sum(o_totalprice), 2) AS rev

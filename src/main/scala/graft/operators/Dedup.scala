@@ -416,12 +416,13 @@ object Dedup {
       |  GROUP BY d.doc_id
       |)""".stripMargin
 
-  /** Full DuckDB replay of d06: shingle → base hash → NPerms affine
-    * minima → NBands Horner band hashes → band-bucket candidate join →
-    * exact-Jaccard verify → connected-component canonicalization.
-    * Every constant is inlined from the Scala definitions above.
+  /** CTE chain `t → sh → bh → sg → bd → e → cand`: the MinHash-band
+    * BLOCKING stage (shingle → base hash → NPerms affine minima →
+    * NBands Horner band hashes → band-bucket candidate join), shared by
+    * the d06 and d20 oracles. Every constant is inlined from the Scala
+    * definitions above.
     */
-  def d06OracleSql: String = {
+  private def minhashCandSql: String = {
     val sigExprs = (0 until NPerms).map { p =>
       s"list_min([(${permA(p)} * h + ${permB(p)}) % $M FOR h IN hs])"
     }.mkString("[\n      ", ",\n      ", "\n    ]")
@@ -431,8 +432,7 @@ object Dedup {
         s"(($acc * $BandBase + sig[$idx]) % $M)"
       }
     }.mkString("[\n      ", ",\n      ", "\n    ]")
-    s"""WITH RECURSIVE
-       |t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+    s"""t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
        |sh AS (SELECT doc_id, $shingleSql AS shingles FROM t),
        |bh AS (SELECT doc_id, shingles,
        |  [list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -446,7 +446,15 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM e a JOIN e b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |  WHERE a.doc_id < b.doc_id),
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Full DuckDB replay of d06: MinHash-band blocking →
+    * exact-Jaccard verify → connected-component canonicalization.
+    */
+  def d06OracleSql: String =
+    s"""WITH RECURSIVE
+       |$minhashCandSql,
        |dups AS (
        |  SELECT doc_a, doc_b
        |  FROM cand
@@ -457,7 +465,77 @@ object Dedup {
        |docs AS (SELECT doc_id FROM t),
        |$ccSql
        |SELECT doc_id, canonical_id FROM canon ORDER BY doc_id""".stripMargin
+
+  /** d20: the COMPOSED fuzzy-dedup pipeline a curation run actually
+    * executes, gated end to end: MinHash band blocking (d06's stage) →
+    * bounded edit-distance verify on the collided pairs only (d19's
+    * primitive: normalized similarity over the 256-char normalized
+    * prefix, sim >= 0.6) → connected-component canonicalization.
+    *
+    * Scale shape: the blocking pass is O(n) + a bucket equi-join, the
+    * quadratic DP runs ONLY on bucket-collided candidates (never
+    * pairwise over the corpus), and the canonicalizer is the adaptive
+    * CC. The verify lens differs from d06's on purpose — edit distance
+    * catches in-place edits that shingle Jaccard under-scores, which is
+    * why real pipelines layer both.
+    */
+  def d20FuzzyDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = signatures(spark, dir)
+    val bands = sigs
+      .select(col("doc_id"), posexplode(col("bands")))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val pre = Tables.documents(spark, dir).select(col("doc_id"),
+      substring(lower(trim(col("text"))), 1, TextCorpus.EditDistancePrefix).as("s"))
+    // Typed pass: one DP evaluation per candidate pair (the Column form
+    // would re-run the O(len^2) DP per referencing expression).
+    val dups = cand
+      .join(pre.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(pre.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("s_a"), col("s_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (da, db, sa, sb) =>
+        val d = TextCorpus.levenshteinDist(sa, sb)
+        val m = math.max(sa.length, sb.length)
+        (da, db, if (m == 0) 1.0 else 1.0 - d.toDouble / m)
+      }
+      .toDF("a", "b", "sim")
+      .filter(col("sim") >= 0.6)
+
+    canonicalizeComponents(
+      sigs.select(col("doc_id").as("id")),
+      dups.select(col("a"), col("b")))
+      .select(col("id").as("doc_id"), col("canonical_id"))
+      .orderBy("doc_id")
   }
+
+  /** Full DuckDB replay of d20: shared blocking CTEs + DuckDB's
+    * `levenshtein` (the identical textbook recurrence) + shared CC.
+    * `1.0 - d * 1.0 / m` is the same IEEE expression the typed map
+    * computes, so the 0.6 threshold can't diverge between engines.
+    */
+  def d20OracleSql: String =
+    s"""WITH RECURSIVE
+       |$minhashCandSql,
+       |pre AS (SELECT doc_id, substr(lower(trim(text)), 1, ${TextCorpus.EditDistancePrefix}) AS s
+       |        FROM documents),
+       |dups AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN (SELECT doc_id AS doc_a, s AS s_a FROM pre) USING (doc_a)
+       |  JOIN (SELECT doc_id AS doc_b, s AS s_b FROM pre) USING (doc_b)
+       |  WHERE CASE WHEN greatest(length(s_a), length(s_b)) = 0 THEN 1.0
+       |             ELSE 1.0 - levenshtein(s_a, s_b) * 1.0
+       |                  / greatest(length(s_a), length(s_b)) END >= 0.6),
+       |docs AS (SELECT doc_id FROM t),
+       |$ccSql
+       |SELECT doc_id, canonical_id FROM canon ORDER BY doc_id""".stripMargin
 
   /** Full DuckDB replay of d07: per-word base-31 Horner hash with a
     * splitmix64 finalizer (wrapping 64-bit arithmetic via UHUGEINT mod

@@ -65,6 +65,51 @@ object Materialized {
     present(mergeDelta(mergeDelta(partialState(base), h1), h2))
   }
 
+  /** mv03: the STREAMING refresh loop, gated — an insert-only order
+    * stream drives `foreachBatch`, and every micro-batch folds into the
+    * maintained view with the SAME [[mergeDelta]] algebra the batch
+    * path uses (foreachBatch is batchId-keyed, so a replayed batch can
+    * be skipped idempotently in production). The oracle is the full
+    * recompute over all orders: equality proves streaming deltas lose
+    * nothing vs the batch view.
+    *
+    * MemoryStream is the DRIVE here (the gate has no Kafka); the
+    * operator under test is the per-batch fold, whose cost is
+    * O(|delta| + |view|) regardless of the source. Each batch holds a
+    * third of the orders, so the fold runs across three refreshes.
+    */
+  def mv03StreamRefresh(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val all = orders.as[graft.model.Order].collect()
+    if (all.isEmpty) return present(partialState(orders))
+    val batches = all.grouped(math.max(1, (all.length + 2) / 3)).toSeq
+
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val stream = MemoryStream[graft.model.Order]
+    val q = stream.toDF().writeStream
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        // localCheckpoint pins the micro-batch's rows (the batch
+        // DataFrame is only valid inside this callback) and truncates
+        // the fold's lineage growth across refreshes.
+        val d = delta.localCheckpoint(true)
+        state.getAndUpdate {
+          case null => partialState(d)
+          case v => mergeDelta(v, d).localCheckpoint(true)
+        }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    present(state.get())
+  }
+
   /** Partial-aggregate state of a JOIN view batch: order deltas joined
     * against the (slowly-changing, here static) customer dimension,
     * aggregated to (mktsegment, orderstatus). The join distributes over

@@ -54,11 +54,21 @@ object CountingSink {
     Option(epochs.get(tag)).getOrElse(Nil).reverse
   private[sources] def record(tag: String, rows: Long, tasks: Int): Unit =
     committed.put(tag, (rows, tasks))
-  private[sources] def recordEpoch(tag: String, epochId: Long, rows: Long): Unit = {
-    committed.merge(tag, (rows, 1),
-      (a, b) => (a._1 + b._1, a._2 + b._2))
-    epochs.merge(tag, List(epochId), (a, b) => b ++ a)
-  }
+  /** Per-epoch commit, IDEMPOTENT on the epoch id: a query that fails
+    * between the sink commit and Spark's commit-log write replays the
+    * epoch with the same id on restart — merging again would
+    * double-count. The registry is the transaction log here, so it is
+    * keyed by epoch id like a real table format's.
+    */
+  private[sources] def recordEpoch(tag: String, epochId: Long, rows: Long): Unit =
+    synchronized {
+      val seen = Option(epochs.get(tag)).getOrElse(Nil)
+      if (!seen.contains(epochId)) {
+        committed.merge(tag, (rows, 1),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+        epochs.put(tag, epochId :: seen)
+      }
+    }
 }
 
 private[sources] class CountingSinkTable(schema: StructType, tag: String)

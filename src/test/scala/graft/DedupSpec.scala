@@ -157,6 +157,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"chain did not collapse to one component: $mh")
   }
 
+  test("d20 composed fuzzy dedup: blocked, edit-verified, transitively canonicalized") {
+    import spark.implicits._
+    // A/B/C are a fuzzy chain (small in-place edits keep both shingle
+    // overlap for BLOCKING and prefix edit-sim >= 0.6 for VERIFY); D
+    // shares enough shingles to collide in a band but diverges too much
+    // in edit distance — the verify stage must reject it.
+    val words = (0 until 40).map(i => s"alpha$i")
+    val docA = words.mkString(" ")
+    val docB = words.updated(5, "beta5").mkString(" ")
+    val docC = words.updated(5, "beta5").updated(11, "gamma11").mkString(" ")
+    val docD = (words.take(20) ++ (0 until 20).map(i => s"zzzzz$i omega$i")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d20").toString
+    Seq((0L, docA, "en", "s", 0L), (1L, docB, "en", "s", 0L),
+      (2L, docC, "en", "s", 0L), (3L, docD, "en", "s", 0L),
+      (4L, "entirely different content unrelated to everything else here", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val got = Dedup.d20FuzzyDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L),
+      s"composed pipeline wrong: $got")
+  }
+
   test("d08 jaccard is within [0,1] and defined for all adjacent pairs") {
     val rows = Dedup.d08NgramJaccard(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count() - 1)
