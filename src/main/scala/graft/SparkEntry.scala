@@ -620,33 +620,59 @@ object SparkEntry {
         |ORDER BY category""".stripMargin,
     // Resize geometry is pure arithmetic over m01's (oracled) stub
     // header fields; ASCII texts make byte math == codepoint math.
+    // m02 runs a REAL PNG decode → nearest-neighbor resample →
+    // re-encode (javax.imageio); the payload dims and pixel pattern
+    // are deterministic arithmetic, and PNG is lossless, so the oracle
+    // predicts the resized-pixel checksum exactly: pixel (x,y) of the
+    // output samples source (x*w/out_w, y*h/out_h) of the
+    // (31x + 17y + 13*doc_id) mod 256 gray pattern.
     "m02_resize" ->
       """WITH meta AS (
         |  SELECT doc_id,
         |    CAST((unicode(text[1:1]) % 64) + 1 AS INT) AS width,
         |    CAST((unicode(text[2:2]) % 64) + 1 AS INT) AS height
-        |  FROM documents)
-        |SELECT doc_id, width, height,
-        |  CAST(greatest(1, round(width * (32.0 / greatest(width, height)))) AS INT) AS out_w,
-        |  CAST(greatest(1, round(height * (32.0 / greatest(width, height)))) AS INT) AS out_h,
-        |  round(32.0 / greatest(width, height), 6) AS scale_x,
-        |  round(32.0 / greatest(width, height), 6) AS scale_y
-        |FROM meta ORDER BY doc_id""".stripMargin,
-    // Frame sampling: 64-byte frames, every 4th kept; the checksum is
-    // a base-31 Horner hash of frame 0 with JVM long wraparound,
-    // emulated via HUGEINT mod 2^64 then two's-complement to signed.
+        |  FROM documents),
+        |geo AS (
+        |  SELECT doc_id, width, height,
+        |    CAST(greatest(1, round(width * (32.0 / greatest(width, height)))) AS INT) AS out_w,
+        |    CAST(greatest(1, round(height * (32.0 / greatest(width, height)))) AS INT) AS out_h,
+        |    round(32.0 / greatest(width, height), 6) AS scale_x,
+        |    round(32.0 / greatest(width, height), 6) AS scale_y
+        |  FROM meta)
+        |SELECT doc_id, width, height, out_w, out_h, scale_x, scale_y,
+        |  CAST(coalesce(list_sum([
+        |    ((i // out_h) * width // out_w * 31
+        |     + (i % out_h) * height // out_h * 17
+        |     + doc_id * 13) % 256
+        |    FOR i IN range(0, out_w * out_h)]), 0) AS BIGINT) AS px_sum
+        |FROM geo ORDER BY doc_id""".stripMargin,
+    // m03 synthesizes ceil(chars/64) real PNG frames per document and
+    // DECODES ONLY every 4th; frame k paints (31x + 17y + 7k +
+    // 13*doc_id) mod 256, so both checksums replay as flattened index
+    // arithmetic (k = j div fw*fh mapped through the stride).
     "m03_frame_sample" ->
-      """SELECT doc_id,
-        |  CAST(ceil(length(text) / 64.0) AS INT) AS n_frames,
-        |  CAST(ceil(ceil(length(text) / 64.0) / 4.0) AS INT) AS n_sampled,
-        |  CASE WHEN length(text) = 0 THEN 0 ELSE (
-        |    SELECT CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616 ELSE v END AS BIGINT)
-        |    FROM (SELECT list_reduce(
-        |      list_prepend(CAST(0 AS HUGEINT),
-        |        [CAST(unicode(text[i:i]) AS HUGEINT) FOR i IN range(1, least(length(text), 64) + 1)]),
-        |      (a, x) -> (a * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS v)
-        |  ) END AS first_checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST((unicode(text[1:1]) % 16) + 1 AS INT) AS frame_w,
+        |    CAST((unicode(text[2:2]) % 16) + 1 AS INT) AS frame_h,
+        |    CAST(ceil(length(text) / 64.0) AS INT) AS n_frames
+        |  FROM documents),
+        |geo AS (
+        |  SELECT doc_id, n_frames,
+        |    CAST(ceil(n_frames / 4.0) AS INT) AS n_sampled, frame_w, frame_h
+        |  FROM meta)
+        |SELECT doc_id, n_frames, n_sampled, frame_w, frame_h,
+        |  CAST(coalesce(list_sum([
+        |    (i // frame_h * 31 + i % frame_h * 17 + doc_id * 13) % 256
+        |    FOR i IN range(0, CASE WHEN n_frames > 0 THEN frame_w * frame_h ELSE 0 END)]), 0) AS BIGINT)
+        |    AS first_px_sum,
+        |  CAST(coalesce(list_sum([
+        |    ((j % (frame_w * frame_h)) // frame_h * 31
+        |     + j % frame_h * 17
+        |     + j // (frame_w * frame_h) * 4 * 7
+        |     + doc_id * 13) % 256
+        |    FOR j IN range(0, n_sampled * frame_w * frame_h)]), 0) AS BIGINT) AS sampled_px_sum
+        |FROM geo ORDER BY doc_id""".stripMargin,
     // Rabin winnowing is pure modular arithmetic: 8-gram polynomial
     // hashes (base 257 mod 1e9+7, powers precomputed), min per 4-wide
     // winnow window, distinct count + extremes.

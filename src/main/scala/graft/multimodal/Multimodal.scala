@@ -1,19 +1,104 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Multimodal-column plumbing (SURVEY.md §2: m01).
+/** JDK-only real image codec (javax.imageio PNG): the decode / resize /
+  * re-encode boundary for the multimodal operators. No external libs —
+  * PNG is lossless, so a synthesized pattern survives encode → decode →
+  * resample → re-encode → decode bit-exactly, which is what lets the
+  * SQL oracle predict pixel checksums arithmetically.
+  */
+object Codec {
+  // ImageIO defaults to a disk-backed stream cache; these are tiny
+  // in-memory images on executor threads — keep it off the filesystem.
+  ImageIO.setUseCache(false)
+
+  /** Deterministic gray level of pixel (x, y) in frame k of media item
+    * `id` — the pattern the synthesizer paints and the oracle replays.
+    */
+  def grayPx(id: Long, x: Int, y: Int, k: Int): Int =
+    (((x * 31 + y * 17 + k * 7).toLong + id * 13L) % 256L).toInt
+
+  /** A real PNG: w x h RGB image painted with [[grayPx]]. */
+  def synthFrame(id: Long, w: Int, h: Int, k: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grayPx(id, x, y, k)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def decodePng(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  /** Nearest-neighbor resample with the integer source mapping
+    * srcX = x * w / outW — platform-independent (Graphics2D
+    * interpolation is not), so the oracle can replay it exactly.
+    */
+  def resizeNearest(src: BufferedImage, outW: Int, outH: Int): BufferedImage = {
+    val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y, src.getRGB(x * src.getWidth / outW, y * src.getHeight / outH))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Sum of the red channel over all pixels (channels are equal for the
+    * gray pattern) — the replayable content checksum.
+    */
+  def pxSum(img: BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        s += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+}
+
+/** Multimodal-column plumbing (SURVEY.md §2: m01..m03).
   *
   * Media is modeled as an opaque `binary` column + typed metadata —
   * the pattern a 100 TB training-data pipeline uses for image/audio/
-  * video payloads. The Spark-side plumbing (schema, partition-parallel
-  * batch iteration via mapPartitions, typed output) is real; the codec
-  * itself is a STUB (no image/audio libs in this container): header
-  * fields are derived deterministically from the leading payload bytes
-  * so results are reproducible and testable.
+  * video payloads. m01 gates the raw binary→metadata plumbing with a
+  * stub header decode; m02/m03 run a REAL codec ([[Codec]],
+  * javax.imageio PNG): synthesize genuine PNG payloads into the binary
+  * column, decode, resample / frame-sample, re-encode. All passes are
+  * partition-parallel mapPartitions (codec init amortized per
+  * partition, the shape a vectorized UDF has), and payload dims /
+  * pixel patterns are deterministic arithmetic so the DuckDB oracle
+  * predicts every output column including pixel checksums.
   */
 object Multimodal {
 
@@ -21,9 +106,9 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, width: Int, height: Int,
       channels: Int, feat_sum: Long)
 
-  /** STUB decoder — stands in for a real image codec. Reads "header"
-    * bytes and a whole-payload checksum feature; replace the body with
-    * a real decode (JPEG dims, EXIF, etc.) when codecs are available.
+  /** STUB header decoder used by m01 only — m01 gates the binary-column
+    * plumbing itself (arbitrary payload bytes → typed metadata), not a
+    * specific codec; m02/m03 use the real [[Codec]].
     */
   def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
@@ -39,10 +124,6 @@ object Multimodal {
     * partition — codec init amortized across the partition, the same
     * shape a vectorized/Arrow UDF would have).
     */
-  /** Decoded metadata, unsorted — the composable internal form (no
-    * global sort; downstream operators pay ordering only at their own
-    * output surface).
-    */
   private def decodedMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -57,52 +138,79 @@ object Multimodal {
 
   case class ResizedMeta(
       doc_id: Long, width: Int, height: Int,
-      out_w: Int, out_h: Int, scale_x: Double, scale_y: Double)
+      out_w: Int, out_h: Int, scale_x: Double, scale_y: Double,
+      px_sum: Long)
 
-  /** m02: resize planning — STUB for the pixel resample (real codecs
-    * would transform the payload); emits the aspect-preserving target
-    * geometry per media item. Runs on m01's decoded metadata.
+  /** m02: REAL image resize. Stage 1 synthesizes a genuine PNG payload
+    * per document (dims from the text header chars — the same
+    * arithmetic the oracle twin uses — pixels from [[Codec.grayPx]]);
+    * stage 2 decodes it with javax.imageio, nearest-neighbor resamples
+    * to an aspect-preserving target, re-encodes, decodes the re-encoded
+    * image and checksums its pixels. PNG is lossless, so `px_sum` is
+    * pure arithmetic to the oracle while the bytes on the wire are a
+    * real codec round trip.
     */
   def m02Resize(spark: SparkSession, dir: String, target: Int = 32): DataFrame = {
     import spark.implicits._
-    decodedMeta(spark, dir)
-      .select(col("doc_id"), col("width"), col("height"))
-      .as[(Long, Int, Int)]
-      .map { case (id, w, h) =>
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val c0 = if (text.nonEmpty) text.charAt(0).toInt else 0
+        val c1 = if (text.length > 1) text.charAt(1).toInt else 0
+        (id, Codec.synthFrame(id, (c0 % 64) + 1, (c1 % 64) + 1, 0))
+      })
+      .toDF("doc_id", "payload") // the opaque binary media column
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val img = Codec.decodePng(png)
+        val (w, h) = (img.getWidth, img.getHeight)
         val s = target.toDouble / math.max(w, h)
-        ResizedMeta(id, w, h,
-          math.max(1, math.round(w * s).toInt),
-          math.max(1, math.round(h * s).toInt),
-          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
+        val ow = math.max(1, math.round(w * s).toInt)
+        val oh = math.max(1, math.round(h * s).toInt)
+        val resizedPng = Codec.encodePng(Codec.resizeNearest(img, ow, oh))
+        val sc = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        ResizedMeta(id, w, h, ow, oh, sc, sc, Codec.pxSum(Codec.decodePng(resizedPng)))
+      })
       .toDF()
       .orderBy("doc_id")
   }
 
   case class FrameSample(
-      doc_id: Long, n_frames: Int, n_sampled: Int, first_checksum: Long)
+      doc_id: Long, n_frames: Int, n_sampled: Int,
+      frame_w: Int, frame_h: Int, first_px_sum: Long, sampled_px_sum: Long)
 
-  /** m03: frame sampling — treats the payload as fixed-size frames
-    * (video analog) and keeps every `stride`-th frame; decode is the
-    * same STUB boundary. Per-row O(bytes), partition-parallel.
+  /** m03: REAL frame sampling (video analog). The payload is an
+    * array<binary> of genuine PNG frames (ceil(chars/frameBytes) of
+    * them, dims from the header chars); every `stride`-th frame is
+    * kept and ONLY those are decoded — at 100 TB the sampling is what
+    * makes the decode affordable, so the plan must reflect it.
+    * Checksums over the decoded frames are oracle-replayable
+    * arithmetic.
     */
   def m03FrameSample(
       spark: SparkSession, dir: String,
       frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val frames = bytes.grouped(frameBytes).toArray
-        val sampled = frames.zipWithIndex.collect {
-          case (f, i) if i % stride == 0 => f
+    val videos = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val c0 = if (text.nonEmpty) text.charAt(0).toInt else 0
+        val c1 = if (text.length > 1) text.charAt(1).toInt else 0
+        val fw = (c0 % 16) + 1
+        val fh = (c1 % 16) + 1
+        val nFrames = (text.length + frameBytes - 1) / frameBytes
+        (id, fw, fh, Array.tabulate(nFrames)(k => Codec.synthFrame(id, fw, fh, k)))
+      })
+      .toDF("doc_id", "frame_w", "frame_h", "frames")
+    videos.as[(Long, Int, Int, Array[Array[Byte]])]
+      .mapPartitions(_.map { case (id, fw, fh, frames) =>
+        val sampled = frames.indices.collect {
+          case k if k % stride == 0 => frames(k)
         }
-        val checksum =
-          if (sampled.isEmpty) 0L
-          else sampled.head.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
-        FrameSample(id, frames.length, sampled.length, checksum)
+        val imgs = sampled.map(Codec.decodePng) // decode ONLY the sample
+        val sums = imgs.map(Codec.pxSum)
+        FrameSample(id, frames.length, sampled.length, fw, fh,
+          if (sums.isEmpty) 0L else sums.head, sums.sum)
       })
       .toDF()
       .orderBy("doc_id")

@@ -28,21 +28,66 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n)
   }
 
-  test("m02 resize: longest edge hits the target, aspect preserved") {
-    val rows = Multimodal.m02Resize(spark, sf, target = 32).collect()
-    rows.foreach { r =>
-      val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
-      assert(math.max(w, h) == 32)
-      assert(w >= 1 && h >= 1)
+  test("PNG codec round trip is lossless on the synth pattern") {
+    import graft.multimodal.Codec
+    val png = Codec.synthFrame(42L, 13, 7, 3)
+    // Real PNG bytes on the wire (magic header), and decode restores
+    // every pixel of the pattern bit-exactly.
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val img = Codec.decodePng(png)
+    assert(img.getWidth == 13 && img.getHeight == 7)
+    for (y <- 0 until 7; x <- 0 until 13) {
+      val g = Codec.grayPx(42L, x, y, 3)
+      assert((img.getRGB(x, y) >> 16 & 0xff) == g, s"pixel ($x,$y)")
     }
   }
 
-  test("m03 frame sampling: stride-4 keeps ceil(n/4) frames") {
+  test("nearest-neighbor resize picks the exact integer-mapped source pixels") {
+    import graft.multimodal.Codec
+    val src = Codec.decodePng(Codec.synthFrame(7L, 8, 4, 0))
+    val out = Codec.resizeNearest(src, 4, 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val expected = Codec.grayPx(7L, x * 8 / 4, y * 4 / 2, 0)
+      assert((out.getRGB(x, y) >> 16 & 0xff) == expected, s"pixel ($x,$y)")
+    }
+  }
+
+  test("m02 resize: real decode path — geometry and pixel checksum match brute") {
+    import graft.multimodal.Codec
+    val texts = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.m02Resize(spark, sf, target = 32).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(math.max(ow, oh) == 32 && ow >= 1 && oh >= 1)
+      val t = texts(id)
+      assert(w == (t.charAt(0).toInt % 64) + 1 && h == (t.charAt(1).toInt % 64) + 1)
+      // Brute arithmetic twin of the decoded-resized-reencoded checksum.
+      val expected = (for (x <- 0 until ow; y <- 0 until oh)
+        yield Codec.grayPx(id, x * w / ow, y * h / oh, 0).toLong).sum
+      assert(r.getAs[Long]("px_sum") == expected, s"doc $id")
+    }
+  }
+
+  test("m03 frame sampling: stride-4 keeps ceil(n/4) frames, checksums match brute") {
+    import graft.multimodal.Codec
     val rows = Multimodal.m03FrameSample(spark, sf).collect()
     rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
       val n = r.getAs[Int]("n_frames")
       val s = r.getAs[Int]("n_sampled")
       assert(s == (n + 3) / 4)
+      val (fw, fh) = (r.getAs[Int]("frame_w"), r.getAs[Int]("frame_h"))
+      def frameSum(k: Int): Long =
+        (for (x <- 0 until fw; y <- 0 until fh)
+          yield Codec.grayPx(id, x, y, k).toLong).sum
+      val ks = 0 until n by 4
+      assert(r.getAs[Long]("first_px_sum") == (if (ks.isEmpty) 0L else frameSum(0)))
+      assert(r.getAs[Long]("sampled_px_sum") == ks.map(frameSum).sum, s"doc $id")
     }
   }
 }
