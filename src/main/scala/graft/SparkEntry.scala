@@ -141,6 +141,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
         .orderBy("o_orderstatus")
     }),
+    // JSON round-trip inside the gate: schema-explicit read (inference
+    // over JSON is a full extra pass at scale) with a nested struct
+    // that survives the text round-trip.
+    "src05_json_roundtrip" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val out = s"${sys.props("java.io.tmpdir")}/graft_orders_json_${Integer.toHexString(dir.hashCode)}"
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("detail"))
+      graft.sources.Sources.writeJson(o, out)
+      graft.sources.Sources.readJson(s, out, StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("detail", StructType(Seq(
+          StructField("status", StringType),
+          StructField("price", DoubleType)))))))
+        .groupBy(col("detail.status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("detail.price")), 2).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
     "mv01_incremental_agg" -> graft.operators.Materialized.mv01IncrementalAgg _,
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
@@ -163,6 +183,7 @@ object SparkEntry {
     "d18_stable_split"   -> TextCorpus.d18StableSplit _,
     "d19_edit_distance"  -> TextCorpus.d19EditDistance _,
     "d20_fuzzy_dedup"    -> Dedup.d20FuzzyDedup _,
+    "s05_ann_quantized"  -> ((s: SparkSession, d: String) => Similarity.s05AnnQuantized(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares). */
@@ -570,6 +591,17 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // The JSON round-trip preserves the nested struct exactly, so the
+    // oracle is the same plain aggregate.
+    "src05_json_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // Two-stage quantized ANN replays fully: integer code arithmetic
+    // is engine-exact, scales cancel in the coarse cosine, and the
+    // rescore is the standard double-cast cosine.
+    "s05_ann_quantized" -> graft.operators.Similarity.s05OracleSql,
     // Incremental refresh must equal the full recompute — which IS the
     // oracle: the view state merges partial aggregates across deltas.
     "mv01_incremental_agg" ->

@@ -367,6 +367,118 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** s05: quantized ANN — the production two-stage shape for vector
+    * search over a compressed corpus: COARSE ranking on int8 codes
+    * (s04's quantization; 4x less memory traffic, integer dot kernels),
+    * then exact float RESCORE of only the coarse top-C per query.
+    *
+    * The coarse score is the cosine of the CODE vectors — per-vector
+    * scales cancel in cosine, so ranking needs only integer dot and
+    * integer norms (both exact in double). Ids-only through the
+    * rescore boundary: float embeddings re-join for the C survivors,
+    * never for the whole coarse cross product. Both stages are
+    * map-side-partial TopKByScore aggregates, so shuffle volume is
+    * O(partitions x C), not O(candidates).
+    */
+  def s05AnnQuantized(spark: SparkSession, dir: String): DataFrame =
+    s05AnnQuantized(spark, dir, coarseC = 50)
+
+  def s05AnnQuantized(spark: SparkSession, dir: String, coarseC: Int): DataFrame = {
+    import spark.implicits._
+    val (q, c) = split(spark, dir)
+    // s04's exact quantizer: codes + integer squared norm per vector.
+    def codesOf(df: DataFrame, outPrefix: String): DataFrame =
+      df.as[(Long, Array[Float])]
+        .map { case (id, emb) =>
+          val xs = emb.map(_.toDouble)
+          var maxAbs = 0.0
+          xs.foreach(x => maxAbs = math.max(maxAbs, math.abs(x)))
+          val qs: Array[Long] =
+            if (maxAbs == 0.0) new Array[Long](xs.length)
+            else { val s = maxAbs / 127.0; xs.map(x => math.floor(x / s + 0.5).toLong) }
+          var n2 = 0L
+          qs.foreach(v => n2 += v * v)
+          (id, qs, n2)
+        }
+        .toDF(s"${outPrefix}_id", s"${outPrefix}_codes", s"${outPrefix}_n2")
+
+    val qc = codesOf(q, "q")
+    val cc = codesOf(c, "n")
+    val dotL = aggregate(
+      zip_with(col("q_codes"), col("n_codes"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    val coarse = cc.crossJoin(broadcast(qc))
+      .withColumn("cs",
+        when(col("q_n2") * col("n_n2") === 0, lit(-1.0)).otherwise(
+          dotL.cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("n_n2").cast("double")))))
+      .groupBy(col("q_id"))
+      .agg(VectorFunctions.topKByScore(col("cs"), col("n_id"), coarseC).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("n_id"))
+    // Exact rescore of the C survivors only.
+    val scored = coarse
+      .join(q.withColumnRenamed("q_emb", "q_emb0").withColumnRenamed("q_id", "qj")
+        .select(col("qj").as("q_id"), col("q_emb0").as("q_emb")), "q_id")
+      .join(c, "n_id")
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+
+  /** DuckDB replay of s05: the same code arithmetic as s04's oracle,
+    * integer-exact coarse cosine (scales cancel), top-C per query with
+    * the (score DESC, id ASC) tie-break TopKByScore uses, then the
+    * standard double-cast cosine rescore.
+    */
+  def s05OracleSql: String = {
+    val coarseC = 50
+    def codesSql(src: String, idAs: String): String =
+      s"""SELECT vec_id AS $idAs,
+         |  embedding,
+         |  CASE WHEN maxabs = 0 THEN list_transform(xs, x -> CAST(0 AS BIGINT))
+         |       ELSE list_transform(xs, x -> CAST(floor(x / (maxabs / 127.0) + 0.5) AS BIGINT))
+         |  END AS codes
+         |FROM (SELECT vec_id, embedding, xs,
+         |        list_max(list_transform(xs, x -> abs(x))) AS maxabs
+         |      FROM (SELECT vec_id, embedding,
+         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+         |            FROM embeddings WHERE $src))""".stripMargin
+    s"""WITH
+       |qc AS (${codesSql(s"vec_id < $NQueries", "q_id")}),
+       |cc AS (${codesSql(s"vec_id >= $NQueries", "n_id")}),
+       |qn AS (SELECT q_id, embedding AS q_emb, codes AS q_codes,
+       |         CAST(list_sum([c * c FOR c IN codes]) AS BIGINT) AS q_n2 FROM qc),
+       |cn AS (SELECT n_id, embedding AS n_emb, codes AS n_codes,
+       |         CAST(list_sum([c * c FOR c IN codes]) AS BIGINT) AS n_n2 FROM cc),
+       |coarse AS (
+       |  SELECT q_id, n_id,
+       |    CASE WHEN q_n2 * n_n2 = 0 THEN -1.0
+       |         ELSE CAST(list_sum([q_codes[i] * n_codes[i] FOR i IN range(1, ${Dim + 1})]) AS DOUBLE)
+       |              / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(n_n2 AS DOUBLE))) END AS cs
+       |  FROM cn CROSS JOIN qn),
+       |cand AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS crnk
+       |    FROM coarse)
+       |  WHERE crnk <= $coarseC),
+       |sc AS (
+       |  SELECT q_id, n_id,
+       |    list_cosine_similarity(
+       |      list_transform(q_emb, x -> CAST(x AS DOUBLE)),
+       |      list_transform(n_emb, x -> CAST(x AS DOUBLE))) AS cos
+       |  FROM cand
+       |  JOIN (SELECT q_id, q_emb FROM qn) USING (q_id)
+       |  JOIN (SELECT n_id, n_emb FROM cn) USING (n_id)),
+       |r AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM sc)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
+       |FROM r WHERE rnk <= $K
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** DuckDB replay of s04: identical float->double casts, division
     * sequence, floor(+0.5) code assignment, and sequential
     * error-accumulation order (list_reduce mirrors the JVM loop).

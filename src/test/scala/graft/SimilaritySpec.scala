@@ -74,6 +74,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"bucket size blew up with corpus growth: $meanSmall -> $meanBig")
   }
 
+  test("s02 LSH recall@5 >= 0.8 at production knobs on clustered embeddings") {
+    // The production configuration: 4 tables, bits derived from the
+    // corpus size by lshBitsFor — the knobs a 100 TB run uses. Same
+    // clustered corpus recipe as the IVF floor (approximation quality
+    // is only meaningful when the data clusters).
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(8)(Array.fill(Similarity.Dim)(rnd.nextGaussian()))
+    def member(k: Int): Array[Float] = {
+      val c = centers(k)
+      Array.tabulate(Similarity.Dim)(i => (c(i) + 0.15 * rnd.nextGaussian()).toFloat)
+    }
+    val queries = (0 until 10).map(q => (q.toLong, member(q % 8), q % 8))
+    val corpus = (0 until 400).map(i => (10L + i, member(i % 8), i % 8))
+    val dir = writeEmbeddings(queries ++ corpus)
+
+    val bits = Similarity.lshBitsFor(400)
+    val brute = Similarity.s01AnnBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val lsh = Similarity.s02AnnLsh(spark, dir, nTables = 4, bits = bits).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f (tables=4, bits=$bits from lshBitsFor)")
+    assert(recall >= 0.8, f"LSH recall $recall%.2f below floor at production knobs")
+  }
+
   test("IVF recall@5 >= 0.8 with nProbe=2/8 on clustered embeddings") {
     // IVF's approximation is meaningful when the corpus clusters (on
     // uniform-random vectors no coarse quantizer can beat brute force).
@@ -102,6 +127,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val brute = Similarity.s01AnnBrute(spark, sf).collect().map(_.toString).toSeq
     val ivf = Similarity.s03AnnIvf(spark, sf).collect().map(_.toString).toSeq
     assert(ivf == brute)
+  }
+
+  test("s05 quantized ANN: int8 coarse + rescore recovers the brute top-5") {
+    // int8 cosine preserves neighborhoods well enough that the true
+    // top-5 sits inside the coarse top-50 — rescore then returns
+    // exactly the brute answer on the test corpus. (The gate's oracle
+    // replays the pipeline, so this spec is the recall statement.)
+    val brute = Similarity.s01AnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val quant = Similarity.s05AnnQuantized(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    info(f"quantized-ANN recall@5 = $recall%.2f (coarse C=50)")
+    assert(recall >= 0.9, f"quantized rescore recall $recall%.2f below floor")
+    // Shrinking the coarse stage to C=5 makes the result exactly the
+    // coarse ranking's top-5 — still a valid ANN, spec just pins shape.
+    val tight = Similarity.s05AnnQuantized(spark, sf, coarseC = 5).collect()
+    assert(tight.groupBy(_.getAs[Long]("q_id")).forall(_._2.length == 5))
   }
 
   test("s04 int8 quantization: scale and error bound hold for every vector") {

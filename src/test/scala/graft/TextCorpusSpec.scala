@@ -134,6 +134,20 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("d17 pushes the doc_id split filters into the parquet scans") {
+    // The bench/corpus split must reach the scans (a shared opaque
+    // flatMap would block it and fingerprint the whole corpus twice).
+    val plan = TextCorpus.d17Contamination(spark, sf).queryExecution.executedPlan
+    val scans = plan.collectLeaves().map(_.toString)
+      .filter(_.contains("documents.parquet"))
+    assert(scans.exists(s =>
+      s.contains("PushedFilters") && s.contains("LessThan(doc_id,50)")),
+      s"bench-side doc_id filter not pushed:\n${scans.mkString("\n")}")
+    assert(scans.exists(s =>
+      s.contains("PushedFilters") && s.contains("GreaterThanOrEqual(doc_id,50)")),
+      s"corpus-side doc_id filter not pushed:\n${scans.mkString("\n")}")
+  }
+
   test("d13 flags a planted boilerplate sentence across documents") {
     import org.apache.spark.sql.functions._
     // Two docs share the exact boilerplate sentence; the third is clean.
