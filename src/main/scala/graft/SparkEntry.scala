@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Relational, Relational2, Similarity, TextAnalysis, TextCorpus}
+import graft.operators.{Dedup, Relational, Relational2, Relational3, Similarity, TextAnalysis, TextCorpus}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -184,6 +184,25 @@ object SparkEntry {
     "d19_edit_distance"  -> TextCorpus.d19EditDistance _,
     "d20_fuzzy_dedup"    -> Dedup.d20FuzzyDedup _,
     "s05_ann_quantized"  -> ((s: SparkSession, d: String) => Similarity.s05AnnQuantized(s, d)),
+    "d21_dup_ngrams"     -> TextCorpus.d21DupNgrams _,
+    "d22_stratified_sample" -> TextCorpus.d22StratifiedSample _,
+    "q43_exists_subquery" -> Relational3.q43ExistsSubquery _,
+    "q44_merge_upsert"   -> Relational3.q44MergeUpsert _,
+    "q45_scd2"           -> Relational3.q45Scd2 _,
+    "q46_ignore_nulls"   -> Relational3.q46IgnoreNulls _,
+    // ORC round-trip: the second self-describing columnar format —
+    // schema, stripe min/max pushdown and column pruning all survive
+    // the round-trip, so the read-back agg plans like the parquet one.
+    "src06_orc_roundtrip" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${sys.props("java.io.tmpdir")}/graft_orders_orc_${Integer.toHexString(dir.hashCode)}"
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.Sources.writeOrc(o, out)
+      graft.sources.Sources.readOrc(s, out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares). */
@@ -959,5 +978,110 @@ object SparkEntry {
         |         / greatest(length(a.s), length(b.s)), 4) END AS sim
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    // Within-doc n-gram distinctness replays with DuckDB list
+    // comprehensions — same tokenization (split on single space, drop
+    // empties), same n in {2,3,5} lattice.
+    "d21_dup_ngrams" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        |g AS (
+        |  SELECT t.doc_id, v.n,
+        |    CASE WHEN len(ws) >= v.n
+        |      THEN [array_to_string(ws[i:i+v.n-1], ' ')
+        |            FOR i IN range(1, len(ws) - v.n + 2)]
+        |      ELSE [] END AS gs
+        |  FROM t, (VALUES (2), (3), (5)) v(n))
+        |SELECT doc_id, n, CAST(len(gs) AS INT) AS total_ngrams,
+        |  CAST(len(list_distinct(gs)) AS INT) AS distinct_ngrams,
+        |  round(CASE WHEN len(gs) = 0 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(gs)) * 1.0 / len(gs) END, 4)
+        |    AS dup_frac
+        |FROM g ORDER BY doc_id, n""".stripMargin,
+    // Same Horner base-131 mod-p hash replay as d18; quotas mirror
+    // TextCorpus.SampleQuotaPerMille.
+    "d22_stratified_sample" ->
+      """WITH t AS (SELECT doc_id, lang, lower(trim(text)) AS s FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(unicode(s[i:i]) AS BIGINT) FOR i IN range(1, length(s) + 1)]),
+        |  (a, c) -> (a * 131 + c) % 1000000007) AS ph FROM t)
+        |SELECT doc_id, lang, CAST(ph % 1000 AS INT) AS mille,
+        |  ph % 1000 < CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 600
+        |    WHEN 'fr' THEN 600 WHEN 'es' THEN 600 WHEN 'zh' THEN 600
+        |    ELSE 500 END AS kept
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // Correlated EXISTS/NOT EXISTS — identical SQL runs on both
+    // engines (Catalyst decorrelates to semi/anti joins).
+    "q43_exists_subquery" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q44_merge_upsert" ->
+      """WITH base AS (SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE year(o_orderdate) = 1997) WHERE rn = 1),
+        |upd AS (SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE year(o_orderdate) >= 1998) WHERE rn = 1)
+        |SELECT coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  round(coalesce(u.o_totalprice, b.o_totalprice), 2) AS price,
+        |  coalesce(u.o_orderstatus, b.o_orderstatus) AS status,
+        |  CASE WHEN u.o_custkey IS NULL THEN 'kept'
+        |       WHEN b.o_custkey IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS merge_action
+        |FROM base b FULL OUTER JOIN upd u ON b.o_custkey = u.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q45_scd2" ->
+      """WITH s AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority AS prio,
+        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |v AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS version
+        |  FROM s),
+        |g AS (
+        |  SELECT o_custkey, version, prio,
+        |    min(o_orderdate) AS valid_from, count(*) AS n_orders
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT o_custkey, version, prio, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+        |  n_orders
+        |FROM g ORDER BY o_custkey, version""".stripMargin,
+    "q46_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+        |    IGNORE NULLS) OVER w, 2) AS prev_f_price,
+        |  first_value(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderdate END
+        |    IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS first_urgent_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // ORC round-trips losslessly, so the oracle is the plain agg.
+    "src06_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 relational additions: correlated subqueries, IGNORE NULLS
+  * window navigation, MERGE-style upsert, and SCD Type-2 history
+  * builds.
+  *
+  * All four stay fully declarative — Catalyst decorrelates the
+  * subqueries into semi/anti joins and the upsert/SCD forms are
+  * join + window compositions, so every one of them scales as its
+  * underlying shuffle does (keyed by custkey — no skew, no global
+  * sorts over fact rows; final orderBy is presentation-only on
+  * group-sized output).
+  */
+object Relational3 {
+
+  /** q43: correlated EXISTS / NOT EXISTS — customers who placed at
+    * least one urgent order but have no completed ('F') order.
+    * Written through the SQL surface to exercise the decorrelation
+    * path: Catalyst rewrites EXISTS → left-semi and NOT EXISTS →
+    * left-anti, both broadcastable when the inner side aggregates
+    * small; at 100 TB both sides shuffle on o_custkey once.
+    */
+  def q43ExistsSubquery(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.sql(spark, dir,
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+
+  /** q46: IGNORE NULLS window navigation — for every order, the price
+    * of the same customer's most recent PRIOR completed ('F') order,
+    * and that customer's first urgent-order date carried to every row.
+    * `lag(..., ignoreNulls = true)` skips the non-F gaps natively
+    * (no self-join, no LOCF subpass); the window shards by customer,
+    * so no partition exceeds one customer's order history.
+    */
+  def q46IgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        when(col("o_orderstatus") === "F", col("o_totalprice")).as("f_price"),
+        when(col("o_orderpriority") === "1-URGENT", col("o_orderdate")).as("urgent_d"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(lag(col("f_price"), 1, null, ignoreNulls = true).over(w), 2)
+          .as("prev_f_price"),
+        first(col("urgent_d"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("first_urgent_date"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q44: MERGE-style upsert — the engine's mutable-table story.
+    * Base = each customer's LAST order of 1997 (latest by date, then
+    * key); updates = orders from 1998+. Semantics match
+    * `MERGE INTO base USING updates ON custkey WHEN MATCHED THEN
+    * UPDATE WHEN NOT MATCHED THEN INSERT`, with the newest update row
+    * winning per key. Composed as: window-dedup each side to one row
+    * per key (shuffle on custkey) → full-outer merge with
+    * update-wins coalesce. At 100 TB both sides arrive hash-
+    * partitioned on the merge key, so the outer join reuses the
+    * dedup's exchange — one shuffle total per side.
+    */
+  def q44MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def latestPerCust(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val base = latestPerCust(o.filter(year(col("o_orderdate")) === 1997))
+      .select(col("o_custkey").as("b_ck"), col("o_orderkey").as("b_ok"),
+        col("o_totalprice").as("b_price"), col("o_orderstatus").as("b_status"))
+    val upd = latestPerCust(o.filter(year(col("o_orderdate")) >= 1998))
+      .select(col("o_custkey").as("u_ck"), col("o_orderkey").as("u_ok"),
+        col("o_totalprice").as("u_price"), col("o_orderstatus").as("u_status"))
+    base.join(upd, col("b_ck") === col("u_ck"), "full_outer")
+      .select(
+        coalesce(col("u_ck"), col("b_ck")).as("o_custkey"),
+        coalesce(col("u_ok"), col("b_ok")).as("o_orderkey"),
+        round(coalesce(col("u_price"), col("b_price")), 2).as("price"),
+        coalesce(col("u_status"), col("b_status")).as("status"),
+        when(col("u_ck").isNull, "kept")
+          .when(col("b_ck").isNull, "inserted")
+          .otherwise("updated").as("merge_action"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q45: SCD Type-2 history build — each customer's order-priority
+    * regime as [valid_from, valid_to) ranges: consecutive same-
+    * priority runs collapse into one versioned row, the open version
+    * ends at NULL. The classic island detection: change-flag → running
+    * version number (both over the per-customer window) → one
+    * group-by. Everything shards by custkey; version counts are tiny
+    * compared to fact rows, so the final agg shrinks the data.
+    */
+  def q45Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority").as("prio"))
+      .withColumn("chg",
+        when(lag(col("prio"), 1).over(w).isNull ||
+          lag(col("prio"), 1).over(w) =!= col("prio"), 1).otherwise(0))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy(col("o_custkey"), col("version"), col("prio"))
+      .agg(
+        min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("version"))))
+      .select(col("o_custkey"), col("version"), col("prio"),
+        col("valid_from"), col("valid_to"), col("n_orders"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+}

@@ -257,4 +257,67 @@ object TextCorpus {
         round(col("score"), 4).as("tfidf"))
       .orderBy(col("doc_id"), col("rnk"))
   }
+
+  /** d21: duplicate-n-gram profile (the Gopher-style repetition gate
+    * at n-gram granularity, complementing d14's word-level TTR): for
+    * n in {2, 3, 5}, the fraction of a document's n-gram occurrences
+    * that are repeats of an earlier n-gram in the SAME document.
+    *
+    * Within-doc distinctness needs only that document's words, so this
+    * is a pure MAP — one typed pass, a local hash set per (doc, n),
+    * ZERO shuffle. At 100 TB it scales embarrassingly: no exchange, no
+    * state beyond one document's n-gram set at a time. (The exploded
+    * groupBy(doc, gram) alternative shuffles every n-gram occurrence —
+    * 5x the corpus bytes — to compute a per-doc-local property.)
+    */
+  def d21DupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        Seq(2, 3, 5).map { n =>
+          val total = math.max(ws.length - n + 1, 0)
+          val seen = new scala.collection.mutable.HashSet[String]
+          var i = 0
+          while (i < total) { seen += ws.slice(i, i + n).mkString(" "); i += 1 }
+          val dupFrac =
+            if (total == 0) 0.0 else 1.0 - seen.size.toDouble / total
+          (id, n, total, seen.size, dupFrac)
+        }
+      }
+      .toDF("doc_id", "n", "total_ngrams", "distinct_ngrams", "dup_raw")
+      // round() here (not in the JVM lambda) so Spark and DuckDB apply
+      // the same half-up decimal rounding — the proven oracle pattern.
+      .select(col("doc_id"), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"), round(col("dup_raw"), 4).as("dup_frac"))
+      .orderBy("doc_id", "n")
+  }
+
+  /** Per-mille keep quotas for d22 — chosen to pull the corpus toward
+    * language balance (en dominates the synthetic corpus ~2:1).
+    */
+  val SampleQuotaPerMille: Map[String, Int] =
+    Map("en" -> 250, "de" -> 600, "fr" -> 600, "es" -> 600, "zh" -> 600)
+
+  /** d22: deterministic stratified downsampling — the language-balance
+    * resample every multilingual training-data pipeline runs. A doc is
+    * kept iff its content-hash per-mille bucket falls under its
+    * language's quota: purely content-addressed (d18's stability
+    * property — membership never depends on row order, partitioning,
+    * or corpus composition), so reruns and incremental appends are
+    * bit-stable. One typed map, zero shuffle, trivially distributed.
+    */
+  def d22StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val mille = (Dedup.polyHash(text.trim.toLowerCase) % 1000L).toInt
+        val quota = SampleQuotaPerMille.getOrElse(lang, 500)
+        (id, lang, mille, mille < quota)
+      }
+      .toDF("doc_id", "lang", "mille", "kept")
+      .orderBy("doc_id")
+  }
 }

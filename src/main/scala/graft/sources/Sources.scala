@@ -39,6 +39,17 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC — the second self-describing columnar format the engine
+    * speaks. Like parquet it carries its schema, per-stripe min/max
+    * indexes (predicate pushdown) and column projection, so the same
+    * scan-level optimizations apply; no schema argument needed.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Hive-style partitioned parquet layout. `partitionCols` should be
     * low-cardinality derived columns (e.g. a date bucket), never a
     * high-cardinality key — millions of directories kill the driver

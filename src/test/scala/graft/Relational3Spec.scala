@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational3
+
+class Relational3Spec extends AnyFunSuite with SparkSpec {
+
+  test("q43 EXISTS/NOT EXISTS plans as semi+anti and excludes F-status customers") {
+    val df = Relational3.q43ExistsSubquery(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Semi") && plan.contains("Anti"),
+      s"expected semi+anti join rewrite, got:\n$plan")
+    val keys = df.collect().map(_.getAs[Long]("c_custkey")).toSet
+    // Manual cross-check: any selected customer must have no F order.
+    import org.apache.spark.sql.functions._
+    val fCusts = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(keys.intersect(fCusts).isEmpty)
+  }
+
+  test("q44 merge actions partition the key space correctly") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational3.q44MergeUpsert(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("o_custkey")).distinct.length == rows.length,
+      "one merged row per customer key")
+    val o = Tables.orders(spark, sf)
+    val baseKeys = o.filter(year(col("o_orderdate")) === 1997)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val updKeys = o.filter(year(col("o_orderdate")) >= 1998)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val k = r.getAs[Long]("o_custkey")
+      val expected =
+        if (baseKeys(k) && updKeys(k)) "updated"
+        else if (updKeys(k)) "inserted"
+        else "kept"
+      assert(r.getAs[String]("merge_action") == expected, s"key $k")
+    }
+  }
+
+  test("q45 SCD2 versions are contiguous and ranges chain per customer") {
+    val rows = Relational3.q45Scd2(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, hist) =>
+      val sorted = hist.sortBy(_.getAs[Int]("version"))
+      assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to sorted.length))
+      // valid_to of version v == valid_from of version v+1; open tail NULL.
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(a.fieldIndex("valid_to")) == b.get(b.fieldIndex("valid_from")))
+        case _ => ()
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")))
+      // Consecutive versions must actually change priority.
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("prio") != b.getAs[String]("prio"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("q46 prev_f_price skips non-F gaps (matches per-customer replay)") {
+    import org.apache.spark.sql.functions._
+    val got = Relational3.q46IgnoreNulls(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey")) ->
+        Option(r.getAs[java.lang.Double]("prev_f_price")).map(_.toDouble))
+      .toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[Long]("d_us"),
+        r.getAs[String]("o_orderstatus"), r.getAs[Double]("o_totalprice")))
+    orders.groupBy(_._1).foreach { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._3, o._2))
+      var lastF: Option[Double] = None
+      sorted.foreach { case (_, ok, _, status, price) =>
+        val expected = lastF.map(p => math.round(p * 100.0) / 100.0)
+        assert(got((ck, ok)) == expected, s"cust $ck order $ok")
+        if (status == "F") lastF = Some(price)
+      }
+    }
+  }
+
+  test("src06 ORC round-trip preserves the aggregate") {
+    val q = SparkEntry.queries("src06_orc_roundtrip")
+    val rows = q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val direct = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy("o_orderstatus").collect()
+    assert(rows.toSeq == direct.toSeq)
+  }
+}

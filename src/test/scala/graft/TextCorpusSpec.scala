@@ -167,4 +167,44 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(shared == Seq(1L, 2L))
   }
+
+  test("d21 dup-ngram profile matches a brute-force replay and has no shuffle") {
+    val df = TextCorpus.d21DupNgrams(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty).toSeq
+      Seq(2, 3, 5).foreach { n =>
+        val grams = ws.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        assert(got((id, n)) == ((grams.length, grams.distinct.length)),
+          s"doc $id n=$n")
+      }
+    }
+    // Per-doc-local property => the plan must contain NO exchange
+    // before the presentation sort (count the AQE final plan only —
+    // toString also prints the pre-AQE initial plan).
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(finalPlan).length
+    assert(exchanges <= 1, s"expected only the orderBy range exchange:\n$plan")
+  }
+
+  test("d22 stratified sample is content-stable and respects quotas") {
+    val rows = TextCorpus.d22StratifiedSample(spark, sf).collect()
+    // Deterministic: a doc's membership depends only on (text, lang).
+    val again = TextCorpus.d22StratifiedSample(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    rows.foreach { r =>
+      val quota = TextCorpus.SampleQuotaPerMille(r.getAs[String]("lang"))
+      assert(r.getAs[Boolean]("kept") == (r.getAs[Int]("mille") < quota))
+    }
+    // The resample pulls en's share down (quota 250 vs 600 elsewhere).
+    val kept = rows.filter(_.getAs[Boolean]("kept"))
+    val enShareBefore = rows.count(_.getAs[String]("lang") == "en").toDouble / rows.length
+    val enShareAfter = kept.count(_.getAs[String]("lang") == "en").toDouble / kept.length
+    assert(enShareAfter < enShareBefore)
+  }
 }
