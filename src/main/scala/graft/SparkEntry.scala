@@ -167,6 +167,7 @@ object SparkEntry {
     "st03_dedup_counts"  -> EventStreams.st03DedupCounts _,
     "st04_stream_join"   -> EventStreams.st04StreamJoin _,
     "st05_top_users"     -> EventStreams.st05TopUsers _,
+    "st07_stream_left_join" -> EventStreams.st07StreamLeftJoin _,
     "d10_rolling_fingerprint" -> Dedup.d10RollingFingerprint _,
     "q40_grouping_sets"  -> Relational2.q40GroupingSets _,
     "d13_paragraph_dedup" -> TextCorpus.d13ParagraphDedup _,
@@ -812,6 +813,14 @@ object SparkEntry {
         |p AS (SELECT * FROM events WHERE event_type = 'purchase')
         |SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id AS user_id
         |FROM e JOIN p ON e.user_id = p.user_id
+        |  AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+        |ORDER BY error_id, purchase_id""".stripMargin,
+    "st07_stream_left_join" ->
+      """WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id AS error_id, e.user_id AS user_id,
+        |  p.event_id AS purchase_id, p.event_id IS NOT NULL AS converted
+        |FROM e LEFT JOIN p ON e.user_id = p.user_id
         |  AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
         |ORDER BY error_id, purchase_id""".stripMargin,
     "q40_grouping_sets" ->

@@ -168,6 +168,40 @@ object EventStreams {
       .orderBy("error_id", "purchase_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join — st04's attribution join
+    * but keeping UNCONVERTED errors too (purchase NULL). The semantics
+    * Spark only permits in streaming when both sides carry watermarks
+    * and the join has a time bound: a left row is held in state until
+    * the watermark passes its match window's upper bound, THEN emitted
+    * with nulls if nothing arrived — so "no match" is a statement
+    * about a CLOSED window, never about data that merely hasn't
+    * arrived yet. State per key is bounded by the 30-min window plus
+    * the watermark delay.
+    */
+  def errorPurchaseLeftJoin(errors: DataFrame, purchases: DataFrame): DataFrame =
+    errors.alias("e")
+      .join(purchases.alias("p"),
+        col("e.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("e.ts") &&
+          col("p.ts") <= col("e.ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(
+        col("e.event_id").as("error_id"),
+        col("e.user_id").as("user_id"),
+        col("p.event_id").as("purchase_id"),
+        col("p.event_id").isNotNull.as("converted"))
+
+  /** st07 (oracle-checked in batch): conversion attribution INCLUDING
+    * the unconverted errors — the left-outer streaming join.
+    */
+  def st07StreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    errorPurchaseLeftJoin(
+      ev.filter(col("event_type") === "error"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("error_id", "purchase_id")
+  }
+
   /** st02 (rows-only): batch run of the stateful sessionizer. */
   def st02StatefulSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

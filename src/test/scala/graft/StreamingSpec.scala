@@ -187,6 +187,52 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == Seq("[10,20,1]", "[11,22,2]"))
   }
 
+  test("st07 stream-stream LEFT OUTER join emits unmatched errors after watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val errors = Seq(
+      ev(10, "2024-01-01 01:00:00", 1, "error"), // converted
+      ev(11, "2024-01-01 05:00:00", 2, "error"), // NOT converted
+      ev(12, "2024-01-01 05:10:00", 3, "error"), // NOT converted
+      // Error-side watermark driver (global wm = MIN over both
+      // streams): converts immediately, and pushes the error wm to
+      // 08:00 — past 11's and 12's [ts, ts+30m] windows.
+      ev(13, "2024-01-01 09:00:00", 4, "error"))
+    val purchases = Seq(
+      ev(20, "2024-01-01 01:10:00", 1, "purchase"), // within 30m of 10
+      ev(21, "2024-01-01 06:00:00", 2, "purchase"), // outside 30m of 11
+      ev(22, "2024-01-01 09:05:00", 4, "purchase"), // within 30m of 13
+      // Purchase-side watermark driver: wm_p = 11:00.
+      ev(99, "2024-01-01 12:00:00", 9, "purchase"))
+    // Second driver: outer rows flush in the micro-batch AFTER the
+    // watermark advances, and a new batch only runs when data arrives.
+    val lateDriver = ev(98, "2024-01-01 12:30:00", 9, "purchase")
+
+    val eStream = MemoryStream[Event]
+    val pStream = MemoryStream[Event]
+    eStream.addData(errors)
+    pStream.addData(purchases)
+    val joined = EventStreams.errorPurchaseLeftJoin(
+      eStream.toDF().withWatermark("ts", "1 hour"),
+      pStream.toDF().withWatermark("ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("ss_left_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      pStream.addData(Seq(lateDriver))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql("SELECT * FROM ss_left_out ORDER BY error_id, purchase_id")
+      .collect().map(_.toString).toSeq
+    val batch = EventStreams.errorPurchaseLeftJoin(
+      errors.toDF(), (purchases :+ lateDriver).toDF())
+      .orderBy("error_id", "purchase_id").collect().map(_.toString).toSeq
+    assert(streamed == batch, s"streaming $streamed != batch $batch")
+    assert(streamed == Seq("[10,1,20,true]", "[11,2,null,false]",
+      "[12,3,null,false]", "[13,4,22,true]"))
+  }
+
   test("st06 session_window: streaming result equals batch, and merges gaps under 30 min") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
