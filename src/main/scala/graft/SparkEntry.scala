@@ -191,6 +191,8 @@ object SparkEntry {
     "q44_merge_upsert"   -> Relational3.q44MergeUpsert _,
     "q45_scd2"           -> Relational3.q45Scd2 _,
     "q46_ignore_nulls"   -> Relational3.q46IgnoreNulls _,
+    "q47_recursive_cte"  -> Relational3.q47RecursiveCte _,
+    "s06_maxsim"         -> ((s: SparkSession, d: String) => Similarity.s06MaxSim(s, d)),
     // ORC round-trip: the second self-describing columnar format —
     // schema, stripe min/max pushdown and column pruning all survive
     // the round-trip, so the read-back agg plans like the parquet one.
@@ -1086,6 +1088,23 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "s06_maxsim" -> graft.operators.Similarity.s06OracleSql,
+    // Recursive month spine: same recursion, DuckDB interval syntax.
+    "q47_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM orders
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < DATE '2001-08-01'
+        |),
+        |rev AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(months.m, '%Y-%m-%d') AS month,
+        |  coalesce(n, 0) AS n, coalesce(rev, 0.0) AS rev
+        |FROM months LEFT JOIN rev ON months.m = rev.m
+        |ORDER BY month""".stripMargin,
     // ORC round-trips losslessly, so the oracle is the plain agg.
     "src06_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev

@@ -133,4 +133,29 @@ object Relational3 {
         col("valid_from"), col("valid_to"), col("n_orders"))
       .orderBy(col("o_custkey"), col("version"))
   }
+
+  /** q47: RECURSIVE CTE — iterative plans expressed in SQL (Spark 4's
+    * WITH RECURSIVE): the anchor seeds the first order month, each
+    * step adds one month to a fixed horizon, and the spine left-joins
+    * monthly revenue so empty months surface as zeros. Recursion depth
+    * is O(months) — calendar-bounded, independent of fact-table size —
+    * while the revenue side stays one partial-agg scan; the join is a
+    * broadcast of the tiny spine at any scale.
+    */
+  def q47RecursiveCte(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.sql(spark, dir,
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM orders
+        |  UNION ALL
+        |  SELECT add_months(m, 1) FROM months
+        |  WHERE m < DATE '2001-08-01'
+        |),
+        |rev AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT date_format(months.m, 'yyyy-MM-dd') AS month,
+        |  coalesce(n, 0) AS n, coalesce(rev, 0.0) AS rev
+        |FROM months LEFT JOIN rev ON months.m = rev.m
+        |ORDER BY month""".stripMargin)
 }

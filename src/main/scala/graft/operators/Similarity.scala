@@ -596,4 +596,67 @@ object Similarity {
        |${Dedup.ccSql}
        |SELECT doc_id AS vec_id, canonical_id FROM canon ORDER BY vec_id""".stripMargin
   }
+
+  /** Tokens per pseudo-document for s06: consecutive vec_ids fold into
+    * one multi-vector document (the late-interaction layout — a doc is
+    * a BAG of token embeddings, not one pooled vector).
+    */
+  val MaxSimGroup = 4
+  private val MaxSimNQueryDocs = 3
+
+  /** s06: multi-vector MaxSim retrieval (late interaction): score(q, d)
+    * = sum over q's token vectors of the max cosine against any of d's
+    * token vectors. Plans as: broadcast the query docs' tokens (tiny),
+    * ONE scan over candidate tokens scoring all (q_tok, c_tok) pairs,
+    * then a two-level partial agg — max per (q_doc, q_tok, c_doc),
+    * sum per (q_doc, c_doc) — and the bounded-heap top-k. Shuffle
+    * carries only aggregated (q_doc, c_doc) pairs, never token-pair
+    * scores; at 100 TB the token scan stays embarrassingly parallel.
+    */
+  def s06MaxSim(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        (col("vec_id") / MaxSimGroup).cast("long").as("g"), col("embedding"))
+    val q = e.filter(col("g") < MaxSimNQueryDocs)
+      .select(col("g").as("q_doc"), col("vec_id").as("q_tok"),
+        col("embedding").as("q_emb"))
+    val c = e.filter(col("g") >= MaxSimNQueryDocs)
+      .select(col("g").as("c_doc"), col("embedding").as("c_emb"))
+    val maxsim = c.crossJoin(broadcast(q))
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("c_emb")))
+      .groupBy(col("q_doc"), col("q_tok"), col("c_doc"))
+      .agg(max(col("cos")).as("mc"))
+      .groupBy(col("q_doc"), col("c_doc"))
+      .agg(sum(col("mc")).as("maxsim"))
+    maxsim
+      .groupBy(col("q_doc"))
+      .agg(VectorFunctions.topKByScore(col("maxsim"), col("c_doc"), K).as("tk"))
+      .select(col("q_doc"), posexplode(col("tk")))
+      .select(
+        col("q_doc"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("c_doc"),
+        round(col("col.score"), 4).as("maxsim"))
+      .orderBy(col("q_doc"), col("rnk"))
+  }
+
+  /** Full MaxSim replay: DuckDB integer-divides into the same pseudo
+    * docs and reproduces the max-then-sum lattice.
+    */
+  val s06OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, vec_id // $MaxSimGroup AS g,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |q AS (SELECT g AS q_doc, vec_id AS q_tok, emb AS q_emb FROM e
+       |  WHERE g < $MaxSimNQueryDocs),
+       |c AS (SELECT g AS c_doc, emb AS c_emb FROM e WHERE g >= $MaxSimNQueryDocs),
+       |s AS (SELECT q_doc, q_tok, c_doc,
+       |    max(list_cosine_similarity(q_emb, c_emb)) AS mc
+       |  FROM c CROSS JOIN q GROUP BY 1, 2, 3),
+       |m AS (SELECT q_doc, c_doc, sum(mc) AS maxsim FROM s GROUP BY 1, 2),
+       |r AS (SELECT q_doc, c_doc, maxsim,
+       |    row_number() OVER (PARTITION BY q_doc ORDER BY maxsim DESC, c_doc) AS rnk
+       |  FROM m)
+       |SELECT q_doc, CAST(rnk AS INT) AS rnk, c_doc, round(maxsim, 4) AS maxsim
+       |FROM r WHERE rnk <= $K
+       |ORDER BY q_doc, rnk""".stripMargin
 }

@@ -86,6 +86,22 @@ class Relational3Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q47 recursive month spine is contiguous and conserves order counts") {
+    val rows = Relational3.q47RecursiveCte(spark, sf).collect()
+    val months = rows.map(_.getAs[String]("month"))
+    assert(months.head.endsWith("-01") && months.toSeq == months.sorted.toSeq)
+    // Contiguous: every consecutive pair is exactly one month apart.
+    months.sliding(2).foreach {
+      case Array(a, b) =>
+        val (ya, ma) = (a.substring(0, 4).toInt, a.substring(5, 7).toInt)
+        val (yb, mb) = (b.substring(0, 4).toInt, b.substring(5, 7).toInt)
+        assert(yb * 12 + mb == ya * 12 + ma + 1, s"$a -> $b")
+      case _ => ()
+    }
+    // Spine conserves the fact table: per-month counts sum to |orders|.
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sf).count())
+  }
+
   test("src06 ORC round-trip preserves the aggregate") {
     val q = SparkEntry.queries("src06_orc_roundtrip")
     val rows = q(spark, sf).collect()

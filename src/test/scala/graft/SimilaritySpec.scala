@@ -198,4 +198,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
     assert(hits >= 8, s"quantized top-1 agreement $hits/10 below floor")
   }
+
+  test("s06 MaxSim matches a brute-force late-interaction replay") {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
+    val byDoc = raw.groupBy(_._1 / Similarity.MaxSimGroup)
+      .view.mapValues(_.sortBy(_._1).map(_._2)).toMap
+    val (qDocs, cDocs) = (byDoc.filter(_._1 < 3), byDoc.filter(_._1 >= 3))
+    val expected = qDocs.map { case (qd, qToks) =>
+      val scores = cDocs.map { case (cd, cToks) =>
+        (cd, qToks.map(qt => cToks.map(ct => cos(qt, ct)).max).sum)
+      }.toSeq
+      qd -> scores.sortBy { case (cd, s) => (-s, cd) }.take(5)
+    }
+    val got = Similarity.s06MaxSim(spark, sf).collect()
+    assert(got.length == qDocs.size * 5)
+    got.foreach { r =>
+      val (qd, rnk, cd, ms) = (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      val (expCd, expMs) = expected(qd)(rnk - 1)
+      assert(cd == expCd, s"q_doc $qd rnk $rnk: $cd != $expCd")
+      assert(math.abs(ms - expMs) < 1e-3, s"q_doc $qd rnk $rnk score")
+    }
+  }
 }
