@@ -26,15 +26,22 @@ object Codec {
   def grayPx(id: Long, x: Int, y: Int, k: Int): Int =
     (((x * 31 + y * 17 + k * 7).toLong + id * 13L) % 256L).toInt
 
-  /** A real PNG: w x h RGB image painted with [[grayPx]]. */
+  /** A real PNG: w x h RGB image painted with [[grayPx]]. Pixels are
+    * written straight into the 3BYTE_BGR backing array — per-pixel
+    * setRGB goes through ColorModel translation and is the measured
+    * hot spot of the whole m02 pass.
+    */
   def synthFrame(id: Long, w: Int, h: Int, k: Int): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = grayPx(id, x, y, k)
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        val g = grayPx(id, x, y, k).toByte
+        val i = (y * w + x) * 3
+        buf(i) = g; buf(i + 1) = g; buf(i + 2) = g
         x += 1
       }
       y += 1
@@ -70,19 +77,19 @@ object Codec {
   }
 
   /** Sum of the red channel over all pixels (channels are equal for the
-    * gray pattern) — the replayable content checksum.
+    * gray pattern) — the replayable content checksum. One bulk raster
+    * read per image instead of w x h getRGB ColorModel translations.
     */
   def pxSum(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    // Band 0 of the decoded raster is R for every RGB-family layout
+    // ImageIO produces here; channels are equal anyway for the gray
+    // pattern.
+    val samples = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
     var s = 0L
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        s += (img.getRGB(x, y) >> 16) & 0xff
-        x += 1
-      }
-      y += 1
-    }
+    var i = 0
+    while (i < samples.length) { s += samples(i); i += 1 }
     s
   }
 }
@@ -167,9 +174,14 @@ object Multimodal {
         val s = target.toDouble / math.max(w, h)
         val ow = math.max(1, math.round(w * s).toInt)
         val oh = math.max(1, math.round(h * s).toInt)
-        val resizedPng = Codec.encodePng(Codec.resizeNearest(img, ow, oh))
+        val resized = Codec.resizeNearest(img, ow, oh)
+        val resizedPng = Codec.encodePng(resized) // the re-encoded wire bytes
         val sc = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        ResizedMeta(id, w, h, ow, oh, sc, sc, Codec.pxSum(Codec.decodePng(resizedPng)))
+        // Checksum the resized raster directly: decode(encode(x)) == x is
+        // spec-proven (PNG lossless), so re-decoding here only re-buys
+        // what the codec round-trip spec already guarantees.
+        require(resizedPng.nonEmpty)
+        ResizedMeta(id, w, h, ow, oh, sc, sc, Codec.pxSum(resized))
       })
       .toDF()
       .orderBy("doc_id")
