@@ -193,6 +193,8 @@ object SparkEntry {
     "q46_ignore_nulls"   -> Relational3.q46IgnoreNulls _,
     "q47_recursive_cte"  -> Relational3.q47RecursiveCte _,
     "s06_maxsim"         -> ((s: SparkSession, d: String) => Similarity.s06MaxSim(s, d)),
+    "q48_lateral_topn"   -> Relational3.q48LateralTopN _,
+    "mv04_retract_view"  -> graft.operators.Materialized.mv04RetractView _,
     // ORC round-trip: the second self-describing columnar format —
     // schema, stripe min/max pushdown and column pruning all survive
     // the round-trip, so the read-back agg plans like the parquet one.
@@ -1089,6 +1091,28 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "s06_maxsim" -> graft.operators.Similarity.s06OracleSql,
+    // Retractable view: oracle recomputes over the surviving key set
+    // (deleted %10==7, re-inserted %20==7) with the same cents-exact
+    // integer money arithmetic.
+    "mv04_retract_view" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus, count(*) AS n,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS rev
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 7 OR o_orderkey % 20 = 7
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // Identical lateral SQL runs on DuckDB; rn cast to match Spark's
+    // 32-bit row_number.
+    "q48_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price,
+        |  CAST(t.rn AS INT) AS rn
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, rn""".stripMargin,
     // Recursive month spine: same recursion, DuckDB interval syntax.
     "q47_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (

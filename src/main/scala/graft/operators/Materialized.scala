@@ -153,4 +153,45 @@ object Materialized {
     pres(mergeJoinDelta(
       mergeJoinDelta(partialJoinState(base, customer), h1, customer), h2, customer))
   }
+
+  /** Signed (multiset) partial state for RETRACTABLE views — mv04.
+    *
+    * Deletes are just deltas with sign = -1, the classic
+    * count/sum-with-multiplicity algebra. Money is kept as integer
+    * CENTS inside the state: double sums are only approximately
+    * associative, so float insert-then-delete would drift from the
+    * recompute by ulps — integer arithmetic makes retraction EXACT,
+    * which is what lets the oracle hash-match a view that has seen
+    * deletes. Groups whose multiplicity reaches zero drop out.
+    */
+  def signedState(orders: DataFrame, sign: Int): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .agg(
+        (count(lit(1)) * sign).as("n"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) * sign).as("cents"))
+
+  def mergeSigned(view: DataFrame, delta: DataFrame, sign: Int): DataFrame =
+    view.unionByName(signedState(delta, sign))
+      .groupBy(col("o_year"), col("o_orderstatus"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .filter(col("n") =!= 0)
+
+  /** mv04: retractable-view maintenance, gated — build on all orders,
+    * DELETE the keys with o_orderkey % 10 == 7, then re-insert the
+    * half of them with o_orderkey % 20 == 7. The oracle is the plain
+    * recompute over the surviving key set: equality proves the signed
+    * algebra supports deletion exactly (not just insert-only growth,
+    * which is all mv01-mv03 exercise).
+    */
+  def mv04RetractView(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val del = orders.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+    val reins = orders.filter(pmod(col("o_orderkey"), lit(20)) === 7)
+    val v = mergeSigned(mergeSigned(signedState(orders, 1), del, -1), reins, 1)
+    v.select(
+      col("o_year"), col("o_orderstatus"), col("n"),
+      round(col("cents") / 100.0, 2).as("rev"))
+      .orderBy(col("o_year"), col("o_orderstatus"))
+  }
 }

@@ -158,4 +158,22 @@ object Relational3 {
         |  coalesce(n, 0) AS n, coalesce(rev, 0.0) AS rev
         |FROM months LEFT JOIN rev ON months.m = rev.m
         |ORDER BY month""".stripMargin)
+
+  /** q48: correlated LATERAL subquery — per-customer top-2 orders by
+    * price, written as the SQL-standard lateral derived table (the
+    * form ORMs and BI tools emit). Catalyst decorrelates the LIMIT
+    * into a per-key rank filter, so the plan is the same shuffled
+    * window top-k as a hand-written row_number() — no per-row
+    * re-execution of the inner query exists at any scale.
+    */
+  def q48LateralTopN(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.sql(spark, dir,
+      """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price, t.rn
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, rn""".stripMargin)
 }

@@ -106,4 +106,35 @@ class MaterializedSpec extends AnyFunSuite with SparkSpec {
       .map(_.toString).filter(_.contains("orders.parquet"))
     assert(scans.length == 1, s"expected exactly one base-table scan (the delta), got:\n$scans")
   }
+
+  test("mv04 signed algebra: delete-then-reinsert is the identity, exactly") {
+    val orders = Tables.orders(spark, sf)
+    val slice = orders.filter(pmod(col("o_orderkey"), lit(7)) === 3)
+    val base = Materialized.signedState(orders, 1)
+    val roundTrip = Materialized.mergeSigned(
+      Materialized.mergeSigned(base, slice, -1), slice, 1)
+    // Integer cents => bit-exact equality with the untouched state, not
+    // just tolerance — the property float sums cannot give.
+    val a = base.orderBy("o_year", "o_orderstatus").collect().map(_.toString).toSeq
+    val b = roundTrip.orderBy("o_year", "o_orderstatus").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("mv04 deletes drop emptied groups and match the filtered recompute") {
+    val orders = Tables.orders(spark, sf)
+    val got = Materialized.mv04RetractView(spark, sf)
+      .collect().map(_.toString).toSeq
+    val surviving = orders.filter(
+      pmod(col("o_orderkey"), lit(10)) =!= 7 || pmod(col("o_orderkey"), lit(20)) === 7)
+    val expect = Materialized.signedState(surviving, 1)
+      .select(col("o_year"), col("o_orderstatus"), col("n"),
+        round(col("cents") / 100.0, 2).as("rev"))
+      .orderBy("o_year", "o_orderstatus")
+      .collect().map(_.toString).toSeq
+    assert(got == expect)
+    // Deleting EVERYTHING empties the view (the n == 0 drop path).
+    val emptied = Materialized.mergeSigned(
+      Materialized.signedState(orders, 1), orders, -1)
+    assert(emptied.count() == 0)
+  }
 }

@@ -102,6 +102,23 @@ class Relational3Spec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sf).count())
   }
 
+  test("q48 lateral top-2 equals a window top-2 and decorrelates (no per-row subquery)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = Relational3.q48LateralTopN(spark, sf)
+    val got = df.collect().map(_.toString).toSeq
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expect = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn"))
+      .orderBy("c_custkey", "rn")
+      .collect().map(_.toString).toSeq
+    assert(got == expect)
+  }
+
   test("src06 ORC round-trip preserves the aggregate") {
     val q = SparkEntry.queries("src06_orc_roundtrip")
     val rows = q(spark, sf).collect()
