@@ -195,6 +195,7 @@ object SparkEntry {
     "s06_maxsim"         -> ((s: SparkSession, d: String) => Similarity.s06MaxSim(s, d)),
     "q48_lateral_topn"   -> Relational3.q48LateralTopN _,
     "mv04_retract_view"  -> graft.operators.Materialized.mv04RetractView _,
+    "q49_khop_reach"     -> ((s: SparkSession, d: String) => graft.operators.Graph.q49KHopReach(s, d)),
     // ORC round-trip: the second self-describing columnar format —
     // schema, stripe min/max pushdown and column pruning all survive
     // the round-trip, so the read-back agg plans like the parquet one.
@@ -1091,6 +1092,7 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "s06_maxsim" -> graft.operators.Similarity.s06OracleSql,
+    "q49_khop_reach" -> graft.operators.Graph.q49OracleSql,
     // Retractable view: oracle recomputes over the surviving key set
     // (deleted %10==7, re-inserted %20==7) with the same cents-exact
     // integer money arithmetic.
