@@ -209,6 +209,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
         .orderBy("o_orderstatus")
     }),
+    "d23_quality_filter"  -> TextCorpus.d23QualityFilter _,
+    "d24_block_dedup"     -> TextCorpus.d24BlockDedup _,
+    "d25_pack_chunks"     -> TextCorpus.d25PackChunks _,
+    "s07_range_search"    -> ((s: SparkSession, d: String) => Similarity.s07RangeSearch(s, d)),
+    "q50_window_distinct" -> Relational3.q50WindowDistinct _,
+    // Dynamic partition pruning in the gate: fact laid out by o_year,
+    // the ONLY year constraint lives on the dim side (era attribute),
+    // so fact partitions are pruned at RUNTIME from the reused
+    // broadcast — SourcesSpec asserts `dynamicpruning` in the scan.
+    // The oracle replays the join semantics on raw orders.
+    "src07_dpp" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val tag = Integer.toHexString(dir.hashCode)
+      val factPath = s"${sys.props("java.io.tmpdir")}/graft_dpp_fact_$tag"
+      val dimPath = s"${sys.props("java.io.tmpdir")}/graft_dpp_dim_$tag"
+      graft.sources.Sources.exportOrdersByYear(s, dir, factPath)
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("y")).distinct()
+        .withColumn("era", when(col("y") >= 1998, "late").otherwise("early"))
+        .write.mode("overwrite").parquet(dimPath)
+      val fact = s.read.parquet(factPath)
+      val dim = s.read.parquet(dimPath).filter(col("era") === "late")
+      fact.join(broadcast(dim), fact("o_year") === dim("y"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares). */
@@ -1135,6 +1162,95 @@ object SparkEntry {
     "src06_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
         |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // All features are exact integer/rational arithmetic; reasons join
+    // in the same fixed rule order as the Scala pass.
+    "d23_quality_filter" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |f AS (SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    coalesce(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT))), 0) AS sum_len,
+        |    len(list_filter(ws, x -> list_contains(
+        |      ['the','a','of','to','and','in','is','for'], x))) AS n_stop,
+        |    coalesce(list_max(list_transform(ws, x -> length(x))), 0) AS max_word_len
+        |  FROM w),
+        |r AS (SELECT doc_id, n_words, sum_len, n_stop, max_word_len,
+        |    [x FOR x IN [
+        |      CASE WHEN n_words < 25 THEN 'too_few_words' END,
+        |      CASE WHEN n_words > 1000 THEN 'too_many_words' END,
+        |      CASE WHEN n_words > 0 AND sum_len * 10 < n_words * 30 THEN 'short_words' END,
+        |      CASE WHEN n_words > 0 AND sum_len * 10 > n_words * 80 THEN 'long_words' END,
+        |      CASE WHEN n_words > 0 AND n_stop * 100 < n_words * 5 THEN 'low_stopword' END,
+        |      CASE WHEN max_word_len > 20 THEN 'giant_word' END] IF x IS NOT NULL] AS rs
+        |  FROM f)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  round(sum_len * 1.0 / greatest(n_words, 1), 4) AS mean_word_len,
+        |  round(n_stop * 1.0 / greatest(n_words, 1), 4) AS stop_ratio,
+        |  CAST(max_word_len AS INT) AS max_word_len,
+        |  len(rs) = 0 AS kept,
+        |  coalesce(array_to_string(rs, ';'), '') AS reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // Block census + first-occurrence election + ordered re-assembly
+    // replayed with list slicing; md5 proves the rebuilt text.
+    "d24_block_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |b0 AS (SELECT doc_id,
+        |    [struct_pack(idx := i, s := array_to_string(ws[i*10+1:i*10+10], ' '))
+        |     FOR i IN range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))] AS blocks
+        |  FROM w),
+        |b1 AS (SELECT doc_id, unnest(blocks, recursive := true) FROM b0),
+        |h AS (SELECT doc_id, CAST(idx AS INT) AS idx, s, md5(s) AS hh FROM b1),
+        |k AS (SELECT doc_id, idx, s,
+        |    row_number() OVER (PARTITION BY hh ORDER BY doc_id, idx) AS rn FROM h),
+        |r AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |    md5(string_agg(s, ' ' ORDER BY idx)) AS recon_md5
+        |  FROM k WHERE rn = 1 GROUP BY doc_id),
+        |nb AS (SELECT doc_id, CAST(count(*) AS INT) AS n_blocks FROM h GROUP BY doc_id)
+        |SELECT nb.doc_id, nb.n_blocks, coalesce(r.n_kept, 0) AS n_kept,
+        |  coalesce(r.recon_md5, md5('')) AS recon_md5
+        |FROM nb LEFT JOIN r ON nb.doc_id = r.doc_id
+        |ORDER BY nb.doc_id""".stripMargin,
+    // The prefix sum replays as a window cumsum (DuckDB's single-node
+    // window is the same total order the distributed scan materializes).
+    "d25_pack_chunks" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM c)
+        |SELECT doc_id, n_tokens, tok_start,
+        |  CAST(tok_start // 128 AS BIGINT) AS start_chunk,
+        |  CAST(CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 128
+        |       ELSE tok_start // 128 END AS BIGINT) AS end_chunk,
+        |  CAST(CASE WHEN n_tokens > 0 THEN
+        |      (tok_start + n_tokens - 1) // 128 - tok_start // 128 + 1
+        |    ELSE 0 END AS BIGINT) AS n_chunks
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "s07_range_search" -> graft.operators.Similarity.s07OracleSql,
+    // Sliding distinct replayed with the same explode-to-window-ends
+    // rewrite (count(DISTINCT) OVER RANGE frames isn't portable SQL).
+    "q50_window_distinct" ->
+      """WITH du AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id
+        |  FROM events),
+        |spine AS (SELECT DISTINCT event_type, d FROM du),
+        |cov AS (SELECT DISTINCT event_type, d + CAST(i AS INT) AS wd, user_id
+        |  FROM du, (SELECT unnest(range(0, 7)) AS i) t),
+        |cnt AS (SELECT event_type, wd, count(*) AS u7 FROM cov GROUP BY 1, 2)
+        |SELECT spine.event_type, spine.d, cnt.u7
+        |FROM spine JOIN cnt ON spine.event_type = cnt.event_type AND spine.d = cnt.wd
+        |ORDER BY spine.event_type, spine.d""".stripMargin,
+    // DPP gate: the dim-side era filter is exactly y >= 1998; the
+    // oracle replays the dim derivation + join on raw orders.
+    "src07_dpp" ->
+      """WITH dim AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders),
+        |d2 AS (SELECT y FROM dim WHERE y >= 1998)
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN d2 ON year(o_orderdate) = d2.y
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
   )

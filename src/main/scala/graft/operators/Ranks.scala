@@ -35,4 +35,47 @@ object Ranks {
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** The input's columns plus an EXCLUSIVE running total of `valueCol`
+    * (a long) over the total order defined by `sortCols` — the
+    * distributed prefix-sum (scan) primitive.
+    *
+    * Same shape as [[withGlobalIndex]]: range-partition on the sort
+    * columns so partition order IS global order, one lightweight pass
+    * summing each partition (O(numPartitions) driver rows — the same
+    * bounded-collect budget class as zipWithIndex's count pass), then a
+    * partition-local scan seeded with the broadcast prefix offsets. No
+    * task ever holds more than 1/numPartitions of the rows, vs a
+    * single-task unpartitioned running-sum window.
+    */
+  def withRunningTotal(
+      df: DataFrame, sortCols: Seq[Column], valueCol: String, totalCol: String,
+      numPartitions: Int = 32): DataFrame = {
+    val sorted = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val valueIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd0 = sorted.rdd
+    rdd0.cache()
+    val perPart = rdd0
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(valueIdx)
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = perPart.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(totalCol, LongType, nullable = false))
+    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(valueIdx)
+        out
+      }
+    }
+    val res = df.sparkSession.createDataFrame(rdd, schema)
+    res
+  }
 }

@@ -176,4 +176,35 @@ object Relational3 {
         |  FROM orders o WHERE o.o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c_custkey, rn""".stripMargin)
+
+  /** q50: sliding-window DISTINCT count — distinct users per event type
+    * over a trailing 7-day window, for every observed (type, day).
+    *
+    * COUNT(DISTINCT) OVER a sliding frame is the one window aggregate
+    * engines can't stream (per-frame distinct state is O(frame) per
+    * row), so the scalable plan re-expresses it relationally: distinct
+    * (type, day, user) triples, explode each to the <= 7 window-end
+    * days it covers (a constant-factor narrow map), re-distinct, count.
+    * Every shuffle keys on high-cardinality (type, day[, user]) — no
+    * per-row distinct buffers, no unpartitioned windows, and 7x row
+    * amplification happens AFTER the first distinct already collapsed
+    * the fact table to at most |users| x |days| x |types|.
+    */
+  def q50WindowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val spine = du.select(col("event_type"), col("d")).distinct()
+    val covered = du
+      .select(col("event_type"), col("user_id"), col("d"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(col("event_type"), date_add(col("d"), col("i")).as("wd"), col("user_id"))
+      .distinct()
+    val counts = covered.groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("u7"))
+    spine.join(counts,
+        spine("event_type") === counts("event_type") && spine("d") === counts("wd"))
+      .select(spine("event_type"), spine("d"), col("u7"))
+      .orderBy(col("event_type"), col("d"))
+  }
 }

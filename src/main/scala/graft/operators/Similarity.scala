@@ -659,4 +659,44 @@ object Similarity {
        |SELECT q_doc, CAST(rnk AS INT) AS rnk, c_doc, round(maxsim, 4) AS maxsim
        |FROM r WHERE rnk <= $K
        |ORDER BY q_doc, rnk""".stripMargin
+
+  /** Cosine floor for s07's radius search. */
+  val RangeSearchTau = 0.3
+
+  /** s07: RADIUS (threshold) search — every corpus vector within
+    * cosine >= tau of each query, the "find all near matches" dual of
+    * top-k: retrieval recall sweeps, near-dup candidate mining, and
+    * kNN-graph construction all want the full ball, not k of it.
+    *
+    * The filter evaluates partition-locally against the broadcast query
+    * block (codegen'd CosineSim, no shuffle of candidates at all — only
+    * the matching rows, a vanishing fraction at any scale, reach the
+    * presentation sort). The threshold compares the ROUNDED score so
+    * the decision replays bit-stably across engines. At 100 TB the same
+    * query composes with the s02 LSH prefilter when tau is high enough
+    * for banding to bound recall.
+    */
+  def s07RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(spark, dir)
+    c.crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        round(VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")), 4))
+      .filter(col("cos_sim") >= RangeSearchTau)
+      .select(col("q_id"), col("n_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("cos_sim").desc, col("n_id"))
+  }
+
+  /** s07 replay: same split, same rounded-threshold decision. */
+  val s07OracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS n_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+       |  FROM embeddings WHERE vec_id >= $NQueries),
+       |s AS (SELECT q_id, n_id,
+       |    round(list_cosine_similarity(q_emb, n_emb), 4) AS cos_sim
+       |  FROM c CROSS JOIN q)
+       |SELECT q_id, n_id, cos_sim FROM s WHERE cos_sim >= $RangeSearchTau
+       |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin
 }

@@ -320,4 +320,141 @@ object TextCorpus {
       .toDF("doc_id", "lang", "mille", "kept")
       .orderBy("doc_id")
   }
+
+  /** Stopwords for d23's minimum-stopword rule (Gopher uses a similar
+    * tiny English set as a "looks like natural language" proxy).
+    */
+  val FilterStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "for")
+
+  /** d23: composite quality-rule FILTER — the decision gate a curation
+    * pipeline runs after scoring (d03 computes features; this one
+    * decides, Gopher/C4-style): word-count bounds, mean-word-length
+    * band, minimum stopword ratio, maximum word length. Emits the kept
+    * flag plus deterministic semicolon-joined reason codes so dropped
+    * documents are auditable.
+    *
+    * Every feature is rational arithmetic over exact integer counts
+    * (no ln/exp — engine-portable, same reasoning as d15), and the
+    * whole pass is one typed map: ZERO shuffle, embarrassingly
+    * parallel at any corpus size.
+    */
+  def d23QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stops = FilterStopwords.toSet
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        val n = ws.length
+        val sumLen = ws.map(_.length.toLong).sum
+        val nStop = ws.count(stops.contains)
+        val maxLen = if (n == 0) 0 else ws.map(_.length).max
+        val reasons = Seq(
+          if (n < 25) Some("too_few_words") else None,
+          if (n > 1000) Some("too_many_words") else None,
+          if (n > 0 && sumLen * 10 < n * 30) Some("short_words") else None,
+          if (n > 0 && sumLen * 10 > n * 80) Some("long_words") else None,
+          if (n > 0 && nStop * 100 < n * 5) Some("low_stopword") else None,
+          if (maxLen > 20) Some("giant_word") else None
+        ).flatten
+        (id, n, sumLen, nStop, maxLen,
+          reasons.isEmpty, reasons.mkString(";"))
+      }
+      .toDF("doc_id", "n_words", "sum_word_len", "n_stop", "max_word_len",
+        "kept", "reasons")
+      .withColumn("mean_word_len",
+        round(col("sum_word_len") * 1.0 / greatest(col("n_words"), lit(1)), 4))
+      .withColumn("stop_ratio",
+        round(col("n_stop") * 1.0 / greatest(col("n_words"), lit(1)), 4))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("stop_ratio"), col("max_word_len"), col("kept"), col("reasons"))
+      .orderBy("doc_id")
+  }
+
+  /** Words per block for d24's block-granular dedup. */
+  val DedupBlockWords = 10
+
+  /** d24: block-granular exact dedup WITH document reconstruction —
+    * the C4 move: instead of dropping whole near-dup documents, drop
+    * every repeated 10-word block (first occurrence by (doc_id, idx)
+    * wins, globally) and stitch the survivors back together. Output is
+    * the per-doc block census plus an md5 of the reconstructed text, so
+    * the oracle proves the rebuilt corpus byte-for-byte.
+    *
+    * Shape: one typed block pass (O(words)), first-occurrence election
+    * as a window over the block hash (high-cardinality key — shuffle is
+    * O(blocks), never pairwise), then a per-doc ordered re-assembly via
+    * array_sort(collect_list) — each group holds ONE document's blocks,
+    * bounded by doc length, not corpus size.
+    */
+  def d24BlockDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val blocks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        ws.grouped(DedupBlockWords).zipWithIndex.map { case (b, i) =>
+          (id, i, b.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "idx", "s")
+      .withColumn("h", md5(col("s")))
+    val elected = blocks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))))
+    val kept = elected.filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("s")))),
+            x => x.getField("s")), " ")).as("recon_md5"))
+    val census = blocks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_blocks"))
+    census.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("recon_md5"), md5(lit(""))).as("recon_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window capacity (tokens) for d25's packing. */
+  val PackCapacity = 128L
+
+  /** d25: GPT-style concat-and-chunk sequence packing — documents are
+    * concatenated in doc_id order and the token stream is cut into
+    * fixed 128-token context windows; each document reports the chunk
+    * span it lands in and how many window boundaries cross it. The
+    * standard pretraining batch-prep step (pack, don't pad).
+    *
+    * The global token offset is [[Ranks.withRunningTotal]] — a
+    * distributed two-pass prefix sum (range partition + per-partition
+    * totals + broadcast offsets), NOT an unpartitioned running-sum
+    * window: no task ever scans more than 1/numPartitions of the
+    * corpus, and the only driver-side state is O(numPartitions) longs.
+    */
+  def d25PackChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, text.split(" ").count(_.nonEmpty).toLong) }
+      .toDF("doc_id", "n_tokens")
+    // `div` (integer division) not floor(/): the double round-trip is
+    // only exact below 2^53, and a 100 TB corpus's token offsets are
+    // headed there.
+    Ranks.withRunningTotal(counts, Seq(col("doc_id")), "n_tokens", "tok_start")
+      .withColumn("start_chunk", expr(s"tok_start div $PackCapacity"))
+      .withColumn("end_chunk",
+        when(col("n_tokens") > 0,
+          expr(s"(tok_start + n_tokens - 1) div $PackCapacity"))
+          .otherwise(col("start_chunk")))
+      .withColumn("n_chunks",
+        when(col("n_tokens") > 0, col("end_chunk") - col("start_chunk") + 1)
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        col("start_chunk"), col("end_chunk"), col("n_chunks"))
+      .orderBy("doc_id")
+  }
 }

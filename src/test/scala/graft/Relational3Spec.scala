@@ -130,4 +130,29 @@ class Relational3Spec extends AnyFunSuite with SparkSpec {
       .orderBy("o_orderstatus").collect()
     assert(rows.toSeq == direct.toSeq)
   }
+
+  test("q50 sliding distinct count matches a brute per-day set union") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = evs.groupBy(_._1)
+    val expected = byType.toSeq.sortBy(_._1).flatMap { case (et, xs) =>
+      val days = xs.map(_._2).distinct.sorted((a: java.time.LocalDate, b: java.time.LocalDate) => a.compareTo(b))
+      days.map { d =>
+        val users = xs.filter(x =>
+          !x._2.isAfter(d) && !x._2.isBefore(d.minusDays(6))).map(_._3).toSet
+        (et, d.toString, users.size.toLong)
+      }
+    }
+    val got = Relational3.q50WindowDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toString, r.getLong(2))).toSeq
+    assert(got == expected)
+    // Sliding unions must exceed single-day distincts somewhere, or the
+    // window isn't doing anything.
+    val daily = evs.groupBy(x => (x._1, x._2)).map { case (k, xs) => k -> xs.map(_._3).toSet.size }
+    assert(got.exists { case (et, d, u7) =>
+      u7 > daily((et, java.time.LocalDate.parse(d))) })
+  }
 }

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.{col, round}
+
 import graft.operators.Similarity
 
 class SimilaritySpec extends AnyFunSuite with SparkSpec {
@@ -225,5 +227,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(cd == expCd, s"q_doc $qd rnk $rnk: $cd != $expCd")
       assert(math.abs(ms - expMs) < 1e-3, s"q_doc $qd rnk $rnk score")
     }
+  }
+
+  test("s07 range search returns exactly the above-threshold pairs") {
+    val brute = Similarity.bruteScored(spark, sf)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = brute.filter(_._3 >= Similarity.RangeSearchTau)
+      .map(x => (x._1, x._2)).toSet
+    val got = Similarity.s07RangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "tau admits no pairs — the gate would be vacuous")
+    // The ball is wider than top-k for at least one query (the point of
+    // radius search), and every returned score clears the floor.
+    Similarity.s07RangeSearch(spark, sf).collect()
+      .foreach(r => assert(r.getDouble(2) >= Similarity.RangeSearchTau))
   }
 }

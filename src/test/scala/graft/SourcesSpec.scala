@@ -136,4 +136,20 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       .filter(year(col("o_orderdate")) === 1997).count()
     assert(back.count() == expected && expected > 0)
   }
+
+  test("src07 prunes fact partitions dynamically from the dim-side filter") {
+    val df = SparkEntry.queries("src07_dpp")(spark, sf)
+    val rows = df.collect()
+    // The fact scan carries a runtime pruning subquery on o_year even
+    // though the query itself never filters o_year directly.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a DPP subquery in the fact scan:\n$plan")
+    val direct = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) >= 1998)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), functions.round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy("o_orderstatus").collect()
+    assert(rows.toSeq == direct.toSeq && rows.nonEmpty)
+  }
 }

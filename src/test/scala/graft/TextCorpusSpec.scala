@@ -207,4 +207,73 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     val enShareAfter = kept.count(_.getAs[String]("lang") == "en").toDouble / kept.length
     assert(enShareAfter < enShareBefore)
   }
+
+  test("d23 quality filter matches a brute-force rule evaluation and discriminates") {
+    val stops = TextCorpus.FilterStopwords.toSet
+    val expected = docs.sortBy(_._1).map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val n = ws.length
+      val sumLen = ws.map(_.length.toLong).sum
+      val nStop = ws.count(stops.contains)
+      val maxLen = if (n == 0) 0 else ws.map(_.length).max
+      val reasons = Seq(
+        if (n < 25) Some("too_few_words") else None,
+        if (n > 1000) Some("too_many_words") else None,
+        if (n > 0 && sumLen * 10 < n * 30) Some("short_words") else None,
+        if (n > 0 && sumLen * 10 > n * 80) Some("long_words") else None,
+        if (n > 0 && nStop * 100 < n * 5) Some("low_stopword") else None,
+        if (maxLen > 20) Some("giant_word") else None
+      ).flatten
+      (id, n, reasons.isEmpty, reasons.mkString(";"))
+    }
+    val got = TextCorpus.d23QualityFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(5), r.getString(6))).toSeq
+    assert(got == expected)
+    // A gate that never drops (or never keeps) anything proves nothing.
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("d24 block dedup keeps first occurrences and rebuilds survivors exactly") {
+    val blocks = docs.sortBy(_._1).flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty)
+        .grouped(TextCorpus.DedupBlockWords).zipWithIndex
+        .map { case (b, i) => (id, i, b.mkString(" ")) }
+    }
+    val firstOf = blocks.groupBy(_._3)
+      .map { case (s, xs) => s -> xs.minBy(x => (x._1, x._2)) }
+    val expected = blocks.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, bs) =>
+      val keptBlocks = bs.filter(b => firstOf(b._3) == b).sortBy(_._2)
+      (id, bs.size, keptBlocks.size, md5hex(keptBlocks.map(_._3).mkString(" ")))
+    }
+    val got = TextCorpus.d24BlockDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got == expected)
+    // The corpus must actually contain cross-doc duplicate blocks for
+    // this spec to exercise the election.
+    assert(got.exists { case (_, nb, nk, _) => nk < nb })
+  }
+
+  test("d25 packing spans match a sequential prefix sum") {
+    val toks = docs.sortBy(_._1)
+      .map { case (id, t) => (id, t.split(" ").count(_.nonEmpty).toLong) }
+    var cum = 0L
+    val expected = toks.map { case (id, n) =>
+      val start = cum / TextCorpus.PackCapacity
+      val end = if (n > 0) (cum + n - 1) / TextCorpus.PackCapacity else start
+      val res = (id, n, cum, start, end, if (n > 0) end - start + 1 else 0L)
+      cum += n
+      res
+    }
+    val got = TextCorpus.d25PackChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // Packing must produce multi-chunk spans somewhere (docs longer
+    // than the capacity boundary) or the span math is untested.
+    assert(got.exists(_._6 >= 2))
+  }
 }
