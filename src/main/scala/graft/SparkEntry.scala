@@ -236,6 +236,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
         .orderBy("o_orderstatus")
     }),
+    "mv05_minmax_view"   -> graft.operators.Materialized.mv05MinmaxView _,
+    "st08_stream_curate" -> graft.streaming.DocStreams.st08StreamCurate _,
+    // Runtime Bloom-filter join: the row-level complement of src07's
+    // partition-level DPP. The selective dim filter builds a Bloom
+    // filter that pre-filters the fact SCAN before the shuffle join
+    // (spec asserts might_contain in the plan). An isolated child
+    // session carries the threshold overrides — gate queries run
+    // concurrently and must not mutate shared session conf.
+    "q51_bloom_join" -> ((s0: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query key (driver hash-compares). */
@@ -1251,6 +1271,38 @@ object SparkEntry {
         |d2 AS (SELECT y FROM dim WHERE y >= 1998)
         |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
         |FROM orders JOIN d2 ON year(o_orderdate) = d2.y
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // min/max merge losslessly across insert-only refreshes; oracle is
+    // the plain full recompute.
+    "mv05_minmax_view" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // Quality rules + (lang, md5) dedup + per-lang rollup, replayed.
+    "st08_stream_curate" ->
+      """WITH w AS (SELECT lang, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |f AS (SELECT lang, md5(text) AS h,
+        |    len(ws) AS n_words,
+        |    len(list_filter(ws, x -> list_contains(
+        |      ['the','a','of','to','and','in','is','for'], x))) AS n_stop
+        |  FROM w),
+        |k AS (SELECT DISTINCT lang, h, n_words FROM f
+        |  WHERE n_words >= 25 AND n_stop * 100 >= n_words * 5)
+        |SELECT lang, count(*) AS n_unique,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words
+        |FROM k GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // Bloom pre-filtering never changes join results; the oracle is
+    // the plain filtered join.
+    "q51_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
   )

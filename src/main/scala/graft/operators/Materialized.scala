@@ -194,4 +194,50 @@ object Materialized {
       round(col("cents") / 100.0, 2).as("rev"))
       .orderBy(col("o_year"), col("o_orderstatus"))
   }
+
+  /** Order-statistics partial state for mv05: min/max/count per group.
+    * min/max merge losslessly under INSERT-ONLY refreshes (they form a
+    * semilattice: merge = min/max of states); they are exactly the
+    * aggregates the signed mv04 algebra CANNOT retract (deleting the
+    * current max needs the runner-up, which the state doesn't hold) —
+    * a production engine falls back to per-group recompute on delete,
+    * which is why this view is maintained insert-only.
+    */
+  def minmaxState(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+
+  def mergeMinmax(view: DataFrame, delta: DataFrame): DataFrame =
+    view.unionByName(minmaxState(delta))
+      .groupBy(col("o_year"), col("o_orderstatus"))
+      .agg(
+        sum(col("n")).as("n"),
+        min(col("min_price")).as("min_price"),
+        max(col("max_price")).as("max_price"))
+
+  /** mv05: min/max view under the same base/H1/H2 insert-only refresh
+    * schedule as mv01. Oracle = full recompute; equality proves the
+    * semilattice merge loses nothing across refreshes.
+    */
+  def mv05MinmaxView(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val y = year(col("o_orderdate"))
+    def pres(v: DataFrame): DataFrame =
+      v.select(
+        col("o_year"), col("o_orderstatus"), col("n"),
+        round(col("min_price"), 2).as("min_price"),
+        round(col("max_price"), 2).as("max_price"))
+        .orderBy(col("o_year"), col("o_orderstatus"))
+    val maxRow = orders.agg(max(y)).collect().head
+    if (maxRow.isNullAt(0)) return pres(minmaxState(orders))
+    val maxYear = maxRow.getInt(0)
+    val base = orders.filter(y.isNull || y < maxYear)
+    val h1 = orders.filter(y === maxYear && month(col("o_orderdate")) <= 6)
+    val h2 = orders.filter(y === maxYear && month(col("o_orderdate")) > 6)
+    pres(mergeMinmax(mergeMinmax(minmaxState(base), h1), h2))
+  }
 }

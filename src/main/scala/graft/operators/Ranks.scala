@@ -55,6 +55,10 @@ object Ranks {
       .repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val valueIdx = sorted.schema.fieldIndex(valueCol)
+    val field = sorted.schema.fields(valueIdx)
+    require(field.dataType == LongType && !field.nullable,
+      s"withRunningTotal needs a non-null LongType value column, " +
+        s"got ${field.dataType} (nullable=${field.nullable}) for '$valueCol'")
     val rdd0 = sorted.rdd
     rdd0.cache()
     val perPart = rdd0

@@ -137,4 +137,33 @@ class MaterializedSpec extends AnyFunSuite with SparkSpec {
       Materialized.signedState(orders, 1), orders, -1)
     assert(emptied.count() == 0)
   }
+
+  test("mv05 min/max view equals the recompute and merges order-invariantly") {
+    val got = Materialized.mv05MinmaxView(spark, sf)
+      .collect().map(_.toString).toSeq
+    val orders = Tables.orders(spark, sf)
+    val direct = orders
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy("o_year", "o_orderstatus")
+      .collect().map(_.toString).toSeq
+    assert(got == direct)
+    // Semilattice: refreshing the same batches in the opposite order
+    // reaches the same state.
+    val y = year(col("o_orderdate"))
+    val maxYear = orders.agg(max(y)).collect().head.getInt(0)
+    val base = orders.filter(y.isNull || y < maxYear)
+    val h1 = orders.filter(y === maxYear && month(col("o_orderdate")) <= 6)
+    val h2 = orders.filter(y === maxYear && month(col("o_orderdate")) > 6)
+    val swapped = Materialized.mergeMinmax(
+      Materialized.mergeMinmax(Materialized.minmaxState(h2), h1), base)
+      .select(col("o_year"), col("o_orderstatus"), col("n"),
+        round(col("min_price"), 2).as("min_price"),
+        round(col("max_price"), 2).as("max_price"))
+      .orderBy("o_year", "o_orderstatus")
+      .collect().map(_.toString).toSeq
+    assert(swapped == direct)
+  }
 }

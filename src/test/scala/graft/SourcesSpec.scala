@@ -137,6 +137,22 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == expected && expected > 0)
   }
 
+  test("q51 injects a runtime Bloom filter on the fact side of the shuffle join") {
+    val df = SparkEntry.queries("q51_bloom_join")(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("might_contain") || plan.contains("bloomfilter"),
+      s"expected a runtime bloom filter on the application side:\n$plan")
+    val direct = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), functions.round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy("o_orderstatus").collect()
+    assert(rows.toSeq == direct.toSeq && rows.nonEmpty)
+  }
+
   test("src07 prunes fact partitions dynamically from the dim-side filter") {
     val df = SparkEntry.queries("src07_dpp")(spark, sf)
     val rows = df.collect()

@@ -360,4 +360,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(out2(1).getAs[Int]("n_events") == 1)
     } finally q.stop()
   }
+
+  test("st08 streaming curation dedups across batches and equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, sf)
+      .as[model.Document].collect().toSeq
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[model.Document]
+    val q = DocStreams.dedupCurated(DocStreams.curate(stream.toDF()))
+      .writeStream.format("memory").queryName("st08_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      // Batch 2 replays some batch-1 docs: cross-batch dedup state must
+      // swallow them.
+      stream.addData(b2 ++ b1.take(10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = DocStreams.langStats(spark.table("st08_out"))
+      .orderBy("lang").collect().map(_.toString).toSeq
+    val batch = DocStreams.st08StreamCurate(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
