@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Relational, Relational2, Relational3, Similarity, TextAnalysis, TextCorpus}
+import graft.operators.{Dedup, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis, TextCorpus}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -237,6 +237,11 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
     "mv05_minmax_view"   -> graft.operators.Materialized.mv05MinmaxView _,
+    "q52_heavy_hitters"  -> Relational4.q52HeavyHitters _,
+    "q53_unpivot"        -> Relational4.q53Unpivot _,
+    "q54_filter_agg"     -> Relational4.q54FilterAgg _,
+    "q55_cogroup_reconcile" -> Relational4.q55CogroupReconcile _,
+    "s08_mips"           -> ((s: SparkSession, d: String) => Similarity.s08Mips(s, d)),
     "st08_stream_curate" -> graft.streaming.DocStreams.st08StreamCurate _,
     // Runtime Bloom-filter join: the row-level complement of src07's
     // partition-level DPP. The selective dim filter builds a Bloom
@@ -1305,5 +1310,64 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // The gate runs the sketch in its exact regime (capacity >> 1500
+    // distinct users/type), so the oracle is the exact count + rank;
+    // user_id ranks as STRING both sides (the sketch's item type).
+    "q52_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, user_id) AS rnk
+        |  FROM c)
+        |SELECT event_type, CAST(rnk AS INT) AS rnk, user_id, cnt
+        |FROM r WHERE rnk <= 5
+        |ORDER BY event_type, rnk""".stripMargin,
+    // Wide conditional aggregate melted back to long form.
+    "q53_unpivot" ->
+      """WITH w AS (SELECT year(o_orderdate) AS o_year,
+        |    count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS completed,
+        |    count(*) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT o_year, metric, value FROM (
+        |  SELECT o_year, 'urgent' AS metric, urgent AS value FROM w
+        |  UNION ALL SELECT o_year, 'completed', completed FROM w
+        |  UNION ALL SELECT o_year, 'total', total FROM w)
+        |ORDER BY o_year, metric""".stripMargin,
+    // Identical FILTER-clause SQL runs on DuckDB.
+    "q54_filter_agg" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) >= 1998), 2)
+        |    AS rev_late,
+        |  round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+        |    AS avg_urgent
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // Cents-exact reconciliation replay: per-line round-then-sum, the
+    // same LEFT JOIN semantics as the cogroup (orders with no lines
+    // keep status no_lines).
+    "q55_cogroup_reconcile" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS lc
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS tc FROM orders),
+        |r AS (SELECT o.o_orderkey,
+        |    CASE WHEN l.l_orderkey IS NULL THEN 'no_lines'
+        |      WHEN abs(tc - lc) * 100 <= tc THEN 'within_1pct'
+        |      ELSE 'off' END AS status,
+        |    abs(tc - coalesce(lc, 0)) AS diff
+        |  FROM o LEFT JOIN l ON o.o_orderkey = l.l_orderkey)
+        |SELECT status, count(*) AS n_orders,
+        |  CAST(sum(diff) AS BIGINT) AS sum_diff_cents
+        |FROM r GROUP BY status
+        |ORDER BY status""".stripMargin,
+    "s08_mips" -> graft.operators.Similarity.s08OracleSql,
   )
 }

@@ -59,6 +59,19 @@ object VectorFunctions {
         .toAggregateExpression())
   }
 
+  /** SpaceSaving heavy-hitters aggregate (map-side partial; exact
+    * below capacity — see [[graft.plans.FrequentItems]]). Returns
+    * array<struct<item,cnt>> best-first.
+    */
+  def heavyHitters(value: Column, k: Int,
+      capacity: Int = graft.plans.FrequentItems.DefaultCapacity): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.FrequentItems(
+        GraftBridge.expression(value), k, capacity)
+        .toAggregateExpression())
+  }
+
   private def literalInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")

@@ -686,6 +686,41 @@ object Similarity {
       .orderBy(col("q_id"), col("cos_sim").desc, col("n_id"))
   }
 
+  /** s08: MIPS — maximum-inner-product top-k, the retrieval scoring
+    * for UNNORMALIZED embeddings (recommender / two-tower models rank
+    * by dot product; cosine's norm division would change the ranking).
+    * Same broadcast-queries + map-side partial top-k shape as s01; the
+    * arrays are cast to double BEFORE the multiply so the left-fold
+    * matches an engine summing doubles in element order bit-for-bit
+    * (float-precision products would drift at the 4th decimal). At
+    * 100 TB MIPS reduces to cosine via the norm-augmentation transform
+    * and rides the same s02 LSH path.
+    */
+  def s08Mips(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(spark, dir)
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", graft.functions.VectorFunctions.dotProduct(
+        col("q_emb").cast("array<double>"), col("n_emb").cast("array<double>")))
+    topK(scored).withColumnRenamed("cos_sim", "dot")
+  }
+
+  /** s08 replay: DuckDB's list_inner_product over the same doubles. */
+  val s08OracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS n_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+       |  FROM embeddings WHERE vec_id >= $NQueries),
+       |s AS (SELECT q_id, n_id, list_inner_product(q_emb, n_emb) AS d
+       |  FROM c CROSS JOIN q),
+       |r AS (SELECT q_id, n_id, d,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d DESC, n_id) AS rnk
+       |  FROM s)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(d, 4) AS dot
+       |FROM r WHERE rnk <= $K
+       |ORDER BY q_id, rnk""".stripMargin
+
   /** s07 replay: same split, same rounded-threshold decision. */
   val s07OracleSql: String =
     s"""WITH q AS (SELECT vec_id AS q_id,

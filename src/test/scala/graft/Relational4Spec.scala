@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational4, Similarity}
+
+class Relational4Spec extends AnyFunSuite with SparkSpec {
+
+  test("q52 sketch heavy hitters equal the exact count + rank at gate capacity") {
+    val got = Relational4.q52HeavyHitters(spark, sf)
+      .collect().map(_.toString).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id"))
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id").cast("string").as("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("event_type"), col("rnk"), col("user_id"), col("cnt"))
+      .orderBy(col("event_type"), col("rnk"))
+      .collect().map(_.toString).toSeq
+    assert(got == exact && got.nonEmpty)
+  }
+
+  test("q53 unpivot emits one row per (year, metric) and round-trips the wide frame") {
+    val rows = Relational4.q53Unpivot(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    val wide = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("urgent"),
+        count(when(col("o_orderstatus") === "F", 1)).as("completed"),
+        count(lit(1)).as("total"))
+      .collect()
+    assert(rows.size == wide.length * 3)
+    wide.foreach { r =>
+      val y = r.getInt(0)
+      assert(rows((y, "urgent")) == r.getLong(1))
+      assert(rows((y, "completed")) == r.getLong(2))
+      assert(rows((y, "total")) == r.getLong(3))
+    }
+  }
+
+  test("q54 FILTER-clause aggregates match the when()-conditional form") {
+    val got = Relational4.q54FilterAgg(spark, sf).collect().map(_.toString).toSeq
+    val manual = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+        round(sum(when(year(col("o_orderdate")) >= 1998, col("o_totalprice"))), 2)
+          .as("rev_late"),
+        round(avg(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))), 2)
+          .as("avg_urgent"))
+      .orderBy("o_orderstatus").collect().map(_.toString).toSeq
+    assert(got == manual)
+  }
+
+  test("q55 cogroup reconciliation equals a left-join replay, including no-line orders") {
+    val got = Relational4.q55CogroupReconcile(spark, sf)
+      .collect().map(_.toString).toSeq
+    val l = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")).as("lc"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("tc"))
+    val replay = o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        when(col("l_orderkey").isNull, "no_lines")
+          .when(abs(col("tc") - col("lc")) * 100 <= col("tc"), "within_1pct")
+          .otherwise("off").as("status"),
+        abs(col("tc") - coalesce(col("lc"), lit(0L))).as("diff"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("diff")).as("sum_diff_cents"))
+      .orderBy("status").collect().map(_.toString).toSeq
+    assert(got == replay)
+    // Orders without line items exist in the corpus and must be reported.
+    assert(got.exists(_.contains("no_lines")))
+  }
+
+  test("s08 MIPS top-k matches a brute-force double-precision dot product") {
+    val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
+    val (qs, cs) = raw.partition(_._1 < 10)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val expected = qs.sortBy(_._1).flatMap { case (qid, q) =>
+      cs.map { case (cid, c) => (qid, cid, dot(q, c)) }
+        .sortBy { case (_, cid, d) => (-d, cid) }
+        .take(5).zipWithIndex
+        .map { case ((_, cid, d), i) => (qid, i + 1, cid, math.round(d * 1e4)) }
+    }.toSeq
+    val got = Similarity.s08Mips(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e4))).toSeq
+    assert(got == expected)
+  }
+}

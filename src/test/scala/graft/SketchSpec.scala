@@ -90,4 +90,49 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(shuffled.levels.map(_.sorted.toSeq).toSeq ==
       direct.levels.map(_.sorted.toSeq).toSeq)
   }
+
+  test("heavy hitters are exact below capacity, across partition merges") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    // Zipf-ish skew over 40 distinct items, capacity 64 > 40 -> exact.
+    val items = Seq.fill(5000)(s"u${(math.pow(rnd.nextDouble(), 2) * 40).toInt}")
+    val df = items.toDF("item").repartition(8)
+      .agg(VectorFunctions.heavyHitters(col("item"), 10, 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = items.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (item, c) => (-c, item) }.take(10)
+    assert(got == expected)
+  }
+
+  test("beyond capacity the SpaceSaving bound holds: est in [true, true + n/cap]") {
+    import graft.plans.{FrequentItems, FrequentItemsBuffer}
+    val rnd = new Random(11)
+    // 400 distinct, capacity 64: heavily lossy, but the top of the
+    // skewed distribution must survive with bounded overestimate.
+    val items = Seq.fill(20000)(s"u${(math.pow(rnd.nextDouble(), 3) * 400).toInt}")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // Split across 8 simulated partitions, merge via serialize round
+    // trips (the distributed path).
+    val agg = FrequentItems(
+      org.apache.spark.sql.catalyst.expressions.Literal(""), 10, 64)
+    val parts = items.grouped((items.size + 7) / 8).map { chunk =>
+      val b = new FrequentItemsBuffer(64)
+      chunk.foreach(b.insert)
+      agg.deserialize(agg.serialize(b))
+    }.toSeq
+    val merged = parts.reduceLeft { (a, b) => a.mergeIn(b); a }
+
+    val bound = items.size.toLong / 64 * 8 // per-partition error sums in the worst case
+    merged.topK(10).foreach { case (item, est) =>
+      val t = truth(item)
+      assert(est >= t, s"$item: est $est underestimates true $t")
+      assert(est <= t + bound, s"$item: est $est exceeds true $t + bound $bound")
+    }
+    // The heaviest true item must be found despite evictions.
+    val trueTop = truth.toSeq.maxBy(x => (x._2, x._1))._1
+    assert(merged.topK(10).map(_._1).contains(trueTop))
+  }
 }
