@@ -191,9 +191,12 @@ object Relational3 {
     * the fact table to at most |users| x |days| x |types|.
     */
   def q50WindowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // du feeds both the spine and the window explode; checkpoint so the
+    // events scan + first distinct run once (d13/d17's pattern).
     val du = Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
       .distinct()
+      .localCheckpoint(true)
     val spine = du.select(col("event_type"), col("d")).distinct()
     val covered = du
       .select(col("event_type"), col("user_id"), col("d"),

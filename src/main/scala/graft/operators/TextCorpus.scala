@@ -391,6 +391,8 @@ object TextCorpus {
   def d24BlockDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    // The block table feeds BOTH the census and the election; without a
+    // checkpoint the typed block pass runs twice (d13/d17's pattern).
     val blocks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -401,6 +403,7 @@ object TextCorpus {
       }
       .toDF("doc_id", "idx", "s")
       .withColumn("h", md5(col("s")))
+      .localCheckpoint(true)
     val elected = blocks
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))))
