@@ -242,6 +242,7 @@ object SparkEntry {
     "q54_filter_agg"     -> Relational4.q54FilterAgg _,
     "q55_cogroup_reconcile" -> Relational4.q55CogroupReconcile _,
     "s08_mips"           -> ((s: SparkSession, d: String) => Similarity.s08Mips(s, d)),
+    "q56_pagerank"       -> ((s: SparkSession, d: String) => graft.operators.Graph.q56PageRank(s, d)),
     "st08_stream_curate" -> graft.streaming.DocStreams.st08StreamCurate _,
     // Runtime Bloom-filter join: the row-level complement of src07's
     // partition-level DPP. The selective dim filter builds a Bloom
@@ -1369,5 +1370,6 @@ object SparkEntry {
         |FROM r GROUP BY status
         |ORDER BY status""".stripMargin,
     "s08_mips" -> graft.operators.Similarity.s08OracleSql,
+    "q56_pagerank" -> graft.operators.Graph.q56OracleSql,
   )
 }

@@ -96,4 +96,88 @@ object Graph {
       |UNION ALL SELECT 'c', id, 2 FROM c2
       |UNION ALL SELECT 's', id, 3 FROM s3
       |ORDER BY depth, node_type, node_id""".stripMargin
+
+  val PageRankIters = 3
+  val PageRankDamping = 0.85
+
+  /** q56: PageRank over the undirected bipartite order graph, a fixed
+    * `PageRankIters` power iterations — supplier centrality by shared
+    * customer mass, the canonical "iterative analytics on a relational
+    * engine" workload (q49 walks the graph; this one converges a
+    * score over it).
+    *
+    * Per iteration: ONE join of the checkpointed adjacency against the
+    * current rank (both hash-partitioned on the node key), contribution
+    * sum as a partial agg keyed by destination, and a left join back to
+    * the node set for the teleport term. Per-iteration state is
+    * O(|nodes|); localCheckpoint pins each rank table so plan depth
+    * stays constant across iterations. Constants are written as the
+    * SAME literals the oracle uses (0.15, 0.85) — deriving them
+    * (1 - damping) lands on a different double and the drift, however
+    * tiny, is the kind of thing a hash gate exists to catch.
+    */
+  def q56PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = orderEdges(spark, dir)
+    val adj = edges.select(
+        concat(lit("c"), col("c")).as("src"), concat(lit("s"), col("s")).as("dst"))
+      .unionByName(edges.select(
+        concat(lit("s"), col("s")).as("src"), concat(lit("c"), col("c")).as("dst")))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodes = adj.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    var rank = nodes.withColumn("r", lit(1.0 / n))
+    (1 to PageRankIters).foreach { _ =>
+      val inflow = adj
+        .join(rank, adj("src") === rank("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), (col("r") / col("deg")).as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("inflow"))
+      rank = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) / n + lit(PageRankDamping) * coalesce(col("inflow"), lit(0.0)))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    rank.filter(col("node").startsWith("s"))
+      .select(
+        expr("CAST(substr(node, 2) AS BIGINT)").as("s_suppkey"),
+        round(col("r") * n, 6).as("pr_scaled"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Unrolled power-iteration replay: identical constants, identical
+    * join/agg algebra, scaled-rank presentation.
+    */
+  val q56OracleSql: String = {
+    // e0 suffixes force DOUBLE literals — DuckDB parses bare 0.15 as
+    // DECIMAL and decimal division would diverge from Spark's doubles.
+    def iter(prev: String, out: String): String =
+      s"""i$out AS (SELECT a.dst AS node, sum($prev.r / deg.deg) AS inflow
+         |  FROM adj a JOIN $prev ON a.src = $prev.node
+         |  JOIN deg ON a.src = deg.src GROUP BY 1),
+         |$out AS (SELECT nodes.node,
+         |    0.15e0 / nn.n + 0.85e0 * coalesce(i$out.inflow, 0.0e0) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN i$out ON nodes.node = i$out.node)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |adj AS (
+       |  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst
+       |  FROM edges
+       |  UNION ALL
+       |  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM adj),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0e0 / nn.n AS r FROM nodes CROSS JOIN nn),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT CAST(substr(node, 2) AS BIGINT) AS s_suppkey,
+       |  round(r * nn.n, 6) AS pr_scaled
+       |FROM r3 CROSS JOIN nn WHERE node LIKE 's%'
+       |ORDER BY s_suppkey""".stripMargin
+  }
 }

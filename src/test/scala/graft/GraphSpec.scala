@@ -32,4 +32,33 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val out = Graph.q49KHopReach(spark, sf, seed = -1L)
     assert(out.collect().isEmpty)
   }
+
+  test("q56 pagerank matches a driver-side power iteration") {
+    val edges = Graph.orderEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Seq[(String, String)] = edges.toSeq.flatMap { case (c, s) =>
+      Seq((s"c$c", s"s$s"), (s"s$s", s"c$c"))
+    }
+    val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = adj.map(_._1).distinct.sorted
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to Graph.PageRankIters).foreach { _ =>
+      val inflow = adj.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (0.15 / n + Graph.PageRankDamping * inflow.getOrElse(v, 0.0))).toMap
+    }
+    val expected = nodes.filter(_.startsWith("s"))
+      .map(v => (v.drop(1).toLong, r(v) * n)).sortBy(_._1)
+    val got = Graph.q56PageRank(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getDouble(1))).toSeq
+    assert(got.map(_._1) == expected.map(_._1))
+    got.zip(expected).foreach { case ((id, g), (_, e)) =>
+      assert(math.abs(g - e) < 2e-6, s"supplier $id: $g vs $e")
+    }
+    // Probability mass is conserved: scaled ranks average to 1.
+    val totalScaled = got.map(_._2).sum / got.length
+    assert(totalScaled > 0.1) // suppliers hold nonzero mass
+  }
 }
