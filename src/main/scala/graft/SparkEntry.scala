@@ -243,6 +243,30 @@ object SparkEntry {
     "q55_cogroup_reconcile" -> Relational4.q55CogroupReconcile _,
     "s08_mips"           -> ((s: SparkSession, d: String) => Similarity.s08Mips(s, d)),
     "q56_pagerank"       -> ((s: SparkSession, d: String) => graft.operators.Graph.q56PageRank(s, d)),
+    "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
+    "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
+    // Sorted compaction inside the gate: rewrite orders into few files
+    // laid out by o_totalprice (disjoint per-file min/max ranges), then
+    // a range-filtered read whose row-group/file skipping rides that
+    // layout. Oracle = the same filter on raw orders (compaction must
+    // be content-neutral).
+    "src08_compact_scan" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val tag = Integer.toHexString(dir.hashCode)
+      val rawPath = s"${sys.props("java.io.tmpdir")}/graft_compact_in_$tag"
+      val outPath = s"${sys.props("java.io.tmpdir")}/graft_compact_out_$tag"
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .repartition(16) // simulate the small-files problem
+        .write.mode("overwrite").parquet(rawPath)
+      graft.sources.Sources.compact(s, rawPath, outPath,
+        targetFileBytes = 2L * 1024 * 1024, sortCols = Seq("o_totalprice"))
+      s.read.parquet(outPath)
+        .filter(col("o_totalprice") >= 400000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
     "st08_stream_curate" -> graft.streaming.DocStreams.st08StreamCurate _,
     // Runtime Bloom-filter join: the row-level complement of src07's
     // partition-level DPP. The selective dim filter builds a Bloom
@@ -1371,5 +1395,54 @@ object SparkEntry {
         |ORDER BY status""".stripMargin,
     "s08_mips" -> graft.operators.Similarity.s08OracleSql,
     "q56_pagerank" -> graft.operators.Graph.q56OracleSql,
+    // Gini impurity in integer numerators with one trailing division;
+    // spaces excluded from the char stream on both sides.
+    "d26_char_diversity" ->
+      """WITH t AS (SELECT doc_id, replace(text, ' ', '') AS cs,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |cg AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT doc_id,
+        |    unnest([cs[i:i] FOR i IN range(1, length(cs) + 1)]) AS c FROM t)
+        |  GROUP BY doc_id, c),
+        |ca AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_chars,
+        |    CAST(sum(f * f) AS BIGINT) AS char_sq FROM cg GROUP BY doc_id),
+        |wg AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w),
+        |wa AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_words,
+        |    CAST(sum(f * f) AS BIGINT) AS word_sq FROM wg GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(ca.n_chars, 0) AS n_chars,
+        |  coalesce(wa.n_words, 0) AS n_words,
+        |  CAST(CASE WHEN coalesce(ca.n_chars, 0) > 0 THEN
+        |      ((ca.n_chars * ca.n_chars - char_sq) * 2000000
+        |        + ca.n_chars * ca.n_chars) // (2 * ca.n_chars * ca.n_chars)
+        |    ELSE 0 END AS BIGINT) AS char_gini_ppm,
+        |  CAST(CASE WHEN coalesce(wa.n_words, 0) > 0 THEN
+        |      ((wa.n_words * wa.n_words - word_sq) * 2000000
+        |        + wa.n_words * wa.n_words) // (2 * wa.n_words * wa.n_words)
+        |    ELSE 0 END AS BIGINT) AS word_gini_ppm
+        |FROM t LEFT JOIN ca ON t.doc_id = ca.doc_id
+        |LEFT JOIN wa ON t.doc_id = wa.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // Identical multiset algebra: INTERSECT ALL / EXCEPT ALL.
+    "q57_multiset_ops" ->
+      """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |i AS (SELECT o_custkey, count(*) AS n_common
+        |  FROM (SELECT * FROM u INTERSECT ALL SELECT * FROM f) GROUP BY 1),
+        |e AS (SELECT o_custkey, count(*) AS n_extra
+        |  FROM (SELECT * FROM u EXCEPT ALL SELECT * FROM f) GROUP BY 1)
+        |SELECT coalesce(i.o_custkey, e.o_custkey) AS o_custkey,
+        |  coalesce(n_common, 0) AS n_common,
+        |  coalesce(n_extra, 0) AS n_extra
+        |FROM i FULL OUTER JOIN e ON i.o_custkey = e.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    // Compaction is content-neutral: the oracle filters raw orders.
+    "src08_compact_scan" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_totalprice >= 400000.0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -122,4 +122,29 @@ object Relational4 {
         sum(col("diff_cents")).as("sum_diff_cents"))
       .orderBy(col("status"))
   }
+
+  /** q57: multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    * DUPLICATE multiplicities (min(m₁,m₂) and m₁−m₂ respectively),
+    * the semantics q32/q33's DISTINCT forms erase. Per customer: how
+    * many of their urgent orders pair off against completed orders
+    * (bag intersection) and how many urgent orders exceed that
+    * (bag difference). Both plan as multiplicity-counting aggregates +
+    * one shuffle on the key — never a row-by-row matching.
+    */
+  def q57MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val done = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    val inter = urgent.intersectAll(done)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_common"))
+    val extra = urgent.exceptAll(done)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_extra"))
+    inter.join(extra, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_extra"), lit(0L)).as("n_extra"))
+      .orderBy("o_custkey")
+  }
 }

@@ -423,6 +423,51 @@ object TextCorpus {
       .orderBy("doc_id")
   }
 
+  /** d26: character/word diversity scoring via GINI IMPURITY
+    * (1 - sum p_i^2) — the entropy-style "is this natural text or
+    * degenerate junk" signal, but in PURE RATIONAL arithmetic: entropy
+    * needs ln(), whose last-ulp behavior differs across libm builds
+    * (the d15 lesson), while Gini is +,-,*,/ only and replays exactly.
+    * Low char-Gini = a few characters dominate (aaaa...); low
+    * word-Gini = low lexical diversity. One typed map, zero shuffle.
+    *
+    * Computed as 1 - sum(c_i^2) / n^2 with INTEGER numerators, divided
+    * once at the end — one IEEE division per score, bit-identical in
+    * any engine.
+    */
+  def d26CharDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val chars = text.filterNot(_ == ' ')
+        val charSq = chars.groupBy(identity).values
+          .map(g => g.length.toLong * g.length).sum
+        val ws = text.split(" ").filter(_.nonEmpty)
+        val wordSq = ws.groupBy(identity).values
+          .map(g => g.length.toLong * g.length).sum
+        (id, chars.length.toLong, charSq, ws.length.toLong, wordSq)
+      }
+      .toDF("doc_id", "n_chars", "char_sq", "n_words", "word_sq")
+      // Fixed-point parts-per-million via INTEGER half-up division —
+      // round(double, 6) sits on different ulp boundaries in different
+      // engines (observed: 0.936762 vs 0.936763), while
+      // (num*2M + den) div (2*den) is bit-exact everywhere. Overflows
+      // only past ~1e6-char documents (den*2M > 2^63); a quality gate
+      // truncates documents long before that.
+      .select(
+        col("doc_id"), col("n_chars"), col("n_words"),
+        expr("""CASE WHEN n_chars > 0 THEN
+            ((n_chars * n_chars - char_sq) * 2000000 + n_chars * n_chars)
+              div (2 * n_chars * n_chars)
+          ELSE CAST(0 AS BIGINT) END""").as("char_gini_ppm"),
+        expr("""CASE WHEN n_words > 0 THEN
+            ((n_words * n_words - word_sq) * 2000000 + n_words * n_words)
+              div (2 * n_words * n_words)
+          ELSE CAST(0 AS BIGINT) END""").as("word_gini_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Context-window capacity (tokens) for d25's packing. */
   val PackCapacity = 128L
 

@@ -81,6 +81,25 @@ class Relational4Spec extends AnyFunSuite with SparkSpec {
     assert(got.exists(_.contains("no_lines")))
   }
 
+  test("q57 multiset ops match brute bag intersection / difference") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderstatus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val urgent = orders.filter(_._2 == "1-URGENT").groupBy(_._1).view.mapValues(_.length).toMap
+    val done = orders.filter(_._3 == "F").groupBy(_._1).view.mapValues(_.length).toMap
+    val keys = (urgent.keySet ++ done.keySet).toSeq.sorted
+    val expected = keys.flatMap { k =>
+      val common = math.min(urgent.getOrElse(k, 0), done.getOrElse(k, 0))
+      val extra = math.max(urgent.getOrElse(k, 0) - done.getOrElse(k, 0), 0)
+      if (common > 0 || extra > 0) Some((k, common.toLong, extra.toLong)) else None
+    }
+    val got = Relational4.q57MultisetOps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // Multiplicities above 1 must occur, else ALL adds nothing over DISTINCT.
+    assert(got.exists(x => x._2 > 1 || x._3 > 1))
+  }
+
   test("s08 MIPS top-k matches a brute-force double-precision dot product") {
     val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0),

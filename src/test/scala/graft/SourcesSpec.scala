@@ -137,6 +137,22 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == expected && expected > 0)
   }
 
+  test("src08 compacted-layout scan equals the raw filter and shrinks the file count") {
+    val rows = SparkEntry.queries("src08_compact_scan")(spark, sf).collect()
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 400000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), functions.round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy("o_orderstatus").collect()
+    assert(rows.toSeq == direct.toSeq && rows.nonEmpty)
+    val tag = Integer.toHexString(sf.hashCode)
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val inFiles = parquetFiles(s"${sys.props("java.io.tmpdir")}/graft_compact_in_$tag")
+    val outFiles = parquetFiles(s"${sys.props("java.io.tmpdir")}/graft_compact_out_$tag")
+    assert(outFiles < inFiles, s"compaction kept $outFiles of $inFiles files")
+  }
+
   test("q51 injects a runtime Bloom filter on the fact side of the shuffle join") {
     val df = SparkEntry.queries("q51_bloom_join")(spark, sf)
     val rows = df.collect()

@@ -257,6 +257,26 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(got.exists { case (_, nb, nk, _) => nk < nb })
   }
 
+  test("d26 Gini diversity matches a brute-force frequency computation") {
+    val expected = docs.sortBy(_._1).map { case (id, text) =>
+      val chars = text.filterNot(_ == ' ')
+      val charSq = chars.groupBy(identity).values.map(g => g.length.toLong * g.length).sum
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val wordSq = ws.groupBy(identity).values.map(g => g.length.toLong * g.length).sum
+      def ppm(num: Long, den: Long): Long =
+        if (den == 0) 0L else (num * 2000000L + den) / (2L * den)
+      val nc = chars.length.toLong
+      val nw = ws.length.toLong
+      (id, nc, nw, ppm(nc * nc - charSq, nc * nc), ppm(nw * nw - wordSq, nw * nw))
+    }
+    val got = TextCorpus.d26CharDiversity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // Diversity must vary across the corpus (a constant score proves nothing).
+    assert(got.map(_._5).distinct.size > 1)
+  }
+
   test("d25 packing spans match a sequential prefix sum") {
     val toks = docs.sortBy(_._1)
       .map { case (id, t) => (id, t.split(" ").count(_.nonEmpty).toLong) }
