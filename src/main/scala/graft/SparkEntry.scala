@@ -245,6 +245,19 @@ object SparkEntry {
     "q56_pagerank"       -> ((s: SparkSession, d: String) => graft.operators.Graph.q56PageRank(s, d)),
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
+    // COMPLETE aggregate pushdown on the DSv2 connector: count/min/max
+    // resolve in closed form from the filter-narrowed range — the scan
+    // emits ONE row and generates zero data (plan-asserted in
+    // SynthSourceSpec: no rows-wide scan, PushedAggregation in the
+    // description).
+    "src09_agg_pushdown" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft-synth")
+        .option("rows", "1000000").option("partitions", "8").load()
+        .filter(col("id") >= 250000 && col("id") < 750000)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+    }),
     // Sorted compaction inside the gate: rewrite orders into few files
     // laid out by o_totalprice (disjoint per-file min/max ranges), then
     // a range-filtered read whose row-group/file skipping rides that
@@ -1444,5 +1457,10 @@ object SparkEntry {
         |WHERE o_totalprice >= 400000.0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // range() twin of the pushed aggregate.
+    "src09_agg_pushdown" ->
+      """SELECT count(*) AS n, min(i) AS min_id, max(i) AS max_id
+        |FROM range(1000000) t(i)
+        |WHERE i >= 250000 AND i < 750000""".stripMargin,
   )
 }

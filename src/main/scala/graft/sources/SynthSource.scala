@@ -71,19 +71,30 @@ private[sources] class SynthTable(rows: Long, partitions: Int)
 }
 
 /** Scan builder with the full V2 pushdown surface: column pruning +
-  * id-range filter pushdown. Pushed id predicates narrow the generated
-  * [lo, hi) row range at PLANNING time, so pruned rows are never
-  * produced — the synthetic analog of parquet row-group skipping.
-  * Conjuncts arrive pre-split; the handled shapes are exact, so they
-  * need no residual re-evaluation by Spark.
+  * id-range filter pushdown + COMPLETE aggregate pushdown. Pushed id
+  * predicates narrow the generated [lo, hi) row range at PLANNING
+  * time, so pruned rows are never produced — the synthetic analog of
+  * parquet row-group skipping. Conjuncts arrive pre-split; the handled
+  * shapes are exact, so they need no residual re-evaluation by Spark.
+  *
+  * Aggregate pushdown (SupportsPushDownAggregates): ungrouped
+  * COUNT(*) / MIN(id) / MAX(id) resolve in CLOSED FORM from the
+  * (already filter-narrowed) range — count = hi-lo, min = lo,
+  * max = hi-1 — so the "scan" emits ONE row and never generates data
+  * at all: the DSv2 analog of a parquet footer-stats-only query, the
+  * difference between O(0) and a 100 TB scan for `SELECT count(*)`.
+  * Anything else (grouping, other columns) is declined and Spark
+  * falls back to the ordinary scan + aggregate.
   */
 private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = SynthSource.Schema
   private var lo: Long = 0L
   private var hi: Long = rows // generated ids span [lo, hi)
   private var pushed: Array[Filter] = Array.empty
+  private var aggDesc: Option[Seq[String]] = None // per-expr kind, in order
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -124,8 +135,83 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new SynthScan(lo, math.max(lo, hi), partitions, required, pushed)
+  private def classify(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case f: NamedReference => f.fieldNames.toSeq == Seq("id")
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty) return None
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count_star")
+      case c: Count if isId(c.column) && !c.isDistinct => Some("count_id")
+      case m: Min if isId(m.column) => Some("min_id")
+      case m: Max if isId(m.column) => Some("max_id")
+      case _ => None
+    }
+    if (kinds.forall(_.isDefined)) Some(kinds.flatten) else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    classify(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    classify(agg) match {
+      case Some(kinds) => aggDesc = Some(kinds); true
+      case None => false
+    }
+
+  override def build(): Scan = aggDesc match {
+    case Some(kinds) =>
+      new SynthAggScan(lo, math.max(lo, hi), kinds, pushed)
+    case None =>
+      new SynthScan(lo, math.max(lo, hi), partitions, required, pushed)
+  }
+}
+
+/** Planning-time-resolved aggregate "scan": one row, zero data
+  * generated. min/max are NULL over an empty range, like SQL.
+  */
+private[sources] class SynthAggScan(
+    lo: Long, hi: Long, kinds: Seq[String], pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(kinds.map {
+    case "count_star" => StructField("count_star", LongType, nullable = false)
+    case "count_id" => StructField("count_id", LongType, nullable = false)
+    case "min_id" => StructField("min_id", LongType, nullable = true)
+    case "max_id" => StructField("max_id", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth [$lo, $hi) PushedAggregation: [${kinds.mkString(", ")}] " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val ks = kinds
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val SynthRange(start, end) = p.asInstanceOf[SynthRange]
+        val n = math.max(0L, end - start)
+        val values: Array[Any] = ks.map {
+          case "count_star" | "count_id" => n.asInstanceOf[Any]
+          case "min_id" => if (n == 0) null else start.asInstanceOf[Any]
+          case "max_id" => if (n == 0) null else (end - 1).asInstanceOf[Any]
+        }.toArray
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = new GenericInternalRow(values)
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
 }
 
 private[graft] case class SynthRange(start: Long, end: Long) extends InputPartition

@@ -80,4 +80,25 @@ class SynthSourceSpec extends AnyFunSuite with SparkSpec {
     assert(agg.length == 10)
     assert(agg.map(_.getAs[Long]("n")).sum == 10000)
   }
+
+  test("count/min/max push COMPLETELY into the source (metadata-only query)") {
+    val df = synth(1000000)
+      .filter(col("id") >= 250000 && col("id") < 750000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"expected the aggregate inside the scan:\n$plan")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (500000L, 250000L, 499999L + 250000L))
+    // Grouped/unsupported aggregates must DECLINE pushdown and still be
+    // correct through the ordinary scan path.
+    val grouped = synth(1000)
+      .groupBy(col("category")).agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
+    // Empty range: SQL semantics — count 0, null min/max.
+    val empty = synth(100).filter(col("id") > 1000)
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+  }
 }
