@@ -122,17 +122,23 @@ object Graph {
         concat(lit("c"), col("c")).as("src"), concat(lit("s"), col("s")).as("dst"))
       .unionByName(edges.select(
         concat(lit("s"), col("s")).as("src"), concat(lit("c"), col("c")).as("dst")))
-      .localCheckpoint(true)
+    // The out-degree-normalized TRANSITION matrix, built once: per
+    // iteration the plan is then a single transition⋈rank join + one
+    // partial agg — joining `deg` inside the loop would re-pay that
+    // join every iteration. The node set is deg's key set (every node
+    // has deg >= 1 by construction), so no separate distinct pass.
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val nodes = adj.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val trans = adj.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint(true)
+    val nodes = deg.select(col("src").as("node"))
     val n = nodes.count()
     var rank = nodes.withColumn("r", lit(1.0 / n))
     (1 to PageRankIters).foreach { _ =>
-      val inflow = adj
-        .join(rank, adj("src") === rank("node"))
-        .join(deg, "src")
-        .select(col("dst").as("node"), (col("r") / col("deg")).as("contrib"))
+      val inflow = trans
+        .join(rank, trans("src") === rank("node"))
+        .select(col("dst").as("node"), (col("w") * col("r")).as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("inflow"))
       rank = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
@@ -153,10 +159,11 @@ object Graph {
   val q56OracleSql: String = {
     // e0 suffixes force DOUBLE literals — DuckDB parses bare 0.15 as
     // DECIMAL and decimal division would diverge from Spark's doubles.
+    // The replay pre-normalizes weights (w = 1/deg) and sums w*r,
+    // matching the Spark side's transition-matrix arithmetic exactly.
     def iter(prev: String, out: String): String =
-      s"""i$out AS (SELECT a.dst AS node, sum($prev.r / deg.deg) AS inflow
-         |  FROM adj a JOIN $prev ON a.src = $prev.node
-         |  JOIN deg ON a.src = deg.src GROUP BY 1),
+      s"""i$out AS (SELECT t.dst AS node, sum(t.w * $prev.r) AS inflow
+         |  FROM trans t JOIN $prev ON t.src = $prev.node GROUP BY 1),
          |$out AS (SELECT nodes.node,
          |    0.15e0 / nn.n + 0.85e0 * coalesce(i$out.inflow, 0.0e0) AS r
          |  FROM nodes CROSS JOIN nn LEFT JOIN i$out ON nodes.node = i$out.node)""".stripMargin
@@ -169,7 +176,9 @@ object Graph {
        |  UNION ALL
        |  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM edges),
        |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
-       |nodes AS (SELECT DISTINCT src AS node FROM adj),
+       |trans AS (SELECT a.src, a.dst, 1.0e0 / deg.deg AS w
+       |  FROM adj a JOIN deg ON a.src = deg.src),
+       |nodes AS (SELECT src AS node FROM deg),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
        |r0 AS (SELECT node, 1.0e0 / nn.n AS r FROM nodes CROSS JOIN nn),
        |${iter("r0", "r1")},

@@ -59,8 +59,12 @@ object Ranks {
     require(field.dataType == LongType && !field.nullable,
       s"withRunningTotal needs a non-null LongType value column, " +
         s"got ${field.dataType} (nullable=${field.nullable}) for '$valueCol'")
+    // The sorted rows feed two passes (per-partition totals, then the
+    // seeded scan). MEMORY_AND_DISK, not cache(): MEMORY_ONLY would
+    // silently drop partitions under pressure at corpus scale and
+    // recompute the range-partition sort per pass.
     val rdd0 = sorted.rdd
-    rdd0.cache()
+    rdd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perPart = rdd0
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
