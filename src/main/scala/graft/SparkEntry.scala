@@ -168,6 +168,7 @@ object SparkEntry {
     "st04_stream_join"   -> EventStreams.st04StreamJoin _,
     "st05_top_users"     -> EventStreams.st05TopUsers _,
     "st07_stream_left_join" -> EventStreams.st07StreamLeftJoin _,
+    "st09_stream_heavy_hitters" -> EventStreams.st09StreamHeavyHitters _,
     "d10_rolling_fingerprint" -> Dedup.d10RollingFingerprint _,
     "q40_grouping_sets"  -> Relational2.q40GroupingSets _,
     "d13_paragraph_dedup" -> TextCorpus.d13ParagraphDedup _,
@@ -1462,5 +1463,18 @@ object SparkEntry {
       """SELECT count(*) AS n, min(i) AS min_id, max(i) AS max_id
         |FROM range(1000000) t(i)
         |WHERE i >= 250000 AND i < 750000""".stripMargin,
+    // Sketch runs in its exact regime at gate SFs: the oracle is the
+    // exact per-hour count + rank (same tie-break as the buffer's).
+    "st09_stream_heavy_hitters" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+        |    CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT window_start, user_id, cnt,
+        |    row_number() OVER (PARTITION BY window_start
+        |      ORDER BY cnt DESC, user_id) AS rnk
+        |  FROM c)
+        |SELECT window_start, CAST(rnk AS INT) AS rnk, user_id, cnt
+        |FROM r WHERE rnk <= 3
+        |ORDER BY window_start, rnk""".stripMargin,
   )
 }

@@ -109,5 +109,14 @@ object VectorFunctions {
             if (exprs.size > 2) literalInt(exprs(2), "capacity")
             else graft.plans.QuantileSketch.DefaultCapacity
           graft.plans.QuantileSketch(exprs(0), literalDoubleArray(exprs(1)), capacity)
+        })),
+      FunctionIdentifier("graft_heavy_hitters") -> ((
+        new ExpressionInfo(classOf[graft.plans.FrequentItems].getName, "graft_heavy_hitters"),
+        (exprs: Seq[Expression]) => {
+          val capacity =
+            if (exprs.size > 2) literalInt(exprs(2), "capacity")
+            else graft.plans.FrequentItems.DefaultCapacity
+          graft.plans.FrequentItems(
+            exprs(0), literalInt(exprs(1), "k"), capacity)
         })))
 }

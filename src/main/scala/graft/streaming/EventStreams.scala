@@ -269,4 +269,29 @@ object EventStreams {
   def st06SessionWindow(spark: SparkSession, dir: String): DataFrame =
     sessionWindowAgg(Tables.events(spark, dir))
       .orderBy("user_id", "start_us")
+
+  /** Hourly top-3 users via the SpaceSaving sketch aggregate — the
+    * unified transform behind st09. The custom TypedImperativeAggregate
+    * runs inside a STREAMING aggregation exactly like a built-in: its
+    * serialized buffer is the state-store value per window, updated
+    * per micro-batch (spec-driven in update mode). Capacity is far
+    * above the per-window user cardinality at gate SFs, so batch
+    * results sit in the exact regime the oracle replays.
+    */
+  def windowedHeavyHitters(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.VectorFunctions.heavyHitters(
+        col("user_id").cast("string"), 3, 4096).as("hh"))
+      .select(col("w.start").as("window_start"), posexplode(col("hh")))
+      .select(
+        col("window_start"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.item").as("user_id"),
+        col("col.cnt").as("cnt"))
+
+  /** st09 (oracle-checked in batch; streaming == batch in the spec). */
+  def st09StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    windowedHeavyHitters(Tables.events(spark, dir))
+      .orderBy("window_start", "rnk")
 }

@@ -361,6 +361,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("st09 sketch heavy hitters aggregate streams: complete mode equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables.events(spark, sf).as[Event].collect().toSeq
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedHeavyHitters(stream.toDF())
+      .writeStream.format("memory").queryName("st09_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2) // sketch state must accumulate across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM st09_out ORDER BY window_start, rnk")
+      .collect().map(_.toString).toSeq
+    val batch = EventStreams.st09StreamHeavyHitters(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("st08 streaming curation dedups across batches and equals the batch twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
