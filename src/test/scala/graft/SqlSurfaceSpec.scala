@@ -57,5 +57,17 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
       "SELECT graft_quantile_sketch(CAST(c_acctbal AS DOUBLE), array(0.5)) AS q FROM customer")
       .collect()
     assert(dec.head.getSeq[Double](0).length == 1)
+
+    // Heavy hitters from SQL, exact regime: matches a plain count+rank.
+    val hh = GraftSession.sql(spark, sf,
+      """SELECT graft_heavy_hitters(o_orderpriority, 2, 64) AS hh
+        |FROM orders""".stripMargin).collect()
+    val items = hh.head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getAs[String]("item"), r.getAs[Long]("cnt")))
+    val exact = GraftSession.sql(spark, sf,
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        |GROUP BY 1 ORDER BY cnt DESC, o_orderpriority LIMIT 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(items == exact)
   }
 }
