@@ -259,6 +259,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
           max(col("id")).as("max_id"))
     }),
+    // Runtime V2 filtering on the DSv2 connector: the join's dim side
+    // evaluates first and hands the scan an IN(id,...) predicate at
+    // RUNTIME, narrowing the generated span to the dim's key range —
+    // DSv2's dynamic partition pruning (spec asserts the narrowed
+    // range; the oracle replays the join on a range() twin).
+    "src10_runtime_filter" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      val dim = s.range(0, 1000000).toDF("k")
+        .filter(col("k") >= 500100 && col("k") <= 500110)
+      s.read.format("graft-synth")
+        .option("rows", "1000000").option("partitions", "8").load()
+        .join(broadcast(dim), col("id") === col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+    }),
     // Sorted compaction inside the gate: rewrite orders into few files
     // laid out by o_totalprice (disjoint per-file min/max ranges), then
     // a range-filtered read whose row-group/file skipping rides that
@@ -1463,6 +1477,12 @@ object SparkEntry {
       """SELECT count(*) AS n, min(i) AS min_id, max(i) AS max_id
         |FROM range(1000000) t(i)
         |WHERE i >= 250000 AND i < 750000""".stripMargin,
+    "src10_runtime_filter" ->
+      """SELECT count(*) AS n, CAST(sum(t.i) AS BIGINT) AS sum_id
+        |FROM range(1000000) t(i)
+        |JOIN (SELECT i AS k FROM range(1000000) t2(i)
+        |      WHERE i >= 500100 AND i <= 500110) d
+        |ON t.i = d.k""".stripMargin,
     // Sketch runs in its exact regime at gate SFs: the oracle is the
     // exact per-hour count + rank (same tie-break as the buffer's).
     "st09_stream_heavy_hitters" ->

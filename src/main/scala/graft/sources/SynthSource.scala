@@ -58,6 +58,12 @@ object SynthSource {
   }
 
   def categoryOf(i: Long): String = s"cat_${i % 10}"
+
+  /** Test observability: the last runtime-narrowed [lo, hi) — runtime
+    * filtering happens between planning and execution, so plan strings
+    * can't show it.
+    */
+  @volatile var lastRuntimeRange: Option[(Long, Long)] = None
 }
 
 private[sources] class SynthTable(rows: Long, partitions: Int)
@@ -219,15 +225,54 @@ private[graft] case class SynthRange(start: Long, end: Long) extends InputPartit
 private[sources] class SynthScan(
     lo: Long, hi: Long, partitions: Int, required: StructType,
     pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
+  // RUNTIME range, narrowed further by DPP-style runtime filters
+  // (delivered AFTER planning, BEFORE partition enumeration).
+  private var rLo: Long = lo
+  private var rHi: Long = hi
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-synth [$lo, $hi) PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Runtime filtering (the DSv2 analog of dynamic partition pruning):
+    * Spark evaluates the other join side first and hands this scan an
+    * IN(id, ...) predicate at RUNTIME; the generated range narrows to
+    * the values' [min, max] span before partitions are enumerated.
+    * Narrowing is sound regardless of gaps — the join itself still
+    * applies exact semantics; the runtime filter only skips generation,
+    * exactly as a file source skips partitions it can prove dead.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    predicates.foreach { p =>
+      if (p.name() == "IN") {
+        val values = p.children().toSeq.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case n: java.lang.Long => n.longValue()
+              case n: java.lang.Integer => n.longValue()
+            }
+        }
+        if (values.nonEmpty) {
+          rLo = math.max(rLo, values.min)
+          rHi = math.min(rHi, values.max + 1)
+          SynthSource.lastRuntimeRange = Some((rLo, math.max(rLo, rHi)))
+        }
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val rows = hi - lo
+    val (l, h) = (rLo, math.max(rLo, rHi))
+    val rows = h - l
     val per = math.max(1L, (rows + partitions - 1) / partitions)
-    (lo until hi by per).map(s => SynthRange(s, math.min(s + per, hi)))
+    (l until h by per).map(s => SynthRange(s, math.min(s + per, h)))
       .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -81,6 +81,22 @@ class SynthSourceSpec extends AnyFunSuite with SparkSpec {
     assert(agg.map(_.getAs[Long]("n")).sum == 10000)
   }
 
+  test("runtime V2 filtering narrows the generated range from the join side") {
+    import graft.sources.SynthSource
+    SynthSource.lastRuntimeRange = None
+    val dim = spark.range(0, 1000000).toDF("k")
+      .filter(col("k") >= 500100 && col("k") <= 500110)
+    val joined = synth(1000000)
+      .join(broadcast(dim), col("id") === col("k"))
+    assert(joined.count() == 11)
+    // The scan must have been handed the runtime IN filter and narrowed
+    // its generated span to the dim's tiny key range — the DSv2 analog
+    // of dynamic partition pruning.
+    assert(SynthSource.lastRuntimeRange.exists { case (l, h) =>
+      l >= 500100 && h <= 500111 },
+      s"runtime range not narrowed: ${SynthSource.lastRuntimeRange}")
+  }
+
   test("count/min/max push COMPLETELY into the source (metadata-only query)") {
     val df = synth(1000000)
       .filter(col("id") >= 250000 && col("id") < 750000)
