@@ -246,6 +246,7 @@ object SparkEntry {
     "q56_pagerank"       -> ((s: SparkSession, d: String) => graft.operators.Graph.q56PageRank(s, d)),
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
+    "q58_not_in"         -> Relational4.q58NotIn _,
     // COMPLETE aggregate pushdown on the DSv2 connector: count/min/max
     // resolve in closed form from the filter-narrowed range — the scan
     // emits ONE row and generates zero data (plan-asserted in
@@ -1465,6 +1466,14 @@ object SparkEntry {
         |  coalesce(n_extra, 0) AS n_extra
         |FROM i FULL OUTER JOIN e ON i.o_custkey = e.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    // Identical three-valued NOT IN SQL runs on DuckDB.
+    "q58_not_in" ->
+      """SELECT c_custkey, c_nationkey
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     // Compaction is content-neutral: the oracle filters raw orders.
     "src08_compact_scan" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev

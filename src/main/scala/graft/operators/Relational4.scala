@@ -123,6 +123,23 @@ object Relational4 {
       .orderBy(col("status"))
   }
 
+  /** q58: NOT IN with a NULLABLE subquery — SQL's three-valued trap
+    * (one NULL in the list and NOT IN returns nothing), which forces
+    * the planner into a NULL-AWARE anti join instead of the plain anti
+    * join a NOT EXISTS gets. The CASE keeps the subquery column
+    * nullable so the static non-null shortcut is unavailable; the
+    * planted-null behavior (empty result) is spec-asserted. Identical
+    * SQL runs on both engines.
+    */
+  def q58NotIn(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.sql(spark, dir,
+      """SELECT c_custkey, c_nationkey
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+
   /** q57: multiset set operations — INTERSECT ALL / EXCEPT ALL keep
     * DUPLICATE multiplicities (min(m₁,m₂) and m₁−m₂ respectively),
     * the semantics q32/q33's DISTINCT forms erase. Per customer: how

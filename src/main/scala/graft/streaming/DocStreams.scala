@@ -23,14 +23,21 @@ object DocStreams {
   /** Quality-kept documents with their content hash and token count.
     * Rules are the word-count floor and stopword-ratio floor of d23 —
     * integer arithmetic only, so the decision replays engine-portably.
+    *
+    * ONE typed tokenization pass (streaming-compatible): the HOF
+    * Column form evaluated split() once per referencing expression
+    * (the CollapseProject inlining d21 documents) — 2x the dominant
+    * cost of this transform at corpus scale.
     */
   def curate(docs: DataFrame): DataFrame = {
-    val ws = filter(split(col("text"), " "), w => w =!= "")
-    val stopHits = filter(ws, w =>
-      w.isin(graft.operators.TextCorpus.FilterStopwords: _*))
-    docs
-      .withColumn("n_words", size(ws))
-      .withColumn("n_stop", size(stopHits))
+    import docs.sparkSession.implicits._
+    val stops = graft.operators.TextCorpus.FilterStopwords.toSet
+    docs.select(col("lang"), col("text")).as[(String, String)]
+      .map { case (lang, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        (lang, text, ws.length, ws.count(stops.contains))
+      }
+      .toDF("lang", "text", "n_words", "n_stop")
       .filter(col("n_words") >= 25 && col("n_stop") * 100 >= col("n_words") * 5)
       .select(col("lang"), md5(col("text")).as("h"), col("n_words"))
   }

@@ -100,6 +100,26 @@ class Relational4Spec extends AnyFunSuite with SparkSpec {
     assert(got.exists(x => x._2 > 1 || x._3 > 1))
   }
 
+  test("q58 NOT IN: null-aware anti join, and a planted NULL empties the result") {
+    val got = Relational4.q58NotIn(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    // No actual NULLs in the list -> equals the plain anti join.
+    val expected = Tables.customer(spark, sf).select(col("c_custkey"))
+      .join(
+        Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey").collect().map(_.getLong(0)).toSeq
+    assert(got == expected && got.nonEmpty)
+    // The trap: ONE null in the subquery and NOT IN keeps nothing.
+    val withNull = GraftSession.sql(spark, sf,
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL SELECT CAST(NULL AS BIGINT))""".stripMargin)
+    assert(withNull.count() == 0)
+  }
+
   test("s08 MIPS top-k matches a brute-force double-precision dot product") {
     val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0),
