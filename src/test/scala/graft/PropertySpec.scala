@@ -191,4 +191,45 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("withRunningTotal matches a sequential scan on random sizes and partition counts") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    // Sizes below/at/above partition counts exercise empty range
+    // partitions and single-row partitions in the offset arithmetic.
+    Seq((0, 4), (1, 4), (3, 8), (100, 7), (1000, 32)).foreach { case (n, parts) =>
+      val rows = Seq.tabulate(n)(i => (i.toLong, rnd.nextInt(1000).toLong))
+      val df = rows.toDF("k", "v").repartition(5) // scrambled input partitioning
+      val got = graft.operators.Ranks
+        .withRunningTotal(df, Seq(col("k")), "v", "run", numPartitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+      var acc = 0L
+      val expected = rows.sortBy(_._1).map { case (k, v) =>
+        val out = (k, acc); acc += v; out
+      }
+      assert(got == expected, s"n=$n parts=$parts")
+    }
+  }
+
+  test("FrequentItems exact regime is merge-order invariant") {
+    import graft.plans.FrequentItemsBuffer
+    val rnd = new Random(37)
+    val items = Seq.fill(2000)(s"w${rnd.nextInt(50)}") // 50 distinct < capacity
+    val chunks = items.grouped(250).toSeq
+    def mergedIn(order: Seq[Int]): Seq[(String, Long)] = {
+      val bufs = chunks.map { c =>
+        val b = new FrequentItemsBuffer(64); c.foreach(b.insert); b
+      }
+      val acc = new FrequentItemsBuffer(64)
+      order.foreach(i => acc.mergeIn(bufs(i)))
+      acc.topK(10)
+    }
+    val forward = mergedIn(chunks.indices)
+    val backward = mergedIn(chunks.indices.reverse)
+    val shuffled = mergedIn(rnd.shuffle(chunks.indices.toList))
+    assert(forward == backward && forward == shuffled)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(10)
+    assert(forward == truth)
+  }
 }
