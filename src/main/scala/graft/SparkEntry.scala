@@ -69,6 +69,7 @@ object SparkEntry {
     "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
     "m02_resize" -> ((s: SparkSession, d: String) => Multimodal.m02Resize(s, d)),
     "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.m03FrameSample(s, d)),
+    "m04_grayscale" -> ((s: SparkSession, d: String) => Multimodal.m04Grayscale(s, d)),
     // The id filter pushes into the DSv2 scan (SupportsPushDownFilters
     // narrows the generated range at planning time), `value` is pruned
     // away, and row content is pure f(id) — so DuckDB `range()`
@@ -809,6 +810,23 @@ object SparkEntry {
         |     + doc_id * 13) % 256
         |    FOR i IN range(0, out_w * out_h)]), 0) AS BIGINT) AS px_sum
         |FROM geo ORDER BY doc_id""".stripMargin,
+    // m04: color channels paint (31x + 17y + 7c + 13*doc_id) mod 256
+    // for c in {0,1,2}; integer BT.601 luma ((299R+587G+114B) // 1000)
+    // and two lossless codec legs make the checksum pure arithmetic.
+    "m04_grayscale" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST((unicode(text[1:1]) % 64) + 1 AS INT) AS width,
+        |    CAST((unicode(text[2:2]) % 64) + 1 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(coalesce(list_sum([
+        |    (299 * ((i // height * 31 + i % height * 17 + doc_id * 13) % 256)
+        |     + 587 * ((i // height * 31 + i % height * 17 + 7 + doc_id * 13) % 256)
+        |     + 114 * ((i // height * 31 + i % height * 17 + 14 + doc_id * 13) % 256))
+        |    // 1000
+        |    FOR i IN range(0, width * height)]), 0) AS BIGINT) AS luma_sum
+        |FROM meta ORDER BY doc_id""".stripMargin,
     // m03 synthesizes ceil(chars/64) real PNG frames per document and
     // DECODES ONLY every 4th; frame k paints (31x + 17y + 7k +
     // 13*doc_id) mod 256, so both checksums replay as flattened index

@@ -92,6 +92,50 @@ object Codec {
     while (i < samples.length) { s += samples(i); i += 1 }
     s
   }
+
+  /** A real COLOR PNG: channel c of pixel (x, y) = [[grayPx]](id,x,y,c)
+    * — three distinct channel patterns, so grayscale conversion is a
+    * genuine transform (on the gray pattern it would be the identity).
+    */
+  def synthColorFrame(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3 // backing array is BGR
+        buf(i) = grayPx(id, x, y, 2).toByte
+        buf(i + 1) = grayPx(id, x, y, 1).toByte
+        buf(i + 2) = grayPx(id, x, y, 0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Color → 8-bit grayscale via INTEGER BT.601 luma
+    * (299R + 587G + 114B) / 1000 — integer division, not the float
+    * ColorConvertOp, so the oracle replays every output pixel exactly.
+    */
+  def toGray(src: BufferedImage): BufferedImage = {
+    val w = src.getWidth
+    val h = src.getHeight
+    val r = src.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+    val g = src.getRaster.getSamples(0, 0, w, h, 1, null: Array[Int])
+    val b = src.getRaster.getSamples(0, 0, w, h, 2, null: Array[Int])
+    val lum = new Array[Int](w * h)
+    var i = 0
+    while (i < lum.length) {
+      lum(i) = (299 * r(i) + 587 * g(i) + 114 * b(i)) / 1000
+      i += 1
+    }
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    out.getRaster.setSamples(0, 0, w, h, 0, lum)
+    out
+  }
 }
 
 /** Multimodal-column plumbing (SURVEY.md §2: m01..m03).
@@ -182,6 +226,40 @@ object Multimodal {
         // what the codec round-trip spec already guarantees.
         require(resizedPng.nonEmpty)
         ResizedMeta(id, w, h, ow, oh, sc, sc, Codec.pxSum(resized))
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  case class GrayMeta(
+      doc_id: Long, width: Int, height: Int, luma_sum: Long)
+
+  /** m04: REAL color → grayscale conversion. Synthesizes a genuine
+    * COLOR PNG per document (three distinct channel patterns), decodes
+    * it, converts with the integer BT.601 luma, re-encodes as 8-bit
+    * gray PNG, RE-DECODES the wire bytes and checksums — the full
+    * round trip runs through javax.imageio both ways, and because both
+    * codec legs are lossless and the luma is integer arithmetic, the
+    * checksum is pure arithmetic to the oracle. Same partition-parallel
+    * mapPartitions shape as m02.
+    */
+  def m04Grayscale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val c0 = if (text.nonEmpty) text.charAt(0).toInt else 0
+        val c1 = if (text.length > 1) text.charAt(1).toInt else 0
+        (id, Codec.synthColorFrame(id, (c0 % 64) + 1, (c1 % 64) + 1))
+      })
+      .toDF("doc_id", "payload")
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val img = Codec.decodePng(png)
+        val gray = Codec.toGray(img)
+        val wire = Codec.encodePng(gray)
+        val back = Codec.decodePng(wire) // prove the gray wire bytes
+        GrayMeta(id, img.getWidth, img.getHeight, Codec.pxSum(back))
       })
       .toDF()
       .orderBy("doc_id")

@@ -90,4 +90,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("sampled_px_sum") == ks.map(frameSum).sum, s"doc $id")
     }
   }
+
+  test("m04 grayscale: luma checksums survive both codec legs and match brute") {
+    import graft.multimodal.Codec
+    val rows = Multimodal.m04Grayscale(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      var luma = 0L
+      var rsum = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        val (cr, cg, cb) =
+          (Codec.grayPx(id, x, y, 0), Codec.grayPx(id, x, y, 1), Codec.grayPx(id, x, y, 2))
+        luma += (299 * cr + 587 * cg + 114 * cb) / 1000
+        rsum += cr
+      }
+      assert(r.getAs[Long]("luma_sum") == luma, s"doc $id")
+      // Conversion must be a genuine transform, not the identity on R.
+      if (w * h > 4) assert(r.getAs[Long]("luma_sum") != rsum, s"doc $id trivial")
+    }
+  }
 }
