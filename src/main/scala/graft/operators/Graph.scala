@@ -100,93 +100,100 @@ object Graph {
   val PageRankIters = 3
   val PageRankDamping = 0.85
 
+  /** Fixed-point rank scale: all rank mass lives in integer units of
+    * 1e-12, so sums are exact and summation-order-independent — the
+    * hash gate can never flip at an ulp boundary the way double
+    * accumulation can (the d26 failure class the advisor flagged).
+    */
+  val PageRankScale = 1000000000000L
+
   /** q56: PageRank over the undirected bipartite order graph, a fixed
     * `PageRankIters` power iterations — supplier centrality by shared
     * customer mass, the canonical "iterative analytics on a relational
     * engine" workload (q49 walks the graph; this one converges a
     * score over it).
     *
+    * Node keys are LONGS — customer c ↦ 2c, supplier s ↦ 2s+1 — so
+    * every per-iteration join/agg shuffles fixed-width integers, not
+    * varchars (~3× narrower shuffle rows at 100 TB, and the bipartite
+    * side bit costs nothing to recover). Arithmetic is FIXED-POINT:
+    * ranks are integer multiples of 1/[[PageRankScale]], per-edge
+    * contribution is `r div deg` (truncating integer division, exact
+    * in both engines), damping is `(85 * inflow) div 100`, teleport is
+    * `(15 * scale) div (100 * n)`. Integer sums commute exactly, so
+    * the result is bit-identical regardless of partial-agg order —
+    * each truncation discards < 1 unit = 1e-12 of mass, far below the
+    * ppm presentation grain.
+    *
     * Per iteration: ONE join of the checkpointed adjacency against the
-    * current rank (both hash-partitioned on the node key), contribution
-    * sum as a partial agg keyed by destination, and a left join back to
-    * the node set for the teleport term. Per-iteration state is
+    * current rank (both hash-partitioned on the long node key), a
+    * partial agg keyed by destination, and a left join back to the
+    * node set for the teleport term. Per-iteration state is
     * O(|nodes|); localCheckpoint pins each rank table so plan depth
-    * stays constant across iterations. Constants are written as the
-    * SAME literals the oracle uses (0.15, 0.85) — deriving them
-    * (1 - damping) lands on a different double and the drift, however
-    * tiny, is the kind of thing a hash gate exists to catch.
+    * stays constant across iterations. `deg` rides inside the rank
+    * table, so the loop never re-joins a separate degree relation.
     */
   def q56PageRank(spark: SparkSession, dir: String): DataFrame = {
     val edges = orderEdges(spark, dir)
     val adj = edges.select(
-        concat(lit("c"), col("c")).as("src"), concat(lit("s"), col("s")).as("dst"))
+        (col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .unionByName(edges.select(
-        concat(lit("s"), col("s")).as("src"), concat(lit("c"), col("c")).as("dst")))
-    // The out-degree-normalized TRANSITION matrix, built once: per
-    // iteration the plan is then a single transition⋈rank join + one
-    // partial agg — joining `deg` inside the loop would re-pay that
-    // join every iteration. The node set is deg's key set (every node
-    // has deg >= 1 by construction), so no separate distinct pass.
-    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        (col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    val nodes = adj.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val trans = adj.join(deg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .localCheckpoint(true)
-    val nodes = deg.select(col("src").as("node"))
     val n = nodes.count()
-    var rank = nodes.withColumn("r", lit(1.0 / n))
+    val teleport = (15L * PageRankScale) / (100L * n)
+    var rank = nodes.select(
+      col("node"), col("deg"), lit(PageRankScale / n).as("r"))
     (1 to PageRankIters).foreach { _ =>
-      val inflow = trans
-        .join(rank, trans("src") === rank("node"))
-        .select(col("dst").as("node"), (col("w") * col("r")).as("contrib"))
+      val inflow = adj
+        .join(rank, adj("src") === rank("node"))
+        .select(col("dst").as("node"), expr("r div deg").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("inflow"))
       rank = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(0.15) / n + lit(PageRankDamping) * coalesce(col("inflow"), lit(0.0)))
+        .select(col("node"), col("deg"),
+          expr(s"$teleport + (85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100")
             .as("r"))
         .localCheckpoint(true)
     }
-    rank.filter(col("node").startsWith("s"))
+    rank.filter(col("node") % 2 === 1)
       .select(
-        expr("CAST(substr(node, 2) AS BIGINT)").as("s_suppkey"),
-        round(col("r") * n, 6).as("pr_scaled"))
+        expr("(node - 1) div 2").as("s_suppkey"),
+        expr(s"(r * $n) div 1000000").as("pr_ppm"))
       .orderBy(col("s_suppkey"))
   }
 
-  /** Unrolled power-iteration replay: identical constants, identical
-    * join/agg algebra, scaled-rank presentation.
+  /** Unrolled power-iteration replay: identical integer constants and
+    * identical truncating-division algebra (DuckDB `//` and Spark
+    * `div` agree on non-negative operands), so the replay is EXACT —
+    * no float tolerance anywhere.
     */
   val q56OracleSql: String = {
-    // e0 suffixes force DOUBLE literals — DuckDB parses bare 0.15 as
-    // DECIMAL and decimal division would diverge from Spark's doubles.
-    // The replay pre-normalizes weights (w = 1/deg) and sums w*r,
-    // matching the Spark side's transition-matrix arithmetic exactly.
     def iter(prev: String, out: String): String =
-      s"""i$out AS (SELECT t.dst AS node, sum(t.w * $prev.r) AS inflow
-         |  FROM trans t JOIN $prev ON t.src = $prev.node GROUP BY 1),
-         |$out AS (SELECT nodes.node,
-         |    0.15e0 / nn.n + 0.85e0 * coalesce(i$out.inflow, 0.0e0) AS r
+      s"""i$out AS (SELECT a.dst AS node, sum($prev.r // $prev.deg) AS inflow
+         |  FROM adj a JOIN $prev ON a.src = $prev.node GROUP BY 1),
+         |$out AS (SELECT nodes.node, nodes.deg,
+         |    (15 * 1000000000000) // (100 * nn.n)
+         |      + (85 * coalesce(i$out.inflow, 0)) // 100 AS r
          |  FROM nodes CROSS JOIN nn LEFT JOIN i$out ON nodes.node = i$out.node)""".stripMargin
     s"""WITH edges AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |adj AS (
-       |  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst
-       |  FROM edges
+       |  SELECT 2 * c AS src, 2 * s + 1 AS dst FROM edges
        |  UNION ALL
-       |  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM edges),
-       |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
-       |trans AS (SELECT a.src, a.dst, 1.0e0 / deg.deg AS w
-       |  FROM adj a JOIN deg ON a.src = deg.src),
-       |nodes AS (SELECT src AS node FROM deg),
+       |  SELECT 2 * s + 1, 2 * c FROM edges),
+       |nodes AS (SELECT src AS node, count(*) AS deg FROM adj GROUP BY 1),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |r0 AS (SELECT node, 1.0e0 / nn.n AS r FROM nodes CROSS JOIN nn),
+       |r0 AS (SELECT node, deg, 1000000000000 // nn.n AS r
+       |  FROM nodes CROSS JOIN nn),
        |${iter("r0", "r1")},
        |${iter("r1", "r2")},
        |${iter("r2", "r3")}
-       |SELECT CAST(substr(node, 2) AS BIGINT) AS s_suppkey,
-       |  round(r * nn.n, 6) AS pr_scaled
-       |FROM r3 CROSS JOIN nn WHERE node LIKE 's%'
+       |SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey,
+       |  CAST((r * nn.n) // 1000000 AS BIGINT) AS pr_ppm
+       |FROM r3 CROSS JOIN nn WHERE node % 2 = 1
        |ORDER BY s_suppkey""".stripMargin
   }
 }

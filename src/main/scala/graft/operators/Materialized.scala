@@ -73,25 +73,31 @@ object Materialized {
     * recompute over all orders: equality proves streaming deltas lose
     * nothing vs the batch view.
     *
-    * MemoryStream is the DRIVE here (the gate has no Kafka); the
-    * operator under test is the per-batch fold, whose cost is
-    * O(|delta| + |view|) regardless of the source. Each batch holds a
-    * third of the orders, so the fold runs across three refreshes.
+    * The drive is a parquet FILE-SOURCE stream (the gate has no
+    * Kafka): each delta batch — a deterministic pmod(o_orderkey, 3)
+    * third of the orders — is staged executor-side as parquet into the
+    * stream's input directory, then `processAllAvailable()` folds it
+    * in as one micro-batch. Nothing but the group-count-sized view
+    * state ever reaches the driver, so the gated path itself is the
+    * 100 TB path: stage a delta partition, let the file source pick it
+    * up, fold O(|delta| + |view|).
     */
   def mv03StreamRefresh(spark: SparkSession, dir: String): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import spark.implicits._
     val orders = Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
-    val all = orders.as[graft.model.Order].collect()
-    if (all.isEmpty) return present(partialState(orders))
-    val batches = all.grouped(math.max(1, (all.length + 2) / 3)).toSeq
+    if (orders.isEmpty) return present(partialState(orders))
 
+    val base = java.nio.file.Files.createTempDirectory("graft-mv03")
+    // The file source lists the input path at stream start — it must
+    // exist (empty is fine) before readStream resolves.
+    java.nio.file.Files.createDirectories(base.resolve("in"))
+    val inDir = base.resolve("in").toString
+    val ckDir = base.resolve("ck").toString
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-    val stream = MemoryStream[graft.model.Order]
-    val q = stream.toDF().writeStream
+    val q = spark.readStream.schema(orders.schema).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", ckDir)
       .foreachBatch { (delta: DataFrame, _: Long) =>
         // localCheckpoint pins the micro-batch's rows (the batch
         // DataFrame is only valid inside this callback) and truncates
@@ -105,8 +111,22 @@ object Materialized {
       }
       .outputMode("append").start()
     try {
-      batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
-    } finally q.stop()
+      // Stage one delta file-set per refresh; each appears to the file
+      // source as exactly one new micro-batch.
+      (0 until 3).foreach { i =>
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      // Best-effort cleanup of the staged deltas + checkpoint.
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     present(state.get())
   }
 

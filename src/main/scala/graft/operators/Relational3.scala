@@ -205,9 +205,13 @@ object Relational3 {
       .distinct()
     val counts = covered.groupBy(col("event_type"), col("wd"))
       .agg(count(lit(1)).as("u7"))
-    spine.join(counts,
-        spine("event_type") === counts("event_type") && spine("d") === counts("wd"))
-      .select(spine("event_type"), spine("d"), col("u7"))
+    // Both sides descend from the same checkpointed `du`; explicit
+    // aliases keep the join columns unambiguous (without them Spark
+    // warns "trivially true equals predicate" and a refactor could
+    // silently degrade the join to a cartesian-with-filter).
+    spine.alias("sp").join(counts.alias("ct"),
+        col("sp.event_type") === col("ct.event_type") && col("sp.d") === col("ct.wd"))
+      .select(col("sp.event_type"), col("sp.d"), col("u7"))
       .orderBy(col("event_type"), col("d"))
   }
 }

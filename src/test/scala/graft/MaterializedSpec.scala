@@ -50,40 +50,12 @@ class MaterializedSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("streaming deltas refresh the view via foreachBatch to the full-recompute answer") {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    // The production MV-refresh loop: an insert-only order stream,
-    // each micro-batch folded into the maintained partial-agg state
-    // with the SAME mergeDelta algebra the batch path uses. foreachBatch
-    // gives per-batch exactly-once (batchId-keyed) semantics.
-    val orders = Tables.orders(spark, sf).select(
-      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
-    val all = orders.as[graft.model.Order].collect()
-    val batches = all.grouped(math.max(1, all.length / 3)).toSeq
-
-    val state = new java.util.concurrent.atomic.AtomicReference[
-      org.apache.spark.sql.DataFrame](null)
-    val stream = MemoryStream[graft.model.Order]
-    val q = stream.toDF().writeStream
-      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, _: Long) =>
-        val d = delta.localCheckpoint(true)
-        state.getAndUpdate {
-          case null => Materialized.partialState(d)
-          case v => Materialized.mergeDelta(v, d).localCheckpoint(true)
-        }
-        ()
-      }
-      .outputMode("append").start()
-    try {
-      batches.foreach { b =>
-        stream.addData(b.toSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-
-    val got = Materialized.present(state.get()).collect().map(_.toString).toSeq
+    // Exercises the REAL gated path (file-source stream staging three
+    // pmod thirds of the orders as parquet deltas) — no driver-side
+    // collect of the base table anywhere.
+    val orders = Tables.orders(spark, sf)
+    val got = Materialized.mv03StreamRefresh(spark, sf)
+      .collect().map(_.toString).toSeq
     val full = Materialized.present(Materialized.partialState(orders))
       .collect().map(_.toString).toSeq
     assert(got == full)
