@@ -53,20 +53,47 @@ object Bench {
         None
       }
     }.toMap
-    timedRound() // warmup round: JIT, codegen cache, footers
-    val rounds = Seq(timedRound(), timedRound(), timedRound())
-    val results = names.map { name =>
-      val rs = rounds.flatMap(_.get(name))
-      name -> (if (rs.nonEmpty) rs.min else -1.0)
+    // TIME-BUDGETED rounds with INCREMENTAL reporting: the harness
+    // runs Bench under a wall-clock deadline (round 4 hit it — rc=124,
+    // no metric line captured). So (a) the full metric JSON line is
+    // printed and persisted after EVERY timed round — a mid-round kill
+    // still leaves the previous round's complete line in the output
+    // tail — and (b) further rounds are skipped when the projected
+    // finish would cross the budget; min-of-fewer-rounds is still a
+    // valid per-query time.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    val wall0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wall0) / 1e9
+
+    def report(rounds: Seq[Map[String, Double]]): String = {
+      val results = names.map { name =>
+        val rs = rounds.flatMap(_.get(name))
+        name -> (if (rs.nonEmpty) rs.min else -1.0)
+      }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the line: console tails can truncate the per-query
-    // map past ~60 entries, losing numbers the round report needs.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+
+    timedRound() // warmup round: JIT, codegen cache, footers
+    val warmupSec = elapsedSec
+    val rounds = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    var lastRoundSec = warmupSec
+    var r = 0
+    while (r < 3 && (r == 0 || elapsedSec + 1.2 * lastRoundSec < budgetSec)) {
+      val t0 = elapsedSec
+      rounds += timedRound()
+      lastRoundSec = elapsedSec - t0
+      val line = report(rounds.toSeq)
+      println(line)
+      Console.out.flush()
+      // Also persist the line: console tails can truncate the per-query
+      // map past ~60 entries, losing numbers the round report needs.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      r += 1
+    }
     spark.stop()
   }
 }
