@@ -248,6 +248,12 @@ object SparkEntry {
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
+    // Error-bound gates for the opt-in approximate rewrite rules: each
+    // runs the aggregate with the rule ENABLED in a child session and
+    // asserts the sketch result sits inside its published error
+    // envelope of the exact answer (plus that the rewrite fired).
+    "q59_approx_distinct"   -> graft.operators.ApproxGates.q59ApproxDistinct _,
+    "q60_approx_percentile" -> graft.operators.ApproxGates.q60ApproxPercentile _,
     // COMPLETE aggregate pushdown on the DSv2 connector: count/min/max
     // resolve in closed form from the filter-narrowed range — the scan
     // emits ONE row and generates zero data (plan-asserted in
@@ -1492,6 +1498,10 @@ object SparkEntry {
         |  SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
         |  FROM orders WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    // The approx gates' booleans are proven Spark-side (sketch vs
+    // exact vs plan); the oracle replays the exact column and TRUE.
+    "q59_approx_distinct" -> graft.operators.ApproxGates.q59OracleSql,
+    "q60_approx_percentile" -> graft.operators.ApproxGates.q60OracleSql,
     // Compaction is content-neutral: the oracle filters raw orders.
     "src08_compact_scan" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev

@@ -8,6 +8,25 @@ import graft.plans.ApproxDistinctRule
 
 class SkewAndRulesSpec extends AnyFunSuite with SparkSpec {
 
+  test("q59/q60 approx gates: rewrite fires, error inside bound, conf never leaks") {
+    val q59 = graft.operators.ApproxGates.q59ApproxDistinct(spark, sf).collect()
+    assert(q59.nonEmpty)
+    q59.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("within_bound")), r.toString)
+      assert(r.getBoolean(r.fieldIndex("rewrite_fired")), r.toString)
+    }
+    val q60 = graft.operators.ApproxGates.q60ApproxPercentile(spark, sf).collect()
+    assert(q60.nonEmpty)
+    q60.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("within_bound")), r.toString)
+      assert(r.getBoolean(r.fieldIndex("rewrite_fired")), r.toString)
+    }
+    // The child-session opt-in must not leak into the parent session —
+    // other gate queries run concurrently on it with EXACT semantics.
+    assert(spark.conf.get(ApproxDistinctRule.ConfKey, "false") == "false")
+    assert(spark.conf.get(graft.plans.ApproxPercentileRule.ConfKey, "false") == "false")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables.customer(spark, sf).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
