@@ -254,6 +254,10 @@ object SparkEntry {
     // envelope of the exact answer (plus that the rewrite fired).
     "q59_approx_distinct"   -> graft.operators.ApproxGates.q59ApproxDistinct _,
     "q60_approx_percentile" -> graft.operators.ApproxGates.q60ApproxPercentile _,
+    // AQE skew-join split on a deliberately skewed key — the runtime
+    // complement to q39's manual salting; proves skew=true in the
+    // final plan and value-equality with the unsplit join.
+    "q61_skew_join_aqe"     -> graft.operators.SkewJoin.q61SkewJoinAqe _,
     // COMPLETE aggregate pushdown on the DSv2 connector: count/min/max
     // resolve in closed form from the filter-narrowed range — the scan
     // emits ONE row and generates zero data (plan-asserted in
@@ -1502,6 +1506,7 @@ object SparkEntry {
     // exact vs plan); the oracle replays the exact column and TRUE.
     "q59_approx_distinct" -> graft.operators.ApproxGates.q59OracleSql,
     "q60_approx_percentile" -> graft.operators.ApproxGates.q60OracleSql,
+    "q61_skew_join_aqe" -> graft.operators.SkewJoin.q61OracleSql,
     // Compaction is content-neutral: the oracle filters raw orders.
     "src08_compact_scan" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev

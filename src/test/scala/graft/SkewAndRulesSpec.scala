@@ -8,6 +8,16 @@ import graft.plans.ApproxDistinctRule
 
 class SkewAndRulesSpec extends AnyFunSuite with SparkSpec {
 
+  test("q61: AQE skew-join split engages and preserves the join result") {
+    val rows = graft.operators.SkewJoin.q61SkewJoinAqe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("skew_split")),
+        s"AQE skew split did not engage: $r")
+      assert(r.getBoolean(r.fieldIndex("result_match")), r.toString)
+    }
+  }
+
   test("q59/q60 approx gates: rewrite fires, error inside bound, conf never leaks") {
     val q59 = graft.operators.ApproxGates.q59ApproxDistinct(spark, sf).collect()
     assert(q59.nonEmpty)
