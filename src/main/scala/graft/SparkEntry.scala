@@ -9,6 +9,27 @@ import graft.streaming.EventStreams
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
+  /** Per-JVM scratch root for gate queries that must round-trip files
+    * (src02/04/05/06/07/08): unique per process, so two concurrent
+    * harness runs on the same dataset can never overwrite each other's
+    * parquet mid-read, and removed on JVM exit, so runs don't
+    * accumulate stale datasets under tmpdir. The dataset-dir hash tag
+    * stays in each leaf name so in-run spec lookups stay stable.
+    */
+  private[graft] lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-run-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+    p
+  }
+
+  private[graft] def scratch(name: String, dir: String): String =
+    s"$scratchRoot/${name}_${Integer.toHexString(dir.hashCode)}"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q04JoinStar(spark, "/root/testdata/sf0.001")
@@ -88,7 +109,7 @@ object SparkEntry {
     // (directory-level pruning — explain shows PartitionFilters), agg.
     "src02_partition_prune" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
-      val out = s"${sys.props("java.io.tmpdir")}/graft_orders_by_year_${Integer.toHexString(dir.hashCode)}"
+      val out = scratch("graft_orders_by_year", dir)
       graft.sources.Sources.exportOrdersByYear(s, dir, out)
       s.read.parquet(out)
         .filter(col("o_year") === 2000)
@@ -131,7 +152,7 @@ object SparkEntry {
     "src04_csv_roundtrip" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
-      val out = s"${sys.props("java.io.tmpdir")}/graft_orders_csv_${Integer.toHexString(dir.hashCode)}"
+      val out = scratch("graft_orders_csv", dir)
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.Sources.writeCsv(o, out)
       graft.sources.Sources.readCsv(s, out, StructType(Seq(
@@ -148,7 +169,7 @@ object SparkEntry {
     "src05_json_roundtrip" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
-      val out = s"${sys.props("java.io.tmpdir")}/graft_orders_json_${Integer.toHexString(dir.hashCode)}"
+      val out = scratch("graft_orders_json", dir)
       val o = Tables.orders(s, dir).select(
         col("o_orderkey"),
         struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price")).as("detail"))
@@ -203,7 +224,7 @@ object SparkEntry {
     // the round-trip, so the read-back agg plans like the parquet one.
     "src06_orc_roundtrip" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
-      val out = s"${sys.props("java.io.tmpdir")}/graft_orders_orc_${Integer.toHexString(dir.hashCode)}"
+      val out = scratch("graft_orders_orc", dir)
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.Sources.writeOrc(o, out)
       graft.sources.Sources.readOrc(s, out)
@@ -223,9 +244,8 @@ object SparkEntry {
     // The oracle replays the join semantics on raw orders.
     "src07_dpp" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
-      val tag = Integer.toHexString(dir.hashCode)
-      val factPath = s"${sys.props("java.io.tmpdir")}/graft_dpp_fact_$tag"
-      val dimPath = s"${sys.props("java.io.tmpdir")}/graft_dpp_dim_$tag"
+      val factPath = scratch("graft_dpp_fact", dir)
+      val dimPath = scratch("graft_dpp_dim", dir)
       graft.sources.Sources.exportOrdersByYear(s, dir, factPath)
       Tables.orders(s, dir)
         .select(year(col("o_orderdate")).as("y")).distinct()
@@ -292,9 +312,8 @@ object SparkEntry {
     // be content-neutral).
     "src08_compact_scan" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
-      val tag = Integer.toHexString(dir.hashCode)
-      val rawPath = s"${sys.props("java.io.tmpdir")}/graft_compact_in_$tag"
-      val outPath = s"${sys.props("java.io.tmpdir")}/graft_compact_out_$tag"
+      val rawPath = scratch("graft_compact_in", dir)
+      val outPath = scratch("graft_compact_out", dir)
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
         .repartition(16) // simulate the small-files problem

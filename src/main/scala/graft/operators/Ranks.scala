@@ -83,7 +83,11 @@ object Ranks {
         out
       }
     }
-    val res = df.sparkSession.createDataFrame(rdd, schema)
+    // Eagerly materialize the scan output, then RELEASE the persisted
+    // input — without this every invocation leaks a cached RDD for the
+    // session's lifetime (the d13/d17 localCheckpoint pattern).
+    val res = df.sparkSession.createDataFrame(rdd, schema).localCheckpoint(true)
+    rdd0.unpersist(false)
     res
   }
 }

@@ -440,13 +440,17 @@ object TextCorpus {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val chars = text.filterNot(_ == ' ')
-        val charSq = chars.groupBy(identity).values
+        // Count CODEPOINTS, not UTF-16 code units: the DuckDB oracle's
+        // length()/slicing is codepoint-based, and a surrogate-pair
+        // character (emoji) counted as two units would skew both
+        // n_chars and the Gini numerator against the replay.
+        val cps = text.codePoints().toArray.filter(_ != ' '.toInt)
+        val charSq = cps.groupBy(identity).values
           .map(g => g.length.toLong * g.length).sum
         val ws = text.split(" ").filter(_.nonEmpty)
         val wordSq = ws.groupBy(identity).values
           .map(g => g.length.toLong * g.length).sum
-        (id, chars.length.toLong, charSq, ws.length.toLong, wordSq)
+        (id, cps.length.toLong, charSq, ws.length.toLong, wordSq)
       }
       .toDF("doc_id", "n_chars", "char_sq", "n_words", "word_sq")
       // Fixed-point parts-per-million via INTEGER half-up division —

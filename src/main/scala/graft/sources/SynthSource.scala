@@ -59,11 +59,13 @@ object SynthSource {
 
   def categoryOf(i: Long): String = s"cat_${i % 10}"
 
-  /** Test observability: the last runtime-narrowed [lo, hi) — runtime
+  /** Test observability: every runtime-narrowed [lo, hi) — runtime
     * filtering happens between planning and execution, so plan strings
-    * can't show it.
+    * can't show it. A concurrent queue, not a single slot: gate
+    * queries run in parallel and concurrent scans must not clobber
+    * each other's recording (bounded — narrowing events are rare).
     */
-  @volatile var lastRuntimeRange: Option[(Long, Long)] = None
+  val runtimeRanges = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
 }
 
 private[sources] class SynthTable(rows: Long, partitions: Int)
@@ -252,17 +254,23 @@ private[sources] class SynthScan(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     predicates.foreach { p =>
       if (p.name() == "IN") {
-        val values = p.children().toSeq.collect {
+        // flatMap + catch-all: an unexpected literal type (decimal
+        // cast, future int width) must DECLINE to narrow, not throw a
+        // MatchError that fails the whole query — runtime narrowing is
+        // an optimization, never a correctness dependency.
+        val values = p.children().toSeq.flatMap {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
             l.value() match {
-              case n: java.lang.Long => n.longValue()
-              case n: java.lang.Integer => n.longValue()
+              case n: java.lang.Long => Some(n.longValue())
+              case n: java.lang.Integer => Some(n.longValue())
+              case _ => None
             }
+          case _ => None
         }
         if (values.nonEmpty) {
           rLo = math.max(rLo, values.min)
           rHi = math.min(rHi, values.max + 1)
-          SynthSource.lastRuntimeRange = Some((rLo, math.max(rLo, rHi)))
+          SynthSource.runtimeRanges.add((rLo, math.max(rLo, rHi)))
         }
       }
     }

@@ -145,11 +145,10 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       .agg(count(lit(1)).as("n"), functions.round(sum(col("o_totalprice")), 2).as("rev"))
       .orderBy("o_orderstatus").collect()
     assert(rows.toSeq == direct.toSeq && rows.nonEmpty)
-    val tag = Integer.toHexString(sf.hashCode)
     def parquetFiles(p: String): Int =
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
-    val inFiles = parquetFiles(s"${sys.props("java.io.tmpdir")}/graft_compact_in_$tag")
-    val outFiles = parquetFiles(s"${sys.props("java.io.tmpdir")}/graft_compact_out_$tag")
+    val inFiles = parquetFiles(SparkEntry.scratch("graft_compact_in", sf))
+    val outFiles = parquetFiles(SparkEntry.scratch("graft_compact_out", sf))
     assert(outFiles < inFiles, s"compaction kept $outFiles of $inFiles files")
   }
 

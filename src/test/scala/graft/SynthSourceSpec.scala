@@ -83,7 +83,6 @@ class SynthSourceSpec extends AnyFunSuite with SparkSpec {
 
   test("runtime V2 filtering narrows the generated range from the join side") {
     import graft.sources.SynthSource
-    SynthSource.lastRuntimeRange = None
     val dim = spark.range(0, 1000000).toDF("k")
       .filter(col("k") >= 500100 && col("k") <= 500110)
     val joined = synth(1000000)
@@ -91,10 +90,13 @@ class SynthSourceSpec extends AnyFunSuite with SparkSpec {
     assert(joined.count() == 11)
     // The scan must have been handed the runtime IN filter and narrowed
     // its generated span to the dim's tiny key range — the DSv2 analog
-    // of dynamic partition pruning.
-    assert(SynthSource.lastRuntimeRange.exists { case (l, h) =>
+    // of dynamic partition pruning. Check for ANY matching recorded
+    // range: other scans (from concurrently running specs/gates) may
+    // also record, and must not clobber this one's evidence.
+    import scala.jdk.CollectionConverters._
+    assert(SynthSource.runtimeRanges.asScala.exists { case (l, h) =>
       l >= 500100 && h <= 500111 },
-      s"runtime range not narrowed: ${SynthSource.lastRuntimeRange}")
+      s"runtime range not narrowed: ${SynthSource.runtimeRanges}")
   }
 
   test("count/min/max push COMPLETELY into the source (metadata-only query)") {
