@@ -30,6 +30,18 @@ object SparkEntry {
   private[graft] def scratch(name: String, dir: String): String =
     s"$scratchRoot/${name}_${Integer.toHexString(dir.hashCode)}"
 
+  /** Recursive delete for gate-local rebuilds (lake tables are
+    * re-created per invocation — Bench runs each gate repeatedly).
+    */
+  private[graft] def rmrf(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q04JoinStar(spark, "/root/testdata/sf0.001")
@@ -278,6 +290,53 @@ object SparkEntry {
     // complement to q39's manual salting; proves skew=true in the
     // final plan and value-equality with the unsplit join.
     "q61_skew_join_aqe"     -> graft.operators.SkewJoin.q61SkewJoinAqe _,
+    // GraftLake ACID surface in the gate: TIME TRAVEL — build the
+    // table in two commits (pre-1998 create, 1998+ append), read the
+    // v0 snapshot AND the latest snapshot; the oracle replays both
+    // from raw orders, proving snapshots are exact and immutable.
+    "src11_time_travel" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_tt", dir)
+      rmrf(path)
+      val orders = Tables.orders(s, dir)
+      val y = year(col("o_orderdate"))
+      GraftLake.create(orders.filter(y.isNull || y < 1998), path)
+      GraftLake.append(orders.filter(y >= 1998), path)
+      def agg(df: DataFrame, tag: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .withColumn("snapshot", lit(tag))
+      agg(GraftLake.readAt(s, path, 0), "v0")
+        .unionByName(agg(GraftLake.read(s, path), "latest"))
+        .select(col("snapshot"), col("o_orderstatus"), col("n"), col("cents"))
+        .orderBy(col("snapshot"), col("o_orderstatus"))
+    }),
+    // GraftLake SCHEMA EVOLUTION in the gate: v0 holds even keys with
+    // 2 columns, the append adds odd keys WITH a new cents column —
+    // old file-sets null-fill it at read time, nothing is rewritten.
+    // The oracle splits raw orders by key parity.
+    "src12_schema_evolution" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_se", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir)
+      GraftLake.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")), path)
+      GraftLake.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")), path)
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(col("cents")).as("n_priced"),
+          coalesce(sum(col("cents")), lit(0L)).as("cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // COMPLETE aggregate pushdown on the DSv2 connector: count/min/max
     // resolve in closed form from the filter-narrowed range — the scan
     // emits ONE row and generates zero data (plan-asserted in
@@ -1526,6 +1585,25 @@ object SparkEntry {
     "q59_approx_distinct" -> graft.operators.ApproxGates.q59OracleSql,
     "q60_approx_percentile" -> graft.operators.ApproxGates.q60OracleSql,
     "q61_skew_join_aqe" -> graft.operators.SkewJoin.q61OracleSql,
+    // Lake snapshots replay from raw orders: v0 = the create filter,
+    // latest = everything; schema evolution splits by key parity.
+    "src11_time_travel" ->
+      """SELECT 'v0' AS snapshot, o_orderstatus, count(*) AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM orders
+        |WHERE o_orderdate IS NULL OR year(o_orderdate) < 1998
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'latest', o_orderstatus, count(*),
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |FROM orders GROUP BY 2
+        |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    "src12_schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_priced,
+        |  coalesce(sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Compaction is content-neutral: the oracle filters raw orders.
     "src08_compact_scan" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev

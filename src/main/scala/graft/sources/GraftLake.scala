@@ -1,0 +1,249 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** A minimal ACID table format over parquet — the "lakehouse" surface
+  * the plain directory layouts (Sources.scala) don't give: snapshot
+  * isolation, TIME TRAVEL, SCHEMA EVOLUTION, and atomic concurrent
+  * appends, all from an ordered JSON commit log, the same core design
+  * as the open deltalake/iceberg formats re-expressed at this repo's
+  * scope.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _graft_log/00000000.json   // one JSON commit per version
+  *     data/c<version>-<uuid>/    // immutable parquet file-sets
+  * }}}
+  *
+  * Each commit records its action (create/append/overwrite), the
+  * table schema AS OF that version (DDL), and the file-sets it adds /
+  * removes. A reader at version v folds commits 0..v into the live
+  * file-set list and reads each file-set WITH THE SCHEMA IT WAS
+  * WRITTEN UNDER, null-filling columns added later — so old files
+  * never need rewriting when the schema grows (evolution is a log
+  * property, not a data rewrite).
+  *
+  * Commit protocol (optimistic concurrency, no locks held across the
+  * data write):
+  *   1. stage the parquet file-set under data/ (invisible to readers
+  *      — only the log makes files live);
+  *   2. CLAIM the next version by atomically creating the EMPTY log
+  *      file (`Files.createFile` = O_EXCL — exactly one concurrent
+  *      writer wins a version);
+  *   3. PUBLISH by atomically moving the full JSON over the claimed
+  *      empty file (`ATOMIC_MOVE`).
+  * A loser re-reads the log and retries with the next version — its
+  * staged data stays invisible until its own commit lands. Readers
+  * treat an empty log file as in-flight and read the committed prefix
+  * before it, so a half-done commit is never observable.
+  *
+  * Scale notes: the log is O(commits) driver-side metadata (like any
+  * table format's manifest list); data reads are ordinary distributed
+  * parquet scans unioned per schema epoch — predicates and projection
+  * still push into every scan. Nothing row-sized ever passes through
+  * the driver.
+  */
+object GraftLake {
+
+  final case class Commit(
+      version: Int, action: String, schemaDdl: String,
+      add: Seq[String], remove: Seq[String])
+
+  private def logDir(table: String): Path = Paths.get(table, "_graft_log")
+  private def logFile(table: String, v: Int): Path =
+    logDir(table).resolve(f"$v%08d.json")
+
+  // ---------------------------------------------------------------- write
+
+  /** Create the table at `path` from `df` (fails if it exists). */
+  def create(df: DataFrame, path: String): Int = {
+    require(!Files.exists(logDir(path)), s"table already exists: $path")
+    Files.createDirectories(logDir(path))
+    commit(df, path, "create")
+  }
+
+  /** Append `df`; columns missing from the current schema are added
+    * (schema evolution), columns missing from `df` stay null for the
+    * new rows only if present in `df`'s schema — existing data is
+    * never rewritten.
+    */
+  def append(df: DataFrame, path: String): Int = commit(df, path, "append")
+
+  /** Replace the table contents with `df` in one atomic commit. */
+  def overwrite(df: DataFrame, path: String): Int = commit(df, path, "overwrite")
+
+  private def commit(df: DataFrame, path: String, action: String): Int = {
+    // 1. stage the file-set — invisible until the log names it.
+    val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(s"$path/$setName")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"gave up committing to $path after 50 races")
+      val prior = commits(path)
+      val v = prior.size
+      require(action != "create" || v == 0, s"create on non-empty log: $path")
+      // overwrite resets the schema along with the contents; append
+      // evolves it (old columns keep position, new ones join at the end).
+      val mergedDdl =
+        if (v == 0 || action == "overwrite") df.schema.toDDL
+        else mergeSchemas(
+          StructType.fromDDL(prior.last.schemaDdl), df.schema).toDDL
+      val removed =
+        if (action == "overwrite") liveSets(prior) else Seq.empty[String]
+      val json = render(Commit(v, action, mergedDdl, Seq(setName), removed))
+      // 2. claim the version: O_EXCL create of the empty final name.
+      val f = logFile(path, v)
+      val claimed =
+        try { Files.createFile(f); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed) {
+        // 3. publish: atomic replace of the claimed empty file.
+        val tmp = logDir(path).resolve(f.getFileName.toString + ".tmp")
+        Files.writeString(tmp, json)
+        Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        return v
+      }
+      Thread.sleep(5) // lost the race — re-read the log, try the next version
+    }
+    -1 // unreachable
+  }
+
+  /** Right-biased field merge: existing columns keep their position
+    * and type; genuinely new columns append. A type CONFLICT on an
+    * existing column is an error — silent coercion is how lakes rot.
+    */
+  private[sources] def mergeSchemas(old: StructType, next: StructType): StructType = {
+    val byName = next.fields.map(f => f.name -> f).toMap
+    old.fields.foreach { f =>
+      byName.get(f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"schema evolution cannot change type of '${f.name}': " +
+            s"${f.dataType} -> ${g.dataType}")
+      }
+    }
+    val oldNames = old.fieldNames.toSet
+    StructType(old.fields ++ next.fields.filterNot(f => oldNames(f.name)))
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Committed commits, in version order — the longest prefix of
+    * fully-published log files (an empty file is an in-flight claim;
+    * everything after it is not yet visible).
+    */
+  def commits(path: String): Seq[Commit] = {
+    val dir = logDir(path)
+    if (!Files.exists(dir)) return Seq.empty
+    Iterator.from(0)
+      .map(v => dir.resolve(f"$v%08d.json"))
+      .takeWhile(f => Files.exists(f) && Files.size(f) > 0)
+      .map(f => parse(Files.readString(f)))
+      .toSeq
+  }
+
+  def latestVersion(path: String): Int = commits(path).size - 1
+
+  private def liveSets(prior: Seq[Commit]): Seq[String] =
+    prior.foldLeft(Seq.empty[(String, String)]) { (live, c) =>
+      val kept = if (c.action == "overwrite")
+        live.filterNot { case (s, _) => c.remove.contains(s) }
+      else live
+      kept ++ c.add.map(_ -> c.schemaDdl)
+    }.map(_._1)
+
+  /** The table as of `version` (time travel). */
+  def readAt(spark: SparkSession, path: String, version: Int): DataFrame = {
+    val all = commits(path)
+    require(version >= 0 && version < all.size,
+      s"version $version not in [0, ${all.size - 1}] for $path")
+    val upTo = all.take(version + 1)
+    val target = StructType.fromDDL(upTo.last.schemaDdl)
+    // live (file-set, schema-it-was-written-under) pairs as of v
+    val live = upTo.foldLeft(Seq.empty[(String, String)]) { (acc, c) =>
+      val kept = if (c.action == "overwrite")
+        acc.filterNot { case (s, _) => c.remove.contains(s) }
+      else acc
+      kept ++ c.add.map(_ -> c.schemaDdl)
+    }
+    val parts = live.map { case (set, ddl) =>
+      val own = StructType.fromDDL(ddl)
+      val scan = spark.read.schema(own).parquet(s"$path/$set")
+      // project to the target schema, null-filling later-added columns
+      val ownNames = own.fieldNames.toSet
+      scan.select(target.fields.map { f =>
+        if (ownNames(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    }
+    parts.reduceLeft(_.unionByName(_))
+  }
+
+  /** The latest snapshot. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readAt(spark, path, latestVersion(path))
+
+  // ----------------------------------------------------------------- json
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'u' =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case o => b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  private def render(c: Commit): String = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    s"""{"version":${c.version},"action":"${c.action}",""" +
+      s""""schema":"${esc(c.schemaDdl)}",""" +
+      s""""add":${arr(c.add)},"remove":${arr(c.remove)}}"""
+  }
+
+  private val VersionRe: Regex = """"version":(\d+)""".r.unanchored
+  private val ActionRe: Regex = """"action":"([a-z]+)"""".r.unanchored
+  private val SchemaRe: Regex = """"schema":"((?:[^"\\]|\\.)*)"""".r.unanchored
+  private val AddRe: Regex = """"add":\[([^\]]*)\]""".r.unanchored
+  private val RemoveRe: Regex = """"remove":\[([^\]]*)\]""".r.unanchored
+  private val ItemRe: Regex = """"((?:[^"\\]|\\.)*)"""".r
+
+  private def parse(json: String): Commit = {
+    def items(body: String): Seq[String] =
+      ItemRe.findAllMatchIn(body).map(m => unesc(m.group(1))).toSeq
+    (VersionRe.findFirstMatchIn(json), ActionRe.findFirstMatchIn(json),
+      SchemaRe.findFirstMatchIn(json), AddRe.findFirstMatchIn(json),
+      RemoveRe.findFirstMatchIn(json)) match {
+      case (Some(v), Some(a), Some(s), Some(ad), Some(rm)) =>
+        Commit(v.group(1).toInt, a.group(1), unesc(s.group(1)),
+          items(ad.group(1)), items(rm.group(1)))
+      case _ => throw new IllegalStateException(s"bad commit json: $json")
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftLake
+
+class LakeSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft-lake").resolve("t").toString
+
+  test("time travel: every version stays readable and immutable after later commits") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    val y = year(col("o_orderdate"))
+    GraftLake.create(orders.filter(y.isNull || y < 1998), path) // v0
+    val v0Count = GraftLake.read(spark, path).count()
+    GraftLake.append(orders.filter(y >= 1998), path)            // v1
+    assert(GraftLake.latestVersion(path) == 1)
+    // v0 is untouched by the append; v1 is the full table.
+    assert(GraftLake.readAt(spark, path, 0).count() == v0Count)
+    assert(GraftLake.readAt(spark, path, 1).count() == orders.count())
+    // Value-level: the v1 snapshot equals the source table exactly.
+    val got = GraftLake.read(spark, path)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    val want = orders.orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
+  test("overwrite replaces contents atomically; old snapshots still time-travel") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(100), path)                  // v0
+    GraftLake.overwrite(orders.limit(10), path)                // v1
+    assert(GraftLake.readAt(spark, path, 0).count() == 100)
+    assert(GraftLake.read(spark, path).count() == 10)
+  }
+
+  test("schema evolution: later columns null-fill old file-sets, no rewrite") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    val narrow = orders.select(col("o_orderkey"), col("o_orderstatus"))
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+    val wide = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .filter(pmod(col("o_orderkey"), lit(2)) === 1)
+    GraftLake.create(narrow, path)
+    val dataFilesBefore = Files.walk(java.nio.file.Paths.get(path))
+      .filter(_.toString.endsWith(".parquet")).count()
+    GraftLake.append(wide, path)
+    val latest = GraftLake.read(spark, path)
+    assert(latest.columns.toSeq ==
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    // old rows carry null for the new column; new rows carry values
+    assert(latest.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .filter(col("o_totalprice").isNotNull).count() == 0)
+    assert(latest.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .filter(col("o_totalprice").isNull).count() == 0)
+    // v0 read still shows the 2-column schema of its day
+    assert(GraftLake.readAt(spark, path, 0).columns.toSeq ==
+      Seq("o_orderkey", "o_orderstatus"))
+    // and evolution rewrote nothing: v0's data files are all still live
+    val dataFilesAfter = Files.walk(java.nio.file.Paths.get(path))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(dataFilesAfter > dataFilesBefore)
+  }
+
+  test("schema evolution rejects a type change on an existing column") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.select(col("o_orderkey"), col("o_totalprice")), path)
+    val bad = orders.select(col("o_orderkey"),
+      col("o_totalprice").cast("string").as("o_totalprice"))
+    assertThrows[IllegalArgumentException] {
+      GraftLake.append(bad, path)
+    }
+  }
+
+  test("concurrent appends: every writer lands in its own version, none lost") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(0), path)
+    val slices = (0 until 4).map(i =>
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === i))
+    // 4 threads race the commit protocol; O_EXCL claims serialize them.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val versions = Await.result(
+      Future.sequence(slices.map(s => Future(GraftLake.append(s, path)))),
+      5.minutes)
+    assert(versions.sorted == Seq(1, 2, 3, 4)) // distinct, gapless
+    assert(GraftLake.read(spark, path).count() == orders.count())
+  }
+
+  test("readers see only the committed prefix during an in-flight claim") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(50), path)
+    // simulate a claimed-but-unpublished commit (empty O_EXCL file)
+    Files.createFile(java.nio.file.Paths.get(path, "_graft_log", "00000001.json"))
+    assert(GraftLake.latestVersion(path) == 0)
+    assert(GraftLake.read(spark, path).count() == 50)
+  }
+
+  test("predicate pushdown reaches the lake's parquet scans") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders, path)
+    val q = GraftLake.read(spark, path).filter(col("o_totalprice") >= 400000.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_totalprice,400000.0)"),
+      s"filter not pushed into the lake scan:\n$plan")
+  }
+}
