@@ -337,6 +337,9 @@ object SparkEntry {
           coalesce(sum(col("cents")), lit(0L)).as("cents"))
         .orderBy(col("o_orderstatus"))
     }),
+    // Exactly-once streaming into the lake: tagged epoch commits make
+    // foreachBatch idempotent under replay (proven in-row).
+    "st10_stream_to_lake" -> graft.streaming.LakeStream.st10StreamToLake _,
     // COMPLETE aggregate pushdown on the DSv2 connector: count/min/max
     // resolve in closed form from the filter-narrowed range — the scan
     // emits ONE row and generates zero data (plan-asserted in
@@ -1598,6 +1601,7 @@ object SparkEntry {
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
     "src12_schema_evolution" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_priced,

@@ -54,7 +54,7 @@ object GraftLake {
 
   final case class Commit(
       version: Int, action: String, schemaDdl: String,
-      add: Seq[String], remove: Seq[String])
+      add: Seq[String], remove: Seq[String], tag: Option[String] = None)
 
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
   private def logFile(table: String, v: Int): Path =
@@ -79,7 +79,22 @@ object GraftLake {
   /** Replace the table contents with `df` in one atomic commit. */
   def overwrite(df: DataFrame, path: String): Int = commit(df, path, "overwrite")
 
-  private def commit(df: DataFrame, path: String, action: String): Int = {
+  /** EXACTLY-ONCE append: commit `df` tagged with `tag` unless a
+    * commit with that tag already exists — the foreachBatch sink
+    * primitive (tag = query/batch id). Idempotence is RACE-SAFE: the
+    * tag check re-runs inside every claim attempt, and claims are
+    * O_EXCL-serialized per version, so of two same-tag racers exactly
+    * one lands and the other observes the winner's published tag on
+    * its retry. Returns the committed (or already-present) version.
+    */
+  def appendIdempotent(df: DataFrame, path: String, tag: String): Int = {
+    val existing = commits(path).find(_.tag.contains(tag))
+    existing.map(_.version).getOrElse(commit(df, path, "append", Some(tag)))
+  }
+
+  private def commit(
+      df: DataFrame, path: String, action: String,
+      tag: Option[String] = None): Int = {
     // 1. stage the file-set — invisible until the log names it.
     val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$path/$setName")
@@ -88,6 +103,11 @@ object GraftLake {
       attempts += 1
       require(attempts <= 50, s"gave up committing to $path after 50 races")
       val prior = commits(path)
+      // Idempotence re-check under contention: if a same-tag commit
+      // landed while we were racing, ours must NOT land again.
+      tag.foreach { t =>
+        prior.find(_.tag.contains(t)).foreach { c => return c.version }
+      }
       val v = prior.size
       require(action != "create" || v == 0, s"create on non-empty log: $path")
       // overwrite resets the schema along with the contents; append
@@ -98,7 +118,7 @@ object GraftLake {
           StructType.fromDDL(prior.last.schemaDdl), df.schema).toDDL
       val removed =
         if (action == "overwrite") liveSets(prior) else Seq.empty[String]
-      val json = render(Commit(v, action, mergedDdl, Seq(setName), removed))
+      val json = render(Commit(v, action, mergedDdl, Seq(setName), removed, tag))
       // 2. claim the version: O_EXCL create of the empty final name.
       val f = logFile(path, v)
       val claimed =
@@ -222,9 +242,10 @@ object GraftLake {
 
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    val tagField = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("")
     s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""schema":"${esc(c.schemaDdl)}",""" +
-      s""""add":${arr(c.add)},"remove":${arr(c.remove)}}"""
+      s""""add":${arr(c.add)},"remove":${arr(c.remove)}$tagField}"""
   }
 
   private val VersionRe: Regex = """"version":(\d+)""".r.unanchored
@@ -232,6 +253,7 @@ object GraftLake {
   private val SchemaRe: Regex = """"schema":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val AddRe: Regex = """"add":\[([^\]]*)\]""".r.unanchored
   private val RemoveRe: Regex = """"remove":\[([^\]]*)\]""".r.unanchored
+  private val TagRe: Regex = """"tag":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val ItemRe: Regex = """"((?:[^"\\]|\\.)*)"""".r
 
   private def parse(json: String): Commit = {
@@ -242,7 +264,8 @@ object GraftLake {
       RemoveRe.findFirstMatchIn(json)) match {
       case (Some(v), Some(a), Some(s), Some(ad), Some(rm)) =>
         Commit(v.group(1).toInt, a.group(1), unesc(s.group(1)),
-          items(ad.group(1)), items(rm.group(1)))
+          items(ad.group(1)), items(rm.group(1)),
+          TagRe.findFirstMatchIn(json).map(m => unesc(m.group(1))))
       case _ => throw new IllegalStateException(s"bad commit json: $json")
     }
   }

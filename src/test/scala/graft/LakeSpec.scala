@@ -106,6 +106,41 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, path).count() == 50)
   }
 
+  test("idempotent tagged appends: replay is a no-op, even under a same-tag race") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(0), path)
+    val slice = orders.limit(200)
+    val v1 = GraftLake.appendIdempotent(slice, path, "epoch-0")
+    // sequential replay: same tag → same version, no growth
+    assert(GraftLake.appendIdempotent(slice, path, "epoch-0") == v1)
+    assert(GraftLake.latestVersion(path) == v1)
+    assert(GraftLake.read(spark, path).count() == 200)
+    // concurrent same-tag race: exactly one of 4 writers lands
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val vs = Await.result(
+      Future.sequence((0 until 4).map(_ =>
+        Future(GraftLake.appendIdempotent(slice, path, "epoch-1")))),
+      5.minutes)
+    assert(vs.distinct.size == 1, s"same-tag race committed twice: $vs")
+    assert(GraftLake.read(spark, path).count() == 400)
+  }
+
+  test("st10 gate: streamed lake equals the batch answer and replay is skipped") {
+    val rows = graft.streaming.LakeStream.st10StreamToLake(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(r.fieldIndex("replay_skipped")), r.toString))
+    val want = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("o_orderstatus").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      want.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("predicate pushdown reaches the lake's parquet scans") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
