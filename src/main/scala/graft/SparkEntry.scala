@@ -340,6 +340,33 @@ object SparkEntry {
     // Exactly-once streaming into the lake: tagged epoch commits make
     // foreachBatch idempotent under replay (proven in-row).
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10StreamToLake _,
+    // GraftLake copy-on-write MERGE with zone-map pruning: the table
+    // is laid out as 4 bucket file-sets (k4 = o_orderkey % 4, stats
+    // recorded per set); an upsert doubling bucket 1's cents must
+    // rewrite EXACTLY ONE set and keep 3 (proven in-row as `pruned`).
+    // The oracle replays the upsert arithmetically from raw orders.
+    "src13_lake_merge" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_merge", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4)).as("k4"))
+      GraftLake.create(o.filter(col("k4") === 0), path, Some("k4"))
+      (1 to 3).foreach(i =>
+        GraftLake.append(o.filter(col("k4") === i), path, Some("k4")))
+      val updates = o.filter(col("k4") === 1)
+        .withColumn("cents", col("cents") * 2)
+      val (_, nRewritten, nKept) =
+        GraftLake.merge(s, path, updates, Seq("o_orderkey"), "k4")
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("pruned", lit(nRewritten == 1 && nKept == 3))
+        .orderBy(col("o_orderstatus"))
+    }),
     // COMPLETE aggregate pushdown on the DSv2 connector: count/min/max
     // resolve in closed form from the filter-narrowed range — the scan
     // emits ONE row and generates zero data (plan-asserted in
@@ -1602,6 +1629,13 @@ object SparkEntry {
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
+    "src13_lake_merge" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  sum(CASE WHEN o_orderkey % 4 = 1
+        |    THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS cents,
+        |  TRUE AS pruned
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src12_schema_evolution" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_priced,

@@ -54,7 +54,19 @@ object GraftLake {
 
   final case class Commit(
       version: Int, action: String, schemaDdl: String,
-      add: Seq[String], remove: Seq[String], tag: Option[String] = None)
+      add: Seq[String], remove: Seq[String], tag: Option[String] = None,
+      stats: Option[SetStats] = None)
+
+  /** Per-file-set min/max of one long column, recorded at commit time
+    * from the written files — the manifest-level zone map that lets
+    * MERGE rewrite only overlapping file-sets.
+    */
+  final case class SetStats(col: String, min: Long, max: Long)
+
+  /** A live file-set as of some version: its path, the schema it was
+    * written under, and its optional zone-map stats.
+    */
+  final case class LiveSet(set: String, schemaDdl: String, stats: Option[SetStats])
 
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
   private def logFile(table: String, v: Int): Path =
@@ -63,10 +75,10 @@ object GraftLake {
   // ---------------------------------------------------------------- write
 
   /** Create the table at `path` from `df` (fails if it exists). */
-  def create(df: DataFrame, path: String): Int = {
+  def create(df: DataFrame, path: String, statsCol: Option[String] = None): Int = {
     require(!Files.exists(logDir(path)), s"table already exists: $path")
     Files.createDirectories(logDir(path))
-    commit(df, path, "create")
+    commit(df, path, "create", statsCol = statsCol)
   }
 
   /** Append `df`; columns missing from the current schema are added
@@ -74,7 +86,8 @@ object GraftLake {
     * new rows only if present in `df`'s schema — existing data is
     * never rewritten.
     */
-  def append(df: DataFrame, path: String): Int = commit(df, path, "append")
+  def append(df: DataFrame, path: String, statsCol: Option[String] = None): Int =
+    commit(df, path, "append", statsCol = statsCol)
 
   /** Replace the table contents with `df` in one atomic commit. */
   def overwrite(df: DataFrame, path: String): Int = commit(df, path, "overwrite")
@@ -94,10 +107,19 @@ object GraftLake {
 
   private def commit(
       df: DataFrame, path: String, action: String,
-      tag: Option[String] = None): Int = {
+      tag: Option[String] = None, statsCol: Option[String] = None,
+      removeSets: Seq[String] = Seq.empty): Int = {
     // 1. stage the file-set — invisible until the log names it.
     val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$path/$setName")
+    // Zone-map stats come from the WRITTEN files (parquet-footer-cheap
+    // scan), so they describe exactly what readers will see.
+    val stats = statsCol.flatMap { c =>
+      val r = df.sparkSession.read.parquet(s"$path/$setName")
+        .agg(org.apache.spark.sql.functions.min(col(c)).cast("long"),
+          org.apache.spark.sql.functions.max(col(c)).cast("long")).head
+      if (r.isNullAt(0)) None else Some(SetStats(c, r.getLong(0), r.getLong(1)))
+    }
     var attempts = 0
     while (true) {
       attempts += 1
@@ -117,8 +139,18 @@ object GraftLake {
         else mergeSchemas(
           StructType.fromDDL(prior.last.schemaDdl), df.schema).toDDL
       val removed =
-        if (action == "overwrite") liveSets(prior) else Seq.empty[String]
-      val json = render(Commit(v, action, mergedDdl, Seq(setName), removed, tag))
+        if (action == "overwrite") liveAt(prior).map(_.set)
+        else removeSets
+      // MERGE-style commits remove specific sets: they must ALL still
+      // be live, or a concurrent commit has invalidated our rewrite.
+      if (action != "overwrite" && removed.nonEmpty) {
+        val live = liveAt(prior).map(_.set).toSet
+        removed.find(r => !live(r)).foreach { r =>
+          throw new java.util.ConcurrentModificationException(
+            s"file-set $r was removed by a concurrent commit; retry the merge")
+        }
+      }
+      val json = render(Commit(v, action, mergedDdl, Seq(setName), removed, tag, stats))
       // 2. claim the version: O_EXCL create of the empty final name.
       val f = logFile(path, v)
       val claimed =
@@ -172,13 +204,12 @@ object GraftLake {
 
   def latestVersion(path: String): Int = commits(path).size - 1
 
-  private def liveSets(prior: Seq[Commit]): Seq[String] =
-    prior.foldLeft(Seq.empty[(String, String)]) { (live, c) =>
-      val kept = if (c.action == "overwrite")
-        live.filterNot { case (s, _) => c.remove.contains(s) }
-      else live
-      kept ++ c.add.map(_ -> c.schemaDdl)
-    }.map(_._1)
+  /** Live file-sets after folding `cs` (remove, then add, per commit). */
+  private def liveAt(cs: Seq[Commit]): Seq[LiveSet] =
+    cs.foldLeft(Seq.empty[LiveSet]) { (live, c) =>
+      live.filterNot(ls => c.remove.contains(ls.set)) ++
+        c.add.map(a => LiveSet(a, c.schemaDdl, c.stats))
+    }
 
   /** The table as of `version` (time travel). */
   def readAt(spark: SparkSession, path: String, version: Int): DataFrame = {
@@ -187,29 +218,109 @@ object GraftLake {
       s"version $version not in [0, ${all.size - 1}] for $path")
     val upTo = all.take(version + 1)
     val target = StructType.fromDDL(upTo.last.schemaDdl)
-    // live (file-set, schema-it-was-written-under) pairs as of v
-    val live = upTo.foldLeft(Seq.empty[(String, String)]) { (acc, c) =>
-      val kept = if (c.action == "overwrite")
-        acc.filterNot { case (s, _) => c.remove.contains(s) }
-      else acc
-      kept ++ c.add.map(_ -> c.schemaDdl)
-    }
-    val parts = live.map { case (set, ddl) =>
-      val own = StructType.fromDDL(ddl)
-      val scan = spark.read.schema(own).parquet(s"$path/$set")
-      // project to the target schema, null-filling later-added columns
-      val ownNames = own.fieldNames.toSet
-      scan.select(target.fields.map { f =>
+    val parts = liveAt(upTo).map(readSet(spark, path, _, target))
+    parts.reduceLeft(_.unionByName(_))
+  }
+
+  /** One file-set scanned under its own written schema and projected
+    * to `target`, null-filling columns added after it was written.
+    */
+  private def readSet(
+      spark: SparkSession, path: String, ls: LiveSet,
+      target: StructType): DataFrame = {
+    val own = StructType.fromDDL(ls.schemaDdl)
+    val ownNames = own.fieldNames.toSet
+    spark.read.schema(own).parquet(s"$path/${ls.set}")
+      .select(target.fields.map { f =>
         if (ownNames(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
-    }
-    parts.reduceLeft(_.unionByName(_))
   }
 
   /** The latest snapshot. */
   def read(spark: SparkSession, path: String): DataFrame =
     readAt(spark, path, latestVersion(path))
+
+  // ---------------------------------------------------------------- merge
+
+  /** Copy-on-write MERGE (upsert): rows of `updates` replace target
+    * rows with equal `keyCols`; unmatched update rows insert. Only
+    * file-sets whose `statsCol` zone map OVERLAPS the updates' value
+    * span are rewritten — everything else survives untouched, which
+    * is what makes copy-on-write viable at 100 TB (a merge touching
+    * one day's partition rewrites one day, not the table). Sets
+    * without stats on `statsCol` are conservatively rewritten.
+    *
+    * SOUNDNESS CONTRACT: `statsCol` must be functionally dependent on
+    * `keyCols` (equal keys ⇒ equal statsCol — e.g. a key itself, or a
+    * bucket/date derived from it), otherwise a matched target row
+    * could hide in a pruned set. The commit conflict-checks that every
+    * rewritten set is still live, so a racing writer forces a clean
+    * ConcurrentModificationException instead of lost updates.
+    *
+    * Returns (committedVersion, rewrittenSetCount, keptSetCount).
+    */
+  def merge(
+      spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], statsCol: String): (Int, Int, Int) = {
+    val all = commits(path)
+    require(all.nonEmpty, s"no table at $path")
+    val target = StructType.fromDDL(all.last.schemaDdl)
+    val live = liveAt(all)
+    val span = updates
+      .agg(org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
+        org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
+    if (span.isNullAt(0)) return (latestVersion(path), 0, live.size) // no updates
+    val (uLo, uHi) = (span.getLong(0), span.getLong(1))
+    val (hit, kept) = live.partition { ls =>
+      ls.stats match {
+        case Some(SetStats(c, lo, hi)) if c == statsCol => !(hi < uLo || lo > uHi)
+        case _ => true // unknown span — must rewrite
+      }
+    }
+    val targetNames = target.fieldNames.toSet
+    require(updates.columns.forall(targetNames),
+      s"merge updates carry unknown columns: " +
+        s"${updates.columns.filterNot(targetNames).mkString(", ")}")
+    val alignedUpdates = updates.select(target.fields.map { f =>
+      if (updates.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val rewritten = hit.map(readSet(spark, path, _, target)) match {
+      case Nil => alignedUpdates
+      case parts =>
+        parts.reduceLeft(_.unionByName(_))
+          .join(updates.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti")
+          .unionByName(alignedUpdates)
+    }
+    val v = commit(rewritten, path, "merge",
+      statsCol = Some(statsCol), removeSets = hit.map(_.set))
+    (v, hit.size, kept.size)
+  }
+
+  // --------------------------------------------------------------- vacuum
+
+  /** Delete every data file-set NOT live at the latest version —
+    * reclaims the space of overwritten/merged-away sets at the price
+    * of TIME TRAVEL to the versions that needed them (exactly Delta's
+    * VACUUM trade). Must not run concurrently with writers: a staged,
+    * not-yet-committed set is indistinguishable from garbage.
+    * Returns the deleted set names.
+    */
+  def vacuum(path: String): Seq[String] = {
+    val live = liveAt(commits(path)).map(_.set).toSet
+    val dataDir = Paths.get(path, "data")
+    if (!Files.exists(dataDir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val dead = Files.list(dataDir).iterator().asScala.toSeq
+      .filterNot(p => live(s"data/${p.getFileName}"))
+    dead.foreach { p =>
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+    dead.map(p => s"data/${p.getFileName}")
+  }
 
   // ----------------------------------------------------------------- json
 
@@ -243,9 +354,12 @@ object GraftLake {
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     val tagField = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("")
+    val statsField = c.stats.map(st =>
+      s""","statsCol":"${esc(st.col)}","statsMin":${st.min},"statsMax":${st.max}""")
+      .getOrElse("")
     s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""schema":"${esc(c.schemaDdl)}",""" +
-      s""""add":${arr(c.add)},"remove":${arr(c.remove)}$tagField}"""
+      s""""add":${arr(c.add)},"remove":${arr(c.remove)}$tagField$statsField}"""
   }
 
   private val VersionRe: Regex = """"version":(\d+)""".r.unanchored
@@ -254,6 +368,8 @@ object GraftLake {
   private val AddRe: Regex = """"add":\[([^\]]*)\]""".r.unanchored
   private val RemoveRe: Regex = """"remove":\[([^\]]*)\]""".r.unanchored
   private val TagRe: Regex = """"tag":"((?:[^"\\]|\\.)*)"""".r.unanchored
+  private val StatsRe: Regex =
+    """"statsCol":"((?:[^"\\]|\\.)*)","statsMin":(-?\d+),"statsMax":(-?\d+)""".r.unanchored
   private val ItemRe: Regex = """"((?:[^"\\]|\\.)*)"""".r
 
   private def parse(json: String): Commit = {
@@ -265,7 +381,9 @@ object GraftLake {
       case (Some(v), Some(a), Some(s), Some(ad), Some(rm)) =>
         Commit(v.group(1).toInt, a.group(1), unesc(s.group(1)),
           items(ad.group(1)), items(rm.group(1)),
-          TagRe.findFirstMatchIn(json).map(m => unesc(m.group(1))))
+          TagRe.findFirstMatchIn(json).map(m => unesc(m.group(1))),
+          StatsRe.findFirstMatchIn(json).map(m =>
+            SetStats(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong)))
       case _ => throw new IllegalStateException(s"bad commit json: $json")
     }
   }

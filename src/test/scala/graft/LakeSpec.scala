@@ -141,6 +141,57 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
       want.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("merge rewrites only zone-map-overlapping file-sets and upserts exactly") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    val t = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      pmod(col("o_orderkey"), lit(4)).as("k4"))
+    GraftLake.create(t.filter(col("k4") === 0), path, Some("k4"))
+    (1 to 3).foreach(i => GraftLake.append(t.filter(col("k4") === i), path, Some("k4")))
+    // upsert: double bucket 1's cents AND insert two brand-new keys
+    val maxKey = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    val newRows = spark.range(maxKey + 4, maxKey + 6)
+      .select(col("id").as("o_orderkey"), lit("Z").as("o_orderstatus"),
+        lit(100L).as("cents"), pmod(col("id"), lit(4)).as("k4"))
+    val updates = t.filter(col("k4") === 1).withColumn("cents", col("cents") * 2)
+      .unionByName(newRows.filter(pmod(col("o_orderkey"), lit(4)) === 1))
+    val (_, nRewritten, nKept) =
+      GraftLake.merge(spark, path, updates, Seq("o_orderkey"), "k4")
+    assert(nRewritten == 1 && nKept == 3,
+      s"expected 1 rewritten / 3 kept, got $nRewritten / $nKept")
+    val merged = GraftLake.read(spark, path)
+    // matched rows doubled, unmatched untouched, inserts present
+    val want = t.withColumn("cents",
+        when(col("k4") === 1, col("cents") * 2).otherwise(col("cents")))
+      .unionByName(newRows.filter(pmod(col("o_orderkey"), lit(4)) === 1))
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(merged.orderBy("o_orderkey").collect().map(_.toString).toSeq == want)
+  }
+
+  test("vacuum reclaims merged-away sets; latest survives, old snapshots don't") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    val t = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      pmod(col("o_orderkey"), lit(4)).as("k4"))
+    GraftLake.create(t.filter(col("k4") === 0), path, Some("k4"))
+    GraftLake.append(t.filter(col("k4") === 1), path, Some("k4"))
+    GraftLake.merge(spark, path,
+      t.filter(col("k4") === 1).withColumn("o_orderstatus", lit("M")),
+      Seq("o_orderkey"), "k4")
+    val latestBefore = GraftLake.read(spark, path)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    val dead = GraftLake.vacuum(path)
+    assert(dead.size == 1, s"expected exactly the merged-away set, got $dead")
+    // latest reads identically after vacuum …
+    assert(GraftLake.read(spark, path)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq == latestBefore)
+    // … but the pre-merge snapshot's files are gone (time travel traded away)
+    assertThrows[Exception] {
+      GraftLake.readAt(spark, path, 1).count()
+    }
+  }
+
   test("predicate pushdown reaches the lake's parquet scans") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
