@@ -92,10 +92,14 @@ object ApproxGates {
       case (k, v) => Seq(lit(k), lit(v)) }: _*)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        expr(s"percentile($centsSql, 0.5)").as("p50c"),
-        expr(s"percentile($centsSql, 0.49)").as("lo"),
-        expr(s"percentile($centsSql, 0.51)").as("hi"))
+      // ONE percentile aggregate with an array of fractions — three
+      // separate percentile() calls would each buffer the column
+      // independently (3× the state and sort work for the same rows).
+      .agg(expr(s"percentile($centsSql, array(0.49D, 0.5D, 0.51D))").as("ps"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 2).as("p50c"),
+        element_at(col("ps"), 1).as("lo"),
+        element_at(col("ps"), 3).as("hi"))
       .select(
         col("l_returnflag"),
         round(col("p50c") * 2).cast("long").as("p50c_x2"),

@@ -192,6 +192,22 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("commit log round-trips hostile tag strings (the log IS the table)") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(1), path)
+    val nasty = Seq(
+      """quote " inside""", """back\slash""", "new\nline", "tab\tchar",
+      "unicode-é中文", """{"json":"looking","add":["x"]}""")
+    nasty.foreach(t => GraftLake.appendIdempotent(orders.limit(1), path, t))
+    val tags = GraftLake.commits(path).flatMap(_.tag)
+    assert(tags == nasty, s"tags corrupted by log round-trip: $tags")
+    // and the tag-keyed idempotence still holds through the round-trip
+    val before = GraftLake.latestVersion(path)
+    nasty.foreach(t => GraftLake.appendIdempotent(orders.limit(1), path, t))
+    assert(GraftLake.latestVersion(path) == before)
+  }
+
   test("predicate pushdown reaches the lake's parquet scans") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
