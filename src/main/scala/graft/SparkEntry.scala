@@ -340,6 +340,26 @@ object SparkEntry {
     // Exactly-once streaming into the lake: tagged epoch commits make
     // foreachBatch idempotent under replay (proven in-row).
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10StreamToLake _,
+    // GraftLake CDC: three commits (pre-1998 / 1998 / post-1998),
+    // then the CHANGES feed since v0 — exactly the v1+v2 rows, tagged
+    // with their commit version. The oracle replays the year split.
+    "src14_lake_cdc" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_cdc", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val y = year(col("o_orderdate"))
+      GraftLake.create(o.filter(y.isNull || y < 1998), path)
+      GraftLake.append(o.filter(y === 1998), path)
+      GraftLake.append(o.filter(y > 1998), path)
+      GraftLake.changesSince(s, path, 0)
+        .groupBy(col("_commit_version").as("commit_version"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("commit_version"), col("o_orderstatus"))
+    }),
     // GraftLake copy-on-write MERGE with zone-map pruning: the table
     // is laid out as 4 bucket file-sets (k4 = o_orderkey % 4, stats
     // recorded per set); an upsert doubling bucket 1's cents must
@@ -1629,6 +1649,15 @@ object SparkEntry {
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
+    "src14_lake_cdc" ->
+      """SELECT 1 AS commit_version, o_orderstatus, count(*) AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 2
+        |UNION ALL
+        |SELECT 2, o_orderstatus, count(*),
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |FROM orders WHERE year(o_orderdate) > 1998 GROUP BY 2
+        |ORDER BY commit_version, o_orderstatus""".stripMargin,
     "src13_lake_merge" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  sum(CASE WHEN o_orderkey % 4 = 1

@@ -241,6 +241,38 @@ object GraftLake {
   def read(spark: SparkSession, path: String): DataFrame =
     readAt(spark, path, latestVersion(path))
 
+  /** CHANGES feed (CDC, insert-only): the rows added by every commit
+    * AFTER `fromVersion`, each tagged `_commit_version` — the
+    * incremental-read primitive a downstream pipeline polls instead
+    * of re-scanning the table (pair it with mv01's mergeDelta and the
+    * refresh loop is end-to-end incremental). Reading a commit's
+    * changes costs one scan of THAT commit's file-set only.
+    *
+    * Only create/append commits are representable as row inserts;
+    * merge/overwrite rewrite data and need row-level diffing this
+    * format does not record — they fail loudly rather than emit a
+    * wrong feed.
+    */
+  def changesSince(spark: SparkSession, path: String, fromVersion: Int): DataFrame = {
+    val all = commits(path)
+    require(fromVersion >= -1 && fromVersion < all.size,
+      s"fromVersion $fromVersion out of range for ${all.size}-commit log")
+    val target = StructType.fromDDL(all.last.schemaDdl)
+    val changed = all.drop(fromVersion + 1)
+    changed.find(c => c.action != "create" && c.action != "append").foreach { c =>
+      throw new IllegalStateException(
+        s"commit ${c.version} is a ${c.action}: not representable as inserts — " +
+          "read a full snapshot instead")
+    }
+    val parts = changed.map { c =>
+      readSet(spark, path, LiveSet(c.add.head, c.schemaDdl, c.stats), target)
+        .withColumn("_commit_version", lit(c.version))
+    }
+    parts.reduceLeftOption(_.unionByName(_))
+      .getOrElse(readAt(spark, path, all.size - 1).limit(0)
+        .withColumn("_commit_version", lit(0)))
+  }
+
   // ---------------------------------------------------------------- merge
 
   /** Copy-on-write MERGE (upsert): rows of `updates` replace target

@@ -192,6 +192,29 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("changesSince returns exactly the later commits' rows, versioned") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    val t = orders.select(col("o_orderkey"), col("o_orderstatus"))
+    GraftLake.create(t.filter(pmod(col("o_orderkey"), lit(3)) === 0), path)
+    GraftLake.append(t.filter(pmod(col("o_orderkey"), lit(3)) === 1), path)
+    GraftLake.append(t.filter(pmod(col("o_orderkey"), lit(3)) === 2), path)
+    val changes = GraftLake.changesSince(spark, path, 0)
+    assert(changes.columns.contains("_commit_version"))
+    val byV = changes.groupBy("_commit_version").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byV.keySet == Set(1, 2))
+    assert(byV(1) == t.filter(pmod(col("o_orderkey"), lit(3)) === 1).count())
+    assert(byV(2) == t.filter(pmod(col("o_orderkey"), lit(3)) === 2).count())
+    // a fully-caught-up reader gets an empty, correctly-shaped feed
+    assert(GraftLake.changesSince(spark, path, 2).count() == 0)
+    // a rewriting commit cannot masquerade as inserts
+    GraftLake.overwrite(t.limit(1), path)
+    assertThrows[IllegalStateException] {
+      GraftLake.changesSince(spark, path, 0)
+    }
+  }
+
   test("commit log round-trips hostile tag strings (the log IS the table)") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
