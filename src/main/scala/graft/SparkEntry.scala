@@ -340,6 +340,12 @@ object SparkEntry {
     // Exactly-once streaming into the lake: tagged epoch commits make
     // foreachBatch idempotent under replay (proven in-row).
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10StreamToLake _,
+    // Product-analytics triad: ordered funnel (min-ts chaining, no
+    // sequence sorts), cohort retention (first-seen × active-day),
+    // equi-width histogram (integer bucket arithmetic).
+    "q62_funnel"    -> graft.operators.Analytics.q62Funnel _,
+    "q63_cohort"    -> graft.operators.Analytics.q63Cohort _,
+    "q64_histogram" -> graft.operators.Analytics.q64Histogram _,
     // GraftLake CDC: three commits (pre-1998 / 1998 / post-1998),
     // then the CHANGES feed since v0 — exactly the v1+v2 rows, tagged
     // with their commit version. The oracle replays the year split.
@@ -1649,6 +1655,9 @@ object SparkEntry {
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
+    "q62_funnel"    -> graft.operators.Analytics.q62OracleSql,
+    "q63_cohort"    -> graft.operators.Analytics.q63OracleSql,
+    "q64_histogram" -> graft.operators.Analytics.q64OracleSql,
     "src14_lake_cdc" ->
       """SELECT 1 AS commit_version, o_orderstatus, count(*) AS n,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics operators over the event stream (SURVEY.md §2:
+  * q62-q64) — the funnel / cohort / histogram triad every analytics
+  * engine ships and the COVID reference's daily-series queries imply.
+  */
+object Analytics {
+
+  /** q62: ORDERED funnel — users who viewed, then clicked AFTER their
+    * first view, then purchased AFTER that first click. Each stage is
+    * one per-user min-timestamp aggregate plus an equi-join on
+    * user_id (O(users) state, shuffle keyed on the high-cardinality
+    * user) — never a per-user event-sequence sort: the min-ts
+    * chaining makes order matching an aggregate property, which is
+    * what survives a 100 TB event table.
+    */
+  def q62Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def stage(of: String, after: DataFrame): DataFrame =
+      e.filter(col("event_type") === of)
+        .join(after.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val c = stage("click", v)
+    val p = stage("purchase", c)
+    def count1(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("users")).select(lit(tag).as("stage"), col("users"))
+    count1(v, "stage1_view")
+      .unionByName(count1(c, "stage2_click"))
+      .unionByName(count1(p, "stage3_purchase"))
+      .orderBy(col("stage"))
+  }
+
+  val q62OracleSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT 'stage1_view' AS stage, count(*) AS users FROM v
+      |UNION ALL SELECT 'stage2_click', count(*) FROM c
+      |UNION ALL SELECT 'stage3_purchase', count(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  /** q63: COHORT RETENTION — users grouped by first-active day, and
+    * for offsets 0..6, how many were active k days later. Two
+    * aggregates (first-seen per user; distinct active (user, day))
+    * joined on user_id; the result is |cohorts| × 7 rows. The
+    * distinct collapses the fact table before any join, so the shape
+    * is O(users × active-days), not O(events).
+    */
+  def q63Cohort(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val first = e.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"))
+    val act = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    first.join(act, "user_id")
+      .select(col("d0").as("cohort_day"), datediff(col("d"), col("d0")).as("k"))
+      .filter(col("k").between(0, 6))
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort_day"), col("k"))
+  }
+
+  val q63OracleSql: String =
+    """WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+      |  FROM events GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      |SELECT first.d0 AS cohort_day, (act.d - first.d0) AS k,
+      |  count(*) AS users
+      |FROM first JOIN act ON first.user_id = act.user_id
+      |WHERE (act.d - first.d0) BETWEEN 0 AND 6
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q64: equi-width HISTOGRAM of order value per status — integer
+    * bucket arithmetic ($1000 buckets over integer cents), a single
+    * partial-agg groupBy on (status, bucket): the binning primitive
+    * behind every distribution dashboard, O(groups × buckets) output
+    * regardless of row count.
+    */
+  def q64Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_orderstatus"),
+        expr("cents div 100000").as("bucket"), col("cents"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("o_orderstatus"), col("bucket"))
+
+  val q64OracleSql: String =
+    """SELECT o_orderstatus,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bucket,
+      |  count(*) AS n,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends AnyFunSuite with SparkSpec {
+
+  test("q62 funnel equals a brute per-user event-sequence scan") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime * 1000 +
+        r.getTimestamp(2).getNanos / 1000 % 1000))
+    val byUser = events.groupBy(_._1)
+    def firstAfter(evs: Seq[(Long, String, Long)], tpe: String, after: Long): Option[Long] =
+      evs.filter(e => e._2 == tpe && e._3 > after).map(_._3).minOption
+    var (nV, nC, nP) = (0L, 0L, 0L)
+    byUser.foreach { case (_, evs) =>
+      val v = evs.filter(_._2 == "view").map(_._3).minOption
+      v.foreach { tv =>
+        nV += 1
+        firstAfter(evs.toSeq, "click", tv).foreach { tc =>
+          nC += 1
+          firstAfter(evs.toSeq, "purchase", tc).foreach(_ => nP += 1)
+        }
+      }
+    }
+    val got = Analytics.q62Funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "stage1_view" -> nV, "stage2_click" -> nC, "stage3_purchase" -> nP))
+    // the funnel only narrows
+    assert(nV >= nC && nC >= nP)
+  }
+
+  test("q63 cohort: day-0 retention counts every cohort's full size") {
+    val rows = Analytics.q63Cohort(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    val events = Tables.events(spark, sf)
+    val cohortSizes = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"))
+      .groupBy("d0").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // k=0 row of each cohort == the cohort's size (everyone is active
+    // on their own first day, by construction of first-seen)
+    val k0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    assert(k0 == cohortSizes)
+    // retention never exceeds cohort size at any offset
+    rows.foreach { case (d0, _, n) => assert(n <= cohortSizes(d0)) }
+  }
+
+  test("q64 histogram partitions all orders exactly once into buckets") {
+    val rows = Analytics.q64Histogram(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.orders(spark, sf).count())
+    // bucket arithmetic: every bucket's cents sit inside its range
+    rows.foreach { r =>
+      val (bucket, n, cents) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cents >= bucket * 100000L * n && cents < (bucket + 1) * 100000L * n)
+    }
+  }
+}
