@@ -340,6 +340,9 @@ object SparkEntry {
     // Exactly-once streaming into the lake: tagged epoch commits make
     // foreachBatch idempotent under replay (proven in-row).
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10StreamToLake _,
+    // RAG-style overlapping chunking profile (128-token cap, 96-token
+    // stride) — the retrieval-prep complement of d25's packing.
+    "d27_chunk_overlap" -> TextCorpus.d27ChunkOverlap _,
     // Product-analytics triad: ordered funnel (min-ts chaining, no
     // sequence sorts), cohort retention (first-seen × active-day),
     // equi-width histogram (integer bucket arithmetic).
@@ -1655,6 +1658,7 @@ object SparkEntry {
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
+    "d27_chunk_overlap" -> TextCorpus.d27OracleSql,
     "q62_funnel"    -> graft.operators.Analytics.q62OracleSql,
     "q63_cohort"    -> graft.operators.Analytics.q63OracleSql,
     "q64_histogram" -> graft.operators.Analytics.q64OracleSql,

@@ -509,4 +509,41 @@ object TextCorpus {
         col("start_chunk"), col("end_chunk"), col("n_chunks"))
       .orderBy("doc_id")
   }
+
+  /** d27: RAG-style OVERLAPPING chunking profile — documents cut into
+    * 128-token windows with a 96-token stride (32-token overlap), the
+    * retrieval-prep complement of d25's non-overlapping packing. Per
+    * document: chunk count and the summed chunk lengths (their excess
+    * over n_ws IS the duplicated-token overlap cost a retrieval index
+    * pays). One narrow explode of ~n/stride start offsets per doc,
+    * then a partial-agg groupBy on doc_id — no cross-doc shuffle of
+    * text, and the token convention is d02's whitespace split
+    * (trailing empties kept, = DuckDB string_split).
+    */
+  val ChunkCap = 128
+  val ChunkStride = 96
+
+  def d27ChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")).as("n_ws"))
+      .select(col("doc_id"), col("n_ws"),
+        explode(sequence(lit(0), col("n_ws") - 1, lit(ChunkStride))).as("s0"))
+      .groupBy(col("doc_id"), col("n_ws"))
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(least(lit(ChunkCap), col("n_ws") - col("s0"))).as("sum_len"))
+      .select(col("doc_id"), col("n_ws"), col("n_chunks"), col("sum_len"),
+        (col("sum_len") - col("n_ws")).as("overlap_tokens"))
+      .orderBy(col("doc_id"))
+
+  val d27OracleSql: String =
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, n, unnest(range(0, n, 96)) AS s0 FROM d)
+      |SELECT doc_id, CAST(n AS INT) AS n_ws,
+      |  CAST(count(*) AS INT) AS n_chunks,
+      |  CAST(sum(least(128, n - s0)) AS BIGINT) AS sum_len,
+      |  CAST(sum(least(128, n - s0)) - n AS BIGINT) AS overlap_tokens
+      |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 }

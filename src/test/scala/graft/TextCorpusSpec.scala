@@ -296,4 +296,20 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     // than the capacity boundary) or the span math is untested.
     assert(got.exists(_._6 >= 2))
   }
+
+  test("d27 chunk profile equals a per-doc brute chunking replay") {
+    val got = graft.operators.TextCorpus.d27ChunkOverlap(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val n = text.split(" ", -1).length // trailing empties kept, = string_split
+      val starts = 0 until n by graft.operators.TextCorpus.ChunkStride
+      val lens = starts.map(s0 => math.min(graft.operators.TextCorpus.ChunkCap, n - s0))
+      id -> (n, starts.size, lens.map(_.toLong).sum, lens.map(_.toLong).sum - n)
+    }.toMap
+    assert(got == want)
+  }
 }
