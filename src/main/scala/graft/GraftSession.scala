@@ -39,4 +39,18 @@ object GraftSession {
     if (!registered.contains((spark, dir))) registerTables(spark, dir)
     spark.sql(query)
   }
+
+  /** Register a GraftLake table (latest snapshot, or a time-travel
+    * version) as a temp view — the lake's SQL surface. The view holds
+    * the snapshot AS OF registration: refresh by re-registering.
+    */
+  def registerLake(
+      spark: SparkSession, path: String, viewName: String,
+      version: Option[Int] = None): Unit = {
+    val df = version match {
+      case Some(v) => graft.sources.GraftLake.readAt(spark, path, v)
+      case None => graft.sources.GraftLake.read(spark, path)
+    }
+    df.createOrReplaceTempView(viewName)
+  }
 }

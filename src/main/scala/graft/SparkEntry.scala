@@ -349,6 +349,34 @@ object SparkEntry {
     "q62_funnel"    -> graft.operators.Analytics.q62Funnel _,
     "q63_cohort"    -> graft.operators.Analytics.q63Cohort _,
     "q64_histogram" -> graft.operators.Analytics.q64Histogram _,
+    // GraftLake transactional COMPACTION: 8 small appends rewritten
+    // into one range-sorted 2-file set in a single atomic commit;
+    // content neutrality proven by the oracle, the layout collapse
+    // proven in-row (one live set after, 8 before).
+    "src15_lake_compact" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_compact", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.create(o.filter(pmod(col("o_orderkey"), lit(8)) === 0), path)
+      (1 to 7).foreach(i =>
+        GraftLake.append(o.filter(pmod(col("o_orderkey"), lit(8)) === i), path))
+      val liveBefore = GraftLake.commits(path).size
+      GraftLake.compact(s, path, Seq("cents"), numFiles = 2, Some("cents"))
+      val liveAfter = GraftLake.commits(path)
+        .foldLeft(Set.empty[String]) { (acc, c) =>
+          acc -- c.remove ++ c.add
+        }.size
+      GraftLake.read(s, path)
+        .filter(col("cents") >= 40000000L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("compacted", lit(liveBefore == 8 && liveAfter == 1))
+        .orderBy(col("o_orderstatus"))
+    }),
     // GraftLake CDC: three commits (pre-1998 / 1998 / post-1998),
     // then the CHANGES feed since v0 — exactly the v1+v2 rows, tagged
     // with their commit version. The oracle replays the year split.
@@ -1659,6 +1687,13 @@ object SparkEntry {
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
     "d27_chunk_overlap" -> TextCorpus.d27OracleSql,
+    "src15_lake_compact" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+        |  TRUE AS compacted
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 40000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q62_funnel"    -> graft.operators.Analytics.q62OracleSql,
     "q63_cohort"    -> graft.operators.Analytics.q63OracleSql,
     "q64_histogram" -> graft.operators.Analytics.q64OracleSql,

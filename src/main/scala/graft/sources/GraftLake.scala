@@ -331,6 +331,29 @@ object GraftLake {
     (v, hit.size, kept.size)
   }
 
+  /** Transactional COMPACTION: rewrite all live file-sets into one
+    * range-sorted set of `numFiles` files, as a single atomic commit
+    * (action `compact`, remove = everything live). Readers never see
+    * a half-compacted table, and time travel to pre-compaction
+    * versions still works until vacuum. Sorting on `sortCols` gives
+    * the rewritten files disjoint per-file min/max ranges, so parquet
+    * row-group/file skipping rides the layout (the src08 property) —
+    * plus set-level zone-map stats on `statsCol` for merge pruning.
+    * The same conflict check as merge applies: a concurrent commit
+    * that removed a live set fails the compaction cleanly.
+    */
+  def compact(
+      spark: SparkSession, path: String, sortCols: Seq[String],
+      numFiles: Int, statsCol: Option[String] = None): Int = {
+    val live = liveAt(commits(path))
+    require(live.nonEmpty, s"nothing to compact at $path")
+    val df = read(spark, path)
+      .repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    commit(df, path, "compact", statsCol = statsCol,
+      removeSets = live.map(_.set))
+  }
+
   // --------------------------------------------------------------- vacuum
 
   /** Delete every data file-set NOT live at the latest version —

@@ -215,6 +215,37 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compaction is one atomic content-neutral commit with a sorted layout") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    val t = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    GraftLake.create(t.filter(pmod(col("o_orderkey"), lit(4)) === 0), path)
+    (1 to 3).foreach(i =>
+      GraftLake.append(t.filter(pmod(col("o_orderkey"), lit(4)) === i), path))
+    val before = GraftLake.read(spark, path)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    val vPre = GraftLake.latestVersion(path)
+    GraftLake.compact(spark, path, Seq("cents"), numFiles = 2, Some("cents"))
+    // content-neutral …
+    assert(GraftLake.read(spark, path)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq == before)
+    // … one live set remains …
+    val live = GraftLake.commits(path).foldLeft(Set.empty[String]) {
+      (acc, c) => acc -- c.remove ++ c.add
+    }
+    assert(live.size == 1)
+    // … pre-compaction snapshot still time-travels …
+    assert(GraftLake.readAt(spark, path, vPre)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq == before)
+    // … the CDC feed refuses to represent the rewrite as inserts …
+    assertThrows[IllegalStateException] {
+      GraftLake.changesSince(spark, path, 0)
+    }
+    // … and vacuum then reclaims exactly the 4 compacted-away sets.
+    assert(GraftLake.vacuum(path).size == 4)
+  }
+
   test("commit log round-trips hostile tag strings (the log IS the table)") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
