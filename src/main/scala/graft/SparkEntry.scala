@@ -103,6 +103,7 @@ object SparkEntry {
     "m02_resize" -> ((s: SparkSession, d: String) => Multimodal.m02Resize(s, d)),
     "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.m03FrameSample(s, d)),
     "m04_grayscale" -> ((s: SparkSession, d: String) => Multimodal.m04Grayscale(s, d)),
+    "m05_phash" -> ((s: SparkSession, d: String) => Multimodal.m05PHash(s, d)),
     // The id filter pushes into the DSv2 scan (SupportsPushDownFilters
     // narrows the generated range at planning time), `value` is pruned
     // away, and row content is pure f(id) — so DuckDB `range()`
@@ -1002,6 +1003,10 @@ object SparkEntry {
         |    // 1000
         |    FOR i IN range(0, width * height)]), 0) AS BIGINT) AS luma_sum
         |FROM meta ORDER BY doc_id""".stripMargin,
+    // m05: every dHash bit is integer luma/grid arithmetic on the
+    // lossless-codec pixels — the oracle computes the hash from
+    // (doc_id, dims) alone, signed 32-bit halves matched exactly.
+    "m05_phash" -> Multimodal.m05OracleSql,
     // m03 synthesizes ceil(chars/64) real PNG frames per document and
     // DECODES ONLY every 4th; frame k paints (31x + 17y + 7k +
     // 13*doc_id) mod 256, so both checksums replay as flattened index

@@ -116,6 +116,31 @@ object Codec {
     encodePng(img)
   }
 
+  /** 64-bit difference hash of a grayscale image as two signed 32-bit
+    * halves: bit i (x = i%8, y = i/8) is set iff the 9×8-grid luma at
+    * (x, y) is darker than at (x+1, y), with the grid sampled by the
+    * same integer nearest mapping as [[resizeNearest]]. Horizontal
+    * gradients survive global brightness shifts — the invariance that
+    * makes dHash a DEDUP key rather than a checksum.
+    */
+  def dHash(gray: BufferedImage): (Int, Int) = {
+    val (w, h) = (gray.getWidth, gray.getHeight)
+    val raster = gray.getRaster
+    var hi = 0
+    var lo = 0
+    var i = 0
+    while (i < 64) {
+      val (x, y) = (i % 8, i / 8)
+      val l1 = raster.getSample(x * w / 9, y * h / 8, 0)
+      val l2 = raster.getSample((x + 1) * w / 9, y * h / 8, 0)
+      if (l1 < l2) {
+        if (i < 32) lo |= 1 << i else hi |= 1 << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
   /** Color → 8-bit grayscale via INTEGER BT.601 luma
     * (299R + 587G + 114B) / 1000 — integer division, not the float
     * ColorConvertOp, so the oracle replays every output pixel exactly.
@@ -305,4 +330,66 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  case class PHashMeta(
+      doc_id: Long, width: Int, height: Int, phash_hi: Int, phash_lo: Int)
+
+  /** m05: perceptual dHash through the REAL codec path — the
+    * image-dedup primitive (near-identical images collide; compare
+    * hashes by Hamming distance). Synthesize the color PNG, decode,
+    * integer-BT.601 grayscale, then the difference hash: sample a 9×8
+    * grid with the SAME integer nearest mapping as [[Codec.resizeNearest]]
+    * (srcX = x·w/9), bit i = L(x,y) < L(x+1,y). Integer arithmetic end
+    * to end, split into two 32-bit halves so no sign bit is ever
+    * ambiguous between engines. Per-image cost is 72 luma reads after
+    * the decode — at 100 TB the decode dominates and stays
+    * partition-parallel.
+    */
+  def m05PHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val c0 = if (text.nonEmpty) text.charAt(0).toInt else 0
+        val c1 = if (text.length > 1) text.charAt(1).toInt else 0
+        (id, Codec.synthColorFrame(id, (c0 % 64) + 1, (c1 % 64) + 1))
+      })
+      .toDF("doc_id", "payload")
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val gray = Codec.toGray(Codec.decodePng(png))
+        val (hi, lo) = Codec.dHash(gray)
+        PHashMeta(id, gray.getWidth, gray.getHeight, hi, lo)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Arithmetic replay of m05: PNG is lossless and the luma/grid maps
+    * are integer, so every bit is a pure function of (doc_id, dims).
+    */
+  val m05OracleSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |    CAST((unicode(text[1:1]) % 64) + 1 AS INT) AS width,
+      |    CAST((unicode(text[2:2]) % 64) + 1 AS INT) AS height
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, width, height,
+      |    [CASE WHEN
+      |       (299 * (((i % 8) * width // 9 * 31 + (i // 8) * height // 8 * 17 + doc_id * 13) % 256)
+      |        + 587 * (((i % 8) * width // 9 * 31 + (i // 8) * height // 8 * 17 + 7 + doc_id * 13) % 256)
+      |        + 114 * (((i % 8) * width // 9 * 31 + (i // 8) * height // 8 * 17 + 14 + doc_id * 13) % 256)) // 1000
+      |       <
+      |       (299 * (((i % 8 + 1) * width // 9 * 31 + (i // 8) * height // 8 * 17 + doc_id * 13) % 256)
+      |        + 587 * (((i % 8 + 1) * width // 9 * 31 + (i // 8) * height // 8 * 17 + 7 + doc_id * 13) % 256)
+      |        + 114 * (((i % 8 + 1) * width // 9 * 31 + (i // 8) * height // 8 * 17 + 14 + doc_id * 13) % 256)) // 1000
+      |     THEN 1 ELSE 0 END FOR i IN range(64)] AS b
+      |  FROM meta)
+      |SELECT doc_id, width, height,
+      |  CAST(list_sum([b[i + 1] * (1 << (i - 32)) FOR i IN range(32, 64)])
+      |    - CASE WHEN b[64] = 1 THEN 4294967296 ELSE 0 END AS INT) AS phash_hi,
+      |  CAST(list_sum([b[i + 1] * (1 << i) FOR i IN range(32)])
+      |    - CASE WHEN b[32] = 1 THEN 4294967296 ELSE 0 END AS INT) AS phash_lo
+      |FROM bits ORDER BY doc_id""".stripMargin
 }

@@ -111,4 +111,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       if (w * h > 4) assert(r.getAs[Long]("luma_sum") != rsum, s"doc $id trivial")
     }
   }
+
+  test("m05 dHash: deterministic through the codec, invariant to brightness shift") {
+    import java.awt.image.BufferedImage
+    import graft.multimodal.Codec
+    def grayOf(f: (Int, Int) => Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, f(x, y))
+      img
+    }
+    val (w, h) = (40, 30)
+    def lum(x: Int, y: Int): Int = (x * 31 + y * 17) % 200
+    val base = grayOf(lum, w, h)
+    // determinism through a real codec round trip (gray PNG decodes
+    // back as a single-band raster — dHash reads band 0 either way)
+    val viaCodec = Codec.decodePng(Codec.encodePng(grayOf(lum, w, h)))
+    assert(Codec.dHash(base) == Codec.dHash(viaCodec))
+    // global brightness shift flips NO bit (the dedup invariance)
+    val brighter = grayOf((x, y) => math.min(255, lum(x, y) + 40), w, h)
+    assert(Codec.dHash(base) == Codec.dHash(brighter))
+    // a genuinely different image lands far away in Hamming space
+    val other = grayOf((x, y) => (x * 7 + y * 53 + 91) % 200, w, h)
+    val (h1, l1) = Codec.dHash(base)
+    val (h2, l2) = Codec.dHash(other)
+    val dist = Integer.bitCount(h1 ^ h2) + Integer.bitCount(l1 ^ l2)
+    assert(dist > 8, s"unrelated images only $dist bits apart")
+    // and the gated query returns a hash per document
+    val rows = graft.multimodal.Multimodal.m05PHash(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+  }
 }
