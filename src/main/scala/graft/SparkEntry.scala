@@ -350,6 +350,10 @@ object SparkEntry {
     "q62_funnel"    -> graft.operators.Analytics.q62Funnel _,
     "q63_cohort"    -> graft.operators.Analytics.q63Cohort _,
     "q64_histogram" -> graft.operators.Analytics.q64Histogram _,
+    // MATCH_RECOGNIZE-style adjacency pattern (consecutive
+    // view→click→purchase) — order alone is q62's funnel; this is the
+    // sequence-regex primitive, windowed per user.
+    "q65_pattern_match" -> graft.operators.Analytics.q65PatternMatch _,
     // GraftLake transactional COMPACTION: 8 small appends rewritten
     // into one range-sorted 2-file set in a single atomic commit;
     // content neutrality proven by the oracle, the layout collapse
@@ -1702,6 +1706,7 @@ object SparkEntry {
     "q62_funnel"    -> graft.operators.Analytics.q62OracleSql,
     "q63_cohort"    -> graft.operators.Analytics.q63OracleSql,
     "q64_histogram" -> graft.operators.Analytics.q64OracleSql,
+    "q65_pattern_match" -> graft.operators.Analytics.q65OracleSql,
     "src14_lake_cdc" ->
       """SELECT 1 AS commit_version, o_orderstatus, count(*) AS n,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents

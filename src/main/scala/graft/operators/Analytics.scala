@@ -82,6 +82,39 @@ object Analytics {
       |WHERE (act.d - first.d0) BETWEEN 0 AND 6
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q65: MATCH_RECOGNIZE-style PATTERN match — strictly CONSECUTIVE
+    * view→click→purchase inside a user's event sequence (q62's funnel
+    * only requires order; this requires adjacency, the sequence-regex
+    * primitive). Two lags over a window PARTITIONED by the
+    * high-cardinality user key — per-user state is 2 rows, no
+    * unpartitioned sort anywhere — then a daily count of completed
+    * patterns.
+    */
+  def q65PatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("p2") === "view" && col("p1") === "click" &&
+        col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("d"))
+  }
+
+  val q65OracleSql: String =
+    """WITH seq AS (
+      |  SELECT ts, event_type,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+      |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+      |  FROM events)
+      |SELECT CAST(ts AS DATE) AS d, count(*) AS n_matches
+      |FROM seq
+      |WHERE p2 = 'view' AND p1 = 'click' AND event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q64: equi-width HISTOGRAM of order value per status — integer
     * bucket arithmetic ($1000 buckets over integer cents), a single
     * partial-agg groupBy on (status, bucket): the binning primitive

@@ -61,4 +61,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(cents >= bucket * 100000L * n && cents < (bucket + 1) * 100000L * n)
     }
   }
+
+  test("q65 adjacency pattern equals a brute per-user consecutive-triple scan") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.toSeq.sortBy(e => (e._3.getTime, e._3.getNanos, e._4))
+      sorted.sliding(3).collect {
+        case Seq(a, b, c) if a._2 == "view" && b._2 == "click" && c._2 == "purchase" =>
+          c._3.toLocalDateTime.toLocalDate.toString
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Analytics.q65PatternMatch(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
