@@ -272,6 +272,11 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
     "mv05_minmax_view"   -> graft.operators.Materialized.mv05MinmaxView _,
+    // Approximate distinct-count view: mergeable HLL sketch state per
+    // group — refresh-batching-invariance and the error envelope both
+    // proven in-row; the only distinct-count view shape that holds at
+    // scale (exact distinct is neither summable nor retractable).
+    "mv06_sketch_view"   -> graft.operators.Materialized.mv06SketchView _,
     "q52_heavy_hitters"  -> Relational4.q52HeavyHitters _,
     "q53_unpivot"        -> Relational4.q53Unpivot _,
     "q54_filter_agg"     -> Relational4.q54FilterAgg _,
@@ -1543,6 +1548,7 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "mv06_sketch_view" -> graft.operators.Materialized.mv06OracleSql,
     // Quality rules + (lang, md5) dedup + per-lang rollup, replayed.
     "st08_stream_curate" ->
       """WITH w AS (SELECT lang, text,

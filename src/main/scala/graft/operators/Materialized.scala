@@ -215,6 +215,66 @@ object Materialized {
       .orderBy(col("o_year"), col("o_orderstatus"))
   }
 
+  /** mv06: APPROXIMATE distinct-count view with mergeable SKETCH
+    * state — the view the signed algebra (mv04) and semilattice
+    * merges (mv05) both cannot give: count(DISTINCT) is neither
+    * summable nor retractable, and keeping exact per-group key sets
+    * grows with the key universe. The maintained state is a
+    * datasketches HLL sketch per group (`hll_sketch_agg`), merged
+    * across refreshes with `hll_union_agg` — constant bytes per group
+    * forever, the only viable distinct-count view at 100 TB.
+    *
+    * The gate proves, in-row: (a) `merge_exact` — the three-refresh
+    * merged sketch estimates IDENTICALLY to a single-shot sketch over
+    * all rows (union of HLL registers is associative, so refresh
+    * batching cannot change the answer); (b) `within_bound` — the
+    * estimate sits within 5% + 2 of the exact distinct count (the
+    * sketch's 3σ envelope at default lgK; small groups are EXACT in
+    * sparse mode). The oracle replays the exact count and TRUE.
+    */
+  def mv06SketchView(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val y = year(col("o_orderdate"))
+    def st(df: DataFrame): DataFrame =
+      df.groupBy(y.as("o_year"), col("o_orderstatus"))
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    def mergeSk(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b)
+        .groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(expr("hll_union_agg(sk)").as("sk"))
+    val maxRow = orders.agg(max(y)).collect().head
+    val merged =
+      if (maxRow.isNullAt(0)) st(orders)
+      else {
+        val maxYear = maxRow.getInt(0)
+        val base = orders.filter(y.isNull || y < maxYear)
+        val h1 = orders.filter(y === maxYear && month(col("o_orderdate")) <= 6)
+        val h2 = orders.filter(y === maxYear && month(col("o_orderdate")) > 6)
+        mergeSk(mergeSk(st(base), st(h1)), st(h2))
+      }
+    val est = merged.select(col("o_year"), col("o_orderstatus"),
+      expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("est_merged"))
+    val direct = st(orders).select(col("o_year"), col("o_orderstatus"),
+      expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("est_direct"))
+    val exact = orders.groupBy(y.as("o_year"), col("o_orderstatus"))
+      .agg(count_distinct(col("o_custkey")).as("exact_nd"))
+    exact
+      .join(est, Seq("o_year", "o_orderstatus"))
+      .join(direct, Seq("o_year", "o_orderstatus"))
+      .select(col("o_year"), col("o_orderstatus"), col("exact_nd"),
+        (abs(col("est_merged") - col("exact_nd"))
+          <= col("exact_nd") * lit(0.05) + lit(2)).as("within_bound"),
+        (col("est_merged") === col("est_direct")).as("merge_exact"))
+      .orderBy(col("o_year"), col("o_orderstatus"))
+  }
+
+  val mv06OracleSql: String =
+    """SELECT year(o_orderdate) AS o_year, o_orderstatus,
+      |  count(DISTINCT o_custkey) AS exact_nd,
+      |  TRUE AS within_bound,
+      |  TRUE AS merge_exact
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Order-statistics partial state for mv05: min/max/count per group.
     * min/max merge losslessly under INSERT-ONLY refreshes (they form a
     * semilattice: merge = min/max of states); they are exactly the

@@ -138,4 +138,24 @@ class MaterializedSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toString).toSeq
     assert(swapped == direct)
   }
+
+  test("mv06 HLL sketch view: refresh batching cannot change the estimate") {
+    val rows = Materialized.mv06SketchView(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("within_bound")), r.toString)
+      assert(r.getBoolean(r.fieldIndex("merge_exact")), r.toString)
+    }
+    // groups here are far below sketch capacity: sparse-mode HLL is
+    // EXACT, so the estimate equals the true distinct count outright
+    val exact = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("nd"))
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+        r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val k = (if (r.isNullAt(0)) -1 else r.getInt(0), r.getString(1))
+      assert(r.getLong(r.fieldIndex("exact_nd")) == exact(k))
+    }
+  }
 }
