@@ -359,6 +359,10 @@ object SparkEntry {
     // view→click→purchase) — order alone is q62's funnel; this is the
     // sequence-regex primitive, windowed per user.
     "q65_pattern_match" -> graft.operators.Analytics.q65PatternMatch _,
+    // Discrete percentiles (actual data values — hash-exact without
+    // rounding) and deterministic mode (min-value tie-break).
+    "q66_percentile_disc" -> graft.operators.Analytics.q66PercentileDisc _,
+    "q67_mode"            -> graft.operators.Analytics.q67Mode _,
     // GraftLake transactional COMPACTION: 8 small appends rewritten
     // into one range-sorted 2-file set in a single atomic commit;
     // content neutrality proven by the oracle, the layout collapse
@@ -1713,6 +1717,8 @@ object SparkEntry {
     "q63_cohort"    -> graft.operators.Analytics.q63OracleSql,
     "q64_histogram" -> graft.operators.Analytics.q64OracleSql,
     "q65_pattern_match" -> graft.operators.Analytics.q65OracleSql,
+    "q66_percentile_disc" -> graft.operators.Analytics.q66OracleSql,
+    "q67_mode" -> graft.operators.Analytics.q67OracleSql,
     "src14_lake_cdc" ->
       """SELECT 1 AS commit_version, o_orderstatus, count(*) AS n,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents

@@ -115,6 +115,64 @@ object Analytics {
       |WHERE p2 = 'view' AND p1 = 'click' AND event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q66: DISCRETE percentiles (nearest-rank, `percentile_disc`
+    * semantics) — unlike q34's continuous form, the answer is an
+    * actual data value, so integer cents hash-match exactly with no
+    * rounding discipline at all. One SQL-surface aggregate per
+    * fraction over the grouped cents.
+    */
+  def q66PercentileDisc(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.sql(spark, dir,
+      """SELECT l_returnflag,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS p25c,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY cents) AS p50c,
+        |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY cents) AS p90c
+        |FROM (SELECT l_returnflag,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  val q66OracleSql: String =
+    """SELECT l_returnflag,
+      |  CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS BIGINT) AS p25c,
+      |  CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS BIGINT) AS p50c,
+      |  CAST(quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9) AS BIGINT) AS p90c
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q67: deterministic MODE — most frequent order-priority per
+    * status, ties broken by the SMALLEST value. Built relationally
+    * (count per (group, value) → per-group max-count filter → min
+    * value) instead of the engine's `mode()` aggregate, whose
+    * tie-breaking is engine-defined — determinism is what makes the
+    * answer portable. Two partial aggs + one small self-join, all
+    * keyed on group columns.
+    */
+  def q67Mode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("f"))
+    val best = counts.groupBy(col("o_orderstatus")).agg(max(col("f")).as("fmax"))
+    counts.alias("c")
+      .join(best.alias("b"),
+        col("c.o_orderstatus") === col("b.o_orderstatus") &&
+          col("c.f") === col("b.fmax"))
+      .groupBy(col("c.o_orderstatus").as("o_orderstatus"))
+      .agg(min(col("c.o_orderpriority")).as("mode_priority"),
+        max(col("c.f")).as("mode_n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q67OracleSql: String =
+    """WITH counts AS (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS f
+      |  FROM orders GROUP BY 1, 2),
+      |best AS (SELECT o_orderstatus, max(f) AS fmax FROM counts GROUP BY 1)
+      |SELECT c.o_orderstatus, min(c.o_orderpriority) AS mode_priority,
+      |  max(c.f) AS mode_n
+      |FROM counts c JOIN best b
+      |  ON c.o_orderstatus = b.o_orderstatus AND c.f = b.fmax
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q64: equi-width HISTOGRAM of order value per status — integer
     * bucket arithmetic ($1000 buckets over integer cents), a single
     * partial-agg groupBy on (status, bucket): the binning primitive
