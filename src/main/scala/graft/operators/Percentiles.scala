@@ -142,7 +142,8 @@ object Percentiles {
   def exactByHistogram(
       df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], outNames: Seq[String],
-      nBuckets: Int = 8192, maxCollect: Int = 1 << 18): DataFrame = {
+      nBuckets: Int = 8192, maxCollect: Int = 1 << 18,
+      discrete: Boolean = false): DataFrame = {
     require(ps.length == outNames.length, "one output name per fraction")
     val spark = df.sparkSession
 
@@ -157,11 +158,18 @@ object Percentiles {
 
     // Per group (keyed by index into `stats`): the 0-based target
     // order-statistic ranks and their type-7 interpolation fractions.
+    // `discrete` = nearest-rank (percentile_disc): the smallest value
+    // whose cume_dist >= p, i.e. 0-based rank ceil(p·n) - 1, frac 0 —
+    // the answer is always an actual data value. Otherwise type-7
+    // continuous interpolation at p·(n-1).
     case class Target(j: Int, rank: Long, frac: Double)
     val targets: Array[Seq[Target]] = stats.map { case (_, (n, _, _)) =>
       ps.zipWithIndex.map { case (p, j) =>
-        val pos = p * (n - 1)
-        Target(j, math.floor(pos).toLong, pos - math.floor(pos))
+        if (discrete) Target(j, math.max(0L, math.ceil(p * n).toLong - 1L), 0.0)
+        else {
+          val pos = p * (n - 1)
+          Target(j, math.floor(pos).toLong, pos - math.floor(pos))
+        }
       }
     }
     val neededRanks: Array[Seq[Long]] = targets.map(ts =>

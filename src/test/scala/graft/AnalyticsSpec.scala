@@ -78,4 +78,12 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("q66 histogram-path discrete percentiles equal the SQL-surface builtin") {
+    val a = graft.operators.Analytics.q66PercentileDisc(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = graft.operators.Analytics.q66SqlSurface(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
