@@ -262,6 +262,52 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.latestVersion(path) == before)
   }
 
+  test("model-based property: random append/overwrite/merge sequences match an in-memory model at EVERY version") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { round =>
+      val path = freshTable()
+      def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "v")
+      var nextId = 0L
+      def freshRows(n: Int): Seq[(Long, Long)] = {
+        val rs = (0 until n).map(i => (nextId + i, rnd.nextLong(1000)))
+        nextId += n
+        rs
+      }
+      // model(i) = table contents as of version i
+      var model = Vector.empty[Map[Long, Long]]
+      val init = freshRows(5 + rnd.nextInt(5))
+      GraftLake.create(df(init), path, Some("id"))
+      model :+= init.toMap
+      (0 until 6).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => // append fresh ids
+            val rs = freshRows(1 + rnd.nextInt(6))
+            GraftLake.append(df(rs), path, Some("id"))
+            model :+= (model.last ++ rs)
+          case 1 => // overwrite with a random subset re-valued
+            val keep = model.last.keys.toSeq.sorted
+              .filter(_ => rnd.nextBoolean()).map(id => (id, rnd.nextLong(1000)))
+            val rs = if (keep.nonEmpty) keep else freshRows(2)
+            GraftLake.overwrite(df(rs), path)
+            model :+= rs.toMap
+          case 2 => // merge: update half the existing ids, insert one
+            val upd = model.last.keys.toSeq.sorted
+              .filter(_ % 2 == 0).map(id => (id, rnd.nextLong(1000)))
+            val ins = freshRows(1)
+            GraftLake.merge(spark, path, df(upd ++ ins), Seq("id"), "id")
+            model :+= (model.last ++ upd ++ ins)
+        }
+      }
+      (0 until model.size).foreach { v =>
+        val got = GraftLake.readAt(spark, path, v).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model(v),
+          s"round $round version $v: lake ${got.size} rows != model ${model(v).size}")
+      }
+    }
+  }
+
   test("predicate pushdown reaches the lake's parquet scans") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
