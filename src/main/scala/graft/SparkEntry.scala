@@ -346,6 +346,10 @@ object SparkEntry {
     // Exactly-once streaming into the lake: tagged epoch commits make
     // foreachBatch idempotent under replay (proven in-row).
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10StreamToLake _,
+    // q62's funnel as a streaming per-user state machine (24 bytes of
+    // state per user); oracle = the BATCH funnel CTE, so the state
+    // machine must lose nothing across micro-batch boundaries.
+    "st11_stream_funnel" -> graft.streaming.FunnelStream.st11StreamFunnel _,
     // RAG-style overlapping chunking profile (128-token cap, 96-token
     // stride) — the retrieval-prep complement of d25's packing.
     "d27_chunk_overlap" -> TextCorpus.d27ChunkOverlap _,
@@ -1705,6 +1709,8 @@ object SparkEntry {
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
+    // Streaming funnel replays against the batch CTE — identical SQL.
+    "st11_stream_funnel" -> graft.operators.Analytics.q62OracleSql,
     "d27_chunk_overlap" -> TextCorpus.d27OracleSql,
     "src15_lake_compact" ->
       """SELECT o_orderstatus, count(*) AS n,

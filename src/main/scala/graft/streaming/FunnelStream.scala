@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+import graft.Tables
+import graft.model.Event
+
+/** Streaming FUNNEL (SURVEY.md §2: st11) — q62's ordered
+  * view→click→purchase funnel as a PER-USER STATE MACHINE in the
+  * streaming state store.
+  *
+  * The batch funnel needs the whole history per stage; the streaming
+  * form carries three timestamps per user (first view, first click
+  * after it, first purchase after that) and advances them greedily as
+  * micro-batches arrive. The greedy fold equals the batch min-ts
+  * chaining WHEN each user's events arrive in event-time order across
+  * batches — which the drive guarantees by staging time-range batches
+  * (exactly a replayed Kafka topic's per-key ordering). State is 24
+  * bytes per user forever; per-batch output is one progression row
+  * per ACTIVE user.
+  */
+object FunnelStream {
+
+  /** -1 = stage not reached yet; all times in epoch micros. */
+  case class FunnelSt(view: Long, click: Long, purchase: Long)
+  case class FunnelProg(user_id: Long, stage: Int)
+
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val inst = ts.toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  /** Advance one user's state with one batch of events (sorted by
+    * event time here; ordering ACROSS batches is the caller's drive
+    * contract). Strict `>` comparisons match the batch oracle's
+    * `e.ts > prev.t` chaining exactly.
+    */
+  private[graft] def advance(st: FunnelSt, events: Seq[Event]): FunnelSt = {
+    var (v, c, p) = (st.view, st.click, st.purchase)
+    events.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+      val t = micros(e.ts)
+      e.event_type match {
+        case "view" if v < 0 => v = t
+        case "click" if v >= 0 && c < 0 && t > v => c = t
+        case "purchase" if c >= 0 && p < 0 && t > c => p = t
+        case _ =>
+      }
+    }
+    FunnelSt(v, c, p)
+  }
+
+  private def stageOf(st: FunnelSt): Int =
+    if (st.purchase >= 0) 3 else if (st.click >= 0) 2 else if (st.view >= 0) 1 else 0
+
+  /** The unified batch/stream transform: per-user funnel progression
+    * after each micro-batch (one row per active user per batch; the
+    * stage is monotone, so `max(stage)` per user downstream is the
+    * final answer).
+    */
+  def funnelStates(events: Dataset[Event]): Dataset[FunnelProg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelSt]) =>
+          val st = advance(
+            state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L)), it.toSeq)
+          state.update(st)
+          FunnelProg(uid, stageOf(st))
+      }
+  }
+
+  /** st11, gated: drive three EVENT-TIME-RANGE micro-batches (days
+    * 1-10 / 11-20 / rest — per-key order preserved across batches,
+    * the replayed-topic contract) through [[funnelStates]], append
+    * each batch's progressions to parquet executor-side, then reduce
+    * to the stage counts. Oracle = the BATCH funnel CTE (q62's): the
+    * state machine must lose nothing across batch boundaries.
+    */
+  def st11StreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-st11")
+    java.nio.file.Files.createDirectories(base.resolve("in"))
+    val inDir = base.resolve("in").toString
+    val ckDir = base.resolve("ck").toString
+    val outDir = base.resolve("out").toString
+    val q = spark.readStream.schema(events.schema).parquet(inDir)
+      .as[Event]
+      .transform(funnelStates)
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[FunnelProg], _: Long) =>
+        batch.toDF().write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try {
+      val d = dayofmonth(col("ts"))
+      Seq(d <= 10, d > 10 && d <= 20, d > 20).foreach { pred =>
+        events.filter(pred).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+    }
+    val finalStage = spark.read.parquet(outDir)
+      .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+      .localCheckpoint(true)
+    // Stage counts in q62's presentation; cleanup after materializing.
+    graft.SparkEntry.rmrf(base.toString)
+    def cnt(k: Int, tag: String): DataFrame =
+      finalStage.filter(col("stage") >= k)
+        .agg(count(lit(1)).as("users")).select(lit(tag).as("stage"), col("users"))
+    cnt(1, "stage1_view")
+      .unionByName(cnt(2, "stage2_click"))
+      .unionByName(cnt(3, "stage3_purchase"))
+      .orderBy(col("stage"))
+  }
+}

@@ -408,4 +408,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toString).toSeq
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("st11 funnel state machine: any event-time batch split equals one-shot") {
+    import graft.streaming.FunnelStream
+    import graft.model.Event
+    val evs = Tables.eventsDs(spark, sf).collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    def foldSplit(cuts: Seq[Int]): Map[Long, Int] = {
+      // fold each user's events through `advance` in batch slices
+      val slices = (Seq(0) ++ cuts ++ Seq(evs.size)).sliding(2)
+        .map { case Seq(a, b) => evs.slice(a, b) }.toSeq
+      val st = scala.collection.mutable.Map.empty[Long, FunnelStream.FunnelSt]
+      slices.foreach { slice =>
+        slice.groupBy(_.user_id).foreach { case (u, es) =>
+          st(u) = FunnelStream.advance(
+            st.getOrElse(u, FunnelStream.FunnelSt(-1L, -1L, -1L)), es)
+        }
+      }
+      st.map { case (u, s) =>
+        u -> (if (s.purchase >= 0) 3 else if (s.click >= 0) 2
+              else if (s.view >= 0) 1 else 0)
+      }.toMap
+    }
+    val oneShot = foldSplit(Seq.empty)
+    assert(foldSplit(Seq(evs.size / 3, 2 * evs.size / 3)) == oneShot)
+    assert(foldSplit(Seq(1, 2, 3, evs.size / 2)) == oneShot)
+    // and the stage counts equal the batch funnel q62 computes
+    val want = graft.operators.Analytics.q62Funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = Map(
+      "stage1_view" -> oneShot.values.count(_ >= 1).toLong,
+      "stage2_click" -> oneShot.values.count(_ >= 2).toLong,
+      "stage3_purchase" -> oneShot.values.count(_ >= 3).toLong)
+    assert(counts == want)
+  }
 }
