@@ -353,6 +353,10 @@ object SparkEntry {
     // RAG-style overlapping chunking profile (128-token cap, 96-token
     // stride) — the retrieval-prep complement of d25's packing.
     "d27_chunk_overlap" -> TextCorpus.d27ChunkOverlap _,
+    // Incremental dedup of a lake CDC feed against table history:
+    // changesSince scans only the append commit; winnowed-fingerprint
+    // overlap vs the time-travel v0 snapshot flags duplicates.
+    "d28_cdc_dedup" -> Dedup.d28CdcDedup _,
     // Product-analytics triad: ordered funnel (min-ts chaining, no
     // sequence sorts), cohort retention (first-seen × active-day),
     // equi-width histogram (integer bucket arithmetic).
@@ -1712,6 +1716,38 @@ object SparkEntry {
     // Streaming funnel replays against the batch CTE — identical SQL.
     "st11_stream_funnel" -> graft.operators.Analytics.q62OracleSql,
     "d27_chunk_overlap" -> TextCorpus.d27OracleSql,
+    // d28 replays d17's winnowing SQL with the history/feed split at
+    // doc_id 250 — the lake plumbing is content-neutral by design.
+    "d28_cdc_dedup" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+        |c AS (
+        |  SELECT doc_id, length(s) AS L,
+        |    [CAST(unicode(s[k:k]) AS BIGINT) FOR k IN range(1, length(s) + 1)] AS cd
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, L,
+        |    CASE WHEN L < 8 THEN CAST([] AS BIGINT[]) ELSE
+        |      [(cd[i] * 13163680 + cd[i+1] * 805498697 + cd[i+2] * 154885210
+        |        + cd[i+3] * 362470373 + cd[i+4] * 16974593 + cd[i+5] * 66049
+        |        + cd[i+6] * 257 + cd[i+7]) % 1000000007
+        |       FOR i IN range(1, L - 8 + 2)] END AS hs
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN len(hs) < 4 THEN [list_min(hs)]
+        |         ELSE [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 4 + 2)]
+        |    END AS mins
+        |  FROM h),
+        |fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w),
+        |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+        |hits AS (SELECT f.doc_id, count(*) AS n_shared
+        |         FROM fp f JOIN hist USING (fp) WHERE f.doc_id >= 250 GROUP BY f.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h2.n_shared, 0) AS INT) AS n_shared_fp,
+        |  coalesce(h2.n_shared, 0) > 0 AS dup_against_history
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+        |LEFT JOIN hits h2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "src15_lake_compact" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,

@@ -591,4 +591,43 @@ object Dedup {
        |FROM canon c JOIN sm s USING (doc_id)
        |ORDER BY c.doc_id""".stripMargin
   }
+
+  /** d28: INCREMENTAL dedup of a lake CDC feed against table history —
+    * the end-to-end composition the incremental-pipeline story exists
+    * for: new documents arrive as an append commit, `changesSince`
+    * hands downstream ONLY those rows (one file-set scan, no table
+    * re-scan), and the winnowed-fingerprint check (d17's machinery)
+    * flags which of them duplicate the HISTORICAL snapshot. History
+    * fingerprints come from the time-travel v0 read, so the check is
+    * stable even while new commits land.
+    */
+  def d28CdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.GraftLake
+    val path = graft.SparkEntry.scratch("graft_lake_docs", dir)
+    graft.SparkEntry.rmrf(path)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    GraftLake.create(docs.filter(col("doc_id") < 250), path)
+    GraftLake.append(docs.filter(col("doc_id") >= 250), path)
+    def fps(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          rollingFingerprints(text).map(fp => (id, fp))
+        }
+        .toDF("doc_id", "fp")
+    val histFps = fps(GraftLake.readAt(spark, path, 0))
+      .select(col("fp")).distinct()
+    val feed = GraftLake.changesSince(spark, path, 0)
+    val hits = fps(feed)
+      .join(broadcast(histFps), "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_shared_fp"))
+    feed.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_fp"), lit(0)).as("n_shared_fp"),
+        (coalesce(col("n_shared_fp"), lit(0)) > 0).as("dup_against_history"))
+      .orderBy(col("doc_id"))
+  }
 }
