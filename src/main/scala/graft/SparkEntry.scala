@@ -371,6 +371,10 @@ object SparkEntry {
     // rounding) and deterministic mode (min-value tie-break).
     "q66_percentile_disc" -> graft.operators.Analytics.q66PercentileDisc _,
     "q67_mode"            -> graft.operators.Analytics.q67Mode _,
+    // Semi-additive snapshot measure (last over time, sum over
+    // accounts) and metadata-filtered ANN (filter IS the join key).
+    "q68_semi_additive"   -> graft.operators.Analytics.q68SemiAdditive _,
+    "s09_ann_filtered"    -> ((s: SparkSession, d: String) => Similarity.s09AnnFiltered(s, d)),
     // GraftLake transactional COMPACTION: 8 small appends rewritten
     // into one range-sorted 2-file set in a single atomic commit;
     // content neutrality proven by the oracle, the layout collapse
@@ -1761,6 +1765,8 @@ object SparkEntry {
     "q65_pattern_match" -> graft.operators.Analytics.q65OracleSql,
     "q66_percentile_disc" -> graft.operators.Analytics.q66OracleSql,
     "q67_mode" -> graft.operators.Analytics.q67OracleSql,
+    "q68_semi_additive" -> graft.operators.Analytics.q68OracleSql,
+    "s09_ann_filtered" -> Similarity.s09OracleSql,
     "src14_lake_cdc" ->
       """SELECT 1 AS commit_version, o_orderstatus, count(*) AS n,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents

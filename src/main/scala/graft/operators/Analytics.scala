@@ -194,6 +194,43 @@ object Analytics {
       |  ON c.o_orderstatus = b.o_orderstatus AND c.f = b.fmax
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q68: SEMI-ADDITIVE measure — month-end balance. `o_totalprice`
+    * plays an account balance: per (customer, month) take the LAST
+    * value in time (non-additive over time), then SUM across
+    * customers (additive over accounts) — the snapshot-fact pattern
+    * every finance warehouse runs, which plain SUM gets wrong. The
+    * last-per-period step is a row_number window partitioned by the
+    * high-cardinality (customer, month) key; the cross-account sum is
+    * an ordinary partial agg on the |months|-sized result.
+    */
+  def q68SemiAdditive(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = date_trunc("month", col("o_orderdate")).cast("date")
+    val w = Window.partitionBy(col("o_custkey"), m)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(m.as("month"))
+      .agg(count(lit(1)).as("n_accounts"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("eom_cents"))
+      .orderBy(col("month"))
+  }
+
+  val q68OracleSql: String =
+    """WITH last AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    o_custkey, o_totalprice,
+      |    row_number() OVER (
+      |      PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders WHERE o_orderdate IS NOT NULL)
+      |SELECT month, count(*) AS n_accounts,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS eom_cents
+      |FROM last WHERE rn = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q64: equi-width HISTOGRAM of order value per status — integer
     * bucket arithmetic ($1000 buckets over integer cents), a single
     * partial-agg groupBy on (status, bucket): the binning primitive

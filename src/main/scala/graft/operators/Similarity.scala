@@ -104,6 +104,42 @@ object Similarity {
     topK(scored)
   }
 
+  /** s09: FILTERED ANN — top-k restricted to corpus vectors sharing
+    * the query's label (metadata-matched vector search, the feature
+    * every production vector store ships). The metadata predicate
+    * becomes the JOIN KEY: candidates partition by label before any
+    * distance is computed, so the scored set shrinks by the label
+    * selectivity — filter-before-distance, never post-filtering a
+    * top-k that might then come up short.
+    */
+  def s09AnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val c = emb.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("label").as("n_label"))
+    val scored = c.join(broadcast(q), col("n_label") === col("q_label"))
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+
+  val s09OracleSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, label AS n_label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+      |  FROM embeddings WHERE vec_id >= 10),
+      |s AS (SELECT q_id, n_id, list_cosine_similarity(q_emb, n_emb) AS cos
+      |  FROM c JOIN q ON n_label = q_label),
+      |r AS (SELECT q_id, n_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+      |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
+      |FROM r WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
   private def dot(vec: Column, hp: Column): Column =
     aggregate(zip_with(vec, hp, (x, h) => x * h), lit(0.0), (acc, x) => acc + x)
 

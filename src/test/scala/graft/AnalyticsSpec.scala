@@ -86,4 +86,37 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toString).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("q68 semi-additive: last-per-month then sum equals a brute fold") {
+    def toLdt(v: Any): java.time.LocalDateTime = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case d: java.sql.Date => d.toLocalDate.atStartOfDay
+      case l: java.time.LocalDateTime => l
+    }
+    val orders = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), toLdt(r.get(1)), r.getLong(2), r.getLong(3)))
+    val want = orders
+      .groupBy { case (ck, d, _, _) => (ck, d.getYear, d.getMonthValue) }
+      .toSeq // a Map here would collapse same-(y,m) keys across customers
+      .map { case ((_, y, m), rs) =>
+        val last = rs.maxBy { case (_, d, ok, _) =>
+          (d.toEpochSecond(java.time.ZoneOffset.UTC), ok) }
+        ((y, m), last._4)
+      }
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+    val got = graft.operators.Analytics.q68SemiAdditive(spark, sf).collect()
+      .map { r =>
+        val d = r.get(0) match {
+          case sd: java.sql.Date => sd.toLocalDate
+          case ld: java.time.LocalDate => ld
+        }
+        ((d.getYear, d.getMonthValue), (r.getLong(1), r.getLong(2)))
+      }.toMap
+    assert(got == want)
+  }
 }

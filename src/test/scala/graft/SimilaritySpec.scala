@@ -244,4 +244,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     Similarity.s07RangeSearch(spark, sf).collect()
       .foreach(r => assert(r.getDouble(2) >= Similarity.RangeSearchTau))
   }
+
+  test("s09 filtered ANN: neighbors share the query label; equals brute with filter") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Similarity.s09AnnFiltered(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // label constraint holds for every returned pair
+    rows.foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(2)),
+        s"neighbor ${r.getLong(2)} label mismatch for query ${r.getLong(0)}")
+    }
+    // brute replay: per query, rank label-matched candidates by cosine
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val (qs, cs) = embs.partition(_._1 < 10)
+    val want = qs.flatMap { case (qid, qe, ql) =>
+      cs.filter(_._3 == ql)
+        .map { case (nid, ne, _) => (nid, cos(qe, ne)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, i + 1, nid) }
+    }.toSet
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == want)
+  }
 }
