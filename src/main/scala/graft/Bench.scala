@@ -76,7 +76,21 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
 
-    timedRound() // warmup round: JIT, codegen cache, footers
+    def flush(line: String): Unit = {
+      println(line)
+      Console.out.flush()
+      // Also persist the line: console tails can truncate the per-query
+      // map past ~60 entries, losing numbers the round report needs.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    }
+
+    // Warmup round (JIT, codegen cache, footers) — its COLD numbers
+    // flush immediately as a provisional line, so even a harness
+    // deadline that lands inside the first timed round leaves a
+    // complete (if pessimistic) capture; later lines supersede it.
+    val warmup = timedRound()
+    flush(report(Seq(warmup)))
     val warmupSec = elapsedSec
     val rounds = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     var lastRoundSec = warmupSec
@@ -85,13 +99,7 @@ object Bench {
       val t0 = elapsedSec
       rounds += timedRound()
       lastRoundSec = elapsedSec - t0
-      val line = report(rounds.toSeq)
-      println(line)
-      Console.out.flush()
-      // Also persist the line: console tails can truncate the per-query
-      // map past ~60 entries, losing numbers the round report needs.
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      flush(report(rounds.toSeq))
       r += 1
     }
     spark.stop()
