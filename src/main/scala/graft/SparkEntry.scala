@@ -1707,13 +1707,13 @@ object SparkEntry {
     // latest = everything; schema evolution splits by key parity.
     "src11_time_travel" ->
       """SELECT 'v0' AS snapshot, o_orderstatus, count(*) AS n,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders
         |WHERE o_orderdate IS NULL OR year(o_orderdate) < 1998
         |GROUP BY 2
         |UNION ALL
         |SELECT 'latest', o_orderstatus, count(*),
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
@@ -1754,7 +1754,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "src15_lake_compact" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  TRUE AS compacted
         |FROM orders
         |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 40000000
@@ -1769,25 +1769,25 @@ object SparkEntry {
     "s09_ann_filtered" -> Similarity.s09OracleSql,
     "src14_lake_cdc" ->
       """SELECT 1 AS commit_version, o_orderstatus, count(*) AS n,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 2
         |UNION ALL
         |SELECT 2, o_orderstatus, count(*),
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders WHERE year(o_orderdate) > 1998 GROUP BY 2
         |ORDER BY commit_version, o_orderstatus""".stripMargin,
     "src13_lake_merge" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  sum(CASE WHEN o_orderkey % 4 = 1
+        |  CAST(sum(CASE WHEN o_orderkey % 4 = 1
         |    THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
-        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS cents,
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents,
         |  TRUE AS pruned
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src12_schema_evolution" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_priced,
-        |  coalesce(sum(CASE WHEN o_orderkey % 2 = 1
-        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS cents
+        |  CAST(coalesce(sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Compaction is content-neutral: the oracle filters raw orders.
     "src08_compact_scan" ->

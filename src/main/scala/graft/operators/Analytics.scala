@@ -227,7 +227,7 @@ object Analytics {
       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       |  FROM orders WHERE o_orderdate IS NOT NULL)
       |SELECT month, count(*) AS n_accounts,
-      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS eom_cents
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS eom_cents
       |FROM last WHERE rn = 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -251,6 +251,6 @@ object Analytics {
     """SELECT o_orderstatus,
       |  CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bucket,
       |  count(*) AS n,
-      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

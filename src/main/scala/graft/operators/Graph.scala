@@ -157,10 +157,16 @@ object Graph {
             .as("r"))
         .localCheckpoint(true)
     }
+    // Presentation in ppm: (r * n) div 1e6 would overflow Long once
+    // r (~1e12 scale units, more on hub nodes) meets n ~ 1e7 nodes.
+    // Split r = q*1e6 + m: (r*n) div 1e6 == q*n + (m*n) div 1e6
+    // exactly for non-negative operands (q*1e6*n is an exact multiple
+    // of 1e6), and both terms stay below ~1e13 at 100 TB node counts.
     rank.filter(col("node") % 2 === 1)
       .select(
         expr("(node - 1) div 2").as("s_suppkey"),
-        expr(s"(r * $n) div 1000000").as("pr_ppm"))
+        expr(s"(r div 1000000) * $n + ((r % 1000000) * $n) div 1000000")
+          .as("pr_ppm"))
       .orderBy(col("s_suppkey"))
   }
 

@@ -111,7 +111,7 @@ object SkewJoin {
   val q61OracleSql: String =
     """SELECT c_mktsegment,
       |  count(*) AS n,
-      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revc,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revc,
       |  TRUE AS skew_split,
       |  TRUE AS result_match
       |FROM (SELECT CASE WHEN o_orderkey % 10 < 6 THEN 42 ELSE o_custkey END AS sk,

@@ -73,7 +73,7 @@ object LakeStream {
 
   val st10OracleSql: String =
     """SELECT o_orderstatus, count(*) AS n,
-      |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
       |  TRUE AS replay_skipped
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }

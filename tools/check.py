@@ -58,6 +58,20 @@ def main() -> None:
             g, w = canon(got), canon(want)
             for c in g.columns:
                 gs, ws = g[c], w[c]
+                # Hash-faithful dtype check: the driver hashes values
+                # dtype-sensitively, so an int64 Spark column meeting a
+                # float64 oracle column (DuckDB sum(BIGINT) -> HUGEINT
+                # -> float64 in pandas) is a driver FAIL even when the
+                # values compare equal after coercion.
+                kinds = {gs.dtype.kind, ws.dtype.kind}
+                if len(kinds) > 1 and kinds <= {"i", "u", "f"}:
+                    ok = False
+                    msgs.append(
+                        f"col {c} dtype class mismatch: spark {gs.dtype} vs "
+                        f"oracle {ws.dtype} (driver hash diverges; "
+                        f"CAST the oracle aggregate)"
+                    )
+                    continue
                 if gs.dtype.kind == "f" or ws.dtype.kind == "f":
                     import numpy as np
 
