@@ -876,8 +876,8 @@ object SparkEntry {
     "m01_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_bytes,
-        |  CAST((unicode(text[1:1]) % 64) + 1 AS INT) AS width,
-        |  CAST((unicode(text[2:2]) % 64) + 1 AS INT) AS height,
+        |  CAST((greatest(unicode(text[1:1]), 0) % 64) + 1 AS INT) AS width,
+        |  CAST((greatest(unicode(text[2:2]), 0) % 64) + 1 AS INT) AS height,
         |  3 AS channels,
         |  CAST(list_sum([unicode(text[i:i]) FOR i IN range(1, length(text)+1)]) % 997 AS BIGINT) AS feat_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -994,8 +994,8 @@ object SparkEntry {
     "m02_resize" ->
       """WITH meta AS (
         |  SELECT doc_id,
-        |    CAST((unicode(text[1:1]) % 64) + 1 AS INT) AS width,
-        |    CAST((unicode(text[2:2]) % 64) + 1 AS INT) AS height
+        |    CAST((greatest(unicode(text[1:1]), 0) % 64) + 1 AS INT) AS width,
+        |    CAST((greatest(unicode(text[2:2]), 0) % 64) + 1 AS INT) AS height
         |  FROM documents),
         |geo AS (
         |  SELECT doc_id, width, height,
@@ -1017,8 +1017,8 @@ object SparkEntry {
     "m04_grayscale" ->
       """WITH meta AS (
         |  SELECT doc_id,
-        |    CAST((unicode(text[1:1]) % 64) + 1 AS INT) AS width,
-        |    CAST((unicode(text[2:2]) % 64) + 1 AS INT) AS height
+        |    CAST((greatest(unicode(text[1:1]), 0) % 64) + 1 AS INT) AS width,
+        |    CAST((greatest(unicode(text[2:2]), 0) % 64) + 1 AS INT) AS height
         |  FROM documents)
         |SELECT doc_id, width, height,
         |  CAST(coalesce(list_sum([
@@ -1039,8 +1039,8 @@ object SparkEntry {
     "m03_frame_sample" ->
       """WITH meta AS (
         |  SELECT doc_id,
-        |    CAST((unicode(text[1:1]) % 16) + 1 AS INT) AS frame_w,
-        |    CAST((unicode(text[2:2]) % 16) + 1 AS INT) AS frame_h,
+        |    CAST((greatest(unicode(text[1:1]), 0) % 16) + 1 AS INT) AS frame_w,
+        |    CAST((greatest(unicode(text[2:2]), 0) % 16) + 1 AS INT) AS frame_h,
         |    CAST(ceil(length(text) / 64.0) AS INT) AS n_frames
         |  FROM documents),
         |geo AS (

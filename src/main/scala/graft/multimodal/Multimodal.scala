@@ -178,6 +178,20 @@ object Codec {
   */
 object Multimodal {
 
+  /** Codepoint of the 0-based idx-th CHARACTER, clamped to >= 0 —
+    * mirrors the oracles' greatest(unicode(text[idx+1:idx+1]), 0)
+    * exactly: codepoints (not UTF-16 units, so non-BMP headers agree
+    * between engines) and 0 for a missing/empty slice (DuckDB's
+    * unicode('') is -1; both sides clamp so an empty document yields
+    * a well-defined 1-pixel dimension instead of engine-divergent
+    * negatives). Identity-equal to the old charAt path on ASCII.
+    */
+  private[multimodal] def headerCp(text: String, idx: Int): Int = {
+    val n = text.codePointCount(0, text.length)
+    if (n <= idx) 0
+    else math.max(text.codePointAt(text.offsetByCodePoints(0, idx)), 0)
+  }
+
   case class MediaMeta(
       doc_id: Long, n_bytes: Int, width: Int, height: Int,
       channels: Int, feat_sum: Long)
@@ -231,8 +245,8 @@ object Multimodal {
     val payloads = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val c0 = if (text.nonEmpty) text.charAt(0).toInt else 0
-        val c1 = if (text.length > 1) text.charAt(1).toInt else 0
+        val c0 = headerCp(text, 0)
+        val c1 = headerCp(text, 1)
         (id, Codec.synthFrame(id, (c0 % 64) + 1, (c1 % 64) + 1, 0))
       })
       .toDF("doc_id", "payload") // the opaque binary media column
@@ -273,8 +287,8 @@ object Multimodal {
     val payloads = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val c0 = if (text.nonEmpty) text.charAt(0).toInt else 0
-        val c1 = if (text.length > 1) text.charAt(1).toInt else 0
+        val c0 = headerCp(text, 0)
+        val c1 = headerCp(text, 1)
         (id, Codec.synthColorFrame(id, (c0 % 64) + 1, (c1 % 64) + 1))
       })
       .toDF("doc_id", "payload")
@@ -309,11 +323,14 @@ object Multimodal {
     val videos = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val c0 = if (text.nonEmpty) text.charAt(0).toInt else 0
-        val c1 = if (text.length > 1) text.charAt(1).toInt else 0
+        val c0 = headerCp(text, 0)
+        val c1 = headerCp(text, 1)
         val fw = (c0 % 16) + 1
         val fh = (c1 % 16) + 1
-        val nFrames = (text.length + frameBytes - 1) / frameBytes
+        // Codepoint count, matching the oracle's length(text) (DuckDB
+        // counts characters, not UTF-16 units).
+        val nChars = text.codePointCount(0, text.length)
+        val nFrames = (nChars + frameBytes - 1) / frameBytes
         (id, fw, fh, Array.tabulate(nFrames)(k => Codec.synthFrame(id, fw, fh, k)))
       })
       .toDF("doc_id", "frame_w", "frame_h", "frames")
@@ -350,8 +367,8 @@ object Multimodal {
     val payloads = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val c0 = if (text.nonEmpty) text.charAt(0).toInt else 0
-        val c1 = if (text.length > 1) text.charAt(1).toInt else 0
+        val c0 = headerCp(text, 0)
+        val c1 = headerCp(text, 1)
         (id, Codec.synthColorFrame(id, (c0 % 64) + 1, (c1 % 64) + 1))
       })
       .toDF("doc_id", "payload")
@@ -371,8 +388,8 @@ object Multimodal {
   val m05OracleSql: String =
     """WITH meta AS (
       |  SELECT doc_id,
-      |    CAST((unicode(text[1:1]) % 64) + 1 AS INT) AS width,
-      |    CAST((unicode(text[2:2]) % 64) + 1 AS INT) AS height
+      |    CAST((greatest(unicode(text[1:1]), 0) % 64) + 1 AS INT) AS width,
+      |    CAST((greatest(unicode(text[2:2]), 0) % 64) + 1 AS INT) AS height
       |  FROM documents),
       |bits AS (
       |  SELECT doc_id, width, height,

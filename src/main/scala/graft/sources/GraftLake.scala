@@ -164,10 +164,38 @@ object GraftLake {
           StandardCopyOption.REPLACE_EXISTING)
         return v
       }
-      Thread.sleep(5) // lost the race — re-read the log, try the next version
+      // Lost the race. A claim that stays EMPTY past the stale-claim
+      // lease is an orphan from a writer that died between claim and
+      // publish — without takeover it wedges the table forever
+      // (readers stop at the empty file; every writer burns its whole
+      // retry budget on the same version). Adopt it by deleting the
+      // empty file and re-racing for the version. The lease must
+      // exceed any live writer's worst-case claim→publish gap (two
+      // local-FS metadata ops, so seconds of headroom covers even a
+      // long GC pause); a zombie stalled LONGER that later publishes
+      // is the documented trade-off of lease-based recovery on stores
+      // with no compare-and-swap.
+      try {
+        if (Files.exists(f) && Files.size(f) == 0 &&
+            System.currentTimeMillis() -
+              Files.getLastModifiedTime(f).toMillis > StaleClaimLeaseMs) {
+          Files.deleteIfExists(f)
+        }
+      } catch { case _: java.io.IOException => () } // raced with the publisher
+      // Exponential backoff (capped): the total retry window across 50
+      // attempts is ~10 s, comfortably beyond worst-case publish
+      // latency, so contention can't exhaust the attempt budget.
+      Thread.sleep(math.min(5L << math.min(attempts, 6), 250L))
     }
     -1 // unreachable
   }
+
+  /** Stale-claim lease: an empty claim file older than this is
+    * adoptable by a competing writer (see commit()). Overridable for
+    * tests via system property.
+    */
+  private[sources] def StaleClaimLeaseMs: Long =
+    sys.props.get("graft.lake.staleClaimLeaseMs").map(_.toLong).getOrElse(10000L)
 
   /** Right-biased field merge: existing columns keep their position
     * and type; genuinely new columns append. A type CONFLICT on an
@@ -300,10 +328,21 @@ object GraftLake {
     val target = StructType.fromDDL(all.last.schemaDdl)
     val live = liveAt(all)
     val span = updates
-      .agg(org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
+      .agg(org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.count(col(statsCol)),
+        org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
         org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
-    if (span.isNullAt(0)) return (latestVersion(path), 0, live.size) // no updates
-    val (uLo, uHi) = (span.getLong(0), span.getLong(1))
+    if (span.getLong(0) == 0L) return (latestVersion(path), 0, live.size)
+    // A NULL statsCol escapes the overlap test entirely: an insert row
+    // would be silently dropped when the span is all-NULL, and an
+    // update row could miss a matched target hiding in a pruned set
+    // (SetStats min/max ignore NULLs). That's a silent contract
+    // violation — fail loudly instead.
+    require(span.getLong(1) == span.getLong(0),
+      s"merge updates contain NULL '$statsCol' values " +
+        s"(${span.getLong(0) - span.getLong(1)} of ${span.getLong(0)} rows); " +
+        "the zone-map overlap test cannot prune soundly with NULL keys")
+    val (uLo, uHi) = (span.getLong(2), span.getLong(3))
     val (hit, kept) = live.partition { ls =>
       ls.stats match {
         case Some(SetStats(c, lo, hi)) if c == statsCol => !(hi < uLo || lo > uHi)

@@ -73,9 +73,10 @@ object FunnelStream {
       }
   }
 
-  /** st11, gated: drive three EVENT-TIME-RANGE micro-batches (days
-    * 1-10 / 11-20 / rest — per-key order preserved across batches,
-    * the replayed-topic contract) through [[funnelStates]], append
+  /** st11, gated: drive three EVENT-TIME-RANGE micro-batches (thirds
+    * of the absolute [min ts, max ts] span — per-key order preserved
+    * across batches, the replayed-topic contract, regardless of the
+    * dataset's date span) through [[funnelStates]], append
     * each batch's progressions to parquet executor-side, then reduce
     * to the stage counts. Oracle = the BATCH funnel CTE (q62's): the
     * state machine must lose nothing across batch boundaries.
@@ -100,8 +101,20 @@ object FunnelStream {
       }
       .start()
     try {
-      val d = dayofmonth(col("ts"))
-      Seq(d <= 10, d > 10 && d <= 20, d > 20).foreach { pred =>
+      // ABSOLUTE event-time thresholds, not dayofmonth: batch k holds
+      // ts in [c(k-1), c(k)), so a later batch can never carry an
+      // earlier event — the replayed-topic per-key ordering contract
+      // holds for any date span (a multi-month dataset breaks the
+      // dayofmonth split: month 2 day 5 would land before month 1
+      // day 15). The cutoffs are a bounded 2-value driver agg.
+      val b = events.agg(min(col("ts")), max(col("ts"))).head
+      val (lo, hi) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+      val step = math.max((hi - lo) / 3, 1L)
+      val c1 = new java.sql.Timestamp(lo + step)
+      val c2 = new java.sql.Timestamp(lo + 2 * step)
+      Seq(col("ts") < lit(c1),
+        col("ts") >= lit(c1) && col("ts") < lit(c2),
+        col("ts") >= lit(c2)).foreach { pred =>
         events.filter(pred).write.mode("append").parquet(inDir)
         q.processAllAvailable()
       }

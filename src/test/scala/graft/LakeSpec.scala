@@ -106,6 +106,44 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, path).count() == 50)
   }
 
+  test("stale claim adoption: a dead writer's empty claim is taken over after the lease") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(50), path)
+    // A writer died between claim and publish: empty file, old mtime.
+    val orphan = java.nio.file.Paths.get(path, "_graft_log", "00000001.json")
+    Files.createFile(orphan)
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    // Within the lease a fresh claim would still block; past it the
+    // next writer must adopt version 1 instead of wedging forever.
+    sys.props("graft.lake.staleClaimLeaseMs") = "1000"
+    try {
+      val v = GraftLake.append(orders.limit(25), path)
+      assert(v == 1, s"expected adoption of the orphaned version 1, got $v")
+      assert(GraftLake.latestVersion(path) == 1)
+      assert(GraftLake.read(spark, path).count() == 75)
+    } finally sys.props.remove("graft.lake.staleClaimLeaseMs")
+  }
+
+  test("merge fails fast on NULL statsCol update rows instead of silently dropping them") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(100), path, statsCol = Some("o_orderkey"))
+    val updates = orders.limit(5)
+      .withColumn("o_orderkey", lit(null).cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      GraftLake.merge(spark, path, updates,
+        keyCols = Seq("o_orderkey"), statsCol = "o_orderkey")
+    }
+    assert(e.getMessage.contains("NULL 'o_orderkey'"))
+    // And a genuinely empty update set is still a clean no-op.
+    val (v, rewritten, _) = GraftLake.merge(spark, path, orders.limit(0),
+      keyCols = Seq("o_orderkey"), statsCol = "o_orderkey")
+    assert(v == 0 && rewritten == 0)
+  }
+
   test("idempotent tagged appends: replay is a no-op, even under a same-tag race") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
