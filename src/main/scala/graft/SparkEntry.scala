@@ -346,6 +346,7 @@ object SparkEntry {
     // Exactly-once streaming into the lake: tagged epoch commits make
     // foreachBatch idempotent under replay (proven in-row).
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10StreamToLake _,
+    "st12_lake_stream_read" -> graft.streaming.LakeStream.st12LakeStreamRead _,
     // q62's funnel as a streaming per-user state machine (24 bytes of
     // state per user); oracle = the BATCH funnel CTE, so the state
     // machine must lose nothing across micro-batch boundaries.
@@ -1717,6 +1718,7 @@ object SparkEntry {
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
+    "st12_lake_stream_read" -> graft.streaming.LakeStream.st12OracleSql,
     // Streaming funnel replays against the batch CTE — identical SQL.
     "st11_stream_funnel" -> graft.operators.Analytics.q62OracleSql,
     "d27_chunk_overlap" -> TextCorpus.d27OracleSql,

@@ -1,0 +1,268 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.example.data.Group
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STREAMING READ of a [[GraftLake]] table — the Delta-style
+  * incremental source that completes the lake loop (st10 streams INTO
+  * the lake, src14 reads CDC batches, this tails the commit log as a
+  * Structured Streaming source):
+  *
+  * `spark.readStream.format("graft-lake-stream").option("path", t).load()`
+  *
+  * Design (all public Spark DSv2 + parquet-hadoop surface):
+  *  - OFFSET = committed log version. `latestOffset` is one driver-side
+  *    log listing; a micro-batch (start, end] is exactly the rows the
+  *    commits in that version range ADDED, each tagged
+  *    `_commit_version` — so batch boundaries never change the result,
+  *    and checkpoint replay re-reads precisely the same commits
+  *    (exactly-once per commit, the appendIdempotent dual).
+  *  - PARALLELISM: one InputPartition per parquet part-file of each
+  *    added file-set — executors read files directly (parquet-hadoop
+  *    `GroupReadSupport`), nothing row-sized touches the driver, and a
+  *    100-file commit fans out to 100 tasks.
+  *  - COLUMN PRUNING: the read schema maps to a parquet projection
+  *    (`parquet.read.schema`), so unread columns are never decoded.
+  *    Spark does not run operator pushdown on streaming V2 scans, so
+  *    the explicit `option("columns", "a,b")` is the projection path
+  *    (SupportsPushDownRequiredColumns is implemented for the day the
+  *    optimizer prunes streaming scans too).
+  *  - SCHEMA EVOLUTION: each file-set decodes under its own written
+  *    schema; columns added by later commits null-fill, exactly like
+  *    the batch `readSet` path.
+  *  - INSERT-ONLY contract: an overwrite/merge/compact commit inside
+  *    the range throws (not representable as inserts) — the same rule
+  *    `changesSince` enforces; stream from a fresh snapshot instead.
+  *
+  * Primitive column types (long/int/double/boolean/string/date) cover
+  * every lake gate; nested/decimal payloads would extend the same
+  * Group→InternalRow switch.
+  */
+class LakeStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-lake-stream"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null, "graft-lake-stream requires option 'path'")
+    val cs = GraftLake.commits(path)
+    require(cs.nonEmpty, s"no graft-lake table at $path")
+    val full = StructType.fromDDL(cs.last.schemaDdl)
+    val projected = Option(options.get("columns")) match {
+      case Some(csv) =>
+        val keep = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        val have = full.fieldNames.toSet
+        keep.foreach(c => require(c == "_commit_version" || have(c),
+          s"unknown column '$c' in graft-lake-stream columns option"))
+        StructType(full.fields.filter(f => keep.contains(f.name)))
+      case None => full
+    }
+    projected.add("_commit_version", IntegerType, nullable = false)
+  }
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LakeStreamTable(
+      properties.asScala("path"),
+      properties.asScala.getOrElse("fromVersion", "-1").toInt,
+      schema)
+}
+
+private[sources] class LakeStreamTable(
+    path: String, fromVersion: Int, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_lake_stream($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeStreamScanBuilder(path, fromVersion, tableSchema)
+}
+
+private[sources] class LakeStreamScanBuilder(
+    path: String, fromVersion: Int, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Keep the table's field order; requiredSchema may reorder.
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => keep(f.name)))
+  }
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      LakeStreamSource.readSchemas.add(required.fieldNames.toSeq)
+      new LakeMicroBatchStream(path, fromVersion, required)
+    }
+  }
+}
+
+object LakeStreamSource {
+  /** Test observability: the (post-pruning) read schema of every
+    * started stream — column pruning happens at plan time, so specs
+    * assert here that unselected columns never reach the reader.
+    */
+  val readSchemas = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+}
+
+/** Offset = highest committed log version included so far. */
+private[sources] case class LakeVersionOffset(version: Int) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[sources] class LakeMicroBatchStream(
+    path: String, fromVersion: Int, required: StructType)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = LakeVersionOffset(fromVersion)
+
+  override def latestOffset(): Offset =
+    LakeVersionOffset(GraftLake.latestVersion(path))
+
+  override def deserializeOffset(json: String): Offset = {
+    // {"version":N} — avoid a JSON lib for one int field.
+    val v = json.replaceAll("[^0-9-]", "")
+    LakeVersionOffset(v.toInt)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeVersionOffset].version
+    val e = end.asInstanceOf[LakeVersionOffset].version
+    val cs = GraftLake.commits(path)
+    val range = cs.slice(s + 1, e + 1)
+    range.find(c => c.action != "create" && c.action != "append").foreach { c =>
+      throw new IllegalStateException(
+        s"commit ${c.version} is a ${c.action}: not representable as an " +
+          "insert-only stream — restart from a fresh snapshot")
+    }
+    range.flatMap { c =>
+      c.add.flatMap { set =>
+        val dir = java.nio.file.Paths.get(path, set)
+        val files = java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        files.map(f =>
+          LakeFilePartition(f.toString, c.schemaDdl, c.version): InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeFileReaderFactory(required)
+}
+
+/** One parquet part-file of one commit's file-set, with the schema the
+  * set was WRITTEN under (may be narrower than the read schema).
+  */
+private[sources] case class LakeFilePartition(
+    file: String, writtenDdl: String, commitVersion: Int) extends InputPartition
+
+private[sources] class LakeFileReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new LakeFileReader(p.asInstanceOf[LakeFilePartition], required)
+}
+
+/** Executor-side parquet decode of one part-file via parquet-hadoop's
+  * example Group API, projected to the (possibly pruned) read schema:
+  * columns absent from this set's written schema null-fill; the
+  * `_commit_version` column is a constant for the whole partition.
+  */
+private[sources] class LakeFileReader(
+    part: LakeFilePartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val written = StructType.fromDDL(part.writtenDdl)
+  private val writtenNames = written.fieldNames.toSet
+  // Data fields to decode from THIS file (ordered as in `required`).
+  private val dataFields: Array[StructField] =
+    required.fields.filter(f =>
+      f.name != "_commit_version" && writtenNames(f.name))
+
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    if (dataFields.nonEmpty) {
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, parquetProjection(dataFields))
+    }
+    ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(part.file))
+      .withConf(conf)
+      .build()
+  }
+
+  /** The requested fields as a parquet message schema string — all
+    * primitives, matching what Spark's parquet writer emits for them.
+    */
+  private def parquetProjection(fields: Array[StructField]): String =
+    fields.map { f =>
+      val t = f.dataType match {
+        case LongType => "int64"
+        case IntegerType => "int32"
+        case DoubleType => "double"
+        case BooleanType => "boolean"
+        case StringType => "binary"
+        case DateType => "int32"
+        case dt => throw new IllegalArgumentException(
+          s"graft-lake-stream: unsupported column type $dt for '${f.name}'")
+      }
+      s"optional $t ${f.name};"
+    }.mkString("message spark_schema {\n", "\n", "\n}")
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      if (f.name == "_commit_version") {
+        row.update(i, part.commitVersion)
+      } else if (!writtenNames(f.name)) {
+        row.update(i, null) // column added by a later commit
+      } else {
+        val gi = current.getType.getFieldIndex(f.name)
+        if (current.getFieldRepetitionCount(gi) == 0) {
+          row.update(i, null)
+        } else {
+          f.dataType match {
+            case LongType => row.update(i, current.getLong(gi, 0))
+            case IntegerType => row.update(i, current.getInteger(gi, 0))
+            case DoubleType => row.update(i, current.getDouble(gi, 0))
+            case BooleanType => row.update(i, current.getBoolean(gi, 0))
+            case StringType =>
+              row.update(i, UTF8String.fromString(current.getString(gi, 0)))
+            case DateType => row.update(i, current.getInteger(gi, 0))
+            case dt => throw new IllegalArgumentException(s"unsupported $dt")
+          }
+        }
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -76,4 +76,70 @@ object LakeStream {
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
       |  TRUE AS replay_skipped
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** st12: STREAMING READ from the lake (SURVEY.md §2) — the
+    * [[graft.sources.LakeStreamSource]] tails the commit log: create
+    * the table (v0), start the stream, append two more year-slices
+    * MID-STREAM (v1, v2), and fold every micro-batch's rows (tagged
+    * `_commit_version`) into per-commit aggregates. The oracle replays
+    * the three year splits from raw orders — green means the tail
+    * delivered every commit's rows exactly once, whatever the
+    * micro-batch boundaries were.
+    */
+  def st12LakeStreamRead(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.SparkEntry.scratch("graft_lake_tail", dir)
+    graft.SparkEntry.rmrf(path)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderdate"))
+    val y = year(col("o_orderdate"))
+    def slice(pred: org.apache.spark.sql.Column): DataFrame =
+      orders.filter(pred).drop("o_orderdate")
+    GraftLake.create(slice(y.isNull || y < 1998), path) // v0
+
+    val base = java.nio.file.Files.createTempDirectory("graft-st12")
+    val ckDir = base.resolve("ck").toString
+    val outDir = base.resolve("out").toString
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", path).load()
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()                    // micro-batch 1: v0
+      GraftLake.append(slice(y === 1998), path)  // v1, mid-stream
+      q.processAllAvailable()
+      GraftLake.append(slice(y > 1998), path)    // v2, mid-stream
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    val out = spark.read.parquet(outDir)
+      .groupBy(col("_commit_version").as("commit_version"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("commit_version"), col("o_orderstatus"))
+      .localCheckpoint(true)
+    graft.SparkEntry.rmrf(base.toString)
+    out
+  }
+
+  val st12OracleSql: String =
+    """SELECT 0 AS commit_version, o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders WHERE o_orderdate IS NULL OR year(o_orderdate) < 1998
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 1, o_orderstatus, count(*),
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 2
+      |UNION ALL
+      |SELECT 2, o_orderstatus, count(*),
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |FROM orders WHERE year(o_orderdate) > 1998 GROUP BY 2
+      |ORDER BY commit_version, o_orderstatus""".stripMargin
 }

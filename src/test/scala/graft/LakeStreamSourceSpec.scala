@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftLake, LakeStreamSource}
+
+class LakeStreamSourceSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshBase(): java.nio.file.Path =
+    Files.createTempDirectory("graft-lakestream")
+
+  private def orders: DataFrame =
+    Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  test("tailing stream delivers mid-stream appends exactly once, tagged by commit") {
+    val base = freshBase()
+    val path = base.resolve("t").toString
+    val outDir = base.resolve("out").toString
+    val ckDir = base.resolve("ck").toString
+    val v0 = orders.filter(col("o_orderkey") % 3 === 0)
+    val v1 = orders.filter(col("o_orderkey") % 3 === 1)
+    val v2 = orders.filter(col("o_orderkey") % 3 === 2)
+    GraftLake.create(v0, path)
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", path).load()
+      .writeStream.option("checkpointLocation", ckDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      GraftLake.append(v1, path) // arrives while the stream runs
+      q.processAllAvailable()
+      GraftLake.append(v2, path)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir)
+    // Every commit's rows exactly once, with the right version tag.
+    assert(got.count() == orders.count())
+    val byV = got.groupBy("_commit_version").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byV == Map(0 -> v0.count(), 1 -> v1.count(), 2 -> v2.count()))
+    assert(got.select("o_orderkey").distinct().count() == orders.count())
+
+    // RESTART from the checkpoint with no new commits: nothing replays
+    // (the offset is the committed log version — exactly-once on
+    // recovery, the read dual of appendIdempotent).
+    val q2 = spark.readStream.format("graft-lake-stream")
+      .option("path", path).load()
+      .writeStream.option("checkpointLocation", ckDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(outDir).count() == orders.count(),
+      "checkpoint restart must not re-deliver already-committed versions")
+  }
+
+  test("non-insert commits are rejected: the tail is an insert-only CDC stream") {
+    val base = freshBase()
+    val path = base.resolve("t").toString
+    GraftLake.create(orders.limit(100), path)
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", path).load()
+      .writeStream.option("checkpointLocation", base.resolve("ck").toString)
+      .format("noop")
+      .start()
+    try {
+      q.processAllAvailable()
+      GraftLake.overwrite(orders.limit(10), path)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("not representable") ||
+        Option(e.getCause).exists(_.getMessage.contains("not representable")))
+    } finally q.stop()
+  }
+
+  test("column pruning reaches the parquet readers; schema evolution null-fills") {
+    val base = freshBase()
+    val path = base.resolve("t").toString
+    val outDir = base.resolve("out").toString
+    GraftLake.create(orders.drop("cents").limit(50), path)        // narrow v0
+    GraftLake.append(orders.limit(50), path)                      // wide v1
+    LakeStreamSource.readSchemas.clear()
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", path)
+      .option("columns", "o_orderstatus,cents")                   // prune o_orderkey
+      .load()
+      .writeStream.option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val schemas = {
+      import scala.jdk.CollectionConverters._
+      LakeStreamSource.readSchemas.iterator().asScala.toSeq
+    }
+    assert(schemas.exists(s => !s.contains("o_orderkey")),
+      s"pruned column still reached the reader: $schemas")
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 100)
+    // v0 predates the cents column: those rows null-fill.
+    assert(got.filter(col("_commit_version") === 0 && col("cents").isNull).count() == 50)
+    assert(got.filter(col("_commit_version") === 1 && col("cents").isNotNull).count() == 50)
+  }
+}
