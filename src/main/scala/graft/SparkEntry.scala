@@ -404,6 +404,41 @@ object SparkEntry {
         .withColumn("compacted", lit(liveBefore == 8 && liveAfter == 1))
         .orderBy(col("o_orderstatus"))
     }),
+    // GraftLake row-level DELETE (copy-on-write): the table is laid
+    // out as 3 key-range file-sets with o_orderkey zone maps; a
+    // ranged delete must rewrite EXACTLY the one overlapping set
+    // (kept=2 proven in-row as `pruned`), then a generic-predicate
+    // delete (k % 7 = 3) exercises the scan-based hit detection. The
+    // oracle replays both deletes as filters over raw orders.
+    "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_delete", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val mk = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val k1 = mk / 3
+      val k2 = 2 * mk / 3
+      val hi = (k1 + k2) / 2
+      GraftLake.create(o.filter(col("o_orderkey") <= k1), path, Some("o_orderkey"))
+      GraftLake.append(
+        o.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2),
+        path, Some("o_orderkey"))
+      GraftLake.append(o.filter(col("o_orderkey") > k2), path, Some("o_orderkey"))
+      // Zone-map path: only the middle set overlaps (k1, hi].
+      val (_, nRewritten, nKept, _) =
+        GraftLake.deleteRange(s, path, "o_orderkey", k1 + 1, hi)
+      // Scan path: a non-range predicate across all remaining sets.
+      GraftLake.delete(s, path, pmod(col("o_orderkey"), lit(7)) === 3,
+        Some("o_orderkey"))
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("pruned", lit(nRewritten == 1 && nKept == 2))
+        .orderBy(col("o_orderstatus"))
+    }),
     // GraftLake CDC: three commits (pre-1998 / 1998 / post-1998),
     // then the CHANGES feed since v0 — exactly the v1+v2 rows, tagged
     // with their commit version. The oracle replays the year split.
@@ -1754,6 +1789,16 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
         |LEFT JOIN hits h2 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "src17_lake_delete" ->
+      """WITH mk AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  TRUE AS pruned
+        |FROM orders CROSS JOIN mk
+        |WHERE NOT (o_orderkey > m // 3
+        |           AND o_orderkey <= (m // 3 + (2 * m) // 3) // 2)
+        |  AND NOT (o_orderkey % 7 = 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src15_lake_compact" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,

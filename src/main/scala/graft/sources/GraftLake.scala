@@ -4,8 +4,8 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.util.matching.Regex
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** A minimal ACID table format over parquet — the "lakehouse" surface
@@ -55,18 +55,22 @@ object GraftLake {
   final case class Commit(
       version: Int, action: String, schemaDdl: String,
       add: Seq[String], remove: Seq[String], tag: Option[String] = None,
-      stats: Option[SetStats] = None)
+      stats: Seq[SetStats] = Seq.empty)
 
   /** Per-file-set min/max of one long column, recorded at commit time
     * from the written files — the manifest-level zone map that lets
-    * MERGE rewrite only overlapping file-sets.
+    * MERGE / DELETE / pruned scans touch only overlapping file-sets.
+    * A commit carries one entry PER stats column, so pruning composes
+    * across dimensions (the Z-order layout's manifest twin).
     */
   final case class SetStats(col: String, min: Long, max: Long)
 
   /** A live file-set as of some version: its path, the schema it was
-    * written under, and its optional zone-map stats.
+    * written under, and its zone-map stats (one per stats column).
     */
-  final case class LiveSet(set: String, schemaDdl: String, stats: Option[SetStats])
+  final case class LiveSet(set: String, schemaDdl: String, stats: Seq[SetStats]) {
+    def statsFor(c: String): Option[SetStats] = stats.find(_.col == c)
+  }
 
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
   private def logFile(table: String, v: Int): Path =
@@ -74,11 +78,16 @@ object GraftLake {
 
   // ---------------------------------------------------------------- write
 
-  /** Create the table at `path` from `df` (fails if it exists). */
-  def create(df: DataFrame, path: String, statsCol: Option[String] = None): Int = {
+  /** Create the table at `path` from `df` (fails if it exists).
+    * `statsCol` records a single zone-map column; `statsCols` records
+    * several (multi-dimension pruning) — they compose.
+    */
+  def create(
+      df: DataFrame, path: String, statsCol: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty): Int = {
     require(!Files.exists(logDir(path)), s"table already exists: $path")
     Files.createDirectories(logDir(path))
-    commit(df, path, "create", statsCol = statsCol)
+    commit(df, path, "create", statsCols = statsCol.toSeq ++ statsCols)
   }
 
   /** Append `df`; columns missing from the current schema are added
@@ -86,8 +95,10 @@ object GraftLake {
     * new rows only if present in `df`'s schema — existing data is
     * never rewritten.
     */
-  def append(df: DataFrame, path: String, statsCol: Option[String] = None): Int =
-    commit(df, path, "append", statsCol = statsCol)
+  def append(
+      df: DataFrame, path: String, statsCol: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty): Int =
+    commit(df, path, "append", statsCols = statsCol.toSeq ++ statsCols)
 
   /** Replace the table contents with `df` in one atomic commit. */
   def overwrite(df: DataFrame, path: String): Int = commit(df, path, "overwrite")
@@ -107,19 +118,27 @@ object GraftLake {
 
   private def commit(
       df: DataFrame, path: String, action: String,
-      tag: Option[String] = None, statsCol: Option[String] = None,
+      tag: Option[String] = None, statsCols: Seq[String] = Seq.empty,
       removeSets: Seq[String] = Seq.empty): Int = {
     // 1. stage the file-set — invisible until the log names it.
     val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$path/$setName")
     // Zone-map stats come from the WRITTEN files (parquet-footer-cheap
-    // scan), so they describe exactly what readers will see.
-    val stats = statsCol.flatMap { c =>
-      val r = df.sparkSession.read.parquet(s"$path/$setName")
-        .agg(org.apache.spark.sql.functions.min(col(c)).cast("long"),
-          org.apache.spark.sql.functions.max(col(c)).cast("long")).head
-      if (r.isNullAt(0)) None else Some(SetStats(c, r.getLong(0), r.getLong(1)))
-    }
+    // scan), so they describe exactly what readers will see — ALL
+    // stats columns in one aggregate pass.
+    val stats: Seq[SetStats] =
+      if (statsCols.isEmpty) Seq.empty
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c)).cast("long"),
+          org.apache.spark.sql.functions.max(col(c)).cast("long")))
+        val r = df.sparkSession.read.parquet(s"$path/$setName")
+          .agg(aggs.head, aggs.tail: _*).head
+        statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(2 * i)) None
+          else Some(SetStats(c, r.getLong(2 * i), r.getLong(2 * i + 1)))
+        }
+      }
     var attempts = 0
     while (true) {
       attempts += 1
@@ -269,6 +288,38 @@ object GraftLake {
   def read(spark: SparkSession, path: String): DataFrame =
     readAt(spark, path, latestVersion(path))
 
+  /** Zone-map-pruned SCAN: open only the live file-sets whose stats
+    * overlap EVERY `[lo, hi]` range in `ranges` — pruning composes
+    * across dimensions (a set is skipped as soon as ANY queried
+    * dimension is provably disjoint, so a two-predicate scan over a
+    * multi-stats / Z-ordered layout skips on both). Sets lacking
+    * stats on a queried column are read conservatively. The ranges
+    * only decide which files to OPEN (manifest-level skipping, like
+    * Delta's data skipping); callers still apply the row-level filter
+    * — parquet row-group pruning then composes within each opened
+    * set. Returns (frame, scannedSets, skippedSets).
+    */
+  def readPruned(
+      spark: SparkSession, path: String,
+      ranges: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    val all = commits(path)
+    require(all.nonEmpty, s"no table at $path")
+    val target = StructType.fromDDL(all.last.schemaDdl)
+    val live = liveAt(all)
+    val (scan, skip) = live.partition { ls =>
+      ranges.forall { case (c, lo, hi) =>
+        ls.statsFor(c) match {
+          case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
+          case None => true // no stats on this dimension — must read
+        }
+      }
+    }
+    val df = scan.map(readSet(spark, path, _, target))
+      .reduceLeftOption(_.unionByName(_))
+      .getOrElse(readAt(spark, path, all.size - 1).limit(0))
+    (df, scan.size, skip.size)
+  }
+
   /** CHANGES feed (CDC, insert-only): the rows added by every commit
     * AFTER `fromVersion`, each tagged `_commit_version` — the
     * incremental-read primitive a downstream pipeline polls instead
@@ -344,9 +395,9 @@ object GraftLake {
         "the zone-map overlap test cannot prune soundly with NULL keys")
     val (uLo, uHi) = (span.getLong(2), span.getLong(3))
     val (hit, kept) = live.partition { ls =>
-      ls.stats match {
-        case Some(SetStats(c, lo, hi)) if c == statsCol => !(hi < uLo || lo > uHi)
-        case _ => true // unknown span — must rewrite
+      ls.statsFor(statsCol) match {
+        case Some(SetStats(_, lo, hi)) => !(hi < uLo || lo > uHi)
+        case None => true // unknown span — must rewrite
       }
     }
     val targetNames = target.fieldNames.toSet
@@ -365,9 +416,86 @@ object GraftLake {
             keyCols, "left_anti")
           .unionByName(alignedUpdates)
     }
+    // Re-record every stats dimension the rewritten sets carried (plus
+    // the merge key) so multi-column pruning survives the rewrite.
+    val reStats = (hit.flatMap(_.stats.map(_.col)) :+ statsCol).distinct
     val v = commit(rewritten, path, "merge",
-      statsCol = Some(statsCol), removeSets = hit.map(_.set))
+      statsCols = reStats, removeSets = hit.map(_.set))
     (v, hit.size, kept.size)
+  }
+
+  /** Row-level DELETE (copy-on-write): remove the rows where
+    * `predicate` is TRUE (NULL keeps the row, SQL DELETE semantics),
+    * rewriting ONLY the file-sets that actually contain matching rows
+    * — found by ONE distributed scan that tags each candidate set and
+    * counts its matches (O(sets) rows back to the driver, metadata-
+    * sized). Untouched sets survive by reference; vacuum reclaims the
+    * rewritten ones. The commit conflict-checks that every rewritten
+    * set is still live, so racing writers fail cleanly. GDPR-style
+    * erasure and CDC deletes compose from this primitive.
+    *
+    * `statsCol` re-records zone-map stats on the rewritten set so
+    * later merges/deletes keep pruning.
+    *
+    * Returns (version, rewrittenSets, keptSets, deletedRows); a no-hit
+    * delete commits nothing and returns the current version.
+    */
+  def delete(
+      spark: SparkSession, path: String, predicate: Column,
+      statsCol: Option[String] = None): (Int, Int, Int, Long) =
+    deleteCore(spark, path, predicate, statsCol, pruneDisjoint = None)
+
+  /** Zone-map DELETE of a `[lo, hi]` range on `col`: file-sets whose
+    * recorded `SetStats(col)` span is DISJOINT from the range are
+    * skipped WITHOUT scanning — the manifest-level pruning that makes
+    * a one-partition delete touch one partition's files at 100 TB.
+    * Sets lacking stats on `col` are scanned conservatively.
+    */
+  def deleteRange(
+      spark: SparkSession, path: String, col: String, lo: Long, hi: Long,
+      statsCol: Option[String] = None): (Int, Int, Int, Long) =
+    deleteCore(spark, path,
+      functions.col(col) >= lo && functions.col(col) <= hi,
+      statsCol.orElse(Some(col)),
+      pruneDisjoint = Some((col, lo, hi)))
+
+  private def deleteCore(
+      spark: SparkSession, path: String, predicate: Column,
+      statsCol: Option[String],
+      pruneDisjoint: Option[(String, Long, Long)]): (Int, Int, Int, Long) = {
+    val all = commits(path)
+    require(all.nonEmpty, s"no table at $path")
+    val target = StructType.fromDDL(all.last.schemaDdl)
+    val live = liveAt(all)
+    // Manifest-level prune: provably disjoint sets never even scan.
+    val (candidates, skipped) = pruneDisjoint match {
+      case Some((c, lo, hi)) => live.partition { ls =>
+        ls.statsFor(c) match {
+          case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
+          case None => true // unknown span — must look
+        }
+      }
+      case None => (live, Seq.empty[LiveSet])
+    }
+    if (candidates.isEmpty) return (latestVersion(path), 0, live.size, 0L)
+    // ONE distributed job: per-set match counts (O(sets) driver rows).
+    val tagged = candidates.map { ls =>
+      readSet(spark, path, ls, target)
+        .filter(coalesce(predicate, lit(false)))
+        .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .select(lit(ls.set).as("s"), functions.col("n"))
+    }.reduceLeft(_.unionByName(_))
+    val matchCounts = tagged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hitSets = candidates.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
+    val deleted = matchCounts.values.sum
+    if (hitSets.isEmpty) return (latestVersion(path), 0, live.size, 0L)
+    val rewritten = hitSets.map(readSet(spark, path, _, target))
+      .reduceLeft(_.unionByName(_))
+      .filter(!coalesce(predicate, lit(false))) // NULL predicate keeps the row
+    val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq).distinct
+    val v = commit(rewritten, path, "delete",
+      statsCols = reStats, removeSets = hitSets.map(_.set))
+    (v, hitSets.size, live.size - hitSets.size, deleted)
   }
 
   /** Transactional COMPACTION: rewrite all live file-sets into one
@@ -389,7 +517,8 @@ object GraftLake {
     val df = read(spark, path)
       .repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    commit(df, path, "compact", statsCol = statsCol,
+    commit(df, path, "compact",
+      statsCols = (live.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq).distinct,
       removeSets = live.map(_.set))
   }
 
@@ -448,9 +577,11 @@ object GraftLake {
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     val tagField = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("")
-    val statsField = c.stats.map(st =>
-      s""","statsCol":"${esc(st.col)}","statsMin":${st.min},"statsMax":${st.max}""")
-      .getOrElse("")
+    val statsField =
+      if (c.stats.isEmpty) ""
+      else c.stats.map(st =>
+        s"""{"col":"${esc(st.col)}","min":${st.min},"max":${st.max}}""")
+        .mkString(""","stats":[""", ",", "]")
     s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""schema":"${esc(c.schemaDdl)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)}$tagField$statsField}"""
@@ -463,7 +594,7 @@ object GraftLake {
   private val RemoveRe: Regex = """"remove":\[([^\]]*)\]""".r.unanchored
   private val TagRe: Regex = """"tag":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val StatsRe: Regex =
-    """"statsCol":"((?:[^"\\]|\\.)*)","statsMin":(-?\d+),"statsMax":(-?\d+)""".r.unanchored
+    """\{"col":"((?:[^"\\]|\\.)*)","min":(-?\d+),"max":(-?\d+)\}""".r.unanchored
   private val ItemRe: Regex = """"((?:[^"\\]|\\.)*)"""".r
 
   private def parse(json: String): Commit = {
@@ -476,8 +607,8 @@ object GraftLake {
         Commit(v.group(1).toInt, a.group(1), unesc(s.group(1)),
           items(ad.group(1)), items(rm.group(1)),
           TagRe.findFirstMatchIn(json).map(m => unesc(m.group(1))),
-          StatsRe.findFirstMatchIn(json).map(m =>
-            SetStats(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong)))
+          StatsRe.findAllMatchIn(json).map(m =>
+            SetStats(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong)).toSeq)
       case _ => throw new IllegalStateException(s"bad commit json: $json")
     }
   }

@@ -207,6 +207,96 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(merged.orderBy("o_orderkey").collect().map(_.toString).toSeq == want)
   }
 
+  test("ranged delete rewrites only the overlapping set; untouched sets keep their files") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val mk = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val (k1, k2) = (mk / 3, 2 * mk / 3)
+    GraftLake.create(orders.filter(col("o_orderkey") <= k1), path, Some("o_orderkey"))
+    GraftLake.append(orders.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2),
+      path, Some("o_orderkey"))
+    GraftLake.append(orders.filter(col("o_orderkey") > k2), path, Some("o_orderkey"))
+    val n0 = GraftLake.read(spark, path).count()
+    def liveSets = GraftLake.commits(path).foldLeft(Seq.empty[String]) { (l, c) =>
+      l.filterNot(c.remove.contains) ++ c.add
+    }
+    val before = liveSets
+    def filesOf(set: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.list(java.nio.file.Paths.get(path, set)).iterator().asScala
+        .map(_.getFileName.toString).toSet
+    }
+    val untouchedFiles = Seq(before.head, before.last).map(s => s -> filesOf(s))
+    val expect = orders
+      .filter(col("o_orderkey") > k1 + 10 && col("o_orderkey") <= k2 - 10).count()
+    val (_, nRewritten, nKept, nDeleted) =
+      GraftLake.deleteRange(spark, path, "o_orderkey", k1 + 11, k2 - 10)
+    assert(nRewritten == 1, "only the overlapping middle set rewrites")
+    assert(nKept == 2)
+    assert(nDeleted == expect)
+    assert(GraftLake.read(spark, path).count() == n0 - expect)
+    // Non-overlapping sets survive BY REFERENCE: same set dirs, same files.
+    val after = liveSets
+    assert(after.contains(before.head) && after.contains(before.last))
+    untouchedFiles.foreach { case (s, fs) => assert(filesOf(s) == fs) }
+    assert(!after.contains(before(1)), "the hit set was replaced")
+
+    // Generic-predicate delete: scan-based hit detection, exact count.
+    val expect7 = GraftLake.read(spark, path)
+      .filter(pmod(col("o_orderkey"), lit(7)) === 3).count()
+    val (_, _, _, nDel7) =
+      GraftLake.delete(spark, path, pmod(col("o_orderkey"), lit(7)) === 3)
+    assert(nDel7 == expect7)
+    assert(GraftLake.read(spark, path)
+      .filter(pmod(col("o_orderkey"), lit(7)) === 3).count() == 0)
+
+    // A no-hit delete commits nothing.
+    val vBefore = GraftLake.latestVersion(path)
+    val (v, r, _, d) = GraftLake.delete(spark, path, col("o_orderkey") < -1)
+    assert(v == vBefore && r == 0 && d == 0)
+
+    // NULL predicate keeps the row (SQL DELETE semantics).
+    val (v2, _, _, d2) = GraftLake.delete(spark, path,
+      (col("o_orderkey") < lit(null).cast("long")))
+    assert(v2 == vBefore && d2 == 0)
+  }
+
+  test("multi-column zone maps: a two-predicate scan prunes sets on both dimensions") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val mk = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val mc = orders.agg(max(col("o_custkey"))).head.getLong(0)
+    // 2x2 grid of file-sets: (key half) x (cust half), stats on BOTH.
+    for (kh <- 0 to 1; ch <- 0 to 1) {
+      val slice = orders.filter(
+        (if (kh == 0) col("o_orderkey") <= mk / 2 else col("o_orderkey") > mk / 2) &&
+          (if (ch == 0) col("o_custkey") <= mc / 2 else col("o_custkey") > mc / 2))
+      if (kh == 0 && ch == 0)
+        GraftLake.create(slice, path, statsCols = Seq("o_orderkey", "o_custkey"))
+      else
+        GraftLake.append(slice, path, statsCols = Seq("o_orderkey", "o_custkey"))
+    }
+    // One-dimension range: prunes to the matching key half (2 sets).
+    val (_, scan1, skip1) =
+      GraftLake.readPruned(spark, path, Seq(("o_orderkey", 0L, mk / 2)))
+    assert(scan1 == 2 && skip1 == 2)
+    // Two dimensions compose: exactly ONE quadrant survives.
+    val (df2, scan2, skip2) = GraftLake.readPruned(spark, path,
+      Seq(("o_orderkey", 0L, mk / 2), ("o_custkey", 0L, mc / 2)))
+    assert(scan2 == 1 && skip2 == 3,
+      s"expected 1 quadrant scanned, got scan=$scan2 skip=$skip2")
+    // Pruning is sound: the filtered pruned scan equals the full scan.
+    val pred = col("o_orderkey") <= mk / 2 && col("o_custkey") <= mc / 2
+    assert(df2.filter(pred).count() == orders.filter(pred).count())
+    // Compaction re-records both dimensions, so pruning still works
+    // (single set now — nothing skippable, but stats must survive).
+    GraftLake.compact(spark, path, Seq("o_orderkey"), numFiles = 2)
+    val liveStats = GraftLake.commits(path).last.stats.map(_.col)
+    assert(liveStats.toSet == Set("o_orderkey", "o_custkey"))
+  }
+
   test("vacuum reclaims merged-away sets; latest survives, old snapshots don't") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
