@@ -176,6 +176,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
         .orderBy("o_orderstatus")
     }),
+    // Avro container round-trip (raw Avro core, no connector): dates
+    // ride the `date` logical type and nulls the [null,T] unions, so
+    // the null-date rows and every value survive the binary hop.
+    "src18_avro_roundtrip" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val out = scratch("graft_orders_avro", dir)
+      rmrf(out)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      graft.sources.AvroIO.write(o, out)
+      graft.sources.AvroIO.read(s, out, o.schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("rev"),
+          max(year(col("o_orderdate"))).as("max_year"))
+        .orderBy("o_orderstatus")
+    }),
     // JSON round-trip inside the gate: schema-explicit read (inference
     // over JSON is a full extra pass at scale) with a nested struct
     // that survives the text round-trip.
@@ -964,6 +982,15 @@ object SparkEntry {
     // oracle is the same plain aggregate.
     "src05_json_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // The Avro hop preserves values and nulls exactly — same replay as
+    // the other round-trips, plus the date column through its logical
+    // type.
+    "src18_avro_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+        |  CAST(max(year(o_orderdate)) AS INT) AS max_year
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
