@@ -73,6 +73,67 @@ object FunnelStream {
       }
   }
 
+  /** Buffered per-user state: the committed funnel fold plus the
+    * not-yet-watermarked events, as (micros, event_id, event_type).
+    */
+  case class FunnelBuf(st: FunnelSt, buf: Seq[(Long, Long, String)])
+
+  private def advanceRaw(st: FunnelSt, events: Seq[(Long, Long, String)]): FunnelSt = {
+    var (v, c, p) = (st.view, st.click, st.purchase)
+    events.sorted.foreach { case (t, _, typ) =>
+      typ match {
+        case "view" if v < 0 => v = t
+        case "click" if v >= 0 && c < 0 && t > v => c = t
+        case "purchase" if c >= 0 && p < 0 && t > c => p = t
+        case _ =>
+      }
+    }
+    FunnelSt(v, c, p)
+  }
+
+  /** WATERMARK-BUFFERED funnel — [[funnelStates]] without the
+    * ordered-replay drive contract: events may arrive in ANY order
+    * across micro-batches (up to the watermark's allowed lateness)
+    * and the result still equals the batch funnel.
+    *
+    * Per user the state is (committed fold, buffer of unwatermarked
+    * events). Each batch: buffer the arrivals, COMMIT (fold in full
+    * event-time order) exactly the buffered events now at or below
+    * the watermark — their order can no longer change — and emit the
+    * stage of the committed fold extended SPECULATIVELY over the
+    * still-buffered tail. Funnel stage is MONOTONE in the event set
+    * (another view can only lower the view anchor, which only widens
+    * click eligibility, etc.), so speculative stages never overshoot
+    * the final answer and `max(stage)` downstream stays correct; once
+    * every event has arrived, the speculative fold IS the one-shot
+    * batch fold. State stays O(events inside the lateness window) per
+    * user — the watermark, not history, bounds the buffer. Events
+    * later than the allowed lateness fold conservatively on arrival
+    * (same contract under which Spark's own event-time aggregates
+    * drop them).
+    */
+  def funnelStatesBuffered(
+      events: Dataset[Event], delayThreshold: String): Dataset[FunnelProg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delayThreshold)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelBuf]) =>
+          val prev = state.getOption.getOrElse(FunnelBuf(FunnelSt(-1L, -1L, -1L), Seq.empty))
+          val arrived = it.map(e => (micros(e.ts), e.event_id, e.event_type)).toSeq
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = (prev.buf ++ arrived).partition(_._1 <= wmMicros)
+          val committed = advanceRaw(prev.st, ripe)
+          state.update(FunnelBuf(committed, hold))
+          Iterator.single(
+            FunnelProg(uid, stageOf(advanceRaw(committed, hold))))
+      }
+  }
+
   /** st11, gated: drive three EVENT-TIME-RANGE micro-batches (thirds
     * of the absolute [min ts, max ts] span — per-key order preserved
     * across batches, the replayed-topic contract, regardless of the

@@ -409,6 +409,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("st11 buffered funnel: SHUFFLED batch assignment equals the batch answer") {
+    import graft.streaming.FunnelStream
+    import spark.implicits._
+    import org.apache.spark.sql.functions.max
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.eventsDs(spark, sf).collect().toSeq
+    val want = graft.operators.Analytics.q62Funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // Time-IGNORING batch assignment: a later batch routinely carries
+    // earlier events — exactly what breaks the ordered-replay contract
+    // of funnelStates. The lateness bound spans the data, so nothing
+    // is dropped however scrambled the arrival.
+    val rnd = new scala.util.Random(7)
+    val assignment = evs.map(e => rnd.nextInt(3) -> e)
+    val stream = MemoryStream[Event]
+    val q = FunnelStream.funnelStatesBuffered(stream.toDS(), "365 days")
+      .writeStream.format("memory").queryName("st11_buf")
+      .outputMode("update").start()
+    try {
+      (0 until 3).foreach { i =>
+        stream.addData(assignment.collect { case (b, e) if b == i => e })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fin = spark.table("st11_buf")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val counts = Map(
+      "stage1_view" -> fin.values.count(_ >= 1).toLong,
+      "stage2_click" -> fin.values.count(_ >= 2).toLong,
+      "stage3_purchase" -> fin.values.count(_ >= 3).toLong)
+    assert(counts == want, "shuffled arrival must fold to the batch funnel")
+
+    // Time-ranged drive with a tight lateness bound: the watermark
+    // COMMITS early batches out of the buffer (state drains) and the
+    // answer still matches.
+    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val stream2 = MemoryStream[Event]
+    val q2 = FunnelStream.funnelStatesBuffered(stream2.toDS(), "2 days")
+      .writeStream.format("memory").queryName("st11_buf2")
+      .outputMode("update").start()
+    try {
+      sorted.grouped(math.max(1, sorted.size / 3 + 1)).foreach { b =>
+        stream2.addData(b)
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val fin2 = spark.table("st11_buf2")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fin2 == fin, "watermark-committed path must equal the buffered path")
+  }
+
   test("st11 funnel state machine: any event-time batch split equals one-shot") {
     import graft.streaming.FunnelStream
     import graft.model.Event
