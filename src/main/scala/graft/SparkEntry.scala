@@ -176,6 +176,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
         .orderBy("o_orderstatus")
     }),
+    // JDBC round-trip through embedded Derby: write via the JDBC
+    // sink, read back PARTITIONED (partitionColumn/bounds → one
+    // concurrent range query per task, the parallel-ingest shape for
+    // any warehouse RDBMS source) — filters/projection push into the
+    // remote SQL (PushedFilters, spec-asserted). Fresh db per
+    // invocation: embedded Derby pins booted dbs in-JVM, so reruns
+    // must not rmrf a live one.
+    "src19_jdbc_roundtrip" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+      val db = scratch("graft_jdbc", dir) +
+        s"/db${java.util.UUID.randomUUID().toString.take(8)}"
+      val url = s"jdbc:derby:$db;create=true"
+      val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      o.write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "ORDERS_T")
+        .option("driver", drv).save()
+      val b = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", "ORDERS_T").option("driver", drv)
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", b.getLong(0)).option("upperBound", b.getLong(1))
+        .option("numPartitions", 4)
+        .load()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
     // Avro container round-trip (raw Avro core, no connector): dates
     // ride the `date` logical type and nulls the [null,T] unions, so
     // the null-date rows and every value survive the binary hop.
@@ -365,6 +395,7 @@ object SparkEntry {
     // foreachBatch idempotent under replay (proven in-row).
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10StreamToLake _,
     "st12_lake_stream_read" -> graft.streaming.LakeStream.st12LakeStreamRead _,
+    "st13_lake_pipeline" -> graft.streaming.LakeStream.st13LakePipeline _,
     // q62's funnel as a streaming per-user state machine (24 bytes of
     // state per user); oracle = the BATCH funnel CTE, so the state
     // machine must lose nothing across micro-batch boundaries.
@@ -981,6 +1012,12 @@ object SparkEntry {
     // The JSON round-trip preserves the nested struct exactly, so the
     // oracle is the same plain aggregate.
     "src05_json_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // The JDBC hop is content-neutral — the plain aggregate replays it.
+    "src19_jdbc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
         |FROM orders
         |GROUP BY o_orderstatus
@@ -1781,6 +1818,7 @@ object SparkEntry {
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
     "st12_lake_stream_read" -> graft.streaming.LakeStream.st12OracleSql,
+    "st13_lake_pipeline" -> graft.streaming.LakeStream.st13OracleSql,
     // Streaming funnel replays against the batch CTE — identical SQL.
     "st11_stream_funnel" -> graft.operators.Analytics.q62OracleSql,
     "d27_chunk_overlap" -> TextCorpus.d27OracleSql,

@@ -522,6 +522,38 @@ object GraftLake {
       removeSets = live.map(_.set))
   }
 
+  /** Z-ORDER compaction: one atomic `compact` commit whose rewritten
+    * files are clustered by the Morton key of (colA, colB) — each
+    * parquet file covers a narrow range of BOTH dimensions, so a
+    * two-predicate scan skips at the file/row-group level inside the
+    * set, while the recorded multi-column [[SetStats]] keep
+    * `readPruned`/merge/delete pruning at the manifest level. The
+    * lake-format twin of Delta's OPTIMIZE ZORDER BY.
+    */
+  def compactZOrder(
+      spark: SparkSession, path: String, colA: String, colB: String,
+      numFiles: Int): Int = {
+    val live = liveAt(commits(path))
+    require(live.nonEmpty, s"nothing to compact at $path")
+    val df = read(spark, path)
+    val r = df.agg(
+      org.apache.spark.sql.functions.min(col(colA).cast("double")),
+      org.apache.spark.sql.functions.max(col(colA).cast("double")),
+      org.apache.spark.sql.functions.min(col(colB).cast("double")),
+      org.apache.spark.sql.functions.max(col(colB).cast("double"))).head
+    val z = Sources.zorderKey(
+      col(colA), r.getDouble(0), r.getDouble(1),
+      col(colB), r.getDouble(2), r.getDouble(3))
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    commit(clustered, path, "compact",
+      statsCols =
+        (live.flatMap(_.stats.map(_.col)) ++ Seq(colA, colB)).distinct,
+      removeSets = live.map(_.set))
+  }
+
   // --------------------------------------------------------------- vacuum
 
   /** Delete every data file-set NOT live at the latest version —

@@ -128,6 +128,79 @@ object LakeStream {
     out
   }
 
+  /** st13: the COMPOSED incremental pipeline — lake → stream → lake.
+    * A source table takes three commits; `graft-lake-stream` tails it
+    * (st12's source), each micro-batch CURATES its delta (filter +
+    * derived band) and lands it in a SECOND lake table via
+    * exactly-once tagged appends (st10's sink). The curated table
+    * must equal the one-shot batch transform of the source — proving
+    * the incremental pipeline loses nothing and doubles nothing — and
+    * an epoch replay after the stream is a proven no-op
+    * (`replay_skipped`). This is the end-to-end shape a 100 TB
+    * training-data refinery runs continuously: new raw commits flow
+    * through curation into the refined table with per-commit
+    * exactly-once semantics, no full rescans anywhere.
+    */
+  def st13LakePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.SparkEntry.scratch("graft_lake_pipe_src", dir)
+    val dst = graft.SparkEntry.scratch("graft_lake_pipe_dst", dir)
+    graft.SparkEntry.rmrf(src)
+    graft.SparkEntry.rmrf(dst)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def curate(df: DataFrame): DataFrame =
+      df.filter(col("cents") >= 10000000L)
+        .withColumn("band", expr("cents div 10000000"))
+    GraftLake.create(orders.filter(col("o_orderkey") % 3 === 0), src)
+    GraftLake.create(curate(orders).limit(0), dst)
+
+    val base = java.nio.file.Files.createTempDirectory("graft-st13")
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", src).load()
+      .writeStream
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        GraftLake.appendIdempotent(
+          curate(batch.drop("_commit_version")), dst, s"epoch-$batchId")
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      GraftLake.append(orders.filter(col("o_orderkey") % 3 === 1), src)
+      q.processAllAvailable()
+      GraftLake.append(orders.filter(col("o_orderkey") % 3 === 2), src)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    // Epoch replay against the curated table: tag already present.
+    val before = GraftLake.latestVersion(dst)
+    GraftLake.appendIdempotent(
+      curate(orders.filter(col("o_orderkey") % 3 === 0)), dst, "epoch-0")
+    val replaySkipped = GraftLake.latestVersion(dst) == before
+
+    val out = GraftLake.read(spark, dst)
+      .groupBy(col("o_orderstatus"), col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("replay_skipped", lit(replaySkipped))
+      .orderBy(col("o_orderstatus"), col("band"))
+      .localCheckpoint(true)
+    graft.SparkEntry.rmrf(base.toString)
+    out
+  }
+
+  val st13OracleSql: String =
+    """SELECT o_orderstatus,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) // 10000000 AS band,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  TRUE AS replay_skipped
+      |FROM orders
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 10000000
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val st12OracleSql: String =
     """SELECT 0 AS commit_version, o_orderstatus, count(*) AS n,
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

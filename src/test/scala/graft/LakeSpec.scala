@@ -297,6 +297,38 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(liveStats.toSet == Set("o_orderkey", "o_custkey"))
   }
 
+  test("lake z-order compaction narrows per-file spans on both dims in one atomic commit") {
+    val path = freshTable()
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    GraftLake.create(li.repartition(8), path)
+    val nBefore = GraftLake.read(spark, path).count()
+    GraftLake.compactZOrder(spark, path, "l_partkey", "l_suppkey", numFiles = 8)
+    // Content-neutral, single live set, both stats dims recorded.
+    assert(GraftLake.read(spark, path).count() == nBefore)
+    val last = GraftLake.commits(path).last
+    assert(last.action == "compact")
+    assert(last.stats.map(_.col).toSet == Set("l_partkey", "l_suppkey"))
+    // Per-file min/max of BOTH dims must narrow vs global (a linear
+    // sort leaves the second dim full-range in every file).
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(java.nio.file.Paths.get(path, last.add.head))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size >= 4)
+    Seq("l_partkey", "l_suppkey").foreach { c =>
+      val g = {
+        val r = li.agg(min(col(c).cast("double")), max(col(c).cast("double"))).head
+        r.getDouble(1) - r.getDouble(0)
+      }
+      val avg = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head
+        r.getDouble(1) - r.getDouble(0)
+      }.sum / files.size
+      assert(avg < 0.75 * g, f"$c avg per-file span $avg%.0f vs global $g%.0f")
+    }
+  }
+
   test("vacuum reclaims merged-away sets; latest survives, old snapshots don't") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
