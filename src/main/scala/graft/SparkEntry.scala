@@ -425,6 +425,8 @@ object SparkEntry {
     // accounts) and metadata-filtered ANN (filter IS the join key).
     "q68_semi_additive"   -> graft.operators.Analytics.q68SemiAdditive _,
     "s09_ann_filtered"    -> ((s: SparkSession, d: String) => Similarity.s09AnnFiltered(s, d)),
+    // Hybrid keyword+vector retrieval: lexical tf fused with cosine.
+    "s10_hybrid_search"   -> ((s: SparkSession, d: String) => Similarity.s10HybridSearch(s, d)),
     // GraftLake transactional COMPACTION: 8 small appends rewritten
     // into one range-sorted 2-file set in a single atomic commit;
     // content neutrality proven by the oracle, the layout collapse
@@ -1879,6 +1881,7 @@ object SparkEntry {
     "q67_mode" -> graft.operators.Analytics.q67OracleSql,
     "q68_semi_additive" -> graft.operators.Analytics.q68OracleSql,
     "s09_ann_filtered" -> Similarity.s09OracleSql,
+    "s10_hybrid_search" -> Similarity.s10OracleSql,
     "src14_lake_cdc" ->
       """SELECT 1 AS commit_version, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

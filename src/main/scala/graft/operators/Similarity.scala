@@ -740,6 +740,71 @@ object Similarity {
     topK(scored).withColumnRenamed("cos_sim", "dot")
   }
 
+  /** s10: HYBRID (keyword + vector) search — the retrieval shape RAG
+    * pipelines run: a lexical signal (term frequency of the query
+    * term in the document, log-damped) FUSED with the embedding
+    * cosine, top-k on the combined score. The corpus side joins
+    * `documents` to `embeddings` on doc_id = vec_id (one equi-join,
+    * shuffle on the id), the 10-query side broadcasts, and the
+    * bounded-heap top-k keeps the shuffle at O(partitions × k) — the
+    * same scale shape as s01. At 100 TB the lexical term lookup would
+    * ride an inverted-index table; the fusion and top-k are unchanged.
+    */
+  def s10HybridSearch(spark: SparkSession, dir: String, term: String = "spark",
+      alpha: Double = 0.05): DataFrame = {
+    val (q, c) = split(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("tf",
+        ((length(col("t")) - length(regexp_replace(col("t"), term, ""))) /
+          term.length).cast("int"))
+      .select(col("doc_id"), col("tf"))
+    val scored = c.join(docs, c("n_id") === docs("doc_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+      // Saturating damping tf/(1+tf): every op (÷, ×, +) is IEEE
+      // correctly-rounded, so the fused double is bit-identical in any
+      // engine — ln() is only ~1-ulp accurate and implementation-
+      // defined, a cross-engine hash hazard at round() boundaries.
+      .withColumn("score",
+        col("cos") + lit(alpha) * (col("tf") / (lit(1.0) + col("tf"))))
+    scored
+      .groupBy(col("q_id"))
+      .agg(VectorFunctions.topKByScore(col("score"), col("n_id"), K).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("n_id"),
+        round(col("col.score"), 4).as("score"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** s10 replay: identical tf counting (non-overlapping occurrences),
+    * identical double fusion — ÷/×/+ are IEEE correctly-rounded in
+    * both engines, rounded at presentation.
+    */
+  val s10OracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |d AS (SELECT doc_id,
+       |    CAST((length(lower(text)) - length(replace(lower(text), 'spark', '')))
+       |      / 5 AS INT) AS tf
+       |  FROM documents),
+       |c AS (SELECT vec_id AS n_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+       |  FROM embeddings WHERE vec_id >= $NQueries),
+       |s AS (SELECT q_id, n_id,
+       |    list_cosine_similarity(q_emb, n_emb) + 0.05 * (tf / (1.0 + tf)) AS score
+       |  FROM c JOIN d ON n_id = doc_id CROSS JOIN q),
+       |r AS (SELECT q_id, n_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rnk
+       |  FROM s)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(score, 4) AS score
+       |FROM r WHERE rnk <= $K
+       |ORDER BY q_id, rnk""".stripMargin
+
   /** s08 replay: DuckDB's list_inner_product over the same doubles. */
   val s08OracleSql: String =
     s"""WITH q AS (SELECT vec_id AS q_id,

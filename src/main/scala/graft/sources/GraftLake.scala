@@ -55,7 +55,7 @@ object GraftLake {
   final case class Commit(
       version: Int, action: String, schemaDdl: String,
       add: Seq[String], remove: Seq[String], tag: Option[String] = None,
-      stats: Seq[SetStats] = Seq.empty)
+      stats: Seq[SetStats] = Seq.empty, tsMillis: Long = 0L)
 
   /** Per-file-set min/max of one long column, recorded at commit time
     * from the written files — the manifest-level zone map that lets
@@ -169,7 +169,12 @@ object GraftLake {
             s"file-set $r was removed by a concurrent commit; retry the merge")
         }
       }
-      val json = render(Commit(v, action, mergedDdl, Seq(setName), removed, tag, stats))
+      // Commit wall-clock, stamped at claim time: MONOTONized against
+      // the prior commit so timestamp time travel is well-defined even
+      // if the system clock steps backward between writers.
+      val ts = math.max(System.currentTimeMillis(),
+        prior.lastOption.map(_.tsMillis).getOrElse(0L))
+      val json = render(Commit(v, action, mergedDdl, Seq(setName), removed, tag, stats, ts))
       // 2. claim the version: O_EXCL create of the empty final name.
       val f = logFile(path, v)
       val claimed =
@@ -287,6 +292,23 @@ object GraftLake {
   /** The latest snapshot. */
   def read(spark: SparkSession, path: String): DataFrame =
     readAt(spark, path, latestVersion(path))
+
+  /** TIME TRAVEL BY TIMESTAMP: the snapshot as of wall-clock
+    * `tsMillis` — the last commit stamped at or before it. Commit
+    * stamps are monotonized at claim time, so the version choice is
+    * well-defined even across clock steps; commits from logs written
+    * before stamps existed read as ts=0 (always included). Fails if
+    * the timestamp precedes the table's creation, like Delta's
+    * `timestampAsOf`.
+    */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame = {
+    val all = commits(path)
+    require(all.nonEmpty, s"no table at $path")
+    val at = all.lastIndexWhere(_.tsMillis <= tsMillis)
+    require(at >= 0,
+      s"timestamp $tsMillis precedes the first commit (${all.head.tsMillis}) at $path")
+    readAt(spark, path, at)
+  }
 
   /** Zone-map-pruned SCAN: open only the live file-sets whose stats
     * overlap EVERY `[lo, hi]` range in `ranges` — pruning composes
@@ -615,11 +637,13 @@ object GraftLake {
         s"""{"col":"${esc(st.col)}","min":${st.min},"max":${st.max}}""")
         .mkString(""","stats":[""", ",", "]")
     s"""{"version":${c.version},"action":"${c.action}",""" +
+      s""""ts":${c.tsMillis},""" +
       s""""schema":"${esc(c.schemaDdl)}",""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)}$tagField$statsField}"""
   }
 
   private val VersionRe: Regex = """"version":(\d+)""".r.unanchored
+  private val TsRe: Regex = """"ts":(\d+)""".r.unanchored
   private val ActionRe: Regex = """"action":"([a-z]+)"""".r.unanchored
   private val SchemaRe: Regex = """"schema":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val AddRe: Regex = """"add":\[([^\]]*)\]""".r.unanchored
@@ -640,7 +664,8 @@ object GraftLake {
           items(ad.group(1)), items(rm.group(1)),
           TagRe.findFirstMatchIn(json).map(m => unesc(m.group(1))),
           StatsRe.findAllMatchIn(json).map(m =>
-            SetStats(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong)).toSeq)
+            SetStats(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong)).toSeq,
+          TsRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L))
       case _ => throw new IllegalStateException(s"bad commit json: $json")
     }
   }

@@ -30,6 +30,26 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("timestamp time travel: readAsOf picks the last commit at or before the stamp") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(100), path)            // v0
+    Thread.sleep(5)
+    GraftLake.append(orders.limit(50), path)             // v1
+    val cs = GraftLake.commits(path)
+    assert(cs.map(_.tsMillis) == cs.map(_.tsMillis).sorted, "stamps are monotone")
+    assert(cs.head.tsMillis > 0)
+    // Exactly at v0's stamp → v0; between stamps → v0; at/after v1 → v1.
+    assert(GraftLake.readAsOf(spark, path, cs(0).tsMillis).count() == 100)
+    assert(GraftLake.readAsOf(spark, path, cs(1).tsMillis - 1).count() == 100)
+    assert(GraftLake.readAsOf(spark, path, cs(1).tsMillis).count() == 150)
+    assert(GraftLake.readAsOf(spark, path, Long.MaxValue).count() == 150)
+    // Before creation → loud failure, like Delta's timestampAsOf.
+    intercept[IllegalArgumentException] {
+      GraftLake.readAsOf(spark, path, cs(0).tsMillis - 1)
+    }
+  }
+
   test("overwrite replaces contents atomically; old snapshots still time-travel") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)

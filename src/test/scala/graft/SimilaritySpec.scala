@@ -275,4 +275,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }.toSet
     assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == want)
   }
+
+  test("s10 hybrid search: fusion actually reranks, and alpha=0 degrades to pure cosine") {
+    import org.apache.spark.sql.functions.col
+    val pure = graft.operators.Similarity
+      .s10HybridSearch(spark, sf, term = "spark", alpha = 0.0)
+      .select(col("q_id"), col("rnk"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val s01 = graft.operators.Similarity.s01AnnBrute(spark, sf)
+      .select(col("q_id"), col("rnk"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pure == s01, "alpha=0 must be exactly the vector-only top-k")
+    val fused = graft.operators.Similarity
+      .s10HybridSearch(spark, sf, term = "spark", alpha = 10.0)
+      .select(col("q_id"), col("rnk"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fused != s01, "a dominant lexical weight must change the ranking")
+  }
 }
