@@ -98,6 +98,8 @@ object SparkEntry {
     "d09_embedding_dedup" -> Similarity.d09EmbeddingDedup _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
+    // Same LSH pipeline served from a PERSISTED lake-table index.
+    "s11_ann_indexed"    -> Similarity.s11AnnIndexed _,
     "s03_ann_ivf"        -> Similarity.s03AnnIvf _,
     "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
     "m02_resize" -> ((s: SparkSession, d: String) => Multimodal.m02Resize(s, d)),
@@ -488,6 +490,30 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("pruned", lit(nRewritten == 1 && nKept == 2))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // GraftLake MERGE-ON-READ delete: the tombstone commit holds just
+    // the deleted keys (no data rewrite — proven in-row: the delete
+    // commit removes nothing and the log stays two commits), readers
+    // anti-join at scan time. Oracle replays the delete as a filter.
+    "src20_lake_mor_delete" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_mor", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.create(o, path)
+      val (_, nDel) = GraftLake.deleteMoR(
+        s, path, pmod(col("o_orderkey"), lit(9)) === 4, "o_orderkey")
+      val last = GraftLake.commits(path).last
+      val mor = last.action == "tombstone" && last.remove.isEmpty &&
+        nDel > 0 && GraftLake.latestVersion(path) == 1
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("mor_no_rewrite", lit(mor))
         .orderBy(col("o_orderstatus"))
     }),
     // GraftLake CDC: three commits (pre-1998 / 1998 / post-1998),
@@ -943,6 +969,10 @@ object SparkEntry {
     // candidate buckets, cosine verify, and connected components.
     "d09_embedding_dedup" -> graft.operators.Similarity.d09OracleSql,
     "s02_ann_lsh" -> graft.operators.Similarity.s02OracleSql,
+    // Identical planes/bits and probe set as s02 — the only change is
+    // that signatures come from the stored index, so s02's replay IS
+    // the oracle.
+    "s11_ann_indexed" -> graft.operators.Similarity.s02OracleSql,
     // The gated IVF config probes every inverted list; clusters
     // partition the corpus, so the result provably equals brute-force
     // top-k — s01's oracle. A broken quantizer/assignment/probe still
@@ -1856,6 +1886,13 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
         |LEFT JOIN hits h2 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "src20_lake_mor_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  TRUE AS mor_no_rewrite
+        |FROM orders
+        |WHERE NOT (o_orderkey % 9 = 4)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src17_lake_delete" ->
       """WITH mk AS (SELECT max(o_orderkey) AS m FROM orders)
         |SELECT o_orderstatus, count(*) AS n,

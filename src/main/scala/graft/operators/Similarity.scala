@@ -195,6 +195,69 @@ object Similarity {
     topK(scored)
   }
 
+  /** The PERSISTED LSH index relation of a corpus: one (id, table,
+    * signature) row per vector per hash table — the thing a vector
+    * store materializes ONCE and serves many queries from.
+    */
+  private[graft] def lshIndexRelation(
+      c: DataFrame, nTables: Int, bits: Int): DataFrame = {
+    val planes = hyperplanes(nTables, bits)
+    c.select(
+      col("n_id"),
+      posexplode(array((0 until nTables).map(t =>
+        signature(col("n_emb"), planes(t))): _*)))
+      .toDF("n_id", "t", "sig")
+  }
+
+  /** s11: ANN over a PERSISTED index — [[lshIndexRelation]] stored as
+    * a GraftLake table (built once, signature compute amortized across
+    * every later query; INCREMENTAL maintenance is just appending new
+    * vectors' signatures, spec-proven). The query path joins the probe
+    * set against the stored (t, sig) relation, fetches only the
+    * candidate vectors for scoring, and reuses the bounded-heap top-k.
+    * Same planes/bits as s02, so the result — and the oracle — are
+    * identical; what changes is WHERE the signatures come from: a
+    * table scan instead of a per-query corpus pass, which at 100 TB is
+    * the difference between O(corpus) and O(candidates) per query.
+    */
+  def s11AnnIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.SparkEntry.scratch("graft_lsh_index", dir)
+    graft.SparkEntry.rmrf(path)
+    val (q, c) = split(spark, dir)
+    graft.sources.GraftLake.create(
+      lshIndexRelation(c, DefaultTables, DefaultBits), path,
+      statsCols = Seq("sig"))
+    queryLshIndex(spark, path, q, c)
+  }
+
+  /** Query a persisted LSH index: probe buckets (own + hamming-1),
+    * join the stored signature relation, score only the candidates.
+    */
+  private[graft] def queryLshIndex(
+      spark: SparkSession, path: String, q: DataFrame, c: DataFrame): DataFrame = {
+    val planes = hyperplanes(DefaultTables, DefaultBits)
+    val bits = DefaultBits
+    val powLit = typedLit((0 until bits).map(i => 1L << i))
+    val idx = graft.sources.GraftLake.read(spark, path)
+    val qSig = q.select(
+      col("q_id"), col("q_emb"),
+      posexplode(array((0 until DefaultTables).map { t =>
+        val s0 = signature(col("q_emb"), planes(t))
+        array_union(
+          array(s0),
+          transform(sequence(lit(0), lit(bits - 1)),
+            i => s0.bitwiseXOR(element_at(powLit, i + 1))))
+      }: _*)))
+      .toDF("q_id", "q_emb", "t", "probes")
+      .select(col("q_id"), col("q_emb"), col("t"), explode(col("probes")).as("sig"))
+    val candidates = idx.join(broadcast(qSig), Seq("t", "sig"))
+      .dropDuplicates("q_id", "n_id")
+      .join(c, Seq("n_id")) // fetch ONLY candidate vectors for scoring
+    val scored = candidates
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+
   /** Count of distinct (table, signature) buckets the corpus lands in
     * under a config — the spec's handle on the scaling knobs.
     */

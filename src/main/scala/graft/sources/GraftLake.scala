@@ -155,15 +155,18 @@ object GraftLake {
       // evolves it (old columns keep position, new ones join at the end).
       val mergedDdl =
         if (v == 0 || action == "overwrite") df.schema.toDDL
+        // A tombstone set is keys, not table data: the table schema is
+        // untouched by the delete.
+        else if (action == "tombstone") prior.last.schemaDdl
         else mergeSchemas(
           StructType.fromDDL(prior.last.schemaDdl), df.schema).toDDL
       val removed =
-        if (action == "overwrite") liveAt(prior).map(_.set)
+        if (action == "overwrite") liveAt(prior).map(_.set) ++ tombstonesAt(prior)
         else removeSets
       // MERGE-style commits remove specific sets: they must ALL still
       // be live, or a concurrent commit has invalidated our rewrite.
       if (action != "overwrite" && removed.nonEmpty) {
-        val live = liveAt(prior).map(_.set).toSet
+        val live = (liveAt(prior).map(_.set) ++ tombstonesAt(prior)).toSet
         removed.find(r => !live(r)).foreach { r =>
           throw new java.util.ConcurrentModificationException(
             s"file-set $r was removed by a concurrent commit; retry the merge")
@@ -256,14 +259,30 @@ object GraftLake {
 
   def latestVersion(path: String): Int = commits(path).size - 1
 
-  /** Live file-sets after folding `cs` (remove, then add, per commit). */
+  /** Live DATA file-sets after folding `cs` (remove, then add, per
+    * commit). A `tombstone` commit's added set is NOT data — it holds
+    * deleted keys and folds separately ([[tombstonesAt]]).
+    */
   private def liveAt(cs: Seq[Commit]): Seq[LiveSet] =
     cs.foldLeft(Seq.empty[LiveSet]) { (live, c) =>
-      live.filterNot(ls => c.remove.contains(ls.set)) ++
-        c.add.map(a => LiveSet(a, c.schemaDdl, c.stats))
+      val kept = live.filterNot(ls => c.remove.contains(ls.set))
+      if (c.action == "tombstone") kept
+      else kept ++ c.add.map(a => LiveSet(a, c.schemaDdl, c.stats))
     }
 
-  /** The table as of `version` (time travel). */
+  /** Live TOMBSTONE sets (merge-on-read deletes) after folding `cs` —
+    * each is a one-column parquet set of deleted keys; a compaction
+    * that lists them in `remove` materializes and clears them.
+    */
+  private def tombstonesAt(cs: Seq[Commit]): Seq[String] =
+    cs.foldLeft(Seq.empty[String]) { (ts, c) =>
+      val kept = ts.filterNot(c.remove.contains)
+      if (c.action == "tombstone") kept ++ c.add else kept
+    }
+
+  /** The table as of `version` (time travel): the live data sets,
+    * minus any merge-on-read tombstoned keys live at that version.
+    */
   def readAt(spark: SparkSession, path: String, version: Int): DataFrame = {
     val all = commits(path)
     require(version >= 0 && version < all.size,
@@ -271,7 +290,24 @@ object GraftLake {
     val upTo = all.take(version + 1)
     val target = StructType.fromDDL(upTo.last.schemaDdl)
     val parts = liveAt(upTo).map(readSet(spark, path, _, target))
-    parts.reduceLeft(_.unionByName(_))
+    applyTombstones(spark, path, parts.reduceLeft(_.unionByName(_)), upTo)
+  }
+
+  /** Anti-join `df` against the union of live tombstone key-sets (a
+    * no-op when none exist — the common case costs nothing). The key
+    * column is the tombstone set's own (self-describing parquet).
+    */
+  private def applyTombstones(
+      spark: SparkSession, path: String, df: DataFrame,
+      upTo: Seq[Commit]): DataFrame = {
+    val ts = tombstonesAt(upTo)
+    if (ts.isEmpty) df
+    else {
+      val keys = ts.map(t => spark.read.parquet(s"$path/$t"))
+        .reduceLeft(_.unionByName(_))
+      val keyCol = keys.columns.head
+      df.join(functions.broadcast(keys.distinct()), Seq(keyCol), "left_anti")
+    }
   }
 
   /** One file-set scanned under its own written schema and projected
@@ -339,7 +375,7 @@ object GraftLake {
     val df = scan.map(readSet(spark, path, _, target))
       .reduceLeftOption(_.unionByName(_))
       .getOrElse(readAt(spark, path, all.size - 1).limit(0))
-    (df, scan.size, skip.size)
+    (applyTombstones(spark, path, df, all), scan.size, skip.size)
   }
 
   /** CHANGES feed (CDC, insert-only): the rows added by every commit
@@ -398,6 +434,9 @@ object GraftLake {
       keyCols: Seq[String], statsCol: String): (Int, Int, Int) = {
     val all = commits(path)
     require(all.nonEmpty, s"no table at $path")
+    require(tombstonesAt(all).isEmpty,
+      s"outstanding merge-on-read tombstones at $path: compact first " +
+        "(a raw file-set rewrite would resurrect tombstoned rows)")
     val target = StructType.fromDDL(all.last.schemaDdl)
     val live = liveAt(all)
     val span = updates
@@ -467,6 +506,37 @@ object GraftLake {
       statsCol: Option[String] = None): (Int, Int, Int, Long) =
     deleteCore(spark, path, predicate, statsCol, pruneDisjoint = None)
 
+  /** MERGE-ON-READ DELETE: instead of rewriting the hit file-sets
+    * (copy-on-write [[delete]]), commit a TOMBSTONE set holding just
+    * the matching keys — O(deleted keys) bytes written, ZERO data
+    * rewritten. Readers anti-join live data against the live
+    * tombstone keys (broadcast — tombstones are small by
+    * construction); [[compact]] materializes and clears them. This is
+    * the GDPR-erasure shape at 100 TB: the delete itself writes
+    * kilobytes, the rewrite cost is deferred to the next compaction.
+    *
+    * Contract: `keyCol` must uniquely identify the rows to delete
+    * (tombstones suppress EVERY row with a deleted key, including
+    * rows appended later with the same key — re-inserting a deleted
+    * key requires a compact first, which the append-after-delete spec
+    * pins). MERGE and copy-on-write DELETE fail fast while tombstones
+    * are outstanding; `changesSince` and the streaming source reject
+    * tombstone commits like any non-insert.
+    *
+    * Returns (version, tombstonedKeyCount).
+    */
+  def deleteMoR(
+      spark: SparkSession, path: String, predicate: Column,
+      keyCol: String): (Int, Long) = {
+    val keys = read(spark, path)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(keyCol)).distinct().localCheckpoint(true)
+    val n = keys.count()
+    if (n == 0) return (latestVersion(path), 0L)
+    val v = commit(keys, path, "tombstone")
+    (v, n)
+  }
+
   /** Zone-map DELETE of a `[lo, hi]` range on `col`: file-sets whose
     * recorded `SetStats(col)` span is DISJOINT from the range are
     * skipped WITHOUT scanning — the manifest-level pruning that makes
@@ -487,6 +557,9 @@ object GraftLake {
       pruneDisjoint: Option[(String, Long, Long)]): (Int, Int, Int, Long) = {
     val all = commits(path)
     require(all.nonEmpty, s"no table at $path")
+    require(tombstonesAt(all).isEmpty,
+      s"outstanding merge-on-read tombstones at $path: compact first " +
+        "(a raw file-set rewrite would resurrect tombstoned rows)")
     val target = StructType.fromDDL(all.last.schemaDdl)
     val live = liveAt(all)
     // Manifest-level prune: provably disjoint sets never even scan.
@@ -534,14 +607,17 @@ object GraftLake {
   def compact(
       spark: SparkSession, path: String, sortCols: Seq[String],
       numFiles: Int, statsCol: Option[String] = None): Int = {
-    val live = liveAt(commits(path))
+    val cs = commits(path)
+    val live = liveAt(cs)
     require(live.nonEmpty, s"nothing to compact at $path")
+    // read() applies live tombstones, so listing them in remove
+    // MATERIALIZES the merge-on-read deletes and clears them.
     val df = read(spark, path)
       .repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     commit(df, path, "compact",
       statsCols = (live.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq).distinct,
-      removeSets = live.map(_.set))
+      removeSets = live.map(_.set) ++ tombstonesAt(cs))
   }
 
   /** Z-ORDER compaction: one atomic `compact` commit whose rewritten
@@ -555,7 +631,8 @@ object GraftLake {
   def compactZOrder(
       spark: SparkSession, path: String, colA: String, colB: String,
       numFiles: Int): Int = {
-    val live = liveAt(commits(path))
+    val cs = commits(path)
+    val live = liveAt(cs)
     require(live.nonEmpty, s"nothing to compact at $path")
     val df = read(spark, path)
     val r = df.agg(
@@ -573,7 +650,7 @@ object GraftLake {
     commit(clustered, path, "compact",
       statsCols =
         (live.flatMap(_.stats.map(_.col)) ++ Seq(colA, colB)).distinct,
-      removeSets = live.map(_.set))
+      removeSets = live.map(_.set) ++ tombstonesAt(cs))
   }
 
   // --------------------------------------------------------------- vacuum
@@ -586,7 +663,8 @@ object GraftLake {
     * Returns the deleted set names.
     */
   def vacuum(path: String): Seq[String] = {
-    val live = liveAt(commits(path)).map(_.set).toSet
+    val cs0 = commits(path)
+    val live = (liveAt(cs0).map(_.set) ++ tombstonesAt(cs0)).toSet
     val dataDir = Paths.get(path, "data")
     if (!Files.exists(dataDir)) return Seq.empty
     import scala.jdk.CollectionConverters._

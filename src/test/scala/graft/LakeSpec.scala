@@ -317,6 +317,56 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(liveStats.toSet == Set("o_orderkey", "o_custkey"))
   }
 
+  test("merge-on-read delete: tombstone suppresses rows with zero rewrite; compact materializes") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    GraftLake.create(orders, path)
+    val n0 = GraftLake.read(spark, path).count()
+    def dataFiles: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      GraftLake.commits(path).head.add.flatMap { set =>
+        Files.list(java.nio.file.Paths.get(path, set)).iterator().asScala
+          .map(_.toString)
+      }.toSet
+    }
+    val before = dataFiles
+    val toDelete = orders.filter(pmod(col("o_orderkey"), lit(5)) === 2).count()
+    val (_, nDel) = GraftLake.deleteMoR(
+      spark, path, pmod(col("o_orderkey"), lit(5)) === 2, "o_orderkey")
+    assert(nDel == toDelete)
+    // Logically gone, physically untouched — the MoR contract.
+    assert(GraftLake.read(spark, path).count() == n0 - toDelete)
+    assert(GraftLake.read(spark, path)
+      .filter(pmod(col("o_orderkey"), lit(5)) === 2).count() == 0)
+    assert(dataFiles == before, "no data file may be rewritten by a MoR delete")
+    // Time travel to pre-delete still shows everything.
+    assert(GraftLake.readAt(spark, path, 0).count() == n0)
+    // CoW delete and merge refuse while tombstones are outstanding.
+    intercept[IllegalArgumentException] {
+      GraftLake.delete(spark, path, col("o_orderkey") < 10)
+    }
+    // The CDC feed and the streaming source reject the delete commit.
+    intercept[IllegalStateException] {
+      GraftLake.changesSince(spark, path, 0).count()
+    }
+    // Compaction materializes the delete and clears the tombstone.
+    GraftLake.compact(spark, path, Seq("o_orderkey"), numFiles = 2)
+    assert(GraftLake.read(spark, path).count() == n0 - toDelete)
+    val afterCompact = GraftLake.commits(path)
+    assert(afterCompact.last.action == "compact")
+    // Re-inserting a previously deleted key now works (tombstones gone).
+    GraftLake.append(orders.filter(col("o_orderkey") === 2), path)
+    assert(GraftLake.read(spark, path)
+      .filter(col("o_orderkey") === 2).count() ==
+      orders.filter(col("o_orderkey") === 2).count())
+    // Vacuum reclaims the pre-compaction sets including the tombstone.
+    val dead = GraftLake.vacuum(path)
+    assert(dead.nonEmpty)
+    assert(GraftLake.read(spark, path).count() == n0 - toDelete +
+      orders.filter(col("o_orderkey") === 2).count())
+  }
+
   test("lake z-order compaction narrows per-file spans on both dims in one atomic commit") {
     val path = freshTable()
     val li = Tables.lineitem(spark, sf)

@@ -292,4 +292,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(fused != s01, "a dominant lexical weight must change the ranking")
   }
+
+  test("s11 indexed ANN equals s02, and index appends serve new vectors incrementally") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.sources.GraftLake
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    assert(rows(Similarity.s11AnnIndexed(spark, sf)) ==
+      rows(Similarity.s02AnnLsh(spark, sf)),
+      "stored-index query must equal the per-query signature pass")
+
+    // Incremental maintenance: index HALF the corpus, append the other
+    // half's signatures, and the queries must see the full corpus.
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val path = java.nio.file.Files.createTempDirectory("graft-s11")
+      .resolve("idx").toString
+    val (half1, half2) =
+      (c.filter(col("n_id") % 2 === 0), c.filter(col("n_id") % 2 === 1))
+    GraftLake.create(Similarity.lshIndexRelation(half1, 4, 8), path,
+      statsCols = Seq("sig"))
+    GraftLake.append(Similarity.lshIndexRelation(half2, 4, 8), path,
+      statsCols = Seq("sig"))
+    assert(rows(Similarity.queryLshIndex(spark, path, q, c)) ==
+      rows(Similarity.s02AnnLsh(spark, sf)),
+      "appended signatures must serve queries like a full rebuild")
+  }
 }
