@@ -706,6 +706,12 @@ object GraftLake {
     b.toString
   }
 
+  private def crc32(s: String): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    c.getValue
+  }
+
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     val tagField = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("")
@@ -714,10 +720,15 @@ object GraftLake {
       else c.stats.map(st =>
         s"""{"col":"${esc(st.col)}","min":${st.min},"max":${st.max}}""")
         .mkString(""","stats":[""", ",", "]")
-    s"""{"version":${c.version},"action":"${c.action}",""" +
-      s""""ts":${c.tsMillis},""" +
-      s""""schema":"${esc(c.schemaDdl)}",""" +
-      s""""add":${arr(c.add)},"remove":${arr(c.remove)}$tagField$statsField}"""
+    val body =
+      s"""{"version":${c.version},"action":"${c.action}",""" +
+        s""""ts":${c.tsMillis},""" +
+        s""""schema":"${esc(c.schemaDdl)}",""" +
+        s""""add":${arr(c.add)},"remove":${arr(c.remove)}$tagField$statsField"""
+    // Integrity seal over everything before it: a torn / bit-flipped
+    // log entry fails loudly at read instead of silently corrupting
+    // every later snapshot (the log IS the table).
+    body + s""","crc":${crc32(body)}}"""
   }
 
   private val VersionRe: Regex = """"version":(\d+)""".r.unanchored
@@ -730,8 +741,16 @@ object GraftLake {
   private val StatsRe: Regex =
     """\{"col":"((?:[^"\\]|\\.)*)","min":(-?\d+),"max":(-?\d+)\}""".r.unanchored
   private val ItemRe: Regex = """"((?:[^"\\]|\\.)*)"""".r
+  private val CrcRe: Regex = ""","crc":(\d+)\}\s*$""".r.unanchored
 
   private def parse(json: String): Commit = {
+    // Verify the integrity seal when present (absent = pre-crc log).
+    CrcRe.findFirstMatchIn(json).foreach { m =>
+      val body = json.substring(0, m.start)
+      require(crc32(body) == m.group(1).toLong,
+        s"commit log entry failed its crc check (torn or corrupted): " +
+          json.take(120))
+    }
     def items(body: String): Seq[String] =
       ItemRe.findAllMatchIn(body).map(m => unesc(m.group(1))).toSeq
     (VersionRe.findFirstMatchIn(json), ActionRe.findFirstMatchIn(json),

@@ -476,6 +476,24 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.vacuum(path).size == 4)
   }
 
+  test("commit log entries carry a crc seal; a corrupted entry fails loudly") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(50), path)
+    GraftLake.append(orders.limit(20), path)
+    assert(GraftLake.read(spark, path).count() == 70) // seals verify
+    // Flip one byte inside the published v1 entry: every read that
+    // touches the log must now fail loudly, not serve a wrong table.
+    val f = java.nio.file.Paths.get(path, "_graft_log", "00000001.json")
+    val txt = Files.readString(f)
+    val i = txt.indexOf("\"add\"") + 10
+    Files.writeString(f, txt.updated(i, if (txt(i) == 'a') 'b' else 'a'))
+    val e = intercept[IllegalArgumentException] {
+      GraftLake.read(spark, path).count()
+    }
+    assert(e.getMessage.contains("crc"))
+  }
+
   test("commit log round-trips hostile tag strings (the log IS the table)") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
