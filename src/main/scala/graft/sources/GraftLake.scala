@@ -346,6 +346,27 @@ object GraftLake {
     readAt(spark, path, at)
   }
 
+  /** DESCRIBE HISTORY: the commit log as a DataFrame — version,
+    * action, wall-clock stamp, added/removed set counts, tag — the
+    * audit surface every table format exposes. O(commits) rows, built
+    * driver-side from metadata only.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    commits(path).map(c =>
+      (c.version, c.action,
+        new java.sql.Timestamp(c.tsMillis), c.add.size, c.remove.size,
+        c.tag.getOrElse(""))).toDF(
+      "version", "action", "committed_at", "n_added", "n_removed", "tag")
+  }
+
+  /** Register the table's LATEST snapshot as a SQL temp view, so the
+    * whole lake surface composes with `spark.sql` — the snapshot is
+    * resolved at call time (re-register to advance).
+    */
+  def registerView(spark: SparkSession, path: String, name: String): Unit =
+    read(spark, path).createOrReplaceTempView(name)
+
   /** Zone-map-pruned SCAN: open only the live file-sets whose stats
     * overlap EVERY `[lo, hi]` range in `ranges` — pruning composes
     * across dimensions (a set is skipped as soon as ANY queried

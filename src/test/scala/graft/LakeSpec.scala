@@ -476,6 +476,22 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.vacuum(path).size == 4)
   }
 
+  test("history() exposes the audit trail; registerView serves SQL over the snapshot") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(100), path)
+    GraftLake.appendIdempotent(orders.limit(30), path, "epoch-7")
+    GraftLake.deleteMoR(spark, path, col("o_orderkey") % 2 === 0, "o_orderkey")
+    val h = GraftLake.history(spark, path).orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq == Seq("create", "append", "tombstone"))
+    assert(h.forall(_.getTimestamp(2).getTime > 0))
+    assert(h(1).getString(5) == "epoch-7")
+    GraftLake.registerView(spark, path, "lake_orders_v")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM lake_orders_v WHERE o_orderkey % 2 = 0").head.getLong(0)
+    assert(viaSql == 0, "the SQL view must serve the tombstone-applied snapshot")
+  }
+
   test("commit log entries carry a crc seal; a corrupted entry fails loudly") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
