@@ -72,9 +72,26 @@ object GraftLake {
     def statsFor(c: String): Option[SetStats] = stats.find(_.col == c)
   }
 
+  /** The folded state of the table at some version: everything a
+    * reader or writer needs, with no reference back to the commits
+    * that produced it. `tags` maps every idempotence tag committed so
+    * far to its version — exactly-once appends must dedup against the
+    * WHOLE history, so checkpoints carry tags forward.
+    */
+  final case class Snapshot(
+      version: Int, schemaDdl: String, live: Seq[LiveSet],
+      tombstones: Seq[String], tags: Map[String, Int], tsMillis: Long)
+
+  private val EmptySnapshot =
+    Snapshot(-1, "", Seq.empty, Seq.empty, Map.empty, 0L)
+
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
   private def logFile(table: String, v: Int): Path =
     logDir(table).resolve(f"$v%08d.json")
+  private def ckptFile(table: String, v: Int): Path =
+    logDir(table).resolve(f"$v%08d.ckpt")
+  private def ckptPointer(table: String): Path =
+    logDir(table).resolve("_last_checkpoint")
 
   // ---------------------------------------------------------------- write
 
@@ -111,10 +128,9 @@ object GraftLake {
     * one lands and the other observes the winner's published tag on
     * its retry. Returns the committed (or already-present) version.
     */
-  def appendIdempotent(df: DataFrame, path: String, tag: String): Int = {
-    val existing = commits(path).find(_.tag.contains(tag))
-    existing.map(_.version).getOrElse(commit(df, path, "append", Some(tag)))
-  }
+  def appendIdempotent(df: DataFrame, path: String, tag: String): Int =
+    snapshot(path).tags.get(tag)
+      .getOrElse(commit(df, path, "append", Some(tag)))
 
   private def commit(
       df: DataFrame, path: String, action: String,
@@ -143,13 +159,11 @@ object GraftLake {
     while (true) {
       attempts += 1
       require(attempts <= 50, s"gave up committing to $path after 50 races")
-      val prior = commits(path)
+      val snap = snapshot(path)
       // Idempotence re-check under contention: if a same-tag commit
       // landed while we were racing, ours must NOT land again.
-      tag.foreach { t =>
-        prior.find(_.tag.contains(t)).foreach { c => return c.version }
-      }
-      val v = prior.size
+      tag.foreach { t => snap.tags.get(t).foreach { v => return v } }
+      val v = snap.version + 1
       require(action != "create" || v == 0, s"create on non-empty log: $path")
       // overwrite resets the schema along with the contents; append
       // evolves it (old columns keep position, new ones join at the end).
@@ -157,16 +171,16 @@ object GraftLake {
         if (v == 0 || action == "overwrite") df.schema.toDDL
         // A tombstone set is keys, not table data: the table schema is
         // untouched by the delete.
-        else if (action == "tombstone") prior.last.schemaDdl
+        else if (action == "tombstone") snap.schemaDdl
         else mergeSchemas(
-          StructType.fromDDL(prior.last.schemaDdl), df.schema).toDDL
+          StructType.fromDDL(snap.schemaDdl), df.schema).toDDL
       val removed =
-        if (action == "overwrite") liveAt(prior).map(_.set) ++ tombstonesAt(prior)
+        if (action == "overwrite") snap.live.map(_.set) ++ snap.tombstones
         else removeSets
       // MERGE-style commits remove specific sets: they must ALL still
       // be live, or a concurrent commit has invalidated our rewrite.
       if (action != "overwrite" && removed.nonEmpty) {
-        val live = (liveAt(prior).map(_.set) ++ tombstonesAt(prior)).toSet
+        val live = (snap.live.map(_.set) ++ snap.tombstones).toSet
         removed.find(r => !live(r)).foreach { r =>
           throw new java.util.ConcurrentModificationException(
             s"file-set $r was removed by a concurrent commit; retry the merge")
@@ -175,8 +189,7 @@ object GraftLake {
       // Commit wall-clock, stamped at claim time: MONOTONized against
       // the prior commit so timestamp time travel is well-defined even
       // if the system clock steps backward between writers.
-      val ts = math.max(System.currentTimeMillis(),
-        prior.lastOption.map(_.tsMillis).getOrElse(0L))
+      val ts = math.max(System.currentTimeMillis(), snap.tsMillis)
       val json = render(Commit(v, action, mergedDdl, Seq(setName), removed, tag, stats, ts))
       // 2. claim the version: O_EXCL create of the empty final name.
       val f = logFile(path, v)
@@ -189,6 +202,7 @@ object GraftLake {
         Files.writeString(tmp, json)
         Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
+        maybeAutoCheckpoint(path, v)
         return v
       }
       // Lost the race. A claim that stays EMPTY past the stale-claim
@@ -247,38 +261,135 @@ object GraftLake {
     * fully-published log files (an empty file is an in-flight claim;
     * everything after it is not yet visible).
     */
-  def commits(path: String): Seq[Commit] = {
+  def commits(path: String): Seq[Commit] = commitsFrom(path, 0)
+
+  private def commitsFrom(path: String, from: Int): Seq[Commit] = {
     val dir = logDir(path)
     if (!Files.exists(dir)) return Seq.empty
-    Iterator.from(0)
+    Iterator.from(from)
       .map(v => dir.resolve(f"$v%08d.json"))
       .takeWhile(f => Files.exists(f) && Files.size(f) > 0)
       .map(f => parse(Files.readString(f)))
       .toSeq
   }
 
-  def latestVersion(path: String): Int = commits(path).size - 1
+  def latestVersion(path: String): Int = snapshot(path).version
 
-  /** Live DATA file-sets after folding `cs` (remove, then add, per
-    * commit). A `tombstone` commit's added set is NOT data — it holds
-    * deleted keys and folds separately ([[tombstonesAt]]).
+  /** Fold `cs` (remove, then add, per commit) on top of `base`. A
+    * `tombstone` commit's added set is NOT data — it holds deleted
+    * keys and folds into `tombstones`. Every commit carries the full
+    * current schema, so the last one folded wins `schemaDdl`.
     */
+  private def foldState(base: Snapshot, cs: Seq[Commit]): Snapshot =
+    cs.foldLeft(base) { (s, c) =>
+      val keptLive = s.live.filterNot(ls => c.remove.contains(ls.set))
+      val keptTombs = s.tombstones.filterNot(c.remove.contains)
+      val (live, tombs) =
+        if (c.action == "tombstone") (keptLive, keptTombs ++ c.add)
+        else (keptLive ++ c.add.map(a => LiveSet(a, c.schemaDdl, c.stats)),
+          keptTombs)
+      Snapshot(c.version, c.schemaDdl, live, tombs,
+        c.tag.fold(s.tags)(t => s.tags + (t -> c.version)),
+        math.max(s.tsMillis, c.tsMillis))
+    }
+
   private def liveAt(cs: Seq[Commit]): Seq[LiveSet] =
-    cs.foldLeft(Seq.empty[LiveSet]) { (live, c) =>
-      val kept = live.filterNot(ls => c.remove.contains(ls.set))
-      if (c.action == "tombstone") kept
-      else kept ++ c.add.map(a => LiveSet(a, c.schemaDdl, c.stats))
-    }
+    foldState(EmptySnapshot, cs).live
 
-  /** Live TOMBSTONE sets (merge-on-read deletes) after folding `cs` —
-    * each is a one-column parquet set of deleted keys; a compaction
-    * that lists them in `remove` materializes and clears them.
-    */
   private def tombstonesAt(cs: Seq[Commit]): Seq[String] =
-    cs.foldLeft(Seq.empty[String]) { (ts, c) =>
-      val kept = ts.filterNot(c.remove.contains)
-      if (c.action == "tombstone") kept ++ c.add else kept
+    foldState(EmptySnapshot, cs).tombstones
+
+  /** The LATEST table state, resolved in O(checkpoint + log suffix):
+    * start from the last checkpoint (if any) and fold only the
+    * commits after it. Without checkpoints every snapshot resolution
+    * replays the whole log — O(commits) stats + parses per read,
+    * the wall a long-lived table hits at Delta-scale commit counts.
+    * Version -1 = no table.
+    */
+  def snapshot(path: String): Snapshot = {
+    val base = loadCheckpoint(path).getOrElse(EmptySnapshot)
+    foldState(base, commitsFrom(path, base.version + 1))
+  }
+
+  // ----------------------------------------------------------- checkpoint
+
+  /** Write a CHECKPOINT of the current state: one `.ckpt` file whose
+    * first line is the folded header (schema, tombstones, tags,
+    * monotonized stamp) and whose remaining lines are the live
+    * file-sets, each under its own written schema and zone-map stats.
+    * Every line is a crc-sealed log entry, so a torn checkpoint fails
+    * as loudly as a torn commit. The `_last_checkpoint` pointer is
+    * advanced monotonically (Delta's `_last_checkpoint` shape);
+    * checkpoint content is a DETERMINISTIC function of the log prefix,
+    * so racing checkpointers of the same version write identical bytes
+    * and the atomic replace is harmless. Log files are never deleted:
+    * time travel and history still read the full log.
+    */
+  def checkpoint(path: String): Int = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    val tagItems = s.tags.toSeq.sortBy(_._2).map { case (t, v) => s"$v:$t" }
+    val lines =
+      render(Commit(s.version, "checkpoint", s.schemaDdl, tagItems,
+        s.tombstones, None, Seq.empty, s.tsMillis)) +:
+        s.live.map(ls => render(Commit(s.version, "ckptset", ls.schemaDdl,
+          Seq(ls.set), Seq.empty, None, ls.stats, 0L)))
+    val f = ckptFile(path, s.version)
+    val tmp = logDir(path).resolve(f.getFileName.toString + ".tmp" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.writeString(tmp, lines.mkString("\n"))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // Pointer advance is read-then-replace: two racing checkpointers
+    // can briefly leave it at the lower version, which only costs the
+    // next reader a longer suffix replay — never correctness.
+    if (s.version > readPointer(path)) {
+      val ptmp = logDir(path).resolve("_last_checkpoint.tmp" +
+        java.util.UUID.randomUUID().toString.take(8))
+      Files.writeString(ptmp, s.version.toString)
+      Files.move(ptmp, ckptPointer(path), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
+    s.version
+  }
+
+  private def readPointer(path: String): Int = {
+    val p = ckptPointer(path)
+    if (Files.exists(p)) Files.readString(p).trim.toInt else -1
+  }
+
+  private def loadCheckpoint(path: String): Option[Snapshot] = {
+    val v = readPointer(path)
+    if (v < 0) return None
+    val lines = Files.readString(ckptFile(path, v)).split("\n").toSeq
+    val head = parse(lines.head)
+    require(head.action == "checkpoint" && head.version == v,
+      s"bad checkpoint header at $path v$v: ${head.action}")
+    val live = lines.tail.map { l =>
+      val c = parse(l)
+      require(c.action == "ckptset", s"bad checkpoint line: ${l.take(80)}")
+      LiveSet(c.add.head, c.schemaDdl, c.stats)
+    }
+    val tags = head.add.map { it =>
+      val i = it.indexOf(':')
+      it.substring(i + 1) -> it.take(i).toInt
+    }.toMap
+    Some(Snapshot(head.version, head.schemaDdl, live, head.remove, tags,
+      head.tsMillis))
+  }
+
+  /** Auto-checkpoint cadence (every N commits, Delta-style; 0
+    * disables). Overridable via system property for tests.
+    */
+  private[sources] def CheckpointInterval: Int =
+    sys.props.get("graft.lake.checkpointInterval").map(_.toInt).getOrElse(10)
+
+  private def maybeAutoCheckpoint(path: String, v: Int): Unit = {
+    val n = CheckpointInterval
+    if (n > 0 && v > 0 && v % n == 0)
+      try checkpoint(path)
+      catch { case scala.util.control.NonFatal(_) => () } // best-effort
+  }
 
   /** The table as of `version` (time travel): the live data sets,
     * minus any merge-on-read tombstoned keys live at that version.
@@ -290,7 +401,8 @@ object GraftLake {
     val upTo = all.take(version + 1)
     val target = StructType.fromDDL(upTo.last.schemaDdl)
     val parts = liveAt(upTo).map(readSet(spark, path, _, target))
-    applyTombstones(spark, path, parts.reduceLeft(_.unionByName(_)), upTo)
+    applyTombstones(spark, path, parts.reduceLeft(_.unionByName(_)),
+      tombstonesAt(upTo))
   }
 
   /** Anti-join `df` against the union of live tombstone key-sets (a
@@ -299,8 +411,7 @@ object GraftLake {
     */
   private def applyTombstones(
       spark: SparkSession, path: String, df: DataFrame,
-      upTo: Seq[Commit]): DataFrame = {
-    val ts = tombstonesAt(upTo)
+      ts: Seq[String]): DataFrame = {
     if (ts.isEmpty) df
     else {
       val keys = ts.map(t => spark.read.parquet(s"$path/$t"))
@@ -325,9 +436,17 @@ object GraftLake {
       }.toIndexedSeq: _*)
   }
 
-  /** The latest snapshot. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    readAt(spark, path, latestVersion(path))
+  /** The latest snapshot, resolved through the checkpoint fast path —
+    * O(log suffix) metadata work, not O(commits).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    val target = StructType.fromDDL(s.schemaDdl)
+    val parts = s.live.map(readSet(spark, path, _, target))
+    applyTombstones(spark, path, parts.reduceLeft(_.unionByName(_)),
+      s.tombstones)
+  }
 
   /** TIME TRAVEL BY TIMESTAMP: the snapshot as of wall-clock
     * `tsMillis` — the last commit stamped at or before it. Commit
@@ -381,11 +500,10 @@ object GraftLake {
   def readPruned(
       spark: SparkSession, path: String,
       ranges: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
-    val all = commits(path)
-    require(all.nonEmpty, s"no table at $path")
-    val target = StructType.fromDDL(all.last.schemaDdl)
-    val live = liveAt(all)
-    val (scan, skip) = live.partition { ls =>
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    val target = StructType.fromDDL(s.schemaDdl)
+    val (scan, skip) = s.live.partition { ls =>
       ranges.forall { case (c, lo, hi) =>
         ls.statsFor(c) match {
           case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
@@ -395,8 +513,8 @@ object GraftLake {
     }
     val df = scan.map(readSet(spark, path, _, target))
       .reduceLeftOption(_.unionByName(_))
-      .getOrElse(readAt(spark, path, all.size - 1).limit(0))
-    (applyTombstones(spark, path, df, all), scan.size, skip.size)
+      .getOrElse(read(spark, path).limit(0))
+    (applyTombstones(spark, path, df, s.tombstones), scan.size, skip.size)
   }
 
   /** CHANGES feed (CDC, insert-only): the rows added by every commit
@@ -453,19 +571,19 @@ object GraftLake {
   def merge(
       spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], statsCol: String): (Int, Int, Int) = {
-    val all = commits(path)
-    require(all.nonEmpty, s"no table at $path")
-    require(tombstonesAt(all).isEmpty,
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    require(s.tombstones.isEmpty,
       s"outstanding merge-on-read tombstones at $path: compact first " +
         "(a raw file-set rewrite would resurrect tombstoned rows)")
-    val target = StructType.fromDDL(all.last.schemaDdl)
-    val live = liveAt(all)
+    val target = StructType.fromDDL(s.schemaDdl)
+    val live = s.live
     val span = updates
       .agg(org.apache.spark.sql.functions.count(lit(1)),
         org.apache.spark.sql.functions.count(col(statsCol)),
         org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
         org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
-    if (span.getLong(0) == 0L) return (latestVersion(path), 0, live.size)
+    if (span.getLong(0) == 0L) return (s.version, 0, live.size)
     // A NULL statsCol escapes the overlap test entirely: an insert row
     // would be silently dropped when the span is all-NULL, and an
     // update row could miss a matched target hiding in a pruned set
@@ -576,13 +694,13 @@ object GraftLake {
       spark: SparkSession, path: String, predicate: Column,
       statsCol: Option[String],
       pruneDisjoint: Option[(String, Long, Long)]): (Int, Int, Int, Long) = {
-    val all = commits(path)
-    require(all.nonEmpty, s"no table at $path")
-    require(tombstonesAt(all).isEmpty,
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    require(s.tombstones.isEmpty,
       s"outstanding merge-on-read tombstones at $path: compact first " +
         "(a raw file-set rewrite would resurrect tombstoned rows)")
-    val target = StructType.fromDDL(all.last.schemaDdl)
-    val live = liveAt(all)
+    val target = StructType.fromDDL(s.schemaDdl)
+    val live = s.live
     // Manifest-level prune: provably disjoint sets never even scan.
     val (candidates, skipped) = pruneDisjoint match {
       case Some((c, lo, hi)) => live.partition { ls =>
@@ -593,7 +711,7 @@ object GraftLake {
       }
       case None => (live, Seq.empty[LiveSet])
     }
-    if (candidates.isEmpty) return (latestVersion(path), 0, live.size, 0L)
+    if (candidates.isEmpty) return (s.version, 0, live.size, 0L)
     // ONE distributed job: per-set match counts (O(sets) driver rows).
     val tagged = candidates.map { ls =>
       readSet(spark, path, ls, target)
@@ -604,7 +722,7 @@ object GraftLake {
     val matchCounts = tagged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val hitSets = candidates.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
     val deleted = matchCounts.values.sum
-    if (hitSets.isEmpty) return (latestVersion(path), 0, live.size, 0L)
+    if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
     val rewritten = hitSets.map(readSet(spark, path, _, target))
       .reduceLeft(_.unionByName(_))
       .filter(!coalesce(predicate, lit(false))) // NULL predicate keeps the row

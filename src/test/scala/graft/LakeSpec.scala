@@ -492,6 +492,72 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(viaSql == 0, "the SQL view must serve the tombstone-applied snapshot")
   }
 
+  test("checkpoint: snapshot resolution reads only the log suffix; tags/tombstones/evolution carry through") {
+    val path = freshTable()
+    val orders = Tables.orders(spark, sf)
+    GraftLake.create(orders.limit(100), path, statsCol = Some("o_orderkey")) // v0
+    GraftLake.appendIdempotent(orders.limit(20), path, "epoch-1")            // v1
+    GraftLake.append(                                                        // v2: schema evolution
+      orders.limit(10).withColumn("note", lit("late")), path)
+    val delKey = GraftLake.read(spark, path)
+      .agg(min("o_orderkey")).head.getLong(0)
+    GraftLake.deleteMoR(spark, path,
+      col("o_orderkey") === delKey, "o_orderkey")                            // v3: tombstone
+    val before = GraftLake.read(spark, path).count()
+    val ckptV = GraftLake.checkpoint(path)
+    assert(ckptV == 3)
+    assert(Files.exists(java.nio.file.Paths.get(path, "_graft_log", "00000003.ckpt")))
+    assert(Files.readString(
+      java.nio.file.Paths.get(path, "_graft_log", "_last_checkpoint")).trim == "3")
+    // The checkpointed snapshot is byte-for-byte the folded log state.
+    assert(GraftLake.read(spark, path).count() == before)
+    // Exactly-once tags survive the checkpoint: a replayed epoch is a no-op.
+    assert(GraftLake.appendIdempotent(orders.limit(20), path, "epoch-1") == 1)
+    assert(GraftLake.latestVersion(path) == 3)
+    // Proof the latest-snapshot path never parses the pre-checkpoint log:
+    // corrupt v0's entry — read()/append() keep working, time travel to v0
+    // (which must replay the full log) fails loudly on the crc.
+    val v0 = java.nio.file.Paths.get(path, "_graft_log", "00000000.json")
+    Files.writeString(v0, Files.readString(v0).replaceFirst("create", "craete"))
+    assert(GraftLake.read(spark, path).count() == before)
+    GraftLake.append( // v4, on top of the checkpoint
+      orders.filter(col("o_orderkey") =!= delKey).limit(5), path)
+    assert(GraftLake.read(spark, path).count() == before + 5)
+    intercept[IllegalArgumentException] { GraftLake.readAt(spark, path, 0) }
+    // A torn/bit-flipped checkpoint fails as loudly as a torn commit.
+    val ck = java.nio.file.Paths.get(path, "_graft_log", "00000003.ckpt")
+    val ckBytes = Files.readString(ck)
+    Files.writeString(ck, ckBytes.replaceFirst("checkpoint", "chekcpoint"))
+    intercept[IllegalArgumentException] { GraftLake.snapshot(path) }
+    Files.writeString(ck, ckBytes) // restore
+    assert(GraftLake.read(spark, path).count() == before + 5)
+  }
+
+  test("auto-checkpoint: the commit path writes checkpoints at the configured cadence") {
+    val prev = sys.props.get("graft.lake.checkpointInterval")
+    sys.props("graft.lake.checkpointInterval") = "4"
+    try {
+      val path = freshTable()
+      val orders = Tables.orders(spark, sf)
+      GraftLake.create(orders.limit(10), path)       // v0
+      (1 to 9).foreach(_ => GraftLake.append(orders.limit(1), path)) // v1..v9
+      val dir = java.nio.file.Paths.get(path, "_graft_log")
+      import scala.jdk.CollectionConverters._
+      val ckpts = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".ckpt")).toSeq.sorted
+      assert(ckpts == Seq("00000004.ckpt", "00000008.ckpt"))
+      assert(Files.readString(dir.resolve("_last_checkpoint")).trim == "8")
+      assert(GraftLake.read(spark, path).count() == 19)
+      // Every historical version still travels (the log is never deleted).
+      assert(GraftLake.readAt(spark, path, 4).count() == 14)
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.lake.checkpointInterval") = p
+        case None => sys.props -= "graft.lake.checkpointInterval"
+      }
+    }
+  }
+
   test("commit log entries carry a crc seal; a corrupted entry fails loudly") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)
