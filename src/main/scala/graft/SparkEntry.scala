@@ -100,6 +100,8 @@ object SparkEntry {
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
     // Same LSH pipeline served from a PERSISTED lake-table index.
     "s11_ann_indexed"    -> Similarity.s11AnnIndexed _,
+    // Index freshness: CDC-driven incremental maintenance (no rebuild).
+    "s12_ann_index_maintain" -> Similarity.s12AnnIndexMaintain _,
     "s03_ann_ivf"        -> Similarity.s03AnnIvf _,
     "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
     "m02_resize" -> ((s: SparkSession, d: String) => Multimodal.m02Resize(s, d)),
@@ -973,6 +975,10 @@ object SparkEntry {
     // that signatures come from the stored index, so s02's replay IS
     // the oracle.
     "s11_ann_indexed" -> graft.operators.Similarity.s02OracleSql,
+    // The maintained index covers the full corpus (built half +
+    // CDC-appended half under identical planes), so the full-corpus
+    // s02 replay is again the oracle.
+    "s12_ann_index_maintain" -> graft.operators.Similarity.s02OracleSql,
     // The gated IVF config probes every inverted list; clusters
     // partition the corpus, so the result provably equals brute-force
     // top-k — s01's oracle. A broken quantizer/assignment/probe still

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions
+import graft.sources.GraftLake
 
 /** Approximate-nearest-neighbor search + embedding dedup over the
   * embeddings table (SURVEY.md §2: s01..s03, d09).
@@ -228,6 +229,42 @@ object Similarity {
       lshIndexRelation(c, DefaultTables, DefaultBits), path,
       statsCols = Seq("sig"))
     queryLshIndex(spark, path, q, c)
+  }
+
+  /** s12: INCREMENTAL index maintenance — the vector-store freshness
+    * path. The corpus lives in a GraftLake table and the LSH index is
+    * built from an early snapshot; when the corpus grows, maintenance
+    * reads ONLY the delta commits via [[graft.sources.GraftLake
+    * .changesSince]] (CDC) and appends just the new vectors'
+    * signatures — O(delta x tables) work, never an index rebuild.
+    * Queries against the maintained index then equal s02/s11 over the
+    * FULL corpus, which is exactly what the s02 oracle replays. At
+    * 100 TB this is the difference between re-hashing the corpus on
+    * every ingest batch and touching only the batch.
+    */
+  def s12AnnIndexMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val corpusPath = graft.SparkEntry.scratch("graft_ann_corpus", dir)
+    val indexPath = graft.SparkEntry.scratch("graft_lsh_index_maint", dir)
+    graft.SparkEntry.rmrf(corpusPath)
+    graft.SparkEntry.rmrf(indexPath)
+    val (q, c) = split(spark, dir)
+    // Day 0: half the corpus exists; the index is built from it.
+    GraftLake.create(c.filter(col("n_id") % 2 === 0), corpusPath)
+    val builtAt = GraftLake.latestVersion(corpusPath)
+    GraftLake.create(
+      lshIndexRelation(GraftLake.read(spark, corpusPath),
+        DefaultTables, DefaultBits),
+      indexPath, statsCols = Seq("sig"))
+    // Day 1: the corpus grows by an append commit.
+    GraftLake.append(c.filter(col("n_id") % 2 =!= 0), corpusPath)
+    // Maintenance: hash ONLY the CDC delta, append to the index.
+    val delta = GraftLake
+      .changesSince(spark, corpusPath, builtAt).drop("_commit_version")
+    GraftLake.append(
+      lshIndexRelation(delta, DefaultTables, DefaultBits),
+      indexPath, statsCols = Seq("sig"))
+    // Serving: the maintained index answers for the whole corpus.
+    queryLshIndex(spark, indexPath, q, GraftLake.read(spark, corpusPath))
   }
 
   /** Query a persisted LSH index: probe buckets (own + hamming-1),

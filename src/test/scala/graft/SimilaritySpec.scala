@@ -322,4 +322,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       rows(Similarity.s02AnnLsh(spark, sf)),
       "appended signatures must serve queries like a full rebuild")
   }
+
+  test("s12 CDC maintenance hashes only the delta and answers for the full corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.sources.GraftLake
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    assert(rows(Similarity.s12AnnIndexMaintain(spark, sf)) ==
+      rows(Similarity.s02AnnLsh(spark, sf)),
+      "the maintained index must answer exactly like a fresh full-corpus pass")
+    // Structural proof of incrementality: the index log is
+    // create + ONE append (never a rebuild commit), and the append's
+    // row count is exactly |delta| x nTables signatures.
+    val idxPath = graft.SparkEntry.scratch("graft_lsh_index_maint", sf)
+    val cs = GraftLake.commits(idxPath)
+    assert(cs.map(_.action) == Seq("create", "append"),
+      "maintenance must append to the index, not rebuild it")
+    assert(cs(1).remove.isEmpty, "maintenance must not rewrite index sets")
+    val emb = Tables.embeddings(spark, sf)
+    val nDelta = emb.filter(col("vec_id") >= 10)
+      .filter(col("vec_id") % 2 =!= 0).count()
+    val appended = spark.read
+      .parquet(s"$idxPath/${cs(1).add.head}").count()
+    assert(appended == nDelta * Similarity.DefaultTables,
+      s"append must hold exactly delta x tables signature rows, got $appended")
+  }
 }
