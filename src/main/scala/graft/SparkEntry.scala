@@ -335,6 +335,7 @@ object SparkEntry {
     "q55_cogroup_reconcile" -> Relational4.q55CogroupReconcile _,
     "s08_mips"           -> ((s: SparkSession, d: String) => Similarity.s08Mips(s, d)),
     "q56_pagerank"       -> ((s: SparkSession, d: String) => graft.operators.Graph.q56PageRank(s, d)),
+    "q69_connected_components" -> graft.operators.Graph.q69ConnectedComponents _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
@@ -1786,6 +1787,7 @@ object SparkEntry {
         |ORDER BY status""".stripMargin,
     "s08_mips" -> graft.operators.Similarity.s08OracleSql,
     "q56_pagerank" -> graft.operators.Graph.q56OracleSql,
+    "q69_connected_components" -> graft.operators.Graph.q69OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->

@@ -202,4 +202,70 @@ object Graph {
        |FROM r3 CROSS JOIN nn WHERE node % 2 = 1
        |ORDER BY s_suppkey""".stripMargin
   }
+
+  /** q69: CONNECTED COMPONENTS as a first-class gated query (the
+    * primitive the dedup families use internally, exposed directly —
+    * GraphFrames' `connectedComponents` shape). The graph is order
+    * BURSTS: consecutive orders of the same customer at most 30 days
+    * apart are linked, so a component is a maximal run of rapid
+    * re-ordering — edges come from ONE window pass partitioned by
+    * customer (no self-join), and components never span customers, so
+    * they stay small at any corpus size while their COUNT grows with
+    * the data. Canonicalization reuses [[Dedup.canonicalizeComponents]]
+    * (adaptive driver union-find under the edge cap, bounded-round
+    * distributed label propagation + pointer jumping above it). Output
+    * is the component-size histogram — O(max burst length) rows.
+    */
+  /** Nodes (order keys) and burst edges — one window pass, no self-join. */
+  private[graft] def burstGraph(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("c"),
+      to_date(col("o_orderdate")).as("d"))
+    val w = Window.partitionBy(col("c")).orderBy(col("d"), col("k"))
+    val seq = o.select(col("k"), col("c"), col("d"),
+      lead(col("k"), 1).over(w).as("nk"), lead(col("d"), 1).over(w).as("nd"))
+    val edges = seq
+      .filter(col("nk").isNotNull && datediff(col("nd"), col("d")) <= 30)
+      .select(col("k").as("a"), col("nk").as("b"))
+    (o.select(col("k").as("id")), edges)
+  }
+
+  def q69ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = burstGraph(spark, dir)
+    ccSizeHistogram(Dedup.canonicalizeComponents(nodes, edges))
+  }
+
+  private[graft] def ccSizeHistogram(labels: DataFrame): DataFrame =
+    labels.groupBy(col("canonical_id")).agg(count(lit(1)).as("cc_size"))
+      .groupBy(col("cc_size")).agg(count(lit(1)).as("n_components"))
+      .orderBy(col("cc_size"))
+
+  /** The DuckDB replay walks min-labels over the symmetric edge set
+    * with a recursive CTE (UNION dedups, so it terminates at the fixed
+    * point); components are per-customer bursts, so the walk's
+    * intermediate is bounded by sum(burst^2) — small at oracle scale.
+    * Both engines compute the exact fixed point, so the histograms
+    * match with no iteration-count coupling.
+    */
+  val q69OracleSql: String =
+    """WITH RECURSIVE
+      |o AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |  CAST(o_orderdate AS DATE) AS d FROM orders),
+      |seq AS (SELECT k, c, d,
+      |  lead(k) OVER w AS nk, lead(d) OVER w AS nd
+      |  FROM o WINDOW w AS (PARTITION BY c ORDER BY d, k)),
+      |edges AS (SELECT k AS x, nk AS y FROM seq
+      |  WHERE nk IS NOT NULL AND date_diff('day', d, nd) <= 30),
+      |sym AS (SELECT x, y FROM edges UNION SELECT y AS x, x AS y FROM edges),
+      |walk(node, lbl) AS (
+      |  SELECT k, k FROM o
+      |  UNION
+      |  SELECT s.y, w.lbl FROM walk w JOIN sym s ON s.x = w.node),
+      |lab AS (SELECT node, min(lbl) AS cc FROM walk GROUP BY node),
+      |sizes AS (SELECT cc, CAST(count(*) AS BIGINT) AS cc_size
+      |  FROM lab GROUP BY cc)
+      |SELECT cc_size, CAST(count(*) AS BIGINT) AS n_components
+      |FROM sizes GROUP BY cc_size ORDER BY cc_size""".stripMargin
 }

@@ -66,4 +66,22 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val meanPpm = got.map(_._2).sum.toDouble / got.length
     assert(meanPpm > 1e5 && meanPpm < 1e9, s"mean ppm $meanPpm")
   }
+
+  test("q69 connected components: mass conserved, and the distributed CC path agrees") {
+    import graft.operators.Dedup
+    val hist = Graph.q69ConnectedComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(hist.map { case (sz, n) => sz * n }.sum == nOrders,
+      "every order must land in exactly one component")
+    assert(hist.exists(_._1 > 1), "30-day bursts must link some orders")
+    // The adaptive driver union-find and the distributed label
+    // propagation + pointer jumping must canonicalize identically.
+    val (nodes, edges) = Graph.burstGraph(spark, sf)
+    val distributed = Graph.ccSizeHistogram(
+      Dedup.canonicalizeComponents(nodes, edges, driverEdgeLimit = 0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(distributed.toSeq == hist.toSeq,
+      "distributed CC must equal the driver union-find fast path")
+  }
 }
