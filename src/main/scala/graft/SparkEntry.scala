@@ -401,6 +401,7 @@ object SparkEntry {
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10StreamToLake _,
     "st12_lake_stream_read" -> graft.streaming.LakeStream.st12LakeStreamRead _,
     "st13_lake_pipeline" -> graft.streaming.LakeStream.st13LakePipeline _,
+    "st14_lake_sink_dsv2" -> graft.streaming.LakeStream.st14LakeSinkDsv2 _,
     // q62's funnel as a streaming per-user state machine (24 bytes of
     // state per user); oracle = the BATCH funnel CTE, so the state
     // machine must lose nothing across micro-batch boundaries.
@@ -1859,6 +1860,7 @@ object SparkEntry {
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
     "st12_lake_stream_read" -> graft.streaming.LakeStream.st12OracleSql,
     "st13_lake_pipeline" -> graft.streaming.LakeStream.st13OracleSql,
+    "st14_lake_sink_dsv2" -> graft.streaming.LakeStream.st14OracleSql,
     // Streaming funnel replays against the batch CTE — identical SQL.
     "st11_stream_funnel" -> graft.operators.Analytics.q62OracleSql,
     "d27_chunk_overlap" -> TextCorpus.d27OracleSql,

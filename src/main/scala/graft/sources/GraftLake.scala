@@ -155,6 +155,47 @@ object GraftLake {
           else Some(SetStats(c, r.getLong(2 * i), r.getLong(2 * i + 1)))
         }
       }
+    publishEntry(path, action, setName, df.schema, tag, stats, removeSets)
+  }
+
+  /** COMMIT a pre-staged file-set of already-written parquet files —
+    * the entry point for writers that stage data OUTSIDE a DataFrame
+    * write (the DSv2 streaming sink's executor-side part files). Files
+    * are moved into a fresh set directory, then published through the
+    * ordinary claim/publish loop. Exactly-once rides `tag` just like
+    * [[appendIdempotent]]: a replayed epoch finds its tag, discards
+    * its staged files, and returns the already-committed version. An
+    * absent table is created on first commit (Delta-sink behavior).
+    */
+  private[sources] def commitStagedFiles(
+      path: String, files: Seq[String], schema: StructType,
+      tag: Option[String]): Int = {
+    Files.createDirectories(logDir(path)) // auto-create, idempotent
+    tag.foreach { t =>
+      snapshot(path).tags.get(t).foreach { v =>
+        files.foreach(f => Files.deleteIfExists(Paths.get(f)))
+        return v
+      }
+    }
+    val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    val setDir = Paths.get(path, setName)
+    Files.createDirectories(setDir)
+    files.zipWithIndex.foreach { case (f, i) =>
+      Files.move(Paths.get(f), setDir.resolve(f"part-$i%05d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    publishEntry(path, "append", setName, schema, tag, Seq.empty, Seq.empty)
+  }
+
+  /** The claim/publish loop: resolve the current snapshot, conflict-
+    * check, claim the next version (O_EXCL), publish atomically.
+    * `dfSchema` is the writer's schema; evolution/overwrite semantics
+    * are applied against the snapshot's schema per `action`.
+    */
+  private def publishEntry(
+      path: String, action: String, setName: String, dfSchema: StructType,
+      tag: Option[String], stats: Seq[SetStats],
+      removeSets: Seq[String]): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -168,12 +209,12 @@ object GraftLake {
       // overwrite resets the schema along with the contents; append
       // evolves it (old columns keep position, new ones join at the end).
       val mergedDdl =
-        if (v == 0 || action == "overwrite") df.schema.toDDL
+        if (v == 0 || action == "overwrite") dfSchema.toDDL
         // A tombstone set is keys, not table data: the table schema is
         // untouched by the delete.
         else if (action == "tombstone") snap.schemaDdl
         else mergeSchemas(
-          StructType.fromDDL(snap.schemaDdl), df.schema).toDDL
+          StructType.fromDDL(snap.schemaDdl), dfSchema).toDDL
       val removed =
         if (action == "overwrite") snap.live.map(_.set) ++ snap.tombstones
         else removeSets

@@ -191,6 +191,65 @@ object LakeStream {
     out
   }
 
+  /** st14: the DSv2-NATIVE lake sink (SURVEY.md §2) — the same
+    * exactly-once contract as st10, but through
+    * `writeStream.format("graft-lake")` instead of `foreachBatch`:
+    * executor tasks stage parquet part-files (rows never visit the
+    * driver), the driver's epoch commit publishes ONE atomic tagged
+    * log entry, and Spark's epoch replay hits the tag and becomes a
+    * no-op ([[graft.sources.LakeSink]]). The in-row proofs:
+    * `all_epoch_tagged` (every commit carries its sink epoch tag) and
+    * `replay_skipped` (re-appending under an already-committed tag
+    * does not advance the log). The aggregate must equal the batch
+    * answer over all orders — the same oracle as st10.
+    */
+  def st14LakeSinkDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.SparkEntry.scratch("graft_lake_sinkv2", dir)
+    graft.SparkEntry.rmrf(path)
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft-st14")
+    java.nio.file.Files.createDirectories(base.resolve("in"))
+    val inDir = base.resolve("in").toString
+    val q = spark.readStream.schema(orders.schema).parquet(inDir)
+      .writeStream.format("graft-lake")
+      .option("path", path)
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .outputMode("append").start()
+    try {
+      (0 until 3).foreach { i =>
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      graft.SparkEntry.rmrf(base.toString)
+    }
+
+    val cs = GraftLake.commits(path)
+    val allTagged = cs.nonEmpty &&
+      cs.forall(_.tag.exists(_.startsWith("graft-lake-sink-epoch-")))
+    // Epoch replay: committing ANYTHING under an already-present tag
+    // must be a no-op (tags dedup across every writer path).
+    val before = GraftLake.latestVersion(path)
+    GraftLake.appendIdempotent(orders.limit(10), path, cs.head.tag.get)
+    val replaySkipped = GraftLake.latestVersion(path) == before
+
+    GraftLake.read(spark, path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("replay_skipped", lit(replaySkipped && allTagged))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Same shape and proof column as st10 — the sink changed, not the
+    * semantics, so st10's oracle replays st14 too.
+    */
+  val st14OracleSql: String = st10OracleSql
+
   val st13OracleSql: String =
     """SELECT o_orderstatus,
       |  CAST(round(o_totalprice * 100) AS BIGINT) // 10000000 AS band,
