@@ -336,6 +336,8 @@ object SparkEntry {
     "s08_mips"           -> ((s: SparkSession, d: String) => Similarity.s08Mips(s, d)),
     "q56_pagerank"       -> ((s: SparkSession, d: String) => graft.operators.Graph.q56PageRank(s, d)),
     "q69_connected_components" -> graft.operators.Graph.q69ConnectedComponents _,
+    "q70_triangles"      -> ((s: SparkSession, d: String) => graft.operators.Graph.q70Triangles(s, d)),
+    "q71_anomaly_days"   -> graft.operators.Analytics.q71AnomalyDays _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
@@ -1789,6 +1791,8 @@ object SparkEntry {
     "s08_mips" -> graft.operators.Similarity.s08OracleSql,
     "q56_pagerank" -> graft.operators.Graph.q56OracleSql,
     "q69_connected_components" -> graft.operators.Graph.q69OracleSql,
+    "q70_triangles" -> graft.operators.Graph.q70OracleSql,
+    "q71_anomaly_days" -> graft.operators.Analytics.q71OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->

@@ -49,10 +49,18 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long (legacy conf) and
-    * truncate to micros with integer division — same floor semantics as
-    * DuckDB's nanos->micros read, so oracle comparisons line up.
+  /** Normalize `events.ts` to session-zoned TIMESTAMP whatever the
+    * parquet writer annotated:
+    *  - TIMESTAMP(NANOS) (older generators): Spark's vectorized reader
+    *    rejects it — read nanos as long (legacy conf) and truncate to
+    *    micros with integer division, the same floor semantics as
+    *    DuckDB's nanos->micros read.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current generator):
+    *    Spark infers TIMESTAMP_NTZ — cast to TIMESTAMP, which under the
+    *    engine's pinned UTC session zone preserves every field, so the
+    *    micros line up bit-exactly with DuckDB's naive read.
+    * Downstream operators then always see one type (TimestampType) and
+    * Row.getTimestamp / unix_micros keep working.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // nanosAsLong is a session-construction default (Engine.session /
@@ -67,6 +75,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         import org.apache.spark.sql.functions.{expr, timestamp_micros}
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        import org.apache.spark.sql.functions.col
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

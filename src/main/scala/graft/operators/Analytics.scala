@@ -253,4 +253,65 @@ object Analytics {
       |  count(*) AS n,
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q71: ANOMALY DAYS — flag days whose per-type daily total spikes
+    * more than 2 sample standard deviations ABOVE that type's mean
+    * (the COVID case-spike / outage-detection shape: "which days are
+    * statistical outliers in the daily series").
+    *
+    * The z-score test runs in EXACT INTEGER algebra — no float mean or
+    * variance anywhere, so no summation-order or sqrt rounding can
+    * diverge between engines. With x = a day's cents total, n / S / Q
+    * the per-type day count / sum / sum-of-squares,
+    *
+    *   (x - S/n) > 2 * sqrt((nQ - S^2) / (n (n-1)))
+    *     <=>  (xn - S) > 0  AND  (xn - S)^2 (n-1) > 4 n (nQ - S^2)
+    *
+    * both sides exact in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+    * the square-free form of the 2-sigma inequality. Daily totals are
+    * one partial-agg groupBy over the fact scan (shuffle keyed on
+    * (type, day)); the per-type stats table is O(types) rows and
+    * broadcast back — at 100 TB the only data-sized pass is the first
+    * aggregation.
+    */
+  def q71AnomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val day = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cents")).as("x"))
+    val dec = col("x").cast("decimal(38,0)")
+    val st = day.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec).as("s"),
+      sum(dec * dec).as("q"))
+    val num = dec * col("n") - col("s")
+    day.join(broadcast(st), "event_type")
+      .filter(num > lit(0) &&
+        num * num * (col("n") - lit(1)) >
+          lit(4) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), col("d"), col("x").as("day_cents"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** DuckDB replay: identical cents quantization and the identical
+    * square-free integer inequality in HUGEINT (DuckDB's exact wide
+    * integer) — bit-exact agreement, no tolerance.
+    */
+  val q71OracleSql: String =
+    """WITH day AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS s,
+      |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+      |  FROM day GROUP BY 1)
+      |SELECT day.event_type, d, x AS day_cents
+      |FROM day JOIN st USING (event_type)
+      |WHERE (CAST(x AS HUGEINT) * n - s) > 0
+      |  AND (CAST(x AS HUGEINT) * n - s) * (CAST(x AS HUGEINT) * n - s) * (n - 1)
+      |      > 4 * n * (n * q - s * s)
+      |ORDER BY 1, 2""".stripMargin
 }

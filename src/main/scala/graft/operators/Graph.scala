@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -268,4 +268,91 @@ object Graph {
       |  FROM lab GROUP BY cc)
       |SELECT cc_size, CAST(count(*) AS BIGINT) AS n_components
       |FROM sizes GROUP BY cc_size ORDER BY cc_size""".stripMargin
+
+  /** q70: TRIANGLE ENUMERATION over the co-purchase graph — parts are
+    * linked when they appear together in at least `minSupport` distinct
+    * orders (the support filter keeps the projection sparse: a raw
+    * co-occurrence projection of a bipartite fact table densifies
+    * toward a clique as data grows; frequent co-purchase does not).
+    * Triangles = mutually co-purchased triples, the basket-analysis /
+    * community-structure primitive (and the local clustering
+    * coefficient's numerator).
+    *
+    * The enumeration is the DEGREE-ORDERED orientation algorithm
+    * (Suri–Vassilvitskii's MR triangle counting): orient every edge
+    * from its lower-(degree, id) endpoint to the higher, so each
+    * out-neighborhood is bounded by O(sqrt(m)) regardless of hubs —
+    * a star node of degree d contributes d wedges under id-ordering
+    * but ~0 under degree-ordering. Wedges are one self-join of the
+    * oriented edge list on the source; each triangle is closed by
+    * exactly one oriented edge between the two out-neighbors, so every
+    * triangle is emitted exactly once with no post-dedup. All joins
+    * are distributed hash joins on node keys; nothing driver-side.
+    */
+  def q70Triangles(
+      spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // Support-filtered undirected edges, one (x < y) row per pair.
+    val edges = li.toDF("ok", "x").join(li.toDF("ok", "y"), "ok")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("x"), col("y"))
+      .localCheckpoint(true)
+    trianglesOf(edges)
+  }
+
+  /** Degree-ordered triangle enumeration over an undirected edge list
+    * (`x`, `y`; one row per pair, either order, no self-loops). Exposed
+    * for the spec's synthetic-graph checks.
+    */
+  private[graft] def trianglesOf(edges: DataFrame): DataFrame = {
+    // Total order by (degree, id): k = deg * 2^32 + id never collides
+    // while ids fit 32 bits and stays far from Long overflow.
+    val deg = edges.select(col("x").as("v"))
+      .union(edges.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val key = (d: Column, id: Column) => d * lit(4294967296L) + id
+    val ow = edges
+      .join(deg.select(col("v").as("x"), col("dg").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("dg").as("dy")), "y")
+      .select(
+        when(key(col("dx"), col("x")) < key(col("dy"), col("y")), col("x"))
+          .otherwise(col("y")).as("src"),
+        when(key(col("dx"), col("x")) < key(col("dy"), col("y")), col("y"))
+          .otherwise(col("x")).as("dst"),
+        greatest(key(col("dx"), col("x")), key(col("dy"), col("y"))).as("dk"))
+      .localCheckpoint(true)
+    val w1 = ow.select(col("src"), col("dst").as("b"), col("dk").as("kb"))
+    val w2 = ow.select(col("src"), col("dst").as("c"), col("dk").as("kc"))
+    val closing = ow.select(col("src").as("b"), col("dst").as("c"))
+    w1.join(w2, "src").filter(col("kb") < col("kc"))
+      .join(closing, Seq("b", "c"))
+      .select(array_sort(array(col("src"), col("b"), col("c"))).as("t"))
+      .select(
+        col("t").getItem(0).as("p1"),
+        col("t").getItem(1).as("p2"),
+        col("t").getItem(2).as("p3"))
+      .orderBy(col("p1"), col("p2"), col("p3"))
+  }
+
+  /** The oracle enumerates the same triangle SET by id-orientation
+    * (e1.y = e2.x closing e3) — orientation strategy changes the work
+    * distribution, never the result set, and both emit id-sorted
+    * triples, so the outputs are row-identical.
+    */
+  val q70OracleSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |pp AS (SELECT a.pk AS x, b.pk AS y, count(*) AS n
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2),
+      |e AS (SELECT x, y FROM pp WHERE n >= 2)
+      |SELECT e1.x AS p1, e1.y AS p2, e2.y AS p3
+      |FROM e e1
+      |JOIN e e2 ON e1.y = e2.x
+      |JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+      |ORDER BY 1, 2, 3""".stripMargin
 }

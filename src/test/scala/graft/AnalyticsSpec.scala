@@ -119,4 +119,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       }.toMap
     assert(got == want)
   }
+
+  test("q71 anomaly days equal a BigInt replay of the square-free 2-sigma test") {
+    val dayCents = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => ((r.getString(0), r.get(1).toString), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = dayCents.keys.groupBy(_._1).flatMap { case (tpe, keys) =>
+      val xs = keys.toSeq.map(k => (k._2, BigInt(dayCents(k))))
+      val n = BigInt(xs.size)
+      val s = xs.map(_._2).sum
+      val q = xs.map(x => x._2 * x._2).sum
+      xs.collect {
+        case (d, x) if (x * n - s) > 0 &&
+          (x * n - s).pow(2) * (n - 1) > 4 * n * (n * q - s * s) =>
+          (tpe, d, dayCents((tpe, d)))
+      }
+    }.toSet
+    val got = graft.operators.Analytics.q71AnomalyDays(spark, sf).collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "the replay itself must flag at least one spike day")
+  }
 }

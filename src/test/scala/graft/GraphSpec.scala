@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Graph
@@ -83,5 +84,43 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(distributed.toSeq == hist.toSeq,
       "distributed CC must equal the driver union-find fast path")
+  }
+
+  test("q70 triangles equal a brute triple scan of the co-purchase graph") {
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val support = pairs.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size)
+    val edges = support.collect { case ((x, y), n) if n >= 2 => (x, y) }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = (for {
+      (x, y) <- edges.toSeq
+      z <- (adj(x) intersect adj(y)) if z > y
+    } yield (x, y, z)).filter { case (x, y, _) => x < y }.sorted
+    val got = Graph.q70Triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == brute.sorted)
+    assert(got == got.sorted, "output is ordered by the sorted triple")
+  }
+
+  test("trianglesOf: degree orientation emits each triangle exactly once, hubs included") {
+    import spark.implicits._
+    // A hub (0) fanning to 1..40, a K4 on {1,2,3,4}, and the hub closing
+    // a triangle with (1,2): triangles = C(4,3) inside the K4 plus
+    // (0,1,2) through the hub... every hub pair is an edge to check the
+    // orientation never double-counts or misses through high degree.
+    val k4 = for (i <- 1 to 4; j <- i + 1 to 4) yield (i.toLong, j.toLong)
+    val star = (1 to 40).map(i => (0L, i.toLong))
+    val edges = (k4 ++ star).toDF("x", "y")
+    val got = Graph.trianglesOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = (for (i <- 1 to 4; j <- i + 1 to 4; k <- j + 1 to 4)
+      yield (i.toLong, j.toLong, k.toLong)) ++
+      (for (i <- 1 to 4; j <- i + 1 to 4) yield (0L, i.toLong, j.toLong))
+    assert(got.sorted == want.sorted)
   }
 }
