@@ -273,6 +273,7 @@ object SparkEntry {
     "d19_edit_distance"  -> TextCorpus.d19EditDistance _,
     "d20_fuzzy_dedup"    -> Dedup.d20FuzzyDedup _,
     "s05_ann_quantized"  -> ((s: SparkSession, d: String) => Similarity.s05AnnQuantized(s, d)),
+    "s13_ann_pq"         -> ((s: SparkSession, d: String) => Similarity.s13AnnPq(s, d)),
     "d21_dup_ngrams"     -> TextCorpus.d21DupNgrams _,
     "d22_stratified_sample" -> TextCorpus.d22StratifiedSample _,
     "q43_exists_subquery" -> Relational3.q43ExistsSubquery _,
@@ -1077,6 +1078,7 @@ object SparkEntry {
     // is engine-exact, scales cancel in the coarse cosine, and the
     // rescore is the standard double-cast cosine.
     "s05_ann_quantized" -> graft.operators.Similarity.s05OracleSql,
+    "s13_ann_pq" -> graft.operators.Similarity.s13OracleSql,
     // Incremental refresh must equal the full recompute — which IS the
     // oracle: the view state merges partial aggregates across deltas.
     "mv01_incremental_agg" ->

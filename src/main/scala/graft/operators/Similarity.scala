@@ -935,4 +935,247 @@ object Similarity {
        |  FROM c CROSS JOIN q)
        |SELECT q_id, n_id, cos_sim FROM s WHERE cos_sim >= $RangeSearchTau
        |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // s13: product quantization + asymmetric distance computation —
+  // the FAISS-style compressed-corpus scan (what s04/s05's scalar
+  // quantization becomes when 4x compression is not enough).
+  // ---------------------------------------------------------------
+
+  val PqM = 8          // subspaces (Dim / PqM = 8 dims each)
+  val PqK = 16         // centroids per subspace codebook
+  val PqSub = Dim / PqM
+  private val PqCoarseC = 150
+
+  /** s13: PQ-ADC ANN. The 64-float vector compresses to [[PqM]] 4-bit
+    * codes (256 bytes -> 4: 64x less memory traffic than float32,
+    * 16x less than s04's int8), and the scan computes APPROXIMATE
+    * distances with zero per-dimension arithmetic: each query
+    * precomputes an M x K table of partial squared-L2 distances to
+    * every codebook centroid, and a candidate's distance is M table
+    * lookups summed — the asymmetric distance computation (ADC) of
+    * Jegou et al.'s product-quantization paper, the kernel inside
+    * FAISS's IVF-PQ. Coarse top-C by ADC, then exact float rescore of
+    * the C survivors (s05's two-stage contract).
+    *
+    * The GATED codebooks are SAMPLE-INITIALIZED — subspace m's
+    * codebook is the m-th sub-vector of the first [[PqK]] corpus
+    * vectors — a standard PQ init that is pure data (no RNG, no
+    * training state), so the DuckDB oracle replays the entire
+    * pipeline — encode, ADC, rescore — from the parquet alone.
+    * Lloyd-refined codebooks ([[pqTrain]]) are the production path
+    * and are spec-gated: refinement must not increase quantization
+    * error, and recall holds on clustered corpora.
+    *
+    * Scale: codebooks are M x K x (Dim/M) floats — KILOBYTES,
+    * broadcast; encoding is one O(n * K * Dim) map pass; the ADC scan
+    * shuffles only each partition's top-C (TopKByScore partial, ids
+    * only); the float re-join touches C rows per query. Composes with
+    * s03's IVF lists (probe, then ADC-scan the list) unchanged.
+    */
+  def s13AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(spark, dir)
+    s13AnnPq(spark, q, c, sampleCodebooks(spark, dir))
+  }
+
+  /** Codebook[m][k] = sub-vector m of corpus vector (NQueries + k) —
+    * deterministic sample init, O(M x K x sub) doubles on the driver
+    * (a bounded metadata read, same class as s03's centroid collect).
+    */
+  private[graft] def sampleCodebooks(
+      spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val rows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + PqK)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    Array.tabulate(PqM, PqK) { (m, k) =>
+      Array.tabulate(PqSub)(i => rows(k)(m * PqSub + i).toDouble)
+    }
+  }
+
+  /** Squared L2 between a sub-vector and a centroid — the sequential
+    * i-ascending fold both engines replay bit-identically.
+    */
+  private def subDist(xs: Array[Double], off: Int, cent: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < cent.length) {
+      val t = xs(off + i) - cent(i)
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  private[graft] def s13AnnPq(
+      spark: SparkSession, q: DataFrame, c: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    // Encode: nearest centroid per subspace (min distance, then min k —
+    // strict-less keeps the first minimum, matching the oracle's
+    // row_number ORDER BY d, k).
+    val codes = c.as[(Long, Array[Float])].map { case (id, emb) =>
+      val xs = emb.map(_.toDouble)
+      val code = Array.tabulate(bcCb.value.length) { m =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var k = 0
+        while (k < bcCb.value(m).length) {
+          val d = subDist(xs, m * PqSub, bcCb.value(m)(k))
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        best
+      }
+      (id, code)
+    }.toDF("n_id", "codes")
+    // Per-query ADC tables: M x K partial distances, tiny and broadcast.
+    val adcQ = q.as[(Long, Array[Float])].map { case (id, emb) =>
+      val xs = emb.map(_.toDouble)
+      val tab = Array.tabulate(bcCb.value.length) { m =>
+        Array.tabulate(bcCb.value(m).length) { k =>
+          subDist(xs, m * PqSub, bcCb.value(m)(k))
+        }
+      }
+      (id, tab)
+    }.toDF("q_id", "adc")
+    // ADC scan: M lookups + an ordered fold per candidate — no
+    // per-dimension arithmetic touches the corpus row.
+    val lookup = zip_with(col("codes"), col("adc"),
+      (code, row) => element_at(row, (code + 1).cast("int")))
+    val ad = aggregate(lookup, lit(0.0), (a, x) => a + x)
+    val coarse = codes.crossJoin(broadcast(adcQ))
+      .withColumn("ad", ad)
+      .groupBy(col("q_id"))
+      .agg(VectorFunctions.topKByScore(negate(col("ad")), col("n_id"), PqCoarseC).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("n_id"))
+    // Exact float rescore of the C survivors only (ids-only boundary).
+    val scored = coarse
+      .join(q.select(col("q_id"), col("q_emb")), "q_id")
+      .join(c, "n_id")
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+
+  /** Lloyd-refined PQ codebooks: per subspace, the existing
+    * distributed k-means machinery ([[trainCentroids]]' shape) run on
+    * the sub-vector columns — assign (broadcast codebook) + per-code
+    * sub-vector means are partial-aggregating passes; only the
+    * K x sub means matrix reaches the driver per subspace. Refinement
+    * never increases total quantization error (Lloyd's monotonicity),
+    * which the spec asserts against the sample init.
+    */
+  private[graft] def pqTrain(
+      spark: SparkSession, c: DataFrame, init: Array[Array[Array[Double]]],
+      iters: Int): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    var cb = init
+    (1 to iters).foreach { _ =>
+      val bcCb = spark.sparkContext.broadcast(cb)
+      // One pass: every (m, code, sub-vector) assignment exploded.
+      val assigned = c.as[(Long, Array[Float])].flatMap { case (_, emb) =>
+        val xs = emb.map(_.toDouble)
+        (0 until bcCb.value.length).map { m =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var k = 0
+          while (k < bcCb.value(m).length) {
+            val d = subDist(xs, m * PqSub, bcCb.value(m)(k))
+            if (d < bestD) { bestD = d; best = k }
+            k += 1
+          }
+          (m, best, xs.slice(m * PqSub, (m + 1) * PqSub))
+        }
+      }.toDF("m", "k", "sub")
+      val means = assigned
+        .select(col("m"), col("k"), posexplode(col("sub")))
+        .groupBy(col("m"), col("k"), col("pos"))
+        .agg(avg(col("col")).as("mu"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = Array.tabulate(cb.length, PqK) { (m, k) =>
+        means.get((m, k)) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+          case None => cb(m)(k) // empty code keeps its centroid
+        }
+      }
+    }
+    cb
+  }
+
+  /** Mean squared quantization error of a codebook over the corpus —
+    * the Lloyd objective, for the refinement spec.
+    */
+  private[graft] def pqError(
+      spark: SparkSession, c: DataFrame, cb: Array[Array[Array[Double]]]): Double = {
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    c.as[(Long, Array[Float])].map { case (_, emb) =>
+      val xs = emb.map(_.toDouble)
+      (0 until bcCb.value.length).map { m =>
+        var bestD = Double.MaxValue
+        var k = 0
+        while (k < bcCb.value(m).length) {
+          val d = subDist(xs, m * PqSub, bcCb.value(m)(k))
+          if (d < bestD) bestD = d
+          k += 1
+        }
+        bestD
+      }.sum
+    }.reduce(_ + _) / c.count()
+  }
+
+  /** Full DuckDB replay of s13: codebooks FROM the data (sub-vectors
+    * of corpus ids NQueries..NQueries+K-1), encode by (d, k)-ordered
+    * row_number, ADC by (m, code) equi-join with an m-ordered fold —
+    * the same sequential double arithmetic at every step, so the
+    * coarse candidate set and the rescored top-5 are bit-equal.
+    */
+  def s13OracleSql: String = {
+    val sub = PqSub
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, xs AS q_xs FROM e WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS n_id, xs AS n_xs FROM e WHERE vec_id >= $NQueries),
+       |cb AS (SELECT m, vec_id - $NQueries AS k,
+       |    xs[m * $sub + 1 : m * $sub + $sub] AS cent
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)
+       |  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + PqK}),
+       |encd AS (SELECT n_id, m, k,
+       |    list_reduce(list_prepend(0.0,
+       |      [(n_xs[m * $sub + i] - cent[i]) * (n_xs[m * $sub + i] - cent[i])
+       |       FOR i IN range(1, $sub + 1)]), (a, x) -> a + x) AS d
+       |  FROM c CROSS JOIN cb),
+       |enc AS (SELECT n_id, m, k AS code FROM (
+       |    SELECT n_id, m, k,
+       |      row_number() OVER (PARTITION BY n_id, m ORDER BY d, k) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |adc AS (SELECT q_id, m, k,
+       |    list_reduce(list_prepend(0.0,
+       |      [(q_xs[m * $sub + i] - cent[i]) * (q_xs[m * $sub + i] - cent[i])
+       |       FOR i IN range(1, $sub + 1)]), (a, x) -> a + x) AS d
+       |  FROM q CROSS JOIN cb),
+       |approx AS (SELECT q_id, n_id,
+       |    list_reduce(list_prepend(0.0, list(d ORDER BY enc.m)), (a, x) -> a + x) AS ad
+       |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.k
+       |  GROUP BY q_id, n_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS crnk
+       |    FROM approx) WHERE crnk <= $PqCoarseC),
+       |sc AS (SELECT q_id, n_id,
+       |    list_cosine_similarity(q_xs, n_xs) AS cos
+       |  FROM cand JOIN q USING (q_id) JOIN c USING (n_id)),
+       |r AS (SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM sc)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
+       |FROM r WHERE rnk <= $K
+       |ORDER BY q_id, rnk""".stripMargin
+  }
 }

@@ -348,4 +348,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(appended == nDelta * Similarity.DefaultTables,
       s"append must hold exactly delta x tables signature rows, got $appended")
   }
+
+  test("s13 PQ-ADC: coarse-then-rescore recovers the brute top-5 (recall >= 0.8)") {
+    val brute = Similarity.s01AnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.s13AnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.keySet == brute.keySet)
+    val recall = brute.map { case (q, want) =>
+      (pq(q) intersect want).size.toDouble / want.size
+    }.sum / brute.size
+    assert(recall >= 0.8, s"PQ recall@5 = $recall")
+    // Every result list is a full, densely-ranked top-5.
+    pq.values.foreach(ids => assert(ids.size == 5))
+  }
+
+  test("pqTrain: Lloyd refinement never increases quantization error") {
+    val emb = Tables.embeddings(spark, sf)
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val init = Similarity.sampleCodebooks(spark, sf)
+    val e0 = Similarity.pqError(spark, c, init)
+    val refined = Similarity.pqTrain(spark, c, init, iters = 2)
+    val e1 = Similarity.pqError(spark, c, refined)
+    // Lloyd is monotone per exact arithmetic; allow float-mean slack.
+    assert(e1 <= e0 * (1 + 1e-9), s"refined $e1 vs init $e0")
+    assert(e1 < e0, "two Lloyd iterations must strictly improve on sample init here")
+    // Refined codebooks keep the same shape (M x K x sub).
+    assert(refined.length == Similarity.PqM)
+    assert(refined.forall(_.length == Similarity.PqK))
+    assert(refined.forall(_.forall(_.length == Similarity.PqSub)))
+  }
 }
