@@ -470,6 +470,44 @@ object SparkEntry {
     // (kept=2 proven in-row as `pruned`), then a generic-predicate
     // delete (k % 7 = 3) exercises the scan-based hit detection. The
     // oracle replays both deletes as filters over raw orders.
+    // GraftLake BLOOM file skipping: 8 file-sets split by key MODULUS
+    // (every set's [min,max] spans the whole key range — zone maps
+    // CANNOT prune this layout), each committed with a bloom sidecar
+    // on the key. A point lookup of a present key opens ~1 of 8 sets;
+    // an absent key opens ~0 — both proven in-row. The oracle replays
+    // the lookups as plain filters (pruning is content-neutral).
+    "src21_bloom_point" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_bloom", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.create(o.filter(pmod(col("o_orderkey"), lit(8)) === 0), path,
+        bloomCols = Seq("o_orderkey"))
+      (1 to 7).foreach(b => GraftLake.append(
+        o.filter(pmod(col("o_orderkey"), lit(8)) === b), path,
+        bloomCols = Seq("o_orderkey")))
+      val (hitDf, hitScan, hitSkip) = GraftLake.readPoint(s, path, "o_orderkey", 777L)
+      val (missDf, missScan, missSkip) = GraftLake.readPoint(
+        s, path, "o_orderkey", 10000000L)
+      val hit = hitDf.filter(col("o_orderkey") === 777)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("cents")), lit(0L)).as("cents"))
+        .withColumn("key", lit(777L))
+        // <1% per-set false-positive rate: the present key opens its
+        // one home set (+ at most one FP), the absent key at most one.
+        .withColumn("bloom_pruned", lit(hitScan <= 2 && hitSkip >= 6))
+      val miss = missDf.filter(col("o_orderkey") === 10000000L)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("cents")), lit(0L)).as("cents"))
+        .withColumn("key", lit(10000000L))
+        .withColumn("bloom_pruned", lit(missScan <= 1 && missSkip >= 7))
+      hit.unionByName(miss).select(
+        col("key"), col("n"), col("cents"), col("bloom_pruned"))
+        .orderBy(col("key"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -1909,6 +1947,19 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_orderkey % 9 = 4)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src21_bloom_point" ->
+      """SELECT CAST(777 AS BIGINT) AS key, count(*) AS n,
+        |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+        |    AS BIGINT) AS cents,
+        |  TRUE AS bloom_pruned
+        |FROM orders WHERE o_orderkey = 777
+        |UNION ALL
+        |SELECT CAST(10000000 AS BIGINT), count(*),
+        |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+        |    AS BIGINT),
+        |  TRUE
+        |FROM orders WHERE o_orderkey = 10000000
+        |ORDER BY key""".stripMargin,
     "src17_lake_delete" ->
       """WITH mk AS (SELECT max(o_orderkey) AS m FROM orders)
         |SELECT o_orderstatus, count(*) AS n,

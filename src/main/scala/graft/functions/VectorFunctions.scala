@@ -72,6 +72,18 @@ object VectorFunctions {
         .toAggregateExpression())
   }
 
+  /** Distributed Bloom-filter build over a long column (bitwise-OR
+    * merge — byte-deterministic; see [[graft.plans.BloomAgg]]).
+    * Returns binary: the packed bit words.
+    */
+  def bloomAgg(value: Column, numWords: Int,
+      k: Int = graft.plans.GraftBloom.DefaultK): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.BloomAgg(GraftBridge.expression(value), numWords, k)
+        .toAggregateExpression())
+  }
+
   private def literalInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")

@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.util.matching.Regex
@@ -101,10 +102,12 @@ object GraftLake {
     */
   def create(
       df: DataFrame, path: String, statsCol: Option[String] = None,
-      statsCols: Seq[String] = Seq.empty): Int = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Int = {
     require(!Files.exists(logDir(path)), s"table already exists: $path")
     Files.createDirectories(logDir(path))
-    commit(df, path, "create", statsCols = statsCol.toSeq ++ statsCols)
+    commit(df, path, "create", statsCols = statsCol.toSeq ++ statsCols,
+      bloomCols = bloomCols)
   }
 
   /** Append `df`; columns missing from the current schema are added
@@ -114,8 +117,10 @@ object GraftLake {
     */
   def append(
       df: DataFrame, path: String, statsCol: Option[String] = None,
-      statsCols: Seq[String] = Seq.empty): Int =
-    commit(df, path, "append", statsCols = statsCol.toSeq ++ statsCols)
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Int =
+    commit(df, path, "append", statsCols = statsCol.toSeq ++ statsCols,
+      bloomCols = bloomCols)
 
   /** Replace the table contents with `df` in one atomic commit. */
   def overwrite(df: DataFrame, path: String): Int = commit(df, path, "overwrite")
@@ -135,10 +140,15 @@ object GraftLake {
   private def commit(
       df: DataFrame, path: String, action: String,
       tag: Option[String] = None, statsCols: Seq[String] = Seq.empty,
-      removeSets: Seq[String] = Seq.empty): Int = {
+      removeSets: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Int = {
     // 1. stage the file-set — invisible until the log names it.
     val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$path/$setName")
+    // Bloom sidecars are part of the STAGED set (written before the
+    // log names it), so a published set and its point-lookup index
+    // appear atomically together.
+    bloomCols.foreach(c => writeBloomSidecar(df.sparkSession, path, setName, c))
     // Zone-map stats come from the WRITTEN files (parquet-footer-cheap
     // scan), so they describe exactly what readers will see — ALL
     // stats columns in one aggregate pass.
@@ -550,6 +560,98 @@ object GraftLake {
           case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
           case None => true // no stats on this dimension — must read
         }
+      }
+    }
+    val df = scan.map(readSet(spark, path, _, target))
+      .reduceLeftOption(_.unionByName(_))
+      .getOrElse(read(spark, path).limit(0))
+    (applyTombstones(spark, path, df, s.tombstones), scan.size, skip.size)
+  }
+
+  // ------------------------------------------------------- bloom skipping
+
+  /** Per-file-set Bloom sidecar: `_bloom_<col>.json` INSIDE the set
+    * directory (the leading underscore hides it from parquet scans —
+    * the Delta bloom-index layout). Built by one distributed
+    * [[graft.plans.BloomAgg]] pass over the WRITTEN files, crc-sealed
+    * like log entries. Blooms answer the query zone maps cannot:
+    * point lookups on high-cardinality columns whose values
+    * interleave across every set's [min, max] span.
+    */
+  private def bloomSidecar(table: String, set: String, c: String): Path =
+    Paths.get(table, set, s"_bloom_$c.json")
+
+  private def writeBloomSidecar(
+      spark: SparkSession, table: String, set: String, c: String): Unit = {
+    import graft.plans.GraftBloom
+    val written = spark.read.parquet(s"$table/$set")
+    // An empty bloom from an all-null cast would wrongly prune live
+    // data — only integral key columns may carry a bloom.
+    written.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => ()
+      case other => throw new IllegalArgumentException(
+        s"bloom column '$c' must be integral, got $other")
+    }
+    val n = written.count()
+    val words = GraftBloom.wordsFor(n)
+    val bytes = written
+      .agg(graft.functions.VectorFunctions.bloomAgg(
+        col(c).cast("long"), words).as("b"))
+      .head.getAs[Array[Byte]]("b")
+    val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+    val body = s"""{"col":"$c","words":$words,"k":${GraftBloom.DefaultK},""" +
+      s""""bits":"$b64""""
+    Files.write(bloomSidecar(table, set, c),
+      (body + s""","crc":${crc32(body)}}""").getBytes(UTF_8))
+  }
+
+  /** The set's bloom for `c`, if present AND intact. A missing or
+    * corrupted sidecar yields None — the caller must then READ the
+    * set, so corruption degrades to a slower scan, never a wrong
+    * answer (bloom "no" is the only pruning signal, and only a
+    * verified bloom may say it).
+    */
+  private def readBloomSidecar(
+      table: String, set: String, c: String): Option[(Array[Long], Int)] = {
+    val p = bloomSidecar(table, set, c)
+    if (!Files.exists(p)) return None
+    try {
+      val line = new String(Files.readAllBytes(p), UTF_8)
+      val m = CrcRe.findFirstMatchIn(line).getOrElse(return None)
+      val body = line.substring(0, line.lastIndexOf(""","crc":"""))
+      if (crc32(body) != m.group(1).toLong) return None
+      val bits = """"bits":"([A-Za-z0-9+/=]*)"""".r
+        .findFirstMatchIn(line).map(_.group(1)).getOrElse(return None)
+      val k = """"k":(\d+)""".r
+        .findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(return None)
+      Some((graft.plans.GraftBloom.fromBytes(
+        java.util.Base64.getDecoder.decode(bits)), k))
+    } catch { case _: Exception => None }
+  }
+
+  /** BLOOM-PRUNED POINT LOOKUP: open only the live file-sets whose
+    * bloom on `c` might contain `value` (sets without an intact bloom
+    * are read conservatively). This is manifest-level equality
+    * skipping for the lookup zone maps cannot serve — a unique key in
+    * an 8-set table opens ~1 set (+ false positives at the published
+    * <1% rate) instead of 8. Composes with zone maps: a caller can
+    * pre-narrow with [[readPruned]] semantics, and parquet row-group
+    * stats still prune within each opened set. Callers still apply
+    * the row filter — the bloom only decides which sets to OPEN.
+    * Returns (frame, scannedSets, skippedSets).
+    */
+  def readPoint(
+      spark: SparkSession, path: String,
+      c: String, value: Long): (DataFrame, Int, Int) = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    val target = StructType.fromDDL(s.schemaDdl)
+    val (scan, skip) = s.live.partition { ls =>
+      readBloomSidecar(path, ls.set, c) match {
+        case Some((words, k)) =>
+          graft.plans.GraftBloom.mightContain(words, k, value)
+        case None => true // no verified bloom — must read
       }
     }
     val df = scan.map(readSet(spark, path, _, target))

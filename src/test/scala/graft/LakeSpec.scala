@@ -648,4 +648,75 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
       plan.contains("GreaterThanOrEqual(o_totalprice,400000.0)"),
       s"filter not pushed into the lake scan:\n$plan")
   }
+
+  test("bloom point lookup: sound on every key, prunes a mod-split layout") {
+    val path = freshTable()
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    GraftLake.create(o.filter(pmod(col("o_orderkey"), lit(4)) === 0), path,
+      bloomCols = Seq("o_orderkey"))
+    (1 to 3).foreach(b => GraftLake.append(
+      o.filter(pmod(col("o_orderkey"), lit(4)) === b), path,
+      bloomCols = Seq("o_orderkey")))
+    // Soundness: every probed key returns exactly its rows (a bloom
+    // "no" is only ever exact), including keys from every set.
+    (0 to 11).foreach { key =>
+      val (df, scanned, skipped) =
+        GraftLake.readPoint(spark, path, "o_orderkey", key.toLong)
+      assert(scanned + skipped == 4)
+      val got = df.filter(col("o_orderkey") === key).count()
+      assert(got == 1, s"key $key: $got rows")
+      // The home set must be scanned; FPs may add at most a couple.
+      assert(scanned >= 1 && scanned <= 2, s"key $key scanned $scanned")
+    }
+    // An absent key skips (almost) everything.
+    val (_, missScan, missSkip) =
+      GraftLake.readPoint(spark, path, "o_orderkey", 99999999L)
+    assert(missScan <= 1 && missSkip >= 3)
+  }
+
+  test("corrupted bloom sidecar degrades to a conservative scan, never a wrong answer") {
+    val path = freshTable()
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"))
+    GraftLake.create(o.filter(col("o_orderkey") < 100), path,
+      bloomCols = Seq("o_orderkey"))
+    GraftLake.append(o.filter(col("o_orderkey") >= 100), path,
+      bloomCols = Seq("o_orderkey"))
+    // Flip a byte in every sidecar: the crc rejects them and readPoint
+    // must fall back to reading all sets.
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dataDir = JPaths.get(path, "data")
+    JFiles.list(dataDir).forEach { setDir =>
+      val sc = setDir.resolve("_bloom_o_orderkey.json")
+      val bytes = JFiles.readAllBytes(sc)
+      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+      JFiles.write(sc, bytes)
+    }
+    val (df, scanned, skipped) =
+      GraftLake.readPoint(spark, path, "o_orderkey", 42L)
+    assert(scanned == 2 && skipped == 0, "corrupt blooms must not prune")
+    assert(df.filter(col("o_orderkey") === 42).count() == 1)
+  }
+
+  test("BloomAgg bytes are partitioning-invariant (OR-merge determinism)") {
+    import graft.functions.VectorFunctions
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"))
+    def bloomOf(parts: Int): Array[Byte] =
+      o.repartition(parts)
+        .agg(VectorFunctions.bloomAgg(col("o_orderkey"), 1024).as("b"))
+        .head.getAs[Array[Byte]]("b")
+    val a = bloomOf(1)
+    val b = bloomOf(13)
+    assert(java.util.Arrays.equals(a, b),
+      "bloom bytes must not depend on partitioning")
+    // And membership behaves: all present keys hit, far keys mostly miss.
+    val words = graft.plans.GraftBloom.fromBytes(a)
+    val keys = o.limit(200).collect().map(_.getLong(0))
+    assert(keys.forall(k =>
+      graft.plans.GraftBloom.mightContain(words, graft.plans.GraftBloom.DefaultK, k)))
+    val fps = (10000000L until 10001000L)
+      .count(k => graft.plans.GraftBloom.mightContain(
+        words, graft.plans.GraftBloom.DefaultK, k))
+    assert(fps < 50, s"false-positive rate too high: $fps/1000")
+  }
 }
