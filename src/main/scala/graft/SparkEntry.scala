@@ -284,6 +284,7 @@ object SparkEntry {
     "s06_maxsim"         -> ((s: SparkSession, d: String) => Similarity.s06MaxSim(s, d)),
     "q48_lateral_topn"   -> Relational3.q48LateralTopN _,
     "mv04_retract_view"  -> graft.operators.Materialized.mv04RetractView _,
+    "mv07_retract_join_view" -> graft.operators.Materialized.mv07RetractJoinView _,
     "q49_khop_reach"     -> ((s: SparkSession, d: String) => graft.operators.Graph.q49KHopReach(s, d)),
     // ORC round-trip: the second self-describing columnar format —
     // schema, stripe min/max pushdown and column pruning all survive
@@ -404,6 +405,7 @@ object SparkEntry {
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10StreamToLake _,
     "st12_lake_stream_read" -> graft.streaming.LakeStream.st12LakeStreamRead _,
     "st13_lake_pipeline" -> graft.streaming.LakeStream.st13LakePipeline _,
+    "st15_cdc_apply"     -> graft.streaming.LakeStream.st15CdcApply _,
     "st14_lake_sink_dsv2" -> graft.streaming.LakeStream.st14LakeSinkDsv2 _,
     // q62's funnel as a streaming per-user state machine (24 bytes of
     // state per user); oracle = the BATCH funnel CTE, so the state
@@ -1607,6 +1609,7 @@ object SparkEntry {
     // Retractable view: oracle recomputes over the surviving key set
     // (deleted %10==7, re-inserted %20==7) with the same cents-exact
     // integer money arithmetic.
+    "mv07_retract_join_view" -> graft.operators.Materialized.mv07OracleSql,
     "mv04_retract_view" ->
       """SELECT year(o_orderdate) AS o_year, o_orderstatus, count(*) AS n,
         |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS rev
@@ -1904,6 +1907,7 @@ object SparkEntry {
     "st10_stream_to_lake" -> graft.streaming.LakeStream.st10OracleSql,
     "st12_lake_stream_read" -> graft.streaming.LakeStream.st12OracleSql,
     "st13_lake_pipeline" -> graft.streaming.LakeStream.st13OracleSql,
+    "st15_cdc_apply" -> graft.streaming.LakeStream.st15OracleSql,
     "st14_lake_sink_dsv2" -> graft.streaming.LakeStream.st14OracleSql,
     // Streaming funnel replays against the batch CTE — identical SQL.
     "st11_stream_funnel" -> graft.operators.Analytics.q62OracleSql,

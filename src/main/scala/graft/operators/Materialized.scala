@@ -215,6 +215,59 @@ object Materialized {
       .orderBy(col("o_year"), col("o_orderstatus"))
   }
 
+  /** Signed partial state THROUGH a join — mv07. The delta-join rule
+    * of incremental view maintenance with retractions (the signed
+    * dataflow DBSP/Materialize-style engines run): for a static dim D,
+    * ΔV = agg(ΔO ⋈ D) with ΔO carrying ±1 multiplicities, so deletes
+    * ride the SAME O(delta) broadcast-join refresh inserts do — no
+    * re-join of the base fact table, ever. Integer-cents money makes
+    * insert-then-delete a bit-exact identity (mv04's argument), and
+    * emptied groups drop — through the join.
+    */
+  def signedJoinState(
+      orders: DataFrame, customer: DataFrame, sign: Int): DataFrame =
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        (count(lit(1)) * sign).as("n"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) * sign).as("cents"))
+
+  def mergeSignedJoin(
+      view: DataFrame, delta: DataFrame, customer: DataFrame,
+      sign: Int): DataFrame =
+    view.unionByName(signedJoinState(delta, customer, sign))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .filter(col("n") =!= 0)
+
+  /** mv07: RETRACTABLE JOIN view — mv02's join view under mv04's
+    * delete/re-insert schedule. The capability neither covers alone:
+    * mv02 maintains a join but only grows, mv04 retracts but joins
+    * nothing. Oracle = plain recompute of the join over the surviving
+    * multiset — equality proves delta-join retraction is exact.
+    */
+  def mv07RetractJoinView(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val del = orders.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+    val reins = orders.filter(pmod(col("o_orderkey"), lit(20)) === 7)
+    val v = mergeSignedJoin(
+      mergeSignedJoin(signedJoinState(orders, customer, 1), del, customer, -1),
+      reins, customer, 1)
+    v.select(
+      col("c_mktsegment"), col("o_orderstatus"), col("n"),
+      round(col("cents") / 100.0, 2).as("rev"))
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+  }
+
+  val mv07OracleSql: String =
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+      |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS rev
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 10 <> 7 OR o_orderkey % 20 = 7
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** mv06: APPROXIMATE distinct-count view with mergeable SKETCH
     * state — the view the signed algebra (mv04) and semilattice
     * merges (mv05) both cannot give: count(DISTINCT) is neither

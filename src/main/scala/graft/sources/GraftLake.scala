@@ -303,7 +303,11 @@ object GraftLake {
       }
     }
     val oldNames = old.fieldNames.toSet
-    StructType(old.fields ++ next.fields.filterNot(f => oldNames(f.name)))
+    // Columns JOINING the schema must be nullable whatever the writer
+    // declared: every pre-existing file-set null-fills them, so a
+    // NOT NULL added column would be unsatisfiable history.
+    StructType(old.fields ++
+      next.fields.filterNot(f => oldNames(f.name)).map(_.copy(nullable = true)))
   }
 
   // ----------------------------------------------------------------- read
@@ -713,9 +717,14 @@ object GraftLake {
     */
   def merge(
       spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], statsCol: String): (Int, Int, Int) = {
+      keyCols: Seq[String], statsCol: String,
+      tag: Option[String] = None): (Int, Int, Int) = {
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
+    // EXACTLY-ONCE merges: a tag already in the log means this epoch's
+    // upsert landed — replay is a no-op (the publish loop re-checks
+    // under contention, so racing same-tag merges land exactly once).
+    tag.foreach { t => s.tags.get(t).foreach { v => return (v, 0, 0) } }
     require(s.tombstones.isEmpty,
       s"outstanding merge-on-read tombstones at $path: compact first " +
         "(a raw file-set rewrite would resurrect tombstoned rows)")
@@ -762,7 +771,7 @@ object GraftLake {
     // Re-record every stats dimension the rewritten sets carried (plus
     // the merge key) so multi-column pruning survives the rewrite.
     val reStats = (hit.flatMap(_.stats.map(_.col)) :+ statsCol).distinct
-    val v = commit(rewritten, path, "merge",
+    val v = commit(rewritten, path, "merge", tag = tag,
       statsCols = reStats, removeSets = hit.map(_.set))
     (v, hit.size, kept.size)
   }

@@ -192,15 +192,19 @@ private[sources] class LakeFileReader(
 
   private val written = StructType.fromDDL(part.writtenDdl)
   private val writtenNames = written.fieldNames.toSet
-  // Data fields to decode from THIS file (ordered as in `required`).
+  // Data fields to decode from THIS file (ordered as in `required`),
+  // carrying the WRITTEN set's nullability: Spark writes non-nullable
+  // columns as parquet `required`, and the projection's repetition
+  // must match the file's or checkContains rejects the read.
   private val dataFields: Array[StructField] =
     required.fields.filter(f =>
       f.name != "_commit_version" && writtenNames(f.name))
+      .map(f => f.copy(nullable = written(f.name).nullable))
 
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
     if (dataFields.nonEmpty) {
-      conf.set(ReadSupport.PARQUET_READ_SCHEMA, parquetProjection(dataFields))
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, parquetProjection(dataFields, conf))
     }
     ParquetReader
       .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(part.file))
@@ -208,23 +212,25 @@ private[sources] class LakeFileReader(
       .build()
   }
 
-  /** The requested fields as a parquet message schema string — all
-    * primitives, matching what Spark's parquet writer emits for them.
+  /** Column-pruned projection for the file, built FROM ITS OWN FOOTER:
+    * the requested fields are the file schema's own Type nodes, so
+    * repetition (Spark writes non-nullable columns as `required`) and
+    * logical annotations always match exactly — the log's merged
+    * schema DDL cannot be trusted for either (evolution relaxes
+    * NOT NULL on merge).
     */
-  private def parquetProjection(fields: Array[StructField]): String =
-    fields.map { f =>
-      val t = f.dataType match {
-        case LongType => "int64"
-        case IntegerType => "int32"
-        case DoubleType => "double"
-        case BooleanType => "boolean"
-        case StringType => "binary"
-        case DateType => "int32"
-        case dt => throw new IllegalArgumentException(
-          s"graft-lake-stream: unsupported column type $dt for '${f.name}'")
-      }
-      s"optional $t ${f.name};"
-    }.mkString("message spark_schema {\n", "\n", "\n}")
+  private def parquetProjection(
+      fields: Array[StructField], conf: Configuration): String = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.file), conf)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fileSchema =
+      try fr.getFileMetaData.getSchema finally fr.close()
+    new org.apache.parquet.schema.MessageType(
+      "spark_schema",
+      fields.map(f =>
+        fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))): _*).toString
+  }
 
   private var current: Group = _
 

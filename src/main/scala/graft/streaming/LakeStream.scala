@@ -260,6 +260,111 @@ object LakeStream {
       |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 10000000
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** st15: streaming CDC-APPLY — the Kafka/Debezium→lakehouse shape:
+    * an INSERT-ONLY changefeed table carries upsert RECORDS (later
+    * record per key wins), a stream tails its commit log, and every
+    * micro-batch lands in the materialized target as ONE exactly-once
+    * tagged MERGE. The three legs each already exist (st12 tails,
+    * merge upserts, tags dedup) — st15 proves they compose into the
+    * continuously-maintained mirror table a warehouse calls "CDC
+    * apply", with per-epoch exactly-once even across batch replays.
+    *
+    * Within a batch the LATEST record per key wins (one window over
+    * the DELTA only — `_commit_version` descending), so coalesced
+    * micro-batches apply the same final state as one-commit batches.
+    * Scale: each apply is O(delta) + a zone-map-pruned merge — the
+    * target never rescans, the feed never replays old commits.
+    */
+  def st15CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val feed = graft.SparkEntry.scratch("graft_cdc_feed", dir)
+    val dst = graft.SparkEntry.scratch("graft_cdc_dst", dir)
+    graft.SparkEntry.rmrf(feed)
+    graft.SparkEntry.rmrf(dst)
+    val base0 = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val k = col("o_orderkey")
+    // The changefeed: base records, then two update waves + inserts —
+    // all derived arithmetically so the oracle replays the feed.
+    val u1 = base0.filter(pmod(k, lit(7)) === 2)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("cents", col("cents") + 555)
+    val u2 = base0.filter(pmod(k, lit(7)) === 5)
+      .withColumn("o_orderstatus", lit("V"))
+      .withColumn("cents", col("cents") + 777)
+    val ins = base0.filter(pmod(k, lit(11)) === 3)
+      .withColumn("o_orderkey", k + 1000000L)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("cents", col("cents") + 111)
+    GraftLake.create(base0, feed)                    // feed v0
+    GraftLake.create(base0.limit(0), dst, Some("o_orderkey"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft-st15")
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", feed).load()
+      .writeStream
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        // Latest record per key inside the delta (coalesced batches
+        // may span several feed commits).
+        val w = Window.partitionBy(col("o_orderkey"))
+          .orderBy(col("_commit_version").desc)
+        val latest = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn", "_commit_version")
+        GraftLake.merge(spark, dst, latest, Seq("o_orderkey"),
+          "o_orderkey", tag = Some(s"cdc-epoch-$batchId"))
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()                        // applies v0
+      GraftLake.append(u1, feed)                     // feed v1
+      q.processAllAvailable()
+      GraftLake.append(u2.unionByName(ins), feed)    // feed v2
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    // Epoch replay: the same tag must not re-apply (merge is
+    // exactly-once under its tag, like the append paths).
+    val before = GraftLake.latestVersion(dst)
+    val (_, rew, _) = GraftLake.merge(spark, dst, base0.limit(50),
+      Seq("o_orderkey"), "o_orderkey", tag = Some("cdc-epoch-0"))
+    val replaySkipped = GraftLake.latestVersion(dst) == before && rew == 0
+
+    val out = GraftLake.read(spark, dst)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("replay_skipped", lit(replaySkipped))
+      .orderBy(col("o_orderstatus"))
+      .localCheckpoint(true)
+    graft.SparkEntry.rmrf(base.toString)
+    out
+  }
+
+  /** Replays the feed arithmetic: base minus updated keys, plus the
+    * update waves and inserts — latest-wins by construction (the two
+    * update key sets are disjoint mod-7 classes).
+    */
+  val st15OracleSql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |final AS (
+      |  SELECT k, st, c FROM base WHERE k % 7 <> 2 AND k % 7 <> 5
+      |  UNION ALL
+      |  SELECT k, 'U', c + 555 FROM base WHERE k % 7 = 2
+      |  UNION ALL
+      |  SELECT k, 'V', c + 777 FROM base WHERE k % 7 = 5
+      |  UNION ALL
+      |  SELECT k + 1000000, 'N', c + 111 FROM base WHERE k % 11 = 3)
+      |SELECT st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(c) AS BIGINT) AS cents,
+      |  TRUE AS replay_skipped
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   val st12OracleSql: String =
     """SELECT 0 AS commit_version, o_orderstatus, count(*) AS n,
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

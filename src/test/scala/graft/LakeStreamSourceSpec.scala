@@ -113,4 +113,52 @@ class LakeStreamSourceSpec extends AnyFunSuite with SparkSpec {
     assert(got.filter(col("_commit_version") === 0 && col("cents").isNull).count() == 50)
     assert(got.filter(col("_commit_version") === 1 && col("cents").isNotNull).count() == 50)
   }
+
+  test("stream reads sets written with non-nullable columns (required parquet fields)") {
+    // lit() columns are non-nullable: Spark writes them as parquet
+    // `required`, while the log's merged schema stays nullable — the
+    // reader's projection must follow the FILE, not the log.
+    val base = freshBase()
+    val path = base.resolve("t").toString
+    val o = orders.select(col("o_orderkey"))
+    GraftLake.create(o.limit(20), path)
+    GraftLake.append(
+      o.limit(10).withColumn("src", org.apache.spark.sql.functions.lit("U")),
+      path)
+    val outDir = base.resolve("out").toString
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", path).load()
+      .writeStream
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .format("parquet").option("path", outDir)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 30)
+    assert(got.filter(col("src") === "U").count() == 10)
+    assert(got.filter(col("_commit_version") === 0 && col("src").isNull).count() == 20)
+  }
+
+  test("tagged merge is exactly-once: replaying an epoch is a no-op") {
+    val base = freshBase()
+    val path = base.resolve("m").toString
+    val o = orders.select(col("o_orderkey"), col("cents"))
+    GraftLake.create(o, path, Some("o_orderkey"))
+    val upd = o.limit(40).withColumn("cents", col("cents") + 1)
+    val (v1, rew1, _) = GraftLake.merge(
+      spark, path, upd, Seq("o_orderkey"), "o_orderkey", tag = Some("e1"))
+    assert(v1 == 1 && rew1 >= 1)
+    val countAfter = GraftLake.read(spark, path).count()
+    // Replay: same tag → same version, nothing rewritten, no new commit.
+    val (v2, rew2, _) = GraftLake.merge(
+      spark, path, upd, Seq("o_orderkey"), "o_orderkey", tag = Some("e1"))
+    assert(v2 == v1 && rew2 == 0)
+    assert(GraftLake.latestVersion(path) == v1)
+    assert(GraftLake.read(spark, path).count() == countAfter)
+    // A NEW tag applies (and is idempotent in content here anyway).
+    val (v3, _, _) = GraftLake.merge(
+      spark, path, upd, Seq("o_orderkey"), "o_orderkey", tag = Some("e2"))
+    assert(v3 == v1 + 1)
+  }
 }

@@ -158,4 +158,32 @@ class MaterializedSpec extends AnyFunSuite with SparkSpec {
       assert(r.getLong(r.fieldIndex("exact_nd")) == exact(k))
     }
   }
+
+  test("mv07 retractable join view equals the recompute, and delete-all empties it") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val got = Materialized.mv07RetractJoinView(spark, sf).collect()
+      .map(_.toString).toSeq
+    val want = orders
+      .filter(pmod(col("o_orderkey"), lit(10)) =!= 7 ||
+        pmod(col("o_orderkey"), lit(20)) === 7)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2).as("rev"))
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+    // Inserting then retracting the SAME delta is a bit-exact no-op...
+    val base = Materialized.signedJoinState(orders, customer, 1)
+    val delta = orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+    val cycled = Materialized.mergeSignedJoin(
+      Materialized.mergeSignedJoin(base, delta, customer, 1),
+      delta, customer, -1)
+    assert(cycled.orderBy("c_mktsegment", "o_orderstatus").collect().toSeq ==
+      base.orderBy("c_mktsegment", "o_orderstatus").collect().toSeq)
+    // ...and retracting everything drops every group (empty view).
+    val emptied = Materialized.mergeSignedJoin(base, orders, customer, -1)
+    assert(emptied.count() == 0)
+  }
 }
