@@ -96,6 +96,7 @@ object SparkEntry {
     "d07_dedup_simhash"  -> Dedup.d07DedupSimhash _,
     "d08_ngram_jaccard"  -> Dedup.d08NgramJaccard _,
     "d09_embedding_dedup" -> Similarity.d09EmbeddingDedup _,
+    "d29_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.d29SemanticDedup(s, d)),
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
     // Same LSH pipeline served from a PERSISTED lake-table index.
@@ -1015,6 +1016,7 @@ object SparkEntry {
     // so it inlines as a SQL literal and DuckDB recomputes signatures,
     // candidate buckets, cosine verify, and connected components.
     "d09_embedding_dedup" -> graft.operators.Similarity.d09OracleSql,
+    "d29_semantic_dedup" -> graft.operators.Similarity.d29OracleSql,
     "s02_ann_lsh" -> graft.operators.Similarity.s02OracleSql,
     // Identical planes/bits and probe set as s02 — the only change is
     // that signatures come from the stored index, so s02's replay IS

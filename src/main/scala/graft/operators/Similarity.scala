@@ -457,6 +457,82 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  val SemDedupClusters = 16
+  val SemDedupTau = 0.95
+
+  /** d29: SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space, then prune near-identical vectors WITHIN each
+    * cluster — the curation step that removes "same meaning, different
+    * words" redundancy exact/minhash dedup (d01/d06) cannot see and
+    * that d09's LSH only catches at very high cosine. Clustering is
+    * the scale knob: candidate pairs shrink from O(n²) to
+    * Σ|cluster|², and with k ∝ n the expected cluster size — and so
+    * the per-cluster pairwise work — stays constant as the corpus
+    * grows. Assignment is one broadcast-centroids map pass; the
+    * within-cluster pair join is keyed on the cluster id.
+    *
+    * The gated centroids are SAMPLE-INITIALIZED (the first k corpus
+    * vectors — pure data, the s13 codebook trick), so the oracle
+    * replays assign → pair → threshold → connected components from
+    * the parquet alone; Lloyd-refined centroids (trainCentroids) are
+    * the production path whose recall the s03 specs already bound.
+    * Components canonicalize via the shared adaptive CC machinery.
+    */
+  def d29SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val centroids: Seq[Seq[Float]] = emb
+      .filter(col("vec_id") < SemDedupClusters)
+      .orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toSeq
+    val assigned = emb.withColumn("cl", assignCluster(col("embedding"), centroids))
+    val a = assigned.select(
+      col("cl"), col("vec_id").as("doc_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(
+      col("cl"), col("vec_id").as("doc_b"), col("embedding").as("emb_b"))
+    val dups = a.join(b, "cl")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos",
+        VectorFunctions.cosineSimNative(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= SemDedupTau)
+    Dedup.canonicalizeComponents(
+      emb.select(col("vec_id").as("id")),
+      dups.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("vec_id"), col("canonical_id"),
+        (col("canonical_id") === col("id")).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Full replay: first-max cluster assignment (row_number by
+    * cos DESC, centroid ASC = array_position-of-max), within-cluster
+    * pair threshold, then the shared recursive-CTE CC walk.
+    */
+  def d29OracleSql: String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS k, xs AS cxs FROM e
+       |  WHERE vec_id < $SemDedupClusters),
+       |sc AS (SELECT e.vec_id, cent.k,
+       |    list_cosine_similarity(e.xs, cent.cxs) AS cs
+       |  FROM e CROSS JOIN cent),
+       |asg AS (SELECT vec_id, cl FROM (
+       |    SELECT vec_id, k AS cl,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, k) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |dups AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM asg a
+       |  JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(ea.xs, eb.xs) >= $SemDedupTau),
+       |docs AS (SELECT vec_id AS doc_id FROM e),
+       |${Dedup.ccSql}
+       |SELECT doc_id AS vec_id, canonical_id,
+       |  canonical_id = doc_id AS kept
+       |FROM canon ORDER BY vec_id""".stripMargin
+
   /** s04: int8 scalar quantization of the embedding column — the
     * compression step a 100 TB vector corpus applies before indexing
     * (4x smaller than float32, cache-resident distance kernels).

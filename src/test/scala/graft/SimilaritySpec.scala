@@ -365,6 +365,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     pq.values.foreach(ids => assert(ids.size == 5))
   }
 
+  test("d29 semantic dedup: planted near-duplicates collapse, distinct vectors survive") {
+    val rnd = new scala.util.Random(31)
+    def vec(): Array[Float] = Array.fill(Similarity.Dim)(rnd.nextGaussian().toFloat)
+    // 40 base vectors; vectors 100..109 are near-copies of 20..29
+    // (tiny perturbation keeps cosine > tau); the rest are random and
+    // far apart with overwhelming probability at dim 64.
+    val base = (0 until 100).map(i => (i.toLong, vec(), 0))
+    val dups = (0 until 10).map { i =>
+      val src = base(20 + i)._2
+      (100L + i, src.map(x => x + 1e-4f * rnd.nextGaussian().toFloat), 0)
+    }
+    val dir = writeEmbeddings(base ++ dups)
+    val out = Similarity.d29SemanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 110, "every vector labeled exactly once")
+    val canon = out.map(r => r._1 -> r._2).toMap
+    (0 until 10).foreach { i =>
+      assert(canon(100L + i) == canon(20L + i),
+        s"planted dup ${100 + i} must share ${20 + i}'s component")
+      assert(canon(20L + i) == 20L + i, "the lower id is canonical")
+    }
+    // kept <=> canonical, and canonical ids are always <= the member.
+    out.foreach { case (id, c, kept) =>
+      assert(c <= id)
+      assert(kept == (c == id))
+    }
+    assert(out.count(!_._3) == 10, "exactly the planted dups are dropped")
+  }
+
   test("pqTrain: Lloyd refinement never increases quantization error") {
     val emb = Tables.embeddings(spark, sf)
     val c = emb.filter(col("vec_id") >= 10)
