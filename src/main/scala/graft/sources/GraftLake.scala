@@ -179,7 +179,7 @@ object GraftLake {
     */
   private[sources] def commitStagedFiles(
       path: String, files: Seq[String], schema: StructType,
-      tag: Option[String]): Int = {
+      tag: Option[String], stats: Seq[SetStats] = Seq.empty): Int = {
     Files.createDirectories(logDir(path)) // auto-create, idempotent
     tag.foreach { t =>
       snapshot(path).tags.get(t).foreach { v =>
@@ -194,7 +194,7 @@ object GraftLake {
       Files.move(Paths.get(f), setDir.resolve(f"part-$i%05d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    publishEntry(path, "append", setName, schema, tag, Seq.empty, Seq.empty)
+    publishEntry(path, "append", setName, schema, tag, stats, Seq.empty)
   }
 
   /** The claim/publish loop: resolve the current snapshot, conflict-
@@ -585,6 +585,23 @@ object GraftLake {
   private def bloomSidecar(table: String, set: String, c: String): Path =
     Paths.get(table, set, s"_bloom_$c.json")
 
+  /** Bloom columns present on ANY of `sets` — rewrite paths
+    * (compact/merge/delete) re-record these on the sets they produce,
+    * so point-lookup skipping survives table maintenance the way
+    * zone-map stats already do.
+    */
+  private def bloomColsOf(table: String, sets: Seq[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    sets.flatMap { set =>
+      val d = Paths.get(table, set)
+      if (!Files.isDirectory(d)) Seq.empty[String]
+      else Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("_bloom_") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("_bloom_").stripSuffix(".json")).toSeq
+    }.distinct
+  }
+
   private def writeBloomSidecar(
       spark: SparkSession, table: String, set: String, c: String): Unit = {
     import graft.plans.GraftBloom
@@ -772,7 +789,8 @@ object GraftLake {
     // the merge key) so multi-column pruning survives the rewrite.
     val reStats = (hit.flatMap(_.stats.map(_.col)) :+ statsCol).distinct
     val v = commit(rewritten, path, "merge", tag = tag,
-      statsCols = reStats, removeSets = hit.map(_.set))
+      statsCols = reStats, removeSets = hit.map(_.set),
+      bloomCols = bloomColsOf(path, hit.map(_.set)))
     (v, hit.size, kept.size)
   }
 
@@ -880,7 +898,8 @@ object GraftLake {
       .filter(!coalesce(predicate, lit(false))) // NULL predicate keeps the row
     val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq).distinct
     val v = commit(rewritten, path, "delete",
-      statsCols = reStats, removeSets = hitSets.map(_.set))
+      statsCols = reStats, removeSets = hitSets.map(_.set),
+      bloomCols = bloomColsOf(path, hitSets.map(_.set)))
     (v, hitSets.size, live.size - hitSets.size, deleted)
   }
 
@@ -908,7 +927,8 @@ object GraftLake {
       .sortWithinPartitions(sortCols.map(col): _*)
     commit(df, path, "compact",
       statsCols = (live.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq).distinct,
-      removeSets = live.map(_.set) ++ tombstonesAt(cs))
+      removeSets = live.map(_.set) ++ tombstonesAt(cs),
+      bloomCols = bloomColsOf(path, live.map(_.set)))
   }
 
   /** Z-ORDER compaction: one atomic `compact` commit whose rewritten

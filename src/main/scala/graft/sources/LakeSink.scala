@@ -50,8 +50,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * referenced by any commit message, so it stays invisible and is
   * reclaimed by `_staging` cleanup at the next successful commit.
   *
-  * Sink commits carry no zone-map stats (readers are conservative);
-  * `compact`/`compactZOrder` re-establish stats and layout downstream.
+  * Sink commits RECORD zone-map stats for the integral columns named
+  * in `.option("statsCols", "a,b")`: each task tracks per-column
+  * min/max WHILE STREAMING its rows (zero extra I/O — the scalable
+  * alternative to a post-write stats scan), the commit message
+  * carries them, and the driver folds the per-file spans into the
+  * published [[GraftLake.SetStats]] — so `readPruned`/merge/delete
+  * skip sink-written sets exactly like batch-committed ones.
   * Primitive column types (long/int/double/float/boolean/string/date/
   * timestamp) mirror the `graft-lake-stream` read side.
   */
@@ -66,11 +71,22 @@ class LakeSink extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null, "graft-lake sink requires option 'path'")
-    new LakeSinkTable(path, schema)
+    val statsCols = Option(properties.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    statsCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"statsCols column '$c' not in the write schema"))
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"statsCols column '$c' must be integral, got ${f.dataType}")
+    }
+    new LakeSinkTable(path, schema, statsCols)
   }
 }
 
-private[sources] class LakeSinkTable(path: String, writeSchema: StructType)
+private[sources] class LakeSinkTable(
+    path: String, writeSchema: StructType, statsCols: Seq[String])
     extends Table with SupportsWrite {
   override def name(): String = s"graft_lake_sink($path)"
   override def schema(): StructType = writeSchema
@@ -80,43 +96,52 @@ private[sources] class LakeSinkTable(path: String, writeSchema: StructType)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new LakeBatchWrite(path, info.schema())
+          new LakeBatchWrite(path, info.schema(), statsCols)
         override def toStreaming: StreamingWrite =
-          new LakeStreamingWrite(path, info.schema())
+          new LakeStreamingWrite(path, info.schema(), statsCols)
       }
     }
 }
 
-/** Staged file name + row count — all that crosses task → driver. */
-private[sources] case class StagedFileMessage(file: String, rows: Long)
+/** Staged file name + row count + streamed min/max per stats column —
+  * all that crosses task → driver.
+  */
+private[sources] case class StagedFileMessage(
+    file: String, rows: Long,
+    stats: Seq[(String, Long, Long)] = Seq.empty)
     extends WriterCommitMessage
 
-/** Serializable task-side factory — ships only (path, schema DDL). */
-private[sources] case class LakeWriterFactory(path: String, schemaDdl: String)
+/** Serializable task-side factory — ships only (path, schema DDL,
+  * stats column names).
+  */
+private[sources] case class LakeWriterFactory(
+    path: String, schemaDdl: String, statsCols: Seq[String])
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId, 0L)
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new LakeParquetWriter(path, StructType.fromDDL(schemaDdl),
-      partitionId, taskId, epochId)
+      partitionId, taskId, epochId, statsCols)
 }
 
-private[sources] class LakeBatchWrite(path: String, schema: StructType)
+private[sources] class LakeBatchWrite(
+    path: String, schema: StructType, statsCols: Seq[String])
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    LakeWriterFactory(path, schema.toDDL)
+    LakeWriterFactory(path, schema.toDDL, statsCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     LakeSinkCommit(path, schema, messages, tag = None)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     LakeSinkCommit.discard(messages)
 }
 
-private[sources] class LakeStreamingWrite(path: String, schema: StructType)
+private[sources] class LakeStreamingWrite(
+    path: String, schema: StructType, statsCols: Seq[String])
     extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    LakeWriterFactory(path, schema.toDDL)
+    LakeWriterFactory(path, schema.toDDL, statsCols)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     LakeSinkCommit(path, schema, messages,
       tag = Some(s"graft-lake-sink-epoch-$epochId"))
@@ -140,12 +165,22 @@ private[sources] object LakeSinkCommit {
     empty.foreach(m =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(m.file)))
     if (data.nonEmpty) {
-      GraftLake.commitStagedFiles(path, data.map(_.file).toSeq, schema, tag)
+      // Fold per-file spans into set-level stats: a column's entry
+      // publishes only if EVERY contributing file reported one (a
+      // file whose rows were all NULL in the column has no span, and
+      // a partial span would prune unsoundly).
+      val perCol = data.flatMap(_.stats).groupBy(_._1)
+      val setStats = perCol.collect {
+        case (c, spans) if spans.length == data.length =>
+          GraftLake.SetStats(c, spans.map(_._2).min, spans.map(_._3).max)
+      }.toSeq.sortBy(_.col)
+      GraftLake.commitStagedFiles(
+        path, data.map(_.file).toSeq, schema, tag, setStats)
     }
   }
 
   def discard(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case StagedFileMessage(f, _) =>
+    messages.collect { case StagedFileMessage(f, _, _) =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f))
     }
 }
@@ -158,8 +193,17 @@ private[sources] object LakeSinkCommit {
   */
 private[sources] class LakeParquetWriter(
     tablePath: String, schema: StructType,
-    partitionId: Int, taskId: Long, epochId: Long)
+    partitionId: Int, taskId: Long, epochId: Long,
+    statsCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
+
+  // (field index, running min, running max, seen-any) per stats column
+  // — updated inline with each row, so stats cost no second pass.
+  private val statsTrack: Array[(Int, String)] = statsCols
+    .map(c => (schema.fieldIndex(c), c)).toArray
+  private val statsMin = Array.fill(statsTrack.length)(Long.MaxValue)
+  private val statsMax = Array.fill(statsTrack.length)(Long.MinValue)
+  private val statsSeen = Array.fill(statsTrack.length)(false)
 
   private val stagingDir = java.nio.file.Paths.get(tablePath, "_staging")
   java.nio.file.Files.createDirectories(stagingDir)
@@ -219,6 +263,20 @@ private[sources] class LakeParquetWriter(
       }
       i += 1
     }
+    var s = 0
+    while (s < statsTrack.length) {
+      val (idx, _) = statsTrack(s)
+      if (!record.isNullAt(idx)) {
+        val v = schema.fields(idx).dataType match {
+          case IntegerType => record.getInt(idx).toLong
+          case _ => record.getLong(idx)
+        }
+        if (v < statsMin(s)) statsMin(s) = v
+        if (v > statsMax(s)) statsMax(s) = v
+        statsSeen(s) = true
+      }
+      s += 1
+    }
     writer.write(g)
     rows += 1
   }
@@ -236,7 +294,10 @@ private[sources] class LakeParquetWriter(
   override def commit(): WriterCommitMessage = {
     writer.close()
     dropCrcSidecar()
-    StagedFileMessage(file, rows)
+    val st = statsTrack.indices.collect {
+      case s if statsSeen(s) => (statsTrack(s)._2, statsMin(s), statsMax(s))
+    }.toSeq
+    StagedFileMessage(file, rows, st)
   }
 
   override def abort(): Unit = {

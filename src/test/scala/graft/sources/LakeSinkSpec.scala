@@ -115,4 +115,56 @@ class LakeSinkSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, path).count() == 100)
     assert(GraftLake.readAt(spark, path, 0).count() == 50)
   }
+
+  test("sink statsCols: writers stream min/max and readPruned skips sink-written sets") {
+    val path = freshTable()
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    // Two disjoint key ranges, two sink commits, stats streamed by the
+    // writers (no post-write scan).
+    o.filter(col("o_orderkey") < 500)
+      .write.format("graft-lake").option("path", path)
+      .option("statsCols", "o_orderkey").mode("append").save()
+    o.filter(col("o_orderkey") >= 500)
+      .write.format("graft-lake").option("path", path)
+      .option("statsCols", "o_orderkey").mode("append").save()
+    val cs = GraftLake.commits(path)
+    assert(cs.forall(_.stats.exists(_.col == "o_orderkey")),
+      s"sink commits must carry streamed stats: ${cs.map(_.stats)}")
+    assert(cs(0).stats.find(_.col == "o_orderkey").get.max < 500)
+    assert(cs(1).stats.find(_.col == "o_orderkey").get.min >= 500)
+    val (df, scanned, skipped) = GraftLake.readPruned(
+      spark, path, Seq(("o_orderkey", 0L, 100L)))
+    assert(scanned == 1 && skipped == 1, "zone maps must prune the other set")
+    assert(df.filter(col("o_orderkey") <= 100).count() ==
+      o.filter(col("o_orderkey") <= 100).count())
+    // A non-integral stats column is rejected up front.
+    val err = intercept[Exception] {
+      o.write.format("graft-lake").option("path", freshTable())
+        .option("statsCols", "o_orderstatus").mode("append").save()
+    }
+    assert(err.getMessage.contains("integral") ||
+      Option(err.getCause).exists(_.getMessage.contains("integral")))
+  }
+
+  test("compact re-records bloom sidecars so point skipping survives maintenance") {
+    val path = freshTable()
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"))
+    GraftLake.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), path,
+      bloomCols = Seq("o_orderkey"))
+    GraftLake.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), path,
+      bloomCols = Seq("o_orderkey"))
+    GraftLake.compact(spark, path, Seq("o_orderkey"), numFiles = 2)
+    // The compacted set has ONE live set; a point lookup must still be
+    // served by a verified bloom (scanned=1, not conservative).
+    val (df, scanned, skipped) = GraftLake.readPoint(
+      spark, path, "o_orderkey", 77L)
+    assert(scanned + skipped == 1)
+    assert(scanned == 1)
+    assert(df.filter(col("o_orderkey") === 77).count() == 1)
+    // An absent key is pruned by the re-recorded bloom: zero sets open.
+    val (_, missScan, _) = GraftLake.readPoint(
+      spark, path, "o_orderkey", 99999999L)
+    assert(missScan == 0, "compacted set must carry a fresh bloom")
+  }
 }
