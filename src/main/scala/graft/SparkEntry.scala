@@ -350,6 +350,7 @@ object SparkEntry {
     // envelope of the exact answer (plus that the rewrite fired).
     "q59_approx_distinct"   -> graft.operators.ApproxGates.q59ApproxDistinct _,
     "q60_approx_percentile" -> graft.operators.ApproxGates.q60ApproxPercentile _,
+    "q72_sliding_approx_distinct" -> graft.operators.ApproxGates.q72SlidingApproxDistinct _,
     // AQE skew-join split on a deliberately skewed key — the runtime
     // complement to q39's manual salting; proves skew=true in the
     // final plan and value-equality with the unsplit join.
@@ -1892,6 +1893,7 @@ object SparkEntry {
     // exact vs plan); the oracle replays the exact column and TRUE.
     "q59_approx_distinct" -> graft.operators.ApproxGates.q59OracleSql,
     "q60_approx_percentile" -> graft.operators.ApproxGates.q60OracleSql,
+    "q72_sliding_approx_distinct" -> graft.operators.ApproxGates.q72OracleSql,
     "q61_skew_join_aqe" -> graft.operators.SkewJoin.q61OracleSql,
     // Lake snapshots replay from raw orders: v0 = the create filter,
     // latest = everything; schema evolution splits by key parity.

@@ -115,4 +115,69 @@ object ApproxGates {
       |  TRUE AS within_bound,
       |  TRUE AS rewrite_fired
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q72: SLIDING approximate distinct — 7-day distinct users per
+    * event type as a WINDOWED HLL UNION: one partial-agg pass folds
+    * events into per-(type, day) sketches (constant bytes each), then
+    * a RANGE-frame window unions 7 daily sketches per output row —
+    * O(days x types) union work however many events feed a day.
+    *
+    * This is the sketch complement of q50's exact rewrite: q50's
+    * explode costs O(events x 7) rows; the sketch path touches each
+    * event once and slides over day-level state — at 100 TB the only
+    * viable continuous "weekly uniques" metric. The RANGE frame (on
+    * the epoch-day index) gives true date semantics even with absent
+    * days; mergeable-union associativity is mv06's argument.
+    *
+    * Gate shape = q59/q60: the exact count (q50's rewrite) is the
+    * oracle-checked output, with the sketch estimate proven in-row to
+    * sit inside 5% + 2 of it.
+    */
+  def q72SlidingApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+      .localCheckpoint(true)
+    // Exact side: q50's explode rewrite.
+    val spine = du.select(col("event_type"), col("d")).distinct()
+    val covered = du
+      .select(col("event_type"), col("user_id"), col("d"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(col("event_type"), date_add(col("d"), col("i")).as("wd"), col("user_id"))
+      .distinct()
+    val exact = spine.alias("sp")
+      .join(covered.groupBy(col("event_type"), col("wd")).agg(count(lit(1)).as("u7"))
+        .alias("ct"),
+        col("sp.event_type") === col("ct.event_type") && col("sp.d") === col("ct.wd"))
+      .select(col("sp.event_type"), col("sp.d"), col("u7"))
+    // Sketch side: daily HLL sketches, unioned over a date-true RANGE
+    // frame on the epoch-day index.
+    val daily = du.groupBy(col("event_type"), col("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+      .rangeBetween(-6, 0)
+    val est = daily
+      .withColumn("usk", expr("hll_union_agg(sk)").over(w))
+      .withColumn("est", expr("hll_sketch_estimate(usk)"))
+      .select(col("event_type").as("e_t"), col("d").as("e_d"), col("est"))
+    exact
+      .join(est, col("event_type") === col("e_t") && col("d") === col("e_d"))
+      .select(col("event_type"), col("d"), col("u7"),
+        (abs(col("est") - col("u7")) <= col("u7") * 0.05 + 2).as("within_bound"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** q50's exact oracle + the in-row TRUE envelope (q59's shape). */
+  val q72OracleSql: String =
+    """WITH du AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id
+      |  FROM events),
+      |spine AS (SELECT DISTINCT event_type, d FROM du),
+      |cov AS (SELECT DISTINCT event_type, d + CAST(i AS INT) AS wd, user_id
+      |  FROM du, (SELECT unnest(range(0, 7)) AS i) t),
+      |cnt AS (SELECT event_type, wd, count(*) AS u7 FROM cov GROUP BY 1, 2)
+      |SELECT spine.event_type, spine.d, cnt.u7, TRUE AS within_bound
+      |FROM spine JOIN cnt ON spine.event_type = cnt.event_type AND spine.d = cnt.wd
+      |ORDER BY spine.event_type, spine.d""".stripMargin
 }

@@ -143,4 +143,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
     assert(want.nonEmpty, "the replay itself must flag at least one spike day")
   }
+
+  test("q72 sliding approx distinct: bound holds and the exact side equals q50") {
+    val got = graft.operators.ApproxGates.q72SlidingApproxDistinct(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getBoolean(3)), "every estimate inside the 5%+2 envelope")
+    val q50r = graft.operators.Relational3.q50WindowDistinct(spark, sf).collect()
+      .map(r => ((r.getString(0), r.get(1).toString), r.getLong(2))).toMap
+    got.foreach(r =>
+      assert(r.getLong(2) == q50r((r.getString(0), r.get(1).toString))))
+  }
+
+  test("q72 RANGE frame gives date semantics across absent days") {
+    import spark.implicits._
+    // Two bursts 10 days apart: day-0 users {1,2}, day-10 users {2,3}.
+    // A ROWS(-6,0) frame would wrongly union them (adjacent rows); the
+    // RANGE frame must keep the windows disjoint.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q72").toString
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    val ts10 = java.sql.Timestamp.valueOf("2024-03-11 12:00:00")
+    Seq(
+      (1L, ts0, 1L, "view", 1.0, "{}"),
+      (2L, ts0, 2L, "view", 1.0, "{}"),
+      (3L, ts10, 2L, "view", 1.0, "{}"),
+      (4L, ts10, 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.operators.ApproxGates.q72SlidingApproxDistinct(spark, dir)
+      .collect().map(r => r.get(1).toString -> r.getLong(2)).toMap
+    assert(out == Map("2024-03-01" -> 2L, "2024-03-11" -> 2L),
+      s"windows must not bleed across the gap: $out")
+  }
 }
