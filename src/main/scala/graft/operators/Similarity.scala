@@ -1136,6 +1136,115 @@ object Similarity {
     topK(scored)
   }
 
+  /** s13 with Lloyd-refined codebooks — the production configuration
+    * (sample init + `iters` distributed refinement passes). Not the
+    * gated path (training is data-dependent and so not SQL-replayable);
+    * recall is curve- and spec-gated instead.
+    */
+  def s13AnnPqRefined(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    val (q, c) = split(spark, dir)
+    s13AnnPq(spark, q, c, pqTrain(spark, c, sampleCodebooks(spark, dir), iters))
+  }
+
+  /** IVF-PQ over RESIDUALS — the configuration that actually holds
+    * recall at corpus scale (FAISS's IVFPQ): flat PQ's codebooks span
+    * the whole space, so inside a tight cluster every member shares
+    * nearly the same codes and ADC cannot rank them (the recall curve
+    * shows the collapse at n=100k). Encoding the residual
+    * (vector − its coarse centroid) re-centers each list's geometry on
+    * the codebook, restoring within-list discrimination; queries probe
+    * nProbe lists and carry one ADC table per probed list (tables are
+    * M×K doubles — kilobytes, broadcast).
+    *
+    * Scale shape: coarse assign + residual encode are single passes;
+    * the candidate scan touches |corpus|×nProbe/nLists rows per query
+    * through the cluster equi-join; top-C is the map-side-partial
+    * bounded heap; exact rescore touches C rows. Curve- and
+    * spec-gated (training is data-dependent, so not SQL-replayable).
+    */
+  def ivfPqResidual(
+      spark: SparkSession, dir: String, nLists: Int, nProbe: Int,
+      pqIters: Int = 2, coarseC: Int = PqCoarseC): DataFrame = {
+    import spark.implicits._
+    val (q, c) = split(spark, dir)
+    val centroids = trainCentroids(c, nLists, iters = 2)
+    val bcCent = spark.sparkContext.broadcast(
+      centroids.map(_.toArray).toArray)
+
+    def residuals(df: DataFrame): DataFrame = {
+      val assigned = df.toDF("rid", "remb")
+        .withColumn("cluster", assignCluster(col("remb"), centroids))
+      assigned.as[(Long, Array[Float], Int)].map { case (id, emb, cl) =>
+        val cent = bcCent.value(cl - 1)
+        val res = Array.tabulate(emb.length)(i => emb(i) - cent(i))
+        (id, res, cl)
+      }.toDF("rid", "res", "cluster")
+    }
+
+    val cRes = residuals(c).localCheckpoint(true)
+    // PQ codebooks trained on the residual distribution (sample init
+    // from the lowest-id residuals, then distributed Lloyd).
+    val initCb = {
+      val rows = cRes.orderBy("rid").limit(PqK).collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("res").toArray)
+      Array.tabulate(PqM, PqK) { (m, k) =>
+        Array.tabulate(PqSub)(i => rows(k)(m * PqSub + i).toDouble)
+      }
+    }
+    val cb = pqTrain(spark, cRes.select(col("rid"), col("res")), initCb, pqIters)
+    val bcCb = spark.sparkContext.broadcast(cb)
+
+    // Encode corpus residuals once.
+    val codes = cRes.as[(Long, Array[Float], Int)].map { case (id, res, cl) =>
+      val xs = res.map(_.toDouble)
+      val code = Array.tabulate(bcCb.value.length) { m =>
+        var best = 0; var bestD = Double.MaxValue; var k = 0
+        while (k < bcCb.value(m).length) {
+          val d = subDist(xs, m * PqSub, bcCb.value(m)(k))
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        best
+      }
+      (id, cl, code)
+    }.toDF("n_id", "cluster", "codes")
+
+    // Queries: nProbe nearest lists each; one ADC table per probed
+    // list from the query's residual AGAINST THAT LIST's centroid.
+    val qProbes = q
+      .withColumn("scores", centroidScores(col("q_emb"), centroids))
+      .withColumn("ranked", sort_array(
+        zip_with(col("scores"), sequence(lit(1), lit(nLists)),
+          (s, i) => struct(s.as("s"), i.as("i"))), asc = false))
+      .withColumn("cluster", explode(
+        transform(slice(col("ranked"), 1, nProbe), r => r.getField("i").cast("int"))))
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+    val qAdc = qProbes.as[(Long, Array[Float], Int)].map { case (id, emb, cl) =>
+      val cent = bcCent.value(cl - 1)
+      val xs = Array.tabulate(emb.length)(i => (emb(i) - cent(i)).toDouble)
+      val tab = Array.tabulate(bcCb.value.length) { m =>
+        Array.tabulate(bcCb.value(m).length) { k =>
+          subDist(xs, m * PqSub, bcCb.value(m)(k))
+        }
+      }
+      (id, cl, tab)
+    }.toDF("q_id", "cluster", "adc")
+
+    val lookup = zip_with(col("codes"), col("adc"),
+      (code, row) => element_at(row, (code + 1).cast("int")))
+    val coarse = codes.join(broadcast(qAdc), "cluster")
+      .withColumn("ad", aggregate(lookup, lit(0.0), (a, x) => a + x))
+      .groupBy(col("q_id"))
+      .agg(VectorFunctions.topKByScore(negate(col("ad")), col("n_id"), coarseC).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("n_id"))
+    val scored = coarse
+      .join(q.select(col("q_id"), col("q_emb")), "q_id")
+      .join(c, "n_id")
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+
   /** Lloyd-refined PQ codebooks: per subspace, the existing
     * distributed k-means machinery ([[trainCentroids]]' shape) run on
     * the sub-vector columns — assign (broadcast codebook) + per-code

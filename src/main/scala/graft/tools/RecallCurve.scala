@@ -81,6 +81,22 @@ object RecallCurve {
         val recall = got.intersect(brute).size.toDouble / brute.size
         println(f"| $n | s03 ivf | lists=$lists nProbe=$nProbe | $recall%.3f | $t%.1f |")
       }
+      val (gotPq, tPq) = timed(pairs(Similarity.s13AnnPq(spark, dir)))
+      val rPq = gotPq.intersect(brute).size.toDouble / brute.size
+      println(f"| $n | s13 pq-adc | M=8 K=16 C=150 sample-init | $rPq%.3f | $tPq%.1f |")
+      val (gotPqR, tPqR) = timed(pairs(Similarity.s13AnnPqRefined(spark, dir)))
+      val rPqR = gotPqR.intersect(brute).size.toDouble / brute.size
+      println(f"| $n | s13 pq-adc | M=8 K=16 C=150 refined(2 Lloyd) | $rPqR%.3f | $tPqR%.1f |")
+      for (nProbe <- Seq(4, 8)) {
+        // Rescore budget scales with the probed candidate volume
+        // (~3% floor, 150 minimum) — C is the PQ recall knob once the
+        // coarse lists are right.
+        val cC = math.max(150, n * nProbe / lists / 8)
+        val (got, t) = timed(pairs(
+          Similarity.ivfPqResidual(spark, dir, lists, nProbe, coarseC = cC)))
+        val r = got.intersect(brute).size.toDouble / brute.size
+        println(f"| $n | ivf-pq residual | lists=$lists nProbe=$nProbe C=$cC | $r%.3f | $t%.1f |")
+      }
     }
     spark.stop()
   }

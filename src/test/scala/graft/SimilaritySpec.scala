@@ -394,6 +394,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.count(!_._3) == 10, "exactly the planted dups are dropped")
   }
 
+  test("ivf-pq residual: recall >= 0.8 on clustered embeddings with partial probing") {
+    // Same clustered recipe as the IVF/LSH floors — the regime where
+    // residual encoding matters (flat PQ codes collapse within tight
+    // clusters; the residual re-centers each list on the codebook).
+    val rnd = new scala.util.Random(47)
+    val centers = Array.fill(8)(Array.fill(Similarity.Dim)(rnd.nextGaussian()))
+    def member(k: Int): Array[Float] = {
+      val c = centers(k)
+      Array.tabulate(Similarity.Dim)(i => (c(i) + 0.15 * rnd.nextGaussian()).toFloat)
+    }
+    val queries = (0 until 10).map(q => (q.toLong, member(q % 8), q % 8))
+    val corpus = (0 until 400).map(i => (10L + i, member(i % 8), i % 8))
+    val dir = writeEmbeddings(queries ++ corpus)
+    val brute = Similarity.s01AnnBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val got = Similarity.ivfPqResidual(spark, dir, nLists = 8, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"IVF-PQ residual recall@5 = $recall%.2f (nProbe=2 of 8 lists)")
+    assert(recall >= 0.8, f"IVF-PQ recall $recall%.2f below floor on clustered data")
+  }
+
   test("pqTrain: Lloyd refinement never increases quantization error") {
     val emb = Tables.embeddings(spark, sf)
     val c = emb.filter(col("vec_id") >= 10)
