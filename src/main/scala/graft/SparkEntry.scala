@@ -408,6 +408,7 @@ object SparkEntry {
     "st12_lake_stream_read" -> graft.streaming.LakeStream.st12LakeStreamRead _,
     "st13_lake_pipeline" -> graft.streaming.LakeStream.st13LakePipeline _,
     "st15_cdc_apply"     -> graft.streaming.LakeStream.st15CdcApply _,
+    "st16_stream_anomaly" -> graft.streaming.AnomalyStream.st16StreamAnomaly _,
     "st14_lake_sink_dsv2" -> graft.streaming.LakeStream.st14LakeSinkDsv2 _,
     // q62's funnel as a streaming per-user state machine (24 bytes of
     // state per user); oracle = the BATCH funnel CTE, so the state
@@ -1912,6 +1913,7 @@ object SparkEntry {
     "st12_lake_stream_read" -> graft.streaming.LakeStream.st12OracleSql,
     "st13_lake_pipeline" -> graft.streaming.LakeStream.st13OracleSql,
     "st15_cdc_apply" -> graft.streaming.LakeStream.st15OracleSql,
+    "st16_stream_anomaly" -> graft.streaming.AnomalyStream.st16OracleSql,
     "st14_lake_sink_dsv2" -> graft.streaming.LakeStream.st14OracleSql,
     // Streaming funnel replays against the batch CTE — identical SQL.
     "st11_stream_funnel" -> graft.operators.Analytics.q62OracleSql,

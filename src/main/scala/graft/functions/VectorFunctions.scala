@@ -130,5 +130,12 @@ object VectorFunctions {
             else graft.plans.FrequentItems.DefaultCapacity
           graft.plans.FrequentItems(
             exprs(0), literalInt(exprs(1), "k"), capacity)
+        })),
+      FunctionIdentifier("graft_bloom_agg") -> ((
+        new ExpressionInfo(classOf[graft.plans.BloomAgg].getName, "graft_bloom_agg"),
+        (exprs: Seq[Expression]) => {
+          val k = if (exprs.size > 2) literalInt(exprs(2), "k")
+            else graft.plans.GraftBloom.DefaultK
+          graft.plans.BloomAgg(exprs(0), literalInt(exprs(1), "numWords"), k)
         })))
 }

@@ -274,12 +274,19 @@ object Analytics {
     * broadcast back — at 100 TB the only data-sized pass is the first
     * aggregation.
     */
-  def q71AnomalyDays(spark: SparkSession, dir: String): DataFrame = {
-    val day = Tables.events(spark, dir)
+  /** Daily integer-cents totals per type — additive state: partials
+    * from any split of the events merge by summation, which is what
+    * lets st16 maintain this table incrementally over a stream.
+    */
+  def dailyCents(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), to_date(col("ts")).as("d"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("event_type"), col("d"))
       .agg(sum(col("cents")).as("x"))
+
+  /** The 2-sigma flag over a (event_type, d, x) day-totals table. */
+  def anomalyFrom(day: DataFrame): DataFrame = {
     val dec = col("x").cast("decimal(38,0)")
     val st = day.groupBy(col("event_type")).agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
@@ -293,6 +300,9 @@ object Analytics {
       .select(col("event_type"), col("d"), col("x").as("day_cents"))
       .orderBy(col("event_type"), col("d"))
   }
+
+  def q71AnomalyDays(spark: SparkSession, dir: String): DataFrame =
+    anomalyFrom(dailyCents(Tables.events(spark, dir)))
 
   /** DuckDB replay: identical cents quantization and the identical
     * square-free integer inequality in HUGEINT (DuckDB's exact wide

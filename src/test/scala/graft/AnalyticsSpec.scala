@@ -154,6 +154,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getLong(2) == q50r((r.getString(0), r.get(1).toString))))
   }
 
+  test("st16 maintained day totals are split-invariant (any batch assignment)") {
+    import graft.operators.Analytics
+    import graft.streaming.AnomalyStream
+    val events = Tables.events(spark, sf)
+    // Shuffled assignment — batches are NOT time ranges, so days are
+    // split across batches; additive folding must not care.
+    val parts = (0 until 4).map(i =>
+      events.filter(pmod(col("event_id"), lit(4)) === i))
+    val folded = parts.map(Analytics.dailyCents)
+      .reduce(AnomalyStream.mergeDaily(_, _))
+    val got = Analytics.anomalyFrom(folded).collect().map(_.toString).toSeq
+    val want = Analytics.q71AnomalyDays(spark, sf).collect().map(_.toString).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("q72 RANGE frame gives date semantics across absent days") {
     import spark.implicits._
     // Two bursts 10 days apart: day-0 users {1,2}, day-10 users {2,3}.

@@ -69,5 +69,19 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
         |GROUP BY 1 ORDER BY cnt DESC, o_orderpriority LIMIT 2""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(items == exact)
+
+    // Bloom build from SQL equals the Column-API bytes, and membership
+    // answers correctly for present keys.
+    val sqlBloom = GraftSession.sql(spark, sf,
+      "SELECT graft_bloom_agg(o_orderkey, 1024) AS b FROM orders")
+      .collect().head.getAs[Array[Byte]](0)
+    val apiBloom = Tables.orders(spark, sf)
+      .agg(graft.functions.VectorFunctions.bloomAgg(
+        org.apache.spark.sql.functions.col("o_orderkey"), 1024).as("b"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(sqlBloom, apiBloom))
+    val words = graft.plans.GraftBloom.fromBytes(sqlBloom)
+    assert(graft.plans.GraftBloom.mightContain(
+      words, graft.plans.GraftBloom.DefaultK, 0L))
   }
 }
