@@ -382,6 +382,103 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m06: IMAGE NEAR-DUP DETECTION — the multimodal dedup operator:
+    * m05's perceptual dHash (through the REAL codec) keyed into
+    * BANDED Hamming buckets (d07's SimHash machinery on image
+    * hashes): 64 bits → 4×16-bit bands, images sharing ANY band
+    * collide, the Hamming verify runs on collided pairs only
+    * (≤ [[m06MaxHamming]] bits apart = near-duplicate), and
+    * connected components canonicalize via the shared adaptive CC.
+    * One decode pass + an equi-join on (band, signature) — never an
+    * all-pairs image comparison, which is what makes image dedup
+    * feasible over a 100 TB media corpus.
+    */
+  val m06MaxHamming = 6
+
+  def m06ImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val c0 = headerCp(text, 0)
+        val c1 = headerCp(text, 1)
+        val png = Codec.synthColorFrame(id, (c0 % 64) + 1, (c1 % 64) + 1)
+        val gray = Codec.toGray(Codec.decodePng(png))
+        val (hi, lo) = Codec.dHash(gray)
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "hi", "lo")
+      .localCheckpoint(true)
+    val banded = ph.select(col("doc_id"), col("hi"), col("lo"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(65535)),
+        shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(65535)),
+        col("hi").bitwiseAND(lit(65535)),
+        shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(65535)))))
+      .toDF("doc_id", "hi", "lo", "t", "band")
+    val a = banded.select(col("t"), col("band"), col("doc_id").as("a"),
+      col("hi").as("a_hi"), col("lo").as("a_lo"))
+    val b = banded.select(col("t"), col("band"), col("doc_id").as("b"),
+      col("hi").as("b_hi"), col("lo").as("b_lo"))
+    // Mask to the unsigned-32 space BEFORE xor: Spark widens mixed-sign
+    // int xor to 64 bits, where sign extension adds 32 phantom bits to
+    // the count.
+    def u32(c: org.apache.spark.sql.Column) =
+      c.cast("long").bitwiseAND(lit(4294967295L))
+    val dups = a.join(b, Seq("t", "band"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hx", u32(col("a_hi")).bitwiseXOR(u32(col("b_hi"))))
+      .withColumn("lx", u32(col("a_lo")).bitwiseXOR(u32(col("b_lo"))))
+      .filter(expr("bit_count(hx) + bit_count(lx)") <= m06MaxHamming)
+      .select(col("a"), col("b"))
+    graft.operators.Dedup.canonicalizeComponents(
+      ph.select(col("doc_id").as("id")), dups)
+      .select(col("id").as("doc_id"), col("canonical_id"),
+        (col("canonical_id") === col("id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** m05's bit replay + band signatures + bit-list Hamming + the
+    * shared recursive-CTE CC walk.
+    */
+  val m06OracleSql: String =
+    s"""WITH RECURSIVE meta AS (
+       |  SELECT doc_id,
+       |    CAST((greatest(unicode(text[1:1]), 0) % 64) + 1 AS INT) AS width,
+       |    CAST((greatest(unicode(text[2:2]), 0) % 64) + 1 AS INT) AS height
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id, width, height,
+       |    [CASE WHEN
+       |       (299 * (((i % 8) * width // 9 * 31 + (i // 8) * height // 8 * 17 + doc_id * 13) % 256)
+       |        + 587 * (((i % 8) * width // 9 * 31 + (i // 8) * height // 8 * 17 + 7 + doc_id * 13) % 256)
+       |        + 114 * (((i % 8) * width // 9 * 31 + (i // 8) * height // 8 * 17 + 14 + doc_id * 13) % 256)) // 1000
+       |       <
+       |       (299 * (((i % 8 + 1) * width // 9 * 31 + (i // 8) * height // 8 * 17 + doc_id * 13) % 256)
+       |        + 587 * (((i % 8 + 1) * width // 9 * 31 + (i // 8) * height // 8 * 17 + 7 + doc_id * 13) % 256)
+       |        + 114 * (((i % 8 + 1) * width // 9 * 31 + (i // 8) * height // 8 * 17 + 14 + doc_id * 13) % 256)) // 1000
+       |     THEN 1 ELSE 0 END FOR i IN range(64)] AS b
+       |  FROM meta),
+       |bands AS (
+       |  SELECT doc_id, t,
+       |    list_sum([b[16 * t + i + 1] * (1 << i) FOR i IN range(16)]) AS band
+       |  FROM bits CROSS JOIN (SELECT unnest(range(0, 4)) AS t)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.t = b.t AND a.band = b.band
+       |  WHERE a.doc_id < b.doc_id),
+       |dups AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN bits ba ON ba.doc_id = doc_a
+       |  JOIN bits bb ON bb.doc_id = doc_b
+       |  WHERE list_sum([CASE WHEN ba.b[i + 1] <> bb.b[i + 1] THEN 1 ELSE 0 END
+       |                  FOR i IN range(64)]) <= $m06MaxHamming),
+       |docs AS (SELECT doc_id FROM meta),
+       |${graft.operators.Dedup.ccSql}
+       |SELECT doc_id, canonical_id, canonical_id = doc_id AS kept
+       |FROM canon ORDER BY doc_id""".stripMargin
+
   /** Arithmetic replay of m05: PNG is lossless and the luma/grid maps
     * are integer, so every bit is a pure function of (doc_id, dims).
     */

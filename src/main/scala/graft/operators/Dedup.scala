@@ -403,7 +403,7 @@ object Dedup {
     * [[canonicalizeComponents]] (fine at oracle scale; Spark side uses
     * bounded label propagation instead).
     */
-  private[operators] val ccSql =
+  private[graft] val ccSql =
     """sym(x, y) AS (SELECT doc_a, doc_b FROM dups UNION SELECT doc_b, doc_a FROM dups),
       |reach(s, t) AS (
       |  SELECT x, y FROM sym

@@ -141,4 +141,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val rows = graft.multimodal.Multimodal.m05PHash(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
   }
+
+  test("m06 image dedup equals a driver union-find over banded Hamming candidates") {
+    val ph = graft.multimodal.Multimodal.m05PHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    def bands(hl: (Int, Int)): Seq[Int] = {
+      val (hi, lo) = hl
+      Seq(lo & 0xFFFF, (lo >>> 16) & 0xFFFF, hi & 0xFFFF, (hi >>> 16) & 0xFFFF)
+    }
+    // Union-find over pairs that share a band AND sit <= 6 bits apart.
+    val parent = scala.collection.mutable.Map(ph.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    val byBand = ph.keys.toSeq.flatMap(id =>
+      bands(ph(id)).zipWithIndex.map { case (bv, t) => ((t, bv), id) })
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    for (bucket <- byBand; i <- bucket.indices; j <- i + 1 until bucket.length) {
+      val (a, b) = (bucket(i), bucket(j))
+      val d = Integer.bitCount(ph(a)._1 ^ ph(b)._1) +
+        Integer.bitCount(ph(a)._2 ^ ph(b)._2)
+      if (d <= graft.multimodal.Multimodal.m06MaxHamming) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val want = ph.keys.map(k => k -> find(k)).toMap
+    val got = graft.multimodal.Multimodal.m06ImageDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == ph.size)
+    got.foreach { case (id, canon, kept) =>
+      assert(canon == want(id), s"doc $id: $canon != ${want(id)}")
+      assert(kept == (canon == id))
+    }
+    // The corpus genuinely contains image near-dups — the op must merge.
+    assert(got.exists(!_._3), "expected at least one merged image")
+  }
 }
