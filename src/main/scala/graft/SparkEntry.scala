@@ -514,6 +514,48 @@ object SparkEntry {
         col("key"), col("n"), col("cents"), col("bloom_pruned"))
         .orderBy(col("key"))
     }),
+    // GraftLake CHECK constraints (Delta's ADD CONSTRAINT): rules are
+    // log entries; every later data commit validates its delta and a
+    // violating append/add is REFUSED (proven in-row) while valid
+    // commits land. The oracle replays the surviving (= all) rows.
+    "src22_lake_constraints" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_cons", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val k = pmod(col("o_orderkey"), lit(3))
+      GraftLake.create(o.filter(k === 0), path)
+      GraftLake.addConstraint(s, path, "nonneg_cents", "cents >= 0")
+      GraftLake.addConstraint(s, path, "valid_status",
+        "o_orderstatus IN ('F', 'O', 'P')")
+      GraftLake.append(o.filter(k === 1), path) // valid — lands
+      val vBefore = GraftLake.latestVersion(path)
+      val appendRefused =
+        try {
+          GraftLake.append(
+            o.filter(k === 2).withColumn("cents", -col("cents") - 1), path)
+          false
+        } catch { case _: IllegalStateException => true }
+      val nothingLanded = GraftLake.latestVersion(path) == vBefore
+      // Adding a rule the EXISTING data violates is refused too.
+      val addRefused =
+        try {
+          GraftLake.addConstraint(s, path, "impossible", "cents > 900000000")
+          false
+        } catch { case _: IllegalStateException => true }
+      GraftLake.append(o.filter(k === 2), path) // the valid version lands
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("constraints_enforced",
+          lit(appendRefused && nothingLanded && addRefused &&
+            GraftLake.constraintsOf(path).keySet ==
+              Set("nonneg_cents", "valid_status")))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -1972,6 +2014,11 @@ object SparkEntry {
         |  TRUE
         |FROM orders WHERE o_orderkey = 10000000
         |ORDER BY key""".stripMargin,
+    "src22_lake_constraints" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  TRUE AS constraints_enforced
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src17_lake_delete" ->
       """WITH mk AS (SELECT max(o_orderkey) AS m FROM orders)
         |SELECT o_orderstatus, count(*) AS n,

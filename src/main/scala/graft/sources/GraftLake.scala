@@ -81,7 +81,8 @@ object GraftLake {
     */
   final case class Snapshot(
       version: Int, schemaDdl: String, live: Seq[LiveSet],
-      tombstones: Seq[String], tags: Map[String, Int], tsMillis: Long)
+      tombstones: Seq[String], tags: Map[String, Int], tsMillis: Long,
+      constraints: Map[String, String] = Map.empty)
 
   private val EmptySnapshot =
     Snapshot(-1, "", Seq.empty, Seq.empty, Map.empty, 0L)
@@ -125,6 +126,47 @@ object GraftLake {
   /** Replace the table contents with `df` in one atomic commit. */
   def overwrite(df: DataFrame, path: String): Int = commit(df, path, "overwrite")
 
+  // ----------------------------------------------------------- constraints
+
+  /** Fail if `df` violates any CHECK rule. SQL CHECK semantics: a row
+    * passes when the predicate is TRUE or NULL (unknown); only FALSE
+    * rejects. One scan of the delta per rule.
+    */
+  private def enforceConstraints(
+      df: DataFrame, cons: Map[String, String]): Unit =
+    cons.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val bad = df.filter(
+        coalesce(functions.expr(sql), lit(true)) === false).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"CHECK constraint '$name' ($sql) violated by $bad row(s) — commit refused")
+    }
+
+  /** ADD a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`):
+    * the EXISTING table must already satisfy the rule (validated with
+    * one scan), then every later create/append/overwrite/merge and
+    * DSv2-sink commit validates its delta before publishing —
+    * violations refuse the commit instead of landing bad rows. The
+    * rule is a log entry (action `constraint`), so it time-travels,
+    * checkpoints, and folds like any other table state.
+    */
+  def addConstraint(
+      spark: SparkSession, path: String, name: String, sqlPred: String): Int = {
+    require(name.nonEmpty && !name.contains("=") && !name.contains("\""),
+      s"bad constraint name: '$name'")
+    enforceConstraints(read(spark, path), Map(name -> sqlPred))
+    publishEntry(path, "constraint", s"$name=$sqlPred",
+      new StructType(), None, Seq.empty, Seq.empty)
+  }
+
+  /** Drop a CHECK constraint by name (no-op if absent). */
+  def dropConstraint(path: String, name: String): Int =
+    publishEntry(path, "constraint", "",
+      new StructType(), None, Seq.empty, Seq(name))
+
+  /** The CHECK constraints in force at the latest version. */
+  def constraintsOf(path: String): Map[String, String] =
+    snapshot(path).constraints
+
   /** EXACTLY-ONCE append: commit `df` tagged with `tag` unless a
     * commit with that tag already exists — the foreachBatch sink
     * primitive (tag = query/batch id). Idempotence is RACE-SAFE: the
@@ -142,6 +184,19 @@ object GraftLake {
       tag: Option[String] = None, statsCols: Seq[String] = Seq.empty,
       removeSets: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty): Int = {
+    // CHECK constraints gate the data-bearing writes: the delta (or
+    // the merge's rewritten set) is validated BEFORE staging, one
+    // scan per rule. Delete/compact/tombstone rewrite already-valid
+    // rows and skip the pass. Validated against the snapshot read
+    // here — a constraint added by a RACING writer may miss this
+    // delta (the optimistic-concurrency trade Delta documents).
+    if (action == "create" || action == "append" ||
+        action == "overwrite" || action == "merge") {
+      val cons =
+        if (Files.exists(logDir(path))) snapshot(path).constraints
+        else Map.empty[String, String]
+      enforceConstraints(df, cons)
+    }
     // 1. stage the file-set — invisible until the log names it.
     val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$path/$setName")
@@ -194,6 +249,22 @@ object GraftLake {
       Files.move(Paths.get(f), setDir.resolve(f"part-$i%05d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
     }
+    // Sink commits honor CHECK constraints too: the staged (still
+    // unpublished) set is validated with one read-back scan — only
+    // when rules exist, so unconstrained sinks pay nothing.
+    val cons = snapshot(path).constraints
+    if (cons.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      try enforceConstraints(
+        org.apache.spark.sql.SparkSession.active.read.parquet(s"$path/$setName"),
+        cons)
+      catch {
+        case e: Throwable =>
+          Files.walk(setDir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+          throw e
+      }
+    }
     publishEntry(path, "append", setName, schema, tag, stats, Seq.empty)
   }
 
@@ -220,9 +291,9 @@ object GraftLake {
       // evolves it (old columns keep position, new ones join at the end).
       val mergedDdl =
         if (v == 0 || action == "overwrite") dfSchema.toDDL
-        // A tombstone set is keys, not table data: the table schema is
-        // untouched by the delete.
-        else if (action == "tombstone") snap.schemaDdl
+        // A tombstone set is keys, not table data; a constraint commit
+        // is rules — neither touches the table schema.
+        else if (action == "tombstone" || action == "constraint") snap.schemaDdl
         else mergeSchemas(
           StructType.fromDDL(snap.schemaDdl), dfSchema).toDDL
       val removed =
@@ -230,7 +301,8 @@ object GraftLake {
         else removeSets
       // MERGE-style commits remove specific sets: they must ALL still
       // be live, or a concurrent commit has invalidated our rewrite.
-      if (action != "overwrite" && removed.nonEmpty) {
+      // (Constraint removes are rule names, not file-sets.)
+      if (action != "overwrite" && action != "constraint" && removed.nonEmpty) {
         val live = (snap.live.map(_.set) ++ snap.tombstones).toSet
         removed.find(r => !live(r)).foreach { r =>
           throw new java.util.ConcurrentModificationException(
@@ -241,7 +313,8 @@ object GraftLake {
       // the prior commit so timestamp time travel is well-defined even
       // if the system clock steps backward between writers.
       val ts = math.max(System.currentTimeMillis(), snap.tsMillis)
-      val json = render(Commit(v, action, mergedDdl, Seq(setName), removed, tag, stats, ts))
+      val addItems = if (setName.isEmpty) Seq.empty[String] else Seq(setName)
+      val json = render(Commit(v, action, mergedDdl, addItems, removed, tag, stats, ts))
       // 2. claim the version: O_EXCL create of the empty final name.
       val f = logFile(path, v)
       val claimed =
@@ -337,15 +410,26 @@ object GraftLake {
     */
   private def foldState(base: Snapshot, cs: Seq[Commit]): Snapshot =
     cs.foldLeft(base) { (s, c) =>
-      val keptLive = s.live.filterNot(ls => c.remove.contains(ls.set))
-      val keptTombs = s.tombstones.filterNot(c.remove.contains)
-      val (live, tombs) =
-        if (c.action == "tombstone") (keptLive, keptTombs ++ c.add)
-        else (keptLive ++ c.add.map(a => LiveSet(a, c.schemaDdl, c.stats)),
-          keptTombs)
-      Snapshot(c.version, c.schemaDdl, live, tombs,
-        c.tag.fold(s.tags)(t => s.tags + (t -> c.version)),
-        math.max(s.tsMillis, c.tsMillis))
+      // Constraint commits carry rules, not file-sets: `add` holds
+      // "name=sql" items, `remove` holds dropped names.
+      if (c.action == "constraint") {
+        val added = c.add.map { it =>
+          val i = it.indexOf('='); it.take(i) -> it.substring(i + 1)
+        }
+        s.copy(version = c.version,
+          constraints = s.constraints -- c.remove ++ added,
+          tsMillis = math.max(s.tsMillis, c.tsMillis))
+      } else {
+        val keptLive = s.live.filterNot(ls => c.remove.contains(ls.set))
+        val keptTombs = s.tombstones.filterNot(c.remove.contains)
+        val (live, tombs) =
+          if (c.action == "tombstone") (keptLive, keptTombs ++ c.add)
+          else (keptLive ++ c.add.map(a => LiveSet(a, c.schemaDdl, c.stats)),
+            keptTombs)
+        Snapshot(c.version, c.schemaDdl, live, tombs,
+          c.tag.fold(s.tags)(t => s.tags + (t -> c.version)),
+          math.max(s.tsMillis, c.tsMillis), s.constraints)
+      }
     }
 
   private def liveAt(cs: Seq[Commit]): Seq[LiveSet] =
@@ -385,10 +469,14 @@ object GraftLake {
     require(s.version >= 0, s"no table at $path")
     val tagItems = s.tags.toSeq.sortBy(_._2).map { case (t, v) => s"$v:$t" }
     val lines =
-      render(Commit(s.version, "checkpoint", s.schemaDdl, tagItems,
+      (render(Commit(s.version, "checkpoint", s.schemaDdl, tagItems,
         s.tombstones, None, Seq.empty, s.tsMillis)) +:
         s.live.map(ls => render(Commit(s.version, "ckptset", ls.schemaDdl,
-          Seq(ls.set), Seq.empty, None, ls.stats, 0L)))
+          Seq(ls.set), Seq.empty, None, ls.stats, 0L)))) ++
+        s.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+          render(Commit(s.version, "ckptcons", "",
+            Seq(s"$n=$sql"), Seq.empty, None, Seq.empty, 0L))
+        }
     val f = ckptFile(path, s.version)
     val tmp = logDir(path).resolve(f.getFileName.toString + ".tmp" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -420,17 +508,23 @@ object GraftLake {
     val head = parse(lines.head)
     require(head.action == "checkpoint" && head.version == v,
       s"bad checkpoint header at $path v$v: ${head.action}")
-    val live = lines.tail.map { l =>
-      val c = parse(l)
-      require(c.action == "ckptset", s"bad checkpoint line: ${l.take(80)}")
-      LiveSet(c.add.head, c.schemaDdl, c.stats)
-    }
+    val body = lines.tail.map(parse)
+    body.find(c => c.action != "ckptset" && c.action != "ckptcons")
+      .foreach(c => throw new IllegalStateException(
+        s"bad checkpoint line action: ${c.action}"))
+    val live = body.filter(_.action == "ckptset")
+      .map(c => LiveSet(c.add.head, c.schemaDdl, c.stats))
+    val cons = body.filter(_.action == "ckptcons").map { c =>
+      val it = c.add.head
+      val i = it.indexOf('=')
+      it.take(i) -> it.substring(i + 1)
+    }.toMap
     val tags = head.add.map { it =>
       val i = it.indexOf(':')
       it.substring(i + 1) -> it.take(i).toInt
     }.toMap
     Some(Snapshot(head.version, head.schemaDdl, live, head.remove, tags,
-      head.tsMillis))
+      head.tsMillis, cons))
   }
 
   /** Auto-checkpoint cadence (every N commits, Delta-style; 0
@@ -698,12 +792,15 @@ object GraftLake {
     require(fromVersion >= -1 && fromVersion < all.size,
       s"fromVersion $fromVersion out of range for ${all.size}-commit log")
     val target = StructType.fromDDL(all.last.schemaDdl)
-    val changed = all.drop(fromVersion + 1)
-    changed.find(c => c.action != "create" && c.action != "append").foreach { c =>
+    val changed0 = all.drop(fromVersion + 1)
+    changed0.find(c => c.action != "create" && c.action != "append" &&
+        c.action != "constraint").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as inserts — " +
           "read a full snapshot instead")
     }
+    // Constraint commits add rules, not rows — nothing to feed.
+    val changed = changed0.filter(_.action != "constraint")
     val parts = changed.map { c =>
       readSet(spark, path, LiveSet(c.add.head, c.schemaDdl, c.stats), target)
         .withColumn("_commit_version", lit(c.version))

@@ -149,12 +149,14 @@ private[sources] class LakeMicroBatchStream(
     val e = end.asInstanceOf[LakeVersionOffset].version
     val cs = GraftLake.commits(path)
     val range = cs.slice(s + 1, e + 1)
-    range.find(c => c.action != "create" && c.action != "append").foreach { c =>
+    range.find(c => c.action != "create" && c.action != "append" &&
+        c.action != "constraint").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as an " +
           "insert-only stream — restart from a fresh snapshot")
     }
-    range.flatMap { c =>
+    // Constraint commits carry rules, not rows — an empty micro-batch.
+    range.filter(_.action != "constraint").flatMap { c =>
       c.add.flatMap { set =>
         val dir = java.nio.file.Paths.get(path, set)
         val files = java.nio.file.Files.list(dir).iterator().asScala

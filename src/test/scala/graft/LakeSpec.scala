@@ -649,6 +649,78 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
       s"filter not pushed into the lake scan:\n$plan")
   }
 
+  test("CHECK constraints: violations refuse commits, NULL passes, drop re-opens") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    GraftLake.addConstraint(spark, path, "v_pos", "v > 0")
+    // Valid delta lands; violating delta is refused atomically.
+    GraftLake.append(Seq((3L, 30L)).toDF("id", "v"), path)
+    val vBefore = GraftLake.latestVersion(path)
+    intercept[IllegalStateException] {
+      GraftLake.append(Seq((4L, -4L)).toDF("id", "v"), path)
+    }
+    assert(GraftLake.latestVersion(path) == vBefore)
+    assert(GraftLake.read(spark, path).count() == 3)
+    // SQL CHECK semantics: a NULL predicate passes (unknown != false).
+    GraftLake.append(
+      Seq((5L, Option.empty[Long])).toDF("id", "v"), path)
+    assert(GraftLake.read(spark, path).count() == 4)
+    // Merge is gated too.
+    intercept[IllegalStateException] {
+      GraftLake.merge(spark, path,
+        Seq((1L, -1L)).toDF("id", "v"), Seq("id"), "id")
+    }
+    // Existing-data validation refuses a retroactively-false rule.
+    intercept[IllegalStateException] {
+      GraftLake.addConstraint(spark, path, "small", "v < 25")
+    }
+    // Drop re-opens the gate; history/travel still work across the
+    // constraint commits.
+    GraftLake.dropConstraint(path, "v_pos")
+    GraftLake.append(Seq((6L, -6L)).toDF("id", "v"), path)
+    assert(GraftLake.constraintsOf(path).isEmpty)
+    assert(GraftLake.read(spark, path).count() == 5)
+    assert(GraftLake.readAt(spark, path, 0).count() == 2)
+  }
+
+  test("CHECK constraints survive checkpoints and gate the DSv2 sink; streams skip rule commits") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lake-cons")
+    val path = base.resolve("t").toString
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), path)
+    GraftLake.addConstraint(spark, path, "v_pos", "v > 0")
+    GraftLake.checkpoint(path)
+    // Snapshot resolved THROUGH the checkpoint still carries the rule.
+    assert(GraftLake.constraintsOf(path) == Map("v_pos" -> "v > 0"))
+    intercept[IllegalStateException] {
+      GraftLake.append(Seq((2L, -2L)).toDF("id", "v"), path)
+    }
+    // DSv2 sink path: violating batch write refused, staging cleaned.
+    val vBefore = GraftLake.latestVersion(path)
+    intercept[Exception] {
+      Seq((3L, -3L)).toDF("id", "v")
+        .write.format("graft-lake").option("path", path).mode("append").save()
+    }
+    assert(GraftLake.latestVersion(path) == vBefore)
+    Seq((4L, 40L)).toDF("id", "v")
+      .write.format("graft-lake").option("path", path).mode("append").save()
+    assert(GraftLake.read(spark, path).count() == 2)
+    // The lake stream treats rule commits as empty batches: it must
+    // deliver exactly the data rows and not choke on version gaps.
+    val outDir = base.resolve("out").toString
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", path).load()
+      .writeStream
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .format("parquet").option("path", outDir)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 2)
+    assert(got.select("_commit_version").distinct().count() == 2)
+  }
+
   test("bloom point lookup: sound on every key, prunes a mod-split layout") {
     val path = freshTable()
     val o = Tables.orders(spark, sf)
