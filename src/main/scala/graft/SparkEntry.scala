@@ -103,6 +103,7 @@ object SparkEntry {
     "s11_ann_indexed"    -> Similarity.s11AnnIndexed _,
     // Index freshness: CDC-driven incremental maintenance (no rebuild).
     "s12_ann_index_maintain" -> Similarity.s12AnnIndexMaintain _,
+    "s14_ann_index_delete" -> Similarity.s14AnnIndexDelete _,
     "s03_ann_ivf"        -> Similarity.s03AnnIvf _,
     "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
     "m02_resize" -> ((s: SparkSession, d: String) => Multimodal.m02Resize(s, d)),
@@ -1071,6 +1072,7 @@ object SparkEntry {
     // CDC-appended half under identical planes), so the full-corpus
     // s02 replay is again the oracle.
     "s12_ann_index_maintain" -> graft.operators.Similarity.s02OracleSql,
+    "s14_ann_index_delete" -> graft.operators.Similarity.s14OracleSql,
     // The gated IVF config probes every inverted list; clusters
     // partition the corpus, so the result provably equals brute-force
     // top-k — s01's oracle. A broken quantizer/assignment/probe still

@@ -743,7 +743,14 @@ object Similarity {
     * (own bucket + hamming-1 neighbors), candidate dedup, cosine,
     * top-5.
     */
-  def s02OracleSql: String = {
+  def s02OracleSql: String = s02OracleSqlWhere("", "")
+
+  /** s02's replay with extra corpus predicate / output columns — the
+    * shared body for the indexed/maintained/deleted variants (the
+    * serving path changes; the math does not).
+    */
+  private[graft] def s02OracleSqlWhere(
+      corpusAnd: String, extraCols: String): String = {
     val (nTables, bits) = (DefaultTables, DefaultBits)
     val corpusSigs = (1 to nTables).map(tt =>
       s"(SELECT n_id, n_emb, ${tt - 1} AS t, ${sigSql("n_emb", tt, bits)} AS sig FROM c)")
@@ -753,7 +760,7 @@ object Similarity {
       .mkString("\n  UNION ALL\n  ")
     s"""WITH hp_t AS (SELECT ${planesLiteral(hyperplanes(nTables, bits))} AS hp),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, hp FROM embeddings, hp_t WHERE vec_id < $NQueries),
-       |c AS (SELECT vec_id AS n_id, embedding AS n_emb, hp FROM embeddings, hp_t WHERE vec_id >= $NQueries),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_emb, hp FROM embeddings, hp_t WHERE vec_id >= $NQueries$corpusAnd),
        |cs AS ($corpusSigs),
        |qs0 AS ($querySigs),
        |qs AS (
@@ -774,10 +781,46 @@ object Similarity {
        |  SELECT q_id, n_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
        |  FROM sc)
-       |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim$extraCols
        |FROM r WHERE rnk <= $K
        |ORDER BY q_id, rnk""".stripMargin
   }
+
+  /** s14: INDEX DELETIONS — the erasure leg of the vector-store
+    * lifecycle (build s11, maintain s12, DELETE s14): removing
+    * vectors lands as MERGE-ON-READ TOMBSTONES on BOTH the corpus and
+    * the signature index — O(deleted keys) bytes, ZERO data rewritten
+    * (proven in-row: both delete commits remove no file-sets) — and
+    * the serving path immediately answers WITHOUT the erased vectors
+    * because both scans anti-join their tombstones. At 100 TB this is
+    * GDPR erasure that costs metadata, not an index rebuild; `compact`
+    * later materializes the tombstones on the format's own schedule.
+    */
+  def s14AnnIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val corpusPath = graft.SparkEntry.scratch("graft_ann_corpus_del", dir)
+    val indexPath = graft.SparkEntry.scratch("graft_lsh_index_del", dir)
+    graft.SparkEntry.rmrf(corpusPath)
+    graft.SparkEntry.rmrf(indexPath)
+    val (q, c) = split(spark, dir)
+    GraftLake.create(c, corpusPath)
+    GraftLake.create(
+      lshIndexRelation(c, DefaultTables, DefaultBits), indexPath,
+      statsCols = Seq("sig"))
+    val pred = pmod(col("n_id"), lit(9)) === 4
+    val (_, nDelC) = GraftLake.deleteMoR(spark, corpusPath, pred, "n_id")
+    val (_, nDelI) = GraftLake.deleteMoR(spark, indexPath, pred, "n_id")
+    val lastC = GraftLake.commits(corpusPath).last
+    val lastI = GraftLake.commits(indexPath).last
+    val erased = nDelC > 0 && nDelI == nDelC &&
+      lastC.action == "tombstone" && lastC.remove.isEmpty &&
+      lastI.action == "tombstone" && lastI.remove.isEmpty
+    queryLshIndex(spark, indexPath, q, GraftLake.read(spark, corpusPath))
+      .withColumn("erased", lit(erased))
+  }
+
+  /** s02's replay over the surviving corpus + the in-row proof. */
+  def s14OracleSql: String =
+    s02OracleSqlWhere(" AND vec_id % 9 <> 4", ", TRUE AS erased")
 
   /** Full DuckDB replay of d09: banded signatures over all vectors,
     * bucket-collided candidate pairs, cosine >= 0.95 verify,

@@ -365,6 +365,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     pq.values.foreach(ids => assert(ids.size == 5))
   }
 
+  test("s14: erased vectors never serve, and the erasure rewrote no data") {
+    val rows = Similarity.s14AnnIndexDelete(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getLong(2) % 9 != 4, s"erased vector served: ${r.getLong(2)}")
+      assert(r.getBoolean(4), "zero-rewrite proof must hold")
+    }
+  }
+
   test("d29 semantic dedup: planted near-duplicates collapse, distinct vectors survive") {
     val rnd = new scala.util.Random(31)
     def vec(): Array[Float] = Array.fill(Similarity.Dim)(rnd.nextGaussian().toFloat)
