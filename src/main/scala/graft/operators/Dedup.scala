@@ -120,7 +120,7 @@ object Dedup {
   val DriverCCEdgeLimit: Long = 500000L
 
   private[graft] def canonicalizeComponents(
-      nodes: DataFrame, edges: DataFrame, maxIters: Int = 15,
+      nodes: DataFrame, edges: DataFrame, maxIters: Int = 40,
       driverEdgeLimit: Long = DriverCCEdgeLimit): DataFrame = {
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
