@@ -159,9 +159,11 @@ object GraftLake {
   }
 
   /** Drop a CHECK constraint by name (no-op if absent). */
-  def dropConstraint(path: String, name: String): Int =
+  def dropConstraint(path: String, name: String): Int = {
+    require(Files.exists(logDir(path)), s"no table at $path")
     publishEntry(path, "constraint", "",
       new StructType(), None, Seq.empty, Seq(name))
+  }
 
   /** The CHECK constraints in force at the latest version. */
   def constraintsOf(path: String): Map[String, String] =

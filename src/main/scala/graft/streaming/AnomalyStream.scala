@@ -35,6 +35,7 @@ object AnomalyStream {
 
   def st16StreamAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
+    if (events.isEmpty) return Analytics.anomalyFrom(Analytics.dailyCents(events))
     val base = java.nio.file.Files.createTempDirectory("graft-st16")
     java.nio.file.Files.createDirectories(base.resolve("in"))
     val inDir = base.resolve("in").toString
