@@ -342,6 +342,7 @@ object SparkEntry {
     "q56_pagerank"       -> ((s: SparkSession, d: String) => graft.operators.Graph.q56PageRank(s, d)),
     "q69_connected_components" -> graft.operators.Graph.q69ConnectedComponents _,
     "q70_triangles"      -> ((s: SparkSession, d: String) => graft.operators.Graph.q70Triangles(s, d)),
+    "q73_basket_lift"    -> ((s: SparkSession, d: String) => graft.operators.Graph.q73BasketLift(s, d)),
     "q71_anomaly_days"   -> graft.operators.Analytics.q71AnomalyDays _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
@@ -1885,6 +1886,7 @@ object SparkEntry {
     "q56_pagerank" -> graft.operators.Graph.q56OracleSql,
     "q69_connected_components" -> graft.operators.Graph.q69OracleSql,
     "q70_triangles" -> graft.operators.Graph.q70OracleSql,
+    "q73_basket_lift" -> graft.operators.Graph.q73OracleSql,
     "q71_anomaly_days" -> graft.operators.Analytics.q71OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.

@@ -338,6 +338,67 @@ object Graph {
       .orderBy(col("p1"), col("p2"), col("p3"))
   }
 
+  /** q73: MARKET-BASKET association metrics — support and LIFT for
+    * co-purchased part pairs (the a-priori first rung: which pairs
+    * co-occur MORE than independence predicts). Same bounded pair
+    * generation as q70 (one order-key self-join, fan-out ≤ lines per
+    * order, min-support filter), then per-item order counts join in
+    * and lift = n_ab·N / (n_a·n_b) ranks the survivors. All counts
+    * are exact integers; the single division happens once per
+    * surviving pair in correctly-rounded double, identical in any
+    * IEEE engine. Output is the top-`topN` by (lift DESC, pair id) —
+    * O(pairs log topN), never a global sort of the pair space at
+    * scale (topN is a LIMIT over an ordered shuffle of the
+    * support-filtered — already sparse — pair set).
+    */
+  def q73BasketLift(
+      spark: SparkSession, dir: String,
+      minSupport: Int = 3, topN: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true)
+    val nOrders = li.select(col("ok")).distinct().count()
+    val item = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairs = li.toDF("ok", "x").join(li.toDF("ok", "y"), "ok")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(item.select(col("pk").as("x"), col("n_item").as("n_a")), "x")
+      .join(item.select(col("pk").as("y"), col("n_item").as("n_b")), "y")
+      .withColumn("lift",
+        (col("n_ab") * lit(nOrders)).cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .select(col("x").as("p1"), col("y").as("p2"),
+        col("n_ab"), round(col("lift"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("p1"), col("p2"))
+      .limit(topN)
+  }
+
+  /** Identical integer counts and the identical single double
+    * division, ranked and truncated the same way.
+    */
+  val q73OracleSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM li),
+      |item AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1),
+      |pp AS (SELECT a.pk AS x, b.pk AS y, count(*) AS n_ab
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT x AS p1, y AS p2, n_ab,
+      |  round(CAST(n_ab * nn.n AS DOUBLE)
+      |        / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 4) AS lift
+      |FROM pp
+      |JOIN item ia ON ia.pk = x
+      |JOIN item ib ON ib.pk = y
+      |CROSS JOIN nn
+      |ORDER BY CAST(n_ab * nn.n AS DOUBLE)
+      |         / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) DESC,
+      |  p1, p2
+      |LIMIT 20""".stripMargin
+
   /** The oracle enumerates the same triangle SET by id-orientation
     * (e1.y = e2.x closing e3) — orientation strategy changes the work
     * distribution, never the result set, and both emit id-sorted

@@ -107,6 +107,33 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == got.sorted, "output is ordered by the sorted triple")
   }
 
+  test("q73 basket lift equals a brute support/lift replay, ranked and truncated") {
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = pairs.map(_._1).distinct.length.toLong
+    val nItem = pairs.groupBy(_._2).view.mapValues(_.map(_._1).distinct.length.toLong)
+    val pairCounts = pairs.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+    val want = pairCounts.toSeq.collect {
+      case ((x, y), nab) if nab >= 3 =>
+        val lift = (nab * nOrders).toDouble / (nItem(x).toDouble * nItem(y).toDouble)
+        (x, y, nab, lift)
+    }.sortBy { case (x, y, _, lift) => (-lift, x, y) }.take(20)
+      .map { case (x, y, nab, lift) =>
+        (x, y, nab, math.round(lift * 10000) / 10000.0)
+      }
+    val got = graft.operators.Graph.q73BasketLift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // Lift > 1 means over-independence co-occurrence — the metric is
+    // doing its job if the top of the ranking clears 1.
+    assert(got.head._4 > 1.0)
+  }
+
   test("trianglesOf: degree orientation emits each triangle exactly once, hubs included") {
     import spark.implicits._
     // A hub (0) fanning to 1..40, a K4 on {1,2,3,4}, and the hub closing
