@@ -107,4 +107,31 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       assert((r.getInt(5) == 1) == r.isNullAt(1))
     }
   }
+
+  test("hot paths run inside WholeStageCodegen (no interpreted hot loops)") {
+    // The scan→filter→partial-agg pipelines must fuse: codegen'd spans
+    // are the difference between compiled loops and per-row virtual
+    // calls at 100 TB. (Streaming/stateful and sketch-aggregate plans
+    // legitimately fall back to imperative operators.)
+    for (q <- Seq(
+        graft.operators.Relational.q01AggPricing(spark, sf),
+        graft.operators.Relational.q02FilterProject(spark, sf),
+        graft.operators.Relational.q04JoinStar(spark, sf),
+        graft.operators.Analytics.q64Histogram(spark, sf))) {
+      q.collect() // AQE only materializes codegen spans in the FINAL plan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+        s"no codegen span in:\n${plan.take(600)}")
+    }
+    // The native CosineSim expression stays codegen-compatible inside
+    // a fused projection (its doGenCode path, not eval()).
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val cos = emb.select(
+      graft.functions.VectorFunctions.cosineSimNative(
+        col("embedding"), col("embedding")).as("c"))
+    val cosPlan = cos.queryExecution.executedPlan.toString
+    assert(cosPlan.contains("WholeStageCodegen") || cosPlan.contains("*("))
+    cos.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-6))
+  }
 }
