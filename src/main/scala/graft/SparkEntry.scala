@@ -288,6 +288,7 @@ object SparkEntry {
     "q48_lateral_topn"   -> Relational3.q48LateralTopN _,
     "mv04_retract_view"  -> graft.operators.Materialized.mv04RetractView _,
     "mv07_retract_join_view" -> graft.operators.Materialized.mv07RetractJoinView _,
+    "mv08_topk_view"     -> graft.operators.Materialized.mv08TopkView _,
     "q49_khop_reach"     -> ((s: SparkSession, d: String) => graft.operators.Graph.q49KHopReach(s, d)),
     // ORC round-trip: the second self-describing columnar format —
     // schema, stripe min/max pushdown and column pruning all survive
@@ -1661,6 +1662,7 @@ object SparkEntry {
     // (deleted %10==7, re-inserted %20==7) with the same cents-exact
     // integer money arithmetic.
     "mv07_retract_join_view" -> graft.operators.Materialized.mv07OracleSql,
+    "mv08_topk_view" -> graft.operators.Materialized.mv08OracleSql,
     "mv04_retract_view" ->
       """SELECT year(o_orderdate) AS o_year, o_orderstatus, count(*) AS n,
         |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS rev

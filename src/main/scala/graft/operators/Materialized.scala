@@ -268,6 +268,73 @@ object Materialized {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** TOP-K state per group — mv08. The insert-only merge law:
+    * topk(topk(A) ∪ topk(B)) = topk(A ∪ B) — an element outside a
+    * partial top-k can never re-enter under inserts, so the view
+    * keeps O(groups × k) state and each refresh folds only the
+    * delta's top-k. (The law breaks under DELETES — that regime needs
+    * mv04's signed algebra over full multisets; this view is the
+    * insert-only leaderboard every dashboard actually maintains.)
+    */
+  private val TopKViewK = 5
+
+  def topkState(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(graft.functions.VectorFunctions.topKByScore(
+        col("cents").cast("double"), col("o_orderkey"), TopKViewK).as("tk"))
+
+  def mergeTopk(view: DataFrame, delta: DataFrame): DataFrame =
+    view.unionByName(topkState(delta))
+      .select(col("o_orderstatus"), explode(col("tk")).as("e"))
+      .groupBy(col("o_orderstatus"))
+      .agg(graft.functions.VectorFunctions.topKByScore(
+        col("e.score"), col("e.id"), TopKViewK).as("tk"))
+
+  def presentTopk(view: DataFrame): DataFrame =
+    view.select(col("o_orderstatus"), posexplode(col("tk")))
+      .select(
+        col("o_orderstatus"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("o_orderkey"),
+        col("col.score").cast("long").as("cents"))
+      .orderBy(col("o_orderstatus"), col("rnk"))
+
+  /** mv08: incremental TOP-K view — mv01's base/H1/H2 refresh
+    * schedule over the per-status order-value leaderboard. Oracle =
+    * full-recompute window top-5: equality proves the top-k-of-top-k
+    * fold discards nothing that the full ranking keeps.
+    */
+  def mv08TopkView(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val y = year(col("o_orderdate"))
+    val maxRow = orders.agg(max(y)).collect().head
+    if (maxRow.isNullAt(0)) return presentTopk(topkState(orders))
+    val maxYear = maxRow.getInt(0)
+    val base = orders.filter(y.isNull || y < maxYear)
+    val h1 = orders.filter(y === maxYear && month(col("o_orderdate")) <= 6)
+    val h2 = orders.filter(y === maxYear && month(col("o_orderdate")) > 6)
+    presentTopk(mergeTopk(mergeTopk(topkState(base), h1), h2))
+  }
+
+  /** Full-recompute replay with TopKByScore's exact tie-break
+    * (score DESC, id ASC); integer cents keep scores engine-exact.
+    */
+  val mv08OracleSql: String =
+    """SELECT o_orderstatus, CAST(rnk AS INT) AS rnk, o_orderkey,
+      |  CAST(cents AS BIGINT) AS cents
+      |FROM (
+      |  SELECT o_orderstatus, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 5
+      |ORDER BY o_orderstatus, rnk""".stripMargin
+
   /** mv06: APPROXIMATE distinct-count view with mergeable SKETCH
     * state — the view the signed algebra (mv04) and semilattice
     * merges (mv05) both cannot give: count(DISTINCT) is neither

@@ -159,6 +159,25 @@ class MaterializedSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mv08 top-k view: refresh batching is invariant and equals the full ranking") {
+    val orders = Tables.orders(spark, sf)
+    val full = Materialized.presentTopk(Materialized.topkState(orders))
+      .collect().map(_.toString).toSeq
+    // Any insert-only split folds to the same leaderboard — including
+    // a shuffled (non-time) assignment.
+    val parts = (0 until 4).map(i =>
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === i))
+    val folded = Materialized.presentTopk(
+      parts.tail.foldLeft(Materialized.topkState(parts.head))(Materialized.mergeTopk))
+      .collect().map(_.toString).toSeq
+    assert(folded == full)
+    val gate = Materialized.mv08TopkView(spark, sf).collect().map(_.toString).toSeq
+    assert(gate == full)
+    // The state really is O(groups x k): every group holds <= 5 rows.
+    val got = Materialized.mv08TopkView(spark, sf).collect()
+    got.groupBy(_.getString(0)).values.foreach(rs => assert(rs.length <= 5))
+  }
+
   test("mv07 retractable join view equals the recompute, and delete-all empties it") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
