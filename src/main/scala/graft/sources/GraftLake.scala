@@ -189,16 +189,19 @@ object GraftLake {
     // CHECK constraints gate the data-bearing writes: the delta (or
     // the merge's rewritten set) is validated BEFORE staging, one
     // scan per rule. Delete/compact/tombstone rewrite already-valid
-    // rows and skip the pass. Validated against the snapshot read
-    // here — a constraint added by a RACING writer may miss this
-    // delta (the optimistic-concurrency trade Delta documents).
-    if (action == "create" || action == "append" ||
-        action == "overwrite" || action == "merge") {
-      val cons =
-        if (Files.exists(logDir(path))) snapshot(path).constraints
-        else Map.empty[String, String]
-      enforceConstraints(df, cons)
-    }
+    // rows and skip the pass. The validated rule-set is re-checked
+    // inside the publish loop: a constraint added by a RACING writer
+    // forces a loud ConcurrentModificationException (re-run to
+    // re-validate) instead of silently landing unvalidated rows.
+    val validatedCons: Option[Set[String]] =
+      if (action == "create" || action == "append" ||
+          action == "overwrite" || action == "merge") {
+        val cons =
+          if (Files.exists(logDir(path))) snapshot(path).constraints
+          else Map.empty[String, String]
+        enforceConstraints(df, cons)
+        Some(cons.keySet)
+      } else None
     // 1. stage the file-set — invisible until the log names it.
     val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$path/$setName")
@@ -222,7 +225,8 @@ object GraftLake {
           else Some(SetStats(c, r.getLong(2 * i), r.getLong(2 * i + 1)))
         }
       }
-    publishEntry(path, action, setName, df.schema, tag, stats, removeSets)
+    publishEntry(path, action, setName, df.schema, tag, stats, removeSets,
+      validatedCons)
   }
 
   /** COMMIT a pre-staged file-set of already-written parquet files —
@@ -278,12 +282,25 @@ object GraftLake {
   private def publishEntry(
       path: String, action: String, setName: String, dfSchema: StructType,
       tag: Option[String], stats: Seq[SetStats],
-      removeSets: Seq[String]): Int = {
+      removeSets: Seq[String],
+      validatedCons: Option[Set[String]] = None): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 50, s"gave up committing to $path after 50 races")
       val snap = snapshot(path)
+      // Constraint-freshness check INSIDE the claim loop: if a racing
+      // writer published new CHECK rules after this commit validated
+      // its delta, landing would bypass them — fail loudly so the
+      // caller re-runs (and re-validates) instead of silently
+      // committing unvalidated rows past a rule.
+      validatedCons.foreach { v =>
+        if (snap.constraints.keySet != v)
+          throw new java.util.ConcurrentModificationException(
+            s"CHECK constraints changed during commit to $path " +
+              s"(validated ${v.toSeq.sorted.mkString(",")} vs now " +
+              s"${snap.constraints.keySet.toSeq.sorted.mkString(",")}); retry")
+      }
       // Idempotence re-check under contention: if a same-tag commit
       // landed while we were racing, ours must NOT land again.
       tag.foreach { t => snap.tags.get(t).foreach { v => return v } }
