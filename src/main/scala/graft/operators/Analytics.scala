@@ -292,6 +292,30 @@ object Analytics {
       count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(dec).as("s"),
       sum(dec * dec).as("q"))
+    // Magnitude fence: both inequality sides must be EXACT in
+    // DECIMAL(38,0). Under non-ANSI semantics a decimal overflow is a
+    // silent NULL — the filter would silently DROP the day while the
+    // HUGEINT oracle keeps it. Refuse loudly instead. The fence runs
+    // in doubles over the already-aggregated O(types×days) table
+    // (one cheap pass), uses sum-of-magnitudes upper bounds (no
+    // cancellation), counts NULL bound terms (an already-overflowed
+    // q) as violations, and keeps a decade of slack below 1e38.
+    locally {
+      val nD = col("n").cast("double"); val sD = abs(col("s").cast("double"))
+      val qD = abs(col("q").cast("double")); val xD = abs(col("x").cast("double"))
+      val lhsB = (xD * nD + sD) * (xD * nD + sD) * nD
+      val rhsB = lit(4.0) * nD * (nD * qD + sD * sD)
+      val r = day.join(broadcast(st), "event_type")
+        .select(lhsB.as("l"), rhsB.as("r"))
+        .agg(sum(when(col("l").isNull || col("r").isNull ||
+          col("l") >= 1e37 || col("r") >= 1e37, 1L).otherwise(0L)))
+        .head
+      val overflows = if (r.isNullAt(0)) 0L else r.getLong(0)
+      require(overflows == 0L,
+        s"anomaly 2-sigma test: $overflows day-row(s) exceed the " +
+          "DECIMAL(38,0) exact range — rescale the measure (e.g. " +
+          "aggregate at a coarser unit) rather than silently dropping days")
+    }
     val num = dec * col("n") - col("s")
     day.join(broadcast(st), "event_type")
       .filter(num > lit(0) &&

@@ -371,9 +371,14 @@ object Graph {
         (col("n_ab") * lit(nOrders)).cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")))
       .select(col("x").as("p1"), col("y").as("p2"),
-        col("n_ab"), round(col("lift"), 4).as("lift"))
+        col("n_ab"), col("lift"))
+      // Rank on the UNROUNDED lift (matching the oracle's ORDER BY):
+      // rounding before the sort could flip the relative order — and
+      // the LIMIT membership — of pairs whose true lifts differ only
+      // past 4 decimals. Round only in the final projection.
       .orderBy(col("lift").desc, col("p1"), col("p2"))
       .limit(topN)
+      .withColumn("lift", round(col("lift"), 4))
   }
 
   /** Identical integer counts and the identical single double

@@ -153,9 +153,21 @@ object GraftLake {
       spark: SparkSession, path: String, name: String, sqlPred: String): Int = {
     require(name.nonEmpty && !name.contains("=") && !name.contains("\""),
       s"bad constraint name: '$name'")
+    // Like Delta's ADD CONSTRAINT: re-using a live name is an error,
+    // not a silent predicate swap — a swap would let rows validated
+    // against the OLD rule race past the new one (same name, so a
+    // name-set freshness check can't see it; we also compare full
+    // name→SQL maps in the publish loop as a second fence).
+    val consSeen = snapshotIfExists(path).map(_.constraints)
+      .getOrElse(Map.empty[String, String])
+    require(!consSeen.contains(name),
+      s"constraint '$name' already exists on $path; drop it first")
     enforceConstraints(read(spark, path), Map(name -> sqlPred))
+    // Thread the rule-map we checked against through the publish-loop
+    // fence: a racing writer adding the same name between our
+    // duplicate check and the claim aborts loudly.
     publishEntry(path, "constraint", s"$name=$sqlPred",
-      new StructType(), None, Seq.empty, Seq.empty)
+      new StructType(), None, Seq.empty, Seq.empty, Some(consSeen))
   }
 
   /** Drop a CHECK constraint by name (no-op if absent). */
@@ -193,14 +205,14 @@ object GraftLake {
     // inside the publish loop: a constraint added by a RACING writer
     // forces a loud ConcurrentModificationException (re-run to
     // re-validate) instead of silently landing unvalidated rows.
-    val validatedCons: Option[Set[String]] =
+    val validatedCons: Option[Map[String, String]] =
       if (action == "create" || action == "append" ||
           action == "overwrite" || action == "merge") {
         val cons =
           if (Files.exists(logDir(path))) snapshot(path).constraints
           else Map.empty[String, String]
         enforceConstraints(df, cons)
-        Some(cons.keySet)
+        Some(cons)
       } else None
     // 1. stage the file-set — invisible until the log names it.
     val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
@@ -271,7 +283,13 @@ object GraftLake {
           throw e
       }
     }
-    publishEntry(path, "append", setName, schema, tag, stats, Seq.empty)
+    // Pass the validated rule MAP into the publish loop: sink commits
+    // get the same racing-writer freshness fence as batch commits —
+    // a constraint added (or name-preservingly replaced) between this
+    // read-back validation and the claim aborts loudly instead of
+    // landing unvalidated rows.
+    publishEntry(path, "append", setName, schema, tag, stats, Seq.empty,
+      Some(cons))
   }
 
   /** The claim/publish loop: resolve the current snapshot, conflict-
@@ -283,7 +301,7 @@ object GraftLake {
       path: String, action: String, setName: String, dfSchema: StructType,
       tag: Option[String], stats: Seq[SetStats],
       removeSets: Seq[String],
-      validatedCons: Option[Set[String]] = None): Int = {
+      validatedCons: Option[Map[String, String]] = None): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -294,11 +312,15 @@ object GraftLake {
       // its delta, landing would bypass them — fail loudly so the
       // caller re-runs (and re-validates) instead of silently
       // committing unvalidated rows past a rule.
+      // Full name→SQL comparison (not just the name set): a racing
+      // drop+re-add that keeps a rule's NAME but swaps its predicate
+      // must also abort, or rows validated under the old predicate
+      // would land past the new one.
       validatedCons.foreach { v =>
-        if (snap.constraints.keySet != v)
+        if (snap.constraints != v)
           throw new java.util.ConcurrentModificationException(
             s"CHECK constraints changed during commit to $path " +
-              s"(validated ${v.toSeq.sorted.mkString(",")} vs now " +
+              s"(validated ${v.keySet.toSeq.sorted.mkString(",")} vs now " +
               s"${snap.constraints.keySet.toSeq.sorted.mkString(",")}); retry")
       }
       // Idempotence re-check under contention: if a same-tag commit
@@ -468,6 +490,10 @@ object GraftLake {
     val base = loadCheckpoint(path).getOrElse(EmptySnapshot)
     foldState(base, commitsFrom(path, base.version + 1))
   }
+
+  /** Snapshot if the table exists; None for an uncreated path. */
+  private def snapshotIfExists(path: String): Option[Snapshot] =
+    if (Files.exists(logDir(path))) Some(snapshot(path)) else None
 
   // ----------------------------------------------------------- checkpoint
 

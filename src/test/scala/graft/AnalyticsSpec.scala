@@ -144,6 +144,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(want.nonEmpty, "the replay itself must flag at least one spike day")
   }
 
+  test("q71 magnitude fence: DECIMAL(38)-overflowing day totals refuse loudly") {
+    import spark.implicits._
+    // Small magnitudes pass through the fence untouched.
+    val ok = ((1 to 10).map(i => ("a", f"2024-01-$i%02d", 100L + i)) :+
+      (("a", "2024-01-11", 5000L)))
+      .toDF("event_type", "d", "x")
+    assert(Analytics.anomalyFrom(ok).collect().nonEmpty)
+    // A near-Long.Max day total would overflow num^2*(n-1) past
+    // DECIMAL(38,0) — non-ANSI Spark would NULL it and silently drop
+    // the day; the fence must throw instead.
+    val huge = Seq(("a", "2024-01-01", 5000000000000000000L),
+      ("a", "2024-01-02", 4000000000000000000L),
+      ("a", "2024-01-03", 4100000000000000000L),
+      ("a", "2024-01-04", 4200000000000000000L))
+      .toDF("event_type", "d", "x")
+    intercept[IllegalArgumentException] { Analytics.anomalyFrom(huge) }
+  }
+
   test("q72 sliding approx distinct: bound holds and the exact side equals q50") {
     val got = graft.operators.ApproxGates.q72SlidingApproxDistinct(spark, sf).collect()
     assert(got.nonEmpty)

@@ -675,6 +675,11 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalStateException] {
       GraftLake.addConstraint(spark, path, "small", "v < 25")
     }
+    // Re-using a live rule name is refused (no silent predicate swap
+    // — Delta's ADD CONSTRAINT semantics).
+    intercept[IllegalArgumentException] {
+      GraftLake.addConstraint(spark, path, "v_pos", "v > 100")
+    }
     // Drop re-opens the gate; history/travel still work across the
     // constraint commits.
     GraftLake.dropConstraint(path, "v_pos")
