@@ -397,24 +397,60 @@ object Dedup {
       |     ELSE list_distinct([array_to_string(string_split(s, ' ')[i:i+2], ' ')
       |                         FOR i IN range(1, len(string_split(s, ' ')) - 1)]) END""".stripMargin
 
-  /** Shared SQL fragment: recursive-CTE connected components over
-    * `dups(doc_a, doc_b)` + all-`doc_id` `docs`, emitting
-    * (doc_id, canonical_id) — the closure twin of
-    * [[canonicalizeComponents]] (fine at oracle scale; Spark side uses
-    * bounded label propagation instead).
+  /** Rounds of the oracle's unrolled min-label ladder. Each round
+    * doubles the covered component diameter (neighbor-min extends the
+    * known ball by itself via the pointer jump), so `CcRounds` rounds
+    * converge for diameter ≤ 2^(CcRounds-1); the convergence fence
+    * compares the last TWO rounds, so the guaranteed bound is
+    * 2^(CcRounds-2) = 1024 — orders of magnitude beyond any
+    * near-dup cluster (replicated corpora give near-cliques).
     */
-  private[graft] val ccSql =
-    """sym(x, y) AS (SELECT doc_a, doc_b FROM dups UNION SELECT doc_b, doc_a FROM dups),
-      |reach(s, t) AS (
-      |  SELECT x, y FROM sym
-      |  UNION
-      |  SELECT r.s, ed.y FROM reach r JOIN sym ed ON r.t = ed.x
-      |),
-      |canon AS (
-      |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS canonical_id
-      |  FROM docs d LEFT JOIN reach r ON r.s = d.doc_id
-      |  GROUP BY d.doc_id
-      |)""".stripMargin
+  private val CcRounds = 12
+
+  /** Shared SQL fragment: connected components over
+    * `dups(doc_a, doc_b)` + all-`doc_id` `docs`, emitting
+    * (doc_id, canonical_id) — the oracle twin of
+    * [[canonicalizeComponents]].
+    *
+    * NOT the recursive-CTE transitive closure: `reach` materializes
+    * O(Σ|component|²) pairs, which melts on the replicated
+    * mega-components a 10× scale-up produces. Instead an UNROLLED
+    * min-label propagation with pointer jumping — each round is one
+    * linear join+groupBy (min over self ∪ neighbor labels ∪ the
+    * label's own label), total O(rounds × (V+E)) — the same shape the
+    * Spark side's distributed fallback runs. A final `error()` fence
+    * compares the last two rounds: if labels still moved, the oracle
+    * REFUSES loudly instead of returning a silently-unconverged
+    * canonicalization.
+    */
+  private[graft] val ccSql: String = {
+    // AS MATERIALIZED is load-bearing: each round references the prior
+    // one THREE times, and DuckDB inlines plain CTEs — 12 rounds would
+    // expand to 3^12 base-table scans without it.
+    val rounds = (0 until CcRounds).map { k =>
+      s"""cc_l${k + 1} AS MATERIALIZED (
+         |  SELECT v, min(m) AS lab FROM (
+         |    SELECT v, lab AS m FROM cc_l$k
+         |    UNION ALL
+         |    SELECT s.x AS v, l.lab AS m FROM cc_sym s JOIN cc_l$k l ON l.v = s.y
+         |    UNION ALL
+         |    SELECT a.v, b.lab AS m FROM cc_l$k a JOIN cc_l$k b ON b.v = a.lab
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""cc_sym(x, y) AS MATERIALIZED (SELECT doc_a, doc_b FROM dups UNION SELECT doc_b, doc_a FROM dups),
+       |cc_l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS lab FROM docs),
+       |$rounds,
+       |cc_chg AS (SELECT count(*) AS c FROM cc_l$CcRounds a
+       |  JOIN cc_l${CcRounds - 1} b ON a.v = b.v AND a.lab <> b.lab),
+       |canon AS (
+       |  SELECT v AS doc_id,
+       |    CASE WHEN (SELECT c FROM cc_chg) > 0
+       |         THEN CAST(error('cc oracle: min-label ladder not converged — raise CcRounds') AS BIGINT)
+       |         ELSE lab END AS canonical_id
+       |  FROM cc_l$CcRounds
+       |)""".stripMargin
+  }
 
   /** CTE chain `t → sh → bh → sg → bd → e → cand`: the MinHash-band
     * BLOCKING stage (shingle → base hash → NPerms affine minima →

@@ -242,30 +242,27 @@ object Graph {
       .groupBy(col("cc_size")).agg(count(lit(1)).as("n_components"))
       .orderBy(col("cc_size"))
 
-  /** The DuckDB replay walks min-labels over the symmetric edge set
-    * with a recursive CTE (UNION dedups, so it terminates at the fixed
-    * point); components are per-customer bursts, so the walk's
-    * intermediate is bounded by sum(burst^2) — small at oracle scale.
-    * Both engines compute the exact fixed point, so the histograms
-    * match with no iteration-count coupling.
+  /** The DuckDB replay canonicalizes with [[Dedup.ccSql]]'s unrolled
+    * min-label ladder (linear per round, convergence-fenced) — the
+    * old recursive walk materialized O(Σ burst²) label pairs, which
+    * is exactly the intermediate that melts at a 10× replay.
+    * Components are per-customer order bursts: diameter ≤ orders per
+    * customer (≤ ~41 in a TPC-H-shaped corpus), far under the
+    * ladder's 1024-diameter guarantee.
     */
   val q69OracleSql: String =
-    """WITH RECURSIVE
+    s"""WITH
       |o AS (SELECT o_orderkey AS k, o_custkey AS c,
       |  CAST(o_orderdate AS DATE) AS d FROM orders),
       |seq AS (SELECT k, c, d,
       |  lead(k) OVER w AS nk, lead(d) OVER w AS nd
       |  FROM o WINDOW w AS (PARTITION BY c ORDER BY d, k)),
-      |edges AS (SELECT k AS x, nk AS y FROM seq
+      |dups AS (SELECT k AS doc_a, nk AS doc_b FROM seq
       |  WHERE nk IS NOT NULL AND date_diff('day', d, nd) <= 30),
-      |sym AS (SELECT x, y FROM edges UNION SELECT y AS x, x AS y FROM edges),
-      |walk(node, lbl) AS (
-      |  SELECT k, k FROM o
-      |  UNION
-      |  SELECT s.y, w.lbl FROM walk w JOIN sym s ON s.x = w.node),
-      |lab AS (SELECT node, min(lbl) AS cc FROM walk GROUP BY node),
-      |sizes AS (SELECT cc, CAST(count(*) AS BIGINT) AS cc_size
-      |  FROM lab GROUP BY cc)
+      |docs AS (SELECT k AS doc_id FROM o),
+      |${Dedup.ccSql},
+      |sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cc_size
+      |  FROM canon GROUP BY canonical_id)
       |SELECT cc_size, CAST(count(*) AS BIGINT) AS n_components
       |FROM sizes GROUP BY cc_size ORDER BY cc_size""".stripMargin
 
