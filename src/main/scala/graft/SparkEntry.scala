@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis, TextCorpus}
+import graft.operators.{Bpe, Dedup, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis, TextCorpus}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -97,6 +97,7 @@ object SparkEntry {
     "d08_ngram_jaccard"  -> Dedup.d08NgramJaccard _,
     "d09_embedding_dedup" -> Similarity.d09EmbeddingDedup _,
     "d29_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.d29SemanticDedup(s, d)),
+    "d30_bpe_train"      -> ((s: SparkSession, d: String) => Bpe.d30BpeTrain(s, d)),
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
     // Same LSH pipeline served from a PERSISTED lake-table index.
@@ -253,6 +254,8 @@ object SparkEntry {
     }),
     "mv01_incremental_agg" -> graft.operators.Materialized.mv01IncrementalAgg _,
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
+    "st17_watermark_lake_append" ->
+      ((s: SparkSession, d: String) => graft.streaming.WatermarkLake.st17WatermarkLakeAppend(s, d)),
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
     "st03_dedup_counts"  -> EventStreams.st03DedupCounts _,
     "st04_stream_join"   -> EventStreams.st04StreamJoin _,
@@ -277,6 +280,9 @@ object SparkEntry {
     "d20_fuzzy_dedup"    -> Dedup.d20FuzzyDedup _,
     "s05_ann_quantized"  -> ((s: SparkSession, d: String) => Similarity.s05AnnQuantized(s, d)),
     "s13_ann_pq"         -> ((s: SparkSession, d: String) => Similarity.s13AnnPq(s, d)),
+    // PQ index persisted as lake tables (codes + codebooks), CDC-
+    // maintained; serving from storage must hit s13's exact oracle.
+    "s15_pq_indexed"     -> ((s: SparkSession, d: String) => Similarity.s15PqIndexed(s, d)),
     "d21_dup_ngrams"     -> TextCorpus.d21DupNgrams _,
     "d22_stratified_sample" -> TextCorpus.d22StratifiedSample _,
     "q43_exists_subquery" -> Relational3.q43ExistsSubquery _,
@@ -636,6 +642,110 @@ object SparkEntry {
     // is laid out as 4 bucket file-sets (k4 = o_orderkey % 4, stats
     // recorded per set); an upsert doubling bucket 1's cents must
     // rewrite EXACTLY ONE set and keep 3 (proven in-row as `pruned`).
+    // SQL-issued DML (MERGE INTO / DELETE FROM through spark.sql on a
+    // registered lake name, routed by LakeDmlRule) must land the
+    // IDENTICAL state as the Scala API calls on a twin table — the
+    // flag multiplies the symmetric-difference check into every row.
+    // The oracle replays the delete+merge arithmetic from raw orders.
+    "src23_lake_sql_dml" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, LakeSql}
+      val pathSql = scratch("graft_lake_sqldml", dir)
+      val pathApi = scratch("graft_lake_apidml", dir)
+      rmrf(pathSql); rmrf(pathApi)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.create(o, pathSql, Some("o_orderkey"))
+      GraftLake.create(o, pathApi, Some("o_orderkey"))
+      // Same update set for both routes: keys ≡1 (mod 5) double their
+      // cents (update), keys ≡2 (mod 5) re-insert shifted by 1e9 (all
+      // inserts — 1e9 clears every key at every tested SF).
+      val updates = o.filter(pmod(col("o_orderkey"), lit(5)) === 1)
+        .withColumn("cents", col("cents") * 2)
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(5)) === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+        .localCheckpoint(true)
+      LakeSql.register(s, pathSql, "lake_sqldml", "o_orderkey")
+      updates.createOrReplaceTempView("lake_sqldml_updates")
+      s.sql("DELETE FROM lake_sqldml WHERE o_orderstatus = 'F' AND cents < 10000000")
+      s.sql("""MERGE INTO lake_sqldml USING lake_sqldml_updates
+              |ON lake_sqldml.o_orderkey = lake_sqldml_updates.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      GraftLake.delete(s, pathApi,
+        col("o_orderstatus") === "F" && col("cents") < 10000000L,
+        statsCol = Some("o_orderkey"))
+      GraftLake.merge(s, pathApi, updates, Seq("o_orderkey"), "o_orderkey")
+      val a = GraftLake.read(s, pathSql)
+      val b = GraftLake.read(s, pathApi)
+      val same = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      a.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("sql_equals_api", lit(same))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // Hive-style partition layout in the lake MANIFEST: one file-set
+    // per order year, each with an exact min==max zone map, published
+    // in one atomic multi-line commit. A one-year predicate prunes to
+    // exactly ONE set before any file listing or stats read — the
+    // flag pins (scanned, skipped) = (1, years-1). Oracle = the same
+    // year filter over raw orders.
+    "src24_lake_partitions" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_parts", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      GraftLake.appendPartitioned(o, path, "yr", statsCols = Seq("o_orderkey"))
+      val nSets = GraftLake.snapshot(path).live.size
+      val (pruned, scanned, skipped) =
+        GraftLake.readPruned(s, path, Seq(("yr", 1995L, 1995L)))
+      pruned.filter(col("yr") === 1995)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("partition_pruned",
+          lit(scanned == 1 && skipped == nSets - 1 && nSets > 1))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // SHALLOW CLONE: zero-copy fork referencing the source's file-sets
+    // by absolute path. The gate drives the whole hazard sequence —
+    // clone, diverge (append lands only in the clone), source
+    // overwrite (orphaning the cloned refs in the source), source
+    // VACUUM (which must fence clone-referenced sets) — then reads the
+    // clone: all three thirds present proves the fence held; the flag
+    // pins the source actually emptied and the clone never copied data
+    // at fork time. Oracle = all orders (the clone's final contents).
+    "src25_lake_clone" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val src = scratch("graft_lake_clone_src", dir)
+      val dst = scratch("graft_lake_clone_dst", dir)
+      rmrf(src); rmrf(dst)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(3)).as("k3"))
+      GraftLake.create(o.filter(col("k3") === 0), src, Some("o_orderkey"))
+      GraftLake.append(o.filter(col("k3") === 1), src)
+      GraftLake.shallowClone(src, dst)
+      val cloneLocalFiles0 = GraftLake.snapshot(dst).live
+        .count(!_.set.startsWith("/")) // all refs absolute at fork = 0 local
+      GraftLake.append(o.filter(col("k3") === 2), dst) // clone diverges
+      val srcBefore = GraftLake.read(s, src).count()
+      GraftLake.overwrite(o.filter(lit(false)), src) // orphan cloned refs
+      GraftLake.vacuum(src) // must fence the clone's references
+      val srcEmpty = GraftLake.read(s, src).count() == 0
+      GraftLake.read(s, dst)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("clone_isolated",
+          lit(srcEmpty && srcBefore > 0 && cloneLocalFiles0 == 0))
+        .orderBy(col("o_orderstatus"))
+    }),
     // The oracle replays the upsert arithmetically from raw orders.
     "src13_lake_merge" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -1065,6 +1175,9 @@ object SparkEntry {
     // candidate buckets, cosine verify, and connected components.
     "d09_embedding_dedup" -> graft.operators.Similarity.d09OracleSql,
     "d29_semantic_dedup" -> graft.operators.Similarity.d29OracleSql,
+    // Unrolled 8-round replay: same normalization, char split,
+    // tie-break, and literal-replace merge application both sides.
+    "d30_bpe_train" -> graft.operators.Bpe.d30OracleSql,
     "s02_ann_lsh" -> graft.operators.Similarity.s02OracleSql,
     // Identical planes/bits and probe set as s02 — the only change is
     // that signatures come from the stored index, so s02's replay IS
@@ -1170,6 +1283,9 @@ object SparkEntry {
     // rescore is the standard double-cast cosine.
     "s05_ann_quantized" -> graft.operators.Similarity.s05OracleSql,
     "s13_ann_pq" -> graft.operators.Similarity.s13OracleSql,
+    // Stored-index serving is bit-identical to in-memory s13: same
+    // codebooks, same codes, same ADC fold — same oracle.
+    "s15_pq_indexed" -> graft.operators.Similarity.s13OracleSql,
     // Incremental refresh must equal the full recompute — which IS the
     // oracle: the view state merges partial aggregates across deltas.
     "mv01_incremental_agg" ->
@@ -1324,6 +1440,7 @@ object SparkEntry {
         |  coalesce(list_min(mins), 0) AS min_fp,
         |  coalesce(list_max(mins), 0) AS max_fp
         |FROM w ORDER BY doc_id""".stripMargin,
+    "st17_watermark_lake_append" -> graft.streaming.WatermarkLake.st17OracleSql,
     "st01_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events
@@ -2060,6 +2177,38 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders WHERE year(o_orderdate) > 1998 GROUP BY 2
         |ORDER BY commit_version, o_orderstatus""".stripMargin,
+    // Arithmetic replay of delete-then-merge: keys ≡1 (mod 5) end at
+    // 2× cents whether they survived the delete (update) or not
+    // (re-insert); keys ≡2 (mod 5) add a +1e9-shifted copy; everything
+    // else survives unless the delete predicate hit it.
+    "src23_lake_sql_dml" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |kept AS (SELECT * FROM o
+        |  WHERE NOT (o_orderstatus = 'F' AND cents < 10000000)),
+        |final AS (
+        |  SELECT o_orderkey, o_orderstatus, cents FROM kept
+        |  WHERE o_orderkey % 5 <> 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, cents * 2 FROM o
+        |  WHERE o_orderkey % 5 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_orderstatus, cents FROM o
+        |  WHERE o_orderkey % 5 = 2)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_equals_api
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src25_lake_clone" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  TRUE AS clone_isolated
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src24_lake_partitions" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  TRUE AS partition_pruned
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src13_lake_merge" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CASE WHEN o_orderkey % 4 = 1

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** BPE merge-pair TRAINING over the documents corpus (SURVEY.md §2
+  * text-analysis mandate; d02 applies a BPE-ish tokenizer, this
+  * LEARNS the merge table) — the classic Sennrich et al. 2016
+  * subword algorithm, distributed the way production tokenizer
+  * trainers run it:
+  *
+  *   1. Corpus → word-frequency VOCABULARY (one explode + groupBy —
+  *      the only corpus-sized pass; everything after runs on the
+  *      vocab, which is ≪ corpus and essentially saturates: 100 TB
+  *      of text has the same few-million-type tail as 1 TB).
+  *   2. Each word → space-delimited symbol string ("h e l l o").
+  *   3. Per round: count adjacent symbol pairs weighted by word
+  *      frequency (groupBy (a,b) with map-side combine), elect the
+  *      most frequent pair (deterministic tie-break: count DESC,
+  *      then (a,b) lexicographic), then merge every occurrence
+  *      left-to-right via literal string `replace` ("h e" → "he").
+  *
+  * The per-round argmax is a 1-ROW collect (the elected pair), the
+  * same bounded driver-side narrowing Percentiles uses — O(rounds)
+  * single-row collects, never vocab-sized. The merge-apply is a
+  * map-only projection; each round's vocab is cached and the prior
+  * round unpersisted, so lineage stays O(1) deep.
+  *
+  * PARITY: greedy left-to-right non-overlapping merge application is
+  * exactly literal-`replace` semantics, and Spark's `replace` and
+  * DuckDB's `replace` agree on it (e.g. merging (a,a) in "a a a"
+  * gives "aa a" in both). The oracle replays the identical rounds as
+  * an UNROLLED materialized-CTE chain — same normalization, same
+  * char split, same tie-break, same `replace`.
+  */
+object Bpe {
+
+  val MergeRounds = 8
+
+  /** (w: space-delimited symbol string, n: word frequency) — the
+    * trainer's working state at round 0. Words are lowercased
+    * [a-z0-9]+ runs, so the ' ' delimiter can never collide with a
+    * symbol.
+    */
+  private def vocab0(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(
+        regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " ").as("w"),
+        col("n"))
+
+  /** Adjacent symbol pairs of one round's vocab, frequency-weighted:
+    * (a, b, cnt). */
+  private def pairCounts(words: DataFrame): DataFrame = {
+    val syms = split(col("w"), " ")
+    words
+      .select(col("n"), explode(arrays_zip(
+        slice(syms, lit(1), size(syms) - 1).as("a"),
+        slice(syms, lit(2), size(syms) - 1).as("b"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("cnt"))
+  }
+
+  /** Train `rounds` merges; returns (round, left_sym, right_sym,
+    * pair_count) — the merge table in election order.
+    */
+  def train(docs: DataFrame, rounds: Int = MergeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    var words = vocab0(docs).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // 1 row: the elected pair
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        val next = words
+          .withColumn("w", replace(col("w"), lit(s"$a $b"), lit(a + b)))
+          .cache()
+        next.count() // materialize before dropping the parent
+        words.unpersist()
+        words = next
+      }
+      r += 1
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  def d30BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    train(Tables.documents(spark, dir))
+
+  /** The unrolled DuckDB replay: v0 = char-split word-frequency
+    * vocab; per round k, p_k = weighted adjacent-pair counts, m_k =
+    * the elected pair (count DESC, (a,b) ASC), v_k = `replace`-merged
+    * vocab. All CTEs MATERIALIZED — each round references its
+    * predecessor multiple times and the chain is 8 deep.
+    *
+    * Assumes the corpus yields ≥ `MergeRounds` merges (true for any
+    * natural-language corpus; the Spark side stops early on
+    * exhaustion, which would surface as a row-count mismatch).
+    */
+  def d30OracleSql: String = {
+    val rounds = (1 to MergeRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT pr['a'] AS a, pr['b'] AS b, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest([{'a': syms[i], 'b': syms[i+1]}
+         |                   FOR i IN range(1, len(syms))]) AS pr, n
+         |    FROM (SELECT string_split(w, ' ') AS syms, n FROM v${k - 1}) t)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT replace(w, m.a || ' ' || m.b, m.a || m.b) AS w, n
+         |  FROM v${k - 1}, m$k m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to MergeRounds)
+      .map(k => s"SELECT $k AS round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM m$k")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH
+       |v0 AS MATERIALIZED (
+       |  SELECT array_to_string([word[i:i] FOR i IN range(1, length(word)+1)], ' ') AS w,
+       |         count(*) AS n
+       |  FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0
+       |  GROUP BY word),
+       |$rounds
+       |SELECT * FROM (
+       |  $union
+       |) ORDER BY round""".stripMargin
+  }
+}

@@ -116,8 +116,32 @@ object Dedup {
   /** Above this many (undirected) match edges the driver union-find
     * path gives way to distributed label propagation — the same
     * adaptive cutoff logic as broadcast-vs-shuffle join selection.
+    * DERIVED from driver memory instead of a magic constant: a
+    * collected edge costs ~200 bytes (boxed Tuple2 + union-find map
+    * entry + path-compression churn), and the collect may take at
+    * most ~10% of the heap, so limit = maxMemory / 2000 — floored at
+    * 500k (always worth a driver pass) and capped at 8M (beyond
+    * that the distributed path's per-round cost is trivially
+    * amortized anyway).
     */
-  val DriverCCEdgeLimit: Long = 500000L
+  val DriverCCEdgeLimit: Long =
+    math.min(8000000L,
+      math.max(500000L, Runtime.getRuntime.maxMemory() / 2000L))
+
+  /** localCheckpoint + REBUILD from the checkpointed RDD: truncates
+    * lineage like a plain eager localCheckpoint, but also RESETS the
+    * plan's size-in-bytes statistics. A checkpointed Dataset inherits
+    * its origin plan's estimate; inside an iterative join loop the
+    * next round SQUARES it (join size estimates multiply), so by
+    * round ~25 Catalyst is multiplying million-digit BigIntegers in
+    * SizeInBytesOnlyStatsPlanVisitor and planning time dwarfs the
+    * actual work. Rebuilding from the RDD pins every round to the
+    * session default estimate — O(1) stats per round, forever.
+    */
+  private[graft] def flatCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
 
   private[graft] def canonicalizeComponents(
       nodes: DataFrame, edges: DataFrame, maxIters: Int = 40,
@@ -168,8 +192,8 @@ object Dedup {
     // themselves in one final left join against the full node set.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).collect().head.getDecimal(0)
-    var labels = sym.select(col("x").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var labels = flatCheckpoint(sym.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     // Labels only ever decrease, so the round changed something iff the
     // label sum strictly dropped — one partial agg per round instead of
     // a join + count against the previous round's table. No initial sum
@@ -188,14 +212,13 @@ object Dedup {
         .join(
           labels.select(col("id").as("label"), col("label").as("jlab")),
           Seq("label"), "left")
-      val next = jumped
+      val next = flatCheckpoint(jumped
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(
             col("label"),
             coalesce(col("jlab"), col("label")),
-            coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
+            coalesce(col("nbr"), col("label"))).as("label")))
       val s = labelSum(next)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s

@@ -1127,15 +1127,17 @@ object Similarity {
     d
   }
 
-  private[graft] def s13AnnPq(
-      spark: SparkSession, q: DataFrame, c: DataFrame,
+  /** Encode the corpus: nearest centroid per subspace (min distance,
+    * then min k — strict-less keeps the first minimum, matching the
+    * oracle's row_number ORDER BY d, k). Returns (n_id, codes) — the
+    * PERSISTABLE index relation (M bytes-worth of ints per vector).
+    */
+  private[graft] def pqEncode(
+      spark: SparkSession, c: DataFrame,
       cb: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cb)
-    // Encode: nearest centroid per subspace (min distance, then min k —
-    // strict-less keeps the first minimum, matching the oracle's
-    // row_number ORDER BY d, k).
-    val codes = c.as[(Long, Array[Float])].map { case (id, emb) =>
+    c.as[(Long, Array[Float])].map { case (id, emb) =>
       val xs = emb.map(_.toDouble)
       val code = Array.tabulate(bcCb.value.length) { m =>
         var best = 0
@@ -1150,6 +1152,26 @@ object Similarity {
       }
       (id, code)
     }.toDF("n_id", "codes")
+      // DDL round-trips lose containsNull, so a lake-stored codes
+      // table reads back as array<int> (nullable elements); normalize
+      // here so create-then-append-delta schema evolution is a no-op.
+      .select(col("n_id"), col("codes").cast("array<int>").as("codes"))
+  }
+
+  private[graft] def s13AnnPq(
+      spark: SparkSession, q: DataFrame, c: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    pqServe(spark, q, c, pqEncode(spark, c, cb), cb)
+
+  /** ADC serving over a (possibly lake-loaded) codes relation —
+    * identical arithmetic whether the codes were just encoded or read
+    * back from a persisted index table.
+    */
+  private[graft] def pqServe(
+      spark: SparkSession, q: DataFrame, c: DataFrame,
+      codes: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
     // Per-query ADC tables: M x K partial distances, tiny and broadcast.
     val adcQ = q.as[(Long, Array[Float])].map { case (id, emb) =>
       val xs = emb.map(_.toDouble)
@@ -1177,6 +1199,78 @@ object Similarity {
       .join(c, "n_id")
       .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
     topK(scored)
+  }
+
+  /** s15: the PQ index PERSISTED — codes and codebooks live as lake
+    * tables and serving reads them back, closing the vector-store
+    * lifecycle for the PQ path the way s11/s12/s14 close it for LSH:
+    *
+    *   1. The corpus is a lake table; codebooks (sample-init, so the
+    *      oracle can derive them) are stored as a (m, k, cent) lake
+    *      table; codes for the day-0 half are encoded and stored as a
+    *      (n_id, codes) lake table.
+    *   2. The corpus GROWS by an append commit; maintenance encodes
+    *      ONLY the CDC delta ([[graft.sources.GraftLake.changesSince]])
+    *      and appends those codes — O(delta) encode work, never a
+    *      rebuild (the codebooks are immutable once trained, exactly
+    *      how FAISS ships a frozen codebook with a growing code set).
+    *   3. Serving loads codebooks + codes FROM THE LAKE TABLES and
+    *      runs the same ADC + exact-rescore as s13 — the gate proves
+    *      stored-index serving ≡ in-memory s13 by hitting s13's own
+    *      oracle.
+    *
+    * At 100 TB: codes are ~64× smaller than vectors, so the serving
+    * scan streams the code table (sequential, compressed) and touches
+    * float vectors only for the rescore survivors; index freshness
+    * costs one delta encode per ingest batch.
+    */
+  def s15PqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => f}
+    val corpusPath = graft.SparkEntry.scratch("graft_pq_corpus", dir)
+    val codesPath = graft.SparkEntry.scratch("graft_pq_codes", dir)
+    val cbPath = graft.SparkEntry.scratch("graft_pq_codebooks", dir)
+    graft.SparkEntry.rmrf(corpusPath)
+    graft.SparkEntry.rmrf(codesPath)
+    graft.SparkEntry.rmrf(cbPath)
+    val (q, c) = split(spark, dir)
+    val cb = sampleCodebooks(spark, dir)
+    GraftLake.create(codebooksRelation(spark, cb), cbPath)
+    // Day 0: half the corpus; codes built from the lake snapshot.
+    GraftLake.create(c.filter(f("n_id") % 2 === 0), corpusPath)
+    val builtAt = GraftLake.latestVersion(corpusPath)
+    GraftLake.create(
+      pqEncode(spark, GraftLake.read(spark, corpusPath), cb), codesPath,
+      statsCols = Seq("n_id"))
+    // Day 1: corpus grows; encode ONLY the CDC delta.
+    GraftLake.append(c.filter(f("n_id") % 2 =!= 0), corpusPath)
+    val delta = GraftLake
+      .changesSince(spark, corpusPath, builtAt).drop("_commit_version")
+    GraftLake.append(pqEncode(spark, delta, cb), codesPath,
+      statsCols = Seq("n_id"))
+    // Serving: everything comes from the stored tables.
+    pqServe(spark, q, GraftLake.read(spark, corpusPath),
+      GraftLake.read(spark, codesPath), loadCodebooks(spark, cbPath))
+  }
+
+  /** Codebooks as a relation: one row per (subspace m, centroid k). */
+  private[graft] def codebooksRelation(
+      spark: SparkSession, cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for (m <- cb.indices; k <- cb(m).indices)
+      yield (m, k, cb(m)(k).toSeq)).toDF("m", "k", "cent")
+  }
+
+  /** Load codebooks back from their lake table — O(M×K) driver rows,
+    * the same bounded-metadata class as the sample init itself.
+    */
+  private[graft] def loadCodebooks(
+      spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = GraftLake.read(spark, path).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        r.getAs[scala.collection.Seq[Double]](2).toArray)).toMap
+    val nM = rows.keys.map(_._1).max + 1
+    val nK = rows.keys.map(_._2).max + 1
+    Array.tabulate(nM, nK)((m, k) => rows((m, k)))
   }
 
   /** s13 with Lloyd-refined codebooks — the production configuration

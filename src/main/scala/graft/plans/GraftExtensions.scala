@@ -13,6 +13,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectResolutionRule(_ => ApproxDistinctRule)
     ext.injectResolutionRule(_ => ApproxPercentileRule)
+    // SQL MERGE/DELETE over registered GraftLake tables route to the
+    // lake's transactional merge/delete (LakeSql.register opts in).
+    ext.injectResolutionRule(_ => graft.sources.LakeDmlRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -56,7 +56,11 @@ object GraftLake {
   final case class Commit(
       version: Int, action: String, schemaDdl: String,
       add: Seq[String], remove: Seq[String], tag: Option[String] = None,
-      stats: Seq[SetStats] = Seq.empty, tsMillis: Long = 0L)
+      stats: Seq[SetStats] = Seq.empty, tsMillis: Long = 0L,
+      // Per-set manifests of a partitioned ("padd") commit: each added
+      // set with its OWN exact stats (partition value as a min==max
+      // zone map). Empty for ordinary one-set commits.
+      perSet: Seq[LiveSet] = Seq.empty)
 
   /** Per-file-set min/max of one long column, recorded at commit time
     * from the written files — the manifest-level zone map that lets
@@ -126,6 +130,201 @@ object GraftLake {
   /** Replace the table contents with `df` in one atomic commit. */
   def overwrite(df: DataFrame, path: String): Int = commit(df, path, "overwrite")
 
+  /** PARTITIONED append: hive-layout write by `partCol` (one
+    * distributed `partitionBy` pass — never a per-value filter loop),
+    * then each partition directory becomes its OWN file-set whose
+    * manifest entry records the partition value as an EXACT min==max
+    * zone map, all published in ONE atomic multi-line commit. This is
+    * Delta's per-file partitionValues re-expressed in zone-map terms:
+    * an equality/range predicate on `partCol` prunes to exactly the
+    * matching file-SETS before any file listing, stats read, or bloom
+    * probe — the manifest IS the partition index. At 100 TB the win
+    * is the usual hive one: a one-day query opens one day's sets.
+    *
+    * `partCol` must be an integral, non-null column (the zone-map
+    * value domain); `statsCols` optionally records per-partition
+    * min/max of extra columns via one grouped aggregate pass —
+    * O(partitions) rows to the driver, bounded by layout design.
+    * Creates the table when absent.
+    */
+  def appendPartitioned(
+      df: DataFrame, path: String, partCol: String,
+      statsCols: Seq[String] = Seq.empty): Int = {
+    val cons = snapshotIfExists(path).map(_.constraints)
+      .getOrElse(Map.empty[String, String])
+    enforceConstraints(df, cons)
+    Files.createDirectories(logDir(path))
+    val perSet = stagePartitioned(df, path, partCol, statsCols)
+    val flat = Seq(SetStats(partCol,
+      perSet.flatMap(_.statsFor(partCol)).map(_.min).min,
+      perSet.flatMap(_.statsFor(partCol)).map(_.max).max))
+    publishEntry(path, "padd", "", df.schema, None, flat, Seq.empty,
+      Some(cons), perSet)
+  }
+
+  /** Re-layout the WHOLE table into one file-set per `partCol` value
+    * (one atomic partitioned commit, merge-on-read tombstones
+    * materialized and cleared) — restores the exact per-partition
+    * manifest after flat appends/merges widened it, the lake twin of
+    * `OPTIMIZE ... PARTITION`.
+    */
+  def compactPartitioned(
+      spark: SparkSession, path: String, partCol: String,
+      statsCols: Seq[String] = Seq.empty): Int = {
+    val cs = commits(path)
+    val live = liveAt(cs)
+    require(live.nonEmpty, s"nothing to compact at $path")
+    val df = read(spark, path).localCheckpoint(true)
+    val perSet = stagePartitioned(df, path, partCol, statsCols)
+    val flat = Seq(SetStats(partCol,
+      perSet.flatMap(_.statsFor(partCol)).map(_.min).min,
+      perSet.flatMap(_.statsFor(partCol)).map(_.max).max))
+    publishEntry(path, "padd", "", df.schema, None, flat,
+      live.map(_.set) ++ tombstonesAt(cs), None, perSet)
+  }
+
+  /** SHALLOW CLONE: create `dstPath` as a ZERO-COPY fork of
+    * `srcPath`'s current snapshot — the clone's first commit
+    * references the source's live file-sets by ABSOLUTE path (no data
+    * copied, Delta's `CREATE TABLE ... SHALLOW CLONE` shape). The
+    * clone then evolves independently: appends/merges/deletes write
+    * clone-LOCAL sets and drop source references from its live set
+    * list; the source never sees any of it.
+    *
+    * THE VACUUM FENCE: a clone's referenced sets must survive a
+    * source `vacuum`, or the fork silently loses data. The clone
+    * registers itself in the source's log dir
+    * (`_graft_log/_clones/<id>` → clone table path); [[vacuum]] on
+    * the source unions every registered clone's still-referenced
+    * source sets into its live fence. A clone whose directory was
+    * deleted is an expired registration (skipped — its references die
+    * with it); `dropClone` removes the registration explicitly after
+    * a clone is compacted to independence or discarded. Like writers,
+    * clones must not be CREATED concurrently with a source vacuum
+    * (the standard vacuum exclusion this format already documents).
+    *
+    * Constraints copy (forks enforce the same rules); idempotence
+    * tags do NOT (they dedup per-table histories); outstanding MoR
+    * tombstones must be compacted first (same rule as merge — a
+    * fork must not inherit suppressed keys by reference).
+    *
+    * Returns the clone's created version (0).
+    */
+  def shallowClone(srcPath: String, dstPath: String): Int = {
+    val s = snapshot(srcPath)
+    require(s.version >= 0, s"no table at $srcPath")
+    require(!Files.exists(logDir(dstPath)), s"table already exists: $dstPath")
+    require(s.tombstones.isEmpty,
+      s"outstanding merge-on-read tombstones at $srcPath: compact before cloning")
+    val absSrc = Paths.get(srcPath).toAbsolutePath.normalize.toString
+    val perSet = s.live.map(ls => ls.copy(set = s"$absSrc/${ls.set}"))
+    Files.createDirectories(logDir(dstPath))
+    // Register BEFORE publishing the clone's commit: if we crash
+    // between the two, a stale registration is harmless (expired on
+    // read); the reverse order could leave an unfenced clone.
+    val clonesDir = logDir(srcPath).resolve("_clones")
+    Files.createDirectories(clonesDir)
+    Files.writeString(
+      clonesDir.resolve(s"c${java.util.UUID.randomUUID().toString.take(12)}"),
+      Paths.get(dstPath).toAbsolutePath.normalize.toString)
+    val v = publishEntry(dstPath, "padd", "",
+      StructType.fromDDL(s.schemaDdl), None, Seq.empty, Seq.empty, None,
+      perSet)
+    s.constraints.toSeq.sortBy(_._1).foreach { case (n, sql) =>
+      publishEntry(dstPath, "constraint", s"$n=$sql",
+        new StructType(), None, Seq.empty, Seq.empty)
+    }
+    v
+  }
+
+  /** Remove `dstPath`'s registration from `srcPath`'s clone fence
+    * (after the clone was compacted to independence or dropped).
+    * Returns true if a registration was removed.
+    */
+  def dropClone(srcPath: String, dstPath: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val clonesDir = logDir(srcPath).resolve("_clones")
+    if (!Files.exists(clonesDir)) return false
+    val abs = Paths.get(dstPath).toAbsolutePath.normalize.toString
+    val hits = Files.list(clonesDir).iterator().asScala.toSeq
+      .filter(p => scala.util.Try(Files.readString(p).trim).toOption.contains(abs))
+    hits.foreach(Files.deleteIfExists(_))
+    hits.nonEmpty
+  }
+
+  /** Source sets still referenced by registered clones — the vacuum
+    * fence. Resolves each registered clone's CURRENT snapshot (a
+    * clone that merged/compacted away a reference no longer fences
+    * it); vanished clone directories are expired registrations.
+    */
+  private def cloneFence(path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val clonesDir = logDir(path).resolve("_clones")
+    if (!Files.exists(clonesDir)) return Set.empty
+    val absSrc = Paths.get(path).toAbsolutePath.normalize.toString
+    Files.list(clonesDir).iterator().asScala.toSeq.flatMap { reg =>
+      scala.util.Try {
+        val clonePath = Files.readString(reg).trim
+        snapshotIfExists(clonePath).toSeq.flatMap(_.live.map(_.set))
+          .filter(_.startsWith(s"$absSrc/"))
+          .map(_.stripPrefix(s"$absSrc/"))
+      }.getOrElse(Seq.empty)
+    }.toSet
+  }
+
+  /** Stage `df` hive-partitioned by `partCol` and turn each partition
+    * directory into its own set dir (`data/cXXX/<partCol>=<v>/...` —
+    * the hive subdir stays INSIDE the set, so readers reconstruct the
+    * partition column through the declared schema). Returns the
+    * per-set manifests with exact partition-value stats.
+    */
+  private def stagePartitioned(
+      df: DataFrame, path: String, partCol: String,
+      statsCols: Seq[String]): Seq[LiveSet] = {
+    import scala.jdk.CollectionConverters._
+    val stage = Paths.get(path, s"_stage_p${java.util.UUID.randomUUID().toString.take(12)}")
+    df.write.partitionBy(partCol).parquet(stage.toString)
+    // Optional extra dimensions: ONE grouped pass, O(partitions) rows.
+    val extra: Map[Long, Seq[SetStats]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c)).cast("long"),
+          org.apache.spark.sql.functions.max(col(c)).cast("long")))
+        df.groupBy(col(partCol).cast("long").as("__p"))
+          .agg(aggs.head, aggs.tail: _*).collect().map { r =>
+            r.getLong(0) -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+              if (r.isNullAt(2 * i + 1)) None
+              else Some(SetStats(c, r.getLong(2 * i + 1), r.getLong(2 * i + 2)))
+            }
+          }.toMap
+      }
+    val dirs = Files.list(stage).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
+      .sortBy(_.getFileName.toString)
+    require(dirs.nonEmpty, s"partitioned write produced no partitions at $path")
+    val sets = dirs.map { d =>
+      val raw = d.getFileName.toString.stripPrefix(s"$partCol=")
+      val v =
+        try raw.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"partition column '$partCol' must be integral and non-null; " +
+              s"got directory '$raw'")
+        }
+      val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+      val setDir = Paths.get(path, setName)
+      Files.createDirectories(setDir)
+      Files.move(d, setDir.resolve(d.getFileName),
+        StandardCopyOption.ATOMIC_MOVE)
+      LiveSet(setName, df.schema.toDDL,
+        SetStats(partCol, v, v) +: extra.getOrElse(v, Seq.empty))
+    }
+    Files.walk(stage).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+    sets
+  }
+
   // ----------------------------------------------------------- constraints
 
   /** Fail if `df` violates any CHECK rule. SQL CHECK semantics: a row
@@ -189,9 +388,14 @@ object GraftLake {
     * one lands and the other observes the winner's published tag on
     * its retry. Returns the committed (or already-present) version.
     */
-  def appendIdempotent(df: DataFrame, path: String, tag: String): Int =
+  def appendIdempotent(df: DataFrame, path: String, tag: String): Int = {
+    // Auto-create on first epoch, like the DSv2 sink path
+    // (commitStagedFiles) and Delta's streaming sink — a stream's
+    // first batch should not require a separate create() ceremony.
+    Files.createDirectories(logDir(path))
     snapshot(path).tags.get(tag)
       .getOrElse(commit(df, path, "append", Some(tag)))
+  }
 
   private def commit(
       df: DataFrame, path: String, action: String,
@@ -301,7 +505,8 @@ object GraftLake {
       path: String, action: String, setName: String, dfSchema: StructType,
       tag: Option[String], stats: Seq[SetStats],
       removeSets: Seq[String],
-      validatedCons: Option[Map[String, String]] = None): Int = {
+      validatedCons: Option[Map[String, String]] = None,
+      perSet: Seq[LiveSet] = Seq.empty): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -354,8 +559,17 @@ object GraftLake {
       // the prior commit so timestamp time travel is well-defined even
       // if the system clock steps backward between writers.
       val ts = math.max(System.currentTimeMillis(), snap.tsMillis)
-      val addItems = if (setName.isEmpty) Seq.empty[String] else Seq(setName)
-      val json = render(Commit(v, action, mergedDdl, addItems, removed, tag, stats, ts))
+      val addItems =
+        if (perSet.nonEmpty) perSet.map(_.set)
+        else if (setName.isEmpty) Seq.empty[String] else Seq(setName)
+      val header = render(Commit(v, action, mergedDdl, addItems, removed, tag, stats, ts))
+      // Partitioned commits append one sealed per-set manifest line
+      // per added set — still ONE file, ONE atomic publish.
+      val json =
+        if (perSet.isEmpty) header
+        else (header +: perSet.map(ls => render(Commit(v, "paddset",
+          ls.schemaDdl, Seq(ls.set), Seq.empty, None, ls.stats, 0L))))
+          .mkString("\n")
       // 2. claim the version: O_EXCL create of the empty final name.
       val f = logFile(path, v)
       val claimed =
@@ -438,7 +652,24 @@ object GraftLake {
     Iterator.from(from)
       .map(v => dir.resolve(f"$v%08d.json"))
       .takeWhile(f => Files.exists(f) && Files.size(f) > 0)
-      .map(f => parse(Files.readString(f)))
+      .map { f =>
+        val txt = Files.readString(f)
+        // Partitioned commits are MULTI-LINE: a header entry followed
+        // by one crc-sealed "paddset" line per added set carrying that
+        // set's own stats (the manifest-level partition values). The
+        // whole file is still published with one atomic move.
+        if (txt.indexOf('\n') < 0) parse(txt)
+        else {
+          val lines = txt.split("\n").toSeq
+          val head = parse(lines.head)
+          val sets = lines.tail.map(parse).map { c =>
+            require(c.action == "paddset",
+              s"bad multi-line commit line action: ${c.action}")
+            LiveSet(c.add.head, c.schemaDdl, c.stats)
+          }
+          head.copy(perSet = sets)
+        }
+      }
       .toSeq
   }
 
@@ -463,10 +694,14 @@ object GraftLake {
       } else {
         val keptLive = s.live.filterNot(ls => c.remove.contains(ls.set))
         val keptTombs = s.tombstones.filterNot(c.remove.contains)
+        // Partitioned commits carry per-set manifests; ordinary
+        // commits share the commit-level stats across their one set.
+        val added =
+          if (c.perSet.nonEmpty) c.perSet
+          else c.add.map(a => LiveSet(a, c.schemaDdl, c.stats))
         val (live, tombs) =
           if (c.action == "tombstone") (keptLive, keptTombs ++ c.add)
-          else (keptLive ++ c.add.map(a => LiveSet(a, c.schemaDdl, c.stats)),
-            keptTombs)
+          else (keptLive ++ added, keptTombs)
         Snapshot(c.version, c.schemaDdl, live, tombs,
           c.tag.fold(s.tags)(t => s.tags + (t -> c.version)),
           math.max(s.tsMillis, c.tsMillis), s.constraints)
@@ -618,12 +853,19 @@ object GraftLake {
   /** One file-set scanned under its own written schema and projected
     * to `target`, null-filling columns added after it was written.
     */
+  /** Resolve a set name against its table: names are table-relative
+    * ("data/cXXX") except in SHALLOW CLONES, whose initial commit
+    * references the source's sets by ABSOLUTE path (Delta's shallow-
+    * clone absolute-path files). */
+  private def setPath(table: String, set: String): String =
+    if (set.startsWith("/")) set else s"$table/$set"
+
   private def readSet(
       spark: SparkSession, path: String, ls: LiveSet,
       target: StructType): DataFrame = {
     val own = StructType.fromDDL(ls.schemaDdl)
     val ownNames = own.fieldNames.toSet
-    spark.read.schema(own).parquet(s"$path/${ls.set}")
+    spark.read.schema(own).parquet(setPath(path, ls.set))
       .select(target.fields.map { f =>
         if (ownNames(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
@@ -722,7 +964,7 @@ object GraftLake {
     * interleave across every set's [min, max] span.
     */
   private def bloomSidecar(table: String, set: String, c: String): Path =
-    Paths.get(table, set, s"_bloom_$c.json")
+    Paths.get(setPath(table, set), s"_bloom_$c.json")
 
   /** Bloom columns present on ANY of `sets` — rewrite paths
     * (compact/merge/delete) re-record these on the sets they produce,
@@ -732,7 +974,7 @@ object GraftLake {
   private def bloomColsOf(table: String, sets: Seq[String]): Seq[String] = {
     import scala.jdk.CollectionConverters._
     sets.flatMap { set =>
-      val d = Paths.get(table, set)
+      val d = Paths.get(setPath(table, set))
       if (!Files.isDirectory(d)) Seq.empty[String]
       else Files.list(d).iterator().asScala
         .map(_.getFileName.toString)
@@ -839,16 +1081,20 @@ object GraftLake {
     val target = StructType.fromDDL(all.last.schemaDdl)
     val changed0 = all.drop(fromVersion + 1)
     changed0.find(c => c.action != "create" && c.action != "append" &&
-        c.action != "constraint").foreach { c =>
+        c.action != "padd" && c.action != "constraint").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as inserts — " +
           "read a full snapshot instead")
     }
     // Constraint commits add rules, not rows — nothing to feed.
     val changed = changed0.filter(_.action != "constraint")
-    val parts = changed.map { c =>
-      readSet(spark, path, LiveSet(c.add.head, c.schemaDdl, c.stats), target)
-        .withColumn("_commit_version", lit(c.version))
+    val parts = changed.flatMap { c =>
+      // A partitioned append is insert-only too: one part per set.
+      val sets =
+        if (c.perSet.nonEmpty) c.perSet
+        else Seq(LiveSet(c.add.head, c.schemaDdl, c.stats))
+      sets.map(ls => readSet(spark, path, ls, target)
+        .withColumn("_commit_version", lit(c.version)))
     }
     parts.reduceLeftOption(_.unionByName(_))
       .getOrElse(readAt(spark, path, all.size - 1).limit(0)
@@ -1117,7 +1363,10 @@ object GraftLake {
     */
   def vacuum(path: String): Seq[String] = {
     val cs0 = commits(path)
-    val live = (liveAt(cs0).map(_.set) ++ tombstonesAt(cs0)).toSet
+    // The clone fence: sets referenced by registered shallow clones
+    // survive the source's vacuum, or forks would silently lose data.
+    val live = (liveAt(cs0).map(_.set) ++ tombstonesAt(cs0)).toSet ++
+      cloneFence(path)
     val dataDir = Paths.get(path, "data")
     if (!Files.exists(dataDir)) return Seq.empty
     import scala.jdk.CollectionConverters._

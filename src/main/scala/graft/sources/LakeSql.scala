@@ -1,0 +1,220 @@
+package graft.sources
+
+import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.expr
+
+/** SQL DML surface for GraftLake: `spark.sql("MERGE INTO lake ...")`
+  * and `spark.sql("DELETE FROM lake WHERE ...")` route to
+  * [[GraftLake.merge]] / [[GraftLake.delete]] — the warehouse surface
+  * is SQL-complete, not Scala-only.
+  *
+  * Spark-first mechanics: the parser already produces
+  * `MergeIntoTable` / `DeleteFromTable` logical plans for ANY target;
+  * for a temp view they would die in the analyzer ("only supported
+  * with v2 tables"). [[LakeDmlRule]] — injected through
+  * `GraftExtensions` as a resolution rule — intercepts those plans
+  * while the target is still a registered lake name and rewrites them
+  * to runnable commands that execute the lake's own transactional
+  * merge/delete (claim/publish loop, zone-map pruned rewrites, CHECK
+  * constraints, conflict detection all included). This is exactly the
+  * Delta/Iceberg shape: SQL DML is a thin resolution step onto the
+  * table format's transaction primitive, never a second write path.
+  */
+object LakeSql {
+
+  /** One registered DML-capable lake table. `statsCol` is the
+    * merge's zone-map pruning column (must be functionally dependent
+    * on the merge keys — see [[GraftLake.merge]]'s contract).
+    */
+  final case class DmlTable(path: String, statsCol: String)
+
+  // name (lowercased) -> table; tiny, session-global, write-rare.
+  private val tables = new java.util.concurrent.ConcurrentHashMap[String, DmlTable]
+
+  /** Register `name` for BOTH reads (temp view over the latest
+    * snapshot) and SQL DML (MERGE/DELETE route to the lake). Reads
+    * see the snapshot AS OF registration (re-register to refresh —
+    * same contract as [[graft.GraftSession.registerLake]]); DML
+    * always executes against the CURRENT table state, exactly like a
+    * catalog table would.
+    */
+  def register(
+      spark: SparkSession, path: String, name: String, statsCol: String): Unit = {
+    tables.put(name.toLowerCase(java.util.Locale.ROOT), DmlTable(path, statsCol))
+    GraftLake.read(spark, path).createOrReplaceTempView(name)
+  }
+
+  def unregister(name: String): Unit =
+    tables.remove(name.toLowerCase(java.util.Locale.ROOT))
+
+  private[sources] def lookup(name: String): Option[DmlTable] =
+    Option(tables.get(name.toLowerCase(java.util.Locale.ROOT)))
+
+  /** The lake-table name a DML target plan refers to, if any: matches
+    * the pre-resolution `UnresolvedRelation` AND the post-resolution
+    * temp-view shape (`SubqueryAlias(name, ...)`), so the rule wins
+    * regardless of whether the view resolved first in the fixed-point
+    * batch.
+    */
+  private[sources] def targetName(plan: LogicalPlan): Option[String] = {
+    val name = plan match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        Some(u.multipartIdentifier.mkString("."))
+      case SubqueryAlias(ident, _) => Some(ident.name)
+      case _ => None
+    }
+    name.filter(n => lookup(n).isDefined)
+  }
+
+  /** Bare-name leaf of an attribute expression, resolved or not. */
+  private[sources] def leafName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last)
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** Strip `table.`/alias qualifiers (and resolution) from a DML
+    * condition so its SQL text re-parses against the bare lake read —
+    * the command executes on a fresh snapshot, not the analyzed view.
+    */
+  private[sources] def bareCondition(cond: Expression): String =
+    cond.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+      case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        UnresolvedAttribute(Seq(ar.name))
+    }.sql
+
+  /** Is this action the canonical "UPDATE SET *" — either still the
+    * star form, or the analyzer's expansion of it (identity
+    * assignments `t.c = s.c` covering columns 1:1)? Partial or
+    * computed assignments are NOT star: the lake merge replaces the
+    * whole matched row with the source row, so executing them as a
+    * full replace would be wrong — reject instead.
+    */
+  private[sources] def isStarUpdate(a: MergeAction): Boolean = a match {
+    case UpdateStarAction(None) => true
+    case u: UpdateAction =>
+      u.condition.isEmpty && u.assignments.nonEmpty &&
+        u.assignments.forall { as =>
+          (leafName(as.key), leafName(as.value)) match {
+            case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
+            case _ => false
+          }
+        }
+    case _ => false
+  }
+
+  private[sources] def isStarInsert(a: MergeAction): Boolean = a match {
+    case InsertStarAction(None) => true
+    case i: InsertAction =>
+      i.condition.isEmpty && i.assignments.nonEmpty &&
+        i.assignments.forall { as =>
+          (leafName(as.key), leafName(as.value)) match {
+            case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
+            case _ => false
+          }
+        }
+    case _ => false
+  }
+
+  /** Key columns of a canonical merge condition: a conjunction of
+    * `target.k = source.k` equalities over the SAME column name.
+    * Anything else (inequalities, expressions, cross-named equality)
+    * is rejected loudly — those shapes have no sound mapping onto the
+    * lake's key-equality merge.
+    */
+  private[sources] def mergeKeys(cond: Expression): Seq[String] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(cond).map {
+      case EqualTo(l, r) =>
+        (leafName(l), leafName(r)) match {
+          case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => a
+          case _ => throw new IllegalArgumentException(
+            s"MERGE INTO <graft lake>: unsupported ON clause term " +
+              s"'${EqualTo(l, r).sql}' — use target.k = source.k equalities")
+        }
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO <graft lake>: unsupported ON clause term " +
+          s"'${other.sql}' — use AND-ed key equalities")
+    }
+  }}
+
+/** DELETE FROM <lake view> WHERE <cond> — executes the lake's
+  * copy-on-write row-level delete.
+  */
+final case class GraftLakeDeleteCommand(
+    path: String, condSql: String, statsCol: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.delete(spark, path, expr(condSql), statsCol = Some(statsCol))
+    Seq.empty
+  }
+}
+
+/** MERGE INTO <lake view> USING <source> ON <key equalities>
+  * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
+  * the canonical upsert — executes the lake's zone-map-pruned merge.
+  * `source` is the analyzed source plan, turned back into a DataFrame
+  * at execution time.
+  */
+final case class GraftLakeMergeCommand(
+    path: String, source: LogicalPlan, keyCols: Seq[String], statsCol: String)
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = source :: Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.merge(spark, path, GraftSqlBridge.ofRows(spark, source),
+      keyCols, statsCol)
+    Seq.empty
+  }
+}
+
+/** The resolution rule: rewrite parsed DML over registered lake names
+  * into the runnable commands above. Unregistered targets pass
+  * through untouched (normal v2 analysis handles or rejects them).
+  */
+object LakeDmlRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable =>
+      LakeSql.targetName(d.table) match {
+        case Some(name) =>
+          val t = LakeSql.lookup(name).get
+          GraftLakeDeleteCommand(
+            t.path, LakeSql.bareCondition(d.condition), t.statsCol)
+        case None => plan
+      }
+    case m: MergeIntoTable =>
+      LakeSql.targetName(m.targetTable) match {
+        case Some(name) =>
+          val t = LakeSql.lookup(name).get
+          // Keys first: a malformed ON clause is the more specific
+          // error than a non-canonical action list.
+          val keys = LakeSql.mergeKeys(m.mergeCondition)
+          // Accept the star actions in BOTH shapes — as parsed
+          // (UPDATE SET * / INSERT *) and as the analyzer's identity-
+          // assignment expansion of them (which may land before this
+          // rule in the fixed-point batch).
+          val canonical =
+            m.matchedActions.size == 1 &&
+              LakeSql.isStarUpdate(m.matchedActions.head) &&
+              m.notMatchedActions.size == 1 &&
+              LakeSql.isStarInsert(m.notMatchedActions.head) &&
+              m.notMatchedBySourceActions.isEmpty
+          require(canonical,
+            "MERGE INTO <graft lake>: only the canonical upsert is " +
+              "supported — WHEN MATCHED THEN UPDATE SET * " +
+              "WHEN NOT MATCHED THEN INSERT * (no extra clauses)")
+          GraftLakeMergeCommand(t.path, m.sourceTable, keys, t.statsCol)
+        case None => plan
+      }
+    case _ => plan
+  }
+}

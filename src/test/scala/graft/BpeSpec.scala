@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite with SparkSpec {
+
+  /** Straight-line reference BPE trainer: in-memory maps, explicit
+    * greedy left-to-right merge application — no Spark, no SQL.
+    */
+  private def referenceBpe(texts: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[List[String], Long] = texts
+      .flatMap(_.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" "))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, n) => (w.map(_.toString).toList, n) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((r, a, b, cnt))
+        vocab = vocab.toSeq.map { case (syms, n) =>
+          // greedy left-to-right, non-overlapping
+          val merged = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.toList, n)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    out.toSeq
+  }
+
+  test("d30 distributed BPE training equals the sequential reference trainer") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat sat on the mat", "the hat and the cat", "banana bandana",
+      "low lower lowest", "new newer newest", "the the the aaa aa a",
+      "widest wider wide", "Hello, World! hello world")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.train(docs, rounds = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == referenceBpe(texts, 8))
+  }
+
+  test("d30 overlapping-run merges apply left-to-right ('a a a' -> 'aa a')") {
+    import spark.implicits._
+    // One word "aaaa": round 1 elects (a,a) with weight 3 pairs; the
+    // greedy merge yields "aa aa", so round 2 elects (aa,aa).
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("d30 gate query returns MergeRounds rows on the corpus") {
+    val df = Bpe.d30BpeTrain(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == Bpe.MergeRounds)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to Bpe.MergeRounds))
+    // Pair counts are non-increasing only per-merge-availability, but
+    // every elected count must be positive.
+    assert(rows.forall(_.getLong(3) > 0))
+  }
+}

@@ -12,6 +12,151 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
   private def freshTable(): String =
     Files.createTempDirectory("graft-lake").resolve("t").toString
 
+  test("partitioned append: per-value sets, exact manifest stats, content-neutral read") {
+    import spark.implicits._
+    val path = freshTable()
+    val df = (1L to 300L).map(i => (i, i % 3 + 10, i * 7)).toDF("id", "p", "v")
+    GraftLake.appendPartitioned(df, path, "p", statsCols = Seq("id"))
+    val s = GraftLake.snapshot(path)
+    // One set per partition value, each with an EXACT min==max stat.
+    assert(s.live.size == 3)
+    assert(s.live.flatMap(_.statsFor("p")).forall(st => st.min == st.max))
+    assert(s.live.flatMap(_.statsFor("p")).map(_.min).sorted == Seq(10L, 11L, 12L))
+    // Extra stats dimension recorded per set too.
+    assert(s.live.forall(_.statsFor("id").isDefined))
+    // Content neutrality: the partition column reads back through the
+    // hive subdir with the declared (long) type.
+    val got = GraftLake.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == (1L to 300L).map(i => (i, i % 3 + 10, i * 7)).toSet)
+    // Equality predicate prunes the manifest to exactly one set.
+    val (pr, scanned, skipped) =
+      GraftLake.readPruned(spark, path, Seq(("p", 11L, 11L)))
+    assert(scanned == 1 && skipped == 2)
+    assert(pr.count() == df.filter(col("p") === 11).count())
+    // A second partitioned append adds per-value sets independently.
+    GraftLake.appendPartitioned(
+      (301L to 400L).map(i => (i, i % 2 + 10, i * 7)).toDF("id", "p", "v"),
+      path, "p")
+    assert(GraftLake.snapshot(path).live.size == 5)
+    val (_, sc2, sk2) = GraftLake.readPruned(spark, path, Seq(("p", 12L, 12L)))
+    assert(sc2 == 1 && sk2 == 4)
+  }
+
+  test("partitioned layout survives checkpoint, merge prunes by partition, compactPartitioned restores it") {
+    import spark.implicits._
+    val path = freshTable()
+    val df = (1L to 300L).map(i => (i, i % 3, i)).toDF("id", "p", "v")
+    GraftLake.appendPartitioned(df, path, "p")
+    GraftLake.checkpoint(path)
+    // Per-set stats ride through the checkpoint fast path.
+    assert(GraftLake.snapshot(path).live.flatMap(_.statsFor("p"))
+      .forall(st => st.min == st.max))
+    // A merge whose updates live in ONE partition rewrites one set and
+    // keeps the others' exact manifests (p is functionally dependent
+    // on id: p = id % 3).
+    val updates = Seq((3L, 0L, 999L), (6L, 0L, 998L)).toDF("id", "p", "v")
+    val (_, rewritten, kept) =
+      GraftLake.merge(spark, path, updates, Seq("id"), "p")
+    assert(rewritten == 1 && kept == 2)
+    assert(GraftLake.read(spark, path).filter(col("id") === 3L)
+      .head.getLong(2) == 999L)
+    val (_, sc, sk) = GraftLake.readPruned(spark, path, Seq(("p", 1L, 1L)))
+    assert(sc == 1 && sk == 2)
+    // Flat append widens the layout; partitioned compaction restores
+    // one-set-per-value in one atomic commit, content-neutrally.
+    GraftLake.append(Seq((400L, 1L, 400L)).toDF("id", "p", "v"), path)
+    val before = GraftLake.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    GraftLake.compactPartitioned(spark, path, "p")
+    val s2 = GraftLake.snapshot(path)
+    assert(s2.live.size == 3)
+    assert(s2.live.flatMap(_.statsFor("p")).forall(st => st.min == st.max))
+    val after = GraftLake.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before)
+    // changesSince represents partitioned appends as plain inserts.
+    val ch = GraftLake.changesSince(spark, freshPadd(), -1)
+    assert(ch.count() == 6)
+    assert(ch.columns.contains("_commit_version"))
+  }
+
+  private def freshPadd(): String = {
+    import spark.implicits._
+    val p = freshTable()
+    GraftLake.appendPartitioned(
+      (1L to 6L).map(i => (i, i % 2)).toDF("id", "p"), p, "p")
+    p
+  }
+
+  test("shallow clone: zero-copy snapshot, independent divergence, vacuum fence") {
+    import spark.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    val df = (1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
+    GraftLake.create(df, src, Some("id"))
+    GraftLake.addConstraint(spark, src, "v_pos", "v > 0")
+    GraftLake.shallowClone(src, dst)
+    // Fork reads the source snapshot without copying a byte: every
+    // live reference is absolute, none under the clone's data dir.
+    assert(GraftLake.snapshot(dst).live.forall(_.set.startsWith("/")))
+    assert(GraftLake.read(spark, dst).count() == 100)
+    // Constraints copied: the fork enforces the same rules.
+    intercept[IllegalStateException] {
+      GraftLake.append(Seq((200L, -1L)).toDF("id", "v"), dst)
+    }
+    // Divergence is two-way isolated.
+    GraftLake.append(Seq((101L, 202L)).toDF("id", "v"), dst)
+    GraftLake.append(Seq((999L, 42L)).toDF("id", "v"), src)
+    assert(GraftLake.read(spark, dst).count() == 101)
+    assert(GraftLake.read(spark, src).count() == 101)
+    assert(GraftLake.read(spark, dst).filter(col("id") === 999L).isEmpty)
+    assert(GraftLake.read(spark, src).filter(col("id") === 101L).isEmpty)
+    // Source rewrite orphans the original set in the SOURCE, but the
+    // clone still references it: vacuum must fence it.
+    GraftLake.overwrite(Seq((1000L, 1L)).toDF("id", "v"), src)
+    val dead = GraftLake.vacuum(src)
+    assert(GraftLake.read(spark, dst).count() == 101) // fence held
+    // The clone-side merge path works over absolute refs too.
+    GraftLake.merge(spark, dst, Seq((1L, 111L)).toDF("id", "v"),
+      Seq("id"), "id")
+    assert(GraftLake.read(spark, dst).filter(col("id") === 1L)
+      .head.getLong(1) == 111L)
+    // Compact makes the clone independent; dropClone lifts the fence
+    // and the source vacuum NOW reclaims the orphaned sets.
+    GraftLake.compact(spark, dst, Seq("id"), 2)
+    assert(GraftLake.snapshot(dst).live.forall(!_.set.startsWith("/")))
+    assert(GraftLake.dropClone(src, dst))
+    val dead2 = GraftLake.vacuum(src)
+    assert((dead ++ dead2).nonEmpty)
+    assert(GraftLake.read(spark, dst).count() == 101) // independent now
+    assert(GraftLake.read(spark, src).count() == 1)
+  }
+
+  test("shallow clone refuses a source with outstanding MoR tombstones") {
+    import spark.implicits._
+    val src = freshTable()
+    GraftLake.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), src)
+    GraftLake.deleteMoR(spark, src, col("v") > 8, "id")
+    intercept[IllegalArgumentException] {
+      GraftLake.shallowClone(src, freshTable())
+    }
+  }
+
+  test("partitioned append rejects non-integral and NULL partition values") {
+    import spark.implicits._
+    val path = freshTable()
+    intercept[Exception] {
+      GraftLake.appendPartitioned(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "p"), path, "p")
+    }
+    val path2 = freshTable()
+    intercept[Exception] {
+      GraftLake.appendPartitioned(
+        Seq((1L, Some(1L)), (2L, None)).toDF("id", "p"), path2, "p")
+    }
+  }
+
   test("time travel: every version stays readable and immutable after later commits") {
     val path = freshTable()
     val orders = Tables.orders(spark, sf)

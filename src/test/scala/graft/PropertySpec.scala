@@ -132,6 +132,14 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CC driver-edge cutoff derives from heap size within its floor/cap band") {
+    val lim = graft.operators.Dedup.DriverCCEdgeLimit
+    assert(lim >= 500000L && lim <= 8000000L)
+    // ~200 bytes/edge at ≤10% of heap — the documented derivation.
+    val derived = Runtime.getRuntime.maxMemory() / 2000L
+    assert(lim == math.min(8000000L, math.max(500000L, derived)))
+  }
+
   test("CC collapses a 100-deep chain within the pointer-jumping round bound") {
     import spark.implicits._
     // Path graph 0-1-2-...-100: worst-case diameter for label

@@ -365,6 +365,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     pq.values.foreach(ids => assert(ids.size == 5))
   }
 
+  test("s15: stored PQ index serves identically to in-memory s13, maintained by delta only") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.sources.GraftLake
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    assert(rows(Similarity.s15PqIndexed(spark, sf)) ==
+      rows(Similarity.s13AnnPq(spark, sf)),
+      "stored-index ADC must equal the in-memory PQ pass exactly")
+    // Incrementality: the code table's log is create + ONE append of
+    // exactly |delta| code rows; the codebook table is immutable.
+    val codesPath = graft.SparkEntry.scratch("graft_pq_codes", sf)
+    val cs = GraftLake.commits(codesPath)
+    assert(cs.map(_.action) == Seq("create", "append"))
+    assert(cs(1).remove.isEmpty, "maintenance must not rewrite code sets")
+    val emb = Tables.embeddings(spark, sf)
+    val nDelta = emb.filter(col("vec_id") >= 10)
+      .filter(col("vec_id") % 2 =!= 0).count()
+    assert(spark.read.parquet(s"$codesPath/${cs(1).add.head}").count() == nDelta)
+    val cbPath = graft.SparkEntry.scratch("graft_pq_codebooks", sf)
+    assert(GraftLake.commits(cbPath).map(_.action) == Seq("create"))
+    // Codebooks round-trip the lake bit-exactly.
+    val cb = Similarity.sampleCodebooks(spark, sf)
+    val loaded = Similarity.loadCodebooks(spark, cbPath)
+    assert(cb.length == loaded.length)
+    assert(cb.indices.forall(m => cb(m).indices.forall(k =>
+      cb(m)(k).sameElements(loaded(m)(k)))))
+  }
+
   test("s14: erased vectors never serve, and the erasure rewrote no data") {
     val rows = Similarity.s14AnnIndexDelete(spark, sf).collect()
     assert(rows.length == 50)
