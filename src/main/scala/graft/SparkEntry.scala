@@ -679,7 +679,13 @@ object SparkEntry {
       GraftLake.merge(s, pathApi, updates, Seq("o_orderkey"), "o_orderkey")
       val a = GraftLake.read(s, pathSql)
       val b = GraftLake.read(s, pathApi)
-      val same = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      // Multiset equality via (count, hash-sum) — one cheap scan per
+      // side instead of two shuffling exceptAll joins.
+      def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)),
+        sum(hash(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
+        .head.toSeq
+      val same = sig(a) == sig(b)
       a.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("sql_equals_api", lit(same))

@@ -47,13 +47,14 @@ object WatermarkLake {
     val events = Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
 
-    // Tertile cuts in EVENT TIME, so each staged batch advances the
-    // watermark like a live stream would.
+    // Event-time halves, so each staged batch advances the watermark
+    // like a live stream would (each micro-batch costs a state-store
+    // commit — two real batches + the sentinel keep the fixed
+    // overhead minimal while still exercising mid-stream finalization).
     val mm = events.agg(
       min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head
     val (t0, t1) = (mm.getLong(0), mm.getLong(1))
-    val cut1 = t0 + (t1 - t0) / 3
-    val cut2 = t0 + 2 * (t1 - t0) / 3
+    val cut1 = t0 + (t1 - t0) / 2
 
     val base = java.nio.file.Files.createTempDirectory("graft-st17")
     java.nio.file.Files.createDirectories(base.resolve("in"))
@@ -85,9 +86,7 @@ object WatermarkLake {
     try {
       Seq(
         events.filter(unix_timestamp(col("ts")) <= cut1),
-        events.filter(unix_timestamp(col("ts")) > cut1 &&
-          unix_timestamp(col("ts")) <= cut2),
-        events.filter(unix_timestamp(col("ts")) > cut2)
+        events.filter(unix_timestamp(col("ts")) > cut1)
       ).foreach { b =>
         b.write.mode("append").parquet(inDir)
         q.processAllAvailable()
