@@ -135,7 +135,7 @@ object SparkEntry {
       s.read.parquet(out)
         .filter(col("o_year") === 2000)
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"))
         .orderBy("o_orderstatus")
     }),
     "q38_sketch_quantiles" -> Relational2.q38SketchQuantiles _,
@@ -148,7 +148,7 @@ object SparkEntry {
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
       graft.operators.SkewJoin.saltedJoin(o, c, Seq("o_custkey"), numSalts = 8)
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"))
         .orderBy("c_mktsegment")
     }),
     // Bucketed co-located join in the gate: bucketBy write, then a
@@ -164,7 +164,7 @@ object SparkEntry {
       s.table(s"b_orders_$tag")
         .join(s.table(s"b_customer_$tag"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"))
         .orderBy("c_mktsegment")
     }),
     // CSV round-trip inside the gate: schema-explicit read (never
@@ -181,7 +181,7 @@ object SparkEntry {
         StructField("o_orderstatus", StringType),
         StructField("o_totalprice", DoubleType))))
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"))
         .orderBy("o_orderstatus")
     }),
     // JDBC round-trip through embedded Derby: write via the JDBC
@@ -211,7 +211,7 @@ object SparkEntry {
         .option("numPartitions", 4)
         .load()
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"))
         .orderBy("o_orderstatus")
     }),
     // Avro container round-trip (raw Avro core, no connector): dates
@@ -228,7 +228,7 @@ object SparkEntry {
       graft.sources.AvroIO.read(s, out, o.schema)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("rev"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"),
           max(year(col("o_orderdate"))).as("max_year"))
         .orderBy("o_orderstatus")
     }),
@@ -306,7 +306,7 @@ object SparkEntry {
       graft.sources.Sources.writeOrc(o, out)
       graft.sources.Sources.readOrc(s, out)
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"))
         .orderBy("o_orderstatus")
     }),
     "d23_quality_filter"  -> TextCorpus.d23QualityFilter _,
@@ -332,7 +332,7 @@ object SparkEntry {
       val dim = s.read.parquet(dimPath).filter(col("era") === "late")
       fact.join(broadcast(dim), fact("o_year") === dim("y"))
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"))
         .orderBy("o_orderstatus")
     }),
     "mv05_minmax_view"   -> graft.operators.Materialized.mv05MinmaxView _,
@@ -820,7 +820,7 @@ object SparkEntry {
       s.read.parquet(outPath)
         .filter(col("o_totalprice") >= 400000.0)
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"))
         .orderBy("o_orderstatus")
     }),
     "st08_stream_curate" -> graft.streaming.DocStreams.st08StreamCurate _,
@@ -839,7 +839,7 @@ object SparkEntry {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("rev"))
         .orderBy("o_orderstatus")
     }),
   )
@@ -849,8 +849,10 @@ object SparkEntry {
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   / 100.0 AS sum_base_price,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
         | round(avg(l_quantity), 4) AS avg_qty,
         | round(avg(l_discount), 4) AS avg_disc,
         | count(*) AS count_order
@@ -870,7 +872,8 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
     "q04_join_star" ->
       """SELECT r_name, n_name,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
         | count(*) AS n_rows
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -896,7 +899,7 @@ object SparkEntry {
     "q07_moving_avg" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(round(sum(o_totalprice * 100.0), 0) AS BIGINT) AS rev_cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM orders GROUP BY 1)
         |SELECT d, rev_cents,
         |  CAST(round(avg(rev_cents) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS ma7_cents
@@ -904,7 +907,7 @@ object SparkEntry {
     "q08_cumulative" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(round(sum(o_totalprice * 100.0), 0) AS BIGINT) AS rev_cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM orders GROUP BY 1)
         |SELECT d, rev_cents,
         |  CAST(sum(rev_cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
@@ -928,7 +931,7 @@ object SparkEntry {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "q11_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      """SELECT r_name, n_name, count(*) AS n_cust, sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -947,9 +950,13 @@ object SparkEntry {
         |ORDER BY nk""".stripMargin,
     "q14_ratio_metric" ->
       """SELECT p_brand,
-        | round(sum(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
-        |   / sum(l_extendedprice * (1.0 - l_discount)), 4) AS economy_pct,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | round(CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |     THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |     ELSE 0 END) AS DOUBLE) * 100.0
+        |   / CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |     AS BIGINT)) AS DOUBLE), 4) AS economy_pct,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) / 100.0 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
@@ -1019,7 +1026,7 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
     "q24_cube" ->
-      """SELECT r_name, c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      """SELECT r_name, c_mktsegment, count(*) AS n_cust, sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -1152,7 +1159,7 @@ object SparkEntry {
     "q36_range_frame" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(round(sum(o_totalprice * 100.0), 0) AS BIGINT) AS rev_cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM orders GROUP BY 1)
         |SELECT d, rev_cents,
         |  CAST(sum(rev_cents) OVER (ORDER BY d
@@ -1258,20 +1265,20 @@ object SparkEntry {
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
     "src04_csv_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      """SELECT o_orderstatus, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // The JSON round-trip preserves the nested struct exactly, so the
     // oracle is the same plain aggregate.
     "src05_json_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      """SELECT o_orderstatus, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // The JDBC hop is content-neutral — the plain aggregate replays it.
     "src19_jdbc_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      """SELECT o_orderstatus, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
@@ -1279,7 +1286,7 @@ object SparkEntry {
     // the other round-trips, plus the date column through its logical
     // type.
     "src18_avro_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+      """SELECT o_orderstatus, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev,
         |  CAST(max(year(o_orderdate)) AS INT) AS max_year
         |FROM orders
         |GROUP BY o_orderstatus
@@ -1297,7 +1304,7 @@ object SparkEntry {
     "mv01_incremental_agg" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
         |  count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS rev
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY o_year, o_orderstatus""".stripMargin,
@@ -1306,26 +1313,26 @@ object SparkEntry {
     "mv03_stream_refresh" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
         |  count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS rev
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY o_year, o_orderstatus""".stripMargin,
     // Salting/bucketing change the physical plan, never the rows — the
     // oracle for both is the plain join + aggregate.
     "q39_salted_join" ->
-      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      """SELECT c_mktsegment, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     "src03_bucketed_join" ->
-      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      """SELECT c_mktsegment, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     // The partitioned round-trip preserves row content exactly, so the
     // oracle is the same filter+agg over the source table.
     "src02_partition_prune" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      """SELECT o_orderstatus, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders
         |WHERE year(o_orderdate) = 2000
         |GROUP BY o_orderstatus
@@ -1518,7 +1525,7 @@ object SparkEntry {
         |ORDER BY error_id, purchase_id""".stripMargin,
     "q40_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+        |  count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev,
         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
         |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
         |FROM orders
@@ -1593,14 +1600,14 @@ object SparkEntry {
     // Incremental join-view refresh must equal the full join recompute.
     "mv02_join_view" ->
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS rev
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2
         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
     "q41_gap_fill" ->
       """WITH daily AS (
         |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
-        |    CAST(round(sum(o_totalprice * 100.0), 0) AS BIGINT) AS rev_cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM orders GROUP BY 1, 2),
         |b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo, max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
         |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
@@ -1815,7 +1822,7 @@ object SparkEntry {
         |),
         |rev AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-        |    count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |    count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |  FROM orders GROUP BY 1)
         |SELECT strftime(months.m, '%Y-%m-%d') AS month,
         |  coalesce(n, 0) AS n, coalesce(rev, 0.0) AS rev
@@ -1823,7 +1830,7 @@ object SparkEntry {
         |ORDER BY month""".stripMargin,
     // ORC round-trips losslessly, so the oracle is the plain agg.
     "src06_orc_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      """SELECT o_orderstatus, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
@@ -1912,7 +1919,7 @@ object SparkEntry {
     "src07_dpp" ->
       """WITH dim AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders),
         |d2 AS (SELECT y FROM dim WHERE y >= 1998)
-        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |SELECT o_orderstatus, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders JOIN d2 ON year(o_orderdate) = d2.y
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
@@ -1944,7 +1951,7 @@ object SparkEntry {
     // Bloom pre-filtering never changes join results; the oracle is
     // the plain filtered join.
     "q51_bloom_join" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      """SELECT o_orderstatus, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderstatus
@@ -1980,10 +1987,12 @@ object SparkEntry {
       """SELECT o_orderstatus,
         |  count(*) AS n,
         |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
-        |  round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) >= 1998), 2)
-        |    AS rev_late,
-        |  round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
-        |    AS avg_urgent
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE year(o_orderdate) >= 1998) / 100.0 AS rev_late,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+        |    / (count(*) FILTER (WHERE o_orderpriority = '1-URGENT'))
+        |    / 100.0, 2) AS avg_urgent
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
@@ -2230,7 +2239,7 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Compaction is content-neutral: the oracle filters raw orders.
     "src08_compact_scan" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      """SELECT o_orderstatus, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
         |FROM orders
         |WHERE o_totalprice >= 400000.0
         |GROUP BY o_orderstatus

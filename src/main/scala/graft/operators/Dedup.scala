@@ -420,15 +420,20 @@ object Dedup {
       |     ELSE list_distinct([array_to_string(string_split(s, ' ')[i:i+2], ' ')
       |                         FOR i IN range(1, len(string_split(s, ' ')) - 1)]) END""".stripMargin
 
-  /** Rounds of the oracle's unrolled min-label ladder. Each round
-    * doubles the covered component diameter (neighbor-min extends the
-    * known ball by itself via the pointer jump), so `CcRounds` rounds
-    * converge for diameter ≤ 2^(CcRounds-1); the convergence fence
-    * compares the last TWO rounds, so the guaranteed bound is
-    * 2^(CcRounds-2) = 1024 — orders of magnitude beyond any
-    * near-dup cluster (replicated corpora give near-cliques).
+  /** Rounds of the oracle's unrolled min-label ladder. The ball a
+    * node's label summarizes grows at least Fibonacci-fast: round r's
+    * min is over self ∪ neighbor labels (extends the ball by the
+    * neighbors' round-(r-1) balls) ∪ the label's own label (grafts the
+    * ball the CURRENT label gathered), so ball(r) ≥ ball(r-1) +
+    * ball(r-2) — NOT the naive 2^r doubling (adversarial id orderings
+    * on paths defeat pure pointer jumping; a 10×-replicated corpus
+    * produced a ~410-node burst chain that 12 rounds = F(14) ≈ 377
+    * could not close). With the convergence fence comparing the last
+    * TWO rounds, 18 rounds guarantee diameter ≥ F(18) ≈ 2584 — 6×
+    * past the longest observed chain; each extra round is one linear
+    * join+groupBy, so headroom is cheap.
     */
-  private val CcRounds = 12
+  private val CcRounds = 18
 
   /** Shared SQL fragment: connected components over
     * `dups(doc_a, doc_b)` + all-`doc_id` `docs`, emitting

@@ -247,8 +247,10 @@ object Graph {
     * old recursive walk materialized O(Σ burst²) label pairs, which
     * is exactly the intermediate that melts at a 10× replay.
     * Components are per-customer order bursts: diameter ≤ orders per
-    * customer (≤ ~41 in a TPC-H-shaped corpus), far under the
-    * ladder's 1024-diameter guarantee.
+    * customer — ~41 in a TPC-H-shaped corpus, but a replicated
+    * scale-up multiplies it (10× replicas share custkeys and dates,
+    * so chains reach ~410), which is why the ladder budgets
+    * Fibonacci-bound rounds rather than assuming near-cliques.
     */
   val q69OracleSql: String =
     s"""WITH

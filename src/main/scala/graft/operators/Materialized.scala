@@ -22,13 +22,16 @@ import graft.Tables
 object Materialized {
 
   /** Partial-aggregate state of one batch: (year, status) -> count,
-    * raw (unrounded) revenue sum. Final presentation rounds once at
-    * read time, so merge stays exact-in-kind with a full recompute.
+    * EXACT integer-cent revenue sum. Integer state makes the merge
+    * bit-identical with a full recompute whatever the fold order —
+    * double partial sums drift with merge order once group totals
+    * reach 1e10+. Presentation divides back to dollars at read time.
     */
   def partialState(orders: DataFrame): DataFrame =
     orders
       .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev_raw"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_raw"))
 
   /** Merge an insert-only delta into the maintained view state. */
   def mergeDelta(view: DataFrame, delta: DataFrame): DataFrame =
@@ -40,7 +43,7 @@ object Materialized {
   def present(view: DataFrame): DataFrame =
     view.select(
       col("o_year"), col("o_orderstatus"), col("n"),
-      round(col("rev_raw"), 2).as("rev"))
+      (col("rev_raw") / 100.0).as("rev"))
       .orderBy(col("o_year"), col("o_orderstatus"))
 
   /** mv01: build the view on all years before the newest, then apply
@@ -143,7 +146,8 @@ object Materialized {
       .join(broadcast(customer.select(
         col("c_custkey").as("o_custkey"), col("c_mktsegment"))), "o_custkey")
       .groupBy(col("c_mktsegment"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev_raw"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_raw"))
 
   private def mergeJoinDelta(view: DataFrame, delta: DataFrame, customer: DataFrame): DataFrame =
     view.unionByName(partialJoinState(delta, customer))
@@ -163,7 +167,7 @@ object Materialized {
     def pres(v: DataFrame): DataFrame =
       v.select(
         col("c_mktsegment"), col("o_orderstatus"), col("n"),
-        round(col("rev_raw"), 2).as("rev"))
+        (col("rev_raw") / 100.0).as("rev"))
         .orderBy(col("c_mktsegment"), col("o_orderstatus"))
     if (maxRow.isNullAt(0)) return pres(partialJoinState(orders, customer))
     val maxYear = maxRow.getInt(0)

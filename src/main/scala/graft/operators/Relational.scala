@@ -32,10 +32,18 @@ object Relational {
       // the column would block parquet predicate pushdown.
       .filter(col("l_shipdate") < lit("2001-07-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // Money sums run in EXACT integer cents (per-row round-to-cent,
+      // BIGINT sum, present /100.0): a double sum at 1e11 magnitude is
+      // ORDER-DEPENDENT (ULP ~6e-5 × millions of adds crosses the
+      // 2-decimal rounding boundary), so Spark's shuffle order vs the
+      // oracle's scan order diverge at 10× scale. Quantity sums stay
+      // double: integer-valued terms add exactly below 2^53.
       .agg(
         r2(sum(col("l_quantity"))).as("sum_qty"),
-        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")) / 100.0).as("sum_disc_price"),
         r4(avg(col("l_quantity"))).as("avg_qty"),
         r4(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -79,7 +87,9 @@ object Relational {
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        // Exact cents (see q01): order-independent at any scale.
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")) / 100.0).as("revenue"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -117,7 +127,7 @@ object Relational {
   private def dailyRevenueCents(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(round(sum(col("o_totalprice") * 100.0), 0).cast("long").as("rev_cents"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
 
   /** q07: 7-day moving average over the daily series (COVID MA analog).
     * The window input is already aggregated to |days| rows — cheap even
@@ -175,7 +185,10 @@ object Relational {
     c.join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_cust"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+      // Exact cents (see q01) — the rollup grand total is the largest
+      // magnitude any balance sum reaches, i.e. the first to drift.
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0).as("sum_bal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
 
@@ -201,13 +214,16 @@ object Relational {
   def q14RatioMetric(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = broadcast(Tables.part(spark, dir))
-    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    // Exact cents (see q01); the pct ratio divides two exact BIGINT
+    // sums cast to double — deterministic whatever the add order.
+    val revC = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+      .cast("long")
     li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        r4(sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0.0))) * 100.0 /
-          sum(rev)).as("economy_pct"),
-        r2(sum(rev)).as("revenue"))
+        r4(sum(when(col("p_type") === "ECONOMY", revC).otherwise(lit(0L)))
+          .cast("double") * 100.0 / sum(revC).cast("double")).as("economy_pct"),
+        (sum(revC) / 100.0).as("revenue"))
       .orderBy(col("p_brand"))
   }
 

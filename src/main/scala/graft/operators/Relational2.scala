@@ -31,7 +31,9 @@ object Relational2 {
     c.join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .cube(col("r_name"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      // Exact cents (see q01) — cube grand totals drift first.
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0).as("sum_bal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
   }
 
@@ -196,7 +198,7 @@ object Relational2 {
     graft.GraftSession.sql(spark, dir,
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(round(sum(o_totalprice * 100.0), 0) AS BIGINT) AS rev_cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM orders GROUP BY 1)
         |SELECT d, rev_cents,
         |  CAST(sum(rev_cents) OVER (ORDER BY d
@@ -249,7 +251,7 @@ object Relational2 {
   def q41GapFill(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val daily = o.groupBy(col("o_orderstatus"), to_date(col("o_orderdate")).as("d"))
-      .agg(round(sum(col("o_totalprice") * 100.0), 0).cast("long").as("rev_cents"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
     val spine = o
       .agg(to_date(min(col("o_orderdate"))).as("lo"), to_date(max(col("o_orderdate"))).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
@@ -299,7 +301,9 @@ object Relational2 {
   def q40GroupingSets(spark: SparkSession, dir: String): DataFrame =
     graft.GraftSession.sql(spark, dir,
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS rev,
         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
         |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
         |FROM orders

@@ -152,7 +152,9 @@ object Relational3 {
         |),
         |rev AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-        |    count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |      / 100.0 AS rev
         |  FROM orders GROUP BY 1)
         |SELECT date_format(months.m, 'yyyy-MM-dd') AS month,
         |  coalesce(n, 0) AS n, coalesce(rev, 0.0) AS rev

@@ -71,10 +71,12 @@ object Relational4 {
       """SELECT o_orderstatus,
         |  count(*) AS n,
         |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
-        |  round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) >= 1998), 2)
-        |    AS rev_late,
-        |  round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
-        |    AS avg_urgent
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE year(o_orderdate) >= 1998) AS DOUBLE) / 100.0 AS rev_late,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+        |    / (count(*) FILTER (WHERE o_orderpriority = '1-URGENT'))
+        |    / 100.0, 2) AS avg_urgent
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)

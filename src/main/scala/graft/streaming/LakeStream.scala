@@ -285,7 +285,13 @@ object LakeStream {
       round(col("o_totalprice") * 100).cast("long").as("cents"))
     val k = col("o_orderkey")
     // The changefeed: base records, then two update waves + inserts —
-    // all derived arithmetically so the oracle replays the feed.
+    // all derived arithmetically so the oracle replays the feed. The
+    // insert offset must CLEAR the real key space at any SF (a fixed
+    // constant collides with base keys once the table outgrows it,
+    // double-counting in the UNION-ALL oracle while the keyed merge
+    // correctly dedupes) — one bounded single-row agg derives it.
+    val insOffset: Long =
+      base0.agg(max(k)).head().getLong(0) + 1L
     val u1 = base0.filter(pmod(k, lit(7)) === 2)
       .withColumn("o_orderstatus", lit("U"))
       .withColumn("cents", col("cents") + 555)
@@ -293,7 +299,7 @@ object LakeStream {
       .withColumn("o_orderstatus", lit("V"))
       .withColumn("cents", col("cents") + 777)
     val ins = base0.filter(pmod(k, lit(11)) === 3)
-      .withColumn("o_orderkey", k + 1000000L)
+      .withColumn("o_orderkey", k + insOffset)
       .withColumn("o_orderstatus", lit("N"))
       .withColumn("cents", col("cents") + 111)
     GraftLake.create(base0, feed)                    // feed v0
@@ -359,7 +365,8 @@ object LakeStream {
       |  UNION ALL
       |  SELECT k, 'V', c + 777 FROM base WHERE k % 7 = 5
       |  UNION ALL
-      |  SELECT k + 1000000, 'N', c + 111 FROM base WHERE k % 11 = 3)
+      |  SELECT k + (SELECT 1 + max(k) FROM base), 'N', c + 111
+      |  FROM base WHERE k % 11 = 3)
       |SELECT st AS o_orderstatus, count(*) AS n,
       |  CAST(sum(c) AS BIGINT) AS cents,
       |  TRUE AS replay_skipped

@@ -32,7 +32,7 @@ class MaterializedSpec extends AnyFunSuite with SparkSpec {
     val customer = Tables.customer(spark, sf)
     val full = Materialized.partialJoinState(orders, customer)
       .select(col("c_mktsegment"), col("o_orderstatus"), col("n"),
-        round(col("rev_raw"), 2).as("rev"))
+        (col("rev_raw") / 100.0).as("rev"))
       .orderBy("c_mktsegment", "o_orderstatus")
       .collect().map(_.toString).toSeq
     val inc = Materialized.mv02JoinView(spark, sf).collect().map(_.toString).toSeq

@@ -50,9 +50,11 @@ class Relational4Spec extends AnyFunSuite with SparkSpec {
       .agg(
         count(lit(1)).as("n"),
         count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
-        round(sum(when(year(col("o_orderdate")) >= 1998, col("o_totalprice"))), 2)
-          .as("rev_late"),
-        round(avg(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))), 2)
+        (sum(when(year(col("o_orderdate")) >= 1998,
+          round(col("o_totalprice") * 100).cast("long"))) / 100.0).as("rev_late"),
+        round(sum(when(col("o_orderpriority") === "1-URGENT",
+            round(col("o_totalprice") * 100).cast("long"))).cast("double")
+          / count(when(col("o_orderpriority") === "1-URGENT", 1)) / 100.0, 2)
           .as("avg_urgent"))
       .orderBy("o_orderstatus").collect().map(_.toString).toSeq
     assert(got == manual)
