@@ -98,6 +98,7 @@ object SparkEntry {
     "d09_embedding_dedup" -> Similarity.d09EmbeddingDedup _,
     "d29_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.d29SemanticDedup(s, d)),
     "d30_bpe_train"      -> ((s: SparkSession, d: String) => Bpe.d30BpeTrain(s, d)),
+    "d31_bpe_tokenize"   -> ((s: SparkSession, d: String) => Bpe.d31BpeTokenize(s, d)),
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
     // Same LSH pipeline served from a PERSISTED lake-table index.
@@ -351,6 +352,8 @@ object SparkEntry {
     "q70_triangles"      -> ((s: SparkSession, d: String) => graft.operators.Graph.q70Triangles(s, d)),
     "q73_basket_lift"    -> ((s: SparkSession, d: String) => graft.operators.Graph.q73BasketLift(s, d)),
     "q71_anomaly_days"   -> graft.operators.Analytics.q71AnomalyDays _,
+    "q74_streaks"        -> graft.operators.Analytics2.q74Streaks _,
+    "q75_active_intervals" -> graft.operators.Analytics2.q75ActiveIntervals _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
@@ -563,6 +566,43 @@ object SparkEntry {
           lit(appendRefused && nothingLanded && addRefused &&
             GraftLake.constraintsOf(path).keySet ==
               Set("nonneg_cents", "valid_status")))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // Column-mapping RENAME (Delta's zero-rewrite rename): rename a
+    // column, append post-rename data under the NEW name, and read the
+    // union back — pre-rename file-sets resolve through name lineage
+    // without one data byte rewritten (proven in-row: the old physical
+    // file still carries the old column name).
+    "src26_lake_rename" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_ren", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val k = pmod(col("o_orderkey"), lit(2))
+      GraftLake.create(o.filter(k === 0), path)
+      GraftLake.renameColumn(path, "cents", "price_cents")
+      GraftLake.append(
+        o.filter(k === 1).withColumnRenamed("cents", "price_cents"), path)
+      // Zero-rewrite proof: the pre-rename set's PHYSICAL schema still
+      // says "cents", and reading it through the lake yields the new
+      // logical name.
+      val snap = GraftLake.snapshot(path)
+      val preSet = snap.live.find(ls => ls.schemaDdl.contains("cents") &&
+        !ls.schemaDdl.contains("price_cents"))
+      val physicalIntact = preSet.exists { ls =>
+        s.read.parquet(s"$path/${ls.set}")
+          .schema.fieldNames.contains("cents")
+      }
+      val logicalRenamed =
+        GraftLake.read(s, path).schema.fieldNames.toSeq ==
+          Seq("o_orderkey", "o_orderstatus", "price_cents")
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("price_cents"))
+        .withColumn("rename_zero_rewrite", lit(physicalIntact && logicalRenamed))
         .orderBy(col("o_orderstatus"))
     }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
@@ -1191,6 +1231,9 @@ object SparkEntry {
     // Unrolled 8-round replay: same normalization, char split,
     // tie-break, and literal-replace merge application both sides.
     "d30_bpe_train" -> graft.operators.Bpe.d30OracleSql,
+    // Token frequencies read off the final merged vocab — the apply
+    // half of the BPE lifecycle, same shared chain.
+    "d31_bpe_tokenize" -> graft.operators.Bpe.d31OracleSql,
     "s02_ann_lsh" -> graft.operators.Similarity.s02OracleSql,
     // Identical planes/bits and probe set as s02 — the only change is
     // that signatures come from the stored index, so s02's replay IS
@@ -2022,6 +2065,8 @@ object SparkEntry {
     "q70_triangles" -> graft.operators.Graph.q70OracleSql,
     "q73_basket_lift" -> graft.operators.Graph.q73OracleSql,
     "q71_anomaly_days" -> graft.operators.Analytics.q71OracleSql,
+    "q74_streaks" -> graft.operators.Analytics2.q74OracleSql,
+    "q75_active_intervals" -> graft.operators.Analytics2.q75OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->
@@ -2156,6 +2201,14 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  TRUE AS constraints_enforced
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Both halves land (pre-rename under 'cents', post-rename under
+    // 'price_cents'); the read unifies them under the new name.
+    "src26_lake_rename" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  TRUE AS rename_zero_rewrite
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src17_lake_delete" ->
       """WITH mk AS (SELECT max(o_orderkey) AS m FROM orders)

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Warehouse-analytics batch 2 (SURVEY.md §2): gaps-and-islands
+  * streaks and interval-concurrency sweeps — the two classic
+  * "sequence analytics over sets" shapes BI workloads ask for that
+  * neither plain aggregation nor a single window covers.
+  */
+object Analytics2 {
+
+  /** q74: GAPS-AND-ISLANDS — longest run of CONSECUTIVE active months
+    * per customer, reported as a histogram (longest_streak →
+    * n_customers).
+    *
+    * The island trick: for each customer's sorted distinct active
+    * months, `month_index - row_number` is constant exactly within a
+    * run of consecutive months, so one window + one groupBy finds
+    * every island without self-joins or iteration.
+    *
+    * Scale: every shuffle is keyed on c_custkey (high cardinality —
+    * no skewed window partitions); the month grid is O(active months
+    * per customer) ≤ a few hundred rows per key, and the histogram
+    * output is O(max streak) rows. Works unchanged at 1000× — the
+    * only growth is in the number of customer keys, which is the
+    * partitioning dimension.
+    */
+  def q74Streaks(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    months
+      .withColumn("isl", col("m") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("len")).as("longest_streak"))
+      .groupBy(col("longest_streak"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("longest_streak"))
+  }
+
+  val q74OracleSql: String =
+    """WITH months AS (
+      |  SELECT DISTINCT o_custkey,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS m
+      |  FROM orders),
+      |isl AS (
+      |  SELECT o_custkey,
+      |    m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS isl
+      |  FROM months),
+      |runs AS (
+      |  SELECT o_custkey, count(*) AS len FROM isl GROUP BY o_custkey, isl),
+      |longest AS (
+      |  SELECT o_custkey, max(len) AS longest_streak FROM runs GROUP BY 1)
+      |SELECT longest_streak, count(*) AS n_customers
+      |FROM longest GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q75: INTERVAL CONCURRENCY (sweep line) — how many orders are
+    * simultaneously "active" each day, per order status, where an
+    * order is active for 14 days from its order date. The classic
+    * overlap problem (concurrent sessions, room occupancy, active
+    * promotions) solved without a range self-join:
+    *
+    *   interval → +1 at start, −1 the day AFTER end   (2 rows/order)
+    *   groupBy (status, day) sums the deltas           (O(days) rows)
+    *   running sum over the day axis = concurrency     (window over
+    *                                                    O(days) rows)
+    *
+    * Scale: the only data-sized pass is the delta projection + its
+    * partial-agg groupBy; the sweep itself runs over |status|×|days|
+    * pre-aggregated rows. A range self-join (`a.start <= b.end AND
+    * ...`) would be O(n × overlap) — this is O(n + days). Days with
+    * zero active orders simply don't appear (no deltas, no row).
+    */
+  def q75ActiveIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("st"), to_date(col("o_orderdate")).as("d0"))
+    val deltas = o.select(col("st"), col("d0").as("d"), lit(1L).as("delta"))
+      .unionByName(
+        o.select(col("st"), date_add(col("d0"), 15).as("d"), lit(-1L).as("delta")))
+      .groupBy(col("st"), col("d"))
+      .agg(sum(col("delta")).as("delta"))
+    val w = Window.partitionBy(col("st")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("concurrent", sum(col("delta")).over(w))
+      // The trailing -1 day of each status ends at 0 concurrency —
+      // keep it: it closes the series and the oracle replays it.
+      .select(col("st").as("o_orderstatus"), col("d"), col("concurrent"))
+      .orderBy(col("o_orderstatus"), col("d"))
+  }
+
+  val q75OracleSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS st, CAST(o_orderdate AS DATE) AS d0 FROM orders),
+      |deltas AS (
+      |  SELECT st, d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+      |    SELECT st, d0 AS d, 1 AS delta FROM o
+      |    UNION ALL
+      |    SELECT st, d0 + 15, -1 FROM o)
+      |  GROUP BY st, d)
+      |SELECT st AS o_orderstatus, d,
+      |  CAST(sum(delta) OVER (PARTITION BY st ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS concurrent
+      |FROM deltas
+      |ORDER BY o_orderstatus, d""".stripMargin
+}

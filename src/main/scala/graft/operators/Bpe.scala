@@ -66,10 +66,13 @@ object Bpe {
       .agg(sum(col("n")).as("cnt"))
   }
 
-  /** Train `rounds` merges; returns (round, left_sym, right_sym,
-    * pair_count) — the merge table in election order.
+  /** Train `rounds` merges; returns (merge table DataFrame, final
+    * merged vocab (w, n) — CACHED, caller unpersists). The merge
+    * table is (round, left_sym, right_sym, pair_count) in election
+    * order.
     */
-  def train(docs: DataFrame, rounds: Int = MergeRounds): DataFrame = {
+  def trainWithVocab(
+      docs: DataFrame, rounds: Int = MergeRounds): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     var words = vocab0(docs).cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -92,14 +95,65 @@ object Bpe {
       }
       r += 1
     }
-    words.unpersist()
     import spark.implicits._
-    merges.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
+    val mergesDf = merges.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
       .orderBy(col("round"))
+    (mergesDf, words)
+  }
+
+  /** Train `rounds` merges; returns (round, left_sym, right_sym,
+    * pair_count) — the merge table in election order.
+    */
+  def train(docs: DataFrame, rounds: Int = MergeRounds): DataFrame = {
+    // The merge table is built from the driver-side election buffer,
+    // so the working vocab can drop immediately.
+    val (mergesDf, words) = trainWithVocab(docs, rounds)
+    words.unpersist()
+    mergesDf
   }
 
   def d30BpeTrain(spark: SparkSession, dir: String): DataFrame =
     train(Tables.documents(spark, dir))
+
+  /** d31: TOKENIZE with the learned merges — the apply half of the
+    * BPE lifecycle (d30 trains, this consumes). Because merge
+    * application is per-WORD and the trainer's working vocab IS the
+    * per-word merge result, corpus token statistics read directly off
+    * the final vocab: token frequency = Σ word-frequency over words
+    * containing the token. One explode + groupBy over the (already
+    * saturating) vocab — no second corpus pass at all, which is the
+    * whole point of vocab-space training at 100 TB.
+    *
+    * Output: top-20 tokens by corpus frequency (freq DESC, token ASC
+    * tie-break) — the "what did the tokenizer learn" report.
+    */
+  def d31BpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val (_, words) = trainWithVocab(Tables.documents(spark, dir))
+    val out = words
+      .select(explode(split(col("w"), " ")).as("token"), col("n"))
+      .groupBy(col("token"))
+      .agg(sum(col("n")).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+      .localCheckpoint(true) // materialize before unpersisting the vocab
+    words.unpersist()
+    out
+  }
+
+  /** Replays the identical training chain (shared CTE text), then
+    * reads token frequencies off the final vocab exactly like the
+    * Spark side.
+    */
+  def d31OracleSql: String = {
+    val chain = oracleChainSql
+    s"""$chain
+       |SELECT token, CAST(sum(n) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(string_split(w, ' ')) AS token, n
+       |  FROM v$MergeRounds)
+       |GROUP BY token
+       |ORDER BY freq DESC, token
+       |LIMIT 20""".stripMargin
+  }
 
   /** The unrolled DuckDB replay: v0 = char-split word-frequency
     * vocab; per round k, p_k = weighted adjacent-pair counts, m_k =
@@ -111,7 +165,11 @@ object Bpe {
     * natural-language corpus; the Spark side stops early on
     * exhaustion, which would surface as a row-count mismatch).
     */
-  def d30OracleSql: String = {
+  /** The shared WITH-chain: v0 (char-split word-frequency vocab),
+    * then per round k the pair counts p_k, elected merge m_k, merged
+    * vocab v_k.
+    */
+  private def oracleChainSql: String = {
     val rounds = (1 to MergeRounds).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT pr['a'] AS a, pr['b'] AS b, CAST(sum(n) AS BIGINT) AS cnt
@@ -126,9 +184,6 @@ object Bpe {
          |  SELECT replace(w, m.a || ' ' || m.b, m.a || m.b) AS w, n
          |  FROM v${k - 1}, m$k m)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to MergeRounds)
-      .map(k => s"SELECT $k AS round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM m$k")
-      .mkString("\n  UNION ALL\n  ")
     s"""WITH
        |v0 AS MATERIALIZED (
        |  SELECT array_to_string([word[i:i] FOR i IN range(1, length(word)+1)], ' ') AS w,
@@ -137,7 +192,14 @@ object Bpe {
        |        FROM documents)
        |  WHERE length(word) > 0
        |  GROUP BY word),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  def d30OracleSql: String = {
+    val union = (1 to MergeRounds)
+      .map(k => s"SELECT $k AS round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM m$k")
+      .mkString("\n  UNION ALL\n  ")
+    s"""${oracleChainSql}
        |SELECT * FROM (
        |  $union
        |) ORDER BY round""".stripMargin

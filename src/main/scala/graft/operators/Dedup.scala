@@ -420,20 +420,22 @@ object Dedup {
       |     ELSE list_distinct([array_to_string(string_split(s, ' ')[i:i+2], ' ')
       |                         FOR i IN range(1, len(string_split(s, ' ')) - 1)]) END""".stripMargin
 
-  /** Rounds of the oracle's unrolled min-label ladder. The ball a
-    * node's label summarizes grows at least Fibonacci-fast: round r's
-    * min is over self ∪ neighbor labels (extends the ball by the
-    * neighbors' round-(r-1) balls) ∪ the label's own label (grafts the
-    * ball the CURRENT label gathered), so ball(r) ≥ ball(r-1) +
-    * ball(r-2) — NOT the naive 2^r doubling (adversarial id orderings
-    * on paths defeat pure pointer jumping; a 10×-replicated corpus
-    * produced a ~410-node burst chain that 12 rounds = F(14) ≈ 377
-    * could not close). With the convergence fence comparing the last
-    * TWO rounds, 18 rounds guarantee diameter ≥ F(18) ≈ 2584 — 6×
-    * past the longest observed chain; each extra round is one linear
-    * join+groupBy, so headroom is cheap.
+  /** Rounds (alternating large-star / small-star steps) of the
+    * oracle's unrolled star-contraction. Monotone id chains — exactly
+    * what replicated order bursts produce — defeat BOTH plain
+    * min-label propagation (one hop per round) and self-pointer
+    * jumping (the label chain shifts in lockstep; measured: a
+    * 224-node chain at 10× replay still unconverged after 40 ladder
+    * rounds). Star steps rewire edges instead of propagating labels:
+    * large-star hangs every larger neighbor of v onto min(N⁺(v)),
+    * small-star the smaller ones — each LS/SS pair roughly halves
+    * component diameter REGARDLESS of id order (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"). Measured on the
+    * 10× corpus: converged at 12 steps (ladder needed 64); 24 steps
+    * cover the diameters a further 100× replay could produce, and
+    * post-convergence steps cost ~nothing (the edge set is empty).
     */
-  private val CcRounds = 18
+  private val CcRounds = 24
 
   /** Shared SQL fragment: connected components over
     * `dups(doc_a, doc_b)` + all-`doc_id` `docs`, emitting
@@ -452,31 +454,54 @@ object Dedup {
     * canonicalization.
     */
   private[graft] val ccSql: String = {
-    // AS MATERIALIZED is load-bearing: each round references the prior
-    // one THREE times, and DuckDB inlines plain CTEs — 12 rounds would
-    // expand to 3^12 base-table scans without it.
-    val rounds = (0 until CcRounds).map { k =>
-      s"""cc_l${k + 1} AS MATERIALIZED (
-         |  SELECT v, min(m) AS lab FROM (
-         |    SELECT v, lab AS m FROM cc_l$k
-         |    UNION ALL
-         |    SELECT s.x AS v, l.lab AS m FROM cc_sym s JOIN cc_l$k l ON l.v = s.y
-         |    UNION ALL
-         |    SELECT a.v, b.lab AS m FROM cc_l$k a JOIN cc_l$k b ON b.v = a.lab
-         |  ) GROUP BY v
-         |)""".stripMargin
+    // AS MATERIALIZED is load-bearing: each step references the prior
+    // edge set several times, and DuckDB inlines plain CTEs — 24
+    // steps would expand to exponentially many base-table scans.
+    //
+    // Star-step invariants (why the fence proves correctness):
+    //  - every emitted edge stays INSIDE its component (m ∈ N⁺(v)), and
+    //    both endpoints of a dropped edge remain connected through m —
+    //    so edge-set components never split or merge;
+    //  - every node with an edge keeps an edge (v—m_v when m_v < v;
+    //    when m_v = v every neighbor is larger and hangs onto v), so
+    //    nodes never vanish into the coalesce fallback mid-component;
+    //  - at the fence, min-of-closed-neighborhood labels agreeing on
+    //    every edge means each component IS a star at its min — its
+    //    center is the exact canonical id.
+    val steps = (0 until CcRounds).map { k =>
+      // Even steps: large-star (larger neighbors hang onto the min);
+      // odd: small-star. Alternation is what guarantees ~halving.
+      val cmp = if (k % 2 == 0) ">" else "<"
+      s"""cc_n$k AS MATERIALIZED (
+         |  SELECT x AS v, least(x, min(y)) AS m FROM cc_e$k GROUP BY x),
+         |cc_e${k + 1} AS MATERIALIZED (
+         |  SELECT x, y FROM (
+         |    SELECT e.y AS x, n.m AS y FROM cc_e$k e JOIN cc_n$k n ON n.v = e.x
+         |    WHERE e.y $cmp e.x
+         |    UNION
+         |    SELECT n.m AS x, e.y AS y FROM cc_e$k e JOIN cc_n$k n ON n.v = e.x
+         |    WHERE e.y $cmp e.x
+         |    UNION
+         |    SELECT v, m FROM cc_n$k WHERE v <> m
+         |    UNION
+         |    SELECT m, v FROM cc_n$k WHERE v <> m
+         |  ) WHERE x <> y)""".stripMargin
     }.mkString(",\n")
-    s"""cc_sym(x, y) AS MATERIALIZED (SELECT doc_a, doc_b FROM dups UNION SELECT doc_b, doc_a FROM dups),
-       |cc_l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS lab FROM docs),
-       |$rounds,
-       |cc_chg AS (SELECT count(*) AS c FROM cc_l$CcRounds a
-       |  JOIN cc_l${CcRounds - 1} b ON a.v = b.v AND a.lab <> b.lab),
+    s"""cc_e0 AS MATERIALIZED (
+       |  SELECT doc_a AS x, doc_b AS y FROM dups WHERE doc_a <> doc_b
+       |  UNION SELECT doc_b, doc_a FROM dups WHERE doc_a <> doc_b),
+       |$steps,
+       |cc_fin AS MATERIALIZED (
+       |  SELECT x AS v, least(x, min(y)) AS m FROM cc_e$CcRounds GROUP BY x),
+       |cc_chg AS (SELECT count(*) AS c FROM cc_e$CcRounds e
+       |  JOIN cc_fin a ON a.v = e.x JOIN cc_fin b ON b.v = e.y
+       |  WHERE a.m <> b.m),
        |canon AS (
-       |  SELECT v AS doc_id,
+       |  SELECT d.doc_id,
        |    CASE WHEN (SELECT c FROM cc_chg) > 0
-       |         THEN CAST(error('cc oracle: min-label ladder not converged — raise CcRounds') AS BIGINT)
-       |         ELSE lab END AS canonical_id
-       |  FROM cc_l$CcRounds
+       |         THEN CAST(error('cc oracle: star contraction not converged — raise CcRounds') AS BIGINT)
+       |         ELSE coalesce(f.m, d.doc_id) END AS canonical_id
+       |  FROM docs d LEFT JOIN cc_fin f ON f.v = d.doc_id
        |)""".stripMargin
   }
 

@@ -243,14 +243,13 @@ object Graph {
       .orderBy(col("cc_size"))
 
   /** The DuckDB replay canonicalizes with [[Dedup.ccSql]]'s unrolled
-    * min-label ladder (linear per round, convergence-fenced) — the
-    * old recursive walk materialized O(Σ burst²) label pairs, which
-    * is exactly the intermediate that melts at a 10× replay.
-    * Components are per-customer order bursts: diameter ≤ orders per
-    * customer — ~41 in a TPC-H-shaped corpus, but a replicated
-    * scale-up multiplies it (10× replicas share custkeys and dates,
-    * so chains reach ~410), which is why the ladder budgets
-    * Fibonacci-bound rounds rather than assuming near-cliques.
+    * star contraction (linear per step, convergence-fenced) — the
+    * old recursive walk materialized O(Σ burst²) label pairs, and a
+    * min-label ladder propagates one hop per round on the MONOTONE id
+    * chains replicated order bursts produce; star steps halve the
+    * diameter per LS/SS pair regardless of id order, which is what a
+    * 10×+ replay needs (chains reach hundreds of nodes once replicas
+    * share custkeys and dates).
     */
   val q69OracleSql: String =
     s"""WITH

@@ -86,7 +86,13 @@ object GraftLake {
   final case class Snapshot(
       version: Int, schemaDdl: String, live: Seq[LiveSet],
       tombstones: Seq[String], tags: Map[String, Int], tsMillis: Long,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // COLUMN MAPPING: logical column name -> its FORMER names,
+      // newest first (Delta's column-mapping rename re-expressed in
+      // name-lineage terms: files written before a rename keep their
+      // physical column name; readers resolve logical -> first former
+      // name present in each set's own schema).
+      renames: Map[String, Seq[String]] = Map.empty)
 
   private val EmptySnapshot =
     Snapshot(-1, "", Seq.empty, Seq.empty, Map.empty, 0L)
@@ -234,6 +240,13 @@ object GraftLake {
       publishEntry(dstPath, "constraint", s"$n=$sql",
         new StructType(), None, Seq.empty, Seq.empty)
     }
+    // Column-mapping lineage copies too: the referenced source sets
+    // were written under their PHYSICAL (pre-rename) names, so a clone
+    // without the lineage would null-fill every renamed column.
+    s.renames.toSeq.sortBy(_._1).foreach { case (n, formers) =>
+      publishEntry(dstPath, "lineage", n,
+        new StructType(), None, Seq.empty, formers)
+    }
     v
   }
 
@@ -379,6 +392,57 @@ object GraftLake {
   /** The CHECK constraints in force at the latest version. */
   def constraintsOf(path: String): Map[String, String] =
     snapshot(path).constraints
+
+  /** RENAME a column WITHOUT rewriting any data file (Delta's
+    * column-mapping rename): the commit carries the renamed schema
+    * plus a name-lineage entry, and readers resolve each file-set's
+    * physical name per its own written schema — zero data bytes
+    * touched whatever the table size, which is the entire point at
+    * 100 TB (a rewrite-rename is a full-table write). Renames chain
+    * (a→b→c still reads files written under a), survive checkpoints,
+    * and time travel resolves the lineage as of the read version.
+    *
+    * Refused while CHECK constraints reference the column (their SQL
+    * would silently stop matching rows) and while merge-on-read
+    * tombstones are outstanding (tombstone key-sets are keyed by the
+    * physical column name; compact first) — loud errors, not silent
+    * corruption, the same posture as merge's NULL-stats fence.
+    *
+    * Zone-map stats and bloom sidecars keyed by the old name degrade
+    * to CONSERVATIVE reads for pre-rename sets (never wrong answers);
+    * post-rename writes record stats under the new name.
+    */
+  def renameColumn(path: String, oldName: String, newName: String): Int = {
+    require(oldName.nonEmpty && newName.nonEmpty && oldName != newName &&
+      !oldName.contains("=") && !newName.contains("=") &&
+      !oldName.contains("\"") && !newName.contains("\""),
+      s"bad rename: '$oldName' -> '$newName'")
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    require(s.tombstones.isEmpty,
+      s"outstanding merge-on-read tombstones at $path reference physical " +
+        "column names: compact first, then rename")
+    val word = ("""\b""" + java.util.regex.Pattern.quote(oldName) + """\b""").r
+    s.constraints.find { case (_, sql) => word.findFirstIn(sql).isDefined }
+      .foreach { case (n, sql) =>
+        throw new IllegalStateException(
+          s"constraint '$n' ($sql) references column '$oldName' — drop or " +
+            "rewrite the constraint before renaming")
+      }
+    // Existence/duplicate checks re-run INSIDE the claim loop against
+    // the then-current schema; these early ones just fail fast.
+    val cur = StructType.fromDDL(s.schemaDdl)
+    require(cur.fieldNames.contains(oldName), s"no column '$oldName' at $path")
+    require(!cur.fieldNames.contains(newName),
+      s"column '$newName' already exists at $path")
+    publishEntry(path, "rename", s"$oldName=$newName",
+      new StructType(), None, Seq.empty, Seq.empty)
+  }
+
+  /** The column-name lineage in force at the latest version
+    * (logical name -> former names, newest first). */
+  def renamesOf(path: String): Map[String, Seq[String]] =
+    snapshot(path).renames
 
   /** EXACTLY-ONCE append: commit `df` tagged with `tag` unless a
     * commit with that tag already exists — the foreachBatch sink
@@ -539,7 +603,23 @@ object GraftLake {
         if (v == 0 || action == "overwrite") dfSchema.toDDL
         // A tombstone set is keys, not table data; a constraint commit
         // is rules — neither touches the table schema.
-        else if (action == "tombstone" || action == "constraint") snap.schemaDdl
+        else if (action == "tombstone" || action == "constraint" ||
+          action == "lineage") snap.schemaDdl
+        // A rename derives its schema from the CURRENT snapshot inside
+        // the claim loop (not from a caller-captured one), so a racing
+        // append's schema evolution is never clobbered. The existence/
+        // duplicate checks re-run per attempt for the same reason.
+        else if (action == "rename") {
+          val i = setName.indexOf('=')
+          val oldN = setName.take(i); val newN = setName.substring(i + 1)
+          val cur = StructType.fromDDL(snap.schemaDdl)
+          require(cur.fieldNames.contains(oldN),
+            s"no column '$oldN' to rename at $path")
+          require(!cur.fieldNames.contains(newN),
+            s"column '$newN' already exists at $path")
+          StructType(cur.fields.map(f =>
+            if (f.name == oldN) f.copy(name = newN) else f)).toDDL
+        }
         else mergeSchemas(
           StructType.fromDDL(snap.schemaDdl), dfSchema).toDDL
       val removed =
@@ -548,7 +628,8 @@ object GraftLake {
       // MERGE-style commits remove specific sets: they must ALL still
       // be live, or a concurrent commit has invalidated our rewrite.
       // (Constraint removes are rule names, not file-sets.)
-      if (action != "overwrite" && action != "constraint" && removed.nonEmpty) {
+      if (action != "overwrite" && action != "constraint" &&
+          action != "lineage" && removed.nonEmpty) {
         val live = (snap.live.map(_.set) ++ snap.tombstones).toSet
         removed.find(r => !live(r)).foreach { r =>
           throw new java.util.ConcurrentModificationException(
@@ -691,6 +772,23 @@ object GraftLake {
         s.copy(version = c.version,
           constraints = s.constraints -- c.remove ++ added,
           tsMillis = math.max(s.tsMillis, c.tsMillis))
+      } else if (c.action == "rename") {
+        // add = Seq("old=new"): the commit carries the RENAMED full
+        // schema; lineage chains (a->b->c keeps [b, a] behind c).
+        val it = c.add.head
+        val i = it.indexOf('=')
+        val oldN = it.take(i); val newN = it.substring(i + 1)
+        val formers = oldN +: s.renames.getOrElse(oldN, Seq.empty)
+        s.copy(version = c.version, schemaDdl = c.schemaDdl,
+          renames = s.renames - oldN + (newN -> formers),
+          tsMillis = math.max(s.tsMillis, c.tsMillis))
+      } else if (c.action == "lineage") {
+        // Wholesale lineage import (shallow clones): add = Seq(logical
+        // name), remove = its former names verbatim — the ckptren
+        // encoding as a log commit. Schema untouched.
+        s.copy(version = c.version,
+          renames = s.renames + (c.add.head -> c.remove),
+          tsMillis = math.max(s.tsMillis, c.tsMillis))
       } else {
         val keptLive = s.live.filterNot(ls => c.remove.contains(ls.set))
         val keptTombs = s.tombstones.filterNot(c.remove.contains)
@@ -704,7 +802,7 @@ object GraftLake {
           else (keptLive ++ added, keptTombs)
         Snapshot(c.version, c.schemaDdl, live, tombs,
           c.tag.fold(s.tags)(t => s.tags + (t -> c.version)),
-          math.max(s.tsMillis, c.tsMillis), s.constraints)
+          math.max(s.tsMillis, c.tsMillis), s.constraints, s.renames)
       }
     }
 
@@ -756,6 +854,12 @@ object GraftLake {
         s.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
           render(Commit(s.version, "ckptcons", "",
             Seq(s"$n=$sql"), Seq.empty, None, Seq.empty, 0L))
+        } ++
+        // Column-mapping lineage: one line per logical name, its
+        // former names (newest first) in `remove` — order preserved.
+        s.renames.toSeq.sortBy(_._1).map { case (n, formers) =>
+          render(Commit(s.version, "ckptren", "",
+            Seq(n), formers, None, Seq.empty, 0L))
         }
     val f = ckptFile(path, s.version)
     val tmp = logDir(path).resolve(f.getFileName.toString + ".tmp" +
@@ -789,7 +893,8 @@ object GraftLake {
     require(head.action == "checkpoint" && head.version == v,
       s"bad checkpoint header at $path v$v: ${head.action}")
     val body = lines.tail.map(parse)
-    body.find(c => c.action != "ckptset" && c.action != "ckptcons")
+    body.find(c => c.action != "ckptset" && c.action != "ckptcons" &&
+        c.action != "ckptren")
       .foreach(c => throw new IllegalStateException(
         s"bad checkpoint line action: ${c.action}"))
     val live = body.filter(_.action == "ckptset")
@@ -799,12 +904,14 @@ object GraftLake {
       val i = it.indexOf('=')
       it.take(i) -> it.substring(i + 1)
     }.toMap
+    val rens = body.filter(_.action == "ckptren")
+      .map(c => c.add.head -> c.remove).toMap
     val tags = head.add.map { it =>
       val i = it.indexOf(':')
       it.substring(i + 1) -> it.take(i).toInt
     }.toMap
     Some(Snapshot(head.version, head.schemaDdl, live, head.remove, tags,
-      head.tsMillis, cons))
+      head.tsMillis, cons, rens))
   }
 
   /** Auto-checkpoint cadence (every N commits, Delta-style; 0
@@ -828,10 +935,11 @@ object GraftLake {
     require(version >= 0 && version < all.size,
       s"version $version not in [0, ${all.size - 1}] for $path")
     val upTo = all.take(version + 1)
-    val target = StructType.fromDDL(upTo.last.schemaDdl)
-    val parts = liveAt(upTo).map(readSet(spark, path, _, target))
+    val st = foldState(EmptySnapshot, upTo)
+    val target = StructType.fromDDL(st.schemaDdl)
+    val parts = st.live.map(readSet(spark, path, _, target, st.renames))
     applyTombstones(spark, path, parts.reduceLeft(_.unionByName(_)),
-      tombstonesAt(upTo))
+      st.tombstones)
   }
 
   /** Anti-join `df` against the union of live tombstone key-sets (a
@@ -862,13 +970,20 @@ object GraftLake {
 
   private def readSet(
       spark: SparkSession, path: String, ls: LiveSet,
-      target: StructType): DataFrame = {
+      target: StructType,
+      renames: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val own = StructType.fromDDL(ls.schemaDdl)
     val ownNames = own.fieldNames.toSet
     spark.read.schema(own).parquet(setPath(path, ls.set))
       .select(target.fields.map { f =>
-        if (ownNames(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        // Column-mapping resolution: the logical name, else the most
+        // recent FORMER name this set was written under, else the
+        // column postdates the set — null-fill.
+        (f.name +: renames.getOrElse(f.name, Seq.empty))
+          .find(ownNames) match {
+            case Some(phys) => col(phys).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
       }.toIndexedSeq: _*)
   }
 
@@ -879,7 +994,7 @@ object GraftLake {
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     val target = StructType.fromDDL(s.schemaDdl)
-    val parts = s.live.map(readSet(spark, path, _, target))
+    val parts = s.live.map(readSet(spark, path, _, target, s.renames))
     applyTombstones(spark, path, parts.reduceLeft(_.unionByName(_)),
       s.tombstones)
   }
@@ -947,7 +1062,7 @@ object GraftLake {
         }
       }
     }
-    val df = scan.map(readSet(spark, path, _, target))
+    val df = scan.map(readSet(spark, path, _, target, s.renames))
       .reduceLeftOption(_.unionByName(_))
       .getOrElse(read(spark, path).limit(0))
     (applyTombstones(spark, path, df, s.tombstones), scan.size, skip.size)
@@ -1056,7 +1171,7 @@ object GraftLake {
         case None => true // no verified bloom — must read
       }
     }
-    val df = scan.map(readSet(spark, path, _, target))
+    val df = scan.map(readSet(spark, path, _, target, s.renames))
       .reduceLeftOption(_.unionByName(_))
       .getOrElse(read(spark, path).limit(0))
     (applyTombstones(spark, path, df, s.tombstones), scan.size, skip.size)
@@ -1079,21 +1194,24 @@ object GraftLake {
     require(fromVersion >= -1 && fromVersion < all.size,
       s"fromVersion $fromVersion out of range for ${all.size}-commit log")
     val target = StructType.fromDDL(all.last.schemaDdl)
+    val latestRenames = foldState(EmptySnapshot, all).renames
     val changed0 = all.drop(fromVersion + 1)
     changed0.find(c => c.action != "create" && c.action != "append" &&
-        c.action != "padd" && c.action != "constraint").foreach { c =>
+        c.action != "padd" && c.action != "constraint" &&
+        c.action != "rename" && c.action != "lineage").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as inserts — " +
           "read a full snapshot instead")
     }
-    // Constraint commits add rules, not rows — nothing to feed.
-    val changed = changed0.filter(_.action != "constraint")
+    // Constraint/rename/lineage commits add rules/metadata, not rows.
+    val changed = changed0.filter(c =>
+      c.action != "constraint" && c.action != "rename" && c.action != "lineage")
     val parts = changed.flatMap { c =>
       // A partitioned append is insert-only too: one part per set.
       val sets =
         if (c.perSet.nonEmpty) c.perSet
         else Seq(LiveSet(c.add.head, c.schemaDdl, c.stats))
-      sets.map(ls => readSet(spark, path, ls, target)
+      sets.map(ls => readSet(spark, path, ls, target, latestRenames)
         .withColumn("_commit_version", lit(c.version)))
     }
     parts.reduceLeftOption(_.unionByName(_))
@@ -1165,7 +1283,7 @@ object GraftLake {
       if (updates.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val rewritten = hit.map(readSet(spark, path, _, target)) match {
+    val rewritten = hit.map(readSet(spark, path, _, target, s.renames)) match {
       case Nil => alignedUpdates
       case parts =>
         parts.reduceLeft(_.unionByName(_))
@@ -1272,7 +1390,7 @@ object GraftLake {
     if (candidates.isEmpty) return (s.version, 0, live.size, 0L)
     // ONE distributed job: per-set match counts (O(sets) driver rows).
     val tagged = candidates.map { ls =>
-      readSet(spark, path, ls, target)
+      readSet(spark, path, ls, target, s.renames)
         .filter(coalesce(predicate, lit(false)))
         .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
         .select(lit(ls.set).as("s"), functions.col("n"))
@@ -1281,7 +1399,7 @@ object GraftLake {
     val hitSets = candidates.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
     val deleted = matchCounts.values.sum
     if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
-    val rewritten = hitSets.map(readSet(spark, path, _, target))
+    val rewritten = hitSets.map(readSet(spark, path, _, target, s.renames))
       .reduceLeft(_.unionByName(_))
       .filter(!coalesce(predicate, lit(false))) // NULL predicate keeps the row
     val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq).distinct

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics2
+
+class Analytics2Spec extends AnyFunSuite with SparkSpec {
+
+  test("q74 longest-streak histogram matches a driver-side brute force") {
+    val got = Analytics2.q74Streaks(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val longest = rows.groupBy(_._1).map { case (_, ms) =>
+      val sorted = ms.map(_._2).distinct.sorted
+      // brute scan: longest run of +1 steps
+      var best = 1; var cur = 1
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        if (pair(1) == pair(0) + 1) { cur += 1; best = math.max(best, cur) }
+        else cur = 1
+      }
+      best
+    }
+    val expect = longest.groupBy(identity)
+      .map { case (k, v) => k.toLong -> v.size.toLong }
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q75 sweep-line concurrency equals a brute per-day interval count") {
+    val series = Analytics2.q75ActiveIntervals(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+
+    val starts = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), to_date(col("o_orderdate")).as("d0"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    // brute force: a sampled day's concurrency = orders of that status
+    // whose [d0, d0+14] window covers the day
+    val sample = series.zipWithIndex.filter(_._2 % 97 == 0).map(_._1)
+    sample.foreach { case (st, d, n) =>
+      val brute = starts.count { case (s, d0) =>
+        s == st && !d.isBefore(d0) && !d.isAfter(d0.plusDays(14))
+      }
+      assert(brute.toLong == n, s"status $st day $d: brute $brute vs sweep $n")
+    }
+    // series never goes negative and each status ends at zero
+    series.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).forall(_ >= 0))
+      assert(rows.maxBy(_._2.toEpochDay)._3 == 0L)
+    }
+  }
+}

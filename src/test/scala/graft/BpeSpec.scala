@@ -63,6 +63,50 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  /** Reference tokenizer: re-train with the reference trainer, then
+    * apply its merges greedily per word and count token frequencies.
+    */
+  private def referenceTokenFreqs(
+      texts: Seq[String], rounds: Int): Map[String, Long] = {
+    val merges = referenceBpe(texts, rounds).map { case (_, a, b, _) => (a, b) }
+    val words = texts
+      .flatMap(_.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" "))
+      .filter(_.nonEmpty)
+    val freqs = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { w =>
+      var syms = w.map(_.toString).toList
+      merges.foreach { case (a, b) =>
+        val merged = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            merged += (a + b); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        syms = merged.toList
+      }
+      syms.foreach(t => freqs(t) = freqs.getOrElse(t, 0L) + 1L)
+    }
+    freqs.toMap
+  }
+
+  test("d31 token frequencies equal per-word reference merge application") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat sat on the mat", "the hat and the cat", "banana bandana",
+      "low lower lowest", "new newer newest", "the the the aaa aa a",
+      "widest wider wide", "Hello, World! hello world")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-d31").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = Bpe.d31BpeTokenize(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = referenceTokenFreqs(texts, Bpe.MergeRounds).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(20)
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("d30 gate query returns MergeRounds rows on the corpus") {
     val df = Bpe.d30BpeTrain(spark, sf)
     val rows = df.collect()

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftLake
+
+/** Column-mapping rename: zero-rewrite renames with name lineage. */
+class LakeRenameSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString + "/t"
+
+  private def base = {
+    import spark.implicits._
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+  }
+
+  test("chained rename a->b->c still reads files written under a") {
+    val t = tmp("ren-chain")
+    GraftLake.create(base, t)
+    GraftLake.renameColumn(t, "v", "v2")
+    GraftLake.append(
+      base.select((col("k") + 10).as("k"), col("s"), (col("v") + 100).as("v2")), t)
+    GraftLake.renameColumn(t, "v2", "v3")
+    val got = GraftLake.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(GraftLake.read(spark, t).schema.fieldNames.toSeq == Seq("k", "s", "v3"))
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 30L),
+      (11L, 110L), (12L, 120L), (13L, 130L)))
+    assert(GraftLake.renamesOf(t) == Map("v3" -> Seq("v2", "v")))
+  }
+
+  test("time travel resolves the lineage as of the read version") {
+    val t = tmp("ren-tt")
+    GraftLake.create(base, t)            // v0
+    GraftLake.renameColumn(t, "v", "v2") // v1
+    assert(GraftLake.readAt(spark, t, 0).schema.fieldNames.toSeq ==
+      Seq("k", "s", "v"))
+    assert(GraftLake.readAt(spark, t, 1).schema.fieldNames.toSeq ==
+      Seq("k", "s", "v2"))
+    assert(GraftLake.readAt(spark, t, 1).agg(sum("v2")).head.getLong(0) == 60L)
+  }
+
+  test("lineage survives a checkpoint") {
+    val t = tmp("ren-ckpt")
+    GraftLake.create(base, t)
+    GraftLake.renameColumn(t, "v", "v2")
+    GraftLake.checkpoint(t)
+    // Force the checkpoint fast path: append AFTER the checkpoint so
+    // the fold starts from the ckpt (which must carry the lineage).
+    GraftLake.append(
+      base.select((col("k") + 10).as("k"), col("s"), (col("v") + 100).as("v2")), t)
+    val got = GraftLake.read(spark, t).agg(sum("v2")).head.getLong(0)
+    assert(got == 60L + 360L)
+    assert(GraftLake.renamesOf(t) == Map("v2" -> Seq("v")))
+  }
+
+  test("merge keyed through a renamed column rewrites correctly") {
+    import spark.implicits._
+    val t = tmp("ren-merge")
+    GraftLake.create(base, t, Some("k"))
+    GraftLake.renameColumn(t, "v", "v2")
+    val upd = Seq((2L, "B", 999L), (4L, "d", 40L)).toDF("k", "s", "v2")
+    GraftLake.merge(spark, t, upd, Seq("k"), "k")
+    val got = GraftLake.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "B", 999L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("shallow clone inherits the lineage and reads renamed data") {
+    val t = tmp("ren-clone-src")
+    val c = tmp("ren-clone-dst")
+    GraftLake.create(base, t)
+    GraftLake.renameColumn(t, "v", "v2")
+    GraftLake.shallowClone(t, c)
+    assert(GraftLake.read(spark, c).schema.fieldNames.toSeq == Seq("k", "s", "v2"))
+    assert(GraftLake.read(spark, c).agg(sum("v2")).head.getLong(0) == 60L)
+    GraftLake.dropClone(t, c)
+  }
+
+  test("changesSince feeds across rename commits in the delta") {
+    val t = tmp("ren-cdc")
+    GraftLake.create(base, t)            // v0
+    GraftLake.renameColumn(t, "v", "v2") // v1 (metadata only)
+    GraftLake.append(
+      base.select((col("k") + 10).as("k"), col("s"), (col("v") + 100).as("v2")), t) // v2
+    val delta = GraftLake.changesSince(spark, t, 0)
+    assert(delta.select("_commit_version").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+    assert(delta.agg(sum("v2")).head.getLong(0) == 360L)
+  }
+
+  test("rename refusals: missing, duplicate, constrained, tombstoned") {
+    val t = tmp("ren-refuse")
+    GraftLake.create(base, t, Some("k"))
+    intercept[IllegalArgumentException] {
+      GraftLake.renameColumn(t, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      GraftLake.renameColumn(t, "v", "s") // collides with existing
+    }
+    GraftLake.addConstraint(spark, t, "pos_v", "v >= 0")
+    intercept[IllegalStateException] {
+      GraftLake.renameColumn(t, "v", "v2") // constraint references v
+    }
+    GraftLake.dropConstraint(t, "pos_v")
+    GraftLake.deleteMoR(spark, t, col("k") === 1L, "k")
+    intercept[IllegalArgumentException] {
+      GraftLake.renameColumn(t, "v", "v2") // outstanding tombstones
+    }
+    GraftLake.compact(spark, t, Seq("k"), 1)
+    GraftLake.renameColumn(t, "v", "v2")   // now allowed
+    assert(GraftLake.read(spark, t).schema.fieldNames.contains("v2"))
+  }
+}
