@@ -8,10 +8,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.expr
 
-/** SQL DML surface for GraftLake: `spark.sql("MERGE INTO lake ...")`
-  * and `spark.sql("DELETE FROM lake WHERE ...")` route to
-  * [[GraftLake.merge]] / [[GraftLake.delete]] — the warehouse surface
-  * is SQL-complete, not Scala-only.
+/** SQL DML/DDL surface for GraftLake: `spark.sql("MERGE INTO lake
+  * ...")`, `spark.sql("DELETE FROM lake WHERE ...")` and
+  * `spark.sql("ALTER TABLE lake RENAME COLUMN a TO b")` route to
+  * [[GraftLake.merge]] / [[GraftLake.delete]] /
+  * [[GraftLake.renameColumn]] — the warehouse surface is
+  * SQL-complete, not Scala-only.
   *
   * Spark-first mechanics: the parser already produces
   * `MergeIntoTable` / `DeleteFromTable` logical plans for ANY target;
@@ -64,6 +66,10 @@ object LakeSql {
   private[sources] def targetName(plan: LogicalPlan): Option[String] = {
     val name = plan match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        Some(u.multipartIdentifier.mkString("."))
+      // ALTER TABLE targets parse as UnresolvedTable, not
+      // UnresolvedRelation.
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
         Some(u.multipartIdentifier.mkString("."))
       case SubqueryAlias(ident, _) => Some(ident.name)
       case _ => None
@@ -160,6 +166,20 @@ final case class GraftLakeDeleteCommand(
   }
 }
 
+/** ALTER TABLE <lake view> RENAME COLUMN <old> TO <new> — executes
+  * the lake's zero-rewrite column-mapping rename, then refreshes the
+  * registered temp view so subsequent reads see the new name.
+  */
+final case class GraftLakeRenameCommand(
+    path: String, viewName: String, oldName: String, newName: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.renameColumn(path, oldName, newName)
+    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    Seq.empty
+  }
+}
+
 /** MERGE INTO <lake view> USING <source> ON <key equalities>
   * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
   * the canonical upsert — executes the lake's zone-map-pruned merge.
@@ -175,6 +195,55 @@ final case class GraftLakeMergeCommand(
       keyCols, statsCol)
     Seq.empty
   }
+}
+
+/** Parser wrapper for lake DDL: `ALTER TABLE <registered lake name>
+  * RENAME COLUMN old TO new` is substituted RIGHT AFTER PARSING with
+  * the runnable rename command — the analyzer's ResolveRelations
+  * rejects ALTER TABLE on views before any injected resolution rule
+  * runs, so (unlike MERGE/DELETE) this statement cannot be routed at
+  * resolution time. Everything else delegates verbatim.
+  */
+final class LakeDdlParser(
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+  extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+        LakeSql.targetName(r.table) match {
+          case Some(name) =>
+            val t = LakeSql.lookup(name).get
+            require(r.column.name.length == 1,
+              "ALTER TABLE <graft lake> RENAME COLUMN: nested fields are " +
+                "not supported — rename a top-level column")
+            // Renaming the registered merge-pruning column would
+            // silently degrade every later SQL MERGE to a full
+            // rewrite — refuse until the table is re-registered.
+            require(!r.column.name.head.equalsIgnoreCase(t.statsCol),
+              s"ALTER TABLE $name RENAME COLUMN: '${t.statsCol}' is the " +
+                "registered merge-pruning column — re-register the table " +
+                "with a new statsCol first")
+            GraftLakeRenameCommand(t.path, name, r.column.name.head, r.newName)
+          case None => r
+        }
+      case other => other
+    }
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
 }
 
 /** The resolution rule: rewrite parsed DML over registered lake names

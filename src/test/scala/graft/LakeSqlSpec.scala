@@ -75,6 +75,29 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception] { spark.sql("DELETE FROM plain_view WHERE v = 2") }
   }
 
+  test("SQL ALTER TABLE RENAME COLUMN routes to the zero-rewrite rename") {
+    import spark.implicits._
+    val (pSql, _) = freshPair()
+    GraftLake.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), pSql, Some("id"))
+    LakeSql.register(spark, pSql, "lakesql_t4", "id")
+    spark.sql("ALTER TABLE lakesql_t4 RENAME COLUMN v TO amount")
+    // Physical file untouched; logical schema renamed; the registered
+    // view refreshed in-place.
+    assert(GraftLake.read(spark, pSql).schema.fieldNames.toSeq ==
+      Seq("id", "amount"))
+    assert(spark.sql("SELECT sum(amount) FROM lakesql_t4").head.getLong(0) == 30L)
+    assert(GraftLake.renamesOf(pSql) == Map("amount" -> Seq("v")))
+    // Renaming the registered merge-pruning column is refused.
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE lakesql_t4 RENAME COLUMN id TO key")
+    }
+    assert(e.getMessage.contains("merge-pruning"))
+    // Unregistered targets pass through to plain Spark (which rejects).
+    intercept[Exception] {
+      spark.sql("ALTER TABLE some_unregistered_t RENAME COLUMN a TO b")
+    }
+  }
+
   test("SQL MERGE honors the lake's CHECK constraints") {
     import spark.implicits._
     val (pSql, _) = freshPair()
