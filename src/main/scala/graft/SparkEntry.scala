@@ -250,7 +250,8 @@ object SparkEntry {
           StructField("status", StringType),
           StructField("price", DoubleType)))))))
         .groupBy(col("detail.status").as("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("detail.price")), 2).as("rev"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("detail.price") * 100).cast("long")) / 100.0).as("rev"))
         .orderBy("o_orderstatus")
     }),
     "mv01_incremental_agg" -> graft.operators.Materialized.mv01IncrementalAgg _,
@@ -1029,7 +1030,7 @@ object SparkEntry {
         |SELECT quartile, count(*) AS n, round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
         |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin,
     "q19_events_daily" ->
-      """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY d, event_type""".stripMargin,
@@ -1498,7 +1499,7 @@ object SparkEntry {
         |FROM w ORDER BY doc_id""".stripMargin,
     "st17_watermark_lake_append" -> graft.streaming.WatermarkLake.st17OracleSql,
     "st01_windowed_counts" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
@@ -1536,7 +1537,7 @@ object SparkEntry {
     // plain aggregate; the dedup path itself is exercised in specs
     // with injected duplicates.
     "st03_dedup_counts" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -1637,7 +1638,7 @@ object SparkEntry {
         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM g)
         |SELECT user_id, min(t) AS start_us, max(t) + 1800000000 AS end_us,
-        |  CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS sum_value
+        |  CAST(count(*) AS INT) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin,
     // Incremental join-view refresh must equal the full join recompute.

@@ -295,7 +295,7 @@ object Relational {
   def q19EventsDaily(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("d"), col("event_type"))
-      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .orderBy(col("d"), col("event_type"))
 
   /** q20: sessionization by 30-minute inactivity gap, via lag + running

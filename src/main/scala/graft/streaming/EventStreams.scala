@@ -22,7 +22,7 @@ object EventStreams {
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(
         col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
@@ -140,7 +140,7 @@ object EventStreams {
   def st03DedupCounts(spark: SparkSession, dir: String): DataFrame =
     dedupEvents(Tables.events(spark, dir), streaming = false)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .orderBy("event_type")
 
   /** Stream-stream interval join: purchases within 30 min AFTER an
@@ -252,7 +252,7 @@ object EventStreams {
   def sessionWindowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(
         col("user_id"),
         unix_micros(col("sw.start")).as("start_us"),

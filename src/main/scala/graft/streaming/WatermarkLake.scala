@@ -64,7 +64,10 @@ object WatermarkLake {
     val agg = spark.readStream.schema(events.schema).parquet(inDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      // Exact cents (see q01): windowed money sums are the same
+      // order-dependent float family as the batch ones.
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -73,16 +76,29 @@ object WatermarkLake {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         agg.schema), path)
 
-    val q = agg.writeStream
-      .option("checkpointLocation", ckDir)
-      .outputMode("append") // ONLY finalized windows — the contract
-      .foreachBatch { (finalized: DataFrame, batchId: Long) =>
-        if (!finalized.isEmpty) {
-          GraftLake.appendIdempotent(finalized, path, s"epoch-$batchId")
-        }
-        ()
+    // The windowed-agg state store instantiates one partition per
+    // shuffle partition and commits EVERY one each micro-batch; the
+    // state here is O(windows × types) rows, so 8 partitions hold it
+    // comfortably and cut the per-batch commit fan-out 4× vs the
+    // session's 32. Read at query START, so the temporary setting
+    // scopes to this stream only.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try {
+        agg.writeStream
+          .option("checkpointLocation", ckDir)
+          .outputMode("append") // ONLY finalized windows — the contract
+          .foreachBatch { (finalized: DataFrame, batchId: Long) =>
+            if (!finalized.isEmpty) {
+              GraftLake.appendIdempotent(finalized, path, s"epoch-$batchId")
+            }
+            ()
+          }
+          .start()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
-      .start()
     try {
       Seq(
         events.filter(unix_timestamp(col("ts")) <= cut1),
@@ -125,7 +141,8 @@ object WatermarkLake {
     */
   val st17OracleSql: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
-      |  count(*) AS n, round(sum(value), 2) AS sum_value,
+      |  count(*) AS n,
+      |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
       |  TRUE AS append_exactly_once
       |FROM events
       |GROUP BY 1, 2
