@@ -258,6 +258,8 @@ object SparkEntry {
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st17_watermark_lake_append" ->
       ((s: SparkSession, d: String) => graft.streaming.WatermarkLake.st17WatermarkLakeAppend(s, d)),
+    "st18_stream_near_dedup" ->
+      ((s: SparkSession, d: String) => graft.streaming.DedupStream.st18StreamNearDedup(s, d)),
     "st02_stateful_sessions" -> EventStreams.st02StatefulSessions _,
     "st03_dedup_counts"  -> EventStreams.st03DedupCounts _,
     "st04_stream_join"   -> EventStreams.st04StreamJoin _,
@@ -1498,6 +1500,9 @@ object SparkEntry {
         |  coalesce(list_max(mins), 0) AS max_fp
         |FROM w ORDER BY doc_id""".stripMargin,
     "st17_watermark_lake_append" -> graft.streaming.WatermarkLake.st17OracleSql,
+    // Unrolled fold of the stream's accumulating band index over the
+    // three arrival batches — shared CTE chain with d06.
+    "st18_stream_near_dedup" -> graft.streaming.DedupStream.st18OracleSql,
     "st01_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events

@@ -95,6 +95,35 @@ object Dedup {
       .toDF("doc_id", "shingles", "bands")
   }
 
+  /** Exploded LSH band rows of a (doc_id, text) frame:
+    * (doc_id, band_idx [1-based, matching the oracle's `e` CTE],
+    * band_hash) — the row shape a persisted band INDEX stores. One
+    * typed map pass per doc; O(NBands) rows out per doc.
+    */
+  private[graft] def bandRowsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val base = shinglesOf(text).map(polyHash)
+        val sig = Array.tabulate(NPerms) { p =>
+          var m = Long.MaxValue
+          base.foreach { h => val v = (permA(p) * h + permB(p)) % M; if (v < m) m = v }
+          m
+        }
+        Array.tabulate(NBands)(b =>
+          (id, b + 1, bandHash(sig, b * BandRows, b * BandRows + BandRows)))
+      }
+      .toDF("doc_id", "band_idx", "band_hash")
+  }
+
+  /** The `t → … → e` prefix of [[minhashCandSql]] (band rows per doc)
+    * for oracles that consume the band INDEX shape rather than the
+    * candidate-pair join.
+    */
+  private[graft] def minhashBandRowsSql: String = minhashCandSql
+
   /** Connected-component canonicalization: map every node to the
     * minimum id in its match-graph component, so transitive chains
     * A~B~C collapse to one canonical id (a single min-partner pass
