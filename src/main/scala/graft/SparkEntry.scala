@@ -107,6 +107,7 @@ object SparkEntry {
     "s12_ann_index_maintain" -> Similarity.s12AnnIndexMaintain _,
     "s14_ann_index_delete" -> Similarity.s14AnnIndexDelete _,
     "s03_ann_ivf"        -> Similarity.s03AnnIvf _,
+    "s16_ivf_indexed"    -> ((s: SparkSession, d: String) => Similarity.s16IvfIndexed(s, d)),
     "m01_multimodal_meta" -> Multimodal.m01MultimodalMeta _,
     "m02_resize" -> ((s: SparkSession, d: String) => Multimodal.m02Resize(s, d)),
     "m03_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.m03FrameSample(s, d)),
@@ -357,6 +358,7 @@ object SparkEntry {
     "q71_anomaly_days"   -> graft.operators.Analytics.q71AnomalyDays _,
     "q74_streaks"        -> graft.operators.Analytics2.q74Streaks _,
     "q75_active_intervals" -> graft.operators.Analytics2.q75ActiveIntervals _,
+    "q76_twap"           -> graft.operators.Analytics2.q76Twap _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
@@ -1251,17 +1253,10 @@ object SparkEntry {
     // partition the corpus, so the result provably equals brute-force
     // top-k — s01's oracle. A broken quantizer/assignment/probe still
     // breaks the hash (lost or duplicated vectors change the top-k).
-    "s03_ann_ivf" ->
-      """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
-        |  FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
-        |  FROM embeddings WHERE vec_id >= 10),
-        |s AS (SELECT q_id, n_id, list_cosine_similarity(q_emb, n_emb) AS cos FROM c CROSS JOIN q),
-        |r AS (SELECT q_id, n_id, cos,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
-        |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
-        |FROM r WHERE rnk <= 5
-        |ORDER BY q_id, rnk""".stripMargin,
+    "s03_ann_ivf" -> graft.operators.Similarity.annExactOracleSql,
+    // Stored-index IVF serving probes every list in the gate, so it
+    // provably equals the same brute-force replay as s03.
+    "s16_ivf_indexed" -> graft.operators.Similarity.annExactOracleSql,
     // Texts are pure ASCII, so the stub decoder's byte math is exactly
     // codepoint math in SQL.
     "m01_multimodal_meta" ->
@@ -2073,6 +2068,7 @@ object SparkEntry {
     "q71_anomaly_days" -> graft.operators.Analytics.q71OracleSql,
     "q74_streaks" -> graft.operators.Analytics2.q74OracleSql,
     "q75_active_intervals" -> graft.operators.Analytics2.q75OracleSql,
+    "q76_twap" -> graft.operators.Analytics2.q76OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->

@@ -97,6 +97,55 @@ object Analytics2 {
       .orderBy(col("o_orderstatus"), col("d"))
   }
 
+  /** q76: TIME-WEIGHTED AVERAGE (TWAP) — the metric a step-function
+    * series needs (a reading holds until the next one, so plain AVG
+    * over-weights bursts): per (event_type, year), weight each
+    * reading's cents by the SECONDS until the next same-type reading
+    * (lead over a (ts, event_id)-ordered window; the series' last
+    * reading has no successor and drops). All arithmetic is exact
+    * integers — cents × gap-seconds summed as BIGINT — with ONE
+    * double division at presentation, so the result is bit-identical
+    * whatever the aggregation order.
+    *
+    * Scale: the window partitions on event_type (bounded cardinality,
+    * but each partition is only ever scanned once, and the heavy
+    * weighted sum is a partial-agg groupBy); for very hot single
+    * types the q29-style range-partition + two-pass rank machinery
+    * would apply — documented trade, not needed at this shape.
+    */
+  def q76Twap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_type"), col("ts"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("gap",
+        unix_timestamp(lead(col("ts"), 1).over(w)) - unix_timestamp(col("ts")))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"), year(col("ts")).as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents") * col("gap")).as("ws"),
+        sum(col("gap")).as("wt"))
+      .select(col("event_type"), col("y"), col("n"),
+        (col("ws").cast("double") / col("wt") / 100.0).as("twap"))
+      .orderBy(col("event_type"), col("y"))
+  }
+
+  val q76OracleSql: String =
+    """WITH e AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+      |      - CAST(floor(epoch(ts)) AS BIGINT) AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+      |SELECT event_type, CAST(year(ts) AS INT) AS y, count(*) AS n,
+      |  CAST(sum(cents * gap) AS DOUBLE) / CAST(sum(gap) AS BIGINT) / 100.0
+      |    AS twap
+      |FROM e WHERE gap IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val q75OracleSql: String =
     """WITH o AS (
       |  SELECT o_orderstatus AS st, CAST(o_orderdate AS DATE) AS d0 FROM orders),

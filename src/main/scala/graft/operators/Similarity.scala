@@ -267,6 +267,94 @@ object Similarity {
     queryLshIndex(spark, indexPath, q, GraftLake.read(spark, corpusPath))
   }
 
+  /** s16: PERSISTED IVF INDEX — completes the stored-index trio (s11
+    * LSH, s15 PQ, this one IVF): the coarse centroids (an immutable
+    * O(k)-row table — FAISS's quantizer) and the inverted-list
+    * assignment (n_id, cluster) both live as GraftLake tables. Corpus
+    * growth maintains the list table by assigning ONLY the CDC delta
+    * under the SAME STORED centroids (`changesSince` from the build
+    * version — the add-with-ids shape; the quantizer never retrains
+    * on ingest, exactly like a deployed FAISS index). Serving loads
+    * the O(k) centroids (bounded metadata read, same class as s13's
+    * codebooks), ranks lists per query, and probes the STORED
+    * assignment with one equi-join on the cluster id.
+    *
+    * The gated configuration probes every list, so stored-index
+    * serving provably equals brute force (s03's own gate argument) —
+    * any drift in persist/reload/delta-assignment breaks the hash.
+    * nProbe < nClusters approximation quality rides the s03 specs.
+    */
+  def s16IvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val nClusters = 16
+    val corpusPath = graft.SparkEntry.scratch("graft_ivf_corpus", dir)
+    val centPath = graft.SparkEntry.scratch("graft_ivf_centroids", dir)
+    val listPath = graft.SparkEntry.scratch("graft_ivf_lists", dir)
+    Seq(corpusPath, centPath, listPath).foreach(graft.SparkEntry.rmrf)
+    import spark.implicits._
+    val (q, c) = split(spark, dir)
+    // Day 0: half the corpus; train + persist quantizer and lists.
+    GraftLake.create(c.filter(col("n_id") % 2 === 0), corpusPath)
+    val builtAt = GraftLake.latestVersion(corpusPath)
+    val trained =
+      trainCentroids(GraftLake.read(spark, corpusPath), nClusters, iters = 2)
+    GraftLake.create(
+      trained.zipWithIndex.map { case (v, i) => (i + 1, v) }
+        .toDF("cluster", "centroid"),
+      centPath)
+    GraftLake.create(
+      GraftLake.read(spark, corpusPath)
+        .withColumn("cluster", assignCluster(col("n_emb"), trained))
+        .select(col("n_id"), col("cluster")),
+      listPath, Some("cluster"))
+    // Day 1: the corpus grows; assign ONLY the delta, with the
+    // centroids read back from the STORE (round-trip is part of the
+    // proof — floats must survive parquet exactly).
+    GraftLake.append(c.filter(col("n_id") % 2 =!= 0), corpusPath)
+    val stored: Seq[Seq[Float]] = GraftLake.read(spark, centPath)
+      .orderBy(col("cluster")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toSeq).toSeq
+    val delta = GraftLake
+      .changesSince(spark, corpusPath, builtAt).drop("_commit_version")
+    GraftLake.append(
+      delta.withColumn("cluster", assignCluster(col("n_emb"), stored))
+        .select(col("n_id"), col("cluster")),
+      listPath, Some("cluster"))
+    // Serve from the stored index (rank lists with the stored
+    // quantizer, probe all — gated-exact).
+    val qProbes = q
+      .withColumn("scores", centroidScores(col("q_emb"), stored))
+      .withColumn("ranked",
+        sort_array(
+          zip_with(col("scores"), sequence(lit(1), lit(nClusters)),
+            (s, i) => struct(s.as("s"), i.as("i"))),
+          asc = false))
+      .withColumn("cluster", explode(
+        transform(slice(col("ranked"), 1, nClusters), r => r.getField("i").cast("int"))))
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+    val scored = GraftLake.read(spark, listPath)
+      .join(broadcast(qProbes), "cluster")
+      .join(GraftLake.read(spark, corpusPath), "n_id")
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+
+  /** The exact top-k replay (brute-force cosine + rank) every
+    * exhaustively-probing ANN gate compares against — s03's argument:
+    * clusters partition the corpus, so probing all lists IS brute
+    * force, whatever index the candidates came from.
+    */
+  val annExactOracleSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+      |  FROM embeddings WHERE vec_id >= 10),
+      |s AS (SELECT q_id, n_id, list_cosine_similarity(q_emb, n_emb) AS cos FROM c CROSS JOIN q),
+      |r AS (SELECT q_id, n_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+      |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
+      |FROM r WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
   /** Query a persisted LSH index: probe buckets (own + hamming-1),
     * join the stored signature relation, score only the candidates.
     */

@@ -30,6 +30,33 @@ class Analytics2Spec extends AnyFunSuite with SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("q76 TWAP equals a driver-side step-function integration") {
+    val got = Analytics2.q76Twap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"),
+        year(col("ts")).as("y"), col("ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getTimestamp(5)))
+    val expect = rows.groupBy(_._1).flatMap { case (tpe, es) =>
+      val sorted = es.sortBy(e => (e._6.getTime, e._3))
+      val weighted = sorted.zip(sorted.drop(1)).map { case (cur, nxt) =>
+        (cur._5, cur._4, nxt._2 - cur._2) // (year, cents, gap)
+      }
+      weighted.groupBy(_._1).map { case (y, ws) =>
+        val n = ws.length.toLong
+        val num = ws.map(w => w._2 * w._3).sum
+        val den = ws.map(_._3).sum
+        (tpe, y) -> (n, num.toDouble / den / 100.0)
+      }
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("q75 sweep-line concurrency equals a brute per-day interval count") {
     val series = Analytics2.q75ActiveIntervals(spark, sf).collect()
       .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))

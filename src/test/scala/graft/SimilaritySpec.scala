@@ -394,6 +394,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       cb(m)(k).sameElements(loaded(m)(k)))))
   }
 
+  test("s16: stored IVF index equals exhaustive s03, lists maintained by delta only") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.sources.GraftLake
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    // Both probe exhaustively, so both ARE brute force — equal sets.
+    assert(rows(Similarity.s16IvfIndexed(spark, sf)) ==
+      rows(Similarity.s03AnnIvf(spark, sf)),
+      "stored-index IVF serving must equal the in-memory s03 pass")
+    // Incrementality: the list table's log is create + ONE append of
+    // exactly |delta| assignment rows; the quantizer is immutable.
+    val listPath = graft.SparkEntry.scratch("graft_ivf_lists", sf)
+    val cs = GraftLake.commits(listPath)
+    assert(cs.map(_.action) == Seq("create", "append"))
+    assert(cs(1).remove.isEmpty, "maintenance must not rewrite list sets")
+    val emb = Tables.embeddings(spark, sf)
+    val nDelta = emb.filter(col("vec_id") >= 10)
+      .filter(col("vec_id") % 2 =!= 0).count()
+    assert(spark.read.parquet(s"$listPath/${cs(1).add.head}").count() == nDelta)
+    val centPath = graft.SparkEntry.scratch("graft_ivf_centroids", sf)
+    assert(GraftLake.commits(centPath).map(_.action) == Seq("create"))
+  }
+
   test("s14: erased vectors never serve, and the erasure rewrote no data") {
     val rows = Similarity.s14AnnIndexDelete(spark, sf).collect()
     assert(rows.length == 50)
