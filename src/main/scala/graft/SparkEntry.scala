@@ -359,6 +359,7 @@ object SparkEntry {
     "q74_streaks"        -> graft.operators.Analytics2.q74Streaks _,
     "q75_active_intervals" -> graft.operators.Analytics2.q75ActiveIntervals _,
     "q76_twap"           -> graft.operators.Analytics2.q76Twap _,
+    "q77_transitions"    -> graft.operators.Analytics2.q77Transitions _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
@@ -2069,6 +2070,7 @@ object SparkEntry {
     "q74_streaks" -> graft.operators.Analytics2.q74OracleSql,
     "q75_active_intervals" -> graft.operators.Analytics2.q75OracleSql,
     "q76_twap" -> graft.operators.Analytics2.q76OracleSql,
+    "q77_transitions" -> graft.operators.Analytics2.q77OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->

@@ -146,6 +146,50 @@ object Analytics2 {
       |FROM e WHERE gap IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q77: SESSION TRANSITION MATRIX — the first-order Markov view of
+    * user journeys (the "what follows an error?" question): per user,
+    * consecutive events ≤30 min apart form a transition
+    * (from_type → to_type); counts aggregate globally and each row
+    * carries its share of the from-type's outgoing transitions.
+    *
+    * Scale: the window partitions on user_id (high cardinality); the
+    * transition table is O(|types|²) rows, so the share window is
+    * metadata-sized. Exact integer counts; one double division per
+    * output row computed from identical longs in both engines.
+    */
+  def q77Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val shares = Window.partitionBy(col("from_type"))
+    e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_s",
+        unix_timestamp(lead(col("ts"), 1).over(w)) - unix_timestamp(col("ts")))
+      .filter(col("to_type").isNotNull && col("gap_s") <= 1800)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct",
+        round(col("n").cast("double") * 100.0 / sum(col("n")).over(shares), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q77OracleSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER w AS to_type,
+      |    CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+      |      - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (
+      |  SELECT event_type AS from_type, to_type, count(*) AS n
+      |  FROM s WHERE to_type IS NOT NULL AND gap_s <= 1800
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) * 100.0
+      |    / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 4) AS pct
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
   val q75OracleSql: String =
     """WITH o AS (
       |  SELECT o_orderstatus AS st, CAST(o_orderdate AS DATE) AS d0 FROM orders),

@@ -57,6 +57,29 @@ class Analytics2Spec extends AnyFunSuite with SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("q77 transition matrix equals a driver-side session walk") {
+    val got = Analytics2.q77Transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getTimestamp(4)))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._5.getTime, e._3))
+      sorted.zip(sorted.drop(1)).collect {
+        case (a, b) if b._2 - a._2 <= 1800 => (a._4, b._4)
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expect && got.nonEmpty)
+    // shares per from_type sum to ~100
+    val pcts = Analytics2.q77Transitions(spark, sf).collect()
+      .groupBy(_.getString(0)).values
+    pcts.foreach(g => assert(math.abs(g.map(_.getDouble(3)).sum - 100.0) < 0.01))
+  }
+
   test("q75 sweep-line concurrency equals a brute per-day interval count") {
     val series = Analytics2.q75ActiveIntervals(spark, sf).collect()
       .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
