@@ -99,6 +99,7 @@ object SparkEntry {
     "d29_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.d29SemanticDedup(s, d)),
     "d30_bpe_train"      -> ((s: SparkSession, d: String) => Bpe.d30BpeTrain(s, d)),
     "d31_bpe_tokenize"   -> ((s: SparkSession, d: String) => Bpe.d31BpeTokenize(s, d)),
+    "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
     // Same LSH pipeline served from a PERSISTED lake-table index.
@@ -1240,6 +1241,7 @@ object SparkEntry {
     // Token frequencies read off the final merged vocab — the apply
     // half of the BPE lifecycle, same shared chain.
     "d31_bpe_tokenize" -> graft.operators.Bpe.d31OracleSql,
+    "d32_containment" -> TextCorpus.d32OracleSql,
     "s02_ann_lsh" -> graft.operators.Similarity.s02OracleSql,
     // Identical planes/bits and probe set as s02 — the only change is
     // that signatures come from the stored index, so s02's replay IS

@@ -60,7 +60,7 @@ object Dedup {
     h
   }
 
-  private[operators] def shinglesOf(text: String): Array[String] = {
+  private[graft] def shinglesOf(text: String): Array[String] = {
     val toks = text.trim.toLowerCase.split(" ")
     (if (toks.length < 3) Array(toks.mkString(" "))
      else toks.sliding(3).map(_.mkString(" ")).toArray).distinct
@@ -444,7 +444,7 @@ object Dedup {
   /** Shared SQL fragment: distinct 3-word shingles of the normalized
     * text (mirrors [[shinglesOf]]).
     */
-  private val shingleSql =
+  private[operators] val shingleSql =
     """CASE WHEN len(string_split(s, ' ')) < 3 THEN [s]
       |     ELSE list_distinct([array_to_string(string_split(s, ' ')[i:i+2], ' ')
       |                         FOR i IN range(1, len(string_split(s, ' ')) - 1)]) END""".stripMargin

@@ -537,6 +537,79 @@ object TextCorpus {
         (col("sum_len") - col("n_ws")).as("overlap_tokens"))
       .orderBy(col("doc_id"))
 
+  /** d32: CONTAINMENT decontamination — find training documents that
+    * CONTAIN a held-out/benchmark document (doc_id % 10 = 7 plays the
+    * eval set): containment(test ⊆ train) = |sh(test) ∩ sh(train)| /
+    * |sh(test)| ≥ 0.5 over distinct 3-word shingles. This is the
+    * asymmetric overlap Jaccard machinery MISSES by construction — a
+    * small test doc embedded in a large train doc has low Jaccard, so
+    * d06's LSH bands rarely collide and d17's fingerprint count has
+    * no denominator — yet it is exactly the leakage shape benchmark
+    * contamination takes.
+    *
+    * Blocking is a RARE-SHINGLE INVERTED INDEX, the right blocker for
+    * containment: explode shingles, drop shingles with document
+    * frequency > 10 (boilerplate shingles generate quadratic postings
+    * and no evidence), join test postings to train postings on the
+    * shingle, and keep pairs sharing ≥ 3 rare shingles. Candidate
+    * work is Σ df² over RARE shingles only — df-capped, so linear in
+    * corpus size — and the exact intersect verify runs only on
+    * candidates. Never an all-pairs compare.
+    */
+  def d32Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, Dedup.shinglesOf(t)) }
+      .toDF("doc_id", "shingles")
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val rare = ex.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 10)
+      .select(col("g"))
+    val er = ex.join(rare, "g")
+    val isTest = pmod(col("doc_id"), lit(10)) === 7
+    val cand = er.filter(isTest).select(col("g"), col("doc_id").as("test_id"))
+      .join(er.filter(!isTest).select(col("g"), col("doc_id").as("train_id")), "g")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+    cand
+      .join(sh.select(col("doc_id").as("test_id"), col("shingles").as("sh_t")), "test_id")
+      .join(sh.select(col("doc_id").as("train_id"), col("shingles").as("sh_r")), "train_id")
+      .withColumn("containment",
+        size(array_intersect(col("sh_t"), col("sh_r"))).cast("double") /
+          size(col("sh_t")))
+      .filter(col("containment") >= 0.5)
+      .select(col("train_id").as("train_doc_id"), col("test_id").as("test_doc_id"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("train_doc_id"), col("test_doc_id"))
+  }
+
+  val d32OracleSql: String =
+    s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+       |sh AS (SELECT doc_id, ${Dedup.shingleSql} AS shingles FROM t),
+       |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
+       |         WHERE df <= 10),
+       |er AS (SELECT doc_id, g FROM ex JOIN rare USING (g)),
+       |cand AS (
+       |  SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS shared
+       |  FROM er a JOIN er b USING (g)
+       |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |ver AS (
+       |  SELECT train_id, test_id,
+       |    len(list_intersect(ta.shingles, tb.shingles)) * 1.0
+       |      / len(ta.shingles) AS containment
+       |  FROM cand
+       |  JOIN sh ta ON ta.doc_id = test_id
+       |  JOIN sh tb ON tb.doc_id = train_id)
+       |SELECT train_id AS train_doc_id, test_id AS test_doc_id,
+       |  round(containment, 4) AS containment
+       |FROM ver WHERE containment >= 0.5
+       |ORDER BY train_doc_id, test_doc_id""".stripMargin
+
   val d27OracleSql: String =
     """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
       |  FROM documents),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextCorpus
@@ -10,6 +11,27 @@ import graft.operators.TextCorpus
   * plans under test.
   */
 class TextCorpusSpec extends AnyFunSuite with SparkSpec {
+
+  test("d32 containment equals a brute pairwise replay of the rare-shingle rule") {
+    import graft.operators.{Dedup, TextCorpus}
+    val got = TextCorpus.d32Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Dedup.shinglesOf(r.getString(1)).toSet))
+    val df = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val rare = df.filter(_._2 <= 10).keySet
+    val tests = docs.filter(_._1 % 10 == 7)
+    val trains = docs.filter(_._1 % 10 != 7)
+    val expect = (for {
+      (tid, ts) <- tests
+      (rid, rs) <- trains
+      if (ts & rs & rare).size >= 3
+      if (ts & rs).size.toDouble / ts.size >= 0.5
+    } yield (rid, tid)).toSet
+    assert(got == expect && got.nonEmpty)
+  }
 
   private lazy val docs: Seq[(Long, String)] =
     Tables.documents(spark, sf).select("doc_id", "text")
