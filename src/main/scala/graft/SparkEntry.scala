@@ -612,6 +612,49 @@ object SparkEntry {
         .withColumn("rename_zero_rewrite", lit(physicalIntact && logicalRenamed))
         .orderBy(col("o_orderstatus"))
     }),
+    // VACUUM: after merge + compact leave dead file-sets behind, vacuum
+    // reclaims exactly the unreferenced directories — reads of the
+    // LATEST snapshot are untouched (proven by the oracle replay), and
+    // time travel to pre-compaction versions now fails loudly instead
+    // of returning partial data (Delta's retention trade, made
+    // explicit). Flags prove: something was reclaimed, the data dir
+    // shrank to exactly the live set count, and v0 reads now refuse.
+    "src27_lake_vacuum" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_vac", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val k = col("o_orderkey")
+      GraftLake.create(o.filter(pmod(k, lit(4)) < 3), path, Some("o_orderkey"))
+      GraftLake.append(o.filter(pmod(k, lit(4)) === 3), path,
+        statsCol = Some("o_orderkey"))
+      GraftLake.merge(s, path,
+        o.filter(pmod(k, lit(5)) === 0).withColumn("cents", col("cents") + 250),
+        Seq("o_orderkey"), "o_orderkey")
+      GraftLake.compact(s, path, Seq("o_orderkey"), 2, Some("o_orderkey"))
+      def dataDirs(): Long = {
+        val d = java.nio.file.Paths.get(path, "data")
+        val st = java.nio.file.Files.list(d)
+        try st.count() finally st.close()
+      }
+      val before = dataDirs()
+      val dead = GraftLake.vacuum(path)
+      val after = dataDirs()
+      val live = GraftLake.snapshot(path).live.size
+      val ttRefused =
+        try { GraftLake.readAt(s, path, 0).count(); false }
+        catch { case _: Exception => true }
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("vacuum_reclaimed",
+          lit(dead.nonEmpty && after == live.toLong && after < before &&
+            ttRefused))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -2207,6 +2250,15 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  TRUE AS constraints_enforced
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Final state after the +250 merge wave on k%5==0; vacuum cannot
+    // change WHAT the latest snapshot reads, only what history costs.
+    "src27_lake_vacuum" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 5 = 0 THEN 250 ELSE 0 END) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS vacuum_reclaimed
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Both halves land (pre-rename under 'cents', post-rename under
     // 'price_cents'); the read unifies them under the new name.
