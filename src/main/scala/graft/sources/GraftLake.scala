@@ -444,6 +444,18 @@ object GraftLake {
   def renamesOf(path: String): Map[String, Seq[String]] =
     snapshot(path).renames
 
+  /** Map a (possibly former) column name to its CURRENT logical name
+    * through the lineage. Rewrite paths (merge/delete/compact)
+    * re-record the stats and bloom dimensions their victims carried —
+    * those names may predate a rename, and the rewritten frame only
+    * has the current names, so recording under the old name would
+    * throw on a missing column.
+    */
+  private def currentName(renames: Map[String, Seq[String]], c: String): String =
+    renames.collectFirst {
+      case (cur, formers) if formers.contains(c) => cur
+    }.getOrElse(c)
+
   /** EXACTLY-ONCE append: commit `df` tagged with `tag` unless a
     * commit with that tag already exists — the foreachBatch sink
     * primitive (tag = query/batch id). Idempotence is RACE-SAFE: the
@@ -1293,10 +1305,12 @@ object GraftLake {
     }
     // Re-record every stats dimension the rewritten sets carried (plus
     // the merge key) so multi-column pruning survives the rewrite.
-    val reStats = (hit.flatMap(_.stats.map(_.col)) :+ statsCol).distinct
+    val reStats = (hit.flatMap(_.stats.map(_.col)) :+ statsCol)
+      .map(currentName(s.renames, _)).distinct
     val v = commit(rewritten, path, "merge", tag = tag,
       statsCols = reStats, removeSets = hit.map(_.set),
-      bloomCols = bloomColsOf(path, hit.map(_.set)))
+      bloomCols = bloomColsOf(path, hit.map(_.set))
+        .map(currentName(s.renames, _)).distinct)
     (v, hit.size, kept.size)
   }
 
@@ -1402,10 +1416,12 @@ object GraftLake {
     val rewritten = hitSets.map(readSet(spark, path, _, target, s.renames))
       .reduceLeft(_.unionByName(_))
       .filter(!coalesce(predicate, lit(false))) // NULL predicate keeps the row
-    val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq).distinct
+    val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
+      .map(currentName(s.renames, _)).distinct
     val v = commit(rewritten, path, "delete",
       statsCols = reStats, removeSets = hitSets.map(_.set),
-      bloomCols = bloomColsOf(path, hitSets.map(_.set)))
+      bloomCols = bloomColsOf(path, hitSets.map(_.set))
+        .map(currentName(s.renames, _)).distinct)
     (v, hitSets.size, live.size - hitSets.size, deleted)
   }
 
@@ -1424,7 +1440,8 @@ object GraftLake {
       spark: SparkSession, path: String, sortCols: Seq[String],
       numFiles: Int, statsCol: Option[String] = None): Int = {
     val cs = commits(path)
-    val live = liveAt(cs)
+    val st = foldState(EmptySnapshot, cs)
+    val live = st.live
     require(live.nonEmpty, s"nothing to compact at $path")
     // read() applies live tombstones, so listing them in remove
     // MATERIALIZES the merge-on-read deletes and clears them.
@@ -1432,9 +1449,11 @@ object GraftLake {
       .repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     commit(df, path, "compact",
-      statsCols = (live.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq).distinct,
-      removeSets = live.map(_.set) ++ tombstonesAt(cs),
-      bloomCols = bloomColsOf(path, live.map(_.set)))
+      statsCols = (live.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
+        .map(currentName(st.renames, _)).distinct,
+      removeSets = live.map(_.set) ++ st.tombstones,
+      bloomCols = bloomColsOf(path, live.map(_.set))
+        .map(currentName(st.renames, _)).distinct)
   }
 
   /** Z-ORDER compaction: one atomic `compact` commit whose rewritten
@@ -1449,7 +1468,8 @@ object GraftLake {
       spark: SparkSession, path: String, colA: String, colB: String,
       numFiles: Int): Int = {
     val cs = commits(path)
-    val live = liveAt(cs)
+    val st = foldState(EmptySnapshot, cs)
+    val live = st.live
     require(live.nonEmpty, s"nothing to compact at $path")
     val df = read(spark, path)
     val r = df.agg(
@@ -1466,8 +1486,9 @@ object GraftLake {
       .drop("__z")
     commit(clustered, path, "compact",
       statsCols =
-        (live.flatMap(_.stats.map(_.col)) ++ Seq(colA, colB)).distinct,
-      removeSets = live.map(_.set) ++ tombstonesAt(cs))
+        (live.flatMap(_.stats.map(_.col)) ++ Seq(colA, colB))
+          .map(currentName(st.renames, _)).distinct,
+      removeSets = live.map(_.set) ++ st.tombstones)
   }
 
   // --------------------------------------------------------------- vacuum

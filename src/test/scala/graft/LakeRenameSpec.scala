@@ -93,6 +93,25 @@ class LakeRenameSpec extends AnyFunSuite with SparkSpec {
     assert(delta.agg(sum("v2")).head.getLong(0) == 360L)
   }
 
+  test("rewrites after renaming a stats column re-record under the new name") {
+    import spark.implicits._
+    val t = tmp("ren-stats")
+    // Stats zone map lives on v; rename it, then merge + compact —
+    // both must translate the recorded dimension to the new name
+    // instead of throwing on the vanished old one.
+    GraftLake.create(base, t, Some("v"))
+    GraftLake.renameColumn(t, "v", "v2")
+    GraftLake.merge(spark, t,
+      Seq((2L, "B", 999L)).toDF("k", "s", "v2"), Seq("k"), "k")
+    GraftLake.compact(spark, t, Seq("k"), 1, Some("k"))
+    val live = GraftLake.snapshot(t).live
+    assert(live.flatMap(_.stats.map(_.col)).toSet.subsetOf(Set("v2", "k")),
+      s"stats must carry CURRENT names, got ${live.flatMap(_.stats)}")
+    assert(GraftLake.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 10L), (2L, 999L), (3L, 30L)))
+  }
+
   test("rename refusals: missing, duplicate, constrained, tombstoned") {
     val t = tmp("ren-refuse")
     GraftLake.create(base, t, Some("k"))
