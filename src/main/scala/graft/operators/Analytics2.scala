@@ -64,7 +64,9 @@ object Analytics2 {
 
   /** q75: INTERVAL CONCURRENCY (sweep line) — how many orders are
     * simultaneously "active" each day, per order status, where an
-    * order is active for 14 days from its order date. The classic
+    * order is active for 15 days inclusive of its order date
+    * (d0..d0+14; the -1 delta lands on d0+15, the day AFTER the
+    * window closes — the oracle mirrors the same +15). The classic
     * overlap problem (concurrent sessions, room occupancy, active
     * promotions) solved without a range self-join:
     *
@@ -107,21 +109,36 @@ object Analytics2 {
     * double division at presentation, so the result is bit-identical
     * whatever the aggregation order.
     *
-    * Scale: the window partitions on event_type (bounded cardinality,
-    * but each partition is only ever scanned once, and the heavy
-    * weighted sum is a partial-agg groupBy); for very hot single
-    * types the q29-style range-partition + two-pass rank machinery
-    * would apply — documented trade, not needed at this shape.
+    * Scale: event_type alone is a bounded-cardinality window key (at
+    * 100x data each type's entire history would sort in ONE task), so
+    * the lead runs per (event_type, DAY) — parallelism grows with the
+    * calendar — and each day's LAST reading gets its successor from a
+    * broadcast stitch table: per-bucket first timestamps (|types| x
+    * |days| rows, metadata-sized) lead-shifted one bucket over a
+    * spine-only window. coalesce(in-bucket lead, stitched boundary)
+    * reproduces the global per-type ordering exactly; only the
+    * series' true last reading drops, as before.
     */
   def q76Twap(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(
       col("event_type"), col("ts"), col("event_id"),
       round(col("value") * 100).cast("long").as("cents"))
-    val w = Window.partitionBy(col("event_type"))
+      .withColumn("bkt", to_date(col("ts")))
+    val wb = Window.partitionBy(col("event_type"), col("bkt"))
       .orderBy(col("ts"), col("event_id"))
-    e.withColumn("gap",
-        unix_timestamp(lead(col("ts"), 1).over(w)) - unix_timestamp(col("ts")))
-      .filter(col("gap").isNotNull)
+    // Per-bucket first reading; min(struct) ranks (ts, event_id)
+    // lexicographically — identical to the window's sort key.
+    val wSpine = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+    val nextFirsts = e.groupBy(col("event_type"), col("bkt"))
+      .agg(min(struct(col("ts"), col("event_id"))).getField("ts").as("first_ts"))
+      .withColumn("next_first_ts", lead(col("first_ts"), 1).over(wSpine))
+      .select(col("event_type"), col("bkt"), col("next_first_ts"))
+    e.withColumn("next_ts", lead(col("ts"), 1).over(wb))
+      .join(broadcast(nextFirsts), Seq("event_type", "bkt"), "left")
+      .withColumn("succ_ts", coalesce(col("next_ts"), col("next_first_ts")))
+      .filter(col("succ_ts").isNotNull)
+      .withColumn("gap",
+        unix_timestamp(col("succ_ts")) - unix_timestamp(col("ts")))
       .groupBy(col("event_type"), year(col("ts")).as("y"))
       .agg(
         count(lit(1)).as("n"),

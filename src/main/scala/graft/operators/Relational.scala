@@ -106,16 +106,26 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** q06: ranked window partitioned by nation — partition-parallel,
-    * no global sort.
+  /** q06: top-3 customers per nation by balance. A
+    * `row_number() OVER (PARTITION BY c_nationkey ...)` plan would
+    * funnel the whole SF-growing customer table through |nations|=25
+    * window partitions, so instead the map-side-partial TopKByScore
+    * aggregate reduces each scan partition to ≤3 pairs BEFORE the
+    * shuffle (same (score DESC, id ASC) tie-break as the window), and
+    * the 75-row winner set broadcast-joins back to recover the exact
+    * balance and the rank.
     */
   def q06WindowRank(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val n = broadcast(Tables.nation(spark, dir))
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    c.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+    val top = c.groupBy(col("c_nationkey"))
+      .agg(graft.functions.VectorFunctions
+        .topKByScore(col("c_acctbal"), col("c_custkey"), 3).as("tk"))
+      .select(col("c_nationkey"), posexplode(col("tk")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("c_custkey"))
+    c.select(col("c_custkey"), col("c_acctbal"))
+      .join(broadcast(top), "c_custkey")
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("rnk"), col("c_custkey"), r2(col("c_acctbal")).as("acctbal"))
       .orderBy(col("n_name"), col("rnk"))

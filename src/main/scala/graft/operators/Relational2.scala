@@ -127,17 +127,31 @@ object Relational2 {
       .orderBy(col("c_custkey"))
   }
 
-  /** q30: first/last/nth value over an explicit full-partition frame. */
+  /** q30: first/last/nth value over the full per-nation ordering
+    * (acctbal DESC, custkey ASC). A full-frame window on 25-value
+    * c_nationkey would sort the SF-growing customer table in 25
+    * tasks; instead ONE partial-agg pass computes the per-nation
+    * extremes — TopKByScore(k=2) for richest + second (same
+    * tie-break as the window), max(struct(-bal, key)) for the
+    * ordering's LAST row — and the 25-row table broadcast-joins back
+    * onto every customer row.
+    */
   def q30FirstLast(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.customer(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val per = c.groupBy(col("c_nationkey"))
+      .agg(
+        graft.functions.VectorFunctions
+          .topKByScore(col("c_acctbal"), col("c_custkey"), 2).as("tk"),
+        max(struct((-col("c_acctbal")).as("nb"), col("c_custkey").as("k"))).as("worst"))
       .select(
-        col("c_custkey"), col("c_nationkey"),
-        first(col("c_custkey")).over(w).as("richest"),
-        last(col("c_custkey")).over(w).as("poorest"),
-        nth_value(col("c_custkey"), 2).over(w).as("second"))
+        col("c_nationkey"),
+        col("tk").getItem(0).getField("id").as("richest"),
+        col("worst").getField("k").as("poorest"),
+        when(size(col("tk")) >= 2, col("tk").getItem(1).getField("id")).as("second"))
+    c.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(per), "c_nationkey")
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("richest"), col("poorest"), col("second"))
       .orderBy(col("c_custkey"))
   }
 
