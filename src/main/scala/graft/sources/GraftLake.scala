@@ -419,24 +419,35 @@ object GraftLake {
       s"bad rename: '$oldName' -> '$newName'")
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
-    require(s.tombstones.isEmpty,
-      s"outstanding merge-on-read tombstones at $path reference physical " +
-        "column names: compact first, then rename")
-    val word = ("""\b""" + java.util.regex.Pattern.quote(oldName) + """\b""").r
-    s.constraints.find { case (_, sql) => word.findFirstIn(sql).isDefined }
-      .foreach { case (n, sql) =>
-        throw new IllegalStateException(
-          s"constraint '$n' ($sql) references column '$oldName' — drop or " +
-            "rewrite the constraint before renaming")
-      }
-    // Existence/duplicate checks re-run INSIDE the claim loop against
-    // the then-current schema; these early ones just fail fast.
+    fenceRename(path, s, oldName)
+    // Existence/duplicate/tombstone/constraint checks ALL re-run
+    // INSIDE the claim loop against the then-current snapshot; these
+    // early ones just fail fast.
     val cur = StructType.fromDDL(s.schemaDdl)
     require(cur.fieldNames.contains(oldName), s"no column '$oldName' at $path")
     require(!cur.fieldNames.contains(newName),
       s"column '$newName' already exists at $path")
     publishEntry(path, "rename", s"$oldName=$newName",
       new StructType(), None, Seq.empty, Seq.empty)
+  }
+
+  /** The rename refusal fences, evaluated against `snap`: outstanding
+    * merge-on-read tombstones reference PHYSICAL column names, and
+    * CHECK-constraint SQL would silently stop matching rows — both
+    * refuse loudly. Called once caller-side (fail fast) and once per
+    * claim attempt (racing deleteMoR/addConstraint freshness).
+    */
+  private def fenceRename(path: String, snap: Snapshot, oldName: String): Unit = {
+    require(snap.tombstones.isEmpty,
+      s"outstanding merge-on-read tombstones at $path reference physical " +
+        "column names: compact first, then rename")
+    val word = ("""\b""" + java.util.regex.Pattern.quote(oldName) + """\b""").r
+    snap.constraints.find { case (_, sql) => word.findFirstIn(sql).isDefined }
+      .foreach { case (n, sql) =>
+        throw new IllegalStateException(
+          s"constraint '$n' ($sql) references column '$oldName' — drop or " +
+            "rewrite the constraint before renaming")
+      }
   }
 
   /** The column-name lineage in force at the latest version
@@ -629,11 +640,35 @@ object GraftLake {
             s"no column '$oldN' to rename at $path")
           require(!cur.fieldNames.contains(newN),
             s"column '$newN' already exists at $path")
+          // The tombstone/constraint fences re-run HERE, against the
+          // claim-attempt snapshot — renameColumn's caller-side checks
+          // fail fast, but a racing deleteMoR or addConstraint landing
+          // between that snapshot and this claim must still refuse
+          // (same freshness posture as validatedCons for appends).
+          fenceRename(path, snap, oldN)
           StructType(cur.fields.map(f =>
             if (f.name == oldN) f.copy(name = newN) else f)).toDDL
         }
-        else mergeSchemas(
-          StructType.fromDDL(snap.schemaDdl), dfSchema).toDDL
+        else {
+          val oldSt = StructType.fromDDL(snap.schemaDdl)
+          // FORMER-NAME FENCE: a column renamed away must not rejoin
+          // the schema via evolution. Pre-rename file-sets still carry
+          // the physical old name, so a re-added logical column of
+          // that name would serve the SAME bytes under BOTH the new
+          // logical name (via lineage) and the re-added one — a stale
+          // writer still emitting the old column name is the realistic
+          // trigger. Delta avoids this with physical field IDs; here
+          // the loud refusal mirrors the tombstone/constraint fences.
+          val joining = dfSchema.fieldNames.toSet -- oldSt.fieldNames.toSet
+          val formerNames = snap.renames.values.flatten.toSet
+          val clash = joining.intersect(formerNames)
+          if (clash.nonEmpty) throw new IllegalStateException(
+            s"column(s) ${clash.toSeq.sorted.mkString(", ")} at $path were " +
+              "renamed away (name lineage still resolves them in pre-rename " +
+              "file-sets); re-adding the former name would alias old data — " +
+              "use a different name or overwrite() to reset the lineage")
+          mergeSchemas(oldSt, dfSchema).toDDL
+        }
       val removed =
         if (action == "overwrite") snap.live.map(_.set) ++ snap.tombstones
         else removeSets
@@ -814,7 +849,12 @@ object GraftLake {
           else (keptLive ++ added, keptTombs)
         Snapshot(c.version, c.schemaDdl, live, tombs,
           c.tag.fold(s.tags)(t => s.tags + (t -> c.version)),
-          math.max(s.tsMillis, c.tsMillis), s.constraints, s.renames)
+          math.max(s.tsMillis, c.tsMillis), s.constraints,
+          // overwrite resets the schema and drops every live set, so
+          // no pre-overwrite file can need lineage resolution — and
+          // STALE lineage would misresolve a former name that
+          // legitimately reappears in a post-overwrite schema.
+          if (c.action == "overwrite") Map.empty else s.renames)
       }
     }
 

@@ -134,4 +134,39 @@ class LakeRenameSpec extends AnyFunSuite with SparkSpec {
     GraftLake.renameColumn(t, "v", "v2")   // now allowed
     assert(GraftLake.read(spark, t).schema.fieldNames.contains("v2"))
   }
+
+  test("former-name fence: a renamed-away column cannot rejoin via evolution") {
+    import spark.implicits._
+    val t = tmp("ren-fence")
+    GraftLake.create(base, t)
+    GraftLake.renameColumn(t, "v", "v2")
+    // The realistic trigger: a stale writer still emitting 'v'. Without
+    // the fence, pre-rename sets would serve the same physical bytes
+    // under BOTH logical v2 (lineage) and the re-added v (name hit).
+    val stale = Seq((9L, "z", 90L, 900L)).toDF("k", "s", "v2", "v")
+    val e = intercept[IllegalStateException] { GraftLake.append(stale, t) }
+    assert(e.getMessage.contains("renamed away"))
+    // A DIFFERENT new name evolves fine.
+    GraftLake.append(Seq((9L, "z", 90L, 900L)).toDF("k", "s", "v2", "w"), t)
+    assert(GraftLake.read(spark, t).schema.fieldNames.toSeq ==
+      Seq("k", "s", "v2", "w"))
+  }
+
+  test("overwrite resets the lineage; the former name may then return") {
+    import spark.implicits._
+    val t = tmp("ren-ow")
+    GraftLake.create(base, t)
+    GraftLake.renameColumn(t, "v", "v2")
+    assert(GraftLake.renamesOf(t) == Map("v2" -> Seq("v")))
+    // overwrite drops every pre-rename set, so stale lineage would
+    // only ever MISresolve — it must clear.
+    GraftLake.overwrite(Seq((5L, "e", 50L)).toDF("k", "s", "v"), t)
+    assert(GraftLake.renamesOf(t).isEmpty)
+    val got = GraftLake.read(spark, t).collect().map(r =>
+      (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((5L, 50L)))
+    // and the returned 'v' is an ordinary column again: evolution works.
+    GraftLake.append(Seq((6L, "f", 60L)).toDF("k", "s", "v"), t)
+    assert(GraftLake.read(spark, t).count() == 2)
+  }
 }
