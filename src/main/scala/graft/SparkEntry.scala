@@ -655,6 +655,67 @@ object SparkEntry {
             ttRefused))
         .orderBy(col("o_orderstatus"))
     }),
+    // ROW-LEVEL CHANGE DATA FEED (Delta CDF): a table takes an append,
+    // a merge (update + insert), a copy-on-write delete AND a
+    // merge-on-read delete; a downstream mirror rebuilds the table
+    // from NOTHING but the typed feed (rank each key's changes by
+    // commit version, keep the latest non-delete) and must equal the
+    // direct read — proven in-row via `cdf_consistent`. The output is
+    // the MIRROR's per-status state plus the typed change counts; the
+    // oracle replays the same mutation arithmetic from raw orders.
+    // At 100 TB: each mutation stages O(changed rows) sidecar bytes,
+    // the feed reads only sidecars + append sets — never a table diff.
+    "src28_lake_cdf" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_cdf_feed", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val k = col("o_orderkey")
+      GraftLake.create(o.filter(pmod(k, lit(2)) === 0), path, Some("o_orderkey"))
+      GraftLake.enableCdf(path)
+      GraftLake.append(o.filter(pmod(k, lit(2)) === 1), path,
+        statsCol = Some("o_orderkey"))                            // v1
+      val updates = o.filter(pmod(k, lit(7)) === 1)
+        .withColumn("cents", col("cents") * 2)
+        .unionByName(o.filter(pmod(k, lit(7)) === 2)
+          .withColumn("o_orderkey", k + lit(1000000000L)))
+        .localCheckpoint(true)
+      GraftLake.merge(s, path, updates, Seq("o_orderkey"), "o_orderkey") // v2
+      GraftLake.delete(s, path, pmod(k, lit(5)) === 3, Some("o_orderkey")) // v3
+      GraftLake.deleteMoR(s, path, pmod(k, lit(11)) === 6, "o_orderkey")  // v4
+      // Downstream incremental apply, from the typed feed alone.
+      val feed = GraftLake.changesTyped(s, path, -1).localCheckpoint(true)
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("_commit_version").desc,
+          when(col("_change_type") === "update_preimage", 0)
+            .otherwise(1).desc)
+      val mirror = feed
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .filter(col("_change_type") =!= "delete")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("cents"))
+        .localCheckpoint(true)
+      val table = GraftLake.read(s, path)
+      val consistent = mirror.exceptAll(table).count() == 0 &&
+        table.exceptAll(mirror).count() == 0
+      val cnt = feed.groupBy(col("o_orderstatus")).agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+          .as("n_insert"),
+        sum(when(col("_change_type") === "update_preimage", 1L).otherwise(0L))
+          .as("n_update_pre"),
+        sum(when(col("_change_type") === "update_postimage", 1L).otherwise(0L))
+          .as("n_update_post"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+          .as("n_delete"))
+      mirror.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .join(cnt, Seq("o_orderstatus"))
+        .withColumn("cdf_consistent", lit(consistent))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -2251,6 +2312,45 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  TRUE AS constraints_enforced
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CDF replay: create+append = all orders; merge doubles k%7==1
+    // cents and inserts +1e9-shifted k%7==2 copies; the two deletes
+    // remove k%5==3 then k%11==6 from the merged state. Typed counts
+    // mirror the feed's change rows per status; the final state is the
+    // mirror's (≡ the table's, pinned by cdf_consistent).
+    "src28_lake_cdf" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |merged AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 7 = 1 THEN cents * 2 ELSE cents END AS cents FROM o
+        |  UNION ALL
+        |  SELECT k + 1000000000, st, cents FROM o WHERE k % 7 = 2),
+        |final AS (
+        |  SELECT * FROM merged WHERE k % 5 <> 3 AND k % 11 <> 6),
+        |chg AS (
+        |  SELECT st, 'insert' AS ct FROM o
+        |  UNION ALL SELECT st, 'insert' FROM o WHERE k % 7 = 2
+        |  UNION ALL SELECT st, 'update_preimage' FROM o WHERE k % 7 = 1
+        |  UNION ALL SELECT st, 'update_postimage' FROM o WHERE k % 7 = 1
+        |  UNION ALL SELECT st, 'delete' FROM merged WHERE k % 5 = 3
+        |  UNION ALL SELECT st, 'delete' FROM merged
+        |    WHERE k % 5 <> 3 AND k % 11 = 6),
+        |cnt AS (
+        |  SELECT st,
+        |    CAST(count(*) FILTER (WHERE ct = 'insert') AS BIGINT) AS n_insert,
+        |    CAST(count(*) FILTER (WHERE ct = 'update_preimage') AS BIGINT)
+        |      AS n_update_pre,
+        |    CAST(count(*) FILTER (WHERE ct = 'update_postimage') AS BIGINT)
+        |      AS n_update_post,
+        |    CAST(count(*) FILTER (WHERE ct = 'delete') AS BIGINT) AS n_delete
+        |  FROM chg GROUP BY 1)
+        |SELECT f.st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(f.cents) AS BIGINT) AS cents,
+        |  c.n_insert, c.n_update_pre, c.n_update_post, c.n_delete,
+        |  TRUE AS cdf_consistent
+        |FROM final f JOIN cnt c ON f.st = c.st
+        |GROUP BY 1, c.n_insert, c.n_update_pre, c.n_update_post, c.n_delete
+        |ORDER BY 1""".stripMargin,
     // Final state after the +250 merge wave on k%5==0; vacuum cannot
     // change WHAT the latest snapshot reads, only what history costs.
     "src27_lake_vacuum" ->

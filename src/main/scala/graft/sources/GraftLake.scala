@@ -7,7 +7,7 @@ import scala.util.matching.Regex
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions}
 import org.apache.spark.sql.functions.{coalesce, col, lit}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** A minimal ACID table format over parquet — the "lakehouse" surface
   * the plain directory layouts (Sources.scala) don't give: snapshot
@@ -60,7 +60,14 @@ object GraftLake {
       // Per-set manifests of a partitioned ("padd") commit: each added
       // set with its OWN exact stats (partition value as a min==max
       // zone map). Empty for ordinary one-set commits.
-      perSet: Seq[LiveSet] = Seq.empty)
+      perSet: Seq[LiveSet] = Seq.empty,
+      // CHANGE-DATA-FEED sidecar: the name of a `cdf/...` set holding
+      // this mutation's typed change rows (`_change_type` in
+      // insert / update_preimage / update_postimage / delete) — the
+      // Delta CDF `_change_data` shape. Written at mutation time by
+      // merge/delete/deleteMoR when the table has CDF enabled; never
+      // part of the live data sets.
+      cdf: Option[String] = None)
 
   /** Per-file-set min/max of one long column, recorded at commit time
     * from the written files — the manifest-level zone map that lets
@@ -484,11 +491,49 @@ object GraftLake {
       .getOrElse(commit(df, path, "append", Some(tag)))
   }
 
+  /** Enable the CHANGE DATA FEED on `path` (Delta's
+    * `delta.enableChangeDataFeed` table property): from now on,
+    * merge / delete / deleteMoR commits stage a typed change-row
+    * sidecar (`cdf/...` set, `_change_type` column) alongside their
+    * data commit, and [[changesTyped]] / the streaming source (option
+    * `cdf=true`) can serve row-level changes across mutations instead
+    * of rejecting the table. Enabling is NOT retroactive: mutations
+    * committed before the marker have no sidecar and still fail a
+    * typed read over their range, exactly like Delta.
+    */
+  def enableCdf(path: String): Unit = {
+    Files.createDirectories(logDir(path))
+    val m = logDir(path).resolve("_cdf")
+    if (!Files.exists(m)) Files.writeString(m, "1")
+  }
+
+  /** Whether the CDF marker is set for `path`. */
+  def cdfEnabled(path: String): Boolean =
+    Files.exists(logDir(path).resolve("_cdf"))
+
+  /** Stage a CDF sidecar set (when enabled): `rows` + a constant
+    * `_change_type`, written under `cdf/` — OUTSIDE the data dir, so
+    * vacuum's live-set sweep never touches it and it never joins the
+    * snapshot's live list. Returns the set name to record in the
+    * commit, or None when the feed is off or `rows` is empty-typed.
+    */
+  private def stageCdf(
+      path: String, parts: Seq[(DataFrame, String)]): Option[String] = {
+    if (!cdfEnabled(path)) return None
+    val typed = parts.map { case (df, ct) =>
+      df.withColumn("_change_type", lit(ct))
+    }.reduceLeft(_.unionByName(_))
+    val setName = s"cdf/c${java.util.UUID.randomUUID().toString.take(12)}"
+    typed.write.parquet(s"$path/$setName")
+    Some(setName)
+  }
+
   private def commit(
       df: DataFrame, path: String, action: String,
       tag: Option[String] = None, statsCols: Seq[String] = Seq.empty,
       removeSets: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty): Int = {
+      bloomCols: Seq[String] = Seq.empty,
+      cdfSet: Option[String] = None): Int = {
     // CHECK constraints gate the data-bearing writes: the delta (or
     // the merge's rewritten set) is validated BEFORE staging, one
     // scan per rule. Delete/compact/tombstone rewrite already-valid
@@ -529,7 +574,7 @@ object GraftLake {
         }
       }
     publishEntry(path, action, setName, df.schema, tag, stats, removeSets,
-      validatedCons)
+      validatedCons, cdfSet = cdfSet)
   }
 
   /** COMMIT a pre-staged file-set of already-written parquet files —
@@ -593,7 +638,8 @@ object GraftLake {
       tag: Option[String], stats: Seq[SetStats],
       removeSets: Seq[String],
       validatedCons: Option[Map[String, String]] = None,
-      perSet: Seq[LiveSet] = Seq.empty): Int = {
+      perSet: Seq[LiveSet] = Seq.empty,
+      cdfSet: Option[String] = None): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -690,7 +736,8 @@ object GraftLake {
       val addItems =
         if (perSet.nonEmpty) perSet.map(_.set)
         else if (setName.isEmpty) Seq.empty[String] else Seq(setName)
-      val header = render(Commit(v, action, mergedDdl, addItems, removed, tag, stats, ts))
+      val header = render(Commit(v, action, mergedDdl, addItems, removed, tag,
+        stats, ts, cdf = cdfSet))
       // Partitioned commits append one sealed per-set manifest line
       // per added set — still ONE file, ONE atomic publish.
       val json =
@@ -1271,6 +1318,65 @@ object GraftLake {
         .withColumn("_commit_version", lit(0)))
   }
 
+  /** TYPED CHANGES feed — the row-level CHANGE DATA FEED (Delta CDF):
+    * every commit AFTER `fromVersion` as typed change rows, current
+    * schema plus `_change_type` (insert / update_preimage /
+    * update_postimage / delete) and `_commit_version`.
+    *
+    *  - create/append/padd commits serve their added rows as inserts
+    *    (one scan of that commit's sets only, like [[changesSince]]);
+    *  - merge/delete/deleteMoR commits serve their staged `cdf/...`
+    *    sidecar — O(changed rows), never a table diff. A mutation
+    *    committed BEFORE [[enableCdf]] has no sidecar and fails
+    *    loudly (not retroactive, exactly like Delta);
+    *  - compact commits are physical re-layout — no logical change,
+    *    no rows;
+    *  - overwrite resets the table and is not representable — loud
+    *    error; downstream consumers re-seed from a snapshot.
+    *
+    * A downstream mirror applies the feed per key: rank each key's
+    * changes by (_commit_version, preimage-last), keep the latest,
+    * drop it if typed delete — see the src28 gate for the shape.
+    */
+  def changesTyped(
+      spark: SparkSession, path: String, fromVersion: Int): DataFrame = {
+    val all = commits(path)
+    require(fromVersion >= -1 && fromVersion < all.size,
+      s"fromVersion $fromVersion out of range for ${all.size}-commit log")
+    val target = StructType.fromDDL(all.last.schemaDdl)
+    val latestRenames = foldState(EmptySnapshot, all).renames
+    val parts = all.drop(fromVersion + 1).flatMap { c =>
+      c.action match {
+        case "create" | "append" | "padd" =>
+          val sets =
+            if (c.perSet.nonEmpty) c.perSet
+            else Seq(LiveSet(c.add.head, c.schemaDdl, c.stats))
+          sets.map(ls => readSet(spark, path, ls, target, latestRenames)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(c.version)))
+        case "merge" | "delete" | "tombstone" =>
+          val cdfName = c.cdf.getOrElse(throw new IllegalStateException(
+            s"commit ${c.version} is a ${c.action} with no change-data " +
+              "sidecar (CDF was not enabled when it committed) — read a " +
+              "full snapshot instead"))
+          val ownCdf = StructType.fromDDL(c.schemaDdl)
+            .add("_change_type", StringType, nullable = true)
+          val targetCdf = target.add("_change_type", StringType, nullable = true)
+          Seq(readSet(spark, path,
+            LiveSet(cdfName, ownCdf.toDDL, Seq.empty), targetCdf, latestRenames)
+            .withColumn("_commit_version", lit(c.version)))
+        case "compact" | "constraint" | "rename" | "lineage" => Seq.empty
+        case other => throw new IllegalStateException(
+          s"commit ${c.version} is a $other: not representable in the " +
+            "change feed — read a full snapshot instead")
+      }
+    }
+    parts.reduceLeftOption(_.unionByName(_))
+      .getOrElse(readAt(spark, path, all.size - 1).limit(0)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0)))
+  }
+
   // ---------------------------------------------------------------- merge
 
   /** Copy-on-write MERGE (upsert): rows of `updates` replace target
@@ -1335,13 +1441,35 @@ object GraftLake {
       if (updates.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val rewritten = hit.map(readSet(spark, path, _, target, s.renames)) match {
-      case Nil => alignedUpdates
-      case parts =>
-        parts.reduceLeft(_.unionByName(_))
-          .join(updates.select(keyCols.map(col): _*).distinct(),
-            keyCols, "left_anti")
-          .unionByName(alignedUpdates)
+    val hitDf = hit.map(readSet(spark, path, _, target, s.renames))
+      .reduceLeftOption(_.unionByName(_))
+    val ukeys = updates.select(keyCols.map(col): _*).distinct()
+    // CDF sidecar, computed against the PRE-merge hit sets (soundness
+    // contract: matched targets can only live in hit sets, so matched
+    // keys found here are ALL the matched keys): matched target rows →
+    // update_preimage, their replacing update rows → update_postimage,
+    // unmatched update rows → insert. Staged before the data commit;
+    // an abandoned sidecar from a failed commit is unreferenced and
+    // harmless (same posture as an unpublished data set).
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else {
+        val matchedKeys = hitDf.map(h =>
+          h.select(keyCols.map(col): _*).distinct()
+            .join(ukeys, keyCols, "left_semi").localCheckpoint(true))
+        val none = alignedUpdates.limit(0)
+        val pre = hitDf.map(_.join(ukeys, keyCols, "left_semi")).getOrElse(none)
+        val post = matchedKeys.map(mk =>
+          alignedUpdates.join(mk, keyCols, "left_semi")).getOrElse(none)
+        val ins = matchedKeys.map(mk =>
+          alignedUpdates.join(mk, keyCols, "left_anti")).getOrElse(alignedUpdates)
+        stageCdf(path, Seq((pre, "update_preimage"),
+          (post, "update_postimage"), (ins, "insert")))
+      }
+    val rewritten = hitDf match {
+      case None => alignedUpdates
+      case Some(h) =>
+        h.join(ukeys, keyCols, "left_anti").unionByName(alignedUpdates)
     }
     // Re-record every stats dimension the rewritten sets carried (plus
     // the merge key) so multi-column pruning survives the rewrite.
@@ -1350,7 +1478,8 @@ object GraftLake {
     val v = commit(rewritten, path, "merge", tag = tag,
       statsCols = reStats, removeSets = hit.map(_.set),
       bloomCols = bloomColsOf(path, hit.map(_.set))
-        .map(currentName(s.renames, _)).distinct)
+        .map(currentName(s.renames, _)).distinct,
+      cdfSet = cdfSet)
     (v, hit.size, kept.size)
   }
 
@@ -1397,12 +1526,19 @@ object GraftLake {
   def deleteMoR(
       spark: SparkSession, path: String, predicate: Column,
       keyCol: String): (Int, Long) = {
-    val keys = read(spark, path)
-      .filter(coalesce(predicate, lit(false)))
-      .select(col(keyCol)).distinct().localCheckpoint(true)
+    val matching = read(spark, path).filter(coalesce(predicate, lit(false)))
+    val keys = matching.select(col(keyCol)).distinct().localCheckpoint(true)
     val n = keys.count()
     if (n == 0) return (latestVersion(path), 0L)
-    val v = commit(keys, path, "tombstone")
+    // CDF sidecar: the rows VISIBLE at tombstone time, typed 'delete'.
+    // (A tombstone also suppresses same-key rows appended later; those
+    // never reach the feed as inserts-then-deletes — re-inserting a
+    // tombstoned key requires a compact first, which the
+    // append-after-delete spec pins, so the feed stays consistent.)
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else stageCdf(path, Seq((matching, "delete")))
+    val v = commit(keys, path, "tombstone", cdfSet = cdfSet)
     (v, n)
   }
 
@@ -1453,15 +1589,22 @@ object GraftLake {
     val hitSets = candidates.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
     val deleted = matchCounts.values.sum
     if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
-    val rewritten = hitSets.map(readSet(spark, path, _, target, s.renames))
+    val hitDf = hitSets.map(readSet(spark, path, _, target, s.renames))
       .reduceLeft(_.unionByName(_))
-      .filter(!coalesce(predicate, lit(false))) // NULL predicate keeps the row
+    // CDF sidecar: the removed rows themselves, typed 'delete'.
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else stageCdf(path,
+        Seq((hitDf.filter(coalesce(predicate, lit(false))), "delete")))
+    val rewritten =
+      hitDf.filter(!coalesce(predicate, lit(false))) // NULL predicate keeps the row
     val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
       .map(currentName(s.renames, _)).distinct
     val v = commit(rewritten, path, "delete",
       statsCols = reStats, removeSets = hitSets.map(_.set),
       bloomCols = bloomColsOf(path, hitSets.map(_.set))
-        .map(currentName(s.renames, _)).distinct)
+        .map(currentName(s.renames, _)).distinct,
+      cdfSet = cdfSet)
     (v, hitSets.size, live.size - hitSets.size, deleted)
   }
 
@@ -1595,7 +1738,8 @@ object GraftLake {
 
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
-    val tagField = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("")
+    val tagField = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("") +
+      c.cdf.map(s => s""","cdf":"${esc(s)}"""").getOrElse("")
     val statsField =
       if (c.stats.isEmpty) ""
       else c.stats.map(st =>
@@ -1619,6 +1763,7 @@ object GraftLake {
   private val AddRe: Regex = """"add":\[([^\]]*)\]""".r.unanchored
   private val RemoveRe: Regex = """"remove":\[([^\]]*)\]""".r.unanchored
   private val TagRe: Regex = """"tag":"((?:[^"\\]|\\.)*)"""".r.unanchored
+  private val CdfRe: Regex = """"cdf":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val StatsRe: Regex =
     """\{"col":"((?:[^"\\]|\\.)*)","min":(-?\d+),"max":(-?\d+)\}""".r.unanchored
   private val ItemRe: Regex = """"((?:[^"\\]|\\.)*)"""".r
@@ -1643,7 +1788,8 @@ object GraftLake {
           TagRe.findFirstMatchIn(json).map(m => unesc(m.group(1))),
           StatsRe.findAllMatchIn(json).map(m =>
             SetStats(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong)).toSeq,
-          TsRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L))
+          TsRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L),
+          cdf = CdfRe.findFirstMatchIn(json).map(m => unesc(m.group(1))))
       case _ => throw new IllegalStateException(s"bad commit json: $json")
     }
   }

@@ -62,17 +62,22 @@ class LakeStreamSource extends TableProvider with DataSourceRegister {
     require(path != null, "graft-lake-stream requires option 'path'")
     val cs = GraftLake.commits(path)
     require(cs.nonEmpty, s"no graft-lake table at $path")
+    val cdf = options.getBoolean("cdf", false)
     val full = StructType.fromDDL(cs.last.schemaDdl)
     val projected = Option(options.get("columns")) match {
       case Some(csv) =>
         val keep = csv.split(",").map(_.trim).filter(_.nonEmpty)
         val have = full.fieldNames.toSet
-        keep.foreach(c => require(c == "_commit_version" || have(c),
+        keep.foreach(c => require(c == "_commit_version" ||
+          (cdf && c == "_change_type") || have(c),
           s"unknown column '$c' in graft-lake-stream columns option"))
         StructType(full.fields.filter(f => keep.contains(f.name)))
       case None => full
     }
-    projected.add("_commit_version", IntegerType, nullable = false)
+    val withType =
+      if (cdf) projected.add("_change_type", StringType, nullable = false)
+      else projected
+    withType.add("_commit_version", IntegerType, nullable = false)
   }
   override def getTable(
       schema: StructType,
@@ -81,22 +86,23 @@ class LakeStreamSource extends TableProvider with DataSourceRegister {
     new LakeStreamTable(
       properties.asScala("path"),
       properties.asScala.getOrElse("fromVersion", "-1").toInt,
-      schema)
+      schema,
+      properties.asScala.get("cdf").exists(_.equalsIgnoreCase("true")))
 }
 
 private[sources] class LakeStreamTable(
-    path: String, fromVersion: Int, tableSchema: StructType)
+    path: String, fromVersion: Int, tableSchema: StructType, cdf: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft_lake_stream($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeStreamScanBuilder(path, fromVersion, tableSchema)
+    new LakeStreamScanBuilder(path, fromVersion, tableSchema, cdf)
 }
 
 private[sources] class LakeStreamScanBuilder(
-    path: String, fromVersion: Int, full: StructType)
+    path: String, fromVersion: Int, full: StructType, cdf: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -108,7 +114,7 @@ private[sources] class LakeStreamScanBuilder(
     override def readSchema(): StructType = required
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
       LakeStreamSource.readSchemas.add(required.fieldNames.toSeq)
-      new LakeMicroBatchStream(path, fromVersion, required)
+      new LakeMicroBatchStream(path, fromVersion, required, cdf)
     }
   }
 }
@@ -127,7 +133,8 @@ private[sources] case class LakeVersionOffset(version: Int) extends Offset {
 }
 
 private[sources] class LakeMicroBatchStream(
-    path: String, fromVersion: Int, required: StructType)
+    path: String, fromVersion: Int, required: StructType,
+    cdf: Boolean = false)
     extends MicroBatchStream {
 
   override def initialOffset(): Offset = LakeVersionOffset(fromVersion)
@@ -144,11 +151,44 @@ private[sources] class LakeMicroBatchStream(
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  private def setFiles(set: String): Seq[java.nio.file.Path] = {
+    val dir = java.nio.file.Paths.get(path, set)
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.toString)
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LakeVersionOffset].version
     val e = end.asInstanceOf[LakeVersionOffset].version
     val cs = GraftLake.commits(path)
     val range = cs.slice(s + 1, e + 1)
+    if (cdf) {
+      // CDF mode: appends stream as constant-typed inserts; mutation
+      // commits stream their staged change sidecar (typed column IN
+      // the files); compact/metadata commits carry no logical change.
+      return range.flatMap { c =>
+        c.action match {
+          case "create" | "append" =>
+            c.add.flatMap(setFiles).map(f => LakeFilePartition(
+              f.toString, c.schemaDdl, c.version,
+              changeType = Some("insert")): InputPartition)
+          case "merge" | "delete" | "tombstone" =>
+            val cdfSet = c.cdf.getOrElse(throw new IllegalStateException(
+              s"commit ${c.version} is a ${c.action} with no change-data " +
+                "sidecar (CDF was not enabled when it committed) — " +
+                "restart from a fresh snapshot"))
+            val ddl = StructType.fromDDL(c.schemaDdl)
+              .add("_change_type", StringType, nullable = true).toDDL
+            setFiles(cdfSet).map(f =>
+              LakeFilePartition(f.toString, ddl, c.version): InputPartition)
+          case "compact" | "constraint" | "rename" | "lineage" => Seq.empty
+          case other => throw new IllegalStateException(
+            s"commit ${c.version} is a $other: not representable in the " +
+              "change stream — restart from a fresh snapshot")
+        }
+      }.toArray
+    }
     range.find(c => c.action != "create" && c.action != "append" &&
         c.action != "constraint").foreach { c =>
       throw new IllegalStateException(
@@ -158,10 +198,7 @@ private[sources] class LakeMicroBatchStream(
     // Constraint commits carry rules, not rows — an empty micro-batch.
     range.filter(_.action != "constraint").flatMap { c =>
       c.add.flatMap { set =>
-        val dir = java.nio.file.Paths.get(path, set)
-        val files = java.nio.file.Files.list(dir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-        files.map(f =>
+        setFiles(set).map(f =>
           LakeFilePartition(f.toString, c.schemaDdl, c.version): InputPartition)
       }
     }.toArray
@@ -175,7 +212,12 @@ private[sources] class LakeMicroBatchStream(
   * set was WRITTEN under (may be narrower than the read schema).
   */
 private[sources] case class LakeFilePartition(
-    file: String, writtenDdl: String, commitVersion: Int) extends InputPartition
+    file: String, writtenDdl: String, commitVersion: Int,
+    // CDF streams only: a constant `_change_type` for this whole
+    // partition (append commits = "insert"); None when the column is
+    // real data in the file (mutation sidecars) or the stream is not
+    // in CDF mode.
+    changeType: Option[String] = None) extends InputPartition
 
 private[sources] class LakeFileReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -248,6 +290,8 @@ private[sources] class LakeFileReader(
       val f = required.fields(i)
       if (f.name == "_commit_version") {
         row.update(i, part.commitVersion)
+      } else if (f.name == "_change_type" && part.changeType.isDefined) {
+        row.update(i, UTF8String.fromString(part.changeType.get))
       } else if (!writtenNames(f.name)) {
         row.update(i, null) // column added by a later commit
       } else {

@@ -161,4 +161,52 @@ class LakeStreamSourceSpec extends AnyFunSuite with SparkSpec {
       spark, path, upd, Seq("o_orderkey"), "o_orderkey", tag = Some("e2"))
     assert(v3 == v1 + 1)
   }
+
+  test("cdf=true streams typed changes across merge and delete commits") {
+    import spark.implicits._
+    val base = freshBase()
+    val path = base.resolve("t").toString
+    val outDir = base.resolve("out").toString
+    GraftLake.create(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), path, Some("k"))
+    GraftLake.enableCdf(path)
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", path).option("cdf", "true").load()
+      .writeStream.option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      GraftLake.merge(spark, path,                       // v1: update + insert
+        Seq((2L, 99L), (7L, 70L)).toDF("k", "v"), Seq("k"), "k")
+      q.processAllAvailable()
+      GraftLake.delete(spark, path, col("k") === 1L, Some("k")) // v2
+      q.processAllAvailable()
+      GraftLake.deleteMoR(spark, path, col("k") === 3L, "k")    // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).collect().map(r => (
+      r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("v")),
+      r.getString(r.fieldIndex("_change_type")),
+      r.getInt(r.fieldIndex("_commit_version")))).toSet
+    assert(got == Set(
+      (1L, 10L, "insert", 0), (2L, 20L, "insert", 0), (3L, 30L, "insert", 0),
+      (2L, 20L, "update_preimage", 1), (2L, 99L, "update_postimage", 1),
+      (7L, 70L, "insert", 1),
+      (1L, 10L, "delete", 2),
+      (3L, 30L, "delete", 3)))
+    // The non-CDF tail over the same log still refuses the mutations.
+    val q2 = spark.readStream.format("graft-lake-stream")
+      .option("path", path).load()
+      .writeStream
+      .option("checkpointLocation", base.resolve("ck2").toString)
+      .format("noop").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e.getMessage.contains("not representable") ||
+      Option(e.getCause).exists(_.getMessage.contains("not representable")))
+  }
 }
