@@ -828,6 +828,15 @@ object SparkEntry {
         col("o_orderstatus") === "F" && col("cents") < 10000000L,
         statsCol = Some("o_orderkey"))
       GraftLake.merge(s, pathApi, updates, Seq("o_orderkey"), "o_orderkey")
+      // Round 9: the UPDATE leg — SQL UPDATE routes onto the lake's
+      // zone-pruned copy-on-write update, same state as the API call.
+      s.sql("UPDATE lake_sqldml SET cents = cents + 7 WHERE o_orderkey % 3 = 0")
+      GraftLake.update(s, pathApi, pmod(col("o_orderkey"), lit(3)) === 0,
+        Seq("cents" -> (col("cents") + 7)), Some("o_orderkey"))
+      // And the travel-read leg: SQL VERSION AS OF reads pre-DML state.
+      val v0n = s.sql(
+        "SELECT count(*) AS n FROM lake_sqldml VERSION AS OF 0").head.getLong(0)
+      val travelOk = v0n == o.count()
       val a = GraftLake.read(s, pathSql)
       val b = GraftLake.read(s, pathApi)
       // Multiset equality via (count, hash-sum) — one cheap scan per
@@ -840,6 +849,7 @@ object SparkEntry {
       a.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("sql_equals_api", lit(same))
+        .withColumn("travel_reads_v0", lit(travelOk))
         .orderBy(col("o_orderstatus"))
     }),
     // Hive-style partition layout in the lake MANIFEST: one file-set
@@ -2420,10 +2430,15 @@ object SparkEntry {
         |  WHERE o_orderkey % 5 = 1
         |  UNION ALL
         |  SELECT o_orderkey + 1000000000, o_orderstatus, cents FROM o
-        |  WHERE o_orderkey % 5 = 2)
+        |  WHERE o_orderkey % 5 = 2),
+        |updated AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    cents + CASE WHEN o_orderkey % 3 = 0 THEN 7 ELSE 0 END AS cents
+        |  FROM final)
         |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_equals_api
-        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_equals_api,
+        |  TRUE AS travel_reads_v0
+        |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin,
     "src25_lake_clone" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.util.matching.Regex
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types.{StringType, StructType}
 
 /** A minimal ACID table format over parquet — the "lakehouse" surface
@@ -543,7 +543,8 @@ object GraftLake {
     // re-validate) instead of silently landing unvalidated rows.
     val validatedCons: Option[Map[String, String]] =
       if (action == "create" || action == "append" ||
-          action == "overwrite" || action == "merge") {
+          action == "overwrite" || action == "merge" ||
+          action == "update") {
         val cons =
           if (Files.exists(logDir(path))) snapshot(path).constraints
           else Map.empty[String, String]
@@ -1354,7 +1355,7 @@ object GraftLake {
           sets.map(ls => readSet(spark, path, ls, target, latestRenames)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(c.version)))
-        case "merge" | "delete" | "tombstone" =>
+        case "merge" | "update" | "delete" | "tombstone" =>
           val cdfName = c.cdf.getOrElse(throw new IllegalStateException(
             s"commit ${c.version} is a ${c.action} with no change-data " +
               "sidecar (CDF was not enabled when it committed) — read a " +
@@ -1606,6 +1607,73 @@ object GraftLake {
         .map(currentName(s.renames, _)).distinct,
       cdfSet = cdfSet)
     (v, hitSets.size, live.size - hitSets.size, deleted)
+  }
+
+  /** Row-level UPDATE (copy-on-write): apply `sets` (column →
+    * replacement expression, evaluated against the OLD row — all
+    * right-hand sides see pre-update values, SQL UPDATE semantics) to
+    * the rows where `predicate` is TRUE (NULL leaves the row
+    * unchanged), rewriting ONLY the file-sets that contain matching
+    * rows — the same one-pass tag-and-count pruning as [[delete]], so
+    * a one-partition UPDATE rewrites one partition's files at 100 TB.
+    * CHECK constraints validate the rewritten set before it lands;
+    * CDF (when enabled) stages update_preimage/update_postimage rows.
+    * Returns (version, rewrittenSets, keptSets, updatedRows).
+    */
+  def update(
+      spark: SparkSession, path: String, predicate: Column,
+      sets: Seq[(String, Column)],
+      statsCol: Option[String] = None): (Int, Int, Int, Long) = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    require(sets.nonEmpty, "UPDATE with no assignments")
+    require(s.tombstones.isEmpty,
+      s"outstanding merge-on-read tombstones at $path: compact first " +
+        "(a raw file-set rewrite would resurrect tombstoned rows)")
+    val target = StructType.fromDDL(s.schemaDdl)
+    sets.foreach { case (c, _) =>
+      require(target.fieldNames.contains(c),
+        s"UPDATE: no column '$c' at $path")
+    }
+    require(sets.map(_._1).distinct.size == sets.size,
+      "UPDATE: duplicate assignment targets")
+    val live = s.live
+    val pred = coalesce(predicate, lit(false))
+    // ONE distributed job: per-set match counts (O(sets) driver rows).
+    val tagged = live.map { ls =>
+      readSet(spark, path, ls, target, s.renames)
+        .filter(pred)
+        .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .select(lit(ls.set).as("s"), functions.col("n"))
+    }.reduceLeft(_.unionByName(_))
+    val matchCounts = tagged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hitSets = live.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
+    val updated = matchCounts.values.sum
+    if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
+    val hitDf = hitSets.map(readSet(spark, path, _, target, s.renames))
+      .reduceLeft(_.unionByName(_))
+    // All assignments in ONE select: every RHS reads the input row, so
+    // `SET a = b, b = a` swaps rather than cascading.
+    def applied(df: DataFrame): DataFrame = df.select(target.fields.map { f =>
+      sets.find(_._1 == f.name) match {
+        case Some((_, v)) =>
+          when(pred, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else stageCdf(path, Seq(
+        (hitDf.filter(pred), "update_preimage"),
+        (applied(hitDf.filter(pred)), "update_postimage")))
+    val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
+      .map(currentName(s.renames, _)).distinct
+    val v = commit(applied(hitDf), path, "update",
+      statsCols = reStats, removeSets = hitSets.map(_.set),
+      bloomCols = bloomColsOf(path, hitSets.map(_.set))
+        .map(currentName(s.renames, _)).distinct,
+      cdfSet = cdfSet)
+    (v, hitSets.size, live.size - hitSets.size, updated)
   }
 
   /** Transactional COMPACTION: rewrite all live file-sets into one

@@ -3,17 +3,19 @@ package graft.sources
 import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.expr
 
 /** SQL DML/DDL surface for GraftLake: `spark.sql("MERGE INTO lake
-  * ...")`, `spark.sql("DELETE FROM lake WHERE ...")` and
-  * `spark.sql("ALTER TABLE lake RENAME COLUMN a TO b")` route to
-  * [[GraftLake.merge]] / [[GraftLake.delete]] /
-  * [[GraftLake.renameColumn]] — the warehouse surface is
-  * SQL-complete, not Scala-only.
+  * ...")`, `DELETE FROM lake WHERE ...`, `UPDATE lake SET ... WHERE
+  * ...`, `ALTER TABLE lake RENAME COLUMN a TO b`, and time-travel
+  * reads (`SELECT ... FROM lake VERSION AS OF n / TIMESTAMP AS OF
+  * ts`) route to [[GraftLake.merge]] / [[GraftLake.delete]] /
+  * [[GraftLake.update]] / [[GraftLake.renameColumn]] /
+  * [[GraftLake.readAt]] / [[GraftLake.readAsOf]] — the warehouse
+  * surface is SQL-complete, not Scala-only.
   *
   * Spark-first mechanics: the parser already produces
   * `MergeIntoTable` / `DeleteFromTable` logical plans for ANY target;
@@ -166,6 +168,22 @@ final case class GraftLakeDeleteCommand(
   }
 }
 
+/** UPDATE <lake view> SET c = expr, ... [WHERE <cond>] — executes the
+  * lake's zone-pruned copy-on-write row-level update. Assignment
+  * right-hand sides and the condition re-parse as bare SQL against a
+  * fresh snapshot at execution time (same posture as DELETE).
+  */
+final case class GraftLakeUpdateCommand(
+    path: String, condSql: String, assigns: Seq[(String, String)],
+    statsCol: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.update(spark, path, expr(condSql),
+      assigns.map { case (c, v) => c -> expr(v) }, Some(statsCol))
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE <lake view> RENAME COLUMN <old> TO <new> — executes
   * the lake's zero-rewrite column-mapping rename, then refreshes the
   * registered temp view so subsequent reads see the new name.
@@ -226,7 +244,10 @@ final class LakeDdlParser(
             GraftLakeRenameCommand(t.path, name, r.column.name.head, r.newName)
           case None => r
         }
-      case other => other
+      // VERSION AS OF / TIMESTAMP AS OF over registered lake names —
+      // also a parse-time substitution (ResolveRelations throws on
+      // temp-view time travel before resolution rules run).
+      case other => LakeTimeTravel.splice(other)
     }
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -250,6 +271,80 @@ final class LakeDdlParser(
   * into the runnable commands above. Unregistered targets pass
   * through untouched (normal v2 analysis handles or rejects them).
   */
+/** Time-travel splice for registered lake names, applied AT PARSE
+  * TIME (like the RENAME interception): the analyzer's
+  * ResolveRelations throws UNSUPPORTED_FEATURE.TIME_TRAVEL on a temp
+  * view BEFORE any injected resolution rule can run, so
+  * `RelationTimeTravel` over a lake name must be substituted with the
+  * analyzed plan of the lake's own [[GraftLake.readAt]] /
+  * [[GraftLake.readAsOf]] straight out of the parser — SQL time
+  * travel IS the Scala API's read, one code path, like the DML
+  * routing.
+  */
+object LakeTimeTravel {
+
+  def splice(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        LakeSql.targetName(tt.relation) match {
+          case Some(name) =>
+            val t = LakeSql.lookup(name).get
+            val spark = SparkSession.active
+            val df = (tt.version, tt.timestamp) match {
+              case (Some(v), None) =>
+                val ver =
+                  try v.toInt
+                  catch { case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"VERSION AS OF on lake table $name requires an " +
+                        s"integer version, got '$v'") }
+                GraftLake.readAt(spark, t.path, ver)
+              case (None, Some(ts)) =>
+                GraftLake.readAsOf(spark, t.path, evalTsMillis(name, ts))
+              case _ => throw new IllegalArgumentException(
+                s"time travel on lake table $name needs exactly one of " +
+                  "VERSION AS OF / TIMESTAMP AS OF")
+            }
+            SubqueryAlias(name, org.apache.spark.sql.GraftSqlBridge.planOf(df))
+          case None => tt
+        }
+    }
+
+  /** A `TIMESTAMP AS OF` operand to epoch millis: a numeric literal
+    * is millis verbatim; a string literal parses as an instant or as
+    * UTC `yyyy-MM-dd[ HH:mm:ss]` — evaluated at plan time, like the
+    * v2 time-travel spec resolution does.
+    */
+  private def evalTsMillis(name: String, e: Expression): Long = {
+    val v = try e.eval(null) catch { case _: Exception =>
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF on lake table $name: cannot evaluate " +
+          s"'${e.sql}' at plan time — use a literal") }
+    v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val str = s.toString.trim
+        try {
+          if (str.forall(_.isDigit)) str.toLong
+          else if (str.contains("T")) java.time.Instant.parse(str).toEpochMilli
+          else {
+            val full = if (str.contains(":")) str else str + " 00:00:00"
+            java.time.LocalDateTime.parse(full.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          }
+        } catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"TIMESTAMP AS OF on lake table $name: unparseable timestamp " +
+              s"'$str' — use epoch millis, ISO instant, or UTC " +
+              "'yyyy-MM-dd[ HH:mm:ss]'") }
+      case other => throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF on lake table $name: unsupported literal " +
+          s"type ${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
+  }
+}
+
 object LakeDmlRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DeleteFromTable =>
@@ -282,6 +377,21 @@ object LakeDmlRule extends Rule[LogicalPlan] {
               "supported — WHEN MATCHED THEN UPDATE SET * " +
               "WHEN NOT MATCHED THEN INSERT * (no extra clauses)")
           GraftLakeMergeCommand(t.path, m.sourceTable, keys, t.statsCol)
+        case None => plan
+      }
+    case u: UpdateTable =>
+      LakeSql.targetName(u.table) match {
+        case Some(name) =>
+          val t = LakeSql.lookup(name).get
+          val assigns = u.assignments.map { a =>
+            val k = LakeSql.leafName(a.key).getOrElse(
+              throw new IllegalArgumentException(
+                s"UPDATE <graft lake>: unsupported assignment target " +
+                  s"'${a.key.sql}' — assign to a top-level column"))
+            k -> LakeSql.bareCondition(a.value)
+          }
+          val condSql = u.condition.map(LakeSql.bareCondition).getOrElse("true")
+          GraftLakeUpdateCommand(t.path, condSql, assigns, t.statsCol)
         case None => plan
       }
     case _ => plan

@@ -15,4 +15,11 @@ object GraftSqlBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** The analyzed logical plan of a DataFrame — the inverse of
+    * [[ofRows]], used to splice a lake time-travel read into a SQL
+    * query plan in place of its `VERSION AS OF` relation.
+    */
+  def planOf(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 }

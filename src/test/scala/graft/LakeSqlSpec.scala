@@ -114,4 +114,83 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, pSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       == Seq((1L, 10L)))
   }
+
+  test("SQL UPDATE lands the identical state as the Scala API update") {
+    import spark.implicits._
+    val (pSql, pApi) = freshPair()
+    val rows = (1L to 30L).map(i => (i, i * 10, i * 100))
+    val df = rows.toDF("id", "a", "b")
+    GraftLake.create(df, pSql, Some("id"))
+    GraftLake.create(df, pApi, Some("id"))
+    LakeSql.register(spark, pSql, "lakesql_t4", "id")
+    // Simultaneous-assignment semantics: every RHS reads the OLD row.
+    spark.sql("UPDATE lakesql_t4 SET a = b + 1, b = a WHERE id % 3 = 0")
+    GraftLake.update(spark, pApi, col("id") % 3 === 0,
+      Seq("a" -> (col("b") + 1), "b" -> col("a")), Some("id"))
+    val a = GraftLake.read(spark, pSql).collect().map(_.toSeq).toSet
+    val b = GraftLake.read(spark, pApi).collect().map(_.toSeq).toSet
+    assert(a == b)
+    val byId = a.map(s => s.head.asInstanceOf[Long] -> s).toMap
+    assert(byId(3L)(1) == 301L && byId(3L)(2) == 30L) // swapped, not cascaded
+    assert(byId(4L)(1) == 40L && byId(4L)(2) == 400L) // untouched
+    // No-WHERE UPDATE hits every row.
+    spark.sql("UPDATE lakesql_t4 SET a = 0")
+    assert(GraftLake.read(spark, pSql).filter(col("a") =!= 0).count() == 0)
+    // Unknown assignment column fails loudly.
+    intercept[Exception] { spark.sql("UPDATE lakesql_t4 SET nope = 1") }
+  }
+
+  test("update prunes by zone maps and feeds CDF pre/post images") {
+    import spark.implicits._
+    val (p, _) = freshPair()
+    GraftLake.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), p, Some("id"))
+    GraftLake.append((11L to 20L).map(i => (i, i)).toDF("id", "v"), p,
+      statsCol = Some("id"))
+    GraftLake.enableCdf(p)
+    // Predicate only matches the second set: exactly one rewrite.
+    val (_, rew, kept, n) = GraftLake.update(spark, p, col("id") === 15L,
+      Seq("v" -> lit(999L)), Some("id"))
+    assert(rew == 1 && kept == 1 && n == 1L)
+    val feed = GraftLake.changesTyped(spark, p, 1).collect().map(r => (
+      r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set((15L, 15L, "update_preimage"),
+      (15L, 999L, "update_postimage")))
+    // A no-match update commits nothing.
+    val v0 = GraftLake.latestVersion(p)
+    val (v1, r1, _, n1) = GraftLake.update(spark, p, col("id") === 999L,
+      Seq("v" -> lit(0L)), Some("id"))
+    assert(v1 == v0 && r1 == 0 && n1 == 0L)
+  }
+
+  test("SQL VERSION AS OF and TIMESTAMP AS OF read the lake's history") {
+    import spark.implicits._
+    val (p, _) = freshPair()
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), p, Some("id"))   // v0
+    val tsAfterV0 = GraftLake.commits(p).last.tsMillis
+    Thread.sleep(5)
+    GraftLake.append(Seq((2L, 20L)).toDF("id", "v"), p)               // v1
+    GraftLake.update(spark, p, col("id") === 1L,
+      Seq("v" -> lit(99L)), Some("id"))                               // v2
+    LakeSql.register(spark, p, "lakesql_tt", "id")
+    def ids(sql: String): Set[(Long, Long)] =
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids("SELECT id, v FROM lakesql_tt VERSION AS OF 0") ==
+      Set((1L, 10L)))
+    assert(ids("SELECT id, v FROM lakesql_tt VERSION AS OF 1") ==
+      Set((1L, 10L), (2L, 20L)))
+    assert(ids("SELECT id, v FROM lakesql_tt VERSION AS OF 2") ==
+      Set((1L, 99L), (2L, 20L)))
+    // Aggregations compose over the travel read.
+    assert(spark.sql(
+      "SELECT sum(v) FROM lakesql_tt VERSION AS OF 1").head.getLong(0) == 30L)
+    // Timestamp travel: epoch-millis literal as of v0's commit stamp.
+    assert(ids(
+      s"SELECT id, v FROM lakesql_tt TIMESTAMP AS OF '$tsAfterV0'") ==
+      Set((1L, 10L)))
+    // Bad version / pre-creation timestamp fail loudly.
+    intercept[Exception] {
+      spark.sql("SELECT id FROM lakesql_tt VERSION AS OF 99").collect() }
+    intercept[Exception] {
+      spark.sql("SELECT id FROM lakesql_tt TIMESTAMP AS OF '5'").collect() }
+  }
 }
