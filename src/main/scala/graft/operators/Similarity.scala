@@ -1112,6 +1112,126 @@ object Similarity {
        |FROM r WHERE rnk <= $K
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** s17: BM25-WEIGHTED HYBRID search — s10's missing document-
+    * frequency statistic. s10's lexical leg is saturating tf only, so
+    * a common term ranks as high as a rare one; BM25 fixes that with
+    * idf weighting plus per-document length normalization:
+    *
+    *   bm25(t,d) = idf_r(t) * tf*(k1+1) / (tf + k1*(1-b + b*len/avgdl))
+    *   idf_r(t)  = (N - df + 0.5) / (df + 0.5)     k1=1.2, b=0.75
+    *
+    * idf_r is the UNLOGGED rational idf (d15's engine-portable trick):
+    * every operation in the whole score is an IEEE correctly-rounded
+    * ÷ × + −, so Spark and DuckDB produce bit-identical doubles —
+    * ln() is implementation-defined at the last ulp, a cross-engine
+    * hash hazard at round() boundaries. The lexical score saturates
+    * (lex/(1+lex)) before fusing with the cosine so alpha keeps one
+    * scale whatever the idf magnitude.
+    *
+    * The gate queries one RARE term ('dup', df≈5% of docs) and one
+    * COMMON term ('batch', df≈80%): `rare_term_dominates` pins
+    * idf_r(rare) > idf_r(common) in-row — the ranking property s10
+    * cannot express.
+    *
+    * Scale: tf/df/len are the d15 shapes (explode → partial-agg
+    * groupBy on (doc,word)/word/doc); df and the corpus stats are
+    * O(terms)/O(1) broadcasts; the fusion + bounded-heap top-k is
+    * exactly s01's map-side-partial shape. At 100 TB the per-term tf
+    * lookup rides an inverted-index table; everything downstream is
+    * unchanged.
+    */
+  def s17Bm25Hybrid(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("dup", "batch"),
+      alpha: Double = 0.05): DataFrame = {
+    val (q, c) = split(spark, dir)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.functions.split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val len = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot"))
+      .withColumn("avgdl", col("tot").cast("double") / col("n_docs"))
+      .select(col("n_docs"), col("avgdl"))
+    val idf = df.crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .select(col("w"), col("idf"))
+    // rare-vs-common pin: computed from the SAME broadcastable idf rows.
+    val idfMap = idf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rareDominates = terms.size == 2 &&
+      idfMap.getOrElse(terms.head, 0.0) > idfMap.getOrElse(terms(1), 0.0)
+    val lex = tf
+      .join(len, "doc_id")
+      .join(broadcast(idf), "w")
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("bm25", col("idf") *
+        (col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("len") / col("avgdl"))))))
+      .groupBy(col("doc_id")).agg(sum(col("bm25")).as("lex"))
+    val scored = c.join(lex, c("n_id") === lex("doc_id"), "left")
+      .withColumn("lexs", coalesce(col("lex"), lit(0.0)))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+      .withColumn("score",
+        col("cos") + lit(alpha) * (col("lexs") / (lit(1.0) + col("lexs"))))
+    scored
+      .groupBy(col("q_id"))
+      .agg(VectorFunctions.topKByScore(col("score"), col("n_id"), K).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("n_id"),
+        round(col("col.score"), 4).as("score"))
+      .withColumn("rare_term_dominates", lit(rareDominates))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** s17 replay: identical tokenization, identical rational-idf BM25
+    * fusion — ÷ × + − only, every double bit-identical cross-engine.
+    */
+  val s17OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |  WHERE w IN ('dup', 'batch') GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM len),
+       |idf AS (SELECT w, (n_docs - df + 0.5) / (df + 0.5) AS idf
+       |  FROM df CROSS JOIN stats),
+       |lex AS (
+       |  SELECT tf.doc_id, sum(idf.idf *
+       |    (tf.tf * 2.2 / (tf.tf + 1.2 *
+       |      (0.25 + 0.75 * (len.len / stats.avgdl))))) AS lex
+       |  FROM tf JOIN len ON tf.doc_id = len.doc_id
+       |  JOIN idf ON tf.w = idf.w CROSS JOIN stats
+       |  GROUP BY 1),
+       |q AS (SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS n_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+       |  FROM embeddings WHERE vec_id >= $NQueries),
+       |s AS (SELECT q_id, n_id,
+       |    list_cosine_similarity(q_emb, n_emb) +
+       |      0.05 * (coalesce(lex, 0.0) / (1.0 + coalesce(lex, 0.0))) AS score
+       |  FROM c LEFT JOIN lex ON n_id = lex.doc_id CROSS JOIN q),
+       |r AS (SELECT q_id, n_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rnk
+       |  FROM s)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(score, 4) AS score,
+       |  TRUE AS rare_term_dominates
+       |FROM r WHERE rnk <= $K
+       |ORDER BY q_id, rnk""".stripMargin
+
   /** s08 replay: DuckDB's list_inner_product over the same doubles. */
   val s08OracleSql: String =
     s"""WITH q AS (SELECT vec_id AS q_id,
