@@ -462,6 +462,7 @@ object SparkEntry {
     // Hybrid keyword+vector retrieval: lexical tf fused with cosine.
     "s10_hybrid_search"   -> ((s: SparkSession, d: String) => Similarity.s10HybridSearch(s, d)),
     "s17_bm25_hybrid"     -> ((s: SparkSession, d: String) => Similarity.s17Bm25Hybrid(s, d)),
+    "s18_ivfpq_indexed"   -> ((s: SparkSession, d: String) => Similarity.s18IvfPqIndexed(s, d)),
     // GraftLake transactional COMPACTION: 8 small appends rewritten
     // into one range-sorted 2-file set in a single atomic commit;
     // content neutrality proven by the oracle, the layout collapse
@@ -2406,6 +2407,7 @@ object SparkEntry {
     "s09_ann_filtered" -> Similarity.s09OracleSql,
     "s10_hybrid_search" -> Similarity.s10OracleSql,
     "s17_bm25_hybrid" -> Similarity.s17OracleSql,
+    "s18_ivfpq_indexed" -> Similarity.s18OracleSql,
     "src14_lake_cdc" ->
       """SELECT 1 AS commit_version, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -1590,6 +1590,231 @@ object Similarity {
     topK(scored)
   }
 
+  /** s18: PERSISTED IVF-PQ-RESIDUAL INDEX — the production composition
+    * the README's recall curve says you need at 100k+ (flat PQ's ADC
+    * collapses to 0.08 recall; residual PQ recovers 0.94), now in the
+    * lake-table lifecycle like s15 (flat PQ) and s16 (IVF): FOUR
+    * tables — corpus, coarse quantizer (O(lists) rows), residual
+    * codebooks (O(M×K) rows), codes (n_id, cluster, codes) — with
+    * growth maintained by assigning + residual-encoding ONLY the CDC
+    * delta under the STORED quantizer/codebooks (FAISS add-with-ids:
+    * nothing retrains on ingest, the parquet round-trip of every
+    * float/double is part of the gate's proof).
+    *
+    * Gate determinism: quantizer = the [[IvfPqLists]] lowest-id day-0
+    * vectors widened to double; assignment = argmax DOUBLE inner
+    * product (first-max ties) — the s08-proven cross-engine double
+    * fold; residuals/codebooks/ADC all double from the start, so the
+    * DuckDB oracle replays the ENTIRE coarse ranking bit-for-bit
+    * (s13's replay shape + the residual twist), then the exact
+    * rescore. Serving probes every list.
+    *
+    * Scale: codes are 64× smaller than vectors; the serve scan
+    * streams the code table with per-list ADC tables broadcast
+    * (M×K doubles per (query, probed list) — kilobytes); nProbe <
+    * lists approximation rides the ivfPqResidual recall specs.
+    */
+  def s18IvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => f}
+    val corpusPath = graft.SparkEntry.scratch("graft_ivfpq_corpus", dir)
+    val centPath = graft.SparkEntry.scratch("graft_ivfpq_centroids", dir)
+    val cbPath = graft.SparkEntry.scratch("graft_ivfpq_codebooks", dir)
+    val codesPath = graft.SparkEntry.scratch("graft_ivfpq_codes", dir)
+    Seq(corpusPath, centPath, cbPath, codesPath).foreach(graft.SparkEntry.rmrf)
+    val (q, c) = split(spark, dir)
+    // Day 0: half the corpus; quantizer/codebooks/codes built from it.
+    GraftLake.create(c.filter(f("n_id") % 2 === 0), corpusPath)
+    val builtAt = GraftLake.latestVersion(corpusPath)
+    val cent0: Array[Array[Double]] =
+      GraftLake.read(spark, corpusPath).orderBy("n_id").limit(IvfPqLists)
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("n_emb").map(_.toDouble).toArray)
+    GraftLake.create(
+      cent0.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+        .toDF("cluster", "centroid"),
+      centPath)
+    val res0 = assignResiduals(spark,
+      GraftLake.read(spark, corpusPath), cent0).localCheckpoint(true)
+    val cbRows = res0.orderBy("n_id").limit(PqK).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("res").toArray)
+    val cb0 = Array.tabulate(PqM, PqK)((m, k) =>
+      Array.tabulate(PqSub)(i => cbRows(k)(m * PqSub + i)))
+    GraftLake.create(codebooksRelation(spark, cb0), cbPath)
+    GraftLake.create(encodeResiduals(spark, res0, cb0), codesPath,
+      statsCols = Seq("n_id"))
+    // Day 1: the corpus grows; encode ONLY the delta under the STORED
+    // quantizer and codebooks.
+    GraftLake.append(c.filter(f("n_id") % 2 =!= 0), corpusPath)
+    val storedCent: Array[Array[Double]] =
+      GraftLake.read(spark, centPath).collect()
+        .map(r => (r.getInt(0),
+          r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+        .sortBy(_._1).map(_._2)
+    val storedCb = loadCodebooks(spark, cbPath)
+    val delta = GraftLake
+      .changesSince(spark, corpusPath, builtAt).drop("_commit_version")
+    GraftLake.append(
+      encodeResiduals(spark,
+        assignResiduals(spark, delta, storedCent), storedCb),
+      codesPath, statsCols = Seq("n_id"))
+    // Serve from the stored tables, probing EVERY list: per (query,
+    // list) ADC tables from the query's residual against THAT list's
+    // stored centroid.
+    val bcCent = spark.sparkContext.broadcast(storedCent)
+    val bcCb = spark.sparkContext.broadcast(storedCb)
+    val qAdc = q.as[(Long, Array[Float])].flatMap { case (id, emb) =>
+      val xs = emb.map(_.toDouble)
+      bcCent.value.indices.map { cl =>
+        val ct = bcCent.value(cl)
+        val r = Array.tabulate(xs.length)(i => xs(i) - ct(i))
+        val tab = Array.tabulate(bcCb.value.length) { m =>
+          Array.tabulate(bcCb.value(m).length)(k =>
+            subDist(r, m * PqSub, bcCb.value(m)(k)))
+        }
+        (id, cl + 1, tab)
+      }
+    }.toDF("q_id", "cluster", "adc")
+    val lookup = zip_with(col("codes"), col("adc"),
+      (code, row) => element_at(row, (code + 1).cast("int")))
+    val coarse = GraftLake.read(spark, codesPath)
+      .join(broadcast(qAdc), Seq("cluster"))
+      .withColumn("ad", aggregate(lookup, lit(0.0), (a, x) => a + x))
+      .groupBy(col("q_id"))
+      .agg(VectorFunctions.topKByScore(
+        negate(col("ad")), col("n_id"), PqCoarseC).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("n_id"))
+    val scored = coarse
+      .join(q.select(col("q_id"), col("q_emb")), "q_id")
+      .join(GraftLake.read(spark, corpusPath), "n_id")
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+
+  private[graft] val IvfPqLists = 8
+
+  /** Assign each vector to its argmax-INNER-PRODUCT centroid (double
+    * fold, first-max ties) and emit the DOUBLE residual — the
+    * oracle-replayable arithmetic s18 is built on.
+    */
+  private[graft] def assignResiduals(
+      spark: SparkSession, df: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col("n_id"), col("n_emb")).as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val xs = emb.map(_.toDouble)
+        var best = 0; var bestS = Double.NegativeInfinity; var k = 0
+        while (k < bc.value.length) {
+          val ct = bc.value(k)
+          var d = 0.0; var i = 0
+          while (i < xs.length) { d += xs(i) * ct(i); i += 1 }
+          if (d > bestS) { bestS = d; best = k }
+          k += 1
+        }
+        val ct = bc.value(best)
+        (id, best + 1, Array.tabulate(xs.length)(i => xs(i) - ct(i)))
+      }.toDF("n_id", "cluster", "res")
+  }
+
+  /** PQ-encode double residual rows under fixed codebooks (argmin
+    * sub-distance, first-min ties).
+    */
+  private[graft] def encodeResiduals(
+      spark: SparkSession, resDf: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    resDf.as[(Long, Int, Array[Double])].map { case (id, cl, xs) =>
+      val code = Array.tabulate(bcCb.value.length) { m =>
+        var best = 0; var bestD = Double.MaxValue; var k = 0
+        while (k < bcCb.value(m).length) {
+          val d = subDist(xs, m * PqSub, bcCb.value(m)(k))
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        best
+      }
+      (id, cl, code)
+    }.toDF("n_id", "cluster", "codes")
+      // Normalize array nullability: a localCheckpoint upstream can
+      // flip containsNull, and the lake's evolution fence (rightly)
+      // refuses element-type drift between day-0 and delta commits.
+      .select(col("n_id"), col("cluster"), col("codes").cast("array<int>").as("codes"))
+  }
+
+  /** s18 replay: quantizer = 8 lowest-id even vectors; argmax-dot
+    * assignment; double residuals; sample-init residual codebooks;
+    * the FULL coarse ADC ranking then exact rescore — every double
+    * bit-identical cross-engine (the s13 replay + residual twist).
+    */
+  def s18OracleSql: String = {
+    val sub = PqSub
+    val dimP1 = Dim + 1
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, xs AS q_xs FROM e WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS n_id, xs AS n_xs FROM e WHERE vec_id >= $NQueries),
+       |cent AS (SELECT row_number() OVER (ORDER BY n_id) AS cluster,
+       |    n_xs AS cent
+       |  FROM c WHERE n_id % 2 = 0 QUALIFY cluster <= $IvfPqLists),
+       |asg AS (SELECT n_id, cluster FROM (
+       |    SELECT c.n_id, cent.cluster,
+       |      row_number() OVER (PARTITION BY c.n_id
+       |        ORDER BY list_inner_product(c.n_xs, cent.cent) DESC,
+       |          cent.cluster) AS rn
+       |    FROM c CROSS JOIN cent) WHERE rn = 1),
+       |res AS (SELECT c.n_id, asg.cluster,
+       |    [c.n_xs[i] - cent.cent[i] FOR i IN range(1, $dimP1)] AS res
+       |  FROM c JOIN asg ON c.n_id = asg.n_id
+       |  JOIN cent ON asg.cluster = cent.cluster),
+       |cbsrc AS (SELECT row_number() OVER (ORDER BY n_id) - 1 AS k, res
+       |  FROM res WHERE n_id % 2 = 0 QUALIFY k < $PqK),
+       |cb AS (SELECT m, k, res[m * $sub + 1 : m * $sub + $sub] AS cent
+       |  FROM cbsrc CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)),
+       |encd AS (SELECT r.n_id, r.cluster, cb.m, cb.k,
+       |    list_reduce(list_prepend(0.0,
+       |      [(r.res[cb.m * $sub + i] - cb.cent[i])
+       |        * (r.res[cb.m * $sub + i] - cb.cent[i])
+       |       FOR i IN range(1, $sub + 1)]), (a, x) -> a + x) AS d
+       |  FROM res r CROSS JOIN cb),
+       |enc AS (SELECT n_id, cluster, m, k AS code FROM (
+       |    SELECT n_id, cluster, m, k,
+       |      row_number() OVER (PARTITION BY n_id, m ORDER BY d, k) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |qres AS (SELECT q.q_id, cent.cluster,
+       |    [q.q_xs[i] - cent.cent[i] FOR i IN range(1, $dimP1)] AS res
+       |  FROM q CROSS JOIN cent),
+       |adc AS (SELECT qr.q_id, qr.cluster, cb.m, cb.k,
+       |    list_reduce(list_prepend(0.0,
+       |      [(qr.res[cb.m * $sub + i] - cb.cent[i])
+       |        * (qr.res[cb.m * $sub + i] - cb.cent[i])
+       |       FOR i IN range(1, $sub + 1)]), (a, x) -> a + x) AS d
+       |  FROM qres qr CROSS JOIN cb),
+       |approx AS (SELECT adc.q_id, enc.n_id,
+       |    list_reduce(list_prepend(0.0, list(adc.d ORDER BY enc.m)),
+       |      (a, x) -> a + x) AS ad
+       |  FROM enc JOIN adc ON enc.cluster = adc.cluster
+       |    AND enc.m = adc.m AND enc.code = adc.k
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS crnk
+       |    FROM approx) WHERE crnk <= $PqCoarseC),
+       |x AS (SELECT cand.q_id, cand.n_id,
+       |    list_cosine_similarity(q.q_xs, c.n_xs) AS cos
+       |  FROM cand JOIN q USING (q_id) JOIN c USING (n_id)),
+       |r AS (SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM x)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, n_id, round(cos, 4) AS cos_sim
+       |FROM r WHERE rnk <= $K
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** Lloyd-refined PQ codebooks: per subspace, the existing
     * distributed k-means machinery ([[trainCentroids]]' shape) run on
     * the sub-vector columns — assign (broadcast codebook) + per-code

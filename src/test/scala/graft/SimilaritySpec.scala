@@ -418,6 +418,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.commits(centPath).map(_.action) == Seq("create"))
   }
 
+  test("s18: stored IVF-PQ-residual index is maintained by delta only; tables immutable") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.sources.GraftLake
+    // Run the lifecycle (also the gated path) to materialize tables.
+    val out = Similarity.s18IvfPqIndexed(spark, sf).collect()
+    assert(out.length == 50)
+    val codesPath = graft.SparkEntry.scratch("graft_ivfpq_codes", sf)
+    val cs = GraftLake.commits(codesPath)
+    assert(cs.map(_.action) == Seq("create", "append"))
+    assert(cs(1).remove.isEmpty, "maintenance must not rewrite code sets")
+    val emb = Tables.embeddings(spark, sf)
+    val nDelta = emb.filter(col("vec_id") >= 10)
+      .filter(col("vec_id") % 2 =!= 0).count()
+    assert(spark.read.parquet(s"$codesPath/${cs(1).add.head}").count() == nDelta)
+    // Quantizer and codebooks are immutable O(lists)/O(M×K) tables.
+    val centPath = graft.SparkEntry.scratch("graft_ivfpq_centroids", sf)
+    val cbPath = graft.SparkEntry.scratch("graft_ivfpq_codebooks", sf)
+    assert(GraftLake.commits(centPath).map(_.action) == Seq("create"))
+    assert(GraftLake.commits(cbPath).map(_.action) == Seq("create"))
+    assert(GraftLake.read(spark, centPath).count() == Similarity.IvfPqLists)
+    // Residual discrimination sanity: codes are not all identical (the
+    // flat-PQ within-list collapse the residual encoding exists to fix).
+    val codes = GraftLake.read(spark, codesPath)
+    assert(codes.select(col("codes")).distinct().count() > 1)
+  }
+
   test("s14: erased vectors never serve, and the erasure rewrote no data") {
     val rows = Similarity.s14AnnIndexDelete(spark, sf).collect()
     assert(rows.length == 50)
