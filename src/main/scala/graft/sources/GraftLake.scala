@@ -1298,14 +1298,16 @@ object GraftLake {
     val changed0 = all.drop(fromVersion + 1)
     changed0.find(c => c.action != "create" && c.action != "append" &&
         c.action != "padd" && c.action != "constraint" &&
-        c.action != "rename" && c.action != "lineage").foreach { c =>
+        c.action != "rename" && c.action != "lineage" &&
+        c.action != "vacuum").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as inserts — " +
           "read a full snapshot instead")
     }
     // Constraint/rename/lineage commits add rules/metadata, not rows.
     val changed = changed0.filter(c =>
-      c.action != "constraint" && c.action != "rename" && c.action != "lineage")
+      c.action != "constraint" && c.action != "rename" &&
+      c.action != "lineage" && c.action != "vacuum")
     val parts = changed.flatMap { c =>
       // A partitioned append is insert-only too: one part per set.
       val sets =
@@ -1366,7 +1368,8 @@ object GraftLake {
           Seq(readSet(spark, path,
             LiveSet(cdfName, ownCdf.toDDL, Seq.empty), targetCdf, latestRenames)
             .withColumn("_commit_version", lit(c.version)))
-        case "compact" | "constraint" | "rename" | "lineage" => Seq.empty
+        case "compact" | "constraint" | "rename" | "lineage" | "vacuum" =>
+          Seq.empty
         case other => throw new IllegalStateException(
           s"commit ${c.version} is a $other: not representable in the " +
             "change feed — read a full snapshot instead")
@@ -1744,29 +1747,124 @@ object GraftLake {
 
   // --------------------------------------------------------------- vacuum
 
-  /** Delete every data file-set NOT live at the latest version —
-    * reclaims the space of overwritten/merged-away sets at the price
-    * of TIME TRAVEL to the versions that needed them (exactly Delta's
-    * VACUUM trade). Must not run concurrently with writers: a staged,
-    * not-yet-committed set is indistinguishable from garbage.
+  /** Delete every data file-set not needed by the latest version or
+    * by any version inside the RETENTION window — reclaims the space
+    * of overwritten/merged-away sets at the price of TIME TRAVEL to
+    * the versions older than retention (exactly Delta's VACUUM +
+    * retention-hours trade; `retainMillis = 0` keeps only HEAD).
+    *
+    * Writer exclusion is ENFORCED, not documented: the sweep claims
+    * the next log version (O_EXCL, the commit protocol's own lock)
+    * and holds it across list-and-delete, so no commit can land
+    * mid-sweep and no staged-but-unclaimed set can become live under
+    * the sweeping reader's feet; the claim publishes as an audit
+    * `vacuum` log entry. Deletion candidates are ONLY sets some
+    * commit's remove-list names — a concurrently staged (pre-claim)
+    * set is named by no commit and survives untouched, which is what
+    * makes vacuum-during-writers safe end to end.
     * Returns the deleted set names.
     */
-  def vacuum(path: String): Seq[String] = {
-    val cs0 = commits(path)
-    // The clone fence: sets referenced by registered shallow clones
-    // survive the source's vacuum, or forks would silently lose data.
-    val live = (liveAt(cs0).map(_.set) ++ tombstonesAt(cs0)).toSet ++
-      cloneFence(path)
-    val dataDir = Paths.get(path, "data")
-    if (!Files.exists(dataDir)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    val dead = Files.list(dataDir).iterator().asScala.toSeq
-      .filterNot(p => live(s"data/${p.getFileName}"))
-    dead.foreach { p =>
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+  def vacuum(path: String, retainMillis: Long = 0L): Seq[String] = {
+    require(retainMillis >= 0, s"negative retention: $retainMillis")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"gave up claiming vacuum slot at $path after 50 races")
+      val snap = snapshot(path)
+      require(snap.version >= 0, s"no table at $path")
+      val v = snap.version + 1
+      val f = logFile(path, v)
+      // WRITER EXCLUSION: vacuum claims the next log version with the
+      // same O_EXCL protocol as a commit and holds it across the whole
+      // list-and-delete window — no writer can publish a commit (and
+      // so no new file-set can become live, no merge can re-reference
+      // a set) until the sweep lands its own `vacuum` log entry. The
+      // sweep must finish inside the stale-claim lease, which local
+      // metadata deletes do with seconds of headroom; the published
+      // entry also leaves an audit row in the history.
+      val claimed =
+        try { Files.createFile(f); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed) {
+        try {
+          // The claim seals the log at v-1: fold the COMPLETE prefix.
+          val cs0 = commits(path)
+          val cutoff = System.currentTimeMillis() - retainMillis
+          // RETENTION (Delta's retention-hours): keep every set live at
+          // any version that was HEAD after the cutoff — i.e. versions
+          // >= vMin, where vMin is the first version whose SUCCESSOR
+          // commit is stamped after the cutoff (stamps are monotonic).
+          // retainMillis = 0 keeps only HEAD (the pre-round-9 sweep).
+          val vMin =
+            if (retainMillis == 0L) cs0.size - 1
+            else cs0.indices.find(i =>
+              i + 1 >= cs0.size || cs0(i + 1).tsMillis > cutoff)
+              .getOrElse(cs0.size - 1)
+          val keep = scala.collection.mutable.Set[String]()
+          var st = EmptySnapshot
+          cs0.foreach { c =>
+            st = foldState(st, Seq(c))
+            if (c.version >= vMin) {
+              keep ++= st.live.map(_.set); keep ++= st.tombstones
+            }
+          }
+          // The clone fence: sets referenced by registered shallow
+          // clones survive the source's vacuum, or forks would
+          // silently lose data.
+          keep ++= cloneFence(path)
+          // Only sets the LOG explicitly removed are candidates: a
+          // concurrently STAGED set (written, claim not yet taken) is
+          // a data/ dir no commit names, and a mtime heuristic cannot
+          // tell it from garbage — so the sweep never touches it.
+          // (Orphaned stages from writers that crashed pre-claim are
+          // never named by any commit and so leak — the documented
+          // trade for staged-write safety.)
+          val removedEver = cs0.flatMap(_.remove).toSet
+          val dataDir = Paths.get(path, "data")
+          val dead =
+            if (!Files.exists(dataDir)) Seq.empty[java.nio.file.Path]
+            else {
+              import scala.jdk.CollectionConverters._
+              Files.list(dataDir).iterator().asScala.toSeq
+                .filter(p => removedEver(s"data/${p.getFileName}") &&
+                  !keep(s"data/${p.getFileName}"))
+            }
+          dead.foreach { p =>
+            import scala.jdk.CollectionConverters._
+            Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(x => Files.deleteIfExists(x))
+          }
+          // Publish the vacuum entry into the held claim (atomic
+          // replace, same as a commit) — releases the exclusion.
+          val ts = math.max(System.currentTimeMillis(), snap.tsMillis)
+          val json = render(Commit(v, "vacuum", snap.schemaDdl,
+            Seq.empty, Seq.empty, None, Seq.empty, ts))
+          val tmp = logDir(path).resolve(f.getFileName.toString + ".tmp")
+          Files.writeString(tmp, json)
+          Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          return dead.map(p => s"data/${p.getFileName}")
+        } catch {
+          case e: Throwable =>
+            // A failed sweep must not wedge the table: drop the claim
+            // if we never published it.
+            try { if (Files.exists(f) && Files.size(f) == 0) Files.deleteIfExists(f) }
+            catch { case _: java.io.IOException => () }
+            throw e
+        }
+      }
+      // Lost the claim race to a writer — adopt stale claims and retry,
+      // the same recovery as publishEntry.
+      try {
+        if (Files.exists(f) && Files.size(f) == 0 &&
+            System.currentTimeMillis() -
+              Files.getLastModifiedTime(f).toMillis > StaleClaimLeaseMs) {
+          Files.deleteIfExists(f)
+        }
+      } catch { case _: java.io.IOException => () }
+      Thread.sleep(math.min(5L << math.min(attempts, 6), 250L))
     }
-    dead.map(p => s"data/${p.getFileName}")
+    Seq.empty // unreachable
   }
 
   // ----------------------------------------------------------------- json

@@ -182,7 +182,8 @@ private[sources] class LakeMicroBatchStream(
               .add("_change_type", StringType, nullable = true).toDDL
             setFiles(cdfSet).map(f =>
               LakeFilePartition(f.toString, ddl, c.version): InputPartition)
-          case "compact" | "constraint" | "rename" | "lineage" => Seq.empty
+          case "compact" | "constraint" | "rename" | "lineage" | "vacuum" =>
+            Seq.empty
           case other => throw new IllegalStateException(
             s"commit ${c.version} is a $other: not representable in the " +
               "change stream — restart from a fresh snapshot")
@@ -190,13 +191,14 @@ private[sources] class LakeMicroBatchStream(
       }.toArray
     }
     range.find(c => c.action != "create" && c.action != "append" &&
-        c.action != "constraint").foreach { c =>
+        c.action != "constraint" && c.action != "vacuum").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as an " +
           "insert-only stream — restart from a fresh snapshot")
     }
-    // Constraint commits carry rules, not rows — an empty micro-batch.
-    range.filter(_.action != "constraint").flatMap { c =>
+    // Constraint/vacuum commits carry no rows — an empty micro-batch.
+    range.filter(c => c.action != "constraint" && c.action != "vacuum")
+      .flatMap { c =>
       c.add.flatMap { set =>
         setFiles(set).map(f =>
           LakeFilePartition(f.toString, c.schemaDdl, c.version): InputPartition)

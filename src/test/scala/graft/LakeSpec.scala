@@ -512,6 +512,63 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
       orders.filter(col("o_orderkey") === 2).count())
   }
 
+  test("vacuum retention keeps time travel alive inside the window") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create((1L to 20L).map(i => (i, i)).toDF("id", "v"), path,
+      Some("id"))                                                    // v0
+    GraftLake.overwrite((1L to 5L).map(i => (i, i * 2)).toDF("id", "v"),
+      path)                                                          // v1
+    // Retention window covering everything: nothing reclaimed, v0
+    // still readable; and the sweep leaves an audit commit.
+    val dead0 = GraftLake.vacuum(path, retainMillis = 3600L * 1000)
+    assert(dead0.isEmpty)
+    assert(GraftLake.commits(path).last.action == "vacuum")
+    assert(GraftLake.readAt(spark, path, 0).count() == 20)
+    // Zero retention: the overwritten set dies, v0 travel refuses,
+    // HEAD unchanged.
+    val dead1 = GraftLake.vacuum(path)
+    assert(dead1.nonEmpty)
+    intercept[Exception] { GraftLake.readAt(spark, path, 0).count() }
+    assert(GraftLake.read(spark, path).count() == 5)
+    // The feeds skip vacuum audit commits.
+    assert(GraftLake.changesSince(spark, path, 2).count() == 0)
+  }
+
+  test("vacuum excludes writers via the claim lock; staged sets survive") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), path,
+      Some("id"))
+    GraftLake.overwrite((1L to 3L).map(i => (i, i)).toDF("id", "v"), path)
+    // A STAGED-but-uncommitted set (writer between stage and claim):
+    // present under data/, named by no commit — vacuum must not touch
+    // it even with zero retention.
+    val staged = java.nio.file.Paths.get(path, "data/cstagedwriter")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.writeString(staged.resolve("part-0.parquet"), "x")
+    val dead = GraftLake.vacuum(path)
+    assert(dead.nonEmpty && !dead.contains("data/cstagedwriter"))
+    assert(java.nio.file.Files.exists(staged.resolve("part-0.parquet")))
+    // Concurrent appenders racing MANY vacuums: every append lands,
+    // the log stays gapless, and nothing live is ever reclaimed.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val jobs = (1 to 4).map { w =>
+      pool.submit(new Runnable { def run(): Unit =
+        GraftLake.append(Seq((100L + w, w.toLong)).toDF("id", "v"), path) })
+    } ++ (1 to 4).map { _ =>
+      pool.submit(new Runnable { def run(): Unit = { GraftLake.vacuum(path); () } })
+    }
+    jobs.foreach(_.get())
+    pool.shutdown()
+    val got = GraftLake.read(spark, path).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L, 101L, 102L, 103L, 104L).subsetOf(got))
+    val versions = GraftLake.commits(path).map(_.version)
+    assert(versions == versions.indices.map(identity),
+      s"gapless log expected, got $versions")
+  }
+
   test("lake z-order compaction narrows per-file spans on both dims in one atomic commit") {
     val path = freshTable()
     val li = Tables.lineitem(spark, sf)
