@@ -99,6 +99,7 @@ object SparkEntry {
     "d29_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.d29SemanticDedup(s, d)),
     "d30_bpe_train"      -> ((s: SparkSession, d: String) => Bpe.d30BpeTrain(s, d)),
     "d31_bpe_tokenize"   -> ((s: SparkSession, d: String) => Bpe.d31BpeTokenize(s, d)),
+    "d33_bpe_stored"     -> ((s: SparkSession, d: String) => Bpe.d33BpeStored(s, d)),
     "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
@@ -1357,6 +1358,9 @@ object SparkEntry {
     // Token frequencies read off the final merged vocab — the apply
     // half of the BPE lifecycle, same shared chain.
     "d31_bpe_tokenize" -> graft.operators.Bpe.d31OracleSql,
+    // Same oracle as d31: the stored-merges apply must land the
+    // identical top-20 report the shared training chain lands.
+    "d33_bpe_stored" -> graft.operators.Bpe.d31OracleSql,
     "d32_containment" -> TextCorpus.d32OracleSql,
     "s02_ann_lsh" -> graft.operators.Similarity.s02OracleSql,
     // Identical planes/bits and probe set as s02 — the only change is

@@ -140,6 +140,45 @@ object Bpe {
     out
   }
 
+  /** Apply an ALREADY-TRAINED merge list to a corpus — the deployment
+    * shape (ship the tokenizer, not the trainer): char-split the
+    * word-frequency vocab, then chain one `replace` per merge IN
+    * ELECTION ORDER. Unlike training there are NO driver round-trips:
+    * the 8 replaces compose into one narrow pipeline over the vocab —
+    * a single distributed pass whatever the corpus size.
+    */
+  def applyMerges(
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(vocab0(docs)) { case (v, (a, b)) =>
+      v.withColumn("w", replace(col("w"), lit(s"$a $b"), lit(a + b)))
+    }
+
+  /** d33: TOKENIZE WITH STORED MERGES — the persisted-tokenizer
+    * lifecycle: d30's merge table lives in a GraftLake table (rounds
+    * in election order, the tokenizer artifact), and application
+    * loads the O(rounds) rows back and runs [[applyMerges]] on the
+    * corpus — no retraining, no per-round driver elections, exactly
+    * how a deployed BPE tokenizer consumes its shipped merges.
+    * Output = d31's top-20 report, so d31's oracle gates the whole
+    * persist → reload → apply path.
+    */
+  def d33BpeStored(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftLake
+    val mergesPath = graft.SparkEntry.scratch("graft_bpe_merges", dir)
+    graft.SparkEntry.rmrf(mergesPath)
+    GraftLake.create(train(Tables.documents(spark, dir)), mergesPath)
+    val stored = GraftLake.read(spark, mergesPath).orderBy(col("round"))
+      .collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      .toSeq
+    applyMerges(Tables.documents(spark, dir), stored)
+      .select(explode(split(col("w"), " ")).as("token"), col("n"))
+      .groupBy(col("token"))
+      .agg(sum(col("n")).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+  }
+
   /** Replays the identical training chain (shared CTE text), then
     * reads token frequencies off the final vocab exactly like the
     * Spark side.

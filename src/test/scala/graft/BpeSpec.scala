@@ -116,4 +116,18 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     // every elected count must be positive.
     assert(rows.forall(_.getLong(3) > 0))
   }
+
+  test("d33: stored-merges apply equals the shared training-chain tokenize") {
+    import graft.sources.GraftLake
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // The deployment path (persist merges → reload → one-pass apply)
+    // must land the IDENTICAL report as the in-memory chain.
+    assert(rows(Bpe.d33BpeStored(spark, sf)) == rows(Bpe.d31BpeTokenize(spark, sf)))
+    // The tokenizer artifact is an immutable create-only lake table of
+    // exactly MergeRounds rows.
+    val mergesPath = graft.SparkEntry.scratch("graft_bpe_merges", sf)
+    assert(GraftLake.commits(mergesPath).map(_.action) == Seq("create"))
+    assert(GraftLake.read(spark, mergesPath).count() == Bpe.MergeRounds)
+  }
 }
