@@ -47,9 +47,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - SCHEMA EVOLUTION: each file-set decodes under its own written
   *    schema; columns added by later commits null-fill, exactly like
   *    the batch `readSet` path.
-  *  - INSERT-ONLY contract: an overwrite/merge/compact commit inside
-  *    the range throws (not representable as inserts) — the same rule
-  *    `changesSince` enforces; stream from a fresh snapshot instead.
+  *  - INSERT-ONLY contract (default): an overwrite/merge/compact
+  *    commit inside the range throws (not representable as inserts) —
+  *    the same rule `changesSince` enforces; stream from a fresh
+  *    snapshot instead.
+  *  - CDF MODE (`option("cdf", "true")`): typed change rows instead —
+  *    appends stream as `_change_type = 'insert'`, merge / update /
+  *    delete / deleteMoR commits stream their staged `cdf/` sidecar
+  *    (Delta CDF's streaming shape); compact and vacuum are empty
+  *    micro-batches; overwrite still requires a re-seed.
   *
   * Primitive column types (long/int/double/boolean/string/date) cover
   * every lake gate; nested/decimal payloads would extend the same

@@ -64,7 +64,9 @@ object RecallCurve {
     val spark = Engine.session("local[16]", "graft-recall-curve", 16)
     println("| n | operator | config | recall@5 | wall s |")
     println("| --- | --- | --- | --- | --- |")
-    Seq(10000, 100000).foreach { n =>
+    // 1M is the decade where LSH bucket skew and IVF list imbalance
+    // start to show — the auto-bits / residual-PQ claims need it.
+    Seq(10000, 100000, 1000000).foreach { n =>
       val dir = synthCorpus(spark, n, base)
       val (brute, tBrute) = timed(pairs(Similarity.s01AnnBrute(spark, dir)))
       println(f"| $n | s01 brute | exact | 1.000 | $tBrute%.1f |")
@@ -88,14 +90,21 @@ object RecallCurve {
       val rPqR = gotPqR.intersect(brute).size.toDouble / brute.size
       println(f"| $n | s13 pq-adc | M=8 K=16 C=150 refined(2 Lloyd) | $rPqR%.3f | $tPqR%.1f |")
       for (nProbe <- Seq(4, 8)) {
-        // Rescore budget scales with the probed candidate volume
-        // (~3% floor, 150 minimum) — C is the PQ recall knob once the
-        // coarse lists are right.
-        val cC = math.max(150, n * nProbe / lists / 8)
-        val (got, t) = timed(pairs(
-          Similarity.ivfPqResidual(spark, dir, lists, nProbe, coarseC = cC)))
-        val r = got.intersect(brute).size.toDouble / brute.size
-        println(f"| $n | ivf-pq residual | lists=$lists nProbe=$nProbe C=$cC | $r%.3f | $t%.1f |")
+        // Rescore budget scales with the probed candidate volume —
+        // C is the PQ recall knob once the coarse lists are right.
+        // The 1M measurement forced the deeper budget: at 12.5% of
+        // probed (the 100k-tuned /8) recall reads 0.80; 4-bit codes
+        // (K=16) rank ~16k same-cluster candidates too coarsely, so
+        // the big-corpus budget is 25% of probed.
+        val probed = n * nProbe / lists
+        val budgets = if (n >= 1000000) Seq(8, 4) else Seq(8)
+        for (b <- budgets) {
+          val cC = math.max(150, probed / b)
+          val (got, t) = timed(pairs(
+            Similarity.ivfPqResidual(spark, dir, lists, nProbe, coarseC = cC)))
+          val r = got.intersect(brute).size.toDouble / brute.size
+          println(f"| $n | ivf-pq residual | lists=$lists nProbe=$nProbe C=$cC | $r%.3f | $t%.1f |")
+        }
       }
     }
     spark.stop()
