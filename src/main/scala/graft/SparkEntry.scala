@@ -429,6 +429,7 @@ object SparkEntry {
     "st12_lake_stream_read" -> graft.streaming.LakeStream.st12LakeStreamRead _,
     "st13_lake_pipeline" -> graft.streaming.LakeStream.st13LakePipeline _,
     "st15_cdc_apply"     -> graft.streaming.LakeStream.st15CdcApply _,
+    "st19_stream_cdf_apply" -> graft.streaming.LakeStream.st19StreamCdfApply _,
     "st16_stream_anomaly" -> graft.streaming.AnomalyStream.st16StreamAnomaly _,
     "st14_lake_sink_dsv2" -> graft.streaming.LakeStream.st14LakeSinkDsv2 _,
     // q62's funnel as a streaming per-user state machine (24 bytes of
@@ -717,6 +718,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .join(cnt, Seq("o_orderstatus"))
         .withColumn("cdf_consistent", lit(consistent))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // RESTORE (Delta's RESTORE TABLE ... VERSION AS OF): after a merge
+    // and a delete mutate the table, one zero-copy commit rolls it
+    // back to the post-append version — the restore commit's live-set
+    // list must be EXACTLY v1's set names (zero data copied, pinned
+    // in-row), the restore is itself a commit (version bumps, action
+    // audited), and time travel to the pre-restore HEAD still reads
+    // the mutated state (history preserved until vacuum). Oracle: the
+    // v1 state is simply ALL orders.
+    "src29_lake_restore" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_restore", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val k = col("o_orderkey")
+      GraftLake.create(o.filter(pmod(k, lit(2)) === 0), path, Some("o_orderkey"))
+      GraftLake.append(o.filter(pmod(k, lit(2)) === 1), path,
+        statsCol = Some("o_orderkey"))                               // v1
+      val v1Sets = GraftLake.snapshot(path).live.map(_.set).toSet
+      GraftLake.merge(s, path,
+        o.filter(pmod(k, lit(7)) === 1).withColumn("cents", col("cents") * 2)
+          .localCheckpoint(true),
+        Seq("o_orderkey"), "o_orderkey")                             // v2
+      GraftLake.delete(s, path, pmod(k, lit(5)) === 3, Some("o_orderkey")) // v3
+      val mutated = GraftLake.read(s, path).count()
+      val rv = GraftLake.restore(s, path, 1)                         // v4
+      val ok = rv == 4 &&
+        GraftLake.commits(path).last.action == "restore" &&
+        GraftLake.snapshot(path).live.map(_.set).toSet == v1Sets &&  // zero-copy
+        GraftLake.readAt(s, path, 3).count() == mutated              // history intact
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("restore_zero_copy", lit(ok))
         .orderBy(col("o_orderstatus"))
     }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
@@ -2266,6 +2305,7 @@ object SparkEntry {
     "st12_lake_stream_read" -> graft.streaming.LakeStream.st12OracleSql,
     "st13_lake_pipeline" -> graft.streaming.LakeStream.st13OracleSql,
     "st15_cdc_apply" -> graft.streaming.LakeStream.st15OracleSql,
+    "st19_stream_cdf_apply" -> graft.streaming.LakeStream.st19OracleSql,
     "st16_stream_anomaly" -> graft.streaming.AnomalyStream.st16OracleSql,
     "st14_lake_sink_dsv2" -> graft.streaming.LakeStream.st14OracleSql,
     // Streaming funnel replays against the batch CTE — identical SQL.
@@ -2367,6 +2407,14 @@ object SparkEntry {
         |FROM final f JOIN cnt c ON f.st = c.st
         |GROUP BY 1, c.n_insert, c.n_update_pre, c.n_update_post, c.n_delete
         |ORDER BY 1""".stripMargin,
+    // Restored-to-v1 state = ALL orders, untouched by the rolled-back
+    // merge/delete.
+    "src29_lake_restore" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS restore_zero_copy
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Final state after the +250 merge wave on k%5==0; vacuum cannot
     // change WHAT the latest snapshot reads, only what history costs.
     "src27_lake_vacuum" ->

@@ -670,7 +670,10 @@ object GraftLake {
       // overwrite resets the schema along with the contents; append
       // evolves it (old columns keep position, new ones join at the end).
       val mergedDdl =
-        if (v == 0 || action == "overwrite") dfSchema.toDDL
+        // restore resets the schema to the TARGET version's, overwrite
+        // to the writer's — both bypass evolution merging.
+        if (v == 0 || action == "overwrite" || action == "restore")
+          dfSchema.toDDL
         // A tombstone set is keys, not table data; a constraint commit
         // is rules — neither touches the table schema.
         else if (action == "tombstone" || action == "constraint" ||
@@ -729,6 +732,15 @@ object GraftLake {
           throw new java.util.ConcurrentModificationException(
             s"file-set $r was removed by a concurrent commit; retry the merge")
         }
+      }
+      // RESTORE must replace the EXACT state it diffed against: a
+      // racing commit that added a set the caller never saw would
+      // otherwise survive the rollback silently.
+      if (action == "restore" &&
+          (snap.live.map(_.set).toSet != removed.toSet ||
+            snap.tombstones.nonEmpty)) {
+        throw new java.util.ConcurrentModificationException(
+          s"table state at $path changed during restore; re-run it")
       }
       // Commit wall-clock, stamped at claim time: MONOTONized against
       // the prior commit so timestamp time travel is well-defined even
@@ -1357,7 +1369,7 @@ object GraftLake {
           sets.map(ls => readSet(spark, path, ls, target, latestRenames)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(c.version)))
-        case "merge" | "update" | "delete" | "tombstone" =>
+        case "merge" | "update" | "delete" | "tombstone" | "restore" =>
           val cdfName = c.cdf.getOrElse(throw new IllegalStateException(
             s"commit ${c.version} is a ${c.action} with no change-data " +
               "sidecar (CDF was not enabled when it committed) — read a " +
@@ -1544,6 +1556,56 @@ object GraftLake {
       else stageCdf(path, Seq((matching, "delete")))
     val v = commit(keys, path, "tombstone", cdfSet = cdfSet)
     (v, n)
+  }
+
+  /** KEY-SET DELETE (copy-on-write): remove every row whose `keyCol`
+    * appears in `keys` — the CDC-apply delete shape (a change feed
+    * hands you a FRAME of deleted keys, and collecting it to build a
+    * predicate would put the delta on the driver). One distributed
+    * tag-and-count pass (left-semi per set) picks the file-sets that
+    * contain matching rows; only those rewrite (left-anti). `tag`
+    * rides the commit's idempotence ledger so a replayed micro-batch
+    * applies exactly once, like [[appendIdempotent]]/[[merge]].
+    * Returns (version, rewrittenSets, keptSets, deletedRows).
+    */
+  def deleteKeys(
+      spark: SparkSession, path: String, keys: DataFrame, keyCol: String,
+      statsCol: Option[String] = None,
+      tag: Option[String] = None): (Int, Int, Int, Long) = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    tag.foreach { t => s.tags.get(t).foreach { v => return (v, 0, s.live.size, 0L) } }
+    require(s.tombstones.isEmpty,
+      s"outstanding merge-on-read tombstones at $path: compact first " +
+        "(a raw file-set rewrite would resurrect tombstoned rows)")
+    val target = StructType.fromDDL(s.schemaDdl)
+    require(target.fieldNames.contains(keyCol), s"no column '$keyCol' at $path")
+    val k = keys.select(col(keyCol)).distinct().localCheckpoint(true)
+    val live = s.live
+    val tagged = live.map { ls =>
+      readSet(spark, path, ls, target, s.renames)
+        .join(k, Seq(keyCol), "left_semi")
+        .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .select(lit(ls.set).as("s"), functions.col("n"))
+    }.reduceLeft(_.unionByName(_))
+    val matchCounts = tagged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hitSets = live.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
+    val deleted = matchCounts.values.sum
+    if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
+    val hitDf = hitSets.map(readSet(spark, path, _, target, s.renames))
+      .reduceLeft(_.unionByName(_))
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else stageCdf(path, Seq((hitDf.join(k, Seq(keyCol), "left_semi"), "delete")))
+    val rewritten = hitDf.join(k, Seq(keyCol), "left_anti")
+    val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
+      .map(currentName(s.renames, _)).distinct
+    val v = commit(rewritten, path, "delete", tag = tag,
+      statsCols = reStats, removeSets = hitSets.map(_.set),
+      bloomCols = bloomColsOf(path, hitSets.map(_.set))
+        .map(currentName(s.renames, _)).distinct,
+      cdfSet = cdfSet)
+    (v, hitSets.size, live.size - hitSets.size, deleted)
   }
 
   /** Zone-map DELETE of a `[lo, hi]` range on `col`: file-sets whose
@@ -1743,6 +1805,66 @@ object GraftLake {
         (live.flatMap(_.stats.map(_.col)) ++ Seq(colA, colB))
           .map(currentName(st.renames, _)).distinct,
       removeSets = live.map(_.set) ++ st.tombstones)
+  }
+
+  /** RESTORE the table to `version` (Delta's RESTORE TABLE ... TO
+    * VERSION AS OF): ONE new commit whose live-set list and schema
+    * are exactly the target version's — ZERO data copied (the old
+    * sets are re-referenced by name, which is why vacuum must not
+    * have reclaimed them — refused loudly per set). History is
+    * preserved: the restore itself is a commit, so time travel to the
+    * pre-restore HEAD still works until vacuum.
+    *
+    * Fences (loud, never silent): every target set must still exist;
+    * no rename lineage on either side (a restore across a rename
+    * would need atomic lineage replay — compose after a compact
+    * instead); no outstanding MoR tombstones on either side; and the
+    * restored data must satisfy the CURRENT constraints (rules added
+    * after the target version still hold — one scan, restore is
+    * rare). With CDF enabled, the commit stages the row-level diff
+    * (multiset exceptAll both ways — O(table), the Delta CDF restore
+    * cost) so incremental consumers follow the rollback.
+    *
+    * Returns the restore commit's version.
+    */
+  def restore(spark: SparkSession, path: String, version: Int): Int = {
+    val all = commits(path)
+    require(version >= 0 && version < all.size,
+      s"version $version not in [0, ${all.size - 1}] for $path")
+    val target = foldState(EmptySnapshot, all.take(version + 1))
+    val cur = foldState(EmptySnapshot, all)
+    if (cur.version == version) return cur.version // no-op
+    require(target.renames.isEmpty && cur.renames.isEmpty,
+      s"restore across column-rename lineage at $path is not supported: " +
+        "compact to materialize current names first")
+    require(target.tombstones.isEmpty && cur.tombstones.isEmpty,
+      s"outstanding merge-on-read tombstones at $path: compact first")
+    target.live.foreach { ls =>
+      require(Files.exists(Paths.get(setPath(path, ls.set))),
+        s"cannot restore $path to v$version: file-set ${ls.set} was " +
+          "vacuumed — that history is gone")
+    }
+    val restoredDf = {
+      val t = StructType.fromDDL(target.schemaDdl)
+      target.live.map(readSet(spark, path, _, t))
+        .reduceLeft(_.unionByName(_))
+    }
+    enforceConstraints(restoredDf, cur.constraints)
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else {
+        require(target.schemaDdl == cur.schemaDdl,
+          s"CDF restore at $path needs matching schemas (target v$version " +
+            "differs from HEAD): disable CDF or restore to a same-schema " +
+            "version")
+        val curDf = read(spark, path)
+        stageCdf(path, Seq(
+          (curDf.exceptAll(restoredDf), "delete"),
+          (restoredDf.exceptAll(curDf), "insert")))
+      }
+    publishEntry(path, "restore", "",
+      StructType.fromDDL(target.schemaDdl), None, Seq.empty,
+      cur.live.map(_.set), None, perSet = target.live, cdfSet = cdfSet)
   }
 
   // --------------------------------------------------------------- vacuum

@@ -179,7 +179,7 @@ private[sources] class LakeMicroBatchStream(
             c.add.flatMap(setFiles).map(f => LakeFilePartition(
               f.toString, c.schemaDdl, c.version,
               changeType = Some("insert")): InputPartition)
-          case "merge" | "update" | "delete" | "tombstone" =>
+          case "merge" | "update" | "delete" | "tombstone" | "restore" =>
             val cdfSet = c.cdf.getOrElse(throw new IllegalStateException(
               s"commit ${c.version} is a ${c.action} with no change-data " +
                 "sidecar (CDF was not enabled when it committed) — " +

@@ -372,6 +372,95 @@ object LakeStream {
       |  TRUE AS replay_skipped
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** st19: STREAMING CDF MIRROR — the end-to-end consumer the change
+    * data feed exists for: a Structured Streaming query tails the
+    * source lake table with `cdf=true` and maintains a MIRROR lake
+    * table through every mutation kind (append, UPDATE, copy-on-write
+    * DELETE, merge-on-read delete) — per micro-batch, the per-key
+    * LATEST change wins (preimages sort below their postimages),
+    * deleted keys apply through the distributed key-set delete
+    * (anti-join, the delta never touches the driver) and surviving
+    * images through the zone-pruned merge, BOTH exactly-once under
+    * epoch tags. The gate pins mirror ≡ source in-row after all four
+    * mutation kinds; the oracle replays the mutation arithmetic.
+    *
+    * At 100 TB this is Delta's CDF→MERGE replication loop: per batch
+    * the work is O(changed rows) (sidecar scan + pruned rewrites),
+    * never a source rescan, and restarts replay nothing (offsets are
+    * commit versions; applies are tag-idempotent).
+    */
+  def st19StreamCdfApply(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.SparkEntry.scratch("graft_cdfs_src", dir)
+    val dst = graft.SparkEntry.scratch("graft_cdfs_dst", dir)
+    graft.SparkEntry.rmrf(src)
+    graft.SparkEntry.rmrf(dst)
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val k = col("o_orderkey")
+    GraftLake.create(o.filter(pmod(k, lit(3)) < 2), src, Some("o_orderkey"))
+    GraftLake.enableCdf(src)
+    GraftLake.create(o.limit(0), dst, Some("o_orderkey"))
+    val base = java.nio.file.Files.createTempDirectory("graft-st19")
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", src).option("cdf", "true").load()
+      .writeStream
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderkey"))
+          .orderBy(col("_commit_version").desc,
+            when(col("_change_type") === "update_preimage", 0)
+              .otherwise(1).desc)
+        val latest = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).localCheckpoint(true)
+        GraftLake.deleteKeys(spark, dst,
+          latest.filter(col("_change_type") === "delete")
+            .select(col("o_orderkey")),
+          "o_orderkey", Some("o_orderkey"), tag = Some(s"cdf-del-$batchId"))
+        GraftLake.merge(spark, dst,
+          latest.filter(col("_change_type") =!= "delete")
+            .drop("rn", "_change_type", "_commit_version"),
+          Seq("o_orderkey"), "o_orderkey", tag = Some(s"cdf-up-$batchId"))
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()                                      // v0 inserts
+      GraftLake.append(o.filter(pmod(k, lit(3)) === 2), src,
+        statsCol = Some("o_orderkey"))                             // v1
+      q.processAllAvailable()
+      GraftLake.update(spark, src, pmod(k, lit(7)) === 2,
+        Seq("cents" -> (col("cents") * 3)), Some("o_orderkey"))    // v2
+      q.processAllAvailable()
+      GraftLake.delete(spark, src, pmod(k, lit(5)) === 4,
+        Some("o_orderkey"))                                        // v3
+      q.processAllAvailable()
+      GraftLake.deleteMoR(spark, src, pmod(k, lit(11)) === 7,
+        "o_orderkey")                                              // v4
+      q.processAllAvailable()
+    } finally q.stop()
+    val srcDf = GraftLake.read(spark, src)
+    val dstDf = GraftLake.read(spark, dst)
+    val same = dstDf.exceptAll(srcDf).count() == 0 &&
+      srcDf.exceptAll(dstDf).count() == 0
+    dstDf.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("mirror_equals_source", lit(same))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val st19OracleSql: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |f AS (SELECT k, st,
+      |    CASE WHEN k % 7 = 2 THEN cents * 3 ELSE cents END AS cents
+      |  FROM o WHERE k % 5 <> 4 AND k % 11 <> 7)
+      |SELECT st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS mirror_equals_source
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val st12OracleSql: String =
     """SELECT 0 AS commit_version, o_orderstatus, count(*) AS n,
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

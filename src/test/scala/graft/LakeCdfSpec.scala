@@ -125,6 +125,37 @@ class LakeCdfSpec extends AnyFunSuite with SparkSpec {
     assert(after == Set((9L, "i", 90L, "insert", 4)))
   }
 
+  test("restore emits the row-level diff through the feed; refusals are loud") {
+    import spark.implicits._
+    val t = tmp("cdf-restore")
+    GraftLake.create(base, t, Some("k"))                            // v0
+    GraftLake.enableCdf(t)
+    GraftLake.update(spark, t, col("k") === 2L,
+      Seq("v" -> lit(99L)), Some("k"))                              // v1
+    GraftLake.delete(spark, t, col("k") === 3L, Some("k"))          // v2
+    val rv = GraftLake.restore(spark, t, 0)                        // v3
+    assert(rv == 3)
+    // The rollback's CDF diff: the updated row reverts (delete new
+    // image, insert old), the deleted row returns (insert).
+    val got = typed(GraftLake.changesTyped(spark, t, 2))
+    assert(got == Set(
+      (2L, "b", 99L, "delete", 3),
+      (2L, "b", 20L, "insert", 3),
+      (3L, "c", 30L, "insert", 3)))
+    // And the table reads exactly v0 again.
+    assert(GraftLake.read(spark, t).collect().map(r =>
+      (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // Refusals: vacuumed history, outstanding tombstones.
+    GraftLake.vacuum(t) // reclaims the pre-restore rewrite sets
+    val e = intercept[IllegalArgumentException] {
+      GraftLake.restore(spark, t, 1)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    GraftLake.deleteMoR(spark, t, col("k") === 1L, "k")
+    intercept[IllegalArgumentException] { GraftLake.restore(spark, t, 0) }
+  }
+
   test("cdf sidecars survive vacuum and never join the live sets") {
     import spark.implicits._
     val t = tmp("cdf-vacuum")

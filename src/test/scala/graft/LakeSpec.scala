@@ -512,6 +512,29 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
       orders.filter(col("o_orderkey") === 2).count())
   }
 
+  test("deleteKeys: distributed key-set delete, pruned and tag-idempotent") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), path,
+      Some("id"))
+    GraftLake.append((11L to 20L).map(i => (i, i)).toDF("id", "v"), path,
+      statsCol = Some("id"))
+    // Keys hit only the second set: exactly one rewrite.
+    val keys = Seq(15L, 16L, 99L).toDF("id")
+    val (_, rew, kept, n) =
+      GraftLake.deleteKeys(spark, path, keys, "id", Some("id"),
+        tag = Some("e1"))
+    assert(rew == 1 && kept == 1 && n == 2L)
+    assert(GraftLake.read(spark, path).count() == 18)
+    // Replaying the epoch is a no-op.
+    val before = GraftLake.latestVersion(path)
+    val (v2, rew2, _, n2) =
+      GraftLake.deleteKeys(spark, path, keys, "id", Some("id"),
+        tag = Some("e1"))
+    assert(v2 == before && rew2 == 0 && n2 == 0L)
+    assert(GraftLake.read(spark, path).count() == 18)
+  }
+
   test("vacuum retention keeps time travel alive inside the window") {
     import spark.implicits._
     val path = freshTable()
