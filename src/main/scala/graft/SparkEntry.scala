@@ -362,6 +362,7 @@ object SparkEntry {
     "q75_active_intervals" -> graft.operators.Analytics2.q75ActiveIntervals _,
     "q76_twap"           -> graft.operators.Analytics2.q76Twap _,
     "q77_transitions"    -> graft.operators.Analytics2.q77Transitions _,
+    "q78_pareto"         -> graft.operators.Analytics2.q78Pareto _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
@@ -756,6 +757,41 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("restore_zero_copy", lit(ok))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // REPLACE WHERE (Delta's replaceWhere): the table is laid out as
+    // one file-set per order year (exact min==max manifests); re-land
+    // 1995 with corrected cents in ONE atomic commit that touches
+    // EXACTLY the 1995 set (fully-inside sets drop by reference —
+    // (rewritten, kept) == (1, years-1) pinned in-row) and replaces
+    // exactly that year's row count; a replacement frame whose rows
+    // fall OUTSIDE the predicate refuses loudly (the idempotent
+    // partition-reload contract). Oracle: orders with 1995 cents
+    // shifted.
+    "src30_replace_where" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_rw", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      GraftLake.appendPartitioned(o, path, "yr", statsCols = Seq("o_orderkey"))
+      val nSets = GraftLake.snapshot(path).live.size
+      val n1995 = o.filter(col("yr") === 1995).count()
+      val repl = o.filter(col("yr") === 1995)
+        .withColumn("cents", col("cents") + 1000).localCheckpoint(true)
+      val (_, rew, kept, n) =
+        GraftLake.replaceWhere(s, path, repl, "yr", 1995, 1995)
+      val refused =
+        try { GraftLake.replaceWhere(s, path, repl, "yr", 2999, 2999); false }
+        catch { case _: IllegalArgumentException => true }
+      val ok = rew == 1 && kept == nSets - 1 && n == n1995 && refused
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("replace_pruned", lit(ok))
         .orderBy(col("o_orderstatus"))
     }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
@@ -2232,6 +2268,7 @@ object SparkEntry {
     "q75_active_intervals" -> graft.operators.Analytics2.q75OracleSql,
     "q76_twap" -> graft.operators.Analytics2.q76OracleSql,
     "q77_transitions" -> graft.operators.Analytics2.q77OracleSql,
+    "q78_pareto" -> graft.operators.Analytics2.q78OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->
@@ -2407,6 +2444,13 @@ object SparkEntry {
         |FROM final f JOIN cnt c ON f.st = c.st
         |GROUP BY 1, c.n_insert, c.n_update_pre, c.n_update_post, c.n_delete
         |ORDER BY 1""".stripMargin,
+    "src30_replace_where" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN year(o_orderdate) = 1995 THEN 1000 ELSE 0 END)
+        |    AS BIGINT) AS cents,
+        |  TRUE AS replace_pruned
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Restored-to-v1 state = ALL orders, untouched by the rolled-back
     // merge/delete.
     "src29_lake_restore" ->

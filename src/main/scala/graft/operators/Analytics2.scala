@@ -222,4 +222,63 @@ object Analytics2 {
       |    AS concurrent
       |FROM deltas
       |ORDER BY o_orderstatus, d""".stripMargin
+
+  /** q78: PARETO / CONCENTRATION REPORT — customers ranked by total
+    * revenue and bucketed into revenue-rank deciles; each decile's
+    * customer count, exact cents, revenue share, and cumulative share
+    * (the 80/20 question: how concentrated is revenue?).
+    *
+    * Scale: per-customer revenue is a partial-agg groupBy; the global
+    * revenue ranking uses [[Ranks.withGlobalIndex]] (range-partition +
+    * local sort — NO single-task window sort); decile assignment is
+    * pure integer arithmetic off the index ((idx*10) div n — exact,
+    * no double round-trip); the only window runs over the 10-row
+    * decile spine. Shares are ONE double division at presentation.
+    */
+  def q78Pareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(col("o_custkey"), col("cents")).as[(Long, Long)]
+      .map(identity).toDF("o_custkey", "cents") // non-null long for Ranks
+    val tot = rev.agg(count(lit(1)).as("n_cust"),
+      sum(col("cents")).as("tot")).localCheckpoint(true)
+    val deciles = graft.operators.Ranks
+      .withGlobalIndex(rev, Seq(col("cents").desc, col("o_custkey")), "__idx")
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("CAST((__idx * 10) div n_cust AS INT) + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .crossJoin(broadcast(tot.select(col("tot"))))
+      .withColumn("share", round(col("cents").cast("double") / col("tot"), 6))
+      .withColumn("cum_share",
+        round(sum(col("cents")).over(w).cast("double") / col("tot"), 6))
+      .select(col("decile"), col("n_customers"), col("cents"),
+        col("share"), col("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  val q78OracleSql: String =
+    """WITH r AS (SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |i AS (SELECT o_custkey, cents,
+      |    row_number() OVER (ORDER BY cents DESC, o_custkey) - 1 AS idx
+      |  FROM r),
+      |t AS (SELECT count(*) AS n_cust, CAST(sum(cents) AS BIGINT) AS tot
+      |  FROM r),
+      |d AS (SELECT CAST((idx * 10) // n_cust AS INT) + 1 AS decile,
+      |    count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM i CROSS JOIN t GROUP BY 1)
+      |SELECT decile, n_customers, cents,
+      |  round(CAST(cents AS DOUBLE) / tot, 6) AS share,
+      |  round(CAST(sum(cents) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / tot, 6) AS cum_share
+      |FROM d CROSS JOIN t ORDER BY decile""".stripMargin
 }

@@ -1558,6 +1558,81 @@ object GraftLake {
     (v, n)
   }
 
+  /** REPLACE WHERE (Delta's `overwrite` + `replaceWhere`): atomically
+    * replace ONLY the rows with `col` in `[lo, hi]` by `df`, in one
+    * commit — the idempotent partition-reload shape (re-land one day
+    * from upstream without touching any other day). Zone maps prune
+    * the victim search to overlapping file-sets; sets fully INSIDE
+    * the range drop by reference (no scan of their rows), straddling
+    * sets rewrite their outside-range remainder. Every replacement
+    * row must itself satisfy the predicate (rows outside the range
+    * are refused loudly, Delta's replaceWhere contract — otherwise
+    * the operation silently stops being idempotent). CHECK
+    * constraints validate `df`; CDF stages delete(old in-range rows)
+    * + insert(new rows).
+    * Returns (version, rewrittenSets, keptSets, replacedRows).
+    */
+  def replaceWhere(
+      spark: SparkSession, path: String, df: DataFrame,
+      c: String, lo: Long, hi: Long): (Int, Int, Int, Long) = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    require(s.tombstones.isEmpty,
+      s"outstanding merge-on-read tombstones at $path: compact first")
+    val target = StructType.fromDDL(s.schemaDdl)
+    require(target.fieldNames.contains(c), s"no column '$c' at $path")
+    val inRange = functions.col(c) >= lo && functions.col(c) <= hi
+    val nOutside = df.filter(!coalesce(inRange, lit(false))).count()
+    require(nOutside == 0,
+      s"replaceWhere: $nOutside replacement row(s) fall outside " +
+        s"$c in [$lo, $hi] — the predicate must cover every new row")
+    val live = s.live
+    val (candidates, kept) = live.partition { ls =>
+      ls.statsFor(c) match {
+        case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
+        case None => true // unknown span — must look
+      }
+    }
+    // Sets provably FULLY inside the range drop by reference — no row
+    // of theirs needs rewriting (only a metadata-cheap count, plus a
+    // row scan when CDF must record their delete images). Straddling
+    // sets rewrite their outside-range remainder.
+    val (inside, straddle) = candidates.partition(ls =>
+      ls.statsFor(c).exists(st => st.min >= lo && st.max <= hi))
+    def readAll(sets: Seq[LiveSet]): Option[DataFrame] =
+      sets.map(readSet(spark, path, _, target, s.renames))
+        .reduceLeftOption(_.unionByName(_))
+    val straddleDf = readAll(straddle)
+    val replaced =
+      inside.map(ls => readSet(spark, path, ls, target, s.renames).count()).sum +
+        straddleDf.map(_.filter(coalesce(inRange, lit(false))).count())
+          .getOrElse(0L)
+    val aligned = df.select(target.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else {
+        val oldInRange = (readAll(inside).toSeq ++
+          straddleDf.map(_.filter(coalesce(inRange, lit(false)))).toSeq)
+          .reduceLeftOption(_.unionByName(_)).getOrElse(aligned.limit(0))
+        stageCdf(path, Seq((oldInRange, "delete"), (aligned, "insert")))
+      }
+    val remainder = straddleDf.map(_.filter(!coalesce(inRange, lit(false))))
+      .getOrElse(aligned.limit(0))
+    val rewritten = remainder.unionByName(aligned)
+    val reStats = (candidates.flatMap(_.stats.map(_.col)) :+ c)
+      .map(currentName(s.renames, _)).distinct
+    val v = commit(rewritten, path, "merge",
+      statsCols = reStats, removeSets = candidates.map(_.set),
+      bloomCols = bloomColsOf(path, candidates.map(_.set))
+        .map(currentName(s.renames, _)).distinct,
+      cdfSet = cdfSet)
+    (v, candidates.size, kept.size, replaced)
+  }
+
   /** KEY-SET DELETE (copy-on-write): remove every row whose `keyCol`
     * appears in `keys` — the CDC-apply delete shape (a change feed
     * hands you a FRAME of deleted keys, and collecting it to build a

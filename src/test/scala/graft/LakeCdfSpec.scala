@@ -156,6 +156,29 @@ class LakeCdfSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] { GraftLake.restore(spark, t, 0) }
   }
 
+  test("replaceWhere feeds delete+insert images and drops inside sets by reference") {
+    import spark.implicits._
+    val t = tmp("cdf-rw")
+    val df = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 30L), (4L, 2L, 40L))
+      .toDF("k", "p", "v")
+    GraftLake.appendPartitioned(df, t, "p")                       // v0: 2 sets
+    GraftLake.enableCdf(t)
+    val (_, rew, kept, n) = GraftLake.replaceWhere(spark, t,
+      Seq((9L, 1L, 90L)).toDF("k", "p", "v"), "p", 1L, 1L)       // v1
+    assert(rew == 1 && kept == 1 && n == 2L)
+    val got = typed2(GraftLake.changesTyped(spark, t, 0))
+    assert(got == Set(
+      (1L, 1L, 10L, "delete", 1), (2L, 1L, 20L, "delete", 1),
+      (9L, 1L, 90L, "insert", 1)))
+    assert(GraftLake.read(spark, t).count() == 3)
+  }
+
+  private def typed2(df: DataFrame): Set[(Long, Long, Long, String, Int)] =
+    df.collect().map(r => (
+      r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("p")),
+      r.getLong(r.fieldIndex("v")), r.getString(r.fieldIndex("_change_type")),
+      r.getInt(r.fieldIndex("_commit_version")))).toSet
+
   test("cdf sidecars survive vacuum and never join the live sets") {
     import spark.implicits._
     val t = tmp("cdf-vacuum")
