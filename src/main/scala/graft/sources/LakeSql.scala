@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions.expr
   * ...")`, `DELETE FROM lake WHERE ...`, `UPDATE lake SET ... WHERE
   * ...`, `ALTER TABLE lake RENAME COLUMN a TO b`, and time-travel
   * reads (`SELECT ... FROM lake VERSION AS OF n / TIMESTAMP AS OF
-  * ts`) route to [[GraftLake.merge]] / [[GraftLake.delete]] /
+  * ts`) plus `RESTORE TABLE lake TO VERSION AS OF n` route to
+  * [[GraftLake.merge]] / [[GraftLake.delete]] /
   * [[GraftLake.update]] / [[GraftLake.renameColumn]] /
   * [[GraftLake.readAt]] / [[GraftLake.readAsOf]] — the warehouse
   * surface is SQL-complete, not Scala-only.
@@ -184,6 +185,17 @@ final case class GraftLakeUpdateCommand(
   }
 }
 
+/** RESTORE TABLE <lake view> TO VERSION AS OF <n> — executes the
+  * lake's zero-copy rollback (see [[GraftLake.restore]]'s fences).
+  */
+final case class GraftLakeRestoreCommand(path: String, version: Int)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.restore(spark, path, version)
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE <lake view> RENAME COLUMN <old> TO <new> — executes
   * the lake's zero-rewrite column-mapping rename, then refreshes the
   * registered temp view so subsequent reads see the new name.
@@ -225,7 +237,21 @@ final case class GraftLakeMergeCommand(
 final class LakeDdlParser(
     delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
   extends org.apache.spark.sql.catalyst.parser.ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
+
+  // RESTORE TABLE <name> TO VERSION AS OF <n> — not Spark grammar at
+  // all (Delta ships it in its own parser extension), so the wrapper
+  // recognizes the statement BEFORE delegating; unregistered names
+  // fall through to Spark's parser for its native error.
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case RestoreRe(name, ver) if LakeSql.lookup(name).isDefined =>
+      GraftLakeRestoreCommand(LakeSql.lookup(name).get.path, ver.toInt)
+    case _ => parsePlanDelegated(sqlText)
+  }
+
+  private def parsePlanDelegated(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
       case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
         LakeSql.targetName(r.table) match {

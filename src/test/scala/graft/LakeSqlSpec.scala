@@ -192,5 +192,13 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
       spark.sql("SELECT id FROM lakesql_tt VERSION AS OF 99").collect() }
     intercept[Exception] {
       spark.sql("SELECT id FROM lakesql_tt TIMESTAMP AS OF '5'").collect() }
+    // SQL RESTORE (pre-parse intercept, the Delta-parser shape): roll
+    // the table back to v1, then verify the latest read.
+    spark.sql("RESTORE TABLE lakesql_tt TO VERSION AS OF 1")
+    LakeSql.register(spark, p, "lakesql_tt", "id") // refresh the view
+    assert(ids("SELECT id, v FROM lakesql_tt") == Set((1L, 10L), (2L, 20L)))
+    // Unregistered names fall through to Spark's own parse error.
+    intercept[Exception] {
+      spark.sql("RESTORE TABLE nope_not_lake TO VERSION AS OF 1") }
   }
 }
