@@ -196,6 +196,26 @@ final case class GraftLakeRestoreCommand(path: String, version: Int)
   }
 }
 
+/** DESCRIBE HISTORY <lake view> — the audit surface as a SQL result
+  * set (version, action, timestamp, added/removed set counts, tag),
+  * straight off the commit log: O(commits) metadata rows.
+  */
+final case class GraftLakeHistoryCommand(path: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types._
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("action", StringType, nullable = false)(),
+      AttributeReference("committed_at", TimestampType, nullable = false)(),
+      AttributeReference("n_added", IntegerType, nullable = false)(),
+      AttributeReference("n_removed", IntegerType, nullable = false)(),
+      AttributeReference("tag", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftLake.history(spark, path).collect().toSeq
+}
+
 /** ALTER TABLE <lake view> RENAME COLUMN <old> TO <new> — executes
   * the lake's zero-rewrite column-mapping rename, then refreshes the
   * registered temp view so subsequent reads see the new name.
@@ -244,10 +264,14 @@ final class LakeDdlParser(
   // fall through to Spark's parser for its native error.
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RestoreRe(name, ver) if LakeSql.lookup(name).isDefined =>
       GraftLakeRestoreCommand(LakeSql.lookup(name).get.path, ver.toInt)
+    case HistoryRe(name) if LakeSql.lookup(name).isDefined =>
+      GraftLakeHistoryCommand(LakeSql.lookup(name).get.path)
     case _ => parsePlanDelegated(sqlText)
   }
 

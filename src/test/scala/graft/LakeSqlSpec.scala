@@ -200,5 +200,11 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     // Unregistered names fall through to Spark's own parse error.
     intercept[Exception] {
       spark.sql("RESTORE TABLE nope_not_lake TO VERSION AS OF 1") }
+    // DESCRIBE HISTORY returns the audit rows straight off the log.
+    val hist = spark.sql("DESCRIBE HISTORY lakesql_tt")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(hist.map(_._1).toSeq == hist.indices.map(identity))
+    assert(hist.map(_._2).toSeq ==
+      Seq("create", "append", "update", "restore"))
   }
 }
