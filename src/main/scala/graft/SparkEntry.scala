@@ -258,6 +258,7 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
     "mv01_incremental_agg" -> graft.operators.Materialized.mv01IncrementalAgg _,
+    "mv09_cdf_view"        -> graft.operators.Materialized.mv09CdfView _,
     "st01_windowed_counts" -> EventStreams.st01WindowedCounts _,
     "st17_watermark_lake_append" ->
       ((s: SparkSession, d: String) => graft.streaming.WatermarkLake.st17WatermarkLakeAppend(s, d)),
@@ -2269,6 +2270,7 @@ object SparkEntry {
     "q76_twap" -> graft.operators.Analytics2.q76OracleSql,
     "q77_transitions" -> graft.operators.Analytics2.q77OracleSql,
     "q78_pareto" -> graft.operators.Analytics2.q78OracleSql,
+    "mv09_cdf_view" -> graft.operators.Materialized.mv09OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->

@@ -444,4 +444,67 @@ object Materialized {
     val h2 = orders.filter(y === maxYear && month(col("o_orderdate")) > 6)
     pres(mergeMinmax(mergeMinmax(minmaxState(base), h1), h2))
   }
+
+  /** mv09: CDF-DRIVEN view maintenance over a MUTATING base — the
+    * retract algebra the insert-only mv01/mv03 loop cannot express: a
+    * per-status (count, cents) view maintained from NOTHING but the
+    * typed change feed, where insert/update_postimage rows add
+    * (+1, +cents) and delete/update_preimage rows RETRACT (−1,
+    * −cents) — Flink's retract-stream aggregation re-expressed over
+    * the lake's CDF. The base takes every mutation kind (append,
+    * UPDATE, copy-on-write delete, merge-on-read delete); the view
+    * folds the whole feed in ONE partial-agg pass (O(changes) read,
+    * O(groups) state) and is proven equal to the full recompute
+    * in-row.
+    *
+    * At 100 TB: each refresh reads ONLY the commits since the last
+    * fold (`changesTyped(from)`) — O(delta) — and merges O(groups)
+    * rows into the stored view; this gate folds from −1 to show the
+    * algebra is total.
+    */
+  def mv09CdfView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftLake
+    val path = graft.SparkEntry.scratch("graft_mv09_base", dir)
+    graft.SparkEntry.rmrf(path)
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val k = col("o_orderkey")
+    GraftLake.create(o.filter(pmod(k, lit(3)) < 2), path, Some("o_orderkey"))
+    GraftLake.enableCdf(path)
+    GraftLake.append(o.filter(pmod(k, lit(3)) === 2), path,
+      statsCol = Some("o_orderkey"))                               // v1
+    GraftLake.update(spark, path, pmod(k, lit(7)) === 3,
+      Seq("cents" -> (col("cents") + 41L)), Some("o_orderkey"))    // v2
+    GraftLake.delete(spark, path, pmod(k, lit(5)) === 2,
+      Some("o_orderkey"))                                          // v3
+    GraftLake.deleteMoR(spark, path, pmod(k, lit(11)) === 9,
+      "o_orderkey")                                                // v4
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val view = GraftLake.changesTyped(spark, path, -1)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(sign).as("n"), sum(sign * col("cents")).as("cents"))
+      .filter(col("n") > 0)
+      .localCheckpoint(true)
+    val recompute = GraftLake.read(spark, path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val same = view.exceptAll(recompute).count() == 0 &&
+      recompute.exceptAll(view).count() == 0
+    view.withColumn("retract_equals_recompute", lit(same))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val mv09OracleSql: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |f AS (SELECT k, st,
+      |    CASE WHEN k % 7 = 3 THEN cents + 41 ELSE cents END AS cents
+      |  FROM o WHERE k % 5 <> 2 AND k % 11 <> 9)
+      |SELECT st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS cents,
+      |  TRUE AS retract_equals_recompute
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 }
