@@ -100,6 +100,7 @@ object SparkEntry {
     "d30_bpe_train"      -> ((s: SparkSession, d: String) => Bpe.d30BpeTrain(s, d)),
     "d31_bpe_tokenize"   -> ((s: SparkSession, d: String) => Bpe.d31BpeTokenize(s, d)),
     "d33_bpe_stored"     -> ((s: SparkSession, d: String) => Bpe.d33BpeStored(s, d)),
+    "d34_mixture_sample" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d34MixtureSample(s, d)),
     "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
@@ -2271,6 +2272,7 @@ object SparkEntry {
     "q77_transitions" -> graft.operators.Analytics2.q77OracleSql,
     "q78_pareto" -> graft.operators.Analytics2.q78OracleSql,
     "mv09_cdf_view" -> graft.operators.Materialized.mv09OracleSql,
+    "d34_mixture_sample" -> graft.operators.TextCorpus.d34OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->

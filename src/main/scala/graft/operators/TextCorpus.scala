@@ -619,4 +619,70 @@ object TextCorpus {
       |  CAST(sum(least(128, n - s0)) AS BIGINT) AS sum_len,
       |  CAST(sum(least(128, n - s0)) - n AS BIGINT) AS overlap_tokens
       |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
+  /** d34: TRAINING-MIXTURE RESAMPLING — re-weight a multi-source
+    * corpus to TARGET mixture proportions by deterministic
+    * hash-thresholded downsampling (the "sample The Pile to your
+    * data-mix recipe" pass): target weight of source `src<i>` is
+    * (i+1) (a derived recipe so the oracle replays it); the total
+    * budget is half the corpus; each source's keep-rate in basis
+    * points is min(10000, targetShare·budget / n_source) in EXACT
+    * integer arithmetic, and a document survives iff
+    * polyHash(text) % 10000 < bp — the same content-stable hash d18's
+    * split uses, so membership is reproducible across runs, engines,
+    * and corpus growth (a doc's fate never depends on other docs).
+    *
+    * Scale: one map for the hash, one O(sources) stats agg, one
+    * broadcast join + filter — no shuffle of the corpus beyond the
+    * partial-agg counts; the census-forbidden per-source window never
+    * appears.
+    */
+  def d34MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, src) =>
+        (id, src, Dedup.polyHash(text.trim.toLowerCase) % 10000L)
+      }
+      .toDF("doc_id", "source", "h")
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        regexp_extract(col("source"), "(\\d+)", 1).cast("long") + 1)
+    val tot = counts
+      .agg(sum(col("n_docs")).as("n_total"), sum(col("w")).as("w_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("bp", least(lit(10000L),
+        expr("(w * (n_total div 2) * 10000) div (w_total * n_docs)")))
+      .select(col("source"), col("n_docs"), col("bp"))
+      .localCheckpoint(true)
+    val kept = docs.join(broadcast(rates.select(col("source"), col("bp"))), "source")
+      .filter(col("h") < col("bp"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val d34OracleSql: String =
+    """WITH t AS (SELECT doc_id, source, lower(trim(text)) AS s FROM documents),
+      |h AS (SELECT doc_id, source,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(unicode(s[i:i]) AS BIGINT) FOR i IN range(1, length(s) + 1)]),
+      |  (a, c) -> (a * 131 + c) % 1000000007) % 10000 AS hh FROM t),
+      |c AS (SELECT source, count(*) AS n_docs,
+      |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) + 1 AS w
+      |  FROM t GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |    CAST(sum(w) AS BIGINT) AS w_total FROM c),
+      |r AS (SELECT source, n_docs,
+      |    least(10000, (w * (n_total // 2) * 10000) // (w_total * n_docs))
+      |      AS bp
+      |  FROM c CROSS JOIN tt),
+      |k AS (SELECT h.source, count(*) AS n_kept
+      |  FROM h JOIN r ON h.source = r.source WHERE hh < bp GROUP BY 1)
+      |SELECT r.source, r.n_docs, r.bp, COALESCE(k.n_kept, 0) AS n_kept
+      |FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin
 }
