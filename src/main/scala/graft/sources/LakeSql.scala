@@ -335,6 +335,32 @@ object LakeTimeTravel {
 
   def splice(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
+      // table_changes('<lake name>', <fromVersion>) — Delta's CDF
+      // table-valued function: splice the analyzed plan of
+      // [[GraftLake.changesTyped]] so SQL reads the typed feed
+      // (`SELECT * FROM table_changes('t', 2) WHERE _change_type =
+      // 'delete'`). Unregistered names / other TVFs pass through to
+      // Spark's own resolution.
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("table_changes") &&
+            tvf.functionArgs.size == 2 =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        (tvf.functionArgs.head, tvf.functionArgs(1)) match {
+          case (Literal(n: org.apache.spark.unsafe.types.UTF8String, _),
+              Literal(v, _)) if LakeSql.lookup(n.toString).isDefined =>
+            val t = LakeSql.lookup(n.toString).get
+            val from = v match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case other => throw new IllegalArgumentException(
+                s"table_changes: fromVersion must be an integer, got $other")
+            }
+            val df = GraftLake.changesTyped(SparkSession.active, t.path, from)
+            SubqueryAlias("table_changes",
+              org.apache.spark.sql.GraftSqlBridge.planOf(df))
+          case _ => tvf
+        }
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
         LakeSql.targetName(tt.relation) match {
           case Some(name) =>

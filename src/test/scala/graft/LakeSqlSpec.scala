@@ -207,4 +207,29 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(hist.map(_._2).toSeq ==
       Seq("create", "append", "update", "restore"))
   }
+
+  test("table_changes TVF serves the typed feed through SQL") {
+    import spark.implicits._
+    val (p, _) = freshPair()
+    GraftLake.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), p, Some("id"))
+    GraftLake.enableCdf(p)
+    GraftLake.update(spark, p, col("id") === 1L, Seq("v" -> lit(99L)),
+      Some("id"))                                                  // v1
+    GraftLake.delete(spark, p, col("id") === 2L, Some("id"))       // v2
+    LakeSql.register(spark, p, "lakesql_tc", "id")
+    val got = spark.sql(
+      "SELECT id, v, _change_type, _commit_version FROM table_changes('lakesql_tc', 0)")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    assert(got == Set(
+      (1L, 10L, "update_preimage", 1), (1L, 99L, "update_postimage", 1),
+      (2L, 20L, "delete", 2)))
+    // Predicates compose over the TVF.
+    assert(spark.sql(
+      "SELECT count(*) FROM table_changes('lakesql_tc', 0) " +
+        "WHERE _change_type = 'delete'").head.getLong(0) == 1L)
+    // Unregistered names fall through to Spark's own TVF error.
+    intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('nope', 0)").collect() }
+  }
 }
