@@ -365,6 +365,7 @@ object SparkEntry {
     "q76_twap"           -> graft.operators.Analytics2.q76Twap _,
     "q77_transitions"    -> graft.operators.Analytics2.q77Transitions _,
     "q78_pareto"         -> graft.operators.Analytics2.q78Pareto _,
+    "q79_temporal_join"  -> Relational3.q79TemporalJoin _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
@@ -2271,6 +2272,7 @@ object SparkEntry {
     "q76_twap" -> graft.operators.Analytics2.q76OracleSql,
     "q77_transitions" -> graft.operators.Analytics2.q77OracleSql,
     "q78_pareto" -> graft.operators.Analytics2.q78OracleSql,
+    "q79_temporal_join" -> Relational3.q79OracleSql,
     "mv09_cdf_view" -> graft.operators.Materialized.mv09OracleSql,
     "d34_mixture_sample" -> graft.operators.TextCorpus.d34OracleSql,
     // Gini impurity in integer numerators with one trailing division;

@@ -134,6 +134,65 @@ object Relational3 {
       .orderBy(col("o_custkey"), col("version"))
   }
 
+  /** q79: TEMPORAL (fact-to-SCD2) join — every order looked up against
+    * the customer's priority REGIME in force 30 days earlier (the
+    * "which version of the dimension was true back then" question
+    * every warehouse with slowly-changing dimensions asks). The dim is
+    * q45's SCD2 history; the lookup is the NATIVE as-of operator
+    * (AsOfJoinExec — single shuffle, per-key forward fill, no range
+    * self-join). Same-day regime flips stay deterministic because the
+    * as-of time is the composite (day × 1000 + version) long — the
+    * (valid_from, version) lexicographic order in one integer, exact
+    * in both engines. Orders predating the first regime report 'none'.
+    */
+  def q79TemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = q45Scd2(spark, dir).select(
+      col("o_custkey").as("ck"), col("prio"),
+      (unix_date(col("valid_from").cast("date")) * 1000 + col("version"))
+        .cast("long").as("rt"))
+    val fact = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (unix_date(date_sub(col("o_orderdate").cast("date"), 30)) * 1000 + 999)
+          .cast("long").as("t"))
+    graft.operators.AsOfJoin.asOfNative(
+      left = fact, right = dim,
+      leftKey = "o_custkey", rightKey = "ck",
+      leftTime = "t", rightTime = "rt",
+      payload = Seq("prio"))
+      .groupBy(coalesce(col("prio"), lit("none")).as("prio_then"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("prio_then"))
+  }
+
+  val q79OracleSql: String =
+    """WITH s AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority AS prio,
+      |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |v AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS version
+      |  FROM s),
+      |g AS (
+      |  SELECT o_custkey, version, prio,
+      |    CAST(min(o_orderdate) AS DATE) AS valid_from
+      |  FROM v GROUP BY 1, 2, 3),
+      |f AS (SELECT o_orderkey, o_custkey,
+      |    CAST(o_orderdate AS DATE) - 30 AS ad FROM orders),
+      |j AS (
+      |  SELECT f.o_orderkey, g.prio,
+      |    row_number() OVER (PARTITION BY f.o_orderkey
+      |      ORDER BY g.valid_from DESC, g.version DESC) AS rn
+      |  FROM f JOIN g ON f.o_custkey = g.o_custkey AND g.valid_from <= f.ad),
+      |m AS (SELECT o_orderkey, prio FROM j WHERE rn = 1)
+      |SELECT COALESCE(m.prio, 'none') AS prio_then, count(*) AS n_orders
+      |FROM f LEFT JOIN m ON f.o_orderkey = m.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q47: RECURSIVE CTE — iterative plans expressed in SQL (Spark 4's
     * WITH RECURSIVE): the anchor seeds the first order month, each
     * step adds one month to a fixed horizon, and the spine left-joins
