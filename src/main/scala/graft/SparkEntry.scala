@@ -797,6 +797,45 @@ object SparkEntry {
         .withColumn("replace_pruned", lit(ok))
         .orderBy(col("o_orderstatus"))
     }),
+    // ZERO-REWRITE COLUMN DROP (Delta column-mapping drop): a junk
+    // column vanishes from the schema in one metadata commit — the
+    // live set NAMES are unchanged (zero data bytes touched, pinned
+    // in-row), reads never surface it again, re-adding the dropped
+    // name via evolution refuses loudly (pre-drop sets still carry
+    // the physical bytes — the aliasing fence), and the SQL route
+    // (ALTER TABLE ... DROP COLUMN) lands the identical state.
+    "src31_lake_drop_column" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, LakeSql}
+      val path = scratch("graft_lake_dropc", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 97).as("junk"))
+      GraftLake.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        path, Some("o_orderkey"))
+      GraftLake.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+        path, statsCol = Some("o_orderkey"))
+      val setsBefore = GraftLake.snapshot(path).live.map(_.set).toSet
+      LakeSql.register(s, path, "lake_dropc", "o_orderkey")
+      s.sql("ALTER TABLE lake_dropc DROP COLUMN junk")
+      val snap = GraftLake.snapshot(path)
+      val zeroRewrite = snap.live.map(_.set).toSet == setsBefore
+      val gone = !GraftLake.read(s, path).columns.contains("junk")
+      val readdRefused =
+        try {
+          GraftLake.append(
+            o.filter(pmod(col("o_orderkey"), lit(999983)) === 7), path)
+          false
+        } catch { case _: IllegalStateException => true }
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("drop_zero_rewrite",
+          lit(zeroRewrite && gone && readdRefused))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -2450,6 +2489,12 @@ object SparkEntry {
         |FROM final f JOIN cnt c ON f.st = c.st
         |GROUP BY 1, c.n_insert, c.n_update_pre, c.n_update_post, c.n_delete
         |ORDER BY 1""".stripMargin,
+    "src31_lake_drop_column" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS drop_zero_rewrite
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src30_replace_where" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)

@@ -457,6 +457,33 @@ object GraftLake {
       }
   }
 
+  /** DROP a column WITHOUT rewriting any data file (Delta's
+    * column-mapping drop): the commit carries the narrowed schema
+    * plus a lineage entry under a RESERVED name
+    * (`__dropped_<col>_v<version>` — never part of any schema, so the
+    * physical data becomes unreachable through every read path), and
+    * the round-9 former-name fence then refuses re-adding the dropped
+    * name via schema evolution — pre-drop file-sets still carry the
+    * physical column, and a re-added logical twin would serve stale
+    * bytes (the same aliasing hazard renames have; Delta prevents
+    * both with field ids). `overwrite` clears the lineage and frees
+    * the name. Same refusal fences as rename: CHECK constraints
+    * referencing the column and outstanding MoR tombstones.
+    */
+  def dropColumn(path: String, name: String): Int = {
+    require(name.nonEmpty && !name.contains("=") && !name.contains("\""),
+      s"bad column name: '$name'")
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    fenceRename(path, s, name)
+    val cur = StructType.fromDDL(s.schemaDdl)
+    require(cur.fieldNames.contains(name), s"no column '$name' at $path")
+    require(cur.fields.length > 1,
+      s"cannot drop the only column of $path")
+    publishEntry(path, "dropcol", name, new StructType(), None,
+      Seq.empty, Seq.empty)
+  }
+
   /** The column-name lineage in force at the latest version
     * (logical name -> former names, newest first). */
   def renamesOf(path: String): Map[String, Seq[String]] =
@@ -699,6 +726,16 @@ object GraftLake {
           StructType(cur.fields.map(f =>
             if (f.name == oldN) f.copy(name = newN) else f)).toDDL
         }
+        else if (action == "dropcol") {
+          val cn = setName
+          val cur = StructType.fromDDL(snap.schemaDdl)
+          require(cur.fieldNames.contains(cn), s"no column '$cn' to drop at $path")
+          require(cur.fields.length > 1, s"cannot drop the only column of $path")
+          // Tombstone/constraint fences re-run per claim attempt, like
+          // rename.
+          fenceRename(path, snap, cn)
+          StructType(cur.fields.filterNot(_.name == cn)).toDDL
+        }
         else {
           val oldSt = StructType.fromDDL(snap.schemaDdl)
           // FORMER-NAME FENCE: a column renamed away must not rejoin
@@ -888,6 +925,18 @@ object GraftLake {
         val formers = oldN +: s.renames.getOrElse(oldN, Seq.empty)
         s.copy(version = c.version, schemaDdl = c.schemaDdl,
           renames = s.renames - oldN + (newN -> formers),
+          tsMillis = math.max(s.tsMillis, c.tsMillis))
+      } else if (c.action == "dropcol") {
+        // add = Seq(column): the schema narrows and the column's whole
+        // name lineage (itself + any former names) parks under a
+        // RESERVED logical name no schema will ever contain — physical
+        // data becomes unreachable, and the former-name fence blocks
+        // re-adding any of those names via evolution.
+        val cn = c.add.head
+        val formers = cn +: s.renames.getOrElse(cn, Seq.empty)
+        s.copy(version = c.version, schemaDdl = c.schemaDdl,
+          renames = s.renames - cn +
+            (s"__dropped_${cn}_v${c.version}" -> formers),
           tsMillis = math.max(s.tsMillis, c.tsMillis))
       } else if (c.action == "lineage") {
         // Wholesale lineage import (shallow clones): add = Seq(logical
@@ -1311,7 +1360,7 @@ object GraftLake {
     changed0.find(c => c.action != "create" && c.action != "append" &&
         c.action != "padd" && c.action != "constraint" &&
         c.action != "rename" && c.action != "lineage" &&
-        c.action != "vacuum").foreach { c =>
+        c.action != "dropcol" && c.action != "vacuum").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as inserts — " +
           "read a full snapshot instead")
@@ -1319,7 +1368,8 @@ object GraftLake {
     // Constraint/rename/lineage commits add rules/metadata, not rows.
     val changed = changed0.filter(c =>
       c.action != "constraint" && c.action != "rename" &&
-      c.action != "lineage" && c.action != "vacuum")
+      c.action != "lineage" && c.action != "dropcol" &&
+      c.action != "vacuum")
     val parts = changed.flatMap { c =>
       // A partitioned append is insert-only too: one part per set.
       val sets =
@@ -1380,8 +1430,8 @@ object GraftLake {
           Seq(readSet(spark, path,
             LiveSet(cdfName, ownCdf.toDDL, Seq.empty), targetCdf, latestRenames)
             .withColumn("_commit_version", lit(c.version)))
-        case "compact" | "constraint" | "rename" | "lineage" | "vacuum" =>
-          Seq.empty
+        case "compact" | "constraint" | "rename" | "lineage" | "dropcol" |
+            "vacuum" => Seq.empty
         case other => throw new IllegalStateException(
           s"commit ${c.version} is a $other: not representable in the " +
             "change feed — read a full snapshot instead")

@@ -216,6 +216,19 @@ final case class GraftLakeHistoryCommand(path: String)
     GraftLake.history(spark, path).collect().toSeq
 }
 
+/** ALTER TABLE <lake view> DROP COLUMN <c> — executes the lake's
+  * zero-rewrite column drop, then refreshes the registered view.
+  */
+final case class GraftLakeDropColumnCommand(
+    path: String, viewName: String, colName: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.dropColumn(path, colName)
+    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE <lake view> RENAME COLUMN <old> TO <new> — executes
   * the lake's zero-rewrite column-mapping rename, then refreshes the
   * registered temp view so subsequent reads see the new name.
@@ -277,6 +290,24 @@ final class LakeDdlParser(
 
   private def parsePlanDelegated(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
+      // ALTER TABLE <lake> DROP COLUMN c — same parse-time routing as
+      // RENAME (the analyzer rejects ALTER on views first otherwise).
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+        LakeSql.targetName(d.table) match {
+          case Some(name) =>
+            val t = LakeSql.lookup(name).get
+            require(d.columnsToDrop.size == 1 &&
+              d.columnsToDrop.head.name.length == 1,
+              "ALTER TABLE <graft lake> DROP COLUMN: one top-level " +
+                "column at a time")
+            val cn = d.columnsToDrop.head.name.head
+            require(!cn.equalsIgnoreCase(t.statsCol),
+              s"ALTER TABLE $name DROP COLUMN: '${t.statsCol}' is the " +
+                "registered merge-pruning column — re-register the table " +
+                "with a new statsCol first")
+            GraftLakeDropColumnCommand(t.path, name, cn)
+          case None => d
+        }
       case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
         LakeSql.targetName(r.table) match {
           case Some(name) =>

@@ -188,8 +188,8 @@ private[sources] class LakeMicroBatchStream(
               .add("_change_type", StringType, nullable = true).toDDL
             setFiles(cdfSet).map(f =>
               LakeFilePartition(f.toString, ddl, c.version): InputPartition)
-          case "compact" | "constraint" | "rename" | "lineage" | "vacuum" =>
-            Seq.empty
+          case "compact" | "constraint" | "rename" | "lineage" | "dropcol" |
+              "vacuum" => Seq.empty
           case other => throw new IllegalStateException(
             s"commit ${c.version} is a $other: not representable in the " +
               "change stream — restart from a fresh snapshot")

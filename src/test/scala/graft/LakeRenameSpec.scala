@@ -152,6 +152,37 @@ class LakeRenameSpec extends AnyFunSuite with SparkSpec {
       Seq("k", "s", "v2", "w"))
   }
 
+  test("drop column: zero-rewrite, re-add refused, renamed-then-dropped fenced too") {
+    import spark.implicits._
+    val t = tmp("dropc")
+    GraftLake.create(base, t)
+    GraftLake.renameColumn(t, "v", "v2")   // v -> v2
+    GraftLake.dropColumn(t, "v2")          // drop the renamed column
+    assert(GraftLake.read(spark, t).columns.toSeq == Seq("k", "s"))
+    // The WHOLE lineage (v2 and its former name v) is fenced: neither
+    // can rejoin via evolution.
+    intercept[IllegalStateException] {
+      GraftLake.append(Seq((9L, "z", 1L)).toDF("k", "s", "v2"), t) }
+    intercept[IllegalStateException] {
+      GraftLake.append(Seq((9L, "z", 1L)).toDF("k", "s", "v"), t) }
+    // A fresh name evolves fine, and data reads back untouched.
+    GraftLake.append(Seq((9L, "z", 1L)).toDF("k", "s", "w"), t)
+    assert(GraftLake.read(spark, t).count() == 4)
+    // Lineage survives a checkpoint; pre-drop time travel still sees v2.
+    GraftLake.checkpoint(t)
+    intercept[IllegalStateException] {
+      GraftLake.append(Seq((8L, "y", 2L)).toDF("k", "s", "v"), t) }
+    assert(GraftLake.readAt(spark, t, 1).columns.contains("v2"))
+    // Refusals: constraint-referenced and last-column drops.
+    val t2 = tmp("dropc2")
+    GraftLake.create(Seq((1L, 2L)).toDF("a", "b"), t2)
+    GraftLake.addConstraint(spark, t2, "b_pos", "b > 0")
+    intercept[IllegalStateException] { GraftLake.dropColumn(t2, "b") }
+    GraftLake.dropConstraint(t2, "b_pos")
+    GraftLake.dropColumn(t2, "b")
+    intercept[IllegalArgumentException] { GraftLake.dropColumn(t2, "a") }
+  }
+
   test("overwrite resets the lineage; the former name may then return") {
     import spark.implicits._
     val t = tmp("ren-ow")
