@@ -366,6 +366,7 @@ object SparkEntry {
     "q77_transitions"    -> graft.operators.Analytics2.q77Transitions _,
     "q78_pareto"         -> graft.operators.Analytics2.q78Pareto _,
     "q79_temporal_join"  -> Relational3.q79TemporalJoin _,
+    "q80_mad"            -> graft.operators.Analytics.q80Mad _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
@@ -2312,6 +2313,7 @@ object SparkEntry {
     "q77_transitions" -> graft.operators.Analytics2.q77OracleSql,
     "q78_pareto" -> graft.operators.Analytics2.q78OracleSql,
     "q79_temporal_join" -> Relational3.q79OracleSql,
+    "q80_mad" -> graft.operators.Analytics.q80OracleSql,
     "mv09_cdf_view" -> graft.operators.Materialized.mv09OracleSql,
     "d34_mixture_sample" -> graft.operators.TextCorpus.d34OracleSql,
     // Gini impurity in integer numerators with one trailing division;

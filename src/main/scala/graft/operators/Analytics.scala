@@ -348,4 +348,50 @@ object Analytics {
       |  AND (CAST(x AS HUGEINT) * n - s) * (CAST(x AS HUGEINT) * n - s) * (n - 1)
       |      > 4 * n * (n * q - s * s)
       |ORDER BY 1, 2""".stripMargin
+
+  /** q80: MEDIAN ABSOLUTE DEVIATION — the robust dispersion statistic
+    * (outliers cannot move it, unlike stddev): per return flag, the
+    * discrete median of |cents − median(cents)|, plus the count of
+    * rows beyond the 3×MAD robust-outlier fence. Two passes of the
+    * shuffle-free histogram-narrowing percentile machinery
+    * ([[Percentiles.exactByHistogram]] — no per-group sort ever), the
+    * per-group medians broadcast between them; exact integers end to
+    * end.
+    */
+  def q80Mad(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val med = Percentiles.exactByHistogram(
+      c, "l_returnflag", "cents", Seq(0.5), Seq("med"), discrete = true)
+      .select(col("l_returnflag"), col("med").cast("long").as("med"))
+    val dev = c.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = Percentiles.exactByHistogram(
+      dev.select(col("l_returnflag"), col("dev")),
+      "l_returnflag", "dev", Seq(0.5), Seq("mad"), discrete = true)
+      .select(col("l_returnflag"), col("mad").cast("long").as("mad"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q80OracleSql: String =
+    """WITH c AS (SELECT l_returnflag AS f,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |m AS (SELECT f, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+      |  FROM c GROUP BY 1),
+      |d AS (SELECT c.f, m.med, abs(c.cents - m.med) AS dev
+      |  FROM c JOIN m ON c.f = m.f),
+      |a AS (SELECT f, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.f AS l_returnflag, max(d.med) AS med, max(a.mad) AS mad,
+      |  CAST(count(*) FILTER (WHERE d.dev > 3 * a.mad) AS BIGINT)
+      |    AS n_outliers
+      |FROM d JOIN a ON d.f = a.f
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
