@@ -470,6 +470,7 @@ object SparkEntry {
     "s10_hybrid_search"   -> ((s: SparkSession, d: String) => Similarity.s10HybridSearch(s, d)),
     "s17_bm25_hybrid"     -> ((s: SparkSession, d: String) => Similarity.s17Bm25Hybrid(s, d)),
     "s18_ivfpq_indexed"   -> ((s: SparkSession, d: String) => Similarity.s18IvfPqIndexed(s, d)),
+    "s19_filtered_indexed" -> ((s: SparkSession, d: String) => Similarity.s19IvfFilteredIndexed(s, d)),
     // GraftLake transactional COMPACTION: 8 small appends rewritten
     // into one range-sorted 2-file set in a single atomic commit;
     // content neutrality proven by the oracle, the layout collapse
@@ -2557,6 +2558,8 @@ object SparkEntry {
     "s10_hybrid_search" -> Similarity.s10OracleSql,
     "s17_bm25_hybrid" -> Similarity.s17OracleSql,
     "s18_ivfpq_indexed" -> Similarity.s18OracleSql,
+    // Probe-all over the stored filtered index == s09's brute pass.
+    "s19_filtered_indexed" -> Similarity.s09OracleSql,
     "src14_lake_cdc" ->
       """SELECT 1 AS commit_version, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -338,6 +338,62 @@ object Similarity {
     topK(scored)
   }
 
+  /** s19: FILTERED SEARCH OVER THE STORED INDEX — s09's
+    * metadata-filtered ANN served from s16's persisted IVF tables,
+    * with the filter column IN THE INDEX: the stored inverted-list
+    * relation is (n_id, cluster, label), so a query's label predicate
+    * applies during the ids-only index probe — candidates shrink by
+    * label selectivity BEFORE any vector is fetched or any distance
+    * computed (a post-filter over unfiltered top-k would instead
+    * return too few rows whenever the label is selective — the classic
+    * filtered-ANN failure). Gated probe-all: clusters partition the
+    * corpus, so serving provably equals s09's brute-over-filtered pass
+    * and hits s09's own oracle.
+    */
+  def s19IvfFilteredIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val nClusters = 16
+    val corpusPath = graft.SparkEntry.scratch("graft_ivff_corpus", dir)
+    val centPath = graft.SparkEntry.scratch("graft_ivff_centroids", dir)
+    val listPath = graft.SparkEntry.scratch("graft_ivff_lists", dir)
+    Seq(corpusPath, centPath, listPath).foreach(graft.SparkEntry.rmrf)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val c = emb.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("label").as("label"))
+    GraftLake.create(c, corpusPath)
+    val trained =
+      trainCentroids(c.select(col("n_id"), col("n_emb")), nClusters, iters = 2)
+    GraftLake.create(
+      trained.zipWithIndex.map { case (v, i) => (i + 1, v) }
+        .toDF("cluster", "centroid"),
+      centPath)
+    GraftLake.create(
+      c.withColumn("cluster", assignCluster(col("n_emb"), trained))
+        .select(col("n_id"), col("cluster"), col("label")),
+      listPath, Some("cluster"))
+    // Serve: probe every list from the STORED quantizer; the label
+    // predicate rides the index join — ids and labels only.
+    val stored: Seq[Seq[Float]] = GraftLake.read(spark, centPath)
+      .orderBy(col("cluster")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toSeq).toSeq
+    val qProbes = q
+      .withColumn("cluster", explode(sequence(lit(1), lit(nClusters))))
+      .select(col("q_id"), col("q_emb"), col("q_label"),
+        col("cluster").cast("int").as("cluster"))
+    val cand = GraftLake.read(spark, listPath)
+      .join(broadcast(qProbes), Seq("cluster"))
+      .filter(col("label") === col("q_label"))
+      .select(col("q_id"), col("q_emb"), col("n_id"))
+    val scored = cand
+      .join(GraftLake.read(spark, corpusPath).select(col("n_id"), col("n_emb")), "n_id")
+      .withColumn("cos", VectorFunctions.cosineSimNative(col("q_emb"), col("n_emb")))
+    topK(scored)
+  }
+
   /** The exact top-k replay (brute-force cosine + rank) every
     * exhaustively-probing ANN gate compares against — s03's argument:
     * clusters partition the corpus, so probing all lists IS brute
