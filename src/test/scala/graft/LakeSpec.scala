@@ -535,6 +535,38 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, path).count() == 18)
   }
 
+  test("racing updates on disjoint predicates serialize via CME + retry") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create((1L to 40L).map(i => (i, 0L)).toDF("id", "v"), path,
+      Some("id"))
+    // Both updates hit the SAME file-set, so the loser's rewrite is
+    // invalidated and must observe ConcurrentModificationException —
+    // the documented optimistic contract; the caller retries on a
+    // fresh snapshot. No outcome may lose either update.
+    def updateWithRetry(pred: org.apache.spark.sql.Column, delta: Long): Unit = {
+      var done = false
+      var tries = 0
+      while (!done) {
+        tries += 1; require(tries <= 10, "too many CME retries")
+        try {
+          GraftLake.update(spark, path, pred,
+            Seq("v" -> (col("v") + delta)), Some("id")); done = true
+        } catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val f1 = pool.submit(new Runnable {
+      def run(): Unit = updateWithRetry(col("id") <= 20L, 7L) })
+    val f2 = pool.submit(new Runnable {
+      def run(): Unit = updateWithRetry(col("id") > 20L, 11L) })
+    f1.get(); f2.get(); pool.shutdown()
+    val got = GraftLake.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 20L).forall(got(_) == 7L))
+    assert((21L to 40L).forall(got(_) == 11L))
+  }
+
   test("vacuum retention keeps time travel alive inside the window") {
     import spark.implicits._
     val path = freshTable()
