@@ -451,6 +451,85 @@ object LakeStream {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** st20: STREAM ⋈ LAKE DIM under dimension CHANGE — the lakehouse
+    * enrichment loop: a fact stream (lake tail) joins per micro-batch
+    * against the CURRENT snapshot of a lake dimension, and the dim
+    * takes a MERGE between fact waves — wave-1 facts enrich under the
+    * old dim version, wave-2 under the new (reading the dim INSIDE
+    * `foreachBatch` re-resolves the snapshot per batch; a static
+    * DataFrame join would freeze the dim at stream start, the classic
+    * stale-dimension bug). Batch boundaries are commit-deterministic
+    * (`processAllAvailable` between waves), so the oracle replays the
+    * wave arithmetic exactly. The dim is broadcast-sized (O(statuses)
+    * rows) — at 100 TB the per-batch dim read stays a metadata-cheap
+    * broadcast while facts stream through.
+    */
+  def st20StreamDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val facts = graft.SparkEntry.scratch("graft_st20_facts", dir)
+    val dim = graft.SparkEntry.scratch("graft_st20_dim", dir)
+    val out = graft.SparkEntry.scratch("graft_st20_out", dir)
+    Seq(facts, dim, out).foreach(graft.SparkEntry.rmrf)
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val k = col("o_orderkey")
+    import spark.implicits._
+    val statuses = o.select(col("o_orderstatus")).distinct()
+      .collect().map(_.getString(0)).sorted // O(|statuses|) metadata
+    GraftLake.create(
+      statuses.zipWithIndex.map { case (st, i) => (st, (i + 1) * 100L) }
+        .toSeq.toDF("o_orderstatus", "bonus"),
+      dim, None)
+    GraftLake.create(o.filter(pmod(k, lit(2)) === 0), facts)       // wave 1
+    val base = java.nio.file.Files.createTempDirectory("graft-st20")
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", facts).load()
+      .writeStream
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Fresh dim SNAPSHOT per batch — the whole point.
+        val d = GraftLake.read(spark, dim)
+        GraftLake.appendIdempotent(
+          batch.drop("_commit_version")
+            .join(broadcast(d), Seq("o_orderstatus"))
+            .withColumn("cents", col("cents") + col("bonus"))
+            .drop("bonus"),
+          out, tag = s"st20-$batchId")
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()                                      // wave 1 joins old dim
+      GraftLake.merge(spark, dim,                                  // dim changes
+        statuses.zipWithIndex.map { case (st, i) => (st, (i + 1) * 1000L) }
+          .toSeq.toDF("o_orderstatus", "bonus"),
+        Seq("o_orderstatus"), "bonus")
+      GraftLake.append(o.filter(pmod(k, lit(2)) === 1), facts)     // wave 2
+      q.processAllAvailable()
+    } finally q.stop()
+    GraftLake.read(spark, out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Wave replay: even keys get the old (i+1)*100 bonus, odd keys the
+    * merged (i+1)*1000 — i = the status's rank in sorted order.
+    */
+  val st20OracleSql: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |d AS (SELECT st, row_number() OVER (ORDER BY st) AS i
+      |  FROM (SELECT DISTINCT o_orderstatus AS st FROM orders)),
+      |f AS (
+      |  SELECT o.k, o.st,
+      |    o.cents + CASE WHEN o.k % 2 = 0 THEN d.i * 100
+      |                   ELSE d.i * 1000 END AS cents
+      |  FROM o JOIN d ON o.st = d.st)
+      |SELECT st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val st19OracleSql: String =
     """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
