@@ -367,6 +367,7 @@ object SparkEntry {
     "q78_pareto"         -> graft.operators.Analytics2.q78Pareto _,
     "q79_temporal_join"  -> Relational3.q79TemporalJoin _,
     "q80_mad"            -> graft.operators.Analytics.q80Mad _,
+    "q81_profile"        -> graft.operators.Analytics.q81Profile _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
@@ -2316,6 +2317,7 @@ object SparkEntry {
     "q78_pareto" -> graft.operators.Analytics2.q78OracleSql,
     "q79_temporal_join" -> Relational3.q79OracleSql,
     "q80_mad" -> graft.operators.Analytics.q80OracleSql,
+    "q81_profile" -> graft.operators.Analytics.q81OracleSql,
     "mv09_cdf_view" -> graft.operators.Materialized.mv09OracleSql,
     "d34_mixture_sample" -> graft.operators.TextCorpus.d34OracleSql,
     // Gini impurity in integer numerators with one trailing division;

@@ -379,6 +379,67 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q81: TABLE PROFILING — the ANALYZE/data-quality surface every
+    * warehouse ships: per column, null count, exact distinct count,
+    * lexicographic min/max, and the DETERMINISTIC top value
+    * (max-frequency, ties to the smallest value — q67's portable mode,
+    * not the engine-defined `mode()`). Values profile as STRINGS
+    * (longs render identically cross-engine; doubles/timestamps are
+    * deliberately excluded from the gate for that reason).
+    *
+    * Shape: one `stack` unpivot (rows × |cols|, a projection — no
+    * shuffle), then partial-agg groupBys on (col) and (col, value);
+    * output is O(|cols|) rows. At 100 TB the (col, value) distinct
+    * pass is the honest cost of EXACT distincts — the approx profile
+    * rides q59's HLL rule instead.
+    */
+  def q81Profile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val u = o.select(expr(
+      """stack(5,
+        |  'cents', CAST(cents AS STRING),
+        |  'o_custkey', CAST(o_custkey AS STRING),
+        |  'o_orderkey', CAST(o_orderkey AS STRING),
+        |  'o_orderpriority', o_orderpriority,
+        |  'o_orderstatus', o_orderstatus) AS (colname, val)""".stripMargin))
+    val p = u.groupBy(col("colname")).agg(
+      (count(lit(1)) - count(col("val"))).as("n_nulls"),
+      countDistinct(col("val")).as("n_distinct"),
+      min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+    val c = u.groupBy(col("colname"), col("val")).agg(count(lit(1)).as("f"))
+    val m = c.groupBy(col("colname")).agg(max(col("f")).as("mf"))
+    val top = c.join(m, "colname").filter(col("f") === col("mf"))
+      .groupBy(col("colname")).agg(min(col("val")).as("top_val"))
+    p.join(top, "colname").orderBy(col("colname"))
+  }
+
+  val q81OracleSql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |u AS (
+      |  SELECT 'cents' AS colname, CAST(cents AS VARCHAR) AS val FROM o
+      |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM o
+      |  UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM o
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM o
+      |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM o),
+      |p AS (SELECT colname,
+      |    CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+      |    CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+      |    min(val) AS min_val, max(val) AS max_val
+      |  FROM u GROUP BY 1),
+      |c AS (SELECT colname, val, count(*) AS f FROM u GROUP BY 1, 2),
+      |m AS (SELECT colname, max(f) AS mf FROM c GROUP BY 1),
+      |t AS (SELECT c.colname, min(c.val) AS top_val
+      |  FROM c JOIN m ON c.colname = m.colname WHERE c.f = m.mf
+      |  GROUP BY 1)
+      |SELECT p.colname, p.n_nulls, p.n_distinct, p.min_val, p.max_val,
+      |  t.top_val
+      |FROM p JOIN t ON p.colname = t.colname ORDER BY p.colname""".stripMargin
+
   val q80OracleSql: String =
     """WITH c AS (SELECT l_returnflag AS f,
       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
