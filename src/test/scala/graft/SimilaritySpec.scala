@@ -445,6 +445,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(codes.select(col("codes")).distinct().count() > 1)
   }
 
+  test("s19: filtered stored-index serving equals s09; labels live in the index") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.sources.GraftLake
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    // Probe-all + in-index label filter == the brute filtered pass.
+    assert(rows(Similarity.s19IvfFilteredIndexed(spark, sf)) ==
+      rows(Similarity.s09AnnFiltered(spark, sf)),
+      "stored filtered index must equal the brute filtered pass")
+    // The list relation carries the filter column — ids+cluster+label
+    // only, never vectors.
+    val listPath = graft.SparkEntry.scratch("graft_ivff_lists", sf)
+    assert(GraftLake.read(spark, listPath).columns.toSeq ==
+      Seq("n_id", "cluster", "label"))
+  }
+
   test("s14: erased vectors never serve, and the erasure rewrote no data") {
     val rows = Similarity.s14AnnIndexDelete(spark, sf).collect()
     assert(rows.length == 50)
