@@ -711,8 +711,13 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("cents"))
         .localCheckpoint(true)
       val table = GraftLake.read(s, path)
-      val consistent = mirror.exceptAll(table).count() == 0 &&
-        table.exceptAll(mirror).count() == 0
+      // Multiset equality via (count, hash-sum) — one cheap scan per
+      // side instead of two shuffling exceptAll joins (src23's trick).
+      def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)),
+        sum(hash(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
+        .head.toSeq
+      val consistent = sig(mirror) == sig(table)
       val cnt = feed.groupBy(col("o_orderstatus")).agg(
         sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
           .as("n_insert"),

@@ -491,8 +491,12 @@ object Materialized {
     val recompute = GraftLake.read(spark, path)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-    val same = view.exceptAll(recompute).count() == 0 &&
-      recompute.exceptAll(view).count() == 0
+    // (count, hash-sum) multiset signature — one scan per side.
+    def sig(df: DataFrame) = df.agg(
+      count(lit(1)),
+      sum(hash(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
+      .head.toSeq
+    val same = sig(view) == sig(recompute)
     view.withColumn("retract_equals_recompute", lit(same))
       .orderBy(col("o_orderstatus"))
   }

@@ -443,8 +443,12 @@ object LakeStream {
     } finally q.stop()
     val srcDf = GraftLake.read(spark, src)
     val dstDf = GraftLake.read(spark, dst)
-    val same = dstDf.exceptAll(srcDf).count() == 0 &&
-      srcDf.exceptAll(dstDf).count() == 0
+    // (count, hash-sum) multiset signature — one scan per side.
+    def sig(df: DataFrame) = df.agg(
+      count(lit(1)),
+      sum(hash(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
+      .head.toSeq
+    val same = sig(dstDf) == sig(srcDf)
     dstDf.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
       .withColumn("mirror_equals_source", lit(same))
