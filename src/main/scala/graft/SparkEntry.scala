@@ -711,11 +711,12 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("cents"))
         .localCheckpoint(true)
       val table = GraftLake.read(s, path)
-      // Multiset equality via (count, hash-sum) — one cheap scan per
+      // Multiset equality via (count, xxhash64-sum — 64-bit per-row
+      // digest, collision odds negligible at gate sizes) — one scan per
       // side instead of two shuffling exceptAll joins (src23's trick).
       def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
         count(lit(1)),
-        sum(hash(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
+        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
         .head.toSeq
       val consistent = sig(mirror) == sig(table)
       val cnt = feed.groupBy(col("o_orderstatus")).agg(
@@ -968,11 +969,12 @@ object SparkEntry {
       val travelOk = v0n == o.count()
       val a = GraftLake.read(s, pathSql)
       val b = GraftLake.read(s, pathApi)
-      // Multiset equality via (count, hash-sum) — one cheap scan per
+      // Multiset equality via (count, xxhash64-sum — 64-bit per-row
+      // digest, collision odds negligible at gate sizes) — one scan per
       // side instead of two shuffling exceptAll joins.
       def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
         count(lit(1)),
-        sum(hash(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
+        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
         .head.toSeq
       val same = sig(a) == sig(b)
       a.groupBy(col("o_orderstatus"))

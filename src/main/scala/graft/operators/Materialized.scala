@@ -491,10 +491,11 @@ object Materialized {
     val recompute = GraftLake.read(spark, path)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-    // (count, hash-sum) multiset signature — one scan per side.
+    // (count, xxhash64-sum) multiset signature — 64-bit per-row
+    // digest (collision odds negligible), one scan per side.
     def sig(df: DataFrame) = df.agg(
       count(lit(1)),
-      sum(hash(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
+      sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
       .head.toSeq
     val same = sig(view) == sig(recompute)
     view.withColumn("retract_equals_recompute", lit(same))

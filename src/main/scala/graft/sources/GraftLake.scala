@@ -501,6 +501,22 @@ object GraftLake {
       case (cur, formers) if formers.contains(c) => cur
     }.getOrElse(c)
 
+  /** The stats/bloom dimensions a rewrite may re-record: victims'
+    * recorded names mapped through the rename lineage to their CURRENT
+    * logical names, keeping only names the current schema still
+    * carries. After a zero-rewrite DROP COLUMN, a victim's stats on
+    * the dropped column resolve to the reserved `__dropped_*` lineage
+    * name, which the rewritten frame does not have — re-recording it
+    * would fail the commit's stats pass, so the dimension simply stops
+    * being recorded (the drop made it unreachable anyway).
+    */
+  private def reRecordable(
+      schema: StructType, renames: Map[String, Seq[String]],
+      cols: Seq[String]): Seq[String] = {
+    val present = schema.fieldNames.toSet
+    cols.map(currentName(renames, _)).distinct.filter(present)
+  }
+
   /** EXACTLY-ONCE append: commit `df` tagged with `tag` unless a
     * commit with that tag already exists — the foreachBatch sink
     * primitive (tag = query/batch id). Idempotence is RACE-SAFE: the
@@ -667,7 +683,8 @@ object GraftLake {
       removeSets: Seq[String],
       validatedCons: Option[Map[String, String]] = None,
       perSet: Seq[LiveSet] = Seq.empty,
-      cdfSet: Option[String] = None): Int = {
+      cdfSet: Option[String] = None,
+      expectVersion: Option[Int] = None): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -770,14 +787,19 @@ object GraftLake {
             s"file-set $r was removed by a concurrent commit; retry the merge")
         }
       }
-      // RESTORE must replace the EXACT state it diffed against: a
-      // racing commit that added a set the caller never saw would
-      // otherwise survive the rollback silently.
-      if (action == "restore" &&
-          (snap.live.map(_.set).toSet != removed.toSet ||
-            snap.tombstones.nonEmpty)) {
+      // RESTORE must replace the EXACT snapshot it diffed against —
+      // by VERSION, not just by live-set equality: a racing commit
+      // that leaves the live list unchanged still invalidates the
+      // restore (a vacuum may have reclaimed the target version's
+      // non-live sets the restore re-references; an addConstraint
+      // would land the restored data unvalidated against the new
+      // rule). Any log advance past the diffed version aborts loudly.
+      if (expectVersion.exists(_ != snap.version) ||
+          (action == "restore" &&
+            (snap.live.map(_.set).toSet != removed.toSet ||
+              snap.tombstones.nonEmpty))) {
         throw new java.util.ConcurrentModificationException(
-          s"table state at $path changed during restore; re-run it")
+          s"table state at $path changed during $action; re-run it")
       }
       // Commit wall-clock, stamped at claim time: MONOTONized against
       // the prior commit so timestamp time travel is well-defined even
@@ -1424,6 +1446,10 @@ object GraftLake {
             s"commit ${c.version} is a ${c.action} with no change-data " +
               "sidecar (CDF was not enabled when it committed) — read a " +
               "full snapshot instead"))
+          require(Files.exists(Paths.get(setPath(path, cdfName))),
+            s"commit ${c.version}'s change-data sidecar was vacuumed " +
+              "(outside the retention window) — start the feed from a " +
+              "newer version or read a full snapshot")
           val ownCdf = StructType.fromDDL(c.schemaDdl)
             .add("_change_type", StringType, nullable = true)
           val targetCdf = target.add("_change_type", StringType, nullable = true)
@@ -1539,12 +1565,12 @@ object GraftLake {
     }
     // Re-record every stats dimension the rewritten sets carried (plus
     // the merge key) so multi-column pruning survives the rewrite.
-    val reStats = (hit.flatMap(_.stats.map(_.col)) :+ statsCol)
-      .map(currentName(s.renames, _)).distinct
+    val reStats = reRecordable(target, s.renames,
+      hit.flatMap(_.stats.map(_.col)) :+ statsCol)
     val v = commit(rewritten, path, "merge", tag = tag,
       statsCols = reStats, removeSets = hit.map(_.set),
-      bloomCols = bloomColsOf(path, hit.map(_.set))
-        .map(currentName(s.renames, _)).distinct,
+      bloomCols = reRecordable(target, s.renames,
+        bloomColsOf(path, hit.map(_.set))),
       cdfSet = cdfSet)
     (v, hit.size, kept.size)
   }
@@ -1673,12 +1699,12 @@ object GraftLake {
     val remainder = straddleDf.map(_.filter(!coalesce(inRange, lit(false))))
       .getOrElse(aligned.limit(0))
     val rewritten = remainder.unionByName(aligned)
-    val reStats = (candidates.flatMap(_.stats.map(_.col)) :+ c)
-      .map(currentName(s.renames, _)).distinct
+    val reStats = reRecordable(target, s.renames,
+      candidates.flatMap(_.stats.map(_.col)) :+ c)
     val v = commit(rewritten, path, "merge",
       statsCols = reStats, removeSets = candidates.map(_.set),
-      bloomCols = bloomColsOf(path, candidates.map(_.set))
-        .map(currentName(s.renames, _)).distinct,
+      bloomCols = reRecordable(target, s.renames,
+        bloomColsOf(path, candidates.map(_.set))),
       cdfSet = cdfSet)
     (v, candidates.size, kept.size, replaced)
   }
@@ -1707,14 +1733,67 @@ object GraftLake {
     require(target.fieldNames.contains(keyCol), s"no column '$keyCol' at $path")
     val k = keys.select(col(keyCol)).distinct().localCheckpoint(true)
     val live = s.live
-    val tagged = live.map { ls =>
+    // VICTIM SHORTLISTING — the delta is small, the table is not, so
+    // no set may be scanned before cheaper evidence says it MIGHT hold
+    // a delta key (the deleteRange pruneDisjoint posture, extended to
+    // key sets). Two metadata-cheap passes, both sound (they only ever
+    // say "provably hit-free"):
+    //  1. zone maps: the delta's [min, max] key span (one tiny agg —
+    //     two longs to the driver) against each set's recorded
+    //     SetStats(keyCol); disjoint spans cannot collide.
+    //  2. Bloom sidecars: for zone survivors with an intact bloom on
+    //     the key column, ONE distributed pass over the DELTA tests
+    //     every key against every broadcast bloom (O(|delta| × sets)
+    //     work, delta-sized) — a verified bloom that answers "no" for
+    //     every delta key cannot hold a matching row.
+    // Only the surviving shortlist is scanned for exact match counts;
+    // per batch the mirror pays O(delta + hit sets), not O(table).
+    val kSpan = k.agg(
+      org.apache.spark.sql.functions.min(col(keyCol)).cast("long"),
+      org.apache.spark.sql.functions.max(col(keyCol)).cast("long")).head
+    if (kSpan.isNullAt(0)) return (s.version, 0, live.size, 0L) // empty delta
+    val (kMin, kMax) = (kSpan.getLong(0), kSpan.getLong(1))
+    val zoneSurvivors = live.filter { ls =>
+      ls.statsFor(keyCol) match {
+        case Some(SetStats(_, sLo, sHi)) => !(sHi < kMin || sLo > kMax)
+        case None => true // unknown span — must look
+      }
+    }
+    val bloomed: Map[String, (Array[Long], Int)] = zoneSurvivors
+      .flatMap(ls => readBloomSidecar(path, ls.set, keyCol)
+        .map(ls.set -> _)).toMap
+    val bloomHits: Set[String] =
+      if (bloomed.isEmpty) Set.empty
+      else {
+        val bc = spark.sparkContext.broadcast(bloomed)
+        k.select(col(keyCol).cast("long"))
+          .map(_.getLong(0))(org.apache.spark.sql.Encoders.scalaLong)
+          .mapPartitions { it =>
+            val m = bc.value
+            val found = scala.collection.mutable.Set[String]()
+            it.foreach { v =>
+              m.foreach { case (set, (words, kk)) =>
+                if (!found(set) &&
+                    graft.plans.GraftBloom.mightContain(words, kk, v))
+                  found += set
+              }
+            }
+            found.iterator
+          }(org.apache.spark.sql.Encoders.STRING)
+          .distinct().collect().toSet
+      }
+    val shortlist = zoneSurvivors.filter(ls =>
+      !bloomed.contains(ls.set) || bloomHits(ls.set))
+    lastDeleteKeysShortlist = shortlist.map(_.set)
+    if (shortlist.isEmpty) return (s.version, 0, live.size, 0L)
+    val tagged = shortlist.map { ls =>
       readSet(spark, path, ls, target, s.renames)
         .join(k, Seq(keyCol), "left_semi")
         .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
         .select(lit(ls.set).as("s"), functions.col("n"))
     }.reduceLeft(_.unionByName(_))
     val matchCounts = tagged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val hitSets = live.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
+    val hitSets = shortlist.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
     val deleted = matchCounts.values.sum
     if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
     val hitDf = hitSets.map(readSet(spark, path, _, target, s.renames))
@@ -1723,15 +1802,22 @@ object GraftLake {
       if (!cdfEnabled(path)) None
       else stageCdf(path, Seq((hitDf.join(k, Seq(keyCol), "left_semi"), "delete")))
     val rewritten = hitDf.join(k, Seq(keyCol), "left_anti")
-    val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
-      .map(currentName(s.renames, _)).distinct
+    val reStats = reRecordable(target, s.renames,
+      hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
     val v = commit(rewritten, path, "delete", tag = tag,
       statsCols = reStats, removeSets = hitSets.map(_.set),
-      bloomCols = bloomColsOf(path, hitSets.map(_.set))
-        .map(currentName(s.renames, _)).distinct,
+      bloomCols = reRecordable(target, s.renames,
+        bloomColsOf(path, hitSets.map(_.set))),
       cdfSet = cdfSet)
     (v, hitSets.size, live.size - hitSets.size, deleted)
   }
+
+  /** Spec instrumentation: the file-sets the last [[deleteKeys]] call
+    * actually scanned for match counts (its post-zone-map, post-bloom
+    * shortlist) — only shortlisted sets are ever read, so asserting a
+    * disjoint/never-hit set absent here proves it was not scanned.
+    */
+  @volatile private[graft] var lastDeleteKeysShortlist: Seq[String] = Seq.empty
 
   /** Zone-map DELETE of a `[lo, hi]` range on `col`: file-sets whose
     * recorded `SetStats(col)` span is DISJOINT from the range are
@@ -1789,12 +1875,12 @@ object GraftLake {
         Seq((hitDf.filter(coalesce(predicate, lit(false))), "delete")))
     val rewritten =
       hitDf.filter(!coalesce(predicate, lit(false))) // NULL predicate keeps the row
-    val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
-      .map(currentName(s.renames, _)).distinct
+    val reStats = reRecordable(target, s.renames,
+      hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
     val v = commit(rewritten, path, "delete",
       statsCols = reStats, removeSets = hitSets.map(_.set),
-      bloomCols = bloomColsOf(path, hitSets.map(_.set))
-        .map(currentName(s.renames, _)).distinct,
+      bloomCols = reRecordable(target, s.renames,
+        bloomColsOf(path, hitSets.map(_.set))),
       cdfSet = cdfSet)
     (v, hitSets.size, live.size - hitSets.size, deleted)
   }
@@ -1856,12 +1942,12 @@ object GraftLake {
       else stageCdf(path, Seq(
         (hitDf.filter(pred), "update_preimage"),
         (applied(hitDf.filter(pred)), "update_postimage")))
-    val reStats = (hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
-      .map(currentName(s.renames, _)).distinct
+    val reStats = reRecordable(target, s.renames,
+      hitSets.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
     val v = commit(applied(hitDf), path, "update",
       statsCols = reStats, removeSets = hitSets.map(_.set),
-      bloomCols = bloomColsOf(path, hitSets.map(_.set))
-        .map(currentName(s.renames, _)).distinct,
+      bloomCols = reRecordable(target, s.renames,
+        bloomColsOf(path, hitSets.map(_.set))),
       cdfSet = cdfSet)
     (v, hitSets.size, live.size - hitSets.size, updated)
   }
@@ -1890,11 +1976,11 @@ object GraftLake {
       .repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     commit(df, path, "compact",
-      statsCols = (live.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
-        .map(currentName(st.renames, _)).distinct,
+      statsCols = reRecordable(StructType.fromDDL(st.schemaDdl), st.renames,
+        live.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq),
       removeSets = live.map(_.set) ++ st.tombstones,
-      bloomCols = bloomColsOf(path, live.map(_.set))
-        .map(currentName(st.renames, _)).distinct)
+      bloomCols = reRecordable(StructType.fromDDL(st.schemaDdl), st.renames,
+        bloomColsOf(path, live.map(_.set))))
   }
 
   /** Z-ORDER compaction: one atomic `compact` commit whose rewritten
@@ -1926,9 +2012,8 @@ object GraftLake {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
     commit(clustered, path, "compact",
-      statsCols =
-        (live.flatMap(_.stats.map(_.col)) ++ Seq(colA, colB))
-          .map(currentName(st.renames, _)).distinct,
+      statsCols = reRecordable(StructType.fromDDL(st.schemaDdl), st.renames,
+        live.flatMap(_.stats.map(_.col)) ++ Seq(colA, colB)),
       removeSets = live.map(_.set) ++ st.tombstones)
   }
 
@@ -1964,18 +2049,26 @@ object GraftLake {
         "compact to materialize current names first")
     require(target.tombstones.isEmpty && cur.tombstones.isEmpty,
       s"outstanding merge-on-read tombstones at $path: compact first")
-    target.live.foreach { ls =>
+    def targetSetsExist(): Unit = target.live.foreach { ls =>
       require(Files.exists(Paths.get(setPath(path, ls.set))),
         s"cannot restore $path to v$version: file-set ${ls.set} was " +
           "vacuumed — that history is gone")
     }
-    val restoredDf = {
-      val t = StructType.fromDDL(target.schemaDdl)
-      target.live.map(readSet(spark, path, _, t))
-        .reduceLeft(_.unionByName(_))
-    }
-    enforceConstraints(restoredDf, cur.constraints)
-    val cdfSet =
+    targetSetsExist()
+    // A CONCURRENT vacuum can reclaim the target version's non-live
+    // sets between the existence check above and the reads below
+    // (Spark resolves paths eagerly) — re-run the check on any read
+    // failure so the caller gets the documented loud refusal, not a
+    // raw path error; unrelated failures re-throw. The publish fence
+    // (expectVersion) separately aborts if the vacuum's audit commit
+    // lands before ours.
+    val cdfSet = try {
+      val restoredDf = {
+        val t = StructType.fromDDL(target.schemaDdl)
+        target.live.map(readSet(spark, path, _, t))
+          .reduceLeft(_.unionByName(_))
+      }
+      enforceConstraints(restoredDf, cur.constraints)
       if (!cdfEnabled(path)) None
       else {
         require(target.schemaDdl == cur.schemaDdl,
@@ -1987,9 +2080,17 @@ object GraftLake {
           (curDf.exceptAll(restoredDf), "delete"),
           (restoredDf.exceptAll(curDf), "insert")))
       }
+    } catch {
+      // Job-time FileNotFound surfaces as SparkException, plan-time as
+      // AnalysisException — either way, vanished target sets are the
+      // vacuum refusal, anything else re-throws untouched.
+      case e if scala.util.control.NonFatal(e) =>
+        targetSetsExist(); throw e
+    }
     publishEntry(path, "restore", "",
       StructType.fromDDL(target.schemaDdl), None, Seq.empty,
-      cur.live.map(_.set), None, perSet = target.live, cdfSet = cdfSet)
+      cur.live.map(_.set), None, perSet = target.live, cdfSet = cdfSet,
+      expectVersion = Some(cur.version))
   }
 
   // --------------------------------------------------------------- vacuum
@@ -2081,6 +2182,30 @@ object GraftLake {
             Files.walk(p).iterator().asScala.toSeq.reverse
               .foreach(x => Files.deleteIfExists(x))
           }
+          // CDF sidecars are log-addressable through each commit's
+          // `cdf` field — reclaim those of commits OUTSIDE the
+          // retention window (their typed feed range is gone anyway;
+          // Delta's CDF-files-beyond-retention trade). Retained
+          // commits keep theirs, and a staged-but-unpublished sidecar
+          // (named by no commit — indistinguishable from an in-flight
+          // writer's) survives, the same posture as staged data sets.
+          val cdfDead: Seq[java.nio.file.Path] = {
+            val keepCdf = cs0.filter(_.version >= vMin).flatMap(_.cdf).toSet
+            val refCdf = cs0.flatMap(_.cdf).toSet
+            val cdfDir = Paths.get(path, "cdf")
+            if (!Files.exists(cdfDir)) Seq.empty
+            else {
+              import scala.jdk.CollectionConverters._
+              Files.list(cdfDir).iterator().asScala.toSeq
+                .filter(p => refCdf(s"cdf/${p.getFileName}") &&
+                  !keepCdf(s"cdf/${p.getFileName}"))
+            }
+          }
+          cdfDead.foreach { p =>
+            import scala.jdk.CollectionConverters._
+            Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(x => Files.deleteIfExists(x))
+          }
           // Publish the vacuum entry into the held claim (atomic
           // replace, same as a commit) — releases the exclusion.
           val ts = math.max(System.currentTimeMillis(), snap.tsMillis)
@@ -2090,7 +2215,8 @@ object GraftLake {
           Files.writeString(tmp, json)
           Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
-          return dead.map(p => s"data/${p.getFileName}")
+          return dead.map(p => s"data/${p.getFileName}") ++
+            cdfDead.map(p => s"cdf/${p.getFileName}")
         } catch {
           case e: Throwable =>
             // A failed sweep must not wedge the table: drop the claim

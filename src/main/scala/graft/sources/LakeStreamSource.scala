@@ -164,6 +164,42 @@ private[sources] class LakeMicroBatchStream(
       .sortBy(_.toString)
   }
 
+  /** A partitioned-append ("padd") commit's partitions: the partition
+    * column is hive-encoded in each set's directory (`col=value/`),
+    * NOT in the parquet bytes — each file plans under the set schema
+    * MINUS that column, whose value is served as a per-partition
+    * constant parsed from the directory name (the streaming twin of
+    * the batch reader's partition discovery).
+    */
+  private def paddPartitions(
+      c: GraftLake.Commit, change: Option[String]): Seq[InputPartition] = {
+    val sets =
+      if (c.perSet.nonEmpty) c.perSet
+      else Seq(GraftLake.LiveSet(c.add.head, c.schemaDdl, c.stats))
+    sets.flatMap { ls =>
+      val dir = java.nio.file.Paths.get(path, ls.set)
+      val hive = java.nio.file.Files.list(dir).iterator().asScala.toSeq
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.contains("="))
+      require(hive.nonEmpty,
+        s"padd set ${ls.set} at $path has no partition directory")
+      hive.sortBy(_.getFileName.toString).flatMap { d =>
+        val name = d.getFileName.toString
+        val eq = name.indexOf('=')
+        val partCol = name.take(eq)
+        val value = name.substring(eq + 1).toLong
+        val written = StructType.fromDDL(ls.schemaDdl)
+        val minusPart = StructType(written.fields.filterNot(_.name == partCol))
+        java.nio.file.Files.list(d).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.toString)
+          .map(f => LakeFilePartition(f.toString, minusPart.toDDL, c.version,
+            changeType = change,
+            constLong = Some((partCol, value))): InputPartition)
+      }
+    }
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LakeVersionOffset].version
     val e = end.asInstanceOf[LakeVersionOffset].version
@@ -179,11 +215,18 @@ private[sources] class LakeMicroBatchStream(
             c.add.flatMap(setFiles).map(f => LakeFilePartition(
               f.toString, c.schemaDdl, c.version,
               changeType = Some("insert")): InputPartition)
+          case "padd" =>
+            paddPartitions(c, Some("insert"))
           case "merge" | "update" | "delete" | "tombstone" | "restore" =>
             val cdfSet = c.cdf.getOrElse(throw new IllegalStateException(
               s"commit ${c.version} is a ${c.action} with no change-data " +
                 "sidecar (CDF was not enabled when it committed) — " +
                 "restart from a fresh snapshot"))
+            require(java.nio.file.Files.exists(
+              java.nio.file.Paths.get(path, cdfSet)),
+              s"commit ${c.version}'s change-data sidecar was vacuumed " +
+                "(outside the retention window) — restart from a fresh " +
+                "snapshot")
             val ddl = StructType.fromDDL(c.schemaDdl)
               .add("_change_type", StringType, nullable = true).toDDL
             setFiles(cdfSet).map(f =>
@@ -197,6 +240,7 @@ private[sources] class LakeMicroBatchStream(
       }.toArray
     }
     range.find(c => c.action != "create" && c.action != "append" &&
+        c.action != "padd" &&
         c.action != "constraint" && c.action != "vacuum").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as an " +
@@ -205,7 +249,9 @@ private[sources] class LakeMicroBatchStream(
     // Constraint/vacuum commits carry no rows — an empty micro-batch.
     range.filter(c => c.action != "constraint" && c.action != "vacuum")
       .flatMap { c =>
-      c.add.flatMap { set =>
+      // A partitioned append is insert-only too: hive-dir planning.
+      if (c.action == "padd") paddPartitions(c, None)
+      else c.add.flatMap { set =>
         setFiles(set).map(f =>
           LakeFilePartition(f.toString, c.schemaDdl, c.version): InputPartition)
       }
@@ -225,7 +271,11 @@ private[sources] case class LakeFilePartition(
     // partition (append commits = "insert"); None when the column is
     // real data in the file (mutation sidecars) or the stream is not
     // in CDF mode.
-    changeType: Option[String] = None) extends InputPartition
+    changeType: Option[String] = None,
+    // Partitioned ("padd") sets only: the hive-encoded partition
+    // column and its value — absent from the parquet bytes, served as
+    // a per-partition constant.
+    constLong: Option[(String, Long)] = None) extends InputPartition
 
 private[sources] class LakeFileReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -300,6 +350,14 @@ private[sources] class LakeFileReader(
         row.update(i, part.commitVersion)
       } else if (f.name == "_change_type" && part.changeType.isDefined) {
         row.update(i, UTF8String.fromString(part.changeType.get))
+      } else if (part.constLong.exists(_._1 == f.name)) {
+        val v = part.constLong.get._2
+        f.dataType match {
+          case LongType => row.update(i, v)
+          case IntegerType | DateType => row.update(i, v.toInt)
+          case dt => throw new IllegalArgumentException(
+            s"unsupported partition-column type $dt")
+        }
       } else if (!writtenNames(f.name)) {
         row.update(i, null) // column added by a later commit
       } else {

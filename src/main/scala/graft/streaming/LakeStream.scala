@@ -443,10 +443,11 @@ object LakeStream {
     } finally q.stop()
     val srcDf = GraftLake.read(spark, src)
     val dstDf = GraftLake.read(spark, dst)
-    // (count, hash-sum) multiset signature — one scan per side.
+    // (count, xxhash64-sum) multiset signature — 64-bit per-row
+    // digest (collision odds negligible), one scan per side.
     def sig(df: DataFrame) = df.agg(
       count(lit(1)),
-      sum(hash(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
+      sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
       .head.toSeq
     val same = sig(dstDf) == sig(srcDf)
     dstDf.groupBy(col("o_orderstatus"))

@@ -179,6 +179,36 @@ class LakeCdfSpec extends AnyFunSuite with SparkSpec {
       r.getLong(r.fieldIndex("v")), r.getString(r.fieldIndex("_change_type")),
       r.getInt(r.fieldIndex("_commit_version")))).toSet
 
+  test("vacuum reclaims cdf sidecars outside retention; the feed then refuses loudly") {
+    import spark.implicits._
+    val t = tmp("cdf-retention")
+    GraftLake.create(base, t, Some("k"))                             // v0
+    GraftLake.enableCdf(t)
+    GraftLake.merge(spark, t, Seq((1L, "a", 11L)).toDF("k", "s", "v"),
+      Seq("k"), "k")                                                 // v1
+    GraftLake.merge(spark, t, Seq((2L, "b", 22L)).toDF("k", "s", "v"),
+      Seq("k"), "k")                                                 // v2
+    // Zero retention: v1's sidecar is outside the window and is
+    // reclaimed (log-addressable via the commit's cdf field); HEAD's
+    // (v2) survives.
+    val reclaimed = GraftLake.vacuum(t)
+    assert(reclaimed.exists(_.startsWith("cdf/")),
+      s"no cdf sidecar reclaimed: $reclaimed")
+    // Serving the reclaimed range refuses loudly, the retained range
+    // still serves.
+    val e = intercept[IllegalArgumentException] {
+      GraftLake.changesTyped(spark, t, 0).collect()
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    val got = typed(GraftLake.changesTyped(spark, t, 1))
+    assert(got == Set(
+      (2L, "b", 20L, "update_preimage", 2),
+      (2L, "b", 22L, "update_postimage", 2)))
+    // A wide retention window reclaims nothing further.
+    assert(!GraftLake.vacuum(t, retainMillis = 3600L * 1000)
+      .exists(_.startsWith("cdf/")))
+  }
+
   test("cdf sidecars survive vacuum and never join the live sets") {
     import spark.implicits._
     val t = tmp("cdf-vacuum")

@@ -535,6 +535,130 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, path).count() == 18)
   }
 
+  test("deleteKeys shortlists victims via zone maps and blooms — never-hit sets are not scanned") {
+    import spark.implicits._
+    // Zone-map leg: three sets with disjoint recorded key spans; a
+    // delta inside the middle span must scan ONLY the middle set.
+    val path = freshTable()
+    GraftLake.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), path,
+      Some("id"))
+    GraftLake.append((11L to 20L).map(i => (i, i)).toDF("id", "v"), path,
+      statsCol = Some("id"))
+    GraftLake.append((21L to 30L).map(i => (i, i)).toDF("id", "v"), path,
+      statsCol = Some("id"))
+    val midSet = GraftLake.snapshot(path).live
+      .find(_.statsFor("id").exists(_.min == 11L)).get.set
+    val (_, rew, kept, n) =
+      GraftLake.deleteKeys(spark, path, Seq(15L, 16L).toDF("id"), "id",
+        Some("id"))
+    assert(rew == 1 && kept == 2 && n == 2L)
+    assert(GraftLake.lastDeleteKeysShortlist == Seq(midSet),
+      s"zone-disjoint sets reached the scan: ${GraftLake.lastDeleteKeysShortlist}")
+
+    // Bloom leg: a mod-split layout — every set spans the FULL key
+    // range, so zone maps cannot prune; the per-set bloom sidecars
+    // must shortlist to only the sets that might contain the delta.
+    val path2 = freshTable()
+    val all = (1L to 400L)
+    GraftLake.create(all.filter(_ % 4 == 0).map(i => (i, i)).toDF("id", "v"),
+      path2, Some("id"), bloomCols = Seq("id"))
+    (1 to 3).foreach { m =>
+      GraftLake.append(all.filter(_ % 4 == m).map(i => (i, i)).toDF("id", "v"),
+        path2, statsCol = Some("id"), bloomCols = Seq("id"))
+    }
+    // Keys all ≡ 2 (mod 4): exactly one residue set truly matches.
+    val keys2 = Seq(6L, 10L, 14L).toDF("id")
+    val (_, rew2, _, n2) =
+      GraftLake.deleteKeys(spark, path2, keys2, "id", Some("id"))
+    assert(rew2 == 1 && n2 == 3L)
+    // The shortlist is bloom-narrowed: strictly fewer sets than the 4
+    // zone survivors (false positives allowed at the published rate,
+    // but 3 sets with verified blooms answering "no" for every key
+    // cannot ALL survive).
+    assert(GraftLake.lastDeleteKeysShortlist.size < 4,
+      s"blooms pruned nothing: ${GraftLake.lastDeleteKeysShortlist}")
+    assert(GraftLake.read(spark, path2).count() == 397)
+
+    // Provably-empty delta: no scan at all, version unchanged.
+    val before = GraftLake.latestVersion(path2)
+    val (v3, rew3, _, n3) = GraftLake.deleteKeys(
+      spark, path2, Seq.empty[Long].toDF("id"), "id")
+    assert(v3 == before && rew3 == 0 && n3 == 0L)
+  }
+
+  test("rewrites survive a legal drop of a stats/bloom-bearing column") {
+    import spark.implicits._
+    // The victims carry zone-map stats AND a bloom on `aux`; dropping
+    // `aux` leaves those recorded dimensions resolving to the reserved
+    // __dropped_* lineage name — merge/delete/update/compact must
+    // re-record only dimensions the current schema still has, not
+    // throw on the dropped one.
+    val path = freshTable()
+    GraftLake.create(
+      (1L to 40L).map(i => (i, i * 10, i)).toDF("id", "aux", "v"),
+      path, Some("id"), statsCols = Seq("aux"), bloomCols = Seq("aux"))
+    GraftLake.dropColumn(path, "aux")
+    // delete rewrites the victim set — previously AnalysisException.
+    val (_, rewD, _, nD) =
+      GraftLake.delete(spark, path, col("id") <= 5L, Some("id"))
+    assert(rewD == 1 && nD == 5L)
+    // merge after the drop works too.
+    val (_, rewM, _) = GraftLake.merge(spark, path,
+      Seq((6L, 999L)).toDF("id", "v"), Seq("id"), "id")
+    assert(rewM == 1)
+    // update and compact as well; recorded stats never name __dropped_*.
+    GraftLake.update(spark, path, col("id") === 7L,
+      Seq("v" -> lit(777L)), Some("id"))
+    GraftLake.compact(spark, path, Seq("id"), numFiles = 2, Some("id"))
+    assert(GraftLake.commits(path)
+      .flatMap(_.stats.map(_.col)).forall(!_.startsWith("__dropped_")))
+    val got = GraftLake.read(spark, path)
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.count() == 35)
+    assert(got.filter(col("id") === 6L).head.getLong(1) == 999L)
+    assert(got.filter(col("id") === 7L).head.getLong(1) == 777L)
+  }
+
+  test("restore aborts when ANY commit lands after the state it diffed — vacuum race safe") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create((1L to 20L).map(i => (i, i)).toDF("id", "v"), path,
+      Some("id"))                                                    // v0
+    GraftLake.merge(spark, path,
+      (1L to 5L).map(i => (i, i * 2)).toDF("id", "v"), Seq("id"), "id") // v1
+    // Restore to v0 races a zero-retention vacuum storm: the fence
+    // must either land the restore cleanly or abort with CME — and
+    // whatever lands, EVERY live set must still exist on disk (the
+    // bug being prevented: a restore committing references to sets a
+    // concurrent vacuum just deleted).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val restored = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val rf = pool.submit(new Runnable {
+      def run(): Unit = {
+        var tries = 0
+        while (!restored.get && tries < 10) {
+          tries += 1
+          try { GraftLake.restore(spark, path, 0); restored.set(true) }
+          catch {
+            case _: java.util.ConcurrentModificationException => ()
+            case _: IllegalArgumentException => return // v0 vacuumed away: legal
+          }
+        }
+      }
+    })
+    val vf = pool.submit(new Runnable {
+      def run(): Unit = (1 to 5).foreach { _ => GraftLake.vacuum(path) }
+    })
+    rf.get(); vf.get(); pool.shutdown()
+    // The invariant that matters: no live set dangles.
+    val live = GraftLake.snapshot(path).live
+    live.foreach { ls =>
+      assert(Files.exists(java.nio.file.Paths.get(path, ls.set)),
+        s"live set ${ls.set} references a vacuumed directory")
+    }
+    assert(GraftLake.read(spark, path).count() == 20)
+  }
+
   test("racing updates on disjoint predicates serialize via CME + retry") {
     import spark.implicits._
     val path = freshTable()

@@ -209,4 +209,58 @@ class LakeStreamSourceSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("not representable") ||
       Option(e.getCause).exists(_.getMessage.contains("not representable")))
   }
+
+  test("padd commits stream as inserts in both plain and cdf tails (hive value reconstructed)") {
+    import spark.implicits._
+    val base = freshBase()
+    val path = base.resolve("t").toString
+    // A partitioned table (the src30 layout): the partition column is
+    // hive-encoded in each set's directory, NOT in the parquet bytes —
+    // the stream must reconstruct it per partition, not null-fill it.
+    val df = (1L to 60L).map(i => (i, i % 3 + 10, i * 7)).toDF("id", "p", "v")
+    GraftLake.appendPartitioned(df, path, "p", statsCols = Seq("id")) // v0
+    GraftLake.enableCdf(path)
+
+    // CDF tail: padd rows arrive as typed inserts.
+    val outCdf = base.resolve("out-cdf").toString
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", path).option("cdf", "true").load()
+      .writeStream.option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outCdf); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      GraftLake.appendPartitioned(                                   // v1
+        (61L to 80L).map(i => (i, i % 2 + 10, i * 7)).toDF("id", "p", "v"),
+        path, "p")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outCdf).collect().map(r => (
+      r.getLong(r.fieldIndex("id")), r.getLong(r.fieldIndex("p")),
+      r.getLong(r.fieldIndex("v")), r.getString(r.fieldIndex("_change_type")),
+      r.getInt(r.fieldIndex("_commit_version")))).toSet
+    val want =
+      (1L to 60L).map(i => (i, i % 3 + 10, i * 7, "insert", 0)).toSet ++
+        (61L to 80L).map(i => (i, i % 2 + 10, i * 7, "insert", 1)).toSet
+    assert(got == want)
+
+    // Plain tail: padd is insert-only, so it streams too (no refusal),
+    // with the same reconstructed partition values.
+    val outPlain = base.resolve("out-plain").toString
+    val q2 = spark.readStream.format("graft-lake-stream")
+      .option("path", path).load()
+      .writeStream.option("checkpointLocation", base.resolve("ck2").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outPlain); ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = spark.read.parquet(outPlain).collect().map(r => (
+      r.getLong(r.fieldIndex("id")), r.getLong(r.fieldIndex("p")),
+      r.getLong(r.fieldIndex("v")))).toSet
+    assert(got2 == (1L to 80L).map(i =>
+      (i, if (i <= 60) i % 3 + 10 else i % 2 + 10, i * 7)).toSet)
+  }
 }
