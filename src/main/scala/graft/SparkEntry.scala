@@ -846,6 +846,52 @@ object SparkEntry {
           lit(zeroRewrite && gone && readdRefused))
         .orderBy(col("o_orderstatus"))
     }),
+    // SQL WRITE-SIDE completion (the Delta shape: CTAS + INSERT +
+    // OPTIMIZE + VACUUM are SQL statements, not Scala-only): the
+    // table is BORN from `CREATE TABLE ... USING graftlake LOCATION
+    // ... AS SELECT` (even keys), grows by `INSERT INTO ... SELECT`
+    // (odd keys) and a `VALUES` row that is then deleted through the
+    // same SQL surface, `OPTIMIZE` compacts the 2 file-sets to 1
+    // atomically, and `VACUUM` reclaims the compacted-away sets — all
+    // four routes land on the ONE transactional write path (claim/
+    // publish, constraints, stats), pinned in-row alongside an
+    // arity-mismatch refusal. Oracle: all orders.
+    "src32_sql_write" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_sqlwrite", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .createOrReplaceTempView("sqlwrite_even")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .createOrReplaceTempView("sqlwrite_odd")
+      s.sql(s"""CREATE TABLE lake_sqlwrite USING graftlake LOCATION '$path'
+               |TBLPROPERTIES ('statscol'='o_orderkey')
+               |AS SELECT * FROM sqlwrite_even""".stripMargin)
+      s.sql("INSERT INTO lake_sqlwrite SELECT * FROM sqlwrite_odd")
+      s.sql("INSERT INTO lake_sqlwrite VALUES (2000000001, 'Z', 1)")
+      s.sql("DELETE FROM lake_sqlwrite WHERE o_orderkey = 2000000001")
+      val opt = s.sql("OPTIMIZE lake_sqlwrite").head
+      val compacted = opt.getInt(0) >= 2 && opt.getInt(1) == 1
+      val dead = s.sql("VACUUM lake_sqlwrite").collect()
+      val vacuumed = dead.nonEmpty &&
+        GraftLake.commits(path).last.action == "vacuum"
+      val refused =
+        try { s.sql("INSERT INTO lake_sqlwrite VALUES (1, 'x')"); false }
+        catch { case _: Exception => true }
+      val statted = GraftLake.commits(path)
+        .filter(c => c.action == "create" || c.action == "append")
+        .forall(_.stats.exists(_.col == "o_orderkey"))
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("sql_write_ok",
+          lit(compacted && vacuumed && refused && statted))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -2606,6 +2652,13 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_equals_api,
         |  TRUE AS travel_reads_v0
         |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CTAS(even) + INSERT(odd) + a VALUES row deleted again + compact
+    // + vacuum are all content-neutral over the orders multiset.
+    "src32_sql_write" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  TRUE AS sql_write_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src25_lake_clone" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,

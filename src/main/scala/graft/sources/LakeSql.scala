@@ -243,6 +243,137 @@ final case class GraftLakeRenameCommand(
   }
 }
 
+/** INSERT INTO / INSERT OVERWRITE <lake view> — routes onto
+  * [[GraftLake.append]] / [[GraftLake.overwrite]] (claim/publish
+  * loop, CHECK constraints, schema fences inherited — SQL INSERT is
+  * the one write path, never a second one). SQL assignment semantics:
+  * positional when no column list is given (arity-checked), by-name
+  * with null-fill for an explicit `(c1, c2, ...)` list; values
+  * store-assign (cast) to the table's column types. The registered
+  * temp view refreshes so subsequent SQL reads see the rows.
+  */
+final case class GraftLakeInsertCommand(
+    path: String, viewName: String, query: LogicalPlan,
+    overwrite: Boolean, userCols: Seq[String], statsCol: String)
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = query :: Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSqlBridge.ofRows(spark, query)
+    val target = org.apache.spark.sql.types.StructType.fromDDL(
+      GraftLake.snapshot(path).schemaDdl)
+    val aligned =
+      if (userCols.isEmpty) {
+        require(df.columns.length == target.fields.length,
+          s"INSERT INTO $viewName: ${df.columns.length} column(s) " +
+            s"provided, table has ${target.fields.length} — match the " +
+            "arity or name the columns")
+        df.toDF(target.fieldNames.toIndexedSeq: _*)
+          .select(target.fields.map(f =>
+            col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+      } else {
+        val lower = userCols.map(_.toLowerCase(java.util.Locale.ROOT))
+        require(lower.distinct.size == lower.size,
+          s"INSERT INTO $viewName: duplicate column in the insert list")
+        val unknown = lower.filterNot(c =>
+          target.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(unknown.isEmpty,
+          s"INSERT INTO $viewName: unknown column(s) ${unknown.mkString(", ")}")
+        require(df.columns.length == userCols.length,
+          s"INSERT INTO $viewName: ${df.columns.length} value column(s) " +
+            s"for ${userCols.length} named column(s)")
+        val renamed = df.toDF(userCols.toIndexedSeq: _*)
+        renamed.select(target.fields.map { f =>
+          userCols.find(_.equalsIgnoreCase(f.name)) match {
+            case Some(u) => col(u).cast(f.dataType).as(f.name)
+            case None =>
+              org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)
+          }
+        }.toIndexedSeq: _*)
+      }
+    if (overwrite) GraftLake.overwrite(aligned, path)
+    else GraftLake.append(aligned, path, statsCol = Some(statsCol))
+    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    Seq.empty
+  }
+}
+
+/** CREATE TABLE <name> USING graftlake LOCATION '<path>'
+  * [TBLPROPERTIES ('statscol'='c')] AS SELECT ... — creates a NEW
+  * lake table at the location from the query result and registers
+  * `name` for SQL reads + DML (the Delta `USING delta` CTAS shape).
+  * `IF NOT EXISTS` over an existing lake is a clean no-op (the table
+  * is still registered).
+  */
+final case class GraftLakeCtasCommand(
+    path: String, name: String, query: LogicalPlan,
+    statsCol: Option[String], ignoreIfExists: Boolean)
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = query :: Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftSqlBridge.ofRows(spark, query)
+    statsCol.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+      s"CREATE TABLE $name: statscol '$c' is not a query column"))
+    val exists = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_graft_log"))
+    if (exists) {
+      require(ignoreIfExists,
+        s"CREATE TABLE $name: a lake table already exists at $path " +
+          "(use IF NOT EXISTS to register it instead)")
+    } else {
+      GraftLake.create(df, path, statsCol =
+        statsCol.flatMap(c => df.columns.find(_.equalsIgnoreCase(c))))
+    }
+    // Merge pruning needs a registered stats column; absent the
+    // property, fall back to the first column — merges stay CORRECT
+    // (unpruned victims are scanned), just less pruned.
+    LakeSql.register(spark, path, name,
+      statsCol.getOrElse(df.columns.head))
+    Seq.empty
+  }
+}
+
+/** VACUUM <lake view> [RETAIN n HOURS] — the lake's physical
+  * reclamation as SQL (Delta's VACUUM grammar), returning the
+  * reclaimed set names.
+  */
+final case class GraftLakeVacuumCommand(path: String, retainMillis: Long)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("reclaimed_set", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftLake.vacuum(path, retainMillis).map(Row(_))
+}
+
+/** OPTIMIZE <lake view> [ZORDER BY (a, b)] — transactional compaction
+  * as SQL (Delta's OPTIMIZE): plain form range-sorts by the
+  * registered stats column, ZORDER clusters on the Morton key of the
+  * two named dimensions. Returns (sets_before, sets_after).
+  */
+final case class GraftLakeOptimizeCommand(
+    path: String, viewName: String, zorder: Option[(String, String)],
+    statsCol: String, numFiles: Int = 4)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.IntegerType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("sets_before", IntegerType, nullable = false)(),
+      AttributeReference("sets_after", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = GraftLake.snapshot(path).live.size
+    zorder match {
+      case Some((a, b)) => GraftLake.compactZOrder(spark, path, a, b, numFiles)
+      case None =>
+        GraftLake.compact(spark, path, Seq(statsCol), numFiles, Some(statsCol))
+    }
+    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    Seq(Row(before, GraftLake.snapshot(path).live.size))
+  }
+}
+
 /** MERGE INTO <lake view> USING <source> ON <key equalities>
   * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
   * the canonical upsert — executes the lake's zone-map-pruned merge.
@@ -279,12 +410,28 @@ final class LakeDdlParser(
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  // VACUUM / OPTIMIZE are Delta grammar, not Spark's — pre-parse
+  // intercepts, same posture as RESTORE.
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RestoreRe(name, ver) if LakeSql.lookup(name).isDefined =>
       GraftLakeRestoreCommand(LakeSql.lookup(name).get.path, ver.toInt)
     case HistoryRe(name) if LakeSql.lookup(name).isDefined =>
       GraftLakeHistoryCommand(LakeSql.lookup(name).get.path)
+    case VacuumRe(name, hours) if LakeSql.lookup(name).isDefined =>
+      GraftLakeVacuumCommand(LakeSql.lookup(name).get.path,
+        Option(hours).map(_.toLong * 3600L * 1000L).getOrElse(0L))
+    case OptimizeRe(name, za, zb) if LakeSql.lookup(name).isDefined =>
+      val t = LakeSql.lookup(name).get
+      GraftLakeOptimizeCommand(t.path, name,
+        (Option(za), Option(zb)) match {
+          case (Some(a), Some(b)) => Some((a, b))
+          case _ => None
+        }, t.statsCol)
     case _ => parsePlanDelegated(sqlText)
   }
 
@@ -328,7 +475,51 @@ final class LakeDdlParser(
       // VERSION AS OF / TIMESTAMP AS OF over registered lake names —
       // also a parse-time substitution (ResolveRelations throws on
       // temp-view time travel before resolution rules run).
-      case other => LakeTimeTravel.splice(other)
+      case other => LakeTimeTravel.splice(other) match {
+        // INSERT INTO / INSERT OVERWRITE a registered lake name:
+        // parse-time routing (the analyzer rejects inserts into temp
+        // views before any injected resolution rule runs). The query
+        // child has already been time-travel-spliced above, so
+        // `INSERT INTO t SELECT ... FROM t VERSION AS OF 0` composes.
+        case ins: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+            if LakeSql.targetName(ins.table).isDefined =>
+          val name = LakeSql.targetName(ins.table).get
+          val t = LakeSql.lookup(name).get
+          require(ins.partitionSpec.isEmpty && !ins.ifPartitionNotExists,
+            s"INSERT INTO $name: static PARTITION clauses are not " +
+              "supported on a graft lake — the layout is appendPartitioned's")
+          GraftLakeInsertCommand(t.path, name, ins.query, ins.overwrite,
+            ins.userSpecifiedCols, t.statsCol)
+        // CREATE TABLE <name> USING graftlake LOCATION '<p>' AS SELECT:
+        // a brand-new lake table from SQL (the name is by definition
+        // not registered yet, so the provider is the routing signal).
+        case cta: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
+            if cta.tableSpec.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec] &&
+              cta.tableSpec.asInstanceOf[
+                org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec]
+                .provider.exists(_.equalsIgnoreCase("graftlake")) =>
+          val spec = cta.tableSpec.asInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec]
+          val name = cta.name match {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+              u.nameParts.mkString(".")
+            case other => throw new IllegalArgumentException(
+              s"CREATE TABLE ... USING graftlake: unsupported name plan $other")
+          }
+          val loc = spec.location.getOrElse(throw new IllegalArgumentException(
+            s"CREATE TABLE $name USING graftlake needs LOCATION '<path>' " +
+              "— the lake is path-addressed"))
+          require(cta.partitioning.isEmpty,
+            s"CREATE TABLE $name USING graftlake: PARTITIONED BY is not " +
+              "supported in CTAS — use appendPartitioned after create")
+          val statsCol = spec.properties.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("statscol") => v
+          }
+          GraftLakeCtasCommand(loc, name, cta.query, statsCol,
+            cta.ignoreIfExists)
+        case spliced => spliced
+      }
     }
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -232,4 +232,98 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT * FROM table_changes('nope', 0)").collect() }
   }
+
+  test("SQL INSERT INTO lands the identical state as the Scala API append") {
+    import spark.implicits._
+    val (pSql, pApi) = freshPair()
+    val df = (1L to 20L).map(i => (i, s"t$i", i * 10)).toDF("id", "tag", "v")
+    GraftLake.create(df, pSql, Some("id"))
+    GraftLake.create(df, pApi, Some("id"))
+    LakeSql.register(spark, pSql, "lakesql_ins", "id")
+    val more = (21L to 30L).map(i => (i, s"t$i", i * 10)).toDF("id", "tag", "v")
+    more.createOrReplaceTempView("lakesql_ins_src")
+
+    // Positional SELECT form; values store-assign (ints cast to long).
+    spark.sql("INSERT INTO lakesql_ins SELECT id, tag, v FROM lakesql_ins_src")
+    GraftLake.append(more, pApi, statsCol = Some("id"))
+    // VALUES form.
+    spark.sql("INSERT INTO lakesql_ins VALUES (31, 't31', 310)")
+    GraftLake.append(Seq((31L, "t31", 310L)).toDF("id", "tag", "v"), pApi,
+      statsCol = Some("id"))
+    // Named-column form: missing columns null-fill.
+    spark.sql("INSERT INTO lakesql_ins (v, id) VALUES (320, 32)")
+    GraftLake.append(Seq((32L, null.asInstanceOf[String], 320L))
+      .toDF("id", "tag", "v"), pApi, statsCol = Some("id"))
+
+    val a = GraftLake.read(spark, pSql).collect().map(_.toSeq).toSet
+    val b = GraftLake.read(spark, pApi).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 32)
+    // The registered view refreshed: SQL sees its own inserts.
+    assert(spark.sql("SELECT count(*) FROM lakesql_ins").head.getLong(0) == 32)
+    // The appends carried zone-map stats on the registered column.
+    assert(GraftLake.commits(pSql).filter(_.action == "append")
+      .forall(_.stats.exists(_.col == "id")))
+
+    // Refusals: arity mismatch, unknown named column, PARTITION clause.
+    intercept[Exception] {
+      spark.sql("INSERT INTO lakesql_ins VALUES (1, 'x')") }
+    intercept[Exception] {
+      spark.sql("INSERT INTO lakesql_ins (nope) VALUES (1)") }
+    intercept[Exception] {
+      spark.sql("INSERT INTO lakesql_ins PARTITION (tag='x') VALUES (1, 2)") }
+
+    // INSERT OVERWRITE replaces the contents atomically.
+    spark.sql("INSERT OVERWRITE lakesql_ins SELECT id, tag, v FROM lakesql_ins_src")
+    assert(GraftLake.read(spark, pSql).count() == 10)
+    assert(GraftLake.commits(pSql).last.action == "overwrite")
+  }
+
+  test("SQL CTAS creates and registers a lake; OPTIMIZE and VACUUM route to compact/vacuum") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakesql-ctas")
+    val p = base.resolve("t").toString
+    (1L to 50L).map(i => (i, i % 5, i * 7)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("lakesql_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE lakesql_ctas USING graftlake LOCATION '$p'
+         |TBLPROPERTIES ('statscol'='id')
+         |AS SELECT * FROM lakesql_ctas_src""".stripMargin)
+    // A real lake table exists at the location with stats recorded.
+    assert(GraftLake.commits(p).head.action == "create")
+    assert(GraftLake.snapshot(p).live.forall(_.statsFor("id").isDefined))
+    assert(spark.sql("SELECT count(*) FROM lakesql_ctas").head.getLong(0) == 50)
+    // The registration is DML-capable: INSERT + MERGE work.
+    spark.sql("INSERT INTO lakesql_ctas VALUES (51, 1, 357)")
+    assert(GraftLake.read(spark, p).count() == 51)
+    // IF NOT EXISTS over the existing lake is a registering no-op...
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS lakesql_ctas USING graftlake
+         |LOCATION '$p' AS SELECT * FROM lakesql_ctas_src""".stripMargin)
+    assert(GraftLake.read(spark, p).count() == 51)
+    // ...while a bare CREATE over it refuses.
+    intercept[Exception] { spark.sql(
+      s"""CREATE TABLE lakesql_ctas USING graftlake LOCATION '$p'
+         |AS SELECT * FROM lakesql_ctas_src""".stripMargin) }
+
+    // OPTIMIZE: the 2 sets (create + insert) compact to 1 atomic set,
+    // content-neutral.
+    val opt = spark.sql("OPTIMIZE lakesql_ctas").head
+    assert(opt.getInt(0) == 2 && opt.getInt(1) == 1)
+    assert(GraftLake.commits(p).last.action == "compact")
+    assert(GraftLake.read(spark, p).count() == 51)
+    // OPTIMIZE ZORDER BY records stats on both dims.
+    spark.sql("OPTIMIZE lakesql_ctas ZORDER BY (id, v)")
+    assert(GraftLake.commits(p).last.stats.map(_.col).toSet == Set("id", "v"))
+
+    // VACUUM reclaims the compacted-away sets and audits the sweep.
+    val dead = spark.sql("VACUUM lakesql_ctas").collect().map(_.getString(0))
+    assert(dead.nonEmpty && dead.forall(_.startsWith("data/")))
+    assert(GraftLake.commits(p).last.action == "vacuum")
+    assert(GraftLake.read(spark, p).count() == 51)
+    // RETAIN window: nothing inside a generous window is reclaimed.
+    assert(spark.sql("VACUUM lakesql_ctas RETAIN 240 HOURS").collect().isEmpty)
+    // Unregistered names fall through to Spark's own errors.
+    intercept[Exception] { spark.sql("OPTIMIZE lakesql_nope").collect() }
+    intercept[Exception] { spark.sql("VACUUM lakesql_nope").collect() }
+  }
 }
