@@ -368,6 +368,7 @@ object SparkEntry {
     "q79_temporal_join"  -> Relational3.q79TemporalJoin _,
     "q80_mad"            -> graft.operators.Analytics.q80Mad _,
     "q81_profile"        -> graft.operators.Analytics.q81Profile _,
+    "q82_profile_approx" -> graft.operators.Analytics.q82ProfileApprox _,
     "d26_char_diversity" -> TextCorpus.d26CharDiversity _,
     "q57_multiset_ops"   -> Relational4.q57MultisetOps _,
     "q58_not_in"         -> Relational4.q58NotIn _,
@@ -2371,6 +2372,7 @@ object SparkEntry {
     "q79_temporal_join" -> Relational3.q79OracleSql,
     "q80_mad" -> graft.operators.Analytics.q80OracleSql,
     "q81_profile" -> graft.operators.Analytics.q81OracleSql,
+    "q82_profile_approx" -> graft.operators.Analytics.q82OracleSql,
     "mv09_cdf_view" -> graft.operators.Materialized.mv09OracleSql,
     "d34_mixture_sample" -> graft.operators.TextCorpus.d34OracleSql,
     // Gini impurity in integer numerators with one trailing division;

@@ -416,6 +416,70 @@ object Analytics {
     p.join(top, "colname").orderBy(col("colname"))
   }
 
+  /** q82: APPROXIMATE TABLE PROFILING — q81's surface with the
+    * exact-distinct pass swapped for HLL++ through the q59 opt-in
+    * rewrite rule (a child session enables
+    * [[graft.plans.ApproxDistinctRule]]; the unpivoted profile query
+    * itself is UNCHANGED — the analyzer swaps the sketch in). This is
+    * the honest 100 TB default q81's doc names: per column the
+    * distinct profile costs constant mergeable sketch state in ONE
+    * partial-agg pass — the exact variant's (col, value) shuffle of
+    * the whole unpivot disappears. Gate shape = q59: the EXACT
+    * distinct count stays the oracle-checked output; the sketch
+    * estimate is proven in-row within 3σ = 15% of it, and the rewrite
+    * is plan-proven to have fired.
+    */
+  def q82ProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    def unpivoted(sp: SparkSession) = Tables.orders(sp, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(expr(
+        """stack(5,
+          |  'cents', CAST(cents AS STRING),
+          |  'o_custkey', CAST(o_custkey AS STRING),
+          |  'o_orderkey', CAST(o_orderkey AS STRING),
+          |  'o_orderpriority', o_orderpriority,
+          |  'o_orderstatus', o_orderstatus) AS (colname, val)""".stripMargin))
+    val s2 = spark.newSession()
+    s2.conf.set(graft.plans.ApproxDistinctRule.ConfKey, "true")
+    val approxDf = unpivoted(s2).groupBy(col("colname"))
+      .agg(count_distinct(col("val")).as("approx_nd"))
+    val fired = approxDf.queryExecution.analyzed.toString
+      .contains("approx_count_distinct")
+    val approx = approxDf.collect() // O(|cols|) = 5 rows
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val amap = map(approx.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    unpivoted(spark).groupBy(col("colname")).agg(
+      (count(lit(1)) - count(col("val"))).as("n_nulls"),
+      countDistinct(col("val")).as("n_distinct"),
+      min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+      .select(col("colname"), col("n_nulls"), col("n_distinct"),
+        col("min_val"), col("max_val"),
+        (abs(element_at(amap, col("colname")) - col("n_distinct"))
+          <= col("n_distinct") * lit(0.15)).as("within_bound"),
+        lit(fired).as("rewrite_fired"))
+      .orderBy(col("colname"))
+  }
+
+  val q82OracleSql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |u AS (
+      |  SELECT 'cents' AS colname, CAST(cents AS VARCHAR) AS val FROM o
+      |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM o
+      |  UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM o
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM o
+      |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM o)
+      |SELECT colname,
+      |  CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+      |  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+      |  min(val) AS min_val, max(val) AS max_val,
+      |  TRUE AS within_bound, TRUE AS rewrite_fired
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q81OracleSql: String =
     """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
       |    o_orderpriority,

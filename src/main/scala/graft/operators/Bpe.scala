@@ -72,7 +72,27 @@ object Bpe {
     * order.
     */
   def trainWithVocab(
-      docs: DataFrame, rounds: Int = MergeRounds): (DataFrame, DataFrame) = {
+      docs: DataFrame, rounds: Int = MergeRounds): (DataFrame, DataFrame) =
+    trainLoop(docs, rounds, minPairCount = 1L)
+
+  /** Train to CONVERGENCE rather than a fixed round budget — the
+    * production stop rule (Sennrich trains to a vocab size / count
+    * floor, not 8 rounds): merge until the BEST adjacent-pair count
+    * drops below `minPairCount` (merging near-singleton pairs just
+    * memorizes words) or `maxMerges` merges landed — the budget
+    * backstop that bounds driver elections. Election, tie-break, and
+    * merge-apply are byte-identical to [[trainWithVocab]]: whenever
+    * every elected count clears the floor within the budget, the two
+    * variants produce the SAME merge table (spec-pinned on the gate
+    * corpus), so the gated unrolled oracle keeps covering this loop.
+    */
+  def trainToConvergence(
+      docs: DataFrame, minPairCount: Long = 2L,
+      maxMerges: Int = 10000): (DataFrame, DataFrame) =
+    trainLoop(docs, maxMerges, minPairCount)
+
+  private def trainLoop(
+      docs: DataFrame, rounds: Int, minPairCount: Long): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     var words = vocab0(docs).cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -82,7 +102,7 @@ object Bpe {
       val top = pairCounts(words)
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect() // 1 row: the elected pair
-      if (top.isEmpty) exhausted = true
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) exhausted = true
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, cnt))

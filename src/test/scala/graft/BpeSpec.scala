@@ -117,6 +117,40 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall(_.getLong(3) > 0))
   }
 
+  test("train-to-convergence equals fixed-round training while counts clear the floor, then stops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // On the gate corpus every one of the first MergeRounds elections
+    // clears a floor of 2, so the convergence loop capped at the same
+    // budget must land the IDENTICAL merge table — the gated unrolled
+    // oracle keeps covering the loop variant.
+    def table(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val docs = Tables.documents(spark, sf)
+    val fixed = table(Bpe.train(docs, rounds = Bpe.MergeRounds))
+    assert(fixed.forall(_._4 >= 2L), "gate corpus precondition")
+    val (convDf, convVocab) =
+      Bpe.trainToConvergence(docs, minPairCount = 2L,
+        maxMerges = Bpe.MergeRounds)
+    convVocab.unpersist()
+    assert(table(convDf) == fixed)
+
+    // A corpus of singleton words: every pair count is 1, so a floor
+    // of 2 stops BEFORE the first merge; a floor of 1 merges until
+    // pairs run out entirely (all single-symbol words) — convergence,
+    // not a round budget, ends both runs.
+    val tiny = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    val (none, v0) = Bpe.trainToConvergence(tiny, minPairCount = 2L)
+    v0.unpersist()
+    assert(none.count() == 0)
+    val (all, v1) = Bpe.trainToConvergence(tiny, minPairCount = 1L)
+    val exhaustedVocab = v1.select(col("w")).collect().map(_.getString(0))
+    v1.unpersist()
+    // 3 two-char words -> 3 merges, then no adjacent pairs remain.
+    assert(all.count() == 3)
+    assert(exhaustedVocab.toSet == Set("ab", "cd", "ef"))
+  }
+
   test("d33: stored-merges apply equals the shared training-chain tokenize") {
     import graft.sources.GraftLake
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
