@@ -117,6 +117,7 @@ object SparkEntry {
     "m04_grayscale" -> ((s: SparkSession, d: String) => Multimodal.m04Grayscale(s, d)),
     "m05_phash" -> ((s: SparkSession, d: String) => Multimodal.m05PHash(s, d)),
     "m06_image_dedup" -> ((s: SparkSession, d: String) => Multimodal.m06ImageDedup(s, d)),
+    "m07_multimodal_pack" -> ((s: SparkSession, d: String) => Multimodal.m07MultimodalPack(s, d)),
     // The id filter pushes into the DSv2 scan (SupportsPushDownFilters
     // narrows the generated range at planning time), `value` is pruned
     // away, and row content is pure f(id) — so DuckDB `range()`
@@ -1736,6 +1737,7 @@ object SparkEntry {
     // (doc_id, dims) alone, signed 32-bit halves matched exactly.
     "m05_phash" -> Multimodal.m05OracleSql,
     "m06_image_dedup" -> Multimodal.m06OracleSql,
+    "m07_multimodal_pack" -> Multimodal.m07OracleSql,
     // m03 synthesizes ceil(chars/64) real PNG frames per document and
     // DECODES ONLY every 4th; frame k paints (31x + 17y + 7k +
     // 13*doc_id) mod 256, so both checksums replay as flattened index

@@ -506,4 +506,83 @@ object Multimodal {
       |  CAST(list_sum([b[i + 1] * (1 << i) FOR i IN range(32)])
       |    - CASE WHEN b[32] = 1 THEN 4294967296 ELSE 0 END AS INT) AS phash_lo
       |FROM bits ORDER BY doc_id""".stripMargin
+
+  /** Context window (tokens) and ViT patch size for m07's packing. */
+  val PackCap = 128L
+  val PatchPx = 16L
+
+  /** m07: INTERLEAVED MULTIMODAL SEQUENCE PACKING — d25's
+    * concat-and-chunk prefix-sum packing extended to the shape
+    * multimodal training corpora actually feed the loader: each
+    * document is a text segment FOLLOWED by its image, and the image
+    * costs TOKEN-EQUIVALENTS from m01's typed metadata — the
+    * vision-transformer patch count ceil(w/16)·ceil(h/16) (exact
+    * integer `div` arithmetic, 1..16 tokens for the stub's 1..64-px
+    * sides). The global offset is the SAME distributed two-pass
+    * prefix sum as d25 ([[graft.operators.Ranks.withRunningTotal]] —
+    * range partition + broadcast offsets, no unpartitioned window),
+    * now over the combined text+image cost; per document the report
+    * pins the full span AND the image sub-span's chunk placement (the
+    * loader needs to know which context windows carry pixels).
+    */
+  def m07MultimodalPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cap = PackCap
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      // d25's whitespace token count for the text segment.
+      size(filter(split(col("text"), " "), x => length(x) > 0))
+        .cast("long").as("n_txt"),
+      // m01's stub metadata arithmetic (ASCII texts: byte == codepoint).
+      ((greatest(ascii(substring(col("text"), 1, 1)), lit(0)) % 64) + 1)
+        .cast("long").as("img_w"),
+      ((greatest(ascii(substring(col("text"), 2, 1)), lit(0)) % 64) + 1)
+        .cast("long").as("img_h"))
+      .withColumn("img_tok",
+        expr(s"((img_w + ${PatchPx - 1}) div $PatchPx) * " +
+          s"((img_h + ${PatchPx - 1}) div $PatchPx)"))
+      // coalesce against a non-nullable literal: the prefix sum
+      // requires a provably non-null Long value column.
+      .withColumn("n_total",
+        coalesce(col("n_txt") + col("img_tok"), lit(0L)))
+    graft.operators.Ranks
+      .withRunningTotal(docs, Seq(col("doc_id")), "n_total", "tok_start")
+      // img_tok >= 1 always, so every document has a non-empty span.
+      .withColumn("start_chunk", expr(s"tok_start div $cap"))
+      .withColumn("end_chunk",
+        expr(s"(tok_start + n_total - 1) div $cap"))
+      .withColumn("n_chunks", col("end_chunk") - col("start_chunk") + 1)
+      .withColumn("img_start", col("tok_start") + col("n_txt"))
+      .withColumn("img_chunk_start", expr(s"img_start div $cap"))
+      .withColumn("img_chunk_end",
+        expr(s"(img_start + img_tok - 1) div $cap"))
+      .select(col("doc_id"), col("n_txt"), col("img_tok"), col("tok_start"),
+        col("start_chunk"), col("end_chunk"), col("n_chunks"),
+        col("img_chunk_start"), col("img_chunk_end"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d25's window-cumsum replay over the combined text+image cost,
+    * image patch arithmetic identical.
+    */
+  val m07OracleSql: String =
+    s"""WITH c AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_txt,
+      |    CAST((greatest(unicode(text[1:1]), 0) % 64) + 1 AS BIGINT) AS img_w,
+      |    CAST((greatest(unicode(text[2:2]), 0) % 64) + 1 AS BIGINT) AS img_h
+      |  FROM documents),
+      |k AS (SELECT doc_id, n_txt,
+      |    ((img_w + 15) // 16) * ((img_h + 15) // 16) AS img_tok
+      |  FROM c),
+      |t AS (SELECT doc_id, n_txt, img_tok, n_txt + img_tok AS n_total,
+      |    CAST(coalesce(sum(n_txt + img_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      |  FROM k)
+      |SELECT doc_id, n_txt, CAST(img_tok AS BIGINT) AS img_tok, tok_start,
+      |  CAST(tok_start // 128 AS BIGINT) AS start_chunk,
+      |  CAST((tok_start + n_total - 1) // 128 AS BIGINT) AS end_chunk,
+      |  CAST((tok_start + n_total - 1) // 128 - tok_start // 128 + 1 AS BIGINT) AS n_chunks,
+      |  CAST((tok_start + n_txt) // 128 AS BIGINT) AS img_chunk_start,
+      |  CAST((tok_start + n_txt + img_tok - 1) // 128 AS BIGINT) AS img_chunk_end
+      |FROM t ORDER BY doc_id""".stripMargin
 }

@@ -142,6 +142,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.length == Tables.documents(spark, sf).count())
   }
 
+  test("m07 multimodal packing equals a sequential driver fold over text+patch costs") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // Brute reference: one sequential walk accumulating the global
+    // token offset; image cost = ViT patch count of the stub dims.
+    var off = 0L
+    val expect = docs.map { case (id, text) =>
+      val nTxt = text.split(" ").count(_.nonEmpty).toLong
+      val w = (math.max(if (text.nonEmpty) text.codePointAt(0) else 0, 0) % 64) + 1
+      val h = (math.max(if (text.length > 1) text.codePointAt(1) else 0, 0) % 64) + 1
+      val imgTok = ((w + 15) / 16) * ((h + 15) / 16).toLong
+      val total = nTxt + imgTok
+      val start = off
+      off += total
+      val imgStart = start + nTxt
+      (id, nTxt, imgTok, start,
+        start / 128, (start + total - 1) / 128,
+        (start + total - 1) / 128 - start / 128 + 1,
+        imgStart / 128, (imgStart + imgTok - 1) / 128)
+    }.toSeq
+    val got = Multimodal.m07MultimodalPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSeq
+    assert(got == expect && got.nonEmpty)
+    // Every image span is inside its document span, and spans tile the
+    // stream: next doc starts where this one ends.
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(b._4 == a._4 + a._2 + a._3)
+      case _ => ()
+    }
+    assert(got.forall(g => g._8 >= g._5 && g._9 <= g._6))
+  }
+
   test("m06 image dedup equals a driver union-find over banded Hamming candidates") {
     val ph = graft.multimodal.Multimodal.m05PHash(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
