@@ -691,6 +691,84 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert((21L to 40L).forall(got(_) == 11L))
   }
 
+  test("conflict matrix: update vs merge, replaceWhere vs compact, restore vs append all serialize cleanly") {
+    import spark.implicits._
+    def withRetry(op: () => Unit): Unit = {
+      var done = false; var tries = 0
+      while (!done) {
+        tries += 1; require(tries <= 10, "too many CME retries")
+        try { op(); done = true }
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+    def race(a: () => Unit, b: () => Unit): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val fa = pool.submit(new Runnable { def run(): Unit = withRetry(a) })
+      val fb = pool.submit(new Runnable { def run(): Unit = withRetry(b) })
+      fa.get(); fb.get(); pool.shutdown()
+    }
+
+    // UPDATE racing MERGE on the same file-set: the loser observes CME
+    // and retries on a fresh snapshot; the ops commute (update touches
+    // existing rows, the merge inserts new keys), so the final state
+    // is the same whichever lands first — neither write may be lost.
+    val p1 = freshTable()
+    GraftLake.create((1L to 40L).map(i => (i, 0L)).toDF("id", "v"), p1,
+      Some("id"))
+    race(
+      () => { GraftLake.update(spark, p1, col("id") <= 20L,
+        Seq("v" -> (col("v") + 7L)), Some("id")); () },
+      () => { GraftLake.merge(spark, p1,
+        Seq((101L, 1L), (102L, 2L)).toDF("id", "v"), Seq("id"), "id"); () })
+    val g1 = GraftLake.read(spark, p1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 20L).forall(g1(_) == 7L))
+    assert((21L to 40L).forall(g1(_) == 0L))
+    assert(g1(101L) == 1L && g1(102L) == 2L)
+
+    // REPLACE-WHERE racing COMPACT: compact is content-neutral, so any
+    // serialization ends with the replaced range — and both rewrites
+    // remove live sets, forcing the loser through the CME + retry path.
+    val p2 = freshTable()
+    GraftLake.create((1L to 20L).map(i => (i, i)).toDF("id", "v"), p2,
+      Some("id"))
+    GraftLake.append((21L to 40L).map(i => (i, i)).toDF("id", "v"), p2,
+      statsCol = Some("id"))
+    race(
+      () => { GraftLake.replaceWhere(spark, p2,
+        (1L to 20L).map(i => (i, i * 100L)).toDF("id", "v"),
+        "id", 1L, 20L); () },
+      () => { GraftLake.compact(spark, p2, Seq("id"), numFiles = 2,
+        Some("id")); () })
+    val g2 = GraftLake.read(spark, p2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 20L).forall(i => g2(i) == i * 100L))
+    assert((21L to 40L).forall(i => g2(i) == i))
+
+    // RESTORE racing APPEND: genuinely non-commuting — the legal
+    // outcomes are exactly the two serializations (append then
+    // rollback erases it; rollback then append keeps it). Whichever
+    // lands, the log is gapless, every live set exists, and the state
+    // IS one of the two.
+    val p3 = freshTable()
+    GraftLake.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), p3,
+      Some("id"))                                                    // v0
+    GraftLake.merge(spark, p3, Seq((1L, 99L)).toDF("id", "v"),
+      Seq("id"), "id")                                               // v1
+    race(
+      () => { GraftLake.restore(spark, p3, 0); () },
+      () => { GraftLake.append(Seq((50L, 50L)).toDF("id", "v"), p3,
+        statsCol = Some("id")); () })
+    val ids3 = GraftLake.read(spark, p3).collect().map(_.getLong(0)).toSet
+    val base10 = (1L to 10L).toSet
+    assert(ids3 == base10 || ids3 == base10 + 50L, s"illegal state: $ids3")
+    val vs = GraftLake.commits(p3).map(_.version)
+    assert(vs == vs.indices.map(identity), s"gapless log expected: $vs")
+    GraftLake.snapshot(p3).live.foreach { ls =>
+      assert(Files.exists(java.nio.file.Paths.get(p3, ls.set)))
+    }
+  }
+
   test("vacuum retention keeps time travel alive inside the window") {
     import spark.implicits._
     val path = freshTable()

@@ -210,6 +210,82 @@ class LakeStreamSourceSpec extends AnyFunSuite with SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("not representable")))
   }
 
+  test("cdf mirror survives a mid-mutation-sequence checkpoint restart: nothing doubled, nothing skipped") {
+    import spark.implicits._
+    val base = freshBase()
+    val src = base.resolve("src").toString
+    val dst = base.resolve("dst").toString
+    val ck = base.resolve("ck").toString
+    val df = (1L to 40L).map(i => (i, i * 10)).toDF("k", "v")
+    GraftLake.create(df, src, Some("k"))
+    GraftLake.enableCdf(src)
+    GraftLake.create(df.limit(0), dst, Some("k"))
+
+    // The st19 apply loop, restartable: per batch the per-key latest
+    // change wins; deletes via deleteKeys, images via merge — both
+    // tag-idempotent per epoch.
+    def runMirror(): Unit = {
+      val q = spark.readStream.format("graft-lake-stream")
+        .option("path", src).option("cdf", "true").load()
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("k"))
+            .orderBy(col("_commit_version").desc,
+              when(col("_change_type") === "update_preimage", 0)
+                .otherwise(1).desc)
+          val latest = batch.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).localCheckpoint(true)
+          GraftLake.deleteKeys(spark, dst,
+            latest.filter(col("_change_type") === "delete").select(col("k")),
+            "k", Some("k"), tag = Some(s"cdf-del-$batchId"))
+          GraftLake.merge(spark, dst,
+            latest.filter(col("_change_type") =!= "delete")
+              .drop("rn", "_change_type", "_commit_version"),
+            Seq("k"), "k", tag = Some(s"cdf-up-$batchId"))
+          ()
+        }
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // Leg 1: seed + one update wave, then the stream DIES (stop()).
+    GraftLake.update(spark, src, col("k") <= 10L,
+      Seq("v" -> (col("v") + 1L)), Some("k"))                        // v1
+    runMirror()
+    val tagsAfterLeg1 = GraftLake.snapshot(dst).tags.keySet
+    // Mid-sequence mutations land while the mirror is DOWN.
+    GraftLake.delete(spark, src, col("k") % 5L === 0L, Some("k"))    // v2
+    GraftLake.update(spark, src, col("k") === 3L,
+      Seq("v" -> lit(999L)), Some("k"))                              // v3
+    // Leg 2: resume from the SAME checkpoint — only v2/v3 apply.
+    runMirror()
+    // Leg 3: restart again with NO new source commits — the mirror
+    // must not move at all (offsets consumed, tags already present).
+    val dstVer = GraftLake.latestVersion(dst)
+    runMirror()
+    assert(GraftLake.latestVersion(dst) == dstVer,
+      "an empty restart re-applied changes")
+
+    // Nothing doubled: every apply tag is unique in the dst log (the
+    // log is the ledger — a double apply would need a second commit
+    // with the same tag, which appendIdempotent/merge refuse).
+    val tags = GraftLake.commits(dst).flatMap(_.tag)
+    assert(tags.distinct.size == tags.size, s"duplicated tags: $tags")
+    assert(tagsAfterLeg1.subsetOf(GraftLake.snapshot(dst).tags.keySet))
+    // Nothing skipped: the mirror equals the source row-for-row.
+    val a = GraftLake.read(spark, src).collect().map(_.toSeq).toSet
+    val b = GraftLake.read(spark, dst).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // And the final state is the mutation arithmetic, spot-checked.
+    val got = GraftLake.read(spark, dst).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(5L) && !got.contains(20L)) // deleted (k%5==0)
+    assert(got(3L) == 999L)                         // post-restart update
+    assert(got(7L) == 71L)                          // pre-restart update
+    assert(got(11L) == 110L)                        // untouched
+  }
+
   test("padd commits stream as inserts in both plain and cdf tails (hive value reconstructed)") {
     import spark.implicits._
     val base = freshBase()
