@@ -1565,7 +1565,12 @@ object Similarity {
     */
   def ivfPqResidual(
       spark: SparkSession, dir: String, nLists: Int, nProbe: Int,
-      pqIters: Int = 2, coarseC: Int = PqCoarseC): DataFrame = {
+      pqIters: Int = 2, coarseC: Int = PqCoarseC,
+      // Codebook size per subspace: 16 (4-bit codes) is the gated
+      // default; 256 (8-bit, FAISS's standard) is the 1M+ knob — ADC
+      // tables stay M×K doubles (2 KB at K=256), codes double to
+      // 8 bits/subspace, and within-list ranking sharpens 16×.
+      pqK: Int = PqK): DataFrame = {
     import spark.implicits._
     val (q, c) = split(spark, dir)
     val centroids = trainCentroids(c, nLists, iters = 2)
@@ -1586,9 +1591,11 @@ object Similarity {
     // PQ codebooks trained on the residual distribution (sample init
     // from the lowest-id residuals, then distributed Lloyd).
     val initCb = {
-      val rows = cRes.orderBy("rid").limit(PqK).collect()
+      val rows = cRes.orderBy("rid").limit(pqK).collect()
         .map(_.getAs[scala.collection.Seq[Float]]("res").toArray)
-      Array.tabulate(PqM, PqK) { (m, k) =>
+      require(rows.length >= pqK,
+        s"corpus has ${rows.length} residuals < pqK=$pqK codebook entries")
+      Array.tabulate(PqM, pqK) { (m, k) =>
         Array.tabulate(PqSub)(i => rows(k)(m * PqSub + i).toDouble)
       }
     }
@@ -1907,7 +1914,9 @@ object Similarity {
         .agg(avg(col("col")).as("mu"))
         .collect()
         .groupBy(r => (r.getInt(0), r.getInt(1)))
-      cb = Array.tabulate(cb.length, PqK) { (m, k) =>
+      // K from the INIT codebook, not the PqK constant — the K=256
+      // configuration must refine all 256 entries, not truncate to 16.
+      cb = Array.tabulate(cb.length, cb(0).length) { (m, k) =>
         means.get((m, k)) match {
           case Some(rows) =>
             rows.sortBy(_.getInt(2)).map(_.getDouble(3))

@@ -61,34 +61,42 @@ object RecallCurve {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_recall_curve")
+    // Optional filters for targeted (re)measurement: arg 2 restricts
+    // to one corpus size, arg 3 = "pqonly" skips the LSH/IVF/flat-PQ
+    // sweeps (brute truth always runs — recall needs it).
+    val nFilter = args.lift(1).map(_.toInt)
+    val pqOnly = args.lift(2).contains("pqonly")
     val spark = Engine.session("local[16]", "graft-recall-curve", 16)
     println("| n | operator | config | recall@5 | wall s |")
     println("| --- | --- | --- | --- | --- |")
     // 1M is the decade where LSH bucket skew and IVF list imbalance
     // start to show — the auto-bits / residual-PQ claims need it.
-    Seq(10000, 100000, 1000000).foreach { n =>
+    Seq(10000, 100000, 1000000).filter(n => nFilter.forall(_ == n))
+      .foreach { n =>
       val dir = synthCorpus(spark, n, base)
       val (brute, tBrute) = timed(pairs(Similarity.s01AnnBrute(spark, dir)))
       println(f"| $n | s01 brute | exact | 1.000 | $tBrute%.1f |")
       val autoBits = Similarity.lshBitsFor(n)
-      for (tables <- Seq(2, 4, 8); bits <- Seq(autoBits - 2, autoBits)) {
+      if (!pqOnly) for (tables <- Seq(2, 4, 8); bits <- Seq(autoBits - 2, autoBits)) {
         val (got, t) = timed(pairs(Similarity.s02AnnLsh(spark, dir, tables, bits)))
         val recall = got.intersect(brute).size.toDouble / brute.size
         val tag = if (bits == autoBits) s"bits=$bits(auto)" else s"bits=$bits"
         println(f"| $n | s02 lsh | tables=$tables $tag | $recall%.3f | $t%.1f |")
       }
       val lists = math.max(8, math.sqrt(n.toDouble).toInt / 2)
-      for (nProbe <- Seq(1, 4, 8)) {
+      if (!pqOnly) for (nProbe <- Seq(1, 4, 8)) {
         val (got, t) = timed(pairs(Similarity.s03AnnIvf(spark, dir, lists, nProbe)))
         val recall = got.intersect(brute).size.toDouble / brute.size
         println(f"| $n | s03 ivf | lists=$lists nProbe=$nProbe | $recall%.3f | $t%.1f |")
       }
+      if (!pqOnly) {
       val (gotPq, tPq) = timed(pairs(Similarity.s13AnnPq(spark, dir)))
       val rPq = gotPq.intersect(brute).size.toDouble / brute.size
       println(f"| $n | s13 pq-adc | M=8 K=16 C=150 sample-init | $rPq%.3f | $tPq%.1f |")
       val (gotPqR, tPqR) = timed(pairs(Similarity.s13AnnPqRefined(spark, dir)))
       val rPqR = gotPqR.intersect(brute).size.toDouble / brute.size
       println(f"| $n | s13 pq-adc | M=8 K=16 C=150 refined(2 Lloyd) | $rPqR%.3f | $tPqR%.1f |")
+      }
       for (nProbe <- Seq(4, 8)) {
         // Rescore budget scales with the probed candidate volume —
         // C is the PQ recall knob once the coarse lists are right.
@@ -104,6 +112,17 @@ object RecallCurve {
             Similarity.ivfPqResidual(spark, dir, lists, nProbe, coarseC = cC)))
           val r = got.intersect(brute).size.toDouble / brute.size
           println(f"| $n | ivf-pq residual | lists=$lists nProbe=$nProbe C=$cC | $r%.3f | $t%.1f |")
+        }
+        // 8-bit codebooks (K=256, FAISS's standard) at the big-corpus
+        // decades: the structural knob the 4-bit rows max out without —
+        // within-list ranking sharpens 16×, so the rescore budget can
+        // stay at the 100k-tuned probed/8.
+        if (n >= 100000) {
+          val cC = math.max(150, probed / 8)
+          val (got, t) = timed(pairs(Similarity.ivfPqResidual(
+            spark, dir, lists, nProbe, coarseC = cC, pqK = 256)))
+          val r = got.intersect(brute).size.toDouble / brute.size
+          println(f"| $n | ivf-pq residual | lists=$lists nProbe=$nProbe C=$cC K=256 | $r%.3f | $t%.1f |")
         }
       }
     }

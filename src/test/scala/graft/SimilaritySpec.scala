@@ -522,6 +522,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, f"IVF-PQ recall $recall%.2f below floor on clustered data")
   }
 
+  test("ivf-pq residual: 8-bit codebooks (K=256) hold at least the 4-bit recall") {
+    // Same clustered recipe; K=256 codebooks rank within-list
+    // candidates 16x more finely than K=16, so at the same probe and
+    // rescore budget recall may only improve.
+    val rnd = new scala.util.Random(53)
+    val centers = Array.fill(8)(Array.fill(Similarity.Dim)(rnd.nextGaussian()))
+    def member(k: Int): Array[Float] = {
+      val c = centers(k)
+      Array.tabulate(Similarity.Dim)(i => (c(i) + 0.15 * rnd.nextGaussian()).toFloat)
+    }
+    val queries = (0 until 10).map(q => (q.toLong, member(q % 8), q % 8))
+    val corpus = (0 until 400).map(i => (10L + i, member(i % 8), i % 8))
+    val dir = writeEmbeddings(queries ++ corpus)
+    val brute = Similarity.s01AnnBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    def recallAt(k: Int): Double = {
+      val got = Similarity.ivfPqResidual(spark, dir, nLists = 8, nProbe = 2,
+        pqK = k).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val r16 = recallAt(16)
+    val r256 = recallAt(256)
+    info(f"IVF-PQ residual recall@5: K=16 $r16%.2f, K=256 $r256%.2f")
+    assert(r256 >= r16, f"8-bit codebooks regressed recall: $r256%.2f < $r16%.2f")
+    assert(r256 >= 0.9, f"K=256 recall $r256%.2f below floor on clustered data")
+  }
+
   test("pqTrain: Lloyd refinement never increases quantization error") {
     val emb = Tables.embeddings(spark, sf)
     val c = emb.filter(col("vec_id") >= 10)
