@@ -101,6 +101,7 @@ object SparkEntry {
     "d31_bpe_tokenize"   -> ((s: SparkSession, d: String) => Bpe.d31BpeTokenize(s, d)),
     "d33_bpe_stored"     -> ((s: SparkSession, d: String) => Bpe.d33BpeStored(s, d)),
     "d34_mixture_sample" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d34MixtureSample(s, d)),
+    "d35_ngram_decontaminate" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d35NgramDecontaminate(s, d)),
     "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
@@ -892,6 +893,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("sql_write_ok",
           lit(compacted && vacuumed && refused && statted))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // SQL SCHEMA DDL (the Delta metadata surface): `ALTER TABLE ...
+    // ADD COLUMNS` lands as ONE zero-data `evolve` commit (live set
+    // names unchanged — pinned in-row), the new column null-fills and
+    // is immediately writable through SQL UPDATE; `ADD CONSTRAINT ...
+    // CHECK` validates existing rows and refuses a violating INSERT;
+    // `DROP CONSTRAINT` lifts the rule. Oracle: orders with the
+    // update arithmetic on the added column.
+    "src33_sql_schema_ddl" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, LakeSql}
+      val path = scratch("graft_lake_sqlddl", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.create(o, path, Some("o_orderkey"))
+      LakeSql.register(s, path, "lake_ddl", "o_orderkey")
+      val setsBefore = GraftLake.snapshot(path).live.map(_.set).toSet
+      s.sql("ALTER TABLE lake_ddl ADD COLUMNS (bonus BIGINT)")
+      val zeroData =
+        GraftLake.snapshot(path).live.map(_.set).toSet == setsBefore &&
+          GraftLake.commits(path).last.action == "evolve"
+      s.sql("UPDATE lake_ddl SET bonus = cents % 100 WHERE o_orderkey % 2 = 0")
+      s.sql("ALTER TABLE lake_ddl ADD CONSTRAINT nonneg CHECK (cents >= 0)")
+      val refused =
+        try { s.sql("INSERT INTO lake_ddl VALUES (3000000001, 'Z', -1, 0)"); false }
+        catch { case _: Exception => true }
+      s.sql("ALTER TABLE lake_ddl DROP CONSTRAINT nonneg")
+      val dropped = !GraftLake.constraintsOf(path).contains("nonneg")
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(col("bonus")).as("bonus"))
+        .withColumn("schema_ddl_ok", lit(zeroData && refused && dropped))
         .orderBy(col("o_orderstatus"))
     }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
@@ -2377,6 +2414,7 @@ object SparkEntry {
     "q82_profile_approx" -> graft.operators.Analytics.q82OracleSql,
     "mv09_cdf_view" -> graft.operators.Materialized.mv09OracleSql,
     "d34_mixture_sample" -> graft.operators.TextCorpus.d34OracleSql,
+    "d35_ngram_decontaminate" -> graft.operators.TextCorpus.d35OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->
@@ -2656,6 +2694,16 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_equals_api,
         |  TRUE AS travel_reads_v0
         |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ADD COLUMNS + UPDATE arithmetic over the evolved column.
+    "src33_sql_schema_ddl" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN cents % 100 END)
+        |    AS BIGINT) AS bonus,
+        |  TRUE AS schema_ddl_ok
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // CTAS(even) + INSERT(odd) + a VALUES row deleted again + compact
     // + vacuum are all content-neutral over the orders multiset.
     "src32_sql_write" ->

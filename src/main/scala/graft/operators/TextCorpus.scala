@@ -666,6 +666,57 @@ object TextCorpus {
       .orderBy(col("source"))
   }
 
+  /** 5-gram window for d35's exact-match decontamination. */
+  val DecontamN = 5
+
+  /** d35: EXACT N-GRAM DECONTAMINATION — the GPT-3/PaLM method: a
+    * training document is contaminated when it shares ANY exact
+    * [[DecontamN]]-gram (whitespace tokens, d16's convention) with
+    * the held-out set (doc_id ≡ 0 mod 10 plays the benchmark). This
+    * is the third leg of the decontamination triad: d17 catches
+    * paraphrase-adjacent copies via winnowed fingerprints, d32
+    * catches asymmetric containment via rare-shingle blocking, d35
+    * is the literal exact-substring rule labs actually publish.
+    *
+    * Shape: one explode to DISTINCT (doc, gram) pairs per side, one
+    * equi-join on the gram, one partial-agg count — linear in corpus
+    * token count, never pairwise. (Exactness is the method's
+    * definition, so no df-cap: a boilerplate gram that floods
+    * postings legitimately contaminates every doc carrying it.)
+    * Output: contaminated train docs with distinct shared-gram counts.
+    */
+  def d35NgramDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def grams(df: DataFrame): DataFrame = df.as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        if (ws.length < DecontamN) Iterator.empty
+        else ws.sliding(DecontamN).map(g => (id, g.mkString(" ")))
+      }.toDF("doc_id", "g").distinct()
+    val held = grams(docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+      .select(col("g")).distinct()
+    grams(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+      .join(held, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // pairs are pre-distinct
+      .orderBy(col("doc_id"))
+  }
+
+  val d35OracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |    unnest([array_to_string(ws[i:i+4], ' ')
+      |            FOR i IN range(1, len(ws) - 3)]) AS g
+      |  FROM t),
+      |held AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0)
+      |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM tr JOIN held USING (g)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val d34OracleSql: String =
     """WITH t AS (SELECT doc_id, source, lower(trim(text)) AS s FROM documents),
       |h AS (SELECT doc_id, source,

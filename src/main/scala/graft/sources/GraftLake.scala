@@ -400,6 +400,36 @@ object GraftLake {
   def constraintsOf(path: String): Map[String, String] =
     snapshot(path).constraints
 
+  /** ZERO-DATA column ADD (Delta's `ALTER TABLE ADD COLUMNS`): ONE
+    * metadata commit (action `evolve`, no file-sets) widens the
+    * schema by the new NULLABLE columns — existing file-sets keep
+    * reading under their own written schema and null-fill, exactly
+    * like append-driven evolution, but without having to write any
+    * rows to get the column. The publish loop's former-name fence
+    * applies unchanged: a name renamed or dropped away refuses to
+    * rejoin (pre-rename/drop sets still carry its physical bytes).
+    * Columns append at the end; defaults/positions are not supported.
+    */
+  def addColumns(
+      path: String, cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Int = {
+    require(cols.nonEmpty, "addColumns with no columns")
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    val cur = StructType.fromDDL(s.schemaDdl)
+    cols.foreach { case (n, _) =>
+      require(n.nonEmpty && !n.contains("=") && !n.contains("\""),
+        s"bad column name: '$n'")
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"column '$n' already exists at $path")
+    }
+    require(cols.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
+      cols.size, "duplicate column in ADD COLUMNS")
+    val add = StructType(cols.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = true)
+    })
+    publishEntry(path, "evolve", "", add, None, Seq.empty, Seq.empty)
+  }
+
   /** RENAME a column WITHOUT rewriting any data file (Delta's
     * column-mapping rename): the commit carries the renamed schema
     * plus a name-lineage entry, and readers resolve each file-set's
@@ -1382,16 +1412,17 @@ object GraftLake {
     changed0.find(c => c.action != "create" && c.action != "append" &&
         c.action != "padd" && c.action != "constraint" &&
         c.action != "rename" && c.action != "lineage" &&
-        c.action != "dropcol" && c.action != "vacuum").foreach { c =>
+        c.action != "dropcol" && c.action != "evolve" &&
+        c.action != "vacuum").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as inserts — " +
           "read a full snapshot instead")
     }
-    // Constraint/rename/lineage commits add rules/metadata, not rows.
+    // Constraint/rename/lineage/evolve commits add rules/metadata, not rows.
     val changed = changed0.filter(c =>
       c.action != "constraint" && c.action != "rename" &&
       c.action != "lineage" && c.action != "dropcol" &&
-      c.action != "vacuum")
+      c.action != "evolve" && c.action != "vacuum")
     val parts = changed.flatMap { c =>
       // A partitioned append is insert-only too: one part per set.
       val sets =
@@ -1457,7 +1488,7 @@ object GraftLake {
             LiveSet(cdfName, ownCdf.toDDL, Seq.empty), targetCdf, latestRenames)
             .withColumn("_commit_version", lit(c.version)))
         case "compact" | "constraint" | "rename" | "lineage" | "dropcol" |
-            "vacuum" => Seq.empty
+            "evolve" | "vacuum" => Seq.empty
         case other => throw new IllegalStateException(
           s"commit ${c.version} is a $other: not representable in the " +
             "change feed — read a full snapshot instead")

@@ -216,6 +216,48 @@ final case class GraftLakeHistoryCommand(path: String)
     GraftLake.history(spark, path).collect().toSeq
 }
 
+/** ALTER TABLE <lake view> ADD COLUMNS (c type, ...) — executes the
+  * lake's zero-data metadata evolve, then refreshes the registered
+  * view so reads see the (null-filled) columns.
+  */
+final case class GraftLakeAddColumnsCommand(
+    path: String, viewName: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.addColumns(path, cols)
+    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE <lake view> ADD CONSTRAINT <n> CHECK (<p>) — routes
+  * onto the lake's validated, crc-sealed rule commit (existing rows
+  * must already satisfy the rule; every later write validates).
+  */
+final case class GraftLakeAddConstraintCommand(
+    path: String, name: String, condition: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.addConstraint(spark, path, name, condition)
+    Seq.empty
+  }
+}
+
+/** ALTER TABLE <lake view> DROP CONSTRAINT <n> — drops the rule; with
+  * IF EXISTS an absent name is a clean no-op, otherwise it refuses.
+  */
+final case class GraftLakeDropConstraintCommand(
+    path: String, name: String, ifExists: Boolean)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(ifExists || GraftLake.constraintsOf(path).contains(name),
+      s"no constraint '$name' on $path (use IF EXISTS for a no-op)")
+    GraftLake.dropConstraint(path, name)
+    Seq.empty
+  }
+}
+
 /** ALTER TABLE <lake view> DROP COLUMN <c> — executes the lake's
   * zero-rewrite column drop, then refreshes the registered view.
   */
@@ -454,6 +496,45 @@ final class LakeDdlParser(
                 "with a new statsCol first")
             GraftLakeDropColumnCommand(t.path, name, cn)
           case None => d
+        }
+      // ALTER TABLE <lake> ADD COLUMNS (c type, ...) — the zero-data
+      // metadata evolve; parse-time routing like RENAME/DROP.
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
+        LakeSql.targetName(a.table) match {
+          case Some(name) =>
+            val t = LakeSql.lookup(name).get
+            val cols = a.columnsToAdd.map { q =>
+              require(q.path.isEmpty,
+                s"ALTER TABLE $name ADD COLUMNS: nested fields are not " +
+                  "supported — add a top-level column")
+              require(q.position.isEmpty,
+                s"ALTER TABLE $name ADD COLUMNS: FIRST/AFTER positions " +
+                  "are not supported — columns append at the end")
+              require(q.default.isEmpty,
+                s"ALTER TABLE $name ADD COLUMNS: DEFAULT values are not " +
+                  "supported — new columns null-fill")
+              q.colName -> q.dataType
+            }
+            GraftLakeAddColumnsCommand(t.path, name, cols)
+          case None => a
+        }
+      // ALTER TABLE <lake> ADD CONSTRAINT n CHECK (p) / DROP
+      // CONSTRAINT n — route onto the lake's crc-sealed rule commits.
+      // The CHECK form parses as AddCheckConstraint whose child is a
+      // Filter(NOT p) over the target relation — the table name is
+      // the CheckConstraint's own tableName field.
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint
+          if LakeSql.lookup(ac.checkConstraint.tableName).isDefined =>
+        val cc = ac.checkConstraint
+        GraftLakeAddConstraintCommand(
+          LakeSql.lookup(cc.tableName).get.path,
+          cc.userProvidedName, cc.condition)
+      case dc: org.apache.spark.sql.catalyst.plans.logical.DropConstraint =>
+        LakeSql.targetName(dc.table) match {
+          case Some(name) =>
+            val t = LakeSql.lookup(name).get
+            GraftLakeDropConstraintCommand(t.path, dc.name, dc.ifExists)
+          case None => dc
         }
       case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
         LakeSql.targetName(r.table) match {

@@ -233,6 +233,54 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
       spark.sql("SELECT * FROM table_changes('nope', 0)").collect() }
   }
 
+  test("SQL ADD COLUMNS / ADD CONSTRAINT / DROP CONSTRAINT route to the lake's metadata commits") {
+    import spark.implicits._
+    val (pSql, _) = freshPair()
+    GraftLake.create((1L to 20L).map(i => (i, i * 10)).toDF("id", "v"), pSql,
+      Some("id"))
+    LakeSql.register(spark, pSql, "lakesql_ddl", "id")
+    val setsBefore = GraftLake.snapshot(pSql).live.map(_.set).toSet
+
+    // ADD COLUMNS: one metadata commit, zero data touched, reads
+    // null-fill, the registered view refreshes.
+    spark.sql("ALTER TABLE lakesql_ddl ADD COLUMNS (bonus BIGINT, tag STRING)")
+    assert(GraftLake.snapshot(pSql).live.map(_.set).toSet == setsBefore)
+    assert(GraftLake.commits(pSql).last.action == "evolve")
+    val got = spark.sql("SELECT * FROM lakesql_ddl")
+    assert(got.columns.toSeq == Seq("id", "v", "bonus", "tag"))
+    assert(got.filter(col("bonus").isNotNull).count() == 0)
+    // The new column is writable through the one write path. (DML
+    // reads the CURRENT state; the registered view stays a
+    // registration-time snapshot by contract, so read via the lake.)
+    spark.sql("UPDATE lakesql_ddl SET bonus = v * 2 WHERE id <= 5")
+    assert(GraftLake.read(spark, pSql).agg(sum(col("bonus"))).head.getLong(0)
+      == (1L to 5L).map(_ * 20).sum)
+    // Refusals: existing name; dropped/renamed-away names stay fenced.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lakesql_ddl ADD COLUMNS (v BIGINT)") }
+    spark.sql("ALTER TABLE lakesql_ddl DROP COLUMN tag")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lakesql_ddl ADD COLUMNS (tag STRING)") }
+
+    // ADD CONSTRAINT validates existing rows and gates later writes.
+    spark.sql("ALTER TABLE lakesql_ddl ADD CONSTRAINT pos_v CHECK (v > 0)")
+    assert(GraftLake.constraintsOf(pSql).contains("pos_v"))
+    intercept[Exception] {
+      spark.sql("INSERT INTO lakesql_ddl VALUES (99, -1, NULL)") }
+    // A rule existing rows violate is refused outright.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lakesql_ddl ADD CONSTRAINT big_v CHECK (v > 1000)") }
+    // DROP CONSTRAINT: bare form refuses unknown names, IF EXISTS is
+    // a no-op; after the drop the insert lands.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lakesql_ddl DROP CONSTRAINT nope") }
+    spark.sql("ALTER TABLE lakesql_ddl DROP CONSTRAINT IF EXISTS nope")
+    spark.sql("ALTER TABLE lakesql_ddl DROP CONSTRAINT pos_v")
+    spark.sql("INSERT INTO lakesql_ddl VALUES (99, -1, NULL)")
+    assert(spark.sql(
+      "SELECT count(*) FROM lakesql_ddl WHERE v = -1").head.getLong(0) == 1)
+  }
+
   test("SQL INSERT INTO lands the identical state as the Scala API append") {
     import spark.implicits._
     val (pSql, pApi) = freshPair()
