@@ -216,6 +216,30 @@ final case class GraftLakeHistoryCommand(path: String)
     GraftLake.history(spark, path).collect().toSeq
 }
 
+/** DESCRIBE DETAIL <lake view> — Delta's one-row table summary off
+  * the snapshot: format, location, current version, live/tombstone
+  * set counts, constraint count, CDF flag. O(log suffix) metadata.
+  */
+final case class GraftLakeDetailCommand(path: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types._
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      AttributeReference("format", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("num_live_sets", IntegerType, nullable = false)(),
+      AttributeReference("num_tombstone_sets", IntegerType, nullable = false)(),
+      AttributeReference("num_constraints", IntegerType, nullable = false)(),
+      AttributeReference("cdf_enabled", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val s = GraftLake.snapshot(path)
+    Seq(Row("graft-lake", path, s.version, s.live.size, s.tombstones.size,
+      s.constraints.size, GraftLake.cdfEnabled(path)))
+  }
+}
+
 /** ALTER TABLE <lake view> ADD COLUMNS (c type, ...) — executes the
   * lake's zero-data metadata evolve, then refreshes the registered
   * view so reads see the (null-filled) columns.
@@ -452,6 +476,8 @@ final class LakeDdlParser(
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   // VACUUM / OPTIMIZE are Delta grammar, not Spark's — pre-parse
   // intercepts, same posture as RESTORE.
   private val VacuumRe =
@@ -464,6 +490,8 @@ final class LakeDdlParser(
       GraftLakeRestoreCommand(LakeSql.lookup(name).get.path, ver.toInt)
     case HistoryRe(name) if LakeSql.lookup(name).isDefined =>
       GraftLakeHistoryCommand(LakeSql.lookup(name).get.path)
+    case DetailRe(name) if LakeSql.lookup(name).isDefined =>
+      GraftLakeDetailCommand(LakeSql.lookup(name).get.path)
     case VacuumRe(name, hours) if LakeSql.lookup(name).isDefined =>
       GraftLakeVacuumCommand(LakeSql.lookup(name).get.path,
         Option(hours).map(_.toLong * 3600L * 1000L).getOrElse(0L))

@@ -93,22 +93,25 @@ class LakeStreamSource extends TableProvider with DataSourceRegister {
       properties.asScala("path"),
       properties.asScala.getOrElse("fromVersion", "-1").toInt,
       schema,
-      properties.asScala.get("cdf").exists(_.equalsIgnoreCase("true")))
+      properties.asScala.get("cdf").exists(_.equalsIgnoreCase("true")),
+      properties.asScala.get("maxCommitsPerTrigger").map(_.toInt))
 }
 
 private[sources] class LakeStreamTable(
-    path: String, fromVersion: Int, tableSchema: StructType, cdf: Boolean)
+    path: String, fromVersion: Int, tableSchema: StructType, cdf: Boolean,
+    maxCommits: Option[Int])
     extends Table with SupportsRead {
   override def name(): String = s"graft_lake_stream($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeStreamScanBuilder(path, fromVersion, tableSchema, cdf)
+    new LakeStreamScanBuilder(path, fromVersion, tableSchema, cdf, maxCommits)
 }
 
 private[sources] class LakeStreamScanBuilder(
-    path: String, fromVersion: Int, full: StructType, cdf: Boolean)
+    path: String, fromVersion: Int, full: StructType, cdf: Boolean,
+    maxCommits: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -120,7 +123,7 @@ private[sources] class LakeStreamScanBuilder(
     override def readSchema(): StructType = required
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
       LakeStreamSource.readSchemas.add(required.fieldNames.toSeq)
-      new LakeMicroBatchStream(path, fromVersion, required, cdf)
+      new LakeMicroBatchStream(path, fromVersion, required, cdf, maxCommits)
     }
   }
 }
@@ -140,12 +143,31 @@ private[sources] case class LakeVersionOffset(version: Int) extends Offset {
 
 private[sources] class LakeMicroBatchStream(
     path: String, fromVersion: Int, required: StructType,
-    cdf: Boolean = false)
-    extends MicroBatchStream {
+    cdf: Boolean = false,
+    // ADMISSION CONTROL (Delta's maxFilesPerTrigger analog): cap each
+    // micro-batch at this many log commits, so a backfill over a
+    // long-lived table streams as bounded batches instead of one
+    // giant catch-up batch. Exactly-once semantics are untouched —
+    // offsets are still commit versions, just advanced in steps.
+    maxCommits: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   override def initialOffset(): Offset = LakeVersionOffset(fromVersion)
 
   override def latestOffset(): Offset =
+    LakeVersionOffset(GraftLake.latestVersion(path))
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[LakeVersionOffset].version
+    val latest = GraftLake.latestVersion(path)
+    LakeVersionOffset(
+      maxCommits.map(m => math.min(latest, s + m)).getOrElse(latest))
+  }
+
+  override def reportLatestOffset(): Offset =
     LakeVersionOffset(GraftLake.latestVersion(path))
 
   override def deserializeOffset(json: String): Offset = {

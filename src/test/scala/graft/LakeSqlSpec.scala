@@ -281,6 +281,24 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
       "SELECT count(*) FROM lakesql_ddl WHERE v = -1").head.getLong(0) == 1)
   }
 
+  test("DESCRIBE DETAIL returns the one-row snapshot summary") {
+    import spark.implicits._
+    val (pSql, _) = freshPair()
+    GraftLake.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), pSql,
+      Some("id"))
+    GraftLake.append((11L to 20L).map(i => (i, i)).toDF("id", "v"), pSql)
+    GraftLake.enableCdf(pSql)
+    GraftLake.addConstraint(spark, pSql, "pos", "v > 0")
+    GraftLake.deleteMoR(spark, pSql, col("id") === 3L, "id")
+    LakeSql.register(spark, pSql, "lakesql_detail", "id")
+    val r = spark.sql("DESCRIBE DETAIL lakesql_detail").head
+    assert(r.getString(0) == "graft-lake" && r.getString(1) == pSql)
+    assert(r.getInt(2) == 3)  // v0 create, v1 append, v2 rule, v3 tombstone
+    assert(r.getInt(3) == 2 && r.getInt(4) == 1 && r.getInt(5) == 1)
+    assert(r.getBoolean(6))
+    intercept[Exception] { spark.sql("DESCRIBE DETAIL lakesql_nope").collect() }
+  }
+
   test("SQL INSERT INTO lands the identical state as the Scala API append") {
     import spark.implicits._
     val (pSql, pApi) = freshPair()

@@ -210,6 +210,40 @@ class LakeStreamSourceSpec extends AnyFunSuite with SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("not representable")))
   }
 
+  test("maxCommitsPerTrigger bounds each micro-batch without losing or doubling commits") {
+    import spark.implicits._
+    val base = freshBase()
+    val path = base.resolve("t").toString
+    // Five commits before the stream starts — an unthrottled tail
+    // would catch up in ONE batch; the throttle must step through in
+    // batches of at most 2 commits, delivering every row exactly once.
+    GraftLake.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), path)
+    (1 to 4).foreach { k =>
+      GraftLake.append(
+        (k * 10L + 1 to k * 10L + 10).map(i => (i, i)).toDF("id", "v"), path)
+    }
+    val outDir = base.resolve("out").toString
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", path).option("maxCommitsPerTrigger", "2").load()
+      .writeStream.option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batchSizes.add(
+          b.select(col("_commit_version")).distinct().collect().length)
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.iterator().asScala.toSeq.filter(_ > 0)
+    assert(sizes.forall(_ <= 2), s"a batch exceeded the throttle: $sizes")
+    assert(sizes.size >= 3, s"throttle produced too few batches: $sizes")
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 50)
+    assert(got.select("id").distinct().count() == 50)
+    assert(got.select("_commit_version").distinct().count() == 5)
+  }
+
   test("cdf mirror survives a mid-mutation-sequence checkpoint restart: nothing doubled, nothing skipped") {
     import spark.implicits._
     val base = freshBase()
