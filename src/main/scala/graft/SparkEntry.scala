@@ -879,7 +879,7 @@ object SparkEntry {
       s.sql("DELETE FROM lake_sqlwrite WHERE o_orderkey = 2000000001")
       val opt = s.sql("OPTIMIZE lake_sqlwrite").head
       val compacted = opt.getInt(0) >= 2 && opt.getInt(1) == 1
-      val dead = s.sql("VACUUM lake_sqlwrite").collect()
+      val dead = s.sql("VACUUM lake_sqlwrite RETAIN 0 HOURS").collect()
       val vacuumed = dead.nonEmpty &&
         GraftLake.commits(path).last.action == "vacuum"
       val refused =

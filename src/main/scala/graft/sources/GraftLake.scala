@@ -1754,6 +1754,10 @@ object GraftLake {
       spark: SparkSession, path: String, keys: DataFrame, keyCol: String,
       statsCol: Option[String] = None,
       tag: Option[String] = None): (Int, Int, Int, Long) = {
+    // Spec-hook hygiene: clear the last-shortlist BEFORE any early
+    // return, so a tag-replay/empty-delta call never leaves a prior
+    // call's shortlist visible to assertions.
+    lastDeleteKeysShortlist = Seq.empty
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     tag.foreach { t => s.tags.get(t).foreach { v => return (v, 0, s.live.size, 0L) } }
@@ -1780,24 +1784,39 @@ object GraftLake {
     // Only the surviving shortlist is scanned for exact match counts;
     // per batch the mirror pays O(delta + hit sets), not O(table).
     val kSpan = k.agg(
+      org.apache.spark.sql.functions.count(col(keyCol)),
       org.apache.spark.sql.functions.min(col(keyCol)).cast("long"),
       org.apache.spark.sql.functions.max(col(keyCol)).cast("long")).head
-    if (kSpan.isNullAt(0)) return (s.version, 0, live.size, 0L) // empty delta
-    val (kMin, kMax) = (kSpan.getLong(0), kSpan.getLong(1))
-    val zoneSurvivors = live.filter { ls =>
-      ls.statsFor(keyCol) match {
-        case Some(SetStats(_, sLo, sHi)) => !(sHi < kMin || sLo > kMax)
-        case None => true // unknown span — must look
+    if (kSpan.getLong(0) == 0L) return (s.version, 0, live.size, 0L) // empty delta
+    // A non-integral key column (string keys are legal here — the
+    // semi-join matches them fine) casts to a NULL span: pruning has
+    // no evidence, so it must NOT prune — fall back to scanning every
+    // live set rather than silently treating the delta as empty.
+    val castable = !kSpan.isNullAt(1)
+    val (kMin, kMax) =
+      if (castable) (kSpan.getLong(1), kSpan.getLong(2)) else (0L, 0L)
+    val zoneSurvivors =
+      if (!castable) live
+      else live.filter { ls =>
+        ls.statsFor(keyCol) match {
+          case Some(SetStats(_, sLo, sHi)) => !(sHi < kMin || sLo > kMax)
+          case None => true // unknown span — must look
+        }
       }
-    }
-    val bloomed: Map[String, (Array[Long], Int)] = zoneSurvivors
-      .flatMap(ls => readBloomSidecar(path, ls.set, keyCol)
-        .map(ls.set -> _)).toMap
+    val bloomed: Map[String, (Array[Long], Int)] =
+      if (!castable) Map.empty
+      else zoneSurvivors
+        .flatMap(ls => readBloomSidecar(path, ls.set, keyCol)
+          .map(ls.set -> _)).toMap
     val bloomHits: Set[String] =
       if (bloomed.isEmpty) Set.empty
       else {
         val bc = spark.sparkContext.broadcast(bloomed)
-        k.select(col(keyCol).cast("long"))
+        // NULL keys (and per-row uncastable values) can never match a
+        // row of the integral bloom column — filter the cast, which
+        // the getLong pass would otherwise NPE on.
+        k.select(col(keyCol).cast("long").as("_bk"))
+          .filter(col("_bk").isNotNull)
           .map(_.getLong(0))(org.apache.spark.sql.Encoders.scalaLong)
           .mapPartitions { it =>
             val m = bc.value

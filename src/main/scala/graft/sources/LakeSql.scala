@@ -393,9 +393,14 @@ final case class GraftLakeCtasCommand(
     }
     // Merge pruning needs a registered stats column; absent the
     // property, fall back to the first column — merges stay CORRECT
-    // (unpruned victims are scanned), just less pruned.
+    // (unpruned victims are scanned), just less pruned. Register the
+    // CASE-CORRECTED name (the same df.columns match used for
+    // create): statsFor lookups are case-sensitive, so a raw
+    // TBLPROPERTIES casing would record stats under a name zone-map
+    // pruning never finds.
     LakeSql.register(spark, path, name,
-      statsCol.getOrElse(df.columns.head))
+      statsCol.flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
+        .getOrElse(df.columns.head))
     Seq.empty
   }
 }
@@ -492,9 +497,13 @@ final class LakeDdlParser(
       GraftLakeHistoryCommand(LakeSql.lookup(name).get.path)
     case DetailRe(name) if LakeSql.lookup(name).isDefined =>
       GraftLakeDetailCommand(LakeSql.lookup(name).get.path)
+    // Bare `VACUUM t` retains 7 days — Delta's default, so nobody
+    // expecting Delta semantics silently destroys time travel. An
+    // explicit `RETAIN n HOURS` (including 0) is honored verbatim.
     case VacuumRe(name, hours) if LakeSql.lookup(name).isDefined =>
       GraftLakeVacuumCommand(LakeSql.lookup(name).get.path,
-        Option(hours).map(_.toLong * 3600L * 1000L).getOrElse(0L))
+        Option(hours).map(_.toLong * 3600L * 1000L)
+          .getOrElse(168L * 3600L * 1000L))
     case OptimizeRe(name, za, zb) if LakeSql.lookup(name).isDefined =>
       val t = LakeSql.lookup(name).get
       GraftLakeOptimizeCommand(t.path, name,

@@ -381,8 +381,13 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     spark.sql("OPTIMIZE lakesql_ctas ZORDER BY (id, v)")
     assert(GraftLake.commits(p).last.stats.map(_.col).toSet == Set("id", "v"))
 
-    // VACUUM reclaims the compacted-away sets and audits the sweep.
-    val dead = spark.sql("VACUUM lakesql_ctas").collect().map(_.getString(0))
+    // Bare VACUUM defaults to Delta's 7-day retention: nothing this
+    // fresh is reclaimed, and time travel survives the footgun.
+    assert(spark.sql("VACUUM lakesql_ctas").collect().isEmpty)
+    // An explicit RETAIN 0 HOURS reclaims the compacted-away sets
+    // and audits the sweep.
+    val dead = spark.sql("VACUUM lakesql_ctas RETAIN 0 HOURS")
+      .collect().map(_.getString(0))
     assert(dead.nonEmpty && dead.forall(_.startsWith("data/")))
     assert(GraftLake.commits(p).last.action == "vacuum")
     assert(GraftLake.read(spark, p).count() == 51)
