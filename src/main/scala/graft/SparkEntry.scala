@@ -931,6 +931,70 @@ object SparkEntry {
         .withColumn("schema_ddl_ok", lit(zeroData && refused && dropped))
         .orderBy(col("o_orderstatus"))
     }),
+    // FLEXIBLE MERGE ACTIONS (the general Delta clause shape): one SQL
+    // MERGE with a computed SET, a WHEN MATCHED DELETE, a conditional
+    // INSERT, and a WHEN NOT MATCHED BY SOURCE DELETE — compiled onto
+    // the one lake write path. The API route (mergeActions) replays
+    // the identical clauses on a twin table; the in-row flag pins
+    // sql ≡ api by (count, xxhash64-sum) signature. Oracle replays
+    // the clause arithmetic from raw orders.
+    "src34_merge_actions" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, LakeSql}
+      import graft.sources.GraftLake.MergeClause
+      val pathSql = scratch("graft_lake_mactsql", dir)
+      val pathApi = scratch("graft_lake_mactapi", dir)
+      rmrf(pathSql); rmrf(pathApi)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4)).as("k4"))
+      GraftLake.create(o, pathSql, Some("o_orderkey"))
+      GraftLake.create(o, pathApi, Some("o_orderkey"))
+      // Source: the k4=1 slice doubled (matched rows), plus brand-new
+      // keys shifted by 2e9 tagged 'N' (2e9 clears every key at every
+      // tested SF).
+      val src = o.filter(col("k4") === 1)
+        .withColumn("o_orderstatus", lit("S"))
+        .withColumn("cents", col("cents") * 2)
+        .unionByName(o.filter(col("k4") === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+          .withColumn("o_orderstatus", lit("N")))
+        .localCheckpoint(true)
+      LakeSql.register(s, pathSql, "lake_macts", "o_orderkey")
+      src.createOrReplaceTempView("lake_macts_src")
+      s.sql("""MERGE INTO lake_macts t USING lake_macts_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED AND s.cents % 3 = 0
+              |  THEN UPDATE SET cents = t.cents + s.cents
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED AND s.cents % 2 = 0
+              |  THEN INSERT (o_orderkey, o_orderstatus, cents, k4)
+              |  VALUES (s.o_orderkey, s.o_orderstatus, s.cents, s.k4)
+              |WHEN NOT MATCHED BY SOURCE AND t.k4 = 3 THEN DELETE
+              |""".stripMargin)
+      GraftLake.mergeActions(s, pathApi, src, Seq("o_orderkey"),
+        "o_orderkey", Seq(
+          MergeClause("matched", "update", Some("s.cents % 3 = 0"),
+            Seq("cents" -> "t.cents + s.cents")),
+          MergeClause("matched", "delete", None),
+          MergeClause("notMatched", "insert", Some("s.cents % 2 = 0"),
+            Seq("o_orderkey" -> "s.o_orderkey",
+              "o_orderstatus" -> "s.o_orderstatus",
+              "cents" -> "s.cents", "k4" -> "s.k4")),
+          MergeClause("bySource", "delete", Some("t.k4 = 3"))))
+      val a = GraftLake.read(s, pathSql)
+      val b = GraftLake.read(s, pathApi)
+      def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)),
+        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          .cast("decimal(38,0)"))).head.toSeq
+      val same = sig(a) == sig(b)
+      a.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("sql_equals_api", lit(same))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -2694,6 +2758,26 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_equals_api,
         |  TRUE AS travel_reads_v0
         |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Arithmetic replay of the flexible-clause merge: matched k4=1
+    // rows survive iff their doubled cents divide by 3 (computed SET
+    // -> 3x cents) else matched-DELETE; k4=3 rows fall to the
+    // by-source DELETE; even-cents new keys insert as 'N'.
+    "src34_merge_actions" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS k4
+        |  FROM orders),
+        |kept AS (
+        |  SELECT st, 3 * cents AS cents FROM o
+        |  WHERE k4 = 1 AND (2 * cents) % 3 = 0
+        |  UNION ALL
+        |  SELECT st, cents FROM o WHERE k4 IN (0, 2)),
+        |ins AS (
+        |  SELECT 'N' AS st, cents FROM o WHERE k4 = 2 AND cents % 2 = 0)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_equals_api
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // ADD COLUMNS + UPDATE arithmetic over the evolved column.
     "src33_sql_schema_ddl" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -53,6 +53,17 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 object GraftLake {
 
+  /** One clause of a flexible [[mergeActions]] MERGE. `when` is
+    * `"matched"` / `"notMatched"` / `"bySource"`; `action` is
+    * `"update"` / `"delete"` / `"insert"`. `condition` and assignment
+    * values are SQL expression text over `t.<col>` (target) and
+    * `s.<col>` (source). Empty `assignments` on update/insert is the
+    * star form (`UPDATE SET *` / `INSERT *`).
+    */
+  final case class MergeClause(
+      when: String, action: String, condition: Option[String],
+      assignments: Seq[(String, String)] = Seq.empty)
+
   final case class Commit(
       version: Int, action: String, schemaDdl: String,
       add: Seq[String], remove: Seq[String], tag: Option[String] = None,
@@ -1604,6 +1615,237 @@ object GraftLake {
         bloomColsOf(path, hit.map(_.set))),
       cdfSet = cdfSet)
     (v, hit.size, kept.size)
+  }
+
+  /** Flexible MERGE: the general Delta clause shape — an ordered list
+    * of `WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE`,
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT ...`, and `WHEN NOT
+    * MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` clauses —
+    * compiled onto the SAME write path as [[merge]] (claim/publish
+    * loop, zone-pruned copy-on-write rewrite, CDF staging, CHECK
+    * constraints): never a second write path.
+    *
+    * Conditions and assignment values are SQL expressions over
+    * `t.<col>` (target row) and `s.<col>` (source row; matched /
+    * not-matched clauses only). Per row, the FIRST clause of its
+    * family whose condition holds applies; rows matching no clause
+    * pass through unchanged (target) or are dropped (source).
+    * Empty `assignments` on an update/insert clause means the star
+    * form: every target column takes the same-named source column
+    * (update requires all of them present; insert null-fills).
+    *
+    * Execution is ONE shuffled full-outer key join of the pruned
+    * target slice against the (delta-sized) source, with the clause
+    * dispatch compiled to codegen'd CASE chains — no per-clause
+    * passes. Pruning posture (the [[merge]] soundness contract —
+    * `statsCol` functionally dependent on the keys — carries over):
+    *  - matched clauses only rewrite sets whose `statsCol` zone map
+    *    overlaps the source span (matched targets can live nowhere
+    *    else);
+    *  - not-matched-by-source clauses can touch ANY target row, so
+    *    their presence forces a full rewrite (the Delta shape: a
+    *    by-source merge IS a table-wide mutation);
+    *  - a merge with no matched/by-source clauses rewrites NOTHING —
+    *    inserts commit as a pure append (the anti-join still probes
+    *    the span-surviving sets, the only place matches can hide).
+    * A source with NULL or non-integral `statsCol` degrades to
+    * conservative full rewrite, never a wrong answer.
+    *
+    * Duplicate source keys that match a target row are rejected
+    * loudly (the Delta cardinality rule) — applying two clauses to
+    * one target row would be order-dependent.
+    *
+    * Returns (committedVersion, rewrittenSetCount, keptSetCount).
+    */
+  def mergeActions(
+      spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], statsCol: String, clauses: Seq[MergeClause],
+      tag: Option[String] = None): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{count, expr}
+    require(clauses.nonEmpty, "mergeActions needs at least one clause")
+    clauses.foreach { c =>
+      val ok = (c.when, c.action) match {
+        case ("matched", "update") | ("matched", "delete") => true
+        case ("notMatched", "insert") => true
+        case ("bySource", "update") | ("bySource", "delete") => true
+        case _ => false
+      }
+      require(ok, s"unsupported merge clause WHEN ${c.when} THEN ${c.action}")
+      if (c.action == "delete")
+        require(c.assignments.isEmpty, "DELETE clauses carry no assignments")
+      if (c.when == "bySource" && c.action == "update")
+        require(c.assignments.nonEmpty,
+          "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit assignments " +
+            "(there is no source row to star-copy from)")
+    }
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    tag.foreach { t => s.tags.get(t).foreach { v => return (v, 0, 0) } }
+    require(s.tombstones.isEmpty,
+      s"outstanding merge-on-read tombstones at $path: compact first " +
+        "(a raw file-set rewrite would resurrect tombstoned rows)")
+    val target = StructType.fromDDL(s.schemaDdl)
+    keyCols.foreach(k => require(target.fieldNames.contains(k),
+      s"no merge key column '$k' at $path"))
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"merge source lacks key column '$k'"))
+    val matched = clauses.filter(_.when == "matched")
+    val notMatched = clauses.filter(_.when == "notMatched")
+    val bySource = clauses.filter(_.when == "bySource")
+    // Assignment targets must be real columns; canonicalize case.
+    def targetField(name: String): org.apache.spark.sql.types.StructField =
+      target.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"merge assignment to unknown column '$name'"))
+    clauses.filter(_.action != "insert").flatMap(_.assignments)
+      .foreach(a => targetField(a._1))
+    def srcName(name: String): Option[String] =
+      source.columns.find(_.equalsIgnoreCase(name))
+    matched.filter(c => c.action == "update" && c.assignments.isEmpty)
+      .foreach { _ =>
+        val missing = target.fieldNames.filter(srcName(_).isEmpty)
+        require(missing.isEmpty,
+          s"UPDATE SET * needs every target column in the source; " +
+            s"missing: ${missing.mkString(", ")}")
+      }
+    val live = s.live
+    // Victim selection — see the pruning posture in the doc above.
+    val spanSurvivors: Seq[LiveSet] =
+      if (!source.columns.contains(statsCol)) live
+      else {
+        val span = source.agg(count(col(statsCol)), count(lit(1)),
+          org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
+          org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
+        if (span.getLong(1) == 0L) Seq.empty // empty source: no matches
+        else if (span.getLong(0) != span.getLong(1) || span.isNullAt(2)) live
+        else {
+          val (uLo, uHi) = (span.getLong(2), span.getLong(3))
+          live.filter { ls =>
+            ls.statsFor(statsCol) match {
+              case Some(SetStats(_, lo, hi)) => !(hi < uLo || lo > uHi)
+              case None => true
+            }
+          }
+        }
+      }
+    val rewriteTarget = bySource.nonEmpty || matched.nonEmpty
+    val scanSets = if (bySource.nonEmpty) live else spanSurvivors
+    val rewriteSets =
+      if (bySource.nonEmpty) live
+      else if (matched.nonEmpty) spanSurvivors
+      else Seq.empty
+    val scanDf = scanSets.map(readSet(spark, path, _, target, s.renames))
+      .reduceLeftOption(_.unionByName(_))
+    // Delta's cardinality rule: bail only when a duplicated source
+    // key actually matches a target row (dup keys among pure inserts
+    // are legal). Both probes are delta-sized.
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).drop("_n")
+      .localCheckpoint(true)
+    if (dupKeys.head(1).nonEmpty) {
+      val ambiguous = scanDf.exists(df =>
+        df.select(keyCols.map(col): _*)
+          .join(dupKeys, keyCols, "left_semi").head(1).nonEmpty)
+      require(!ambiguous,
+        "MERGE: multiple source rows match the same target row — " +
+          "deduplicate the source on the key columns first")
+    }
+    val emptyTarget = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), target)
+    val tFrame = scanDf.getOrElse(emptyTarget)
+      .withColumn("_t_ex", lit(1)).alias("t")
+    val sFrame = source.withColumn("_s_ex", lit(1)).alias("s")
+    val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _)
+    val j = tFrame.join(sFrame, joinCond, "full_outer")
+    val tEx = col("t._t_ex").isNotNull
+    val sEx = col("s._s_ex").isNotNull
+    // First-match clause dispatch per family: clause i applies when
+    // its condition holds and no earlier clause's did — plain boolean
+    // columns, codegen'd inline.
+    def appliesOf(cls: Seq[MergeClause]): Seq[Column] = {
+      var prior: Column = lit(false)
+      cls.map { c =>
+        val own = c.condition.map(expr).getOrElse(lit(true))
+        val a = own && !prior
+        prior = prior || own
+        a
+      }
+    }
+    val mApp = appliesOf(matched)
+    val bApp = appliesOf(bySource)
+    val nApp = appliesOf(notMatched)
+    def anyOf(cls: Seq[MergeClause], app: Seq[Column], action: String): Column =
+      cls.zip(app).collect { case (c, a) if c.action == action => a }
+        .reduceOption(_ || _).getOrElse(lit(false))
+    val matchedDeletes = anyOf(matched, mApp, "delete")
+    val bySourceDeletes = anyOf(bySource, bApp, "delete")
+    val matchedUpdates = anyOf(matched, mApp, "update")
+    val bySourceUpdates = anyOf(bySource, bApp, "update")
+    val notMatchedAny = nApp.reduceOption(_ || _).getOrElse(lit(false))
+    // Per-column survivor value: the first applying update clause's
+    // assignment (star = same-named source column), else pass-through.
+    def survivorVal(f: org.apache.spark.sql.types.StructField): Column = {
+      def assignVal(c: MergeClause): Option[Column] =
+        if (c.assignments.isEmpty) // star update
+          Some(col(s"s.${srcName(f.name).get}"))
+        else c.assignments.find(_._1.equalsIgnoreCase(f.name))
+          .map(a => expr(a._2))
+      val cases =
+        matched.zip(mApp).collect {
+          case (c, a) if c.action == "update" && assignVal(c).isDefined =>
+            (tEx && sEx && a, assignVal(c).get)
+        } ++ bySource.zip(bApp).collect {
+          case (c, a) if c.action == "update" &&
+              c.assignments.exists(_._1.equalsIgnoreCase(f.name)) =>
+            (tEx && !sEx && a,
+              expr(c.assignments.find(_._1.equalsIgnoreCase(f.name)).get._2))
+        }
+      cases.foldRight(col(s"t.${f.name}")) { case ((p, v), rest) =>
+        when(p, v.cast(f.dataType)).otherwise(rest)
+      }.as(f.name)
+    }
+    def insertVal(f: org.apache.spark.sql.types.StructField): Column = {
+      def v(c: MergeClause): Column =
+        if (c.assignments.isEmpty) // star insert: by name, null-fill
+          srcName(f.name).map(n => col(s"s.$n"))
+            .getOrElse(lit(null))
+        else c.assignments.find(_._1.equalsIgnoreCase(f.name))
+          .map(a => expr(a._2)).getOrElse(lit(null))
+      notMatched.zip(nApp)
+        .foldRight(lit(null): Column) { case ((c, a), rest) =>
+          when(a, v(c).cast(f.dataType)).otherwise(rest)
+        }.cast(f.dataType).as(f.name)
+    }
+    val outCols = target.fields.toIndexedSeq
+    val survives = (sEx && !matchedDeletes) || (!sEx && !bySourceDeletes)
+    val survivors =
+      if (!rewriteTarget) emptyTarget
+      else j.filter(tEx && survives).select(outCols.map(survivorVal): _*)
+    val inserts = j.filter(!tEx && notMatchedAny)
+      .select(outCols.map(insertVal): _*)
+    val updPred = tEx && ((sEx && matchedUpdates) || (!sEx && bySourceUpdates))
+    val delPred = tEx && ((sEx && matchedDeletes) || (!sEx && bySourceDeletes))
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else {
+        val tCols = outCols.map(f => col(s"t.${f.name}").as(f.name))
+        stageCdf(path, Seq(
+          (j.filter(updPred).select(tCols: _*), "update_preimage"),
+          (j.filter(updPred).select(outCols.map(survivorVal): _*),
+            "update_postimage"),
+          (j.filter(delPred).select(tCols: _*), "delete"),
+          (inserts, "insert")))
+      }
+    val out = survivors.unionByName(inserts)
+    val reStats = reRecordable(target, s.renames,
+      rewriteSets.flatMap(_.stats.map(_.col)) :+ statsCol)
+    val v = commit(out, path, "merge", tag = tag,
+      statsCols = reStats, removeSets = rewriteSets.map(_.set),
+      bloomCols = reRecordable(target, s.renames,
+        bloomColsOf(path, rewriteSets.map(_.set))),
+      cdfSet = cdfSet)
+    (v, rewriteSets.size, live.size - rewriteSets.size)
   }
 
   /** Row-level DELETE (copy-on-write): remove the rows where

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.expr
@@ -66,19 +66,21 @@ object LakeSql {
     * regardless of whether the view resolved first in the fixed-point
     * batch.
     */
-  private[sources] def targetName(plan: LogicalPlan): Option[String] = {
-    val name = plan match {
+  private[sources] def targetName(plan: LogicalPlan): Option[String] =
+    plan match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        Some(u.multipartIdentifier.mkString("."))
+        Some(u.multipartIdentifier.mkString(".")).filter(lookup(_).isDefined)
       // ALTER TABLE targets parse as UnresolvedTable, not
       // UnresolvedRelation.
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
-        Some(u.multipartIdentifier.mkString("."))
-      case SubqueryAlias(ident, _) => Some(ident.name)
+        Some(u.multipartIdentifier.mkString(".")).filter(lookup(_).isDefined)
+      // A user alias over the registered name (`MERGE INTO t AS x`)
+      // wraps it in another SubqueryAlias — recurse to the relation.
+      case SubqueryAlias(ident, child) =>
+        Some(ident.name).filter(lookup(_).isDefined)
+          .orElse(targetName(child))
       case _ => None
     }
-    name.filter(n => lookup(n).isDefined)
-  }
 
   /** Bare-name leaf of an attribute expression, resolved or not. */
   private[sources] def leafName(e: Expression): Option[String] = e match {
@@ -155,6 +157,105 @@ object LakeSql {
         s"MERGE INTO <graft lake>: unsupported ON clause term " +
           s"'${other.sql}' — use AND-ed key equalities")
     }
+  }
+
+  /** Every name a plan subtree can be referred to by in a qualified
+    * attribute: its aliases and relation names, lowercased.
+    */
+  private def planNames(p: LogicalPlan): Set[String] = p.collect {
+    case SubqueryAlias(ident, _) => ident.name.toLowerCase(java.util.Locale.ROOT)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      u.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT)
+  }.toSet
+
+  /** Rewrite a MERGE clause expression's attribute qualifiers onto
+    * the execution frame's canonical `t` (target) / `s` (source)
+    * aliases, returning re-parseable SQL text. Side attribution:
+    * resolved attributes by exprId membership in the (possibly
+    * already-resolved) source/target plans, else by qualifier name;
+    * unqualified names stay bare (ambiguity then fails at execution,
+    * exactly as it would in a join).
+    */
+  private[sources] def reQualify(
+      e: Expression, m: MergeIntoTable, registeredName: String): String = {
+    val tNames = planNames(m.targetTable) +
+      registeredName.toLowerCase(java.util.Locale.ROOT)
+    val sNames = planNames(m.sourceTable)
+    val tIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      if (m.targetTable.resolved) m.targetTable.outputSet.map(_.exprId).toSet
+      else Set.empty
+    val sIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      if (m.sourceTable.resolved) m.sourceTable.outputSet.map(_.exprId).toSet
+      else Set.empty
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        val q = a.nameParts.init.last.toLowerCase(java.util.Locale.ROOT)
+        if (tNames(q)) UnresolvedAttribute(Seq("t", a.nameParts.last))
+        else if (sNames(q)) UnresolvedAttribute(Seq("s", a.nameParts.last))
+        else UnresolvedAttribute(Seq(a.nameParts.last))
+      case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        val side =
+          if (sIds(ar.exprId)) Some("s")
+          else if (tIds(ar.exprId)) Some("t")
+          else ar.qualifier.lastOption
+            .map(_.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(q) if sNames(q) => Some("s")
+              case Some(q) if tNames(q) => Some("t")
+              case _ => None
+            }
+        UnresolvedAttribute(side.toSeq :+ ar.name)
+    }.sql
+  }
+
+  /** Compile the parsed MERGE action lists into the lake's
+    * [[GraftLake.MergeClause]] form (conditions/values re-qualified
+    * onto `t`/`s`; star actions become empty assignment lists).
+    */
+  private[sources] def compileMergeClauses(
+      m: MergeIntoTable, registeredName: String): Seq[GraftLake.MergeClause] = {
+    def assigns(as: Seq[Assignment]): Seq[(String, String)] = as.map { a =>
+      val k = leafName(a.key).getOrElse(throw new IllegalArgumentException(
+        s"MERGE INTO <graft lake>: unsupported assignment target " +
+          s"'${a.key.sql}' — assign to a top-level column"))
+      k -> reQualify(a.value, m, registeredName)
+    }
+    def cond(c: Option[Expression]): Option[String] =
+      c.map(reQualify(_, m, registeredName))
+    val matched = m.matchedActions.map {
+      case UpdateStarAction(c) =>
+        GraftLake.MergeClause("matched", "update", cond(c))
+      case u: UpdateAction if isStarUpdate(u) =>
+        GraftLake.MergeClause("matched", "update", cond(u.condition))
+      case u: UpdateAction =>
+        GraftLake.MergeClause("matched", "update", cond(u.condition),
+          assigns(u.assignments))
+      case d: DeleteAction =>
+        GraftLake.MergeClause("matched", "delete", cond(d.condition))
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO <graft lake>: unsupported WHEN MATCHED action $other")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case InsertStarAction(c) =>
+        GraftLake.MergeClause("notMatched", "insert", cond(c))
+      case i: InsertAction if isStarInsert(i) =>
+        GraftLake.MergeClause("notMatched", "insert", cond(i.condition))
+      case i: InsertAction =>
+        GraftLake.MergeClause("notMatched", "insert", cond(i.condition),
+          assigns(i.assignments))
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO <graft lake>: unsupported WHEN NOT MATCHED action $other")
+    }
+    val bySource = m.notMatchedBySourceActions.map {
+      case d: DeleteAction =>
+        GraftLake.MergeClause("bySource", "delete", cond(d.condition))
+      case u: UpdateAction =>
+        GraftLake.MergeClause("bySource", "update", cond(u.condition),
+          assigns(u.assignments))
+      case other => throw new IllegalArgumentException(
+        "MERGE INTO <graft lake>: unsupported WHEN NOT MATCHED BY SOURCE " +
+          s"action $other")
+    }
+    matched ++ notMatched ++ bySource
   }}
 
 /** DELETE FROM <lake view> WHERE <cond> — executes the lake's
@@ -458,6 +559,28 @@ final case class GraftLakeMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     GraftLake.merge(spark, path, GraftSqlBridge.ofRows(spark, source),
       keyCols, statsCol)
+    Seq.empty
+  }
+}
+
+/** MERGE INTO <lake view> with the GENERAL clause shape — computed
+  * SET, `WHEN MATCHED ... DELETE`, conditional inserts, `WHEN NOT
+  * MATCHED BY SOURCE` — executes [[GraftLake.mergeActions]] (same
+  * claim/publish + zone-pruned rewrite + CDF path as the canonical
+  * upsert). Clauses arrive pre-compiled to `t`/`s`-qualified SQL
+  * text; the registered view refreshes so later SQL reads see the
+  * merged rows.
+  */
+final case class GraftLakeMergeActionsCommand(
+    path: String, viewName: String, source: LogicalPlan,
+    keyCols: Seq[String], statsCol: String,
+    clauses: Seq[GraftLake.MergeClause])
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = source :: Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.mergeActions(spark, path,
+      GraftSqlBridge.ofRows(spark, source), keyCols, statsCol, clauses)
+    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
     Seq.empty
   }
 }
@@ -788,11 +911,14 @@ object LakeDmlRule extends Rule[LogicalPlan] {
               m.notMatchedActions.size == 1 &&
               LakeSql.isStarInsert(m.notMatchedActions.head) &&
               m.notMatchedBySourceActions.isEmpty
-          require(canonical,
-            "MERGE INTO <graft lake>: only the canonical upsert is " +
-              "supported — WHEN MATCHED THEN UPDATE SET * " +
-              "WHEN NOT MATCHED THEN INSERT * (no extra clauses)")
-          GraftLakeMergeCommand(t.path, m.sourceTable, keys, t.statsCol)
+          // The canonical upsert keeps its dedicated one-sided path
+          // (no full-outer join); every other clause shape compiles
+          // to the general mergeActions executor.
+          if (canonical)
+            GraftLakeMergeCommand(t.path, m.sourceTable, keys, t.statsCol)
+          else
+            GraftLakeMergeActionsCommand(t.path, name, m.sourceTable, keys,
+              t.statsCol, LakeSql.compileMergeClauses(m, name))
         case None => plan
       }
     case u: UpdateTable =>

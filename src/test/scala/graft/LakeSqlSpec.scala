@@ -46,19 +46,18 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(!byId.contains(31L))
   }
 
-  test("non-canonical MERGE shapes and non-equality ON clauses are rejected") {
+  test("non-canonical MERGE shapes route to mergeActions; bad ON clauses still reject") {
     import spark.implicits._
     val (pSql, _) = freshPair()
-    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pSql, Some("id"))
+    GraftLake.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), pSql, Some("id"))
     LakeSql.register(spark, pSql, "lakesql_t2", "id")
     Seq((1L, 20L)).toDF("id", "v").createOrReplaceTempView("lakesql_u2")
-    // DELETE-when-matched is not the canonical upsert.
-    val e1 = intercept[Exception] {
-      spark.sql("""MERGE INTO lakesql_t2 USING lakesql_u2
-                  |ON lakesql_t2.id = lakesql_u2.id
-                  |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    assert(e1.getMessage.contains("canonical"))
+    // WHEN MATCHED THEN DELETE alone is now a legal clause shape.
+    spark.sql("""MERGE INTO lakesql_t2 USING lakesql_u2
+                |ON lakesql_t2.id = lakesql_u2.id
+                |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(GraftLake.read(spark, pSql).collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
     // Range ON clause has no sound key-equality mapping.
     val e2 = intercept[Exception] {
       spark.sql("""MERGE INTO lakesql_t2 USING lakesql_u2
@@ -67,6 +66,73 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e2.getMessage.contains("ON clause"))
+  }
+
+  test("SQL flexible MERGE (computed SET, matched DELETE, conditional INSERT, by-source) lands the API state") {
+    import spark.implicits._
+    import GraftLake.MergeClause
+    val (pSql, pApi) = freshPair()
+    val base = (1L to 12L).map(i => (i, i % 3, i * 10)).toDF("id", "grp", "v")
+    GraftLake.create(base, pSql, Some("id"))
+    GraftLake.create(base, pApi, Some("id"))
+    val src = (9L to 16L).map(i => (i, i * 100)).toDF("id", "sv")
+
+    LakeSql.register(spark, pSql, "lakesql_flex", "id")
+    src.createOrReplaceTempView("lakesql_flexu")
+    // Aliased target + source, every clause family, computed SET.
+    spark.sql("""MERGE INTO lakesql_flex t USING lakesql_flexu s
+                |ON t.id = s.id
+                |WHEN MATCHED AND s.sv >= 1100 THEN UPDATE SET v = t.v + s.sv
+                |WHEN MATCHED THEN DELETE
+                |WHEN NOT MATCHED AND s.id % 2 = 0
+                |  THEN INSERT (id, grp, v) VALUES (s.id, -1, s.sv)
+                |WHEN NOT MATCHED BY SOURCE AND t.grp = 0 THEN DELETE
+                |""".stripMargin)
+
+    GraftLake.mergeActions(spark, pApi, src, Seq("id"), "id", Seq(
+      MergeClause("matched", "update", Some("s.sv >= 1100"),
+        Seq("v" -> "t.v + s.sv")),
+      MergeClause("matched", "delete", None),
+      MergeClause("notMatched", "insert", Some("s.id % 2 = 0"),
+        Seq("id" -> "s.id", "grp" -> "-1", "v" -> "s.sv")),
+      MergeClause("bySource", "delete", Some("t.grp = 0"))))
+
+    val a = GraftLake.read(spark, pSql).collect().map(_.toSeq).toSet
+    val b = GraftLake.read(spark, pApi).collect().map(_.toSeq).toSet
+    assert(a == b)
+    // The registered view refreshed: SQL reads see the merge.
+    assert(spark.sql("SELECT count(*) FROM lakesql_flex").head.getLong(0)
+      == a.size.toLong)
+    // Spot-check semantics end to end: 11 updated, 9 matched-deleted,
+    // 3 by-source-deleted, 14 inserted, 13 (odd) dropped.
+    val byId = a.map(s => s.head.asInstanceOf[Long] -> s).toMap
+    assert(byId(11L)(2) == 110L + 1100L)
+    assert(!byId.contains(9L) && !byId.contains(3L) && !byId.contains(13L))
+    assert(byId(14L)(1) == -1L)
+  }
+
+  test("SQL MERGE with star clauses + conditions routes through mergeActions") {
+    import spark.implicits._
+    val (pSql, _) = freshPair()
+    GraftLake.create(
+      (1L to 6L).map(i => (i, i % 2, i * 10)).toDF("id", "grp", "v"),
+      pSql, Some("id"))
+    LakeSql.register(spark, pSql, "lakesql_star", "id")
+    (4L to 9L).map(i => (i, 7L, i * 1000)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("lakesql_staru")
+    // Conditioned UPDATE SET * / INSERT * are NOT the canonical
+    // upsert — they compile to star mergeActions clauses.
+    spark.sql("""MERGE INTO lakesql_star USING lakesql_staru
+                |ON lakesql_star.id = lakesql_staru.id
+                |WHEN MATCHED AND lakesql_staru.v > 4000 THEN UPDATE SET *
+                |WHEN NOT MATCHED AND lakesql_staru.id < 9 THEN INSERT *
+                |""".stripMargin)
+    val got = GraftLake.read(spark, pSql).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 5,6 star-updated; 4 matched but fails the cond -> unchanged;
+    // 7,8 insert; 9 fails the insert cond -> dropped.
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L,
+      5L -> 5000L, 6L -> 6000L, 7L -> 7000L, 8L -> 8000L))
   }
 
   test("DML over unregistered names is untouched (fails as plain Spark would)") {
