@@ -591,6 +591,23 @@ object GraftLake {
     if (!Files.exists(m)) Files.writeString(m, "1")
   }
 
+  /** Record `c` as the table's hive-partition layout column — a
+    * metadata marker beside the CDF flag, so partitioned layout is a
+    * property OF THE TABLE (SQL INSERT routing and re-registration
+    * consult it), not of whoever happened to write first.
+    */
+  def setPartitionColumn(path: String, c: String): Unit = {
+    Files.createDirectories(logDir(path))
+    Files.writeString(logDir(path).resolve("_partition"), c)
+  }
+
+  /** The recorded partition-layout column, if any. */
+  def partitionColumnOf(path: String): Option[String] = {
+    val m = logDir(path).resolve("_partition")
+    if (Files.exists(m)) Some(Files.readString(m).trim).filter(_.nonEmpty)
+    else None
+  }
+
   /** Whether the CDF marker is set for `path`. */
   def cdfEnabled(path: String): Boolean =
     Files.exists(logDir(path).resolve("_cdf"))

@@ -333,11 +333,13 @@ final case class GraftLakeDetailCommand(path: String)
       AttributeReference("num_live_sets", IntegerType, nullable = false)(),
       AttributeReference("num_tombstone_sets", IntegerType, nullable = false)(),
       AttributeReference("num_constraints", IntegerType, nullable = false)(),
-      AttributeReference("cdf_enabled", BooleanType, nullable = false)())
+      AttributeReference("cdf_enabled", BooleanType, nullable = false)(),
+      AttributeReference("partition_column", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val s = GraftLake.snapshot(path)
     Seq(Row("graft-lake", path, s.version, s.live.size, s.tombstones.size,
-      s.constraints.size, GraftLake.cdfEnabled(path)))
+      s.constraints.size, GraftLake.cdfEnabled(path),
+      GraftLake.partitionColumnOf(path).orNull))
   }
 }
 
@@ -421,46 +423,103 @@ final case class GraftLakeRenameCommand(
   */
 final case class GraftLakeInsertCommand(
     path: String, viewName: String, query: LogicalPlan,
-    overwrite: Boolean, userCols: Seq[String], statsCol: String)
+    overwrite: Boolean, userCols: Seq[String], statsCol: String,
+    partitionSpec: Seq[(String, Option[String])] = Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = query :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val df = GraftSqlBridge.ofRows(spark, query)
     val target = org.apache.spark.sql.types.StructType.fromDDL(
       GraftLake.snapshot(path).schemaDdl)
-    val aligned =
+    val tablePartCol = GraftLake.partitionColumnOf(path)
+    // PARTITION (...) clause: legal only against the table's recorded
+    // layout column. `PARTITION (c)` (dynamic form) is the plain
+    // dynamic insert; `PARTITION (c=v)` pins the static value — the
+    // query then provides every OTHER column.
+    val staticPart: Option[(String, String)] = partitionSpec match {
+      case Seq() => None
+      case Seq((k, v)) =>
+        val pc = tablePartCol.getOrElse(throw new IllegalArgumentException(
+          s"INSERT INTO $viewName PARTITION: not a partitioned lake table"))
+        require(k.equalsIgnoreCase(pc),
+          s"INSERT INTO $viewName PARTITION: the table is partitioned " +
+            s"by '$pc', not '$k'")
+        v.map(pc -> _)
+      case other => throw new IllegalArgumentException(
+        s"INSERT INTO $viewName PARTITION: single-column layout only, " +
+          s"got ${other.map(_._1).mkString(", ")}")
+    }
+    // With a static PARTITION value the query feeds the remaining
+    // columns; the pinned value fills the layout column.
+    val insertTarget = staticPart match {
+      case Some((pc, _)) =>
+        require(!userCols.exists(_.equalsIgnoreCase(pc)),
+          s"INSERT INTO $viewName: column '$pc' is pinned by the " +
+            "PARTITION clause — do not also list it")
+        org.apache.spark.sql.types.StructType(
+          target.fields.filterNot(_.name.equalsIgnoreCase(pc)))
+      case None => target
+    }
+    val alignedPart =
       if (userCols.isEmpty) {
-        require(df.columns.length == target.fields.length,
+        require(df.columns.length == insertTarget.fields.length,
           s"INSERT INTO $viewName: ${df.columns.length} column(s) " +
-            s"provided, table has ${target.fields.length} — match the " +
-            "arity or name the columns")
-        df.toDF(target.fieldNames.toIndexedSeq: _*)
-          .select(target.fields.map(f =>
+            s"provided, expected ${insertTarget.fields.length} — match " +
+            "the arity or name the columns")
+        df.toDF(insertTarget.fieldNames.toIndexedSeq: _*)
+          .select(insertTarget.fields.map(f =>
             col(f.name).cast(f.dataType)).toIndexedSeq: _*)
       } else {
         val lower = userCols.map(_.toLowerCase(java.util.Locale.ROOT))
         require(lower.distinct.size == lower.size,
           s"INSERT INTO $viewName: duplicate column in the insert list")
         val unknown = lower.filterNot(c =>
-          target.fieldNames.exists(_.equalsIgnoreCase(c)))
+          insertTarget.fieldNames.exists(_.equalsIgnoreCase(c)))
         require(unknown.isEmpty,
           s"INSERT INTO $viewName: unknown column(s) ${unknown.mkString(", ")}")
         require(df.columns.length == userCols.length,
           s"INSERT INTO $viewName: ${df.columns.length} value column(s) " +
             s"for ${userCols.length} named column(s)")
         val renamed = df.toDF(userCols.toIndexedSeq: _*)
-        renamed.select(target.fields.map { f =>
+        renamed.select(insertTarget.fields.map { f =>
           userCols.find(_.equalsIgnoreCase(f.name)) match {
             case Some(u) => col(u).cast(f.dataType).as(f.name)
-            case None =>
-              org.apache.spark.sql.functions.lit(null)
-                .cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
           }
         }.toIndexedSeq: _*)
       }
-    if (overwrite) GraftLake.overwrite(aligned, path)
-    else GraftLake.append(aligned, path, statsCol = Some(statsCol))
+    val aligned = staticPart match {
+      case Some((pc, v)) =>
+        val pf = target.fields.find(_.name.equalsIgnoreCase(pc)).get
+        alignedPart.withColumn(pf.name, lit(v).cast(pf.dataType))
+          .select(target.fields.map(f => col(f.name)).toIndexedSeq: _*)
+      case None => alignedPart
+    }
+    (tablePartCol, overwrite) match {
+      case (Some(pc), false) =>
+        // Dynamic or static append: per-value file-sets, exact
+        // manifest zone maps — the layout survives every SQL INSERT.
+        GraftLake.appendPartitioned(aligned, path, pc,
+          statsCols = Seq(statsCol).filterNot(_.equalsIgnoreCase(pc)))
+      case (Some(pc), true) =>
+        val (_, v) = staticPart.getOrElse(throw new IllegalArgumentException(
+          s"INSERT OVERWRITE on partitioned lake $viewName needs a " +
+            s"static PARTITION ($pc=<value>) — a dynamic overwrite " +
+            "would drop the partition layout"))
+        val lv =
+          try v.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"INSERT OVERWRITE $viewName PARTITION ($pc=$v): the " +
+                "layout column is integral — give an integral value")
+          }
+        GraftLake.replaceWhere(spark, path, aligned, pc, lv, lv)
+      case (None, false) =>
+        GraftLake.append(aligned, path, statsCol = Some(statsCol))
+      case (None, true) =>
+        GraftLake.overwrite(aligned, path)
+    }
     GraftLake.read(spark, path).createOrReplaceTempView(viewName)
     Seq.empty
   }
@@ -475,13 +534,16 @@ final case class GraftLakeInsertCommand(
   */
 final case class GraftLakeCtasCommand(
     path: String, name: String, query: LogicalPlan,
-    statsCol: Option[String], ignoreIfExists: Boolean)
+    statsCol: Option[String], ignoreIfExists: Boolean,
+    partCol: Option[String] = None)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = query :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftSqlBridge.ofRows(spark, query)
     statsCol.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
       s"CREATE TABLE $name: statscol '$c' is not a query column"))
+    partCol.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+      s"CREATE TABLE $name: partition column '$c' is not a query column"))
     val exists = java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "_graft_log"))
     if (exists) {
@@ -489,8 +551,19 @@ final case class GraftLakeCtasCommand(
         s"CREATE TABLE $name: a lake table already exists at $path " +
           "(use IF NOT EXISTS to register it instead)")
     } else {
-      GraftLake.create(df, path, statsCol =
-        statsCol.flatMap(c => df.columns.find(_.equalsIgnoreCase(c))))
+      val canonStats =
+        statsCol.flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
+      partCol.map(c => df.columns.find(_.equalsIgnoreCase(c)).get) match {
+        case Some(pc) =>
+          // Partitioned create: one set per value with exact manifest
+          // zone maps, then the marker so every later SQL INSERT
+          // keeps the layout.
+          GraftLake.appendPartitioned(df, path, pc,
+            statsCols = canonStats.filterNot(_.equalsIgnoreCase(pc)).toSeq)
+          GraftLake.setPartitionColumn(path, pc)
+        case None =>
+          GraftLake.create(df, path, statsCol = canonStats)
+      }
     }
     // Merge pruning needs a registered stats column; absent the
     // property, fall back to the first column — merges stay CORRECT
@@ -726,11 +799,12 @@ final class LakeDdlParser(
             if LakeSql.targetName(ins.table).isDefined =>
           val name = LakeSql.targetName(ins.table).get
           val t = LakeSql.lookup(name).get
-          require(ins.partitionSpec.isEmpty && !ins.ifPartitionNotExists,
-            s"INSERT INTO $name: static PARTITION clauses are not " +
-              "supported on a graft lake — the layout is appendPartitioned's")
+          require(!ins.ifPartitionNotExists,
+            s"INSERT INTO $name: IF NOT EXISTS partition clauses are " +
+              "not supported on a graft lake")
           GraftLakeInsertCommand(t.path, name, ins.query, ins.overwrite,
-            ins.userSpecifiedCols, t.statsCol)
+            ins.userSpecifiedCols, t.statsCol,
+            ins.partitionSpec.toSeq.map { case (k, v) => (k, v) })
         // CREATE TABLE <name> USING graftlake LOCATION '<p>' AS SELECT:
         // a brand-new lake table from SQL (the name is by definition
         // not registered yet, so the provider is the routing signal).
@@ -751,14 +825,22 @@ final class LakeDdlParser(
           val loc = spec.location.getOrElse(throw new IllegalArgumentException(
             s"CREATE TABLE $name USING graftlake needs LOCATION '<path>' " +
               "— the lake is path-addressed"))
-          require(cta.partitioning.isEmpty,
-            s"CREATE TABLE $name USING graftlake: PARTITIONED BY is not " +
-              "supported in CTAS — use appendPartitioned after create")
+          // PARTITIONED BY (c): single-column identity layout — one
+          // file-set per value, exact manifest zone maps (the
+          // appendPartitioned layout, reachable from pure SQL).
+          val partCol = cta.partitioning.toSeq match {
+            case Seq() => None
+            case Seq(t: org.apache.spark.sql.connector.expressions.IdentityTransform) =>
+              Some(t.ref.fieldNames.mkString("."))
+            case other => throw new IllegalArgumentException(
+              s"CREATE TABLE $name USING graftlake: only single-column " +
+                s"identity PARTITIONED BY is supported, got $other")
+          }
           val statsCol = spec.properties.collectFirst {
             case (k, v) if k.equalsIgnoreCase("statscol") => v
           }
           GraftLakeCtasCommand(loc, name, cta.query, statsCol,
-            cta.ignoreIfExists)
+            cta.ignoreIfExists, partCol)
         case spliced => spliced
       }
     }
