@@ -830,8 +830,8 @@ final class LakeDdlParser(
           // appendPartitioned layout, reachable from pure SQL).
           val partCol = cta.partitioning.toSeq match {
             case Seq() => None
-            case Seq(t: org.apache.spark.sql.connector.expressions.IdentityTransform) =>
-              Some(t.ref.fieldNames.mkString("."))
+            case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+              Some(t.references.head.fieldNames.mkString("."))
             case other => throw new IllegalArgumentException(
               s"CREATE TABLE $name USING graftlake: only single-column " +
                 s"identity PARTITIONED BY is supported, got $other")
