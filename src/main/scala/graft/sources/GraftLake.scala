@@ -1209,6 +1209,19 @@ object GraftLake {
   private def setPath(table: String, set: String): String =
     if (set.startsWith("/")) set else s"$table/$set"
 
+  /** True iff numeric zone-map/span pruning is sound on this type:
+    * byte/short/int/long. Strings are excluded even when all-numeric
+    * (lexicographic min/max can invert after casting).
+    */
+  private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   private def readSet(
       spark: SparkSession, path: String, ls: LiveSet,
       target: StructType,
@@ -1730,11 +1743,21 @@ object GraftLake {
     val spanSurvivors: Seq[LiveSet] =
       if (!source.columns.contains(statsCol)) live
       else {
-        val span = source.agg(count(col(statsCol)), count(lit(1)),
-          org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
-          org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
+        // Same posture as deleteKeys: numeric span pruning is only
+        // sound on an integral-typed key — string min/max are
+        // lexicographic and can cast to an inverted span (and under
+        // ANSI mode the cast throws on mixed values) — and both
+        // endpoints must be non-null.
+        val srcIntegral = isIntegralType(source.schema(statsCol).dataType)
+        val span =
+          if (srcIntegral) source.agg(count(col(statsCol)), count(lit(1)),
+            org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
+            org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
+          else source.agg(count(col(statsCol)), count(lit(1)),
+            lit(null).cast("long"), lit(null).cast("long")).head
         if (span.getLong(1) == 0L) Seq.empty // empty source: no matches
-        else if (span.getLong(0) != span.getLong(1) || span.isNullAt(2)) live
+        else if (!srcIntegral || span.getLong(0) != span.getLong(1) ||
+            span.isNullAt(2) || span.isNullAt(3)) live
         else {
           val (uLo, uHi) = (span.getLong(2), span.getLong(3))
           live.filter { ls =>
@@ -1780,10 +1803,18 @@ object GraftLake {
     // First-match clause dispatch per family: clause i applies when
     // its condition holds and no earlier clause's did — plain boolean
     // columns, codegen'd inline.
+    // Clause conditions are three-valued (a NULL-valued condition
+    // column evaluates to NULL); SQL/Delta treat NULL as
+    // not-satisfied, so coalesce each to strict FALSE — otherwise a
+    // NULL poisons both the survivor filter (silently deleting the
+    // row) and the first-match chain (prior || NULL stays NULL, so a
+    // later unconditional clause never fires).
     def appliesOf(cls: Seq[MergeClause]): Seq[Column] = {
       var prior: Column = lit(false)
       cls.map { c =>
-        val own = c.condition.map(expr).getOrElse(lit(true))
+        val own = c.condition
+          .map(cd => coalesce(expr(cd), lit(false)))
+          .getOrElse(lit(true))
         val a = own && !prior
         prior = prior || own
         a
@@ -2042,16 +2073,26 @@ object GraftLake {
     //     every delta key cannot hold a matching row.
     // Only the surviving shortlist is scanned for exact match counts;
     // per batch the mirror pays O(delta + hit sets), not O(table).
-    val kSpan = k.agg(
-      org.apache.spark.sql.functions.count(col(keyCol)),
-      org.apache.spark.sql.functions.min(col(keyCol)).cast("long"),
-      org.apache.spark.sql.functions.max(col(keyCol)).cast("long")).head
-    if (kSpan.getLong(0) == 0L) return (s.version, 0, live.size, 0L) // empty delta
     // A non-integral key column (string keys are legal here — the
-    // semi-join matches them fine) casts to a NULL span: pruning has
-    // no evidence, so it must NOT prune — fall back to scanning every
-    // live set rather than silently treating the delta as empty.
-    val castable = !kSpan.isNullAt(1)
+    // semi-join matches them fine) has no sound numeric span: string
+    // min/max are LEXICOGRAPHIC, so even all-numeric strings can cast
+    // to an inverted span ("10" < "9" lexically) that wrongly prunes —
+    // and under ANSI mode the cast itself THROWS on mixed values like
+    // {"9","x"}. Span pruning therefore requires the column's TYPE to
+    // be integral (the cast below never runs otherwise) AND both
+    // endpoints non-null; anything else scans every live set rather
+    // than risking a silently-missed delete.
+    val keyIsIntegral = isIntegralType(k.schema(keyCol).dataType)
+    val kSpan =
+      if (keyIsIntegral) k.agg(
+        org.apache.spark.sql.functions.count(col(keyCol)),
+        org.apache.spark.sql.functions.min(col(keyCol)).cast("long"),
+        org.apache.spark.sql.functions.max(col(keyCol)).cast("long")).head
+      else k.agg(
+        org.apache.spark.sql.functions.count(col(keyCol)),
+        lit(null).cast("long"), lit(null).cast("long")).head
+    if (kSpan.getLong(0) == 0L) return (s.version, 0, live.size, 0L) // empty delta
+    val castable = keyIsIntegral && !kSpan.isNullAt(1) && !kSpan.isNullAt(2)
     val (kMin, kMax) =
       if (castable) (kSpan.getLong(1), kSpan.getLong(2)) else (0L, 0L)
     val zoneSurvivors =

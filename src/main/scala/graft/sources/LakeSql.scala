@@ -190,9 +190,20 @@ object LakeSql {
     e.transform {
       case a: UnresolvedAttribute if a.nameParts.length > 1 =>
         val q = a.nameParts.init.last.toLowerCase(java.util.Locale.ROOT)
-        if (tNames(q)) UnresolvedAttribute(Seq("t", a.nameParts.last))
-        else if (sNames(q)) UnresolvedAttribute(Seq("s", a.nameParts.last))
-        else UnresolvedAttribute(Seq(a.nameParts.last))
+        // Only a recognized alias/relation qualifier directly above a
+        // column is rewritable. A longer path (t.addr.city — nested
+        // struct fields) or an unknown qualifier must fail LOUDLY:
+        // stripping it to the bare leaf could silently reattach the
+        // reference to the wrong side.
+        if (tNames(q) && a.nameParts.length == 2)
+          UnresolvedAttribute(Seq("t", a.nameParts.last))
+        else if (sNames(q) && a.nameParts.length == 2)
+          UnresolvedAttribute(Seq("s", a.nameParts.last))
+        else throw new IllegalArgumentException(
+          s"MERGE INTO <graft lake>: unsupported attribute " +
+            s"'${a.nameParts.mkString(".")}' — only <alias>.<column> " +
+            s"references to the target/source are supported " +
+            s"(known aliases: ${(tNames ++ sNames).toSeq.sorted.mkString(", ")})")
       case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
         val side =
           if (sIds(ar.exprId)) Some("s")

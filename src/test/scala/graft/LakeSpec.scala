@@ -586,6 +586,32 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(v3 == before && rew3 == 0 && n3 == 0L)
   }
 
+  test("deleteKeys on string keys: no span pruning, mixed/numeric strings delete correctly") {
+    import spark.implicits._
+    // String keys are legal — the semi-join matches them — but numeric
+    // span pruning must be OFF: lexicographic min/max over strings can
+    // cast to an inverted span ("10" < "9" lexically), and mixed
+    // values ({"9","x"}) cast min non-null but max NULL (a min-only
+    // guard NPEs on getLong). Both deltas must scan-all and delete.
+    val path = freshTable()
+    GraftLake.create(
+      (1L to 20L).map(i => (i.toString, i)).toDF("k", "v"), path)
+    GraftLake.append(
+      (21L to 40L).map(i => (i.toString, i)).toDF("k", "v"), path)
+    // Mixed castable/uncastable delta: "9" deletes, "x" matches nothing.
+    val (_, rew1, _, n1) = GraftLake.deleteKeys(
+      spark, path, Seq("9", "x").toDF("k"), "k")
+    assert(n1 == 1L && rew1 == 1)
+    // All-numeric strings whose lexicographic order inverts the cast
+    // span (min "10" -> 10 > max "9"... here {"10","30"} spans sets).
+    val (_, rew2, _, n2) = GraftLake.deleteKeys(
+      spark, path, Seq("10", "30").toDF("k"), "k")
+    assert(n2 == 2L && rew2 == 2)
+    assert(GraftLake.read(spark, path).count() == 37)
+    assert(GraftLake.read(spark, path)
+      .filter(col("k").isin("9", "10", "30")).count() == 0)
+  }
+
   test("rewrites survive a legal drop of a stats/bloom-bearing column") {
     import spark.implicits._
     // The victims carry zone-map stats AND a bloom on `aux`; dropping

@@ -111,6 +111,35 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(byId(14L)(1) == -1L)
   }
 
+  test("MERGE attributes with unknown or nested qualifiers fail loudly") {
+    import spark.implicits._
+    val (pSql, _) = freshPair()
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pSql, Some("id"))
+    LakeSql.register(spark, pSql, "lakesql_rq", "id")
+    Seq((1L, 99L)).toDF("id", "sv").createOrReplaceTempView("lakesql_rqu")
+    // Unknown qualifier: must fail LOUDLY — either the analyzer's
+    // unresolved-column error or reQualify's refusal — never a silent
+    // collapse to the bare leaf (which could reattach the reference
+    // to the wrong side and commit wrong data).
+    val e1 = intercept[Exception] {
+      spark.sql("""MERGE INTO lakesql_rq t USING lakesql_rqu s
+                  |ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET v = zz.sv""".stripMargin)
+    }
+    assert(e1.getMessage.contains("unsupported attribute") ||
+      e1.getMessage.contains("zz"))
+    // Nested struct path under a known alias: same loud refusal.
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO lakesql_rq t USING lakesql_rqu s
+                  |ON t.id = s.id
+                  |WHEN MATCHED AND t.addr.city = 'x' THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.contains("unsupported attribute") ||
+      e2.getMessage.contains("addr"))
+    // The table is untouched by either refusal.
+    assert(GraftLake.read(spark, pSql).head.getLong(1) == 10L)
+  }
+
   test("SQL MERGE with star clauses + conditions routes through mergeActions") {
     import spark.implicits._
     val (pSql, _) = freshPair()

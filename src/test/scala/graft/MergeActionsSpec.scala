@@ -148,6 +148,33 @@ class MergeActionsSpec extends AnyFunSuite with SparkSpec {
     assert(deleted == Set(1L, 6L))
   }
 
+  test("NULL-evaluating clause conditions mean NOT-satisfied, never delete") {
+    import spark.implicits._
+    val path = freshTable()
+    // flag is nullable on both sides; SQL/Delta treat a NULL clause
+    // condition as not-satisfied — a NULL must neither delete the row
+    // nor poison the first-match chain for later clauses.
+    val base = Seq(
+      (1L, None: Option[Long], 10L), (2L, Some(1L), 20L),
+      (3L, Some(0L), 30L), (4L, None: Option[Long], 40L),
+      (5L, Some(1L), 50L)).toDF("id", "flag", "v")
+    GraftLake.create(base, path, Some("id"))
+    val src = Seq(
+      (1L, None: Option[Long]), (2L, Some(1L)), (3L, Some(0L)))
+      .toDF("id", "sflag")
+    GraftLake.mergeActions(spark, path, src, Seq("id"), "id", Seq(
+      // id=2 (sflag=1) deletes; id=1 (NULL) and id=3 (0) must NOT.
+      MergeClause("matched", "delete", Some("s.sflag = 1")),
+      // ...and must still reach this later unconditional update.
+      MergeClause("matched", "update", None, Seq("v" -> "t.v + 1000")),
+      // target-only id=4 has flag NULL: by-source NULL condition must
+      // not delete it; id=5 (flag=1) legitimately deletes.
+      MergeClause("bySource", "delete", Some("t.flag = 1"))))
+    val got = GraftLake.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1010L, 3L -> 1030L, 4L -> 40L))
+  }
+
   test("clause validation: bad shapes fail loudly") {
     import spark.implicits._
     val path = freshTable()
