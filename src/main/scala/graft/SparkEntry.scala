@@ -995,6 +995,56 @@ object SparkEntry {
         .withColumn("sql_equals_api", lit(same))
         .orderBy(col("o_orderstatus"))
     }),
+    // SQL PARTITIONED WRITES: CTAS `PARTITIONED BY (yr)` seeds the
+    // per-value layout from pure SQL; dynamic `INSERT INTO ...
+    // PARTITION (yr)` extends it; static `INSERT OVERWRITE ...
+    // PARTITION (yr=1996)` replaces EXACTLY that partition via
+    // replaceWhere. In-row flag pins: exact per-partition manifests
+    // (every live set min==max on yr), untouched years surviving the
+    // overwrite BY REFERENCE (zero rewrite — the 100 TB posture:
+    // replacing one partition must not touch the other N-1), the 1996
+    // set actually replaced, and DESCRIBE DETAIL's partition_column.
+    // Oracle replays the 1996 cents-doubling from raw orders.
+    "src35_sql_partitioned" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_sqlpart", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      o.createOrReplaceTempView("lake_sqlpart_src")
+      s.sql(s"""CREATE TABLE lake_sqlpart USING graftlake LOCATION '$path'
+               |PARTITIONED BY (yr) TBLPROPERTIES ('statscol'='o_orderkey')
+               |AS SELECT * FROM lake_sqlpart_src WHERE yr < 1997""".stripMargin)
+      s.sql("""INSERT INTO lake_sqlpart PARTITION (yr)
+              |SELECT * FROM lake_sqlpart_src WHERE yr >= 1997""".stripMargin)
+      def isOw(st: GraftLake.SetStats) = st.min == 1996L && st.max == 1996L
+      val before = GraftLake.snapshot(path).live
+      s.sql("""INSERT OVERWRITE lake_sqlpart PARTITION (yr=1996)
+              |SELECT o_orderkey, o_orderstatus, cents * 2 AS cents
+              |FROM lake_sqlpart_src WHERE yr = 1996""".stripMargin)
+      val after = GraftLake.snapshot(path).live
+      val afterSets = after.map(_.set).toSet
+      val layoutExact =
+        after.forall(_.statsFor("yr").exists(st => st.min == st.max))
+      val preserved = before
+        .filterNot(_.statsFor("yr").exists(isOw)).map(_.set).toSet
+        .subsetOf(afterSets)
+      val before1996 = before.filter(_.statsFor("yr").exists(isOw))
+        .map(_.set).toSet
+      val replaced = before1996.nonEmpty &&
+        before1996.intersect(afterSets).isEmpty
+      val described = s.sql("DESCRIBE DETAIL lake_sqlpart")
+        .select(col("partition_column")).head.getString(0) == "yr"
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("sql_part_ok",
+          lit(layoutExact && preserved && replaced && described))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -2778,6 +2828,17 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_equals_api
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Content-neutral orders replay: the partitioned CTAS + dynamic
+    // INSERT land every row once; the 1996 static overwrite doubles
+    // that year's cents.
+    "src35_sql_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN year(o_orderdate) = 1996
+        |    THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |    AS BIGINT) AS cents,
+        |  TRUE AS sql_part_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // ADD COLUMNS + UPDATE arithmetic over the evolved column.
     "src33_sql_schema_ddl" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -492,4 +492,102 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception] { spark.sql("OPTIMIZE lakesql_nope").collect() }
     intercept[Exception] { spark.sql("VACUUM lakesql_nope").collect() }
   }
+
+  test("partitioned CTAS + INSERT PARTITION: per-value layout, static overwrite replaces only its partition") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakesql-part")
+    val p = base.resolve("t").toString
+    (1L to 60L).map(i => (i, i % 3, i * 7)).toDF("id", "yr", "v")
+      .createOrReplaceTempView("lakesql_part_src")
+    // CTAS PARTITIONED BY seeds the exact per-value layout.
+    spark.sql(
+      s"""CREATE TABLE lakesql_part USING graftlake LOCATION '$p'
+         |PARTITIONED BY (yr) TBLPROPERTIES ('statscol'='id')
+         |AS SELECT * FROM lakesql_part_src WHERE yr < 2""".stripMargin)
+    assert(GraftLake.partitionColumnOf(p).contains("yr"))
+    assert(GraftLake.snapshot(p).live.size == 2)
+    assert(GraftLake.snapshot(p).live
+      .forall(_.statsFor("yr").exists(st => st.min == st.max)))
+    // DESCRIBE DETAIL reports the layout column.
+    assert(spark.sql("DESCRIBE DETAIL lakesql_part")
+      .select(col("partition_column")).head.getString(0) == "yr")
+    // Dynamic INSERT PARTITION keeps the per-value layout.
+    spark.sql("""INSERT INTO lakesql_part PARTITION (yr)
+                |SELECT * FROM lakesql_part_src WHERE yr = 2""".stripMargin)
+    assert(GraftLake.snapshot(p).live.size == 3)
+    assert(GraftLake.read(spark, p).count() == 60)
+    // Static INSERT PARTITION (yr=9): the query feeds the OTHER
+    // columns; the pinned value fills the layout column.
+    spark.sql(
+      "INSERT INTO lakesql_part PARTITION (yr=9) VALUES (100, 700), (101, 707)")
+    assert(GraftLake.read(spark, p).filter(col("yr") === 9).count() == 2)
+    // Static OVERWRITE replaces exactly its partition; the other
+    // partitions' file-sets survive BY REFERENCE.
+    val before = GraftLake.snapshot(p).live
+      .filterNot(_.statsFor("yr").exists(st => st.min == 9L && st.max == 9L))
+      .map(_.set).toSet
+    spark.sql(
+      "INSERT OVERWRITE lakesql_part PARTITION (yr=9) VALUES (200, 900)")
+    val after = GraftLake.snapshot(p).live.map(_.set).toSet
+    assert(before.subsetOf(after))
+    val got9 = GraftLake.read(spark, p).filter(col("yr") === 9).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got9 == Set((200L, 900L)))
+    assert(GraftLake.read(spark, p).count() == 61)
+  }
+
+  test("partitioned INSERT refusals: wrong column, multi-column, dynamic overwrite, pinned column listed") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakesql-partref")
+    val p = base.resolve("t").toString
+    (1L to 10L).map(i => (i, i % 2, i)).toDF("id", "yr", "v")
+      .createOrReplaceTempView("lakesql_pref_src")
+    spark.sql(
+      s"""CREATE TABLE lakesql_pref USING graftlake LOCATION '$p'
+         |PARTITIONED BY (yr) TBLPROPERTIES ('statscol'='id')
+         |AS SELECT * FROM lakesql_pref_src""".stripMargin)
+    // PARTITION over a column that is not the recorded layout column.
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO lakesql_pref PARTITION (v=1) VALUES (11, 11)")
+    }
+    assert(e1.getMessage.contains("partitioned by"))
+    // Multi-column PARTITION spec: single-column layout only.
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO lakesql_pref PARTITION (yr=1, v=1) VALUES (11)")
+    }
+    assert(e2.getMessage.contains("single-column"))
+    // Dynamic OVERWRITE would drop the partition layout.
+    val e3 = intercept[Exception] {
+      spark.sql("""INSERT OVERWRITE lakesql_pref
+                  |SELECT * FROM lakesql_pref_src""".stripMargin)
+    }
+    assert(e3.getMessage.contains("static PARTITION"))
+    // The pinned layout column must not also appear in the insert list.
+    val e4 = intercept[Exception] {
+      spark.sql("""INSERT INTO lakesql_pref PARTITION (yr=1) (id, yr, v)
+                  |VALUES (11, 1, 11)""".stripMargin)
+    }
+    assert(e4.getMessage.contains("pinned"))
+    // PARTITION on an UNpartitioned lake refuses.
+    val base2 = Files.createTempDirectory("graft-lakesql-partref2")
+    val p2 = base2.resolve("t").toString
+    spark.sql(
+      s"""CREATE TABLE lakesql_pref_flat USING graftlake LOCATION '$p2'
+         |AS SELECT * FROM lakesql_pref_src""".stripMargin)
+    val e5 = intercept[Exception] {
+      spark.sql("INSERT INTO lakesql_pref_flat PARTITION (yr=1) VALUES (11, 11)")
+    }
+    assert(e5.getMessage.contains("not a partitioned lake table"))
+    // Multi-column PARTITIONED BY CTAS refuses.
+    val base3 = Files.createTempDirectory("graft-lakesql-partref3")
+    val e6 = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE lakesql_pref_multi USING graftlake
+           |LOCATION '${base3.resolve("t")}' PARTITIONED BY (yr, v)
+           |AS SELECT * FROM lakesql_pref_src""".stripMargin)
+    }
+    assert(e6.getMessage.contains("single-column"))
+    // Nothing landed through any refusal.
+    assert(GraftLake.read(spark, p).count() == 10)
+  }
 }
