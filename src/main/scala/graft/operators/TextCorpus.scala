@@ -717,6 +717,110 @@ object TextCorpus {
       |FROM tr JOIN held USING (g)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** d36: N-GRAM LM PERPLEXITY FILTER — the classic quality gate
+    * (CCNet/GPT-3 recipe): train a word-bigram language model on the
+    * held-out-clean slice (doc_id % 10 == 0, the same slice d35
+    * treats as trusted), score every other document by its average
+    * negative log-likelihood under that model, and flag the worst
+    * decile.
+    *
+    * NO-ln DISCIPLINE (the d26 lesson): -log2 p is taken at whole-BIT
+    * granularity from pure integer arithmetic — for add-1-smoothed
+    * p = (c(w1,w2)+1) / (c(w1)+V), per-bigram surprisal is
+    * bitlen(c(w1)+V) - bitlen(c(w1,w2)+1), where bitlen(x) =
+    * length(bin(x)) is exact and identical in Spark and DuckDB —
+    * no libm, no ulp drift, replays bit-for-bit. Doc score =
+    * total_bits * 1000 div n_bigrams (integer millibits/token).
+    *
+    * Scale shape: LM training is two partial-agg groupBys over the
+    * clean slice's bigrams; scoring is two equi-joins (AQE broadcasts
+    * the LM tables when they fit); the worst-decile threshold comes
+    * from the SCORE HISTOGRAM — O(distinct millibit scores ≤ ~64k)
+    * rows to the driver, never a global sort — and boundary ties
+    * break by doc_id under a window PARTITIONED BY SCORE (parallel
+    * across scores, no single-partition stage).
+    */
+  def d36LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_remove(split(col("text"), " "), "").as("ws"))
+    val bi = docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), " +
+          "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val clean = bi.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val bigCnt = clean.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_big"))
+    val ctxCnt = clean.groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
+    val vocab = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(explode(col("ws")).as("w")).distinct().count()
+    val scored = bi.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .join(bigCnt, Seq("w1", "w2"), "left")
+      .join(ctxCnt, Seq("w1"), "left")
+      .select(col("doc_id"),
+        (length(bin(coalesce(col("c_ctx"), lit(0L)) + lit(vocab))) -
+          length(bin(coalesce(col("c_big"), lit(0L)) + lit(1L))))
+          .cast("long").as("bits"))
+    val perDoc = scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .withColumn("nll_millibits", expr("(total_bits * 1000) div n_bigrams"))
+      .localCheckpoint(true) // reused: histogram pass + final flag pass
+    // Exact worst-decile boundary off the tiny score histogram: walk
+    // scores high->low until the k = n/10 quota lands inside one
+    // bucket; that bucket's overflow is taken by lowest doc_id.
+    val hist = perDoc.groupBy(col("nll_millibits"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    val k = hist.map(_._2).sum / 10
+    var cum = 0L
+    var sStar = Long.MaxValue // k == 0: nothing flagged
+    var quotaAt = 0L
+    for ((sv, c) <- hist if cum < k) { sStar = sv; quotaAt = k - cum; cum += c }
+    val wScore = Window.partitionBy(col("nll_millibits")).orderBy(col("doc_id"))
+    perDoc
+      .withColumn("rn_in_score", row_number().over(wScore))
+      .withColumn("worst_decile",
+        (col("nll_millibits") > sStar) ||
+          (col("nll_millibits") === sStar && col("rn_in_score") <= quotaAt))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        col("nll_millibits"), col("worst_decile"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d36OracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |b AS (SELECT doc_id,
+      |    unnest([{'w1': ws[i], 'w2': ws[i+1]} FOR i IN range(1, len(ws))]) AS bg
+      |  FROM t WHERE len(ws) >= 2),
+      |bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+      |big AS (SELECT w1, w2, count(*) AS c FROM bb WHERE doc_id % 10 = 0
+      |  GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*) AS c FROM bb WHERE doc_id % 10 = 0
+      |  GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS nv
+      |  FROM (SELECT unnest(ws) AS w FROM t WHERE doc_id % 10 = 0)),
+      |sc AS (SELECT bb.doc_id,
+      |    length(bin(COALESCE(ctx.c, 0) + v.nv))
+      |      - length(bin(COALESCE(big.c, 0) + 1)) AS bits
+      |  FROM bb CROSS JOIN v
+      |  LEFT JOIN big ON bb.w1 = big.w1 AND bb.w2 = big.w2
+      |  LEFT JOIN ctx ON bb.w1 = ctx.w1
+      |  WHERE bb.doc_id % 10 <> 0),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(bits) AS BIGINT) AS total_bits,
+      |    CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS nll_millibits
+      |  FROM sc GROUP BY 1),
+      |r AS (SELECT *,
+      |    row_number() OVER (ORDER BY nll_millibits DESC, doc_id) AS rn,
+      |    count(*) OVER () AS n FROM agg)
+      |SELECT doc_id, n_bigrams, total_bits, nll_millibits,
+      |  rn <= n // 10 AS worst_decile
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val d34OracleSql: String =
     """WITH t AS (SELECT doc_id, source, lower(trim(text)) AS s FROM documents),
       |h AS (SELECT doc_id, source,

@@ -299,6 +299,39 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._5).distinct.size > 1)
   }
 
+  test("d36 LM perplexity matches a brute per-doc bigram scoring and decile flag") {
+    def words(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
+    def bigrams(t: String): Seq[(String, String)] =
+      words(t).sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+    def bitlen(x: Long): Int = java.lang.Long.toBinaryString(x).length
+    val clean = docs.filter(_._1 % 10 == 0)
+    val bigCnt = clean.flatMap(d => bigrams(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctxCnt = clean.flatMap(d => bigrams(d._2).map(_._1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = clean.flatMap(d => words(d._2)).distinct.size.toLong
+    val perDoc = docs.filter(_._1 % 10 != 0)
+      .map { case (id, t) => (id, bigrams(t)) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, bs) =>
+        val bits = bs.map { b =>
+          (bitlen(ctxCnt.getOrElse(b._1, 0L) + v) -
+            bitlen(bigCnt.getOrElse(b, 0L) + 1L)).toLong
+        }.sum
+        (id, bs.size.toLong, bits, bits * 1000L / bs.size)
+      }
+    val k = perDoc.size / 10
+    val flagged = perDoc.sortBy(d => (-d._4, d._1)).take(k).map(_._1).toSet
+    val expected = perDoc.sortBy(_._1)
+      .map(d => (d._1, d._2, d._3, d._4, flagged(d._1)))
+    val got = TextCorpus.d36LmPerplexity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected)
+    // The flag discriminates: some docs flagged, most not.
+    assert(k > 0 && got.count(_._5) == k && got.exists(!_._5))
+  }
+
   test("d25 packing spans match a sequential prefix sum") {
     val toks = docs.sortBy(_._1)
       .map { case (id, t) => (id, t.split(" ").count(_.nonEmpty).toLong) }
