@@ -1046,6 +1046,49 @@ object SparkEntry {
           lit(layoutExact && preserved && replaced && described))
         .orderBy(col("o_orderstatus"))
     }),
+    // POSITIONAL DELETION VECTORS: merge-on-read DELETE for an
+    // arbitrary predicate (no key column) — the delete commits an
+    // O(deleted rows) (set, file, row-position) sidecar, data bytes
+    // untouched; readers mask positions at scan time; a later append
+    // of predicate-matching rows stays VISIBLE (position identity,
+    // not value identity — the semantic key tombstones cannot give);
+    // compact materializes and clears. In-row flag pins zero-rewrite
+    // (live sets unchanged across the delete), the outstanding
+    // sidecar, and the post-compact cleared + stable state. Oracle =
+    // orders minus the predicate slice, plus the appended slice.
+    "src36_deletion_vectors" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_dv", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4)).as("k4"))
+      GraftLake.create(o.filter(col("k4") === 0), path, Some("o_orderkey"))
+      (1 to 3).foreach(i =>
+        GraftLake.append(o.filter(col("k4") === i), path, Some("o_orderkey")))
+      val liveBefore = GraftLake.snapshot(path).live.map(_.set).toSet
+      val (_, nDel) = GraftLake.deleteDv(s, path, col("cents") % 7 === 0)
+      val snapAfter = GraftLake.snapshot(path)
+      val zeroRewrite = snapAfter.live.map(_.set).toSet == liveBefore &&
+        snapAfter.tombstones.size == 1
+      // Predicate-matching rows appended AFTER the DV stay visible.
+      GraftLake.append(o.filter(col("k4") === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(4000000000L)),
+        path, Some("o_orderkey"))
+      val nVisible = GraftLake.read(s, path).count()
+      GraftLake.compact(s, path, Seq("o_orderkey"), numFiles = 4,
+        Some("o_orderkey"))
+      val cleared = GraftLake.snapshot(path).tombstones.isEmpty
+      val stable = GraftLake.read(s, path).count() == nVisible
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("dv_ok",
+          lit(nDel > 0 && zeroRewrite && cleared && stable))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -2830,6 +2873,18 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_equals_api
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Orders minus the cents%7 slice, plus the re-appended k4=0 slice
+    // (appended after the DV, so visible regardless of cents%7).
+    "src36_deletion_vectors" ->
+      """WITH o AS (SELECT o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS k4
+        |  FROM orders),
+        |kept AS (SELECT st, cents FROM o WHERE cents % 7 <> 0
+        |  UNION ALL SELECT st, cents FROM o WHERE k4 = 0)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS dv_ok
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     // Content-neutral orders replay: the partitioned CTAS + dynamic
     // INSERT land every row once; the 1996 static overwrite doubles
     // that year's cents.

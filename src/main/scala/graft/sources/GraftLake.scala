@@ -1178,25 +1178,63 @@ object GraftLake {
     val upTo = all.take(version + 1)
     val st = foldState(EmptySnapshot, upTo)
     val target = StructType.fromDDL(st.schemaDdl)
-    val parts = st.live.map(readSet(spark, path, _, target, st.renames))
-    applyTombstones(spark, path, parts.reduceLeft(_.unionByName(_)),
-      st.tombstones)
+    assembleSets(spark, path, st.live, target, st.renames, st.tombstones)(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), target))
+  }
+
+  /** The positional-deletion-vector sidecar schema: (target set,
+    * parquet file NAME within the set dir, `_metadata.row_index`
+    * position inside that file). Sidecars are schema-sniffed out of
+    * the tombstone list, so DVs inherit the ENTIRE tombstone
+    * lifecycle for free: the mutation fences, compact
+    * materialization, vacuum's live fence, checkpoints, CDF.
+    */
+  private val DvCols = Seq("__dv_set", "__dv_file", "__dv_pos")
+
+  private def isDvSidecar(df: DataFrame): Boolean =
+    df.columns.sorted.toSeq == DvCols.sorted
+
+  /** Load the live tombstone sidecars, split into (positional DV
+    * union, key tombstone frames) by each sidecar's own schema.
+    */
+  private def loadTombstones(
+      spark: SparkSession, path: String,
+      ts: Seq[String]): (Option[DataFrame], Seq[DataFrame]) = {
+    val loaded = ts.map(t => spark.read.parquet(setPath(path, t)))
+    val (dvs, keys) = loaded.partition(isDvSidecar)
+    (dvs.reduceLeftOption(_.unionByName(_)), keys)
   }
 
   /** Anti-join `df` against the union of live tombstone key-sets (a
     * no-op when none exist — the common case costs nothing). The key
     * column is the tombstone set's own (self-describing parquet).
     */
-  private def applyTombstones(
-      spark: SparkSession, path: String, df: DataFrame,
-      ts: Seq[String]): DataFrame = {
-    if (ts.isEmpty) df
+  private def applyTombstoneFrames(
+      df: DataFrame, keys: Seq[DataFrame]): DataFrame = {
+    if (keys.isEmpty) df
     else {
-      val keys = ts.map(t => spark.read.parquet(s"$path/$t"))
-        .reduceLeft(_.unionByName(_))
-      val keyCol = keys.columns.head
-      df.join(functions.broadcast(keys.distinct()), Seq(keyCol), "left_anti")
+      val ks = keys.reduceLeft(_.unionByName(_))
+      val keyCol = ks.columns.head
+      df.join(functions.broadcast(ks.distinct()), Seq(keyCol), "left_anti")
     }
+  }
+
+  /** Union `sets` under `target`, applying BOTH merge-on-read sidecar
+    * families staged in `tombstones`: positional deletion vectors
+    * mask (file, row-position) pairs inside each set's scan; key
+    * tombstone sets anti-join on their own key column after the
+    * union. Both are small by construction — broadcast joins, and the
+    * no-sidecar common case adds nothing to the plan.
+    */
+  private def assembleSets(
+      spark: SparkSession, path: String, sets: Seq[LiveSet],
+      target: StructType, renames: Map[String, Seq[String]],
+      tombstones: Seq[String])(emptyFallback: => DataFrame): DataFrame = {
+    val (dv, keys) = loadTombstones(spark, path, tombstones)
+    val df = sets.map(readSet(spark, path, _, target, renames, dv))
+      .reduceLeftOption(_.unionByName(_)).getOrElse(emptyFallback)
+    applyTombstoneFrames(df, keys)
   }
 
   /** One file-set scanned under its own written schema and projected
@@ -1225,10 +1263,29 @@ object GraftLake {
   private def readSet(
       spark: SparkSession, path: String, ls: LiveSet,
       target: StructType,
-      renames: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      renames: Map[String, Seq[String]] = Map.empty,
+      dv: Option[DataFrame] = None): DataFrame = {
     val own = StructType.fromDDL(ls.schemaDdl)
     val ownNames = own.fieldNames.toSet
-    spark.read.schema(own).parquet(setPath(path, ls.set))
+    val raw0 = spark.read.schema(own).parquet(setPath(path, ls.set))
+    // Positional deletion-vector mask: drop this set's (file,
+    // row-position) pairs at scan time — zero data rewritten. The
+    // position is the parquet reader's own `_metadata.row_index`
+    // (stable per file); file identity is the file NAME (unique
+    // within the set directory, table-move-proof).
+    val raw = dv match {
+      case Some(d) =>
+        val m = d.filter(col("__dv_set") === ls.set)
+          .select(col("__dv_file"), col("__dv_pos"))
+        raw0
+          .withColumn("__dv_file", functions.element_at(
+            functions.split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .join(functions.broadcast(m),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+      case None => raw0
+    }
+    raw
       .select(target.fields.map { f =>
         // Column-mapping resolution: the logical name, else the most
         // recent FORMER name this set was written under, else the
@@ -1248,9 +1305,9 @@ object GraftLake {
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     val target = StructType.fromDDL(s.schemaDdl)
-    val parts = s.live.map(readSet(spark, path, _, target, s.renames))
-    applyTombstones(spark, path, parts.reduceLeft(_.unionByName(_)),
-      s.tombstones)
+    assembleSets(spark, path, s.live, target, s.renames, s.tombstones)(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), target))
   }
 
   /** TIME TRAVEL BY TIMESTAMP: the snapshot as of wall-clock
@@ -1316,10 +1373,9 @@ object GraftLake {
         }
       }
     }
-    val df = scan.map(readSet(spark, path, _, target, s.renames))
-      .reduceLeftOption(_.unionByName(_))
-      .getOrElse(read(spark, path).limit(0))
-    (applyTombstones(spark, path, df, s.tombstones), scan.size, skip.size)
+    val df = assembleSets(spark, path, scan, target, s.renames,
+      s.tombstones)(read(spark, path).limit(0))
+    (df, scan.size, skip.size)
   }
 
   // ------------------------------------------------------- bloom skipping
@@ -1425,10 +1481,9 @@ object GraftLake {
         case None => true // no verified bloom — must read
       }
     }
-    val df = scan.map(readSet(spark, path, _, target, s.renames))
-      .reduceLeftOption(_.unionByName(_))
-      .getOrElse(read(spark, path).limit(0))
-    (applyTombstones(spark, path, df, s.tombstones), scan.size, skip.size)
+    val df = assembleSets(spark, path, scan, target, s.renames,
+      s.tombstones)(read(spark, path).limit(0))
+    (df, scan.size, skip.size)
   }
 
   /** CHANGES feed (CDC, insert-only): the rows added by every commit
@@ -1952,6 +2007,85 @@ object GraftLake {
       if (!cdfEnabled(path)) None
       else stageCdf(path, Seq((matching, "delete")))
     val v = commit(keys, path, "tombstone", cdfSet = cdfSet)
+    (v, n)
+  }
+
+  /** POSITIONAL DELETION VECTORS — merge-on-read DELETE for ANY
+    * predicate (Iceberg position deletes / Delta deletion vectors):
+    * instead of rewriting the hit file-sets (copy-on-write
+    * [[delete]]) or keying on a unique column ([[deleteMoR]]), commit
+    * ONE sidecar of (set, file, row-position) triples for exactly the
+    * rows where `predicate` is TRUE — O(deleted rows) positions
+    * written, ZERO data bytes rewritten, no key column required.
+    * Readers mask the positions at scan time (a broadcast anti-join
+    * on `_metadata.row_index` inside [[readSet]] — DVs are small by
+    * construction); [[compact]] materializes and clears them.
+    *
+    * Semantics vs key tombstones: a DV suppresses ONLY the physical
+    * rows it was committed against — rows APPENDED LATER stay visible
+    * even when they satisfy the predicate (position identity, not
+    * value identity), so delete-then-reinsert works without an
+    * intervening compact. DVs stack across commits, compose with
+    * outstanding key tombstones (both sidecar families apply on
+    * read), and already-deleted rows never re-match (so CDF images
+    * are never double-reported). The sidecar rides the tombstone
+    * lifecycle wholesale: merge / CoW delete / clone / restore /
+    * rename refuse while DVs are outstanding, vacuum fences the
+    * sidecar, checkpoints carry it, compact's rewrite clears it.
+    *
+    * At 100 TB this is the cheap-erasure shape for predicates no key
+    * column serves: the delete writes kilobytes of positions; the
+    * rewrite cost is deferred to the next compaction.
+    *
+    * Returns (version, deletedRows); a no-hit delete commits nothing.
+    */
+  def deleteDv(
+      spark: SparkSession, path: String, predicate: Column): (Int, Long) = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    val target = StructType.fromDDL(s.schemaDdl)
+    val (dv, keyTs) = loadTombstones(spark, path, s.tombstones)
+    val perSet = s.live.map { ls =>
+      val own = StructType.fromDDL(ls.schemaDdl)
+      val ownNames = own.fieldNames.toSet
+      val raw0 = spark.read.schema(own).parquet(setPath(path, ls.set))
+        .withColumn("__dv_file", functions.element_at(
+          functions.split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+      val masked = dv match {
+        case Some(d) =>
+          val m = d.filter(col("__dv_set") === ls.set)
+            .select(col("__dv_file"), col("__dv_pos"))
+          raw0.join(functions.broadcast(m),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+        case None => raw0
+      }
+      masked.select((Seq(lit(ls.set).as("__dv_set"), col("__dv_file"),
+        col("__dv_pos")) ++
+        target.fields.toSeq.map { f =>
+          (f.name +: s.renames.getOrElse(f.name, Seq.empty))
+            .find(ownNames) match {
+              case Some(phys) => col(phys).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+        }): _*)
+    }
+    val union0 = perSet.reduceLeftOption(_.unionByName(_))
+      .getOrElse(return (s.version, 0L))
+    // Key tombstones still suppress value-matched rows: only VISIBLE
+    // rows may match (keeps CDF single-reported and DVs minimal).
+    val visible = applyTombstoneFrames(union0, keyTs)
+    val matching = visible.filter(coalesce(predicate, lit(false)))
+      .localCheckpoint(true)
+    val n = matching.count()
+    if (n == 0L) return (s.version, 0L)
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else stageCdf(path, Seq((matching.select(
+        target.fieldNames.toIndexedSeq.map(col): _*), "delete")))
+    val v = commit(
+      matching.select(col("__dv_set"), col("__dv_file"), col("__dv_pos")),
+      path, "tombstone", cdfSet = cdfSet)
     (v, n)
   }
 
