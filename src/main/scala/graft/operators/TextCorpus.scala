@@ -688,12 +688,17 @@ object TextCorpus {
   def d35NgramDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    def grams(df: DataFrame): DataFrame = df.as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val ws = text.split(" ").filter(_.nonEmpty)
-        if (ws.length < DecontamN) Iterator.empty
-        else ws.sliding(DecontamN).map(g => (id, g.mkString(" ")))
-      }.toDF("doc_id", "g").distinct()
+    // Pure Column expressions (no typed flatMap): the gram explosion
+    // stays inside whole-stage codegen — no Row encode/decode per
+    // document on the corpus-sized pass.
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        array_remove(split(col("text"), " "), "").as("ws"))
+      .filter(size(col("ws")) >= DecontamN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${DecontamN - 1}), " +
+          s"i -> concat_ws(' ', slice(ws, i, $DecontamN)))")).as("g"))
+      .distinct()
     val held = grams(docs.filter(pmod(col("doc_id"), lit(10)) === 0))
       .select(col("g")).distinct()
     grams(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))

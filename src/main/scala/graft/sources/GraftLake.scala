@@ -1161,6 +1161,13 @@ object GraftLake {
   private[sources] def CheckpointInterval: Int =
     sys.props.get("graft.lake.checkpointInterval").map(_.toInt).getOrElse(10)
 
+  /** How many Bloom sidecars [[deleteKeys]] broadcasts per probe
+    * pass — bounds peak broadcast memory to O(batch × bloom bytes)
+    * however many live sets exist. Overridable for tests.
+    */
+  private[sources] def BloomProbeBatch: Int =
+    sys.props.get("graft.lake.bloomProbeBatch").map(_.toInt).getOrElse(64)
+
   private def maybeAutoCheckpoint(path: String, v: Int): Unit = {
     val n = CheckpointInterval
     if (n > 0 && v > 0 && v % n == 0)
@@ -1852,7 +1859,23 @@ object GraftLake {
     val sFrame = source.withColumn("_s_ex", lit(1)).alias("s")
     val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
       .reduce(_ && _)
+    // ONE physical join execution for the whole merge: the full-outer
+    // join fans out to up to 6 consumers (survivors, inserts, 4 CDF
+    // images) which would each recompute it. Fold each side into a
+    // STRUCT column named t / s — `t.<col>` / `s.<col>` references
+    // (including the user's clause SQL) resolve as struct-field
+    // access, which SURVIVES localCheckpoint (plain `t`/`s` alias
+    // qualifiers would not: a checkpointed LogicalRDD drops them, and
+    // the sides share key-column names). Null semantics are
+    // preserved because every access below is field-level.
+    val tNames = target.fieldNames.toSeq :+ "_t_ex"
+    val sNames = source.columns.toSeq :+ "_s_ex"
     val j = tFrame.join(sFrame, joinCond, "full_outer")
+      .select(
+        functions.struct(tNames.map(n => col(s"t.$n").as(n)): _*).as("t"),
+        functions.struct(sNames.map(n => col(s"s.$n").as(n)): _*).as("s"))
+      .localCheckpoint(true)
+    lastMergeActionsJoin = Some(j)
     val tEx = col("t._t_ex").isNotNull
     val sEx = col("s._s_ex").isNotNull
     // First-match clause dispatch per family: clause i applies when
@@ -2245,14 +2268,23 @@ object GraftLake {
     val bloomHits: Set[String] =
       if (bloomed.isEmpty) Set.empty
       else {
-        val bc = spark.sparkContext.broadcast(bloomed)
         // NULL keys (and per-row uncastable values) can never match a
         // row of the integral bloom column — filter the cast, which
-        // the getLong pass would otherwise NPE on.
-        k.select(col(keyCol).cast("long").as("_bk"))
+        // the getLong pass would otherwise NPE on. Checkpointed once,
+        // re-probed per batch below.
+        val keyVals = k.select(col(keyCol).cast("long").as("_bk"))
           .filter(col("_bk").isNotNull)
           .map(_.getLong(0))(org.apache.spark.sql.Encoders.scalaLong)
-          .mapPartitions { it =>
+        // BOUNDED broadcast: probe the sidecars in fixed-size set
+        // batches, so driver/executor memory holds O(batch × bloom)
+        // bytes regardless of how many live sets the table has — a
+        // 10k-set table must not materialize 10k blooms at once. The
+        // delta is checkpointed, so each extra pass re-reads a small
+        // cached frame; every batch must be probed (a hit is a
+        // per-set fact — there is no early exit across batches).
+        bloomed.toSeq.grouped(BloomProbeBatch).flatMap { batch =>
+          val bc = spark.sparkContext.broadcast(batch.toMap)
+          val hits = keyVals.mapPartitions { it =>
             val m = bc.value
             val found = scala.collection.mutable.Set[String]()
             it.foreach { v =>
@@ -2264,7 +2296,10 @@ object GraftLake {
             }
             found.iterator
           }(org.apache.spark.sql.Encoders.STRING)
-          .distinct().collect().toSet
+            .distinct().collect().toSet
+          bc.destroy()
+          hits
+        }.toSet
       }
     val shortlist = zoneSurvivors.filter(ls =>
       !bloomed.contains(ls.set) || bloomHits(ls.set))
@@ -2302,6 +2337,12 @@ object GraftLake {
     * disjoint/never-hit set absent here proves it was not scanned.
     */
   @volatile private[graft] var lastDeleteKeysShortlist: Seq[String] = Seq.empty
+
+  /** Spec hook: the (checkpointed) join frame of the last
+    * [[mergeActions]] call — lets a spec assert the fan-out consumers
+    * read materialized data instead of re-executing the join.
+    */
+  @volatile private[graft] var lastMergeActionsJoin: Option[DataFrame] = None
 
   /** Zone-map DELETE of a `[lo, hi]` range on `col`: file-sets whose
     * recorded `SetStats(col)` span is DISJOINT from the range are

@@ -586,6 +586,36 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(v3 == before && rew3 == 0 && n3 == 0L)
   }
 
+  test("deleteKeys bloom probing is batch-bounded: many sets, unchanged shortlist") {
+    import spark.implicits._
+    // 6 bloom-bearing sets probed with a batch size of 2 must produce
+    // the SAME shortlist (and deletes) as one unbounded broadcast —
+    // batching bounds peak memory, never changes the answer.
+    val path = freshTable()
+    val all = (1L to 600L)
+    GraftLake.create(all.filter(_ % 6 == 0).map(i => (i, i)).toDF("id", "v"),
+      path, Some("id"), bloomCols = Seq("id"))
+    (1 to 5).foreach { m =>
+      GraftLake.append(all.filter(_ % 6 == m).map(i => (i, i)).toDF("id", "v"),
+        path, statsCol = Some("id"), bloomCols = Seq("id"))
+    }
+    val prev = sys.props.put("graft.lake.bloomProbeBatch", "2")
+    try {
+      // Keys all ≡ 3 (mod 6): one residue set truly matches.
+      val (_, rew, _, n) = GraftLake.deleteKeys(
+        spark, path, Seq(9L, 15L, 21L).toDF("id"), "id", Some("id"))
+      assert(rew == 1 && n == 3L)
+      assert(GraftLake.lastDeleteKeysShortlist.size < 6,
+        s"blooms pruned nothing: ${GraftLake.lastDeleteKeysShortlist}")
+      assert(GraftLake.read(spark, path).count() == 597)
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.lake.bloomProbeBatch", v)
+        case None => sys.props.remove("graft.lake.bloomProbeBatch")
+      }
+    }
+  }
+
   test("deleteKeys on string keys: no span pruning, mixed/numeric strings delete correctly") {
     import spark.implicits._
     // String keys are legal — the semi-join matches them — but numeric

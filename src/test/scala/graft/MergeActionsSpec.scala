@@ -175,6 +175,31 @@ class MergeActionsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 1010L, 3L -> 1030L, 4L -> 40L))
   }
 
+  test("the merge join executes once: fan-out consumers read the checkpointed frame") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create(
+      (1L to 10L).map(i => (i, i % 2, i * 10)).toDF("id", "grp", "v"),
+      path, Some("id"))
+    GraftLake.enableCdf(path) // all 6 consumers in play
+    GraftLake.mergeActions(spark, path,
+      Seq((5L, 500L), (11L, 1100L)).toDF("id", "sv"), Seq("id"), "id", Seq(
+        MergeClause("matched", "update", None, Seq("v" -> "s.sv")),
+        MergeClause("notMatched", "insert", None,
+          Seq("id" -> "s.id", "grp" -> "9", "v" -> "s.sv"))))
+    // The frame every consumer (survivors, inserts, CDF images) built
+    // on contains NO join node — it is a materialized checkpoint, so
+    // the full-outer join physically ran exactly once.
+    val plan = GraftLake.lastMergeActionsJoin.get.queryExecution.optimizedPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, s"join recomputed: $plan")
+    // And the merge itself still landed correctly.
+    val got = GraftLake.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got(5L) == 500L && got(11L) == 1100L && got.size == 11)
+  }
+
   test("clause validation: bad shapes fail loudly") {
     import spark.implicits._
     val path = freshTable()
