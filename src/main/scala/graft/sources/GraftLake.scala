@@ -110,7 +110,11 @@ object GraftLake {
       // name-lineage terms: files written before a rename keep their
       // physical column name; readers resolve logical -> first former
       // name present in each set's own schema).
-      renames: Map[String, Seq[String]] = Map.empty)
+      renames: Map[String, Seq[String]] = Map.empty,
+      // The table's hive-partition layout column, recorded as a
+      // SEALED log entry (action `partition`) — rides checkpoints,
+      // clones, restore and time travel like constraints do.
+      partitionCol: Option[String] = None)
 
   private val EmptySnapshot =
     Snapshot(-1, "", Seq.empty, Seq.empty, Map.empty, 0L)
@@ -265,6 +269,10 @@ object GraftLake {
       publishEntry(dstPath, "lineage", n,
         new StructType(), None, Seq.empty, formers)
     }
+    // The partition-layout marker is table state: the fork keeps it.
+    s.partitionCol.foreach(c =>
+      publishEntry(dstPath, "partition", c, new StructType(), None,
+        Seq.empty, Seq.empty))
     v
   }
 
@@ -592,20 +600,43 @@ object GraftLake {
   }
 
   /** Record `c` as the table's hive-partition layout column — a
-    * metadata marker beside the CDF flag, so partitioned layout is a
-    * property OF THE TABLE (SQL INSERT routing and re-registration
-    * consult it), not of whoever happened to write first.
+    * SEALED LOG ENTRY (action `partition`) published through the
+    * claim loop, so the layout marker is transactional table state:
+    * it rides checkpoints, copies into shallow clones, survives
+    * restore, and time-travels — exactly like CHECK constraints.
+    * (SQL INSERT routing and re-registration consult it; partitioned
+    * layout is a property OF THE TABLE, not of whoever wrote first.)
+    *
+    * Re-recording the SAME column is a no-op; recording a DIFFERENT
+    * one refuses loudly (the existing per-value file-sets would
+    * silently stop matching the claimed layout).
     */
-  def setPartitionColumn(path: String, c: String): Unit = {
-    Files.createDirectories(logDir(path))
-    Files.writeString(logDir(path).resolve("_partition"), c)
+  def setPartitionColumn(path: String, c: String): Int = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    require(StructType.fromDDL(s.schemaDdl).fieldNames
+      .exists(_.equalsIgnoreCase(c)), s"no column '$c' at $path")
+    partitionColumnOf(path) match {
+      case Some(prev) if prev == c => s.version // idempotent
+      case Some(prev) => throw new IllegalArgumentException(
+        s"$path is already partitioned by '$prev' — re-laying out as " +
+          s"'$c' needs compactPartitioned, not a marker swap")
+      case None =>
+        publishEntry(path, "partition", c, new StructType(), None,
+          Seq.empty, Seq.empty)
+    }
   }
 
-  /** The recorded partition-layout column, if any. */
+  /** The recorded partition-layout column, if any. Reads the folded
+    * log state; falls back to the pre-round-12 `_partition` marker
+    * file for tables written before the sealed entry existed.
+    */
   def partitionColumnOf(path: String): Option[String] = {
-    val m = logDir(path).resolve("_partition")
-    if (Files.exists(m)) Some(Files.readString(m).trim).filter(_.nonEmpty)
-    else None
+    snapshotIfExists(path).flatMap(_.partitionCol).orElse {
+      val m = logDir(path).resolve("_partition")
+      if (Files.exists(m)) Some(Files.readString(m).trim).filter(_.nonEmpty)
+      else None
+    }
   }
 
   /** Whether the CDF marker is set for `path`. */
@@ -777,9 +808,10 @@ object GraftLake {
         if (v == 0 || action == "overwrite" || action == "restore")
           dfSchema.toDDL
         // A tombstone set is keys, not table data; a constraint commit
-        // is rules — neither touches the table schema.
+        // is rules; a partition commit is layout metadata — none
+        // touches the table schema.
         else if (action == "tombstone" || action == "constraint" ||
-          action == "lineage") snap.schemaDdl
+          action == "lineage" || action == "partition") snap.schemaDdl
         // A rename derives its schema from the CURRENT snapshot inside
         // the claim loop (not from a caller-captured one), so a racing
         // append's schema evolution is never clobbered. The existence/
@@ -838,7 +870,7 @@ object GraftLake {
       // be live, or a concurrent commit has invalidated our rewrite.
       // (Constraint removes are rule names, not file-sets.)
       if (action != "overwrite" && action != "constraint" &&
-          action != "lineage" && removed.nonEmpty) {
+          action != "lineage" && action != "partition" && removed.nonEmpty) {
         val live = (snap.live.map(_.set) ++ snap.tombstones).toSet
         removed.find(r => !live(r)).foreach { r =>
           throw new java.util.ConcurrentModificationException(
@@ -996,6 +1028,10 @@ object GraftLake {
         s.copy(version = c.version,
           constraints = s.constraints -- c.remove ++ added,
           tsMillis = math.max(s.tsMillis, c.tsMillis))
+      } else if (c.action == "partition") {
+        // add = Seq(layout column): table metadata, no file-sets.
+        s.copy(version = c.version, partitionCol = c.add.headOption,
+          tsMillis = math.max(s.tsMillis, c.tsMillis))
       } else if (c.action == "rename") {
         // add = Seq("old=new"): the commit carries the RENAMED full
         // schema; lineage chains (a->b->c keeps [b, a] behind c).
@@ -1043,7 +1079,8 @@ object GraftLake {
           // no pre-overwrite file can need lineage resolution — and
           // STALE lineage would misresolve a former name that
           // legitimately reappears in a post-overwrite schema.
-          if (c.action == "overwrite") Map.empty else s.renames)
+          if (c.action == "overwrite") Map.empty else s.renames,
+          s.partitionCol)
       }
     }
 
@@ -1101,7 +1138,11 @@ object GraftLake {
         s.renames.toSeq.sortBy(_._1).map { case (n, formers) =>
           render(Commit(s.version, "ckptren", "",
             Seq(n), formers, None, Seq.empty, 0L))
-        }
+        } ++
+        // Partition-layout marker rides the checkpoint like rules do.
+        s.partitionCol.toSeq.map(c =>
+          render(Commit(s.version, "ckptpart", "",
+            Seq(c), Seq.empty, None, Seq.empty, 0L)))
     val f = ckptFile(path, s.version)
     val tmp = logDir(path).resolve(f.getFileName.toString + ".tmp" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -1135,7 +1176,7 @@ object GraftLake {
       s"bad checkpoint header at $path v$v: ${head.action}")
     val body = lines.tail.map(parse)
     body.find(c => c.action != "ckptset" && c.action != "ckptcons" &&
-        c.action != "ckptren")
+        c.action != "ckptren" && c.action != "ckptpart")
       .foreach(c => throw new IllegalStateException(
         s"bad checkpoint line action: ${c.action}"))
     val live = body.filter(_.action == "ckptset")
@@ -1151,8 +1192,9 @@ object GraftLake {
       val i = it.indexOf(':')
       it.substring(i + 1) -> it.take(i).toInt
     }.toMap
+    val part = body.find(_.action == "ckptpart").flatMap(_.add.headOption)
     Some(Snapshot(head.version, head.schemaDdl, live, head.remove, tags,
-      head.tsMillis, cons, rens))
+      head.tsMillis, cons, rens, part))
   }
 
   /** Auto-checkpoint cadence (every N commits, Delta-style; 0

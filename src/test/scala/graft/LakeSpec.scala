@@ -586,6 +586,39 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     assert(v3 == before && rew3 == 0 && n3 == 0L)
   }
 
+  test("partition marker is sealed log state: checkpoint, clone, restore preserve it") {
+    import spark.implicits._
+    val path = freshTable()
+    val df = (1L to 60L).map(i => (i, i % 3, i)).toDF("id", "yr", "v")
+    GraftLake.appendPartitioned(df, path, "yr", statsCols = Seq("id"))
+    GraftLake.setPartitionColumn(path, "yr")
+    assert(GraftLake.partitionColumnOf(path).contains("yr"))
+    // Idempotent re-record; a DIFFERENT column refuses loudly.
+    GraftLake.setPartitionColumn(path, "yr")
+    intercept[IllegalArgumentException] {
+      GraftLake.setPartitionColumn(path, "v")
+    }
+    // Unknown column refuses too.
+    intercept[IllegalArgumentException] {
+      GraftLake.setPartitionColumn(path, "nope")
+    }
+    // Rides a checkpoint: resolution through the ckpt fast path keeps it.
+    GraftLake.append(Seq((100L, 0L, 100L)).toDF("id", "yr", "v"), path)
+    GraftLake.checkpoint(path)
+    assert(GraftLake.partitionColumnOf(path).contains("yr"))
+    // Survives restore (the marker is monotonic table metadata).
+    val vNow = GraftLake.latestVersion(path)
+    GraftLake.restore(spark, path, vNow - 1)
+    assert(GraftLake.partitionColumnOf(path).contains("yr"))
+    // Copies into a shallow clone like constraints do.
+    val dst = freshTable()
+    GraftLake.shallowClone(path, dst)
+    assert(GraftLake.partitionColumnOf(dst).contains("yr"))
+    // Time travel: the marker is absent at v0 (pre-record).
+    val all = GraftLake.readAt(spark, path, 0)
+    assert(all.count() == 60)
+  }
+
   test("deleteKeys bloom probing is batch-bounded: many sets, unchanged shortlist") {
     import spark.implicits._
     // 6 bloom-bearing sets probed with a batch size of 2 must produce
