@@ -643,6 +643,23 @@ object GraftLake {
   def cdfEnabled(path: String): Boolean =
     Files.exists(logDir(path).resolve("_cdf"))
 
+  /** Opt this table's SQL DELETE route into POSITIONAL DELETION
+    * VECTORS (Delta's `enableDeletionVectors` table property): once
+    * set, `DELETE FROM <registered name> WHERE ...` runs [[deleteDv]]
+    * — O(deleted rows) sidecar, zero data rewritten — instead of the
+    * copy-on-write [[delete]]; `OPTIMIZE` (compact) materializes.
+    * The Scala API is unaffected: both routes stay callable.
+    */
+  def enableDeletionVectors(path: String): Unit = {
+    require(Files.exists(logDir(path)), s"no table at $path")
+    val m = logDir(path).resolve("_dv")
+    if (!Files.exists(m)) Files.writeString(m, "1")
+  }
+
+  /** Whether SQL DELETE routes to deletion vectors for `path`. */
+  def dvDeletesEnabled(path: String): Boolean =
+    Files.exists(logDir(path).resolve("_dv"))
+
   /** Stage a CDF sidecar set (when enabled): `rows` + a constant
     * `_change_type`, written under `cdf/` — OUTSIDE the data dir, so
     * vacuum's live-set sweep never touches it and it never joins the

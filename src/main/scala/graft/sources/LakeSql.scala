@@ -273,10 +273,20 @@ object LakeSql {
   * copy-on-write row-level delete.
   */
 final case class GraftLakeDeleteCommand(
-    path: String, condSql: String, statsCol: String)
+    path: String, condSql: String, statsCol: String,
+    viewName: String = "")
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftLake.delete(spark, path, expr(condSql), statsCol = Some(statsCol))
+    // Tables opted into deletion vectors (Delta's
+    // enableDeletionVectors) take the merge-on-read route: an
+    // O(deleted rows) position sidecar instead of a file-set rewrite;
+    // OPTIMIZE materializes. Otherwise copy-on-write as before.
+    if (GraftLake.dvDeletesEnabled(path))
+      GraftLake.deleteDv(spark, path, expr(condSql))
+    else
+      GraftLake.delete(spark, path, expr(condSql), statsCol = Some(statsCol))
+    if (viewName.nonEmpty)
+      GraftLake.read(spark, path).createOrReplaceTempView(viewName)
     Seq.empty
   }
 }
@@ -984,7 +994,7 @@ object LakeDmlRule extends Rule[LogicalPlan] {
         case Some(name) =>
           val t = LakeSql.lookup(name).get
           GraftLakeDeleteCommand(
-            t.path, LakeSql.bareCondition(d.condition), t.statsCol)
+            t.path, LakeSql.bareCondition(d.condition), t.statsCol, name)
         case None => plan
       }
     case m: MergeIntoTable =>

@@ -493,6 +493,36 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception] { spark.sql("VACUUM lakesql_nope").collect() }
   }
 
+  test("SQL DELETE routes to deletion vectors when the table opts in; OPTIMIZE materializes") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakesql-dv")
+    val p = base.resolve("t").toString
+    GraftLake.create((1L to 40L).map(i => (i, i % 4)).toDF("id", "m"), p,
+      Some("id"))
+    GraftLake.enableDeletionVectors(p)
+    LakeSql.register(spark, p, "lakesql_dv", "id")
+    val liveBefore = GraftLake.snapshot(p).live.map(_.set).toSet
+    spark.sql("DELETE FROM lakesql_dv WHERE m = 0")
+    // Zero rewrite: same live sets, one outstanding position sidecar.
+    assert(GraftLake.snapshot(p).live.map(_.set).toSet == liveBefore)
+    assert(GraftLake.snapshot(p).tombstones.size == 1)
+    assert(spark.sql("SELECT count(*) FROM lakesql_dv").head.getLong(0) == 30)
+    // OPTIMIZE materializes the masked state and clears the sidecar.
+    spark.sql("OPTIMIZE lakesql_dv")
+    assert(GraftLake.snapshot(p).tombstones.isEmpty)
+    assert(spark.sql("SELECT count(*) FROM lakesql_dv").head.getLong(0) == 30)
+    // An un-opted twin still deletes copy-on-write (sets rewritten).
+    val p2 = base.resolve("t2").toString
+    GraftLake.create((1L to 40L).map(i => (i, i % 4)).toDF("id", "m"), p2,
+      Some("id"))
+    LakeSql.register(spark, p2, "lakesql_dv2", "id")
+    val live2 = GraftLake.snapshot(p2).live.map(_.set).toSet
+    spark.sql("DELETE FROM lakesql_dv2 WHERE m = 0")
+    assert(GraftLake.snapshot(p2).tombstones.isEmpty)
+    assert(GraftLake.snapshot(p2).live.map(_.set).toSet != live2)
+    assert(spark.sql("SELECT count(*) FROM lakesql_dv2").head.getLong(0) == 30)
+  }
+
   test("partitioned CTAS + INSERT PARTITION: per-value layout, static overwrite replaces only its partition") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-lakesql-part")

@@ -15,7 +15,10 @@ Method:
      absolute drift vs the prior round's recorded numbers is
      environmental, not a code regression.
 
-Usage: python3 tools/bench_control.py [bench_json] [top_n] [sf_dir]
+Usage: python3 tools/bench_control.py [bench_json] [top_n] [sf_dir] [prior]
+  `prior` pins the control commit explicitly (e.g. an older round
+  boundary when several rounds of drift are unattributed); default is
+  the most recent "round <k>:" commit below HEAD.
 """
 import json
 import os
@@ -56,10 +59,13 @@ def main():
     keys = [k for k, _ in sorted(queries.items(), key=lambda kv: -kv[1])[:top_n]]
     print(f"top-{top_n} slowest: {keys}")
 
-    log = sh('git log --format="%H %s"').stdout.splitlines()
-    prior = next((l.split()[0] for l in log[1:]
-                  if re.search(r"\bround \d+:", l)), None)
-    if prior is None:
+    if len(sys.argv) > 4:
+        prior = sh(f"git rev-parse {sys.argv[4]}").stdout.strip()
+    else:
+        log = sh('git log --format="%H %s"').stdout.splitlines()
+        prior = next((l.split()[0] for l in log[1:]
+                      if re.search(r"\bround \d+:", l)), None)
+    if not prior:
         raise SystemExit("no prior-round boundary commit found")
     print(f"prior round boundary: {prior[:12]}")
 
