@@ -1089,6 +1089,44 @@ object SparkEntry {
           lit(nDel > 0 && zeroRewrite && cleared && stable))
         .orderBy(col("o_orderstatus"))
     }),
+    // SQL IN-SUBQUERY DELETE (the CDC-apply shape from SQL): `DELETE
+    // FROM t WHERE k IN (SELECT ...)` routes the subquery as a
+    // DISTRIBUTED key delta into deleteKeys — zone-map shortlisting
+    // included, so a range-narrow key set scans ONE of three sets
+    // (in-row flag). Oracle = orders minus the replayed key set.
+    "src37_sql_delete_in" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, LakeSql}
+      val path = scratch("graft_lake_delin", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val mk = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val k1 = mk / 3
+      val k2 = 2 * mk / 3
+      GraftLake.create(o.filter(col("o_orderkey") <= k1), path,
+        Some("o_orderkey"))
+      GraftLake.append(
+        o.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2), path,
+        Some("o_orderkey"))
+      GraftLake.append(o.filter(col("o_orderkey") > k2), path,
+        Some("o_orderkey"))
+      LakeSql.register(s, path, "lake_delin", "o_orderkey")
+      o.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2 &&
+          pmod(col("o_orderkey"), lit(10)) === 3)
+        .select(col("o_orderkey"))
+        .createOrReplaceTempView("lake_delin_keys")
+      s.sql("""DELETE FROM lake_delin
+              |WHERE o_orderkey IN (SELECT o_orderkey FROM lake_delin_keys)
+              |""".stripMargin)
+      val pruned = GraftLake.lastDeleteKeysShortlist.size == 1
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("in_pruned", lit(pruned))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -2873,6 +2911,17 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_equals_api
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Orders minus the middle-range %10==3 key set the subquery fed.
+    "src37_sql_delete_in" ->
+      """WITH m AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |kept AS (SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders, m
+        |  WHERE NOT (o_orderkey > mk // 3 AND o_orderkey <= (2 * mk) // 3
+        |    AND o_orderkey % 10 = 3))
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS in_pruned
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     // Orders minus the cents%7 slice, plus the re-appended k4=0 slice
     // (appended after the DV, so visible regardless of cents%7).
     "src36_deletion_vectors" ->

@@ -291,6 +291,36 @@ final case class GraftLakeDeleteCommand(
   }
 }
 
+/** DELETE FROM <lake view> WHERE <col> IN (<subquery>) — the CDC-apply
+  * shape as SQL: the subquery's keys become a DISTRIBUTED delta frame
+  * for [[GraftLake.deleteKeys]] (zone-map + Bloom victim
+  * shortlisting, O(delta + hit sets)) instead of collapsing the
+  * subquery into a driver-side predicate. The subquery must produce
+  * exactly one column; the IN column must be a bare table column.
+  */
+final case class GraftLakeDeleteInCommand(
+    path: String, keyCol: String, keys: LogicalPlan, statsCol: String,
+    viewName: String)
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = keys :: Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val kdf = GraftSqlBridge.ofRows(spark, keys)
+    require(kdf.columns.length == 1,
+      s"DELETE FROM $viewName WHERE $keyCol IN (subquery): the subquery " +
+        s"must produce exactly ONE column, got ${kdf.columns.length}")
+    // Canonicalize to the table's own column casing — deleteKeys
+    // resolves stats/blooms case-sensitively.
+    val target = org.apache.spark.sql.types.StructType.fromDDL(
+      GraftLake.snapshot(path).schemaDdl)
+    val canon = target.fieldNames.find(_.equalsIgnoreCase(keyCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"DELETE FROM $viewName: no column '$keyCol'"))
+    GraftLake.deleteKeys(spark, path, kdf.toDF(canon), canon, Some(statsCol))
+    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    Seq.empty
+  }
+}
+
 /** UPDATE <lake view> SET c = expr, ... [WHERE <cond>] — executes the
   * lake's zone-pruned copy-on-write row-level update. Assignment
   * right-hand sides and the condition re-parse as bare SQL against a
@@ -993,8 +1023,17 @@ object LakeDmlRule extends Rule[LogicalPlan] {
       LakeSql.targetName(d.table) match {
         case Some(name) =>
           val t = LakeSql.lookup(name).get
-          GraftLakeDeleteCommand(
-            t.path, LakeSql.bareCondition(d.condition), t.statsCol, name)
+          d.condition match {
+            // DELETE ... WHERE col IN (subquery): route the subquery
+            // as a distributed key delta, not a predicate.
+            case org.apache.spark.sql.catalyst.expressions.InSubquery(
+                Seq(v), lq) if LakeSql.leafName(v).isDefined =>
+              GraftLakeDeleteInCommand(
+                t.path, LakeSql.leafName(v).get, lq.plan, t.statsCol, name)
+            case _ =>
+              GraftLakeDeleteCommand(
+                t.path, LakeSql.bareCondition(d.condition), t.statsCol, name)
+          }
         case None => plan
       }
     case m: MergeIntoTable =>

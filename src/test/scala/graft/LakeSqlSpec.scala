@@ -523,6 +523,42 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT count(*) FROM lakesql_dv2").head.getLong(0) == 30)
   }
 
+  test("DELETE WHERE col IN (subquery) routes to distributed deleteKeys") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakesql-delin")
+    val p = base.resolve("t").toString
+    // Two range-disjoint sets: an in-range key delta must shortlist 1.
+    GraftLake.create((1L to 100L).map(i => (i, i)).toDF("id", "v"), p,
+      Some("id"))
+    GraftLake.append((101L to 200L).map(i => (i, i)).toDF("id", "v"), p,
+      statsCol = Some("id"))
+    LakeSql.register(spark, p, "lakesql_delin", "id")
+    Seq(150L, 160L, 999L).toDF("id")
+      .createOrReplaceTempView("lakesql_delin_keys")
+    spark.sql("""DELETE FROM lakesql_delin
+                |WHERE id IN (SELECT id FROM lakesql_delin_keys)""".stripMargin)
+    // Distributed key delete, zone-shortlisted to the one hit set.
+    assert(GraftLake.lastDeleteKeysShortlist.size == 1)
+    assert(GraftLake.read(spark, p).count() == 198)
+    assert(GraftLake.read(spark, p).filter(col("id").isin(150L, 160L))
+      .count() == 0)
+    // The registered view refreshed.
+    assert(spark.sql("SELECT count(*) FROM lakesql_delin").head.getLong(0)
+      == 198)
+    // A multi-column subquery refuses loudly.
+    Seq((1L, 2L)).toDF("id", "x")
+      .createOrReplaceTempView("lakesql_delin_bad")
+    val e = intercept[Exception] {
+      spark.sql("""DELETE FROM lakesql_delin
+                  |WHERE id IN (SELECT id, x FROM lakesql_delin_bad)""".stripMargin)
+    }
+    assert(e.getMessage.contains("ONE column") ||
+      e.getMessage.toLowerCase.contains("number of columns"))
+    // Plain predicate deletes still take the predicate route.
+    spark.sql("DELETE FROM lakesql_delin WHERE id = 1")
+    assert(GraftLake.read(spark, p).count() == 197)
+  }
+
   test("partitioned CTAS + INSERT PARTITION: per-value layout, static overwrite replaces only its partition") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-lakesql-part")
