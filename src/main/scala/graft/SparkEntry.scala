@@ -1127,6 +1127,92 @@ object SparkEntry {
         .withColumn("in_pruned", lit(pruned))
         .orderBy(col("o_orderstatus"))
     }),
+    // MERGE-ON-READ UPDATE via deletion vectors: ONE atomic commit =
+    // position sidecar masking the old row images + an appended set
+    // with the rewritten rows — the hit sets are untouched BYTES
+    // (in-row flag pins them still live with a single outstanding
+    // sidecar). Rows appended AFTER the update keep their own values
+    // even when they match (position identity); compact materializes.
+    // Oracle = orders with the cents%7 slice bumped, plus the
+    // re-appended k4=0 slice at original cents.
+    "src38_update_dv" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_updv", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4)).as("k4"))
+      GraftLake.create(o.filter(col("k4") === 0), path, Some("o_orderkey"))
+      (1 to 3).foreach(i =>
+        GraftLake.append(o.filter(col("k4") === i), path, Some("o_orderkey")))
+      val liveBefore = GraftLake.snapshot(path).live.map(_.set).toSet
+      val (_, nUpd) = GraftLake.updateDv(s, path, col("cents") % 7 === 0,
+        Seq("cents" -> (col("cents") + 1)), Some("o_orderkey"))
+      val snapAfter = GraftLake.snapshot(path)
+      val zeroRewrite = liveBefore.subsetOf(snapAfter.live.map(_.set).toSet) &&
+        snapAfter.live.size == liveBefore.size + 1 &&
+        snapAfter.tombstones.size == 1
+      // Predicate-matching rows appended AFTER the update keep their
+      // values — nothing re-matches a committed position sidecar.
+      GraftLake.append(o.filter(col("k4") === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(4000000000L)),
+        path, Some("o_orderkey"))
+      val sumBefore = GraftLake.read(s, path)
+        .agg(sum(col("cents"))).head.getLong(0)
+      GraftLake.compact(s, path, Seq("o_orderkey"), numFiles = 4,
+        Some("o_orderkey"))
+      val cleared = GraftLake.snapshot(path).tombstones.isEmpty
+      val stable = GraftLake.read(s, path)
+        .agg(sum(col("cents"))).head.getLong(0) == sumBefore
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("updv_ok",
+          lit(nUpd > 0 && zeroRewrite && cleared && stable))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // DYNAMIC PARTITION OVERWRITE from SQL: `INSERT OVERWRITE ...
+    // PARTITION (yr)` replaces EXACTLY the partitions present in the
+    // query — untouched partitions survive BY REFERENCE (in-row flag),
+    // replaced ones land fresh sets with exact min==max manifests, so
+    // the layout survives the overwrite. Oracle = orders with
+    // 1995/1996 cents tripled.
+    "src39_dynamic_overwrite" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_dynow", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      o.createOrReplaceTempView("lake_dynow_src")
+      s.sql(s"""CREATE TABLE lake_dynow USING graftlake LOCATION '$path'
+               |PARTITIONED BY (yr) TBLPROPERTIES ('statscol'='o_orderkey')
+               |AS SELECT * FROM lake_dynow_src""".stripMargin)
+      val before = GraftLake.snapshot(path).live
+      def isOw(st: GraftLake.SetStats) =
+        st.min >= 1995L && st.max <= 1996L
+      val untouched = before
+        .filterNot(_.statsFor("yr").exists(isOw)).map(_.set).toSet
+      s.sql("""INSERT OVERWRITE lake_dynow PARTITION (yr)
+              |SELECT o_orderkey, o_orderstatus, cents * 3 AS cents, yr
+              |FROM lake_dynow_src WHERE yr IN (1995, 1996)""".stripMargin)
+      val after = GraftLake.snapshot(path).live
+      val afterSets = after.map(_.set).toSet
+      val preserved = untouched.subsetOf(afterSets)
+      val replaced = before.filter(_.statsFor("yr").exists(isOw))
+        .map(_.set).toSet.intersect(afterSets).isEmpty
+      val layoutExact =
+        after.forall(_.statsFor("yr").exists(st => st.min == st.max))
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("dyn_ow_ok", lit(preserved && replaced && layoutExact))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -2922,6 +3008,32 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS in_pruned
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Orders with the cents%7 slice bumped by 1 (the MoR update), plus
+    // the re-appended k4=0 slice at ORIGINAL cents (appended after the
+    // DV commit, so the position sidecar never touches it).
+    "src38_update_dv" ->
+      """WITH o AS (SELECT o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS k4
+        |  FROM orders),
+        |upd AS (SELECT st,
+        |    CASE WHEN cents % 7 = 0 THEN cents + 1 ELSE cents END AS cents
+        |  FROM o),
+        |app AS (SELECT st, cents FROM o WHERE k4 = 0)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS updv_ok
+        |FROM (SELECT * FROM upd UNION ALL SELECT * FROM app)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Content-neutral orders replay with the dynamically-overwritten
+    // 1995/1996 partitions' cents tripled; every other year untouched.
+    "src39_dynamic_overwrite" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN year(o_orderdate) IN (1995, 1996)
+        |    THEN 3 * CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |    AS BIGINT) AS cents,
+        |  TRUE AS dyn_ow_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Orders minus the cents%7 slice, plus the re-appended k4=0 slice
     // (appended after the DV, so visible regardless of cents%7).
     "src36_deletion_vectors" ->

@@ -211,6 +211,90 @@ object GraftLake {
       live.map(_.set) ++ tombstonesAt(cs), None, perSet)
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (Hive/Delta `INSERT OVERWRITE ...
+    * PARTITION (c)` under partitionOverwriteMode=dynamic): atomically
+    * replace EXACTLY the partitions present in `df`, leaving every
+    * other partition untouched BY REFERENCE — zero bytes of theirs
+    * rewritten, zero rows of theirs scanned. One commit (action
+    * `poverwrite`): remove = the replaced partitions' file-sets, add =
+    * one fresh set per incoming value with exact min==max manifests
+    * (the layout survives). Victims are picked off the MANIFEST — a
+    * set drops only when its partition-column zone map pins it to one
+    * incoming value; a live set that OVERLAPS an incoming value
+    * without that purity (a flat append widened the layout) refuses
+    * loudly: dropping it would lose other partitions' rows, rewriting
+    * it would break the by-reference contract — run
+    * [[compactPartitioned]] first. The idempotent daily-reload shape:
+    * re-landing one day from upstream replaces that day and nothing
+    * else, however many times it runs.
+    *
+    * CHECK constraints validate `df`; CDF stages delete(replaced
+    * partitions' rows) + insert(new rows). The victim list is resolved
+    * against THIS snapshot, so a concurrent commit aborts with
+    * ConcurrentModificationException — re-run to re-resolve.
+    *
+    * Returns (version, replacedSets, keptSets).
+    */
+  def overwritePartitionsDynamic(
+      spark: SparkSession, df: DataFrame, path: String,
+      statsCols: Seq[String] = Seq.empty): (Int, Int, Int) = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    val pc = partitionColumnOf(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"dynamic partition overwrite: no partition layout recorded at $path"))
+    require(s.tombstones.isEmpty,
+      s"outstanding merge-on-read tombstones at $path: compact first")
+    val cons = s.constraints
+    val target = StructType.fromDDL(s.schemaDdl)
+    require(df.columns.contains(pc),
+      s"dynamic partition overwrite: input has no '$pc' column")
+    val aligned = df.select(target.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    enforceConstraints(aligned, cons)
+    // The incoming partition values — O(partitions) driver rows by
+    // layout design (the partition column's domain is small).
+    val values = aligned.select(col(pc).cast("long")).distinct()
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"dynamic partition overwrite: NULL $pc value in the input")
+        r.getLong(0)
+      }.toSet
+    require(values.nonEmpty, "dynamic partition overwrite: empty input")
+    val victims = s.live.filter(ls => ls.statsFor(pc) match {
+      case Some(st) => st.min == st.max && values(st.min)
+      case None => false
+    })
+    val victimSets = victims.map(_.set).toSet
+    val impure = s.live.filter(ls => !victimSets(ls.set) &&
+      (ls.statsFor(pc) match {
+        case Some(st) => values.exists(v => st.min <= v && v <= st.max)
+        case None => true // unknown span — could hold any partition
+      }))
+    require(impure.isEmpty,
+      s"dynamic partition overwrite on $path: ${impure.size} live set(s) " +
+        s"overlap incoming $pc values without an exact per-partition " +
+        "manifest — run compactPartitioned to restore the layout first")
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else {
+        val old = victims.map(readSet(spark, path, _, target, s.renames))
+          .reduceLeftOption(_.unionByName(_))
+        stageCdf(path, old.map(_ -> "delete").toSeq :+ (aligned -> "insert"))
+      }
+    val perSet = stagePartitioned(aligned, path, pc,
+      reRecordable(target, s.renames, statsCols.filterNot(_ == pc)))
+    val flat = Seq(SetStats(pc,
+      perSet.flatMap(_.statsFor(pc)).map(_.min).min,
+      perSet.flatMap(_.statsFor(pc)).map(_.max).max))
+    val v = publishEntry(path, "poverwrite", "", aligned.schema, None, flat,
+      victims.map(_.set), Some(cons), perSet, cdfSet,
+      expectVersion = Some(s.version))
+    (v, victims.size, s.live.size - victims.size)
+  }
+
   /** SHALLOW CLONE: create `dstPath` as a ZERO-COPY fork of
     * `srcPath`'s current snapshot — the clone's first commit
     * references the source's live file-sets by ABSOLUTE path (no data
@@ -707,25 +791,30 @@ object GraftLake {
     // log names it), so a published set and its point-lookup index
     // appear atomically together.
     bloomCols.foreach(c => writeBloomSidecar(df.sparkSession, path, setName, c))
-    // Zone-map stats come from the WRITTEN files (parquet-footer-cheap
-    // scan), so they describe exactly what readers will see — ALL
-    // stats columns in one aggregate pass.
-    val stats: Seq[SetStats] =
-      if (statsCols.isEmpty) Seq.empty
-      else {
-        val aggs = statsCols.flatMap(c => Seq(
-          org.apache.spark.sql.functions.min(col(c)).cast("long"),
-          org.apache.spark.sql.functions.max(col(c)).cast("long")))
-        val r = df.sparkSession.read.parquet(s"$path/$setName")
-          .agg(aggs.head, aggs.tail: _*).head
-        statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(2 * i)) None
-          else Some(SetStats(c, r.getLong(2 * i), r.getLong(2 * i + 1)))
-        }
-      }
+    val stats = footerStats(df.sparkSession, path, setName, statsCols)
     publishEntry(path, action, setName, df.schema, tag, stats, removeSets,
       validatedCons, cdfSet = cdfSet)
   }
+
+  /** Zone-map stats from the WRITTEN files (parquet-footer-cheap
+    * scan), so they describe exactly what readers will see — ALL
+    * stats columns in one aggregate pass.
+    */
+  private def footerStats(
+      spark: SparkSession, path: String, setName: String,
+      statsCols: Seq[String]): Seq[SetStats] =
+    if (statsCols.isEmpty) Seq.empty
+    else {
+      val aggs = statsCols.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(col(c)).cast("long"),
+        org.apache.spark.sql.functions.max(col(c)).cast("long")))
+      val r = spark.read.parquet(s"$path/$setName")
+        .agg(aggs.head, aggs.tail: _*).head
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(2 * i)) None
+        else Some(SetStats(c, r.getLong(2 * i), r.getLong(2 * i + 1)))
+      }
+    }
 
   /** COMMIT a pre-staged file-set of already-written parquet files —
     * the entry point for writers that stage data OUTSIDE a DataFrame
@@ -790,7 +879,8 @@ object GraftLake {
       validatedCons: Option[Map[String, String]] = None,
       perSet: Seq[LiveSet] = Seq.empty,
       cdfSet: Option[String] = None,
-      expectVersion: Option[Int] = None): Int = {
+      expectVersion: Option[Int] = None,
+      dvSidecar: Option[String] = None): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -912,9 +1002,11 @@ object GraftLake {
       // the prior commit so timestamp time travel is well-defined even
       // if the system clock steps backward between writers.
       val ts = math.max(System.currentTimeMillis(), snap.tsMillis)
-      val addItems =
-        if (perSet.nonEmpty) perSet.map(_.set)
-        else if (setName.isEmpty) Seq.empty[String] else Seq(setName)
+      // An updatedv commit names its DV sidecar FIRST, then its data
+      // set(s) — foldState splits them back by position.
+      val addItems = dvSidecar.toSeq ++
+        (if (perSet.nonEmpty) perSet.map(_.set)
+         else if (setName.isEmpty) Seq.empty[String] else Seq(setName))
       val header = render(Commit(v, action, mergedDdl, addItems, removed, tag,
         stats, ts, cdf = cdfSet))
       // Partitioned commits append one sealed per-set manifest line
@@ -1088,6 +1180,12 @@ object GraftLake {
           else c.add.map(a => LiveSet(a, c.schemaDdl, c.stats))
         val (live, tombs) =
           if (c.action == "tombstone") (keptLive, keptTombs ++ c.add)
+          // updatedv: add = Seq(dvSidecar, dataSet...) — the sidecar
+          // folds into tombstones (it masks positions on read), the
+          // data set(s) join the live list with the commit's stats.
+          else if (c.action == "updatedv")
+            (keptLive ++ c.add.tail.map(a => LiveSet(a, c.schemaDdl, c.stats)),
+              keptTombs :+ c.add.head)
           else (keptLive ++ added, keptTombs)
         Snapshot(c.version, c.schemaDdl, live, tombs,
           c.tag.fold(s.tags)(t => s.tags + (t -> c.version)),
@@ -1634,7 +1732,8 @@ object GraftLake {
           sets.map(ls => readSet(spark, path, ls, target, latestRenames)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(c.version)))
-        case "merge" | "update" | "delete" | "tombstone" | "restore" =>
+        case "merge" | "update" | "delete" | "tombstone" | "restore" |
+            "updatedv" | "poverwrite" =>
           val cdfName = c.cdf.getOrElse(throw new IllegalStateException(
             s"commit ${c.version} is a ${c.action} with no change-data " +
               "sidecar (CDF was not enabled when it committed) — read a " +
@@ -2126,6 +2225,33 @@ object GraftLake {
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     val target = StructType.fromDDL(s.schemaDdl)
+    val visible = visibleWithPositions(spark, path, s)
+      .getOrElse(return (s.version, 0L))
+    val matching = visible.filter(coalesce(predicate, lit(false)))
+      .localCheckpoint(true)
+    val n = matching.count()
+    if (n == 0L) return (s.version, 0L)
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else stageCdf(path, Seq((matching.select(
+        target.fieldNames.toIndexedSeq.map(col): _*), "delete")))
+    val v = commit(
+      matching.select(col("__dv_set"), col("__dv_file"), col("__dv_pos")),
+      path, "tombstone", cdfSet = cdfSet)
+    (v, n)
+  }
+
+  /** Every VISIBLE row of snapshot `s` with its physical position
+    * identity (`__dv_set`/`__dv_file`/`__dv_pos`) prepended to the
+    * logical columns: outstanding DVs mask inside each set's scan, key
+    * tombstones anti-join after the union, so only rows a reader would
+    * serve can match — which keeps CDF single-reported and position
+    * sidecars minimal. The triple is exactly what a deletion-vector
+    * commit records. None when the table has no live sets.
+    */
+  private def visibleWithPositions(
+      spark: SparkSession, path: String, s: Snapshot): Option[DataFrame] = {
+    val target = StructType.fromDDL(s.schemaDdl)
     val (dv, keyTs) = loadTombstones(spark, path, s.tombstones)
     val perSet = s.live.map { ls =>
       val own = StructType.fromDDL(ls.schemaDdl)
@@ -2152,22 +2278,84 @@ object GraftLake {
             }
         }): _*)
     }
-    val union0 = perSet.reduceLeftOption(_.unionByName(_))
+    perSet.reduceLeftOption(_.unionByName(_))
+      .map(applyTombstoneFrames(_, keyTs))
+  }
+
+  /** MERGE-ON-READ UPDATE via deletion vectors — `UPDATE ... SET ...
+    * WHERE ...` for ANY predicate with ZERO data rewritten in the hit
+    * sets (Delta's deletion-vector UPDATE): ONE atomic commit (action
+    * `updatedv`) carries BOTH a position sidecar masking the old row
+    * images AND an appended file-set with the rewritten rows. The hit
+    * file-sets are untouched bytes — the rewrite cost is O(updated
+    * rows), deferred to the next [[compact]], vs [[update]]'s
+    * copy-on-write rewrite of every set containing a match.
+    *
+    * Assignment semantics match [[update]]: every right-hand side
+    * reads the INPUT row (`SET a = b, b = a` swaps), targets must be
+    * distinct existing columns, CHECK constraints validate the
+    * rewritten rows. Works with outstanding DVs / key tombstones
+    * (only VISIBLE rows match — DVs stack); CDF stages
+    * update_preimage + update_postimage. The position sidecar is
+    * computed against THIS snapshot, so any concurrent commit aborts
+    * with ConcurrentModificationException — re-run to re-resolve.
+    *
+    * At 100 TB this is the hot-row mutation shape: touching 0.01% of
+    * rows costs kilobytes of positions + one small append, not a
+    * rewrite of every 128 MB set that holds a match.
+    *
+    * Returns (version, updatedRows); a no-hit update commits nothing.
+    */
+  def updateDv(
+      spark: SparkSession, path: String, predicate: Column,
+      sets: Seq[(String, Column)],
+      statsCol: Option[String] = None): (Int, Long) = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    require(sets.nonEmpty, "UPDATE with no assignments")
+    val target = StructType.fromDDL(s.schemaDdl)
+    sets.foreach { case (c, _) =>
+      require(target.fieldNames.contains(c),
+        s"UPDATE: no column '$c' at $path")
+    }
+    require(sets.map(_._1).distinct.size == sets.size,
+      "UPDATE: duplicate assignment targets")
+    val visible = visibleWithPositions(spark, path, s)
       .getOrElse(return (s.version, 0L))
-    // Key tombstones still suppress value-matched rows: only VISIBLE
-    // rows may match (keeps CDF single-reported and DVs minimal).
-    val visible = applyTombstoneFrames(union0, keyTs)
     val matching = visible.filter(coalesce(predicate, lit(false)))
       .localCheckpoint(true)
     val n = matching.count()
     if (n == 0L) return (s.version, 0L)
+    val pre = matching.select(target.fieldNames.toIndexedSeq.map(col): _*)
+    // All assignments in ONE select over the pre-image (every row here
+    // already satisfies the predicate, so no per-row WHEN is needed).
+    val post = pre.select(target.fields.toIndexedSeq.map { f =>
+      sets.find(_._1 == f.name) match {
+        case Some((_, v)) => v.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    // The rewritten rows are NEW data: CHECK constraints gate them
+    // like any append, and the validated rule-set rides the publish
+    // loop's racing-writer freshness fence.
+    val cons = s.constraints
+    enforceConstraints(post, cons)
+    // Stage both halves before the claim: the DV sidecar masking the
+    // old positions, and the data set carrying the new rows. The log
+    // entry names them together, so readers see neither or both.
+    val dvName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    matching.select(DvCols.map(col): _*).write.parquet(s"$path/$dvName")
+    val dataName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    post.write.parquet(s"$path/$dataName")
+    val stats = footerStats(spark, path, dataName,
+      reRecordable(target, s.renames, statsCol.toSeq))
     val cdfSet =
       if (!cdfEnabled(path)) None
-      else stageCdf(path, Seq((matching.select(
-        target.fieldNames.toIndexedSeq.map(col): _*), "delete")))
-    val v = commit(
-      matching.select(col("__dv_set"), col("__dv_file"), col("__dv_pos")),
-      path, "tombstone", cdfSet = cdfSet)
+      else stageCdf(path, Seq(
+        (pre, "update_preimage"), (post, "update_postimage")))
+    val v = publishEntry(path, "updatedv", dataName, post.schema, None,
+      stats, Seq.empty, Some(cons), cdfSet = cdfSet,
+      expectVersion = Some(s.version), dvSidecar = Some(dvName))
     (v, n)
   }
 

@@ -331,8 +331,17 @@ final case class GraftLakeUpdateCommand(
     statsCol: String)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftLake.update(spark, path, expr(condSql),
-      assigns.map { case (c, v) => c -> expr(v) }, Some(statsCol))
+    // Tables opted into deletion vectors (Delta's
+    // enableDeletionVectors) take the merge-on-read route: ONE atomic
+    // commit of a position sidecar + the rewritten rows — zero bytes
+    // of the hit sets rewritten; OPTIMIZE materializes. Otherwise
+    // zone-pruned copy-on-write as before.
+    if (GraftLake.dvDeletesEnabled(path))
+      GraftLake.updateDv(spark, path, expr(condSql),
+        assigns.map { case (c, v) => c -> expr(v) }, Some(statsCol))
+    else
+      GraftLake.update(spark, path, expr(condSql),
+        assigns.map { case (c, v) => c -> expr(v) }, Some(statsCol))
     Seq.empty
   }
 }
@@ -554,18 +563,28 @@ final case class GraftLakeInsertCommand(
         GraftLake.appendPartitioned(aligned, path, pc,
           statsCols = Seq(statsCol).filterNot(_.equalsIgnoreCase(pc)))
       case (Some(pc), true) =>
-        val (_, v) = staticPart.getOrElse(throw new IllegalArgumentException(
-          s"INSERT OVERWRITE on partitioned lake $viewName needs a " +
-            s"static PARTITION ($pc=<value>) — a dynamic overwrite " +
-            "would drop the partition layout"))
-        val lv =
-          try v.toLong
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"INSERT OVERWRITE $viewName PARTITION ($pc=$v): the " +
-                "layout column is integral — give an integral value")
-          }
-        GraftLake.replaceWhere(spark, path, aligned, pc, lv, lv)
+        staticPart match {
+          case Some((_, v)) =>
+            val lv =
+              try v.toLong
+              catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"INSERT OVERWRITE $viewName PARTITION ($pc=$v): the " +
+                    "layout column is integral — give an integral value")
+              }
+            GraftLake.replaceWhere(spark, path, aligned, pc, lv, lv)
+          case None if partitionSpec.nonEmpty =>
+            // Dynamic `PARTITION (c)` overwrite: replace exactly the
+            // partitions present in the query, every other partition
+            // survives by reference with the layout intact.
+            GraftLake.overwritePartitionsDynamic(spark, aligned, path,
+              statsCols = Seq(statsCol).filterNot(_.equalsIgnoreCase(pc)))
+          case None => throw new IllegalArgumentException(
+            s"INSERT OVERWRITE on partitioned lake $viewName needs a " +
+              s"PARTITION clause — PARTITION ($pc=<value>) replaces one " +
+              s"partition, PARTITION ($pc) replaces the partitions in " +
+              "the query; a bare overwrite would drop the layout")
+        }
       case (None, false) =>
         GraftLake.append(aligned, path, statsCol = Some(statsCol))
       case (None, true) =>

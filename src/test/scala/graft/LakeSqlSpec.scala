@@ -622,12 +622,13 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
       spark.sql("INSERT INTO lakesql_pref PARTITION (yr=1, v=1) VALUES (11)")
     }
     assert(e2.getMessage.contains("single-column"))
-    // Dynamic OVERWRITE would drop the partition layout.
+    // A BARE overwrite (no PARTITION clause) would drop the layout —
+    // the refusal points at the static and dynamic PARTITION forms.
     val e3 = intercept[Exception] {
       spark.sql("""INSERT OVERWRITE lakesql_pref
                   |SELECT * FROM lakesql_pref_src""".stripMargin)
     }
-    assert(e3.getMessage.contains("static PARTITION"))
+    assert(e3.getMessage.contains("PARTITION clause"))
     // The pinned layout column must not also appear in the insert list.
     val e4 = intercept[Exception] {
       spark.sql("""INSERT INTO lakesql_pref PARTITION (yr=1) (id, yr, v)
@@ -655,5 +656,58 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e6.getMessage.contains("single-column"))
     // Nothing landed through any refusal.
     assert(GraftLake.read(spark, p).count() == 10)
+  }
+
+  test("dynamic INSERT OVERWRITE PARTITION (c) replaces exactly the query's partitions") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakesql-dynow")
+    val p = base.resolve("t").toString
+    (1L to 60L).map(i => (i, i % 3, i)).toDF("id", "yr", "v")
+      .createOrReplaceTempView("lakesql_dynow_src")
+    spark.sql(
+      s"""CREATE TABLE lakesql_dynow USING graftlake LOCATION '$p'
+         |PARTITIONED BY (yr) TBLPROPERTIES ('statscol'='id')
+         |AS SELECT * FROM lakesql_dynow_src""".stripMargin)
+    val before = GraftLake.snapshot(p).live
+    val kept0 = before
+      .filter(_.statsFor("yr").exists(st => st.min == 0L && st.max == 0L))
+      .map(_.set).toSet
+    assert(kept0.nonEmpty)
+    // Replace partitions 1 and 2 (present in the query); 0 survives
+    // BY REFERENCE.
+    spark.sql("""INSERT OVERWRITE lakesql_dynow PARTITION (yr)
+                |SELECT id + 1000, yr, v * 10 FROM lakesql_dynow_src
+                |WHERE yr IN (1, 2)""".stripMargin)
+    val after = GraftLake.snapshot(p)
+    assert(kept0.subsetOf(after.live.map(_.set).toSet))
+    // The replaced partitions landed fresh sets with exact manifests.
+    assert(after.live.forall(_.statsFor("yr").exists(st => st.min == st.max)))
+    assert(GraftLake.read(spark, p).count() == 60)
+    assert(GraftLake.read(spark, p)
+      .filter(col("yr") =!= 0 && col("id") <= 1000).count() == 0)
+    // Partition 0 content is untouched.
+    assert(GraftLake.read(spark, p).filter(col("yr") === 0)
+      .agg(sum(col("v"))).head.getLong(0)
+      == (1L to 60L).filter(_ % 3 == 0).sum)
+    // Idempotent: re-running the same overwrite lands the same state.
+    spark.sql("""INSERT OVERWRITE lakesql_dynow PARTITION (yr)
+                |SELECT id + 1000, yr, v * 10 FROM lakesql_dynow_src
+                |WHERE yr IN (1, 2)""".stripMargin)
+    assert(GraftLake.read(spark, p).count() == 60)
+    // A layout widened by a flat append refuses loudly — the impure
+    // set can be neither dropped nor kept by reference.
+    GraftLake.append(
+      Seq((2000L, 1L, 1L), (2001L, 2L, 1L)).toDF("id", "yr", "v"), p)
+    val e = intercept[Exception] {
+      spark.sql("""INSERT OVERWRITE lakesql_dynow PARTITION (yr)
+                  |SELECT * FROM lakesql_dynow_src WHERE yr = 1""".stripMargin)
+    }
+    assert(e.getMessage.contains("compactPartitioned"))
+    // compactPartitioned restores the layout; the overwrite then runs.
+    GraftLake.compactPartitioned(spark, p, "yr", Seq("id"))
+    spark.sql("""INSERT OVERWRITE lakesql_dynow PARTITION (yr)
+                |SELECT * FROM lakesql_dynow_src WHERE yr = 1""".stripMargin)
+    assert(GraftLake.read(spark, p).filter(col("yr") === 1).count() == 20)
+    assert(GraftLake.read(spark, p).filter(col("yr") === 2).count() == 21)
   }
 }
