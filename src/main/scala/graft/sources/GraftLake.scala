@@ -2225,7 +2225,8 @@ object GraftLake {
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     val target = StructType.fromDDL(s.schemaDdl)
-    val visible = visibleWithPositions(spark, path, s)
+    val visible = visibleWithPositions(spark, path, s,
+      predicateSpans(predicate, target))
       .getOrElse(return (s.version, 0L))
     val matching = visible.filter(coalesce(predicate, lit(false)))
       .localCheckpoint(true)
@@ -2241,19 +2242,159 @@ object GraftLake {
     (v, n)
   }
 
+  /** Instrumentation: (scanned, skipped) live-set counts of the last
+    * [[deleteDv]]/[[updateDv]] position scan — the spec/gate hook for
+    * manifest-level predicate pruning, same posture as
+    * [[lastDeleteKeysShortlist]].
+    */
+  @volatile private[graft] var lastDvScanSets: (Int, Int) = (0, 0)
+
+  /** Conjunctive integral range constraints IMPLIED by `predicate`,
+    * extracted from its unresolved expression tree: top-level AND
+    * conjuncts of the shape `c (=|<|<=|>|>=) literal` (either
+    * operand order) and `c IN (literals)` over columns whose TARGET
+    * type is integral (the zone-map value domain — the same
+    * soundness restriction as deleteKeys' span pruning: a string
+    * column's lexicographic stats cannot serve a numeric range). Any
+    * row where the predicate is TRUE satisfies every returned range,
+    * so sets provably disjoint from one of them cannot contain a
+    * matching row — manifest-level data skipping for DV mutations,
+    * derived from the predicate itself so the SQL route prunes with
+    * zero caller hints. OR branches, casts, and anything non-literal
+    * contribute no constraint (conservative).
+    */
+  private[sources] def predicateSpans(
+      predicate: Column, target: StructType): Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAttribute, UnresolvedFunction}
+    val integral = target.fields
+      .filter(f => isIntegralType(f.dataType)).map(_.name).toSet
+    def width(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case org.apache.spark.sql.types.ByteType => 1
+      case org.apache.spark.sql.types.ShortType => 2
+      case org.apache.spark.sql.types.IntegerType => 3
+      case org.apache.spark.sql.types.LongType => 4
+      case _ => 0
+    }
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        integral.find(_.equalsIgnoreCase(a.nameParts.head))
+      case a: AttributeReference => integral.find(_.equalsIgnoreCase(a.name))
+      // A WIDENING integral cast of the column is value-preserving,
+      // so the comparison constrains the underlying column unchanged
+      // (the analyzer inserts these around coerced comparisons — the
+      // `.sql`-round-tripped DELETE predicate carries them verbatim).
+      // A NARROWING cast can wrap and is never unwrapped.
+      case c: Cast if width(c.dataType) > 0 =>
+        attrOf(c.child).filter { name =>
+          target.fields.find(_.name == name)
+            .exists(f => width(c.dataType) >= width(f.dataType))
+        }
+      case _ => None
+    }
+    def litOf(e: Expression): Option[Long] = e match {
+      case Literal(v, dt) if v != null && isIntegralType(dt) =>
+        Some(v.toString.toLong)
+      // CAST(lit AS wider-integral) is value-preserving; narrowing
+      // can wrap (non-ANSI) — only unwrap widening.
+      case c: Cast if width(c.dataType) > 0 =>
+        c.child match {
+          case Literal(v, src) if v != null && isIntegralType(src) &&
+              width(c.dataType) >= width(src) => Some(v.toString.toLong)
+          case _ => None
+        }
+      case _ => None
+    }
+    def cmp(op: String, a: Expression, b: Expression): Seq[(String, Long, Long)] =
+      op match {
+        case "=" | "==" =>
+          (for (c <- attrOf(a); x <- litOf(b)) yield (c, x, x)).toSeq ++
+            (for (c <- attrOf(b); x <- litOf(a)) yield (c, x, x)).toSeq
+        case ">=" =>
+          (for (c <- attrOf(a); x <- litOf(b))
+            yield (c, x, Long.MaxValue)).toSeq ++
+            (for (c <- attrOf(b); x <- litOf(a))
+              yield (c, Long.MinValue, x)).toSeq
+        case "<=" =>
+          (for (c <- attrOf(a); x <- litOf(b))
+            yield (c, Long.MinValue, x)).toSeq ++
+            (for (c <- attrOf(b); x <- litOf(a))
+              yield (c, x, Long.MaxValue)).toSeq
+        case ">" =>
+          (for (c <- attrOf(a); x <- litOf(b) if x < Long.MaxValue)
+            yield (c, x + 1, Long.MaxValue)).toSeq ++
+            (for (c <- attrOf(b); x <- litOf(a) if x > Long.MinValue)
+              yield (c, Long.MinValue, x - 1)).toSeq
+        case "<" =>
+          (for (c <- attrOf(a); x <- litOf(b) if x > Long.MinValue)
+            yield (c, Long.MinValue, x - 1)).toSeq ++
+            (for (c <- attrOf(b); x <- litOf(a) if x < Long.MaxValue)
+              yield (c, x + 1, Long.MaxValue)).toSeq
+        case _ => Seq.empty
+      }
+    def inEnvelope(
+        a: Expression, vs: Seq[Expression]): Seq[(String, Long, Long)] =
+      (for {
+        c <- attrOf(a)
+        xs <- Some(vs.map(litOf)) if vs.nonEmpty && xs.forall(_.isDefined)
+        flat = xs.flatten
+      } yield (c, flat.min, flat.max)).toSeq
+    def go(e: Expression): Seq[(String, Long, Long)] = e match {
+      // The SQL-parsed shapes (expr("...") / typed builders).
+      case And(l, r) => go(l) ++ go(r)
+      case EqualTo(a, b) => cmp("=", a, b)
+      case GreaterThanOrEqual(a, b) => cmp(">=", a, b)
+      case LessThanOrEqual(a, b) => cmp("<=", a, b)
+      case GreaterThan(a, b) => cmp(">", a, b)
+      case LessThan(a, b) => cmp("<", a, b)
+      case In(a, vs) => inEnvelope(a, vs)
+      // The Column-dsl shapes: `col("c") <= 50` converts to an
+      // UNRESOLVED FUNCTION named for the operator, not the typed
+      // comparison node.
+      case f: UnresolvedFunction if f.nameParts.length == 1 =>
+        val as = f.arguments
+        f.nameParts.head.toLowerCase(java.util.Locale.ROOT) match {
+          case "and" if as.length == 2 => go(as(0)) ++ go(as(1))
+          case op @ ("=" | "==" | "<=" | ">=" | "<" | ">") if as.length == 2 =>
+            cmp(op, as(0), as(1))
+          case "in" if as.length >= 2 => inEnvelope(as.head, as.tail)
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    go(org.apache.spark.sql.GraftBridge.catalystExpression(predicate))
+  }
+
   /** Every VISIBLE row of snapshot `s` with its physical position
     * identity (`__dv_set`/`__dv_file`/`__dv_pos`) prepended to the
     * logical columns: outstanding DVs mask inside each set's scan, key
     * tombstones anti-join after the union, so only rows a reader would
     * serve can match — which keeps CDF single-reported and position
     * sidecars minimal. The triple is exactly what a deletion-vector
-    * commit records. None when the table has no live sets.
+    * commit records. None when no live set survives pruning.
+    *
+    * `pruneRanges` (implied by the caller's predicate) skip live sets
+    * whose zone maps are provably disjoint from any range — the
+    * manifest-level data-skipping leg: a one-day DV delete over a
+    * date-laid-out table opens one day's sets, not the table. Sets
+    * lacking stats on a pruned column are read conservatively.
     */
   private def visibleWithPositions(
-      spark: SparkSession, path: String, s: Snapshot): Option[DataFrame] = {
+      spark: SparkSession, path: String, s: Snapshot,
+      pruneRanges: Seq[(String, Long, Long)] = Seq.empty): Option[DataFrame] = {
     val target = StructType.fromDDL(s.schemaDdl)
     val (dv, keyTs) = loadTombstones(spark, path, s.tombstones)
-    val perSet = s.live.map { ls =>
+    val (scanSets, skipSets) = s.live.partition { ls =>
+      pruneRanges.forall { case (c, lo, hi) =>
+        ls.statsFor(c) match {
+          case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
+          case None => true // no stats on this dimension — must read
+        }
+      }
+    }
+    lastDvScanSets = (scanSets.size, skipSets.size)
+    val perSet = scanSets.map { ls =>
       val own = StructType.fromDDL(ls.schemaDdl)
       val ownNames = own.fieldNames.toSet
       val raw0 = spark.read.schema(own).parquet(setPath(path, ls.set))
@@ -2320,7 +2461,8 @@ object GraftLake {
     }
     require(sets.map(_._1).distinct.size == sets.size,
       "UPDATE: duplicate assignment targets")
-    val visible = visibleWithPositions(spark, path, s)
+    val visible = visibleWithPositions(spark, path, s,
+      predicateSpans(predicate, target))
       .getOrElse(return (s.version, 0L))
     val matching = visible.filter(coalesce(predicate, lit(false)))
       .localCheckpoint(true)

@@ -13,6 +13,15 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGERLY convert a Column to its catalyst expression tree —
+    * [[expression]] wraps the column node lazily (an opaque
+    * `ColumnNodeExpression`), which a structural inspector cannot
+    * traverse; this runs the classic converter (SQL strings parsed,
+    * dsl nodes recursed) so the tree is matchable.
+    */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Build a DataFrame from a custom LogicalPlan (Dataset.ofRows is
     * private[sql]).
     */

@@ -151,6 +151,40 @@ class LakeUpdateDvSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, path).filter(col("v") < 0).count() == 0)
   }
 
+  test("DV mutations prune provably-disjoint sets off the manifest") {
+    import spark.implicits._
+    val path = freshTable()
+    // Three sets with DISJOINT id spans, recorded as zone maps.
+    GraftLake.create((1L to 100L).map(i => (i, i)).toDF("id", "v"), path, Some("id"))
+    GraftLake.append((101L to 200L).map(i => (i, i)).toDF("id", "v"), path, Some("id"))
+    GraftLake.append((201L to 300L).map(i => (i, i)).toDF("id", "v"), path, Some("id"))
+    // A middle-span predicate opens ONE set (conjuncts compose; the
+    // extra always-true leg on a non-stats shape adds no constraint).
+    val (_, n) = GraftLake.updateDv(spark, path,
+      col("id") >= 120 && col("id") <= 180 && col("v") % 2 === 0,
+      Seq("v" -> (col("v") + 1000)), Some("id"))
+    assert(n == 31L)
+    assert(GraftLake.lastDvScanSets == (1, 2))
+    // Equality and IN prune the same way on deleteDv (the update's
+    // appended set carries its own id span, so it prunes too).
+    GraftLake.deleteDv(spark, path, col("id") === 250)
+    assert(GraftLake.lastDvScanSets == (1, 3))
+    GraftLake.deleteDv(spark, path, col("id").isin(10, 20, 30))
+    assert(GraftLake.lastDvScanSets == (1, 3))
+    // An OR predicate yields no constraint — conservative full scan.
+    GraftLake.deleteDv(spark, path, col("id") === 5 || col("v") === -1)
+    assert(GraftLake.lastDvScanSets == (4, 0))
+    // Pruning never changed the answer.
+    assert(GraftLake.read(spark, path).count() == 300 - 1 - 3 - 1)
+    assert(GraftLake.read(spark, path).filter(col("v") > 1000).count() == 31)
+    // SQL DELETE on a DV-opted table prunes through the same
+    // extraction (the expr-parsed predicate carries the conjuncts).
+    GraftLake.enableDeletionVectors(path)
+    graft.sources.LakeSql.register(spark, path, "updv_prune", "id")
+    spark.sql("DELETE FROM updv_prune WHERE id <= 50")
+    assert(GraftLake.lastDvScanSets == (1, 3))
+  }
+
   test("SQL UPDATE routes onto updateDv for DV-enabled tables: zero rewrite") {
     import spark.implicits._
     val path = freshTable()
