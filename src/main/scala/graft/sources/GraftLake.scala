@@ -2249,6 +2249,12 @@ object GraftLake {
     */
   @volatile private[graft] var lastDvScanSets: (Int, Int) = (0, 0)
 
+  /** Instrumentation: (scanned, skipped) live-set counts of the last
+    * copy-on-write [[delete]]/[[update]] victim search — same hook
+    * for the predicate-implied manifest pruning on the CoW paths.
+    */
+  @volatile private[graft] var lastCowScanSets: (Int, Int) = (0, 0)
+
   /** Conjunctive integral range constraints IMPLIED by `predicate`,
     * extracted from its unresolved expression tree: top-level AND
     * conjuncts of the shape `c (=|<|<=|>|>=) literal` (either
@@ -2759,15 +2765,21 @@ object GraftLake {
     val target = StructType.fromDDL(s.schemaDdl)
     val live = s.live
     // Manifest-level prune: provably disjoint sets never even scan.
-    val (candidates, skipped) = pruneDisjoint match {
-      case Some((c, lo, hi)) => live.partition { ls =>
-        ls.statsFor(c) match {
-          case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
-          case None => true // unknown span — must look
+    // The caller's explicit range (deleteRange) composes with ranges
+    // EXTRACTED from the predicate itself, so a plain delete() on a
+    // laid-out column prunes the same way with zero hints.
+    val ranges = pruneDisjoint.toSeq ++ predicateSpans(predicate, target)
+    val (candidates, skipped) =
+      if (ranges.isEmpty) (live, Seq.empty[LiveSet])
+      else live.partition { ls =>
+        ranges.forall { case (c, lo, hi) =>
+          ls.statsFor(c) match {
+            case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
+            case None => true // unknown span — must look
+          }
         }
       }
-      case None => (live, Seq.empty[LiveSet])
-    }
+    lastCowScanSets = (candidates.size, skipped.size)
     if (candidates.isEmpty) return (s.version, 0, live.size, 0L)
     // ONE distributed job: per-set match counts (O(sets) driver rows).
     val tagged = candidates.map { ls =>
@@ -2829,15 +2841,29 @@ object GraftLake {
       "UPDATE: duplicate assignment targets")
     val live = s.live
     val pred = coalesce(predicate, lit(false))
+    // Manifest-level prune off the predicate's implied ranges, then
     // ONE distributed job: per-set match counts (O(sets) driver rows).
-    val tagged = live.map { ls =>
+    val ranges = predicateSpans(predicate, target)
+    val candidates =
+      if (ranges.isEmpty) live
+      else live.filter { ls =>
+        ranges.forall { case (c, lo, hi) =>
+          ls.statsFor(c) match {
+            case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
+            case None => true // unknown span — must look
+          }
+        }
+      }
+    lastCowScanSets = (candidates.size, live.size - candidates.size)
+    if (candidates.isEmpty) return (s.version, 0, live.size, 0L)
+    val tagged = candidates.map { ls =>
       readSet(spark, path, ls, target, s.renames)
         .filter(pred)
         .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
         .select(lit(ls.set).as("s"), functions.col("n"))
     }.reduceLeft(_.unionByName(_))
     val matchCounts = tagged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val hitSets = live.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
+    val hitSets = candidates.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
     val updated = matchCounts.values.sum
     if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
     val hitDf = hitSets.map(readSet(spark, path, _, target, s.renames))

@@ -185,6 +185,26 @@ class LakeUpdateDvSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.lastDvScanSets == (1, 3))
   }
 
+  test("copy-on-write delete/update prune by the same predicate-implied ranges") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create((1L to 100L).map(i => (i, i)).toDF("id", "v"), path, Some("id"))
+    GraftLake.append((101L to 200L).map(i => (i, i)).toDF("id", "v"), path, Some("id"))
+    GraftLake.append((201L to 300L).map(i => (i, i)).toDF("id", "v"), path, Some("id"))
+    val (_, rw, kept, nDel) = GraftLake.delete(spark, path,
+      col("id") > 250 && col("id") < 261, Some("id"))
+    assert(nDel == 10L && rw == 1 && kept == 2)
+    assert(GraftLake.lastCowScanSets == (1, 2))
+    val (_, rw2, kept2, nUpd) = GraftLake.update(spark, path,
+      col("id") === 150, Seq("v" -> lit(0L)), Some("id"))
+    assert(nUpd == 1L && rw2 == 1 && kept2 == 2)
+    assert(GraftLake.lastCowScanSets == (1, 2))
+    // No extractable constraint — conservative scan of every set.
+    GraftLake.update(spark, path, col("v") === 42, Seq("v" -> lit(43L)), Some("id"))
+    assert(GraftLake.lastCowScanSets._2 == 0)
+    assert(GraftLake.read(spark, path).count() == 290)
+  }
+
   test("SQL UPDATE routes onto updateDv for DV-enabled tables: zero rewrite") {
     import spark.implicits._
     val path = freshTable()
