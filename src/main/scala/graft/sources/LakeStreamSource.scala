@@ -239,7 +239,8 @@ private[sources] class LakeMicroBatchStream(
               changeType = Some("insert")): InputPartition)
           case "padd" =>
             paddPartitions(c, Some("insert"))
-          case "merge" | "update" | "delete" | "tombstone" | "restore" =>
+          case "merge" | "update" | "delete" | "tombstone" | "restore" |
+              "updatedv" | "poverwrite" =>
             val cdfSet = c.cdf.getOrElse(throw new IllegalStateException(
               s"commit ${c.version} is a ${c.action} with no change-data " +
                 "sidecar (CDF was not enabled when it committed) — " +

@@ -186,6 +186,9 @@ class LakeStreamSourceSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       GraftLake.deleteMoR(spark, path, col("k") === 3L, "k")    // v3
       q.processAllAvailable()
+      GraftLake.updateDv(spark, path, col("k") === 2L,          // v4 (MoR,
+        Seq("v" -> (col("v") + 1)))     // atop the outstanding tombstone)
+      q.processAllAvailable()
     } finally q.stop()
     val got = spark.read.parquet(outDir).collect().map(r => (
       r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("v")),
@@ -196,7 +199,8 @@ class LakeStreamSourceSpec extends AnyFunSuite with SparkSpec {
       (2L, 20L, "update_preimage", 1), (2L, 99L, "update_postimage", 1),
       (7L, 70L, "insert", 1),
       (1L, 10L, "delete", 2),
-      (3L, 30L, "delete", 3)))
+      (3L, 30L, "delete", 3),
+      (2L, 99L, "update_preimage", 4), (2L, 100L, "update_postimage", 4)))
     // The non-CDF tail over the same log still refuses the mutations.
     val q2 = spark.readStream.format("graft-lake-stream")
       .option("path", path).load()
