@@ -1213,6 +1213,58 @@ object SparkEntry {
         .withColumn("dyn_ow_ok", lit(preserved && replaced && layoutExact))
         .orderBy(col("o_orderstatus"))
     }),
+    // MERGE-ON-READ MERGE via deletion vectors: two upsert batches
+    // stack position sidecars atop each other with ZERO bytes of any
+    // hit set rewritten (no inter-batch compact — the copy-on-write
+    // merge would refuse the second batch); OPTIMIZE materializes.
+    // Oracle = orders with the %10==0 and %10==5 key slices bumped,
+    // plus the k4=1 slice re-inserted under shifted keys.
+    "src40_merge_dv" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_mgdv", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4)).as("k4"))
+      GraftLake.create(o.filter(col("k4") === 0), path, Some("o_orderkey"))
+      (1 to 3).foreach(i =>
+        GraftLake.append(o.filter(col("k4") === i), path, Some("o_orderkey")))
+      val liveBefore = GraftLake.snapshot(path).live.map(_.set).toSet
+      // Batch 1: replace the %10==0 keys (cents+5) AND insert the k4=1
+      // slice under fresh shifted keys (cents+9) in the same merge.
+      val upd1 = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("cents", col("cents") + 5)
+        .unionByName(o.filter(col("k4") === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(4000000000L))
+          .withColumn("cents", col("cents") + 9))
+      val (_, nm1, ni1) = GraftLake.mergeDv(s, path, upd1,
+        Seq("o_orderkey"), "o_orderkey")
+      // Batch 2 stacks on batch 1's sidecar — no compact between.
+      val upd2 = o.filter(col("o_orderkey") % 10 === 5)
+        .withColumn("cents", col("cents") + 5)
+      val (_, nm2, _) = GraftLake.mergeDv(s, path, upd2,
+        Seq("o_orderkey"), "o_orderkey")
+      val snapAfter = GraftLake.snapshot(path)
+      val zeroRewrite = liveBefore.subsetOf(snapAfter.live.map(_.set).toSet) &&
+        snapAfter.live.size == liveBefore.size + 2 &&
+        snapAfter.tombstones.size == 2
+      val sumBefore = GraftLake.read(s, path)
+        .agg(sum(col("cents"))).head.getLong(0)
+      GraftLake.compact(s, path, Seq("o_orderkey"), numFiles = 4,
+        Some("o_orderkey"))
+      val cleared = GraftLake.snapshot(path).tombstones.isEmpty
+      val stable = GraftLake.read(s, path)
+        .agg(sum(col("cents"))).head.getLong(0) == sumBefore
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("mgdv_ok",
+          lit(nm1 > 0 && ni1 > 0 && nm2 > 0 && zeroRewrite &&
+            cleared && stable))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -3034,6 +3086,22 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Orders with the %10==0 and %10==5 key slices' cents bumped by 5
+    // (two stacked MoR merges), plus the k4=1 slice re-inserted at
+    // cents+9 under shifted keys.
+    "src40_merge_dv" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS k4
+        |  FROM orders),
+        |upd AS (SELECT st,
+        |    CASE WHEN k % 10 IN (0, 5) THEN cents + 5 ELSE cents END AS cents
+        |  FROM o),
+        |ins AS (SELECT st, cents + 9 AS cents FROM o WHERE k4 = 1)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS mgdv_ok
+        |FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Orders minus the cents%7 slice, plus the re-appended k4=0 slice
     // (appended after the DV, so visible regardless of cents%7).
     "src36_deletion_vectors" ->

@@ -1867,6 +1867,123 @@ object GraftLake {
     (v, hit.size, kept.size)
   }
 
+  /** MERGE-ON-READ MERGE (upsert) via deletion vectors: rows of
+    * `updates` replace target rows with equal `keyCols`, unmatched
+    * update rows insert — with ZERO bytes of any hit set rewritten.
+    * ONE atomic `updatedv` commit carries a position sidecar masking
+    * the matched target rows plus ONE appended set holding every
+    * update row (replacements and inserts alike) — readers see
+    * neither or both. The rewrite cost is O(update rows); [[compact]]
+    * materializes later.
+    *
+    * Same `statsCol` soundness contract as [[merge]] (functionally
+    * dependent on `keyCols`): the position search opens only
+    * span-overlapping sets, and matched targets can only live there,
+    * so unmatched-update detection against the pruned slice is exact.
+    * NULL `statsCol` values refuse loudly for the same reason.
+    * Duplicate update keys that match a target row reject (Delta's
+    * cardinality rule — two source rows may not replace one target
+    * row); duplicate keys among pure inserts land as-is.
+    *
+    * Unlike the copy-on-write paths this runs ON TOP of outstanding
+    * sidecars and key tombstones (only VISIBLE rows match — DVs
+    * stack), so a high-frequency upsert stream never needs an
+    * inter-batch compact. Positions resolve against THIS snapshot: a
+    * concurrent commit aborts with ConcurrentModificationException
+    * (re-run to re-resolve); the exactly-once `tag` short-circuits
+    * replays before any work. A merge that matches nothing commits a
+    * plain append (no empty sidecar).
+    *
+    * Returns (version, matchedRows, insertedRows).
+    */
+  def mergeDv(
+      spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], statsCol: String,
+      tag: Option[String] = None): (Int, Long, Long) = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    tag.foreach { t => s.tags.get(t).foreach { v => return (v, 0L, 0L) } }
+    val target = StructType.fromDDL(s.schemaDdl)
+    require(keyCols.nonEmpty, "mergeDv with no key columns")
+    val span = updates
+      .agg(org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.count(col(statsCol)),
+        org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
+        org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
+    if (span.getLong(0) == 0L) return (s.version, 0L, 0L)
+    require(span.getLong(1) == span.getLong(0),
+      s"mergeDv updates contain NULL '$statsCol' values " +
+        s"(${span.getLong(0) - span.getLong(1)} of ${span.getLong(0)} rows); " +
+        "the zone-map overlap test cannot prune soundly with NULL keys")
+    val targetNames = target.fieldNames.toSet
+    require(updates.columns.forall(targetNames),
+      s"mergeDv updates carry unknown columns: " +
+        s"${updates.columns.filterNot(targetNames).mkString(", ")}")
+    val alignedUpdates = updates.select(target.fields.map { f =>
+      if (updates.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val cons = s.constraints
+    enforceConstraints(alignedUpdates, cons)
+    val ukeys = updates.select(keyCols.map(col): _*).distinct()
+    // Only span-overlapping sets can hold matched targets (the
+    // statsCol contract) — everything else never scans.
+    val visible = visibleWithPositions(spark, path, s,
+      (Seq((statsCol, span.getLong(2), span.getLong(3))), Seq.empty))
+    // The matched slice, ONE resolution reused everywhere: positions
+    // for the sidecar, pre-images for CDF, keys for insert splitting.
+    val matched = visible
+      .map(_.join(ukeys, keyCols, "left_semi").localCheckpoint(true))
+    val nMatched = matched.map(_.count()).getOrElse(0L)
+    if (nMatched == 0L) {
+      // Pure insert: a plain append commit — no empty sidecar to drag
+      // through the tombstone lifecycle.
+      val v = appendTagged(alignedUpdates, path, tag,
+        reRecordable(target, s.renames, Seq(statsCol)))
+      return (v, 0L, span.getLong(0))
+    }
+    val m = matched.get
+    val matchedKeys = m.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    // Delta's cardinality rule: a target row may be replaced by at
+    // most ONE source row — delta-sized probe, no extra table scan.
+    val dup = updates.groupBy(keyCols.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).drop("__n")
+    require(dup.join(matchedKeys, keyCols, "left_semi").head(1).isEmpty,
+      "mergeDv: multiple update rows share a key that matches a target " +
+        "row — each matched target may be replaced by at most one source row")
+    val nInserted = span.getLong(0) - alignedUpdates
+      .join(matchedKeys, keyCols, "left_semi").count()
+    val dvName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    m.select(DvCols.map(col): _*).write.parquet(s"$path/$dvName")
+    val dataName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    alignedUpdates.write.parquet(s"$path/$dataName")
+    val stats = footerStats(spark, path, dataName,
+      reRecordable(target, s.renames, Seq(statsCol)))
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else {
+        val pre = m.select(target.fieldNames.toIndexedSeq.map(col): _*)
+        val post = alignedUpdates.join(matchedKeys, keyCols, "left_semi")
+        val ins = alignedUpdates.join(matchedKeys, keyCols, "left_anti")
+        stageCdf(path, Seq((pre, "update_preimage"),
+          (post, "update_postimage"), (ins, "insert")))
+      }
+    val v = publishEntry(path, "updatedv", dataName, alignedUpdates.schema,
+      tag, stats, Seq.empty, Some(cons), cdfSet = cdfSet,
+      expectVersion = Some(s.version), dvSidecar = Some(dvName))
+    (v, nMatched, nInserted)
+  }
+
+  /** Tagged append used by [[mergeDv]]'s pure-insert fast path —
+    * [[commit]] with the exactly-once tag threaded through.
+    */
+  private def appendTagged(
+      df: DataFrame, path: String, tag: Option[String],
+      statsCols: Seq[String]): Int =
+    commit(df, path, "append", tag = tag, statsCols = statsCols)
+
   /** Flexible MERGE: the general Delta clause shape — an ordered list
     * of `WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE`,
     * `WHEN NOT MATCHED [AND cond] THEN INSERT ...`, and `WHEN NOT
@@ -2226,7 +2343,7 @@ object GraftLake {
     require(s.version >= 0, s"no table at $path")
     val target = StructType.fromDDL(s.schemaDdl)
     val visible = visibleWithPositions(spark, path, s,
-      predicateSpans(predicate, target))
+      predicateConstraints(predicate, target))
       .getOrElse(return (s.version, 0L))
     val matching = visible.filter(coalesce(predicate, lit(false)))
       .localCheckpoint(true)
@@ -2270,7 +2387,17 @@ object GraftLake {
     * contribute no constraint (conservative).
     */
   private[sources] def predicateSpans(
-      predicate: Column, target: StructType): Seq[(String, Long, Long)] = {
+      predicate: Column, target: StructType): Seq[(String, Long, Long)] =
+    predicateConstraints(predicate, target)._1
+
+  /** [[predicateSpans]] plus the EXACT value lists of `=`/`IN`
+    * conjuncts — the shape per-set Bloom sidecars can answer when
+    * zone maps cannot (high-cardinality keys interleaved across every
+    * set's span). Returned as (ranges, equalities).
+    */
+  private[sources] def predicateConstraints(
+      predicate: Column, target: StructType)
+      : (Seq[(String, Long, Long)], Seq[(String, Seq[Long])]) = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.{
       UnresolvedAttribute, UnresolvedFunction}
@@ -2312,64 +2439,97 @@ object GraftLake {
         }
       case _ => None
     }
-    def cmp(op: String, a: Expression, b: Expression): Seq[(String, Long, Long)] =
-      op match {
-        case "=" | "==" =>
-          (for (c <- attrOf(a); x <- litOf(b)) yield (c, x, x)).toSeq ++
-            (for (c <- attrOf(b); x <- litOf(a)) yield (c, x, x)).toSeq
-        case ">=" =>
-          (for (c <- attrOf(a); x <- litOf(b))
-            yield (c, x, Long.MaxValue)).toSeq ++
-            (for (c <- attrOf(b); x <- litOf(a))
-              yield (c, Long.MinValue, x)).toSeq
-        case "<=" =>
-          (for (c <- attrOf(a); x <- litOf(b))
-            yield (c, Long.MinValue, x)).toSeq ++
-            (for (c <- attrOf(b); x <- litOf(a))
-              yield (c, x, Long.MaxValue)).toSeq
-        case ">" =>
-          (for (c <- attrOf(a); x <- litOf(b) if x < Long.MaxValue)
-            yield (c, x + 1, Long.MaxValue)).toSeq ++
-            (for (c <- attrOf(b); x <- litOf(a) if x > Long.MinValue)
-              yield (c, Long.MinValue, x - 1)).toSeq
-        case "<" =>
-          (for (c <- attrOf(a); x <- litOf(b) if x > Long.MinValue)
-            yield (c, Long.MinValue, x - 1)).toSeq ++
-            (for (c <- attrOf(b); x <- litOf(a) if x < Long.MaxValue)
-              yield (c, x + 1, Long.MaxValue)).toSeq
-        case _ => Seq.empty
-      }
-    def inEnvelope(
-        a: Expression, vs: Seq[Expression]): Seq[(String, Long, Long)] =
+    type Cons = (Seq[(String, Long, Long)], Seq[(String, Seq[Long])])
+    val none: Cons = (Seq.empty, Seq.empty)
+    def both(a: Cons, b: Cons): Cons = (a._1 ++ b._1, a._2 ++ b._2)
+    def eq(a: Expression, b: Expression): Cons = {
+      val hits = (for (c <- attrOf(a); x <- litOf(b)) yield (c, x)).toSeq ++
+        (for (c <- attrOf(b); x <- litOf(a)) yield (c, x)).toSeq
+      (hits.map { case (c, x) => (c, x, x) },
+        hits.map { case (c, x) => (c, Seq(x)) })
+    }
+    def cmp(op: String, a: Expression, b: Expression): Cons = op match {
+      case "=" | "==" => eq(a, b)
+      case ">=" =>
+        ((for (c <- attrOf(a); x <- litOf(b))
+          yield (c, x, Long.MaxValue)).toSeq ++
+          (for (c <- attrOf(b); x <- litOf(a))
+            yield (c, Long.MinValue, x)).toSeq, Seq.empty)
+      case "<=" =>
+        ((for (c <- attrOf(a); x <- litOf(b))
+          yield (c, Long.MinValue, x)).toSeq ++
+          (for (c <- attrOf(b); x <- litOf(a))
+            yield (c, x, Long.MaxValue)).toSeq, Seq.empty)
+      case ">" =>
+        ((for (c <- attrOf(a); x <- litOf(b) if x < Long.MaxValue)
+          yield (c, x + 1, Long.MaxValue)).toSeq ++
+          (for (c <- attrOf(b); x <- litOf(a) if x > Long.MinValue)
+            yield (c, Long.MinValue, x - 1)).toSeq, Seq.empty)
+      case "<" =>
+        ((for (c <- attrOf(a); x <- litOf(b) if x > Long.MinValue)
+          yield (c, Long.MinValue, x - 1)).toSeq ++
+          (for (c <- attrOf(b); x <- litOf(a) if x < Long.MaxValue)
+            yield (c, x + 1, Long.MaxValue)).toSeq, Seq.empty)
+      case _ => none
+    }
+    def inCons(a: Expression, vs: Seq[Expression]): Cons =
       (for {
         c <- attrOf(a)
         xs <- Some(vs.map(litOf)) if vs.nonEmpty && xs.forall(_.isDefined)
         flat = xs.flatten
-      } yield (c, flat.min, flat.max)).toSeq
-    def go(e: Expression): Seq[(String, Long, Long)] = e match {
+      } yield ((c, flat.min, flat.max), (c, flat))) match {
+        case Some((r, e)) => (Seq(r), Seq(e))
+        case None => none
+      }
+    def go(e: Expression): Cons = e match {
       // The SQL-parsed shapes (expr("...") / typed builders).
-      case And(l, r) => go(l) ++ go(r)
-      case EqualTo(a, b) => cmp("=", a, b)
+      case And(l, r) => both(go(l), go(r))
+      case EqualTo(a, b) => eq(a, b)
       case GreaterThanOrEqual(a, b) => cmp(">=", a, b)
       case LessThanOrEqual(a, b) => cmp("<=", a, b)
       case GreaterThan(a, b) => cmp(">", a, b)
       case LessThan(a, b) => cmp("<", a, b)
-      case In(a, vs) => inEnvelope(a, vs)
+      case In(a, vs) => inCons(a, vs)
       // The Column-dsl shapes: `col("c") <= 50` converts to an
       // UNRESOLVED FUNCTION named for the operator, not the typed
       // comparison node.
       case f: UnresolvedFunction if f.nameParts.length == 1 =>
         val as = f.arguments
         f.nameParts.head.toLowerCase(java.util.Locale.ROOT) match {
-          case "and" if as.length == 2 => go(as(0)) ++ go(as(1))
+          case "and" if as.length == 2 => both(go(as(0)), go(as(1)))
           case op @ ("=" | "==" | "<=" | ">=" | "<" | ">") if as.length == 2 =>
             cmp(op, as(0), as(1))
-          case "in" if as.length >= 2 => inEnvelope(as.head, as.tail)
-          case _ => Seq.empty
+          case "in" if as.length >= 2 => inCons(as.head, as.tail)
+          case _ => none
         }
-      case _ => Seq.empty
+      case _ => none
     }
     go(org.apache.spark.sql.GraftBridge.catalystExpression(predicate))
+  }
+
+  /** Does `ls` possibly hold a row satisfying constraints extracted
+    * from a mutation predicate? Zone-map test per range conjunct +
+    * Bloom-sidecar test per equality/IN conjunct (a set where EVERY
+    * candidate value tests negative provably holds no matching row —
+    * blooms have no false negatives). Missing stats or missing/corrupt
+    * sidecars read conservatively.
+    */
+  private def setMayMatch(
+      path: String, ls: LiveSet,
+      ranges: Seq[(String, Long, Long)],
+      eqs: Seq[(String, Seq[Long])]): Boolean = {
+    ranges.forall { case (c, lo, hi) =>
+      ls.statsFor(c) match {
+        case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
+        case None => true // unknown span — must look
+      }
+    } && eqs.forall { case (c, vs) =>
+      readBloomSidecar(path, ls.set, c) match {
+        case Some((words, k)) =>
+          vs.exists(v => graft.plans.GraftBloom.mightContain(words, k, v))
+        case None => true // no verified bloom — must look
+      }
+    }
   }
 
   /** Every VISIBLE row of snapshot `s` with its physical position
@@ -2380,25 +2540,22 @@ object GraftLake {
     * sidecars minimal. The triple is exactly what a deletion-vector
     * commit records. None when no live set survives pruning.
     *
-    * `pruneRanges` (implied by the caller's predicate) skip live sets
-    * whose zone maps are provably disjoint from any range — the
-    * manifest-level data-skipping leg: a one-day DV delete over a
-    * date-laid-out table opens one day's sets, not the table. Sets
-    * lacking stats on a pruned column are read conservatively.
+    * `cons` (ranges + equality value lists implied by the caller's
+    * predicate) skips live sets that provably hold no matching row —
+    * zone maps answer the ranges, Bloom sidecars the equalities: a
+    * one-day DV delete over a date-laid-out table opens one day's
+    * sets, and a point delete on a bloom-indexed key opens ~1 set
+    * even when every set spans the full key range. Sets lacking
+    * stats/sidecars on a constrained column are read conservatively.
     */
   private def visibleWithPositions(
       spark: SparkSession, path: String, s: Snapshot,
-      pruneRanges: Seq[(String, Long, Long)] = Seq.empty): Option[DataFrame] = {
+      cons: (Seq[(String, Long, Long)], Seq[(String, Seq[Long])]) =
+        (Seq.empty, Seq.empty)): Option[DataFrame] = {
     val target = StructType.fromDDL(s.schemaDdl)
     val (dv, keyTs) = loadTombstones(spark, path, s.tombstones)
-    val (scanSets, skipSets) = s.live.partition { ls =>
-      pruneRanges.forall { case (c, lo, hi) =>
-        ls.statsFor(c) match {
-          case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
-          case None => true // no stats on this dimension — must read
-        }
-      }
-    }
+    val (scanSets, skipSets) =
+      s.live.partition(setMayMatch(path, _, cons._1, cons._2))
     lastDvScanSets = (scanSets.size, skipSets.size)
     val perSet = scanSets.map { ls =>
       val own = StructType.fromDDL(ls.schemaDdl)
@@ -2468,7 +2625,7 @@ object GraftLake {
     require(sets.map(_._1).distinct.size == sets.size,
       "UPDATE: duplicate assignment targets")
     val visible = visibleWithPositions(spark, path, s,
-      predicateSpans(predicate, target))
+      predicateConstraints(predicate, target))
       .getOrElse(return (s.version, 0L))
     val matching = visible.filter(coalesce(predicate, lit(false)))
       .localCheckpoint(true)
@@ -2764,21 +2921,16 @@ object GraftLake {
         "(a raw file-set rewrite would resurrect tombstoned rows)")
     val target = StructType.fromDDL(s.schemaDdl)
     val live = s.live
-    // Manifest-level prune: provably disjoint sets never even scan.
+    // Manifest-level prune: provably no-match sets never even scan.
     // The caller's explicit range (deleteRange) composes with ranges
-    // EXTRACTED from the predicate itself, so a plain delete() on a
-    // laid-out column prunes the same way with zero hints.
-    val ranges = pruneDisjoint.toSeq ++ predicateSpans(predicate, target)
+    // and equalities EXTRACTED from the predicate itself (zone maps +
+    // Bloom sidecars), so a plain delete() on a laid-out or
+    // bloom-indexed column prunes the same way with zero hints.
+    val (pRanges, pEqs) = predicateConstraints(predicate, target)
+    val ranges = pruneDisjoint.toSeq ++ pRanges
     val (candidates, skipped) =
-      if (ranges.isEmpty) (live, Seq.empty[LiveSet])
-      else live.partition { ls =>
-        ranges.forall { case (c, lo, hi) =>
-          ls.statsFor(c) match {
-            case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
-            case None => true // unknown span — must look
-          }
-        }
-      }
+      if (ranges.isEmpty && pEqs.isEmpty) (live, Seq.empty[LiveSet])
+      else live.partition(setMayMatch(path, _, ranges, pEqs))
     lastCowScanSets = (candidates.size, skipped.size)
     if (candidates.isEmpty) return (s.version, 0, live.size, 0L)
     // ONE distributed job: per-set match counts (O(sets) driver rows).
@@ -2841,19 +2993,13 @@ object GraftLake {
       "UPDATE: duplicate assignment targets")
     val live = s.live
     val pred = coalesce(predicate, lit(false))
-    // Manifest-level prune off the predicate's implied ranges, then
-    // ONE distributed job: per-set match counts (O(sets) driver rows).
-    val ranges = predicateSpans(predicate, target)
+    // Manifest-level prune off the predicate's implied constraints
+    // (zone maps for ranges, Bloom sidecars for equalities), then ONE
+    // distributed job: per-set match counts (O(sets) driver rows).
+    val (pRanges, pEqs) = predicateConstraints(predicate, target)
     val candidates =
-      if (ranges.isEmpty) live
-      else live.filter { ls =>
-        ranges.forall { case (c, lo, hi) =>
-          ls.statsFor(c) match {
-            case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
-            case None => true // unknown span — must look
-          }
-        }
-      }
+      if (pRanges.isEmpty && pEqs.isEmpty) live
+      else live.filter(setMayMatch(path, _, pRanges, pEqs))
     lastCowScanSets = (candidates.size, live.size - candidates.size)
     if (candidates.isEmpty) return (s.version, 0, live.size, 0L)
     val tagged = candidates.map { ls =>

@@ -700,8 +700,19 @@ final case class GraftLakeMergeCommand(
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = source :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftLake.merge(spark, path, GraftSqlBridge.ofRows(spark, source),
-      keyCols, statsCol)
+    // Tables opted into deletion vectors (Delta's
+    // enableDeletionVectors) take the merge-on-read route: a position
+    // sidecar masks the matched target rows and ONE appended set
+    // carries every update row — O(update rows) write cost, zero
+    // bytes of the hit sets rewritten, and it runs atop outstanding
+    // sidecars (no inter-batch compact). Otherwise the zone-pruned
+    // copy-on-write merge as before.
+    if (GraftLake.dvDeletesEnabled(path))
+      GraftLake.mergeDv(spark, path, GraftSqlBridge.ofRows(spark, source),
+        keyCols, statsCol)
+    else
+      GraftLake.merge(spark, path, GraftSqlBridge.ofRows(spark, source),
+        keyCols, statsCol)
     Seq.empty
   }
 }

@@ -185,6 +185,40 @@ class LakeUpdateDvSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.lastDvScanSets == (1, 3))
   }
 
+  test("equality predicates prune by Bloom sidecars when zone maps cannot") {
+    import spark.implicits._
+    val path = freshTable()
+    // Mod-split layout: every set spans the FULL id range, so zone
+    // maps never prune — the bloom sidecar is the only skip signal.
+    GraftLake.create((1L to 300L).filter(_ % 3 == 0).map(i => (i, i))
+      .toDF("id", "v"), path, bloomCols = Seq("id"))
+    (1 to 2).foreach(m => GraftLake.append(
+      (1L to 300L).filter(_ % 3 == m).map(i => (i, i)).toDF("id", "v"),
+      path, bloomCols = Seq("id")))
+    // Point DV delete: only the bloom-positive set(s) scan.
+    GraftLake.deleteDv(spark, path, col("id") === 42)
+    assert(GraftLake.lastDvScanSets._2 >= 1,
+      s"bloom never pruned: ${GraftLake.lastDvScanSets}")
+    assert(GraftLake.read(spark, path).count() == 299)
+    // MoR update through the same signal.
+    GraftLake.updateDv(spark, path, col("id") === 100, Seq("v" -> lit(-1L)))
+    assert(GraftLake.lastDvScanSets._2 >= 1)
+    assert(GraftLake.read(spark, path).filter(col("v") === -1).count() == 1)
+    // CoW update: IN-list values map to two of three sets.
+    GraftLake.compact(spark, path, Seq("id"), numFiles = 1)
+    GraftLake.create((1L to 300L).filter(_ % 3 == 0).map(i => (i, i))
+      .toDF("id", "v"), path + "2", bloomCols = Seq("id"))
+    (1 to 2).foreach(m => GraftLake.append(
+      (1L to 300L).filter(_ % 3 == m).map(i => (i, i)).toDF("id", "v"),
+      path + "2", bloomCols = Seq("id")))
+    GraftLake.update(spark, path + "2", col("id").isin(10, 20),
+      Seq("v" -> lit(0L)))
+    assert(GraftLake.lastCowScanSets._2 >= 1,
+      s"bloom never pruned the CoW path: ${GraftLake.lastCowScanSets}")
+    assert(GraftLake.read(spark, path + "2")
+      .filter(col("v") === 0).count() == 2)
+  }
+
   test("copy-on-write delete/update prune by the same predicate-implied ranges") {
     import spark.implicits._
     val path = freshTable()
