@@ -441,6 +441,7 @@ object SparkEntry {
     "st15_cdc_apply"     -> graft.streaming.LakeStream.st15CdcApply _,
     "st19_stream_cdf_apply" -> graft.streaming.LakeStream.st19StreamCdfApply _,
     "st20_stream_dim_join" -> graft.streaming.LakeStream.st20StreamDimJoin _,
+    "st21_stream_upsert_dv" -> graft.streaming.LakeStream.st21StreamUpsertDv _,
     "st16_stream_anomaly" -> graft.streaming.AnomalyStream.st16StreamAnomaly _,
     "st14_lake_sink_dsv2" -> graft.streaming.LakeStream.st14LakeSinkDsv2 _,
     // q62's funnel as a streaming per-user state machine (24 bytes of
@@ -2825,6 +2826,7 @@ object SparkEntry {
     "st15_cdc_apply" -> graft.streaming.LakeStream.st15OracleSql,
     "st19_stream_cdf_apply" -> graft.streaming.LakeStream.st19OracleSql,
     "st20_stream_dim_join" -> graft.streaming.LakeStream.st20OracleSql,
+    "st21_stream_upsert_dv" -> graft.streaming.LakeStream.st21OracleSql,
     "st16_stream_anomaly" -> graft.streaming.AnomalyStream.st16OracleSql,
     "st14_lake_sink_dsv2" -> graft.streaming.LakeStream.st14OracleSql,
     // Streaming funnel replays against the batch CTE — identical SQL.

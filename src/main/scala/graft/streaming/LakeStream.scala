@@ -545,6 +545,122 @@ object LakeStream {
       |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS mirror_equals_source
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** st21: STREAMING UPSERT VIA DELETION VECTORS — the high-frequency
+    * CDC-apply loop mergeDv exists for: a stream of change batches
+    * upserts into a lake table through [[GraftLake.mergeDv]], each
+    * micro-batch committing ONE position sidecar + one appended set —
+    * ZERO bytes of the seeded base sets are ever rewritten, across
+    * every batch (st15's copy-on-write merge rewrites each hit set
+    * per wave; here the base files are byte-identical at stream end).
+    * Sidecars stack batch over batch with no inter-batch compact;
+    * per-batch epoch tags make restarts exactly-once; one final
+    * compact materializes everything. In-row flags pin zero-rewrite,
+    * the skipped replay, and the compact round-trip.
+    *
+    * At 100 TB this is the continuous-ingest upsert shape: per batch
+    * the write cost is O(changed rows) regardless of table size, and
+    * the deferred rewrite amortizes into one scheduled OPTIMIZE
+    * instead of per-batch file churn.
+    */
+  def st21StreamUpsertDv(spark: SparkSession, dir: String): DataFrame = {
+    val feed = graft.SparkEntry.scratch("graft_st21_feed", dir)
+    val dst = graft.SparkEntry.scratch("graft_st21_dst", dir)
+    Seq(feed, dst).foreach(graft.SparkEntry.rmrf)
+    val base0 = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val k = col("o_orderkey")
+    val insOffset: Long = base0.agg(max(k)).head().getLong(0) + 1L
+    val u1 = base0.filter(pmod(k, lit(7)) === 2)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("cents", col("cents") + 555)
+    val u2ins = base0.filter(pmod(k, lit(7)) === 5)
+      .withColumn("o_orderstatus", lit("V"))
+      .withColumn("cents", col("cents") + 777)
+      .unionByName(base0.filter(pmod(k, lit(11)) === 3)
+        .withColumn("o_orderkey", k + insOffset)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("cents", col("cents") + 111))
+    // The table under upsert: the full base, whose file sets must
+    // survive the entire stream BY REFERENCE.
+    GraftLake.create(base0, dst, Some("o_orderkey"))
+    val liveBefore = GraftLake.snapshot(dst).live.map(_.set).toSet
+    GraftLake.create(u1, feed)                       // feed v0
+    val base = java.nio.file.Files.createTempDirectory("graft-st21")
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", feed).load()
+      .writeStream
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        // Latest record per key inside the delta (coalesced batches
+        // may span several feed commits).
+        val w = Window.partitionBy(col("o_orderkey"))
+          .orderBy(col("_commit_version").desc)
+        val latest = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn", "_commit_version")
+        GraftLake.mergeDv(spark, dst, latest, Seq("o_orderkey"),
+          "o_orderkey", tag = Some(s"st21-epoch-$batchId"))
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()                        // wave 1: updates only
+      GraftLake.append(u2ins, feed)                  // feed v1
+      q.processAllAvailable()                        // wave 2: updates + inserts
+    } finally q.stop()
+    val snapAfter = GraftLake.snapshot(dst)
+    // Zero rewrite across the whole stream: the seeded sets are all
+    // still live and each wave added exactly (sidecar, data set).
+    val zeroRewrite =
+      liveBefore.subsetOf(snapAfter.live.map(_.set).toSet) &&
+        snapAfter.live.size == liveBefore.size + 2 &&
+        snapAfter.tombstones.size == 2
+    // Epoch replay: the same tag must not re-apply.
+    val before = GraftLake.latestVersion(dst)
+    val (_, rem, _) = GraftLake.mergeDv(spark, dst, u1.limit(50),
+      Seq("o_orderkey"), "o_orderkey", tag = Some("st21-epoch-0"))
+    val replaySkipped = GraftLake.latestVersion(dst) == before && rem == 0
+    val sumBefore = GraftLake.read(spark, dst)
+      .agg(sum(col("cents"))).head.getLong(0)
+    GraftLake.compact(spark, dst, Seq("o_orderkey"), numFiles = 4,
+      Some("o_orderkey"))
+    val cleared = GraftLake.snapshot(dst).tombstones.isEmpty
+    val stable = GraftLake.read(spark, dst)
+      .agg(sum(col("cents"))).head.getLong(0) == sumBefore
+    val out = GraftLake.read(spark, dst)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("updv_stream_ok",
+        lit(zeroRewrite && replaySkipped && cleared && stable))
+      .orderBy(col("o_orderstatus"))
+      .localCheckpoint(true)
+    graft.SparkEntry.rmrf(base.toString)
+    out
+  }
+
+  /** Replays the wave arithmetic: base minus the two updated mod-7
+    * classes, plus the update waves and the offset inserts.
+    */
+  val st21OracleSql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |final AS (
+      |  SELECT k, st, c FROM base WHERE k % 7 <> 2 AND k % 7 <> 5
+      |  UNION ALL
+      |  SELECT k, 'U', c + 555 FROM base WHERE k % 7 = 2
+      |  UNION ALL
+      |  SELECT k, 'V', c + 777 FROM base WHERE k % 7 = 5
+      |  UNION ALL
+      |  SELECT k + (SELECT 1 + max(k) FROM base), 'N', c + 111
+      |  FROM base WHERE k % 11 = 3)
+      |SELECT st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(c) AS BIGINT) AS cents,
+      |  TRUE AS updv_stream_ok
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   val st12OracleSql: String =
     """SELECT 0 AS commit_version, o_orderstatus, count(*) AS n,
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
