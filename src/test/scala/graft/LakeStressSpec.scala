@@ -120,9 +120,10 @@ class LakeStressSpec extends AnyFunSuite with SparkSpec {
       throw last
     }
     // Ops restricted to the DV-COMPOSING family: append + updateDv +
-    // deleteDv all run with sidecars outstanding (no compact between
-    // ops), so this exercises stacked DVs under write races — the
-    // updateDv expectVersion fence must retry cleanly, never corrupt.
+    // deleteDv + mergeDv all run with sidecars outstanding (no compact
+    // between ops), so this exercises stacked DVs under write races —
+    // each path's expectVersion fence must retry cleanly, never
+    // corrupt.
     val results = Await.result(Future.sequence((0 until nWriters).map { w =>
       Future {
         val rnd = new scala.util.Random(7000 + w)
@@ -133,7 +134,7 @@ class LakeStressSpec extends AnyFunSuite with SparkSpec {
           val ids = (next until next + n).map(base + _); next += n; ids
         }
         (0 until opsPer).foreach { _ =>
-          rnd.nextInt(3) match {
+          rnd.nextInt(4) match {
             case 1 if state.nonEmpty => // MoR update of some own rows
               val upd = rnd.shuffle(state.keys.toSeq).take(8)
               retryCme(GraftLake.updateDv(spark, path,
@@ -145,6 +146,14 @@ class LakeStressSpec extends AnyFunSuite with SparkSpec {
               retryCme(GraftLake.deleteDv(spark, path,
                 col("id").isin(del: _*)))
               del.foreach(state -= _)
+            case 3 if state.nonEmpty => // MoR merge: replace + insert
+              val upd = rnd.shuffle(state.keys.toSeq).take(6)
+              val ins = freshIds(3)
+              val rows = upd.map(k => (k, state(k) * 2 + 1)) ++
+                ins.map(i => (i, i * 10))
+              retryCme(GraftLake.mergeDv(spark, path,
+                rows.toDF("id", "v"), Seq("id"), "id"))
+              rows.foreach { case (k, v) => state(k) = v }
             case _ => // append a fresh slice
               val ids = freshIds(15 + rnd.nextInt(10))
               val rows = ids.map(i => (i, i * 10))
