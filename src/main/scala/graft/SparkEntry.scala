@@ -1266,6 +1266,78 @@ object SparkEntry {
             cleared && stable))
         .orderBy(col("o_orderstatus"))
     }),
+    // FLEXIBLE MERGE ON THE DV ROUTE: the src34 clause mix (computed
+    // SET, matched DELETE, conditional INSERT, by-source DELETE) runs
+    // merge-on-read for an enableDeletionVectors table — SQL MERGE
+    // commits ONE position sidecar + one O(affected rows) set, base
+    // sets untouched — and must land the EXACT copy-on-write
+    // mergeActions state (xxhash signature), before and after compact.
+    "src41_merge_actions_dv" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, LakeSql}
+      import graft.sources.GraftLake.MergeClause
+      val pathDv = scratch("graft_lake_madv", dir)
+      val pathCow = scratch("graft_lake_madvcow", dir)
+      rmrf(pathDv); rmrf(pathCow)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4)).as("k4"))
+      GraftLake.create(o, pathDv, Some("o_orderkey"))
+      GraftLake.create(o, pathCow, Some("o_orderkey"))
+      val src = o.filter(col("k4") === 1)
+        .withColumn("o_orderstatus", lit("S"))
+        .withColumn("cents", col("cents") * 2)
+        .unionByName(o.filter(col("k4") === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+          .withColumn("o_orderstatus", lit("N")))
+        .localCheckpoint(true)
+      val liveBefore = GraftLake.snapshot(pathDv).live.map(_.set).toSet
+      GraftLake.enableDeletionVectors(pathDv)
+      LakeSql.register(s, pathDv, "lake_madv", "o_orderkey")
+      src.createOrReplaceTempView("lake_madv_src")
+      s.sql("""MERGE INTO lake_madv t USING lake_madv_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED AND s.cents % 3 = 0
+              |  THEN UPDATE SET cents = t.cents + s.cents
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED AND s.cents % 2 = 0
+              |  THEN INSERT (o_orderkey, o_orderstatus, cents, k4)
+              |  VALUES (s.o_orderkey, s.o_orderstatus, s.cents, s.k4)
+              |WHEN NOT MATCHED BY SOURCE AND t.k4 = 3 THEN DELETE
+              |""".stripMargin)
+      GraftLake.mergeActions(s, pathCow, src, Seq("o_orderkey"),
+        "o_orderkey", Seq(
+          MergeClause("matched", "update", Some("s.cents % 3 = 0"),
+            Seq("cents" -> "t.cents + s.cents")),
+          MergeClause("matched", "delete", None),
+          MergeClause("notMatched", "insert", Some("s.cents % 2 = 0"),
+            Seq("o_orderkey" -> "s.o_orderkey",
+              "o_orderstatus" -> "s.o_orderstatus",
+              "cents" -> "s.cents", "k4" -> "s.k4")),
+          MergeClause("bySource", "delete", Some("t.k4 = 3"))))
+      val snapAfter = GraftLake.snapshot(pathDv)
+      val zeroRewrite = liveBefore.subsetOf(snapAfter.live.map(_.set).toSet) &&
+        snapAfter.live.size == liveBefore.size + 1 &&
+        snapAfter.tombstones.size == 1
+      val a = GraftLake.read(s, pathDv)
+      val b = GraftLake.read(s, pathCow)
+      def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)),
+        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          .cast("decimal(38,0)"))).head.toSeq
+      val same = sig(a) == sig(b)
+      GraftLake.compact(s, pathDv, Seq("o_orderkey"), numFiles = 4,
+        Some("o_orderkey"))
+      val cleared = GraftLake.snapshot(pathDv).tombstones.isEmpty
+      val sameAfter = sig(GraftLake.read(s, pathDv)) == sig(b)
+      GraftLake.read(s, pathDv)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("dv_equals_cow",
+          lit(same && zeroRewrite && cleared && sameAfter))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -3088,6 +3160,24 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The src34 clause-mix replay (same arithmetic) through the
+    // deletion-vector route.
+    "src41_merge_actions_dv" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS k4
+        |  FROM orders),
+        |kept AS (
+        |  SELECT st, 3 * cents AS cents FROM o
+        |  WHERE k4 = 1 AND (2 * cents) % 3 = 0
+        |  UNION ALL
+        |  SELECT st, cents FROM o WHERE k4 IN (0, 2)),
+        |ins AS (
+        |  SELECT 'N' AS st, cents FROM o WHERE k4 = 2 AND cents % 2 = 0)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS dv_equals_cow
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Orders with the %10==0 and %10==5 key slices' cents bumped by 5
     // (two stacked MoR merges), plus the k4=1 slice re-inserted at
     // cents+9 under shifted keys.

@@ -1984,6 +1984,152 @@ object GraftLake {
       statsCols: Seq[String]): Int =
     commit(df, path, "append", tag = tag, statsCols = statsCols)
 
+  /** Compiled clause dispatch of a flexible MERGE — pure Column
+    * expressions over a struct-folded join frame with columns `t`
+    * (target side + `_t_ex`) and `s` (source side + `_s_ex`).
+    * Independent of the physical frame, so ONE compile serves both
+    * the copy-on-write [[mergeActions]] and the deletion-vector
+    * [[mergeActionsDv]] execution plans.
+    */
+  private final case class MergeDispatch(
+      matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+      bySource: Seq[MergeClause],
+      matchedUpdates: Column, matchedDeletes: Column,
+      bySourceUpdates: Column, bySourceDeletes: Column,
+      notMatchedAny: Column,
+      survivorCols: IndexedSeq[Column], insertCols: IndexedSeq[Column]) {
+    val tEx: Column = col("t._t_ex").isNotNull
+    val sEx: Column = col("s._s_ex").isNotNull
+    /** Target row stays in the table (possibly updated in place). */
+    def survives: Column =
+      (sEx && !matchedDeletes) || (!sEx && !bySourceDeletes)
+    /** Target row is rewritten by the first applying update clause. */
+    def updPred: Column =
+      tEx && ((sEx && matchedUpdates) || (!sEx && bySourceUpdates))
+    /** Target row is removed by the first applying delete clause. */
+    def delPred: Column =
+      tEx && ((sEx && matchedDeletes) || (!sEx && bySourceDeletes))
+    /** Source row inserts: no match and some insert clause applies. */
+    def insPred: Column = !tEx && notMatchedAny
+  }
+
+  /** Validate `clauses` against the target schema / source columns
+    * and compile them to a [[MergeDispatch]]. Per row the FIRST
+    * clause of its family whose condition holds applies; NULL
+    * conditions coalesce to not-satisfied (SQL/Delta three-valued
+    * rule); empty assignments mean the star form.
+    */
+  private def compileMergeDispatch(
+      target: StructType, sourceCols: Seq[String],
+      clauses: Seq[MergeClause]): MergeDispatch = {
+    import org.apache.spark.sql.functions.expr
+    require(clauses.nonEmpty, "mergeActions needs at least one clause")
+    clauses.foreach { c =>
+      val ok = (c.when, c.action) match {
+        case ("matched", "update") | ("matched", "delete") => true
+        case ("notMatched", "insert") => true
+        case ("bySource", "update") | ("bySource", "delete") => true
+        case _ => false
+      }
+      require(ok, s"unsupported merge clause WHEN ${c.when} THEN ${c.action}")
+      if (c.action == "delete")
+        require(c.assignments.isEmpty, "DELETE clauses carry no assignments")
+      if (c.when == "bySource" && c.action == "update")
+        require(c.assignments.nonEmpty,
+          "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit assignments " +
+            "(there is no source row to star-copy from)")
+    }
+    val matched = clauses.filter(_.when == "matched")
+    val notMatched = clauses.filter(_.when == "notMatched")
+    val bySource = clauses.filter(_.when == "bySource")
+    // Assignment targets must be real columns; canonicalize case.
+    def targetField(name: String): org.apache.spark.sql.types.StructField =
+      target.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"merge assignment to unknown column '$name'"))
+    clauses.filter(_.action != "insert").flatMap(_.assignments)
+      .foreach(a => targetField(a._1))
+    def srcName(name: String): Option[String] =
+      sourceCols.find(_.equalsIgnoreCase(name))
+    matched.filter(c => c.action == "update" && c.assignments.isEmpty)
+      .foreach { _ =>
+        val missing = target.fieldNames.filter(srcName(_).isEmpty)
+        require(missing.isEmpty,
+          s"UPDATE SET * needs every target column in the source; " +
+            s"missing: ${missing.mkString(", ")}")
+      }
+    val tEx = col("t._t_ex").isNotNull
+    val sEx = col("s._s_ex").isNotNull
+    // First-match clause dispatch per family: clause i applies when
+    // its condition holds and no earlier clause's did — plain boolean
+    // columns, codegen'd inline.
+    // Clause conditions are three-valued (a NULL-valued condition
+    // column evaluates to NULL); SQL/Delta treat NULL as
+    // not-satisfied, so coalesce each to strict FALSE — otherwise a
+    // NULL poisons both the survivor filter (silently deleting the
+    // row) and the first-match chain (prior || NULL stays NULL, so a
+    // later unconditional clause never fires).
+    def appliesOf(cls: Seq[MergeClause]): Seq[Column] = {
+      var prior: Column = lit(false)
+      cls.map { c =>
+        val own = c.condition
+          .map(cd => coalesce(expr(cd), lit(false)))
+          .getOrElse(lit(true))
+        val a = own && !prior
+        prior = prior || own
+        a
+      }
+    }
+    val mApp = appliesOf(matched)
+    val bApp = appliesOf(bySource)
+    val nApp = appliesOf(notMatched)
+    def anyOf(cls: Seq[MergeClause], app: Seq[Column], action: String): Column =
+      cls.zip(app).collect { case (c, a) if c.action == action => a }
+        .reduceOption(_ || _).getOrElse(lit(false))
+    // Per-column survivor value: the first applying update clause's
+    // assignment (star = same-named source column), else pass-through.
+    def survivorVal(f: org.apache.spark.sql.types.StructField): Column = {
+      def assignVal(c: MergeClause): Option[Column] =
+        if (c.assignments.isEmpty) // star update
+          Some(col(s"s.${srcName(f.name).get}"))
+        else c.assignments.find(_._1.equalsIgnoreCase(f.name))
+          .map(a => expr(a._2))
+      val cases =
+        matched.zip(mApp).collect {
+          case (c, a) if c.action == "update" && assignVal(c).isDefined =>
+            (tEx && sEx && a, assignVal(c).get)
+        } ++ bySource.zip(bApp).collect {
+          case (c, a) if c.action == "update" &&
+              c.assignments.exists(_._1.equalsIgnoreCase(f.name)) =>
+            (tEx && !sEx && a,
+              expr(c.assignments.find(_._1.equalsIgnoreCase(f.name)).get._2))
+        }
+      cases.foldRight(col(s"t.${f.name}")) { case ((p, v), rest) =>
+        when(p, v.cast(f.dataType)).otherwise(rest)
+      }.as(f.name)
+    }
+    def insertVal(f: org.apache.spark.sql.types.StructField): Column = {
+      def v(c: MergeClause): Column =
+        if (c.assignments.isEmpty) // star insert: by name, null-fill
+          srcName(f.name).map(n => col(s"s.$n"))
+            .getOrElse(lit(null))
+        else c.assignments.find(_._1.equalsIgnoreCase(f.name))
+          .map(a => expr(a._2)).getOrElse(lit(null))
+      notMatched.zip(nApp)
+        .foldRight(lit(null): Column) { case ((c, a), rest) =>
+          when(a, v(c).cast(f.dataType)).otherwise(rest)
+        }.cast(f.dataType).as(f.name)
+    }
+    MergeDispatch(matched, notMatched, bySource,
+      matchedUpdates = anyOf(matched, mApp, "update"),
+      matchedDeletes = anyOf(matched, mApp, "delete"),
+      bySourceUpdates = anyOf(bySource, bApp, "update"),
+      bySourceDeletes = anyOf(bySource, bApp, "delete"),
+      notMatchedAny = nApp.reduceOption(_ || _).getOrElse(lit(false)),
+      survivorCols = target.fields.toIndexedSeq.map(survivorVal),
+      insertCols = target.fields.toIndexedSeq.map(insertVal))
+  }
+
   /** Flexible MERGE: the general Delta clause shape — an ordered list
     * of `WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE`,
     * `WHEN NOT MATCHED [AND cond] THEN INSERT ...`, and `WHEN NOT
@@ -2028,23 +2174,7 @@ object GraftLake {
       spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], statsCol: String, clauses: Seq[MergeClause],
       tag: Option[String] = None): (Int, Int, Int) = {
-    import org.apache.spark.sql.functions.{count, expr}
-    require(clauses.nonEmpty, "mergeActions needs at least one clause")
-    clauses.foreach { c =>
-      val ok = (c.when, c.action) match {
-        case ("matched", "update") | ("matched", "delete") => true
-        case ("notMatched", "insert") => true
-        case ("bySource", "update") | ("bySource", "delete") => true
-        case _ => false
-      }
-      require(ok, s"unsupported merge clause WHEN ${c.when} THEN ${c.action}")
-      if (c.action == "delete")
-        require(c.assignments.isEmpty, "DELETE clauses carry no assignments")
-      if (c.when == "bySource" && c.action == "update")
-        require(c.assignments.nonEmpty,
-          "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit assignments " +
-            "(there is no source row to star-copy from)")
-    }
+    import org.apache.spark.sql.functions.count
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     tag.foreach { t => s.tags.get(t).foreach { v => return (v, 0, 0) } }
@@ -2056,25 +2186,8 @@ object GraftLake {
       s"no merge key column '$k' at $path"))
     keyCols.foreach(k => require(source.columns.contains(k),
       s"merge source lacks key column '$k'"))
-    val matched = clauses.filter(_.when == "matched")
-    val notMatched = clauses.filter(_.when == "notMatched")
-    val bySource = clauses.filter(_.when == "bySource")
-    // Assignment targets must be real columns; canonicalize case.
-    def targetField(name: String): org.apache.spark.sql.types.StructField =
-      target.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
-        throw new IllegalArgumentException(
-          s"merge assignment to unknown column '$name'"))
-    clauses.filter(_.action != "insert").flatMap(_.assignments)
-      .foreach(a => targetField(a._1))
-    def srcName(name: String): Option[String] =
-      source.columns.find(_.equalsIgnoreCase(name))
-    matched.filter(c => c.action == "update" && c.assignments.isEmpty)
-      .foreach { _ =>
-        val missing = target.fieldNames.filter(srcName(_).isEmpty)
-        require(missing.isEmpty,
-          s"UPDATE SET * needs every target column in the source; " +
-            s"missing: ${missing.mkString(", ")}")
-      }
+    val disp = compileMergeDispatch(target, source.columns.toSeq, clauses)
+    import disp.{matched, bySource}
     val live = s.live
     // Victim selection — see the pruning posture in the doc above.
     val spanSurvivors: Seq[LiveSet] =
@@ -2151,91 +2264,20 @@ object GraftLake {
         functions.struct(sNames.map(n => col(s"s.$n").as(n)): _*).as("s"))
       .localCheckpoint(true)
     lastMergeActionsJoin = Some(j)
-    val tEx = col("t._t_ex").isNotNull
-    val sEx = col("s._s_ex").isNotNull
-    // First-match clause dispatch per family: clause i applies when
-    // its condition holds and no earlier clause's did — plain boolean
-    // columns, codegen'd inline.
-    // Clause conditions are three-valued (a NULL-valued condition
-    // column evaluates to NULL); SQL/Delta treat NULL as
-    // not-satisfied, so coalesce each to strict FALSE — otherwise a
-    // NULL poisons both the survivor filter (silently deleting the
-    // row) and the first-match chain (prior || NULL stays NULL, so a
-    // later unconditional clause never fires).
-    def appliesOf(cls: Seq[MergeClause]): Seq[Column] = {
-      var prior: Column = lit(false)
-      cls.map { c =>
-        val own = c.condition
-          .map(cd => coalesce(expr(cd), lit(false)))
-          .getOrElse(lit(true))
-        val a = own && !prior
-        prior = prior || own
-        a
-      }
-    }
-    val mApp = appliesOf(matched)
-    val bApp = appliesOf(bySource)
-    val nApp = appliesOf(notMatched)
-    def anyOf(cls: Seq[MergeClause], app: Seq[Column], action: String): Column =
-      cls.zip(app).collect { case (c, a) if c.action == action => a }
-        .reduceOption(_ || _).getOrElse(lit(false))
-    val matchedDeletes = anyOf(matched, mApp, "delete")
-    val bySourceDeletes = anyOf(bySource, bApp, "delete")
-    val matchedUpdates = anyOf(matched, mApp, "update")
-    val bySourceUpdates = anyOf(bySource, bApp, "update")
-    val notMatchedAny = nApp.reduceOption(_ || _).getOrElse(lit(false))
-    // Per-column survivor value: the first applying update clause's
-    // assignment (star = same-named source column), else pass-through.
-    def survivorVal(f: org.apache.spark.sql.types.StructField): Column = {
-      def assignVal(c: MergeClause): Option[Column] =
-        if (c.assignments.isEmpty) // star update
-          Some(col(s"s.${srcName(f.name).get}"))
-        else c.assignments.find(_._1.equalsIgnoreCase(f.name))
-          .map(a => expr(a._2))
-      val cases =
-        matched.zip(mApp).collect {
-          case (c, a) if c.action == "update" && assignVal(c).isDefined =>
-            (tEx && sEx && a, assignVal(c).get)
-        } ++ bySource.zip(bApp).collect {
-          case (c, a) if c.action == "update" &&
-              c.assignments.exists(_._1.equalsIgnoreCase(f.name)) =>
-            (tEx && !sEx && a,
-              expr(c.assignments.find(_._1.equalsIgnoreCase(f.name)).get._2))
-        }
-      cases.foldRight(col(s"t.${f.name}")) { case ((p, v), rest) =>
-        when(p, v.cast(f.dataType)).otherwise(rest)
-      }.as(f.name)
-    }
-    def insertVal(f: org.apache.spark.sql.types.StructField): Column = {
-      def v(c: MergeClause): Column =
-        if (c.assignments.isEmpty) // star insert: by name, null-fill
-          srcName(f.name).map(n => col(s"s.$n"))
-            .getOrElse(lit(null))
-        else c.assignments.find(_._1.equalsIgnoreCase(f.name))
-          .map(a => expr(a._2)).getOrElse(lit(null))
-      notMatched.zip(nApp)
-        .foldRight(lit(null): Column) { case ((c, a), rest) =>
-          when(a, v(c).cast(f.dataType)).otherwise(rest)
-        }.cast(f.dataType).as(f.name)
-    }
     val outCols = target.fields.toIndexedSeq
-    val survives = (sEx && !matchedDeletes) || (!sEx && !bySourceDeletes)
     val survivors =
       if (!rewriteTarget) emptyTarget
-      else j.filter(tEx && survives).select(outCols.map(survivorVal): _*)
-    val inserts = j.filter(!tEx && notMatchedAny)
-      .select(outCols.map(insertVal): _*)
-    val updPred = tEx && ((sEx && matchedUpdates) || (!sEx && bySourceUpdates))
-    val delPred = tEx && ((sEx && matchedDeletes) || (!sEx && bySourceDeletes))
+      else j.filter(disp.tEx && disp.survives).select(disp.survivorCols: _*)
+    val inserts = j.filter(disp.insPred).select(disp.insertCols: _*)
     val cdfSet =
       if (!cdfEnabled(path)) None
       else {
         val tCols = outCols.map(f => col(s"t.${f.name}").as(f.name))
         stageCdf(path, Seq(
-          (j.filter(updPred).select(tCols: _*), "update_preimage"),
-          (j.filter(updPred).select(outCols.map(survivorVal): _*),
+          (j.filter(disp.updPred).select(tCols: _*), "update_preimage"),
+          (j.filter(disp.updPred).select(disp.survivorCols: _*),
             "update_postimage"),
-          (j.filter(delPred).select(tCols: _*), "delete"),
+          (j.filter(disp.delPred).select(tCols: _*), "delete"),
           (inserts, "insert")))
       }
     val out = survivors.unionByName(inserts)
@@ -2247,6 +2289,157 @@ object GraftLake {
         bloomColsOf(path, rewriteSets.map(_.set))),
       cdfSet = cdfSet)
     (v, rewriteSets.size, live.size - rewriteSets.size)
+  }
+
+  /** MERGE-ON-READ flexible MERGE via deletion vectors — the general
+    * Delta clause shape ([[mergeActions]] semantics, identical clause
+    * dispatch) with [[mergeDv]]'s write posture (Delta's low-shuffle
+    * DV merge): ONE atomic `updatedv` commit carries a position
+    * sidecar masking EXACTLY the updated + deleted target rows plus
+    * one appended set holding the update post-images and the inserts.
+    * Pass-through rows are neither masked nor rewritten, so the write
+    * cost is O(affected rows) — never O(hit sets), and never O(table)
+    * even for by-source merges: a by-source clause still forces a
+    * FULL SCAN (any target row can be affected, same as
+    * mergeActions), but only the rows its condition selects are
+    * masked/rewritten, where the copy-on-write route rewrites every
+    * live set. Runs atop outstanding sidecars/tombstones (only
+    * VISIBLE rows match — DVs stack); [[compact]] materializes.
+    *
+    * Matched-only merges search span-overlapping sets only (the
+    * [[merge]] statsCol soundness contract); a source with NULL or
+    * non-integral `statsCol` degrades to a conservative full scan,
+    * never a wrong answer. Delta's cardinality rule, exactly-once
+    * tags, CHECK constraints on the appended rows, and all four CDF
+    * image kinds match [[mergeActions]]. Pure-insert outcomes commit
+    * a plain append; pure-delete outcomes a position tombstone — no
+    * empty data set ever enters the log.
+    *
+    * Returns (version, updatedRows, deletedRows, insertedRows).
+    */
+  def mergeActionsDv(
+      spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], statsCol: String, clauses: Seq[MergeClause],
+      tag: Option[String] = None): (Int, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.count
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    tag.foreach { t => s.tags.get(t).foreach { v => return (v, 0L, 0L, 0L) } }
+    val target = StructType.fromDDL(s.schemaDdl)
+    keyCols.foreach(k => require(target.fieldNames.contains(k),
+      s"no merge key column '$k' at $path"))
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"merge source lacks key column '$k'"))
+    val disp = compileMergeDispatch(target, source.columns.toSeq, clauses)
+    // Span pruning (matched-only merges), same degrade posture as
+    // mergeActions: only an all-non-null INTEGRAL source statsCol
+    // yields a sound span; by-source clauses force the full scan.
+    val srcIntegral = source.columns.contains(statsCol) &&
+      isIntegralType(source.schema(statsCol).dataType)
+    val span =
+      if (srcIntegral) source.agg(count(lit(1)), count(col(statsCol)),
+        org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
+        org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
+      else source.agg(count(lit(1)), count(lit(1)),
+        lit(null).cast("long"), lit(null).cast("long")).head
+    val nSrc = span.getLong(0)
+    if (nSrc == 0L && disp.bySource.isEmpty) return (s.version, 0L, 0L, 0L)
+    val cons0: (Seq[(String, Long, Long)], Seq[(String, Seq[Long])]) =
+      if (disp.bySource.nonEmpty || !srcIntegral ||
+          span.getLong(1) != nSrc || span.isNullAt(2) || span.isNullAt(3))
+        (Seq.empty, Seq.empty)
+      else (Seq((statsCol, span.getLong(2), span.getLong(3))), Seq.empty)
+    // Position-prefixed visible slice (empty-but-typed when no live
+    // set survives pruning — inserts must still dispatch).
+    val visible = visibleWithPositions(spark, path, s, cons0).getOrElse {
+      val dvFields = Seq(
+        org.apache.spark.sql.types.StructField("__dv_set",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__dv_file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__dv_pos",
+          org.apache.spark.sql.types.LongType))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(dvFields ++ target.fields))
+    }
+    // ONE physical join execution for the whole merge (same struct
+    // fold + localCheckpoint discipline as mergeActions); the t
+    // struct carries the position triple for the sidecar.
+    val tNames = (DvCols ++ target.fieldNames.toSeq) :+ "_t_ex"
+    val sNames = source.columns.toSeq :+ "_s_ex"
+    val tFrame = visible.withColumn("_t_ex", lit(1)).alias("t")
+    val sFrame = source.withColumn("_s_ex", lit(1)).alias("s")
+    val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _)
+    val j = tFrame.join(sFrame, joinCond, "full_outer")
+      .select(
+        functions.struct(tNames.map(n => col(s"t.$n").as(n)): _*).as("t"),
+        functions.struct(sNames.map(n => col(s"s.$n").as(n)): _*).as("s"))
+      .localCheckpoint(true)
+    // Delta's cardinality rule: bail only when a duplicated source
+    // key actually matches a target row. Both probes are delta-sized.
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).drop("_n")
+      .localCheckpoint(true)
+    if (dupKeys.head(1).nonEmpty) {
+      val matchedKeys = j.filter(disp.tEx && disp.sEx)
+        .select(keyCols.map(k => col(s"s.$k").as(k)): _*)
+      require(matchedKeys.join(dupKeys, keyCols, "left_semi").head(1).isEmpty,
+        "MERGE: multiple source rows match the same target row — " +
+          "deduplicate the source on the key columns first")
+    }
+    // ONE pass over the checkpointed join sizes all three outcomes.
+    val cnt = j.agg(count(when(disp.updPred, 1)),
+      count(when(disp.delPred, 1)), count(when(disp.insPred, 1))).head
+    val (nUpd, nDel, nIns) = (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
+    if (nUpd + nDel + nIns == 0L) return (s.version, 0L, 0L, 0L)
+    val consRules = s.constraints
+    val inserts = j.filter(disp.insPred).select(disp.insertCols: _*)
+    if (nUpd + nDel == 0L) {
+      // Pure insert: a plain append commit (validates constraints in
+      // the claim loop; appends serve the CDF feed as inserts).
+      val v = appendTagged(inserts, path, tag,
+        reRecordable(target, s.renames, Seq(statsCol)))
+      return (v, 0L, 0L, nIns)
+    }
+    val tCols = target.fields.toIndexedSeq.map(f =>
+      col(s"t.${f.name}").as(f.name))
+    if (nUpd + nIns == 0L) {
+      // Pure delete: a position tombstone, exactly deleteDv's commit
+      // shape — no empty data set enters the log.
+      val cdfSet =
+        if (!cdfEnabled(path)) None
+        else stageCdf(path,
+          Seq((j.filter(disp.delPred).select(tCols: _*), "delete")))
+      val v = commit(
+        j.filter(disp.delPred)
+          .select(DvCols.map(c => col(s"t.$c").as(c)): _*),
+        path, "tombstone", tag = tag, cdfSet = cdfSet)
+      return (v, 0L, nDel, 0L)
+    }
+    val postImages = j.filter(disp.updPred).select(disp.survivorCols: _*)
+    val appended = postImages.unionByName(inserts)
+    enforceConstraints(appended, consRules)
+    val dvName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    j.filter(disp.updPred || disp.delPred)
+      .select(DvCols.map(c => col(s"t.$c").as(c)): _*)
+      .write.parquet(s"$path/$dvName")
+    val dataName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    appended.write.parquet(s"$path/$dataName")
+    val stats = footerStats(spark, path, dataName,
+      reRecordable(target, s.renames, Seq(statsCol)))
+    val cdfSet =
+      if (!cdfEnabled(path)) None
+      else stageCdf(path, Seq(
+        (j.filter(disp.updPred).select(tCols: _*), "update_preimage"),
+        (postImages, "update_postimage"),
+        (j.filter(disp.delPred).select(tCols: _*), "delete"),
+        (inserts, "insert")))
+    val v = publishEntry(path, "updatedv", dataName, appended.schema, tag,
+      stats, Seq.empty, Some(consRules), cdfSet = cdfSet,
+      expectVersion = Some(s.version), dvSidecar = Some(dvName))
+    (v, nUpd, nDel, nIns)
   }
 
   /** Row-level DELETE (copy-on-write): remove the rows where

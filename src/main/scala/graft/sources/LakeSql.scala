@@ -732,8 +732,15 @@ final case class GraftLakeMergeActionsCommand(
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = source :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftLake.mergeActions(spark, path,
-      GraftSqlBridge.ofRows(spark, source), keyCols, statsCol, clauses)
+    // Same DV opt-in routing as the canonical MERGE: tables with
+    // enableDeletionVectors take the merge-on-read clause executor
+    // (position sidecar + O(affected rows) append, zero set rewrites).
+    if (GraftLake.dvDeletesEnabled(path))
+      GraftLake.mergeActionsDv(spark, path,
+        GraftSqlBridge.ofRows(spark, source), keyCols, statsCol, clauses)
+    else
+      GraftLake.mergeActions(spark, path,
+        GraftSqlBridge.ofRows(spark, source), keyCols, statsCol, clauses)
     GraftLake.read(spark, path).createOrReplaceTempView(viewName)
     Seq.empty
   }
