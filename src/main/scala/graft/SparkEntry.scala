@@ -1338,6 +1338,47 @@ object SparkEntry {
           lit(same && zeroRewrite && cleared && sameAfter))
         .orderBy(col("o_orderstatus"))
     }),
+    // MERGE SCHEMA AUTO-EVOLUTION (Delta's schema.autoMerge as a
+    // table property): a SQL MERGE whose source carries a NEW column
+    // adds it via one zero-data evolve commit, then lands the upsert —
+    // old rows null-fill. Oracle = orders with the %10==0 slice's
+    // cents doubled + a shifted-key insert slice, bump present only
+    // where the merge wrote it.
+    "src42_merge_evolve" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, LakeSql}
+      val path = scratch("graft_lake_mevo", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.create(o, path, Some("o_orderkey"))
+      LakeSql.register(s, path, "lake_mevo", "o_orderkey")
+      s.sql("ALTER TABLE lake_mevo SET TBLPROPERTIES ('schemaAutoMerge'='true')")
+      val k = col("o_orderkey")
+      o.filter(pmod(k, lit(10)) === 0)
+        .withColumn("cents", col("cents") * 2)
+        .withColumn("bump", pmod(k, lit(1000)))
+        .unionByName(o.filter(pmod(k, lit(10)) === 3)
+          .withColumn("o_orderkey", k + lit(3000000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("cents", col("cents") + 7)
+          .withColumn("bump", pmod(k, lit(1000))))
+        .createOrReplaceTempView("lake_mevo_src")
+      s.sql("""MERGE INTO lake_mevo t USING lake_mevo_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val r = GraftLake.read(s, path)
+      val evolved =
+        r.columns.toSeq == Seq("o_orderkey", "o_orderstatus", "cents", "bump") &&
+          GraftLake.commits(path).count(_.action == "evolve") == 1
+      r.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(col("bump")).as("bump"))
+        .withColumn("evolve_ok", lit(evolved))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -3160,6 +3201,24 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Orders with the %10==0 slice's cents doubled and bump recorded,
+    // plus the shifted-key insert slice; bump NULL everywhere the
+    // merge didn't write it (the evolved column null-fills).
+    "src42_merge_evolve" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |upd AS (SELECT st,
+        |    CASE WHEN k % 10 = 0 THEN 2 * cents ELSE cents END AS cents,
+        |    CASE WHEN k % 10 = 0 THEN k % 1000 ELSE NULL END AS bump
+        |  FROM o),
+        |ins AS (SELECT 'N' AS st, cents + 7 AS cents, k % 1000 AS bump
+        |  FROM o WHERE k % 10 = 3)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(bump) AS BIGINT) AS bump, TRUE AS evolve_ok
+        |FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The src34 clause-mix replay (same arithmetic) through the
     // deletion-vector route.
     "src41_merge_actions_dv" ->

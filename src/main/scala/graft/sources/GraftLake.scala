@@ -744,6 +744,48 @@ object GraftLake {
   def dvDeletesEnabled(path: String): Boolean =
     Files.exists(logDir(path).resolve("_dv"))
 
+  /** Opt this table's SQL MERGE route into SCHEMA AUTO-EVOLUTION
+    * (Delta's `schema.autoMerge`): source columns missing from the
+    * target are added as nullable columns (one zero-data `evolve`
+    * commit) before the upsert lands, instead of refusing. Unlike the
+    * DV/CDF opt-ins this is a pure ROUTE flag — nothing committed
+    * depends on it — so it can be un-set.
+    */
+  def enableSchemaAutoMerge(path: String): Unit = {
+    require(Files.exists(logDir(path)), s"no table at $path")
+    val m = logDir(path).resolve("_automerge")
+    if (!Files.exists(m)) Files.writeString(m, "1")
+  }
+
+  /** Un-set [[enableSchemaAutoMerge]] — unknown source columns refuse
+    * again (the safe default).
+    */
+  def disableSchemaAutoMerge(path: String): Unit =
+    Files.deleteIfExists(logDir(path).resolve("_automerge"))
+
+  /** Whether SQL MERGE auto-evolves the schema for `path`. */
+  def schemaAutoMergeEnabled(path: String): Boolean =
+    Files.exists(logDir(path).resolve("_automerge"))
+
+  /** MERGE schema evolution: add `source`'s unknown columns to the
+    * target as nullable columns via ONE zero-data [[addColumns]]
+    * commit (existing rows null-fill at read). Idempotent — a replay
+    * finds no unknown columns and commits nothing. Only the CANONICAL
+    * upserts ([[merge]]/[[mergeDv]], where source ⊆ target is the
+    * contract) take this path: the general [[mergeActions]] source
+    * legitimately carries expression-input columns (`s.sv`) that must
+    * NOT become table columns.
+    */
+  private def evolveForSource(path: String, source: DataFrame): Unit = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    val target = StructType.fromDDL(s.schemaDdl)
+    val newCols = source.schema.fields.filterNot(f =>
+      target.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    if (newCols.nonEmpty)
+      addColumns(path, newCols.map(f => f.name -> f.dataType).toSeq)
+  }
+
   /** Stage a CDF sidecar set (when enabled): `rows` + a constant
     * `_change_type`, written under `cdf/` — OUTSIDE the data dir, so
     * vacuum's live-set sweep never touches it and it never joins the
@@ -1783,7 +1825,9 @@ object GraftLake {
   def merge(
       spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], statsCol: String,
-      tag: Option[String] = None): (Int, Int, Int) = {
+      tag: Option[String] = None,
+      autoEvolve: Boolean = false): (Int, Int, Int) = {
+    if (autoEvolve) evolveForSource(path, updates)
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     // EXACTLY-ONCE merges: a tag already in the log means this epoch's
@@ -1899,7 +1943,9 @@ object GraftLake {
   def mergeDv(
       spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], statsCol: String,
-      tag: Option[String] = None): (Int, Long, Long) = {
+      tag: Option[String] = None,
+      autoEvolve: Boolean = false): (Int, Long, Long) = {
+    if (autoEvolve) evolveForSource(path, updates)
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     tag.foreach { t => s.tags.get(t).foreach { v => return (v, 0L, 0L) } }

@@ -707,12 +707,13 @@ final case class GraftLakeMergeCommand(
     // bytes of the hit sets rewritten, and it runs atop outstanding
     // sidecars (no inter-batch compact). Otherwise the zone-pruned
     // copy-on-write merge as before.
+    val evolve = GraftLake.schemaAutoMergeEnabled(path)
     if (GraftLake.dvDeletesEnabled(path))
       GraftLake.mergeDv(spark, path, GraftSqlBridge.ofRows(spark, source),
-        keyCols, statsCol)
+        keyCols, statsCol, autoEvolve = evolve)
     else
       GraftLake.merge(spark, path, GraftSqlBridge.ofRows(spark, source),
-        keyCols, statsCol)
+        keyCols, statsCol, autoEvolve = evolve)
     Seq.empty
   }
 }
@@ -746,6 +747,55 @@ final case class GraftLakeMergeActionsCommand(
   }
 }
 
+/** ALTER TABLE <lake view> SET TBLPROPERTIES ('k'='v', ...) — the
+  * Delta table-property surface for the lake's feature opt-ins:
+  * `enableDeletionVectors` flips the DML routes (DELETE / UPDATE /
+  * MERGE) onto the merge-on-read executors; `enableChangeDataFeed`
+  * (alias `enableCdf`) turns on CDF staging. Delta-prefixed names
+  * (`delta.enableDeletionVectors`, `delta.enableChangeDataFeed`)
+  * are accepted verbatim. Both opt-ins are one-way — `'false'`
+  * refuses loudly (committed sidecars / feed history cannot be
+  * retroactively un-written), as does any unknown key: silently
+  * ignoring a property a user believes they set is worse than an
+  * error.
+  */
+final case class GraftLakeSetPropsCommand(
+    path: String, props: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(props.nonEmpty,
+      "SET TBLPROPERTIES: no 'key'='value' pairs parsed")
+    props.foreach { case (k0, v) =>
+      val k = k0.stripPrefix("delta.")
+        .toLowerCase(java.util.Locale.ROOT)
+      (k, v.toLowerCase(java.util.Locale.ROOT)) match {
+        case ("enabledeletionvectors", "true") =>
+          GraftLake.enableDeletionVectors(path)
+        case ("enablechangedatafeed" | "enablecdf", "true") =>
+          GraftLake.enableCdf(path)
+        case ("enabledeletionvectors" | "enablechangedatafeed" |
+              "enablecdf", _) =>
+          throw new IllegalArgumentException(
+            s"TBLPROPERTIES '$k0'='$v': the opt-in is one-way — " +
+              "committed sidecars / feed history cannot be un-written")
+        // Pure route flag (nothing committed depends on it), so it
+        // toggles both ways — Delta's schema.autoMerge as a table
+        // property instead of a session conf.
+        case ("schemaautomerge" | "schema.automerge.enabled", "true") =>
+          GraftLake.enableSchemaAutoMerge(path)
+        case ("schemaautomerge" | "schema.automerge.enabled", "false") =>
+          GraftLake.disableSchemaAutoMerge(path)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"unsupported TBLPROPERTIES key '$k0' (supported: " +
+              "enableDeletionVectors, enableChangeDataFeed, " +
+              "schemaAutoMerge)")
+      }
+    }
+    Seq.empty
+  }
+}
+
 /** Parser wrapper for lake DDL: `ALTER TABLE <registered lake name>
   * RENAME COLUMN old TO new` is substituted RIGHT AFTER PARSING with
   * the runnable rename command — the analyzer's ResolveRelations
@@ -773,6 +823,12 @@ final class LakeDdlParser(
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+  // ALTER TABLE <lake> SET TBLPROPERTIES ('k'='v', ...) — Spark's
+  // grammar parses it but the analyzer rejects it on views, so the
+  // wrapper intercepts registered lake names pre-parse (same posture
+  // as RENAME COLUMN). Delta-prefixed keys are accepted verbatim.
+  private val SetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RestoreRe(name, ver) if LakeSql.lookup(name).isDefined =>
@@ -795,6 +851,11 @@ final class LakeDdlParser(
           case (Some(a), Some(b)) => Some((a, b))
           case _ => None
         }, t.statsCol)
+    case SetPropsRe(name, props) if LakeSql.lookup(name).isDefined =>
+      val PropRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+      GraftLakeSetPropsCommand(LakeSql.lookup(name).get.path,
+        PropRe.findAllMatchIn(props)
+          .map(m => (m.group(1), m.group(2))).toSeq)
     case _ => parsePlanDelegated(sqlText)
   }
 

@@ -523,6 +523,46 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT count(*) FROM lakesql_dv2").head.getLong(0) == 30)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES flips the DV and CDF opt-ins from SQL") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakesql-props")
+    val p = base.resolve("t").toString
+    GraftLake.create((1L to 30L).map(i => (i, i % 3)).toDF("id", "m"), p,
+      Some("id"))
+    LakeSql.register(spark, p, "lakesql_props", "id")
+    assert(!GraftLake.dvDeletesEnabled(p) && !GraftLake.cdfEnabled(p))
+    // The Delta-prefixed names work; both opt-ins in one statement.
+    spark.sql(
+      """ALTER TABLE lakesql_props SET TBLPROPERTIES (
+        |  'delta.enableDeletionVectors' = 'true',
+        |  'delta.enableChangeDataFeed' = 'true')""".stripMargin)
+    assert(GraftLake.dvDeletesEnabled(p) && GraftLake.cdfEnabled(p))
+    // The DML routes actually flip: DELETE now commits a sidecar.
+    val liveBefore = GraftLake.snapshot(p).live.map(_.set).toSet
+    val v0 = GraftLake.latestVersion(p)
+    spark.sql("DELETE FROM lakesql_props WHERE m = 0")
+    assert(GraftLake.snapshot(p).live.map(_.set).toSet == liveBefore)
+    assert(GraftLake.snapshot(p).tombstones.size == 1)
+    // ...and the CDF feed serves the delete images.
+    assert(GraftLake.changesTyped(spark, p, v0)
+      .filter(col("_change_type") === "delete").count() == 10)
+    // Idempotent re-set; unprefixed key accepted.
+    spark.sql(
+      "ALTER TABLE lakesql_props SET TBLPROPERTIES ('enableDeletionVectors'='true')")
+    // One-way opt-ins and unknown keys refuse loudly.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lakesql_props SET TBLPROPERTIES " +
+        "('enableDeletionVectors'='false')")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lakesql_props SET TBLPROPERTIES ('nope'='1')")
+    }
+    // Unregistered names fall through to Spark's own parser/analyzer.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE not_a_lake SET TBLPROPERTIES ('x'='y')")
+    }
+  }
+
   test("DELETE WHERE col IN (subquery) routes to distributed deleteKeys") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-lakesql-delin")
