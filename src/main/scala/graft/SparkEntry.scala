@@ -1379,6 +1379,37 @@ object SparkEntry {
         .withColumn("evolve_ok", lit(evolved))
         .orderBy(col("o_orderstatus"))
     }),
+    // CONVERT TO GRAFTLAKE: a plain parquet directory (4 part files)
+    // is adopted IN PLACE — files move into the first set (none left
+    // on top, zone maps off existing footers), then SQL DML runs on
+    // the adopted table. Oracle = orders minus the deleted slice.
+    "src43_convert" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_convert", dir)
+      rmrf(path)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(4).write.parquet(path)
+      s.sql(s"CONVERT TO GRAFTLAKE '$path' AS lake_conv STATSCOL 'o_orderkey'")
+      val snap = GraftLake.snapshot(path)
+      val topLevel = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(path))
+          .iterator().asScala.count(p =>
+            java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+      }
+      val adopted = snap.live.size == 1 && topLevel == 0 &&
+        snap.live.head.statsFor("o_orderkey").isDefined
+      s.sql("DELETE FROM lake_conv WHERE cents % 9 = 0")
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("convert_ok", lit(adopted))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -3201,6 +3232,16 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Orders minus the cents%9 slice (deleted after the in-place
+    // conversion).
+    "src43_convert" ->
+      """WITH o AS (SELECT o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS convert_ok
+        |FROM o WHERE cents % 9 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Orders with the %10==0 slice's cents doubled and bump recorded,
     // plus the shifted-key insert slice; bump NULL everywhere the
     // merge didn't write it (the evolved column null-fills).

@@ -909,6 +909,50 @@ object GraftLake {
       Some(cons))
   }
 
+  /** CONVERT a plain parquet directory into a lake table IN PLACE
+    * (Delta's CONVERT TO DELTA): the directory's top-level part files
+    * are MOVED (same-filesystem atomic rename — zero bytes copied)
+    * into the first file-set and published as the table's initial
+    * commit, with `statsCol` zone maps recorded off the existing
+    * footers. After conversion every lake capability works on the
+    * data: time travel starts at the conversion, DML/streaming/SQL
+    * route normally. Hive-partitioned directories (subdir layouts)
+    * refuse loudly — read them with spark.read and CTAS instead,
+    * because a by-value layout needs per-set manifests the flat
+    * conversion cannot infer. Refuses if the directory is already a
+    * lake table.
+    */
+  def convert(
+      spark: SparkSession, path: String,
+      statsCol: Option[String] = None): Int = {
+    import scala.jdk.CollectionConverters._
+    require(!Files.exists(logDir(path)),
+      s"CONVERT: $path is already a lake table")
+    require(Files.isDirectory(Paths.get(path)),
+      s"CONVERT: no directory at $path")
+    val entries = Files.list(Paths.get(path)).iterator().asScala.toSeq
+    val files = entries.filter(p => Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".parquet")).map(_.toString).sorted
+    require(files.nonEmpty, {
+      val subdirs = entries.filter(Files.isDirectory(_))
+      if (subdirs.nonEmpty)
+        s"CONVERT: $path holds no top-level part files but " +
+          s"${subdirs.size} subdirectories — hive-partitioned layouts " +
+          "don't convert in place; read + CTAS PARTITIONED BY instead"
+      else s"CONVERT: no .parquet files at $path"
+    })
+    val df = spark.read.parquet(files: _*)
+    // Zone maps off the EXISTING bytes, before the move names a set.
+    val stats = statsCol.toSeq.flatMap { c =>
+      require(df.columns.contains(c), s"CONVERT: no column '$c' at $path")
+      val r = df.agg(
+        org.apache.spark.sql.functions.min(col(c)).cast("long"),
+        org.apache.spark.sql.functions.max(col(c)).cast("long")).head
+      if (r.isNullAt(0)) None else Some(SetStats(c, r.getLong(0), r.getLong(1)))
+    }
+    commitStagedFiles(path, files, df.schema, None, stats)
+  }
+
   /** The claim/publish loop: resolve the current snapshot, conflict-
     * check, claim the next version (O_EXCL), publish atomically.
     * `dfSchema` is the writer's schema; evolution/overwrite semantics

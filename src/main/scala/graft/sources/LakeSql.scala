@@ -796,6 +796,42 @@ final case class GraftLakeSetPropsCommand(
   }
 }
 
+/** CREATE TABLE <new> SHALLOW CLONE <lake view> LOCATION '<path>' —
+  * Delta's zero-copy fork from SQL: [[GraftLake.shallowClone]]'s
+  * by-reference commit (constraints, rename lineage, and the
+  * partition-layout marker copy; the source gets a vacuum fence),
+  * then the clone registers under the new name with the source's
+  * stats column, so SQL reads/DML work on it immediately.
+  */
+final case class GraftLakeCloneCommand(
+    srcPath: String, dstPath: String, dstName: String, statsCol: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.shallowClone(srcPath, dstPath)
+    LakeSql.register(spark, dstPath, dstName, statsCol)
+    Seq.empty
+  }
+}
+
+/** CONVERT TO GRAFTLAKE '<dir>' [AS <name>] [STATSCOL '<col>'] —
+  * adopt a plain parquet directory as a lake table IN PLACE
+  * ([[GraftLake.convert]]'s zero-copy move); `AS <name>` registers
+  * the converted table for SQL (statsCol defaults to the recorded
+  * zone-map column, else the first column).
+  */
+final case class GraftLakeConvertCommand(
+    dir: String, name: Option[String], statsCol: Option[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.convert(spark, dir, statsCol)
+    name.foreach { n =>
+      val sc = statsCol.getOrElse(GraftLake.read(spark, dir).columns.head)
+      LakeSql.register(spark, dir, n, sc)
+    }
+    Seq.empty
+  }
+}
+
 /** Parser wrapper for lake DDL: `ALTER TABLE <registered lake name>
   * RENAME COLUMN old TO new` is substituted RIGHT AFTER PARSING with
   * the runnable rename command — the analyzer's ResolveRelations
@@ -829,6 +865,16 @@ final class LakeDdlParser(
   // as RENAME COLUMN). Delta-prefixed keys are accepted verbatim.
   private val SetPropsRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  // CREATE TABLE <new> SHALLOW CLONE <lake> LOCATION '<path>' —
+  // Delta's zero-copy fork as SQL. LOCATION is required: the clone
+  // is a new lake table and needs a filesystem home.
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
+  // CONVERT TO GRAFTLAKE '<dir>' [AS <name>] [STATSCOL '<col>'] —
+  // Delta's CONVERT TO DELTA: adopt a plain parquet directory in
+  // place (zero-copy move into the first file-set).
+  private val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+GRAFTLAKE\s+'([^']+)'(?:\s+AS\s+([\w.]+))?(?:\s+STATSCOL\s+'(\w+)')?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RestoreRe(name, ver) if LakeSql.lookup(name).isDefined =>
@@ -856,6 +902,14 @@ final class LakeDdlParser(
       GraftLakeSetPropsCommand(LakeSql.lookup(name).get.path,
         PropRe.findAllMatchIn(props)
           .map(m => (m.group(1), m.group(2))).toSeq)
+    case CloneRe(dstName, srcName, loc) if LakeSql.lookup(srcName).isDefined =>
+      require(loc != null,
+        s"CREATE TABLE $dstName SHALLOW CLONE $srcName needs " +
+          "LOCATION '<path>' — the clone is a new lake table")
+      val t = LakeSql.lookup(srcName).get
+      GraftLakeCloneCommand(t.path, loc, dstName, t.statsCol)
+    case ConvertRe(dir, name, statsCol) =>
+      GraftLakeConvertCommand(dir, Option(name), Option(statsCol))
     case _ => parsePlanDelegated(sqlText)
   }
 

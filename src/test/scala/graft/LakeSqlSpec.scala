@@ -563,6 +563,38 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CREATE TABLE SHALLOW CLONE forks zero-copy from SQL and registers the clone") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakesql-clone")
+    val p = base.resolve("src").toString
+    GraftLake.create((1L to 30L).map(i => (i, i * 10)).toDF("id", "v"), p,
+      Some("id"))
+    GraftLake.addConstraint(spark, p, "v_pos", "v >= 0")
+    LakeSql.register(spark, p, "lakesql_clsrc", "id")
+    val dst = base.resolve("dst").toString
+    spark.sql(
+      s"CREATE TABLE lakesql_cldst SHALLOW CLONE lakesql_clsrc LOCATION '$dst'")
+    // The clone reads immediately under its registered name...
+    assert(spark.sql("SELECT count(*) FROM lakesql_cldst").head.getLong(0) == 30)
+    // ...evolves independently (DML on the clone, source untouched)...
+    spark.sql("DELETE FROM lakesql_cldst WHERE id <= 10")
+    assert(spark.sql("SELECT count(*) FROM lakesql_cldst").head.getLong(0) == 20)
+    assert(spark.sql("SELECT count(*) FROM lakesql_clsrc").head.getLong(0) == 30)
+    // ...and carried the source's CHECK constraints.
+    intercept[Exception] {
+      GraftLake.append(Seq((99L, -1L)).toDF("id", "v"), dst)
+    }
+    // LOCATION is required; outstanding tombstones refuse the fork.
+    intercept[Exception] {
+      spark.sql("CREATE TABLE lakesql_cx SHALLOW CLONE lakesql_clsrc")
+    }
+    GraftLake.deleteDv(spark, p, col("id") === 1)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE lakesql_cy SHALLOW CLONE lakesql_clsrc " +
+        s"LOCATION '${base.resolve("y")}'")
+    }
+  }
+
   test("DELETE WHERE col IN (subquery) routes to distributed deleteKeys") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-lakesql-delin")
