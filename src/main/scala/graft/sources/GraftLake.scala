@@ -3481,6 +3481,88 @@ object GraftLake {
     * makes vacuum-during-writers safe end to end.
     * Returns the deleted set names.
     */
+  /** The vacuum candidate scan, shared by the claimed sweep and the
+    * advisory [[vacuumDryRun]]: (dead data-set dirs, dead CDF dirs)
+    * under `retainMillis` retention against the given log prefix.
+    *
+    * RETENTION (Delta's retention-hours): keep every set live at any
+    * version that was HEAD after the cutoff — versions >= vMin, where
+    * vMin is the first version whose SUCCESSOR commit is stamped
+    * after the cutoff (stamps are monotonic); retainMillis = 0 keeps
+    * only HEAD. Sets referenced by registered shallow clones survive
+    * (the clone fence). Only sets the LOG explicitly removed are
+    * candidates: a concurrently STAGED set (written, claim not yet
+    * taken) is a data/ dir no commit names, and a mtime heuristic
+    * cannot tell it from garbage — so the sweep never touches it.
+    * CDF sidecars are log-addressable through each commit's `cdf`
+    * field — those of commits outside the retention window die with
+    * their feed range (Delta's CDF-files-beyond-retention trade).
+    */
+  private def vacuumDead(
+      path: String, cs0: Seq[Commit], retainMillis: Long)
+      : (Seq[java.nio.file.Path], Seq[java.nio.file.Path]) = {
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val vMin =
+      if (retainMillis == 0L) cs0.size - 1
+      else cs0.indices.find(i =>
+        i + 1 >= cs0.size || cs0(i + 1).tsMillis > cutoff)
+        .getOrElse(cs0.size - 1)
+    val keep = scala.collection.mutable.Set[String]()
+    var st = EmptySnapshot
+    cs0.foreach { c =>
+      st = foldState(st, Seq(c))
+      if (c.version >= vMin) {
+        keep ++= st.live.map(_.set); keep ++= st.tombstones
+      }
+    }
+    keep ++= cloneFence(path)
+    val removedEver = cs0.flatMap(_.remove).toSet
+    val dataDir = Paths.get(path, "data")
+    val dead =
+      if (!Files.exists(dataDir)) Seq.empty[java.nio.file.Path]
+      else Files.list(dataDir).iterator().asScala.toSeq
+        .filter(p => removedEver(s"data/${p.getFileName}") &&
+          !keep(s"data/${p.getFileName}"))
+    val cdfDead: Seq[java.nio.file.Path] = {
+      val keepCdf = cs0.filter(_.version >= vMin).flatMap(_.cdf).toSet
+      val refCdf = cs0.flatMap(_.cdf).toSet
+      val cdfDir = Paths.get(path, "cdf")
+      if (!Files.exists(cdfDir)) Seq.empty
+      else Files.list(cdfDir).iterator().asScala.toSeq
+        .filter(p => refCdf(s"cdf/${p.getFileName}") &&
+          !keepCdf(s"cdf/${p.getFileName}"))
+    }
+    (dead, cdfDead)
+  }
+
+  /** VACUUM DRY RUN (Delta's `VACUUM ... DRY RUN`): list what a sweep
+    * with this retention WOULD reclaim, without claiming the log or
+    * deleting anything. Advisory by nature — a commit racing the
+    * listing can change the answer; the real [[vacuum]] recomputes
+    * under its writer-exclusion claim.
+    */
+  def vacuumDryRun(path: String, retainMillis: Long = 0L): Seq[String] = {
+    require(retainMillis >= 0, s"negative retention: $retainMillis")
+    require(snapshot(path).version >= 0, s"no table at $path")
+    val (dead, cdfDead) = vacuumDead(path, commits(path), retainMillis)
+    dead.map(p => s"data/${p.getFileName}") ++
+      cdfDead.map(p => s"cdf/${p.getFileName}")
+  }
+
+  /** RESTORE to the snapshot current AT `tsMillis` (Delta's RESTORE
+    * ... TO TIMESTAMP AS OF): the [[readAsOf]] stamp-to-version rule
+    * composed with [[restore]]'s fences.
+    */
+  def restoreAsOf(spark: SparkSession, path: String, tsMillis: Long): Int = {
+    val all = commits(path)
+    require(all.nonEmpty, s"no table at $path")
+    val at = all.lastIndexWhere(_.tsMillis <= tsMillis)
+    require(at >= 0,
+      s"timestamp $tsMillis precedes the first commit (${all.head.tsMillis}) at $path")
+    restore(spark, path, at)
+  }
+
   def vacuum(path: String, retainMillis: Long = 0L): Seq[String] = {
     require(retainMillis >= 0, s"negative retention: $retainMillis")
     var attempts = 0
@@ -3506,69 +3588,11 @@ object GraftLake {
         try {
           // The claim seals the log at v-1: fold the COMPLETE prefix.
           val cs0 = commits(path)
-          val cutoff = System.currentTimeMillis() - retainMillis
-          // RETENTION (Delta's retention-hours): keep every set live at
-          // any version that was HEAD after the cutoff — i.e. versions
-          // >= vMin, where vMin is the first version whose SUCCESSOR
-          // commit is stamped after the cutoff (stamps are monotonic).
-          // retainMillis = 0 keeps only HEAD (the pre-round-9 sweep).
-          val vMin =
-            if (retainMillis == 0L) cs0.size - 1
-            else cs0.indices.find(i =>
-              i + 1 >= cs0.size || cs0(i + 1).tsMillis > cutoff)
-              .getOrElse(cs0.size - 1)
-          val keep = scala.collection.mutable.Set[String]()
-          var st = EmptySnapshot
-          cs0.foreach { c =>
-            st = foldState(st, Seq(c))
-            if (c.version >= vMin) {
-              keep ++= st.live.map(_.set); keep ++= st.tombstones
-            }
-          }
-          // The clone fence: sets referenced by registered shallow
-          // clones survive the source's vacuum, or forks would
-          // silently lose data.
-          keep ++= cloneFence(path)
-          // Only sets the LOG explicitly removed are candidates: a
-          // concurrently STAGED set (written, claim not yet taken) is
-          // a data/ dir no commit names, and a mtime heuristic cannot
-          // tell it from garbage — so the sweep never touches it.
-          // (Orphaned stages from writers that crashed pre-claim are
-          // never named by any commit and so leak — the documented
-          // trade for staged-write safety.)
-          val removedEver = cs0.flatMap(_.remove).toSet
-          val dataDir = Paths.get(path, "data")
-          val dead =
-            if (!Files.exists(dataDir)) Seq.empty[java.nio.file.Path]
-            else {
-              import scala.jdk.CollectionConverters._
-              Files.list(dataDir).iterator().asScala.toSeq
-                .filter(p => removedEver(s"data/${p.getFileName}") &&
-                  !keep(s"data/${p.getFileName}"))
-            }
+          val (dead, cdfDead) = vacuumDead(path, cs0, retainMillis)
           dead.foreach { p =>
             import scala.jdk.CollectionConverters._
             Files.walk(p).iterator().asScala.toSeq.reverse
               .foreach(x => Files.deleteIfExists(x))
-          }
-          // CDF sidecars are log-addressable through each commit's
-          // `cdf` field — reclaim those of commits OUTSIDE the
-          // retention window (their typed feed range is gone anyway;
-          // Delta's CDF-files-beyond-retention trade). Retained
-          // commits keep theirs, and a staged-but-unpublished sidecar
-          // (named by no commit — indistinguishable from an in-flight
-          // writer's) survives, the same posture as staged data sets.
-          val cdfDead: Seq[java.nio.file.Path] = {
-            val keepCdf = cs0.filter(_.version >= vMin).flatMap(_.cdf).toSet
-            val refCdf = cs0.flatMap(_.cdf).toSet
-            val cdfDir = Paths.get(path, "cdf")
-            if (!Files.exists(cdfDir)) Seq.empty
-            else {
-              import scala.jdk.CollectionConverters._
-              Files.list(cdfDir).iterator().asScala.toSeq
-                .filter(p => refCdf(s"cdf/${p.getFileName}") &&
-                  !keepCdf(s"cdf/${p.getFileName}"))
-            }
           }
           cdfDead.foreach { p =>
             import scala.jdk.CollectionConverters._

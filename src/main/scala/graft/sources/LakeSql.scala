@@ -653,14 +653,27 @@ final case class GraftLakeCtasCommand(
   * reclamation as SQL (Delta's VACUUM grammar), returning the
   * reclaimed set names.
   */
-final case class GraftLakeVacuumCommand(path: String, retainMillis: Long)
+final case class GraftLakeVacuumCommand(
+    path: String, retainMillis: Long, dryRun: Boolean = false)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.StringType
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("reclaimed_set", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    GraftLake.vacuum(path, retainMillis).map(Row(_))
+    (if (dryRun) GraftLake.vacuumDryRun(path, retainMillis)
+     else GraftLake.vacuum(path, retainMillis)).map(Row(_))
+}
+
+/** RESTORE TABLE <lake view> TO TIMESTAMP AS OF <ts> — the stamp-to-
+  * version rule of `readAsOf` composed with the zero-copy rollback.
+  */
+final case class GraftLakeRestoreTsCommand(path: String, tsMillis: Long)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.restoreAsOf(spark, path, tsMillis)
+    Seq.empty
+  }
 }
 
 /** OPTIMIZE <lake view> [ZORDER BY (a, b)] — transactional compaction
@@ -849,6 +862,9 @@ final class LakeDdlParser(
   // fall through to Spark's parser for its native error.
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  // RESTORE ... TO TIMESTAMP AS OF <epoch-millis | 'yyyy-MM-dd HH:mm:ss[.fff]'>
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val DetailRe =
@@ -856,7 +872,7 @@ final class LakeDdlParser(
   // VACUUM / OPTIMIZE are Delta grammar, not Spark's — pre-parse
   // intercepts, same posture as RESTORE.
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   // ALTER TABLE <lake> SET TBLPROPERTIES ('k'='v', ...) — Spark's
@@ -879,6 +895,11 @@ final class LakeDdlParser(
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RestoreRe(name, ver) if LakeSql.lookup(name).isDefined =>
       GraftLakeRestoreCommand(LakeSql.lookup(name).get.path, ver.toInt)
+    case RestoreTsRe(name, tsLit, tsNum) if LakeSql.lookup(name).isDefined =>
+      val millis =
+        if (tsNum != null) tsNum.toLong
+        else java.sql.Timestamp.valueOf(tsLit).getTime
+      GraftLakeRestoreTsCommand(LakeSql.lookup(name).get.path, millis)
     case HistoryRe(name) if LakeSql.lookup(name).isDefined =>
       GraftLakeHistoryCommand(LakeSql.lookup(name).get.path)
     case DetailRe(name) if LakeSql.lookup(name).isDefined =>
@@ -886,10 +907,12 @@ final class LakeDdlParser(
     // Bare `VACUUM t` retains 7 days — Delta's default, so nobody
     // expecting Delta semantics silently destroys time travel. An
     // explicit `RETAIN n HOURS` (including 0) is honored verbatim.
-    case VacuumRe(name, hours) if LakeSql.lookup(name).isDefined =>
+    // `DRY RUN` lists the would-be-reclaimed sets, deletes nothing.
+    case VacuumRe(name, hours, dry) if LakeSql.lookup(name).isDefined =>
       GraftLakeVacuumCommand(LakeSql.lookup(name).get.path,
         Option(hours).map(_.toLong * 3600L * 1000L)
-          .getOrElse(168L * 3600L * 1000L))
+          .getOrElse(168L * 3600L * 1000L),
+        dryRun = dry != null)
     case OptimizeRe(name, za, zb) if LakeSql.lookup(name).isDefined =>
       val t = LakeSql.lookup(name).get
       GraftLakeOptimizeCommand(t.path, name,

@@ -595,6 +595,44 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("VACUUM DRY RUN lists without deleting; RESTORE TO TIMESTAMP AS OF rolls back") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakesql-dryrun")
+    // RESTORE by stamp: numeric epoch and the quoted timestamp form.
+    val p1 = base.resolve("t1").toString
+    GraftLake.create((1L to 20L).map(i => (i, i)).toDF("id", "v"), p1, Some("id"))
+    GraftLake.append((21L to 30L).map(i => (i, i)).toDF("id", "v"), p1, Some("id"))
+    LakeSql.register(spark, p1, "lakesql_rts", "id")
+    val ts0 = GraftLake.commits(p1).head.tsMillis
+    spark.sql(s"RESTORE TABLE lakesql_rts TO TIMESTAMP AS OF $ts0")
+    assert(GraftLake.read(spark, p1).count() == 20)
+    // The restore is itself a commit; the quoted form rolls forward
+    // to the post-append snapshot (its stamp covers version 1).
+    val ts1 = new java.sql.Timestamp(GraftLake.commits(p1)(1).tsMillis)
+    spark.sql(s"RESTORE TABLE lakesql_rts TO TIMESTAMP AS OF '$ts1'")
+    assert(GraftLake.read(spark, p1).count() == 30)
+    // DRY RUN: lists the dead sets, deletes nothing, publishes nothing.
+    val p2 = base.resolve("t2").toString
+    GraftLake.create((1L to 40L).map(i => (i, i % 4)).toDF("id", "m"), p2,
+      Some("id"))
+    LakeSql.register(spark, p2, "lakesql_dry", "id")
+    spark.sql("DELETE FROM lakesql_dry WHERE m = 0") // CoW: dead set
+    val vBefore = GraftLake.latestVersion(p2)
+    val dry = spark.sql("VACUUM lakesql_dry RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(dry.nonEmpty)
+    dry.foreach(s0 => assert(
+      Files.exists(java.nio.file.Paths.get(p2, s0)), s"$s0 was deleted"))
+    assert(GraftLake.latestVersion(p2) == vBefore) // no vacuum entry
+    // The real sweep reclaims exactly what the dry run listed.
+    val swept = spark.sql("VACUUM lakesql_dry RETAIN 0 HOURS")
+      .collect().map(_.getString(0))
+    assert(swept.toSet == dry.toSet)
+    dry.foreach(s0 => assert(
+      !Files.exists(java.nio.file.Paths.get(p2, s0)), s"$s0 survived"))
+    assert(spark.sql("VACUUM lakesql_dry RETAIN 0 HOURS DRY RUN").count() == 0)
+  }
+
   test("DELETE WHERE col IN (subquery) routes to distributed deleteKeys") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-lakesql-delin")
