@@ -1410,6 +1410,41 @@ object SparkEntry {
         .withColumn("convert_ok", lit(adopted))
         .orderBy(col("o_orderstatus"))
     }),
+    // SCOPED COMPACTION from SQL: OPTIMIZE ... WHERE coalesces only
+    // the manifest-pruned in-scope sets; out-of-scope sets survive by
+    // reference — the 100 TB maintenance shape (compact yesterday's
+    // partitions, not the table). Content-neutral oracle.
+    "src44_optimize_where" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, LakeSql}
+      val path = scratch("graft_lake_optw", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val mk = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val qs = Seq(0L, mk / 4, mk / 2, 3 * mk / 4, mk)
+      GraftLake.create(
+        o.filter(col("o_orderkey") <= qs(1)), path, Some("o_orderkey"))
+      (1 to 3).foreach(i => GraftLake.append(
+        o.filter(col("o_orderkey") > qs(i) && col("o_orderkey") <= qs(i + 1)),
+        path, Some("o_orderkey")))
+      LakeSql.register(s, path, "lake_optw", "o_orderkey")
+      val live0 = GraftLake.snapshot(path).live
+      val outOfScope = live0
+        .filter(_.statsFor("o_orderkey").exists(_.min > qs(2)))
+        .map(_.set).toSet
+      val r = s.sql(s"OPTIMIZE lake_optw WHERE o_orderkey <= ${qs(2)}").head
+      val after = GraftLake.snapshot(path).live.map(_.set).toSet
+      val scoped = r.getInt(0) == 4 && r.getInt(1) == 3 &&
+        outOfScope.subsetOf(after) &&
+        live0.map(_.set).toSet.diff(outOfScope).forall(!after.contains(_))
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("optw_ok", lit(scoped))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -3231,6 +3266,12 @@ object SparkEntry {
         |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Compaction is content-neutral: plain orders replay.
+    "src44_optimize_where" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents, TRUE AS optw_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Orders minus the cents%9 slice (deleted after the in-place
     // conversion).

@@ -3352,6 +3352,55 @@ object GraftLake {
         bloomColsOf(path, live.map(_.set))))
   }
 
+  /** SCOPED compaction (Delta's `OPTIMIZE ... WHERE`): compact ONLY
+    * the live sets that might hold rows matching `predicate` —
+    * selected off the MANIFEST through the same `predicateConstraints`
+    * extraction every mutation path uses (zone maps answer range
+    * conjuncts, Bloom sidecars equality conjuncts; sets without
+    * stats on a constrained column are conservatively included).
+    * Out-of-scope sets survive BY REFERENCE: at 100 TB you compact
+    * yesterday's small-file partitions, not the table.
+    *
+    * Content-neutral like [[compact]] — whole sets are rewritten,
+    * never rows filtered, so the table reads identically. Requires no
+    * outstanding MoR tombstones: key tombstones mask by VALUE and a
+    * position sidecar can span out-of-scope sets, so a PARTIAL
+    * materialization could resurrect masked rows — run the full
+    * OPTIMIZE to drain sidecars first (loud refusal, same fence as
+    * merge). A scope matching fewer than two sets is a no-op (nothing
+    * to coalesce).
+    *
+    * Returns (version, rewrittenSets, keptSets).
+    */
+  def compactWhere(
+      spark: SparkSession, path: String, predicate: Column,
+      sortCols: Seq[String], numFiles: Int,
+      statsCol: Option[String] = None): (Int, Int, Int) = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    require(s.tombstones.isEmpty,
+      s"outstanding merge-on-read tombstones at $path: a scoped compact " +
+        "cannot partially materialize them — run the full OPTIMIZE first")
+    val target = StructType.fromDDL(s.schemaDdl)
+    val (pRanges, pEqs) = predicateConstraints(predicate, target)
+    val (hit, kept) =
+      if (pRanges.isEmpty && pEqs.isEmpty) (s.live, Seq.empty[LiveSet])
+      else s.live.partition(setMayMatch(path, _, pRanges, pEqs))
+    lastCowScanSets = (hit.size, kept.size)
+    if (hit.size < 2) return (s.version, 0, s.live.size)
+    val df = hit.map(readSet(spark, path, _, target, s.renames))
+      .reduceLeft(_.unionByName(_))
+      .repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val reStats = reRecordable(target, s.renames,
+      hit.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq)
+    val v = commit(df, path, "compact", statsCols = reStats,
+      removeSets = hit.map(_.set),
+      bloomCols = reRecordable(target, s.renames,
+        bloomColsOf(path, hit.map(_.set))))
+    (v, hit.size, kept.size)
+  }
+
   /** Z-ORDER compaction: one atomic `compact` commit whose rewritten
     * files are clustered by the Morton key of (colA, colB) — each
     * parquet file covers a narrow range of BOTH dimensions, so a

@@ -676,14 +676,18 @@ final case class GraftLakeRestoreTsCommand(path: String, tsMillis: Long)
   }
 }
 
-/** OPTIMIZE <lake view> [ZORDER BY (a, b)] — transactional compaction
-  * as SQL (Delta's OPTIMIZE): plain form range-sorts by the
-  * registered stats column, ZORDER clusters on the Morton key of the
-  * two named dimensions. Returns (sets_before, sets_after).
+/** OPTIMIZE <lake view> [WHERE <pred>] [ZORDER BY (a, b)] —
+  * transactional compaction as SQL (Delta's OPTIMIZE): plain form
+  * range-sorts by the registered stats column, ZORDER clusters on
+  * the Morton key of the two named dimensions, WHERE scopes the
+  * compaction to the sets that might hold matching rows (manifest-
+  * pruned — the 100 TB shape: coalesce yesterday's small files, not
+  * the table). WHERE + ZORDER together refuse (run them separately).
+  * Returns (sets_before, sets_after).
   */
 final case class GraftLakeOptimizeCommand(
     path: String, viewName: String, zorder: Option[(String, String)],
-    statsCol: String, numFiles: Int = 4)
+    statsCol: String, numFiles: Int = 4, where: Option[String] = None)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.IntegerType
@@ -692,9 +696,16 @@ final case class GraftLakeOptimizeCommand(
       AttributeReference("sets_after", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val before = GraftLake.snapshot(path).live.size
-    zorder match {
-      case Some((a, b)) => GraftLake.compactZOrder(spark, path, a, b, numFiles)
-      case None =>
+    (zorder, where) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        s"OPTIMIZE $viewName: WHERE and ZORDER BY don't compose — " +
+          "scope-compact first, then ZORDER the result")
+      case (Some((a, b)), None) =>
+        GraftLake.compactZOrder(spark, path, a, b, numFiles)
+      case (None, Some(w)) =>
+        GraftLake.compactWhere(spark, path, expr(w), Seq(statsCol),
+          numFiles, Some(statsCol))
+      case (None, None) =>
         GraftLake.compact(spark, path, Seq(statsCol), numFiles, Some(statsCol))
     }
     GraftLake.read(spark, path).createOrReplaceTempView(viewName)
@@ -874,7 +885,7 @@ final class LakeDdlParser(
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   // ALTER TABLE <lake> SET TBLPROPERTIES ('k'='v', ...) — Spark's
   // grammar parses it but the analyzer rejects it on views, so the
   // wrapper intercepts registered lake names pre-parse (same posture
@@ -913,13 +924,13 @@ final class LakeDdlParser(
         Option(hours).map(_.toLong * 3600L * 1000L)
           .getOrElse(168L * 3600L * 1000L),
         dryRun = dry != null)
-    case OptimizeRe(name, za, zb) if LakeSql.lookup(name).isDefined =>
+    case OptimizeRe(name, where, za, zb) if LakeSql.lookup(name).isDefined =>
       val t = LakeSql.lookup(name).get
       GraftLakeOptimizeCommand(t.path, name,
         (Option(za), Option(zb)) match {
           case (Some(a), Some(b)) => Some((a, b))
           case _ => None
-        }, t.statsCol)
+        }, t.statsCol, where = Option(where))
     case SetPropsRe(name, props) if LakeSql.lookup(name).isDefined =>
       val PropRe = """'([^']+)'\s*=\s*'([^']*)'""".r
       GraftLakeSetPropsCommand(LakeSql.lookup(name).get.path,

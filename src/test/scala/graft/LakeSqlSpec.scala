@@ -595,6 +595,42 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("OPTIMIZE WHERE compacts only the in-scope sets; out-of-scope survive by reference") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lakesql-optw")
+    val p = base.resolve("t").toString
+    // Four range-disjoint sets.
+    GraftLake.create((1L to 100L).map(i => (i, i)).toDF("id", "v"), p, Some("id"))
+    Seq(101L to 200L, 201L to 300L, 301L to 400L).foreach(r =>
+      GraftLake.append(r.map(i => (i, i)).toDF("id", "v"), p, Some("id")))
+    LakeSql.register(spark, p, "lakesql_optw", "id")
+    val live0 = GraftLake.snapshot(p).live
+    val outOfScope = live0.filter(_.statsFor("id").exists(_.min > 200))
+      .map(_.set).toSet
+    val want = GraftLake.read(spark, p).agg(sum(col("v"))).head.getLong(0)
+    val r = spark.sql("OPTIMIZE lakesql_optw WHERE id <= 200").head
+    assert(r.getInt(0) == 4 && r.getInt(1) == 3) // two sets coalesced
+    val after = GraftLake.snapshot(p).live
+    assert(outOfScope.subsetOf(after.map(_.set).toSet))
+    assert(after.map(_.set).toSet.intersect(
+      live0.filterNot(ls => outOfScope(ls.set)).map(_.set).toSet).isEmpty)
+    // Content-neutral.
+    assert(GraftLake.read(spark, p).count() == 400)
+    assert(GraftLake.read(spark, p).agg(sum(col("v"))).head.getLong(0) == want)
+    // A scope matching one set is a no-op.
+    val v1 = GraftLake.latestVersion(p)
+    spark.sql("OPTIMIZE lakesql_optw WHERE id >= 350")
+    assert(GraftLake.latestVersion(p) == v1)
+    // WHERE + ZORDER refuse; outstanding sidecars refuse the scope.
+    intercept[Exception] {
+      spark.sql("OPTIMIZE lakesql_optw WHERE id <= 10 ZORDER BY (id, v)")
+    }
+    GraftLake.deleteDv(spark, p, col("id") === 5)
+    intercept[Exception] {
+      spark.sql("OPTIMIZE lakesql_optw WHERE id <= 200")
+    }
+  }
+
   test("VACUUM DRY RUN lists without deleting; RESTORE TO TIMESTAMP AS OF rolls back") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-lakesql-dryrun")
