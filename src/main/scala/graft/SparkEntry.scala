@@ -1445,6 +1445,50 @@ object SparkEntry {
         .withColumn("optw_ok", lit(scoped))
         .orderBy(col("o_orderstatus"))
     }),
+    // EMPTY CREATE + TRUNCATE (the Delta column-list create and the
+    // O(1) by-reference truncate): `CREATE TABLE (cols) USING
+    // graftlake` lands ONE zero-data create commit (v0, no sets) —
+    // pinned in-row; a throwaway slice is inserted and TRUNCATEd
+    // away in ONE metadata commit (no new data sets, live list
+    // empty, pre-truncate version still time-travels to the slice);
+    // the real data inserts after. Oracle: all orders (the truncated
+    // slice is content-neutral by construction).
+    "src45_create_truncate" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_ctrunc", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      o.createOrReplaceTempView("ctrunc_src")
+      s.sql(s"""CREATE TABLE lake_ctrunc
+               |(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)
+               |USING graftlake LOCATION '$path'
+               |TBLPROPERTIES ('statscol'='o_orderkey')""".stripMargin)
+      val s0 = GraftLake.snapshot(path)
+      val createdEmpty = s0.version == 0 && s0.live.isEmpty &&
+        s.sql("SELECT * FROM lake_ctrunc").count() == 0
+      s.sql("INSERT INTO lake_ctrunc SELECT * FROM ctrunc_src " +
+        "WHERE o_orderkey % 3 = 0")
+      val sliceN = s.sql("SELECT * FROM lake_ctrunc").count()
+      val vSlice = GraftLake.latestVersion(path)
+      s.sql("TRUNCATE TABLE lake_ctrunc")
+      val s1 = GraftLake.snapshot(path)
+      val last = GraftLake.commits(path).last
+      // ONE metadata commit: action truncate, nothing added, live
+      // empty — and the pre-truncate version still reads the slice.
+      val truncated = s1.version == vSlice + 1 && s1.live.isEmpty &&
+        last.action == "truncate" && last.add.isEmpty &&
+        s.sql("SELECT * FROM lake_ctrunc").count() == 0 &&
+        GraftLake.readAt(s, path, vSlice).count() == sliceN
+      s.sql("INSERT INTO lake_ctrunc SELECT * FROM ctrunc_src")
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("create_truncate_ok", lit(createdEmpty && truncated))
+        .orderBy(col("o_orderstatus"))
+    }),
     "src17_lake_delete" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.GraftLake
@@ -3266,6 +3310,12 @@ object SparkEntry {
         |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The truncated slice is content-neutral: plain orders replay.
+    "src45_create_truncate" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents, TRUE AS create_truncate_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Compaction is content-neutral: plain orders replay.
     "src44_optimize_where" ->

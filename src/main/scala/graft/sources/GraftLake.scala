@@ -143,6 +143,57 @@ object GraftLake {
       bloomCols = bloomCols)
   }
 
+  /** Create an EMPTY table at `path` from a declared schema — the
+    * `CREATE TABLE t (a INT, ...)` shape (Delta's column-list create):
+    * ONE zero-data `create` commit carries the schema and nothing
+    * else, so the table is immediately readable (zero rows, full
+    * schema), insertable, streamable, and DDL-able. Every later write
+    * goes through the ordinary evolution/constraint fences — an empty
+    * create is just version 0 with no file-set, not a special table
+    * kind.
+    */
+  def createEmpty(path: String, schema: StructType): Int = {
+    require(schema.fields.nonEmpty, s"createEmpty at $path: empty schema")
+    require(!Files.exists(logDir(path)), s"table already exists: $path")
+    Files.createDirectories(logDir(path))
+    publishEntry(path, "create", "", schema, None, Seq.empty, Seq.empty)
+  }
+
+  /** TRUNCATE: drop every live file-set (and outstanding tombstone /
+    * DV sidecar) BY REFERENCE in one O(1) metadata commit — zero
+    * bytes scanned or rewritten whatever the table size; the schema,
+    * constraints, rename lineage, and partition layout all survive,
+    * and time travel still reads the pre-truncate versions until
+    * VACUUM reclaims them. Refused while CDF is enabled: the feed
+    * would silently miss the removal (staging delete images would be
+    * an O(table) write — use `DELETE FROM` when a change feed must
+    * see each row go).
+    */
+  def truncate(path: String): Int = {
+    require(Files.exists(logDir(path)), s"no table at $path")
+    require(!cdfEnabled(path),
+      s"TRUNCATE on $path: the table has CDF enabled and a by-reference " +
+        "truncate would not stage delete images — use DELETE FROM instead")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"gave up truncating $path after 50 races")
+      val s = snapshot(path)
+      if (s.live.isEmpty && s.tombstones.isEmpty) return s.version
+      try {
+        // expectVersion serializes against racing writers: an append
+        // landing first must ALSO be truncated (we re-snapshot and
+        // retry), never silently survive a later truncate.
+        return publishEntry(path, "truncate", "", new StructType(), None,
+          Seq.empty, s.live.map(_.set) ++ s.tombstones,
+          expectVersion = Some(s.version))
+      } catch {
+        case _: java.util.ConcurrentModificationException => ()
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Append `df`; columns missing from the current schema are added
     * (schema evolution), columns missing from `df` stay null for the
     * new rows only if present in `df`'s schema — existing data is
@@ -1501,7 +1552,7 @@ object GraftLake {
     * byte/short/int/long. Strings are excluded even when all-numeric
     * (lexicographic min/max can invert after casting).
     */
-  private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+  private[sources] def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |

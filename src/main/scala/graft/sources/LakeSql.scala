@@ -649,6 +649,64 @@ final case class GraftLakeCtasCommand(
   }
 }
 
+/** CREATE TABLE <name> (col defs) USING graftlake LOCATION '<path>'
+  * [TBLPROPERTIES ('statscol'='c')] [PARTITIONED BY (c)] — the
+  * column-list create (Delta's empty-table shape): ONE zero-data
+  * `create` commit carries the declared schema; the table is
+  * immediately readable (zero rows), insertable, and DDL-able.
+  * `IF NOT EXISTS` over an existing lake registers it instead.
+  */
+final case class GraftLakeCreateEmptyCommand(
+    path: String, name: String,
+    tableSchema: org.apache.spark.sql.types.StructType,
+    statsCol: Option[String], partCol: Option[String],
+    ignoreIfExists: Boolean)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    statsCol.foreach(c => require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"CREATE TABLE $name: statscol '$c' is not a declared column"))
+    val canonPart = partCol.map { c =>
+      val f = tableSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $name: partition column '$c' is not a declared column"))
+      require(GraftLake.isIntegralType(f.dataType),
+        s"CREATE TABLE $name: partition column '$c' must be integral, " +
+          s"got ${f.dataType.simpleString}")
+      f.name
+    }
+    val exists = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_graft_log"))
+    if (exists) {
+      require(ignoreIfExists,
+        s"CREATE TABLE $name: a lake table already exists at $path " +
+          "(use IF NOT EXISTS to register it instead)")
+    } else {
+      GraftLake.createEmpty(path, tableSchema)
+      // The layout marker lands BEFORE any insert, so the very first
+      // `INSERT INTO` already takes the partitioned route.
+      canonPart.foreach(pc => GraftLake.setPartitionColumn(path, pc))
+    }
+    LakeSql.register(spark, path, name,
+      statsCol.flatMap(c => tableSchema.fieldNames.find(_.equalsIgnoreCase(c)))
+        .getOrElse(tableSchema.fieldNames.head))
+    Seq.empty
+  }
+}
+
+/** TRUNCATE TABLE <lake view> — drop every live file-set by
+  * reference in one O(1) metadata commit ([[GraftLake.truncate]]);
+  * schema/constraints/layout survive, time travel still serves the
+  * pre-truncate versions until VACUUM.
+  */
+final case class GraftLakeTruncateCommand(path: String, viewName: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftLake.truncate(path)
+    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    Seq.empty
+  }
+}
+
 /** VACUUM <lake view> [RETAIN n HOURS] — the lake's physical
   * reclamation as SQL (Delta's VACUUM grammar), returning the
   * reclaimed set names.
@@ -1078,6 +1136,56 @@ final class LakeDdlParser(
           }
           GraftLakeCtasCommand(loc, name, cta.query, statsCol,
             cta.ignoreIfExists, partCol)
+        // CREATE TABLE <name> (col defs) USING graftlake LOCATION:
+        // the EMPTY column-list create — one zero-data commit.
+        case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
+            if ct.tableSpec.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec] &&
+              ct.tableSpec.asInstanceOf[
+                org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec]
+                .provider.exists(_.equalsIgnoreCase("graftlake")) =>
+          val spec = ct.tableSpec.asInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec]
+          val name = ct.name match {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+              u.nameParts.mkString(".")
+            case other => throw new IllegalArgumentException(
+              s"CREATE TABLE ... USING graftlake: unsupported name plan $other")
+          }
+          val loc = spec.location.getOrElse(throw new IllegalArgumentException(
+            s"CREATE TABLE $name USING graftlake needs LOCATION '<path>' " +
+              "— the lake is path-addressed"))
+          require(ct.columns.nonEmpty,
+            s"CREATE TABLE $name USING graftlake: declare at least one column")
+          // Column DEFAULTs / generated / identity columns would need a
+          // write-side fill the insert path doesn't do — refuse loudly
+          // instead of silently dropping the clause.
+          ct.columns.foreach { c =>
+            require(c.defaultValue.isEmpty && c.generationExpression.isEmpty &&
+              c.identityColumnSpec.isEmpty,
+              s"CREATE TABLE $name: column '${c.name}' carries a DEFAULT / " +
+                "GENERATED / IDENTITY clause — not supported on a graft lake")
+          }
+          val schema = org.apache.spark.sql.types.StructType(ct.columns.map(c =>
+            org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+          val partCol = ct.partitioning.toSeq match {
+            case Seq() => None
+            case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+              Some(t.references.head.fieldNames.mkString("."))
+            case other => throw new IllegalArgumentException(
+              s"CREATE TABLE $name USING graftlake: only single-column " +
+                s"identity PARTITIONED BY is supported, got $other")
+          }
+          val statsCol = spec.properties.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("statscol") => v
+          }
+          GraftLakeCreateEmptyCommand(loc, name, schema, statsCol, partCol,
+            ct.ignoreIfExists)
+        // TRUNCATE TABLE <lake view> — O(1) by-reference removal.
+        case tt: org.apache.spark.sql.catalyst.plans.logical.TruncateTable
+            if LakeSql.targetName(tt.table).isDefined =>
+          val name = LakeSql.targetName(tt.table).get
+          GraftLakeTruncateCommand(LakeSql.lookup(name).get.path, name)
         case spliced => spliced
       }
     }
