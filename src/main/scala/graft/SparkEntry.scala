@@ -1445,6 +1445,58 @@ object SparkEntry {
         .withColumn("optw_ok", lit(scoped))
         .orderBy(col("o_orderstatus"))
     }),
+    // TEMPORAL ZONE MAPS: DATE/TIMESTAMP columns carry manifest stats
+    // in exact integer images (epoch days / epoch micros), and
+    // date/timestamp predicates prune mutations through the same
+    // zone-map tests integral keys use — the "one day's predicate
+    // opens one day's sets" shape every time-partitioned 100 TB lake
+    // needs. The table is laid out one set per ORDER YEAR; a CoW
+    // UPDATE with a DATE-string predicate rewrites exactly one set
+    // (pinned in-row), and a MoR deleteDv with a TIMESTAMP range
+    // predicate opens exactly one set and rewrites nothing. Oracle
+    // replays the year arithmetic off raw orders.
+    "src46_temporal_stats" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_temporal", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate").as("ts"),
+        to_date(col("o_orderdate")).as("day"))
+      val years = o.select(year(col("ts")).as("y")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      years.zipWithIndex.foreach { case (yr, i) =>
+        val slice = o.filter(year(col("ts")) === yr)
+        if (i == 0) GraftLake.create(slice, path,
+          statsCols = Seq("o_orderkey", "ts", "day"))
+        else GraftLake.append(slice, path,
+          statsCols = Seq("o_orderkey", "ts", "day"))
+      }
+      val (y0, yN) = (years.head, years.last)
+      // Copy-on-write UPDATE, DATE-string predicate: ONE candidate set.
+      GraftLake.update(s, path, expr(s"day >= '$yN-01-01'"),
+        Seq("cents" -> expr("cents * 2")))
+      val cowPruned = GraftLake.lastCowScanSets ==
+        ((1, years.length - 1))
+      // Merge-on-read delete, TIMESTAMP range predicate: ONE set
+      // opened for position resolution, ZERO data sets rewritten.
+      val liveBefore = GraftLake.snapshot(path).live.map(_.set).toSet
+      // orders timestamps read as TIMESTAMP_NTZ: the NTZ-typed
+      // literal binds the local-micros constraint (an LTZ literal
+      // would coerce the comparison into the instant domain).
+      GraftLake.deleteDv(s, path,
+        expr(s"ts < TIMESTAMP_NTZ'${y0 + 1}-01-01 00:00:00'"))
+      val dvPruned = GraftLake.lastDvScanSets == ((1, years.length - 1))
+      val zeroRewrite =
+        GraftLake.snapshot(path).live.map(_.set).toSet == liveBefore
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("temporal_ok", lit(cowPruned && dvPruned && zeroRewrite))
+        .orderBy(col("o_orderstatus"))
+    }),
     // EMPTY CREATE + TRUNCATE (the Delta column-list create and the
     // O(1) by-reference truncate): `CREATE TABLE (cols) USING
     // graftlake` lands ONE zero-data create commit (v0, no sets) —
@@ -3311,6 +3363,19 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // First year MoR-deleted, last year's cents doubled by the CoW
+    // update — replay the year arithmetic off raw orders.
+    "src46_temporal_stats" ->
+      """WITH b AS (SELECT min(year(o_orderdate)) AS y0,
+        |    max(year(o_orderdate)) AS yN FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN year(o_orderdate) = (SELECT yN FROM b)
+        |    THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |    AS BIGINT) AS cents,
+        |  TRUE AS temporal_ok
+        |FROM orders WHERE year(o_orderdate) > (SELECT y0 FROM b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The truncated slice is content-neutral: plain orders replay.
     "src45_create_truncate" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -462,9 +462,11 @@ object GraftLake {
     val extra: Map[Long, Seq[SetStats]] =
       if (statsCols.isEmpty) Map.empty
       else {
-        val aggs = statsCols.flatMap(c => Seq(
-          org.apache.spark.sql.functions.min(col(c)).cast("long"),
-          org.apache.spark.sql.functions.max(col(c)).cast("long")))
+        val aggs = statsCols.flatMap { c =>
+          val e = statLongExpr(df.schema(c).dataType, col(c))
+          Seq(org.apache.spark.sql.functions.min(e),
+            org.apache.spark.sql.functions.max(e))
+        }
         df.groupBy(col(partCol).cast("long").as("__p"))
           .agg(aggs.head, aggs.tail: _*).collect().map { r =>
             r.getLong(0) -> statsCols.zipWithIndex.flatMap { case (c, i) =>
@@ -898,11 +900,13 @@ object GraftLake {
       statsCols: Seq[String]): Seq[SetStats] =
     if (statsCols.isEmpty) Seq.empty
     else {
-      val aggs = statsCols.flatMap(c => Seq(
-        org.apache.spark.sql.functions.min(col(c)).cast("long"),
-        org.apache.spark.sql.functions.max(col(c)).cast("long")))
-      val r = spark.read.parquet(s"$path/$setName")
-        .agg(aggs.head, aggs.tail: _*).head
+      val written = spark.read.parquet(s"$path/$setName")
+      val aggs = statsCols.flatMap { c =>
+        val e = statLongExpr(written.schema(c).dataType, col(c))
+        Seq(org.apache.spark.sql.functions.min(e),
+          org.apache.spark.sql.functions.max(e))
+      }
+      val r = written.agg(aggs.head, aggs.tail: _*).head
       statsCols.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(2 * i)) None
         else Some(SetStats(c, r.getLong(2 * i), r.getLong(2 * i + 1)))
@@ -996,9 +1000,10 @@ object GraftLake {
     // Zone maps off the EXISTING bytes, before the move names a set.
     val stats = statsCol.toSeq.flatMap { c =>
       require(df.columns.contains(c), s"CONVERT: no column '$c' at $path")
+      val e = statLongExpr(df.schema(c).dataType, col(c))
       val r = df.agg(
-        org.apache.spark.sql.functions.min(col(c)).cast("long"),
-        org.apache.spark.sql.functions.max(col(c)).cast("long")).head
+        org.apache.spark.sql.functions.min(e),
+        org.apache.spark.sql.functions.max(e)).head
       if (r.isNullAt(0)) None else Some(SetStats(c, r.getLong(0), r.getLong(1)))
     }
     commitStagedFiles(path, files, df.schema, None, stats)
@@ -1552,6 +1557,48 @@ object GraftLake {
     * byte/short/int/long. Strings are excluded even when all-numeric
     * (lexicographic min/max can invert after casting).
     */
+  /** Can this column type carry zone-map stats / participate in
+    * manifest pruning? Integrals prune in their own value domain;
+    * DATE prunes as epoch DAYS and TIMESTAMP as epoch MICROS — both
+    * exact integer images (the physical parquet encodings), so a
+    * time-partitioned table's "one day's predicate opens one day's
+    * sets" works without a synthetic integer date key. The SAME
+    * long-image function ([[statLongExpr]]) serves stats recording
+    * AND every span/constraint probe — one convention, no unit drift.
+    */
+  private[sources] def isPrunableType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    isIntegralType(dt) || dt == org.apache.spark.sql.types.DateType ||
+      dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType
+
+  /** The canonical long image of a prunable column (see
+    * [[isPrunableType]]): integral → value, DATE → epoch days,
+    * TIMESTAMP → epoch micros (instant), TIMESTAMP_NTZ → LOCAL
+    * micros. The NTZ image is deliberately timezone-INDEPENDENT —
+    * stats written under one session zone must stay sound for
+    * mutations issued under another, and a local→instant conversion
+    * is not injective across DST gaps — so it is assembled from the
+    * local fields (day × 86.4e9 + time-of-day micros), which is an
+    * exact, strictly monotone function of the NTZ value everywhere.
+    * Non-prunable types keep the legacy `cast(long)` (strings yield
+    * NULL → stats dropped, conservative).
+    */
+  private[sources] def statLongExpr(
+      dt: org.apache.spark.sql.types.DataType,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.DateType =>
+      functions.unix_date(c).cast("long") // unix_date yields INT days
+    case org.apache.spark.sql.types.TimestampType => functions.unix_micros(c)
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      functions.unix_date(functions.to_date(c)).cast("long") * lit(86400000000L) +
+        functions.hour(c).cast("long") * lit(3600000000L) +
+        functions.minute(c).cast("long") * lit(60000000L) +
+        // SECOND extracts seconds WITH the fractional part as a
+        // decimal — ×1e6 is the exact micros-of-minute
+        (functions.date_part(lit("SECOND"), c) * lit(1000000L)).cast("long")
+    case _ => c.cast("long")
+  }
+
   private[sources] def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.ByteType |
@@ -1934,11 +1981,15 @@ object GraftLake {
         "(a raw file-set rewrite would resurrect tombstoned rows)")
     val target = StructType.fromDDL(s.schemaDdl)
     val live = s.live
+    // The span probe uses the SAME long image the stats were recorded
+    // under (statLongExpr): integral value / DATE days / TIMESTAMP
+    // micros — a temporal statsCol prunes exactly like an integer one.
+    val spanE = statLongExpr(updates.schema(statsCol).dataType, col(statsCol))
     val span = updates
       .agg(org.apache.spark.sql.functions.count(lit(1)),
         org.apache.spark.sql.functions.count(col(statsCol)),
-        org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
-        org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
+        org.apache.spark.sql.functions.min(spanE),
+        org.apache.spark.sql.functions.max(spanE)).head
     if (span.getLong(0) == 0L) return (s.version, 0, live.size)
     // A NULL statsCol escapes the overlap test entirely: an insert row
     // would be silently dropped when the span is all-NULL, and an
@@ -2046,11 +2097,13 @@ object GraftLake {
     tag.foreach { t => s.tags.get(t).foreach { v => return (v, 0L, 0L) } }
     val target = StructType.fromDDL(s.schemaDdl)
     require(keyCols.nonEmpty, "mergeDv with no key columns")
+    // Same long-image convention as the recorded stats (statLongExpr).
+    val spanE = statLongExpr(updates.schema(statsCol).dataType, col(statsCol))
     val span = updates
       .agg(org.apache.spark.sql.functions.count(lit(1)),
         org.apache.spark.sql.functions.count(col(statsCol)),
-        org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
-        org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
+        org.apache.spark.sql.functions.min(spanE),
+        org.apache.spark.sql.functions.max(spanE)).head
     if (span.getLong(0) == 0L) return (s.version, 0L, 0L)
     require(span.getLong(1) == span.getLong(0),
       s"mergeDv updates contain NULL '$statsCol' values " +
@@ -2339,11 +2392,17 @@ object GraftLake {
         // lexicographic and can cast to an inverted span (and under
         // ANSI mode the cast throws on mixed values) — and both
         // endpoints must be non-null.
-        val srcIntegral = isIntegralType(source.schema(statsCol).dataType)
+        // DATE/TIMESTAMP statsCols prune too: statLongExpr is the
+        // exact integer image (days/micros) the stats were recorded
+        // under, so the span test stays sound for temporal keys.
+        val srcIntegral = isPrunableType(source.schema(statsCol).dataType)
         val span =
-          if (srcIntegral) source.agg(count(col(statsCol)), count(lit(1)),
-            org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
-            org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
+          if (srcIntegral) {
+            val e = statLongExpr(source.schema(statsCol).dataType, col(statsCol))
+            source.agg(count(col(statsCol)), count(lit(1)),
+              org.apache.spark.sql.functions.min(e),
+              org.apache.spark.sql.functions.max(e)).head
+          }
           else source.agg(count(col(statsCol)), count(lit(1)),
             lit(null).cast("long"), lit(null).cast("long")).head
         if (span.getLong(1) == 0L) Seq.empty // empty source: no matches
@@ -2476,11 +2535,14 @@ object GraftLake {
     // mergeActions: only an all-non-null INTEGRAL source statsCol
     // yields a sound span; by-source clauses force the full scan.
     val srcIntegral = source.columns.contains(statsCol) &&
-      isIntegralType(source.schema(statsCol).dataType)
+      isPrunableType(source.schema(statsCol).dataType)
     val span =
-      if (srcIntegral) source.agg(count(lit(1)), count(col(statsCol)),
-        org.apache.spark.sql.functions.min(col(statsCol)).cast("long"),
-        org.apache.spark.sql.functions.max(col(statsCol)).cast("long")).head
+      if (srcIntegral) {
+        val e = statLongExpr(source.schema(statsCol).dataType, col(statsCol))
+        source.agg(count(lit(1)), count(col(statsCol)),
+          org.apache.spark.sql.functions.min(e),
+          org.apache.spark.sql.functions.max(e)).head
+      }
       else source.agg(count(lit(1)), count(lit(1)),
         lit(null).cast("long"), lit(null).cast("long")).head
     val nSrc = span.getLong(0)
@@ -2735,8 +2797,15 @@ object GraftLake {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.{
       UnresolvedAttribute, UnresolvedFunction}
-    val integral = target.fields
-      .filter(f => isIntegralType(f.dataType)).map(_.name).toSet
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    // Constraints are extracted for every PRUNABLE column: integral
+    // (own value domain), DATE (epoch days), TIMESTAMP (epoch
+    // micros) — the same long images statLongExpr records stats
+    // under, so a one-day temporal predicate opens one day's sets
+    // exactly like an integer key would.
+    val prunable: Map[String, org.apache.spark.sql.types.DataType] =
+      target.fields.filter(f => isPrunableType(f.dataType))
+        .map(f => f.name -> f.dataType).toMap
     def width(dt: org.apache.spark.sql.types.DataType): Int = dt match {
       case org.apache.spark.sql.types.ByteType => 1
       case org.apache.spark.sql.types.ShortType => 2
@@ -2746,74 +2815,128 @@ object GraftLake {
     }
     def attrOf(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute if a.nameParts.length == 1 =>
-        integral.find(_.equalsIgnoreCase(a.nameParts.head))
-      case a: AttributeReference => integral.find(_.equalsIgnoreCase(a.name))
-      // A WIDENING integral cast of the column is value-preserving,
-      // so the comparison constrains the underlying column unchanged
-      // (the analyzer inserts these around coerced comparisons — the
-      // `.sql`-round-tripped DELETE predicate carries them verbatim).
-      // A NARROWING cast can wrap and is never unwrapped.
+        prunable.keys.find(_.equalsIgnoreCase(a.nameParts.head))
+      case a: AttributeReference => prunable.keys.find(_.equalsIgnoreCase(a.name))
+      // A WIDENING integral cast of an INTEGRAL column is
+      // value-preserving, so the comparison constrains the underlying
+      // column unchanged (the analyzer inserts these around coerced
+      // comparisons — the `.sql`-round-tripped DELETE predicate
+      // carries them verbatim). A NARROWING cast can wrap, and a cast
+      // over a TEMPORAL column changes the value domain (ts→long is
+      // seconds, not micros) — neither is ever unwrapped.
       case c: Cast if width(c.dataType) > 0 =>
         attrOf(c.child).filter { name =>
-          target.fields.find(_.name == name)
-            .exists(f => width(c.dataType) >= width(f.dataType))
+          target.fields.find(_.name == name).exists(f =>
+            width(f.dataType) > 0 && width(c.dataType) >= width(f.dataType))
         }
       case _ => None
     }
-    def litOf(e: Expression): Option[Long] = e match {
-      case Literal(v, dt) if v != null && isIntegralType(dt) =>
-        Some(v.toString.toLong)
-      // CAST(lit AS wider-integral) is value-preserving; narrowing
-      // can wrap (non-ANSI) — only unwrap widening.
-      case c: Cast if width(c.dataType) > 0 =>
-        c.child match {
-          case Literal(v, src) if v != null && isIntegralType(src) &&
-              width(c.dataType) >= width(src) => Some(v.toString.toLong)
-          case _ => None
-        }
-      case _ => None
+    // Session zone for date→micros promotion and string temporal
+    // literals — the SAME rule Spark's own cast applies at runtime.
+    lazy val zone = DateTimeUtils.getZoneId(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    /** The literal's long image IN `colName`'s stats domain, or None
+      * when the literal cannot be soundly converted (→ no constraint,
+      * conservative scan).
+      */
+    def litFor(colName: String, e: Expression): Option[Long] = {
+      def strip(x: Expression): Expression = x match {
+        // CAST(lit AS wider-integral) is value-preserving; narrowing
+        // can wrap (non-ANSI) — only unwrap widening over integrals.
+        case c: Cast if width(c.dataType) > 0 =>
+          c.child match {
+            case l @ Literal(v, src) if v != null && isIntegralType(src) &&
+                width(c.dataType) >= width(src) => l
+            case _ => x
+          }
+        case _ => x
+      }
+      (prunable(colName), strip(e)) match {
+        case (dt, Literal(v, lt)) if isIntegralType(dt) &&
+            v != null && isIntegralType(lt) =>
+          Some(v.toString.toLong)
+        case (org.apache.spark.sql.types.DateType,
+            Literal(v, org.apache.spark.sql.types.DateType)) if v != null =>
+          Some(v.asInstanceOf[Int].toLong)
+        case (org.apache.spark.sql.types.DateType,
+            Literal(v, org.apache.spark.sql.types.StringType)) if v != null =>
+          DateTimeUtils.stringToDate(
+            v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+            .map(_.toLong)
+        case (org.apache.spark.sql.types.TimestampType,
+            Literal(v, org.apache.spark.sql.types.TimestampType)) if v != null =>
+          Some(v.asInstanceOf[Long])
+        case (org.apache.spark.sql.types.TimestampType,
+            Literal(v, org.apache.spark.sql.types.DateType)) if v != null =>
+          Some(DateTimeUtils.daysToMicros(v.asInstanceOf[Int], zone))
+        case (org.apache.spark.sql.types.TimestampType,
+            Literal(v, org.apache.spark.sql.types.StringType)) if v != null =>
+          DateTimeUtils.stringToTimestamp(
+            v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], zone)
+        // TIMESTAMP_NTZ columns prune in the LOCAL-micros image (see
+        // statLongExpr) — only timezone-independent literal kinds may
+        // bind: an NTZ literal IS local micros; a date literal is
+        // local midnight; a string parses wall-clock (Spark's own
+        // string→NTZ rule). An INSTANT (LTZ) literal is skipped:
+        // Spark coerces that comparison into the instant domain,
+        // where the local image cannot answer soundly across DST.
+        case (org.apache.spark.sql.types.TimestampNTZType,
+            Literal(v, org.apache.spark.sql.types.TimestampNTZType))
+            if v != null =>
+          Some(v.asInstanceOf[Long])
+        case (org.apache.spark.sql.types.TimestampNTZType,
+            Literal(v, org.apache.spark.sql.types.DateType)) if v != null =>
+          Some(v.asInstanceOf[Int].toLong * 86400000000L)
+        case (org.apache.spark.sql.types.TimestampNTZType,
+            Literal(v, org.apache.spark.sql.types.StringType)) if v != null =>
+          // Spark's own string→NTZ rule: wall-clock parse, any explicit
+          // zone suffix DROPPED — exactly the cast the analyzer inserts.
+          DateTimeUtils.stringToTimestampWithoutTimeZone(
+            v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        case _ => None
+      }
     }
+    def bind(a: Expression, b: Expression): Option[(String, Long)] =
+      for { c <- attrOf(a); x <- litFor(c, b) } yield (c, x)
     type Cons = (Seq[(String, Long, Long)], Seq[(String, Seq[Long])])
     val none: Cons = (Seq.empty, Seq.empty)
     def both(a: Cons, b: Cons): Cons = (a._1 ++ b._1, a._2 ++ b._2)
     def eq(a: Expression, b: Expression): Cons = {
-      val hits = (for (c <- attrOf(a); x <- litOf(b)) yield (c, x)).toSeq ++
-        (for (c <- attrOf(b); x <- litOf(a)) yield (c, x)).toSeq
+      val hits = bind(a, b).toSeq ++ bind(b, a).toSeq
       (hits.map { case (c, x) => (c, x, x) },
         hits.map { case (c, x) => (c, Seq(x)) })
     }
     def cmp(op: String, a: Expression, b: Expression): Cons = op match {
       case "=" | "==" => eq(a, b)
       case ">=" =>
-        ((for (c <- attrOf(a); x <- litOf(b))
-          yield (c, x, Long.MaxValue)).toSeq ++
-          (for (c <- attrOf(b); x <- litOf(a))
-            yield (c, Long.MinValue, x)).toSeq, Seq.empty)
+        (bind(a, b).map { case (c, x) => (c, x, Long.MaxValue) }.toSeq ++
+          bind(b, a).map { case (c, x) => (c, Long.MinValue, x) }.toSeq,
+          Seq.empty)
       case "<=" =>
-        ((for (c <- attrOf(a); x <- litOf(b))
-          yield (c, Long.MinValue, x)).toSeq ++
-          (for (c <- attrOf(b); x <- litOf(a))
-            yield (c, x, Long.MaxValue)).toSeq, Seq.empty)
+        (bind(a, b).map { case (c, x) => (c, Long.MinValue, x) }.toSeq ++
+          bind(b, a).map { case (c, x) => (c, x, Long.MaxValue) }.toSeq,
+          Seq.empty)
       case ">" =>
-        ((for (c <- attrOf(a); x <- litOf(b) if x < Long.MaxValue)
-          yield (c, x + 1, Long.MaxValue)).toSeq ++
-          (for (c <- attrOf(b); x <- litOf(a) if x > Long.MinValue)
-            yield (c, Long.MinValue, x - 1)).toSeq, Seq.empty)
+        (bind(a, b).collect { case (c, x) if x < Long.MaxValue =>
+          (c, x + 1, Long.MaxValue) }.toSeq ++
+          bind(b, a).collect { case (c, x) if x > Long.MinValue =>
+            (c, Long.MinValue, x - 1) }.toSeq, Seq.empty)
       case "<" =>
-        ((for (c <- attrOf(a); x <- litOf(b) if x > Long.MinValue)
-          yield (c, Long.MinValue, x - 1)).toSeq ++
-          (for (c <- attrOf(b); x <- litOf(a) if x < Long.MaxValue)
-            yield (c, x + 1, Long.MaxValue)).toSeq, Seq.empty)
+        (bind(a, b).collect { case (c, x) if x > Long.MinValue =>
+          (c, Long.MinValue, x - 1) }.toSeq ++
+          bind(b, a).collect { case (c, x) if x < Long.MaxValue =>
+            (c, x + 1, Long.MaxValue) }.toSeq, Seq.empty)
       case _ => none
     }
     def inCons(a: Expression, vs: Seq[Expression]): Cons =
-      (for {
-        c <- attrOf(a)
-        xs <- Some(vs.map(litOf)) if vs.nonEmpty && xs.forall(_.isDefined)
-        flat = xs.flatten
-      } yield ((c, flat.min, flat.max), (c, flat))) match {
-        case Some((r, e)) => (Seq(r), Seq(e))
-        case None => none
+      attrOf(a) match {
+        case Some(c) if vs.nonEmpty =>
+          val xs = vs.map(litFor(c, _))
+          if (xs.forall(_.isDefined)) {
+            val flat = xs.flatten
+            (Seq((c, flat.min, flat.max)), Seq((c, flat)))
+          } else none
+        case _ => none
       }
     def go(e: Expression): Cons = e match {
       // The SQL-parsed shapes (expr("...") / typed builders).
@@ -3125,12 +3248,17 @@ object GraftLake {
     // be integral (the cast below never runs otherwise) AND both
     // endpoints non-null; anything else scans every live set rather
     // than risking a silently-missed delete.
-    val keyIsIntegral = isIntegralType(k.schema(keyCol).dataType)
+    // (DATE/TIMESTAMP keys also span-prune: statLongExpr is the exact
+    // integer image their stats were recorded under.)
+    val keyIsIntegral = isPrunableType(k.schema(keyCol).dataType)
     val kSpan =
-      if (keyIsIntegral) k.agg(
-        org.apache.spark.sql.functions.count(col(keyCol)),
-        org.apache.spark.sql.functions.min(col(keyCol)).cast("long"),
-        org.apache.spark.sql.functions.max(col(keyCol)).cast("long")).head
+      if (keyIsIntegral) {
+        val e = statLongExpr(k.schema(keyCol).dataType, col(keyCol))
+        k.agg(
+          org.apache.spark.sql.functions.count(col(keyCol)),
+          org.apache.spark.sql.functions.min(e),
+          org.apache.spark.sql.functions.max(e)).head
+      }
       else k.agg(
         org.apache.spark.sql.functions.count(col(keyCol)),
         lit(null).cast("long"), lit(null).cast("long")).head
@@ -3146,8 +3274,11 @@ object GraftLake {
           case None => true // unknown span — must look
         }
       }
+    // Bloom sidecars hash INTEGRAL values (writeBloomSidecar refuses
+    // temporal columns), so only integral keys may consult them —
+    // temporal keys stop at the zone-map leg above.
     val bloomed: Map[String, (Array[Long], Int)] =
-      if (!castable) Map.empty
+      if (!castable || !isIntegralType(k.schema(keyCol).dataType)) Map.empty
       else zoneSurvivors
         .flatMap(ls => readBloomSidecar(path, ls.set, keyCol)
           .map(ls.set -> _)).toMap
@@ -3267,16 +3398,23 @@ object GraftLake {
       else live.partition(setMayMatch(path, _, ranges, pEqs))
     lastCowScanSets = (candidates.size, skipped.size)
     if (candidates.isEmpty) return (s.version, 0, live.size, 0L)
-    // ONE distributed job: per-set match counts (O(sets) driver rows).
+    // ONE distributed job: per-set match AND total counts (O(sets)
+    // driver rows) — the totals tell us when a hit set is emptied
+    // outright, so a whole-partition delete commits a PURE REMOVAL.
     val tagged = candidates.map { ls =>
       readSet(spark, path, ls, target, s.renames)
-        .filter(coalesce(predicate, lit(false)))
-        .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-        .select(lit(ls.set).as("s"), functions.col("n"))
+        .groupBy().agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("tot"),
+          org.apache.spark.sql.functions.sum(
+            when(coalesce(predicate, lit(false)), 1L).otherwise(0L)).as("n"))
+        .select(lit(ls.set).as("s"), functions.col("tot"),
+          coalesce(functions.col("n"), lit(0L)).as("n"))
     }.reduceLeft(_.unionByName(_))
-    val matchCounts = tagged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val hitSets = candidates.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
-    val deleted = matchCounts.values.sum
+    val counts = tagged.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hitSets = candidates.filter(ls =>
+      counts.getOrElse(ls.set, (0L, 0L))._2 > 0)
+    val deleted = counts.values.map(_._2).sum
     if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
     val hitDf = hitSets.map(readSet(spark, path, _, target, s.renames))
       .reduceLeft(_.unionByName(_))
@@ -3285,6 +3423,14 @@ object GraftLake {
       if (!cdfEnabled(path)) None
       else stageCdf(path,
         Seq((hitDf.filter(coalesce(predicate, lit(false))), "delete")))
+    // Every hit set fully emptied → remove them BY REFERENCE: no
+    // rewritten parquet, and crucially no stat-less empty set that
+    // would conservatively scan in every later pruned mutation.
+    if (hitSets.forall(ls => counts(ls.set)._1 == counts(ls.set)._2)) {
+      val v = publishEntry(path, "delete", "", new StructType(), None,
+        Seq.empty, hitSets.map(_.set), cdfSet = cdfSet)
+      return (v, hitSets.size, live.size - hitSets.size, deleted)
+    }
     val rewritten =
       hitDf.filter(!coalesce(predicate, lit(false))) // NULL predicate keeps the row
     val reStats = reRecordable(target, s.renames,
