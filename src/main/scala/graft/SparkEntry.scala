@@ -1445,6 +1445,52 @@ object SparkEntry {
         .withColumn("optw_ok", lit(scoped))
         .orderBy(col("o_orderstatus"))
     }),
+    // COPY INTO (Delta's idempotent batch file ingest): three
+    // one-third slices of orders land as standalone parquet files in
+    // a source directory; the first COPY loads the two present files,
+    // a re-run is a pure no-op (zero files, zero commits — pinned
+    // in-row), the directory then GROWS by the third file and the
+    // next COPY loads exactly that one; the per-file ledger rides the
+    // same atomic commit as the data. Oracle: all orders.
+    "src47_copy_into" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val path = scratch("graft_lake_copyinto", dir)
+      val src = scratch("graft_lake_copyinto_src", dir)
+      rmrf(path); rmrf(src)
+      JFiles.createDirectories(JPaths.get(src))
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def putSlice(name: String, m: Int): Unit = {
+        import scala.jdk.CollectionConverters._
+        val tmp = JFiles.createTempDirectory("ci-gate")
+        o.filter(pmod(col("o_orderkey"), lit(3)) === m)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = JFiles.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        JFiles.move(part, JPaths.get(src, s"$name.parquet"))
+      }
+      putSlice("slice0", 0); putSlice("slice1", 1)
+      GraftLake.createEmpty(path, org.apache.spark.sql.types.StructType
+        .fromDDL("o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"))
+      val (_, f1, _) = GraftLake.copyInto(s, path, src,
+        statsCol = Some("o_orderkey"))
+      val vAfter = GraftLake.latestVersion(path)
+      val (_, f2, r2) = GraftLake.copyInto(s, path, src)
+      val noop = f2 == 0 && r2 == 0L && GraftLake.latestVersion(path) == vAfter
+      putSlice("slice2", 2)
+      val (_, f3, _) = GraftLake.copyInto(s, path, src,
+        statsCol = Some("o_orderkey"))
+      val exactlyOnce = f1 == 2 && f3 == 1 &&
+        GraftLake.snapshot(path).ingested.size == 3
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("copy_into_ok", lit(noop && exactlyOnce))
+        .orderBy(col("o_orderstatus"))
+    }),
     // TEMPORAL ZONE MAPS: DATE/TIMESTAMP columns carry manifest stats
     // in exact integer images (epoch days / epoch micros), and
     // date/timestamp predicates prune mutations through the same
@@ -3362,6 +3408,12 @@ object SparkEntry {
         |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Three slices of orders ingested exactly once: plain replay.
+    "src47_copy_into" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents, TRUE AS copy_into_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // First year MoR-deleted, last year's cents doubled by the CoW
     // update — replay the year arithmetic off raw orders.

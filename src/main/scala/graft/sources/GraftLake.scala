@@ -78,7 +78,12 @@ object GraftLake {
       // Delta CDF `_change_data` shape. Written at mutation time by
       // merge/delete/deleteMoR when the table has CDF enabled; never
       // part of the live data sets.
-      cdf: Option[String] = None)
+      cdf: Option[String] = None,
+      // COPY INTO file registry lines of a `copyinto` commit: the
+      // source-file identities (relName:size) this commit ingested —
+      // carried as sealed `ingestf` tail lines in the same atomic
+      // file, folded into Snapshot.ingested for per-file idempotence.
+      ingest: Seq[String] = Seq.empty)
 
   /** Per-file-set min/max of one long column, recorded at commit time
     * from the written files — the manifest-level zone map that lets
@@ -114,7 +119,11 @@ object GraftLake {
       // The table's hive-partition layout column, recorded as a
       // SEALED log entry (action `partition`) — rides checkpoints,
       // clones, restore and time travel like constraints do.
-      partitionCol: Option[String] = None)
+      partitionCol: Option[String] = None,
+      // COPY INTO's exactly-once ledger: every source-file identity
+      // ever ingested (monotone union over the whole history — like
+      // Delta, neither RESTORE nor overwrite re-opens a loaded file).
+      ingested: Set[String] = Set.empty)
 
   private val EmptySnapshot =
     Snapshot(-1, "", Seq.empty, Seq.empty, Map.empty, 0L)
@@ -192,6 +201,99 @@ object GraftLake {
       }
     }
     -1 // unreachable
+  }
+
+  /** COPY INTO: idempotent batch file ingest (Delta's COPY INTO) —
+    * load the top-level data files of `srcDir` into the table,
+    * skipping every file already ingested. File identity is
+    * `name:size`; the loaded identities ride the SAME atomic commit
+    * as the data (sealed `ingestf` ledger lines, folded into
+    * [[Snapshot.ingested]], carried by checkpoints), so re-running
+    * the statement is a no-op and a directory that GREW loads exactly
+    * the new files — the scheduled-batch-ingest shape that needs no
+    * streaming checkpoint state. Cost is O(new files) whatever the
+    * table size. Racing copies of the same directory serialize via a
+    * ledger freshness fence (duplicate file → loud CME → re-diff and
+    * retry), so a file can never load twice. Source columns align to
+    * the table schema BY NAME with store-assign casts; unknown
+    * columns refuse, missing ones null-fill; CHECK constraints gate
+    * the batch. Like Delta, the ledger is monotone: neither RESTORE
+    * nor overwrite re-opens a loaded file.
+    *
+    * Returns (version, filesLoaded, rowsLoaded).
+    */
+  def copyInto(
+      spark: SparkSession, path: String, srcDir: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      statsCol: Option[String] = None): (Int, Int, Long) = {
+    import scala.jdk.CollectionConverters._
+    require(Files.exists(logDir(path)),
+      s"no table at $path — COPY INTO loads into an existing table " +
+        "(CREATE TABLE it first, empty creates are fine)")
+    val fmt = format.toLowerCase(java.util.Locale.ROOT)
+    require(Set("parquet", "csv", "json")(fmt),
+      s"COPY INTO: unsupported FILEFORMAT '$format' " +
+        "(parquet, csv, json)")
+    require(Files.isDirectory(Paths.get(srcDir)),
+      s"COPY INTO: source '$srcDir' is not a directory")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"gave up COPY INTO $path after 50 races")
+      val s0 = snapshot(path)
+      val target = StructType.fromDDL(s0.schemaDdl)
+      val all = Files.list(Paths.get(srcDir)).iterator().asScala.toSeq
+        .filter(Files.isRegularFile(_))
+        .filterNot { p =>
+          val n = p.getFileName.toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .sortBy(_.getFileName.toString)
+      def idOf(p: Path): String = s"${p.getFileName}:${Files.size(p)}"
+      val fresh = all.filterNot(p => s0.ingested.contains(idOf(p)))
+      if (fresh.isEmpty) return (s0.version, 0, 0L)
+      val reader = spark.read.options(options)
+      val paths = fresh.map(_.toString)
+      val raw = fmt match {
+        case "parquet" => reader.parquet(paths: _*)
+        // CSV reads headers by default here (override via options);
+        // values land as strings and store-assign cast below.
+        case "csv" =>
+          spark.read.option("header", "true").options(options)
+            .csv(paths: _*)
+        case "json" => reader.json(paths: _*)
+      }
+      val unknown = raw.columns.filterNot(c =>
+        target.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(unknown.isEmpty,
+        s"COPY INTO $path: source column(s) ${unknown.mkString(", ")} " +
+          "not in the table schema")
+      val aligned = raw.select(target.fields.map { f =>
+        raw.columns.find(_.equalsIgnoreCase(f.name)) match {
+          case Some(c) => col(c).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toIndexedSeq: _*)
+      enforceConstraints(aligned, s0.constraints)
+      val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
+      aligned.write.parquet(s"$path/$setName")
+      val stats = footerStats(spark, path, setName, statsCol.toSeq)
+      val rows = spark.read.parquet(s"$path/$setName").count()
+      try {
+        val v = publishEntry(path, "copyinto", setName, aligned.schema,
+          None, stats, Seq.empty, Some(s0.constraints),
+          ingestFiles = fresh.map(idOf))
+        return (v, fresh.size, rows)
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          // a racing copy/constraint landed: drop the staged set and
+          // re-diff the directory against the fresh ledger.
+          Files.walk(Paths.get(path, setName)).iterator().asScala.toSeq
+            .reverse.foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Append `df`; columns missing from the current schema are added
@@ -1022,7 +1124,8 @@ object GraftLake {
       perSet: Seq[LiveSet] = Seq.empty,
       cdfSet: Option[String] = None,
       expectVersion: Option[Int] = None,
-      dvSidecar: Option[String] = None): Int = {
+      dvSidecar: Option[String] = None,
+      ingestFiles: Seq[String] = Seq.empty): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1047,6 +1150,15 @@ object GraftLake {
       // Idempotence re-check under contention: if a same-tag commit
       // landed while we were racing, ours must NOT land again.
       tag.foreach { t => snap.tags.get(t).foreach { v => return v } }
+      // COPY INTO freshness: a racing COPY that ingested any of OUR
+      // source files must abort this commit loudly — the caller
+      // re-diffs the directory and retries with the remaining files.
+      if (ingestFiles.nonEmpty) {
+        val dup = ingestFiles.filter(snap.ingested.contains)
+        if (dup.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"COPY INTO race at $path: ${dup.take(3).mkString(", ")} " +
+            "already ingested by a concurrent copy; re-run to re-diff")
+      }
       val v = snap.version + 1
       require(action != "create" || v == 0, s"create on non-empty log: $path")
       // overwrite resets the schema along with the contents; append
@@ -1153,11 +1265,17 @@ object GraftLake {
         stats, ts, cdf = cdfSet))
       // Partitioned commits append one sealed per-set manifest line
       // per added set — still ONE file, ONE atomic publish.
-      val json =
-        if (perSet.isEmpty) header
-        else (header +: perSet.map(ls => render(Commit(v, "paddset",
-          ls.schemaDdl, Seq(ls.set), Seq.empty, None, ls.stats, 0L))))
-          .mkString("\n")
+      val json = {
+        val tail =
+          perSet.map(ls => render(Commit(v, "paddset",
+            ls.schemaDdl, Seq(ls.set), Seq.empty, None, ls.stats, 0L))) ++
+          // COPY INTO ledger lines: each sealed like a commit, all
+          // published in the same atomic file move.
+          (if (ingestFiles.isEmpty) Seq.empty
+           else Seq(render(Commit(v, "ingestf", "",
+             ingestFiles, Seq.empty, None, Seq.empty, 0L))))
+        if (tail.isEmpty) header else (header +: tail).mkString("\n")
+      }
       // 2. claim the version: O_EXCL create of the empty final name.
       val f = logFile(path, v)
       val claimed =
@@ -1250,12 +1368,14 @@ object GraftLake {
         else {
           val lines = txt.split("\n").toSeq
           val head = parse(lines.head)
-          val sets = lines.tail.map(parse).map { c =>
-            require(c.action == "paddset",
-              s"bad multi-line commit line action: ${c.action}")
-            LiveSet(c.add.head, c.schemaDdl, c.stats)
-          }
-          head.copy(perSet = sets)
+          val body = lines.tail.map(parse)
+          body.find(c => c.action != "paddset" && c.action != "ingestf")
+            .foreach(c => throw new IllegalStateException(
+              s"bad multi-line commit line action: ${c.action}"))
+          val sets = body.filter(_.action == "paddset")
+            .map(c => LiveSet(c.add.head, c.schemaDdl, c.stats))
+          head.copy(perSet = sets,
+            ingest = body.filter(_.action == "ingestf").flatMap(_.add))
         }
       }
       .toSeq
@@ -1337,7 +1457,8 @@ object GraftLake {
           // STALE lineage would misresolve a former name that
           // legitimately reappears in a post-overwrite schema.
           if (c.action == "overwrite") Map.empty else s.renames,
-          s.partitionCol)
+          s.partitionCol,
+          s.ingested ++ c.ingest)
       }
     }
 
@@ -1399,7 +1520,12 @@ object GraftLake {
         // Partition-layout marker rides the checkpoint like rules do.
         s.partitionCol.toSeq.map(c =>
           render(Commit(s.version, "ckptpart", "",
-            Seq(c), Seq.empty, None, Seq.empty, 0L)))
+            Seq(c), Seq.empty, None, Seq.empty, 0L))) ++
+        // COPY INTO ledger: one line, add = every ingested file
+        // identity (sorted for deterministic checkpoint bytes).
+        (if (s.ingested.isEmpty) Seq.empty
+         else Seq(render(Commit(s.version, "ckpting", "",
+           s.ingested.toSeq.sorted, Seq.empty, None, Seq.empty, 0L))))
     val f = ckptFile(path, s.version)
     val tmp = logDir(path).resolve(f.getFileName.toString + ".tmp" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -1433,7 +1559,8 @@ object GraftLake {
       s"bad checkpoint header at $path v$v: ${head.action}")
     val body = lines.tail.map(parse)
     body.find(c => c.action != "ckptset" && c.action != "ckptcons" &&
-        c.action != "ckptren" && c.action != "ckptpart")
+        c.action != "ckptren" && c.action != "ckptpart" &&
+        c.action != "ckpting")
       .foreach(c => throw new IllegalStateException(
         s"bad checkpoint line action: ${c.action}"))
     val live = body.filter(_.action == "ckptset")
@@ -1450,8 +1577,9 @@ object GraftLake {
       it.substring(i + 1) -> it.take(i).toInt
     }.toMap
     val part = body.find(_.action == "ckptpart").flatMap(_.add.headOption)
+    val ing = body.filter(_.action == "ckpting").flatMap(_.add).toSet
     Some(Snapshot(head.version, head.schemaDdl, live, head.remove, tags,
-      head.tsMillis, cons, rens, part))
+      head.tsMillis, cons, rens, part, ing))
   }
 
   /** Auto-checkpoint cadence (every N commits, Delta-style; 0

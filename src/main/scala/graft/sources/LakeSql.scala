@@ -707,6 +707,30 @@ final case class GraftLakeTruncateCommand(path: String, viewName: String)
   }
 }
 
+/** COPY INTO <lake view> FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
+  * [FORMAT_OPTIONS('k'='v', ...)] — Delta's idempotent batch file
+  * ingest ([[GraftLake.copyInto]]): only files not yet in the
+  * table's ingest ledger load; re-runs are no-ops; the ledger rides
+  * the same atomic commit as the data. Returns
+  * (files_loaded, rows_loaded).
+  */
+final case class GraftLakeCopyIntoCommand(
+    path: String, viewName: String, srcDir: String, format: String,
+    options: Seq[(String, String)], statsCol: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("files_loaded", IntegerType, nullable = false)(),
+      AttributeReference("rows_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (_, files, rows) = GraftLake.copyInto(spark, path, srcDir, format,
+      options.toMap, Some(statsCol))
+    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    Seq(Row(files, rows))
+  }
+}
+
 /** VACUUM <lake view> [RETAIN n HOURS] — the lake's physical
   * reclamation as SQL (Delta's VACUUM grammar), returning the
   * reclaimed set names.
@@ -960,6 +984,12 @@ final class LakeDdlParser(
   // place (zero-copy move into the first file-set).
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+GRAFTLAKE\s+'([^']+)'(?:\s+AS\s+([\w.]+))?(?:\s+STATSCOL\s+'(\w+)')?\s*;?\s*""".r
+  // COPY INTO <lake> FROM '<dir>' [FILEFORMAT = fmt]
+  // [FORMAT_OPTIONS('k'='v', ...)] — Delta's batch-ingest grammar.
+  private val CopyIntoRe =
+    ("""(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?""" +
+      """(?:\s+FORMAT_OPTIONS\s*\(\s*(.+?)\s*\))?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RestoreRe(name, ver) if LakeSql.lookup(name).isDefined =>
@@ -1002,6 +1032,14 @@ final class LakeDdlParser(
       GraftLakeCloneCommand(t.path, loc, dstName, t.statsCol)
     case ConvertRe(dir, name, statsCol) =>
       GraftLakeConvertCommand(dir, Option(name), Option(statsCol))
+    case CopyIntoRe(name, dir, fmt, opts) if LakeSql.lookup(name).isDefined =>
+      val t = LakeSql.lookup(name).get
+      val PropRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+      GraftLakeCopyIntoCommand(t.path, name, dir,
+        Option(fmt).getOrElse("parquet"),
+        Option(opts).toSeq.flatMap(o =>
+          PropRe.findAllMatchIn(o).map(m => (m.group(1), m.group(2))).toSeq),
+        t.statsCol)
     case _ => parsePlanDelegated(sqlText)
   }
 

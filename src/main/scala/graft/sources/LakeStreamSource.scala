@@ -233,7 +233,7 @@ private[sources] class LakeMicroBatchStream(
       // the files); compact/metadata commits carry no logical change.
       return range.flatMap { c =>
         c.action match {
-          case "create" | "append" =>
+          case "create" | "append" | "copyinto" =>
             c.add.flatMap(setFiles).map(f => LakeFilePartition(
               f.toString, c.schemaDdl, c.version,
               changeType = Some("insert")): InputPartition)
@@ -263,7 +263,7 @@ private[sources] class LakeMicroBatchStream(
       }.toArray
     }
     range.find(c => c.action != "create" && c.action != "append" &&
-        c.action != "padd" && c.action != "evolve" &&
+        c.action != "copyinto" && c.action != "padd" && c.action != "evolve" &&
         c.action != "constraint" && c.action != "vacuum").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as an " +
