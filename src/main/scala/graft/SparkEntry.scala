@@ -1445,6 +1445,56 @@ object SparkEntry {
         .withColumn("optw_ok", lit(scoped))
         .orderBy(col("o_orderstatus"))
     }),
+    // DSv2 BATCH LAKE SCAN with manifest data skipping (the scan-side
+    // twin of the mutation pruning): `spark.read.format("graftlake")`
+    // exposes the lake as a native Spark source — Catalyst pushes the
+    // query's filters and required columns into the scan, the builder
+    // prunes file-sets off the zone maps at PLAN time (a one-year
+    // timestamp filter over the per-year layout opens ONE set — pinned
+    // in-row), filters are retained and re-applied row-level, and
+    // unselected columns never reach the parquet decoder (pinned via
+    // the read-schema probe). Oracle: the one-year orders replay.
+    "src48_dsv2_lake_scan" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, GraftLakeBatchSource}
+      val path = scratch("graft_lake_dsv2scan", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate").as("ts"))
+      val years = o.select(year(col("ts")).as("y")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      years.zipWithIndex.foreach { case (yr, i) =>
+        val slice = o.filter(year(col("ts")) === yr)
+        if (i == 0) GraftLake.create(slice, path, statsCols = Seq("ts"))
+        else GraftLake.append(slice, path, statsCols = Seq("ts"))
+      }
+      val yN = years.last
+      val lake = s.read.format("graftlake").load(path)
+      GraftLakeBatchSource.readSchemas.clear()
+      // one-year filter: NTZ bounds push into the scan and open 1 set
+      val lo = java.time.LocalDateTime.of(yN, 1, 1, 0, 0)
+      val agg = lake
+        .filter(col("ts") >= lit(lo))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("o_orderstatus"))
+        .collect()
+      val pruned = GraftLakeBatchSource.lastScanSets ==
+        ((1, years.length - 1))
+      // column pruning: o_orderkey never reaches the decoder
+      val colPruned = {
+        import scala.jdk.CollectionConverters._
+        val seen = GraftLakeBatchSource.readSchemas.asScala.toSeq
+        seen.nonEmpty && seen.forall(!_.contains("o_orderkey"))
+      }
+      val rows = agg.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      import s.implicits._
+      rows.toSeq.toDF("o_orderstatus", "n", "cents")
+        .withColumn("dsv2_scan_ok", lit(pruned && colPruned))
+        .orderBy(col("o_orderstatus"))
+    }),
     // COPY INTO (Delta's idempotent batch file ingest): three
     // one-third slices of orders land as standalone parquet files in
     // a source directory; the first COPY loads the two present files,
@@ -3409,6 +3459,14 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The last order-year's slice, read through the pruned DSv2 scan.
+    "src48_dsv2_lake_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents, TRUE AS dsv2_scan_ok
+        |FROM orders
+        |WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Three slices of orders ingested exactly once: plain replay.
     "src47_copy_into" ->
       """SELECT o_orderstatus, count(*) AS n,

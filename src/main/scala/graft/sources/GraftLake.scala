@@ -3099,7 +3099,7 @@ object GraftLake {
     * blooms have no false negatives). Missing stats or missing/corrupt
     * sidecars read conservatively.
     */
-  private def setMayMatch(
+  private[sources] def setMayMatch(
       path: String, ls: LiveSet,
       ranges: Seq[(String, Long, Long)],
       eqs: Seq[(String, Seq[Long])]): Boolean = {

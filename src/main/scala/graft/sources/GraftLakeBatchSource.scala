@@ -1,0 +1,268 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{And => FAnd, DataSourceRegister, EqualTo => FEq, Filter, GreaterThan => FGt, GreaterThanOrEqual => FGe, In => FIn, LessThan => FLt, LessThanOrEqual => FLe}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** BATCH DSv2 read of a [[GraftLake]] table with MANIFEST-level data
+  * skipping — the scan-side twin of the mutation pruning:
+  *
+  * `spark.read.format("graftlake").load(tablePath)`
+  *
+  * Catalyst pushes the query's filters and required columns into the
+  * scan (`SupportsPushDownFilters` / `SupportsPushDownRequiredColumns`);
+  * the builder translates the pushed filters into the SAME
+  * range/equality constraints every mutation extracts
+  * ([[GraftLake.statLongExpr]]'s long images: integral value, DATE
+  * epoch days, TIMESTAMP instant micros, TIMESTAMP_NTZ local micros)
+  * and plans ONLY the live file-sets that might hold a matching row —
+  * zone maps answer ranges, Bloom sidecars equalities. A one-day
+  * filter over a date-laid-out table opens one day's sets at PLAN
+  * time, before any task launches; unselected columns never reach the
+  * parquet decoder (per-file footer projection). Every pushed filter
+  * is also RETAINED for Spark to re-apply, so skipping is purely a
+  * file-open optimization — never a correctness dependence.
+  *
+  * The snapshot is pinned when the scan builder is created (reads are
+  * repeatable within a query). Outstanding merge-on-read state (key
+  * tombstones / DV sidecars) and column-mapping renames refuse
+  * loudly — their masking/resolution lives in [[GraftLake.read]]'s
+  * DataFrame assembly; compact first or read through the API.
+  * Partitioned (`padd`) sets plan their hive subdirectories with the
+  * partition value served as a per-partition constant, exactly like
+  * the streaming source.
+  */
+class GraftLakeBatchSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftlake"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+    require(p.isDefined, "graftlake batch read requires a path")
+    p.get
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val s = GraftLake.snapshot(pathOf(options))
+    require(s.version >= 0, s"no graft-lake table at ${pathOf(options)}")
+    StructType.fromDDL(s.schemaDdl)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftLakeBatchTable(properties.asScala("path"), schema)
+}
+
+private[sources] class GraftLakeBatchTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graftlake($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Pin the snapshot HERE: every scan of this builder reads one
+    // consistent table version however long planning takes.
+    val snap = GraftLake.snapshot(path)
+    require(snap.tombstones.isEmpty,
+      s"graftlake batch read at $path: outstanding merge-on-read " +
+        "tombstones/deletion vectors need DataFrame-side masking — " +
+        "OPTIMIZE first, or read through GraftLake.read")
+    require(snap.renames.isEmpty,
+      s"graftlake batch read at $path: column-mapping renames need " +
+        "per-set name resolution — read through GraftLake.read")
+    new GraftLakeScanBuilder(path, snap, tableSchema)
+  }
+}
+
+private[sources] class GraftLakeScanBuilder(
+    path: String, snap: GraftLake.Snapshot, full: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => keep(f.name)))
+  }
+
+  /** Accept every filter for manifest skipping, and RETURN every
+    * filter: Spark re-applies them all post-scan, so set skipping can
+    * only ever drop provably-matchless files.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    GraftLakeBatchSource.lastPushed = filters.map(_.toString).toSeq
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val (ranges, eqs) = GraftLakeBatchSource.constraintsOf(pushed, full)
+    val (scan, skip) = snap.live.partition(
+      GraftLake.setMayMatch(path, _, ranges, eqs))
+    GraftLakeBatchSource.lastScanSets = (scan.size, skip.size)
+    GraftLakeBatchSource.readSchemas.add(required.fieldNames.toSeq)
+    new GraftLakeBatchScan(path, scan, required,
+      GraftLake.partitionColumnOf(path))
+  }
+}
+
+private[sources] class GraftLakeBatchScan(
+    path: String, sets: Seq[GraftLake.LiveSet], required: StructType,
+    partCol: Option[String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    import java.nio.file.{Files, Paths}
+    sets.flatMap { ls =>
+      val dir = Paths.get(path, ls.set)
+      val top = Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.toString)
+      if (top.nonEmpty)
+        top.map(f => LakeFilePartition(f.toString, ls.schemaDdl, -1)
+          : InputPartition)
+      else {
+        // padd set: hive-encoded partition subdirs; the value is a
+        // per-partition constant absent from the parquet bytes.
+        val hive = Files.list(dir).iterator().asScala.toSeq
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.contains("="))
+          .sortBy(_.getFileName.toString)
+        hive.flatMap { d =>
+          val nameV = d.getFileName.toString
+          val i = nameV.indexOf('=')
+          val pc = nameV.take(i)
+          val v = nameV.substring(i + 1).toLong
+          val written = StructType.fromDDL(ls.schemaDdl)
+          val minusPart = StructType(written.fields.filterNot(_.name == pc))
+          Files.list(d).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.toString)
+            .map(f => LakeFilePartition(f.toString, minusPart.toDDL, -1,
+              constLong = Some((pc, v))): InputPartition)
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeFileReaderFactory(required)
+}
+
+object GraftLakeBatchSource {
+
+  /** Test observability: (scanned, skipped) live sets of the last
+    * planned batch scan, and the post-pruning read schemas.
+    */
+  @volatile var lastScanSets: (Int, Int) = (0, 0)
+  @volatile var lastPushed: Seq[String] = Seq.empty
+  val readSchemas = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+
+  /** Translate Catalyst's pushed V1 filters into the manifest
+    * constraint shape ([[GraftLake.setMayMatch]]'s inputs), using the
+    * SAME long images the stats were recorded under. Anything not
+    * soundly convertible contributes nothing (conservative). Only
+    * top-level conjuncts constrain — an OR could only be used if both
+    * arms constrained the same column, which Spark already splits
+    * where legal.
+    */
+  private[sources] def constraintsOf(
+      filters: Array[Filter], schema: StructType)
+      : (Seq[(String, Long, Long)], Seq[(String, Seq[Long])]) = {
+    val kinds: Map[String, DataType] = schema.fields
+      .filter(f => GraftLake.isPrunableType(f.dataType))
+      .map(f => f.name -> f.dataType).toMap
+
+    def longOf(colName: String, v: Any): Option[Long] = {
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      if (v == null) return None
+      (kinds.get(colName), v) match {
+        case (Some(dt), x) if GraftLake.isIntegralType(dt) => x match {
+          case b: java.lang.Byte => Some(b.toLong)
+          case s: java.lang.Short => Some(s.toLong)
+          case i: java.lang.Integer => Some(i.toLong)
+          case l: java.lang.Long => Some(l.toLong)
+          case _ => None
+        }
+        case (Some(DateType), d: java.sql.Date) =>
+          Some(d.toLocalDate.toEpochDay)
+        case (Some(DateType), d: java.time.LocalDate) => Some(d.toEpochDay)
+        case (Some(TimestampType), t: java.sql.Timestamp) =>
+          Some(DateTimeUtils.fromJavaTimestamp(t))
+        case (Some(TimestampType), t: java.time.Instant) =>
+          Some(DateTimeUtils.instantToMicros(t))
+        case (Some(TimestampNTZType), t: java.time.LocalDateTime) =>
+          Some(DateTimeUtils.localDateTimeToMicros(t))
+        case _ => None
+      }
+    }
+    type Cons = (Seq[(String, Long, Long)], Seq[(String, Seq[Long])])
+    val none: Cons = (Seq.empty, Seq.empty)
+    def go(f: Filter): Cons = f match {
+      case FAnd(l, r) =>
+        val (a, b) = (go(l), go(r)); (a._1 ++ b._1, a._2 ++ b._2)
+      case FEq(c, v) => longOf(c, v) match {
+        case Some(x) => (Seq((c, x, x)), Seq((c, Seq(x))))
+        case None => none
+      }
+      case FGe(c, v) => longOf(c, v) match {
+        case Some(x) => (Seq((c, x, Long.MaxValue)), Seq.empty)
+        case None => none
+      }
+      case FLe(c, v) => longOf(c, v) match {
+        case Some(x) => (Seq((c, Long.MinValue, x)), Seq.empty)
+        case None => none
+      }
+      case FGt(c, v) => longOf(c, v) match {
+        case Some(x) if x < Long.MaxValue =>
+          (Seq((c, x + 1, Long.MaxValue)), Seq.empty)
+        case _ => none
+      }
+      case FLt(c, v) => longOf(c, v) match {
+        case Some(x) if x > Long.MinValue =>
+          (Seq((c, Long.MinValue, x - 1)), Seq.empty)
+        case _ => none
+      }
+      case FIn(c, vs) if vs.nonEmpty =>
+        val xs = vs.toSeq.map(longOf(c, _))
+        if (xs.forall(_.isDefined)) {
+          val flat = xs.flatten
+          (Seq((c, flat.min, flat.max)), Seq((c, flat)))
+        } else none
+      // Catalyst rewrites small IN lists into OR-of-equalities chains
+      // before pushdown — flatten; sound only when every leaf is an
+      // equality on the SAME column with convertible values.
+      case or: org.apache.spark.sql.sources.Or =>
+        def leaves(x: Filter): Seq[Filter] = x match {
+          case org.apache.spark.sql.sources.Or(l, r) => leaves(l) ++ leaves(r)
+          case other => Seq(other)
+        }
+        val ls = leaves(or)
+        val eqsL = ls.collect { case FEq(c, v) => (c, longOf(c, v)) }
+        if (eqsL.length == ls.length && eqsL.nonEmpty &&
+            eqsL.map(_._1).distinct.length == 1 &&
+            eqsL.forall(_._2.isDefined)) {
+          val c = eqsL.head._1
+          val flat = eqsL.flatMap(_._2)
+          (Seq((c, flat.min, flat.max)), Seq((c, flat)))
+        } else none
+      case _ => none
+    }
+    filters.map(go).foldLeft(none) { (acc, c) =>
+      (acc._1 ++ c._1, acc._2 ++ c._2)
+    }
+  }
+}

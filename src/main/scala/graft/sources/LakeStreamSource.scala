@@ -397,6 +397,11 @@ private[sources] class LakeFileReader(
             case StringType =>
               row.update(i, UTF8String.fromString(current.getString(gi, 0)))
             case DateType => row.update(i, current.getInteger(gi, 0))
+            // Spark writes both timestamp kinds as INT64 micros
+            // (adjustedToUTC distinguishes them) — the physical long
+            // IS the Catalyst internal value for each.
+            case TimestampType | TimestampNTZType =>
+              row.update(i, current.getLong(gi, 0))
             case dt => throw new IllegalArgumentException(s"unsupported $dt")
           }
         }

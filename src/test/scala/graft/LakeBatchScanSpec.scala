@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftLake, GraftLakeBatchSource}
+
+/** DSv2 batch scan of the lake with manifest data skipping: Catalyst
+  * pushes the query's filters/columns into the scan, the builder
+  * prunes file-sets off the zone maps / blooms at PLAN time, and
+  * every filter is re-applied post-scan (skipping is advisory).
+  */
+class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft-batchscan").resolve("t").toString
+
+  /** Three 30-row sets keyed [1,30] [31,60] [61,90] with a date col. */
+  private def seed(p: String): Unit = {
+    import spark.implicits._
+    val df = (1 to 90).map { i =>
+      val yr = 1993 + (i - 1) / 30
+      (i.toLong, s"t$i", i * 10L,
+        java.sql.Date.valueOf(f"$yr-01-${(i - 1) % 28 + 1}%02d"))
+    }.toDF("id", "tag", "v", "day")
+    GraftLake.create(df.filter(col("id") <= 30), p,
+      statsCols = Seq("id", "day"), bloomCols = Seq("id"))
+    GraftLake.append(df.filter(col("id") > 30 && col("id") <= 60), p,
+      statsCols = Seq("id", "day"), bloomCols = Seq("id"))
+    GraftLake.append(df.filter(col("id") > 60), p,
+      statsCols = Seq("id", "day"), bloomCols = Seq("id"))
+  }
+
+  test("pushed range filter prunes sets at plan time; results exact") {
+    val p = fresh()
+    seed(p)
+    val df = spark.read.format("graftlake").load(p)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "tag", "v", "day"))
+    val got = df.filter(col("id") > 60).agg(
+      count(lit(1)), sum(col("v"))).head
+    assert(got.getLong(0) == 30 && got.getLong(1) == (61 to 90).map(_ * 10L).sum)
+    assert(GraftLakeBatchSource.lastScanSets == ((1, 2)),
+      s"got ${GraftLakeBatchSource.lastScanSets}")
+    // no filter: all sets scan
+    assert(spark.read.format("graftlake").load(p).count() == 90)
+    assert(GraftLakeBatchSource.lastScanSets == ((3, 0)))
+  }
+
+  test("date filter and IN list prune; filters still re-applied row-level") {
+    val p = fresh()
+    seed(p)
+    val df = spark.read.format("graftlake").load(p)
+    // dates in the middle set only
+    val n = df.filter(col("day") >= lit(java.sql.Date.valueOf("1994-01-01")) &&
+      col("day") < lit(java.sql.Date.valueOf("1995-01-01"))).count()
+    assert(n == 30)
+    assert(GraftLakeBatchSource.lastScanSets == ((1, 2)))
+    // IN on the key: the value hull [5,65] overlaps every set's zone
+    // map, but the middle set's BLOOM tests negative for both values
+    // — the equality leg prunes what ranges cannot. Row filter still
+    // applies inside the two opened sets.
+    val rows = df.filter(col("id").isin(5L, 65L)).select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(5L, 65L))
+    assert(GraftLakeBatchSource.lastScanSets == ((2, 1)))
+  }
+
+  test("column pruning reaches the parquet decoder") {
+    val p = fresh()
+    seed(p)
+    GraftLakeBatchSource.readSchemas.clear()
+    val s2 = spark.read.format("graftlake").load(p)
+      .select(col("id"), col("v")).agg(sum(col("v"))).head.getLong(0)
+    assert(s2 == (1 to 90).map(_ * 10L).sum)
+    val seen = GraftLakeBatchSource.readSchemas.asScala.toSeq
+    assert(seen.nonEmpty && seen.forall(cols =>
+      !cols.contains("tag") && !cols.contains("day")),
+      s"tag/day must be pruned from the read schema, saw $seen")
+  }
+
+  test("padd layouts plan hive subdirs with the constant partition value") {
+    import spark.implicits._
+    val p = fresh()
+    val df = (1 to 40).map(i => (i.toLong, 1995 + i % 2, i * 3L))
+      .toDF("id", "yr", "v")
+    GraftLake.appendPartitioned(df, p, "yr", statsCols = Seq("id"))
+    val got = spark.read.format("graftlake").load(p)
+    assert(got.count() == 40)
+    assert(got.filter(col("yr") === 1996).count() == 20)
+    // the partition-value zone map prunes on yr (exact min==max)
+    assert(GraftLakeBatchSource.lastScanSets == ((1, 1)))
+  }
+
+  test("schema evolution null-fills; MoR/rename states refuse loudly") {
+    import spark.implicits._
+    val p = fresh()
+    seed(p)
+    GraftLake.addColumns(p, Seq("bonus" -> org.apache.spark.sql.types.LongType))
+    val got = spark.read.format("graftlake").load(p)
+    assert(got.schema.fieldNames.contains("bonus"))
+    assert(got.filter(col("bonus").isNull).count() == 90)
+    // outstanding DV sidecar refuses
+    GraftLake.deleteDv(spark, p, expr("id = 7"))
+    val err = intercept[Exception] {
+      spark.read.format("graftlake").load(p).count()
+    }
+    assert(err.getMessage.contains("merge-on-read"))
+    // renames refuse too
+    val q = fresh()
+    seed(q)
+    GraftLake.renameColumn(q, "tag", "label")
+    val err2 = intercept[Exception] {
+      spark.read.format("graftlake").load(q).count()
+    }
+    assert(err2.getMessage.contains("rename"))
+  }
+}
