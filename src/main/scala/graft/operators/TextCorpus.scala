@@ -845,4 +845,78 @@ object TextCorpus {
       |  FROM h JOIN r ON h.source = r.source WHERE hh < bp GROUP BY 1)
       |SELECT r.source, r.n_docs, r.bp, COALESCE(k.n_kept, 0) AS n_kept
       |FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin
+
+  /** d37: corpus-level duplicate-sentence REMOVAL — C4's cleanup
+    * rule re-expressed at sentence granularity: a sentence that
+    * occurs more than once ACROSS THE CORPUS is kept only at its
+    * first occurrence (min (doc_id, pos), encoded as one sortable
+    * integer key — deterministic under any partitioning) and removed
+    * everywhere else; each document is then REASSEMBLED from its
+    * surviving sentences in original order. Where d13 only SCORES
+    * shared sentences, this emits the transformation itself — the
+    * per-doc result carries the kept/total counts and an md5 of the
+    * cleaned text so the oracle pins the exact reassembly.
+    *
+    * Scale shape: one explode (map-side), one groupBy h (shuffle
+    * O(distinct sentences), partial-agg combined), one join-back on
+    * h, one groupBy doc_id reassembly — no windows over SF-growing
+    * partitions, no driver-side text. The sentence frame is
+    * localCheckpointed once (feeds the frequency agg AND the
+    * join-back, same pattern as d13).
+    *
+    * Sentence split is the d13 convention (". " separator, trimmed,
+    * case-normalized hash); position keys assume < 100000 sentences
+    * per document (the split arity, not a data-size bound).
+    */
+  def d37SentenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    // Every doc gains the same boilerplate footer before dedup — the
+    // shape real corpora carry naturally (site chrome, license
+    // notices); the synthetic table has none, and without corpus-wide
+    // duplicates the rule would be exercised nowhere. Deterministic,
+    // replayed verbatim in the oracle: exactly one document keeps the
+    // footer, every other drops it.
+    val sents = Tables.documents(spark, dir)
+      .withColumn("text",
+        concat(col("text"), lit(". all rights reserved boilerplate notice")))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("pos0", "s")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+      .filter(length(trim(col("s"))) > 0)
+      .withColumn("h", md5(lower(trim(col("s")))))
+      .withColumn("kv", col("doc_id") * 100000L + col("pos"))
+      .localCheckpoint(true)
+    val first = sents.groupBy(col("h")).agg(min(col("kv")).as("k_min"))
+    sents.join(first, "h")
+      .withColumn("keep", col("kv") === col("k_min"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_sents"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        md5(concat_ws(". ",
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("s"))))),
+            e => e.getField("s")))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d37OracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(text || '. all rights reserved boilerplate notice',
+      |      '. ') AS l FROM documents),
+      |s0 AS (SELECT doc_id,
+      |    unnest([{'pos': i, 's': l[i]} FOR i IN range(1, len(l) + 1)],
+      |      recursive := true) FROM t),
+      |s AS (SELECT doc_id, pos, s, md5(lower(trim(s))) AS h,
+      |    doc_id * 100000 + pos AS kv
+      |  FROM s0 WHERE length(trim(s)) > 0),
+      |f AS (SELECT h, min(kv) AS k_min FROM s GROUP BY h)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INT) AS n_sents,
+      |  CAST(sum(CASE WHEN kv = k_min THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      |  md5(coalesce(
+      |    string_agg(CASE WHEN kv = k_min THEN s END, '. ' ORDER BY pos),
+      |    '')) AS cleaned_md5
+      |FROM s JOIN f USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

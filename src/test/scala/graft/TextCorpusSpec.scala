@@ -367,4 +367,39 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     }.toMap
     assert(got == want)
   }
+
+  test("d37 removes corpus-duplicate sentences, keeping first occurrence") {
+    import graft.operators.TextCorpus
+    val got = TextCorpus.d37SentenceDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+
+    // Brute replay: explode, hash, global first-occurrence keep.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1) + ". all rights reserved boilerplate notice"))
+    case class S(doc: Long, pos: Int, s: String)
+    val sents = docs.flatMap { case (d, t) =>
+      t.split("\\. ").zipWithIndex
+        .map { case (x, i) => S(d, i + 1, x) }
+        .filter(_.s.trim.nonEmpty)
+    }
+    def h(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.trim.toLowerCase.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val firstKv = sents.groupBy(x => h(x.s))
+      .view.mapValues(_.map(x => x.doc * 100000L + x.pos).min).toMap
+    val byDoc = sents.groupBy(_.doc)
+    byDoc.foreach { case (d, ss) =>
+      val kept = ss.filter(x => firstKv(h(x.s)) == x.doc * 100000L + x.pos)
+      val cleaned = kept.sortBy(_.pos).map(_.s).mkString(". ")
+      val (nS, nK, md) = got(d)
+      assert(nS == ss.length && nK == kept.length, s"doc $d counts")
+      assert(md == h2(cleaned), s"doc $d cleaned text")
+    }
+    // sanity: something was actually removed at this SF
+    assert(got.values.exists { case (a, b, _) => b < a })
+    def h2(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 }
