@@ -1468,8 +1468,10 @@ object SparkEntry {
         .collect().map(_.getInt(0)).sorted
       years.zipWithIndex.foreach { case (yr, i) =>
         val slice = o.filter(year(col("ts")) === yr)
-        if (i == 0) GraftLake.create(slice, path, statsCols = Seq("ts"))
-        else GraftLake.append(slice, path, statsCols = Seq("ts"))
+        if (i == 0) GraftLake.create(slice, path,
+          statsCols = Seq("ts", "o_orderkey"))
+        else GraftLake.append(slice, path,
+          statsCols = Seq("ts", "o_orderkey"))
       }
       val yN = years.last
       val lake = s.read.format("graftlake").load(path)
@@ -1490,10 +1492,22 @@ object SparkEntry {
         val seen = GraftLakeBatchSource.readSchemas.asScala.toSeq
         seen.nonEmpty && seen.forall(!_.contains("o_orderkey"))
       }
+      // unfiltered MIN/MAX/COUNT(*) answer from the manifest zone
+      // maps + parquet footers — zero data tasks, values identical to
+      // the computed ones
+      GraftLakeBatchSource.lastAggPushed = false
+      val meta = lake.agg(min(col("o_orderkey")), max(col("o_orderkey")),
+        count(lit(1))).head
+      val aggPushed = GraftLakeBatchSource.lastAggPushed &&
+        GraftLakeBatchSource.lastScanSets._1 == 0 && {
+          val real = o.agg(min(col("o_orderkey")), max(col("o_orderkey")),
+            count(lit(1))).head
+          meta == real
+        }
       val rows = agg.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       import s.implicits._
       rows.toSeq.toDF("o_orderstatus", "n", "cents")
-        .withColumn("dsv2_scan_ok", lit(pruned && colPruned))
+        .withColumn("dsv2_scan_ok", lit(pruned && colPruned && aggPushed))
         .orderBy(col("o_orderstatus"))
     }),
     // COPY INTO (Delta's idempotent batch file ingest): three

@@ -85,10 +85,86 @@ private[sources] class GraftLakeBatchTable(path: String, tableSchema: StructType
 private[sources] class GraftLakeScanBuilder(
     path: String, snap: GraftLake.Snapshot, full: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  // Aggregation answered from METADATA alone: (partial-agg schema,
+  // the one precomputed row). Set only when every function resolves.
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+
+  /** MIN/MAX from the manifest zone maps, COUNT(*) from the parquet
+    * footers — ZERO data tasks at any table size. Partial pushdown:
+    * Spark still runs its merge agg over our one row, so semantics
+    * (null handling, final types) stay Spark's. Answerable only when
+    * no filter is pushed (rows would need re-filtering), there is no
+    * GROUP BY, and — for MIN/MAX — EVERY live set carries stats for
+    * the column (a stat-less legacy set could hide the true extreme;
+    * zone maps already ignore NULLs exactly like min/max do). The
+    * long images invert exactly: integral value, DATE days,
+    * TIMESTAMP(_NTZ) micros are each the column's internal form.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        full.fieldNames.find(_.equalsIgnoreCase(r.fieldNames.head))
+      case _ => None
+    }
+    def extremeOf(c: String, isMin: Boolean): Option[(Any, DataType)] = {
+      val dt = full(c).dataType
+      if (!GraftLake.isPrunableType(dt)) return None
+      val stats = snap.live.map(_.statsFor(c))
+      if (stats.exists(_.isEmpty)) return None // a stat-less set could hide the extreme
+      if (stats.isEmpty) return Some((null, dt)) // empty table: SQL min/max = NULL
+      val img =
+        if (isMin) stats.flatten.map(_.min).min else stats.flatten.map(_.max).max
+      val v: Any = dt match {
+        case ByteType => img.toByte
+        case ShortType => img.toShort
+        case IntegerType | DateType => img.toInt
+        case _ => img // Long, Timestamp (micros), NTZ (local micros)
+      }
+      Some((v, dt))
+    }
+    def footerCount(): Option[Long] = {
+      import java.nio.file.{Files, Paths}
+      import org.apache.hadoop.conf.Configuration
+      try Some(snap.live.map { ls =>
+        val dir = Paths.get(path, ls.set)
+        def filesUnder(d: java.nio.file.Path): Seq[java.nio.file.Path] =
+          Files.walk(d).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+        filesUnder(dir).map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toString), new Configuration())
+          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try fr.getRecordCount finally fr.close()
+        }.sum
+      }.sum)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val resolved: Seq[Option[(Any, DataType)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => footerCount().map(n => (n: Any, LongType))
+        case m: Min => colNameOf(m.column).flatMap(extremeOf(_, isMin = true))
+        case m: Max => colNameOf(m.column).flatMap(extremeOf(_, isMin = false))
+        case _ => None
+      }
+    if (resolved.exists(_.isEmpty)) return false
+    val fields = resolved.zipWithIndex.map { case (r, i) =>
+      StructField(s"agg_$i", r.get._2, nullable = true)
+    }
+    aggAnswer = Some((StructType(fields), resolved.map(_.get._1)))
+    GraftLakeBatchSource.lastAggPushed = true
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val keep = requiredSchema.fieldNames.toSet
@@ -106,14 +182,18 @@ private[sources] class GraftLakeScanBuilder(
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = {
-    val (ranges, eqs) = GraftLakeBatchSource.constraintsOf(pushed, full)
-    val (scan, skip) = snap.live.partition(
-      GraftLake.setMayMatch(path, _, ranges, eqs))
-    GraftLakeBatchSource.lastScanSets = (scan.size, skip.size)
-    GraftLakeBatchSource.readSchemas.add(required.fieldNames.toSeq)
-    new GraftLakeBatchScan(path, scan, required,
-      GraftLake.partitionColumnOf(path))
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, row)) =>
+      GraftLakeBatchSource.lastScanSets = (0, snap.live.size)
+      new GraftLakeAggScan(schema, row)
+    case None =>
+      val (ranges, eqs) = GraftLakeBatchSource.constraintsOf(pushed, full)
+      val (scan, skip) = snap.live.partition(
+        GraftLake.setMayMatch(path, _, ranges, eqs))
+      GraftLakeBatchSource.lastScanSets = (scan.size, skip.size)
+      GraftLakeBatchSource.readSchemas.add(required.fieldNames.toSeq)
+      new GraftLakeBatchScan(path, scan, required,
+        GraftLake.partitionColumnOf(path))
   }
 }
 
@@ -162,13 +242,67 @@ private[sources] class GraftLakeBatchScan(
     new LakeFileReaderFactory(required)
 }
 
+/** The metadata-answered aggregate scan: ONE partition emitting the
+  * ONE precomputed partial row — no file is opened, no data task
+  * runs; Spark's final merge agg consumes it.
+  */
+private[sources] class GraftLakeAggScan(schema: StructType, row: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftLakeAggPartition(schema.toDDL, row.map {
+      case null => null
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+    }))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[
+            org.apache.spark.sql.catalyst.InternalRow] = {
+        val part = p.asInstanceOf[GraftLakeAggPartition]
+        val st = StructType.fromDDL(part.ddl)
+        new org.apache.spark.sql.connector.read.PartitionReader[
+            org.apache.spark.sql.catalyst.InternalRow] {
+          private var served = false
+          override def next(): Boolean = { val r = !served; served = true; r }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+            val out = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(st.length)
+            part.values.zipWithIndex.foreach {
+              case (null, i) => out.update(i, null)
+              case (l: Long, i) => st(i).dataType match {
+                case ByteType => out.update(i, l.toByte)
+                case ShortType => out.update(i, l.toShort)
+                case IntegerType | DateType => out.update(i, l.toInt)
+                case _ => out.update(i, l)
+              }
+              case (v, i) => out.update(i, v)
+            }
+            out
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+/** Serialized as longs (the images); re-typed executor-side. */
+private[sources] case class GraftLakeAggPartition(
+    ddl: String, values: Seq[Any]) extends InputPartition
+
 object GraftLakeBatchSource {
 
   /** Test observability: (scanned, skipped) live sets of the last
-    * planned batch scan, and the post-pruning read schemas.
+    * planned batch scan, the post-pruning read schemas, and whether
+    * the last scan answered a pushed aggregation from metadata.
     */
   @volatile var lastScanSets: (Int, Int) = (0, 0)
   @volatile var lastPushed: Seq[String] = Seq.empty
+  @volatile var lastAggPushed: Boolean = false
   val readSchemas = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
 
   /** Translate Catalyst's pushed V1 filters into the manifest

@@ -45,8 +45,9 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
     assert(got.getLong(0) == 30 && got.getLong(1) == (61 to 90).map(_ * 10L).sum)
     assert(GraftLakeBatchSource.lastScanSets == ((1, 2)),
       s"got ${GraftLakeBatchSource.lastScanSets}")
-    // no filter: all sets scan
-    assert(spark.read.format("graftlake").load(p).count() == 90)
+    // no filter: all sets scan (collect forces a real row scan —
+    // a bare count() would legitimately answer from metadata now)
+    assert(spark.read.format("graftlake").load(p).collect().length == 90)
     assert(GraftLakeBatchSource.lastScanSets == ((3, 0)))
   }
 
@@ -117,5 +118,26 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
       spark.read.format("graftlake").load(q).count()
     }
     assert(err2.getMessage.contains("rename"))
+  }
+
+  test("MIN/MAX/COUNT(*) answer from metadata alone — zero data tasks") {
+    val p = fresh()
+    seed(p)
+    GraftLakeBatchSource.lastAggPushed = false
+    val df = spark.read.format("graftlake").load(p)
+    val r = df.agg(min(col("id")), max(col("day")), count(lit(1))).head
+    assert(GraftLakeBatchSource.lastAggPushed, "aggregation must push down")
+    assert(r.getLong(0) == 1L)
+    assert(r.getDate(1).toString == "1995-01-28")
+    assert(r.getLong(2) == 90L)
+    // with a filter, aggregates must NOT push (rows need re-filtering)
+    GraftLakeBatchSource.lastAggPushed = false
+    val r2 = df.filter(col("id") > 60).agg(max(col("id"))).head
+    assert(!GraftLakeBatchSource.lastAggPushed)
+    assert(r2.getLong(0) == 90L)
+    // non-prunable column: falls back to a real scan, same answer
+    GraftLakeBatchSource.lastAggPushed = false
+    val r3 = df.agg(max(col("tag"))).head
+    assert(!GraftLakeBatchSource.lastAggPushed && r3.getString(0) == "t90")
   }
 }
