@@ -1446,6 +1446,44 @@ object SparkEntry {
         .withColumn("optw_ok", lit(scoped))
         .orderBy(col("o_orderstatus"))
     }),
+    // COLUMN DEFAULT + GENERATED expressions (Delta's column
+    // defaults / generated columns): recorded at CREATE as sealed
+    // `coldef` log entries; a positional INSERT supplies only the
+    // non-generated columns (the generated one computes from the
+    // row), a named INSERT omitting a defaulted column fills it with
+    // the DEFAULT, and naming a generated column refuses (pinned
+    // in-row). Oracle replays the default/generated arithmetic.
+    "src49_column_defaults" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val path = scratch("graft_lake_coldefs", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      o.createOrReplaceTempView("cdefs_src")
+      s.sql(s"""CREATE TABLE lake_cdefs (
+               |  o_orderkey BIGINT,
+               |  o_orderstatus STRING DEFAULT 'X',
+               |  cents BIGINT,
+               |  dbl BIGINT GENERATED ALWAYS AS (cents * 2))
+               |USING graftlake LOCATION '$path'
+               |TBLPROPERTIES ('statscol'='o_orderkey')""".stripMargin)
+      // positional: all three non-generated columns; dbl computes
+      s.sql("INSERT INTO lake_cdefs SELECT * FROM cdefs_src")
+      // named, omitting the defaulted status: 'X' fills
+      s.sql("""INSERT INTO lake_cdefs (o_orderkey, cents)
+              |SELECT o_orderkey + 3000000000, cents
+              |FROM cdefs_src WHERE o_orderkey % 5 = 0""".stripMargin)
+      val refused =
+        try { s.sql("INSERT INTO lake_cdefs (o_orderkey, dbl) VALUES (1, 2)"); false }
+        catch { case e: Exception => e.getMessage.contains("GENERATED") }
+      s.sql("SELECT * FROM lake_cdefs")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(col("dbl")).as("dbl"))
+        .withColumn("coldefs_ok", lit(refused))
+        .orderBy(col("o_orderstatus"))
+    }),
     // DSv2 BATCH LAKE SCAN with manifest data skipping (the scan-side
     // twin of the mutation pruning): `spark.read.format("graftlake")`
     // exposes the lake as a native Spark source — Catalyst pushes the
@@ -3475,6 +3513,23 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Orders, plus the %5 slice re-inserted key-shifted with the
+    // defaulted 'X' status; dbl is always cents*2.
+    "src49_column_defaults" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |all_rows AS (
+        |  SELECT o_orderstatus, cents FROM base
+        |  UNION ALL
+        |  SELECT 'X' AS o_orderstatus, cents FROM base
+        |  WHERE o_orderkey % 5 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents * 2) AS BIGINT) AS dbl,
+        |  TRUE AS coldefs_ok
+        |FROM all_rows GROUP BY 1 ORDER BY 1""".stripMargin,
     // The last order-year's slice, read through the pruned DSv2 scan.
     "src48_dsv2_lake_scan" ->
       """SELECT o_orderstatus, count(*) AS n,

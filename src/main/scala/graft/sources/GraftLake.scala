@@ -123,7 +123,13 @@ object GraftLake {
       // COPY INTO's exactly-once ledger: every source-file identity
       // ever ingested (monotone union over the whole history — like
       // Delta, neither RESTORE nor overwrite re-opens a loaded file).
-      ingested: Set[String] = Set.empty)
+      ingested: Set[String] = Set.empty,
+      // Column DEFAULT expressions (SQL text) and GENERATED-column
+      // expressions, recorded by `coldef` log entries — write-side
+      // metadata the INSERT/COPY routes consult; rides checkpoints
+      // and clones like constraints do.
+      defaults: Map[String, String] = Map.empty,
+      generated: Map[String, String] = Map.empty)
 
   private val EmptySnapshot =
     Snapshot(-1, "", Seq.empty, Seq.empty, Map.empty, 0L)
@@ -269,12 +275,29 @@ object GraftLake {
       require(unknown.isEmpty,
         s"COPY INTO $path: source column(s) ${unknown.mkString(", ")} " +
           "not in the table schema")
-      val aligned = raw.select(target.fields.map { f =>
-        raw.columns.find(_.equalsIgnoreCase(f.name)) match {
-          case Some(c) => col(c).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
-        }
-      }.toIndexedSeq: _*)
+      // GENERATED columns are computed, never ingested; omitted
+      // DEFAULTed columns fill with their recorded expression.
+      val gens = s0.generated
+      val defs = s0.defaults
+      raw.columns.find(c => gens.keys.exists(_.equalsIgnoreCase(c)))
+        .foreach(c => throw new IllegalArgumentException(
+          s"COPY INTO $path: column '$c' is GENERATED — it is computed " +
+            "on write, source files must not carry it"))
+      val aligned0 = raw.select(target.fields
+        .filterNot(f => gens.keys.exists(_.equalsIgnoreCase(f.name)))
+        .map { f =>
+          raw.columns.find(_.equalsIgnoreCase(f.name)) match {
+            case Some(c) => col(c).cast(f.dataType).as(f.name)
+            case None => defs.find(_._1.equalsIgnoreCase(f.name)) match {
+              case Some((_, sql)) => functions.expr(sql).cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+          }
+        }.toIndexedSeq: _*)
+      val aligned = gens.foldLeft(aligned0) { case (df0, (g, sql)) =>
+        val gf = target.fields.find(_.name.equalsIgnoreCase(g)).get
+        df0.withColumn(gf.name, functions.expr(sql).cast(gf.dataType))
+      }.select(target.fields.map(f => col(f.name)).toIndexedSeq: _*)
       enforceConstraints(aligned, s0.constraints)
       val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
       aligned.write.parquet(s"$path/$setName")
@@ -510,6 +533,11 @@ object GraftLake {
     s.partitionCol.foreach(c =>
       publishEntry(dstPath, "partition", c, new StructType(), None,
         Seq.empty, Seq.empty))
+    // Column DEFAULT / GENERATED metadata forks with the table too.
+    (s.defaults.toSeq.sortBy(_._1).map { case (c, q) => s"d:$c=$q" } ++
+      s.generated.toSeq.sortBy(_._1).map { case (c, q) => s"g:$c=$q" })
+      .foreach(item => publishEntry(dstPath, "coldef", item,
+        new StructType(), None, Seq.empty, Seq.empty))
     v
   }
 
@@ -878,6 +906,62 @@ object GraftLake {
     }
   }
 
+  /** Record column DEFAULT / GENERATED expressions — SEALED `coldef`
+    * log entries (one per column), transactional table state like
+    * constraints: they ride checkpoints, fork into shallow clones,
+    * survive restore and time travel. The INSERT and COPY INTO routes
+    * consult them: an omitted defaulted column fills with its DEFAULT
+    * expression; a generated column is always COMPUTED from the row
+    * (writing it explicitly refuses). DEFAULT expressions must be
+    * row-independent (no column references); GENERATED expressions
+    * may reference only existing non-generated columns.
+    */
+  def recordColDefs(
+      path: String, defaults: Seq[(String, String)],
+      generated: Seq[(String, String)]): Unit = {
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    val cur = StructType.fromDDL(s.schemaDdl)
+    def attrsOf(sql: String): Seq[String] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      org.apache.spark.sql.GraftBridge.catalystExpression(functions.expr(sql))
+        .collect { case a: UnresolvedAttribute => a.nameParts.mkString(".") }
+    }
+    val genCols = generated.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
+    (defaults ++ generated).foreach { case (c, sql) =>
+      require(cur.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"coldef: no column '$c' at $path")
+      require(!sql.contains("\n") && sql.nonEmpty, s"bad coldef SQL for '$c'")
+    }
+    defaults.foreach { case (c, sql) =>
+      require(attrsOf(sql).isEmpty,
+        s"DEFAULT for '$c' must not reference columns: $sql")
+    }
+    generated.foreach { case (c, sql) =>
+      val refs = attrsOf(sql)
+      require(refs.nonEmpty,
+        s"GENERATED column '$c' must derive from other columns: $sql")
+      refs.foreach { r =>
+        require(cur.fieldNames.exists(_.equalsIgnoreCase(r)) &&
+          !genCols.contains(r.toLowerCase(java.util.Locale.ROOT)),
+          s"GENERATED column '$c' references '$r' — must be an existing " +
+            "non-generated column")
+      }
+    }
+    (defaults.map { case (c, q) => s"d:$c=$q" } ++
+      generated.map { case (c, q) => s"g:$c=$q" })
+      .foreach(item => publishEntry(path, "coldef", item,
+        new StructType(), None, Seq.empty, Seq.empty))
+  }
+
+  /** The recorded column DEFAULT expressions (SQL text). */
+  def columnDefaultsOf(path: String): Map[String, String] =
+    snapshotIfExists(path).map(_.defaults).getOrElse(Map.empty)
+
+  /** The recorded GENERATED-column expressions (SQL text). */
+  def generatedColumnsOf(path: String): Map[String, String] =
+    snapshotIfExists(path).map(_.generated).getOrElse(Map.empty)
+
   /** Whether the CDF marker is set for `path`. */
   def cdfEnabled(path: String): Boolean =
     Files.exists(logDir(path).resolve("_cdf"))
@@ -1172,7 +1256,8 @@ object GraftLake {
         // is rules; a partition commit is layout metadata — none
         // touches the table schema.
         else if (action == "tombstone" || action == "constraint" ||
-          action == "lineage" || action == "partition") snap.schemaDdl
+          action == "lineage" || action == "partition" ||
+          action == "coldef") snap.schemaDdl
         // A rename derives its schema from the CURRENT snapshot inside
         // the claim loop (not from a caller-captured one), so a racing
         // append's schema evolution is never clobbered. The existence/
@@ -1231,7 +1316,8 @@ object GraftLake {
       // be live, or a concurrent commit has invalidated our rewrite.
       // (Constraint removes are rule names, not file-sets.)
       if (action != "overwrite" && action != "constraint" &&
-          action != "lineage" && action != "partition" && removed.nonEmpty) {
+          action != "lineage" && action != "partition" &&
+          action != "coldef" && removed.nonEmpty) {
         val live = (snap.live.map(_.set) ++ snap.tombstones).toSet
         removed.find(r => !live(r)).foreach { r =>
           throw new java.util.ConcurrentModificationException(
@@ -1399,6 +1485,17 @@ object GraftLake {
         s.copy(version = c.version,
           constraints = s.constraints -- c.remove ++ added,
           tsMillis = math.max(s.tsMillis, c.tsMillis))
+      } else if (c.action == "coldef") {
+        // add items: "d:col=sql" (DEFAULT) / "g:col=sql" (GENERATED).
+        val (ds, gs) = c.add.partition(_.startsWith("d:"))
+        def toMap(items: Seq[String]) = items.map { it =>
+          val body = it.substring(2); val i = body.indexOf('=')
+          body.take(i) -> body.substring(i + 1)
+        }.toMap
+        s.copy(version = c.version,
+          defaults = s.defaults ++ toMap(ds),
+          generated = s.generated ++ toMap(gs),
+          tsMillis = math.max(s.tsMillis, c.tsMillis))
       } else if (c.action == "partition") {
         // add = Seq(layout column): table metadata, no file-sets.
         s.copy(version = c.version, partitionCol = c.add.headOption,
@@ -1458,7 +1555,8 @@ object GraftLake {
           // legitimately reappears in a post-overwrite schema.
           if (c.action == "overwrite") Map.empty else s.renames,
           s.partitionCol,
-          s.ingested ++ c.ingest)
+          s.ingested ++ c.ingest,
+          s.defaults, s.generated)
       }
     }
 
@@ -1525,7 +1623,13 @@ object GraftLake {
         // identity (sorted for deterministic checkpoint bytes).
         (if (s.ingested.isEmpty) Seq.empty
          else Seq(render(Commit(s.version, "ckpting", "",
-           s.ingested.toSeq.sorted, Seq.empty, None, Seq.empty, 0L))))
+           s.ingested.toSeq.sorted, Seq.empty, None, Seq.empty, 0L)))) ++
+        // Column DEFAULT/GENERATED metadata, one line when present.
+        (if (s.defaults.isEmpty && s.generated.isEmpty) Seq.empty
+         else Seq(render(Commit(s.version, "ckptdef", "",
+           s.defaults.toSeq.sortBy(_._1).map { case (c, q) => s"d:$c=$q" } ++
+             s.generated.toSeq.sortBy(_._1).map { case (c, q) => s"g:$c=$q" },
+           Seq.empty, None, Seq.empty, 0L))))
     val f = ckptFile(path, s.version)
     val tmp = logDir(path).resolve(f.getFileName.toString + ".tmp" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -1560,7 +1664,7 @@ object GraftLake {
     val body = lines.tail.map(parse)
     body.find(c => c.action != "ckptset" && c.action != "ckptcons" &&
         c.action != "ckptren" && c.action != "ckptpart" &&
-        c.action != "ckpting")
+        c.action != "ckpting" && c.action != "ckptdef")
       .foreach(c => throw new IllegalStateException(
         s"bad checkpoint line action: ${c.action}"))
     val live = body.filter(_.action == "ckptset")
@@ -1578,8 +1682,13 @@ object GraftLake {
     }.toMap
     val part = body.find(_.action == "ckptpart").flatMap(_.add.headOption)
     val ing = body.filter(_.action == "ckpting").flatMap(_.add).toSet
+    val defItems = body.filter(_.action == "ckptdef").flatMap(_.add)
+    def defMap(prefix: String) = defItems.filter(_.startsWith(prefix)).map { it =>
+      val body2 = it.substring(2); val i = body2.indexOf('=')
+      body2.take(i) -> body2.substring(i + 1)
+    }.toMap
     Some(Snapshot(head.version, head.schemaDdl, live, head.remove, tags,
-      head.tsMillis, cons, rens, part, ing))
+      head.tsMillis, cons, rens, part, ing, defMap("d:"), defMap("g:")))
   }
 
   /** Auto-checkpoint cadence (every N commits, Delta-style; 0

@@ -510,6 +510,14 @@ final case class GraftLakeInsertCommand(
         s"INSERT INTO $viewName PARTITION: single-column layout only, " +
           s"got ${other.map(_._1).mkString(", ")}")
     }
+    // GENERATED columns are never supplied — they are computed from
+    // the row below; listing one explicitly refuses (Delta's rule).
+    val genCols = GraftLake.generatedColumnsOf(path)
+    val defCols = GraftLake.columnDefaultsOf(path)
+    userCols.find(c => genCols.keys.exists(_.equalsIgnoreCase(c))).foreach(c =>
+      throw new IllegalArgumentException(
+        s"INSERT INTO $viewName: column '$c' is GENERATED — it is " +
+          "computed on write, do not supply it"))
     // With a static PARTITION value the query feeds the remaining
     // columns; the pinned value fills the layout column.
     val insertTarget = staticPart match {
@@ -518,8 +526,12 @@ final case class GraftLakeInsertCommand(
           s"INSERT INTO $viewName: column '$pc' is pinned by the " +
             "PARTITION clause — do not also list it")
         org.apache.spark.sql.types.StructType(
-          target.fields.filterNot(_.name.equalsIgnoreCase(pc)))
-      case None => target
+          target.fields.filterNot(f => f.name.equalsIgnoreCase(pc) ||
+            genCols.keys.exists(_.equalsIgnoreCase(f.name))))
+      case None =>
+        org.apache.spark.sql.types.StructType(
+          target.fields.filterNot(f =>
+            genCols.keys.exists(_.equalsIgnoreCase(f.name))))
     }
     val alignedPart =
       if (userCols.isEmpty) {
@@ -545,17 +557,30 @@ final case class GraftLakeInsertCommand(
         renamed.select(insertTarget.fields.map { f =>
           userCols.find(_.equalsIgnoreCase(f.name)) match {
             case Some(u) => col(u).cast(f.dataType).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
+            case None =>
+              // An omitted column takes its DEFAULT when one is
+              // recorded, else NULL — SQL insert semantics.
+              defCols.find(_._1.equalsIgnoreCase(f.name)) match {
+                case Some((_, sql)) => expr(sql).cast(f.dataType).as(f.name)
+                case None => lit(null).cast(f.dataType).as(f.name)
+              }
           }
         }.toIndexedSeq: _*)
       }
-    val aligned = staticPart match {
+    val withPart = staticPart match {
       case Some((pc, v)) =>
         val pf = target.fields.find(_.name.equalsIgnoreCase(pc)).get
         alignedPart.withColumn(pf.name, lit(v).cast(pf.dataType))
-          .select(target.fields.map(f => col(f.name)).toIndexedSeq: _*)
       case None => alignedPart
     }
+    // GENERATED columns compute from the aligned row, store-assign
+    // cast to their declared type, then everything takes table order.
+    val withGen = genCols.foldLeft(withPart) { case (df0, (g, sql)) =>
+      val gf = target.fields.find(_.name.equalsIgnoreCase(g)).get
+      df0.withColumn(gf.name, expr(sql).cast(gf.dataType))
+    }
+    val aligned =
+      withGen.select(target.fields.map(f => col(f.name)).toIndexedSeq: _*)
     (tablePartCol, overwrite) match {
       case (Some(pc), false) =>
         // Dynamic or static append: per-value file-sets, exact
@@ -660,7 +685,9 @@ final case class GraftLakeCreateEmptyCommand(
     path: String, name: String,
     tableSchema: org.apache.spark.sql.types.StructType,
     statsCol: Option[String], partCol: Option[String],
-    ignoreIfExists: Boolean)
+    ignoreIfExists: Boolean,
+    defaults: Seq[(String, String)] = Seq.empty,
+    generated: Seq[(String, String)] = Seq.empty)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     statsCol.foreach(c => require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
@@ -685,6 +712,8 @@ final case class GraftLakeCreateEmptyCommand(
       // The layout marker lands BEFORE any insert, so the very first
       // `INSERT INTO` already takes the partitioned route.
       canonPart.foreach(pc => GraftLake.setPartitionColumn(path, pc))
+      if (defaults.nonEmpty || generated.nonEmpty)
+        GraftLake.recordColDefs(path, defaults, generated)
     }
     LakeSql.register(spark, path, name,
       statsCol.flatMap(c => tableSchema.fieldNames.find(_.equalsIgnoreCase(c)))
@@ -1195,15 +1224,18 @@ final class LakeDdlParser(
               "— the lake is path-addressed"))
           require(ct.columns.nonEmpty,
             s"CREATE TABLE $name USING graftlake: declare at least one column")
-          // Column DEFAULTs / generated / identity columns would need a
-          // write-side fill the insert path doesn't do — refuse loudly
-          // instead of silently dropping the clause.
+          // DEFAULT and GENERATED clauses are recorded as sealed
+          // `coldef` log entries the INSERT/COPY routes consult;
+          // IDENTITY would need monotonic allocation — refuse.
           ct.columns.foreach { c =>
-            require(c.defaultValue.isEmpty && c.generationExpression.isEmpty &&
-              c.identityColumnSpec.isEmpty,
-              s"CREATE TABLE $name: column '${c.name}' carries a DEFAULT / " +
-                "GENERATED / IDENTITY clause — not supported on a graft lake")
+            require(c.identityColumnSpec.isEmpty,
+              s"CREATE TABLE $name: column '${c.name}' carries an IDENTITY " +
+                "clause — not supported on a graft lake")
           }
+          val defaults = ct.columns.toSeq.flatMap(c =>
+            c.defaultValue.map(d => c.name -> d.originalSQL))
+          val generated = ct.columns.toSeq.flatMap(c =>
+            c.generationExpression.map(g => c.name -> g))
           val schema = org.apache.spark.sql.types.StructType(ct.columns.map(c =>
             org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
           val partCol = ct.partitioning.toSeq match {
@@ -1218,7 +1250,7 @@ final class LakeDdlParser(
             case (k, v) if k.equalsIgnoreCase("statscol") => v
           }
           GraftLakeCreateEmptyCommand(loc, name, schema, statsCol, partCol,
-            ct.ignoreIfExists)
+            ct.ignoreIfExists, defaults, generated)
         // TRUNCATE TABLE <lake view> — O(1) by-reference removal.
         case tt: org.apache.spark.sql.catalyst.plans.logical.TruncateTable
             if LakeSql.targetName(tt.table).isDefined =>

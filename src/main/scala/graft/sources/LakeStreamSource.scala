@@ -255,7 +255,7 @@ private[sources] class LakeMicroBatchStream(
             setFiles(cdfSet).map(f =>
               LakeFilePartition(f.toString, ddl, c.version): InputPartition)
           case "compact" | "constraint" | "rename" | "lineage" | "dropcol" |
-              "evolve" | "vacuum" => Seq.empty
+              "evolve" | "vacuum" | "coldef" => Seq.empty
           case other => throw new IllegalStateException(
             s"commit ${c.version} is a $other: not representable in the " +
               "change stream — restart from a fresh snapshot")
@@ -264,14 +264,15 @@ private[sources] class LakeMicroBatchStream(
     }
     range.find(c => c.action != "create" && c.action != "append" &&
         c.action != "copyinto" && c.action != "padd" && c.action != "evolve" &&
-        c.action != "constraint" && c.action != "vacuum").foreach { c =>
+        c.action != "constraint" && c.action != "vacuum" &&
+        c.action != "coldef").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as an " +
           "insert-only stream — restart from a fresh snapshot")
     }
     // Constraint/evolve/vacuum commits carry no rows — empty batches.
     range.filter(c => c.action != "constraint" && c.action != "evolve" &&
-        c.action != "vacuum")
+        c.action != "vacuum" && c.action != "coldef")
       .flatMap { c =>
       // A partitioned append is insert-only too: hive-dir planning.
       if (c.action == "padd") paddPartitions(c, None)

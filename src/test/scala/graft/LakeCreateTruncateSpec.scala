@@ -47,13 +47,15 @@ class LakeCreateTruncateSpec extends AnyFunSuite with SparkSpec {
     // stats recorded for the registered statscol on the insert commits
     assert(GraftLake.commits(p).filter(_.action == "append")
       .forall(_.stats.exists(_.col == "id")))
-    // DEFAULT clause refuses loudly
+    // IDENTITY clause refuses loudly (DEFAULT/GENERATED are
+    // supported — LakeColDefsSpec covers them)
     val q = fresh()
     val err = intercept[Exception] {
-      spark.sql(s"""CREATE TABLE ct_def (id BIGINT DEFAULT 7)
+      spark.sql(s"""CREATE TABLE ct_def
+                   |(id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT)
                    |USING graftlake LOCATION '$q'""".stripMargin)
     }
-    assert(err.getMessage.toLowerCase.contains("default"))
+    assert(err.getMessage.toUpperCase.contains("IDENTITY"))
     LakeSql.unregister("ct_empty")
   }
 
