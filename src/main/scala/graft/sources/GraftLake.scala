@@ -307,6 +307,7 @@ object GraftLake {
         val v = publishEntry(path, "copyinto", setName, aligned.schema,
           None, stats, Seq.empty, Some(s0.constraints),
           ingestFiles = fresh.map(idOf))
+        maybeAutoCompact(spark, path)
         return (v, fresh.size, rows)
       } catch {
         case _: java.util.ConcurrentModificationException =>
@@ -983,6 +984,55 @@ object GraftLake {
   def dvDeletesEnabled(path: String): Boolean =
     Files.exists(logDir(path).resolve("_dv"))
 
+  /** Opt this table into AUTO-COMPACTION (Delta's
+    * `autoOptimize.autoCompact`): after any data-growing commit
+    * (create / append / copyinto / sink epoch) leaves MORE than
+    * `maxLiveSets` live file-sets, a best-effort compact runs
+    * immediately in the writing session — the continuous-ingest
+    * answer to one-set-per-micro-batch growth, so a long-running
+    * stream never needs a scheduled OPTIMIZE just to stay readable.
+    * Best-effort: a racing writer's CME or outstanding MoR tombstones
+    * simply skip this round (the next commit retries); the property
+    * is a pure behavior flag and toggles both ways.
+    */
+  def enableAutoCompact(path: String, maxLiveSets: Int = 16): Unit = {
+    require(maxLiveSets >= 2, s"autoCompact threshold must be >= 2")
+    require(Files.exists(logDir(path)), s"no table at $path")
+    val tmp = logDir(path).resolve("_autocompact.tmp" +
+      java.util.UUID.randomUUID().toString.take(8))
+    Files.writeString(tmp, maxLiveSets.toString)
+    Files.move(tmp, logDir(path).resolve("_autocompact"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def disableAutoCompact(path: String): Unit =
+    Files.deleteIfExists(logDir(path).resolve("_autocompact"))
+
+  /** The auto-compact threshold, if opted in. */
+  def autoCompactThreshold(path: String): Option[Int] = {
+    val m = logDir(path).resolve("_autocompact")
+    if (!Files.exists(m)) None
+    else scala.util.Try(Files.readString(m).trim.toInt).toOption
+  }
+
+  /** Post-commit auto-compaction hook (see [[enableAutoCompact]]).
+    * Never throws: compaction is maintenance, not part of the
+    * caller's transaction — its own claim/publish run serializes it
+    * against every other writer.
+    */
+  private def maybeAutoCompact(spark: SparkSession, path: String): Unit =
+    autoCompactThreshold(path).foreach { t =>
+      try {
+        val s = snapshot(path)
+        if (s.live.size > t && s.tombstones.isEmpty) {
+          val statsCols = reRecordable(StructType.fromDDL(s.schemaDdl),
+            s.renames, s.live.flatMap(_.stats.map(_.col)).distinct)
+          compact(spark, path, statsCols, numFiles = 4,
+            statsCol = statsCols.headOption)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** Opt this table's SQL MERGE route into SCHEMA AUTO-EVOLUTION
     * (Delta's `schema.autoMerge`): source columns missing from the
     * target are added as nullable columns (one zero-data `evolve`
@@ -1073,8 +1123,14 @@ object GraftLake {
     // appear atomically together.
     bloomCols.foreach(c => writeBloomSidecar(df.sparkSession, path, setName, c))
     val stats = footerStats(df.sparkSession, path, setName, statsCols)
-    publishEntry(path, action, setName, df.schema, tag, stats, removeSets,
-      validatedCons, cdfSet = cdfSet)
+    val v = publishEntry(path, action, setName, df.schema, tag, stats,
+      removeSets, validatedCons, cdfSet = cdfSet)
+    // Post-commit maintenance: data-GROWING commits may trigger the
+    // opted-in auto-compaction (never compact's own commit — no
+    // recursion; never mutations — their snapshot is the transaction).
+    if (action == "create" || action == "append")
+      maybeAutoCompact(df.sparkSession, path)
+    v
   }
 
   /** Zone-map stats from the WRITTEN files (parquet-footer-cheap
@@ -1146,8 +1202,15 @@ object GraftLake {
     // a constraint added (or name-preservingly replaced) between this
     // read-back validation and the claim aborts loudly instead of
     // landing unvalidated rows.
-    publishEntry(path, "append", setName, schema, tag, stats, Seq.empty,
-      Some(cons))
+    val v = publishEntry(path, "append", setName, schema, tag, stats,
+      Seq.empty, Some(cons))
+    // Sink epochs are the canonical one-set-per-micro-batch growth:
+    // the auto-compact hook keeps a long-running stream's live-set
+    // count bounded without a scheduled OPTIMIZE.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(sp => maybeAutoCompact(sp, path))
+    v
   }
 
   /** CONVERT a plain parquet directory into a lake table IN PLACE

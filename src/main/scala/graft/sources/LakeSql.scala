@@ -920,11 +920,21 @@ final case class GraftLakeSetPropsCommand(
           GraftLake.enableSchemaAutoMerge(path)
         case ("schemaautomerge" | "schema.automerge.enabled", "false") =>
           GraftLake.disableSchemaAutoMerge(path)
+        // Delta's autoOptimize.autoCompact — 'true' takes the default
+        // threshold, an integer sets it, 'false' disables (pure
+        // behavior flag, two-way).
+        case ("autocompact" | "autooptimize.autocompact", "true") =>
+          GraftLake.enableAutoCompact(path)
+        case ("autocompact" | "autooptimize.autocompact", "false") =>
+          GraftLake.disableAutoCompact(path)
+        case ("autocompact" | "autooptimize.autocompact", n)
+            if n.forall(_.isDigit) && n.nonEmpty =>
+          GraftLake.enableAutoCompact(path, n.toInt)
         case _ =>
           throw new IllegalArgumentException(
             s"unsupported TBLPROPERTIES key '$k0' (supported: " +
               "enableDeletionVectors, enableChangeDataFeed, " +
-              "schemaAutoMerge)")
+              "schemaAutoMerge, autoCompact)")
       }
     }
     Seq.empty

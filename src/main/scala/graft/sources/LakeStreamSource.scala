@@ -151,7 +151,16 @@ private[sources] class LakeMicroBatchStream(
     // offsets are still commit versions, just advanced in steps.
     maxCommits: Option[Int] = None)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: pin the catch-up target at query start —
+  // the stream drains every commit through this version (in
+  // maxCommitsPerTrigger-bounded batches) and stops; commits landing
+  // after the pin wait for the next run (Delta-source semantics).
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GraftLake.latestVersion(path))
 
   override def initialOffset(): Offset = LakeVersionOffset(fromVersion)
 
@@ -162,7 +171,9 @@ private[sources] class LakeMicroBatchStream(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[LakeVersionOffset].version
-    val latest = GraftLake.latestVersion(path)
+    val latest = availableNowCap
+      .map(math.min(_, GraftLake.latestVersion(path)))
+      .getOrElse(GraftLake.latestVersion(path))
     LakeVersionOffset(
       maxCommits.map(m => math.min(latest, s + m)).getOrElse(latest))
   }
