@@ -104,6 +104,7 @@ object SparkEntry {
     "d35_ngram_decontaminate" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d35NgramDecontaminate(s, d)),
     "d36_lm_perplexity" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d36LmPerplexity(s, d)),
     "d37_sentence_dedup" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d37SentenceDedup(s, d)),
+    "d38_substring_dedup" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d38SubstringDedup(s, d)),
     "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
@@ -3176,6 +3177,7 @@ object SparkEntry {
     "d35_ngram_decontaminate" -> graft.operators.TextCorpus.d35OracleSql,
     "d36_lm_perplexity" -> graft.operators.TextCorpus.d36OracleSql,
     "d37_sentence_dedup" -> graft.operators.TextCorpus.d37OracleSql,
+    "d38_substring_dedup" -> graft.operators.TextCorpus.d38OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->

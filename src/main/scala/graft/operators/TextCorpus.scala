@@ -919,4 +919,93 @@ object TextCorpus {
       |    '')) AS cleaned_md5
       |FROM s JOIN f USING (h)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** d38: EXACT DUPLICATE-SPAN REMOVAL — the Lee et al. (2022)
+    * "Deduplicating Training Data Makes Language Models Better"
+    * substring-dedup class, which sentence/doc dedup cannot express:
+    * any L-token window (L=8) whose exact text occurs elsewhere in
+    * the corpus is removed EXCEPT at its first occurrence (min
+    * (doc_id, pos) key, like d37), where "removed" means every token
+    * COVERED by a duplicate window goes — overlapping windows merge
+    * naturally through position coverage, no interval-merge windows
+    * needed. Documents are reassembled from their surviving tokens in
+    * order. A shared boilerplate tail (> L tokens) is injected
+    * pre-dedup — the license/site-chrome shape real corpora carry;
+    * the synthetic table has no natural cross-doc L-grams, and an
+    * unexercised rule proves nothing — replayed verbatim in the
+    * oracle, so exactly one document keeps the tail and the
+    * overlapping-window merge is exercised on every other.
+    *
+    * Scale shape: gram construction is codegen'd array expressions
+    * (transform/sequence/slice — the d35 discipline), the frequency
+    * pass is one O(distinct grams) groupBy (partial-agg combined),
+    * coverage is one explode of the DUPLICATE occurrences only
+    * (O(duplicated positions), not O(tokens)), and reassembly is one
+    * per-doc groupBy. No windows over SF-growing data, no driver
+    * text.
+    */
+  def d38SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val L = 8
+    val boiler = " shared footer alpha beta gamma delta epsilon zeta " +
+      "eta theta iota kappa"
+    val toks = Tables.documents(spark, dir)
+      .withColumn("ws", split(concat(col("text"), lit(boiler)), " "))
+      .select(col("doc_id"), col("ws"))
+      .localCheckpoint(true) // feeds grams AND reassembly
+    val grams = toks
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("ws")) - (L - 1), lit(0))),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("ws"), i, lit(L))).as("g")))).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"),
+        md5(col("e.g")).as("h"),
+        (col("doc_id") * 100000L + col("e.pos")).as("kv"))
+      .localCheckpoint(true)
+    val first = grams.groupBy(col("h")).agg(min(col("kv")).as("k_min"))
+    // positions covered by any NON-FIRST duplicate window
+    val covered = grams.join(first, "h")
+      .filter(col("kv") =!= col("k_min"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (L - 1))).as("p"))
+      .distinct()
+    toks
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
+      .withColumn("p", col("p0") + 1).drop("p0")
+      .join(covered, Seq("doc_id", "p"), "left_outer")
+      .withColumn("keep", covered.col("p").isNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("keep"), 0).otherwise(1)).cast("int").as("n_removed"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("p"), col("w"))))),
+            e => e.getField("w")))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d38OracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(text || ' shared footer alpha beta gamma delta ' ||
+      |      'epsilon zeta eta theta iota kappa', ' ') AS ws
+      |  FROM documents),
+      |g AS (SELECT doc_id, pos,
+      |    md5(array_to_string(ws[pos:pos+7], ' ')) AS h,
+      |    doc_id * 100000 + pos AS kv
+      |  FROM (SELECT doc_id, ws,
+      |      unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS pos FROM t)),
+      |f AS (SELECT h, min(kv) AS k_min FROM g GROUP BY h),
+      |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS p
+      |  FROM g JOIN f USING (h) WHERE kv <> k_min),
+      |tok AS (SELECT doc_id, p, ws[p] AS w
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS p FROM t))
+      |SELECT tok.doc_id,
+      |  CAST(count(*) AS INT) AS n_tokens,
+      |  CAST(sum(CASE WHEN cov.p IS NULL THEN 0 ELSE 1 END) AS INT)
+      |    AS n_removed,
+      |  md5(coalesce(string_agg(CASE WHEN cov.p IS NULL THEN w END, ' '
+      |    ORDER BY tok.p), '')) AS cleaned_md5
+      |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+      |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
 }

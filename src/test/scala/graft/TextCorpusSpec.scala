@@ -402,4 +402,41 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     def h2(x: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+
+  test("d38 removes covered duplicate-span tokens, keeping first occurrence") {
+    import graft.operators.TextCorpus
+    val got = TextCorpus.d38SubstringDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+
+    val L = 8
+    val boiler = " shared footer alpha beta gamma delta epsilon zeta " +
+      "eta theta iota kappa"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), (r.getString(1) + boiler).split(" ")))
+    def md(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // global first-occurrence per L-gram
+    val firstKv = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (d, ws) =>
+      (1 to math.max(ws.length - L + 1, 0)).foreach { pos =>
+        val g = ws.slice(pos - 1, pos - 1 + L).mkString(" ")
+        val kv = d * 100000L + pos
+        firstKv.updateWith(g)(o => Some(o.fold(kv)(math.min(_, kv))))
+      }
+    }
+    docs.foreach { case (d, ws) =>
+      val covered = scala.collection.mutable.Set[Int]()
+      (1 to math.max(ws.length - L + 1, 0)).foreach { pos =>
+        val g = ws.slice(pos - 1, pos - 1 + L).mkString(" ")
+        if (firstKv(g) != d * 100000L + pos)
+          (pos until pos + L).foreach(covered += _)
+      }
+      val kept = (1 to ws.length).filterNot(covered).map(p => ws(p - 1))
+      val (nT, nR, h) = got(d)
+      assert(nT == ws.length && nR == covered.size, s"doc $d counts")
+      assert(h == md(kept.mkString(" ")), s"doc $d cleaned text")
+    }
+    assert(got.values.exists(_._2 > L)) // overlap-merged removals happened
+  }
 }
