@@ -394,12 +394,49 @@ final case class GraftLakeDetailCommand(path: String)
       AttributeReference("num_tombstone_sets", IntegerType, nullable = false)(),
       AttributeReference("num_constraints", IntegerType, nullable = false)(),
       AttributeReference("cdf_enabled", BooleanType, nullable = false)(),
-      AttributeReference("partition_column", StringType, nullable = true)())
+      AttributeReference("partition_column", StringType, nullable = true)(),
+      AttributeReference("dv_enabled", BooleanType, nullable = false)(),
+      AttributeReference("auto_compact", IntegerType, nullable = true)(),
+      AttributeReference("num_defaults", IntegerType, nullable = false)(),
+      AttributeReference("num_generated", IntegerType, nullable = false)(),
+      AttributeReference("num_ingested_files", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val s = GraftLake.snapshot(path)
     Seq(Row("graft-lake", path, s.version, s.live.size, s.tombstones.size,
       s.constraints.size, GraftLake.cdfEnabled(path),
-      GraftLake.partitionColumnOf(path).orNull))
+      GraftLake.partitionColumnOf(path).orNull,
+      GraftLake.dvDeletesEnabled(path),
+      GraftLake.autoCompactThreshold(path)
+        .map(Integer.valueOf).orNull,
+      s.defaults.size, s.generated.size, s.ingested.size))
+  }
+}
+
+/** SHOW TBLPROPERTIES <lake view> — the recorded property surface as
+  * rows (Delta's SHOW TBLPROPERTIES shape): feature opt-ins, the
+  * layout column, and the per-column DEFAULT/GENERATED expressions.
+  */
+final case class GraftLakeShowPropsCommand(path: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("key", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val s = GraftLake.snapshot(path)
+    val props =
+      Seq("enableChangeDataFeed" -> GraftLake.cdfEnabled(path).toString,
+        "enableDeletionVectors" -> GraftLake.dvDeletesEnabled(path).toString,
+        "schemaAutoMerge" -> GraftLake.schemaAutoMergeEnabled(path).toString) ++
+      GraftLake.autoCompactThreshold(path).map(n =>
+        "autoCompact" -> n.toString).toSeq ++
+      s.partitionCol.map("partitionColumn" -> _).toSeq ++
+      s.defaults.toSeq.sortBy(_._1).map { case (c, q) =>
+        s"default.$c" -> q } ++
+      s.generated.toSeq.sortBy(_._1).map { case (c, q) =>
+        s"generated.$c" -> q }
+    props.map { case (k, v) => Row(k, v) }
   }
 }
 
@@ -1001,6 +1038,8 @@ final class LakeDdlParser(
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val DetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+  private val ShowPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)\s*;?\s*""".r
   // VACUUM / OPTIMIZE are Delta grammar, not Spark's — pre-parse
   // intercepts, same posture as RESTORE.
   private val VacuumRe =
@@ -1042,6 +1081,8 @@ final class LakeDdlParser(
       GraftLakeHistoryCommand(LakeSql.lookup(name).get.path)
     case DetailRe(name) if LakeSql.lookup(name).isDefined =>
       GraftLakeDetailCommand(LakeSql.lookup(name).get.path)
+    case ShowPropsRe(name) if LakeSql.lookup(name).isDefined =>
+      GraftLakeShowPropsCommand(LakeSql.lookup(name).get.path)
     // Bare `VACUUM t` retains 7 days — Delta's default, so nobody
     // expecting Delta semantics silently destroys time travel. An
     // explicit `RETAIN n HOURS` (including 0) is honored verbatim.

@@ -94,4 +94,24 @@ class LakeColDefsSpec extends AnyFunSuite with SparkSpec {
     }
     LakeSql.unregister("cd_ck")
   }
+
+  test("SHOW TBLPROPERTIES and DESCRIBE DETAIL expose the surface") {
+    val p = fresh()
+    spark.sql(s"""CREATE TABLE cd_show (id BIGINT, qty BIGINT DEFAULT 2,
+                 |  dbl BIGINT GENERATED ALWAYS AS (id * 2))
+                 |USING graftlake LOCATION '$p'""".stripMargin)
+    spark.sql("ALTER TABLE cd_show SET TBLPROPERTIES ('autoCompact'='5')")
+    val props = spark.sql("SHOW TBLPROPERTIES cd_show").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("default.qty") == "2")
+    assert(props("generated.dbl") == "id * 2")
+    assert(props("autoCompact") == "5")
+    assert(props("enableChangeDataFeed") == "false")
+    val d = spark.sql("DESCRIBE DETAIL cd_show").head
+    assert(d.getAs[Int]("auto_compact") == 5)
+    assert(d.getAs[Int]("num_defaults") == 1)
+    assert(d.getAs[Int]("num_generated") == 1)
+    assert(!d.getAs[Boolean]("dv_enabled"))
+    LakeSql.unregister("cd_show")
+  }
 }
