@@ -186,15 +186,20 @@ object GraftLake {
     */
   def truncate(path: String): Int = {
     require(Files.exists(logDir(path)), s"no table at $path")
-    require(!cdfEnabled(path),
-      s"TRUNCATE on $path: the table has CDF enabled and a by-reference " +
-        "truncate would not stage delete images — use DELETE FROM instead")
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 50, s"gave up truncating $path after 50 races")
       val s = snapshot(path)
       if (s.live.isEmpty && s.tombstones.isEmpty) return s.version
+      // CDF tables serve a truncate's delete images by reading the
+      // REMOVED sets at feed-read time (Delta's file-level remove) —
+      // sound only when the raw sets equal the visible rows, i.e. no
+      // outstanding MoR masks; refuse loudly otherwise.
+      require(!cdfEnabled(path) || s.tombstones.isEmpty,
+        s"TRUNCATE on $path: outstanding merge-on-read tombstones would " +
+          "make the CDF delete images diverge from the visible rows — " +
+          "OPTIMIZE first")
       try {
         // expectVersion serializes against racing writers: an append
         // landing first must ALSO be truncated (we re-snapshot and
@@ -2200,6 +2205,20 @@ object GraftLake {
     * changes by (_commit_version, preimage-last), keep the latest,
     * drop it if typed delete — see the src28 gate for the shape.
     */
+  /** The removed DATA sets of commit `version`, resolved to LiveSets
+    * from the PRE-commit fold — what a truncate's CDF delete images
+    * read. Tombstone names in the remove list are excluded (they hold
+    * keys/positions, not table rows).
+    */
+  private[sources] def removedDataSetsAt(
+      path: String, version: Int): Seq[LiveSet] = {
+    val all = commits(path)
+    require(version >= 0 && version < all.size, s"no commit $version at $path")
+    val pre = foldState(EmptySnapshot, all.take(version))
+    val removed = all(version).remove.toSet
+    pre.live.filter(ls => removed(ls.set))
+  }
+
   def changesTyped(
       spark: SparkSession, path: String, fromVersion: Int): DataFrame = {
     val all = commits(path)
@@ -2232,8 +2251,22 @@ object GraftLake {
           Seq(readSet(spark, path,
             LiveSet(cdfName, ownCdf.toDDL, Seq.empty), targetCdf, latestRenames)
             .withColumn("_commit_version", lit(c.version)))
+        // TRUNCATE: delete images come from reading the REMOVED sets
+        // at feed-read time (Delta's file-level remove — zero bytes
+        // staged at truncate time); vacuumed sets refuse loudly, like
+        // reclaimed sidecars.
+        case "truncate" =>
+          val removed = removedDataSetsAt(path, c.version)
+          removed.foreach(ls => require(
+            Files.exists(Paths.get(setPath(path, ls.set))),
+            s"commit ${c.version}'s truncated set ${ls.set} was vacuumed " +
+              "(outside the retention window) — start the feed from a " +
+              "newer version or read a full snapshot"))
+          removed.map(ls => readSet(spark, path, ls, target, latestRenames)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(c.version)))
         case "compact" | "constraint" | "rename" | "lineage" | "dropcol" |
-            "evolve" | "vacuum" => Seq.empty
+            "evolve" | "vacuum" | "coldef" => Seq.empty
         case other => throw new IllegalStateException(
           s"commit ${c.version} is a $other: not representable in the " +
             "change feed — read a full snapshot instead")

@@ -265,6 +265,43 @@ private[sources] class LakeMicroBatchStream(
               .add("_change_type", StringType, nullable = true).toDDL
             setFiles(cdfSet).map(f =>
               LakeFilePartition(f.toString, ddl, c.version): InputPartition)
+          // TRUNCATE streams its delete images by reading the REMOVED
+          // sets (Delta's file-level remove); vacuumed sets refuse.
+          case "truncate" =>
+            GraftLake.removedDataSetsAt(path, c.version).flatMap { ls =>
+              val dir = java.nio.file.Paths.get(path, ls.set)
+              require(java.nio.file.Files.exists(dir),
+                s"commit ${c.version}'s truncated set ${ls.set} was " +
+                  "vacuumed — restart from a fresh snapshot")
+              val top = java.nio.file.Files.list(dir).iterator().asScala.toSeq
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .sortBy(_.toString)
+              if (top.nonEmpty)
+                top.map(f => LakeFilePartition(f.toString, ls.schemaDdl,
+                  c.version, changeType = Some("delete")): InputPartition)
+              else {
+                // padd set: hive subdirs, partition value as constant
+                java.nio.file.Files.list(dir).iterator().asScala.toSeq
+                  .filter(p => java.nio.file.Files.isDirectory(p) &&
+                    p.getFileName.toString.contains("="))
+                  .sortBy(_.getFileName.toString)
+                  .flatMap { d =>
+                    val nameV = d.getFileName.toString
+                    val eq = nameV.indexOf('=')
+                    val pc = nameV.take(eq)
+                    val v = nameV.substring(eq + 1).toLong
+                    val minusPart = StructType(StructType
+                      .fromDDL(ls.schemaDdl).fields.filterNot(_.name == pc))
+                    java.nio.file.Files.list(d).iterator().asScala.toSeq
+                      .filter(_.getFileName.toString.endsWith(".parquet"))
+                      .sortBy(_.toString)
+                      .map(f => LakeFilePartition(f.toString,
+                        minusPart.toDDL, c.version,
+                        changeType = Some("delete"),
+                        constLong = Some((pc, v))): InputPartition)
+                  }
+              }
+            }
           case "compact" | "constraint" | "rename" | "lineage" | "dropcol" |
               "evolve" | "vacuum" | "coldef" => Seq.empty
           case other => throw new IllegalStateException(

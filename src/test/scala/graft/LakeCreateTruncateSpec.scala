@@ -107,7 +107,7 @@ class LakeCreateTruncateSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.truncate(p) == GraftLake.latestVersion(p)) // no-op
   }
 
-  test("SQL TRUNCATE TABLE routes to the lake; CDF tables refuse") {
+  test("SQL TRUNCATE TABLE routes to the lake; CDF feeds serve the deletes") {
     import spark.implicits._
     val p = fresh()
     GraftLake.create((1L to 9L).map(i => (i, i)).toDF("id", "v"), p, Some("id"))
@@ -115,12 +115,22 @@ class LakeCreateTruncateSpec extends AnyFunSuite with SparkSpec {
     spark.sql("TRUNCATE TABLE ct_trunc")
     assert(spark.sql("SELECT * FROM ct_trunc").count() == 0)
     assert(GraftLake.commits(p).last.action == "truncate")
-    // CDF-enabled tables refuse the by-reference truncate
+    // CDF tables truncate by reference too: the feed reads the
+    // REMOVED sets as delete images at read time — zero staged bytes
     val q = fresh()
     GraftLake.create((1L to 4L).map(i => (i, i)).toDF("id", "v"), q, Some("id"))
     GraftLake.enableCdf(q)
-    val err = intercept[Exception] { GraftLake.truncate(q) }
-    assert(err.getMessage.contains("DELETE FROM"))
+    val vT = GraftLake.truncate(q)
+    val feed = GraftLake.changesTyped(spark, q, vT - 1)
+    assert(feed.count() == 4)
+    assert(feed.filter(col("_change_type") === "delete").count() == 4)
+    // outstanding MoR masks still refuse (images would diverge)
+    val r = fresh()
+    GraftLake.create((1L to 6L).map(i => (i, i)).toDF("id", "v"), r, Some("id"))
+    GraftLake.enableCdf(r)
+    GraftLake.deleteDv(spark, r, expr("id = 2"))
+    val err = intercept[Exception] { GraftLake.truncate(r) }
+    assert(err.getMessage.contains("OPTIMIZE"))
     LakeSql.unregister("ct_trunc")
   }
 
