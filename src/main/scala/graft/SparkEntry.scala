@@ -1447,6 +1447,52 @@ object SparkEntry {
         .withColumn("optw_ok", lit(scoped))
         .orderBy(col("o_orderstatus"))
     }),
+    // ROW TRACKING (Delta's row tracking): tracked commits allocate
+    // contiguous per-set id ranges from the monotone high-water mark
+    // claimed INSIDE the publish loop; `readWithRowIds` serves
+    // `_row_id` = base + file offset + row index. Ids are UNIQUE and
+    // DENSE across appends (pinned), NULL for the pre-tracking set
+    // (never invented), and STABLE under a merge-on-read delete —
+    // every surviving row keeps its exact id because DV mutations
+    // mask positions instead of rewriting sets (pinned by a
+    // distributed pre/post equality join). Oracle: content replay.
+    "src50_row_tracking" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_rowtrack", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        path, Some("o_orderkey"))
+      GraftLake.enableRowTracking(path)
+      GraftLake.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+        path, Some("o_orderkey"))
+      val nOdd = o.filter(pmod(col("o_orderkey"), lit(2)) === 1).count()
+      val nEven = o.count() - nOdd
+      val pre = GraftLake.readWithRowIds(s, path)
+        .select(col("o_orderkey"), col("_row_id")).localCheckpoint(true)
+      // dense range for the tracked append, NULL for the pre-tracking set
+      val tracked = pre.filter(col("_row_id").isNotNull)
+      val dense = tracked.agg(count(lit(1)), countDistinct(col("_row_id")),
+        min(col("_row_id")), max(col("_row_id"))).head
+      val denseOk = dense.getLong(0) == nOdd && dense.getLong(1) == nOdd &&
+        dense.getLong(2) == 0L && dense.getLong(3) == nOdd - 1 &&
+        pre.filter(col("_row_id").isNull).count() == nEven
+      // MoR delete: survivors keep their exact ids
+      GraftLake.deleteDv(s, path, expr("cents % 7 = 0"))
+      val post = GraftLake.readWithRowIds(s, path)
+        .select(col("o_orderkey"), col("_row_id").as("rid2"))
+      val drift = pre.join(post, "o_orderkey")
+        .filter(not(col("_row_id") <=> col("rid2"))).count()
+      val stable = drift == 0L
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("row_tracking_ok", lit(denseOk && stable))
+        .orderBy(col("o_orderstatus"))
+    }),
     // COLUMN DEFAULT + GENERATED expressions (Delta's column
     // defaults / generated columns): recorded at CREATE as sealed
     // `coldef` log entries; a positional INSERT supplies only the
@@ -3515,6 +3561,14 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS dyn_ow_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Content unchanged by tracking; the MoR delete removes cents%7.
+    "src50_row_tracking" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS row_tracking_ok
+        |FROM (SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |WHERE cents % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Orders, plus the %5 slice re-inserted key-shifted with the
     // defaulted 'X' status; dbl is always cents*2.
     "src49_column_defaults" ->

@@ -129,7 +129,18 @@ object GraftLake {
       // metadata the INSERT/COPY routes consult; rides checkpoints
       // and clones like constraints do.
       defaults: Map[String, String] = Map.empty,
-      generated: Map[String, String] = Map.empty)
+      generated: Map[String, String] = Map.empty,
+      // ROW TRACKING high-water mark: one past the largest row id
+      // ever allocated (monotone over ALL commits, including sets
+      // later removed — reuse would alias identities).
+      ridHighWater: Long = 0L)
+
+  /** Reserved manifest-stats name carrying a set's row-id range
+    * ([base, base+rows-1]) — never a real column (guarded at
+    * allocation). Riding the existing stats plumbing means row ids
+    * checkpoint, clone, restore and time-travel for free.
+    */
+  private[sources] val RidStat = "__rid"
 
   private val EmptySnapshot =
     Snapshot(-1, "", Seq.empty, Seq.empty, Map.empty, 0L)
@@ -311,7 +322,10 @@ object GraftLake {
       try {
         val v = publishEntry(path, "copyinto", setName, aligned.schema,
           None, stats, Seq.empty, Some(s0.constraints),
-          ingestFiles = fresh.map(idOf))
+          ingestFiles = fresh.map(idOf),
+          ridRows =
+            if (rowTrackingEnabled(path)) Some(setRowCount(path, setName))
+            else None)
         maybeAutoCompact(spark, path)
         return (v, fresh.size, rows)
       } catch {
@@ -1020,6 +1034,100 @@ object GraftLake {
     else scala.util.Try(Files.readString(m).trim.toInt).toOption
   }
 
+  /** Opt this table into ROW TRACKING (Delta's row tracking): every
+    * later data-growing commit (create/append/copyinto/sink epoch)
+    * allocates its set a contiguous row-id range [base, base+rows-1]
+    * — base claimed from the snapshot's monotone high-water mark
+    * INSIDE the publish loop, so racing writers never collide — and
+    * records it as a reserved `__rid` manifest stat (checkpointed,
+    * cloned, time-traveling like any zone map). `readWithRowIds`
+    * serves `_row_id` = base + file offset + row index. Row ids are
+    * STABLE under the merge-on-read mutation family (deleteDv /
+    * updateDv / mergeDv mask positions, never rewrite sets — a
+    * surviving row keeps its id through any number of DV mutations);
+    * copy-on-write rewrites and compaction allocate FRESH ids for the
+    * rows they rewrite (the un-materialized Delta posture — pre-
+    * tracking and rewritten-without-tracking sets read `_row_id` as
+    * NULL rather than inventing unstable identities).
+    */
+  def enableRowTracking(path: String): Unit = {
+    require(Files.exists(logDir(path)), s"no table at $path")
+    require(!StructType.fromDDL(snapshot(path).schemaDdl)
+      .fieldNames.exists(_.equalsIgnoreCase(RidStat)),
+      s"row tracking reserves column name '$RidStat'")
+    val m = logDir(path).resolve("_rowtracking")
+    if (!Files.exists(m)) Files.writeString(m, "1")
+  }
+
+  def rowTrackingEnabled(path: String): Boolean =
+    Files.exists(logDir(path).resolve("_rowtracking"))
+
+  /** Footer record count of a staged (or live) set — O(files)
+    * metadata reads, no tasks.
+    */
+  private def setRowCount(path: String, setName: String): Long = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(path, setName)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString),
+          new org.apache.hadoop.conf.Configuration())
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try fr.getRecordCount finally fr.close()
+      }.sum
+  }
+
+  /** The table with a `_row_id` column: base (from the set's `__rid`
+    * manifest stat) + the file's offset within its set (footer counts
+    * over name-sorted files — deterministic) + the row's index in its
+    * file. Sets without a recorded range serve NULL. Built on
+    * [[visibleWithPositions]], so DV masks and key tombstones apply
+    * exactly as in [[read]] — a masked row never surfaces, and a
+    * surviving row keeps its id through any number of MoR mutations.
+    */
+  def readWithRowIds(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val s = snapshot(path)
+    require(s.version >= 0, s"no table at $path")
+    val visible = visibleWithPositions(spark, path, s).getOrElse(
+      return read(spark, path).withColumn("_row_id", lit(null).cast("long")))
+    // (set, fileName) -> base + in-set offset, tiny and broadcast.
+    val baseRows: Seq[(String, String, Long)] = s.live.flatMap { ls =>
+      ls.statsFor(RidStat).toSeq.flatMap { st =>
+        val files = Files.walk(Paths.get(path, ls.set)).iterator().asScala
+          .toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.toString)
+        val counts = files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toString),
+            new org.apache.hadoop.conf.Configuration())
+          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try fr.getRecordCount finally fr.close()
+        }
+        files.zip(counts.scanLeft(0L)(_ + _)).map { case (f, off) =>
+          (ls.set, f.getFileName.toString, st.min + off)
+        }
+      }
+    }
+    if (baseRows.isEmpty)
+      return visible.withColumn("_row_id", lit(null).cast("long"))
+        .drop("__dv_set", "__dv_file", "__dv_pos")
+    val offDf = spark.createDataFrame(
+      baseRows.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).asJava,
+      new StructType()
+        .add("__rb_set", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("__rb_file", org.apache.spark.sql.types.StringType, nullable = false)
+        .add("__rb_base", org.apache.spark.sql.types.LongType, nullable = false))
+    visible
+      .join(functions.broadcast(offDf),
+        visible("__dv_set") === offDf("__rb_set") &&
+          visible("__dv_file") === offDf("__rb_file"), "left_outer")
+      .withColumn("_row_id", col("__rb_base") + col("__dv_pos"))
+      .drop("__dv_set", "__dv_file", "__dv_pos",
+        "__rb_set", "__rb_file", "__rb_base")
+  }
+
   /** Post-commit auto-compaction hook (see [[enableAutoCompact]]).
     * Never throws: compaction is maintenance, not part of the
     * caller's transaction — its own claim/publish run serializes it
@@ -1128,8 +1236,12 @@ object GraftLake {
     // appear atomically together.
     bloomCols.foreach(c => writeBloomSidecar(df.sparkSession, path, setName, c))
     val stats = footerStats(df.sparkSession, path, setName, statsCols)
+    // Row tracking: any data-bearing set gets a fresh contiguous id
+    // range (rewrites re-assign — the un-materialized Delta posture).
+    val ridRows =
+      if (rowTrackingEnabled(path)) Some(setRowCount(path, setName)) else None
     val v = publishEntry(path, action, setName, df.schema, tag, stats,
-      removeSets, validatedCons, cdfSet = cdfSet)
+      removeSets, validatedCons, cdfSet = cdfSet, ridRows = ridRows)
     // Post-commit maintenance: data-GROWING commits may trigger the
     // opted-in auto-compaction (never compact's own commit — no
     // recursion; never mutations — their snapshot is the transaction).
@@ -1207,8 +1319,10 @@ object GraftLake {
     // a constraint added (or name-preservingly replaced) between this
     // read-back validation and the claim aborts loudly instead of
     // landing unvalidated rows.
+    val ridRows =
+      if (rowTrackingEnabled(path)) Some(setRowCount(path, setName)) else None
     val v = publishEntry(path, "append", setName, schema, tag, stats,
-      Seq.empty, Some(cons))
+      Seq.empty, Some(cons), ridRows = ridRows)
     // Sink epochs are the canonical one-set-per-micro-batch growth:
     // the auto-compact hook keeps a long-running stream's live-set
     // count bounded without a scheduled OPTIMIZE.
@@ -1277,7 +1391,8 @@ object GraftLake {
       cdfSet: Option[String] = None,
       expectVersion: Option[Int] = None,
       dvSidecar: Option[String] = None,
-      ingestFiles: Seq[String] = Seq.empty): Int = {
+      ingestFiles: Seq[String] = Seq.empty,
+      ridRows: Option[Long] = None): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1415,8 +1530,18 @@ object GraftLake {
       val addItems = dvSidecar.toSeq ++
         (if (perSet.nonEmpty) perSet.map(_.set)
          else if (setName.isEmpty) Seq.empty[String] else Seq(setName))
+      // ROW TRACKING: the set's contiguous id range claims its base
+      // from THIS attempt's snapshot high-water mark — computed inside
+      // the loop, so racing writers can never allocate overlapping
+      // ranges (the loser re-snapshots and re-bases).
+      val statsEff = ridRows match {
+        case Some(n) if n > 0 =>
+          stats :+ SetStats(RidStat, snap.ridHighWater,
+            snap.ridHighWater + n - 1)
+        case _ => stats
+      }
       val header = render(Commit(v, action, mergedDdl, addItems, removed, tag,
-        stats, ts, cdf = cdfSet))
+        statsEff, ts, cdf = cdfSet))
       // Partitioned commits append one sealed per-set manifest line
       // per added set — still ONE file, ONE atomic publish.
       val json = {
@@ -1624,7 +1749,9 @@ object GraftLake {
           if (c.action == "overwrite") Map.empty else s.renames,
           s.partitionCol,
           s.ingested ++ c.ingest,
-          s.defaults, s.generated)
+          s.defaults, s.generated,
+          (s.ridHighWater +: added.flatMap(_.statsFor(RidStat))
+            .map(_.max + 1L)).max)
       }
     }
 
@@ -1697,7 +1824,13 @@ object GraftLake {
          else Seq(render(Commit(s.version, "ckptdef", "",
            s.defaults.toSeq.sortBy(_._1).map { case (c, q) => s"d:$c=$q" } ++
              s.generated.toSeq.sortBy(_._1).map { case (c, q) => s"g:$c=$q" },
-           Seq.empty, None, Seq.empty, 0L))))
+           Seq.empty, None, Seq.empty, 0L)))) ++
+        // Row-id high water: MUST ride the checkpoint explicitly — the
+        // live sets alone under-count (removed sets also allocated).
+        (if (s.ridHighWater == 0L) Seq.empty
+         else Seq(render(Commit(s.version, "ckptrid", "",
+           Seq.empty, Seq.empty, None,
+           Seq(SetStats(RidStat, s.ridHighWater, s.ridHighWater)), 0L))))
     val f = ckptFile(path, s.version)
     val tmp = logDir(path).resolve(f.getFileName.toString + ".tmp" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -1732,7 +1865,8 @@ object GraftLake {
     val body = lines.tail.map(parse)
     body.find(c => c.action != "ckptset" && c.action != "ckptcons" &&
         c.action != "ckptren" && c.action != "ckptpart" &&
-        c.action != "ckpting" && c.action != "ckptdef")
+        c.action != "ckpting" && c.action != "ckptdef" &&
+        c.action != "ckptrid")
       .foreach(c => throw new IllegalStateException(
         s"bad checkpoint line action: ${c.action}"))
     val live = body.filter(_.action == "ckptset")
@@ -1755,8 +1889,12 @@ object GraftLake {
       val body2 = it.substring(2); val i = body2.indexOf('=')
       body2.take(i) -> body2.substring(i + 1)
     }.toMap
+    val ridHw = body.filter(_.action == "ckptrid")
+      .flatMap(_.stats.headOption).map(_.max)
+      .foldLeft(0L)(math.max)
     Some(Snapshot(head.version, head.schemaDdl, live, head.remove, tags,
-      head.tsMillis, cons, rens, part, ing, defMap("d:"), defMap("g:")))
+      head.tsMillis, cons, rens, part, ing, defMap("d:"), defMap("g:"),
+      ridHw))
   }
 
   /** Auto-checkpoint cadence (every N commits, Delta-style; 0
