@@ -428,7 +428,8 @@ final case class GraftLakeShowPropsCommand(path: String)
     val props =
       Seq("enableChangeDataFeed" -> GraftLake.cdfEnabled(path).toString,
         "enableDeletionVectors" -> GraftLake.dvDeletesEnabled(path).toString,
-        "schemaAutoMerge" -> GraftLake.schemaAutoMergeEnabled(path).toString) ++
+        "schemaAutoMerge" -> GraftLake.schemaAutoMergeEnabled(path).toString,
+        "enableRowTracking" -> GraftLake.rowTrackingEnabled(path).toString) ++
       GraftLake.autoCompactThreshold(path).map(n =>
         "autoCompact" -> n.toString).toSeq ++
       s.partitionCol.map("partitionColumn" -> _).toSeq ++
@@ -967,11 +968,19 @@ final case class GraftLakeSetPropsCommand(
         case ("autocompact" | "autooptimize.autocompact", n)
             if n.forall(_.isDigit) && n.nonEmpty =>
           GraftLake.enableAutoCompact(path, n.toInt)
+        // Row tracking is one-way like CDF/DV: committed id ranges
+        // cannot be un-allocated.
+        case ("enablerowtracking", "true") =>
+          GraftLake.enableRowTracking(path)
+        case ("enablerowtracking", _) =>
+          throw new IllegalArgumentException(
+            s"TBLPROPERTIES '$k0'='$v': the opt-in is one-way — " +
+              "allocated row-id ranges cannot be un-written")
         case _ =>
           throw new IllegalArgumentException(
             s"unsupported TBLPROPERTIES key '$k0' (supported: " +
               "enableDeletionVectors, enableChangeDataFeed, " +
-              "schemaAutoMerge, autoCompact)")
+              "schemaAutoMerge, autoCompact, enableRowTracking)")
       }
     }
     Seq.empty

@@ -93,4 +93,21 @@ class LakeRowTrackingSpec extends AnyFunSuite with SparkSpec {
       .select(col("_row_id")).collect().map(_.getLong(0))
     assert(ids.distinct.length == ids.length, s"duplicate ids in ${ids.sorted.toSeq}")
   }
+
+  test("SQL TBLPROPERTIES flips row tracking; one-way") {
+    import spark.implicits._
+    val p = fresh()
+    GraftLake.create(Seq((0L, 0L)).toDF("id", "v"), p, Some("id"))
+    graft.sources.LakeSql.register(spark, p, "rt_t", "id")
+    spark.sql("ALTER TABLE rt_t SET TBLPROPERTIES ('enableRowTracking'='true')")
+    assert(GraftLake.rowTrackingEnabled(p))
+    spark.sql("INSERT INTO rt_t VALUES (1, 1)")
+    assert(GraftLake.readWithRowIds(spark, p)
+      .filter(col("_row_id").isNotNull).count() == 1)
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE rt_t SET TBLPROPERTIES ('enableRowTracking'='false')")
+    }
+    assert(err.getMessage.contains("one-way"))
+    graft.sources.LakeSql.unregister("rt_t")
+  }
 }
