@@ -3229,15 +3229,26 @@ object GraftLake {
   /** Instrumentation: (scanned, skipped) live-set counts of the last
     * [[deleteDv]]/[[updateDv]] position scan — the spec/gate hook for
     * manifest-level predicate pruning, same posture as
-    * [[lastDeleteKeysShortlist]].
+    * [[lastDeleteKeysShortlist]]. THREAD-LOCAL: the verify harness
+    * runs gates concurrently, and every legitimate reader inspects
+    * the mutation ITS OWN thread just performed — a global would let
+    * one gate's mutation clobber another's flag mid-read.
     */
-  @volatile private[graft] var lastDvScanSets: (Int, Int) = (0, 0)
+  private[this] val _lastDvScanSets =
+    ThreadLocal.withInitial[(Int, Int)](() => (0, 0))
+  private[graft] def lastDvScanSets: (Int, Int) = _lastDvScanSets.get()
+  private[graft] def lastDvScanSets_=(v: (Int, Int)): Unit =
+    _lastDvScanSets.set(v)
 
   /** Instrumentation: (scanned, skipped) live-set counts of the last
     * copy-on-write [[delete]]/[[update]] victim search — same hook
-    * for the predicate-implied manifest pruning on the CoW paths.
+    * (and same thread-local rationale) for the CoW paths.
     */
-  @volatile private[graft] var lastCowScanSets: (Int, Int) = (0, 0)
+  private[this] val _lastCowScanSets =
+    ThreadLocal.withInitial[(Int, Int)](() => (0, 0))
+  private[graft] def lastCowScanSets: (Int, Int) = _lastCowScanSets.get()
+  private[graft] def lastCowScanSets_=(v: (Int, Int)): Unit =
+    _lastCowScanSets.set(v)
 
   /** Conjunctive integral range constraints IMPLIED by `predicate`,
     * extracted from its unresolved expression tree: top-level AND
