@@ -1381,6 +1381,24 @@ object LakeTimeTravel {
               org.apache.spark.sql.GraftSqlBridge.planOf(df))
           case _ => tvf
         }
+      // table_rowids('<lake name>') — the row-tracking read as a
+      // table-valued function: splice [[GraftLake.readWithRowIds]]'s
+      // plan so SQL sees `_row_id` (`SELECT _row_id, * FROM
+      // table_rowids('t') WHERE ...`).
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("table_rowids") &&
+            tvf.functionArgs.size == 1 =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        tvf.functionArgs.head match {
+          case Literal(n: org.apache.spark.unsafe.types.UTF8String, _)
+              if LakeSql.lookup(n.toString).isDefined =>
+            val t = LakeSql.lookup(n.toString).get
+            val df = GraftLake.readWithRowIds(SparkSession.active, t.path)
+            SubqueryAlias("table_rowids",
+              org.apache.spark.sql.GraftSqlBridge.planOf(df))
+          case _ => tvf
+        }
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
         LakeSql.targetName(tt.relation) match {
           case Some(name) =>

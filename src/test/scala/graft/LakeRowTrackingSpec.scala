@@ -108,6 +108,10 @@ class LakeRowTrackingSpec extends AnyFunSuite with SparkSpec {
       spark.sql("ALTER TABLE rt_t SET TBLPROPERTIES ('enableRowTracking'='false')")
     }
     assert(err.getMessage.contains("one-way"))
+    // SQL reads _row_id through the table_rowids TVF
+    val rid = spark.sql(
+      "SELECT _row_id FROM table_rowids('rt_t') WHERE id = 1").head
+    assert(!rid.isNullAt(0) && rid.getLong(0) == 0L)
     graft.sources.LakeSql.unregister("rt_t")
   }
 }
