@@ -399,16 +399,28 @@ final case class GraftLakeDetailCommand(path: String)
       AttributeReference("auto_compact", IntegerType, nullable = true)(),
       AttributeReference("num_defaults", IntegerType, nullable = false)(),
       AttributeReference("num_generated", IntegerType, nullable = false)(),
-      AttributeReference("num_ingested_files", IntegerType, nullable = false)())
+      AttributeReference("num_ingested_files", IntegerType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val s = GraftLake.snapshot(path)
+    // Delta's numFiles/sizeInBytes: live parquet files only, one
+    // driver-side metadata walk, no tasks.
+    import scala.jdk.CollectionConverters._
+    val files = s.live.flatMap { ls =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path, ls.set))
+        .iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+    }
     Seq(Row("graft-lake", path, s.version, s.live.size, s.tombstones.size,
       s.constraints.size, GraftLake.cdfEnabled(path),
       GraftLake.partitionColumnOf(path).orNull,
       GraftLake.dvDeletesEnabled(path),
       GraftLake.autoCompactThreshold(path)
         .map(Integer.valueOf).orNull,
-      s.defaults.size, s.generated.size, s.ingested.size))
+      s.defaults.size, s.generated.size, s.ingested.size,
+      files.size.toLong,
+      files.map(java.nio.file.Files.size(_)).sum))
   }
 }
 

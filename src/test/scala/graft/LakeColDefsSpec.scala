@@ -112,6 +112,10 @@ class LakeColDefsSpec extends AnyFunSuite with SparkSpec {
     assert(d.getAs[Int]("num_defaults") == 1)
     assert(d.getAs[Int]("num_generated") == 1)
     assert(!d.getAs[Boolean]("dv_enabled"))
+    spark.sql("INSERT INTO cd_show (id) VALUES (1), (2)")
+    val d2 = spark.sql("DESCRIBE DETAIL cd_show").head
+    assert(d2.getAs[Long]("num_files") >= 1L)
+    assert(d2.getAs[Long]("size_bytes") > 0L)
     LakeSql.unregister("cd_show")
   }
 }
