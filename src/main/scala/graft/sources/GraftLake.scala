@@ -1062,21 +1062,83 @@ object GraftLake {
   def rowTrackingEnabled(path: String): Boolean =
     Files.exists(logDir(path).resolve("_rowtracking"))
 
-  /** Footer record count of a staged (or live) set — O(files)
-    * metadata reads, no tasks.
+  /** Row-id base map sidecar: `_ridmap.json` INSIDE the set directory
+    * (underscore-hidden from parquet scans, like the bloom sidecars).
+    * Records the set's per-file record counts in NAME-SORTED order —
+    * the exact map [[readWithRowIds]] needs to turn the set's `__rid`
+    * base into per-file bases WITHOUT re-opening any parquet footer at
+    * read time. Written while the set is still staged (pre-publish),
+    * so a published set and its row-id map appear atomically together
+    * and travel through clone/restore/time-travel with the directory.
+    */
+  private def ridMapSidecar(table: String, set: String): Path =
+    Paths.get(setPath(table, set), "_ridmap.json")
+
+  /** Footer record count of a staged set — O(files) metadata reads at
+    * WRITE time, no tasks — recorded as the `_ridmap.json` sidecar so
+    * the read path never repeats the walk. Returns the set total (the
+    * `__rid` range width the publish loop allocates).
     */
   private def setRowCount(path: String, setName: String): Long = {
+    val perFile = footerCounts(path, setName)
+    val body = s"""{"files":[""" + perFile.map { case (f, n) =>
+      s"""["$f",$n]"""
+    }.mkString(",") + "]"
+    Files.write(ridMapSidecar(path, setName),
+      (body + s""","crc":${crc32(body)}}""").getBytes(UTF_8))
+    perFile.map(_._2).sum
+  }
+
+  /** (fileName, recordCount) of every parquet file in the set, name-
+    * sorted — one footer open per file. Write-time helper and the
+    * read path's legacy fallback for sets committed before `_ridmap`.
+    */
+  private def footerCounts(
+      path: String, setName: String): Seq[(String, Long)] = {
     import scala.jdk.CollectionConverters._
     Files.walk(Paths.get(path, setName)).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.toString)
       .map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.toString),
           new org.apache.hadoop.conf.Configuration())
         val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try fr.getRecordCount finally fr.close()
-      }.sum
+        val n = try fr.getRecordCount finally fr.close()
+        f.getFileName.toString -> n
+      }
   }
+
+  private val RidMapFileRe = """\["([^"]+)",(\d+)\]""".r
+
+  /** The set's recorded per-file counts, if the sidecar is present AND
+    * intact. A missing or corrupted map yields None — the caller falls
+    * back to the footer walk, so corruption degrades to slower reads,
+    * never to wrong (or missing) row ids.
+    */
+  private def readRidMapSidecar(
+      table: String, set: String): Option[Seq[(String, Long)]] = {
+    val p = ridMapSidecar(table, set)
+    if (!Files.exists(p)) return None
+    try {
+      val line = new String(Files.readAllBytes(p), UTF_8)
+      val m = CrcRe.findFirstMatchIn(line).getOrElse(return None)
+      val body = line.substring(0, line.lastIndexOf(""","crc":"""))
+      if (crc32(body) != m.group(1).toLong) return None
+      Some(RidMapFileRe.findAllMatchIn(body)
+        .map(g => g.group(1) -> g.group(2).toLong).toSeq)
+    } catch { case _: Exception => None }
+  }
+
+  /** Instrumentation: parquet footers opened ON THE DRIVER by the last
+    * [[readWithRowIds]] call — 0 when every rid-carrying set served its
+    * `_ridmap` sidecar (the 100 TB posture; the footer walk is only the
+    * legacy fallback for pre-sidecar sets). Thread-local for the same
+    * concurrent-gate reason as [[lastDvScanSets]].
+    */
+  private[this] val _lastRidFooterOpens =
+    ThreadLocal.withInitial[Int](() => 0)
+  private[graft] def lastRidFooterOpens: Int = _lastRidFooterOpens.get()
 
   /** The table with a `_row_id` column: base (from the set's `__rid`
     * manifest stat) + the file's offset within its set (footer counts
@@ -1090,23 +1152,23 @@ object GraftLake {
     import scala.jdk.CollectionConverters._
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
+    _lastRidFooterOpens.set(0)
     val visible = visibleWithPositions(spark, path, s).getOrElse(
       return read(spark, path).withColumn("_row_id", lit(null).cast("long")))
     // (set, fileName) -> base + in-set offset, tiny and broadcast.
+    // Per-file counts come from each set's commit-time `_ridmap`
+    // sidecar — O(sets) tiny metadata reads, ZERO parquet opens; the
+    // footer walk below is only the legacy fallback for sets committed
+    // before the sidecar existed (or with a corrupted one).
     val baseRows: Seq[(String, String, Long)] = s.live.flatMap { ls =>
       ls.statsFor(RidStat).toSeq.flatMap { st =>
-        val files = Files.walk(Paths.get(path, ls.set)).iterator().asScala
-          .toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
-          .sortBy(_.toString)
-        val counts = files.map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.toString),
-            new org.apache.hadoop.conf.Configuration())
-          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try fr.getRecordCount finally fr.close()
+        val perFile = readRidMapSidecar(path, ls.set).getOrElse {
+          val walked = footerCounts(path, ls.set)
+          _lastRidFooterOpens.set(_lastRidFooterOpens.get() + walked.size)
+          walked
         }
-        files.zip(counts.scanLeft(0L)(_ + _)).map { case (f, off) =>
-          (ls.set, f.getFileName.toString, st.min + off)
+        perFile.zip(perFile.map(_._2).scanLeft(0L)(_ + _)).map {
+          case ((f, _), off) => (ls.set, f, st.min + off)
         }
       }
     }

@@ -94,6 +94,51 @@ class LakeRowTrackingSpec extends AnyFunSuite with SparkSpec {
     assert(ids.distinct.length == ids.length, s"duplicate ids in ${ids.sorted.toSeq}")
   }
 
+  test("read path serves bases from _ridmap sidecars: zero footer opens") {
+    import spark.implicits._
+    val p = fresh()
+    GraftLake.create(Seq((0L, 0L)).toDF("id", "v"), p, Some("id"))
+    GraftLake.enableRowTracking(p)
+    GraftLake.append((1L to 40L).map(i => (i, i)).toDF("id", "v")
+      .repartition(4), p, Some("id"))
+    GraftLake.append((41L to 60L).map(i => (i, i)).toDF("id", "v"), p, Some("id"))
+    val got = GraftLake.readWithRowIds(spark, p)
+    val ids = got.filter(col("_row_id").isNotNull)
+      .select(col("_row_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 60L))
+    // every tracked set carried its commit-time map — the driver never
+    // re-opened a parquet footer at read time (the 100 TB posture)
+    assert(GraftLake.lastRidFooterOpens == 0,
+      s"expected sidecar-served bases, got ${GraftLake.lastRidFooterOpens} footer opens")
+  }
+
+  test("pre-sidecar sets fall back to the footer walk, same answer") {
+    import spark.implicits._
+    val p = fresh()
+    GraftLake.create(Seq((0L, 0L)).toDF("id", "v"), p, Some("id"))
+    GraftLake.enableRowTracking(p)
+    GraftLake.append((1L to 30L).map(i => (i, i)).toDF("id", "v")
+      .repartition(3), p, Some("id"))
+    val before = GraftLake.readWithRowIds(spark, p)
+      .filter(col("_row_id").isNotNull)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(GraftLake.lastRidFooterOpens == 0)
+    // simulate a set committed before the sidecar feature existed
+    import scala.jdk.CollectionConverters._
+    val maps = Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+      .filter(_.getFileName.toString == "_ridmap.json").toSeq
+    assert(maps.nonEmpty)
+    maps.foreach(Files.delete)
+    val after = GraftLake.readWithRowIds(spark, p)
+      .filter(col("_row_id").isNotNull)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "fallback must serve identical ids")
+    assert(GraftLake.lastRidFooterOpens >= 3,
+      "legacy sets must be served by the footer walk")
+  }
+
   test("SQL TBLPROPERTIES flips row tracking; one-way") {
     import spark.implicits._
     val p = fresh()

@@ -55,9 +55,13 @@ def main():
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
 
-    queries = json.load(open(bench_json))["queries"]
-    keys = [k for k, _ in sorted(queries.items(), key=lambda kv: -kv[1])[:top_n]]
-    print(f"top-{top_n} slowest: {keys}")
+    if os.environ.get("BENCH_CONTROL_KEYS"):
+        keys = os.environ["BENCH_CONTROL_KEYS"].split(",")
+        print(f"explicit key set: {keys}")
+    else:
+        queries = json.load(open(bench_json))["queries"]
+        keys = [k for k, _ in sorted(queries.items(), key=lambda kv: -kv[1])[:top_n]]
+        print(f"top-{top_n} slowest: {keys}")
 
     if len(sys.argv) > 4:
         prior = sh(f"git rev-parse {sys.argv[4]}").stdout.strip()
