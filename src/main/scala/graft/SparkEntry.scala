@@ -1049,6 +1049,88 @@ object SparkEntry {
           lit(layoutExact && preserved && replaced && described))
         .orderBy(col("o_orderstatus"))
     }),
+    // MULTI-COLUMN PARTITIONED BY: a (yr, quarter) layout tuple from
+    // pure SQL — CTAS + dynamic INSERT land one file-set per VALUE
+    // COMBINATION with exact min==max manifests on BOTH columns; a
+    // full-tuple static INSERT OVERWRITE replaces exactly one
+    // partition by reference; partial and wrong-order static specs
+    // refuse loudly; and the DSv2 batch scan prunes on BOTH columns —
+    // including the NON-PREFIX one alone, which hive's directory
+    // pruning cannot do (every layout column is an independent zone
+    // map here). In-row flags pin the layout, the refusals, and the
+    // (1, sets-1) / non-prefix scan counts. Oracle = orders with the
+    // 1996-Q2 slice's cents doubled by the overwrite.
+    "src51_multi_partition" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, GraftLakeBatchSource}
+      val path = scratch("graft_lake_multipart", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("q"))
+      o.createOrReplaceTempView("lake_mpart_src")
+      s.sql(s"""CREATE TABLE lake_mpart USING graftlake LOCATION '$path'
+               |PARTITIONED BY (yr, q)
+               |TBLPROPERTIES ('statscol'='o_orderkey')
+               |AS SELECT * FROM lake_mpart_src WHERE yr < 1997""".stripMargin)
+      s.sql("""INSERT INTO lake_mpart PARTITION (yr, q)
+              |SELECT * FROM lake_mpart_src WHERE yr >= 1997""".stripMargin)
+      // full-tuple static overwrite: exactly the (1996, 2) set dies
+      val before = GraftLake.snapshot(path).live
+      def pinnedTo(st: Seq[GraftLake.SetStats], yv: Long, qv: Long) =
+        st.exists(x => x.col == "yr" && x.min == yv && x.max == yv) &&
+          st.exists(x => x.col == "q" && x.min == qv && x.max == qv)
+      s.sql("""INSERT OVERWRITE lake_mpart PARTITION (yr=1996, q=2)
+              |SELECT o_orderkey, o_orderstatus, cents * 2 AS cents
+              |FROM lake_mpart_src WHERE yr = 1996 AND q = 2""".stripMargin)
+      val after = GraftLake.snapshot(path).live
+      val afterSets = after.map(_.set).toSet
+      val layoutExact = after.forall(ls =>
+        ls.statsFor("yr").exists(st => st.min == st.max) &&
+          ls.statsFor("q").exists(st => st.min == st.max))
+      val preserved = before
+        .filterNot(ls => pinnedTo(ls.stats, 1996L, 2L)).map(_.set).toSet
+        .subsetOf(afterSets)
+      val victims = before.filter(ls => pinnedTo(ls.stats, 1996L, 2L))
+        .map(_.set).toSet
+      val replaced =
+        victims.nonEmpty && victims.intersect(afterSets).isEmpty
+      // partial / wrong-order static specs refuse loudly
+      val partialRefused =
+        try { s.sql("INSERT OVERWRITE lake_mpart PARTITION (yr=1995) " +
+          "SELECT o_orderkey, o_orderstatus, cents, q FROM lake_mpart_src " +
+          "WHERE yr = 1995"); false }
+        catch { case e: Exception => e.getMessage.contains("layout") }
+      val reorderRefused =
+        try { s.sql("INSERT OVERWRITE lake_mpart PARTITION (q=2, yr=1996) " +
+          "SELECT o_orderkey, o_orderstatus, cents FROM lake_mpart_src " +
+          "WHERE yr = 1996 AND q = 2"); false }
+        catch { case e: Exception => e.getMessage.contains("layout") }
+      // DSv2 batch scan: both-column equality plans ONE set; the
+      // NON-PREFIX column alone still prunes to its q-slice.
+      val lake = s.read.format("graftlake").load(path)
+      val n96q2 = lake.filter(col("yr") === 1996L && col("q") === 2L).count()
+      val bothPruned = n96q2 > 0 &&
+        GraftLakeBatchSource.lastScanSets ==
+          ((1, after.size - 1))
+      val qSets = after.count(_.statsFor("q").exists(st =>
+        st.min == 3L && st.max == 3L))
+      val nq3 = lake.filter(col("q") === 3L).count()
+      val nonPrefixPruned = nq3 > 0 &&
+        GraftLakeBatchSource.lastScanSets ==
+          ((qSets, after.size - qSets))
+      val described = s.sql("DESCRIBE DETAIL lake_mpart")
+        .select(col("partition_column")).head.getString(0) == "yr,q"
+      GraftLake.read(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("multi_part_ok",
+          lit(layoutExact && preserved && replaced && partialRefused &&
+            reorderRefused && bothPruned && nonPrefixPruned && described))
+        .orderBy(col("o_orderstatus"))
+    }),
     // POSITIONAL DELETION VECTORS: merge-on-read DELETE for an
     // arbitrary predicate (no key column) — the delete commits an
     // O(deleted rows) (set, file, row-position) sidecar, data bytes
@@ -3709,6 +3791,18 @@ object SparkEntry {
         |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
         |    AS BIGINT) AS cents,
         |  TRUE AS sql_part_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Content-neutral orders replay: the (yr, quarter) CTAS + dynamic
+    // INSERT land every row once; the (1996, Q2) full-tuple static
+    // overwrite doubles exactly that slice's cents.
+    "src51_multi_partition" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN year(o_orderdate) = 1996
+        |      AND quarter(o_orderdate) = 2
+        |    THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |    AS BIGINT) AS cents,
+        |  TRUE AS multi_part_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // ADD COLUMNS + UPDATE arithmetic over the evolved column.
     "src33_sql_schema_ddl" ->

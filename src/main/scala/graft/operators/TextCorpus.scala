@@ -758,9 +758,19 @@ object TextCorpus {
     val clean = bi.filter(pmod(col("doc_id"), lit(10)) === 0)
     val bigCnt = clean.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_big"))
-    val ctxCnt = clean.groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
-    val vocab = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select(explode(col("ws")).as("w")).distinct().count()
+    // ONE pass over the clean slice's words serves BOTH LM inputs:
+    // grouping every occurrence by word gives vocab = the group count,
+    // and summing the non-final-position flag gives c_ctx(w) = the
+    // bigram-first count (a final-only word gets c_ctx = 0, which the
+    // scorer's coalesce(c_ctx, 0) treated identically as a join miss).
+    val wordCnt = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(size(col("ws")).as("n"),
+        posexplode(col("ws")).as(Seq("i", "w1")))
+      .groupBy(col("w1"))
+      .agg(sum(when(col("i") < col("n") - 1, 1L).otherwise(0L)).as("c_ctx"))
+      .localCheckpoint(true) // reused: vocab count + the scoring join
+    val vocab = wordCnt.count()
+    val ctxCnt = wordCnt
     val scored = bi.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .join(bigCnt, Seq("w1", "w2"), "left")
       .join(ctxCnt, Seq("w1"), "left")

@@ -116,10 +116,12 @@ object GraftLake {
       // physical column name; readers resolve logical -> first former
       // name present in each set's own schema).
       renames: Map[String, Seq[String]] = Map.empty,
-      // The table's hive-partition layout column, recorded as a
-      // SEALED log entry (action `partition`) — rides checkpoints,
-      // clones, restore and time travel like constraints do.
-      partitionCol: Option[String] = None,
+      // The table's hive-partition layout columns IN LAYOUT ORDER
+      // (one or several — Delta/Hive (date, region) tuples), recorded
+      // as a SEALED log entry (action `partition`, add = the columns)
+      // — rides checkpoints, clones, restore and time travel like
+      // constraints do.
+      partitionCols: Seq[String] = Seq.empty,
       // COPY INTO's exactly-once ledger: every source-file identity
       // ever ingested (monotone union over the whole history — like
       // Delta, neither RESTORE nor overwrite re-opens a loaded file).
@@ -190,10 +192,12 @@ object GraftLake {
     * bytes scanned or rewritten whatever the table size; the schema,
     * constraints, rename lineage, and partition layout all survive,
     * and time travel still reads the pre-truncate versions until
-    * VACUUM reclaims them. Refused while CDF is enabled: the feed
-    * would silently miss the removal (staging delete images would be
-    * an O(table) write — use `DELETE FROM` when a change feed must
-    * see each row go).
+    * VACUUM reclaims them. Under CDF the feed serves the truncate's
+    * delete images FILE-LEVEL, by reading the removed sets at
+    * feed-read time (zero bytes staged; images available until VACUUM
+    * reclaims the sets) — sound only while the raw sets equal the
+    * visible rows, so a CDF table with outstanding merge-on-read
+    * tombstones refuses loudly (OPTIMIZE first).
     */
   def truncate(path: String): Int = {
     require(Files.exists(logDir(path)), s"no table at $path")
@@ -228,7 +232,9 @@ object GraftLake {
   /** COPY INTO: idempotent batch file ingest (Delta's COPY INTO) —
     * load the top-level data files of `srcDir` into the table,
     * skipping every file already ingested. File identity is
-    * `name:size`; the loaded identities ride the SAME atomic commit
+    * `absolutePath:size` (path-keyed like Delta's — same-named
+    * exports from different directories are distinct files); the
+    * loaded identities ride the SAME atomic commit
     * as the data (sealed `ingestf` ledger lines, folded into
     * [[Snapshot.ingested]], carried by checkpoints), so re-running
     * the statement is a no-op and a directory that GREW loads exactly
@@ -272,8 +278,26 @@ object GraftLake {
           n.startsWith("_") || n.startsWith(".")
         }
         .sortBy(_.getFileName.toString)
-      def idOf(p: Path): String = s"${p.getFileName}:${Files.size(p)}"
+      // Ledger identity is the ABSOLUTE path + size (Delta keys its
+      // COPY INTO ledger on path): two directories exporting the same
+      // conventional name (data.parquet) at the same size are
+      // DIFFERENT files and must both load. Legacy ledgers (pre-path
+      // keying) recorded bare `name:size`; a file matching only a
+      // legacy entry is ambiguous — already ingested, or a collision
+      // from another directory — so it refuses LOUDLY rather than
+      // silently skipping (possible data loss) or re-loading
+      // (possible duplicates).
+      def idOf(p: Path): String =
+        s"${p.toAbsolutePath.normalize()}:${Files.size(p)}"
+      def legacyIdOf(p: Path): String = s"${p.getFileName}:${Files.size(p)}"
       val fresh = all.filterNot(p => s0.ingested.contains(idOf(p)))
+      val ambiguous = fresh.filter(p => s0.ingested.contains(legacyIdOf(p)))
+      if (ambiguous.nonEmpty) throw new IllegalStateException(
+        s"COPY INTO $path: ${ambiguous.map(_.getFileName).take(3).mkString(", ")} " +
+          "match legacy name:size ledger entries recorded before path-keyed " +
+          "identities — cannot tell an already-ingested file from a same-name " +
+          "collision in another directory. Load these under a new file name, " +
+          "or rebuild the table to refresh its ledger.")
       if (fresh.isEmpty) return (s0.version, 0, 0L)
       val reader = spark.read.options(options)
       val paths = fresh.map(_.toString)
@@ -373,15 +397,27 @@ object GraftLake {
     */
   def appendPartitioned(
       df: DataFrame, path: String, partCol: String,
+      statsCols: Seq[String] = Seq.empty): Int =
+    appendPartitionedBy(df, path, Seq(partCol), statsCols)
+
+  /** Multi-column PARTITIONED append: hive layout by the `partCols`
+    * TUPLE (one `partitionBy(c1, c2, ...)` pass); each LEAF value
+    * combination becomes its own file-set with exact min==max
+    * manifests on EVERY layout column, so equality on any of them —
+    * prefix or not — prunes at the manifest. One atomic multi-line
+    * commit, same as the single-column form.
+    */
+  def appendPartitionedBy(
+      df: DataFrame, path: String, partCols: Seq[String],
       statsCols: Seq[String] = Seq.empty): Int = {
     val cons = snapshotIfExists(path).map(_.constraints)
       .getOrElse(Map.empty[String, String])
     enforceConstraints(df, cons)
     Files.createDirectories(logDir(path))
-    val perSet = stagePartitioned(df, path, partCol, statsCols)
-    val flat = Seq(SetStats(partCol,
-      perSet.flatMap(_.statsFor(partCol)).map(_.min).min,
-      perSet.flatMap(_.statsFor(partCol)).map(_.max).max))
+    val perSet = stagePartitionedMulti(df, path, partCols, statsCols)
+    val flat = partCols.map(pc => SetStats(pc,
+      perSet.flatMap(_.statsFor(pc)).map(_.min).min,
+      perSet.flatMap(_.statsFor(pc)).map(_.max).max))
     publishEntry(path, "padd", "", df.schema, None, flat, Seq.empty,
       Some(cons), perSet)
   }
@@ -394,15 +430,23 @@ object GraftLake {
     */
   def compactPartitioned(
       spark: SparkSession, path: String, partCol: String,
+      statsCols: Seq[String] = Seq.empty): Int =
+    compactPartitionedBy(spark, path, Seq(partCol), statsCols)
+
+  /** Multi-column re-layout: one file-set per `partCols` VALUE TUPLE
+    * (see [[appendPartitionedBy]]), whole table, one atomic commit.
+    */
+  def compactPartitionedBy(
+      spark: SparkSession, path: String, partCols: Seq[String],
       statsCols: Seq[String] = Seq.empty): Int = {
     val cs = commits(path)
     val live = liveAt(cs)
     require(live.nonEmpty, s"nothing to compact at $path")
     val df = read(spark, path).localCheckpoint(true)
-    val perSet = stagePartitioned(df, path, partCol, statsCols)
-    val flat = Seq(SetStats(partCol,
-      perSet.flatMap(_.statsFor(partCol)).map(_.min).min,
-      perSet.flatMap(_.statsFor(partCol)).map(_.max).max))
+    val perSet = stagePartitionedMulti(df, path, partCols, statsCols)
+    val flat = partCols.map(pc => SetStats(pc,
+      perSet.flatMap(_.statsFor(pc)).map(_.min).min,
+      perSet.flatMap(_.statsFor(pc)).map(_.max).max))
     publishEntry(path, "padd", "", df.schema, None, flat,
       live.map(_.set) ++ tombstonesAt(cs), None, perSet)
   }
@@ -436,43 +480,52 @@ object GraftLake {
       statsCols: Seq[String] = Seq.empty): (Int, Int, Int) = {
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
-    val pc = partitionColumnOf(path).getOrElse(
-      throw new IllegalArgumentException(
-        s"dynamic partition overwrite: no partition layout recorded at $path"))
+    val pcs = partitionColumnsOf(path)
+    require(pcs.nonEmpty,
+      s"dynamic partition overwrite: no partition layout recorded at $path")
     require(s.tombstones.isEmpty,
       s"outstanding merge-on-read tombstones at $path: compact first")
     val cons = s.constraints
     val target = StructType.fromDDL(s.schemaDdl)
-    require(df.columns.contains(pc),
-      s"dynamic partition overwrite: input has no '$pc' column")
+    pcs.foreach(pc => require(df.columns.contains(pc),
+      s"dynamic partition overwrite: input has no '$pc' column"))
     val aligned = df.select(target.fields.toIndexedSeq.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     enforceConstraints(aligned, cons)
-    // The incoming partition values — O(partitions) driver rows by
-    // layout design (the partition column's domain is small).
-    val values = aligned.select(col(pc).cast("long")).distinct()
+    // The incoming partition value TUPLES — O(partitions) driver rows
+    // by layout design (the layout columns' joint domain is small).
+    val values: Set[Seq[Long]] = aligned
+      .select(pcs.map(pc => col(pc).cast("long")): _*).distinct()
       .collect().map { r =>
-        require(!r.isNullAt(0),
-          s"dynamic partition overwrite: NULL $pc value in the input")
-        r.getLong(0)
+        pcs.indices.map { i =>
+          require(!r.isNullAt(i),
+            s"dynamic partition overwrite: NULL ${pcs(i)} value in the input")
+          r.getLong(i)
+        }
       }.toSet
     require(values.nonEmpty, "dynamic partition overwrite: empty input")
-    val victims = s.live.filter(ls => ls.statsFor(pc) match {
-      case Some(st) => st.min == st.max && values(st.min)
-      case None => false
-    })
+    // A victim is PINNED: min==max on every layout column, and the
+    // pinned tuple is one of the incoming values.
+    def pinnedTuple(ls: LiveSet): Option[Seq[Long]] = {
+      val pins = pcs.map(pc => ls.statsFor(pc).filter(st => st.min == st.max))
+      if (pins.forall(_.isDefined)) Some(pins.map(_.get.min)) else None
+    }
+    val victims = s.live.filter(ls => pinnedTuple(ls).exists(values))
     val victimSets = victims.map(_.set).toSet
     val impure = s.live.filter(ls => !victimSets(ls.set) &&
-      (ls.statsFor(pc) match {
-        case Some(st) => values.exists(v => st.min <= v && v <= st.max)
-        case None => true // unknown span — could hold any partition
+      values.exists(v => pcs.zip(v).forall { case (pc, vi) =>
+        ls.statsFor(pc) match {
+          case Some(st) => st.min <= vi && vi <= st.max
+          case None => true // unknown span — could hold any partition
+        }
       }))
     require(impure.isEmpty,
       s"dynamic partition overwrite on $path: ${impure.size} live set(s) " +
-        s"overlap incoming $pc values without an exact per-partition " +
-        "manifest — run compactPartitioned to restore the layout first")
+        s"overlap incoming ${pcs.mkString("(", ", ", ")")} values without " +
+        "an exact per-partition manifest — run compactPartitioned to " +
+        "restore the layout first")
     val cdfSet =
       if (!cdfEnabled(path)) None
       else {
@@ -480,9 +533,9 @@ object GraftLake {
           .reduceLeftOption(_.unionByName(_))
         stageCdf(path, old.map(_ -> "delete").toSeq :+ (aligned -> "insert"))
       }
-    val perSet = stagePartitioned(aligned, path, pc,
-      reRecordable(target, s.renames, statsCols.filterNot(_ == pc)))
-    val flat = Seq(SetStats(pc,
+    val perSet = stagePartitionedMulti(aligned, path, pcs,
+      reRecordable(target, s.renames, statsCols.filterNot(pcs.contains)))
+    val flat = pcs.map(pc => SetStats(pc,
       perSet.flatMap(_.statsFor(pc)).map(_.min).min,
       perSet.flatMap(_.statsFor(pc)).map(_.max).max))
     val v = publishEntry(path, "poverwrite", "", aligned.schema, None, flat,
@@ -550,9 +603,9 @@ object GraftLake {
         new StructType(), None, Seq.empty, formers)
     }
     // The partition-layout marker is table state: the fork keeps it.
-    s.partitionCol.foreach(c =>
-      publishEntry(dstPath, "partition", c, new StructType(), None,
-        Seq.empty, Seq.empty))
+    if (s.partitionCols.nonEmpty)
+      publishEntry(dstPath, "partition", "", new StructType(), None,
+        Seq.empty, Seq.empty, addItemsOverride = s.partitionCols)
     // Column DEFAULT / GENERATED metadata forks with the table too.
     (s.defaults.toSeq.sortBy(_._1).map { case (c, q) => s"d:$c=$q" } ++
       s.generated.toSeq.sortBy(_._1).map { case (c, q) => s"g:$c=$q" })
@@ -604,12 +657,28 @@ object GraftLake {
     */
   private def stagePartitioned(
       df: DataFrame, path: String, partCol: String,
+      statsCols: Seq[String]): Seq[LiveSet] =
+    stagePartitionedMulti(df, path, Seq(partCol), statsCols)
+
+  /** Stage one hive-layout write by `partCols` (one distributed
+    * `partitionBy` pass over the TUPLE — never a per-value loop) and
+    * turn every LEAF directory into its own file-set whose manifest
+    * records EVERY layout column as an exact min==max zone map, so
+    * equality on any layout column — not just a prefix — prunes to
+    * the matching sets before any file listing. The nested
+    * `c1=v1/c2=v2` structure moves INTO the set directory intact:
+    * Spark's own partition discovery re-derives the values at read
+    * (the files do not carry the layout columns).
+    */
+  private def stagePartitionedMulti(
+      df: DataFrame, path: String, partCols: Seq[String],
       statsCols: Seq[String]): Seq[LiveSet] = {
     import scala.jdk.CollectionConverters._
+    require(partCols.nonEmpty, "empty partition layout")
     val stage = Paths.get(path, s"_stage_p${java.util.UUID.randomUUID().toString.take(12)}")
-    df.write.partitionBy(partCol).parquet(stage.toString)
+    df.write.partitionBy(partCols: _*).parquet(stage.toString)
     // Optional extra dimensions: ONE grouped pass, O(partitions) rows.
-    val extra: Map[Long, Seq[SetStats]] =
+    val extra: Map[Seq[Long], Seq[SetStats]] =
       if (statsCols.isEmpty) Map.empty
       else {
         val aggs = statsCols.flatMap { c =>
@@ -617,34 +686,53 @@ object GraftLake {
           Seq(org.apache.spark.sql.functions.min(e),
             org.apache.spark.sql.functions.max(e))
         }
-        df.groupBy(col(partCol).cast("long").as("__p"))
+        df.groupBy(partCols.map(c => col(c).cast("long")): _*)
           .agg(aggs.head, aggs.tail: _*).collect().map { r =>
-            r.getLong(0) -> statsCols.zipWithIndex.flatMap { case (c, i) =>
-              if (r.isNullAt(2 * i + 1)) None
-              else Some(SetStats(c, r.getLong(2 * i + 1), r.getLong(2 * i + 2)))
+            val key = partCols.indices.map(r.getLong(_))
+            val base = partCols.length
+            key -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+              if (r.isNullAt(base + 2 * i)) None
+              else Some(SetStats(c, r.getLong(base + 2 * i),
+                r.getLong(base + 2 * i + 1)))
             }
           }.toMap
       }
-    val dirs = Files.list(stage).iterator().asScala.toSeq
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
-      .sortBy(_.getFileName.toString)
+    // Walk the expected levels: depth i holds `partCols(i)=v` dirs.
+    def leaves(dir: Path, depth: Int, acc: Seq[Long])
+        : Seq[(Path, Seq[Long])] =
+      if (depth == partCols.length) Seq((dir, acc))
+      else {
+        val pc = partCols(depth)
+        Files.list(dir).iterator().asScala.toSeq
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(s"$pc="))
+          .sortBy(_.getFileName.toString)
+          .flatMap { d =>
+            val raw = d.getFileName.toString.stripPrefix(s"$pc=")
+            val v =
+              try raw.toLong
+              catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"partition column '$pc' must be integral and non-null; " +
+                    s"got directory '$raw'")
+              }
+            leaves(d, depth + 1, acc :+ v)
+          }
+      }
+    val dirs = leaves(stage, 0, Seq.empty)
     require(dirs.nonEmpty, s"partitioned write produced no partitions at $path")
-    val sets = dirs.map { d =>
-      val raw = d.getFileName.toString.stripPrefix(s"$partCol=")
-      val v =
-        try raw.toLong
-        catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"partition column '$partCol' must be integral and non-null; " +
-              s"got directory '$raw'")
-        }
+    val sets = dirs.map { case (d, values) =>
       val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
-      val setDir = Paths.get(path, setName)
-      Files.createDirectories(setDir)
-      Files.move(d, setDir.resolve(d.getFileName),
+      // The set keeps the full relative hive path (c1=v1/c2=v2/...),
+      // so every reader's partition discovery sees all the levels.
+      val leafDir = Paths.get(path, setName)
+        .resolve(stage.relativize(d.getParent).toString)
+      Files.createDirectories(leafDir)
+      Files.move(d, leafDir.resolve(d.getFileName),
         StandardCopyOption.ATOMIC_MOVE)
       LiveSet(setName, df.schema.toDDL,
-        SetStats(partCol, v, v) +: extra.getOrElse(v, Seq.empty))
+        partCols.zip(values).map { case (c, v) => SetStats(c, v, v) } ++
+          extra.getOrElse(values, Seq.empty))
     }
     Files.walk(stage).iterator().asScala.toSeq.reverse
       .foreach(p => Files.deleteIfExists(p))
@@ -898,31 +986,54 @@ object GraftLake {
     * one refuses loudly (the existing per-value file-sets would
     * silently stop matching the claimed layout).
     */
-  def setPartitionColumn(path: String, c: String): Int = {
+  def setPartitionColumn(path: String, c: String): Int =
+    setPartitionColumns(path, Seq(c))
+
+  /** Multi-column layout marker: `cols` IN LAYOUT ORDER (the Hive
+    * (date, region) tuple shape). Same sealed-entry semantics as the
+    * single-column form.
+    */
+  def setPartitionColumns(path: String, cols: Seq[String]): Int = {
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
-    require(StructType.fromDDL(s.schemaDdl).fieldNames
-      .exists(_.equalsIgnoreCase(c)), s"no column '$c' at $path")
-    partitionColumnOf(path) match {
-      case Some(prev) if prev == c => s.version // idempotent
-      case Some(prev) => throw new IllegalArgumentException(
-        s"$path is already partitioned by '$prev' — re-laying out as " +
-          s"'$c' needs compactPartitioned, not a marker swap")
-      case None =>
-        publishEntry(path, "partition", c, new StructType(), None,
-          Seq.empty, Seq.empty)
+    require(cols.nonEmpty, "empty partition layout")
+    require(cols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size
+      == cols.size, s"duplicate column in partition layout $cols")
+    cols.foreach(c => require(StructType.fromDDL(s.schemaDdl).fieldNames
+      .exists(_.equalsIgnoreCase(c)), s"no column '$c' at $path"))
+    partitionColumnsOf(path) match {
+      case prev if prev == cols => s.version // idempotent
+      case prev if prev.nonEmpty => throw new IllegalArgumentException(
+        s"$path is already partitioned by ${prev.mkString("(", ", ", ")")} " +
+          s"— re-laying out as ${cols.mkString("(", ", ", ")")} needs " +
+          "compactPartitioned, not a marker swap")
+      case _ =>
+        publishEntry(path, "partition", "", new StructType(), None,
+          Seq.empty, Seq.empty, addItemsOverride = cols)
     }
   }
 
-  /** The recorded partition-layout column, if any. Reads the folded
-    * log state; falls back to the pre-round-12 `_partition` marker
-    * file for tables written before the sealed entry existed.
+  /** The recorded SINGLE partition-layout column — None when the
+    * table is unpartitioned OR laid out by a multi-column tuple
+    * (single-column consumers must not treat a tuple's head as the
+    * whole layout). Falls back to the pre-round-12 `_partition`
+    * marker file for tables written before the sealed entry existed.
     */
-  def partitionColumnOf(path: String): Option[String] = {
-    snapshotIfExists(path).flatMap(_.partitionCol).orElse {
+  def partitionColumnOf(path: String): Option[String] =
+    partitionColumnsOf(path) match {
+      case Seq(c) => Some(c)
+      case _ => None
+    }
+
+  /** The full recorded partition layout, in order (empty = none). */
+  def partitionColumnsOf(path: String): Seq[String] = {
+    val folded = snapshotIfExists(path).map(_.partitionCols)
+      .getOrElse(Seq.empty)
+    if (folded.nonEmpty) folded
+    else {
       val m = logDir(path).resolve("_partition")
-      if (Files.exists(m)) Some(Files.readString(m).trim).filter(_.nonEmpty)
-      else None
+      if (Files.exists(m)) Some(Files.readString(m).trim).filter(_.nonEmpty).toSeq
+      else Seq.empty
     }
   }
 
@@ -1205,8 +1316,25 @@ object GraftLake {
           compact(spark, path, statsCols, numFiles = 4,
             statsCol = statsCols.headOption)
         }
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch {
+        // Best-effort stays best-effort (a racing CME just means
+        // someone else is maintaining the table) — but leave a TRACE:
+        // an I/O error that permanently prevents compaction would
+        // otherwise be invisible while small files pile up.
+        case scala.util.control.NonFatal(e) =>
+          lastAutoCompactError.set(Some(e))
+          System.err.println(
+            s"graft-lake auto-compact at $path skipped: " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+      }
     }
+
+  /** Test observability: the last swallowed auto-compact failure on
+    * this thread (None after a clean round). Thread-local, same
+    * rationale as [[lastDvScanSets]].
+    */
+  private[graft] val lastAutoCompactError =
+    ThreadLocal.withInitial[Option[Throwable]](() => None)
 
   /** Opt this table's SQL MERGE route into SCHEMA AUTO-EVOLUTION
     * (Delta's `schema.autoMerge`): source columns missing from the
@@ -1454,7 +1582,10 @@ object GraftLake {
       expectVersion: Option[Int] = None,
       dvSidecar: Option[String] = None,
       ingestFiles: Seq[String] = Seq.empty,
-      ridRows: Option[Long] = None): Int = {
+      ridRows: Option[Long] = None,
+      // Metadata commits whose add list is NOT a file-set (the
+      // multi-column `partition` marker): carried verbatim.
+      addItemsOverride: Seq[String] = Seq.empty): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1590,7 +1721,8 @@ object GraftLake {
       // An updatedv commit names its DV sidecar FIRST, then its data
       // set(s) — foldState splits them back by position.
       val addItems = dvSidecar.toSeq ++
-        (if (perSet.nonEmpty) perSet.map(_.set)
+        (if (addItemsOverride.nonEmpty) addItemsOverride
+         else if (perSet.nonEmpty) perSet.map(_.set)
          else if (setName.isEmpty) Seq.empty[String] else Seq(setName))
       // ROW TRACKING: the set's contiguous id range claims its base
       // from THIS attempt's snapshot high-water mark — computed inside
@@ -1752,8 +1884,9 @@ object GraftLake {
           generated = s.generated ++ toMap(gs),
           tsMillis = math.max(s.tsMillis, c.tsMillis))
       } else if (c.action == "partition") {
-        // add = Seq(layout column): table metadata, no file-sets.
-        s.copy(version = c.version, partitionCol = c.add.headOption,
+        // add = the layout columns in order: table metadata, no
+        // file-sets (one entry = single-column, several = a tuple).
+        s.copy(version = c.version, partitionCols = c.add,
           tsMillis = math.max(s.tsMillis, c.tsMillis))
       } else if (c.action == "rename") {
         // add = Seq("old=new"): the commit carries the RENAMED full
@@ -1809,7 +1942,7 @@ object GraftLake {
           // STALE lineage would misresolve a former name that
           // legitimately reappears in a post-overwrite schema.
           if (c.action == "overwrite") Map.empty else s.renames,
-          s.partitionCol,
+          s.partitionCols,
           s.ingested ++ c.ingest,
           s.defaults, s.generated,
           (s.ridHighWater +: added.flatMap(_.statsFor(RidStat))
@@ -1872,10 +2005,11 @@ object GraftLake {
           render(Commit(s.version, "ckptren", "",
             Seq(n), formers, None, Seq.empty, 0L))
         } ++
-        // Partition-layout marker rides the checkpoint like rules do.
-        s.partitionCol.toSeq.map(c =>
-          render(Commit(s.version, "ckptpart", "",
-            Seq(c), Seq.empty, None, Seq.empty, 0L))) ++
+        // Partition-layout marker rides the checkpoint like rules do
+        // (one line, add = the layout columns in order).
+        (if (s.partitionCols.isEmpty) Seq.empty
+         else Seq(render(Commit(s.version, "ckptpart", "",
+           s.partitionCols, Seq.empty, None, Seq.empty, 0L)))) ++
         // COPY INTO ledger: one line, add = every ingested file
         // identity (sorted for deterministic checkpoint bytes).
         (if (s.ingested.isEmpty) Seq.empty
@@ -1944,7 +2078,7 @@ object GraftLake {
       val i = it.indexOf(':')
       it.substring(i + 1) -> it.take(i).toInt
     }.toMap
-    val part = body.find(_.action == "ckptpart").flatMap(_.add.headOption)
+    val part = body.find(_.action == "ckptpart").map(_.add).getOrElse(Seq.empty)
     val ing = body.filter(_.action == "ckpting").flatMap(_.add).toSet
     val defItems = body.filter(_.action == "ckptdef").flatMap(_.add)
     def defMap(prefix: String) = defItems.filter(_.startsWith(prefix)).map { it =>
@@ -2057,6 +2191,30 @@ object GraftLake {
     * clone absolute-path files). */
   private def setPath(table: String, set: String): String =
     if (set.startsWith("/")) set else s"$table/$set"
+
+  /** The hive-encoded LEAF directories of a (possibly partitioned)
+    * set directory, each with its accumulated (column, value) pairs
+    * in nesting order — `(dir, Seq())` for a flat set, one pair per
+    * level for `c1=v1/c2=v2/...` layouts. Shared by the stream and
+    * batch DSv2 sources: the partition values are NOT in the parquet
+    * bytes and must be served as per-partition constants.
+    */
+  private[sources] def hiveLeaves(dir: Path): Seq[(Path, Seq[(String, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    def walk(d: Path, acc: Seq[(String, Long)]): Seq[(Path, Seq[(String, Long)])] = {
+      val sub = Files.list(d).iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.contains("="))
+        .sortBy(_.getFileName.toString)
+      if (sub.isEmpty) Seq((d, acc))
+      else sub.flatMap { s =>
+        val name = s.getFileName.toString
+        val eq = name.indexOf('=')
+        walk(s, acc :+ (name.take(eq) -> name.substring(eq + 1).toLong))
+      }
+    }
+    walk(dir, Seq.empty)
+  }
 
   /** True iff numeric zone-map/span pruning is sound on this type:
     * byte/short/int/long. Strings are excluded even when all-numeric
@@ -4462,10 +4620,15 @@ object GraftLake {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     val tagField = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("") +
       c.cdf.map(s => s""","cdf":"${esc(s)}"""").getOrElse("")
+    // "enc":2 tags the stats value domain (v2 = statLongExpr's exact
+    // long images: DATE→days, TIMESTAMP→micros). Untagged TEMPORAL
+    // stats are legacy seconds-domain entries — parse() drops them so
+    // span probes can never compare micros against seconds and
+    // silently skip a set (conservative full scan instead).
     val statsField =
       if (c.stats.isEmpty) ""
       else c.stats.map(st =>
-        s"""{"col":"${esc(st.col)}","min":${st.min},"max":${st.max}}""")
+        s"""{"col":"${esc(st.col)}","min":${st.min},"max":${st.max},"enc":2}""")
         .mkString(""","stats":[""", ",", "]")
     val body =
       s"""{"version":${c.version},"action":"${c.action}",""" +
@@ -4487,7 +4650,7 @@ object GraftLake {
   private val TagRe: Regex = """"tag":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val CdfRe: Regex = """"cdf":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val StatsRe: Regex =
-    """\{"col":"((?:[^"\\]|\\.)*)","min":(-?\d+),"max":(-?\d+)\}""".r.unanchored
+    """\{"col":"((?:[^"\\]|\\.)*)","min":(-?\d+),"max":(-?\d+)(?:,"enc":(\d+))?\}""".r.unanchored
   private val ItemRe: Regex = """"((?:[^"\\]|\\.)*)"""".r
   private val CrcRe: Regex = ""","crc":(\d+)\}\s*$""".r.unanchored
 
@@ -4505,11 +4668,34 @@ object GraftLake {
       SchemaRe.findFirstMatchIn(json), AddRe.findFirstMatchIn(json),
       RemoveRe.findFirstMatchIn(json)) match {
       case (Some(v), Some(a), Some(s), Some(ad), Some(rm)) =>
-        Commit(v.group(1).toInt, a.group(1), unesc(s.group(1)),
+        val schemaDdl = unesc(s.group(1))
+        // Stats-encoding migration fence: an UNTAGGED ("enc" absent =
+        // pre-v2) stat on a TEMPORAL column was recorded in the legacy
+        // cast('long') seconds domain; every probe now compares
+        // statLongExpr micros/days images, so keeping it would make
+        // span pruning silently skip overlapping sets (missed deletes/
+        // updates). Drop it — absent stats mean conservative full
+        // scan, never a wrong answer. Integral stats are domain-
+        // invariant across the change and are kept regardless.
+        lazy val temporalCols: Set[String] =
+          if (schemaDdl.isEmpty) Set.empty
+          else scala.util.Try(StructType.fromDDL(schemaDdl)).toOption
+            .map(_.fields.filter(f =>
+              f.dataType == org.apache.spark.sql.types.TimestampType ||
+                f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+                f.dataType == org.apache.spark.sql.types.DateType)
+              .map(_.name).toSet)
+            .getOrElse(Set.empty)
+        val stats = StatsRe.findAllMatchIn(json).flatMap { m =>
+          val colName = unesc(m.group(1))
+          val tagged = m.group(4) != null
+          if (!tagged && temporalCols.contains(colName)) None
+          else Some(SetStats(colName, m.group(2).toLong, m.group(3).toLong))
+        }.toSeq
+        Commit(v.group(1).toInt, a.group(1), schemaDdl,
           items(ad.group(1)), items(rm.group(1)),
           TagRe.findFirstMatchIn(json).map(m => unesc(m.group(1))),
-          StatsRe.findAllMatchIn(json).map(m =>
-            SetStats(unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong)).toSeq,
+          stats,
           TsRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L),
           cdf = CdfRe.findFirstMatchIn(json).map(m => unesc(m.group(1))))
       case _ => throw new IllegalStateException(s"bad commit json: $json")

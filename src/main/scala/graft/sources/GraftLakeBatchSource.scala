@@ -57,8 +57,14 @@ class GraftLakeBatchSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraftLakeBatchTable(properties.asScala("path"), schema)
+      properties: util.Map[String, String]): Table = {
+    // Same path/paths resolution as inferSchema — a multi-path load
+    // arrives under "paths", and a bare Map lookup would die with a
+    // cryptic NoSuchElementException.
+    val p = Option(properties.get("path")).orElse(Option(properties.get("paths")))
+    require(p.isDefined, "graftlake batch read requires a path")
+    new GraftLakeBatchTable(p.get, schema)
+  }
 }
 
 private[sources] class GraftLakeBatchTable(path: String, tableSchema: StructType)
@@ -192,14 +198,13 @@ private[sources] class GraftLakeScanBuilder(
         GraftLake.setMayMatch(path, _, ranges, eqs))
       GraftLakeBatchSource.lastScanSets = (scan.size, skip.size)
       GraftLakeBatchSource.readSchemas.add(required.fieldNames.toSeq)
-      new GraftLakeBatchScan(path, scan, required,
-        GraftLake.partitionColumnOf(path))
+      new GraftLakeBatchScan(path, scan, required)
   }
 }
 
 private[sources] class GraftLakeBatchScan(
-    path: String, sets: Seq[GraftLake.LiveSet], required: StructType,
-    partCol: Option[String]) extends Scan with Batch {
+    path: String, sets: Seq[GraftLake.LiveSet], required: StructType)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -215,25 +220,21 @@ private[sources] class GraftLakeBatchScan(
         top.map(f => LakeFilePartition(f.toString, ls.schemaDdl, -1)
           : InputPartition)
       else {
-        // padd set: hive-encoded partition subdirs; the value is a
-        // per-partition constant absent from the parquet bytes.
-        val hive = Files.list(dir).iterator().asScala.toSeq
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.contains("="))
-          .sortBy(_.getFileName.toString)
-        hive.flatMap { d =>
-          val nameV = d.getFileName.toString
-          val i = nameV.indexOf('=')
-          val pc = nameV.take(i)
-          val v = nameV.substring(i + 1).toLong
-          val written = StructType.fromDDL(ls.schemaDdl)
-          val minusPart = StructType(written.fields.filterNot(_.name == pc))
-          Files.list(d).iterator().asScala.toSeq
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .sortBy(_.toString)
-            .map(f => LakeFilePartition(f.toString, minusPart.toDDL, -1,
-              constLong = Some((pc, v))): InputPartition)
-        }
+        // padd set: hive-encoded partition subdirs (one level per
+        // layout column); the values are per-partition constants
+        // absent from the parquet bytes.
+        GraftLake.hiveLeaves(dir).filter(_._2.nonEmpty)
+          .flatMap { case (d, consts) =>
+            val partNames = consts.map(_._1).toSet
+            val written = StructType.fromDDL(ls.schemaDdl)
+            val minusPart =
+              StructType(written.fields.filterNot(f => partNames(f.name)))
+            Files.list(d).iterator().asScala.toSeq
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .sortBy(_.toString)
+              .map(f => LakeFilePartition(f.toString, minusPart.toDDL, -1,
+                constLongs = consts): InputPartition)
+          }
       }
     }.toArray
   }
@@ -299,10 +300,26 @@ object GraftLakeBatchSource {
   /** Test observability: (scanned, skipped) live sets of the last
     * planned batch scan, the post-pruning read schemas, and whether
     * the last scan answered a pushed aggregation from metadata.
+    * THREAD-LOCAL like GraftLake's pruning instrumentation: gates run
+    * concurrently, and each asserts on the scan ITS OWN thread just
+    * planned — a global would let one gate's plan clobber another's
+    * flags mid-assert.
     */
-  @volatile var lastScanSets: (Int, Int) = (0, 0)
-  @volatile var lastPushed: Seq[String] = Seq.empty
-  @volatile var lastAggPushed: Boolean = false
+  private[this] val _lastScanSets =
+    ThreadLocal.withInitial[(Int, Int)](() => (0, 0))
+  def lastScanSets: (Int, Int) = _lastScanSets.get()
+  private[graft] def lastScanSets_=(v: (Int, Int)): Unit =
+    _lastScanSets.set(v)
+  private[this] val _lastPushed =
+    ThreadLocal.withInitial[Seq[String]](() => Seq.empty)
+  def lastPushed: Seq[String] = _lastPushed.get()
+  private[graft] def lastPushed_=(v: Seq[String]): Unit =
+    _lastPushed.set(v)
+  private[this] val _lastAggPushed =
+    ThreadLocal.withInitial[Boolean](() => false)
+  def lastAggPushed: Boolean = _lastAggPushed.get()
+  private[graft] def lastAggPushed_=(v: Boolean): Unit =
+    _lastAggPushed.set(v)
   val readSchemas = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
 
   /** Translate Catalyst's pushed V1 filters into the manifest

@@ -414,7 +414,8 @@ final case class GraftLakeDetailCommand(path: String)
     }
     Seq(Row("graft-lake", path, s.version, s.live.size, s.tombstones.size,
       s.constraints.size, GraftLake.cdfEnabled(path),
-      GraftLake.partitionColumnOf(path).orNull,
+      Option(GraftLake.partitionColumnsOf(path))
+        .filter(_.nonEmpty).map(_.mkString(",")).orNull,
       GraftLake.dvDeletesEnabled(path),
       GraftLake.autoCompactThreshold(path)
         .map(Integer.valueOf).orNull,
@@ -444,7 +445,8 @@ final case class GraftLakeShowPropsCommand(path: String)
         "enableRowTracking" -> GraftLake.rowTrackingEnabled(path).toString) ++
       GraftLake.autoCompactThreshold(path).map(n =>
         "autoCompact" -> n.toString).toSeq ++
-      s.partitionCol.map("partitionColumn" -> _).toSeq ++
+      (if (s.partitionCols.isEmpty) Seq.empty
+       else Seq("partitionColumns" -> s.partitionCols.mkString(","))) ++
       s.defaults.toSeq.sortBy(_._1).map { case (c, q) =>
         s"default.$c" -> q } ++
       s.generated.toSeq.sortBy(_._1).map { case (c, q) =>
@@ -542,23 +544,32 @@ final case class GraftLakeInsertCommand(
     val df = GraftSqlBridge.ofRows(spark, query)
     val target = org.apache.spark.sql.types.StructType.fromDDL(
       GraftLake.snapshot(path).schemaDdl)
-    val tablePartCol = GraftLake.partitionColumnOf(path)
+    val layout = GraftLake.partitionColumnsOf(path)
     // PARTITION (...) clause: legal only against the table's recorded
-    // layout column. `PARTITION (c)` (dynamic form) is the plain
-    // dynamic insert; `PARTITION (c=v)` pins the static value — the
-    // query then provides every OTHER column.
-    val staticPart: Option[(String, String)] = partitionSpec match {
-      case Seq() => None
-      case Seq((k, v)) =>
-        val pc = tablePartCol.getOrElse(throw new IllegalArgumentException(
-          s"INSERT INTO $viewName PARTITION: not a partitioned lake table"))
-        require(k.equalsIgnoreCase(pc),
-          s"INSERT INTO $viewName PARTITION: the table is partitioned " +
-            s"by '$pc', not '$k'")
-        v.map(pc -> _)
-      case other => throw new IllegalArgumentException(
-        s"INSERT INTO $viewName PARTITION: single-column layout only, " +
-          s"got ${other.map(_._1).mkString(", ")}")
+    // layout, FULL tuple, IN LAYOUT ORDER — a partial spec would leave
+    // some layout column floating under a static pin (Hive refuses the
+    // same way), and accepting a reordered spec would silently bind
+    // values to the wrong columns on positional readers. `PARTITION
+    // (c1, c2)` (all bare = dynamic form) routes the dynamic insert;
+    // `PARTITION (c1=v1, c2=v2)` pins every value — the query then
+    // provides every OTHER column.
+    val staticPins: Seq[(String, String)] = partitionSpec match {
+      case Seq() => Seq.empty
+      case spec =>
+        require(layout.nonEmpty, s"INSERT INTO $viewName PARTITION: " +
+          "not a partitioned lake table")
+        require(spec.length == layout.length &&
+          spec.map(_._1).zip(layout).forall {
+            case (k, pc) => k.equalsIgnoreCase(pc) },
+          s"INSERT INTO $viewName PARTITION: the table layout is " +
+            s"${layout.mkString("(", ", ", ")")} — name every layout " +
+            s"column, in that order (got " +
+            s"${spec.map(_._1).mkString("(", ", ", ")")})")
+        val defined = spec.count(_._2.isDefined)
+        require(defined == 0 || defined == spec.length,
+          s"INSERT INTO $viewName PARTITION: pin every layout column " +
+            "or none (mixed static/dynamic specs are ambiguous)")
+        spec.zip(layout).flatMap { case ((_, v), pc) => v.map(pc -> _) }
     }
     // GENERATED columns are never supplied — they are computed from
     // the row below; listing one explicitly refuses (Delta's rule).
@@ -568,19 +579,17 @@ final case class GraftLakeInsertCommand(
       throw new IllegalArgumentException(
         s"INSERT INTO $viewName: column '$c' is GENERATED — it is " +
           "computed on write, do not supply it"))
-    // With a static PARTITION value the query feeds the remaining
-    // columns; the pinned value fills the layout column.
-    val insertTarget = staticPart match {
-      case Some((pc, _)) =>
+    // With static PARTITION values the query feeds the remaining
+    // columns; the pinned values fill the layout columns.
+    val insertTarget = {
+      staticPins.foreach { case (pc, _) =>
         require(!userCols.exists(_.equalsIgnoreCase(pc)),
           s"INSERT INTO $viewName: column '$pc' is pinned by the " +
             "PARTITION clause — do not also list it")
-        org.apache.spark.sql.types.StructType(
-          target.fields.filterNot(f => f.name.equalsIgnoreCase(pc) ||
-            genCols.keys.exists(_.equalsIgnoreCase(f.name))))
-      case None =>
-        org.apache.spark.sql.types.StructType(
-          target.fields.filterNot(f =>
+      }
+      org.apache.spark.sql.types.StructType(
+        target.fields.filterNot(f =>
+          staticPins.exists(_._1.equalsIgnoreCase(f.name)) ||
             genCols.keys.exists(_.equalsIgnoreCase(f.name))))
     }
     val alignedPart =
@@ -617,11 +626,9 @@ final case class GraftLakeInsertCommand(
           }
         }.toIndexedSeq: _*)
       }
-    val withPart = staticPart match {
-      case Some((pc, v)) =>
-        val pf = target.fields.find(_.name.equalsIgnoreCase(pc)).get
-        alignedPart.withColumn(pf.name, lit(v).cast(pf.dataType))
-      case None => alignedPart
+    val withPart = staticPins.foldLeft(alignedPart) { case (d, (pc, v)) =>
+      val pf = target.fields.find(_.name.equalsIgnoreCase(pc)).get
+      d.withColumn(pf.name, lit(v).cast(pf.dataType))
     }
     // GENERATED columns compute from the aligned row, store-assign
     // cast to their declared type, then everything takes table order.
@@ -631,15 +638,16 @@ final case class GraftLakeInsertCommand(
     }
     val aligned =
       withGen.select(target.fields.map(f => col(f.name)).toIndexedSeq: _*)
-    (tablePartCol, overwrite) match {
-      case (Some(pc), false) =>
-        // Dynamic or static append: per-value file-sets, exact
+    (layout, overwrite) match {
+      case (pcs, false) if pcs.nonEmpty =>
+        // Dynamic or static append: per-value-tuple file-sets, exact
         // manifest zone maps — the layout survives every SQL INSERT.
-        GraftLake.appendPartitioned(aligned, path, pc,
-          statsCols = Seq(statsCol).filterNot(_.equalsIgnoreCase(pc)))
-      case (Some(pc), true) =>
-        staticPart match {
-          case Some((_, v)) =>
+        GraftLake.appendPartitionedBy(aligned, path, pcs,
+          statsCols = Seq(statsCol)
+            .filterNot(c => pcs.exists(_.equalsIgnoreCase(c))))
+      case (pcs, true) if pcs.nonEmpty =>
+        (staticPins, pcs) match {
+          case (Seq((pc, v)), Seq(_)) =>
             val lv =
               try v.toLong
               catch { case _: NumberFormatException =>
@@ -648,21 +656,31 @@ final case class GraftLakeInsertCommand(
                     "layout column is integral — give an integral value")
               }
             GraftLake.replaceWhere(spark, path, aligned, pc, lv, lv)
-          case None if partitionSpec.nonEmpty =>
-            // Dynamic `PARTITION (c)` overwrite: replace exactly the
-            // partitions present in the query, every other partition
-            // survives by reference with the layout intact.
+          case (pins, _) if pins.nonEmpty =>
+            // Multi-column static pin: the pinned df holds exactly one
+            // value tuple, so the dynamic route replaces exactly that
+            // partition and nothing else.
             GraftLake.overwritePartitionsDynamic(spark, aligned, path,
-              statsCols = Seq(statsCol).filterNot(_.equalsIgnoreCase(pc)))
-          case None => throw new IllegalArgumentException(
+              statsCols = Seq(statsCol)
+                .filterNot(c => pcs.exists(_.equalsIgnoreCase(c))))
+          case (_, _) if partitionSpec.nonEmpty =>
+            // Dynamic `PARTITION (c1, c2)` overwrite: replace exactly
+            // the partitions present in the query, every other
+            // partition survives by reference with the layout intact.
+            GraftLake.overwritePartitionsDynamic(spark, aligned, path,
+              statsCols = Seq(statsCol)
+                .filterNot(c => pcs.exists(_.equalsIgnoreCase(c))))
+          case _ => throw new IllegalArgumentException(
             s"INSERT OVERWRITE on partitioned lake $viewName needs a " +
-              s"PARTITION clause — PARTITION ($pc=<value>) replaces one " +
-              s"partition, PARTITION ($pc) replaces the partitions in " +
-              "the query; a bare overwrite would drop the layout")
+              s"PARTITION clause — PARTITION " +
+              s"(${pcs.map(_ + "=<value>").mkString(", ")}) replaces one " +
+              s"partition, PARTITION (${pcs.mkString(", ")}) replaces " +
+              "the partitions in the query; a bare overwrite would drop " +
+              "the layout")
         }
-      case (None, false) =>
+      case (_, false) =>
         GraftLake.append(aligned, path, statsCol = Some(statsCol))
-      case (None, true) =>
+      case (_, true) =>
         GraftLake.overwrite(aligned, path)
     }
     GraftLake.read(spark, path).createOrReplaceTempView(viewName)
@@ -680,14 +698,14 @@ final case class GraftLakeInsertCommand(
 final case class GraftLakeCtasCommand(
     path: String, name: String, query: LogicalPlan,
     statsCol: Option[String], ignoreIfExists: Boolean,
-    partCol: Option[String] = None)
+    partCols: Seq[String] = Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = query :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftSqlBridge.ofRows(spark, query)
     statsCol.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
       s"CREATE TABLE $name: statscol '$c' is not a query column"))
-    partCol.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+    partCols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
       s"CREATE TABLE $name: partition column '$c' is not a query column"))
     val exists = java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "_graft_log"))
@@ -698,15 +716,16 @@ final case class GraftLakeCtasCommand(
     } else {
       val canonStats =
         statsCol.flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
-      partCol.map(c => df.columns.find(_.equalsIgnoreCase(c)).get) match {
-        case Some(pc) =>
-          // Partitioned create: one set per value with exact manifest
-          // zone maps, then the marker so every later SQL INSERT
-          // keeps the layout.
-          GraftLake.appendPartitioned(df, path, pc,
-            statsCols = canonStats.filterNot(_.equalsIgnoreCase(pc)).toSeq)
-          GraftLake.setPartitionColumn(path, pc)
-        case None =>
+      partCols.map(c => df.columns.find(_.equalsIgnoreCase(c)).get) match {
+        case pcs if pcs.nonEmpty =>
+          // Partitioned create: one set per value TUPLE with exact
+          // manifest zone maps on every layout column, then the
+          // marker so every later SQL INSERT keeps the layout.
+          GraftLake.appendPartitionedBy(df, path, pcs,
+            statsCols = canonStats
+              .filterNot(c => pcs.exists(_.equalsIgnoreCase(c))).toSeq)
+          GraftLake.setPartitionColumns(path, pcs)
+        case _ =>
           GraftLake.create(df, path, statsCol = canonStats)
       }
     }
@@ -734,7 +753,7 @@ final case class GraftLakeCtasCommand(
 final case class GraftLakeCreateEmptyCommand(
     path: String, name: String,
     tableSchema: org.apache.spark.sql.types.StructType,
-    statsCol: Option[String], partCol: Option[String],
+    statsCol: Option[String], partCols: Seq[String],
     ignoreIfExists: Boolean,
     defaults: Seq[(String, String)] = Seq.empty,
     generated: Seq[(String, String)] = Seq.empty)
@@ -742,7 +761,7 @@ final case class GraftLakeCreateEmptyCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     statsCol.foreach(c => require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"CREATE TABLE $name: statscol '$c' is not a declared column"))
-    val canonPart = partCol.map { c =>
+    val canonPart = partCols.map { c =>
       val f = tableSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"CREATE TABLE $name: partition column '$c' is not a declared column"))
@@ -761,7 +780,7 @@ final case class GraftLakeCreateEmptyCommand(
       GraftLake.createEmpty(path, tableSchema)
       // The layout marker lands BEFORE any insert, so the very first
       // `INSERT INTO` already takes the partitioned route.
-      canonPart.foreach(pc => GraftLake.setPartitionColumn(path, pc))
+      if (canonPart.nonEmpty) GraftLake.setPartitionColumns(path, canonPart)
       if (defaults.nonEmpty || generated.nonEmpty)
         GraftLake.recordColDefs(path, defaults, generated)
     }
@@ -1259,22 +1278,22 @@ final class LakeDdlParser(
           val loc = spec.location.getOrElse(throw new IllegalArgumentException(
             s"CREATE TABLE $name USING graftlake needs LOCATION '<path>' " +
               "— the lake is path-addressed"))
-          // PARTITIONED BY (c): single-column identity layout — one
-          // file-set per value, exact manifest zone maps (the
-          // appendPartitioned layout, reachable from pure SQL).
-          val partCol = cta.partitioning.toSeq match {
-            case Seq() => None
-            case Seq(t) if t.name == "identity" && t.references.length == 1 =>
-              Some(t.references.head.fieldNames.mkString("."))
+          // PARTITIONED BY (c1[, c2, ...]): identity layout tuple —
+          // one file-set per value combination, exact manifest zone
+          // maps on every column (the appendPartitionedBy layout,
+          // reachable from pure SQL). Order is the layout order.
+          val partCols = cta.partitioning.toSeq.map {
+            case t if t.name == "identity" && t.references.length == 1 =>
+              t.references.head.fieldNames.mkString(".")
             case other => throw new IllegalArgumentException(
-              s"CREATE TABLE $name USING graftlake: only single-column " +
-                s"identity PARTITIONED BY is supported, got $other")
+              s"CREATE TABLE $name USING graftlake: only identity " +
+                s"PARTITIONED BY columns are supported, got $other")
           }
           val statsCol = spec.properties.collectFirst {
             case (k, v) if k.equalsIgnoreCase("statscol") => v
           }
           GraftLakeCtasCommand(loc, name, cta.query, statsCol,
-            cta.ignoreIfExists, partCol)
+            cta.ignoreIfExists, partCols)
         // CREATE TABLE <name> (col defs) USING graftlake LOCATION:
         // the EMPTY column-list create — one zero-data commit.
         case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
@@ -1310,18 +1329,17 @@ final class LakeDdlParser(
             c.generationExpression.map(g => c.name -> g))
           val schema = org.apache.spark.sql.types.StructType(ct.columns.map(c =>
             org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
-          val partCol = ct.partitioning.toSeq match {
-            case Seq() => None
-            case Seq(t) if t.name == "identity" && t.references.length == 1 =>
-              Some(t.references.head.fieldNames.mkString("."))
+          val partCols = ct.partitioning.toSeq.map {
+            case t if t.name == "identity" && t.references.length == 1 =>
+              t.references.head.fieldNames.mkString(".")
             case other => throw new IllegalArgumentException(
-              s"CREATE TABLE $name USING graftlake: only single-column " +
-                s"identity PARTITIONED BY is supported, got $other")
+              s"CREATE TABLE $name USING graftlake: only identity " +
+                s"PARTITIONED BY columns are supported, got $other")
           }
           val statsCol = spec.properties.collectFirst {
             case (k, v) if k.equalsIgnoreCase("statscol") => v
           }
-          GraftLakeCreateEmptyCommand(loc, name, schema, statsCol, partCol,
+          GraftLakeCreateEmptyCommand(loc, name, schema, statsCol, partCols,
             ct.ignoreIfExists, defaults, generated)
         // TRUNCATE TABLE <lake view> — O(1) by-reference removal.
         case tt: org.apache.spark.sql.catalyst.plans.logical.TruncateTable

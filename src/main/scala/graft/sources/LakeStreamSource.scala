@@ -211,24 +211,19 @@ private[sources] class LakeMicroBatchStream(
       else Seq(GraftLake.LiveSet(c.add.head, c.schemaDdl, c.stats))
     sets.flatMap { ls =>
       val dir = java.nio.file.Paths.get(path, ls.set)
-      val hive = java.nio.file.Files.list(dir).iterator().asScala.toSeq
-        .filter(p => java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.contains("="))
-      require(hive.nonEmpty,
+      val leaves = GraftLake.hiveLeaves(dir).filter(_._2.nonEmpty)
+      require(leaves.nonEmpty,
         s"padd set ${ls.set} at $path has no partition directory")
-      hive.sortBy(_.getFileName.toString).flatMap { d =>
-        val name = d.getFileName.toString
-        val eq = name.indexOf('=')
-        val partCol = name.take(eq)
-        val value = name.substring(eq + 1).toLong
+      leaves.flatMap { case (d, consts) =>
+        val partNames = consts.map(_._1).toSet
         val written = StructType.fromDDL(ls.schemaDdl)
-        val minusPart = StructType(written.fields.filterNot(_.name == partCol))
+        val minusPart = StructType(written.fields.filterNot(f => partNames(f.name)))
         java.nio.file.Files.list(d).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
           .sortBy(_.toString)
           .map(f => LakeFilePartition(f.toString, minusPart.toDDL, c.version,
             changeType = change,
-            constLong = Some((partCol, value))): InputPartition)
+            constLongs = consts): InputPartition)
       }
     }
   }
@@ -280,30 +275,25 @@ private[sources] class LakeMicroBatchStream(
                 top.map(f => LakeFilePartition(f.toString, ls.schemaDdl,
                   c.version, changeType = Some("delete")): InputPartition)
               else {
-                // padd set: hive subdirs, partition value as constant
-                java.nio.file.Files.list(dir).iterator().asScala.toSeq
-                  .filter(p => java.nio.file.Files.isDirectory(p) &&
-                    p.getFileName.toString.contains("="))
-                  .sortBy(_.getFileName.toString)
-                  .flatMap { d =>
-                    val nameV = d.getFileName.toString
-                    val eq = nameV.indexOf('=')
-                    val pc = nameV.take(eq)
-                    val v = nameV.substring(eq + 1).toLong
+                // padd set: hive subdirs, partition values as constants
+                GraftLake.hiveLeaves(dir).filter(_._2.nonEmpty)
+                  .flatMap { case (d, consts) =>
+                    val partNames = consts.map(_._1).toSet
                     val minusPart = StructType(StructType
-                      .fromDDL(ls.schemaDdl).fields.filterNot(_.name == pc))
+                      .fromDDL(ls.schemaDdl).fields
+                      .filterNot(f => partNames(f.name)))
                     java.nio.file.Files.list(d).iterator().asScala.toSeq
                       .filter(_.getFileName.toString.endsWith(".parquet"))
                       .sortBy(_.toString)
                       .map(f => LakeFilePartition(f.toString,
                         minusPart.toDDL, c.version,
                         changeType = Some("delete"),
-                        constLong = Some((pc, v))): InputPartition)
+                        constLongs = consts): InputPartition)
                   }
               }
             }
           case "compact" | "constraint" | "rename" | "lineage" | "dropcol" |
-              "evolve" | "vacuum" | "coldef" => Seq.empty
+              "evolve" | "vacuum" | "coldef" | "partition" => Seq.empty
           case other => throw new IllegalStateException(
             s"commit ${c.version} is a $other: not representable in the " +
               "change stream — restart from a fresh snapshot")
@@ -313,14 +303,15 @@ private[sources] class LakeMicroBatchStream(
     range.find(c => c.action != "create" && c.action != "append" &&
         c.action != "copyinto" && c.action != "padd" && c.action != "evolve" &&
         c.action != "constraint" && c.action != "vacuum" &&
-        c.action != "coldef").foreach { c =>
+        c.action != "coldef" && c.action != "partition").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as an " +
           "insert-only stream — restart from a fresh snapshot")
     }
     // Constraint/evolve/vacuum commits carry no rows — empty batches.
     range.filter(c => c.action != "constraint" && c.action != "evolve" &&
-        c.action != "vacuum" && c.action != "coldef")
+        c.action != "vacuum" && c.action != "coldef" &&
+        c.action != "partition")
       .flatMap { c =>
       // A partitioned append is insert-only too: hive-dir planning.
       if (c.action == "padd") paddPartitions(c, None)
@@ -346,9 +337,9 @@ private[sources] case class LakeFilePartition(
     // in CDF mode.
     changeType: Option[String] = None,
     // Partitioned ("padd") sets only: the hive-encoded partition
-    // column and its value — absent from the parquet bytes, served as
-    // a per-partition constant.
-    constLong: Option[(String, Long)] = None) extends InputPartition
+    // columns and their values, one pair per layout level — absent
+    // from the parquet bytes, served as per-partition constants.
+    constLongs: Seq[(String, Long)] = Seq.empty) extends InputPartition
 
 private[sources] class LakeFileReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -423,8 +414,8 @@ private[sources] class LakeFileReader(
         row.update(i, part.commitVersion)
       } else if (f.name == "_change_type" && part.changeType.isDefined) {
         row.update(i, UTF8String.fromString(part.changeType.get))
-      } else if (part.constLong.exists(_._1 == f.name)) {
-        val v = part.constLong.get._2
+      } else if (part.constLongs.exists(_._1 == f.name)) {
+        val v = part.constLongs.find(_._1 == f.name).get._2
         f.dataType match {
           case LongType => row.update(i, v)
           case IntegerType | DateType => row.update(i, v.toInt)

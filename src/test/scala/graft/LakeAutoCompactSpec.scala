@@ -36,6 +36,27 @@ class LakeAutoCompactSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.snapshot(p).live.size == n0 + 6)
   }
 
+  test("a failed auto-compact leaves a trace; the commit still succeeds") {
+    import spark.implicits._
+    val p = fresh()
+    GraftLake.create(Seq((1L, 1L)).toDF("id", "v"), p, Some("id"))
+    (2 to 5).foreach(i => GraftLake.append(
+      Seq((i.toLong, i.toLong)).toDF("id", "v"), p, Some("id")))
+    // Break compaction: a live set's files vanish out from under the
+    // log (simulated external data loss) — compact's read must fail.
+    import scala.jdk.CollectionConverters._
+    val victim = java.nio.file.Paths.get(p, GraftLake.snapshot(p).live.head.set)
+    Files.walk(victim).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    GraftLake.enableAutoCompact(p, maxLiveSets = 2)
+    GraftLake.lastAutoCompactError.set(None)
+    val v = GraftLake.append(Seq((6L, 6L)).toDF("id", "v"), p, Some("id"))
+    // best-effort: the append COMMITTED even though the hook failed...
+    assert(GraftLake.latestVersion(p) == v)
+    // ...and the failure is traceable, not swallowed without witness
+    assert(GraftLake.lastAutoCompactError.get().isDefined,
+      "a failed auto-compact round must leave a trace")
+  }
+
   test("SQL TBLPROPERTIES flips it; streaming sink epochs stay bounded") {
     import spark.implicits._
     val p = fresh()

@@ -135,4 +135,60 @@ class LakeCopyIntoSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, p).count() == 40)
     assert(GraftLake.snapshot(p).ingested.size == 4)
   }
+
+  test("same name+size from a DIFFERENT directory is a different file") {
+    val (p, src1) = fresh()
+    val src2 = Paths.get(src1).getParent.resolve("src2").toString
+    GraftLake.createEmpty(p,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, tag STRING"))
+    // identical bytes (same rows) → same basename AND same size: the
+    // exact collision the path-keyed ledger exists for
+    putFile(src1, "data", 1, 10)
+    putFile(src2, "data", 1, 10)
+    assert(Files.size(Paths.get(src1, "data.parquet")) ==
+      Files.size(Paths.get(src2, "data.parquet")))
+    val (_, f1, _) = GraftLake.copyInto(spark, p, src1)
+    val (_, f2, _) = GraftLake.copyInto(spark, p, src2)
+    assert(f1 == 1 && f2 == 1, "the second directory's file must load")
+    assert(GraftLake.read(spark, p).count() == 20)
+    // and each directory stays individually idempotent
+    assert(GraftLake.copyInto(spark, p, src1)._2 == 0)
+    assert(GraftLake.copyInto(spark, p, src2)._2 == 0)
+  }
+
+  test("legacy name:size ledger entries refuse loudly, never silently skip") {
+    import scala.jdk.CollectionConverters._
+    val (p, src1) = fresh()
+    val src2 = Paths.get(src1).getParent.resolve("src2").toString
+    GraftLake.createEmpty(p,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, tag STRING"))
+    putFile(src1, "data", 1, 10)
+    putFile(src2, "data", 1, 10)
+    GraftLake.copyInto(spark, p, src1)
+    // Rewrite the ledger to the PRE-path-keyed form (bare name:size)
+    // — simulating a table ingested before the upgrade.
+    val logDir = Paths.get(p, "_graft_log")
+    Files.list(logDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json")).foreach { f =>
+        val lines = Files.readString(f).split("\n").map { line =>
+          if (!line.contains("\"ingestf\"")) line
+          else {
+            val body0 = line.substring(0, line.lastIndexOf(""","crc":"""))
+            val body = body0.replaceAll("""/[^"]*/(data\.parquet:)""", "$1")
+            val c = new java.util.zip.CRC32()
+            c.update(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            body + s""","crc":${c.getValue}}"""
+          }
+        }
+        Files.writeString(f, lines.mkString("\n"))
+      }
+    assert(GraftLake.snapshot(p).ingested.contains(
+      s"data.parquet:${Files.size(Paths.get(src2, "data.parquet"))}"))
+    // A same-name:size file from ANOTHER directory is ambiguous under
+    // the legacy ledger — must refuse, not silently no-op.
+    val err = intercept[IllegalStateException] {
+      GraftLake.copyInto(spark, p, src2)
+    }
+    assert(err.getMessage.contains("legacy"))
+  }
 }

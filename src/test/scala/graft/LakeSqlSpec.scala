@@ -762,12 +762,12 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     val e1 = intercept[Exception] {
       spark.sql("INSERT INTO lakesql_pref PARTITION (v=1) VALUES (11, 11)")
     }
-    assert(e1.getMessage.contains("partitioned by"))
-    // Multi-column PARTITION spec: single-column layout only.
+    assert(e1.getMessage.contains("layout is (yr)"))
+    // A spec wider than the recorded layout is a layout mismatch.
     val e2 = intercept[Exception] {
       spark.sql("INSERT INTO lakesql_pref PARTITION (yr=1, v=1) VALUES (11)")
     }
-    assert(e2.getMessage.contains("single-column"))
+    assert(e2.getMessage.contains("layout is (yr)"))
     // A BARE overwrite (no PARTITION clause) would drop the layout —
     // the refusal points at the static and dynamic PARTITION forms.
     val e3 = intercept[Exception] {
@@ -791,15 +791,16 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
       spark.sql("INSERT INTO lakesql_pref_flat PARTITION (yr=1) VALUES (11, 11)")
     }
     assert(e5.getMessage.contains("not a partitioned lake table"))
-    // Multi-column PARTITIONED BY CTAS refuses.
+    // Multi-column PARTITIONED BY CTAS records the tuple layout (the
+    // full surface is pinned in LakeMultiPartitionSpec + src51).
     val base3 = Files.createTempDirectory("graft-lakesql-partref3")
-    val e6 = intercept[Exception] {
-      spark.sql(
-        s"""CREATE TABLE lakesql_pref_multi USING graftlake
-           |LOCATION '${base3.resolve("t")}' PARTITIONED BY (yr, v)
-           |AS SELECT * FROM lakesql_pref_src""".stripMargin)
-    }
-    assert(e6.getMessage.contains("single-column"))
+    val p3 = base3.resolve("t").toString
+    spark.sql(
+      s"""CREATE TABLE lakesql_pref_multi USING graftlake
+         |LOCATION '$p3' PARTITIONED BY (yr, v)
+         |AS SELECT * FROM lakesql_pref_src""".stripMargin)
+    assert(GraftLake.partitionColumnsOf(p3) == Seq("yr", "v"))
+    assert(GraftLake.read(spark, p3).count() == 10)
     // Nothing landed through any refusal.
     assert(GraftLake.read(spark, p).count() == 10)
   }

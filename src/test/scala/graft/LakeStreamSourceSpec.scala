@@ -84,6 +84,34 @@ class LakeStreamSourceSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("a plain tail rejects a mid-stream updatedv commit loudly (use cdf=true)") {
+    import org.apache.spark.sql.functions._
+    val base = freshBase()
+    val path = base.resolve("t").toString
+    GraftLake.create(orders.limit(100), path, Some("o_orderkey"))
+    GraftLake.enableDeletionVectors(path)
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("path", path).load()
+      .writeStream.option("checkpointLocation", base.resolve("ck").toString)
+      .format("noop")
+      .start()
+    try {
+      q.processAllAvailable()
+      // a DV update mutates in place — rows change without moving
+      // bytes, so an insert-only tail cannot represent it
+      GraftLake.updateDv(spark, path, expr("o_orderkey <= 5"),
+        Seq("o_orderstatus" -> lit("X")))
+      assert(GraftLake.commits(path).last.action == "updatedv")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("updatedv") && msg.contains("not representable"),
+        s"expected a loud updatedv rejection, got: $msg")
+    } finally q.stop()
+  }
+
   test("column pruning reaches the parquet readers; schema evolution null-fills") {
     val base = freshBase()
     val path = base.resolve("t").toString

@@ -128,4 +128,42 @@ class LakeTemporalStatsSpec extends AnyFunSuite with SparkSpec {
       GraftLake.readAt(spark, p, 2)
         .filter(expr("NOT (CAST(ts AS BIGINT) < 757382400)")).count())
   }
+
+  test("legacy untagged temporal stats are dropped, never unit-mismatched") {
+    import scala.jdk.CollectionConverters._
+    val p = fresh()
+    seed(p)
+    // Simulate a table written BEFORE the stats encoding was tagged:
+    // strip every `"enc":2` from the log and re-seal the crc. Those
+    // entries are indistinguishable from legacy seconds-domain
+    // TIMESTAMP stats, so the fold must treat them as ABSENT — a
+    // micros-domain span probe against seconds stats would conclude
+    // "no overlap" and silently skip live sets.
+    val logDir = java.nio.file.Paths.get(p, "_graft_log")
+    Files.list(logDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json")).foreach { f =>
+        val lines = Files.readString(f).split("\n").map { line =>
+          val body0 = line.substring(0, line.lastIndexOf(""","crc":"""))
+          val body = body0.replace(""","enc":2""", "")
+          val c = new java.util.zip.CRC32()
+          c.update(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          body + s""","crc":${c.getValue}}"""
+        }
+        Files.writeString(f, lines.mkString("\n"))
+      }
+    val sets = GraftLake.snapshot(p).live
+    assert(sets.size == 3)
+    // temporal stats gone (conservative), integral stats survive
+    assert(sets.forall(_.statsFor("ts").isEmpty))
+    assert(sets.forall(_.statsFor("day").isEmpty))
+    assert(sets.forall(_.statsFor("id").nonEmpty))
+    // the 1994 delete now scans ALL sets — no silent skip, right answer
+    GraftLake.deleteDv(spark, p,
+      expr("ts >= TIMESTAMP'1994-01-01 00:00:00' AND " +
+        "ts < TIMESTAMP'1995-01-01 00:00:00'"))
+    assert(GraftLake.lastDvScanSets == ((3, 0)),
+      s"expected conservative 3 scanned / 0 skipped, got ${GraftLake.lastDvScanSets}")
+    assert(GraftLake.read(spark, p).count() == 60)
+    assert(GraftLake.read(spark, p).filter(year(col("ts")) === 1994).count() == 0)
+  }
 }
