@@ -1131,6 +1131,60 @@ object SparkEntry {
             reorderRefused && bothPruned && nonPrefixPruned && described))
         .orderBy(col("o_orderstatus"))
     }),
+    // IDENTITY COLUMNS: Delta's GENERATED ALWAYS AS IDENTITY — the
+    // (start, step) coldef rides the log, allocation is start + step
+    // × ordinal off the ROW-TRACKING high water (the race-free
+    // monotone range claim already inside the publish loop; an
+    // optimistic base is fenced by expectRidBase, so a racing writer
+    // re-stages instead of landing duplicates). Values are unique
+    // without coordination; sequential inserts here make the value
+    // SET exactly {start + step·k} — deterministic for the oracle
+    // even though row-to-value assignment is not. Explicit supply
+    // refuses (ALWAYS), OVERWRITE refuses (append-allocated).
+    "src52_identity" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_identity", dir)
+      rmrf(path)
+      s.sql(s"""CREATE TABLE lake_ident (
+               |  rid BIGINT GENERATED ALWAYS AS IDENTITY
+               |    (START WITH 1000 INCREMENT BY 2),
+               |  okey BIGINT, status STRING, cents BIGINT
+               |) USING graftlake LOCATION '$path'
+               |TBLPROPERTIES ('statscol'='okey')""".stripMargin)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      o.createOrReplaceTempView("lake_ident_src")
+      s.sql("""INSERT INTO lake_ident (okey, status, cents)
+              |SELECT * FROM lake_ident_src WHERE okey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO lake_ident (okey, status, cents)
+              |SELECT * FROM lake_ident_src WHERE okey % 2 = 1""".stripMargin)
+      val explicitRefused =
+        try { s.sql("INSERT INTO lake_ident (rid, okey, status, cents) " +
+          "VALUES (1, 1, 'X', 1)"); false }
+        catch { case e: Exception => e.getMessage.contains("IDENTITY") }
+      val owRefused =
+        try { s.sql("INSERT OVERWRITE lake_ident " +
+          "SELECT okey, status, cents FROM lake_ident_src"); false }
+        catch { case e: Exception => e.getMessage.contains("IDENTITY") }
+      val t = GraftLake.read(s, path).localCheckpoint(true)
+      val n = t.count()
+      val idStats = t.agg(
+        countDistinct(col("rid")).as("nd"),
+        min(col("rid")).as("lo"), max(col("rid")).as("hi"),
+        sum(when(pmod(col("rid") - 1000L, lit(2L)) =!= 0L, 1L)
+          .otherwise(0L)).as("offgrid")).head
+      val idsOk = idStats.getLong(0) == n && idStats.getLong(1) == 1000L &&
+        idStats.getLong(2) == 1000L + 2L * (n - 1) &&
+        idStats.getLong(3) == 0L
+      t.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("identity_ok",
+          lit(idsOk && explicitRefused && owRefused))
+        .orderBy(col("status"))
+    }),
     // POSITIONAL DELETION VECTORS: merge-on-read DELETE for an
     // arbitrary predicate (no key column) — the delete commits an
     // O(deleted rows) (set, file, row-position) sidecar, data bytes
@@ -3791,6 +3845,14 @@ object SparkEntry {
         |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
         |    AS BIGINT) AS cents,
         |  TRUE AS sql_part_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Content-neutral orders replay grouped by status; the identity
+    // arithmetic/uniqueness/refusals are pinned by the in-row flag.
+    "src52_identity" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS identity_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Content-neutral orders replay: the (yr, quarter) CTAS + dynamic
     // INSERT land every row once; the (1996, Q2) full-tuple static

@@ -135,7 +135,12 @@ object GraftLake {
       // ROW TRACKING high-water mark: one past the largest row id
       // ever allocated (monotone over ALL commits, including sets
       // later removed — reuse would alias identities).
-      ridHighWater: Long = 0L)
+      ridHighWater: Long = 0L,
+      // IDENTITY columns: col -> (start, step), recorded by `coldef`
+      // entries ("i:" items). Values are allocated off the row-
+      // tracking high water (identity tables require row tracking),
+      // so the race-free monotone range claim is shared machinery.
+      identities: Map[String, (Long, Long)] = Map.empty)
 
   /** Reserved manifest-stats name carrying a set's row-id range
     * ([base, base+rows-1]) — never a real column (guarded at
@@ -608,9 +613,15 @@ object GraftLake {
         Seq.empty, Seq.empty, addItemsOverride = s.partitionCols)
     // Column DEFAULT / GENERATED metadata forks with the table too.
     (s.defaults.toSeq.sortBy(_._1).map { case (c, q) => s"d:$c=$q" } ++
-      s.generated.toSeq.sortBy(_._1).map { case (c, q) => s"g:$c=$q" })
+      s.generated.toSeq.sortBy(_._1).map { case (c, q) => s"g:$c=$q" } ++
+      s.identities.toSeq.sortBy(_._1).map { case (c, (st, sp)) =>
+        s"i:$c=$st,$sp" })
       .foreach(item => publishEntry(dstPath, "coldef", item,
         new StructType(), None, Seq.empty, Seq.empty))
+    // Row tracking (and with it identity allocation) forks too: the
+    // clone's high water re-folds from the referenced sets' __rid
+    // stats, so its future allocations stay unique within the fork.
+    if (rowTrackingEnabled(srcPath)) enableRowTracking(dstPath)
     v
   }
 
@@ -1049,10 +1060,25 @@ object GraftLake {
     */
   def recordColDefs(
       path: String, defaults: Seq[(String, String)],
-      generated: Seq[(String, String)]): Unit = {
+      generated: Seq[(String, String)],
+      identity: Seq[(String, (Long, Long))] = Seq.empty): Unit = {
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     val cur = StructType.fromDDL(s.schemaDdl)
+    // IDENTITY columns allocate off the row-tracking high water — the
+    // race-free monotone range claim inside the publish loop — so the
+    // table must opt into row tracking first (the CREATE route does).
+    identity.foreach { case (c, (_, step)) =>
+      val f = cur.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"coldef: no column '$c' at $path"))
+      require(f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType,
+        s"IDENTITY column '$c' must be integral, got ${f.dataType.simpleString}")
+      require(step != 0L, s"IDENTITY column '$c': step must be non-zero")
+      require(rowTrackingEnabled(path),
+        s"IDENTITY column '$c' at $path needs row tracking " +
+          "(enableRowTracking) — its allocator is the row-id high water")
+    }
     def attrsOf(sql: String): Seq[String] = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       org.apache.spark.sql.GraftBridge.catalystExpression(functions.expr(sql))
@@ -1080,7 +1106,8 @@ object GraftLake {
       }
     }
     (defaults.map { case (c, q) => s"d:$c=$q" } ++
-      generated.map { case (c, q) => s"g:$c=$q" })
+      generated.map { case (c, q) => s"g:$c=$q" } ++
+      identity.map { case (c, (st, sp)) => s"i:$c=$st,$sp" })
       .foreach(item => publishEntry(path, "coldef", item,
         new StructType(), None, Seq.empty, Seq.empty))
   }
@@ -1092,6 +1119,64 @@ object GraftLake {
   /** The recorded GENERATED-column expressions (SQL text). */
   def generatedColumnsOf(path: String): Map[String, String] =
     snapshotIfExists(path).map(_.generated).getOrElse(Map.empty)
+
+  /** The recorded IDENTITY columns: col -> (start, step). */
+  def identityColumnsOf(path: String): Map[String, (Long, Long)] =
+    snapshotIfExists(path).map(_.identities).getOrElse(Map.empty)
+
+  /** APPEND with IDENTITY allocation (Delta's GENERATED ALWAYS AS
+    * IDENTITY): every recorded identity column is COMPUTED as
+    * `start + step × ordinal`, where the ordinals are this commit's
+    * contiguous row-tracking range — claimed from the snapshot's
+    * monotone high water, so racing writers provably never allocate
+    * overlapping values (uniqueness without coordination, the Delta
+    * guarantee; like Delta, GAPS are possible — a compaction's
+    * re-allocation or a lost race burns range, never reuses it).
+    *
+    * Values are written INTO the files, so the base is claimed
+    * OPTIMISTICALLY before staging and fenced inside the publish loop
+    * (`expectRidBase`): a racing allocation re-stages with the fresh
+    * base instead of landing duplicate values. Zero extra cost when
+    * uncontended. `df` must not carry the identity columns (ALWAYS
+    * generated — explicit values refuse, Delta's rule).
+    */
+  def appendIdentity(
+      df: DataFrame, path: String,
+      statsCol: Option[String] = None): Int = {
+    val ids = identityColumnsOf(path)
+    if (ids.isEmpty) return append(df, path, statsCol)
+    ids.keys.foreach(c => require(!df.columns.exists(_.equalsIgnoreCase(c)),
+      s"column '$c' is GENERATED ALWAYS AS IDENTITY — do not supply it"))
+    val target = StructType.fromDDL(snapshot(path).schemaDdl)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"gave up identity append to $path after 50 races")
+      val base = snapshot(path).ridHighWater
+      // Dense per-commit ordinals without a single-task window: one
+      // zipWithIndex pass (per-partition counts + local offsets).
+      val spark = df.sparkSession
+      val schema2 = StructType(df.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "__ord", org.apache.spark.sql.types.LongType, nullable = false))
+      val withOrd = spark.createDataFrame(
+        df.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema2)
+      val valued = ids.foldLeft(withOrd) { case (d, (c, (st, sp))) =>
+        val f = target.fields.find(_.name.equalsIgnoreCase(c)).get
+        d.withColumn(f.name,
+          (lit(st) + lit(sp) * (lit(base) + col("__ord"))).cast(f.dataType))
+      }.drop("__ord")
+        .select(target.fields.map(f => col(f.name)).toIndexedSeq: _*)
+      try {
+        return commit(valued, path, "append",
+          statsCols = statsCol.toSeq, expectRidBase = Some(base))
+      } catch {
+        case _: java.util.ConcurrentModificationException => () // re-base
+      }
+    }
+    -1 // unreachable
+  }
 
   /** Whether the CDF marker is set for `path`. */
   def cdfEnabled(path: String): Boolean =
@@ -1400,7 +1485,8 @@ object GraftLake {
       tag: Option[String] = None, statsCols: Seq[String] = Seq.empty,
       removeSets: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      cdfSet: Option[String] = None): Int = {
+      cdfSet: Option[String] = None,
+      expectRidBase: Option[Long] = None): Int = {
     // CHECK constraints gate the data-bearing writes: the delta (or
     // the merge's rewritten set) is validated BEFORE staging, one
     // scan per rule. Delete/compact/tombstone rewrite already-valid
@@ -1430,8 +1516,21 @@ object GraftLake {
     // range (rewrites re-assign — the un-materialized Delta posture).
     val ridRows =
       if (rowTrackingEnabled(path)) Some(setRowCount(path, setName)) else None
-    val v = publishEntry(path, action, setName, df.schema, tag, stats,
-      removeSets, validatedCons, cdfSet = cdfSet, ridRows = ridRows)
+    val v =
+      try publishEntry(path, action, setName, df.schema, tag, stats,
+        removeSets, validatedCons, cdfSet = cdfSet, ridRows = ridRows,
+        expectRidBase = expectRidBase)
+      catch {
+        // An identity append that lost its range race must not leave
+        // the mis-valued staged set behind: drop it, let the caller
+        // re-stage with the fresh base.
+        case e: java.util.ConcurrentModificationException
+            if expectRidBase.isDefined =>
+          import scala.jdk.CollectionConverters._
+          Files.walk(Paths.get(path, setName)).iterator().asScala.toSeq
+            .reverse.foreach(p => Files.deleteIfExists(p))
+          throw e
+      }
     // Post-commit maintenance: data-GROWING commits may trigger the
     // opted-in auto-compaction (never compact's own commit — no
     // recursion; never mutations — their snapshot is the transaction).
@@ -1585,7 +1684,11 @@ object GraftLake {
       ridRows: Option[Long] = None,
       // Metadata commits whose add list is NOT a file-set (the
       // multi-column `partition` marker): carried verbatim.
-      addItemsOverride: Seq[String] = Seq.empty): Int = {
+      addItemsOverride: Seq[String] = Seq.empty,
+      // IDENTITY fence: the staged files carry values computed off
+      // this row-tracking base; a racing allocation moved it → CME so
+      // the caller re-stages instead of landing duplicates.
+      expectRidBase: Option[Long] = None): Int = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1610,6 +1713,15 @@ object GraftLake {
       // Idempotence re-check under contention: if a same-tag commit
       // landed while we were racing, ours must NOT land again.
       tag.foreach { t => snap.tags.get(t).foreach { v => return v } }
+      // IDENTITY freshness: the staged values embed a row-tracking
+      // base; if a racing commit advanced the high water, landing
+      // would publish duplicate identity values — abort to re-stage.
+      expectRidBase.foreach { b =>
+        if (snap.ridHighWater != b)
+          throw new java.util.ConcurrentModificationException(
+            s"identity range base moved ($b -> ${snap.ridHighWater}) during " +
+              s"commit to $path; re-stage with the fresh base")
+      }
       // COPY INTO freshness: a racing COPY that ingested any of OUR
       // source files must abort this commit loudly — the caller
       // re-diffs the directory and retries with the remaining files.
@@ -1873,8 +1985,11 @@ object GraftLake {
           constraints = s.constraints -- c.remove ++ added,
           tsMillis = math.max(s.tsMillis, c.tsMillis))
       } else if (c.action == "coldef") {
-        // add items: "d:col=sql" (DEFAULT) / "g:col=sql" (GENERATED).
-        val (ds, gs) = c.add.partition(_.startsWith("d:"))
+        // add items: "d:col=sql" (DEFAULT) / "g:col=sql" (GENERATED) /
+        // "i:col=start,step" (IDENTITY).
+        val ds = c.add.filter(_.startsWith("d:"))
+        val gs = c.add.filter(_.startsWith("g:"))
+        val is = c.add.filter(_.startsWith("i:"))
         def toMap(items: Seq[String]) = items.map { it =>
           val body = it.substring(2); val i = body.indexOf('=')
           body.take(i) -> body.substring(i + 1)
@@ -1882,6 +1997,10 @@ object GraftLake {
         s.copy(version = c.version,
           defaults = s.defaults ++ toMap(ds),
           generated = s.generated ++ toMap(gs),
+          identities = s.identities ++ toMap(is).map { case (cn, v) =>
+            val Array(st, sp) = v.split(",", 2)
+            cn -> (st.toLong, sp.toLong)
+          },
           tsMillis = math.max(s.tsMillis, c.tsMillis))
       } else if (c.action == "partition") {
         // add = the layout columns in order: table metadata, no
@@ -1946,7 +2065,8 @@ object GraftLake {
           s.ingested ++ c.ingest,
           s.defaults, s.generated,
           (s.ridHighWater +: added.flatMap(_.statsFor(RidStat))
-            .map(_.max + 1L)).max)
+            .map(_.max + 1L)).max,
+          s.identities)
       }
     }
 
@@ -2015,11 +2135,15 @@ object GraftLake {
         (if (s.ingested.isEmpty) Seq.empty
          else Seq(render(Commit(s.version, "ckpting", "",
            s.ingested.toSeq.sorted, Seq.empty, None, Seq.empty, 0L)))) ++
-        // Column DEFAULT/GENERATED metadata, one line when present.
-        (if (s.defaults.isEmpty && s.generated.isEmpty) Seq.empty
+        // Column DEFAULT/GENERATED/IDENTITY metadata, one line when
+        // present.
+        (if (s.defaults.isEmpty && s.generated.isEmpty &&
+             s.identities.isEmpty) Seq.empty
          else Seq(render(Commit(s.version, "ckptdef", "",
            s.defaults.toSeq.sortBy(_._1).map { case (c, q) => s"d:$c=$q" } ++
-             s.generated.toSeq.sortBy(_._1).map { case (c, q) => s"g:$c=$q" },
+             s.generated.toSeq.sortBy(_._1).map { case (c, q) => s"g:$c=$q" } ++
+             s.identities.toSeq.sortBy(_._1).map { case (c, (st, sp)) =>
+               s"i:$c=$st,$sp" },
            Seq.empty, None, Seq.empty, 0L)))) ++
         // Row-id high water: MUST ride the checkpoint explicitly — the
         // live sets alone under-count (removed sets also allocated).
@@ -2090,7 +2214,11 @@ object GraftLake {
       .foldLeft(0L)(math.max)
     Some(Snapshot(head.version, head.schemaDdl, live, head.remove, tags,
       head.tsMillis, cons, rens, part, ing, defMap("d:"), defMap("g:"),
-      ridHw))
+      ridHw,
+      defMap("i:").map { case (cn, v) =>
+        val Array(st, sp) = v.split(",", 2)
+        cn -> (st.toLong, sp.toLong)
+      }))
   }
 
   /** Auto-checkpoint cadence (every N commits, Delta-style; 0
@@ -2177,9 +2305,57 @@ object GraftLake {
       target: StructType, renames: Map[String, Seq[String]],
       tombstones: Seq[String])(emptyFallback: => DataFrame): DataFrame = {
     val (dv, keys) = loadTombstones(spark, path, tombstones)
-    val df = sets.map(readSet(spark, path, _, target, renames, dv))
-      .reduceLeftOption(_.unionByName(_)).getOrElse(emptyFallback)
+    // PLAN-SIZE CONVERGENCE: same-schema FLAT sets read as ONE
+    // multi-path vectorized parquet relation instead of one union
+    // branch per set — Catalyst analysis/planning cost is O(distinct
+    // schemas), not O(live sets), so a 10⁴-set table plans a handful
+    // of scan nodes (the DSv2 batch source's one-relation posture,
+    // kept on the vectorized reader). Partitioned (hive-dir) sets
+    // keep per-set relations — their count is bounded by layout
+    // design — and any outstanding DV mask forces the per-set path
+    // (the mask joins on the set identity).
+    val df =
+      if (dv.isDefined)
+        sets.map(readSet(spark, path, _, target, renames, dv))
+          .reduceLeftOption(_.unionByName(_)).getOrElse(emptyFallback)
+      else {
+        import scala.jdk.CollectionConverters._
+        def isFlat(ls: LiveSet): Boolean = {
+          val d = Paths.get(setPath(path, ls.set))
+          Files.isDirectory(d) && Files.list(d).iterator().asScala
+            .exists(_.getFileName.toString.endsWith(".parquet"))
+        }
+        val (flat, hive) = sets.partition(isFlat)
+        val bulk = flat.groupBy(_.schemaDdl).toSeq.sortBy(_._1)
+          .map { case (ddl, group) =>
+            val own = StructType.fromDDL(ddl)
+            val raw = spark.read.schema(own)
+              .parquet(group.map(ls => setPath(path, ls.set)): _*)
+            projectToTarget(raw, own, target, renames)
+          }
+        val perSet = hive.map(readSet(spark, path, _, target, renames, None))
+        (bulk ++ perSet).reduceLeftOption(_.unionByName(_))
+          .getOrElse(emptyFallback)
+      }
     applyTombstoneFrames(df, keys)
+  }
+
+  /** The written-schema → table-schema projection shared by the
+    * per-set and bulk read paths: logical name, else the most recent
+    * FORMER name present in the written schema, else null-fill (the
+    * column postdates the files).
+    */
+  private def projectToTarget(
+      raw: DataFrame, own: StructType, target: StructType,
+      renames: Map[String, Seq[String]]): DataFrame = {
+    val ownNames = own.fieldNames.toSet
+    raw.select(target.fields.map { f =>
+      (f.name +: renames.getOrElse(f.name, Seq.empty))
+        .find(ownNames) match {
+          case Some(phys) => col(phys).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+    }.toIndexedSeq: _*)
   }
 
   /** One file-set scanned under its own written schema and projected
@@ -2277,7 +2453,6 @@ object GraftLake {
       renames: Map[String, Seq[String]] = Map.empty,
       dv: Option[DataFrame] = None): DataFrame = {
     val own = StructType.fromDDL(ls.schemaDdl)
-    val ownNames = own.fieldNames.toSet
     val raw0 = spark.read.schema(own).parquet(setPath(path, ls.set))
     // Positional deletion-vector mask: drop this set's (file,
     // row-position) pairs at scan time — zero data rewritten. The
@@ -2296,17 +2471,7 @@ object GraftLake {
             Seq("__dv_file", "__dv_pos"), "left_anti")
       case None => raw0
     }
-    raw
-      .select(target.fields.map { f =>
-        // Column-mapping resolution: the logical name, else the most
-        // recent FORMER name this set was written under, else the
-        // column postdates the set — null-fill.
-        (f.name +: renames.getOrElse(f.name, Seq.empty))
-          .find(ownNames) match {
-            case Some(phys) => col(phys).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
-          }
-      }.toIndexedSeq: _*)
+    projectToTarget(raw, own, target, renames)
   }
 
   /** The latest snapshot, resolved through the checkpoint fast path —

@@ -450,7 +450,9 @@ final case class GraftLakeShowPropsCommand(path: String)
       s.defaults.toSeq.sortBy(_._1).map { case (c, q) =>
         s"default.$c" -> q } ++
       s.generated.toSeq.sortBy(_._1).map { case (c, q) =>
-        s"generated.$c" -> q }
+        s"generated.$c" -> q } ++
+      s.identities.toSeq.sortBy(_._1).map { case (c, (st, sp)) =>
+        s"identity.$c" -> s"START WITH $st INCREMENT BY $sp" }
     props.map { case (k, v) => Row(k, v) }
   }
 }
@@ -571,14 +573,19 @@ final case class GraftLakeInsertCommand(
             "or none (mixed static/dynamic specs are ambiguous)")
         spec.zip(layout).flatMap { case ((_, v), pc) => v.map(pc -> _) }
     }
-    // GENERATED columns are never supplied — they are computed from
-    // the row below; listing one explicitly refuses (Delta's rule).
+    // GENERATED and IDENTITY columns are never supplied — they are
+    // computed on write; listing one explicitly refuses (Delta's rule).
     val genCols = GraftLake.generatedColumnsOf(path)
     val defCols = GraftLake.columnDefaultsOf(path)
+    val idCols = GraftLake.identityColumnsOf(path)
     userCols.find(c => genCols.keys.exists(_.equalsIgnoreCase(c))).foreach(c =>
       throw new IllegalArgumentException(
         s"INSERT INTO $viewName: column '$c' is GENERATED — it is " +
           "computed on write, do not supply it"))
+    userCols.find(c => idCols.keys.exists(_.equalsIgnoreCase(c))).foreach(c =>
+      throw new IllegalArgumentException(
+        s"INSERT INTO $viewName: column '$c' is GENERATED ALWAYS AS " +
+          "IDENTITY — it is allocated on write, do not supply it"))
     // With static PARTITION values the query feeds the remaining
     // columns; the pinned values fill the layout columns.
     val insertTarget = {
@@ -590,7 +597,8 @@ final case class GraftLakeInsertCommand(
       org.apache.spark.sql.types.StructType(
         target.fields.filterNot(f =>
           staticPins.exists(_._1.equalsIgnoreCase(f.name)) ||
-            genCols.keys.exists(_.equalsIgnoreCase(f.name))))
+            genCols.keys.exists(_.equalsIgnoreCase(f.name)) ||
+            idCols.keys.exists(_.equalsIgnoreCase(f.name))))
     }
     val alignedPart =
       if (userCols.isEmpty) {
@@ -635,6 +643,23 @@ final case class GraftLakeInsertCommand(
     val withGen = genCols.foldLeft(withPart) { case (df0, (g, sql)) =>
       val gf = target.fields.find(_.name.equalsIgnoreCase(g)).get
       df0.withColumn(gf.name, expr(sql).cast(gf.dataType))
+    }
+    // IDENTITY tables route through the allocating append: values are
+    // computed off the row-tracking range claim, never supplied.
+    if (idCols.nonEmpty) {
+      require(layout.isEmpty,
+        s"INSERT INTO $viewName: IDENTITY columns on a PARTITIONED " +
+          "lake are not supported — drop one of the two")
+      require(!overwrite,
+        s"INSERT OVERWRITE on $viewName: not supported with IDENTITY " +
+          "columns (identity values are append-allocated) — DELETE + " +
+          "INSERT instead")
+      val nonId = withGen.select(target.fields
+        .filterNot(f => idCols.keys.exists(_.equalsIgnoreCase(f.name)))
+        .map(f => col(f.name)).toIndexedSeq: _*)
+      GraftLake.appendIdentity(nonId, path, Some(statsCol))
+      GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+      return Seq.empty
     }
     val aligned =
       withGen.select(target.fields.map(f => col(f.name)).toIndexedSeq: _*)
@@ -756,7 +781,8 @@ final case class GraftLakeCreateEmptyCommand(
     statsCol: Option[String], partCols: Seq[String],
     ignoreIfExists: Boolean,
     defaults: Seq[(String, String)] = Seq.empty,
-    generated: Seq[(String, String)] = Seq.empty)
+    generated: Seq[(String, String)] = Seq.empty,
+    identity: Seq[(String, (Long, Long))] = Seq.empty)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     statsCol.foreach(c => require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
@@ -781,8 +807,11 @@ final case class GraftLakeCreateEmptyCommand(
       // The layout marker lands BEFORE any insert, so the very first
       // `INSERT INTO` already takes the partitioned route.
       if (canonPart.nonEmpty) GraftLake.setPartitionColumns(path, canonPart)
-      if (defaults.nonEmpty || generated.nonEmpty)
-        GraftLake.recordColDefs(path, defaults, generated)
+      // IDENTITY allocation rides the row-tracking high water — the
+      // opt-in lands with the create, before any insert.
+      if (identity.nonEmpty) GraftLake.enableRowTracking(path)
+      if (defaults.nonEmpty || generated.nonEmpty || identity.nonEmpty)
+        GraftLake.recordColDefs(path, defaults, generated, identity)
     }
     LakeSql.register(spark, path, name,
       statsCol.flatMap(c => tableSchema.fieldNames.find(_.equalsIgnoreCase(c)))
@@ -1315,18 +1344,17 @@ final class LakeDdlParser(
               "— the lake is path-addressed"))
           require(ct.columns.nonEmpty,
             s"CREATE TABLE $name USING graftlake: declare at least one column")
-          // DEFAULT and GENERATED clauses are recorded as sealed
-          // `coldef` log entries the INSERT/COPY routes consult;
-          // IDENTITY would need monotonic allocation — refuse.
-          ct.columns.foreach { c =>
-            require(c.identityColumnSpec.isEmpty,
-              s"CREATE TABLE $name: column '${c.name}' carries an IDENTITY " +
-                "clause — not supported on a graft lake")
-          }
+          // DEFAULT, GENERATED, and IDENTITY clauses are recorded as
+          // sealed `coldef` log entries the INSERT/COPY routes
+          // consult; IDENTITY allocation rides the row-tracking high
+          // water (enabled at create).
           val defaults = ct.columns.toSeq.flatMap(c =>
             c.defaultValue.map(d => c.name -> d.originalSQL))
           val generated = ct.columns.toSeq.flatMap(c =>
             c.generationExpression.map(g => c.name -> g))
+          val identity = ct.columns.toSeq.flatMap(c =>
+            c.identityColumnSpec.map(i =>
+              c.name -> (i.getStart, i.getStep)))
           val schema = org.apache.spark.sql.types.StructType(ct.columns.map(c =>
             org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
           val partCols = ct.partitioning.toSeq.map {
@@ -1340,7 +1368,7 @@ final class LakeDdlParser(
             case (k, v) if k.equalsIgnoreCase("statscol") => v
           }
           GraftLakeCreateEmptyCommand(loc, name, schema, statsCol, partCols,
-            ct.ignoreIfExists, defaults, generated)
+            ct.ignoreIfExists, defaults, generated, identity)
         // TRUNCATE TABLE <lake view> — O(1) by-reference removal.
         case tt: org.apache.spark.sql.catalyst.plans.logical.TruncateTable
             if LakeSql.targetName(tt.table).isDefined =>

@@ -47,15 +47,15 @@ class LakeCreateTruncateSpec extends AnyFunSuite with SparkSpec {
     // stats recorded for the registered statscol on the insert commits
     assert(GraftLake.commits(p).filter(_.action == "append")
       .forall(_.stats.exists(_.col == "id")))
-    // IDENTITY clause refuses loudly (DEFAULT/GENERATED are
-    // supported — LakeColDefsSpec covers them)
+    // IDENTITY clause records the (start, step) coldef and enables
+    // row tracking (the full surface is LakeIdentitySpec + src52)
     val q = fresh()
-    val err = intercept[Exception] {
-      spark.sql(s"""CREATE TABLE ct_def
-                   |(id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT)
-                   |USING graftlake LOCATION '$q'""".stripMargin)
-    }
-    assert(err.getMessage.toUpperCase.contains("IDENTITY"))
+    spark.sql(s"""CREATE TABLE ct_def
+                 |(id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT)
+                 |USING graftlake LOCATION '$q'""".stripMargin)
+    assert(GraftLake.identityColumnsOf(q) == Map("id" -> (1L, 1L)))
+    assert(GraftLake.rowTrackingEnabled(q))
+    LakeSql.unregister("ct_def")
     LakeSql.unregister("ct_empty")
   }
 

@@ -1344,4 +1344,33 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
         words, graft.plans.GraftBloom.DefaultK, k))
     assert(fps < 50, s"false-positive rate too high: $fps/1000")
   }
+
+  test("a many-set read plans O(schemas) scan nodes, not O(sets)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val p = java.nio.file.Files.createTempDirectory("graft-bulkread")
+      .resolve("t").toString
+    GraftLake.create(Seq((0L, 0L)).toDF("id", "v"), p, Some("id"))
+    (1 to 30).foreach(i => GraftLake.append(
+      Seq((i.toLong, i.toLong)).toDF("id", "v"), p, Some("id")))
+    val df = GraftLake.read(spark, p)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"31 same-schema sets must plan ONE scan relation, got ${scans.size}")
+    assert(df.count() == 31)
+    assert(df.agg(sum(col("v"))).head.getLong(0) == (0 to 30).map(_.toLong).sum)
+    // schema evolution splits the bulk read by written schema — one
+    // relation per DISTINCT schema, evolved columns null-filled
+    GraftLake.append(Seq((31L, 31L, "x")).toDF("id", "v", "tag"), p, Some("id"))
+    val df2 = GraftLake.read(spark, p)
+    val scans2 = df2.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans2.size == 2,
+      s"two written schemas must plan TWO scan relations, got ${scans2.size}")
+    assert(df2.count() == 32)
+    assert(df2.filter(col("tag").isNull).count() == 31)
+  }
 }
