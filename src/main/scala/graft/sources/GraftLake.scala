@@ -3881,9 +3881,56 @@ object GraftLake {
     val (scanSets, skipSets) =
       s.live.partition(setMayMatch(path, _, cons._1, cons._2))
     lastDvScanSets = (scanSets.size, skipSets.size)
-    val perSet = scanSets.map { ls =>
-      val own = StructType.fromDDL(ls.schemaDdl)
+    def projectWithPos(raw: DataFrame, own: StructType,
+        setCol: org.apache.spark.sql.Column): DataFrame = {
       val ownNames = own.fieldNames.toSet
+      raw.select((Seq(setCol.as("__dv_set"), col("__dv_file"),
+        col("__dv_pos")) ++
+        target.fields.toSeq.map { f =>
+          (f.name +: s.renames.getOrElse(f.name, Seq.empty))
+            .find(ownNames) match {
+              case Some(phys) => col(phys).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+        }): _*)
+    }
+    // Same plan-size convergence as the plain read: same-schema
+    // ordinary "data/<set>" FLAT sets scan as ONE multi-path relation
+    // — the set identity is re-derived from the file path (penultimate
+    // segment) and the DV mask anti-joins on the full (set, file, pos)
+    // key instead of a per-set filter. Hive sets, clone-referenced
+    // absolute sets, and odd layouts keep per-set relations.
+    import scala.jdk.CollectionConverters._
+    def isBulkable(ls: LiveSet): Boolean =
+      ls.set.startsWith("data/") && !ls.set.stripPrefix("data/").contains("/") && {
+        val d = Paths.get(setPath(path, ls.set))
+        Files.isDirectory(d) && Files.list(d).iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+      }
+    val (bulkable, rest) = scanSets.partition(isBulkable)
+    val bulk = bulkable.groupBy(_.schemaDdl).toSeq.sortBy(_._1)
+      .map { case (ddl, group) =>
+        val own = StructType.fromDDL(ddl)
+        val raw0 = spark.read.schema(own)
+          .parquet(group.map(ls => setPath(path, ls.set)): _*)
+          .withColumn("__dv_file", functions.element_at(
+            functions.split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .withColumn("__dv_setname", functions.concat(lit("data/"),
+            functions.element_at(
+              functions.split(col("_metadata.file_path"), "/"), -2)))
+        val masked = dv match {
+          case Some(d) =>
+            raw0.withColumnRenamed("__dv_setname", "__dv_set")
+              .join(functions.broadcast(d.select(
+                col("__dv_set"), col("__dv_file"), col("__dv_pos"))),
+                Seq("__dv_set", "__dv_file", "__dv_pos"), "left_anti")
+          case None => raw0.withColumnRenamed("__dv_setname", "__dv_set")
+        }
+        projectWithPos(masked, own, col("__dv_set"))
+      }
+    val perSet = rest.map { ls =>
+      val own = StructType.fromDDL(ls.schemaDdl)
       val raw0 = spark.read.schema(own).parquet(setPath(path, ls.set))
         .withColumn("__dv_file", functions.element_at(
           functions.split(col("_metadata.file_path"), "/"), -1))
@@ -3896,17 +3943,9 @@ object GraftLake {
             Seq("__dv_file", "__dv_pos"), "left_anti")
         case None => raw0
       }
-      masked.select((Seq(lit(ls.set).as("__dv_set"), col("__dv_file"),
-        col("__dv_pos")) ++
-        target.fields.toSeq.map { f =>
-          (f.name +: s.renames.getOrElse(f.name, Seq.empty))
-            .find(ownNames) match {
-              case Some(phys) => col(phys).as(f.name)
-              case None => lit(null).cast(f.dataType).as(f.name)
-            }
-        }): _*)
+      projectWithPos(masked, own, lit(ls.set))
     }
-    perSet.reduceLeftOption(_.unionByName(_))
+    (bulk ++ perSet).reduceLeftOption(_.unionByName(_))
       .map(applyTombstoneFrames(_, keyTs))
   }
 

@@ -112,6 +112,31 @@ class LakeRowTrackingSpec extends AnyFunSuite with SparkSpec {
       s"expected sidecar-served bases, got ${GraftLake.lastRidFooterOpens} footer opens")
   }
 
+  test("the positions read plans O(schemas) scans over many sets, DVs exact") {
+    import spark.implicits._
+    val p = fresh()
+    GraftLake.create(Seq((0L, 0L)).toDF("id", "v"), p, Some("id"))
+    GraftLake.enableRowTracking(p)
+    (1 to 20).foreach(i => GraftLake.append(
+      Seq((i.toLong, i.toLong)).toDF("id", "v"), p, Some("id")))
+    val df = GraftLake.readWithRowIds(spark, p)
+    // optimizedPlan (not executedPlan): AQE wraps the broadcast join
+    // and hides physical scans from an outer collect
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1,
+      s"21 same-schema sets must plan ONE scan relation, got ${scans.size}")
+    // the bulk path re-derives each row's set identity from its file
+    // path — DV masks must keep landing on exactly the right rows
+    GraftLake.deleteDv(spark, p, expr("id % 3 = 0"))
+    val after = GraftLake.readWithRowIds(spark, p)
+    assert(after.filter(expr("id % 3 = 0")).count() == 0)
+    assert(after.count() == 14)
+    assert(after.filter(col("_row_id").isNotNull)
+      .select(col("_row_id")).collect().map(_.getLong(0)).distinct.length == 14)
+  }
+
   test("pre-sidecar sets fall back to the footer walk, same answer") {
     import spark.implicits._
     val p = fresh()
