@@ -2318,44 +2318,75 @@ object GraftLake {
       if (dv.isDefined)
         sets.map(readSet(spark, path, _, target, renames, dv))
           .reduceLeftOption(_.unionByName(_)).getOrElse(emptyFallback)
-      else {
-        import scala.jdk.CollectionConverters._
-        def isFlat(ls: LiveSet): Boolean = {
-          val d = Paths.get(setPath(path, ls.set))
-          Files.isDirectory(d) && Files.list(d).iterator().asScala
-            .exists(_.getFileName.toString.endsWith(".parquet"))
-        }
-        val (flat, hive) = sets.partition(isFlat)
-        val bulk = flat.groupBy(_.schemaDdl).toSeq.sortBy(_._1)
-          .map { case (ddl, group) =>
-            val own = StructType.fromDDL(ddl)
-            val raw = spark.read.schema(own)
-              .parquet(group.map(ls => setPath(path, ls.set)): _*)
-            projectToTarget(raw, own, target, renames)
-          }
-        val perSet = hive.map(readSet(spark, path, _, target, renames, None))
-        (bulk ++ perSet).reduceLeftOption(_.unionByName(_))
+      else
+        readSetsBulk(spark, path, sets, target, renames)
           .getOrElse(emptyFallback)
-      }
     applyTombstoneFrames(df, keys)
   }
 
   /** The written-schema → table-schema projection shared by the
     * per-set and bulk read paths: logical name, else the most recent
     * FORMER name present in the written schema, else null-fill (the
-    * column postdates the files).
+    * column postdates the files). `extra` prepends carried-through
+    * bookkeeping columns (set tags, positions).
     */
   private def projectToTarget(
       raw: DataFrame, own: StructType, target: StructType,
-      renames: Map[String, Seq[String]]): DataFrame = {
+      renames: Map[String, Seq[String]],
+      extra: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
     val ownNames = own.fieldNames.toSet
-    raw.select(target.fields.map { f =>
+    raw.select((extra ++ target.fields.toSeq.map { f =>
       (f.name +: renames.getOrElse(f.name, Seq.empty))
         .find(ownNames) match {
           case Some(phys) => col(phys).as(f.name)
           case None => lit(null).cast(f.dataType).as(f.name)
         }
-    }.toIndexedSeq: _*)
+    }).toIndexedSeq: _*)
+  }
+
+  /** Ordinary `data/<x>` flat set with top-level parquet files — the
+    * shape the bulk multi-path relations can absorb (the set identity
+    * is re-derivable from each file path's penultimate segment).
+    */
+  private def isBulkableSet(path: String, ls: LiveSet): Boolean = {
+    import scala.jdk.CollectionConverters._
+    ls.set.startsWith("data/") && !ls.set.stripPrefix("data/").contains("/") && {
+      val d = Paths.get(setPath(path, ls.set))
+      Files.isDirectory(d) && Files.list(d).iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+    }
+  }
+
+  /** Union of `sets` under `target` with plan size O(distinct written
+    * schemas): bulkable sets scan as one multi-path vectorized
+    * relation per schema, the rest (hive layouts, clone-referenced
+    * absolute sets) as per-set relations. `tagCol` additionally
+    * carries each row's SET NAME as a `__set` column (path-derived
+    * for bulk groups) — the shape the per-set count probes aggregate.
+    */
+  private def readSetsBulk(
+      spark: SparkSession, path: String, sets: Seq[LiveSet],
+      target: StructType, renames: Map[String, Seq[String]],
+      tagCol: Boolean = false): Option[DataFrame] = {
+    val (bulkable, rest) = sets.partition(isBulkableSet(path, _))
+    val bulk = bulkable.groupBy(_.schemaDdl).toSeq.sortBy(_._1)
+      .map { case (ddl, group) =>
+        val own = StructType.fromDDL(ddl)
+        val raw = spark.read.schema(own)
+          .parquet(group.map(ls => setPath(path, ls.set)): _*)
+        val extra =
+          if (!tagCol) Seq.empty
+          else Seq(functions.concat(lit("data/"), functions.element_at(
+            functions.split(col("_metadata.file_path"), "/"), -2)).as("__set"))
+        projectToTarget(raw, own, target, renames, extra)
+      }
+    val perSet = rest.map { ls =>
+      val own = StructType.fromDDL(ls.schemaDdl)
+      val raw = spark.read.schema(own).parquet(setPath(path, ls.set))
+      val extra = if (!tagCol) Seq.empty else Seq(lit(ls.set).as("__set"))
+      projectToTarget(raw, own, target, renames, extra)
+    }
+    (bulk ++ perSet).reduceLeftOption(_.unionByName(_))
   }
 
   /** One file-set scanned under its own written schema and projected
@@ -3900,14 +3931,7 @@ object GraftLake {
     // segment) and the DV mask anti-joins on the full (set, file, pos)
     // key instead of a per-set filter. Hive sets, clone-referenced
     // absolute sets, and odd layouts keep per-set relations.
-    import scala.jdk.CollectionConverters._
-    def isBulkable(ls: LiveSet): Boolean =
-      ls.set.startsWith("data/") && !ls.set.stripPrefix("data/").contains("/") && {
-        val d = Paths.get(setPath(path, ls.set))
-        Files.isDirectory(d) && Files.list(d).iterator().asScala
-          .exists(_.getFileName.toString.endsWith(".parquet"))
-      }
-    val (bulkable, rest) = scanSets.partition(isBulkable)
+    val (bulkable, rest) = scanSets.partition(isBulkableSet(path, _))
     val bulk = bulkable.groupBy(_.schemaDdl).toSeq.sortBy(_._1)
       .map { case (ddl, group) =>
         val own = StructType.fromDDL(ddl)
@@ -4228,18 +4252,18 @@ object GraftLake {
       !bloomed.contains(ls.set) || bloomHits(ls.set))
     lastDeleteKeysShortlist = shortlist.map(_.set)
     if (shortlist.isEmpty) return (s.version, 0, live.size, 0L)
-    val tagged = shortlist.map { ls =>
-      readSet(spark, path, ls, target, s.renames)
-        .join(k, Seq(keyCol), "left_semi")
-        .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-        .select(lit(ls.set).as("s"), functions.col("n"))
-    }.reduceLeft(_.unionByName(_))
+    // ONE relation per distinct schema, ONE hash agg by set name —
+    // O(schemas) plan however long the shortlist.
+    val tagged = readSetsBulk(spark, path, shortlist, target, s.renames,
+        tagCol = true).get
+      .join(k, Seq(keyCol), "left_semi")
+      .groupBy(functions.col("__set"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
     val matchCounts = tagged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val hitSets = shortlist.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
     val deleted = matchCounts.values.sum
     if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
-    val hitDf = hitSets.map(readSet(spark, path, _, target, s.renames))
-      .reduceLeft(_.unionByName(_))
+    val hitDf = readSetsBulk(spark, path, hitSets, target, s.renames).get
     val cdfSet =
       if (!cdfEnabled(path)) None
       else stageCdf(path, Seq((hitDf.join(k, Seq(keyCol), "left_semi"), "delete")))
@@ -4307,23 +4331,21 @@ object GraftLake {
     // ONE distributed job: per-set match AND total counts (O(sets)
     // driver rows) — the totals tell us when a hit set is emptied
     // outright, so a whole-partition delete commits a PURE REMOVAL.
-    val tagged = candidates.map { ls =>
-      readSet(spark, path, ls, target, s.renames)
-        .groupBy().agg(
-          org.apache.spark.sql.functions.count(lit(1)).as("tot"),
-          org.apache.spark.sql.functions.sum(
-            when(coalesce(predicate, lit(false)), 1L).otherwise(0L)).as("n"))
-        .select(lit(ls.set).as("s"), functions.col("tot"),
-          coalesce(functions.col("n"), lit(0L)).as("n"))
-    }.reduceLeft(_.unionByName(_))
+    val tagged = readSetsBulk(spark, path, candidates, target, s.renames,
+        tagCol = true).get
+      .groupBy(functions.col("__set"))
+      .agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("tot"),
+        coalesce(org.apache.spark.sql.functions.sum(
+          when(coalesce(predicate, lit(false)), 1L).otherwise(0L)), lit(0L))
+          .as("n"))
     val counts = tagged.collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val hitSets = candidates.filter(ls =>
       counts.getOrElse(ls.set, (0L, 0L))._2 > 0)
     val deleted = counts.values.map(_._2).sum
     if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
-    val hitDf = hitSets.map(readSet(spark, path, _, target, s.renames))
-      .reduceLeft(_.unionByName(_))
+    val hitDf = readSetsBulk(spark, path, hitSets, target, s.renames).get
     // CDF sidecar: the removed rows themselves, typed 'delete'.
     val cdfSet =
       if (!cdfEnabled(path)) None
@@ -4388,18 +4410,16 @@ object GraftLake {
       else live.filter(setMayMatch(path, _, pRanges, pEqs))
     lastCowScanSets = (candidates.size, live.size - candidates.size)
     if (candidates.isEmpty) return (s.version, 0, live.size, 0L)
-    val tagged = candidates.map { ls =>
-      readSet(spark, path, ls, target, s.renames)
-        .filter(pred)
-        .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-        .select(lit(ls.set).as("s"), functions.col("n"))
-    }.reduceLeft(_.unionByName(_))
+    val tagged = readSetsBulk(spark, path, candidates, target, s.renames,
+        tagCol = true).get
+      .filter(pred)
+      .groupBy(functions.col("__set"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
     val matchCounts = tagged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val hitSets = candidates.filter(ls => matchCounts.getOrElse(ls.set, 0L) > 0)
     val updated = matchCounts.values.sum
     if (hitSets.isEmpty) return (s.version, 0, live.size, 0L)
-    val hitDf = hitSets.map(readSet(spark, path, _, target, s.renames))
-      .reduceLeft(_.unionByName(_))
+    val hitDf = readSetsBulk(spark, path, hitSets, target, s.renames).get
     // All assignments in ONE select: every RHS reads the input row, so
     // `SET a = b, b = a` swaps rather than cascading.
     def applied(df: DataFrame): DataFrame = df.select(target.fields.map { f =>
@@ -4491,8 +4511,7 @@ object GraftLake {
       else s.live.partition(setMayMatch(path, _, pRanges, pEqs))
     lastCowScanSets = (hit.size, kept.size)
     if (hit.size < 2) return (s.version, 0, s.live.size)
-    val df = hit.map(readSet(spark, path, _, target, s.renames))
-      .reduceLeft(_.unionByName(_))
+    val df = readSetsBulk(spark, path, hit, target, s.renames).get
       .repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val reStats = reRecordable(target, s.renames,
@@ -4586,8 +4605,7 @@ object GraftLake {
     val cdfSet = try {
       val restoredDf = {
         val t = StructType.fromDDL(target.schemaDdl)
-        target.live.map(readSet(spark, path, _, t))
-          .reduceLeft(_.unionByName(_))
+        readSetsBulk(spark, path, target.live, t, Map.empty).get
       }
       enforceConstraints(restoredDf, cur.constraints)
       if (!cdfEnabled(path)) None
