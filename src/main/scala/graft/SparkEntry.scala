@@ -1131,6 +1131,49 @@ object SparkEntry {
             reorderRefused && bothPruned && nonPrefixPruned && described))
         .orderBy(col("o_orderstatus"))
     }),
+    // STRING ZONE MAPS: Delta's truncated string stats in long-image
+    // form — statsCols on a STRING column record min/max of an
+    // order-preserving 7-byte UTF-8 prefix image, so equality/range
+    // predicates on string keys prune mutations AND the DSv2 batch
+    // scan exactly like integral keys do (sound for overlap/
+    // containment; lossy, so strict bounds bind unsharpened and
+    // metadata-answered MIN/MAX refuses). In-row flags pin the DV
+    // delete opening 1 of 3 priority-laid-out sets and the batch scan
+    // planning 2 of 3 under a >= range. Oracle = orders minus the
+    // deleted priority slice.
+    "src53_string_stats" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, GraftLakeBatchSource}
+      val path = scratch("graft_lake_strstats", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // three sets laid out by priority ranges: the string zone maps
+      // separate on the first byte ('1'/'2' | '3'/'4' | '5')
+      GraftLake.create(o.filter(col("pri") < "3"), path,
+        statsCols = Seq("okey", "pri"))
+      GraftLake.append(o.filter(col("pri") >= "3" && col("pri") < "5"),
+        path, statsCols = Seq("okey", "pri"))
+      GraftLake.append(o.filter(col("pri") >= "5"), path,
+        statsCols = Seq("okey", "pri"))
+      // batch scan first (it refuses outstanding DVs): a >= '4' range
+      // plans exactly the two sets whose pri span reaches '4'
+      val n4plus = s.read.format("graftlake").load(path)
+        .filter(col("pri") >= "4").count()
+      val scanPruned = n4plus > 0 &&
+        GraftLakeBatchSource.lastScanSets == ((2, 1))
+      GraftLake.enableDeletionVectors(path)
+      GraftLake.deleteDv(s, path, expr("pri = '5-LOW'"))
+      val dvPruned = GraftLake.lastDvScanSets == ((1, 2))
+      GraftLake.read(s, path)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("str_stats_ok", lit(dvPruned && scanPruned))
+        .orderBy(col("status"))
+    }),
     // IDENTITY COLUMNS: Delta's GENERATED ALWAYS AS IDENTITY — the
     // (start, step) coldef rides the log, allocation is start + step
     // × ordinal off the ROW-TRACKING high water (the race-free
@@ -3846,6 +3889,14 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS sql_part_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Orders minus the '5-LOW' slice; pruning flags pinned in-row.
+    "src53_string_stats" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS str_stats_ok
+        |FROM orders WHERE o_orderpriority <> '5-LOW'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Content-neutral orders replay grouped by status; the identity
     // arithmetic/uniqueness/refusals are pinned by the in-row flag.
     "src52_identity" ->

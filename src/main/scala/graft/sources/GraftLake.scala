@@ -2439,7 +2439,36 @@ object GraftLake {
   private[sources] def isPrunableType(dt: org.apache.spark.sql.types.DataType): Boolean =
     isIntegralType(dt) || dt == org.apache.spark.sql.types.DateType ||
       dt == org.apache.spark.sql.types.TimestampType ||
-      dt == org.apache.spark.sql.types.TimestampNTZType
+      dt == org.apache.spark.sql.types.TimestampNTZType ||
+      dt == org.apache.spark.sql.types.StringType
+
+  /** Whether a column's long image is EXACTLY INVERTIBLE (integral /
+    * date / timestamp — the image IS the internal value). STRING
+    * images are order-preserving but lossy (7-byte UTF-8 prefix, the
+    * Delta truncated-string-stats idea in long-image form): sound for
+    * OVERLAP and point-containment pruning, never for serving values
+    * back (metadata-answered MIN/MAX) or for ±1 bound sharpening.
+    */
+  private[sources] def isExactImage(dt: org.apache.spark.sql.types.DataType): Boolean =
+    isPrunableType(dt) && dt != org.apache.spark.sql.types.StringType
+
+  /** The JVM twin of [[statLongExpr]]'s STRING branch — first 7 UTF-8
+    * bytes big-endian (right zero-padded), always non-negative, and
+    * MONOTONE w.r.t. Spark's string comparison (UTF8 binary order):
+    * s <= t  ⇒  image(s) <= image(t). Literals in pruning predicates
+    * convert through this so both sides of every span test share one
+    * image.
+    */
+  private[graft] def stringPrefixImage(s: String): Long = {
+    val b = s.getBytes(UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v
+  }
 
   /** The canonical long image of a prunable column (see
     * [[isPrunableType]]): integral → value, DATE → epoch days,
@@ -2453,7 +2482,7 @@ object GraftLake {
     * Non-prunable types keep the legacy `cast(long)` (strings yield
     * NULL → stats dropped, conservative).
     */
-  private[sources] def statLongExpr(
+  private[graft] def statLongExpr(
       dt: org.apache.spark.sql.types.DataType,
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = dt match {
     case org.apache.spark.sql.types.DateType =>
@@ -2466,6 +2495,17 @@ object GraftLake {
         // SECOND extracts seconds WITH the fractional part as a
         // decimal — ×1e6 is the exact micros-of-minute
         (functions.date_part(lit("SECOND"), c) * lit(1000000L)).cast("long")
+    case org.apache.spark.sql.types.StringType =>
+      // ORDER-PRESERVING 7-byte UTF-8 prefix image (Delta's truncated
+      // string stats re-expressed in the long zone-map domain): first
+      // 7 bytes big-endian, right-padded with zero NIBBLES in hex so
+      // shorter strings sort below their extensions, always < 2^56 so
+      // never negative. Lossy — see [[isExactImage]] for what that
+      // permits. Must stay byte-identical to [[stringPrefixImage]].
+      functions.conv(
+        functions.rpad(functions.hex(
+          functions.substring(functions.encode(c, "UTF-8"), 1, 7)),
+          14, "0"), 16, 10).cast("long")
     case _ => c.cast("long")
   }
 
@@ -3791,6 +3831,12 @@ object GraftLake {
           // zone suffix DROPPED — exactly the cast the analyzer inserts.
           DateTimeUtils.stringToTimestampWithoutTimeZone(
             v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        // STRING columns prune in the order-preserving prefix image
+        // (lossy — comparisons stay sound for overlap/containment, and
+        // cmp() below skips ±1 sharpening for them).
+        case (org.apache.spark.sql.types.StringType,
+            Literal(v, org.apache.spark.sql.types.StringType)) if v != null =>
+          Some(stringPrefixImage(v.toString))
         case _ => None
       }
     }
@@ -3815,15 +3861,33 @@ object GraftLake {
           bind(b, a).map { case (c, x) => (c, x, Long.MaxValue) }.toSeq,
           Seq.empty)
       case ">" =>
-        (bind(a, b).collect { case (c, x) if x < Long.MaxValue =>
-          (c, x + 1, Long.MaxValue) }.toSeq ++
-          bind(b, a).collect { case (c, x) if x > Long.MinValue =>
-            (c, Long.MinValue, x - 1) }.toSeq, Seq.empty)
+        (bind(a, b).collect {
+          case (c, x) if !isExactImage(prunable(c)) =>
+            // Lossy (string) image: a longer value sharing the prefix
+            // has the SAME image, so strict > binds only as >=.
+            (c, x, Long.MaxValue)
+          case (c, x) if x < Long.MaxValue =>
+            (c, x + 1, Long.MaxValue)
+        }.toSeq ++
+          bind(b, a).collect {
+            case (c, x) if !isExactImage(prunable(c)) =>
+              (c, Long.MinValue, x)
+            case (c, x) if x > Long.MinValue =>
+              (c, Long.MinValue, x - 1)
+          }.toSeq, Seq.empty)
       case "<" =>
-        (bind(a, b).collect { case (c, x) if x > Long.MinValue =>
-          (c, Long.MinValue, x - 1) }.toSeq ++
-          bind(b, a).collect { case (c, x) if x < Long.MaxValue =>
-            (c, x + 1, Long.MaxValue) }.toSeq, Seq.empty)
+        (bind(a, b).collect {
+          case (c, x) if !isExactImage(prunable(c)) =>
+            (c, Long.MinValue, x)
+          case (c, x) if x > Long.MinValue =>
+            (c, Long.MinValue, x - 1)
+        }.toSeq ++
+          bind(b, a).collect {
+            case (c, x) if !isExactImage(prunable(c)) =>
+              (c, x, Long.MaxValue)
+            case (c, x) if x < Long.MaxValue =>
+              (c, x + 1, Long.MaxValue)
+          }.toSeq, Seq.empty)
       case _ => none
     }
     def inCons(a: Expression, vs: Seq[Expression]): Cons =

@@ -125,7 +125,9 @@ private[sources] class GraftLakeScanBuilder(
     }
     def extremeOf(c: String, isMin: Boolean): Option[(Any, DataType)] = {
       val dt = full(c).dataType
-      if (!GraftLake.isPrunableType(dt)) return None
+      // exactly-invertible images only: a STRING zone map is a lossy
+      // prefix — sound for skipping, never for serving values back
+      if (!GraftLake.isExactImage(dt)) return None
       val stats = snap.live.map(_.statsFor(c))
       if (stats.exists(_.isEmpty)) return None // a stat-less set could hide the extreme
       if (stats.isEmpty) return Some((null, dt)) // empty table: SQL min/max = NULL
@@ -357,9 +359,17 @@ object GraftLakeBatchSource {
           Some(DateTimeUtils.instantToMicros(t))
         case (Some(TimestampNTZType), t: java.time.LocalDateTime) =>
           Some(DateTimeUtils.localDateTimeToMicros(t))
+        // STRING columns: the order-preserving prefix image (lossy —
+        // the > / < cases below skip their ±1 sharpening for it).
+        case (Some(StringType), x: String) =>
+          Some(GraftLake.stringPrefixImage(x))
+        case (Some(StringType), x: org.apache.spark.unsafe.types.UTF8String) =>
+          Some(GraftLake.stringPrefixImage(x.toString))
         case _ => None
       }
     }
+    def exact(colName: String): Boolean =
+      kinds.get(colName).exists(GraftLake.isExactImage)
     type Cons = (Seq[(String, Long, Long)], Seq[(String, Seq[Long])])
     val none: Cons = (Seq.empty, Seq.empty)
     def go(f: Filter): Cons = f match {
@@ -378,11 +388,13 @@ object GraftLakeBatchSource {
         case None => none
       }
       case FGt(c, v) => longOf(c, v) match {
+        case Some(x) if !exact(c) => (Seq((c, x, Long.MaxValue)), Seq.empty)
         case Some(x) if x < Long.MaxValue =>
           (Seq((c, x + 1, Long.MaxValue)), Seq.empty)
         case _ => none
       }
       case FLt(c, v) => longOf(c, v) match {
+        case Some(x) if !exact(c) => (Seq((c, Long.MinValue, x)), Seq.empty)
         case Some(x) if x > Long.MinValue =>
           (Seq((c, Long.MinValue, x - 1)), Seq.empty)
         case _ => none

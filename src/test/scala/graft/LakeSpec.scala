@@ -649,13 +649,14 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("deleteKeys on string keys: no span pruning, mixed/numeric strings delete correctly") {
+  test("deleteKeys on string keys: stat-less sets scan conservatively, mixed/numeric strings delete correctly") {
     import spark.implicits._
-    // String keys are legal — the semi-join matches them — but numeric
-    // span pruning must be OFF: lexicographic min/max over strings can
-    // cast to an inverted span ("10" < "9" lexically), and mixed
-    // values ({"9","x"}) cast min non-null but max NULL (a min-only
-    // guard NPEs on getLong). Both deltas must scan-all and delete.
+    // String keys are legal — the semi-join matches them. This table
+    // records NO stats on `k`, so every delta scans all sets; the
+    // prefix-image spans (which make stats-bearing string keys prune
+    // soundly — LakeStringStatsSpec) never apply here. Mixed
+    // ({"9","x"}) and order-inverting numeric-string ({"10","30"})
+    // deltas must both delete exactly.
     val path = freshTable()
     GraftLake.create(
       (1L to 20L).map(i => (i.toString, i)).toDF("k", "v"), path)
