@@ -1131,6 +1131,48 @@ object SparkEntry {
             reorderRefused && bothPruned && nonPrefixPruned && described))
         .orderBy(col("o_orderstatus"))
     }),
+    // GENERATED-COLUMN TRANSITIVE PRUNING: Delta's generated-column
+    // partition pruning — the table records `bucket GENERATED ALWAYS
+    // AS (okey div 10000)` and carries zone maps ONLY on bucket; a
+    // predicate on the BASE column okey derives the bucket range
+    // (div by a positive literal is monotone), so both the DV delete
+    // and the DSv2 batch scan prune to the one overlapping set with
+    // ZERO stats on okey itself. Set boundaries are fixed values, so
+    // the (1, 2) flags hold at every SF. Oracle = orders minus the
+    // deleted base-column slice.
+    "src54_generated_pruning" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, GraftLakeBatchSource}
+      val path = scratch("graft_lake_genprune", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("bucket", expr("okey div 10000"))
+      GraftLake.create(o.filter(col("okey") < 20000L), path,
+        statsCols = Seq("bucket"))
+      GraftLake.append(o.filter(col("okey") >= 20000L &&
+        col("okey") < 40000L), path, statsCols = Seq("bucket"))
+      GraftLake.append(o.filter(col("okey") >= 40000L), path,
+        statsCols = Seq("bucket"))
+      GraftLake.recordColDefs(path, Seq.empty,
+        Seq("bucket" -> "okey div 10000"))
+      // batch scan: okey filter prunes ONLY via the derived bucket
+      // range (okey itself carries no stats)
+      val nHigh = s.read.format("graftlake").load(path)
+        .filter(col("okey") >= 40000L).count()
+      val scanPruned = nHigh > 0 &&
+        GraftLakeBatchSource.lastScanSets == ((1, 2))
+      GraftLake.enableDeletionVectors(path)
+      GraftLake.deleteDv(s, path, expr("okey < 20000"))
+      val dvPruned = GraftLake.lastDvScanSets == ((1, 2))
+      GraftLake.read(s, path)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("gen_prune_ok", lit(scanPruned && dvPruned))
+        .orderBy(col("status"))
+    }),
     // STRING ZONE MAPS: Delta's truncated string stats in long-image
     // form — statsCols on a STRING column record min/max of an
     // order-preserving 7-byte UTF-8 prefix image, so equality/range
@@ -3889,6 +3931,14 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS sql_part_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Orders minus the okey < 20000 slice; pruning flags in-row.
+    "src54_generated_pruning" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS gen_prune_ok
+        |FROM orders WHERE o_orderkey >= 20000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Orders minus the '5-LOW' slice; pruning flags pinned in-row.
     "src53_string_stats" ->
       """SELECT o_orderstatus AS status, count(*) AS n,

@@ -3666,7 +3666,7 @@ object GraftLake {
     require(s.version >= 0, s"no table at $path")
     val target = StructType.fromDDL(s.schemaDdl)
     val visible = visibleWithPositions(spark, path, s,
-      predicateConstraints(predicate, target))
+      predicateConstraints(predicate, target, s.generated))
       .getOrElse(return (s.version, 0L))
     val matching = visible.filter(coalesce(predicate, lit(false)))
       .localCheckpoint(true)
@@ -3730,7 +3730,8 @@ object GraftLake {
     * set's span). Returned as (ranges, equalities).
     */
   private[sources] def predicateConstraints(
-      predicate: Column, target: StructType)
+      predicate: Column, target: StructType,
+      generated: Map[String, String] = Map.empty)
       : (Seq[(String, Long, Long)], Seq[(String, Seq[Long])]) = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.{
@@ -3923,7 +3924,12 @@ object GraftLake {
         }
       case _ => none
     }
-    go(org.apache.spark.sql.GraftBridge.catalystExpression(predicate))
+    val cons = go(org.apache.spark.sql.GraftBridge.catalystExpression(predicate))
+    // Transitive generated-column pruning: base-column ranges derive
+    // ranges on recognized monotone generated columns, so a `ts`
+    // predicate prunes a `day GENERATED AS (ts div N)` layout.
+    (cons._1 ++ deriveGeneratedConstraints(cons._1, target, generated),
+      cons._2)
   }
 
   /** Does `ls` possibly hold a row satisfying constraints extracted
@@ -3933,6 +3939,77 @@ object GraftLake {
     * blooms have no false negatives). Missing stats or missing/corrupt
     * sidecars read conservatively.
     */
+  /** GENERATED-COLUMN TRANSITIVE PRUNING (Delta's generated-column
+    * partition pruning): a predicate on a BASE column derives range
+    * constraints on every generated column whose recorded expression
+    * is a recognized MONOTONE function of that base — so a `ts`
+    * predicate prunes a table laid out by `day GENERATED AS (ts div
+    * 86400)` without the user naming `day`. Recognized shapes (both
+    * sides evaluated in the SAME long-image domain the stats use):
+    *   - `b div N` (N > 0 literal) over an integral base — Spark's
+    *     `div` truncates toward zero, which is monotone for N > 0;
+    *   - `year(b)` over a DATE base (epoch-days image → civil year).
+    * Unbounded endpoints stay unbounded; anything unrecognized
+    * derives nothing (conservative).
+    */
+  private[sources] def deriveGeneratedConstraints(
+      ranges: Seq[(String, Long, Long)], target: StructType,
+      generated: Map[String, String]): Seq[(String, Long, Long)] = {
+    if (generated.isEmpty || ranges.isEmpty) return Seq.empty
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    def baseName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litLong(e: Expression): Option[Long] = e match {
+      case Literal(v, t) if v != null && isIntegralType(t) =>
+        Some(v.toString.toLong)
+      case _ => None
+    }
+    // (generated col, base col, monotone image function)
+    val rules: Seq[(String, String, Long => Long)] = generated.toSeq.flatMap {
+      case (g, sql) =>
+        val parsed = scala.util.Try(
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(sql)).toOption
+        val rule: Option[(String, Long => Long)] = parsed.flatMap {
+          case IntegralDivide(b, n, _) =>
+            for { bn <- baseName(b); nv <- litLong(n) if nv > 0
+                  f <- target.fields.find(_.name.equalsIgnoreCase(bn))
+                  if isIntegralType(f.dataType) }
+              yield (f.name, (x: Long) => x / nv)
+          case uf: UnresolvedFunction
+              if uf.nameParts.map(_.toLowerCase(java.util.Locale.ROOT))
+                == Seq("div") && uf.arguments.length == 2 =>
+            for { bn <- baseName(uf.arguments.head)
+                  nv <- litLong(uf.arguments(1)) if nv > 0
+                  f <- target.fields.find(_.name.equalsIgnoreCase(bn))
+                  if isIntegralType(f.dataType) }
+              yield (f.name, (x: Long) => x / nv)
+          case uf: UnresolvedFunction
+              if uf.nameParts.map(_.toLowerCase(java.util.Locale.ROOT))
+                == Seq("year") && uf.arguments.length == 1 =>
+            for { bn <- baseName(uf.arguments.head)
+                  f <- target.fields.find(_.name.equalsIgnoreCase(bn))
+                  if f.dataType == org.apache.spark.sql.types.DateType }
+              yield (f.name,
+                (d: Long) => java.time.LocalDate.ofEpochDay(d).getYear.toLong)
+          case _ => None
+        }
+        rule.map { case (b, fn) => (g, b, fn) }
+    }
+    ranges.flatMap { case (c, lo, hi) =>
+      rules.collect { case (g, b, fn) if b.equalsIgnoreCase(c) =>
+        (g,
+          if (lo == Long.MinValue) Long.MinValue else fn(lo),
+          if (hi == Long.MaxValue) Long.MaxValue else fn(hi))
+      }
+    }
+  }
+
   private[sources] def setMayMatch(
       path: String, ls: LiveSet,
       ranges: Seq[(String, Long, Long)],
@@ -4076,7 +4153,7 @@ object GraftLake {
     require(sets.map(_._1).distinct.size == sets.size,
       "UPDATE: duplicate assignment targets")
     val visible = visibleWithPositions(spark, path, s,
-      predicateConstraints(predicate, target))
+      predicateConstraints(predicate, target, s.generated))
       .getOrElse(return (s.version, 0L))
     val matching = visible.filter(coalesce(predicate, lit(false)))
       .localCheckpoint(true)
@@ -4385,7 +4462,7 @@ object GraftLake {
     // and equalities EXTRACTED from the predicate itself (zone maps +
     // Bloom sidecars), so a plain delete() on a laid-out or
     // bloom-indexed column prunes the same way with zero hints.
-    val (pRanges, pEqs) = predicateConstraints(predicate, target)
+    val (pRanges, pEqs) = predicateConstraints(predicate, target, s.generated)
     val ranges = pruneDisjoint.toSeq ++ pRanges
     val (candidates, skipped) =
       if (ranges.isEmpty && pEqs.isEmpty) (live, Seq.empty[LiveSet])
@@ -4468,7 +4545,7 @@ object GraftLake {
     // Manifest-level prune off the predicate's implied constraints
     // (zone maps for ranges, Bloom sidecars for equalities), then ONE
     // distributed job: per-set match counts (O(sets) driver rows).
-    val (pRanges, pEqs) = predicateConstraints(predicate, target)
+    val (pRanges, pEqs) = predicateConstraints(predicate, target, s.generated)
     val candidates =
       if (pRanges.isEmpty && pEqs.isEmpty) live
       else live.filter(setMayMatch(path, _, pRanges, pEqs))
@@ -4569,7 +4646,7 @@ object GraftLake {
       s"outstanding merge-on-read tombstones at $path: a scoped compact " +
         "cannot partially materialize them — run the full OPTIMIZE first")
     val target = StructType.fromDDL(s.schemaDdl)
-    val (pRanges, pEqs) = predicateConstraints(predicate, target)
+    val (pRanges, pEqs) = predicateConstraints(predicate, target, s.generated)
     val (hit, kept) =
       if (pRanges.isEmpty && pEqs.isEmpty) (s.live, Seq.empty[LiveSet])
       else s.live.partition(setMayMatch(path, _, pRanges, pEqs))

@@ -195,7 +195,12 @@ private[sources] class GraftLakeScanBuilder(
       GraftLakeBatchSource.lastScanSets = (0, snap.live.size)
       new GraftLakeAggScan(schema, row)
     case None =>
-      val (ranges, eqs) = GraftLakeBatchSource.constraintsOf(pushed, full)
+      val (ranges0, eqs) = GraftLakeBatchSource.constraintsOf(pushed, full)
+      // Transitive generated-column pruning (same rule as the
+      // mutation paths): a base-column filter derives ranges on the
+      // table's recognized monotone generated columns.
+      val ranges = ranges0 ++ GraftLake.deriveGeneratedConstraints(
+        ranges0, full, GraftLake.generatedColumnsOf(path))
       val (scan, skip) = snap.live.partition(
         GraftLake.setMayMatch(path, _, ranges, eqs))
       GraftLakeBatchSource.lastScanSets = (scan.size, skip.size)
