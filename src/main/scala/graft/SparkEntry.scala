@@ -1131,6 +1131,53 @@ object SparkEntry {
             reorderRefused && bothPruned && nonPrefixPruned && described))
         .orderBy(col("o_orderstatus"))
     }),
+    // STORAGE-PARTITIONED JOIN (Spark SPJ / DSv2 bucketed join): two
+    // lake tables laid out by the same key report
+    // KeyGroupedPartitioning (one input partition per value tuple,
+    // HasPartitionKey), so their equi-join plans WITHOUT any shuffle
+    // exchange under spark.sql.sources.v2.bucketing.enabled — at
+    // 100 TB this deletes the dominant exchange of co-partitioned
+    // fact-to-fact joins. Runs in a CLONED session so the conf flips
+    // cannot race concurrently-running gates. In-row flag pins the
+    // exchange-free plan; oracle replays the join.
+    "src55_spj" -> ((s0: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val s = s0.newSession()
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.shuffle.partitions", "32")
+      // join keys (bucket, okey) are a SUPERSET of the partition key —
+      // co-partitioning on the bucket prefix still applies, but only
+      // when Spark is allowed to cluster on a key subset
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val pa = scratch("graft_lake_spj_a", dir)
+      val pb = scratch("graft_lake_spj_b", dir)
+      rmrf(pa); rmrf(pb)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.appendPartitionedBy(o, pa, Seq("bucket"))
+      GraftLake.setPartitionColumns(pa, Seq("bucket"))
+      GraftLake.appendPartitionedBy(
+        o.filter(col("okey") % 3 === 0)
+          .withColumn("disc", expr("cents div 2")).drop("cents"),
+        pb, Seq("bucket"))
+      GraftLake.setPartitionColumns(pb, Seq("bucket"))
+      val a = s.read.format("graftlake").load(pa)
+      val b = s.read.format("graftlake").load(pb)
+      val j = a.join(b, Seq("bucket", "okey"))
+      // EnsureRequirements inserts exchanges before AQE runs, so the
+      // un-executed physical plan already proves SPJ applied.
+      val shuffleFree = !j.queryExecution.executedPlan.toString
+        .contains("Exchange")
+      j.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents") + col("disc")).as("s"))
+        .withColumn("spj_ok", lit(shuffleFree))
+        .orderBy(col("bucket"))
+    }),
     // GENERATED-COLUMN TRANSITIVE PRUNING: Delta's generated-column
     // partition pruning — the table records `bucket GENERATED ALWAYS
     // AS (okey div 10000)` and carries zone maps ONLY on bucket; a
@@ -3931,6 +3978,19 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS sql_part_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The co-partitioned join replay; the shuffle-free plan flag is
+    // pinned in-row.
+    "src55_spj" ->
+      """WITH a AS (SELECT o_orderkey AS okey, o_orderkey % 8 AS bucket,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT o_orderkey AS okey, o_orderkey % 8 AS bucket,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) // 2 AS disc
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT a.bucket, count(*) AS n,
+        |  CAST(sum(a.cents + b.disc) AS BIGINT) AS s, TRUE AS spj_ok
+        |FROM a JOIN b ON a.bucket = b.bucket AND a.okey = b.okey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Orders minus the okey < 20000 slice; pruning flags in-row.
     "src54_generated_pruning" ->
       """SELECT o_orderstatus AS status, count(*) AS n,

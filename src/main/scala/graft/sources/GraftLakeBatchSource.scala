@@ -211,43 +211,124 @@ private[sources] class GraftLakeScanBuilder(
 
 private[sources] class GraftLakeBatchScan(
     path: String, sets: Seq[GraftLake.LiveSet], required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    import java.nio.file.{Files, Paths}
-    sets.flatMap { ls =>
-      val dir = Paths.get(path, ls.set)
-      val top = Files.list(dir).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .sortBy(_.toString)
-      if (top.nonEmpty)
-        top.map(f => LakeFilePartition(f.toString, ls.schemaDdl, -1)
-          : InputPartition)
-      else {
-        // padd set: hive-encoded partition subdirs (one level per
-        // layout column); the values are per-partition constants
-        // absent from the parquet bytes.
-        GraftLake.hiveLeaves(dir).filter(_._2.nonEmpty)
-          .flatMap { case (d, consts) =>
-            val partNames = consts.map(_._1).toSet
-            val written = StructType.fromDDL(ls.schemaDdl)
-            val minusPart =
-              StructType(written.fields.filterNot(f => partNames(f.name)))
-            Files.list(d).iterator().asScala.toSeq
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .sortBy(_.toString)
-              .map(f => LakeFilePartition(f.toString, minusPart.toDDL, -1,
-                constLongs = consts): InputPartition)
-          }
-      }
-    }.toArray
+  /** STORAGE-PARTITIONED JOINS (Spark's SPJ, the DSv2 bucketed-join):
+    * when the table has a recorded layout, every planned set is
+    * PINNED (min==max) on all layout columns, and the session opted
+    * into `spark.sql.sources.v2.bucketing.enabled`, the scan reports
+    * `KeyGroupedPartitioning` over the layout columns and plans ONE
+    * input partition per value tuple (`HasPartitionKey`). Two lake
+    * tables laid out by the same key then JOIN WITHOUT A SHUFFLE —
+    * at 100 TB that deletes the dominant exchange of every
+    * fact-to-fact co-partitioned join. When the conf is off (or any
+    * set is unpinned) the scan keeps one-partition-per-FILE
+    * parallelism and reports nothing.
+    */
+  private def spjLayout: Option[Seq[(String, DataType)]] = {
+    if (!org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
+        .equalsIgnoreCase("true")) return None
+    val layout = GraftLake.partitionColumnsOf(path)
+    if (layout.isEmpty || sets.isEmpty) return None
+    // every layout column must be in the scan output for Spark to
+    // resolve the reported keys, and every set must be pinned
+    val typed = layout.map(c =>
+      required.fields.find(_.name.equalsIgnoreCase(c)).map(f => f.name -> f.dataType))
+    if (typed.exists(_.isEmpty)) return None
+    if (!sets.forall(ls => layout.forall(pc =>
+      ls.statsFor(pc).exists(st => st.min == st.max)))) return None
+    Some(typed.flatten)
   }
+
+  private def keyOf(ls: GraftLake.LiveSet, layout: Seq[String]): Seq[Long] =
+    layout.map(pc => ls.statsFor(pc).get.min)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjLayout match {
+      case Some(typed) =>
+        val groups = sets.groupBy(keyOf(_, typed.map(_._1))).size
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            typed.map { case (c, _) =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(c): org.apache.spark.sql.connector.expressions.Expression
+            }.toArray, groups)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  /** All file partitions of one set (per-file granularity). */
+  private def setFilePartitions(ls: GraftLake.LiveSet): Seq[LakeFilePartition] = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(path, ls.set)
+    val top = Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.toString)
+    if (top.nonEmpty)
+      top.map(f => LakeFilePartition(f.toString, ls.schemaDdl, -1))
+    else {
+      // padd set: hive-encoded partition subdirs (one level per
+      // layout column); the values are per-partition constants
+      // absent from the parquet bytes.
+      GraftLake.hiveLeaves(dir).filter(_._2.nonEmpty)
+        .flatMap { case (d, consts) =>
+          val partNames = consts.map(_._1).toSet
+          val written = StructType.fromDDL(ls.schemaDdl)
+          val minusPart =
+            StructType(written.fields.filterNot(f => partNames(f.name)))
+          Files.list(d).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.toString)
+            .map(f => LakeFilePartition(f.toString, minusPart.toDDL, -1,
+              constLongs = consts))
+        }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    spjLayout match {
+      case Some(typed) =>
+        sets.groupBy(keyOf(_, typed.map(_._1))).toSeq.sortBy(_._1.mkString(","))
+          .map { case (key, group) =>
+            LakeKeyedPartition(group.flatMap(setFilePartitions),
+              key, typed.map(_._2.catalogString)): InputPartition
+          }.toArray
+      case None => sets.flatMap(setFilePartitions(_): Seq[InputPartition]).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeFileReaderFactory(required)
+}
+
+/** One partition VALUE TUPLE's worth of files — the SPJ grouping.
+  * `partitionKey` serves the tuple typed per the layout columns'
+  * catalog types (driver-side; Spark groups and matches both join
+  * sides by these rows).
+  */
+private[sources] case class LakeKeyedPartition(
+    files: Seq[LakeFilePartition], keyVals: Seq[Long], keyTypes: Seq[String])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = {
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(keyVals.length)
+    keyVals.zip(keyTypes).zipWithIndex.foreach { case ((v, t), i) =>
+      t match {
+        case "int" | "date" => row.update(i, v.toInt)
+        case "smallint" => row.update(i, v.toShort)
+        case "tinyint" => row.update(i, v.toByte)
+        case _ => row.update(i, v)
+      }
+    }
+    row
+  }
 }
 
 /** The metadata-answered aggregate scan: ONE partition emitting the

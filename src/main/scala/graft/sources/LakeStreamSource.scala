@@ -344,7 +344,28 @@ private[sources] case class LakeFilePartition(
 private[sources] class LakeFileReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new LakeFileReader(p.asInstanceOf[LakeFilePartition], required)
+    p match {
+      // SPJ grouping: one partition VALUE's files read sequentially.
+      case k: LakeKeyedPartition =>
+        new PartitionReader[InternalRow] {
+          private val it = k.files.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!it.hasNext) return false
+                cur = new LakeFileReader(it.next(), required)
+              }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case f: LakeFilePartition => new LakeFileReader(f, required)
+    }
 }
 
 /** Executor-side parquet decode of one part-file via parquet-hadoop's

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftLake
+
+/** Storage-partitioned joins: two lake tables laid out by the same
+  * key report KeyGroupedPartitioning (one input partition per value
+  * tuple, HasPartitionKey) and join WITHOUT a shuffle under
+  * `spark.sql.sources.v2.bucketing.enabled` — Spark's SPJ, the DSv2
+  * answer to bucketed joins. With the conf off, the scan keeps
+  * per-file parallelism and reports nothing.
+  */
+class LakeSpjSpec extends AnyFunSuite with SparkSpec {
+
+  private def mk(base: java.nio.file.Path, name: String, rows: Int): String = {
+    import spark.implicits._
+    val p = base.resolve(name).toString
+    val df = (0 until rows)
+      .map(i => (i.toLong, (i % 4).toLong, i * 10L))
+      .toDF("id", "bucket", "v")
+    GraftLake.appendPartitionedBy(df, p, Seq("bucket"))
+    GraftLake.setPartitionColumns(p, Seq("bucket"))
+    p
+  }
+
+  test("same-layout tables join with zero exchanges; content exact") {
+    val base = Files.createTempDirectory("graft-spj")
+    val p1 = mk(base, "a", 40)
+    val p2 = mk(base, "b", 24)
+    val prevBucketing =
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = spark.read.format("graftlake").load(p1)
+        .select(col("bucket"), col("v").as("va"))
+      val b = spark.read.format("graftlake").load(p2)
+        .select(col("bucket"), col("v").as("vb"))
+      val j = a.join(b, Seq("bucket"))
+      val got = j.agg(count(lit(1)), sum(col("va") + col("vb"))).head
+      // ground truth: per-bucket 10x6 pairs
+      assert(got.getLong(0) == 4L * 10 * 6)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-partitioned lake join must not shuffle:\n$plan")
+    } finally {
+      prevBucketing.fold(
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      prevBroadcast.fold(
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("with the conf off the scan keeps per-file parallelism") {
+    val base = Files.createTempDirectory("graft-spj-off")
+    val p1 = mk(base, "a", 40)
+    val df = spark.read.format("graftlake").load(p1)
+    // 4 value partitions but per-file planning: at least 4 tasks, and
+    // the scan reports no partitioning (content still exact)
+    assert(df.count() == 40)
+    assert(df.rdd.getNumPartitions >= 4)
+  }
+}
