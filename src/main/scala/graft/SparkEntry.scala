@@ -1131,6 +1131,37 @@ object SparkEntry {
             reorderRefused && bothPruned && nonPrefixPruned && described))
         .orderBy(col("o_orderstatus"))
     }),
+    // GROUPED AGGREGATE PUSHDOWN: `GROUP BY <layout cols>` + COUNT(*)
+    // / MIN / MAX answers from MANIFESTS AND FOOTERS ALONE — every
+    // live set is pinned on the group-by columns, so the groups ARE
+    // the per-tuple set groups and each group's aggregates resolve
+    // from its own zone maps + footer record counts: ZERO data tasks
+    // at any table size (the per-partition rollup every 100 TB
+    // dashboard runs hourly). In-row flag pins the pushdown + the
+    // zero-data-task plan. Oracle replays the rollup.
+    "src56_grouped_agg" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, GraftLakeBatchSource}
+      val path = scratch("graft_lake_groupagg", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+      GraftLake.appendPartitionedBy(o, path, Seq("bucket"),
+        statsCols = Seq("okey"))
+      GraftLake.setPartitionColumns(path, Seq("bucket"))
+      GraftLakeBatchSource.lastAggPushed = false
+      val got = s.read.format("graftlake").load(path)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("okey")).as("lo"),
+          max(col("okey")).as("hi"))
+      val rows = got.collect() // materialize so the flags are real
+      val pushed = GraftLakeBatchSource.lastAggPushed &&
+        GraftLakeBatchSource.lastScanSets._1 == 0
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
+        .withColumn("grouped_agg_ok", lit(pushed))
+        .orderBy(col("bucket"))
+    }),
     // STORAGE-PARTITIONED JOIN (Spark SPJ / DSv2 bucketed join): two
     // lake tables laid out by the same key report
     // KeyGroupedPartitioning (one input partition per value tuple,
@@ -3977,6 +4008,12 @@ object SparkEntry {
         |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
         |    AS BIGINT) AS cents,
         |  TRUE AS sql_part_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The per-partition rollup replay; pushdown flag pinned in-row.
+    "src56_grouped_agg" ->
+      """SELECT o_orderkey % 8 AS bucket, count(*) AS n,
+        |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  TRUE AS grouped_agg_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // The co-partitioned join replay; the shuffle-free plan flag is
     // pinned in-row.

@@ -97,8 +97,9 @@ private[sources] class GraftLakeScanBuilder(
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   // Aggregation answered from METADATA alone: (partial-agg schema,
-  // the one precomputed row). Set only when every function resolves.
-  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  // the precomputed rows — one ungrouped row, or one row per
+  // partition-value group). Set only when every function resolves.
+  private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
 
   /** MIN/MAX from the manifest zone maps, COUNT(*) from the parquet
     * footers — ZERO data tasks at any table size. Partial pushdown:
@@ -116,35 +117,37 @@ private[sources] class GraftLakeScanBuilder(
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    if (pushed.nonEmpty) return false
     def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
         full.fieldNames.find(_.equalsIgnoreCase(r.fieldNames.head))
       case _ => None
     }
-    def extremeOf(c: String, isMin: Boolean): Option[(Any, DataType)] = {
+    // The value a recorded image stands for, re-typed to the column —
+    // exactly-invertible images only (a STRING zone map is a lossy
+    // prefix: sound for skipping, never for serving values back).
+    def valueOf(img: Long, dt: DataType): Any = dt match {
+      case ByteType => img.toByte
+      case ShortType => img.toShort
+      case IntegerType | DateType => img.toInt
+      case _ => img // Long, Timestamp (micros), NTZ (local micros)
+    }
+    def extremeOf(sets: Seq[GraftLake.LiveSet], c: String, isMin: Boolean)
+        : Option[(Any, DataType)] = {
       val dt = full(c).dataType
-      // exactly-invertible images only: a STRING zone map is a lossy
-      // prefix — sound for skipping, never for serving values back
       if (!GraftLake.isExactImage(dt)) return None
-      val stats = snap.live.map(_.statsFor(c))
+      val stats = sets.map(_.statsFor(c))
       if (stats.exists(_.isEmpty)) return None // a stat-less set could hide the extreme
       if (stats.isEmpty) return Some((null, dt)) // empty table: SQL min/max = NULL
       val img =
         if (isMin) stats.flatten.map(_.min).min else stats.flatten.map(_.max).max
-      val v: Any = dt match {
-        case ByteType => img.toByte
-        case ShortType => img.toShort
-        case IntegerType | DateType => img.toInt
-        case _ => img // Long, Timestamp (micros), NTZ (local micros)
-      }
-      Some((v, dt))
+      Some((valueOf(img, dt), dt))
     }
-    def footerCount(): Option[Long] = {
+    def footerCount(sets: Seq[GraftLake.LiveSet]): Option[Long] = {
       import java.nio.file.{Files, Paths}
       import org.apache.hadoop.conf.Configuration
-      try Some(snap.live.map { ls =>
+      try Some(sets.map { ls =>
         val dir = Paths.get(path, ls.set)
         def filesUnder(d: java.nio.file.Path): Seq[java.nio.file.Path] =
           Files.walk(d).iterator().asScala.toSeq
@@ -158,18 +161,67 @@ private[sources] class GraftLakeScanBuilder(
       }.sum)
       catch { case scala.util.control.NonFatal(_) => None }
     }
-    val resolved: Seq[Option[(Any, DataType)]] =
-      agg.aggregateExpressions.toSeq.map {
-        case _: CountStar => footerCount().map(n => (n: Any, LongType))
-        case m: Min => colNameOf(m.column).flatMap(extremeOf(_, isMin = true))
-        case m: Max => colNameOf(m.column).flatMap(extremeOf(_, isMin = false))
+    def rowFor(sets: Seq[GraftLake.LiveSet]): Option[Seq[(Any, DataType)]] = {
+      val resolved = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => footerCount(sets).map(n => (n: Any, LongType))
+        case m: Min => colNameOf(m.column).flatMap(extremeOf(sets, _, isMin = true))
+        case m: Max => colNameOf(m.column).flatMap(extremeOf(sets, _, isMin = false))
         case _ => None
       }
-    if (resolved.exists(_.isEmpty)) return false
-    val fields = resolved.zipWithIndex.map { case (r, i) =>
-      StructField(s"agg_$i", r.get._2, nullable = true)
+      if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
     }
-    aggAnswer = Some((StructType(fields), resolved.map(_.get._1)))
+    // GROUP BY pushdown: when every group-by expression is a column
+    // on which EVERY live set is PINNED (min==max, exact image — the
+    // partition-layout shape), the groups ARE the per-tuple set
+    // groups, and each group's aggregates resolve from its own
+    // manifests/footers: `SELECT day, region, count(*), max(id) FROM t
+    // GROUP BY day, region` runs ZERO data tasks at any table size.
+    val groupCols: Option[Seq[String]] = {
+      val named = agg.groupByExpressions.toSeq.map(colNameOf)
+      if (named.exists(_.isEmpty)) None else Some(named.flatten)
+    }
+    groupCols match {
+      case None => return false
+      case Some(gs) if gs.isEmpty =>
+        rowFor(snap.live) match {
+          case None => return false
+          case Some(row) =>
+            val fields = row.zipWithIndex.map { case ((_, dt), i) =>
+              StructField(s"agg_$i", dt, nullable = true)
+            }
+            aggAnswer = Some((StructType(fields), Seq(row.map(_._1))))
+        }
+      case Some(gs) =>
+        val pinnedOk = gs.forall { g =>
+          GraftLake.isExactImage(full(g).dataType) &&
+            snap.live.forall(_.statsFor(g).exists(st => st.min == st.max))
+        }
+        if (!pinnedOk) return false
+        val groups = snap.live
+          .groupBy(ls => gs.map(g => ls.statsFor(g).get.min))
+          .toSeq.sortBy(_._1.mkString(","))
+        val rows = groups.map { case (key, sets) =>
+          rowFor(sets).map { aggVals =>
+            gs.zip(key).map { case (g, img) =>
+              (valueOf(img, full(g).dataType), full(g).dataType)
+            } ++ aggVals
+          }
+        }
+        if (rows.exists(_.isEmpty)) return false
+        // schema is derivable without rows (empty table → zero groups)
+        val aggTypes = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => Some(LongType)
+          case m: Min => colNameOf(m.column).map(full(_).dataType)
+          case m: Max => colNameOf(m.column).map(full(_).dataType)
+          case _ => None
+        }
+        if (aggTypes.exists(_.isEmpty)) return false
+        val fields = gs.map(g => StructField(g, full(g).dataType,
+          nullable = true)) ++
+          aggTypes.zipWithIndex.map { case (dt, i) =>
+            StructField(s"agg_$i", dt.get, nullable = true) }
+        aggAnswer = Some((StructType(fields), rows.map(_.get.map(_._1))))
+    }
     GraftLakeBatchSource.lastAggPushed = true
     true
   }
@@ -191,9 +243,9 @@ private[sources] class GraftLakeScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = aggAnswer match {
-    case Some((schema, row)) =>
+    case Some((schema, rows)) =>
       GraftLakeBatchSource.lastScanSets = (0, snap.live.size)
-      new GraftLakeAggScan(schema, row)
+      new GraftLakeAggScan(schema, rows)
     case None =>
       val (ranges0, eqs) = GraftLakeBatchSource.constraintsOf(pushed, full)
       // Transitive generated-column pruning (same rule as the
@@ -335,18 +387,18 @@ private[sources] case class LakeKeyedPartition(
   * ONE precomputed partial row — no file is opened, no data task
   * runs; Spark's final merge agg consumes it.
   */
-private[sources] class GraftLakeAggScan(schema: StructType, row: Seq[Any])
+private[sources] class GraftLakeAggScan(schema: StructType, rows: Seq[Seq[Any]])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftLakeAggPartition(schema.toDDL, row.map {
+    Array(GraftLakeAggPartition(schema.toDDL, rows.map(_.map {
       case null => null
       case b: Byte => b.toLong
       case s: Short => s.toLong
       case i: Int => i.toLong
       case l: Long => l
-    }))
+    })))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition)
@@ -356,20 +408,20 @@ private[sources] class GraftLakeAggScan(schema: StructType, row: Seq[Any])
         val st = StructType.fromDDL(part.ddl)
         new org.apache.spark.sql.connector.read.PartitionReader[
             org.apache.spark.sql.catalyst.InternalRow] {
-          private var served = false
-          override def next(): Boolean = { val r = !served; served = true; r }
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < part.rows.length }
           override def get(): org.apache.spark.sql.catalyst.InternalRow = {
             val out = new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(st.length)
-            part.values.zipWithIndex.foreach {
-              case (null, i) => out.update(i, null)
-              case (l: Long, i) => st(i).dataType match {
-                case ByteType => out.update(i, l.toByte)
-                case ShortType => out.update(i, l.toShort)
-                case IntegerType | DateType => out.update(i, l.toInt)
-                case _ => out.update(i, l)
+            part.rows(i).zipWithIndex.foreach {
+              case (null, j) => out.update(j, null)
+              case (l: Long, j) => st(j).dataType match {
+                case ByteType => out.update(j, l.toByte)
+                case ShortType => out.update(j, l.toShort)
+                case IntegerType | DateType => out.update(j, l.toInt)
+                case _ => out.update(j, l)
               }
-              case (v, i) => out.update(i, v)
+              case (v, j) => out.update(j, v)
             }
             out
           }
@@ -381,7 +433,7 @@ private[sources] class GraftLakeAggScan(schema: StructType, row: Seq[Any])
 
 /** Serialized as longs (the images); re-typed executor-side. */
 private[sources] case class GraftLakeAggPartition(
-    ddl: String, values: Seq[Any]) extends InputPartition
+    ddl: String, rows: Seq[Seq[Any]]) extends InputPartition
 
 object GraftLakeBatchSource {
 

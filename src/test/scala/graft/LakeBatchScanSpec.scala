@@ -140,4 +140,35 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
     val r3 = df.agg(max(col("tag"))).head
     assert(!GraftLakeBatchSource.lastAggPushed && r3.getString(0) == "t90")
   }
+
+  test("GROUP BY partition columns answers from manifests — zero data tasks") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-groupagg")
+      .resolve("t").toString
+    val df0 = (0 until 120)
+      .map(i => (i.toLong, (i % 4).toLong, i * 3L)).toDF("id", "bucket", "v")
+    GraftLake.appendPartitionedBy(df0, p, Seq("bucket"), statsCols = Seq("id"))
+    GraftLake.setPartitionColumns(p, Seq("bucket"))
+    GraftLakeBatchSource.lastAggPushed = false
+    val lake = spark.read.format("graftlake").load(p)
+    val got = lake.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+        max(col("id")).as("hi"))
+      .orderBy(col("bucket")).collect()
+    assert(GraftLakeBatchSource.lastAggPushed,
+      "grouped aggregation over pinned layout columns must push down")
+    assert(got.length == 4)
+    got.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) == 30L)
+      assert(r.getLong(2) == b) // min id in bucket b is b itself
+      assert(r.getLong(3) == 116L + b)
+    }
+    // grouping by a NON-pinned column must not push — real scan,
+    // same answers
+    GraftLakeBatchSource.lastAggPushed = false
+    val byV = lake.groupBy(col("v")).agg(count(lit(1))).collect()
+    assert(!GraftLakeBatchSource.lastAggPushed)
+    assert(byV.length == 120)
+  }
 }
