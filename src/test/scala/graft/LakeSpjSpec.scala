@@ -59,6 +59,29 @@ class LakeSpjSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("group-by over the layout key aggregates without an exchange too") {
+    val base = Files.createTempDirectory("graft-spj-agg")
+    val p1 = mk(base, "a", 40)
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val df = spark.read.format("graftlake").load(p1)
+      // sum(v) is not metadata-answerable, so this is a REAL per-task
+      // aggregation — but the key-grouped partitioning satisfies the
+      // clustered distribution, so no shuffle is needed
+      val g = df.groupBy(col("bucket")).agg(sum(col("v")).as("s"))
+      val rows = g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+      assert(rows(0L) == (0 until 40 by 4).map(_ * 10L).sum)
+      val plan = g.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"key-grouped aggregation must not shuffle:\n$plan")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+    }
+  }
+
   test("with the conf off the scan keeps per-file parallelism") {
     val base = Files.createTempDirectory("graft-spj-off")
     val p1 = mk(base, "a", 40)
