@@ -105,6 +105,7 @@ object SparkEntry {
     "d36_lm_perplexity" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d36LmPerplexity(s, d)),
     "d37_sentence_dedup" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d37SentenceDedup(s, d)),
     "d38_substring_dedup" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d38SubstringDedup(s, d)),
+    "d39_nb_classifier" -> ((s: SparkSession, d: String) => graft.operators.Classifier.d39NbClassifier(s, d)),
     "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
@@ -1139,6 +1140,63 @@ object SparkEntry {
     // at any table size (the per-partition rollup every 100 TB
     // dashboard runs hourly). In-row flag pins the pushdown + the
     // zero-data-task plan. Oracle replays the rollup.
+    // TYPE WIDENING (Delta's type-widening table feature): a writer
+    // arriving with a WIDER type on the lossless ladder (int->long,
+    // float->double) widens the table schema in place — zero bytes
+    // rewritten; pre-existing narrow file-sets serve the wide type by
+    // a pure cast in both the DataFrame read and the DSv2 batch scan
+    // (which decodes each file under its own written type). Any other
+    // type change refuses loudly. In-row flags pin the widened
+    // schema, the refusal, and DSv2/API agreement; the oracle replays
+    // the two-era union with the same casts.
+    "src57_type_widening" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_widen", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+      // era 1: the narrow writer (INT key, FLOAT price)
+      GraftLake.create(
+        o.filter(pmod(col("okey"), lit(2L)) === 0)
+          .select(col("okey").cast("int").as("okey"), col("status"),
+            col("price").cast("float").as("price")), path)
+      // era 2: the wide writer arrives — the schema widens in place
+      GraftLake.append(
+        o.filter(pmod(col("okey"), lit(2L)) === 1)
+          .select(col("okey").cast("long").as("okey"), col("status"),
+            col("price").cast("double").as("price")), path)
+      val st = org.apache.spark.sql.types.StructType
+        .fromDDL(GraftLake.snapshot(path).schemaDdl)
+      val widened = st("okey").dataType == LongType &&
+        st("price").dataType == DoubleType
+      // off-ladder evolution (long -> string) refuses loudly
+      val refuse =
+        try {
+          GraftLake.append(o.limit(1)
+            .select(col("okey").cast("string").as("okey"), col("status"),
+              col("price").cast("double").as("price")), path)
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("cannot change type") }
+      // the DSv2 batch scan decodes the narrow era's files under
+      // their written types and widens per value
+      val api = GraftLake.read(s, path)
+        .agg(count(lit(1)), sum(col("okey"))).first
+      val dsv = s.read.format("graftlake").load(path)
+        .agg(count(lit(1)), sum(col("okey"))).first
+      GraftLake.read(s, path)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("okey")).as("sum_okey"),
+          min(col("price")).as("lo"), max(col("price")).as("hi"))
+        .withColumn("widen_ok", lit(widened))
+        .withColumn("refuse_ok", lit(refuse))
+        .withColumn("dsv2_ok", lit(api == dsv))
+        .orderBy(col("status"))
+    }),
     "src56_grouped_agg" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.{GraftLake, GraftLakeBatchSource}
@@ -3523,6 +3581,7 @@ object SparkEntry {
     "d36_lm_perplexity" -> graft.operators.TextCorpus.d36OracleSql,
     "d37_sentence_dedup" -> graft.operators.TextCorpus.d37OracleSql,
     "d38_substring_dedup" -> graft.operators.TextCorpus.d38OracleSql,
+    "d39_nb_classifier" -> graft.operators.Classifier.d39OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->
@@ -4009,6 +4068,23 @@ object SparkEntry {
         |    AS BIGINT) AS cents,
         |  TRUE AS sql_part_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Two-era widened union replay: era 1 written narrow (INT/FLOAT)
+    // and served through the lossless widening cast, era 2 wide.
+    // Schema/refusal/DSv2 flags pinned in-row.
+    "src57_type_widening" ->
+      """WITH a AS (SELECT CAST(o_orderkey AS INTEGER) AS okey,
+        |    o_orderstatus AS status, CAST(o_totalprice AS FLOAT) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |u AS (SELECT CAST(okey AS BIGINT) AS okey, status,
+        |    CAST(price AS DOUBLE) AS price FROM a
+        |  UNION ALL SELECT okey, status, price FROM b)
+        |SELECT status, count(*) AS n, CAST(sum(okey) AS BIGINT) AS sum_okey,
+        |  min(price) AS lo, max(price) AS hi,
+        |  TRUE AS widen_ok, TRUE AS refuse_ok, TRUE AS dsv2_ok
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // The per-partition rollup replay; pushdown flag pinned in-row.
     "src56_grouped_agg" ->
       """SELECT o_orderkey % 8 AS bucket, count(*) AS n,

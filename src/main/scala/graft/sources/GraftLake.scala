@@ -7,7 +7,7 @@ import scala.util.matching.Regex
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions}
 import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** A minimal ACID table format over parquet — the "lakehouse" surface
   * the plain directory layouts (Sources.scala) don't give: snapshot
@@ -1912,20 +1912,45 @@ object GraftLake {
     * and type; genuinely new columns append. A type CONFLICT on an
     * existing column is an error — silent coercion is how lakes rot.
     */
+  /** TYPE WIDENING ladder (Delta's type-widening table feature):
+    * whether values written as `from` read losslessly as `to`.
+    * Integral byte < short < int < long, plus float -> double — every
+    * step is exact (an int32 is representable in an int64; a float's
+    * value IS a double value), so old files serve the wide type by a
+    * pure cast with zero rewrite.
+    */
+  private[sources] def widensTo(from: DataType, to: DataType): Boolean = {
+    val ladder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    val (a, b) = (ladder.indexOf(from), ladder.indexOf(to))
+    if (a >= 0 && b >= 0) a < b
+    else from == FloatType && to == DoubleType
+  }
+
   private[sources] def mergeSchemas(old: StructType, next: StructType): StructType = {
     val byName = next.fields.map(f => f.name -> f).toMap
-    old.fields.foreach { f =>
-      byName.get(f.name).foreach { g =>
-        require(g.dataType == f.dataType,
+    val merged = old.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(g) if g.dataType == f.dataType => f
+        // WIDENING evolution: a writer arriving with the wider type
+        // widens the TABLE schema; pre-existing narrow file-sets read
+        // through a lossless cast (projectToTarget / the DSv2 reader).
+        case Some(g) if widensTo(f.dataType, g.dataType) =>
+          f.copy(dataType = g.dataType)
+        // A NARROW writer against a wide table schema: the files land
+        // narrow and read up — the table schema is unchanged.
+        case Some(g) if widensTo(g.dataType, f.dataType) => f
+        case Some(g) => throw new IllegalArgumentException(
           s"schema evolution cannot change type of '${f.name}': " +
-            s"${f.dataType} -> ${g.dataType}")
+            s"${f.dataType} -> ${g.dataType} (only lossless widening — " +
+            "byte<short<int<long, float<double — evolves)")
+        case None => f
       }
     }
     val oldNames = old.fieldNames.toSet
     // Columns JOINING the schema must be nullable whatever the writer
     // declared: every pre-existing file-set null-fills them, so a
     // NOT NULL added column would be unsatisfiable history.
-    StructType(old.fields ++
+    StructType(merged ++
       next.fields.filterNot(f => oldNames(f.name)).map(_.copy(nullable = true)))
   }
 
@@ -2338,7 +2363,16 @@ object GraftLake {
     raw.select((extra ++ target.fields.toSeq.map { f =>
       (f.name +: renames.getOrElse(f.name, Seq.empty))
         .find(ownNames) match {
-          case Some(phys) => col(phys).as(f.name)
+          case Some(phys) if own(phys).dataType == f.dataType =>
+            col(phys).as(f.name)
+          case Some(phys) =>
+            // Narrow file-set under a WIDENED table schema: serve the
+            // wide type by a lossless cast. Any other mismatch is a
+            // logic error — mergeSchemas admits only the ladder.
+            require(widensTo(own(phys).dataType, f.dataType),
+              s"set schema type ${own(phys).dataType} of '$phys' does not " +
+                s"widen to table type ${f.dataType} of '${f.name}'")
+            col(phys).cast(f.dataType).as(f.name)
           case None => lit(null).cast(f.dataType).as(f.name)
         }
     }).toIndexedSeq: _*)

@@ -450,21 +450,43 @@ private[sources] class LakeFileReader(
         if (current.getFieldRepetitionCount(gi) == 0) {
           row.update(i, null)
         } else {
-          f.dataType match {
-            case LongType => row.update(i, current.getLong(gi, 0))
-            case IntegerType => row.update(i, current.getInteger(gi, 0))
-            case DoubleType => row.update(i, current.getDouble(gi, 0))
-            case BooleanType => row.update(i, current.getBoolean(gi, 0))
-            case StringType =>
-              row.update(i, UTF8String.fromString(current.getString(gi, 0)))
-            case DateType => row.update(i, current.getInteger(gi, 0))
+          // Decode with the type the file was WRITTEN under, then
+          // widen to the read type when the table schema evolved —
+          // the lossless ladder mergeSchemas admits (int->long,
+          // float->double); anything else refuses loudly.
+          val wt = written(f.name).dataType
+          val v: Any = wt match {
+            case LongType => current.getLong(gi, 0)
+            case IntegerType => current.getInteger(gi, 0)
+            // parquet stores byte/short as INT32 (annotated widths)
+            case ShortType => current.getInteger(gi, 0).toShort
+            case ByteType => current.getInteger(gi, 0).toByte
+            case DoubleType => current.getDouble(gi, 0)
+            case FloatType => current.getFloat(gi, 0)
+            case BooleanType => current.getBoolean(gi, 0)
+            case StringType => UTF8String.fromString(current.getString(gi, 0))
+            case DateType => current.getInteger(gi, 0)
             // Spark writes both timestamp kinds as INT64 micros
             // (adjustedToUTC distinguishes them) — the physical long
             // IS the Catalyst internal value for each.
-            case TimestampType | TimestampNTZType =>
-              row.update(i, current.getLong(gi, 0))
+            case TimestampType | TimestampNTZType => current.getLong(gi, 0)
             case dt => throw new IllegalArgumentException(s"unsupported $dt")
           }
+          val out: Any =
+            if (wt == f.dataType) v
+            else (v, f.dataType) match {
+              case (x: java.lang.Byte, ShortType) => x.toShort
+              case (x: java.lang.Byte, IntegerType) => x.toInt
+              case (x: java.lang.Byte, LongType) => x.toLong
+              case (x: java.lang.Short, IntegerType) => x.toInt
+              case (x: java.lang.Short, LongType) => x.toLong
+              case (x: java.lang.Integer, LongType) => x.toLong
+              case (x: java.lang.Float, DoubleType) => x.toDouble
+              case _ => throw new IllegalArgumentException(
+                s"file type $wt does not widen to read type " +
+                  s"${f.dataType} for '${f.name}'")
+            }
+          row.update(i, out)
         }
       }
       i += 1
