@@ -1486,7 +1486,8 @@ object GraftLake {
       removeSets: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
       cdfSet: Option[String] = None,
-      expectRidBase: Option[Long] = None): Int = {
+      expectRidBase: Option[Long] = None,
+      fence: Option[MutationFence] = None): Int = {
     // CHECK constraints gate the data-bearing writes: the delta (or
     // the merge's rewritten set) is validated BEFORE staging, one
     // scan per rule. Delete/compact/tombstone rewrite already-valid
@@ -1519,7 +1520,7 @@ object GraftLake {
     val v =
       try publishEntry(path, action, setName, df.schema, tag, stats,
         removeSets, validatedCons, cdfSet = cdfSet, ridRows = ridRows,
-        expectRidBase = expectRidBase)
+        expectRidBase = expectRidBase, fence = fence)
       catch {
         // An identity append that lost its range race must not leave
         // the mis-valued staged set behind: drop it, let the caller
@@ -1666,6 +1667,65 @@ object GraftLake {
     commitStagedFiles(path, files, df.schema, None, stats)
   }
 
+  /** Logical conflict fence of one mutation transaction (the Delta
+    * WriteSerializable conflict matrix re-expressed over file-sets):
+    * `refSets` are the sets whose PHYSICAL layout the transaction's
+    * staged artifacts depend on (position sidecars point into them /
+    * rewrite outputs were computed from them); `readTombstones` the
+    * mask sets visible at the transaction's read snapshot. At claim
+    * time the commit aborts with ConcurrentModificationException
+    * (caller re-runs against the fresh snapshot) iff a concurrent
+    * commit (a) removed or rewrote a referenced set — positions into
+    * it would silently mask nothing (the lost-delete anomaly) — or
+    * (b) landed a NEW positional mask on one — two position-resolved
+    * transactions over the same bytes do not commute (an update would
+    * resurrect a concurrently-deleted row as its re-inserted image).
+    * Everything else composes and lands WITHOUT aborting: blind
+    * appends, schema evolution, masks on unrelated sets, and key
+    * tombstones (value masks apply to any physical layout, including
+    * sets rewritten after they landed).
+    */
+  private[sources] final case class MutationFence(
+      refSets: Set[String], readTombstones: Set[String],
+      masksTouch: Seq[String] => Boolean)
+
+  /** [[MutationFence.masksTouch]] closure: do any of these freshly-
+    * landed tombstone sets POSITIONALLY mask one of `refSets`? A
+    * positional sidecar names the sets it masks in its own rows —
+    * read here, O(new masks) tiny files, and only on the CONFLICT
+    * path (an uncontended commit sees no fresh tombstones and never
+    * calls this). Key tombstones (no `__dv_set` column) never
+    * conflict.
+    */
+  private def masksTouchFn(
+      spark: SparkSession, path: String,
+      refSets: Set[String]): Seq[String] => Boolean =
+    newTombs => newTombs.exists { t =>
+      val df = spark.read.parquet(s"$path/$t")
+      df.columns.contains("__dv_set") &&
+        df.select(col("__dv_set")).distinct()
+          .filter(col("__dv_set").isin(refSets.toSeq: _*))
+          .head(1).nonEmpty
+    }
+
+  private def fenceFor(
+      spark: SparkSession, path: String, refSets: Set[String],
+      readTombstones: Seq[String]): Option[MutationFence] =
+    if (refSets.isEmpty) None
+    else Some(MutationFence(refSets, readTombstones.toSet,
+      masksTouchFn(spark, path, refSets)))
+
+  /** Test-only interleaving hook: runs ONCE at the top of the next
+    * [[publishEntry]] on THIS thread — after the transaction staged
+    * its artifacts, before its first claim attempt — the
+    * deterministic way to land a racing commit inside another
+    * mutation's read→publish window. Cleared BEFORE invocation so the
+    * racing commit it performs does not re-trigger it. Thread-local
+    * for the same concurrent-gate reason as [[lastDvScanSets]].
+    */
+  private[graft] val beforePublishHook =
+    ThreadLocal.withInitial[Option[() => Unit]](() => None)
+
   /** The claim/publish loop: resolve the current snapshot, conflict-
     * check, claim the next version (O_EXCL), publish atomically.
     * `dfSchema` is the writer's schema; evolution/overwrite semantics
@@ -1688,7 +1748,13 @@ object GraftLake {
       // IDENTITY fence: the staged files carry values computed off
       // this row-tracking base; a racing allocation moved it → CME so
       // the caller re-stages instead of landing duplicates.
-      expectRidBase: Option[Long] = None): Int = {
+      expectRidBase: Option[Long] = None,
+      // Logical conflict fence (see [[MutationFence]]): re-checked on
+      // EVERY claim attempt, so a conflict landing between retries is
+      // still caught.
+      fence: Option[MutationFence] = None): Int = {
+    val hook = beforePublishHook.get()
+    if (hook.isDefined) { beforePublishHook.set(None); hook.get.apply() }
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1713,6 +1779,26 @@ object GraftLake {
       // Idempotence re-check under contention: if a same-tag commit
       // landed while we were racing, ours must NOT land again.
       tag.foreach { t => snap.tags.get(t).foreach { v => return v } }
+      // Logical conflict fence: positions/rewrites bind to the
+      // PHYSICAL layout of the sets they read — a concurrent commit
+      // that rewrote one, or landed its own position mask on one,
+      // invalidates the staged artifacts (both directions of the
+      // lost-delete anomaly). Everything else composes and lands.
+      fence.foreach { f =>
+        val liveNames = snap.live.map(_.set).toSet
+        f.refSets.find(r => !liveNames(r)).foreach { r =>
+          throw new java.util.ConcurrentModificationException(
+            s"file-set $r at $path was rewritten or removed by a " +
+              "concurrent commit while this mutation held positions " +
+              "into it; re-run against the fresh snapshot")
+        }
+        val freshMasks = snap.tombstones.filterNot(f.readTombstones)
+        if (freshMasks.nonEmpty && f.masksTouch(freshMasks))
+          throw new java.util.ConcurrentModificationException(
+            s"a concurrent commit landed a position mask on a file-set " +
+              s"this mutation at $path read; re-run against the fresh " +
+              "snapshot")
+      }
       // IDENTITY freshness: the staged values embed a row-tracking
       // base; if a racing commit advanced the high water, landing
       // would publish duplicate identity values — abort to re-stage.
@@ -3710,9 +3796,15 @@ object GraftLake {
       if (!cdfEnabled(path)) None
       else stageCdf(path, Seq((matching.select(
         target.fieldNames.toIndexedSeq.map(col): _*), "delete")))
+    // The tombstone's positions bind to these sets' physical layout:
+    // a racing compact/rewrite of one (or a racing position mask on
+    // one) must abort this commit, not silently mask nothing.
+    val refSets = matching.select(col("__dv_set")).distinct()
+      .collect().map(_.getString(0)).toSet
     val v = commit(
       matching.select(col("__dv_set"), col("__dv_file"), col("__dv_pos")),
-      path, "tombstone", cdfSet = cdfSet)
+      path, "tombstone", cdfSet = cdfSet,
+      fence = fenceFor(spark, path, refSets, s.tombstones))
     (v, n)
   }
 
