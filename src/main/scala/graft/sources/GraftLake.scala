@@ -1522,11 +1522,13 @@ object GraftLake {
         removeSets, validatedCons, cdfSet = cdfSet, ridRows = ridRows,
         expectRidBase = expectRidBase, fence = fence)
       catch {
-        // An identity append that lost its range race must not leave
-        // the mis-valued staged set behind: drop it, let the caller
-        // re-stage with the fresh base.
+        // A commit aborted by the identity-range or mutation fence
+        // must not leave its staged set behind: positions/values were
+        // computed off a snapshot the race invalidated, so the staged
+        // bytes are garbage — drop them, let the caller re-stage
+        // against the fresh snapshot.
         case e: java.util.ConcurrentModificationException
-            if expectRidBase.isDefined =>
+            if expectRidBase.isDefined || fence.isDefined =>
           import scala.jdk.CollectionConverters._
           Files.walk(Paths.get(path, setName)).iterator().asScala.toSeq
             .reverse.foreach(p => Files.deleteIfExists(p))
@@ -1680,10 +1682,16 @@ object GraftLake {
     * (b) landed a NEW positional mask on one — two position-resolved
     * transactions over the same bytes do not commute (an update would
     * resurrect a concurrently-deleted row as its re-inserted image).
-    * Everything else composes and lands WITHOUT aborting: blind
-    * appends, schema evolution, masks on unrelated sets, and key
-    * tombstones (value masks apply to any physical layout, including
-    * sets rewritten after they landed).
+    * BOTH directions of the anomaly carry the fence: position-mask
+    * commits fence the sets their positions point into (a racing
+    * rewrite must abort them), and rewrite commits (delete/update/
+    * merge/compact) fence the sets they remove (a racing position
+    * mask landing on one must abort the rewrite — otherwise the
+    * rewritten set, computed without the mask, resurrects the
+    * concurrently-deleted rows). Everything else composes and lands
+    * WITHOUT aborting: blind appends, schema evolution, masks on
+    * unrelated sets, and key tombstones (value masks apply to any
+    * physical layout, including sets rewritten after they landed).
     */
   private[sources] final case class MutationFence(
       refSets: Set[String], readTombstones: Set[String],
@@ -1701,7 +1709,7 @@ object GraftLake {
       spark: SparkSession, path: String,
       refSets: Set[String]): Seq[String] => Boolean =
     newTombs => newTombs.exists { t =>
-      val df = spark.read.parquet(s"$path/$t")
+      val df = spark.read.parquet(setPath(path, t))
       df.columns.contains("__dv_set") &&
         df.select(col("__dv_set")).distinct()
           .filter(col("__dv_set").isin(refSets.toSeq: _*))
@@ -3100,7 +3108,8 @@ object GraftLake {
       statsCols = reStats, removeSets = hit.map(_.set),
       bloomCols = reRecordable(target, s.renames,
         bloomColsOf(path, hit.map(_.set))),
-      cdfSet = cdfSet)
+      cdfSet = cdfSet,
+      fence = fenceFor(spark, path, hit.map(_.set).toSet, s.tombstones))
     (v, hit.size, kept.size)
   }
 
@@ -3534,7 +3543,9 @@ object GraftLake {
       statsCols = reStats, removeSets = rewriteSets.map(_.set),
       bloomCols = reRecordable(target, s.renames,
         bloomColsOf(path, rewriteSets.map(_.set))),
-      cdfSet = cdfSet)
+      cdfSet = cdfSet,
+      fence = fenceFor(spark, path, rewriteSets.map(_.set).toSet,
+        s.tombstones))
     (v, rewriteSets.size, live.size - rewriteSets.size)
   }
 
@@ -3657,15 +3668,20 @@ object GraftLake {
       col(s"t.${f.name}").as(f.name))
     if (nUpd + nIns == 0L) {
       // Pure delete: a position tombstone, exactly deleteDv's commit
-      // shape — no empty data set enters the log.
+      // shape — no empty data set enters the log, and the same
+      // mutation fence: the staged positions bind to these sets'
+      // physical layout, so a racing compact/rewrite of one (or a
+      // racing position mask on one) aborts this commit.
+      val delRows = j.filter(disp.delPred)
+      val refSets = delRows.select(col("t.__dv_set")).distinct()
+        .collect().map(_.getString(0)).toSet
       val cdfSet =
         if (!cdfEnabled(path)) None
-        else stageCdf(path,
-          Seq((j.filter(disp.delPred).select(tCols: _*), "delete")))
+        else stageCdf(path, Seq((delRows.select(tCols: _*), "delete")))
       val v = commit(
-        j.filter(disp.delPred)
-          .select(DvCols.map(c => col(s"t.$c").as(c)): _*),
-        path, "tombstone", tag = tag, cdfSet = cdfSet)
+        delRows.select(DvCols.map(c => col(s"t.$c").as(c)): _*),
+        path, "tombstone", tag = tag, cdfSet = cdfSet,
+        fence = fenceFor(spark, path, refSets, s.tombstones))
       return (v, 0L, nDel, 0L)
     }
     val postImages = j.filter(disp.updPred).select(disp.survivorCols: _*)
@@ -4389,7 +4405,9 @@ object GraftLake {
       statsCols = reStats, removeSets = candidates.map(_.set),
       bloomCols = reRecordable(target, s.renames,
         bloomColsOf(path, candidates.map(_.set))),
-      cdfSet = cdfSet)
+      cdfSet = cdfSet,
+      fence = fenceFor(spark, path, candidates.map(_.set).toSet,
+        s.tombstones))
     (v, candidates.size, kept.size, replaced)
   }
 
@@ -4541,7 +4559,8 @@ object GraftLake {
       statsCols = reStats, removeSets = hitSets.map(_.set),
       bloomCols = reRecordable(target, s.renames,
         bloomColsOf(path, hitSets.map(_.set))),
-      cdfSet = cdfSet)
+      cdfSet = cdfSet,
+      fence = fenceFor(spark, path, hitSets.map(_.set).toSet, s.tombstones))
     (v, hitSets.size, live.size - hitSets.size, deleted)
   }
 
@@ -4623,7 +4642,9 @@ object GraftLake {
     // would conservatively scan in every later pruned mutation.
     if (hitSets.forall(ls => counts(ls.set)._1 == counts(ls.set)._2)) {
       val v = publishEntry(path, "delete", "", new StructType(), None,
-        Seq.empty, hitSets.map(_.set), cdfSet = cdfSet)
+        Seq.empty, hitSets.map(_.set), cdfSet = cdfSet,
+        fence = fenceFor(spark, path, hitSets.map(_.set).toSet,
+          s.tombstones))
       return (v, hitSets.size, live.size - hitSets.size, deleted)
     }
     val rewritten =
@@ -4634,7 +4655,8 @@ object GraftLake {
       statsCols = reStats, removeSets = hitSets.map(_.set),
       bloomCols = reRecordable(target, s.renames,
         bloomColsOf(path, hitSets.map(_.set))),
-      cdfSet = cdfSet)
+      cdfSet = cdfSet,
+      fence = fenceFor(spark, path, hitSets.map(_.set).toSet, s.tombstones))
     (v, hitSets.size, live.size - hitSets.size, deleted)
   }
 
@@ -4707,7 +4729,8 @@ object GraftLake {
       statsCols = reStats, removeSets = hitSets.map(_.set),
       bloomCols = reRecordable(target, s.renames,
         bloomColsOf(path, hitSets.map(_.set))),
-      cdfSet = cdfSet)
+      cdfSet = cdfSet,
+      fence = fenceFor(spark, path, hitSets.map(_.set).toSet, s.tombstones))
     (v, hitSets.size, live.size - hitSets.size, updated)
   }
 
@@ -4739,7 +4762,8 @@ object GraftLake {
         live.flatMap(_.stats.map(_.col)) ++ statsCol.toSeq),
       removeSets = live.map(_.set) ++ st.tombstones,
       bloomCols = reRecordable(StructType.fromDDL(st.schemaDdl), st.renames,
-        bloomColsOf(path, live.map(_.set))))
+        bloomColsOf(path, live.map(_.set))),
+      fence = fenceFor(spark, path, live.map(_.set).toSet, st.tombstones))
   }
 
   /** SCOPED compaction (Delta's `OPTIMIZE ... WHERE`): compact ONLY
@@ -4786,7 +4810,8 @@ object GraftLake {
     val v = commit(df, path, "compact", statsCols = reStats,
       removeSets = hit.map(_.set),
       bloomCols = reRecordable(target, s.renames,
-        bloomColsOf(path, hit.map(_.set))))
+        bloomColsOf(path, hit.map(_.set))),
+      fence = fenceFor(spark, path, hit.map(_.set).toSet, s.tombstones))
     (v, hit.size, kept.size)
   }
 
@@ -4821,7 +4846,8 @@ object GraftLake {
     commit(clustered, path, "compact",
       statsCols = reRecordable(StructType.fromDDL(st.schemaDdl), st.renames,
         live.flatMap(_.stats.map(_.col)) ++ Seq(colA, colB)),
-      removeSets = live.map(_.set) ++ st.tombstones)
+      removeSets = live.map(_.set) ++ st.tombstones,
+      fence = fenceFor(spark, path, live.map(_.set).toSet, st.tombstones))
   }
 
   /** RESTORE the table to `version` (Delta's RESTORE TABLE ... TO

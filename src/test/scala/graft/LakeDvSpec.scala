@@ -151,4 +151,95 @@ class LakeDvSpec extends AnyFunSuite with SparkSpec {
     val (pt, _, _) = GraftLake.readPoint(spark, path, "id", 5L)
     assert(pt.filter(col("id") === 5).count() == 0)
   }
+
+  // -------- deterministic mutation-fence interleavings: the
+  // beforePublishHook lands a racing commit INSIDE another mutation's
+  // read→publish window (after it staged, before its first claim),
+  // pinning both directions of the lost-delete anomaly and the
+  // compose-without-abort case.
+
+  private def allStagedDirs(path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = java.nio.file.Paths.get(path, "data")
+    if (!Files.exists(d)) Set.empty
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString).toSet
+  }
+
+  test("fence: a compact landing inside deleteDv's window aborts it, staged set cleaned") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create((1L to 20L).map(i => (i, i)).toDF("id", "v"),
+      path, Some("id"))
+    GraftLake.beforePublishHook.set(Some(() => {
+      GraftLake.compact(spark, path, Seq("id"), numFiles = 1, Some("id"))
+      ()
+    }))
+    intercept[java.util.ConcurrentModificationException] {
+      GraftLake.deleteDv(spark, path, col("id") <= 5)
+    }
+    // The aborted tombstone's staged parquet was deleted: every dir
+    // under data/ is referenced by the log (live or removed), none
+    // orphaned.
+    import scala.jdk.CollectionConverters._
+    val referenced = GraftLake.commits(path).flatMap(c =>
+      c.add ++ c.remove).map(_.stripPrefix("data/")).toSet
+    assert(allStagedDirs(path).subsetOf(referenced))
+    // A re-run against the fresh snapshot succeeds and deletes the rows.
+    val (_, n) = GraftLake.deleteDv(spark, path, col("id") <= 5)
+    assert(n == 5L)
+    assert(GraftLake.read(spark, path).count() == 15L)
+  }
+
+  test("fence: a deleteDv landing inside a compact's window aborts the compact (reverse direction)") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create((1L to 20L).map(i => (i, i)).toDF("id", "v"),
+      path, Some("id"))
+    GraftLake.beforePublishHook.set(Some(() => {
+      GraftLake.deleteDv(spark, path, col("id") <= 5)
+      ()
+    }))
+    // Without the rewrite-side fence the compact (whose rewritten set
+    // was computed BEFORE the mask landed) would remove the masked
+    // set and resurrect ids 1-5.
+    intercept[java.util.ConcurrentModificationException] {
+      GraftLake.compact(spark, path, Seq("id"), numFiles = 1, Some("id"))
+    }
+    assert(GraftLake.read(spark, path).count() == 15L)
+    // Re-run materializes the mask and drains the tombstone list.
+    GraftLake.compact(spark, path, Seq("id"), numFiles = 1, Some("id"))
+    assert(GraftLake.snapshot(path).tombstones.isEmpty)
+    assert(GraftLake.read(spark, path).count() == 15L)
+  }
+
+  test("fence: two deleteDv on the same set conflict; on disjoint sets they compose") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create((1L to 10L).map(i => (i, i)).toDF("id", "v"),
+      path, Some("id"))
+    GraftLake.append((101L to 110L).map(i => (i, i)).toDF("id", "v"),
+      path, Some("id"))
+    // Same set: the racing mask lands on the set our positions point
+    // into — two position-resolved transactions over the same bytes
+    // do not commute (ours was resolved before theirs masked).
+    GraftLake.beforePublishHook.set(Some(() => {
+      GraftLake.deleteDv(spark, path, col("id") === 2L)
+      ()
+    }))
+    intercept[java.util.ConcurrentModificationException] {
+      GraftLake.deleteDv(spark, path, col("id") === 1L)
+    }
+    // Unrelated set: zone-map pruning scopes our refSets to the first
+    // set only, so a racing mask on the second composes and lands.
+    GraftLake.beforePublishHook.set(Some(() => {
+      GraftLake.deleteDv(spark, path, col("id") === 105L)
+      ()
+    }))
+    val (_, n) = GraftLake.deleteDv(spark, path, col("id") === 3L)
+    assert(n == 1L)
+    val left = GraftLake.read(spark, path).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!left.contains(2L) && !left.contains(3L) && !left.contains(105L))
+    assert(left.size == 17)
+  }
 }
