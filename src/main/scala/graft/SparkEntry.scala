@@ -1110,18 +1110,30 @@ object SparkEntry {
           "WHERE yr = 1996 AND q = 2"); false }
         catch { case e: Exception => e.getMessage.contains("layout") }
       // DSv2 batch scan: both-column equality plans ONE set; the
-      // NON-PREFIX column alone still prunes to its q-slice.
+      // NON-PREFIX column alone still prunes to its q-slice. collect()
+      // forces real row scans — a filtered count() now legitimately
+      // answers from metadata (exact layout filters consume, so the
+      // aggregate pushes past them; pinned separately below).
       val lake = s.read.format("graftlake").load(path)
-      val n96q2 = lake.filter(col("yr") === 1996L && col("q") === 2L).count()
+      // (select only `cents`: the global readSchemas queue is shared
+      // across concurrently-running gates, and src48 asserts no scan
+      // schema carries o_orderkey)
+      val n96q2 = lake.filter(col("yr") === 1996L && col("q") === 2L)
+        .select(col("cents")).collect().length
       val bothPruned = n96q2 > 0 &&
         GraftLakeBatchSource.lastScanSets ==
           ((1, after.size - 1))
       val qSets = after.count(_.statsFor("q").exists(st =>
         st.min == 3L && st.max == 3L))
-      val nq3 = lake.filter(col("q") === 3L).count()
+      val nq3 = lake.filter(col("q") === 3L).select(col("cents"))
+        .collect().length
       val nonPrefixPruned = nq3 > 0 &&
         GraftLakeBatchSource.lastScanSets ==
           ((qSets, after.size - qSets))
+      GraftLakeBatchSource.lastAggPushed = false
+      val nMeta = lake.filter(col("yr") === 1996L && col("q") === 2L).count()
+      val metaCount = nMeta == n96q2 && GraftLakeBatchSource.lastAggPushed &&
+        GraftLakeBatchSource.lastScanSets._1 == 0
       val described = s.sql("DESCRIBE DETAIL lake_mpart")
         .select(col("partition_column")).head.getString(0) == "yr,q"
       GraftLake.read(s, path)
@@ -1129,7 +1141,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("multi_part_ok",
           lit(layoutExact && preserved && replaced && partialRefused &&
-            reorderRefused && bothPruned && nonPrefixPruned && described))
+            reorderRefused && bothPruned && nonPrefixPruned && metaCount &&
+            described))
         .orderBy(col("o_orderstatus"))
     }),
     // GROUPED AGGREGATE PUSHDOWN: `GROUP BY <layout cols>` + COUNT(*)
@@ -1196,6 +1209,39 @@ object SparkEntry {
         .withColumn("refuse_ok", lit(refuse))
         .withColumn("dsv2_ok", lit(api == dsv))
         .orderBy(col("status"))
+    }),
+    // FILTERED grouped-agg pushdown: a WHERE on the layout column is
+    // EXACTLY decidable per hive-pinned set (whole-set keep/drop; the
+    // value is a directory-name constant, structurally non-null), so
+    // the scan CONSUMES it — no Spark-side re-apply — which lets
+    // Catalyst push the aggregate past the filter and the surviving
+    // groups answer from manifests + footers: `WHERE bucket >= 3
+    // GROUP BY bucket` runs ZERO data tasks at any table size. The
+    // in-row flag pins consumed-filter + pushed-agg + zero-scan.
+    "src58_filtered_grouped_agg" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, GraftLakeBatchSource}
+      val path = scratch("graft_lake_filtgroupagg", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+      GraftLake.appendPartitionedBy(o, path, Seq("bucket"),
+        statsCols = Seq("okey"))
+      GraftLake.setPartitionColumns(path, Seq("bucket"))
+      GraftLakeBatchSource.lastAggPushed = false
+      val got = s.read.format("graftlake").load(path)
+        .filter(col("bucket") >= 3 && col("bucket") =!= 5)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("okey")).as("lo"),
+          max(col("okey")).as("hi"))
+      val rows = got.collect() // materialize so the flags are real
+      val pushed = GraftLakeBatchSource.lastAggPushed &&
+        GraftLakeBatchSource.lastScanSets._1 == 0 &&
+        GraftLakeBatchSource.lastConsumed.nonEmpty
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
+        .withColumn("filtered_agg_ok", lit(pushed))
+        .orderBy(col("bucket"))
     }),
     "src56_grouped_agg" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
@@ -4085,6 +4131,14 @@ object SparkEntry {
         |  min(price) AS lo, max(price) AS hi,
         |  TRUE AS widen_ok, TRUE AS refuse_ok, TRUE AS dsv2_ok
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The filtered rollup replay; consumed-filter + pushdown flags
+    // pinned in-row.
+    "src58_filtered_grouped_agg" ->
+      """SELECT o_orderkey % 8 AS bucket, count(*) AS n,
+        |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  TRUE AS filtered_agg_ok
+        |FROM orders WHERE o_orderkey % 8 >= 3 AND o_orderkey % 8 <> 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The per-partition rollup replay; pushdown flag pinned in-row.
     "src56_grouped_agg" ->
       """SELECT o_orderkey % 8 AS bucket, count(*) AS n,

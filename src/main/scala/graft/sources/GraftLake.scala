@@ -2476,6 +2476,26 @@ object GraftLake {
     * shape the bulk multi-path relations can absorb (the set identity
     * is re-derivable from each file path's penultimate segment).
     */
+  /** Is this set a hive-layout (`padd`) set — no top-level parquet,
+    * `c=value` subdirectories? For such sets the layout columns'
+    * values are served from the DIRECTORY NAMES as per-partition
+    * constants (never from parquet bytes), so a pinned layout column
+    * is structurally NON-NULL in every row — the property that lets
+    * the batch scan decide pushed filters on layout columns EXACTLY
+    * per set (whole-set keep/drop) instead of conservatively.
+    */
+  private[sources] def isHiveLayoutSet(path: String, ls: LiveSet): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(setPath(path, ls.set))
+    Files.isDirectory(d) && {
+      val top = Files.list(d).iterator().asScala.toSeq
+      top.nonEmpty &&
+        !top.exists(_.getFileName.toString.endsWith(".parquet")) &&
+        top.exists(p => Files.isDirectory(p) &&
+          p.getFileName.toString.contains("="))
+    }
+  }
+
   private def isBulkableSet(path: String, ls: LiveSet): Boolean = {
     import scala.jdk.CollectionConverters._
     ls.set.startsWith("data/") && !ls.set.stripPrefix("data/").contains("/") && {

@@ -96,10 +96,97 @@ private[sources] class GraftLakeScanBuilder(
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  // Filters this scan decides EXACTLY (whole-set keep/drop, no
+  // Spark-side re-apply) — see [[hivePinnedCols]] for when that is
+  // sound. Consuming them (returning no residual from pushFilters)
+  // is what lets Catalyst push aggregates past a WHERE clause.
+  private var consumed: Array[Filter] = Array.empty
   // Aggregation answered from METADATA alone: (partial-agg schema,
   // the precomputed rows — one ungrouped row, or one row per
   // partition-value group). Set only when every function resolves.
   private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
+
+  /** Layout columns on which pushed filters are EXACTLY decidable per
+    * set: the column is in the table's recorded layout, its long
+    * image is exact (integral/date/timestamp — never the lossy string
+    * prefix), EVERY live set is pinned on it (manifest min==max), and
+    * EVERY live set is a hive-layout set — so the value is a
+    * directory-name constant shared by every row of the set and
+    * structurally non-null (a flat pinned set could hide NULL rows:
+    * zone maps ignore nulls, hive layouts refuse them). Under those
+    * conditions any boolean combination of comparisons over these
+    * columns is a per-set CONSTANT: a set either satisfies the filter
+    * in every row or in none, so whole-set keep/drop IS the filter.
+    */
+  private lazy val hivePinnedCols: Map[String, DataType] = {
+    val layout = GraftLake.partitionColumnsOf(path)
+    if (layout.isEmpty || snap.live.isEmpty) Map.empty
+    else if (!snap.live.forall(GraftLake.isHiveLayoutSet(path, _))) Map.empty
+    else layout.flatMap { c =>
+      full.fields.find(_.name.equalsIgnoreCase(c)) match {
+        case Some(f) if GraftLake.isExactImage(f.dataType) &&
+            snap.live.forall(_.statsFor(c).exists(st => st.min == st.max)) =>
+          Some(f.name -> f.dataType)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Evaluate `f` against one pinned set's layout values (canonical
+    * column name → recorded image). Some(bool) = exactly decided;
+    * None = not decidable on this column set (caller must not consume
+    * the filter). Comparisons run in IMAGE space — exact images are
+    * order-isomorphic to their values. IsNull/IsNotNull decide
+    * structurally: hive layout columns are never null.
+    */
+  private def evalExact(f: Filter, vals: Map[String, Long]): Option[Boolean] = {
+    import org.apache.spark.sql.sources.{EqualNullSafe, IsNotNull, IsNull, Not, Or => FOr}
+    def canon(c: String): Option[String] =
+      vals.keys.find(_.equalsIgnoreCase(c))
+    def imgOf(c: String, v: Any): Option[(Long, Long)] = for {
+      cn <- canon(c)
+      x <- GraftLakeBatchSource.longImageOf(v, hivePinnedCols(cn))
+    } yield (vals(cn), x)
+    f match {
+      case FAnd(l, r) =>
+        for (a <- evalExact(l, vals); b <- evalExact(r, vals)) yield a && b
+      case FOr(l, r) =>
+        for (a <- evalExact(l, vals); b <- evalExact(r, vals)) yield a || b
+      case Not(c) => evalExact(c, vals).map(!_)
+      case FEq(c, v) => imgOf(c, v).map { case (p, x) => p == x }
+      case EqualNullSafe(c, v) =>
+        if (v == null) canon(c).map(_ => false)
+        else imgOf(c, v).map { case (p, x) => p == x }
+      case FGt(c, v) => imgOf(c, v).map { case (p, x) => p > x }
+      case FGe(c, v) => imgOf(c, v).map { case (p, x) => p >= x }
+      case FLt(c, v) => imgOf(c, v).map { case (p, x) => p < x }
+      case FLe(c, v) => imgOf(c, v).map { case (p, x) => p <= x }
+      case FIn(c, vs) =>
+        canon(c).flatMap { cn =>
+          val xs = vs.toSeq.map(v =>
+            GraftLakeBatchSource.longImageOf(v, hivePinnedCols(cn)))
+          // A NULL in the list never matches (three-valued IN keeps
+          // no row on NULL); an unconvertible non-null is undecidable.
+          if (xs.exists(x => x.isEmpty)) None
+          else Some(xs.flatten.contains(vals(cn)))
+        }
+      case IsNull(c) => canon(c).map(_ => false)
+      case IsNotNull(c) => canon(c).map(_ => true)
+      case _ => None
+    }
+  }
+
+  private def pinnedVals(ls: GraftLake.LiveSet): Map[String, Long] =
+    hivePinnedCols.keys.map(c => c -> ls.statsFor(c).get.min).toMap
+
+  /** Whole-set exact decision of every consumed filter for `ls` —
+    * total by construction (consumption required decidability on a
+    * set with the same column domain).
+    */
+  private def keepsSet(ls: GraftLake.LiveSet): Boolean =
+    consumed.forall(f => evalExact(f, pinnedVals(ls)).getOrElse(
+      throw new IllegalStateException(
+        s"consumed filter $f became undecidable for set ${ls.set}")))
 
   /** MIN/MAX from the manifest zone maps, COUNT(*) from the parquet
     * footers — ZERO data tasks at any table size. Partial pushdown:
@@ -117,7 +204,12 @@ private[sources] class GraftLakeScanBuilder(
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (pushed.nonEmpty) return false
+    // Only EXACTLY-consumed filters compose with a metadata-served
+    // aggregate (whole-set keep/drop IS the filter, so the surviving
+    // sets' manifests/footers answer the filtered aggregate). Any
+    // residual filter means rows would need re-filtering — refuse.
+    if (pushed.exists(f => !consumed.contains(f))) return false
+    val effLive = if (consumed.isEmpty) snap.live else snap.live.filter(keepsSet)
     def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -183,7 +275,7 @@ private[sources] class GraftLakeScanBuilder(
     groupCols match {
       case None => return false
       case Some(gs) if gs.isEmpty =>
-        rowFor(snap.live) match {
+        rowFor(effLive) match {
           case None => return false
           case Some(row) =>
             val fields = row.zipWithIndex.map { case ((_, dt), i) =>
@@ -194,10 +286,10 @@ private[sources] class GraftLakeScanBuilder(
       case Some(gs) =>
         val pinnedOk = gs.forall { g =>
           GraftLake.isExactImage(full(g).dataType) &&
-            snap.live.forall(_.statsFor(g).exists(st => st.min == st.max))
+            effLive.forall(_.statsFor(g).exists(st => st.min == st.max))
         }
         if (!pinnedOk) return false
-        val groups = snap.live
+        val groups = effLive
           .groupBy(ls => gs.map(g => ls.statsFor(g).get.min))
           .toSeq.sortBy(_._1.mkString(","))
         val rows = groups.map { case (key, sets) =>
@@ -231,14 +323,25 @@ private[sources] class GraftLakeScanBuilder(
     required = StructType(full.fields.filter(f => keep(f.name)))
   }
 
-  /** Accept every filter for manifest skipping, and RETURN every
-    * filter: Spark re-applies them all post-scan, so set skipping can
-    * only ever drop provably-matchless files.
+  /** Accept every filter for manifest skipping. Filters that are
+    * EXACTLY decidable per set (boolean trees over [[hivePinnedCols]])
+    * are CONSUMED — not returned as residual, so Spark plans no
+    * re-apply and, crucially, V2ScanRelationPushDown is then willing
+    * to push an aggregate past the WHERE clause (`WHERE day >= d
+    * GROUP BY day` answered from manifests, zero data tasks).
+    * Everything else is returned for Spark to re-apply, keeping set
+    * skipping a pure file-open optimization for those.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
     GraftLakeBatchSource.lastPushed = filters.map(_.toString).toSeq
-    filters
+    val probe = snap.live.headOption.map(pinnedVals).getOrElse(Map.empty)
+    val (exact, residual) =
+      if (hivePinnedCols.isEmpty) (Array.empty[Filter], filters)
+      else filters.partition(f => evalExact(f, probe).isDefined)
+    consumed = exact
+    GraftLakeBatchSource.lastConsumed = exact.map(_.toString).toSeq
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -253,9 +356,16 @@ private[sources] class GraftLakeScanBuilder(
       // table's recognized monotone generated columns.
       val ranges = ranges0 ++ GraftLake.deriveGeneratedConstraints(
         ranges0, full, GraftLake.generatedColumnsOf(path))
-      val (scan, skip) = snap.live.partition(
+      // CONSUMED filters are not re-applied by Spark: the whole-set
+      // exact decision below IS the filter (the conservative
+      // setMayMatch prune then only drops provably-matchless sets
+      // for the residual ones).
+      val afterExact =
+        if (consumed.isEmpty) snap.live else snap.live.filter(keepsSet)
+      val (scan, skip) = afterExact.partition(
         GraftLake.setMayMatch(path, _, ranges, eqs))
-      GraftLakeBatchSource.lastScanSets = (scan.size, skip.size)
+      GraftLakeBatchSource.lastScanSets =
+        (scan.size, skip.size + (snap.live.size - afterExact.size))
       GraftLakeBatchSource.readSchemas.add(required.fieldNames.toSeq)
       new GraftLakeBatchScan(path, scan, required)
   }
@@ -461,6 +571,44 @@ object GraftLakeBatchSource {
   private[graft] def lastAggPushed_=(v: Boolean): Unit =
     _lastAggPushed.set(v)
   val readSchemas = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+  private[this] val _lastConsumed =
+    ThreadLocal.withInitial[Seq[String]](() => Seq.empty)
+  def lastConsumed: Seq[String] = _lastConsumed.get()
+  private[graft] def lastConsumed_=(v: Seq[String]): Unit =
+    _lastConsumed.set(v)
+
+  /** One JVM value → the recorded long image under `dt` — the same
+    * encoding the zone-map stats were written with ([[GraftLake
+    * .statLongExpr]]): integral identity, DATE epoch days,
+    * TIMESTAMP(_NTZ) micros, STRING order-preserving prefix (lossy —
+    * callers that need exactness must not pass strings here).
+    */
+  private[sources] def longImageOf(v: Any, dt: DataType): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    if (v == null) return None
+    (dt, v) match {
+      case (t, x) if GraftLake.isIntegralType(t) => x match {
+        case b: java.lang.Byte => Some(b.toLong)
+        case s: java.lang.Short => Some(s.toLong)
+        case i: java.lang.Integer => Some(i.toLong)
+        case l: java.lang.Long => Some(l.toLong)
+        case _ => None
+      }
+      case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+      case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(DateTimeUtils.fromJavaTimestamp(t))
+      case (TimestampType, t: java.time.Instant) =>
+        Some(DateTimeUtils.instantToMicros(t))
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        Some(DateTimeUtils.localDateTimeToMicros(t))
+      case (StringType, x: String) =>
+        Some(GraftLake.stringPrefixImage(x))
+      case (StringType, x: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(GraftLake.stringPrefixImage(x.toString))
+      case _ => None
+    }
+  }
 
   /** Translate Catalyst's pushed V1 filters into the manifest
     * constraint shape ([[GraftLake.setMayMatch]]'s inputs), using the
@@ -477,35 +625,8 @@ object GraftLakeBatchSource {
       .filter(f => GraftLake.isPrunableType(f.dataType))
       .map(f => f.name -> f.dataType).toMap
 
-    def longOf(colName: String, v: Any): Option[Long] = {
-      import org.apache.spark.sql.catalyst.util.DateTimeUtils
-      if (v == null) return None
-      (kinds.get(colName), v) match {
-        case (Some(dt), x) if GraftLake.isIntegralType(dt) => x match {
-          case b: java.lang.Byte => Some(b.toLong)
-          case s: java.lang.Short => Some(s.toLong)
-          case i: java.lang.Integer => Some(i.toLong)
-          case l: java.lang.Long => Some(l.toLong)
-          case _ => None
-        }
-        case (Some(DateType), d: java.sql.Date) =>
-          Some(d.toLocalDate.toEpochDay)
-        case (Some(DateType), d: java.time.LocalDate) => Some(d.toEpochDay)
-        case (Some(TimestampType), t: java.sql.Timestamp) =>
-          Some(DateTimeUtils.fromJavaTimestamp(t))
-        case (Some(TimestampType), t: java.time.Instant) =>
-          Some(DateTimeUtils.instantToMicros(t))
-        case (Some(TimestampNTZType), t: java.time.LocalDateTime) =>
-          Some(DateTimeUtils.localDateTimeToMicros(t))
-        // STRING columns: the order-preserving prefix image (lossy —
-        // the > / < cases below skip their ±1 sharpening for it).
-        case (Some(StringType), x: String) =>
-          Some(GraftLake.stringPrefixImage(x))
-        case (Some(StringType), x: org.apache.spark.unsafe.types.UTF8String) =>
-          Some(GraftLake.stringPrefixImage(x.toString))
-        case _ => None
-      }
-    }
+    def longOf(colName: String, v: Any): Option[Long] =
+      kinds.get(colName).flatMap(longImageOf(v, _))
     def exact(colName: String): Boolean =
       kinds.get(colName).exists(GraftLake.isExactImage)
     type Cons = (Seq[(String, Long, Long)], Seq[(String, Seq[Long])])

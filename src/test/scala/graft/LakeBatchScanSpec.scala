@@ -171,4 +171,93 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
     assert(!GraftLakeBatchSource.lastAggPushed)
     assert(byV.length == 120)
   }
+
+  /** One hive-partitioned table: 120 rows, bucket = id % 4, ids 0-119. */
+  private def partitioned(): String = {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-filteragg")
+      .resolve("t").toString
+    val df0 = (0 until 120)
+      .map(i => (i.toLong, (i % 4).toLong, i * 3L)).toDF("id", "bucket", "v")
+    GraftLake.appendPartitionedBy(df0, p, Seq("bucket"), statsCols = Seq("id"))
+    GraftLake.setPartitionColumns(p, Seq("bucket"))
+    p
+  }
+
+  test("layout-column filters compose with grouped-agg pushdown — zero data tasks") {
+    val p = partitioned()
+    val lake = spark.read.format("graftlake").load(p)
+    // WHERE bucket >= 2 GROUP BY bucket: the filter is exactly
+    // decidable per pinned hive set, so it is CONSUMED and the
+    // surviving groups answer from manifests/footers.
+    GraftLakeBatchSource.lastAggPushed = false
+    val got = lake.filter(col("bucket") >= 2)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+        max(col("id")).as("hi"))
+      .orderBy(col("bucket")).collect()
+    assert(GraftLakeBatchSource.lastAggPushed,
+      "filtered grouped aggregation over pinned layout columns must push")
+    assert(GraftLakeBatchSource.lastScanSets._1 == 0, "zero data tasks")
+    assert(GraftLakeBatchSource.lastConsumed.nonEmpty)
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    got.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) == 30L && r.getLong(2) == b && r.getLong(3) == 116L + b)
+    }
+    // IN with a GAP: zone-map ranges alone would over-keep bucket 2 —
+    // the exact evaluator must not.
+    GraftLakeBatchSource.lastAggPushed = false
+    val in = lake.filter(col("bucket").isin(1L, 3L))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket")).collect()
+    assert(GraftLakeBatchSource.lastAggPushed)
+    assert(in.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 30L), (3L, 30L)))
+    // Ungrouped filtered aggregate: same composition.
+    GraftLakeBatchSource.lastAggPushed = false
+    val r = lake.filter(col("bucket") === 2).agg(
+      count(lit(1)), min(col("id")), max(col("id"))).head
+    assert(GraftLakeBatchSource.lastAggPushed)
+    assert(r.getLong(0) == 30L && r.getLong(1) == 2L && r.getLong(2) == 118L)
+    // A filter the layout cannot decide (non-layout column) keeps the
+    // conservative path: aggregate NOT pushed, answers identical.
+    GraftLakeBatchSource.lastAggPushed = false
+    val mixed = lake.filter(col("bucket") >= 2 && col("v") > 100)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket")).collect()
+    assert(!GraftLakeBatchSource.lastAggPushed)
+    // v = 3i > 100 → i ≥ 34: 22 qualifying rows in each of buckets 2, 3
+    assert(mixed.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 22L), (3L, 22L)))
+  }
+
+  test("consumed layout filters stay exact on the fallback data scan") {
+    val p = partitioned()
+    val lake = spark.read.format("graftlake").load(p)
+    // No aggregate: the data scan itself must apply the consumed
+    // filter exactly (Spark plans no re-apply for consumed filters).
+    val rows = lake.filter(col("bucket").isin(0L, 3L))
+      .select(col("id"), col("bucket")).collect()
+    assert(GraftLakeBatchSource.lastConsumed.nonEmpty)
+    assert(rows.length == 60)
+    assert(rows.forall(r => r.getLong(1) == 0L || r.getLong(1) == 3L))
+    assert(rows.map(_.getLong(0)).toSet ==
+      (0 until 120).filter(i => i % 4 == 0 || i % 4 == 3).map(_.toLong).toSet)
+    // Mixed consumed + residual: residual re-applied by Spark, rows exact.
+    val rows2 = lake.filter(col("bucket") === 1L && col("v") <= 30)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(rows2 == Set(1L, 5L, 9L))
+  }
+
+  test("flat tables consume nothing: every pushed filter stays residual") {
+    val p = fresh()
+    seed(p)
+    val lake = spark.read.format("graftlake").load(p)
+    GraftLakeBatchSource.lastConsumed = Seq("sentinel")
+    assert(lake.filter(col("id") > 60).count() == 30)
+    assert(GraftLakeBatchSource.lastConsumed.isEmpty,
+      "a flat (non-hive) table must not consume filters: pinned zone " +
+        "maps ignore NULLs, so whole-set keep/drop is not exact there")
+  }
 }
