@@ -1238,7 +1238,8 @@ object SparkEntry {
       val rows = got.collect() // materialize so the flags are real
       val pushed = GraftLakeBatchSource.lastAggPushed &&
         GraftLakeBatchSource.lastScanSets._1 == 0 &&
-        GraftLakeBatchSource.lastConsumed.nonEmpty
+        GraftLakeBatchSource.lastConsumed.nonEmpty &&
+        GraftLakeBatchSource.lastCountFooterOpens == 0
       s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
         .withColumn("filtered_agg_ok", lit(pushed))
         .orderBy(col("bucket"))
@@ -1261,7 +1262,8 @@ object SparkEntry {
           max(col("okey")).as("hi"))
       val rows = got.collect() // materialize so the flags are real
       val pushed = GraftLakeBatchSource.lastAggPushed &&
-        GraftLakeBatchSource.lastScanSets._1 == 0
+        GraftLakeBatchSource.lastScanSets._1 == 0 &&
+        GraftLakeBatchSource.lastCountFooterOpens == 0 // sidecar-served
       s.createDataFrame(java.util.Arrays.asList(rows: _*), got.schema)
         .withColumn("grouped_agg_ok", lit(pushed))
         .orderBy(col("bucket"))

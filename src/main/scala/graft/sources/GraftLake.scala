@@ -351,10 +351,10 @@ object GraftLake {
       try {
         val v = publishEntry(path, "copyinto", setName, aligned.schema,
           None, stats, Seq.empty, Some(s0.constraints),
-          ingestFiles = fresh.map(idOf),
-          ridRows =
-            if (rowTrackingEnabled(path)) Some(setRowCount(path, setName))
-            else None)
+          ingestFiles = fresh.map(idOf), ridRows = {
+            val n = setRowCount(path, setName) // sidecar for every set
+            if (rowTrackingEnabled(path)) Some(n) else None
+          })
         maybeAutoCompact(spark, path)
         return (v, fresh.size, rows)
       } catch {
@@ -741,6 +741,10 @@ object GraftLake {
       Files.createDirectories(leafDir)
       Files.move(d, leafDir.resolve(d.getFileName),
         StandardCopyOption.ATOMIC_MOVE)
+      // Per-file count sidecar for the staged leaf set too, so the
+      // grouped COUNT(*) pushdown serves per-partition counts with
+      // zero read-time footer opens.
+      setRowCount(path, setName)
       LiveSet(setName, df.schema.toDDL,
         partCols.zip(values).map { case (c, v) => SetStats(c, v, v) } ++
           extra.getOrElse(values, Seq.empty))
@@ -1326,6 +1330,23 @@ object GraftLake {
     } catch { case _: Exception => None }
   }
 
+  /** Total recorded rows of a set, served from its `_ridmap` sidecar —
+    * None for pre-sidecar (or corrupted-sidecar) sets, where the
+    * caller decides between a footer walk and giving up. The
+    * metadata-COUNT(*) consumers (DSv2 aggregate pushdown, DESCRIBE
+    * DETAIL) ride this for ZERO read-time footer opens.
+    */
+  private[sources] def setRecordCountFromSidecar(
+      table: String, set: String): Option[Long] =
+    readRidMapSidecar(table, set).map(_.map(_._2).sum)
+
+  /** Driver-side footer fallback count of one set (legacy sets without
+    * a sidecar); exposed for the DSv2 aggregate pushdown.
+    */
+  private[sources] def setRecordCountFromFooters(
+      table: String, set: String): Long =
+    footerCounts(table, set).map(_._2).sum
+
   /** Instrumentation: parquet footers opened ON THE DRIVER by the last
     * [[readWithRowIds]] call — 0 when every rid-carrying set served its
     * `_ridmap` sidecar (the 100 TB posture; the footer walk is only the
@@ -1513,10 +1534,14 @@ object GraftLake {
     // appear atomically together.
     bloomCols.foreach(c => writeBloomSidecar(df.sparkSession, path, setName, c))
     val stats = footerStats(df.sparkSession, path, setName, statsCols)
-    // Row tracking: any data-bearing set gets a fresh contiguous id
-    // range (rewrites re-assign — the un-materialized Delta posture).
-    val ridRows =
-      if (rowTrackingEnabled(path)) Some(setRowCount(path, setName)) else None
+    // EVERY staged set records its per-file counts as the `_ridmap`
+    // sidecar (one write-time footer walk) so read-side metadata
+    // consumers — COUNT(*) pushdown, DESCRIBE DETAIL num_rows, row-id
+    // bases — never open a footer on the driver again. Row tracking
+    // additionally claims a contiguous id range off the total
+    // (rewrites re-assign — the un-materialized Delta posture).
+    val nRows = setRowCount(path, setName)
+    val ridRows = if (rowTrackingEnabled(path)) Some(nRows) else None
     val v =
       try publishEntry(path, action, setName, df.schema, tag, stats,
         removeSets, validatedCons, cdfSet = cdfSet, ridRows = ridRows,
@@ -1611,8 +1636,8 @@ object GraftLake {
     // a constraint added (or name-preservingly replaced) between this
     // read-back validation and the claim aborts loudly instead of
     // landing unvalidated rows.
-    val ridRows =
-      if (rowTrackingEnabled(path)) Some(setRowCount(path, setName)) else None
+    val nRows = setRowCount(path, setName) // sidecar for every set
+    val ridRows = if (rowTrackingEnabled(path)) Some(nRows) else None
     val v = publishEntry(path, "append", setName, schema, tag, stats,
       Seq.empty, Some(cons), ridRows = ridRows)
     // Sink epochs are the canonical one-set-per-micro-batch growth:

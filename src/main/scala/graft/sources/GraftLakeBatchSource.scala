@@ -210,6 +210,7 @@ private[sources] class GraftLakeScanBuilder(
     // residual filter means rows would need re-filtering — refuse.
     if (pushed.exists(f => !consumed.contains(f))) return false
     val effLive = if (consumed.isEmpty) snap.live else snap.live.filter(keepsSet)
+    GraftLakeBatchSource.lastCountFooterOpens = 0
     def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -236,20 +237,18 @@ private[sources] class GraftLakeScanBuilder(
         if (isMin) stats.flatten.map(_.min).min else stats.flatten.map(_.max).max
       Some((valueOf(img, dt), dt))
     }
+    // COUNT(*): each set's commit-time `_ridmap` sidecar serves its
+    // recorded total — O(sets) tiny metadata reads, ZERO parquet
+    // footer opens (the 100 TB posture). The driver footer walk
+    // survives only as the per-set fallback for pre-sidecar legacy
+    // sets, counted by the instrument so specs can pin the zero.
     def footerCount(sets: Seq[GraftLake.LiveSet]): Option[Long] = {
-      import java.nio.file.{Files, Paths}
-      import org.apache.hadoop.conf.Configuration
       try Some(sets.map { ls =>
-        val dir = Paths.get(path, ls.set)
-        def filesUnder(d: java.nio.file.Path): Seq[java.nio.file.Path] =
-          Files.walk(d).iterator().asScala.toSeq
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-        filesUnder(dir).map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.toString), new Configuration())
-          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try fr.getRecordCount finally fr.close()
-        }.sum
+        GraftLake.setRecordCountFromSidecar(path, ls.set).getOrElse {
+          GraftLakeBatchSource.lastCountFooterOpens =
+            GraftLakeBatchSource.lastCountFooterOpens + 1
+          GraftLake.setRecordCountFromFooters(path, ls.set)
+        }
       }.sum)
       catch { case scala.util.control.NonFatal(_) => None }
     }
@@ -576,6 +575,13 @@ object GraftLakeBatchSource {
   def lastConsumed: Seq[String] = _lastConsumed.get()
   private[graft] def lastConsumed_=(v: Seq[String]): Unit =
     _lastConsumed.set(v)
+  // Legacy sets whose COUNT(*) fell back to a driver footer walk in
+  // the last pushAggregation — 0 when every set served its sidecar.
+  private[this] val _lastCountFooterOpens =
+    ThreadLocal.withInitial[Int](() => 0)
+  def lastCountFooterOpens: Int = _lastCountFooterOpens.get()
+  private[graft] def lastCountFooterOpens_=(v: Int): Unit =
+    _lastCountFooterOpens.set(v)
 
   /** One JVM value → the recorded long image under `dt` — the same
     * encoding the zone-map stats were written with ([[GraftLake

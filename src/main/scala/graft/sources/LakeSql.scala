@@ -401,7 +401,10 @@ final case class GraftLakeDetailCommand(path: String)
       AttributeReference("num_generated", IntegerType, nullable = false)(),
       AttributeReference("num_ingested_files", IntegerType, nullable = false)(),
       AttributeReference("num_files", LongType, nullable = false)(),
-      AttributeReference("size_bytes", LongType, nullable = false)())
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      // served from the commit-time `_ridmap` sidecars — zero parquet
+      // footer opens; NULL when any live set predates the sidecar
+      AttributeReference("num_rows", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val s = GraftLake.snapshot(path)
     // Delta's numFiles/sizeInBytes: live parquet files only, one
@@ -421,7 +424,14 @@ final case class GraftLakeDetailCommand(path: String)
         .map(Integer.valueOf).orNull,
       s.defaults.size, s.generated.size, s.ingested.size,
       files.size.toLong,
-      files.map(java.nio.file.Files.size(_)).sum))
+      files.map(java.nio.file.Files.size(_)).sum, {
+        // NULL rather than a wrong number when outstanding MoR masks
+        // make the physical counts overstate the visible rows.
+        val counts = s.live.map(ls =>
+          GraftLake.setRecordCountFromSidecar(path, ls.set))
+        if (s.tombstones.nonEmpty || counts.exists(_.isEmpty)) null
+        else java.lang.Long.valueOf(counts.flatten.sum)
+      }))
   }
 }
 

@@ -250,6 +250,33 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
     assert(rows2 == Set(1L, 5L, 9L))
   }
 
+  test("metadata COUNT(*) serves _ridmap sidecars: zero footer opens; legacy sets fall back") {
+    val p = fresh()
+    seed(p)
+    val lake = spark.read.format("graftlake").load(p)
+    GraftLakeBatchSource.lastAggPushed = false
+    GraftLakeBatchSource.lastCountFooterOpens = 7
+    assert(lake.agg(count(lit(1))).head.getLong(0) == 90L)
+    assert(GraftLakeBatchSource.lastAggPushed)
+    assert(GraftLakeBatchSource.lastCountFooterOpens == 0,
+      "post-sidecar sets must answer COUNT(*) without opening footers")
+    // DESCRIBE DETAIL num_rows rides the same sidecars.
+    graft.sources.LakeSql.register(spark, p, "detail_rows_t", "id")
+    val det = spark.sql("DESCRIBE DETAIL detail_rows_t").head
+    assert(det.getLong(det.fieldIndex("num_rows")) == 90L)
+    // A legacy set (sidecar removed) falls back to its footer walk —
+    // same answer, non-zero fallback count.
+    val firstSet = GraftLake.snapshot(p).live.head.set
+    Files.delete(java.nio.file.Paths.get(p, firstSet, "_ridmap.json"))
+    GraftLakeBatchSource.lastAggPushed = false
+    assert(spark.read.format("graftlake").load(p)
+      .agg(count(lit(1))).head.getLong(0) == 90L)
+    assert(GraftLakeBatchSource.lastAggPushed)
+    assert(GraftLakeBatchSource.lastCountFooterOpens == 1)
+    assert(spark.sql("DESCRIBE DETAIL detail_rows_t").head
+      .isNullAt(det.fieldIndex("num_rows")))
+  }
+
   test("flat tables consume nothing: every pushed filter stays residual") {
     val p = fresh()
     seed(p)
