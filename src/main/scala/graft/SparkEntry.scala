@@ -1945,6 +1945,44 @@ object SparkEntry {
     // in-row), filters are retained and re-applied row-level, and
     // unselected columns never reach the parquet decoder (pinned via
     // the read-schema probe). Oracle: the one-year orders replay.
+    // DSv2 scan under OUTSTANDING merge-on-read state: deletion
+    // vectors resolve at plan time into per-file row-index masks and
+    // key tombstones into key value masks (both O(deleted rows) — the
+    // frames the DataFrame path broadcasts), applied INSIDE the
+    // per-file readers — `spark.read.format("graftlake")` serves
+    // every table state with zero compaction required, while the
+    // metadata COUNT(*) correctly refuses (physical counts would
+    // overstate visible rows). Flags pin DataFrame/DSv2 agreement,
+    // masking under column pruning, and the metadata-agg refusal.
+    "src59_dsv2_mor_scan" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, GraftLakeBatchSource}
+      val path = scratch("graft_lake_morscan", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.create(o.filter(col("okey") % 3 === 0), path,
+        statsCols = Seq("okey"))
+      GraftLake.append(o.filter(col("okey") % 3 =!= 0), path,
+        statsCols = Seq("okey"))
+      GraftLake.deleteDv(s, path, col("okey") % 10 === 3)
+      GraftLake.deleteMoR(s, path, col("okey") % 10 === 7, "okey")
+      val dsv2 = s.read.format("graftlake").load(path)
+      val api = GraftLake.read(s, path)
+      val sameAsApi = dsv2.count() == api.count() &&
+        dsv2.agg(sum(col("okey"))).head.getLong(0) ==
+          api.agg(sum(col("okey"))).head.getLong(0)
+      // column pruning away the mask keys still masks
+      val prunedOk = dsv2.select(col("cents")).count() == api.count()
+      GraftLakeBatchSource.lastAggPushed = false
+      dsv2.agg(count(lit(1))).head
+      val refusedMeta = !GraftLakeBatchSource.lastAggPushed
+      dsv2.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("mor_scan_ok", lit(sameAsApi && prunedOk && refusedMeta))
+        .orderBy(col("status"))
+    }),
     "src48_dsv2_lake_scan" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.{GraftLake, GraftLakeBatchSource}
@@ -3993,6 +4031,15 @@ object SparkEntry {
         |  TRUE AS coldefs_ok
         |FROM all_rows GROUP BY 1 ORDER BY 1""".stripMargin,
     // The last order-year's slice, read through the pruned DSv2 scan.
+    // The MoR-masked scan replay: orders minus the DV slice (okey
+    // ends in 3) and the key-tombstoned slice (okey ends in 7).
+    "src59_dsv2_mor_scan" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents, TRUE AS mor_scan_ok
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3 AND o_orderkey % 10 <> 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src48_dsv2_lake_scan" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

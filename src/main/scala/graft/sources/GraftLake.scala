@@ -2423,6 +2423,57 @@ object GraftLake {
     (dvs.reduceLeftOption(_.unionByName(_)), keys)
   }
 
+  /** The outstanding merge-on-read masks of one snapshot, resolved to
+    * DRIVER-SIDE values for the DSv2 batch scan: positional DV masks
+    * keyed by (set, file name) with the masked row indices, and key
+    * tombstones as (key column, normalized value set). Both are
+    * O(deleted rows) by construction — the same frames the DataFrame
+    * path broadcasts — so collecting them at plan time is the same
+    * budget class as planning the anti-join. Normalization widens
+    * integral keys to Long and keeps strings; any other key type
+    * refuses loudly (read through [[read]] instead) rather than
+    * silently serving unmasked rows.
+    */
+  private[sources] final case class ScanMasks(
+      dvByFile: Map[(String, String), Set[Long]],
+      keyMasks: Seq[(String, Set[Any])]) {
+    def isEmpty: Boolean = dvByFile.isEmpty && keyMasks.isEmpty
+  }
+
+  private[sources] def loadScanMasks(
+      spark: SparkSession, path: String, ts: Seq[String]): ScanMasks = {
+    if (ts.isEmpty) return ScanMasks(Map.empty, Seq.empty)
+    val (dv, keys) = loadTombstones(spark, path, ts)
+    val dvByFile = dv match {
+      case None => Map.empty[(String, String), Set[Long]]
+      case Some(d) =>
+        d.select(col("__dv_set"), col("__dv_file"), col("__dv_pos"))
+          .collect()
+          .groupBy(r => (r.getString(0), r.getString(1)))
+          .map { case (k, rows) => k -> rows.map(_.getLong(2)).toSet }
+    }
+    val keyMasks = keys.map { k =>
+      val c = k.columns.head
+      val vals: Set[Any] = k.schema(c).dataType match {
+        case LongType => k.distinct().collect().map(_.getLong(0): Any).toSet
+        case IntegerType =>
+          k.distinct().collect().map(_.getInt(0).toLong: Any).toSet
+        case ShortType =>
+          k.distinct().collect().map(_.getShort(0).toLong: Any).toSet
+        case ByteType =>
+          k.distinct().collect().map(_.getByte(0).toLong: Any).toSet
+        case org.apache.spark.sql.types.StringType =>
+          k.distinct().collect().map(_.getString(0): Any).toSet
+        case dt => throw new IllegalStateException(
+          s"graftlake batch read at $path: key tombstones on a $dt " +
+            "column need DataFrame-side masking — read through " +
+            "GraftLake.read, or compact first")
+      }
+      c -> vals
+    }
+    ScanMasks(dvByFile, keyMasks)
+  }
+
   /** Anti-join `df` against the union of live tombstone key-sets (a
     * no-op when none exist — the common case costs nothing). The key
     * column is the tombstone set's own (self-describing parquet).

@@ -31,13 +31,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * file-open optimization — never a correctness dependence.
   *
   * The snapshot is pinned when the scan builder is created (reads are
-  * repeatable within a query). Outstanding merge-on-read state (key
-  * tombstones / DV sidecars) and column-mapping renames refuse
-  * loudly — their masking/resolution lives in [[GraftLake.read]]'s
-  * DataFrame assembly; compact first or read through the API.
-  * Partitioned (`padd`) sets plan their hive subdirectories with the
-  * partition value served as a per-partition constant, exactly like
-  * the streaming source.
+  * repeatable within a query). Outstanding merge-on-read state is
+  * SERVED, not refused: DV sidecars resolve at plan time into
+  * per-file row-index masks and key tombstones into key value masks
+  * (both O(deleted rows) — the frames the DataFrame path broadcasts),
+  * applied inside the per-file readers, so `spark.read.format
+  * ("graftlake")` reads every table state the DataFrame API reads.
+  * Metadata-served aggregates refuse while masks are outstanding
+  * (physical counts would overstate visible rows). Column-mapping
+  * renames still refuse loudly — their per-set name resolution lives
+  * in [[GraftLake.read]]. Partitioned (`padd`) sets plan their hive
+  * subdirectories with the partition value served as a per-partition
+  * constant, exactly like the streaming source.
   */
 class GraftLakeBatchSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftlake"
@@ -77,19 +82,23 @@ private[sources] class GraftLakeBatchTable(path: String, tableSchema: StructType
     // Pin the snapshot HERE: every scan of this builder reads one
     // consistent table version however long planning takes.
     val snap = GraftLake.snapshot(path)
-    require(snap.tombstones.isEmpty,
-      s"graftlake batch read at $path: outstanding merge-on-read " +
-        "tombstones/deletion vectors need DataFrame-side masking — " +
-        "OPTIMIZE first, or read through GraftLake.read")
     require(snap.renames.isEmpty,
       s"graftlake batch read at $path: column-mapping renames need " +
         "per-set name resolution — read through GraftLake.read")
-    new GraftLakeScanBuilder(path, snap, tableSchema)
+    // Outstanding merge-on-read state (DV sidecars / key tombstones)
+    // resolves at PLAN time into per-file position masks + key value
+    // masks — O(deleted rows), applied inside the per-file readers.
+    // Metadata-served aggregates refuse while masks are outstanding
+    // (physical counts/extremes would overstate the visible rows).
+    val masks = GraftLake.loadScanMasks(
+      org.apache.spark.sql.SparkSession.active, path, snap.tombstones)
+    new GraftLakeScanBuilder(path, snap, tableSchema, masks)
   }
 }
 
 private[sources] class GraftLakeScanBuilder(
-    path: String, snap: GraftLake.Snapshot, full: StructType)
+    path: String, snap: GraftLake.Snapshot, full: StructType,
+    masks: GraftLake.ScanMasks)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -209,6 +218,10 @@ private[sources] class GraftLakeScanBuilder(
     // sets' manifests/footers answer the filtered aggregate). Any
     // residual filter means rows would need re-filtering — refuse.
     if (pushed.exists(f => !consumed.contains(f))) return false
+    // Outstanding MoR masks: the manifests/footers describe PHYSICAL
+    // rows, which overstate the visible ones — fall back to the real
+    // (masked) scan.
+    if (!masks.isEmpty) return false
     val effLive = if (consumed.isEmpty) snap.live else snap.live.filter(keepsSet)
     GraftLakeBatchSource.lastCountFooterOpens = 0
     def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -366,12 +379,13 @@ private[sources] class GraftLakeScanBuilder(
       GraftLakeBatchSource.lastScanSets =
         (scan.size, skip.size + (snap.live.size - afterExact.size))
       GraftLakeBatchSource.readSchemas.add(required.fieldNames.toSeq)
-      new GraftLakeBatchScan(path, scan, required)
+      new GraftLakeBatchScan(path, scan, required, masks)
   }
 }
 
 private[sources] class GraftLakeBatchScan(
-    path: String, sets: Seq[GraftLake.LiveSet], required: StructType)
+    path: String, sets: Seq[GraftLake.LiveSet], required: StructType,
+    masks: GraftLake.ScanMasks = GraftLake.ScanMasks(Map.empty, Seq.empty))
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -432,8 +446,11 @@ private[sources] class GraftLakeBatchScan(
     val top = Files.list(dir).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.toString)
+    def posMask(f: java.nio.file.Path): Set[Long] =
+      masks.dvByFile.getOrElse((ls.set, f.getFileName.toString), Set.empty)
     if (top.nonEmpty)
-      top.map(f => LakeFilePartition(f.toString, ls.schemaDdl, -1))
+      top.map(f => LakeFilePartition(f.toString, ls.schemaDdl, -1,
+        maskedPos = posMask(f)))
     else {
       // padd set: hive-encoded partition subdirs (one level per
       // layout column); the values are per-partition constants
@@ -448,7 +465,7 @@ private[sources] class GraftLakeBatchScan(
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .sortBy(_.toString)
             .map(f => LakeFilePartition(f.toString, minusPart.toDDL, -1,
-              constLongs = consts))
+              constLongs = consts, maskedPos = posMask(f)))
         }
     }
   }
@@ -465,7 +482,7 @@ private[sources] class GraftLakeBatchScan(
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeFileReaderFactory(required)
+    new LakeFileReaderFactory(required, masks.keyMasks)
 }
 
 /** One partition VALUE TUPLE's worth of files — the SPJ grouping.

@@ -339,9 +339,20 @@ private[sources] case class LakeFilePartition(
     // Partitioned ("padd") sets only: the hive-encoded partition
     // columns and their values, one pair per layout level — absent
     // from the parquet bytes, served as per-partition constants.
-    constLongs: Seq[(String, Long)] = Seq.empty) extends InputPartition
+    constLongs: Seq[(String, Long)] = Seq.empty,
+    // Outstanding positional deletion-vector mask for THIS file:
+    // `_metadata.row_index` positions to skip — O(this file's deleted
+    // rows), resolved at plan time from the live DV sidecars. The
+    // batch scan's merge-on-read leg; empty everywhere else.
+    maskedPos: Set[Long] = Set.empty) extends InputPartition
 
-private[sources] class LakeFileReaderFactory(required: StructType)
+private[sources] class LakeFileReaderFactory(
+    required: StructType,
+    // Outstanding KEY-tombstone masks: (key column, normalized masked
+    // values — Long for integral keys, String for strings). Shipped
+    // once per task with the factory; O(deleted keys) by construction
+    // (the DataFrame path broadcasts the same frames).
+    keyMasks: Seq[(String, Set[Any])] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -354,7 +365,7 @@ private[sources] class LakeFileReaderFactory(required: StructType)
             while (true) {
               if (cur == null) {
                 if (!it.hasNext) return false
-                cur = new LakeFileReader(it.next(), required)
+                cur = new LakeFileReader(it.next(), required, keyMasks)
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -364,7 +375,7 @@ private[sources] class LakeFileReaderFactory(required: StructType)
           override def get(): InternalRow = cur.get()
           override def close(): Unit = if (cur != null) cur.close()
         }
-      case f: LakeFilePartition => new LakeFileReader(f, required)
+      case f: LakeFilePartition => new LakeFileReader(f, required, keyMasks)
     }
 }
 
@@ -374,19 +385,30 @@ private[sources] class LakeFileReaderFactory(required: StructType)
   * `_commit_version` column is a constant for the whole partition.
   */
 private[sources] class LakeFileReader(
-    part: LakeFilePartition, required: StructType)
+    part: LakeFilePartition, required: StructType,
+    keyMasks: Seq[(String, Set[Any])] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val written = StructType.fromDDL(part.writtenDdl)
   private val writtenNames = written.fieldNames.toSet
+  // Key-mask columns PRESENT IN THIS FILE must decode even when the
+  // query pruned them away — the mask test needs the value; they
+  // never join the output row.
+  private val maskFields: Array[(String, Set[Any])] =
+    keyMasks.filter(km => writtenNames(km._1)).toArray
   // Data fields to decode from THIS file (ordered as in `required`),
   // carrying the WRITTEN set's nullability: Spark writes non-nullable
   // columns as parquet `required`, and the projection's repetition
   // must match the file's or checkContains rejects the read.
-  private val dataFields: Array[StructField] =
-    required.fields.filter(f =>
+  private val dataFields: Array[StructField] = {
+    val fromRequired = required.fields.filter(f =>
       f.name != "_commit_version" && writtenNames(f.name))
+    val extraMaskCols = maskFields.map(_._1)
+      .filterNot(c => fromRequired.exists(_.name == c))
+      .map(c => StructField(c, written(c).dataType))
+    (fromRequired ++ extraMaskCols)
       .map(f => f.copy(nullable = written(f.name).nullable))
+  }
 
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
@@ -420,10 +442,45 @@ private[sources] class LakeFileReader(
   }
 
   private var current: Group = _
+  private var rowIdx: Long = -1L
+
+  /** Normalized value of a mask column in the current row: integrals
+    * widen to Long, strings stay String — the same normalization the
+    * plan-time mask loader applied. A parquet-null (or absent) value
+    * returns null, which matches no mask (tombstoned keys are values,
+    * never null).
+    */
+  private def maskValue(c: String): Any = {
+    val gi = current.getType.getFieldIndex(c)
+    if (current.getFieldRepetitionCount(gi) == 0) null
+    else written(c).dataType match {
+      case LongType => current.getLong(gi, 0)
+      case IntegerType | DateType => current.getInteger(gi, 0).toLong
+      case ShortType => current.getInteger(gi, 0).toLong
+      case ByteType => current.getInteger(gi, 0).toLong
+      case StringType => current.getString(gi, 0)
+      case TimestampType | TimestampNTZType => current.getLong(gi, 0)
+      case dt => throw new IllegalArgumentException(
+        s"unsupported key-tombstone column type $dt for '$c'")
+    }
+  }
 
   override def next(): Boolean = {
-    current = reader.read()
-    current != null
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      rowIdx += 1
+      // Merge-on-read masking, applied AT THE DECODER: positional DV
+      // masks drop this file's masked row indices; key tombstones
+      // drop rows whose key value is masked — exactly the DataFrame
+      // path's anti-joins, without a separate join operator.
+      val masked = part.maskedPos.contains(rowIdx) ||
+        maskFields.exists { case (c, vs) =>
+          val v = maskValue(c); v != null && vs.contains(v)
+        }
+      if (!masked) return true
+    }
+    false
   }
 
   override def get(): InternalRow = {

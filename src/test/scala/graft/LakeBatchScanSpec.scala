@@ -96,7 +96,7 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLakeBatchSource.lastScanSets == ((1, 1)))
   }
 
-  test("schema evolution null-fills; MoR/rename states refuse loudly") {
+  test("schema evolution null-fills; renames refuse loudly; MoR is served") {
     import spark.implicits._
     val p = fresh()
     seed(p)
@@ -104,13 +104,10 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
     val got = spark.read.format("graftlake").load(p)
     assert(got.schema.fieldNames.contains("bonus"))
     assert(got.filter(col("bonus").isNull).count() == 90)
-    // outstanding DV sidecar refuses
+    // outstanding DV sidecar: masked inside the per-file readers
     GraftLake.deleteDv(spark, p, expr("id = 7"))
-    val err = intercept[Exception] {
-      spark.read.format("graftlake").load(p).count()
-    }
-    assert(err.getMessage.contains("merge-on-read"))
-    // renames refuse too
+    assert(spark.read.format("graftlake").load(p).count() == 89)
+    // renames refuse
     val q = fresh()
     seed(q)
     GraftLake.renameColumn(q, "tag", "label")
@@ -118,6 +115,40 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
       spark.read.format("graftlake").load(q).count()
     }
     assert(err2.getMessage.contains("rename"))
+  }
+
+  test("batch scan serves outstanding DVs + key tombstones exactly like the DataFrame read") {
+    val p = fresh()
+    seed(p)
+    // Positional DVs across two sets, stacked over two commits.
+    GraftLake.deleteDv(spark, p, col("id") % 7 === 0)          // 12 rows
+    GraftLake.deleteDv(spark, p, col("id") === 33L)            // 1 more
+    // Key tombstones (merge-on-read delete by key) on top.
+    GraftLake.deleteMoR(spark, p, col("id").isin(2L, 61L), "id") // 2 more
+    val api = GraftLake.read(spark, p)
+    val dsv2 = spark.read.format("graftlake").load(p)
+    assert(dsv2.count() == 90 - 15)
+    assert(dsv2.collect().map(_.toSeq).toSet ==
+      api.collect().map(_.toSeq).toSet)
+    // Column pruning that drops the mask key column still masks: the
+    // reader decodes the key internally, never emits it.
+    val tags = dsv2.select(col("tag")).collect().map(_.getString(0)).toSet
+    assert(!tags.contains("t2") && !tags.contains("t61") && !tags.contains("t7"))
+    assert(tags.contains("t3"))
+    // Pushed filters compose with the masks.
+    assert(dsv2.filter(col("id") <= 10).count() == 8) // minus 2, 7
+    // Metadata aggregates refuse while masks are outstanding.
+    GraftLakeBatchSource.lastAggPushed = false
+    assert(dsv2.agg(count(lit(1))).head.getLong(0) == 75L)
+    assert(!GraftLakeBatchSource.lastAggPushed,
+      "COUNT(*) must not serve from physical metadata under MoR masks")
+    // Compact materializes; the scan serves the clean table again and
+    // metadata aggregates resume.
+    GraftLake.compact(spark, p, Seq("id"), numFiles = 2, Some("id"))
+    GraftLakeBatchSource.lastAggPushed = false
+    assert(spark.read.format("graftlake").load(p)
+      .agg(count(lit(1))).head.getLong(0) == 75L)
+    assert(GraftLakeBatchSource.lastAggPushed)
   }
 
   test("MIN/MAX/COUNT(*) answer from metadata alone — zero data tasks") {
