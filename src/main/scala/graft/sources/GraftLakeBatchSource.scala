@@ -470,13 +470,22 @@ private[sources] class GraftLakeBatchScan(
     }
   }
 
+  /** Under SPJ, ONE keyed partition per FILE (each `HasPartitionKey`),
+    * not one per value tuple: Spark's BatchScanExec groups same-key
+    * partitions itself (`groupPartitions`), and leaving the grouping
+    * to Spark is what enables `partiallyClusteredDistribution` — on a
+    * skewed join the storage-partitioned side keeps PER-FILE tasks
+    * for its big partition values while the other side's groups are
+    * replicated, instead of one giant task per hot key.
+    */
   override def planInputPartitions(): Array[InputPartition] =
     spjLayout match {
       case Some(typed) =>
         sets.groupBy(keyOf(_, typed.map(_._1))).toSeq.sortBy(_._1.mkString(","))
-          .map { case (key, group) =>
-            LakeKeyedPartition(group.flatMap(setFilePartitions),
-              key, typed.map(_._2.catalogString)): InputPartition
+          .flatMap { case (key, group) =>
+            group.flatMap(setFilePartitions).map(f =>
+              LakeKeyedPartition(Seq(f),
+                key, typed.map(_._2.catalogString)): InputPartition)
           }.toArray
       case None => sets.flatMap(setFilePartitions(_): Seq[InputPartition]).toArray
     }
