@@ -1201,12 +1201,58 @@ object SparkEntry {
         .agg(count(lit(1)), sum(col("okey"))).first
       val dsv = s.read.format("graftlake").load(path)
         .agg(count(lit(1)), sum(col("okey"))).first
+      // DATE -> TIMESTAMP_NTZ rung: widens on stat-less sets (both
+      // read paths serve midnight); REFUSES while day-domain zone
+      // maps are live (a micros probe would misread them); DECIMAL
+      // grows precision/scale losslessly and refuses a shrinking
+      // integer-digit budget.
+      val pathT = scratch("graft_lake_widen_t", dir)
+      rmrf(pathT)
+      import s.implicits._
+      GraftLake.create(Seq((1L, java.sql.Date.valueOf("1994-01-05")))
+        .toDF("k", "ts"), pathT)
+      GraftLake.append(
+        Seq((2L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
+          .toDF("k", "ts"), pathT)
+      val ntzOk = GraftLake.read(s, pathT).orderBy(col("k")).collect()
+        .map(_.getAs[java.time.LocalDateTime]("ts").toString).toSeq ==
+        Seq("1994-01-05T00:00", "1996-03-04T12:30")
+      val pathS = scratch("graft_lake_widen_s", dir)
+      rmrf(pathS)
+      GraftLake.create(Seq((1L, java.sql.Date.valueOf("1994-01-05")))
+        .toDF("k", "ts"), pathS, statsCols = Seq("ts"))
+      val ntzStatRefused =
+        try {
+          GraftLake.append(
+            Seq((2L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
+              .toDF("k", "ts"), pathS, statsCols = Seq("ts"))
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("day-domain") }
+      val pathD = scratch("graft_lake_widen_d", dir)
+      rmrf(pathD)
+      GraftLake.create(Seq((1L, "12.34")).toDF("k", "d")
+        .select(col("k"), col("d").cast("decimal(6,2)").as("d")), pathD)
+      GraftLake.append(Seq((2L, "12345.6789")).toDF("k", "d")
+        .select(col("k"), col("d").cast("decimal(10,4)").as("d")), pathD)
+      val decOk = org.apache.spark.sql.types.StructType
+        .fromDDL(GraftLake.snapshot(pathD).schemaDdl)("d").dataType ==
+        org.apache.spark.sql.types.DecimalType(10, 4) &&
+        GraftLake.read(s, pathD).agg(sum(col("d"))).head.getDecimal(0)
+          .compareTo(new java.math.BigDecimal("12358.0189")) == 0
+      val decRefused =
+        try {
+          GraftLake.append(Seq((3L, "1.5")).toDF("k", "d")
+            .select(col("k"), col("d").cast("decimal(10,6)").as("d")), pathD)
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("cannot change type") }
       GraftLake.read(s, path)
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("okey")).as("sum_okey"),
           min(col("price")).as("lo"), max(col("price")).as("hi"))
-        .withColumn("widen_ok", lit(widened))
-        .withColumn("refuse_ok", lit(refuse))
+        .withColumn("widen_ok", lit(widened && ntzOk && decOk))
+        .withColumn("refuse_ok", lit(refuse && ntzStatRefused && decRefused))
         .withColumn("dsv2_ok", lit(api == dsv))
         .orderBy(col("status"))
     }),
@@ -1448,10 +1494,29 @@ object SparkEntry {
       val idsOk = idStats.getLong(0) == n && idStats.getLong(1) == 1000L &&
         idStats.getLong(2) == 1000L + 2L * (n - 1) &&
         idStats.getLong(3) == 0L
+      // GENERATED BY DEFAULT leg: explicit values pass through, and
+      // generation resumes PAST the supplied maximum (never collides).
+      val pathBd = scratch("graft_lake_identbd", dir)
+      rmrf(pathBd)
+      s.sql(s"""CREATE TABLE lake_identbd (
+               |  rid BIGINT GENERATED BY DEFAULT AS IDENTITY
+               |    (START WITH 10 INCREMENT BY 2),
+               |  v BIGINT
+               |) USING graftlake LOCATION '$pathBd'
+               |TBLPROPERTIES ('statscol'='v')""".stripMargin)
+      s.sql("INSERT INTO lake_identbd (v) VALUES (1), (2)")
+      s.sql("INSERT INTO lake_identbd (rid, v) VALUES (200, 3)")
+      s.sql("INSERT INTO lake_identbd (v) VALUES (4)")
+      val bd = s.sql("SELECT rid, v FROM lake_identbd ORDER BY v")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byDefaultOk = bd.map(_._1).distinct.length == 4 &&
+        bd.take(2).map(_._1).toSet == Set(10L, 12L) &&
+        bd(2)._1 == 200L && bd(3)._1 > 200L &&
+        (bd(3)._1 - 10L) % 2L == 0L
       t.groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("identity_ok",
-          lit(idsOk && explicitRefused && owRefused))
+          lit(idsOk && explicitRefused && owRefused && byDefaultOk))
         .orderBy(col("status"))
     }),
     // POSITIONAL DELETION VECTORS: merge-on-read DELETE for an

@@ -140,7 +140,12 @@ object GraftLake {
       // entries ("i:" items). Values are allocated off the row-
       // tracking high water (identity tables require row tracking),
       // so the race-free monotone range claim is shared machinery.
-      identities: Map[String, (Long, Long)] = Map.empty)
+      identities: Map[String, (Long, Long)] = Map.empty,
+      // The subset of `identities` declared GENERATED BY DEFAULT
+      // (Delta's allowExplicitInsert): writers MAY supply values;
+      // the high water advances past supplied maxima so generated
+      // values never collide. Recorded as a ",d" item suffix.
+      identityDefaults: Set[String] = Set.empty)
 
   /** Reserved manifest-stats name carrying a set's row-id range
     * ([base, base+rows-1]) — never a real column (guarded at
@@ -615,7 +620,7 @@ object GraftLake {
     (s.defaults.toSeq.sortBy(_._1).map { case (c, q) => s"d:$c=$q" } ++
       s.generated.toSeq.sortBy(_._1).map { case (c, q) => s"g:$c=$q" } ++
       s.identities.toSeq.sortBy(_._1).map { case (c, (st, sp)) =>
-        s"i:$c=$st,$sp" })
+        s"i:$c=$st,$sp" + (if (s.identityDefaults(c)) ",d" else "") })
       .foreach(item => publishEntry(dstPath, "coldef", item,
         new StructType(), None, Seq.empty, Seq.empty))
     // Row tracking (and with it identity allocation) forks too: the
@@ -1065,7 +1070,10 @@ object GraftLake {
   def recordColDefs(
       path: String, defaults: Seq[(String, String)],
       generated: Seq[(String, String)],
-      identity: Seq[(String, (Long, Long))] = Seq.empty): Unit = {
+      identity: Seq[(String, (Long, Long))] = Seq.empty,
+      // Names among `identity` declared GENERATED BY DEFAULT
+      // (explicit inserts allowed; high water advances past them).
+      identityDefault: Set[String] = Set.empty): Unit = {
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     val cur = StructType.fromDDL(s.schemaDdl)
@@ -1083,6 +1091,9 @@ object GraftLake {
         s"IDENTITY column '$c' at $path needs row tracking " +
           "(enableRowTracking) — its allocator is the row-id high water")
     }
+    identityDefault.foreach(c => require(
+      identity.exists(_._1.equalsIgnoreCase(c)),
+      s"identityDefault names unknown identity column '$c'"))
     def attrsOf(sql: String): Seq[String] = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       org.apache.spark.sql.GraftBridge.catalystExpression(functions.expr(sql))
@@ -1111,7 +1122,8 @@ object GraftLake {
     }
     (defaults.map { case (c, q) => s"d:$c=$q" } ++
       generated.map { case (c, q) => s"g:$c=$q" } ++
-      identity.map { case (c, (st, sp)) => s"i:$c=$st,$sp" })
+      identity.map { case (c, (st, sp)) => s"i:$c=$st,$sp" +
+        (if (identityDefault.exists(_.equalsIgnoreCase(c))) ",d" else "") })
       .foreach(item => publishEntry(path, "coldef", item,
         new StructType(), None, Seq.empty, Seq.empty))
   }
@@ -1127,6 +1139,10 @@ object GraftLake {
   /** The recorded IDENTITY columns: col -> (start, step). */
   def identityColumnsOf(path: String): Map[String, (Long, Long)] =
     snapshotIfExists(path).map(_.identities).getOrElse(Map.empty)
+
+  /** The identity columns declared GENERATED BY DEFAULT. */
+  def identityDefaultsOf(path: String): Set[String] =
+    snapshotIfExists(path).map(_.identityDefaults).getOrElse(Set.empty)
 
   /** APPEND with IDENTITY allocation (Delta's GENERATED ALWAYS AS
     * IDENTITY): every recorded identity column is COMPUTED as
@@ -1149,32 +1165,72 @@ object GraftLake {
       statsCol: Option[String] = None): Int = {
     val ids = identityColumnsOf(path)
     if (ids.isEmpty) return append(df, path, statsCol)
-    ids.keys.foreach(c => require(!df.columns.exists(_.equalsIgnoreCase(c)),
+    val byDefault = identityDefaultsOf(path)
+    val (supplied, generatedIds) = ids.partition { case (c, _) =>
+      df.columns.exists(_.equalsIgnoreCase(c)) }
+    supplied.keys.foreach(c => require(
+      byDefault.exists(_.equalsIgnoreCase(c)),
       s"column '$c' is GENERATED ALWAYS AS IDENTITY — do not supply it"))
     val target = StructType.fromDDL(snapshot(path).schemaDdl)
+    // BY DEFAULT columns supplied explicitly: the high water must
+    // advance PAST any supplied value a future generated ordinal
+    // could reproduce (v = start + step*k, k >= 0), or generated ids
+    // would collide with user ids (Delta's SYNC IDENTITY posture).
+    // One delta-sized agg fetches each column's extremes; the max
+    // colliding-capable ordinal resolves driver-side with exact
+    // math.floorDiv (ordinals are monotone in the value, so only the
+    // step-sign-matching extreme can carry it).
+    val userOrdCeil: Long =
+      if (supplied.isEmpty) 0L
+      else {
+        val aggs = supplied.toSeq.flatMap { case (c, _) => Seq(
+          functions.max(col(c).cast("long")),
+          functions.min(col(c).cast("long"))) }
+        val r = df.agg(aggs.head, aggs.tail: _*).head
+        supplied.toSeq.zipWithIndex.map { case ((_, (st, sp)), i) =>
+          if (r.isNullAt(2 * i)) 0L
+          else {
+            val cand = if (sp > 0) r.getLong(2 * i) else r.getLong(2 * i + 1)
+            val ord = math.floorDiv(cand - st, sp)
+            if (ord >= 0) ord + 1L else 0L
+          }
+        }.max
+      }
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 50, s"gave up identity append to $path after 50 races")
       val base = snapshot(path).ridHighWater
-      // Dense per-commit ordinals without a single-task window: one
-      // zipWithIndex pass (per-partition counts + local offsets).
       val spark = df.sparkSession
-      val schema2 = StructType(df.schema.fields :+
-        org.apache.spark.sql.types.StructField(
-          "__ord", org.apache.spark.sql.types.LongType, nullable = false))
-      val withOrd = spark.createDataFrame(
-        df.rdd.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema2)
-      val valued = ids.foldLeft(withOrd) { case (d, (c, (st, sp))) =>
+      // Dense per-commit ordinals without a single-task window: one
+      // zipWithIndex pass (per-partition counts + local offsets) —
+      // skipped entirely when every identity column arrived explicit.
+      val withOrd =
+        if (generatedIds.isEmpty) df.withColumn("__ord", lit(0L))
+        else {
+          val schema2 = StructType(df.schema.fields :+
+            org.apache.spark.sql.types.StructField(
+              "__ord", org.apache.spark.sql.types.LongType, nullable = false))
+          spark.createDataFrame(
+            df.rdd.zipWithIndex.map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema2)
+        }
+      val valued0 = generatedIds.foldLeft(withOrd) { case (d, (c, (st, sp))) =>
         val f = target.fields.find(_.name.equalsIgnoreCase(c)).get
         d.withColumn(f.name,
           (lit(st) + lit(sp) * (lit(base) + col("__ord"))).cast(f.dataType))
       }.drop("__ord")
-        .select(target.fields.map(f => col(f.name)).toIndexedSeq: _*)
+      // Supplied BY DEFAULT values pass through verbatim (store-
+      // assign cast to the declared type).
+      val valued = supplied.keys.foldLeft(valued0) { (d, c) =>
+        val f = target.fields.find(_.name.equalsIgnoreCase(c)).get
+        d.withColumn(f.name, col(f.name).cast(f.dataType))
+      }.select(target.fields.map(f => col(f.name)).toIndexedSeq: _*)
       try {
         return commit(valued, path, "append",
-          statsCols = statsCol.toSeq, expectRidBase = Some(base))
+          statsCols = statsCol.toSeq, expectRidBase = Some(base),
+          ridMinClaim =
+            if (userOrdCeil > base) Some(userOrdCeil - base) else None)
       } catch {
         case _: java.util.ConcurrentModificationException => () // re-base
       }
@@ -1508,6 +1564,11 @@ object GraftLake {
       bloomCols: Seq[String] = Seq.empty,
       cdfSet: Option[String] = None,
       expectRidBase: Option[Long] = None,
+      // Claim AT LEAST this many row-tracking ids even if the staged
+      // set has fewer rows — how a BY DEFAULT identity append burns
+      // range past user-supplied values so generated ids never
+      // collide (gaps, never reuse — the Delta posture).
+      ridMinClaim: Option[Long] = None,
       fence: Option[MutationFence] = None): Int = {
     // CHECK constraints gate the data-bearing writes: the delta (or
     // the merge's rewritten set) is validated BEFORE staging, one
@@ -1541,7 +1602,10 @@ object GraftLake {
     // additionally claims a contiguous id range off the total
     // (rewrites re-assign — the un-materialized Delta posture).
     val nRows = setRowCount(path, setName)
-    val ridRows = if (rowTrackingEnabled(path)) Some(nRows) else None
+    val ridRows =
+      if (rowTrackingEnabled(path))
+        Some(math.max(nRows, ridMinClaim.getOrElse(0L)))
+      else None
     val v =
       try publishEntry(path, action, setName, df.schema, tag, stats,
         removeSets, validatedCons, cdfSet = cdfSet, ridRows = ridRows,
@@ -1914,7 +1978,27 @@ object GraftLake {
               "renamed away (name lineage still resolves them in pre-rename " +
               "file-sets); re-adding the former name would alias old data — " +
               "use a different name or overwrite() to reset the lineage")
-          mergeSchemas(oldSt, dfSchema).toDDL
+          val merged = mergeSchemas(oldSt, dfSchema)
+          // DATE -> TIMESTAMP_NTZ changes the zone-map IMAGE DOMAIN
+          // (epoch days -> local micros): recorded day-domain stats
+          // under a micros-domain probe would wrongly SKIP live sets.
+          // The integral ladder shares one domain (the value itself)
+          // and float/decimal columns never carry zone maps, so only
+          // this rung needs the fence: refuse while any live set
+          // still records stats on the widened column.
+          merged.fields.foreach { f =>
+            val was = oldSt.fields.find(_.name == f.name).map(_.dataType)
+            if (was.contains(org.apache.spark.sql.types.DateType) &&
+                f.dataType == org.apache.spark.sql.types.TimestampNTZType) {
+              val statted = snap.live.filter(_.statsFor(f.name).isDefined)
+              if (statted.nonEmpty) throw new IllegalArgumentException(
+                s"widening '${f.name}' DATE -> TIMESTAMP_NTZ at $path: " +
+                  s"${statted.size} live set(s) record day-domain zone " +
+                  "maps on it, which a micros-domain probe would misread " +
+                  "— compact (re-stating under the new type) first")
+            }
+          }
+          merged.toDDL
         }
       val removed =
         if (action == "overwrite") snap.live.map(_.set) ++ snap.tombstones
@@ -2033,16 +2117,26 @@ object GraftLake {
     */
   /** TYPE WIDENING ladder (Delta's type-widening table feature):
     * whether values written as `from` read losslessly as `to`.
-    * Integral byte < short < int < long, plus float -> double — every
-    * step is exact (an int32 is representable in an int64; a float's
-    * value IS a double value), so old files serve the wide type by a
-    * pure cast with zero rewrite.
+    * Integral byte < short < int < long, float -> double, DATE ->
+    * TIMESTAMP_NTZ (midnight of the same local day), and DECIMAL
+    * growth where neither the scale nor the integer-digit budget
+    * shrinks — every step is exact, so old files serve the wide type
+    * by a pure cast with zero rewrite.
     */
   private[sources] def widensTo(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types.{DateType, DecimalType, TimestampNTZType}
     val ladder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
     val (a, b) = (ladder.indexOf(from), ladder.indexOf(to))
     if (a >= 0 && b >= 0) a < b
-    else from == FloatType && to == DoubleType
+    else (from, to) match {
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale &&
+          (d2.precision > d1.precision || d2.scale > d1.scale)
+      case _ => false
+    }
   }
 
   private[sources] def mergeSchemas(old: StructType, next: StructType): StructType = {
@@ -2142,8 +2236,11 @@ object GraftLake {
           defaults = s.defaults ++ toMap(ds),
           generated = s.generated ++ toMap(gs),
           identities = s.identities ++ toMap(is).map { case (cn, v) =>
-            val Array(st, sp) = v.split(",", 2)
-            cn -> (st.toLong, sp.toLong)
+            val parts = v.split(",")
+            cn -> (parts(0).toLong, parts(1).toLong)
+          },
+          identityDefaults = s.identityDefaults ++ toMap(is).collect {
+            case (cn, v) if v.split(",").lift(2).contains("d") => cn
           },
           tsMillis = math.max(s.tsMillis, c.tsMillis))
       } else if (c.action == "partition") {
@@ -2210,7 +2307,7 @@ object GraftLake {
           s.defaults, s.generated,
           (s.ridHighWater +: added.flatMap(_.statsFor(RidStat))
             .map(_.max + 1L)).max,
-          s.identities)
+          s.identities, s.identityDefaults)
       }
     }
 
@@ -2287,7 +2384,8 @@ object GraftLake {
            s.defaults.toSeq.sortBy(_._1).map { case (c, q) => s"d:$c=$q" } ++
              s.generated.toSeq.sortBy(_._1).map { case (c, q) => s"g:$c=$q" } ++
              s.identities.toSeq.sortBy(_._1).map { case (c, (st, sp)) =>
-               s"i:$c=$st,$sp" },
+               s"i:$c=$st,$sp" +
+                 (if (s.identityDefaults(c)) ",d" else "") },
            Seq.empty, None, Seq.empty, 0L)))) ++
         // Row-id high water: MUST ride the checkpoint explicitly — the
         // live sets alone under-count (removed sets also allocated).
@@ -2360,9 +2458,12 @@ object GraftLake {
       head.tsMillis, cons, rens, part, ing, defMap("d:"), defMap("g:"),
       ridHw,
       defMap("i:").map { case (cn, v) =>
-        val Array(st, sp) = v.split(",", 2)
-        cn -> (st.toLong, sp.toLong)
-      }))
+        val parts = v.split(",")
+        cn -> (parts(0).toLong, parts(1).toLong)
+      },
+      defMap("i:").collect {
+        case (cn, v) if v.split(",").lift(2).contains("d") => cn
+      }.toSet))
   }
 
   /** Auto-checkpoint cadence (every N commits, Delta-style; 0

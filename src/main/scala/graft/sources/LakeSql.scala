@@ -588,11 +588,20 @@ final case class GraftLakeInsertCommand(
     val genCols = GraftLake.generatedColumnsOf(path)
     val defCols = GraftLake.columnDefaultsOf(path)
     val idCols = GraftLake.identityColumnsOf(path)
+    val idDefaults = GraftLake.identityDefaultsOf(path)
+    // BY DEFAULT identity columns accept explicit values; ALWAYS ones
+    // refuse (Delta's rule). A column listed explicitly passes its
+    // values through appendIdentity, which advances the high water
+    // past them.
+    val idAlways = idCols.keySet.filterNot(c =>
+      idDefaults.exists(_.equalsIgnoreCase(c)))
+    val idSupplied = idCols.keySet.filter(c =>
+      userCols.exists(_.equalsIgnoreCase(c)))
     userCols.find(c => genCols.keys.exists(_.equalsIgnoreCase(c))).foreach(c =>
       throw new IllegalArgumentException(
         s"INSERT INTO $viewName: column '$c' is GENERATED — it is " +
           "computed on write, do not supply it"))
-    userCols.find(c => idCols.keys.exists(_.equalsIgnoreCase(c))).foreach(c =>
+    userCols.find(c => idAlways.exists(_.equalsIgnoreCase(c))).foreach(c =>
       throw new IllegalArgumentException(
         s"INSERT INTO $viewName: column '$c' is GENERATED ALWAYS AS " +
           "IDENTITY — it is allocated on write, do not supply it"))
@@ -608,7 +617,8 @@ final case class GraftLakeInsertCommand(
         target.fields.filterNot(f =>
           staticPins.exists(_._1.equalsIgnoreCase(f.name)) ||
             genCols.keys.exists(_.equalsIgnoreCase(f.name)) ||
-            idCols.keys.exists(_.equalsIgnoreCase(f.name))))
+            (idCols.keys.exists(_.equalsIgnoreCase(f.name)) &&
+              !idSupplied.exists(_.equalsIgnoreCase(f.name)))))
     }
     val alignedPart =
       if (userCols.isEmpty) {
@@ -665,7 +675,8 @@ final case class GraftLakeInsertCommand(
           "columns (identity values are append-allocated) — DELETE + " +
           "INSERT instead")
       val nonId = withGen.select(target.fields
-        .filterNot(f => idCols.keys.exists(_.equalsIgnoreCase(f.name)))
+        .filterNot(f => idCols.keys.exists(_.equalsIgnoreCase(f.name)) &&
+          !idSupplied.exists(_.equalsIgnoreCase(f.name)))
         .map(f => col(f.name)).toIndexedSeq: _*)
       GraftLake.appendIdentity(nonId, path, Some(statsCol))
       GraftLake.read(spark, path).createOrReplaceTempView(viewName)
@@ -792,7 +803,8 @@ final case class GraftLakeCreateEmptyCommand(
     ignoreIfExists: Boolean,
     defaults: Seq[(String, String)] = Seq.empty,
     generated: Seq[(String, String)] = Seq.empty,
-    identity: Seq[(String, (Long, Long))] = Seq.empty)
+    identity: Seq[(String, (Long, Long))] = Seq.empty,
+    identityDefault: Set[String] = Set.empty)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     statsCol.foreach(c => require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
@@ -821,7 +833,8 @@ final case class GraftLakeCreateEmptyCommand(
       // opt-in lands with the create, before any insert.
       if (identity.nonEmpty) GraftLake.enableRowTracking(path)
       if (defaults.nonEmpty || generated.nonEmpty || identity.nonEmpty)
-        GraftLake.recordColDefs(path, defaults, generated, identity)
+        GraftLake.recordColDefs(path, defaults, generated, identity,
+          identityDefault)
     }
     LakeSql.register(spark, path, name,
       statsCol.flatMap(c => tableSchema.fieldNames.find(_.equalsIgnoreCase(c)))
@@ -1365,6 +1378,11 @@ final class LakeDdlParser(
           val identity = ct.columns.toSeq.flatMap(c =>
             c.identityColumnSpec.map(i =>
               c.name -> (i.getStart, i.getStep)))
+          // GENERATED BY DEFAULT AS IDENTITY: explicit inserts allowed,
+          // high water advances past supplied maxima (Delta semantics).
+          val identityDefault: Set[String] = ct.columns.toSeq.flatMap(c =>
+            c.identityColumnSpec.filter(_.isAllowExplicitInsert)
+              .map(_ => c.name)).toSet
           val schema = org.apache.spark.sql.types.StructType(ct.columns.map(c =>
             org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
           val partCols = ct.partitioning.toSeq.map {
@@ -1378,7 +1396,8 @@ final class LakeDdlParser(
             case (k, v) if k.equalsIgnoreCase("statscol") => v
           }
           GraftLakeCreateEmptyCommand(loc, name, schema, statsCol, partCols,
-            ct.ignoreIfExists, defaults, generated, identity)
+            ct.ignoreIfExists, defaults, generated, identity,
+            identityDefault)
         // TRUNCATE TABLE <lake view> — O(1) by-reference removal.
         case tt: org.apache.spark.sql.catalyst.plans.logical.TruncateTable
             if LakeSql.targetName(tt.table).isDefined =>

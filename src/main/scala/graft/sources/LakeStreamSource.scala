@@ -539,6 +539,10 @@ private[sources] class LakeFileReader(
               case (x: java.lang.Short, LongType) => x.toLong
               case (x: java.lang.Integer, LongType) => x.toLong
               case (x: java.lang.Float, DoubleType) => x.toDouble
+              // DATE (epoch days) -> TIMESTAMP_NTZ (local micros):
+              // midnight of the same day, the date->ntz widening rung.
+              case (x: java.lang.Integer, TimestampNTZType)
+                  if wt == DateType => x.toLong * 86_400_000_000L
               case _ => throw new IllegalArgumentException(
                 s"file type $wt does not widen to read type " +
                   s"${f.dataType} for '${f.name}'")

@@ -88,4 +88,90 @@ class LakeTypeWideningSpec extends AnyFunSuite with SparkSpec {
       GraftLake.append(Seq((1L, "a")).toDF("k", "s"), path2)
     }
   }
+
+  test("date -> timestamp_ntz widens; both read paths serve midnight of the day") {
+    import spark.implicits._
+    val path = freshTable()
+    val dates = Seq("1994-01-05", "1995-06-30").map(java.sql.Date.valueOf)
+    GraftLake.create(dates.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("k", "ts"), path)
+    // a writer arriving with TIMESTAMP_NTZ widens the schema in place
+    val ntz = Seq((2L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
+      .toDF("k", "ts")
+    GraftLake.append(ntz, path)
+    val st = StructType.fromDDL(GraftLake.snapshot(path).schemaDdl)
+    assert(st("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val expect = Set("1994-01-05T00:00", "1995-06-30T00:00",
+      "1996-03-04T12:30")
+    val api = GraftLake.read(spark, path).select(col("ts")).collect()
+      .map(_.getAs[java.time.LocalDateTime](0).toString).toSet
+    assert(api == expect)
+    val dsv = spark.read.format("graftlake").load(path)
+      .select(col("ts")).collect()
+      .map(_.getAs[java.time.LocalDateTime](0).toString).toSet
+    assert(dsv == expect)
+    // a DATE writer against the widened table is the narrow-late-
+    // writer case: lands narrow, reads up as midnight
+    GraftLake.append(
+      Seq((9L, java.sql.Date.valueOf("1997-02-03"))).toDF("k", "ts"), path)
+    assert(GraftLake.read(spark, path).filter(col("k") === 9L)
+      .head.getAs[java.time.LocalDateTime]("ts").toString ==
+      "1997-02-03T00:00")
+  }
+
+  test("decimal precision/scale growth widens; shrinking either budget refuses") {
+    import spark.implicits._
+    val path = freshTable()
+    val d1 = Seq((1L, BigDecimal("12.34"))).toDF("k", "d")
+      .select(col("k"), col("d").cast("decimal(6,2)").as("d"))
+    GraftLake.create(d1, path)
+    // (6,2) -> (10,4): scale +2, integer digits 4 -> 6 — lossless
+    val d2 = Seq((2L, BigDecimal("12345.6789"))).toDF("k", "d")
+      .select(col("k"), col("d").cast("decimal(10,4)").as("d"))
+    GraftLake.append(d2, path)
+    val st = StructType.fromDDL(GraftLake.snapshot(path).schemaDdl)
+    assert(st("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 4))
+    val got = GraftLake.read(spark, path).select(col("d")).collect()
+      .map(_.getDecimal(0).toPlainString).toSet
+    assert(got == Set("12.3400", "12345.6789"))
+    // shrinking the integer-digit budget refuses: (10,4) -> (10,6)
+    // keeps precision but drops integer digits 6 -> 4
+    intercept[IllegalArgumentException] {
+      GraftLake.append(
+        Seq((3L, BigDecimal("1.5"))).toDF("k", "d")
+          .select(col("k"), col("d").cast("decimal(10,6)").as("d")), path)
+    }
+    // narrow decimal writers land against the wide schema and read up
+    GraftLake.append(
+      Seq((4L, BigDecimal("99.99"))).toDF("k", "d")
+        .select(col("k"), col("d").cast("decimal(6,2)").as("d")), path)
+    assert(GraftLake.read(spark, path).count() == 3)
+  }
+
+  test("date->ntz refuses while day-domain zone maps exist on live sets") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create(
+      Seq((1L, java.sql.Date.valueOf("1994-01-05"))).toDF("k", "ts"),
+      path, statsCols = Seq("ts"))
+    // the widened column's old DATE-days stats would be misread by a
+    // TIMESTAMP_NTZ-micros probe (wrong SKIPS, lost rows) — the
+    // widening must refuse loudly while such stats are live
+    val e = intercept[IllegalArgumentException] {
+      GraftLake.append(
+        Seq((2L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
+          .toDF("k", "ts"), path, statsCols = Seq("ts"))
+    }
+    assert(e.getMessage.contains("day-domain"))
+    // a compact under the NEW type re-states and unblocks... but the
+    // schema is still DATE here, so simply re-laying out keeps DATE
+    // stats; the supported route is stat-less sets (as in the first
+    // date->ntz test). Pruning on the untouched table still works.
+    GraftLake.deleteRange(spark, path, "ts",
+      java.time.LocalDate.parse("1999-01-01").toEpochDay,
+      java.time.LocalDate.parse("1999-12-31").toEpochDay)
+    assert(GraftLake.read(spark, path).count() == 1)
+  }
 }
