@@ -2010,6 +2010,57 @@ object SparkEntry {
     // in-row), filters are retained and re-applied row-level, and
     // unselected columns never reach the parquet decoder (pinned via
     // the read-schema probe). Oracle: the one-year orders replay.
+    // RUNTIME SET PRUNING (DSv2 dynamic partition pruning): the scan
+    // implements SupportsRuntimeFiltering over its prunable statted
+    // columns; when a broadcast join's build side materializes, Spark
+    // hands back In(okey, values) with the ACTUAL key values and the
+    // scan re-prunes its set list through the same zone-map/Bloom
+    // machinery — a fact⋈dim join whose dim selects one quartile
+    // opens one quartile's sets, decided at EXECUTION time (the dim's
+    // selectivity lives in a non-key column, so no static transitive
+    // filter could have pruned it). In-row flag pins the (1, 3)
+    // runtime prune.
+    "src60_runtime_set_prune" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, GraftLakeBatchSource}
+      val path = scratch("graft_lake_dpp", dir)
+      val dimPath = scratch("graft_lake_dpp_dim", dir)
+      rmrf(path); rmrf(dimPath)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val maxKey = o.agg(max(col("okey"))).head.getLong(0)
+      val q = maxKey / 4
+      GraftLake.create(o.filter(col("okey") <= q), path,
+        statsCols = Seq("okey"))
+      GraftLake.append(o.filter(col("okey") > q && col("okey") <= 2 * q),
+        path, statsCols = Seq("okey"))
+      GraftLake.append(o.filter(col("okey") > 2 * q && col("okey") <= 3 * q),
+        path, statsCols = Seq("okey"))
+      GraftLake.append(o.filter(col("okey") > 3 * q), path,
+        statsCols = Seq("okey"))
+      // dim: the join keys + a MATERIALIZED selectivity flag (derived
+      // from okey but stored, so nothing propagates transitively)
+      o.select(col("okey"),
+        when(col("okey") <= q && col("okey") % 7 === 0, 1L).otherwise(0L)
+          .as("pick"))
+        .write.mode("overwrite").parquet(dimPath)
+      // equality filter: DPP's isLikelySelective heuristic counts
+      // comparisons, not bare boolean columns
+      val dim = s.read.parquet(dimPath).filter(col("pick") === 1L)
+        .select(col("okey"))
+      GraftLakeBatchSource.lastRuntimePrune.remove(path)
+      val j = s.read.format("graftlake").load(path)
+        .join(broadcast(dim), Seq("okey"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val rows = j.collect()
+      val pr = GraftLakeBatchSource.lastRuntimePrune.get(path)
+      val prunedOk = pr != null && pr == ((1, 3))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+        .withColumn("dpp_ok", lit(prunedOk))
+        .orderBy(col("status"))
+    }),
     // DSv2 scan under OUTSTANDING merge-on-read state: deletion
     // vectors resolve at plan time into per-file row-index masks and
     // key tombstones into key value masks (both O(deleted rows) — the
@@ -4096,6 +4147,17 @@ object SparkEntry {
         |  TRUE AS coldefs_ok
         |FROM all_rows GROUP BY 1 ORDER BY 1""".stripMargin,
     // The last order-year's slice, read through the pruned DSv2 scan.
+    // The runtime-pruned join replay; the (1, 3) prune flag is
+    // pinned in-row.
+    "src60_runtime_set_prune" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |d AS (SELECT o_orderkey AS okey FROM orders, mx
+        |  WHERE o_orderkey <= m // 4 AND o_orderkey % 7 = 0)
+        |SELECT o.o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents, TRUE AS dpp_ok
+        |FROM orders o JOIN d ON o.o_orderkey = d.okey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The MoR-masked scan replay: orders minus the DV slice (okey
     // ends in 3) and the key-tombstoned slice (okey ends in 7).
     "src59_dsv2_mor_scan" ->

@@ -384,13 +384,54 @@ private[sources] class GraftLakeScanBuilder(
 }
 
 private[sources] class GraftLakeBatchScan(
-    path: String, sets: Seq[GraftLake.LiveSet], required: StructType,
+    path: String, initialSets: Seq[GraftLake.LiveSet], required: StructType,
     masks: GraftLake.ScanMasks = GraftLake.ScanMasks(Map.empty, Seq.empty))
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // Runtime (DPP-class) filtering may prune this at EXECUTION time —
+  // after the broadcast side of a join materializes its key values.
+  @volatile private var sets: Seq[GraftLake.LiveSet] = initialSets
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME SET PRUNING (the DSv2 dynamic partition pruning): offer
+    * every prunable-typed output column that any planned set records
+    * stats for; when the join's build side finishes, Spark hands back
+    * `In(col, values)` filters with the ACTUAL key values, and the
+    * scan re-prunes its set list through the same zone-map/Bloom
+    * machinery the static path uses — a fact⋈dim join whose dim
+    * filters to one day opens one day's sets, decided at runtime. The
+    * prune is advisory (drops provably-matchless sets only; Spark
+    * still applies the join), so composing with masks/filters is
+    * free. Skipped when the scan reported KeyGroupedPartitioning:
+    * dropping whole partition values after the grouping was reported
+    * would break the SPJ contract — the exchange saved there already
+    * dwarfs the file-open win.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (spjLayout.isDefined) Array.empty
+    else required.fields
+      .filter(f => GraftLake.isPrunableType(f.dataType) &&
+        sets.exists(_.statsFor(f.name).isDefined))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    if (spjLayout.isDefined) return
+    val (ranges, eqs) = GraftLakeBatchSource.constraintsOf(filters, required)
+    if (ranges.isEmpty && eqs.isEmpty) return
+    sets = sets.filter(GraftLake.setMayMatch(path, _, ranges, eqs))
+    // AQE can replan and deliver the filter again to a FRESH scan
+    // whose plan-time list was already pruned — merge so the entry
+    // keeps the deepest prune observed for this table.
+    GraftLakeBatchSource.lastRuntimePrune.merge(
+      path, (sets.size, initialSets.size - sets.size),
+      (a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+  }
 
   /** STORAGE-PARTITIONED JOINS (Spark's SPJ, the DSv2 bucketed-join):
     * when the table has a recorded layout, every planned set is
@@ -596,6 +637,13 @@ object GraftLakeBatchSource {
   private[graft] def lastAggPushed_=(v: Boolean): Unit =
     _lastAggPushed.set(v)
   val readSchemas = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+  // (scanned, runtime-skipped) of the last runtime-filter prune, per
+  // table path: runtime filters arrive on Spark's execution threads,
+  // so the thread-local pattern the plan-time instruments use would
+  // miss them — path-keyed is race-free across concurrent gates as
+  // long as each exercises its own scratch table (they do).
+  val lastRuntimePrune =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
   private[this] val _lastConsumed =
     ThreadLocal.withInitial[Seq[String]](() => Seq.empty)
   def lastConsumed: Seq[String] = _lastConsumed.get()

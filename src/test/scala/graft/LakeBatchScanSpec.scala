@@ -308,6 +308,31 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
       .isNullAt(det.fieldIndex("num_rows")))
   }
 
+  test("runtime filters from a broadcast join's build side prune sets at execution") {
+    import spark.implicits._
+    val p = fresh()
+    seed(p)
+    GraftLakeBatchSource.lastRuntimePrune.remove(p)
+    val fact = spark.read.format("graftlake").load(p)
+    // the dim is FILE-backed so its selective filter survives as a
+    // real Filter node (a local Seq constant-folds it away and the
+    // DPP heuristic then sees nothing selective), and the filter is
+    // on a NON-join column — a join-key predicate would propagate
+    // transitively and prune the fact STATICALLY, leaving DPP nothing
+    // to do. The m==0 keys all land inside the third set [61, 90].
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").toString
+    (1 to 90).map(i =>
+        (i.toLong, if (i > 60 && i % 9 == 0) 0 else 1)).toDF("id", "m")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("m") === 0)
+    val j = fact.join(broadcast(dim), Seq("id"))
+    assert(j.count() == 4) // ids 63, 72, 81, 90
+    val pruned = GraftLakeBatchSource.lastRuntimePrune.get(p)
+    assert(pruned != null, "runtime filter must reach the scan")
+    assert(pruned == ((1, 2)),
+      s"dim keys live in one set; expected (1, 2), got $pruned")
+  }
+
   test("flat tables consume nothing: every pushed filter stays residual") {
     val p = fresh()
     seed(p)
