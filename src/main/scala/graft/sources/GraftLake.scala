@@ -1641,8 +1641,23 @@ object GraftLake {
     if (statsCols.isEmpty) Seq.empty
     else {
       val written = spark.read.parquet(s"$path/$setName")
+      // Stats are recorded in the TABLE type's image domain, not the
+      // written file's: a NARROW writer against a widened column (a
+      // DATE append into a date->ntz-widened table) must not record
+      // day-domain numbers that every micros-domain probe — and the
+      // metadata MIN/MAX pushdown — would silently misread. Integral
+      // widening shares the value domain, so the cast is a no-op
+      // there; when the WRITER is the wider side the table schema is
+      // about to widen to it, so the written domain is already right.
+      val tableSt = snapshotIfExists(path)
+        .filter(sn => sn.version >= 0 && sn.schemaDdl.nonEmpty)
+        .map(sn => StructType.fromDDL(sn.schemaDdl))
       val aggs = statsCols.flatMap { c =>
-        val e = statLongExpr(written.schema(c).dataType, col(c))
+        val wdt = written.schema(c).dataType
+        val dt = tableSt.flatMap(_.fields.find(_.name == c))
+          .map(_.dataType)
+          .filter(t => t != wdt && widensTo(wdt, t)).getOrElse(wdt)
+        val e = statLongExpr(dt, col(c).cast(dt))
         Seq(org.apache.spark.sql.functions.min(e),
           org.apache.spark.sql.functions.max(e))
       }

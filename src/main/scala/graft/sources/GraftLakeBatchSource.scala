@@ -425,6 +425,10 @@ private[sources] class GraftLakeBatchScan(
     val (ranges, eqs) = GraftLakeBatchSource.constraintsOf(filters, required)
     if (ranges.isEmpty && eqs.isEmpty) return
     sets = sets.filter(GraftLake.setMayMatch(path, _, ranges, eqs))
+    // Bounded instrument: a long-lived session scanning many distinct
+    // paths must not grow the map without end.
+    if (GraftLakeBatchSource.lastRuntimePrune.size > 512)
+      GraftLakeBatchSource.lastRuntimePrune.clear()
     // AQE can replan and deliver the filter again to a FRESH scan
     // whose plan-time list was already pruned — merge so the entry
     // keeps the deepest prune observed for this table.

@@ -426,11 +426,15 @@ final case class GraftLakeDetailCommand(path: String)
       files.size.toLong,
       files.map(java.nio.file.Files.size(_)).sum, {
         // NULL rather than a wrong number when outstanding MoR masks
-        // make the physical counts overstate the visible rows.
-        val counts = s.live.map(ls =>
-          GraftLake.setRecordCountFromSidecar(path, ls.set))
-        if (s.tombstones.nonEmpty || counts.exists(_.isEmpty)) null
-        else java.lang.Long.valueOf(counts.flatten.sum)
+        // make the physical counts overstate the visible rows —
+        // checked FIRST so the masked path reads zero sidecars.
+        if (s.tombstones.nonEmpty) null
+        else {
+          val counts = s.live.map(ls =>
+            GraftLake.setRecordCountFromSidecar(path, ls.set))
+          if (counts.exists(_.isEmpty)) null
+          else java.lang.Long.valueOf(counts.flatten.sum)
+        }
       }))
   }
 }

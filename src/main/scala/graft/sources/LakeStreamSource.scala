@@ -393,9 +393,15 @@ private[sources] class LakeFileReader(
   private val writtenNames = written.fieldNames.toSet
   // Key-mask columns PRESENT IN THIS FILE must decode even when the
   // query pruned them away — the mask test needs the value; they
-  // never join the output row.
+  // never join the output row. A hive-layout column lives in
+  // `constLongs` (the value is a directory-name constant absent from
+  // the parquet bytes), so masks on it test there — dropping them
+  // would resurrect MoR-deleted rows. A mask column in NEITHER place
+  // is a column added after this set was written: every row reads it
+  // as NULL, and NULL never matches a mask.
   private val maskFields: Array[(String, Set[Any])] =
-    keyMasks.filter(km => writtenNames(km._1)).toArray
+    keyMasks.filter(km => writtenNames(km._1) ||
+      part.constLongs.exists(_._1 == km._1)).toArray
   // Data fields to decode from THIS file (ordered as in `required`),
   // carrying the WRITTEN set's nullability: Spark writes non-nullable
   // columns as parquet `required`, and the projection's repetition
@@ -403,42 +409,94 @@ private[sources] class LakeFileReader(
   private val dataFields: Array[StructField] = {
     val fromRequired = required.fields.filter(f =>
       f.name != "_commit_version" && writtenNames(f.name))
+    // const-served (hive layout) mask columns need no decode — only
+    // masks on columns physically present in this file join the
+    // projection
     val extraMaskCols = maskFields.map(_._1)
-      .filterNot(c => fromRequired.exists(_.name == c))
+      .filter(c => writtenNames(c) && !fromRequired.exists(_.name == c))
       .map(c => StructField(c, written(c).dataType))
     (fromRequired ++ extraMaskCols)
       .map(f => f.copy(nullable = written(f.name).nullable))
   }
 
+  /** The file's OWN footer schema — the one source of truth for both
+    * the column projection and the per-value decode types. The set's
+    * recorded DDL cannot be trusted for either: evolution relaxes
+    * NOT NULL on merge, and a NARROW LATE WRITER against a widened
+    * table lands files whose physical types are narrower than the
+    * DDL at add time (an INT32 date file under a TIMESTAMP_NTZ DDL).
+    */
+  private val fileSchema: Option[org.apache.parquet.schema.MessageType] =
+    if (dataFields.isEmpty) None
+    else {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.file), new Configuration())
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      Some(try fr.getFileMetaData.getSchema finally fr.close())
+    }
+
+  /** Physical Spark type of one file field, from its parquet
+    * primitive type + logical annotation.
+    */
+  private def physTypeOf(t: org.apache.parquet.schema.Type): Option[DataType] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (!t.isPrimitive) return None
+    val ann = t.asPrimitiveType.getLogicalTypeAnnotation
+    t.asPrimitiveType.getPrimitiveTypeName match {
+      case INT32 => ann match {
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+          Some(DateType)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if i.getBitWidth == 8 => Some(ByteType)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if i.getBitWidth == 16 => Some(ShortType)
+        case _ => Some(IntegerType)
+      }
+      case INT64 => ann match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          Some(if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType)
+        case _ => Some(LongType)
+      }
+      case DOUBLE => Some(DoubleType)
+      case FLOAT => Some(FloatType)
+      case BOOLEAN => Some(BooleanType)
+      case BINARY
+          if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(StringType)
+      case _ => None
+    }
+  }
+
+  private val physTypes: Map[String, DataType] = fileSchema match {
+    case None => Map.empty
+    case Some(fs) => dataFields.flatMap { f =>
+      physTypeOf(fs.getFields.get(fs.getFieldIndex(f.name))).map(f.name -> _)
+    }.toMap
+  }
+
+  /** The decode type of a field in THIS file: its physical footer
+    * type when recognized, else the recorded DDL's (pre-existing
+    * behavior for anything exotic).
+    */
+  private def decodeType(name: String): DataType =
+    physTypes.getOrElse(name, written(name).dataType)
+
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
-    if (dataFields.nonEmpty) {
-      conf.set(ReadSupport.PARQUET_READ_SCHEMA, parquetProjection(dataFields, conf))
+    fileSchema.foreach { fs =>
+      // Column-pruned projection from the file's own Type nodes, so
+      // repetition and logical annotations always match exactly.
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+        new org.apache.parquet.schema.MessageType(
+          "spark_schema",
+          dataFields.map(f =>
+            fs.getFields.get(fs.getFieldIndex(f.name))): _*).toString)
     }
     ParquetReader
       .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(part.file))
       .withConf(conf)
       .build()
-  }
-
-  /** Column-pruned projection for the file, built FROM ITS OWN FOOTER:
-    * the requested fields are the file schema's own Type nodes, so
-    * repetition (Spark writes non-nullable columns as `required`) and
-    * logical annotations always match exactly — the log's merged
-    * schema DDL cannot be trusted for either (evolution relaxes
-    * NOT NULL on merge).
-    */
-  private def parquetProjection(
-      fields: Array[StructField], conf: Configuration): String = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(part.file), conf)
-    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    val fileSchema =
-      try fr.getFileMetaData.getSchema finally fr.close()
-    new org.apache.parquet.schema.MessageType(
-      "spark_schema",
-      fields.map(f =>
-        fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))): _*).toString
   }
 
   private var current: Group = _
@@ -451,9 +509,13 @@ private[sources] class LakeFileReader(
     * never null).
     */
   private def maskValue(c: String): Any = {
+    part.constLongs.find(_._1 == c) match {
+      case Some((_, v)) => return v
+      case None => ()
+    }
     val gi = current.getType.getFieldIndex(c)
     if (current.getFieldRepetitionCount(gi) == 0) null
-    else written(c).dataType match {
+    else decodeType(c) match {
       case LongType => current.getLong(gi, 0)
       case IntegerType | DateType => current.getInteger(gi, 0).toLong
       case ShortType => current.getInteger(gi, 0).toLong
@@ -507,11 +569,12 @@ private[sources] class LakeFileReader(
         if (current.getFieldRepetitionCount(gi) == 0) {
           row.update(i, null)
         } else {
-          // Decode with the type the file was WRITTEN under, then
+          // Decode with the file's PHYSICAL type (its own footer —
+          // the recorded DDL lies for narrow late writers), then
           // widen to the read type when the table schema evolved —
-          // the lossless ladder mergeSchemas admits (int->long,
-          // float->double); anything else refuses loudly.
-          val wt = written(f.name).dataType
+          // the lossless ladder mergeSchemas admits; anything else
+          // refuses loudly.
+          val wt = decodeType(f.name)
           val v: Any = wt match {
             case LongType => current.getLong(gi, 0)
             case IntegerType => current.getInteger(gi, 0)

@@ -308,6 +308,32 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
       .isNullAt(det.fieldIndex("num_rows")))
   }
 
+  test("MoR masks on hive-layout columns reach the batch reader via the dir constants") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-hivemask")
+      .resolve("t").toString
+    val df0 = (0 until 80)
+      .map(i => (i.toLong, (i % 4).toLong, i * 2L)).toDF("id", "bucket", "v")
+    GraftLake.appendPartitionedBy(df0, p, Seq("bucket"), statsCols = Seq("id"))
+    GraftLake.setPartitionColumns(p, Seq("bucket"))
+    // key tombstone ON THE LAYOUT COLUMN: its value lives in the hive
+    // directory name, not the parquet bytes — the reader must test the
+    // per-partition constant, not silently drop the mask
+    GraftLake.deleteMoR(spark, p, col("bucket") === 2L, "bucket")
+    // plus a positional DV inside a hive set
+    GraftLake.deleteDv(spark, p, col("id") === 1L)
+    val cols = Seq(col("id"), col("bucket"), col("v"))
+    val api = GraftLake.read(spark, p).select(cols: _*)
+    val dsv2 = spark.read.format("graftlake").load(p).select(cols: _*)
+    assert(api.count() == 59) // 80 - 20 (bucket 2) - 1 (id 1)
+    assert(dsv2.count() == 59)
+    assert(dsv2.collect().map(_.toSeq).toSet ==
+      api.collect().map(_.toSeq).toSet)
+    // pruning the layout column away still masks
+    assert(dsv2.select(col("id")).collect().map(_.getLong(0)).toSet ==
+      (0 until 80).filter(i => i % 4 != 2 && i != 1).map(_.toLong).toSet)
+  }
+
   test("runtime filters from a broadcast join's build side prune sets at execution") {
     import spark.implicits._
     val p = fresh()

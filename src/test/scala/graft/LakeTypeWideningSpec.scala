@@ -150,6 +150,36 @@ class LakeTypeWideningSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, path).count() == 3)
   }
 
+  test("a narrow DATE writer against an ntz table records micros-domain stats") {
+    import spark.implicits._
+    import graft.sources.GraftLakeBatchSource
+    val path = freshTable()
+    GraftLake.create(
+      Seq((1L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
+        .toDF("k", "ts"), path, statsCols = Seq("ts"))
+    // the narrow writer's stats must land in the TABLE's micros
+    // domain — day-domain numbers under a micros probe would wrongly
+    // SKIP this set (lost rows on pruned reads, lost DV deletes)
+    GraftLake.append(
+      Seq((2L, java.sql.Date.valueOf("1994-01-05"))).toDF("k", "ts"),
+      path, statsCols = Seq("ts"))
+    val probe = lit(java.time.LocalDateTime.of(1994, 1, 1, 0, 0))
+    assert(spark.read.format("graftlake").load(path)
+      .filter(col("ts") >= probe).count() == 2)
+    // and the metadata MIN pushdown serves the true midnight, not a
+    // day count reinterpreted as micros (1970-01-01T00:00:00.008770)
+    GraftLakeBatchSource.lastAggPushed = false
+    val m = spark.read.format("graftlake").load(path)
+      .agg(min(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+    assert(GraftLakeBatchSource.lastAggPushed)
+    assert(m.toString == "1994-01-05T00:00")
+    // a DV delete pruned by the micros predicate still finds the row
+    val (_, n) = GraftLake.deleteDv(spark, path, col("ts") >= probe &&
+      col("ts") < lit(java.time.LocalDateTime.of(1995, 1, 1, 0, 0)))
+    assert(n == 1L)
+    assert(GraftLake.read(spark, path).count() == 1)
+  }
+
   test("date->ntz refuses while day-domain zone maps exist on live sets") {
     import spark.implicits._
     val path = freshTable()
