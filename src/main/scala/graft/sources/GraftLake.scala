@@ -1345,6 +1345,12 @@ object GraftLake {
     perFile.map(_._2).sum
   }
 
+  /** One shared Hadoop Configuration for driver-side footer opens:
+    * constructing one per file re-parses the XML resource chain —
+    * milliseconds a per-commit O(files) walk pays per FILE otherwise.
+    */
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
   /** (fileName, recordCount) of every parquet file in the set, name-
     * sorted — one footer open per file. Write-time helper and the
     * read path's legacy fallback for sets committed before `_ridmap`.
@@ -1357,8 +1363,7 @@ object GraftLake {
       .sortBy(_.toString)
       .map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.toString),
-          new org.apache.hadoop.conf.Configuration())
+          new org.apache.hadoop.fs.Path(f.toString), footerConf)
         val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         val n = try fr.getRecordCount finally fr.close()
         f.getFileName.toString -> n
