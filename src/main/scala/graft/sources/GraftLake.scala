@@ -2741,6 +2741,9 @@ object GraftLake {
     * ("data/cXXX") except in SHALLOW CLONES, whose initial commit
     * references the source's sets by ABSOLUTE path (Delta's shallow-
     * clone absolute-path files). */
+  private[sources] def setPathOf(table: String, set: String): String =
+    setPath(table, set)
+
   private def setPath(table: String, set: String): String =
     if (set.startsWith("/")) set else s"$table/$set"
 

@@ -388,7 +388,8 @@ private[sources] class GraftLakeBatchScan(
     masks: GraftLake.ScanMasks = GraftLake.ScanMasks(Map.empty, Seq.empty))
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // Runtime (DPP-class) filtering may prune this at EXECUTION time —
   // after the broadcast side of a join materializes its key values.
@@ -396,6 +397,46 @@ private[sources] class GraftLakeBatchScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** TABLE STATISTICS from metadata (Delta/Iceberg-class join
+    * planning): sizeInBytes = the PLANNED (post-static-prune) sets'
+    * file bytes, numRows = their `_ridmap` sidecar totals — both
+    * O(sets) driver metadata, no tasks. Without this a DSv2 relation
+    * sizes at `spark.sql.defaultSizeInBytes` (effectively infinite)
+    * and a kilobyte-sized lake dimension NEVER auto-broadcasts; with
+    * it, fact⋈dim joins over lake tables pick broadcast exactly like
+    * parquet tables do, and the estimate tightens with every pruned
+    * set. Outstanding masks make physical rows an overestimate —
+    * fine for an ESTIMATE (never a correctness input), and the bytes
+    * estimate is unaffected.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    import scala.jdk.CollectionConverters._
+    val bytes =
+      try {
+        java.util.OptionalLong.of(sets.map { ls =>
+          java.nio.file.Files.walk(
+            java.nio.file.Paths.get(GraftLake.setPathOf(path, ls.set)))
+            .iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(java.nio.file.Files.size(_)).sum
+        }.sum)
+      } catch { case scala.util.control.NonFatal(_) =>
+        java.util.OptionalLong.empty()
+      }
+    val rowCounts = sets.map(ls =>
+      GraftLake.setRecordCountFromSidecar(path, ls.set))
+    val rows =
+      if (sets.nonEmpty && rowCounts.forall(_.isDefined))
+        java.util.OptionalLong.of(rowCounts.flatten.sum)
+      else if (sets.isEmpty) java.util.OptionalLong.of(0L)
+      else java.util.OptionalLong.empty()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
 
   /** RUNTIME SET PRUNING (the DSv2 dynamic partition pruning): offer
     * every prunable-typed output column that any planned set records

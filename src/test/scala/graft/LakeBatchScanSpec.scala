@@ -359,6 +359,27 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
       s"dim keys live in one set; expected (1, 2), got $pruned")
   }
 
+  test("metadata statistics auto-broadcast a small lake dim without a hint") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stats")
+    val fact = base.resolve("fact").toString
+    val dim = base.resolve("dim").toString
+    GraftLake.create((1 to 5000).map(i => (i.toLong, i % 40L, i * 2L))
+      .toDF("id", "k", "v"), fact, statsCols = Seq("id"))
+    GraftLake.create((0 until 40).map(i => (i.toLong, s"g$i"))
+      .toDF("k", "name"), dim, statsCols = Seq("k"))
+    // NO broadcast() hint: the scan's estimateStatistics (sidecar
+    // rows + file bytes) must size the dim under the auto-broadcast
+    // threshold — without SupportsReportStatistics a DSv2 relation
+    // sizes at defaultSizeInBytes and never broadcasts.
+    val j = spark.read.format("graftlake").load(fact)
+      .join(spark.read.format("graftlake").load(dim), Seq("k"))
+    assert(j.count() == 5000)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small lake dim must auto-broadcast off metadata stats:\n$plan")
+  }
+
   test("flat tables consume nothing: every pushed filter stays residual") {
     val p = fresh()
     seed(p)
