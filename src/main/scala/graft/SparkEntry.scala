@@ -106,6 +106,8 @@ object SparkEntry {
     "d37_sentence_dedup" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d37SentenceDedup(s, d)),
     "d38_substring_dedup" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d38SubstringDedup(s, d)),
     "d39_nb_classifier" -> ((s: SparkSession, d: String) => graft.operators.Classifier.d39NbClassifier(s, d)),
+    "d40_dsir_weights" -> ((s: SparkSession, d: String) => graft.operators.Classifier.d40DsirWeights(s, d)),
+    "d41_kmeans" -> ((s: SparkSession, d: String) => graft.operators.Clustering.d41Kmeans(s, d)),
     "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
@@ -409,6 +411,36 @@ object SparkEntry {
           .withColumn("snapshot", lit(tag))
       agg(GraftLake.readAt(s, path, 0), "v0")
         .unionByName(agg(GraftLake.read(s, path), "latest"))
+        .select(col("snapshot"), col("o_orderstatus"), col("n"), col("cents"))
+        .orderBy(col("snapshot"), col("o_orderstatus"))
+    }),
+    // TIME TRAVEL BY TIMESTAMP (readAsOf): at-or-before commit-stamp
+    // resolution — a probe just below v1's stamp reads v0, a probe at
+    // v1's stamp reads latest. The gate sleeps between commits so the
+    // monotonized stamps are strictly increasing and the "just below
+    // v1" probe is well-defined. Oracle: same split as src11.
+    "src61_timestamp_travel" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_tstravel", dir)
+      rmrf(path)
+      val orders = Tables.orders(s, dir)
+      val y = year(col("o_orderdate"))
+      GraftLake.create(orders.filter(y.isNull || y < 1998), path)
+      Thread.sleep(3) // distinct wall-clock stamps for the two commits
+      GraftLake.append(orders.filter(y >= 1998), path)
+      val stamps = GraftLake.history(s, path)
+        .select(col("version"), col("committed_at")).collect()
+        .map(r => r.getAs[Number](0).intValue ->
+          r.getTimestamp(1).getTime).toMap
+      require(stamps(1) > stamps(0), "commit stamps not strictly increasing")
+      def agg(df: DataFrame, tag: String): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .withColumn("snapshot", lit(tag))
+      agg(GraftLake.readAsOf(s, path, stamps(1) - 1), "v0")
+        .unionByName(agg(GraftLake.readAsOf(s, path, stamps(1)), "latest"))
         .select(col("snapshot"), col("o_orderstatus"), col("n"), col("cents"))
         .orderBy(col("snapshot"), col("o_orderstatus"))
     }),
@@ -3784,6 +3816,8 @@ object SparkEntry {
     "d37_sentence_dedup" -> graft.operators.TextCorpus.d37OracleSql,
     "d38_substring_dedup" -> graft.operators.TextCorpus.d38OracleSql,
     "d39_nb_classifier" -> graft.operators.Classifier.d39OracleSql,
+    "d40_dsir_weights" -> graft.operators.Classifier.d40OracleSql,
+    "d41_kmeans" -> graft.operators.Clustering.d41OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->
@@ -3843,6 +3877,17 @@ object SparkEntry {
     // Lake snapshots replay from raw orders: v0 = the create filter,
     // latest = everything; schema evolution splits by key parity.
     "src11_time_travel" ->
+      """SELECT 'v0' AS snapshot, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderdate IS NULL OR year(o_orderdate) < 1998
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'latest', o_orderstatus, count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders GROUP BY 2
+        |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    "src61_timestamp_travel" ->
       """SELECT 'v0' AS snapshot, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders

@@ -89,6 +89,117 @@ object Classifier {
       .orderBy(col("doc_id"))
   }
 
+  /** d40: DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") —
+    * hashed n-gram importance weighting, the other standard trainable
+    * curation gate: estimate a target and a raw feature distribution
+    * over hashed unigram+bigram buckets, then weight every candidate
+    * document by log p_target(doc) - log p_raw(doc). Target sample =
+    * the `lang = 'en' AND doc_id % 3 == 0` slice (a curated seed set);
+    * the candidate pool is everything else.
+    *
+    * Same NO-ln DISCIPLINE as d39: with add-1 smoothing over B
+    * buckets, per-occurrence weight is
+    *   (bitlen(N_raw + B) - bitlen(c_raw(b)+1))     [raw surprisal]
+    * - (bitlen(N_tgt + B) - bitlen(c_tgt(b)+1))     [target surprisal]
+    * — whole-bit integers, exact in both engines. `selected` keeps
+    * docs whose total weight clears the corpus MEAN weight (the
+    * resampling acceptance rule collapsed to a deterministic
+    * threshold; compared by integer cross-multiplication
+    * `w * n_docs > sum_w`, so no division enters the hash).
+    *
+    * Scale shape: feature extraction is ONE corpus pass (typed flatMap
+    * — one polyHash per gram, the same Horner hash the dedup family
+    * replays in DuckDB); the bucket dim is B=1024 rows groupBy'd with
+    * map-side partial aggregation, localCheckpointed, and BROADCAST
+    * back; scoring is a per-doc tf against that broadcast dim. The
+    * only collect is the O(1) distribution totals. Never pairwise,
+    * no windows, bounded by B — not by SF.
+    */
+  def d40DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = 1024L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang") === "en" &&
+          pmod(col("doc_id"), lit(3)) === 0,
+        array_remove(split(lower(trim(col("text"))), " "), ""))
+      .as[(Long, Boolean, Seq[String])]
+    // One row per hashed unigram/bigram OCCURRENCE (counts, not sets —
+    // the estimator is multinomial).
+    val feats = docs.flatMap { case (id, tgt, ws) =>
+      val grams = ws.iterator ++
+        (if (ws.length >= 2) ws.sliding(2).map(_.mkString(" ")) else Iterator.empty)
+      grams.map(g => (id, tgt, Dedup.polyHash(g) % B))
+    }.toDF("doc_id", "tgt", "b")
+
+    val dim = feats.groupBy(col("b")).agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("c_r"))
+      .localCheckpoint(true)
+    val totals = dim.agg(sum(col("c_t")), sum(col("c_r"))).head()
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val nTBits = bitlen(totals.getLong(0) + B)
+    val nRBits = bitlen(totals.getLong(1) + B)
+
+    val weights = feats.filter(!col("tgt"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(dim), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * (
+        (lit(nRBits) - length(bin(col("c_r") + lit(1L)))) -
+        (lit(nTBits) - length(bin(col("c_t") + lit(1L))))
+      )).cast("long").as("weight_bits"))
+      .localCheckpoint(true)
+    // Selection threshold = corpus mean weight: one scalar aggregate
+    // over the already per-doc-reduced frame, broadcast back as
+    // literals — no global sort/window at any SF.
+    val t = weights.agg(sum(col("weight_bits")), count(lit(1))).head()
+    weights
+      .withColumn("selected",
+        col("weight_bits") * lit(t.getLong(1)) > lit(t.getLong(0)))
+      .select(col("doc_id"), col("weight_bits"), col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full DuckDB replay of d40 — identical tokenization, gram set,
+    * Horner bucket hash (list_reduce, the d06 pattern), add-1 bit
+    * arithmetic, and selection rule.
+    */
+  val d40OracleSql: String = {
+    import Dedup.{M, StrBase}
+    s"""WITH t AS (SELECT doc_id,
+       |    (lang = 'en' AND doc_id % 3 = 0) AS tgt,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |g AS (SELECT doc_id, tgt,
+       |    list_concat(ws, CASE WHEN len(ws) >= 2
+       |      THEN [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]
+       |      ELSE [] END) AS gs
+       |  FROM t),
+       |f AS (SELECT doc_id, tgt,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(unicode(gr[i:i]) AS BIGINT) FOR i IN range(1, length(gr) + 1)]),
+       |      (a, c) -> (a * $StrBase + c) % $M) % 1024 AS b
+       |  FROM (SELECT doc_id, tgt, unnest(gs) AS gr FROM g)),
+       |dim AS (SELECT b,
+       |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t,
+       |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS c_r
+       |  FROM f GROUP BY 1),
+       |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+       |             CAST(sum(c_r) AS BIGINT) AS n_r FROM dim),
+       |w AS (SELECT f.doc_id,
+       |    CAST(sum((length(bin(n.n_r + 1024)) - length(bin(dim.c_r + 1)))
+       |           - (length(bin(n.n_t + 1024)) - length(bin(dim.c_t + 1))))
+       |      AS BIGINT) AS weight_bits
+       |  FROM f JOIN dim USING (b) CROSS JOIN n
+       |  WHERE NOT f.tgt GROUP BY 1),
+       |thr AS (SELECT CAST(sum(weight_bits) AS BIGINT) AS w_sum,
+       |               CAST(count(*) AS BIGINT) AS n_docs FROM w)
+       |SELECT doc_id, weight_bits,
+       |  weight_bits * thr.n_docs > thr.w_sum AS selected
+       |FROM w CROSS JOIN thr ORDER BY doc_id""".stripMargin
+  }
+
   val d39OracleSql: String =
     """WITH t AS (SELECT doc_id, lang,
       |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
