@@ -444,6 +444,44 @@ object SparkEntry {
         .select(col("snapshot"), col("o_orderstatus"), col("n"), col("cents"))
         .orderBy(col("snapshot"), col("o_orderstatus"))
     }),
+    // SUM AGGREGATE PUSHDOWN: commit-time per-set column sums (exact,
+    // integral domain) let both the GLOBAL and the layout-GROUPED
+    // SUM/COUNT resolve from manifests + sidecars with ZERO data
+    // tasks — `SELECT sum(cents) FROM t` is O(sets) driver arithmetic
+    // at any table size. Both leg's zero-task flags pinned in-row.
+    "src62_sum_pushdown" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, GraftLakeBatchSource}
+      val path = scratch("graft_lake_sumpush", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.appendPartitionedBy(o, path, Seq("bucket"),
+        statsCols = Seq("cents"))
+      GraftLake.setPartitionColumns(path, Seq("bucket"))
+      val t = s.read.format("graftlake").load(path)
+      def served[T](q: org.apache.spark.sql.DataFrame)
+          : (Array[org.apache.spark.sql.Row], Boolean) = {
+        GraftLakeBatchSource.lastAggPushed = false
+        val rows = q.collect()
+        (rows, GraftLakeBatchSource.lastAggPushed &&
+          GraftLakeBatchSource.lastScanSets._1 == 0 &&
+          GraftLakeBatchSource.lastCountFooterOpens == 0)
+      }
+      val g1 = t.agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .withColumn("bucket", lit(-1L))
+        .select(col("bucket"), col("n"), col("cents_sum"))
+      val (rows1, ok1) = served(g1)
+      val g2 = t.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .select(col("bucket"), col("n"), col("cents_sum"))
+      val (rows2, ok2) = served(g2)
+      s.createDataFrame(java.util.Arrays.asList(rows1 ++ rows2: _*), g1.schema)
+        .withColumn("sum_push_ok", lit(ok1 && ok2))
+        .orderBy(col("bucket"))
+    }),
     // GraftLake SCHEMA EVOLUTION in the gate: v0 holds even keys with
     // 2 columns, the append adds odd keys WITH a new cents column —
     // old file-sets null-fill it at read time, nothing is rewritten.
@@ -3887,6 +3925,17 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    "src62_sum_pushdown" ->
+      """WITH t AS (SELECT o_orderkey % 8 AS bucket,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT -1 AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum, TRUE AS sum_push_ok
+        |FROM t
+        |UNION ALL
+        |SELECT bucket, count(*), CAST(sum(cents) AS BIGINT), TRUE
+        |FROM t GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
     "src61_timestamp_travel" ->
       """SELECT 'v0' AS snapshot, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

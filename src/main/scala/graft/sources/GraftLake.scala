@@ -90,8 +90,17 @@ object GraftLake {
     * MERGE / DELETE / pruned scans touch only overlapping file-sets.
     * A commit carries one entry PER stats column, so pruning composes
     * across dimensions (the Z-order layout's manifest twin).
+    *
+    * `sum` (value-domain INTEGRAL columns only — byte/short/int/long,
+    * where [[statLongExpr]]'s image IS the value) is the set's exact
+    * non-null column sum, letting SUM aggregates resolve from O(sets)
+    * manifest arithmetic with zero data tasks. Absent on temporal /
+    * string / float columns (summing an image is meaningless) and on
+    * pre-feature legacy entries — a single sum-less live set makes
+    * the pushdown decline to the real scan.
     */
-  final case class SetStats(col: String, min: Long, max: Long)
+  final case class SetStats(col: String, min: Long, max: Long,
+      sum: Option[Long] = None)
 
   /** A live file-set as of some version: its path, the schema it was
     * written under, and its zone-map stats (one per stats column).
@@ -702,14 +711,31 @@ object GraftLake {
           Seq(org.apache.spark.sql.functions.min(e),
             org.apache.spark.sql.functions.max(e))
         }
+        // Per-leaf SUMs for integral stat columns, same pass (see
+        // footerStats) — lets grouped/filtered SUM pushdown serve
+        // hive-laid-out tables from manifests alone.
+        val sumIdx = statsCols.zipWithIndex.collect {
+          case (c, i) if sumStatEligible(df.schema(c).dataType) => (c, i)
+        }
+        val sumAggs = sumIdx.map { case (c, _) =>
+          org.apache.spark.sql.functions.sum(col(c).cast("decimal(38,0)"))
+        }
+        val all = aggs ++ sumAggs
         df.groupBy(partCols.map(c => col(c).cast("long")): _*)
-          .agg(aggs.head, aggs.tail: _*).collect().map { r =>
+          .agg(all.head, all.tail: _*).collect().map { r =>
             val key = partCols.indices.map(r.getLong(_))
             val base = partCols.length
+            val sumBase = base + 2 * statsCols.length
+            val sums: Map[Int, Long] = sumIdx.zipWithIndex.flatMap {
+              case ((_, origIdx), j) =>
+                if (r.isNullAt(sumBase + j)) None
+                else scala.util.Try(r.getDecimal(sumBase + j).longValueExact())
+                  .toOption.map(origIdx -> _)
+            }.toMap
             key -> statsCols.zipWithIndex.flatMap { case (c, i) =>
               if (r.isNullAt(base + 2 * i)) None
               else Some(SetStats(c, r.getLong(base + 2 * i),
-                r.getLong(base + 2 * i + 1)))
+                r.getLong(base + 2 * i + 1), sums.get(i)))
             }
           }.toMap
       }
@@ -1657,21 +1683,53 @@ object GraftLake {
       val tableSt = snapshotIfExists(path)
         .filter(sn => sn.version >= 0 && sn.schemaDdl.nonEmpty)
         .map(sn => StructType.fromDDL(sn.schemaDdl))
-      val aggs = statsCols.flatMap { c =>
+      val effDt = statsCols.map { c =>
         val wdt = written.schema(c).dataType
-        val dt = tableSt.flatMap(_.fields.find(_.name == c))
+        c -> tableSt.flatMap(_.fields.find(_.name == c))
           .map(_.dataType)
           .filter(t => t != wdt && widensTo(wdt, t)).getOrElse(wdt)
+      }
+      val aggs = effDt.flatMap { case (c, dt) =>
         val e = statLongExpr(dt, col(c).cast(dt))
         Seq(org.apache.spark.sql.functions.min(e),
           org.apache.spark.sql.functions.max(e))
       }
-      val r = written.agg(aggs.head, aggs.tail: _*).head
+      // Exact non-null SUMs for value-domain integral stat columns ride
+      // the SAME pass (decimal(38,0) accumulation, so an ANSI long
+      // overflow can never abort the commit — a sum that exceeds Long
+      // simply records as absent and the pushdown declines).
+      val sumIdx = effDt.zipWithIndex.collect {
+        case ((c, dt), i) if sumStatEligible(dt) => (c, i)
+      }
+      val sumAggs = sumIdx.map { case (c, _) =>
+        org.apache.spark.sql.functions.sum(col(c).cast("decimal(38,0)"))
+      }
+      val all = aggs ++ sumAggs
+      val r = written.agg(all.head, all.tail: _*).head
+      val base = 2 * statsCols.length
+      val sums: Map[Int, Long] = sumIdx.zipWithIndex.flatMap {
+        case ((_, origIdx), j) =>
+          if (r.isNullAt(base + j)) None
+          else scala.util.Try(r.getDecimal(base + j).longValueExact())
+            .toOption.map(origIdx -> _)
+      }.toMap
       statsCols.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(2 * i)) None
-        else Some(SetStats(c, r.getLong(2 * i), r.getLong(2 * i + 1)))
+        else Some(SetStats(c, r.getLong(2 * i), r.getLong(2 * i + 1),
+          sums.get(i)))
       }
     }
+
+  /** SUM-stat eligibility: only value-domain integral columns — where
+    * [[statLongExpr]]'s image IS the column value and SQL SUM is
+    * defined — record per-set sums. Temporal images (days/micros) and
+    * string prefixes are prunable but not summable; float sums are
+    * order-dependent and never recorded.
+    */
+  private[sources] def sumStatEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 
   /** COMMIT a pre-staged file-set of already-written parquet files —
     * the entry point for writers that stage data OUTSIDE a DataFrame
@@ -1770,10 +1828,18 @@ object GraftLake {
     val stats = statsCol.toSeq.flatMap { c =>
       require(df.columns.contains(c), s"CONVERT: no column '$c' at $path")
       val e = statLongExpr(df.schema(c).dataType, col(c))
-      val r = df.agg(
+      val doSum = sumStatEligible(df.schema(c).dataType)
+      val aggs = Seq(
         org.apache.spark.sql.functions.min(e),
-        org.apache.spark.sql.functions.max(e)).head
-      if (r.isNullAt(0)) None else Some(SetStats(c, r.getLong(0), r.getLong(1)))
+        org.apache.spark.sql.functions.max(e)) ++
+        (if (doSum) Seq(org.apache.spark.sql.functions.sum(
+          col(c).cast("decimal(38,0)"))) else Nil)
+      val r = df.agg(aggs.head, aggs.tail: _*).head
+      if (r.isNullAt(0)) None
+      else Some(SetStats(c, r.getLong(0), r.getLong(1),
+        if (doSum && !r.isNullAt(2))
+          scala.util.Try(r.getDecimal(2).longValueExact()).toOption
+        else None))
     }
     commitStagedFiles(path, files, df.schema, None, stats)
   }
@@ -2963,7 +3029,7 @@ object GraftLake {
     val (scan, skip) = s.live.partition { ls =>
       ranges.forall { case (c, lo, hi) =>
         ls.statsFor(c) match {
-          case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
+          case Some(SetStats(_, sLo, sHi, _)) => !(sHi < lo || sLo > hi)
           case None => true // no stats on this dimension — must read
         }
       }
@@ -3278,7 +3344,7 @@ object GraftLake {
     val (uLo, uHi) = (span.getLong(2), span.getLong(3))
     val (hit, kept) = live.partition { ls =>
       ls.statsFor(statsCol) match {
-        case Some(SetStats(_, lo, hi)) => !(hi < uLo || lo > uHi)
+        case Some(SetStats(_, lo, hi, _)) => !(hi < uLo || lo > uHi)
         case None => true // unknown span — must rewrite
       }
     }
@@ -3688,7 +3754,7 @@ object GraftLake {
           val (uLo, uHi) = (span.getLong(2), span.getLong(3))
           live.filter { ls =>
             ls.statsFor(statsCol) match {
-              case Some(SetStats(_, lo, hi)) => !(hi < uLo || lo > uHi)
+              case Some(SetStats(_, lo, hi, _)) => !(hi < uLo || lo > uHi)
               case None => true
             }
           }
@@ -4378,7 +4444,7 @@ object GraftLake {
       eqs: Seq[(String, Seq[Long])]): Boolean = {
     ranges.forall { case (c, lo, hi) =>
       ls.statsFor(c) match {
-        case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
+        case Some(SetStats(_, sLo, sHi, _)) => !(sHi < lo || sLo > hi)
         case None => true // unknown span — must look
       }
     } && eqs.forall { case (c, vs) =>
@@ -4586,7 +4652,7 @@ object GraftLake {
     val live = s.live
     val (candidates, kept) = live.partition { ls =>
       ls.statsFor(c) match {
-        case Some(SetStats(_, sLo, sHi)) => !(sHi < lo || sLo > hi)
+        case Some(SetStats(_, sLo, sHi, _)) => !(sHi < lo || sLo > hi)
         case None => true // unknown span — must look
       }
     }
@@ -4705,7 +4771,7 @@ object GraftLake {
       if (!castable) live
       else live.filter { ls =>
         ls.statsFor(keyCol) match {
-          case Some(SetStats(_, sLo, sHi)) => !(sHi < kMin || sLo > kMax)
+          case Some(SetStats(_, sLo, sHi, _)) => !(sHi < kMin || sLo > kMax)
           case None => true // unknown span — must look
         }
       }
@@ -5362,9 +5428,10 @@ object GraftLake {
     // silently skip a set (conservative full scan instead).
     val statsField =
       if (c.stats.isEmpty) ""
-      else c.stats.map(st =>
-        s"""{"col":"${esc(st.col)}","min":${st.min},"max":${st.max},"enc":2}""")
-        .mkString(""","stats":[""", ",", "]")
+      else c.stats.map { st =>
+        val sumField = st.sum.map(s => s""","sum":$s""").getOrElse("")
+        s"""{"col":"${esc(st.col)}","min":${st.min},"max":${st.max},"enc":2$sumField}"""
+      }.mkString(""","stats":[""", ",", "]")
     val body =
       s"""{"version":${c.version},"action":"${c.action}",""" +
         s""""ts":${c.tsMillis},""" +
@@ -5385,7 +5452,7 @@ object GraftLake {
   private val TagRe: Regex = """"tag":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val CdfRe: Regex = """"cdf":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val StatsRe: Regex =
-    """\{"col":"((?:[^"\\]|\\.)*)","min":(-?\d+),"max":(-?\d+)(?:,"enc":(\d+))?\}""".r.unanchored
+    """\{"col":"((?:[^"\\]|\\.)*)","min":(-?\d+),"max":(-?\d+)(?:,"enc":(\d+))?(?:,"sum":(-?\d+))?\}""".r.unanchored
   private val ItemRe: Regex = """"((?:[^"\\]|\\.)*)"""".r
   private val CrcRe: Regex = ""","crc":(\d+)\}\s*$""".r.unanchored
 
@@ -5425,7 +5492,8 @@ object GraftLake {
           val colName = unesc(m.group(1))
           val tagged = m.group(4) != null
           if (!tagged && temporalCols.contains(colName)) None
-          else Some(SetStats(colName, m.group(2).toLong, m.group(3).toLong))
+          else Some(SetStats(colName, m.group(2).toLong, m.group(3).toLong,
+            Option(m.group(5)).map(_.toLong)))
         }.toSeq
         Commit(v.group(1).toInt, a.group(1), schemaDdl,
           items(ad.group(1)), items(rm.group(1)),

@@ -212,7 +212,7 @@ private[sources] class GraftLakeScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min, Sum}
     // Only EXACTLY-consumed filters compose with a metadata-served
     // aggregate (whole-set keep/drop IS the filter, so the surviving
     // sets' manifests/footers answer the filtered aggregate). Any
@@ -250,6 +250,24 @@ private[sources] class GraftLakeScanBuilder(
         if (isMin) stats.flatten.map(_.min).min else stats.flatten.map(_.max).max
       Some((valueOf(img, dt), dt))
     }
+    // SUM(col): served from the per-set sums footerStats records for
+    // value-domain integral columns — O(sets) manifest arithmetic,
+    // zero data tasks. Declines when any live set lacks a recorded
+    // sum (legacy entry, all-null set, or per-set Long overflow) or
+    // when the fold itself would overflow (the real scan then applies
+    // the engine's own overflow semantics). Empty table: SUM = NULL.
+    def sumOf(sets: Seq[GraftLake.LiveSet], c: String)
+        : Option[(Any, DataType)] = {
+      if (!GraftLake.sumStatEligible(full(c).dataType)) return None
+      val sums = sets.map(_.statsFor(c).flatMap(_.sum))
+      if (sums.exists(_.isEmpty)) return None
+      if (sums.isEmpty) return Some((null, LongType))
+      sums.flatten.foldLeft(Option(0L)) { (acc, s) =>
+        acc.flatMap(a =>
+          try Some(Math.addExact(a, s))
+          catch { case _: ArithmeticException => None })
+      }.map(t => (t: Any, LongType))
+    }
     // COUNT(*): each set's commit-time `_ridmap` sidecar serves its
     // recorded total — O(sets) tiny metadata reads, ZERO parquet
     // footer opens (the 100 TB posture). The driver footer walk
@@ -270,6 +288,7 @@ private[sources] class GraftLakeScanBuilder(
         case _: CountStar => footerCount(sets).map(n => (n: Any, LongType))
         case m: Min => colNameOf(m.column).flatMap(extremeOf(sets, _, isMin = true))
         case m: Max => colNameOf(m.column).flatMap(extremeOf(sets, _, isMin = false))
+        case s: Sum if !s.isDistinct => colNameOf(s.column).flatMap(sumOf(sets, _))
         case _ => None
       }
       if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
@@ -317,6 +336,8 @@ private[sources] class GraftLakeScanBuilder(
           case _: CountStar => Some(LongType)
           case m: Min => colNameOf(m.column).map(full(_).dataType)
           case m: Max => colNameOf(m.column).map(full(_).dataType)
+          case s: Sum if !s.isDistinct =>
+            colNameOf(s.column).map(_ => LongType: DataType)
           case _ => None
         }
         if (aggTypes.exists(_.isEmpty)) return false

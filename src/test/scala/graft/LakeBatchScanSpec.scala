@@ -308,6 +308,51 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
       .isNullAt(det.fieldIndex("num_rows")))
   }
 
+  test("SUM serves recorded per-set sums — declines on distinct/stat-less/legacy") {
+    import scala.jdk.CollectionConverters._
+    val p = fresh()
+    seed(p)
+    val df = spark.read.format("graftlake").load(p)
+    GraftLakeBatchSource.lastAggPushed = false
+    val r = df.agg(sum(col("id")), count(lit(1))).head
+    assert(GraftLakeBatchSource.lastAggPushed, "SUM must serve from manifests")
+    assert(r.getLong(0) == 4095L && r.getLong(1) == 90L)
+    // column without recorded stats: real scan, same answer
+    GraftLakeBatchSource.lastAggPushed = false
+    val r2 = df.agg(sum(col("v"))).head
+    assert(!GraftLakeBatchSource.lastAggPushed && r2.getLong(0) == 40950L)
+    // SUM(DISTINCT) can never fold from per-set sums
+    GraftLakeBatchSource.lastAggPushed = false
+    val r3 = df.agg(sum_distinct(col("id"))).head
+    assert(!GraftLakeBatchSource.lastAggPushed && r3.getLong(0) == 4095L)
+    // LEGACY pre-sum log entries: strip every `"sum":` field and
+    // re-seal the crc — min/max/count still serve, a SUM in the mix
+    // declines the WHOLE pushdown to the exact real scan.
+    val logDir = java.nio.file.Paths.get(p, "_graft_log")
+    Files.list(logDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json")).foreach { f =>
+        val lines = Files.readString(f).split("\n").map { line =>
+          val body0 = line.substring(0, line.lastIndexOf(""","crc":"""))
+          val body = body0.replaceAll(""","sum":-?\d+""", "")
+          val c = new java.util.zip.CRC32()
+          c.update(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          body + s""","crc":${c.getValue}}"""
+        }
+        Files.writeString(f, lines.mkString("\n"))
+      }
+    assert(GraftLake.snapshot(p).live.forall(_.statsFor("id").exists(_.sum.isEmpty)))
+    GraftLakeBatchSource.lastAggPushed = false
+    val r4 = df.agg(sum(col("id")), min(col("id")), count(lit(1))).head
+    assert(!GraftLakeBatchSource.lastAggPushed,
+      "a sum-less live set must decline the pushdown")
+    assert(r4.getLong(0) == 4095L && r4.getLong(1) == 1L && r4.getLong(2) == 90L)
+    // min/max/count alone still serve on the legacy log
+    GraftLakeBatchSource.lastAggPushed = false
+    val r5 = df.agg(min(col("id")), count(lit(1))).head
+    assert(GraftLakeBatchSource.lastAggPushed)
+    assert(r5.getLong(0) == 1L && r5.getLong(1) == 90L)
+  }
+
   test("MoR masks on hive-layout columns reach the batch reader via the dir constants") {
     import spark.implicits._
     val p = java.nio.file.Files.createTempDirectory("graft-hivemask")
