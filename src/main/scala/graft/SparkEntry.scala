@@ -444,6 +444,71 @@ object SparkEntry {
         .select(col("snapshot"), col("o_orderstatus"), col("n"), col("cents"))
         .orderBy(col("snapshot"), col("o_orderstatus"))
     }),
+    // DELTA-LOG IMPORT: a hand-built table in the PUBLIC Delta Lake
+    // log format (protocol/metaData/add/remove JSON actions; the
+    // partition column lives ONLY in the log's partitionValues, as
+    // Delta stores it) is folded — v1 removes one file and re-adds a
+    // rewritten one, the Delta DELETE shape — and imported as a
+    // hive-partitioned graft table in one distributed pass. The
+    // layout flag (every imported set pinned on the partition column)
+    // is in-row. Oracle: orders minus the "deleted" slice.
+    "src63_delta_import" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{DeltaImport, GraftLake}
+      val delta = scratch("graft_delta_src", dir)
+      val gp = scratch("graft_delta_import", dir)
+      rmrf(delta); rmrf(gp)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4L)).as("bucket"))
+      new java.io.File(s"$delta/_delta_log").mkdirs()
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = s"$delta/_tmp_$name"
+        df.drop("bucket").repartition(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(delta, s"$name.parquet"))
+        rmrf(tmp)
+      }
+      (0L until 4L).foreach { b =>
+        stage(o.filter(col("bucket") === b && pmod(col("okey"), lit(2L)) === 0), s"f${b}a")
+        stage(o.filter(col("bucket") === b && pmod(col("okey"), lit(2L)) === 1), s"f${b}b")
+      }
+      // the Delta DELETE shape: bucket 0's odd half rewritten without
+      // its cents >= 20000000 rows
+      stage(o.filter(col("bucket") === 0 && pmod(col("okey"), lit(2L)) === 1 &&
+        col("cents") < 20000000L), "f0c")
+      def jesc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val schemaJson = jesc(o.schema.json)
+      val adds0 = (0 until 4).flatMap(b => Seq("a", "b").map(h =>
+        s"""{"add":{"path":"f$b$h.parquet","partitionValues":{"bucket":"$b"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+      val v0 = (Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"m0","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["bucket"],"configuration":{}}}"""
+      ) ++ adds0).mkString("\n")
+      val v1 = Seq(
+        """{"commitInfo":{"operation":"DELETE"}}""",
+        """{"remove":{"path":"f0b.parquet","dataChange":true,"deletionTimestamp":0}}""",
+        """{"add":{"path":"f0c.parquet","partitionValues":{"bucket":"0"},"size":1,"modificationTime":0,"dataChange":true}}"""
+      ).mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        delta, "_delta_log", "0" * 20 + ".json"), v0 + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        delta, "_delta_log", "0" * 19 + "1.json"), v1 + "\n")
+      DeltaImport.importDelta(s, delta, gp, statsCols = Seq("okey"))
+      val hive = GraftLake.snapshot(gp).live.nonEmpty &&
+        GraftLake.snapshot(gp).live.forall(
+          _.statsFor("bucket").exists(st => st.min == st.max))
+      GraftLake.read(s, gp)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+        .withColumn("delta_import_ok", lit(hive))
+        .orderBy(col("bucket"))
+    }),
     // SUM AGGREGATE PUSHDOWN: commit-time per-set column sums (exact,
     // integral domain) let both the GLOBAL and the layout-GROUPED
     // SUM/COUNT resolve from manifests + sidecars with ZERO data
@@ -3925,6 +3990,16 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    "src63_delta_import" ->
+      """WITH t AS (SELECT o_orderkey AS okey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  min(okey) AS lo, max(okey) AS hi, TRUE AS delta_import_ok
+        |FROM t
+        |WHERE NOT (bucket = 0 AND okey % 2 = 1 AND cents >= 20000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src62_sum_pushdown" ->
       """WITH t AS (SELECT o_orderkey % 8 AS bucket,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents

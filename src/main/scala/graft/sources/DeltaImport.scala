@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** One-way IMPORT of a Delta Lake table into a graft lake table — the
+  * cross-format on-ramp (Delta's own `CONVERT TO DELTA`, pointed the
+  * other way). The PUBLIC Delta transaction-log protocol
+  * (github.com/delta-io/delta PROTOCOL.md) is a directory of
+  * newline-delimited JSON commits `_delta_log/<20-digit version>.json`
+  * whose actions this reader folds:
+  *
+  *   - `metaData`: schemaString (Spark StructType JSON) + partition
+  *     columns; the LAST one wins.
+  *   - `add` / `remove`: the active-file reconciliation — a file is
+  *     live iff its last action is an add.
+  *   - `protocol`: refused above the basic reader version (reader
+  *     features like deletion vectors / column mapping change file
+  *     semantics this import does not speak).
+  *
+  * Partition columns are NOT stored in Delta's parquet files — only
+  * in each add's `partitionValues` — so the import reads one relation
+  * per distinct partition tuple (O(tuples) plan entries, the same
+  * budget class as the hive read path) and re-injects the values as
+  * typed literal columns before a single distributed write lands the
+  * rows as a graft table (hive-laid-out when the source was
+  * partitioned). The import is a REWRITE by design: cross-format
+  * zero-copy would pin the graft table's correctness to a foreign
+  * log's vacuum/retention policy.
+  *
+  * Scale shape: log parsing is O(commits + files) driver metadata
+  * work; the data move is ONE distributed read→write pass (never a
+  * driver-side byte copy); refusals are loud, never silent subsets.
+  */
+object DeltaImport {
+
+  private[graft] final case class DeltaState(
+      schema: StructType,
+      partitionCols: Seq[String],
+      activeFiles: Seq[(String, Map[String, String])])
+
+  /** Fold `_delta_log` at `deltaPath` into (schema, partition columns,
+    * active files with their partition values). Versions must be
+    * contiguous from 0 (a truncated prefix means a checkpoint this
+    * reader refuses).
+    */
+  private[graft] def foldDeltaLog(deltaPath: String): DeltaState = {
+    val logDir = Paths.get(deltaPath, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log at $deltaPath")
+    require(!Files.exists(logDir.resolve("_last_checkpoint")),
+      s"delta table at $deltaPath has a checkpoint — this import reads " +
+        "the plain JSON log only; provide the un-checkpointed log")
+    val versions = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
+      .map(n => n.dropRight(5).toLong -> n).toSeq.sortBy(_._1)
+    require(versions.nonEmpty, s"empty _delta_log at $deltaPath")
+    require(versions.head._1 == 0L &&
+      versions.map(_._1) == (0L until versions.size.toLong),
+      s"non-contiguous delta log versions at $deltaPath (checkpointed or " +
+        s"partially vacuumed): ${versions.map(_._1).mkString(",")}")
+
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Seq.empty
+    // insertion-ordered so import output is deterministic
+    val live = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    val SchemaRe = """"schemaString":"((?:[^"\\]|\\.)*)"""".r.unanchored
+    val PartRe = """"partitionColumns":\[([^\]]*)\]""".r.unanchored
+    val PathRe = """"path":"((?:[^"\\]|\\.)*)"""".r.unanchored
+    val PartValsRe = """"partitionValues":\{([^}]*)\}""".r.unanchored
+    val KvRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+    val ReaderVRe = """"minReaderVersion":(\d+)""".r.unanchored
+    def unesc(s: String): String =
+      s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+        .replace("\\t", "\t").replace("\\/", "/")
+
+    versions.foreach { case (_, name) =>
+      Files.readString(logDir.resolve(name)).split("\n")
+        .filter(_.trim.nonEmpty).foreach { line =>
+          if (line.contains("\"protocol\"")) {
+            ReaderVRe.findFirstMatchIn(line).foreach { m =>
+              require(m.group(1).toInt <= 1,
+                s"delta minReaderVersion ${m.group(1)} at $deltaPath needs " +
+                  "reader features (deletion vectors / column mapping) this " +
+                  "import does not speak — compact the source table first")
+            }
+          }
+          if (line.contains("\"metaData\"")) {
+            SchemaRe.findFirstMatchIn(line).foreach(m =>
+              schemaJson = Some(unesc(m.group(1))))
+            partCols = PartRe.findFirstMatchIn(line).map(m =>
+              KvParse.strings(m.group(1))).getOrElse(Seq.empty)
+          }
+          if (line.contains("\"add\"")) {
+            require(!line.contains("\"deletionVector\""),
+              s"delta add with a deletion vector at $deltaPath — " +
+                "unsupported; compact the source table first")
+            for (p <- PathRe.findFirstMatchIn(line).map(m => unesc(m.group(1)))) {
+              val pv = PartValsRe.findFirstMatchIn(line).map { m =>
+                KvRe.findAllMatchIn(m.group(1))
+                  .map(k => unesc(k.group(1)) -> unesc(k.group(2))).toMap
+              }.getOrElse(Map.empty[String, String])
+              live.remove(p) // re-add moves to the tail (Delta semantics: latest wins)
+              live.put(p, pv)
+            }
+          } else if (line.contains("\"remove\"")) {
+            PathRe.findFirstMatchIn(line).foreach(m => live.remove(unesc(m.group(1))))
+          }
+        }
+    }
+    require(schemaJson.nonEmpty, s"no metaData action in delta log at $deltaPath")
+    val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    DeltaState(schema, partCols, live.toSeq)
+  }
+
+  /** The active rows of the delta table as ONE DataFrame: data columns
+    * read from the live files, partition columns re-injected per
+    * distinct partition tuple as typed literals.
+    */
+  private[graft] def readDelta(spark: SparkSession, deltaPath: String)
+      : (DataFrame, DeltaState) = {
+    val st = foldDeltaLog(deltaPath)
+    require(st.activeFiles.nonEmpty, s"delta table at $deltaPath has no live files")
+    val dataSchema = StructType(
+      st.schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+    def abs(p: String) = Paths.get(deltaPath, p).toString
+    val df =
+      if (st.partitionCols.isEmpty)
+        spark.read.schema(dataSchema)
+          .parquet(st.activeFiles.map(f => abs(f._1)): _*)
+      else {
+        // Delta stores partition values ONLY in the log — group the
+        // live files by tuple (O(tuples) relations) and re-inject.
+        val groups = st.activeFiles
+          .groupBy(_._2).toSeq
+          .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+        groups.map { case (pv, files) =>
+          var g = spark.read.schema(dataSchema).parquet(files.map(f => abs(f._1)): _*)
+          st.partitionCols.foreach { pc =>
+            val dt = st.schema(pc).dataType
+            val raw = pv.get(pc).filter(_ != null)
+            g = g.withColumn(pc,
+              raw.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+          }
+          g.select(st.schema.fieldNames.map(col).toIndexedSeq: _*)
+        }.reduce(_ unionByName _)
+      }
+    (df.select(st.schema.fieldNames.map(col).toIndexedSeq: _*), st)
+  }
+
+  /** IMPORT: materialize the delta table's current snapshot as a NEW
+    * graft table at `graftPath` — hive-partitioned by the source's
+    * partition columns when their values live in the integral layout
+    * domain (the graft hive layout keys on long-image directory
+    * constants); otherwise flat, with the partition columns folded
+    * into the zone-map stats so string/temporal partition predicates
+    * still prune. One distributed pass; returns the committed version.
+    */
+  def importDelta(
+      spark: SparkSession, deltaPath: String, graftPath: String,
+      statsCols: Seq[String] = Seq.empty): Int = {
+    val (df, st) = readDelta(spark, deltaPath)
+    val hiveable = st.partitionCols.nonEmpty && st.partitionCols.forall(pc =>
+      GraftLake.sumStatEligible(st.schema(pc).dataType))
+    if (hiveable) {
+      val v = GraftLake.appendPartitionedBy(df, graftPath,
+        st.partitionCols, statsCols = statsCols)
+      GraftLake.setPartitionColumns(graftPath, st.partitionCols)
+      v
+    } else
+      GraftLake.create(df, graftPath,
+        statsCols = (statsCols ++ st.partitionCols).distinct)
+  }
+
+  private object KvParse {
+    /** `"a","b"` → Seq(a, b) (the partitionColumns array body). */
+    def strings(body: String): Seq[String] =
+      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaImport, GraftLake}
+
+/** Delta-log fold + import: the public-protocol JSON actions
+  * reconcile to the right active set, partition values re-inject from
+  * the log, non-integral partition layouts import flat with prunable
+  * stats, and every unsupported protocol feature refuses loudly.
+  */
+class DeltaImportSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshDelta(): String =
+    Files.createTempDirectory("graft-delta").resolve("d").toString
+
+  private def jesc(x: String) =
+    x.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Write one single-file parquet of `df` as `<delta>/<name>.parquet`. */
+  private def stage(delta: String, df: org.apache.spark.sql.DataFrame,
+      name: String): Unit = {
+    val tmp = s"$delta/_tmp_$name"
+    df.repartition(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(delta, s"$name.parquet"))
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+      .reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  private def writeLog(delta: String, version: Int, lines: Seq[String]): Unit =
+    Files.writeString(
+      Paths.get(delta, "_delta_log", f"$version%020d.json"),
+      lines.mkString("", "\n", "\n"))
+
+  /** Flat 2-version table: v0 adds f0+f1, v1 removes f1 and adds f2. */
+  private def seedFlat(delta: String): Unit = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(delta, "_delta_log"))
+    val df = (1 to 30).map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+    stage(delta, df.filter(col("id") <= 10), "f0")
+    stage(delta, df.filter(col("id") > 10 && col("id") <= 20), "f1")
+    stage(delta, df.filter(col("id") > 20), "f2")
+    val schemaJson = jesc(df.schema.json)
+    writeLog(delta, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet"},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    writeLog(delta, 1, Seq(
+      """{"remove":{"path":"f1.parquet","dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+  }
+
+  test("add/remove reconciliation: live set is v0's survivors plus v1's add") {
+    val delta = freshDelta()
+    seedFlat(delta)
+    val (df, st) = DeltaImport.readDelta(spark, delta)
+    assert(st.partitionCols.isEmpty)
+    assert(st.activeFiles.map(_._1).sorted == Seq("f0.parquet", "f2.parquet"))
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == ((1L to 10L) ++ (21L to 30L)))
+  }
+
+  test("string-partitioned source imports FLAT with stats on the partition column") {
+    import spark.implicits._
+    val delta = freshDelta()
+    Files.createDirectories(Paths.get(delta, "_delta_log"))
+    // data files DO NOT carry the partition column — only the log does
+    val full = (1 to 20).map(i =>
+      (i.toLong, if (i <= 10) "red" else "blue")).toDF("id", "color")
+    stage(delta, full.filter(col("color") === "red").drop("color"), "red0")
+    stage(delta, full.filter(col("color") === "blue").drop("color"), "blue0")
+    val schemaJson = jesc(full.schema.json)
+    writeLog(delta, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet"},"schemaString":"$schemaJson","partitionColumns":["color"],"configuration":{}}}""",
+      """{"add":{"path":"red0.parquet","partitionValues":{"color":"red"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"blue0.parquet","partitionValues":{"color":"blue"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val gp = Files.createTempDirectory("graft-delta-imp").resolve("t").toString
+    DeltaImport.importDelta(spark, delta, gp, statsCols = Seq("id"))
+    val got = GraftLake.read(spark, gp)
+    assert(got.count() == 20)
+    // the log-only partition values came back as a real column
+    assert(got.filter(col("color") === "red").agg(max(col("id")))
+      .head.getLong(0) == 10L)
+    // flat import recorded prunable stats on the partition column
+    assert(GraftLake.snapshot(gp).live.forall(_.statsFor("color").nonEmpty))
+  }
+
+  test("checkpointed, featured, and DV-bearing logs refuse loudly") {
+    val delta = freshDelta()
+    seedFlat(delta)
+    // checkpoint marker
+    Files.writeString(Paths.get(delta, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":4}""")
+    val e1 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, delta))
+    assert(e1.getMessage.contains("checkpoint"))
+    Files.delete(Paths.get(delta, "_delta_log", "_last_checkpoint"))
+    // reader features beyond the basic protocol
+    val delta2 = freshDelta()
+    seedFlat(delta2)
+    writeLog(delta2, 2, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, delta2))
+    assert(e2.getMessage.contains("minReaderVersion"))
+    // an add carrying a deletion vector
+    val delta3 = freshDelta()
+    seedFlat(delta3)
+    writeLog(delta3, 2, Seq(
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+    val e3 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, delta3))
+    assert(e3.getMessage.contains("deletion vector"))
+    // non-contiguous versions (vacuumed/checkpoint-truncated prefix)
+    val delta4 = freshDelta()
+    seedFlat(delta4)
+    Files.delete(Paths.get(delta4, "_delta_log", "0" * 20 + ".json"))
+    val e4 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, delta4))
+    assert(e4.getMessage.contains("non-contiguous"))
+  }
+
+  test("re-added file counts once; remove of a never-added path is a no-op") {
+    import spark.implicits._
+    val delta = freshDelta()
+    seedFlat(delta)
+    writeLog(delta, 2, Seq(
+      """{"remove":{"path":"ghost.parquet","dataChange":true}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val (df, st) = DeltaImport.readDelta(spark, delta)
+    assert(st.activeFiles.map(_._1).sorted == Seq("f0.parquet", "f2.parquet"))
+    assert(df.count() == 20)
+  }
+}
