@@ -444,6 +444,55 @@ object SparkEntry {
         .select(col("snapshot"), col("o_orderstatus"), col("n"), col("cents"))
         .orderBy(col("snapshot"), col("o_orderstatus"))
     }),
+    // CROSS-TABLE ATOMIC APPEND: fact + summary tables land in ONE
+    // transaction (provisional commits gated by a coordinator marker
+    // — all tables or none), then a second, CHECK-violating
+    // transaction ABORTS and leaves both tables byte-identical; the
+    // abort-invariance flag is in-row. Oracle: per-status totals of
+    // all orders, served identically by the fact table and the folded
+    // summary table.
+    "src64_txn_append" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val pa = scratch("graft_txn_fact", dir)
+      val pb = scratch("graft_txn_summary", dir)
+      rmrf(pa); rmrf(pb)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val even = o.filter(pmod(col("okey"), lit(2L)) === 0)
+      val odd = o.filter(pmod(col("okey"), lit(2L)) === 1)
+      def summarize(df: DataFrame): DataFrame =
+        df.groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      GraftLake.create(even, pa)
+      GraftLake.create(summarize(even), pb)
+      // the transaction: odd half lands in fact AND summary, or neither
+      GraftLake.appendAtomic(Seq((odd, pa), (summarize(odd), pb)))
+      // an aborting transaction: the summary side violates its CHECK —
+      // the fact side's provisional commit must vanish with it
+      GraftLake.addConstraint(s, pb, "nonneg_cents", "cents >= 0")
+      val before = (GraftLake.read(s, pa).count(), GraftLake.read(s, pb).count())
+      val aborted =
+        try {
+          GraftLake.appendAtomic(Seq(
+            (odd, pa), (summarize(odd).withColumn("cents", lit(-1L)), pb)))
+          false
+        } catch { case _: Exception => true }
+      val after = (GraftLake.read(s, pa).count(), GraftLake.read(s, pb).count())
+      val ok = aborted && before == after
+      val fact = GraftLake.read(s, pa).groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("side", lit("fact"))
+      val summ = GraftLake.read(s, pb).groupBy(col("status"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("side", lit("summary"))
+      fact.unionByName(summ)
+        .select(col("side"), col("status"), col("n"), col("cents"))
+        .withColumn("txn_ok", lit(ok))
+        .orderBy(col("side"), col("status"))
+    }),
     // DELTA-LOG IMPORT: a hand-built table in the PUBLIC Delta Lake
     // log format (protocol/metaData/add/remove JSON actions; the
     // partition column lives ONLY in the log's partitionValues, as
@@ -3990,6 +4039,16 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders GROUP BY 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    "src64_txn_append" ->
+      """WITH t AS (SELECT o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM t GROUP BY 1)
+        |SELECT 'fact' AS side, status, n, cents, TRUE AS txn_ok FROM a
+        |UNION ALL
+        |SELECT 'summary', status, n, cents, TRUE FROM a
+        |ORDER BY side, status""".stripMargin,
     "src63_delta_import" ->
       """WITH t AS (SELECT o_orderkey AS okey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -83,7 +83,15 @@ object GraftLake {
       // source-file identities (relName:size) this commit ingested —
       // carried as sealed `ingestf` tail lines in the same atomic
       // file, folded into Snapshot.ingested for per-file idempotence.
-      ingest: Seq[String] = Seq.empty)
+      ingest: Seq[String] = Seq.empty,
+      // CROSS-TABLE TRANSACTION token (`<coordinator log dir>|<id>`):
+      // a provisional commit that is VISIBLE only once the
+      // coordinator's `txn_<id>.committed` marker exists — the
+      // all-or-nothing gate of [[appendAtomic]]. Pending/aborted
+      // tokens resolve the commit to a version-only no-op at read
+      // time (commitsFrom), so a half-landed transaction can never
+      // surface on any table.
+      txn: Option[String] = None)
 
   /** Per-file-set min/max of one long column, recorded at commit time
     * from the written files — the manifest-level zone map that lets
@@ -396,6 +404,121 @@ object GraftLake {
 
   /** Replace the table contents with `df` in one atomic commit. */
   def overwrite(df: DataFrame, path: String): Int = commit(df, path, "overwrite")
+
+  /** ATOMIC MULTI-TABLE APPEND — the cross-table transaction every
+    * ingest pipeline wants (fact + summary tables land together, or
+    * neither): stage and provisionally commit one append per table,
+    * each carrying a shared txn token, then flip ONE marker file
+    * (O_EXCL create in the coordinator's log dir). Readers of every
+    * participant resolve provisional commits at read time
+    * ([[resolveTxn]]): visible only once `.committed` exists — so any
+    * snapshot anywhere sees all of the transaction or none of it.
+    *
+    * Failure model: any staging/commit error writes the `.aborted`
+    * marker (the provisional commits become permanent version-slot
+    * no-ops) and best-effort deletes the already-staged sets. A
+    * coordinator that dies BETWEEN its last provisional commit and
+    * the marker leaves the transaction PENDING — invisible
+    * everywhere, later writers unaffected — until an operator decides
+    * it with [[commitTxn]] / [[abortTxn]].
+    *
+    * Refusals (loud, never a silent subset): fewer than two tables,
+    * duplicate paths, uncreated tables, and tables with CDF / row
+    * tracking / IDENTITY — features that index the log by version
+    * assuming visibility never changes retroactively (a later-decided
+    * commit would insert change rows / id-range claims BEHIND a
+    * consumer that already read past that version).
+    *
+    * Scale shape: the transaction adds O(tables) metadata commits +
+    * ONE marker create on top of the ordinary distributed append
+    * writes; read-side cost is one `Files.exists` per txn commit per
+    * snapshot fold.
+    */
+  def appendAtomic(appends: Seq[(DataFrame, String)],
+      statsCols: Map[String, Seq[String]] = Map.empty): Seq[Int] = {
+    require(appends.size >= 2, "appendAtomic needs at least two tables")
+    val paths = appends.map(_._2)
+    require(paths.distinct.size == paths.size,
+      s"duplicate table in appendAtomic: ${paths.mkString(", ")}")
+    paths.foreach { p =>
+      val sn = snapshotIfExists(p)
+      require(sn.exists(_.version >= 0),
+        s"appendAtomic target $p does not exist — create tables first")
+      require(!cdfEnabled(p),
+        s"appendAtomic on CDF-enabled table $p: the change feed indexes " +
+          "versions assuming visibility never changes retroactively")
+      require(!rowTrackingEnabled(p),
+        s"appendAtomic on row-tracking table $p: a pending commit cannot " +
+          "hold an id-range claim (later appends would overlap it)")
+      require(sn.get.identities.isEmpty,
+        s"appendAtomic on IDENTITY table $p: allocation rides row tracking")
+    }
+    val token = s"${logDir(paths.head).toAbsolutePath}|" +
+      java.util.UUID.randomUUID().toString.take(12)
+    lastTxnToken = Some(token)
+    val done = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    try {
+      val versions = appends.map { case (df, p) =>
+        val v = commit(df, p, "append",
+          statsCols = statsCols.getOrElse(p, Seq.empty), txn = Some(token))
+        done += (p -> v)
+        v
+      }
+      val hook = beforeTxnMarkerHook.get()
+      if (hook.isDefined) { beforeTxnMarkerHook.set(None); hook.get.apply() }
+      Files.createFile(txnMarkerPath(token, "committed"))
+      versions
+    } catch {
+      // NON-fatal failures decide the transaction: abort marker +
+      // best-effort reclaim of the invisible staged sets. FATAL errors
+      // (OOM, interrupt — the in-process stand-in for a dying
+      // coordinator) propagate WITHOUT deciding: the transaction stays
+      // PENDING, invisible everywhere, until commitTxn/abortTxn.
+      case e if scala.util.control.NonFatal(e) =>
+        try {
+          Files.createFile(txnMarkerPath(token, "aborted"))
+          done.foreach { case (p, v) =>
+            import scala.jdk.CollectionConverters._
+            parse(Files.readString(logFile(p, v))).add.foreach { setName =>
+              val sp = Paths.get(setPath(p, setName))
+              if (Files.exists(sp))
+                Files.walk(sp).iterator().asScala.toSeq.reverse
+                  .foreach(q => Files.deleteIfExists(q))
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+  }
+
+  /** Token of the most recent [[appendAtomic]] on this JVM — lets
+    * operators (and the interleaving specs) decide a transaction whose
+    * coordinator died pre-marker.
+    */
+  @volatile private[graft] var lastTxnToken: Option[String] = None
+
+  /** Test seam (the [[beforePublishHook]] pattern): runs once
+    * immediately before the committed-marker create, then clears —
+    * the deterministic way to exercise the pre-marker death window.
+    */
+  private[graft] val beforeTxnMarkerHook =
+    ThreadLocal.withInitial[Option[() => Unit]](() => None)
+
+  /** Decide a PENDING transaction whose coordinator died before its
+    * marker: `commitTxn` makes every provisional commit visible,
+    * `abortTxn` buries them — each one idempotent O_EXCL marker
+    * create, refusing loudly if already decided the other way.
+    */
+  def commitTxn(token: String): Unit = decideTxn(token, toCommitted = true)
+  def abortTxn(token: String): Unit = decideTxn(token, toCommitted = false)
+  private def decideTxn(token: String, toCommitted: Boolean): Unit = {
+    val other = txnMarkerPath(token, if (toCommitted) "aborted" else "committed")
+    require(!Files.exists(other),
+      s"txn $token is already decided the other way ($other exists)")
+    try Files.createFile(
+      txnMarkerPath(token, if (toCommitted) "committed" else "aborted"))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
 
   /** PARTITIONED append: hive-layout write by `partCol` (one
     * distributed `partitionBy` pass — never a per-value filter loop),
@@ -1600,7 +1723,8 @@ object GraftLake {
       // range past user-supplied values so generated ids never
       // collide (gaps, never reuse — the Delta posture).
       ridMinClaim: Option[Long] = None,
-      fence: Option[MutationFence] = None): Int = {
+      fence: Option[MutationFence] = None,
+      txn: Option[String] = None): Int = {
     // CHECK constraints gate the data-bearing writes: the delta (or
     // the merge's rewritten set) is validated BEFORE staging, one
     // scan per rule. Delete/compact/tombstone rewrite already-valid
@@ -1640,7 +1764,7 @@ object GraftLake {
     val v =
       try publishEntry(path, action, setName, df.schema, tag, stats,
         removeSets, validatedCons, cdfSet = cdfSet, ridRows = ridRows,
-        expectRidBase = expectRidBase, fence = fence)
+        expectRidBase = expectRidBase, fence = fence, txn = txn)
       catch {
         // A commit aborted by the identity-range or mutation fence
         // must not leave its staged set behind: positions/values were
@@ -1935,7 +2059,11 @@ object GraftLake {
       // Logical conflict fence (see [[MutationFence]]): re-checked on
       // EVERY claim attempt, so a conflict landing between retries is
       // still caught.
-      fence: Option[MutationFence] = None): Int = {
+      fence: Option[MutationFence] = None,
+      // Cross-table transaction token: rendered into the commit line;
+      // the commit stays a read-time no-op until the coordinator's
+      // marker exists (see [[resolveTxn]]).
+      txn: Option[String] = None): Int = {
     val hook = beforePublishHook.get()
     if (hook.isDefined) { beforePublishHook.set(None); hook.get.apply() }
     var attempts = 0
@@ -2136,7 +2264,7 @@ object GraftLake {
         case _ => stats
       }
       val header = render(Commit(v, action, mergedDdl, addItems, removed, tag,
-        statsEff, ts, cdf = cdfSet))
+        statsEff, ts, cdf = cdfSet, txn = txn))
       // Partitioned commits append one sealed per-set manifest line
       // per added set — still ONE file, ONE atomic publish.
       val json = {
@@ -2287,10 +2415,56 @@ object GraftLake {
             ingest = body.filter(_.action == "ingestf").flatMap(_.add))
         }
       }
+      .map(resolveTxn)
       .toSeq
   }
 
+  /** Transaction visibility, resolved at READ time: a commit carrying
+    * a txn token folds normally only when the coordinator's
+    * `.committed` marker exists; pending (no marker yet — the
+    * transaction is mid-flight or its writer died) and aborted tokens
+    * resolve to a version/timestamp-only no-op, so no reader of any
+    * participant table can ever observe a half-landed transaction.
+    * Resolution is one `Files.exists` per txn commit per fold — and
+    * since logs re-read on every snapshot, a later marker commit
+    * simply becomes visible on the next read.
+    */
+  private def resolveTxn(c: Commit): Commit = c.txn match {
+    case None => c
+    case Some(token) =>
+      if (Files.exists(txnMarkerPath(token, "committed"))) c
+      else c.copy(action = "txnnoop", add = Seq.empty, remove = Seq.empty,
+        tag = None, stats = Seq.empty, perSet = Seq.empty, cdf = None,
+        ingest = Seq.empty)
+  }
+
+  private[sources] def txnMarkerPath(token: String, state: String)
+      : java.nio.file.Path = {
+    val i = token.lastIndexOf('|')
+    require(i > 0, s"bad txn token: $token")
+    Paths.get(token.take(i), s"txn_${token.substring(i + 1)}.$state")
+  }
+
+  /** True while `token` is neither committed nor aborted. */
+  private def txnPending(token: String): Boolean =
+    !Files.exists(txnMarkerPath(token, "committed")) &&
+      !Files.exists(txnMarkerPath(token, "aborted"))
+
   def latestVersion(path: String): Int = snapshot(path).version
+
+  /** Highest version a STREAMING consumer may safely include: stops
+    * just below the first commit whose cross-table txn token is still
+    * PENDING. Its visibility is undecided — an offset advanced past
+    * it would permanently lose the rows if the transaction later
+    * commits; stalling until the marker decides is the only
+    * exactly-once-preserving behavior (see [[appendAtomic]]).
+    */
+  def latestStableVersion(path: String): Int = {
+    val cs = commits(path)
+    cs.find(c => c.txn.exists(txnPending))
+      .map(_.version - 1)
+      .getOrElse(cs.lastOption.map(_.version).getOrElse(-1))
+  }
 
   /** Fold `cs` (remove, then add, per commit) on top of `base`. A
     * `tombstone` commit's added set is NOT data — it holds deleted
@@ -2328,6 +2502,14 @@ object GraftLake {
           identityDefaults = s.identityDefaults ++ toMap(is).collect {
             case (cn, v) if v.split(",").lift(2).contains("d") => cn
           },
+          tsMillis = math.max(s.tsMillis, c.tsMillis))
+      } else if (c.action == "txnnoop") {
+        // A pending/aborted cross-table transaction commit: holds its
+        // version slot (later commits built on top of it) but
+        // contributes nothing — not even its schema, which would
+        // otherwise evolve the table ahead of the transaction's
+        // decision.
+        s.copy(version = c.version,
           tsMillis = math.max(s.tsMillis, c.tsMillis))
       } else if (c.action == "partition") {
         // add = the layout columns in order: table metadata, no
@@ -2434,6 +2616,17 @@ object GraftLake {
     * time travel and history still read the full log.
     */
   def checkpoint(path: String): Int = {
+    // A PENDING cross-table transaction commit must not be baked into
+    // a checkpoint: the fold resolved it as a no-op, but a later
+    // marker would make it visible — and the checkpointed base,
+    // which replaces that log prefix, would have silently dropped its
+    // file-set forever. Committed/aborted decisions are stable and
+    // bake fine; pending refuses loudly until decided.
+    val pendingTxn = commits(path).filter(c => c.txn.exists(txnPending))
+    require(pendingTxn.isEmpty,
+      s"cannot checkpoint $path: pending cross-table transaction " +
+        s"commit(s) at version(s) ${pendingTxn.map(_.version).mkString(",")}" +
+        " — commitTxn/abortTxn them first")
     val s = snapshot(path)
     require(s.version >= 0, s"no table at $path")
     val tagItems = s.tags.toSeq.sortBy(_._2).map { case (t, v) => s"$v:$t" }
@@ -5420,7 +5613,8 @@ object GraftLake {
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     val tagField = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("") +
-      c.cdf.map(s => s""","cdf":"${esc(s)}"""").getOrElse("")
+      c.cdf.map(s => s""","cdf":"${esc(s)}"""").getOrElse("") +
+      c.txn.map(t => s""","txn":"${esc(t)}"""").getOrElse("")
     // "enc":2 tags the stats value domain (v2 = statLongExpr's exact
     // long images: DATE→days, TIMESTAMP→micros). Untagged TEMPORAL
     // stats are legacy seconds-domain entries — parse() drops them so
@@ -5451,6 +5645,7 @@ object GraftLake {
   private val RemoveRe: Regex = """"remove":\[([^\]]*)\]""".r.unanchored
   private val TagRe: Regex = """"tag":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val CdfRe: Regex = """"cdf":"((?:[^"\\]|\\.)*)"""".r.unanchored
+  private val TxnRe: Regex = """"txn":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val StatsRe: Regex =
     """\{"col":"((?:[^"\\]|\\.)*)","min":(-?\d+),"max":(-?\d+)(?:,"enc":(\d+))?(?:,"sum":(-?\d+))?\}""".r.unanchored
   private val ItemRe: Regex = """"((?:[^"\\]|\\.)*)"""".r
@@ -5500,7 +5695,8 @@ object GraftLake {
           TagRe.findFirstMatchIn(json).map(m => unesc(m.group(1))),
           stats,
           TsRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L),
-          cdf = CdfRe.findFirstMatchIn(json).map(m => unesc(m.group(1))))
+          cdf = CdfRe.findFirstMatchIn(json).map(m => unesc(m.group(1))),
+          txn = TxnRe.findFirstMatchIn(json).map(m => unesc(m.group(1))))
       case _ => throw new IllegalStateException(s"bad commit json: $json")
     }
   }

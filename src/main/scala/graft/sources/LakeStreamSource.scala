@@ -160,26 +160,32 @@ private[sources] class LakeMicroBatchStream(
   // after the pin wait for the next run (Delta-source semantics).
   @volatile private var availableNowCap: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(GraftLake.latestVersion(path))
+    availableNowCap = Some(GraftLake.latestStableVersion(path))
 
   override def initialOffset(): Offset = LakeVersionOffset(fromVersion)
 
+  // Offsets advance only to the latest STABLE version: a PENDING
+  // cross-table transaction commit has undecided visibility, and a
+  // source that skipped past it as a no-op would silently LOSE its
+  // rows if the transaction later commits — so the stream stalls just
+  // below it until the marker decides (committed txn appends then
+  // stream like ordinary appends; aborted ones fold as no-ops).
   override def latestOffset(): Offset =
-    LakeVersionOffset(GraftLake.latestVersion(path))
+    LakeVersionOffset(GraftLake.latestStableVersion(path))
 
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[LakeVersionOffset].version
     val latest = availableNowCap
-      .map(math.min(_, GraftLake.latestVersion(path)))
-      .getOrElse(GraftLake.latestVersion(path))
+      .map(math.min(_, GraftLake.latestStableVersion(path)))
+      .getOrElse(GraftLake.latestStableVersion(path))
     LakeVersionOffset(
       maxCommits.map(m => math.min(latest, s + m)).getOrElse(latest))
   }
 
   override def reportLatestOffset(): Offset =
-    LakeVersionOffset(GraftLake.latestVersion(path))
+    LakeVersionOffset(GraftLake.latestStableVersion(path))
 
   override def deserializeOffset(json: String): Offset = {
     // {"version":N} — avoid a JSON lib for one int field.

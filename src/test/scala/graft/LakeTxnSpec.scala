@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftLake
+
+/** Cross-table transactions: all-or-nothing visibility through the
+  * coordinator marker, abort cleanup, the pre-marker death window
+  * (pending → operator decision), streaming-offset stalls, checkpoint
+  * refusal, and the feature refusals.
+  */
+class LakeTxnSpec extends AnyFunSuite with SparkSpec {
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"graft-txn-$tag").resolve("t").toString
+
+  private def mk(n: Int, from: Int = 0): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (from until from + n).map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+  }
+
+  test("appendAtomic lands on every table or none") {
+    val a = fresh("a"); val b = fresh("b")
+    GraftLake.create(mk(10), a)
+    GraftLake.create(mk(10), b)
+    val Seq(va, vb) = GraftLake.appendAtomic(Seq(
+      (mk(5, 100), a), (mk(7, 200), b)))
+    assert(va == 1 && vb == 1)
+    assert(GraftLake.read(spark, a).count() == 15)
+    assert(GraftLake.read(spark, b).count() == 17)
+    // committed txn commits read as ordinary appends in history
+    val h = GraftLake.history(spark, a).collect().map(r => r.getString(1))
+    assert(h.toSeq == Seq("create", "append"))
+    // later plain appends build on top normally
+    GraftLake.append(mk(3, 300), a)
+    assert(GraftLake.read(spark, a).count() == 18)
+  }
+
+  test("a failing participant aborts the WHOLE transaction; tables stay unchanged") {
+    val a = fresh("a2"); val b = fresh("b2")
+    GraftLake.create(mk(10), a)
+    GraftLake.create(mk(10), b)
+    GraftLake.addConstraint(spark, b, "small_ids", "id < 50")
+    val e = intercept[Exception](GraftLake.appendAtomic(Seq(
+      (mk(5, 100), a), (mk(5, 100), b)))) // violates b's CHECK
+    assert(e.getMessage.toLowerCase.contains("small_ids") ||
+      e.getMessage.toLowerCase.contains("check"))
+    // table a's provisional commit is a permanent no-op: content
+    // unchanged, version slot consumed, later writes fine
+    assert(GraftLake.read(spark, a).count() == 10)
+    assert(GraftLake.read(spark, b).count() == 10)
+    assert(GraftLake.latestVersion(a) == 1) // the no-op slot
+    val acts = GraftLake.history(spark, a).collect().map(_.getString(1))
+    assert(acts.toSeq == Seq("create", "txnnoop"))
+    GraftLake.append(mk(2, 500), a)
+    assert(GraftLake.read(spark, a).count() == 12)
+    // the aborted staged set was reclaimed from disk (best-effort)
+    val dataDirs = Files.list(Paths.get(a, "data")).count()
+    assert(dataDirs == 2, s"expected 2 live set dirs, got $dataDirs")
+  }
+
+  test("coordinator death pre-marker leaves the txn PENDING: invisible, stalls streams, blocks checkpoints — until decided") {
+    val a = fresh("a3"); val b = fresh("b3")
+    GraftLake.create(mk(10), a)
+    GraftLake.create(mk(10), b)
+    // fatal error right before the marker = the in-process crash model
+    GraftLake.beforeTxnMarkerHook.set(Some(() =>
+      throw new InterruptedException("coordinator died")))
+    intercept[InterruptedException](GraftLake.appendAtomic(Seq(
+      (mk(5, 100), a), (mk(5, 200), b))))
+    val token = GraftLake.lastTxnToken.get
+    // invisible on BOTH tables
+    assert(GraftLake.read(spark, a).count() == 10)
+    assert(GraftLake.read(spark, b).count() == 10)
+    // streaming offsets stall just below the pending commit
+    assert(GraftLake.latestVersion(a) == 1)
+    assert(GraftLake.latestStableVersion(a) == 0)
+    assert(GraftLake.latestStableVersion(b) == 0)
+    // checkpoints refuse to bake an undecided commit
+    val ce = intercept[IllegalArgumentException](GraftLake.checkpoint(a))
+    assert(ce.getMessage.contains("pending cross-table transaction"))
+    // operator decision: COMMIT — both tables gain their rows at once
+    GraftLake.commitTxn(token)
+    assert(GraftLake.read(spark, a).count() == 15)
+    assert(GraftLake.read(spark, b).count() == 15)
+    assert(GraftLake.latestStableVersion(a) == 1)
+    GraftLake.checkpoint(a) // now allowed
+    assert(GraftLake.read(spark, a).count() == 15)
+    // deciding the other way refuses
+    val de = intercept[IllegalArgumentException](GraftLake.abortTxn(token))
+    assert(de.getMessage.contains("already decided"))
+    GraftLake.commitTxn(token) // idempotent
+  }
+
+  test("refusals: <2 tables, duplicates, uncreated, CDF, row tracking") {
+    val a = fresh("a4"); val b = fresh("b4")
+    GraftLake.create(mk(5), a)
+    intercept[IllegalArgumentException](
+      GraftLake.appendAtomic(Seq((mk(1), a))))
+    intercept[IllegalArgumentException](
+      GraftLake.appendAtomic(Seq((mk(1), a), (mk(1), a))))
+    intercept[IllegalArgumentException](
+      GraftLake.appendAtomic(Seq((mk(1), a), (mk(1), b)))) // b uncreated
+    GraftLake.create(mk(5), b)
+    GraftLake.enableCdf(b)
+    val e = intercept[IllegalArgumentException](
+      GraftLake.appendAtomic(Seq((mk(1), a), (mk(1), b))))
+    assert(e.getMessage.contains("CDF"))
+    val c = fresh("c4")
+    GraftLake.create(mk(5), c)
+    GraftLake.enableRowTracking(c)
+    val e2 = intercept[IllegalArgumentException](
+      GraftLake.appendAtomic(Seq((mk(1), a), (mk(1), c))))
+    assert(e2.getMessage.contains("row-tracking"))
+  }
+}
