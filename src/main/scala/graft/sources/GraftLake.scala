@@ -106,9 +106,15 @@ object GraftLake {
     * string / float columns (summing an image is meaningless) and on
     * pre-feature legacy entries — a single sum-less live set makes
     * the pushdown decline to the real scan.
+    *
+    * `nn` is the set's non-null count of the column (every stat-typed
+    * column records it — counting needs no value domain): serves
+    * `COUNT(col)` directly and, with `sum`, completes AVG pushdown
+    * (Spark splits a partial avg into sum + count). Same legacy
+    * posture: one nn-less live set declines.
     */
   final case class SetStats(col: String, min: Long, max: Long,
-      sum: Option[Long] = None)
+      sum: Option[Long] = None, nn: Option[Long] = None)
 
   /** A live file-set as of some version: its path, the schema it was
     * written under, and its zone-map stats (one per stats column).
@@ -843,12 +849,15 @@ object GraftLake {
         val sumAggs = sumIdx.map { case (c, _) =>
           org.apache.spark.sql.functions.sum(col(c).cast("decimal(38,0)"))
         }
-        val all = aggs ++ sumAggs
+        val nnAggs = statsCols.map(c =>
+          org.apache.spark.sql.functions.count(col(c)))
+        val all = aggs ++ sumAggs ++ nnAggs
         df.groupBy(partCols.map(c => col(c).cast("long")): _*)
           .agg(all.head, all.tail: _*).collect().map { r =>
             val key = partCols.indices.map(r.getLong(_))
             val base = partCols.length
             val sumBase = base + 2 * statsCols.length
+            val nnBase = sumBase + sumIdx.length
             val sums: Map[Int, Long] = sumIdx.zipWithIndex.flatMap {
               case ((_, origIdx), j) =>
                 if (r.isNullAt(sumBase + j)) None
@@ -858,7 +867,8 @@ object GraftLake {
             key -> statsCols.zipWithIndex.flatMap { case (c, i) =>
               if (r.isNullAt(base + 2 * i)) None
               else Some(SetStats(c, r.getLong(base + 2 * i),
-                r.getLong(base + 2 * i + 1), sums.get(i)))
+                r.getLong(base + 2 * i + 1), sums.get(i),
+                Some(r.getLong(nnBase + i))))
             }
           }.toMap
       }
@@ -1828,9 +1838,13 @@ object GraftLake {
       val sumAggs = sumIdx.map { case (c, _) =>
         org.apache.spark.sql.functions.sum(col(c).cast("decimal(38,0)"))
       }
-      val all = aggs ++ sumAggs
+      // Non-null counts for EVERY stat column (counting needs no value
+      // domain) — serves COUNT(col) and completes AVG pushdown.
+      val nnAggs = statsCols.map(c => org.apache.spark.sql.functions.count(col(c)))
+      val all = aggs ++ sumAggs ++ nnAggs
       val r = written.agg(all.head, all.tail: _*).head
       val base = 2 * statsCols.length
+      val nnBase = base + sumIdx.length
       val sums: Map[Int, Long] = sumIdx.zipWithIndex.flatMap {
         case ((_, origIdx), j) =>
           if (r.isNullAt(base + j)) None
@@ -1840,7 +1854,7 @@ object GraftLake {
       statsCols.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(2 * i)) None
         else Some(SetStats(c, r.getLong(2 * i), r.getLong(2 * i + 1),
-          sums.get(i)))
+          sums.get(i), Some(r.getLong(nnBase + i))))
       }
     }
 
@@ -1957,13 +1971,15 @@ object GraftLake {
         org.apache.spark.sql.functions.min(e),
         org.apache.spark.sql.functions.max(e)) ++
         (if (doSum) Seq(org.apache.spark.sql.functions.sum(
-          col(c).cast("decimal(38,0)"))) else Nil)
+          col(c).cast("decimal(38,0)"))) else Nil) ++
+        Seq(org.apache.spark.sql.functions.count(col(c)))
       val r = df.agg(aggs.head, aggs.tail: _*).head
       if (r.isNullAt(0)) None
       else Some(SetStats(c, r.getLong(0), r.getLong(1),
         if (doSum && !r.isNullAt(2))
           scala.util.Try(r.getDecimal(2).longValueExact()).toOption
-        else None))
+        else None,
+        Some(r.getLong(if (doSum) 3 else 2))))
     }
     commitStagedFiles(path, files, df.schema, None, stats)
   }
@@ -3222,7 +3238,7 @@ object GraftLake {
     val (scan, skip) = s.live.partition { ls =>
       ranges.forall { case (c, lo, hi) =>
         ls.statsFor(c) match {
-          case Some(SetStats(_, sLo, sHi, _)) => !(sHi < lo || sLo > hi)
+          case Some(SetStats(_, sLo, sHi, _, _)) => !(sHi < lo || sLo > hi)
           case None => true // no stats on this dimension — must read
         }
       }
@@ -3363,16 +3379,19 @@ object GraftLake {
         c.action != "padd" && c.action != "constraint" &&
         c.action != "rename" && c.action != "lineage" &&
         c.action != "dropcol" && c.action != "evolve" &&
-        c.action != "vacuum").foreach { c =>
+        c.action != "vacuum" && c.action != "txnnoop").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as inserts — " +
           "read a full snapshot instead")
     }
-    // Constraint/rename/lineage/evolve commits add rules/metadata, not rows.
+    // Constraint/rename/lineage/evolve commits add rules/metadata, not
+    // rows; a txnnoop (aborted/pending cross-table transaction) holds
+    // a version slot and nothing else.
     val changed = changed0.filter(c =>
       c.action != "constraint" && c.action != "rename" &&
       c.action != "lineage" && c.action != "dropcol" &&
-      c.action != "evolve" && c.action != "vacuum")
+      c.action != "evolve" && c.action != "vacuum" &&
+      c.action != "txnnoop")
     val parts = changed.flatMap { c =>
       // A partitioned append is insert-only too: one part per set.
       val sets =
@@ -3467,7 +3486,7 @@ object GraftLake {
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(c.version)))
         case "compact" | "constraint" | "rename" | "lineage" | "dropcol" |
-            "evolve" | "vacuum" | "coldef" => Seq.empty
+            "evolve" | "vacuum" | "coldef" | "txnnoop" => Seq.empty
         case other => throw new IllegalStateException(
           s"commit ${c.version} is a $other: not representable in the " +
             "change feed — read a full snapshot instead")
@@ -3537,7 +3556,7 @@ object GraftLake {
     val (uLo, uHi) = (span.getLong(2), span.getLong(3))
     val (hit, kept) = live.partition { ls =>
       ls.statsFor(statsCol) match {
-        case Some(SetStats(_, lo, hi, _)) => !(hi < uLo || lo > uHi)
+        case Some(SetStats(_, lo, hi, _, _)) => !(hi < uLo || lo > uHi)
         case None => true // unknown span — must rewrite
       }
     }
@@ -3947,7 +3966,7 @@ object GraftLake {
           val (uLo, uHi) = (span.getLong(2), span.getLong(3))
           live.filter { ls =>
             ls.statsFor(statsCol) match {
-              case Some(SetStats(_, lo, hi, _)) => !(hi < uLo || lo > uHi)
+              case Some(SetStats(_, lo, hi, _, _)) => !(hi < uLo || lo > uHi)
               case None => true
             }
           }
@@ -4637,7 +4656,7 @@ object GraftLake {
       eqs: Seq[(String, Seq[Long])]): Boolean = {
     ranges.forall { case (c, lo, hi) =>
       ls.statsFor(c) match {
-        case Some(SetStats(_, sLo, sHi, _)) => !(sHi < lo || sLo > hi)
+        case Some(SetStats(_, sLo, sHi, _, _)) => !(sHi < lo || sLo > hi)
         case None => true // unknown span — must look
       }
     } && eqs.forall { case (c, vs) =>
@@ -4845,7 +4864,7 @@ object GraftLake {
     val live = s.live
     val (candidates, kept) = live.partition { ls =>
       ls.statsFor(c) match {
-        case Some(SetStats(_, sLo, sHi, _)) => !(sHi < lo || sLo > hi)
+        case Some(SetStats(_, sLo, sHi, _, _)) => !(sHi < lo || sLo > hi)
         case None => true // unknown span — must look
       }
     }
@@ -4964,7 +4983,7 @@ object GraftLake {
       if (!castable) live
       else live.filter { ls =>
         ls.statsFor(keyCol) match {
-          case Some(SetStats(_, sLo, sHi, _)) => !(sHi < kMin || sLo > kMax)
+          case Some(SetStats(_, sLo, sHi, _, _)) => !(sHi < kMin || sLo > kMax)
           case None => true // unknown span — must look
         }
       }
@@ -5623,7 +5642,8 @@ object GraftLake {
     val statsField =
       if (c.stats.isEmpty) ""
       else c.stats.map { st =>
-        val sumField = st.sum.map(s => s""","sum":$s""").getOrElse("")
+        val sumField = st.sum.map(s => s""","sum":$s""").getOrElse("") +
+          st.nn.map(n => s""","nn":$n""").getOrElse("")
         s"""{"col":"${esc(st.col)}","min":${st.min},"max":${st.max},"enc":2$sumField}"""
       }.mkString(""","stats":[""", ",", "]")
     val body =
@@ -5647,7 +5667,7 @@ object GraftLake {
   private val CdfRe: Regex = """"cdf":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val TxnRe: Regex = """"txn":"((?:[^"\\]|\\.)*)"""".r.unanchored
   private val StatsRe: Regex =
-    """\{"col":"((?:[^"\\]|\\.)*)","min":(-?\d+),"max":(-?\d+)(?:,"enc":(\d+))?(?:,"sum":(-?\d+))?\}""".r.unanchored
+    """\{"col":"((?:[^"\\]|\\.)*)","min":(-?\d+),"max":(-?\d+)(?:,"enc":(\d+))?(?:,"sum":(-?\d+))?(?:,"nn":(\d+))?\}""".r.unanchored
   private val ItemRe: Regex = """"((?:[^"\\]|\\.)*)"""".r
   private val CrcRe: Regex = ""","crc":(\d+)\}\s*$""".r.unanchored
 
@@ -5688,7 +5708,8 @@ object GraftLake {
           val tagged = m.group(4) != null
           if (!tagged && temporalCols.contains(colName)) None
           else Some(SetStats(colName, m.group(2).toLong, m.group(3).toLong,
-            Option(m.group(5)).map(_.toLong)))
+            Option(m.group(5)).map(_.toLong),
+            Option(m.group(6)).map(_.toLong)))
         }.toSeq
         Commit(v.group(1).toInt, a.group(1), schemaDdl,
           items(ad.group(1)), items(rm.group(1)),

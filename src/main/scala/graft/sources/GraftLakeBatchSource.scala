@@ -212,7 +212,7 @@ private[sources] class GraftLakeScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     // Only EXACTLY-consumed filters compose with a metadata-served
     // aggregate (whole-set keep/drop IS the filter, so the surviving
     // sets' manifests/footers answer the filtered aggregate). Any
@@ -268,6 +268,16 @@ private[sources] class GraftLakeScanBuilder(
           catch { case _: ArithmeticException => None })
       }.map(t => (t: Any, LongType))
     }
+    // COUNT(col): non-null counts recorded per set for every stat
+    // column (no value-domain restriction — counting is type-blind).
+    // With sums this also completes AVG, which Spark splits into a
+    // partial sum + count pair. Declines on any nn-less live set.
+    def nnOf(sets: Seq[GraftLake.LiveSet], c: String)
+        : Option[(Any, DataType)] = {
+      val nns = sets.map(_.statsFor(c).flatMap(_.nn))
+      if (nns.exists(_.isEmpty)) return None
+      Some((nns.flatten.sum: Any, LongType))
+    }
     // COUNT(*): each set's commit-time `_ridmap` sidecar serves its
     // recorded total — O(sets) tiny metadata reads, ZERO parquet
     // footer opens (the 100 TB posture). The driver footer walk
@@ -289,6 +299,8 @@ private[sources] class GraftLakeScanBuilder(
         case m: Min => colNameOf(m.column).flatMap(extremeOf(sets, _, isMin = true))
         case m: Max => colNameOf(m.column).flatMap(extremeOf(sets, _, isMin = false))
         case s: Sum if !s.isDistinct => colNameOf(s.column).flatMap(sumOf(sets, _))
+        case ct: Count if !ct.isDistinct =>
+          colNameOf(ct.column).flatMap(nnOf(sets, _))
         case _ => None
       }
       if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
@@ -338,6 +350,8 @@ private[sources] class GraftLakeScanBuilder(
           case m: Max => colNameOf(m.column).map(full(_).dataType)
           case s: Sum if !s.isDistinct =>
             colNameOf(s.column).map(_ => LongType: DataType)
+          case ct: Count if !ct.isDistinct =>
+            colNameOf(ct.column).map(_ => LongType: DataType)
           case _ => None
         }
         if (aggTypes.exists(_.isEmpty)) return false

@@ -299,7 +299,8 @@ private[sources] class LakeMicroBatchStream(
               }
             }
           case "compact" | "constraint" | "rename" | "lineage" | "dropcol" |
-              "evolve" | "vacuum" | "coldef" | "partition" => Seq.empty
+              "evolve" | "vacuum" | "coldef" | "partition" |
+              "txnnoop" => Seq.empty
           case other => throw new IllegalStateException(
             s"commit ${c.version} is a $other: not representable in the " +
               "change stream — restart from a fresh snapshot")
@@ -309,15 +310,18 @@ private[sources] class LakeMicroBatchStream(
     range.find(c => c.action != "create" && c.action != "append" &&
         c.action != "copyinto" && c.action != "padd" && c.action != "evolve" &&
         c.action != "constraint" && c.action != "vacuum" &&
-        c.action != "coldef" && c.action != "partition").foreach { c =>
+        c.action != "coldef" && c.action != "partition" &&
+        c.action != "txnnoop").foreach { c =>
       throw new IllegalStateException(
         s"commit ${c.version} is a ${c.action}: not representable as an " +
           "insert-only stream — restart from a fresh snapshot")
     }
-    // Constraint/evolve/vacuum commits carry no rows — empty batches.
+    // Constraint/evolve/vacuum commits carry no rows — empty batches;
+    // an ABORTED cross-table transaction (txnnoop past the stable-
+    // offset stall means it was decided) is a no-op slot, not poison.
     range.filter(c => c.action != "constraint" && c.action != "evolve" &&
         c.action != "vacuum" && c.action != "coldef" &&
-        c.action != "partition")
+        c.action != "partition" && c.action != "txnnoop")
       .flatMap { c =>
       // A partitioned append is insert-only too: hive-dir planning.
       if (c.action == "padd") paddPartitions(c, None)

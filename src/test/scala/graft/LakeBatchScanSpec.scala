@@ -308,7 +308,7 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
       .isNullAt(det.fieldIndex("num_rows")))
   }
 
-  test("SUM serves recorded per-set sums — declines on distinct/stat-less/legacy") {
+  test("SUM/COUNT(col)/AVG serve per-set stats — decline on distinct/stat-less/legacy") {
     import scala.jdk.CollectionConverters._
     val p = fresh()
     seed(p)
@@ -317,6 +317,13 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
     val r = df.agg(sum(col("id")), count(lit(1))).head
     assert(GraftLakeBatchSource.lastAggPushed, "SUM must serve from manifests")
     assert(r.getLong(0) == 4095L && r.getLong(1) == 90L)
+    // COUNT(col) serves the recorded non-null counts; AVG completes
+    // from the (sum, count) pair Spark splits it into
+    GraftLakeBatchSource.lastAggPushed = false
+    val rc = df.agg(count(col("id")), avg(col("id"))).head
+    assert(GraftLakeBatchSource.lastAggPushed,
+      "COUNT(col)/AVG must serve from manifests")
+    assert(rc.getLong(0) == 90L && rc.getDouble(1) == 4095.0 / 90.0)
     // column without recorded stats: real scan, same answer
     GraftLakeBatchSource.lastAggPushed = false
     val r2 = df.agg(sum(col("v"))).head
@@ -334,6 +341,7 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
         val lines = Files.readString(f).split("\n").map { line =>
           val body0 = line.substring(0, line.lastIndexOf(""","crc":"""))
           val body = body0.replaceAll(""","sum":-?\d+""", "")
+            .replaceAll(""","nn":\d+""", "")
           val c = new java.util.zip.CRC32()
           c.update(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           body + s""","crc":${c.getValue}}"""

@@ -60,6 +60,8 @@ class LakeTxnSpec extends AnyFunSuite with SparkSpec {
     // the aborted staged set was reclaimed from disk (best-effort)
     val dataDirs = Files.list(Paths.get(a, "data")).count()
     assert(dataDirs == 2, s"expected 2 live set dirs, got $dataDirs")
+    // the no-op slot never poisons incremental readers
+    assert(GraftLake.changesSince(spark, a, -1).count() == 12)
   }
 
   test("coordinator death pre-marker leaves the txn PENDING: invisible, stalls streams, blocks checkpoints — until decided") {
