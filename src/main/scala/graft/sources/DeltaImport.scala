@@ -55,10 +55,13 @@ object DeltaImport {
     require(!Files.exists(logDir.resolve("_last_checkpoint")),
       s"delta table at $deltaPath has a checkpoint — this import reads " +
         "the plain JSON log only; provide the un-checkpointed log")
-    val versions = Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
-      .map(n => n.dropRight(5).toLong -> n).toSeq.sortBy(_._1)
+    val listing = Files.list(logDir)
+    val versions =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
+        .map(n => n.dropRight(5).toLong -> n).toSeq.sortBy(_._1)
+      finally listing.close()
     require(versions.nonEmpty, s"empty _delta_log at $deltaPath")
     require(versions.head._1 == 0L &&
       versions.map(_._1) == (0L until versions.size.toLong),
@@ -75,41 +78,71 @@ object DeltaImport {
     val PartValsRe = """"partitionValues":\{([^}]*)\}""".r.unanchored
     val KvRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
     val ReaderVRe = """"minReaderVersion":(\d+)""".r.unanchored
-    def unesc(s: String): String =
-      s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
-        .replace("\\t", "\t").replace("\\/", "/")
+    // Single-pass JSON string unescape (sequential replace() pairs are
+    // order-sensitive: "\\n" — escaped backslash + n — must decode to
+    // backslash-n, never to a newline).
+    def unesc(s: String): String = {
+      val b = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => b.append('\n'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case 'b' => b.append('\b'); i += 2
+            case 'f' => b.append('\f'); i += 2
+            case 'u' if i + 5 < s.length =>
+              b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case c => b.append(c); i += 2 // \" \\ \/ and friends
+          }
+        } else { b.append(ch); i += 1 }
+      }
+      b.toString
+    }
+    // Each delta log line is ONE action object whose single top-level
+    // key names the action — classify by that PREFIX, never by a
+    // substring (a remove whose partitionValues/tags contain the text
+    // "add" must not resurrect the removed file).
+    def actionOf(line: String): String = {
+      val t = line.trim
+      val m = """^\{\s*"([A-Za-z]+)"""".r.unanchored.findPrefixMatchOf(t)
+      m.map(_.group(1)).getOrElse("")
+    }
 
     versions.foreach { case (_, name) =>
       Files.readString(logDir.resolve(name)).split("\n")
         .filter(_.trim.nonEmpty).foreach { line =>
-          if (line.contains("\"protocol\"")) {
-            ReaderVRe.findFirstMatchIn(line).foreach { m =>
-              require(m.group(1).toInt <= 1,
-                s"delta minReaderVersion ${m.group(1)} at $deltaPath needs " +
-                  "reader features (deletion vectors / column mapping) this " +
-                  "import does not speak — compact the source table first")
-            }
-          }
-          if (line.contains("\"metaData\"")) {
-            SchemaRe.findFirstMatchIn(line).foreach(m =>
-              schemaJson = Some(unesc(m.group(1))))
-            partCols = PartRe.findFirstMatchIn(line).map(m =>
-              KvParse.strings(m.group(1))).getOrElse(Seq.empty)
-          }
-          if (line.contains("\"add\"")) {
-            require(!line.contains("\"deletionVector\""),
-              s"delta add with a deletion vector at $deltaPath — " +
-                "unsupported; compact the source table first")
-            for (p <- PathRe.findFirstMatchIn(line).map(m => unesc(m.group(1)))) {
-              val pv = PartValsRe.findFirstMatchIn(line).map { m =>
-                KvRe.findAllMatchIn(m.group(1))
-                  .map(k => unesc(k.group(1)) -> unesc(k.group(2))).toMap
-              }.getOrElse(Map.empty[String, String])
-              live.remove(p) // re-add moves to the tail (Delta semantics: latest wins)
-              live.put(p, pv)
-            }
-          } else if (line.contains("\"remove\"")) {
-            PathRe.findFirstMatchIn(line).foreach(m => live.remove(unesc(m.group(1))))
+          actionOf(line) match {
+            case "protocol" =>
+              ReaderVRe.findFirstMatchIn(line).foreach { m =>
+                require(m.group(1).toInt <= 1,
+                  s"delta minReaderVersion ${m.group(1)} at $deltaPath needs " +
+                    "reader features (deletion vectors / column mapping) this " +
+                    "import does not speak — compact the source table first")
+              }
+            case "metaData" =>
+              SchemaRe.findFirstMatchIn(line).foreach(m =>
+                schemaJson = Some(unesc(m.group(1))))
+              partCols = PartRe.findFirstMatchIn(line).map(m =>
+                KvParse.strings(m.group(1))).getOrElse(Seq.empty)
+            case "add" =>
+              require(!line.contains("\"deletionVector\""),
+                s"delta add with a deletion vector at $deltaPath — " +
+                  "unsupported; compact the source table first")
+              for (p <- PathRe.findFirstMatchIn(line).map(m => unesc(m.group(1)))) {
+                val pv = PartValsRe.findFirstMatchIn(line).map { m =>
+                  KvRe.findAllMatchIn(m.group(1))
+                    .map(k => unesc(k.group(1)) -> unesc(k.group(2))).toMap
+                }.getOrElse(Map.empty[String, String])
+                live.remove(p) // re-add moves to the tail (Delta semantics: latest wins)
+                live.put(p, pv)
+              }
+            case "remove" =>
+              PathRe.findFirstMatchIn(line).foreach(m => live.remove(unesc(m.group(1))))
+            case _ => () // commitInfo, cdc, domainMetadata, txn — no file effect
           }
         }
     }

@@ -472,7 +472,9 @@ object GraftLake {
       }
       val hook = beforeTxnMarkerHook.get()
       if (hook.isDefined) { beforeTxnMarkerHook.set(None); hook.get.apply() }
-      Files.createFile(txnMarkerPath(token, "committed"))
+      Files.writeString(txnMarkerPath(token), "committed",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      cacheTxnDecisionLocally(paths, token, "committed")
       versions
     } catch {
       // NON-fatal failures decide the transaction: abort marker +
@@ -482,7 +484,9 @@ object GraftLake {
       // PENDING, invisible everywhere, until commitTxn/abortTxn.
       case e if scala.util.control.NonFatal(e) =>
         try {
-          Files.createFile(txnMarkerPath(token, "aborted"))
+          Files.writeString(txnMarkerPath(token), "aborted",
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          cacheTxnDecisionLocally(done.map(_._1).toSeq, token, "aborted")
           done.foreach { case (p, v) =>
             import scala.jdk.CollectionConverters._
             parse(Files.readString(logFile(p, v))).add.foreach { setName =>
@@ -494,6 +498,21 @@ object GraftLake {
           }
         } catch { case scala.util.control.NonFatal(_) => () }
         throw e
+    }
+  }
+
+  /** Best-effort local decision caches for every participant, so the
+    * tables are self-contained from the moment of decision (readers
+    * fall back to the coordinator marker only for participants this
+    * write missed).
+    */
+  private def cacheTxnDecisionLocally(
+      paths: Seq[String], token: String, decision: String): Unit = {
+    val id = token.substring(token.lastIndexOf('|') + 1)
+    paths.foreach { p =>
+      try Files.writeString(logDir(p).resolve(s"txn_$id.decided"), decision,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -512,18 +531,23 @@ object GraftLake {
 
   /** Decide a PENDING transaction whose coordinator died before its
     * marker: `commitTxn` makes every provisional commit visible,
-    * `abortTxn` buries them — each one idempotent O_EXCL marker
-    * create, refusing loudly if already decided the other way.
+    * `abortTxn` buries them. The O_EXCL create of the single decision
+    * file IS the decision point — racing opposite decisions cannot
+    * both win; the loser reads the winner's content and refuses
+    * loudly. Re-deciding the same way is idempotent.
     */
-  def commitTxn(token: String): Unit = decideTxn(token, toCommitted = true)
-  def abortTxn(token: String): Unit = decideTxn(token, toCommitted = false)
-  private def decideTxn(token: String, toCommitted: Boolean): Unit = {
-    val other = txnMarkerPath(token, if (toCommitted) "aborted" else "committed")
-    require(!Files.exists(other),
-      s"txn $token is already decided the other way ($other exists)")
-    try Files.createFile(
-      txnMarkerPath(token, if (toCommitted) "committed" else "aborted"))
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  def commitTxn(token: String): Unit = decideTxn(token, "committed")
+  def abortTxn(token: String): Unit = decideTxn(token, "aborted")
+  private def decideTxn(token: String, decision: String): Unit = {
+    val marker = txnMarkerPath(token)
+    try Files.writeString(marker, decision,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val existing = Files.readString(marker).trim
+        require(existing == decision,
+          s"txn $token is already decided the other way ($existing)")
+    }
   }
 
   /** PARTITIONED append: hive-layout write by `partCol` (one
@@ -2431,40 +2455,66 @@ object GraftLake {
             ingest = body.filter(_.action == "ingestf").flatMap(_.add))
         }
       }
-      .map(resolveTxn)
+      .map(resolveTxn(path))
       .toSeq
   }
 
   /** Transaction visibility, resolved at READ time: a commit carrying
-    * a txn token folds normally only when the coordinator's
-    * `.committed` marker exists; pending (no marker yet — the
-    * transaction is mid-flight or its writer died) and aborted tokens
-    * resolve to a version/timestamp-only no-op, so no reader of any
-    * participant table can ever observe a half-landed transaction.
-    * Resolution is one `Files.exists` per txn commit per fold — and
-    * since logs re-read on every snapshot, a later marker commit
-    * simply becomes visible on the next read.
+    * a txn token folds normally only when the transaction is DECIDED
+    * committed; pending (no decision yet — the transaction is
+    * mid-flight or its writer died) and aborted tokens resolve to a
+    * version/timestamp-only no-op, so no reader of any participant
+    * table can ever observe a half-landed transaction. Resolution is
+    * one `Files.exists` per txn commit per fold — and since logs
+    * re-read on every snapshot, a later decision simply becomes
+    * visible on the next read.
     */
-  private def resolveTxn(c: Commit): Commit = c.txn match {
+  private def resolveTxn(path: String)(c: Commit): Commit = c.txn match {
     case None => c
     case Some(token) =>
-      if (Files.exists(txnMarkerPath(token, "committed"))) c
+      if (txnDecision(path, token).contains("committed")) c
       else c.copy(action = "txnnoop", add = Seq.empty, remove = Seq.empty,
         tag = None, stats = Seq.empty, perSet = Seq.empty, cdf = None,
         ingest = Seq.empty)
   }
 
-  private[sources] def txnMarkerPath(token: String, state: String)
-      : java.nio.file.Path = {
+  /** The single decision marker of a transaction: ONE file whose
+    * CONTENT is "committed" or "aborted", created O_EXCL — the create
+    * IS the decision point, so racing commitTxn/abortTxn callers
+    * cannot both win (the two-marker scheme had a check-then-create
+    * window where both could land).
+    */
+  private[sources] def txnMarkerPath(token: String): java.nio.file.Path = {
     val i = token.lastIndexOf('|')
     require(i > 0, s"bad txn token: $token")
-    Paths.get(token.take(i), s"txn_${token.substring(i + 1)}.$state")
+    Paths.get(token.take(i), s"txn_${token.substring(i + 1)}.decided")
   }
 
-  /** True while `token` is neither committed nor aborted. */
-  private def txnPending(token: String): Boolean =
-    !Files.exists(txnMarkerPath(token, "committed")) &&
-      !Files.exists(txnMarkerPath(token, "aborted"))
+  /** The decision of `token` as seen from participant `path`:
+    * Some("committed"/"aborted") or None while pending. The
+    * participant's LOCAL cached copy is consulted first and a remote
+    * decision is cached locally on first observation (best-effort,
+    * O_EXCL) — so a participant table keeps serving its decided
+    * transactions even if the coordinator table is later relocated or
+    * deleted; only the never-read-since-decision window stays coupled
+    * to the coordinator path.
+    */
+  private def txnDecision(path: String, token: String): Option[String] = {
+    val id = token.substring(token.lastIndexOf('|') + 1)
+    val local = logDir(path).resolve(s"txn_$id.decided")
+    if (Files.exists(local)) return Some(Files.readString(local).trim)
+    val coord = txnMarkerPath(token)
+    if (!Files.exists(coord)) return None
+    val d = Files.readString(coord).trim
+    try Files.writeString(local, d,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case scala.util.control.NonFatal(_) => () }
+    Some(d)
+  }
+
+  /** True while `token` is undecided from `path`'s view. */
+  private def txnPending(path: String, token: String): Boolean =
+    txnDecision(path, token).isEmpty
 
   def latestVersion(path: String): Int = snapshot(path).version
 
@@ -2477,7 +2527,7 @@ object GraftLake {
     */
   def latestStableVersion(path: String): Int = {
     val cs = commits(path)
-    cs.find(c => c.txn.exists(txnPending))
+    cs.find(c => c.txn.exists(txnPending(path, _)))
       .map(_.version - 1)
       .getOrElse(cs.lastOption.map(_.version).getOrElse(-1))
   }
@@ -2638,7 +2688,8 @@ object GraftLake {
     // which replaces that log prefix, would have silently dropped its
     // file-set forever. Committed/aborted decisions are stable and
     // bake fine; pending refuses loudly until decided.
-    val pendingTxn = commits(path).filter(c => c.txn.exists(txnPending))
+    val pendingTxn = commits(path).filter(c =>
+      c.txn.exists(txnPending(path, _)))
     require(pendingTxn.isEmpty,
       s"cannot checkpoint $path: pending cross-table transaction " +
         s"commit(s) at version(s) ${pendingTxn.map(_.version).mkString(",")}" +
@@ -3372,8 +3423,25 @@ object GraftLake {
     val all = commits(path)
     require(fromVersion >= -1 && fromVersion < all.size,
       s"fromVersion $fromVersion out of range for ${all.size}-commit log")
-    val target = StructType.fromDDL(all.last.schemaDdl)
-    val latestRenames = foldState(EmptySnapshot, all).renames
+    // A PENDING transaction commit in the range must refuse, never
+    // skip: an incremental consumer that advanced its cursor past a
+    // pending commit would permanently lose its rows if the
+    // transaction later commits (the batch dual of the streaming
+    // source's latestStableVersion stall). Aborted ones are decided —
+    // permanent no-ops — and pass through as empty.
+    all.drop(fromVersion + 1)
+      .find(c => c.txn.exists(txnPending(path, _))).foreach { c =>
+        throw new IllegalStateException(
+          s"commit ${c.version} at $path is a PENDING cross-table " +
+            "transaction — its visibility is undecided; retry after " +
+            "commitTxn/abortTxn (or bound reads at latestStableVersion)")
+      }
+    val folded = foldState(EmptySnapshot, all)
+    // The fold's schema, NOT the last commit line's: a pending/aborted
+    // transaction's txnnoop still carries the schema the transaction
+    // WOULD have evolved to, which the table never committed.
+    val target = StructType.fromDDL(folded.schemaDdl)
+    val latestRenames = folded.renames
     val changed0 = all.drop(fromVersion + 1)
     changed0.find(c => c.action != "create" && c.action != "append" &&
         c.action != "padd" && c.action != "constraint" &&
@@ -3444,8 +3512,18 @@ object GraftLake {
     val all = commits(path)
     require(fromVersion >= -1 && fromVersion < all.size,
       s"fromVersion $fromVersion out of range for ${all.size}-commit log")
-    val target = StructType.fromDDL(all.last.schemaDdl)
-    val latestRenames = foldState(EmptySnapshot, all).renames
+    // Same pending-transaction refusal as [[changesSince]]: skipping
+    // an undecided commit would lose its change rows forever.
+    all.drop(fromVersion + 1)
+      .find(c => c.txn.exists(txnPending(path, _))).foreach { c =>
+        throw new IllegalStateException(
+          s"commit ${c.version} at $path is a PENDING cross-table " +
+            "transaction — its visibility is undecided; retry after " +
+            "commitTxn/abortTxn (or bound reads at latestStableVersion)")
+      }
+    val folded = foldState(EmptySnapshot, all)
+    val target = StructType.fromDDL(folded.schemaDdl)
+    val latestRenames = folded.renames
     val parts = all.drop(fromVersion + 1).flatMap { c =>
       c.action match {
         case "create" | "append" | "padd" =>

@@ -128,6 +128,19 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(e4.getMessage.contains("non-contiguous"))
   }
 
+  test("action classification is by the top-level key, never a substring") {
+    val delta = freshDelta()
+    seedFlat(delta)
+    // a REMOVE whose nested fields contain the text "add" (a real
+    // remove carries extendedFileMetadata partitionValues/tags) must
+    // still remove — substring classification would resurrect f0
+    writeLog(delta, 2, Seq(
+      """{"remove":{"path":"f0.parquet","dataChange":true,"extendedFileMetadata":true,"partitionValues":{"kind":"add"},"tags":{"op":"add"}}}"""))
+    val (df, st) = DeltaImport.readDelta(spark, delta)
+    assert(st.activeFiles.map(_._1) == Seq("f2.parquet"))
+    assert(df.count() == 10)
+  }
+
   test("re-added file counts once; remove of a never-added path is a no-op") {
     import spark.implicits._
     val delta = freshDelta()

@@ -84,6 +84,11 @@ class LakeTxnSpec extends AnyFunSuite with SparkSpec {
     // checkpoints refuse to bake an undecided commit
     val ce = intercept[IllegalArgumentException](GraftLake.checkpoint(a))
     assert(ce.getMessage.contains("pending cross-table transaction"))
+    // incremental feeds refuse a pending commit (skipping would lose
+    // its rows forever if the transaction later commits)
+    val pe = intercept[IllegalStateException](
+      GraftLake.changesSince(spark, a, -1))
+    assert(pe.getMessage.contains("PENDING cross-table transaction"))
     // operator decision: COMMIT — both tables gain their rows at once
     GraftLake.commitTxn(token)
     assert(GraftLake.read(spark, a).count() == 15)
@@ -95,6 +100,12 @@ class LakeTxnSpec extends AnyFunSuite with SparkSpec {
     val de = intercept[IllegalArgumentException](GraftLake.abortTxn(token))
     assert(de.getMessage.contains("already decided"))
     GraftLake.commitTxn(token) // idempotent
+    // the decision was CACHED LOCALLY on first read: participants
+    // outlive the coordinator's marker (relocation/deletion)
+    val i = token.lastIndexOf('|')
+    Files.delete(Paths.get(token.take(i), s"txn_${token.substring(i + 1)}.decided"))
+    assert(GraftLake.read(spark, a).count() == 15)
+    assert(GraftLake.read(spark, b).count() == 15)
   }
 
   test("refusals: <2 tables, duplicates, uncreated, CDF, row tracking") {
