@@ -493,6 +493,39 @@ object SparkEntry {
         .withColumn("txn_ok", lit(ok))
         .orderBy(col("side"), col("status"))
     }),
+    // DELTA ROUND TRIP: a hive-partitioned graft table EXPORTS as a
+    // self-contained Delta table (one distributed partitionBy pass +
+    // a version-0 _delta_log per the public protocol), then IMPORTS
+    // back through the same public log — content and layout must
+    // survive both directions; the re-imported hive-pinned flag is
+    // in-row. Oracle: per-bucket totals of all orders.
+    "src65_delta_roundtrip" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{DeltaExport, DeltaImport, GraftLake}
+      val gp = scratch("graft_export_src", dir)
+      val dp = scratch("graft_export_delta", dir)
+      val gp2 = scratch("graft_export_back", dir)
+      rmrf(gp); rmrf(dp); rmrf(gp2)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4L)).as("bucket"))
+      GraftLake.appendPartitionedBy(o, gp, Seq("bucket"),
+        statsCols = Seq("okey"))
+      GraftLake.setPartitionColumns(gp, Seq("bucket"))
+      DeltaExport.exportDelta(s, gp, dp)
+      DeltaImport.importDelta(s, dp, gp2, statsCols = Seq("okey"))
+      val hive = GraftLake.snapshot(gp2).live.nonEmpty &&
+        GraftLake.snapshot(gp2).live.forall(
+          _.statsFor("bucket").exists(st => st.min == st.max))
+      GraftLake.read(s, gp2)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+        .withColumn("roundtrip_ok", lit(hive))
+        .orderBy(col("bucket"))
+    }),
     // DELTA-LOG IMPORT: a hand-built table in the PUBLIC Delta Lake
     // log format (protocol/metaData/add/remove JSON actions; the
     // partition column lives ONLY in the log's partitionValues, as
@@ -4049,6 +4082,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'summary', status, n, cents, TRUE FROM a
         |ORDER BY side, status""".stripMargin,
+    "src65_delta_roundtrip" ->
+      """WITH t AS (SELECT o_orderkey AS okey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  min(okey) AS lo, max(okey) AS hi, TRUE AS roundtrip_ok
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "src63_delta_import" ->
       """WITH t AS (SELECT o_orderkey AS okey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

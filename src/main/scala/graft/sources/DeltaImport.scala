@@ -217,3 +217,80 @@ object DeltaImport {
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
   }
 }
+
+/** One-way EXPORT of a graft lake table AS a Delta Lake table — the
+  * interop off-ramp (Delta UniForm's direction, pointed at Delta):
+  * one distributed write of the current snapshot (hive `partitionBy`
+  * layout when the table has partition columns, matching Delta's
+  * directory convention), then a version-0 `_delta_log` of
+  * protocol / metaData / add actions per the public protocol. The
+  * export is a self-contained COPY — referencing the graft sets by
+  * absolute path would couple the Delta table's correctness to the
+  * graft table's vacuum policy (the exact hazard the import direction
+  * refuses).
+  *
+  * Because the copy goes through [[GraftLake.read]], the export
+  * serves EVERY table state: outstanding merge-on-read masks apply
+  * (deleted rows never reach the Delta files) and rename lineage
+  * materializes (files carry the current logical names) — no
+  * pre-compact required.
+  */
+object DeltaExport {
+
+  private def jesc(x: String) =
+    x.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  def exportDelta(
+      spark: SparkSession, graftPath: String, deltaPath: String): Unit = {
+    val snap = GraftLake.snapshot(graftPath)
+    require(snap.version >= 0, s"no graft table at $graftPath")
+    require(!Files.exists(Paths.get(deltaPath, "_delta_log")),
+      s"delta table already exists at $deltaPath")
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val parts = snap.partitionCols
+    val df = GraftLake.read(spark, graftPath)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // ONE distributed pass lays the data down in Delta's directory
+    // convention (partition columns as hive dirs, dropped from the
+    // files — exactly what partitionValues re-declares).
+    if (parts.isEmpty) df.write.parquet(deltaPath)
+    else df.write.partitionBy(parts: _*).parquet(deltaPath)
+
+    // Every written part file becomes one `add`, its partition values
+    // parsed back from the hive directory names.
+    def walkParquet(dir: java.nio.file.Path, pv: Map[String, String])
+        : Seq[(String, Map[String, String])] = {
+      val listing = Files.list(dir)
+      val entries = try listing.iterator().asScala.toSeq finally listing.close()
+      entries.sortBy(_.getFileName.toString).flatMap { p =>
+        val n = p.getFileName.toString
+        if (Files.isDirectory(p) && n.contains("="))
+          walkParquet(p, pv + (n.take(n.indexOf('=')) ->
+            n.substring(n.indexOf('=') + 1)))
+        else if (n.endsWith(".parquet"))
+          Seq(Paths.get(deltaPath).relativize(p).toString -> pv)
+        else Seq.empty
+      }
+    }
+    val files = walkParquet(Paths.get(deltaPath), Map.empty)
+    require(files.nonEmpty, s"export wrote no parquet files to $deltaPath")
+    val adds = files.map { case (rel, pv) =>
+      val pvJson = parts.map(pc =>
+        s""""${jesc(pc)}":"${jesc(pv.getOrElse(pc, ""))}"""").mkString(",")
+      val f = Paths.get(deltaPath, rel)
+      s"""{"add":{"path":"${jesc(rel)}","partitionValues":{$pvJson},""" +
+        s""""size":${Files.size(f)},""" +
+        s""""modificationTime":${Files.getLastModifiedTime(f).toMillis},""" +
+        """"dataChange":true}}"""
+    }
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"graft-export","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${jesc(schema.json)}",""" +
+        s""""partitionColumns":[${parts.map(p => s""""${jesc(p)}"""").mkString(",")}],""" +
+        s""""configuration":{},"createdTime":0}}""") ++ adds
+    Files.createDirectories(Paths.get(deltaPath, "_delta_log"))
+    Files.writeString(Paths.get(deltaPath, "_delta_log", "0" * 20 + ".json"),
+      lines.mkString("", "\n", "\n"))
+  }
+}

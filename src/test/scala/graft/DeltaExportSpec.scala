@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaExport, DeltaImport, GraftLake}
+
+/** Delta export: self-contained public-protocol output, row-exact
+  * round trips in both flat and partitioned layouts, and the loud
+  * refusals (MoR state, rename lineage, existing target).
+  */
+class DeltaExportSpec extends AnyFunSuite with SparkSpec {
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"graft-dexp-$tag").resolve("t").toString
+
+  test("flat export round-trips row-exactly through the public log") {
+    import spark.implicits._
+    val gp = fresh("flat"); val dp = fresh("flatd"); val gp2 = fresh("flatb")
+    val df = (1 to 40).map(i => (i.toLong, s"r$i", i % 3)).toDF("id", "tag", "m")
+    GraftLake.create(df, gp, statsCols = Seq("id"))
+    GraftLake.append(df.filter(col("id") <= 10)
+      .withColumn("id", col("id") + 100L), gp)
+    DeltaExport.exportDelta(spark, gp, dp)
+    // the exported log parses as a valid delta table
+    val st = DeltaImport.foldDeltaLog(dp)
+    assert(st.partitionCols.isEmpty && st.activeFiles.nonEmpty)
+    DeltaImport.importDelta(spark, dp, gp2)
+    val a = GraftLake.read(spark, gp).select("id", "tag", "m")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = GraftLake.read(spark, gp2).select("id", "tag", "m")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.length == 50 && (a sameElements b))
+  }
+
+  test("partitioned export lays hive dirs + partitionValues; re-import re-pins") {
+    import spark.implicits._
+    val gp = fresh("p"); val dp = fresh("pd"); val gp2 = fresh("pb")
+    val df = (1 to 30).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "b")
+    GraftLake.appendPartitionedBy(df, gp, Seq("b"), statsCols = Seq("id"))
+    GraftLake.setPartitionColumns(gp, Seq("b"))
+    DeltaExport.exportDelta(spark, gp, dp)
+    val st = DeltaImport.foldDeltaLog(dp)
+    assert(st.partitionCols == Seq("b"))
+    assert(st.activeFiles.forall(_._2.keySet == Set("b")))
+    // hive layout on disk, partition column dropped from the files
+    locally {
+      import scala.jdk.CollectionConverters._
+      assert(Files.list(Paths.get(dp)).iterator().asScala.exists(p =>
+        p.getFileName.toString.startsWith("b=")))
+    }
+    DeltaImport.importDelta(spark, dp, gp2)
+    assert(GraftLake.read(spark, gp2).count() == 30)
+    assert(GraftLake.read(spark, gp2).filter(col("b") === 1L).count() == 10)
+    assert(GraftLake.snapshot(gp2).live.forall(
+      _.statsFor("b").exists(s => s.min == s.max)))
+  }
+
+  test("export serves MoR-masked and renamed states; refuses an existing target") {
+    import spark.implicits._
+    val gp = fresh("r")
+    val df = (1 to 20).map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+    GraftLake.create(df, gp, statsCols = Seq("id"), bloomCols = Seq("id"))
+    GraftLake.renameColumn(gp, "tag", "label") // lineage first: the
+    // rename fence refuses while tombstones are outstanding
+    GraftLake.deleteMoR(spark, gp, col("id") === 3L, "id") // key tombstone
+    val dp = fresh("rd")
+    // the rewrite goes through GraftLake.read: the tombstoned row never
+    // reaches the Delta files and the files carry the CURRENT names
+    DeltaExport.exportDelta(spark, gp, dp)
+    val out = DeltaImport.readDelta(spark, dp)._1
+    assert(out.columns.toSeq == Seq("id", "label"))
+    assert(out.count() == 19)
+    assert(out.filter(col("id") === 3L).count() == 0)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.exportDelta(spark, gp, dp))
+    assert(e.getMessage.contains("already exists"))
+  }
+}
