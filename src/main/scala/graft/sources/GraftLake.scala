@@ -5557,11 +5557,19 @@ object GraftLake {
     }
     keep ++= cloneFence(path)
     val removedEver = cs0.flatMap(_.remove).toSet
+    // Sets added by ABORTED cross-table transaction commits: the
+    // resolve pass strips their add lists (permanent no-ops), so the
+    // removedEver rule can never name them — but their decision is
+    // stable, so the bytes are dead the moment the abort-path cleanup
+    // missed them (coordinator died; abortTxn decided later). PENDING
+    // transactions are NOT candidates: their sets may yet go live.
+    val abortedSets = abortedTxnSets(path)
     val dataDir = Paths.get(path, "data")
     val dead =
       if (!Files.exists(dataDir)) Seq.empty[java.nio.file.Path]
       else Files.list(dataDir).iterator().asScala.toSeq
-        .filter(p => removedEver(s"data/${p.getFileName}") &&
+        .filter(p => (removedEver(s"data/${p.getFileName}") ||
+            abortedSets(s"data/${p.getFileName}")) &&
           !keep(s"data/${p.getFileName}"))
     val cdfDead: Seq[java.nio.file.Path] = {
       val keepCdf = cs0.filter(_.version >= vMin).flatMap(_.cdf).toSet
@@ -5573,6 +5581,24 @@ object GraftLake {
           !keepCdf(s"cdf/${p.getFileName}"))
     }
     (dead, cdfDead)
+  }
+
+  /** Raw add lists of commits whose transaction decided ABORTED —
+    * read from the log lines directly, because [[resolveTxn]] strips
+    * them before any fold can see the names.
+    */
+  private def abortedTxnSets(path: String): Set[String] = {
+    val dir = logDir(path)
+    if (!Files.exists(dir)) return Set.empty
+    Iterator.from(0)
+      .map(v => dir.resolve(f"$v%08d.json"))
+      .takeWhile(f => Files.exists(f) && Files.size(f) > 0)
+      .flatMap { f =>
+        val c = parse(Files.readString(f).split("\n").head)
+        if (c.txn.exists(t => txnDecision(path, t).contains("aborted")))
+          c.add
+        else Seq.empty
+      }.toSet
   }
 
   /** VACUUM DRY RUN (Delta's `VACUUM ... DRY RUN`): list what a sweep

@@ -108,6 +108,28 @@ class LakeTxnSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, b).count() == 15)
   }
 
+  test("vacuum reclaims the sets of an ABORTED txn the cleanup missed") {
+    val a = fresh("a5"); val b = fresh("b5")
+    GraftLake.create(mk(10), a)
+    GraftLake.create(mk(10), b)
+    // coordinator dies pre-marker: staged sets stay on disk
+    GraftLake.beforeTxnMarkerHook.set(Some(() =>
+      throw new InterruptedException("coordinator died")))
+    intercept[InterruptedException](GraftLake.appendAtomic(Seq(
+      (mk(5, 100), a), (mk(5, 200), b))))
+    val token = GraftLake.lastTxnToken.get
+    assert(Files.list(Paths.get(a, "data")).count() == 2) // live + orphan
+    // PENDING: vacuum must NOT touch the undecided set
+    assert(GraftLake.vacuum(a).isEmpty)
+    assert(Files.list(Paths.get(a, "data")).count() == 2)
+    // decided ABORTED: the orphan is reclaimable
+    GraftLake.abortTxn(token)
+    val swept = GraftLake.vacuum(a)
+    assert(swept.size == 1, s"expected 1 reclaimed set, got $swept")
+    assert(Files.list(Paths.get(a, "data")).count() == 1)
+    assert(GraftLake.read(spark, a).count() == 10)
+  }
+
   test("refusals: <2 tables, duplicates, uncreated, CDF, row tracking") {
     val a = fresh("a4"); val b = fresh("b4")
     GraftLake.create(mk(5), a)
