@@ -467,10 +467,66 @@ private[sources] class GraftLakeBatchScan(
         java.util.OptionalLong.of(rowCounts.flatten.sum)
       else if (sets.isEmpty) java.util.OptionalLong.of(0L)
       else java.util.OptionalLong.empty()
+    // COLUMN-LEVEL statistics for the cost-based optimizer, served
+    // from the same manifests the pruning paths read: exact min/max
+    // for value-domain integral stat columns (the image IS the value)
+    // and exact nullCount wherever every planned set records a
+    // non-null count (rows − Σnn). A column declines — never guesses —
+    // when any planned set lacks the stat (legacy entry, all-null
+    // set, non-integral image).
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (rows.isPresent && sets.nonEmpty) {
+      val totalRows = rows.getAsLong
+      required.fields.foreach { f =>
+        val sts = sets.map(_.statsFor(f.name))
+        if (sts.forall(_.isDefined)) {
+          val integral = GraftLake.sumStatEligible(f.dataType)
+          val minV: java.util.Optional[Object] =
+            if (integral) {
+              val img = sts.flatten.map(_.min).min
+              java.util.Optional.of(boxImage(img, f.dataType))
+            } else java.util.Optional.empty()
+          val maxV: java.util.Optional[Object] =
+            if (integral) {
+              val img = sts.flatten.map(_.max).max
+              java.util.Optional.of(boxImage(img, f.dataType))
+            } else java.util.Optional.empty()
+          val nns = sts.map(_.flatMap(_.nn))
+          val nulls: java.util.OptionalLong =
+            if (nns.forall(_.isDefined))
+              java.util.OptionalLong.of(totalRows - nns.flatten.sum)
+            else java.util.OptionalLong.empty()
+          if (minV.isPresent || nulls.isPresent) {
+            colStats.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def min(): java.util.Optional[Object] = minV
+                override def max(): java.util.Optional[Object] = maxV
+                override def nullCount(): java.util.OptionalLong = nulls
+              })
+          }
+        }
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = bytes
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
+  }
+
+  /** Box an exact integral stat image as the column's external value. */
+  private def boxImage(img: Long, dt: DataType): Object = dt match {
+    case ByteType => java.lang.Byte.valueOf(img.toByte)
+    case ShortType => java.lang.Short.valueOf(img.toShort)
+    case IntegerType => java.lang.Integer.valueOf(img.toInt)
+    case _ => java.lang.Long.valueOf(img)
   }
 
   /** RUNTIME SET PRUNING (the DSv2 dynamic partition pruning): offer

@@ -433,6 +433,34 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
       s"small lake dim must auto-broadcast off metadata stats:\n$plan")
   }
 
+  test("column statistics serve the CBO from manifests: exact min/max/nullCount") {
+    import scala.jdk.CollectionConverters._
+    val p = fresh()
+    seed(p)
+    val prov = new graft.sources.GraftLakeBatchSource
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("path" -> p).asJava)
+    val table = prov.getTable(prov.inferSchema(opts), Array.empty,
+      Map("path" -> p).asJava)
+    val scan = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(opts).build()
+    val st = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().getAsLong == 90L)
+    val cols = st.columnStats().asScala.map { case (k, v) => k.toString -> v }
+    // `id` is a statted integral column: exact min/max/nullCount
+    val idStats = cols("id")
+    assert(idStats.min().get() == 1L && idStats.max().get() == 90L)
+    assert(idStats.nullCount().getAsLong == 0L)
+    // `day` is statted but temporal: its image is not served as a
+    // value; the nullCount still is
+    val dayStats = cols("day")
+    assert(!dayStats.min().isPresent && dayStats.nullCount().getAsLong == 0L)
+    // `v` records no stats: no column entry at all
+    assert(!cols.contains("v"))
+  }
+
   test("flat tables consume nothing: every pushed filter stays residual") {
     val p = fresh()
     seed(p)
