@@ -130,6 +130,44 @@ class LakeTxnSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, a).count() == 10)
   }
 
+  test("two racing transactions over the same tables both land; claim loop orders them") {
+    val a = fresh("a6"); val b = fresh("b6")
+    GraftLake.create(mk(10), a)
+    GraftLake.create(mk(10), b)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until 2).map { i =>
+      new Thread(() =>
+        try GraftLake.appendAtomic(Seq(
+          (mk(3, 1000 + 100 * i), a), (mk(4, 2000 + 100 * i), b)))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"racing transactions failed: ${errs.toArray.toSeq}")
+    assert(GraftLake.read(spark, a).count() == 16)
+    assert(GraftLake.read(spark, b).count() == 18)
+    assert(GraftLake.latestVersion(a) == 2 && GraftLake.latestVersion(b) == 2)
+  }
+
+  test("a late-decided transaction is visible through time travel at its original version") {
+    val a = fresh("a7"); val b = fresh("b7")
+    GraftLake.create(mk(10), a)
+    GraftLake.create(mk(10), b)
+    GraftLake.beforeTxnMarkerHook.set(Some(() =>
+      throw new InterruptedException("coordinator died")))
+    intercept[InterruptedException](GraftLake.appendAtomic(Seq(
+      (mk(5, 100), a), (mk(5, 200), b))))
+    val token = GraftLake.lastTxnToken.get
+    GraftLake.append(mk(2, 300), a) // lands on top of the pending slot
+    assert(GraftLake.readAt(spark, a, 1).count() == 10) // pending = no-op
+    assert(GraftLake.readAt(spark, a, 2).count() == 12)
+    GraftLake.commitTxn(token)
+    // the decision back-fills the ORIGINAL version slot — snapshots at
+    // or past it gain the rows on the next read
+    assert(GraftLake.readAt(spark, a, 1).count() == 15)
+    assert(GraftLake.readAt(spark, a, 2).count() == 17)
+    assert(GraftLake.read(spark, a).count() == 17)
+  }
+
   test("refusals: <2 tables, duplicates, uncreated, CDF, row tracking") {
     val a = fresh("a4"); val b = fresh("b4")
     GraftLake.create(mk(5), a)
