@@ -88,7 +88,12 @@ object Clustering {
       val next = centroids.map(_.clone())
       sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>
         val arr = new Array[Long](Dim)
-        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+        // floorDiv, not '/': the DuckDB oracle's '//' FLOORS while
+        // Scala '/' truncates toward zero — they agree only on
+        // nonnegative sums, which would silently couple the gate to
+        // every embedding being >= -2.0 in the quantization offset.
+        rows.foreach(r =>
+          arr(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
         next(c) = arr
       }
       centroids = next

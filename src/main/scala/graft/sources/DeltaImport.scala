@@ -75,7 +75,6 @@ object DeltaImport {
     val SchemaRe = """"schemaString":"((?:[^"\\]|\\.)*)"""".r.unanchored
     val PartRe = """"partitionColumns":\[([^\]]*)\]""".r.unanchored
     val PathRe = """"path":"((?:[^"\\]|\\.)*)"""".r.unanchored
-    val PartValsRe = """"partitionValues":\{([^}]*)\}""".r.unanchored
     val KvRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
     val ReaderVRe = """"minReaderVersion":(\d+)""".r.unanchored
     // Single-pass JSON string unescape (sequential replace() pairs are
@@ -133,8 +132,8 @@ object DeltaImport {
                 s"delta add with a deletion vector at $deltaPath — " +
                   "unsupported; compact the source table first")
               for (p <- PathRe.findFirstMatchIn(line).map(m => unesc(m.group(1)))) {
-                val pv = PartValsRe.findFirstMatchIn(line).map { m =>
-                  KvRe.findAllMatchIn(m.group(1))
+                val pv = partValsBody(line).map { body =>
+                  KvRe.findAllMatchIn(body)
                     .map(k => unesc(k.group(1)) -> unesc(k.group(2))).toMap
                 }.getOrElse(Map.empty[String, String])
                 live.remove(p) // re-add moves to the tail (Delta semantics: latest wins)
@@ -210,6 +209,44 @@ object DeltaImport {
         statsCols = (statsCols ++ st.partitionCols).distinct)
   }
 
+  /** Extract the `partitionValues` object BODY with a string-aware
+    * scan: a legal Delta partition value string may contain '{' or
+    * '}', so a brace-bounded regex would truncate the object
+    * mid-value and silently drop/corrupt the values that get
+    * re-injected as literals. The scan respects JSON string
+    * boundaries (escapes included) and refuses loudly on an
+    * unterminated object. None when the action carries no
+    * partitionValues (an unpartitioned add).
+    */
+  private[graft] def partValsBody(line: String): Option[String] = {
+    val key = "\"partitionValues\":"
+    val at = line.indexOf(key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < line.length && line.charAt(i).isWhitespace) i += 1
+    if (i >= line.length || line.charAt(i) != '{') return None
+    val start = i + 1
+    i = start
+    var depth = 1
+    var inStr = false
+    while (i < line.length && depth > 0) {
+      val ch = line.charAt(i)
+      if (inStr) {
+        if (ch == '\\') i += 1
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    require(depth == 0,
+      s"unterminated partitionValues object in delta action: $line")
+    Some(line.substring(start, i - 1))
+  }
+
   private object KvParse {
     /** `"a","b"` → Seq(a, b) (the partitionColumns array body). */
     def strings(body: String): Seq[String] =
@@ -240,6 +277,31 @@ object DeltaExport {
   private def jesc(x: String) =
     x.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  /** Decode Spark's hive partition-directory escaping back to the
+    * true value: special characters are percent-encoded (`:`→`%3A`,
+    * `=`→`%3D`, ...) and a NULL partition value writes the sentinel
+    * directory `__HIVE_DEFAULT_PARTITION__` — emitting either
+    * verbatim would hand Delta escaped/sentinel strings instead of
+    * the real values. None means the Delta null representation
+    * (`"col":null` in partitionValues).
+    */
+  private[graft] def hiveUnescape(v: String): Option[String] =
+    if (v == "__HIVE_DEFAULT_PARTITION__") None
+    else {
+      val b = new java.lang.StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        val ch = v.charAt(i)
+        if (ch == '%' && i + 2 < v.length &&
+            Character.digit(v.charAt(i + 1), 16) >= 0 &&
+            Character.digit(v.charAt(i + 2), 16) >= 0) {
+          b.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { b.append(ch); i += 1 }
+      }
+      Some(b.toString)
+    }
+
   def exportDelta(
       spark: SparkSession, graftPath: String, deltaPath: String): Unit = {
     val snap = GraftLake.snapshot(graftPath)
@@ -265,7 +327,9 @@ object DeltaExport {
       entries.sortBy(_.getFileName.toString).flatMap { p =>
         val n = p.getFileName.toString
         if (Files.isDirectory(p) && n.contains("="))
-          walkParquet(p, pv + (n.take(n.indexOf('=')) ->
+          // the directory KEY is hive-escaped too (column names with
+          // special characters); the value decodes at emission time
+          walkParquet(p, pv + (hiveUnescape(n.take(n.indexOf('='))).get ->
             n.substring(n.indexOf('=') + 1)))
         else if (n.endsWith(".parquet"))
           Seq(Paths.get(deltaPath).relativize(p).toString -> pv)
@@ -275,8 +339,12 @@ object DeltaExport {
     val files = walkParquet(Paths.get(deltaPath), Map.empty)
     require(files.nonEmpty, s"export wrote no parquet files to $deltaPath")
     val adds = files.map { case (rel, pv) =>
-      val pvJson = parts.map(pc =>
-        s""""${jesc(pc)}":"${jesc(pv.getOrElse(pc, ""))}"""").mkString(",")
+      val pvJson = parts.map { pc =>
+        pv.get(pc).flatMap(hiveUnescape) match {
+          case Some(v) => s""""${jesc(pc)}":"${jesc(v)}""""
+          case None => s""""${jesc(pc)}":null"""
+        }
+      }.mkString(",")
       val f = Paths.get(deltaPath, rel)
       s"""{"add":{"path":"${jesc(rel)}","partitionValues":{$pvJson},""" +
         s""""size":${Files.size(f)},""" +

@@ -85,12 +85,12 @@ object GraftLake {
       // file, folded into Snapshot.ingested for per-file idempotence.
       ingest: Seq[String] = Seq.empty,
       // CROSS-TABLE TRANSACTION token (`<coordinator log dir>|<id>`):
-      // a provisional commit that is VISIBLE only once the
-      // coordinator's `txn_<id>.committed` marker exists — the
-      // all-or-nothing gate of [[appendAtomic]]. Pending/aborted
-      // tokens resolve the commit to a version-only no-op at read
-      // time (commitsFrom), so a half-landed transaction can never
-      // surface on any table.
+      // a provisional commit that is VISIBLE only once the single
+      // `txn_<id>.decided` marker exists WITH content "committed"
+      // (content "aborted" buries it) — the all-or-nothing gate of
+      // [[appendAtomic]]. Pending/aborted tokens resolve the commit
+      // to a version-only no-op at read time (commitsFrom), so a
+      // half-landed transaction can never surface on any table.
       txn: Option[String] = None)
 
   /** Per-file-set min/max of one long column, recorded at commit time
@@ -472,8 +472,7 @@ object GraftLake {
       }
       val hook = beforeTxnMarkerHook.get()
       if (hook.isDefined) { beforeTxnMarkerHook.set(None); hook.get.apply() }
-      Files.writeString(txnMarkerPath(token), "committed",
-        java.nio.file.StandardOpenOption.CREATE_NEW)
+      publishDecision(txnMarkerPath(token), "committed")
       cacheTxnDecisionLocally(paths, token, "committed")
       versions
     } catch {
@@ -484,8 +483,7 @@ object GraftLake {
       // PENDING, invisible everywhere, until commitTxn/abortTxn.
       case e if scala.util.control.NonFatal(e) =>
         try {
-          Files.writeString(txnMarkerPath(token), "aborted",
-            java.nio.file.StandardOpenOption.CREATE_NEW)
+          publishDecision(txnMarkerPath(token), "aborted")
           cacheTxnDecisionLocally(done.map(_._1).toSeq, token, "aborted")
           done.foreach { case (p, v) =>
             import scala.jdk.CollectionConverters._
@@ -510,10 +508,42 @@ object GraftLake {
       paths: Seq[String], token: String, decision: String): Unit = {
     val id = token.substring(token.lastIndexOf('|') + 1)
     paths.foreach { p =>
-      try Files.writeString(logDir(p).resolve(s"txn_$id.decided"), decision,
-        java.nio.file.StandardOpenOption.CREATE_NEW)
+      try publishDecision(logDir(p).resolve(s"txn_$id.decided"), decision)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+  }
+
+  /** Atomically publish a decision marker with its FULL content: the
+    * decision is written to a sibling temp file first and lands via a
+    * hard-link create, which is atomic AND exclusive — a reader can
+    * never observe an empty/partial marker (a direct
+    * `writeString(CREATE_NEW)` has a create-then-write window where a
+    * crash leaves a contentless marker that resolves to neither
+    * decision), and racing opposite decisions still cannot both win
+    * (the link create fails with FileAlreadyExistsException, the
+    * O_EXCL decision point).
+    */
+  private def publishDecision(
+      marker: java.nio.file.Path, decision: String): Unit = {
+    val tmp = marker.resolveSibling(
+      s".${marker.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.writeString(tmp, decision)
+    try Files.createLink(marker, tmp)
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Read + validate a decision marker: anything but the two legal
+    * decisions is loud corruption (an empty marker from a non-atomic
+    * writer, a torn write), never silently resolved to not-committed
+    * — that resolution would make the rows invisible forever while
+    * commitTxn/abortTxn both refuse, an undecidable transaction.
+    */
+  private def readDecision(marker: java.nio.file.Path): String = {
+    val d = Files.readString(marker).trim
+    require(d == "committed" || d == "aborted",
+      s"corrupt txn decision marker $marker: content '$d' is neither " +
+        "'committed' nor 'aborted' — repair or remove the marker")
+    d
   }
 
   /** Token of the most recent [[appendAtomic]] on this JVM — lets
@@ -540,11 +570,10 @@ object GraftLake {
   def abortTxn(token: String): Unit = decideTxn(token, "aborted")
   private def decideTxn(token: String, decision: String): Unit = {
     val marker = txnMarkerPath(token)
-    try Files.writeString(marker, decision,
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    try publishDecision(marker, decision)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        val existing = Files.readString(marker).trim
+        val existing = readDecision(marker)
         require(existing == decision,
           s"txn $token is already decided the other way ($existing)")
     }
@@ -2502,12 +2531,11 @@ object GraftLake {
   private def txnDecision(path: String, token: String): Option[String] = {
     val id = token.substring(token.lastIndexOf('|') + 1)
     val local = logDir(path).resolve(s"txn_$id.decided")
-    if (Files.exists(local)) return Some(Files.readString(local).trim)
+    if (Files.exists(local)) return Some(readDecision(local))
     val coord = txnMarkerPath(token)
     if (!Files.exists(coord)) return None
-    val d = Files.readString(coord).trim
-    try Files.writeString(local, d,
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    val d = readDecision(coord)
+    try publishDecision(local, d)
     catch { case scala.util.control.NonFatal(_) => () }
     Some(d)
   }

@@ -58,6 +58,17 @@ class DeltaExportSpec extends AnyFunSuite with SparkSpec {
       _.statsFor("b").exists(s => s.min == s.max)))
   }
 
+  test("hive directory escaping decodes to the TRUE partition values") {
+    // Spark percent-encodes special characters in partition dirs and
+    // writes __HIVE_DEFAULT_PARTITION__ for null — partitionValues
+    // must carry the decoded value / JSON null, never the dir text
+    assert(DeltaExport.hiveUnescape("a%3Ab") == Some("a:b"))
+    assert(DeltaExport.hiveUnescape("x%3D1%25") == Some("x=1%"))
+    assert(DeltaExport.hiveUnescape("plain") == Some("plain"))
+    assert(DeltaExport.hiveUnescape("100%") == Some("100%")) // not an escape
+    assert(DeltaExport.hiveUnescape("__HIVE_DEFAULT_PARTITION__").isEmpty)
+  }
+
   test("export serves MoR-masked and renamed states; refuses an existing target") {
     import spark.implicits._
     val gp = fresh("r")

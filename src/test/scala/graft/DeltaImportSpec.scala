@@ -141,6 +141,33 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == 10)
   }
 
+  test("partition values containing '}' / '{' survive the string-aware scan") {
+    import spark.implicits._
+    val delta = freshDelta()
+    Files.createDirectories(Paths.get(delta, "_delta_log"))
+    val full = (1 to 10).map(i =>
+      (i.toLong, if (i <= 5) "a}b{c" else "plain")).toDF("id", "grp")
+    stage(delta, full.filter(col("grp") === "a}b{c").drop("grp"), "g0")
+    stage(delta, full.filter(col("grp") === "plain").drop("grp"), "g1")
+    val schemaJson = jesc(full.schema.json)
+    writeLog(delta, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet"},"schemaString":"$schemaJson","partitionColumns":["grp"],"configuration":{}}}""",
+      // a brace-bounded regex would truncate this at the '}' INSIDE
+      // the value, dropping the pair and corrupting the re-injection
+      """{"add":{"path":"g0.parquet","partitionValues":{"grp":"a}b{c"},"size":1,"modificationTime":0,"dataChange":true,"tags":{"t":"x"}}}""",
+      """{"add":{"path":"g1.parquet","partitionValues":{"grp":"plain"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val (df, st) = DeltaImport.readDelta(spark, delta)
+    assert(st.activeFiles.toMap.apply("g0.parquet") == Map("grp" -> "a}b{c"))
+    assert(df.filter(col("grp") === "a}b{c").count() == 5)
+    assert(df.filter(col("grp") === "plain").count() == 5)
+    // the scanner itself: nested braces + escaped quotes + absent key
+    assert(DeltaImport.partValsBody(
+      """{"add":{"path":"p","partitionValues":{"k":"v}w","j":"x\"y}z"},"size":1}}""")
+      .contains(""""k":"v}w","j":"x\"y}z""""))
+    assert(DeltaImport.partValsBody("""{"remove":{"path":"p"}}""").isEmpty)
+  }
+
   test("re-added file counts once; remove of a never-added path is a no-op") {
     import spark.implicits._
     val delta = freshDelta()

@@ -108,6 +108,37 @@ class LakeTxnSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, b).count() == 15)
   }
 
+  test("a corrupt (empty/garbage) decision marker refuses loudly — never silently not-committed") {
+    val a = fresh("a6"); val b = fresh("b6")
+    GraftLake.create(mk(10), a)
+    GraftLake.create(mk(10), b)
+    GraftLake.beforeTxnMarkerHook.set(Some(() =>
+      throw new InterruptedException("coordinator died")))
+    intercept[InterruptedException](GraftLake.appendAtomic(Seq(
+      (mk(5, 100), a), (mk(5, 200), b))))
+    val token = GraftLake.lastTxnToken.get
+    val i = token.lastIndexOf('|')
+    val marker = Paths.get(token.take(i), s"txn_${token.substring(i + 1)}.decided")
+    // the torn-write artifact an atomic publisher can never produce:
+    // a marker that exists with content that is neither decision
+    Files.writeString(marker, "")
+    val e1 = intercept[IllegalArgumentException](
+      GraftLake.read(spark, b).count())
+    assert(e1.getMessage.contains("corrupt txn decision marker"))
+    Files.writeString(marker, "commit")  // partial content, same refusal
+    val e2 = intercept[IllegalArgumentException](
+      GraftLake.read(spark, b).count())
+    assert(e2.getMessage.contains("corrupt txn decision marker"))
+    // commitTxn/abortTxn also refuse (the marker exists) rather than
+    // misreading it — the operator repairs by removing the bad marker
+    val e3 = intercept[IllegalArgumentException](GraftLake.commitTxn(token))
+    assert(e3.getMessage.contains("corrupt txn decision marker"))
+    Files.delete(marker)
+    GraftLake.commitTxn(token)  // recovery path: decide normally
+    assert(GraftLake.read(spark, a).count() == 15)
+    assert(GraftLake.read(spark, b).count() == 15)
+  }
+
   test("vacuum reclaims the sets of an ABORTED txn the cleanup missed") {
     val a = fresh("a5"); val b = fresh("b5")
     GraftLake.create(mk(10), a)
