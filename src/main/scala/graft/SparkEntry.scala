@@ -526,6 +526,76 @@ object SparkEntry {
         .withColumn("roundtrip_ok", lit(hive))
         .orderBy(col("bucket"))
     }),
+    // DELTA CHECKPOINT IMPORT: a CHECKPOINTED delta log — the shape
+    // every real Delta table reaches after ~10 commits. v0/v1 JSON
+    // commits (the v1 is the Delta DELETE shape on bucket 3) fold
+    // into a classic checkpoint parquet via checkpointDelta
+    // (protocol/metaData/add rows + _last_checkpoint), the JSON
+    // prefix is then REMOVED (the vacuumed-log shape), and a v2 JSON
+    // delete on bucket 0 applies on top — the import must
+    // reconstruct from checkpoint + suffix alone. The prefix-gone +
+    // checkpoint-version flags are in-row. Oracle: orders minus both
+    // deleted slices.
+    "src66_delta_checkpoint" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{DeltaExport, DeltaImport, GraftLake}
+      val delta = scratch("graft_delta_cp", dir)
+      val gp = scratch("graft_delta_cp_import", dir)
+      rmrf(delta); rmrf(gp)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4L)).as("bucket"))
+      new java.io.File(s"$delta/_delta_log").mkdirs()
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = s"$delta/_tmp_$name"
+        df.drop("bucket").repartition(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(delta, s"$name.parquet"))
+        rmrf(tmp)
+      }
+      (0L until 4L).foreach(b => stage(o.filter(col("bucket") === b), s"f$b"))
+      stage(o.filter(col("bucket") === 3 && col("cents") < 20000000L), "f3c")
+      def jesc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val schemaJson = jesc(o.schema.json)
+      val v0 = (Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"m0","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["bucket"],"configuration":{}}}"""
+      ) ++ (0 until 4).map(b =>
+        s"""{"add":{"path":"f$b.parquet","partitionValues":{"bucket":"$b"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+        .mkString("\n")
+      val v1 = Seq(
+        """{"commitInfo":{"operation":"DELETE"}}""",
+        """{"remove":{"path":"f3.parquet","dataChange":true,"deletionTimestamp":0}}""",
+        """{"add":{"path":"f3c.parquet","partitionValues":{"bucket":"3"},"size":1,"modificationTime":0,"dataChange":true}}"""
+      ).mkString("\n")
+      val log = java.nio.file.Paths.get(delta, "_delta_log")
+      java.nio.file.Files.writeString(log.resolve("0" * 20 + ".json"), v0 + "\n")
+      java.nio.file.Files.writeString(log.resolve("0" * 19 + "1.json"), v1 + "\n")
+      val cpv = DeltaExport.checkpointDelta(s, delta)
+      // the vacuumed-prefix shape: only the checkpoint can supply the
+      // adds now
+      java.nio.file.Files.delete(log.resolve("0" * 20 + ".json"))
+      java.nio.file.Files.delete(log.resolve("0" * 19 + "1.json"))
+      stage(o.filter(col("bucket") === 0 && col("cents") < 25000000L), "f0c")
+      val v2 = Seq(
+        """{"remove":{"path":"f0.parquet","dataChange":true,"deletionTimestamp":0}}""",
+        """{"add":{"path":"f0c.parquet","partitionValues":{"bucket":"0"},"size":1,"modificationTime":0,"dataChange":true}}"""
+      ).mkString("\n")
+      java.nio.file.Files.writeString(log.resolve("0" * 19 + "2.json"), v2 + "\n")
+      DeltaImport.importDelta(s, delta, gp, statsCols = Seq("okey"))
+      val ok = cpv == 1L &&
+        java.nio.file.Files.exists(log.resolve("_last_checkpoint")) &&
+        !java.nio.file.Files.exists(log.resolve("0" * 20 + ".json"))
+      GraftLake.read(s, gp)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+        .withColumn("delta_cp_ok", lit(ok))
+        .orderBy(col("bucket"))
+    }),
     // DELTA-LOG IMPORT: a hand-built table in the PUBLIC Delta Lake
     // log format (protocol/metaData/add/remove JSON actions; the
     // partition column lives ONLY in the log's partitionValues, as
@@ -4090,6 +4160,17 @@ object SparkEntry {
         |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
         |  min(okey) AS lo, max(okey) AS hi, TRUE AS roundtrip_ok
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src66_delta_checkpoint" ->
+      """WITH t AS (SELECT o_orderkey AS okey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  min(okey) AS lo, max(okey) AS hi, TRUE AS delta_cp_ok
+        |FROM t
+        |WHERE NOT (bucket = 3 AND cents >= 20000000)
+        |  AND NOT (bucket = 0 AND cents >= 25000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src63_delta_import" ->
       """WITH t AS (SELECT o_orderkey AS okey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

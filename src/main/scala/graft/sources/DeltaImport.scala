@@ -44,29 +44,70 @@ object DeltaImport {
       partitionCols: Seq[String],
       activeFiles: Seq[(String, Map[String, String])])
 
-  /** Fold `_delta_log` at `deltaPath` into (schema, partition columns,
-    * active files with their partition values). Versions must be
-    * contiguous from 0 (a truncated prefix means a checkpoint this
-    * reader refuses).
+  /** The checkpoint `_last_checkpoint` names: (version, checkpoint
+    * parquet files). Classic naming only — single-file
+    * `<v>.checkpoint.parquet` or multi-part
+    * `<v>.checkpoint.<i>.<n>.parquet`; a `_last_checkpoint` whose
+    * files are absent under those names (a v2/UUID-named checkpoint,
+    * or a torn write) refuses loudly.
     */
-  private[graft] def foldDeltaLog(deltaPath: String): DeltaState = {
+  private def readLastCheckpoint(
+      logDir: java.nio.file.Path, deltaPath: String)
+      : Option[(Long, Seq[String])] = {
+    val f = logDir.resolve("_last_checkpoint")
+    if (!Files.exists(f)) return None
+    val txt = Files.readString(f)
+    val v = """"version"\s*:\s*(\d+)""".r.unanchored.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"malformed _last_checkpoint at $deltaPath: $txt"))
+    val parts = """"parts"\s*:\s*(\d+)""".r.unanchored
+      .findFirstMatchIn(txt).map(_.group(1).toInt)
+    val names = parts match {
+      case None => Seq(f"$v%020d.checkpoint.parquet")
+      case Some(p) => (1 to p).map(i =>
+        f"$v%020d.checkpoint.$i%010d.$p%010d.parquet")
+    }
+    val missing = names.filterNot(n => Files.exists(logDir.resolve(n)))
+    require(missing.isEmpty,
+      s"_last_checkpoint at $deltaPath names version $v but " +
+        s"${missing.mkString(", ")} is missing — a v2/UUID-named or " +
+        "incomplete checkpoint this import does not speak")
+    Some(v -> names.map(n => logDir.resolve(n).toString))
+  }
+
+  /** Fold `_delta_log` at `deltaPath` into (schema, partition columns,
+    * active files with their partition values). A checkpointed log
+    * (the shape every real Delta table reaches after ~10 commits)
+    * folds the checkpoint parquet FIRST — its add rows are the live
+    * set at the checkpoint version, its remove rows are expired
+    * tombstone bookkeeping with no file effect — then replays the
+    * JSON commits after it, which must be contiguous from
+    * checkpoint+1 (from 0 when there is no checkpoint).
+    */
+  private[graft] def foldDeltaLog(
+      spark: SparkSession, deltaPath: String): DeltaState = {
     val logDir = Paths.get(deltaPath, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $deltaPath")
-    require(!Files.exists(logDir.resolve("_last_checkpoint")),
-      s"delta table at $deltaPath has a checkpoint — this import reads " +
-        "the plain JSON log only; provide the un-checkpointed log")
+    val checkpoint = readLastCheckpoint(logDir, deltaPath)
     val listing = Files.list(logDir)
-    val versions =
+    val allVersions =
       try listing.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
         .map(n => n.dropRight(5).toLong -> n).toSeq.sortBy(_._1)
       finally listing.close()
-    require(versions.nonEmpty, s"empty _delta_log at $deltaPath")
-    require(versions.head._1 == 0L &&
-      versions.map(_._1) == (0L until versions.size.toLong),
-      s"non-contiguous delta log versions at $deltaPath (checkpointed or " +
-        s"partially vacuumed): ${versions.map(_._1).mkString(",")}")
+    // Versions at or below the checkpoint are baked into it — a
+    // vacuumed/truncated prefix there is normal, not an error.
+    val minV = checkpoint.map(_._1 + 1).getOrElse(0L)
+    val versions = allVersions.filter(_._1 >= minV)
+    require(checkpoint.nonEmpty || versions.nonEmpty,
+      s"empty _delta_log at $deltaPath")
+    require(versions.map(_._1) ==
+      (minV until minV + versions.size.toLong),
+      s"non-contiguous delta log versions after ${minV - 1} at $deltaPath " +
+        s"(partially vacuumed past its checkpoint?): " +
+        s"${versions.map(_._1).mkString(",")}")
 
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Seq.empty
@@ -109,6 +150,53 @@ object DeltaImport {
       val t = line.trim
       val m = """^\{\s*"([A-Za-z]+)"""".r.unanchored.findPrefixMatchOf(t)
       m.map(_.group(1)).getOrElse("")
+    }
+
+    // Checkpoint fold: one distributed parquet read, then O(files)
+    // driver rows — the same budget class as the JSON log parse
+    // (Delta readers reconstruct snapshots driver-side the same way).
+    checkpoint.foreach { case (_, files) =>
+      val cdf = spark.read.parquet(files: _*)
+      val cols = cdf.schema.fieldNames.toSet
+      def struct(row: org.apache.spark.sql.Row, name: String)
+          : Option[org.apache.spark.sql.Row] =
+        if (cols(name) && !row.isNullAt(row.fieldIndex(name)))
+          Some(row.getAs[org.apache.spark.sql.Row](name))
+        else None
+      val cpAdds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
+      cdf.collect().foreach { row =>
+        struct(row, "protocol").foreach { p =>
+          val fi = p.schema.fieldNames.indexOf("minReaderVersion")
+          if (fi >= 0 && !p.isNullAt(fi))
+            require(p.getInt(fi) <= 1,
+              s"delta minReaderVersion ${p.getInt(fi)} in checkpoint at " +
+                s"$deltaPath needs reader features this import does not " +
+                "speak — compact the source table first")
+        }
+        struct(row, "metaData").foreach { m =>
+          Option(m.getAs[String]("schemaString")).foreach(sj =>
+            schemaJson = Some(sj))
+          partCols = Option(m.getAs[scala.collection.Seq[String]](
+            "partitionColumns")).map(_.toSeq).getOrElse(Seq.empty)
+        }
+        struct(row, "add").foreach { a =>
+          val dvi = a.schema.fieldNames.indexOf("deletionVector")
+          require(dvi < 0 || a.isNullAt(dvi),
+            s"delta checkpoint add with a deletion vector at $deltaPath — " +
+              "unsupported; compact the source table first")
+          val pv = Option(a.getAs[scala.collection.Map[String, String]](
+              "partitionValues")).map(_.toMap)
+            .getOrElse(Map.empty[String, String])
+          cpAdds += a.getAs[String]("path") -> pv
+        }
+        // checkpoint `remove` rows are expired-tombstone bookkeeping
+        // (vacuum state), never a file effect on the live set
+      }
+      // the checkpoint is a SNAPSHOT — row order is meaningless; sort
+      // by path so import output is deterministic
+      cpAdds.sortBy(_._1).foreach { case (p, pv) =>
+        live.remove(p); live.put(p, pv)
+      }
     }
 
     versions.foreach { case (_, name) =>
@@ -156,7 +244,7 @@ object DeltaImport {
     */
   private[graft] def readDelta(spark: SparkSession, deltaPath: String)
       : (DataFrame, DeltaState) = {
-    val st = foldDeltaLog(deltaPath)
+    val st = foldDeltaLog(spark, deltaPath)
     require(st.activeFiles.nonEmpty, s"delta table at $deltaPath has no live files")
     val dataSchema = StructType(
       st.schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
@@ -273,6 +361,73 @@ object DeltaImport {
   * pre-compact required.
   */
 object DeltaExport {
+
+  /** CHECKPOINT a Delta table (ours or anyone's this reader speaks):
+    * fold the current log and write the classic columnar checkpoint —
+    * protocol / metaData / one `add` row per live file — as
+    * `<v>.checkpoint.parquet` plus `_last_checkpoint`, at the highest
+    * JSON version. The JSON prefix becomes redundant exactly as
+    * Delta's own checkpoints make it (readers reconstruct from
+    * checkpoint + suffix; vacuum may truncate the prefix). Returns
+    * the checkpointed version.
+    *
+    * Scale shape: O(files) driver rows through one parquet write —
+    * the same budget as the log fold itself.
+    */
+  def checkpointDelta(spark: SparkSession, deltaPath: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = DeltaImport.foldDeltaLog(spark, deltaPath)
+    val logDir = Paths.get(deltaPath, "_delta_log")
+    val listing = Files.list(logDir)
+    val jsonVersions =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
+        .map(_.dropRight(5).toLong).toSeq
+      finally listing.close()
+    require(jsonVersions.nonEmpty,
+      s"nothing to checkpoint at $deltaPath: no JSON commits past the " +
+        "existing checkpoint")
+    val version = jsonVersions.max
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows: Seq[Row] =
+      Seq(Row(Row(1, 2), null, null),
+        Row(null, Row("graft-checkpoint", st.schema.json,
+          st.partitionCols, Map.empty[String, String]), null)) ++
+      st.activeFiles.map { case (p, pv) =>
+        val f = Paths.get(deltaPath, p)
+        Row(null, null, Row(p, pv, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis, true))
+      }
+    val tmp = s"$deltaPath/_tmp_checkpoint"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath,
+      logDir.resolve(f"$version%020d.checkpoint.parquet"))
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+      .reverse.foreach(Files.deleteIfExists(_))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$version,"size":${rows.size}}""")
+    version
+  }
 
   private def jesc(x: String) =
     x.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -25,7 +25,7 @@ class DeltaExportSpec extends AnyFunSuite with SparkSpec {
       .withColumn("id", col("id") + 100L), gp)
     DeltaExport.exportDelta(spark, gp, dp)
     // the exported log parses as a valid delta table
-    val st = DeltaImport.foldDeltaLog(dp)
+    val st = DeltaImport.foldDeltaLog(spark, dp)
     assert(st.partitionCols.isEmpty && st.activeFiles.nonEmpty)
     DeltaImport.importDelta(spark, dp, gp2)
     val a = GraftLake.read(spark, gp).select("id", "tag", "m")
@@ -42,7 +42,7 @@ class DeltaExportSpec extends AnyFunSuite with SparkSpec {
     GraftLake.appendPartitionedBy(df, gp, Seq("b"), statsCols = Seq("id"))
     GraftLake.setPartitionColumns(gp, Seq("b"))
     DeltaExport.exportDelta(spark, gp, dp)
-    val st = DeltaImport.foldDeltaLog(dp)
+    val st = DeltaImport.foldDeltaLog(spark, dp)
     assert(st.partitionCols == Seq("b"))
     assert(st.activeFiles.forall(_._2.keySet == Set("b")))
     // hive layout on disk, partition column dropped from the files

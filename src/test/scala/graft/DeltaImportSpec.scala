@@ -93,16 +93,159 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.snapshot(gp).live.forall(_.statsFor("color").nonEmpty))
   }
 
-  test("checkpointed, featured, and DV-bearing logs refuse loudly") {
+  // -- checkpoint machinery -------------------------------------------
+
+  /** Write a classic checkpoint parquet (the columnar twin of the JSON
+    * actions) as `<v>.checkpoint.parquet` (+ `_last_checkpoint`),
+    * with the given live adds and optional protocol/DV rows.
+    */
+  private def writeCheckpoint(delta: String, version: Long,
+      schemaJson: String, partCols: Seq[String],
+      adds: Seq[(String, Map[String, String])],
+      minReader: Int = 1, addDv: Boolean = false,
+      expiredRemoves: Seq[String] = Seq.empty,
+      parts: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType), StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType), StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", dvType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType))))))
+    val dv = if (addDv) Row("u", "x", 1, 1, 1L) else null
+    val rows: Seq[Row] =
+      Seq(Row(Row(minReader, 2), null, null, null),
+        Row(null, Row("m", schemaJson, partCols, Map.empty[String, String]),
+          null, null)) ++
+      adds.map { case (p, pv) =>
+        Row(null, null, Row(p, pv, 1L, 0L, true, dv), null) } ++
+      expiredRemoves.map(p => Row(null, null, null, Row(p, 0L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts.getOrElse(1)), schema)
+    val tmp = s"$delta/_tmp_cp"
+    (parts match {
+      case None => df.repartition(1)
+      case Some(n) => df.repartition(n)
+    }).write.parquet(tmp)
+    val pieces = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts match {
+      case None =>
+        Files.move(pieces.head.toPath,
+          Paths.get(delta, "_delta_log", f"$version%020d.checkpoint.parquet"))
+      case Some(n) =>
+        pieces.zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, Paths.get(delta, "_delta_log",
+            f"$version%020d.checkpoint.${i + 1}%010d.$n%010d.parquet"))
+        }
+    }
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+      .reverse.foreach(Files.deleteIfExists(_))
+    val partsJson = parts.map(n => s""","parts":$n""").getOrElse("")
+    Files.writeString(Paths.get(delta, "_delta_log", "_last_checkpoint"),
+      s"""{"version":$version,"size":${rows.size}$partsJson}""")
+  }
+
+  test("checkpointed log: checkpoint adds + JSON suffix reconcile; truncated prefix is fine") {
     val delta = freshDelta()
     seedFlat(delta)
-    // checkpoint marker
-    Files.writeString(Paths.get(delta, "_delta_log", "_last_checkpoint"),
-      """{"version":1,"size":4}""")
-    val e1 = intercept[IllegalArgumentException](
+    val schemaJson = {
+      import spark.implicits._
+      (1 to 1).map(i => (i.toLong, "x")).toDF("id", "tag").schema.json
+    }
+    // checkpoint at v1 bakes the live set {f0, f2}; an expired remove
+    // tombstone for f1 must have NO file effect
+    writeCheckpoint(delta, 1L, schemaJson, Seq.empty,
+      Seq("f0.parquet" -> Map.empty, "f2.parquet" -> Map.empty),
+      expiredRemoves = Seq("f1.parquet"))
+    // the vacuumed-prefix shape every real table reaches: JSON <= v1 gone
+    Files.delete(Paths.get(delta, "_delta_log", "0" * 20 + ".json"))
+    Files.delete(Paths.get(delta, "_delta_log", "0" * 19 + "1.json"))
+    // a JSON commit AFTER the checkpoint still applies on top
+    writeLog(delta, 2, Seq(
+      """{"remove":{"path":"f2.parquet","dataChange":true}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val (df, st) = DeltaImport.readDelta(spark, delta)
+    assert(st.activeFiles.map(_._1).sorted == Seq("f0.parquet", "f1.parquet"))
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 20L))
+  }
+
+  test("multi-part checkpoint reads all parts; missing part refuses as v2/UUID") {
+    val delta = freshDelta()
+    seedFlat(delta)
+    val schemaJson = {
+      import spark.implicits._
+      (1 to 1).map(i => (i.toLong, "x")).toDF("id", "tag").schema.json
+    }
+    writeCheckpoint(delta, 1L, schemaJson, Seq.empty,
+      Seq("f0.parquet" -> Map.empty, "f2.parquet" -> Map.empty),
+      parts = Some(2))
+    Files.delete(Paths.get(delta, "_delta_log", "0" * 20 + ".json"))
+    Files.delete(Paths.get(delta, "_delta_log", "0" * 19 + "1.json"))
+    val (df, st) = DeltaImport.readDelta(spark, delta)
+    assert(st.activeFiles.map(_._1).sorted == Seq("f0.parquet", "f2.parquet"))
+    assert(df.count() == 20)
+    // a part vanishes -> the classic naming probe fails loudly
+    Files.delete(Paths.get(delta, "_delta_log",
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    val e = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, delta))
-    assert(e1.getMessage.contains("checkpoint"))
-    Files.delete(Paths.get(delta, "_delta_log", "_last_checkpoint"))
+    assert(e.getMessage.contains("v2/UUID"))
+  }
+
+  test("checkpoint rows with reader features or deletion vectors refuse loudly") {
+    val schemaJson = {
+      import spark.implicits._
+      (1 to 1).map(i => (i.toLong, "x")).toDF("id", "tag").schema.json
+    }
+    val deltaA = freshDelta()
+    seedFlat(deltaA)
+    writeCheckpoint(deltaA, 1L, schemaJson, Seq.empty,
+      Seq("f0.parquet" -> Map.empty), minReader = 3)
+    val e1 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, deltaA))
+    assert(e1.getMessage.contains("minReaderVersion"))
+    val deltaB = freshDelta()
+    seedFlat(deltaB)
+    writeCheckpoint(deltaB, 1L, schemaJson, Seq.empty,
+      Seq("f0.parquet" -> Map.empty), addDv = true)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, deltaB))
+    assert(e2.getMessage.contains("deletion vector"))
+    // gap AFTER the checkpoint still refuses (non-contiguous suffix)
+    val deltaC = freshDelta()
+    seedFlat(deltaC)
+    writeCheckpoint(deltaC, 0L, schemaJson, Seq.empty,
+      Seq("f0.parquet" -> Map.empty))
+    Files.delete(Paths.get(deltaC, "_delta_log", "0" * 19 + "1.json"))
+    writeLog(deltaC, 2, Seq(
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val e3 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, deltaC))
+    assert(e3.getMessage.contains("non-contiguous"))
+  }
+
+  test("featured and DV-bearing JSON logs refuse loudly") {
     // reader features beyond the basic protocol
     val delta2 = freshDelta()
     seedFlat(delta2)
