@@ -596,6 +596,71 @@ object SparkEntry {
         .withColumn("delta_cp_ok", lit(ok))
         .orderBy(col("bucket"))
     }),
+    // DELTA COLUMN-MAPPING IMPORT: a name-mode column-mapped table —
+    // on by default for modern Delta writers — where the parquet
+    // files and partitionValues speak PHYSICAL names (col-uuid) and
+    // only the schemaString metadata maps them back. The import must
+    // read under physical names and restore logical ones, including
+    // the log-only partition column keyed by its physical name. The
+    // logical-names + hive-pinned flags are in-row. Oracle: all
+    // orders by bucket.
+    "src67_delta_colmap" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      import graft.sources.{DeltaImport, GraftLake}
+      val delta = scratch("graft_delta_cm", dir)
+      val gp = scratch("graft_delta_cm_import", dir)
+      rmrf(delta); rmrf(gp)
+      def mapped(name: String, phys: String, id: Int, dt: DataType) =
+        StructField(name, dt, nullable = true, new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id.toLong).build())
+      val logical = StructType(Seq(
+        mapped("okey", "col-k1", 1, LongType),
+        mapped("status", "col-s2", 2, StringType),
+        mapped("cents", "col-c3", 3, LongType),
+        mapped("bucket", "col-b4", 4, LongType)))
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4L)).as("bucket"))
+      new java.io.File(s"$delta/_delta_log").mkdirs()
+      (0L until 4L).foreach { b =>
+        val tmp = s"$delta/_tmp_f$b"
+        o.filter(col("bucket") === b)
+          .select(col("okey").as("col-k1"), col("status").as("col-s2"),
+            col("cents").as("col-c3"))
+          .repartition(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(delta, s"f$b.parquet"))
+        rmrf(tmp)
+      }
+      def jesc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val schemaJson = jesc(logical.json)
+      val v0 = (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"m0","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["bucket"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"}}}"""
+      ) ++ (0 until 4).map(b =>
+        s"""{"add":{"path":"f$b.parquet","partitionValues":{"col-b4":"$b"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+        .mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        delta, "_delta_log", "0" * 20 + ".json"), v0 + "\n")
+      DeltaImport.importDelta(s, delta, gp, statsCols = Seq("okey"))
+      val snap = GraftLake.snapshot(gp)
+      val ok = snap.live.nonEmpty &&
+        snap.live.forall(_.statsFor("bucket").exists(st => st.min == st.max)) &&
+        GraftLake.read(s, gp).columns.toSeq ==
+          Seq("okey", "status", "cents", "bucket")
+      GraftLake.read(s, gp)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+        .withColumn("colmap_ok", lit(ok))
+        .orderBy(col("bucket"))
+    }),
     // DELTA-LOG IMPORT: a hand-built table in the PUBLIC Delta Lake
     // log format (protocol/metaData/add/remove JSON actions; the
     // partition column lives ONLY in the log's partitionValues, as
@@ -4159,6 +4224,14 @@ object SparkEntry {
         |  FROM orders)
         |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
         |  min(okey) AS lo, max(okey) AS hi, TRUE AS roundtrip_ok
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src67_delta_colmap" ->
+      """WITH t AS (SELECT o_orderkey AS okey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  min(okey) AS lo, max(okey) AS hi, TRUE AS colmap_ok
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "src66_delta_checkpoint" ->
       """WITH t AS (SELECT o_orderkey AS okey,

@@ -42,7 +42,58 @@ object DeltaImport {
   private[graft] final case class DeltaState(
       schema: StructType,
       partitionCols: Seq[String],
-      activeFiles: Seq[(String, Map[String, String])])
+      activeFiles: Seq[(String, Map[String, String])],
+      // the metaData `configuration` map — carries
+      // delta.columnMapping.mode for column-mapped tables
+      config: Map[String, String] = Map.empty)
+
+  /** The PHYSICAL column name of a field under Delta column mapping
+    * (name mode): the `delta.columnMapping.physicalName` entry of the
+    * field's schemaString metadata; the logical name when unmapped.
+    */
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The schema as the parquet FILES spell it: every field (at every
+    * nesting level) renamed to its physical name. Types unchanged.
+    */
+  private[graft] def physicalSchema(st: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    StructType(st.fields.map { f =>
+      val dt = f.dataType match {
+        case s: StructType => physicalSchema(s)
+        case ArrayType(s: StructType, n) => ArrayType(physicalSchema(s), n)
+        case MapType(k, s: StructType, n) => MapType(k, physicalSchema(s), n)
+        case other => other
+      }
+      StructField(physicalName(f), dt, f.nullable, f.metadata)
+    })
+  }
+
+  /** The protocol gate, shared by the JSON and checkpoint folds:
+    * reader version 1 is the base protocol, 2 adds column mapping
+    * (name mode imports; id mode refuses when metaData declares it),
+    * 3 lists explicit readerFeatures of which only columnMapping is
+    * spoken — anything else (deletionVectors, v2Checkpoint, ...)
+    * changes file semantics this import does not speak.
+    */
+  private def checkProtocol(
+      minReader: Int, readerFeatures: Option[Set[String]],
+      where: String): Unit =
+    minReader match {
+      case v if v <= 2 => ()
+      case 3 =>
+        val fs = readerFeatures.getOrElse(Set("<unlisted>"))
+        val unsupported = fs -- Set("columnMapping")
+        require(unsupported.isEmpty,
+          s"delta readerFeatures ${unsupported.mkString(", ")} at $where — " +
+            "this import speaks only columnMapping; compact the source " +
+            "table first")
+      case v => throw new IllegalArgumentException(
+        s"delta minReaderVersion $v at $where is unsupported")
+    }
 
   /** The checkpoint `_last_checkpoint` names: (version, checkpoint
     * parquet files). Classic naming only — single-file
@@ -111,6 +162,7 @@ object DeltaImport {
 
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Seq.empty
+    var config: Map[String, String] = Map.empty
     // insertion-ordered so import output is deterministic
     val live = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
     val SchemaRe = """"schemaString":"((?:[^"\\]|\\.)*)"""".r.unanchored
@@ -167,17 +219,22 @@ object DeltaImport {
       cdf.collect().foreach { row =>
         struct(row, "protocol").foreach { p =>
           val fi = p.schema.fieldNames.indexOf("minReaderVersion")
-          if (fi >= 0 && !p.isNullAt(fi))
-            require(p.getInt(fi) <= 1,
-              s"delta minReaderVersion ${p.getInt(fi)} in checkpoint at " +
-                s"$deltaPath needs reader features this import does not " +
-                "speak — compact the source table first")
+          val mrv = if (fi >= 0 && !p.isNullAt(fi)) p.getInt(fi) else 1
+          val ffi = p.schema.fieldNames.indexOf("readerFeatures")
+          val feats =
+            if (ffi >= 0 && !p.isNullAt(ffi))
+              Some(p.getSeq[String](ffi).toSet)
+            else None
+          checkProtocol(mrv, feats, s"checkpoint at $deltaPath")
         }
         struct(row, "metaData").foreach { m =>
           Option(m.getAs[String]("schemaString")).foreach(sj =>
             schemaJson = Some(sj))
           partCols = Option(m.getAs[scala.collection.Seq[String]](
             "partitionColumns")).map(_.toSeq).getOrElse(Seq.empty)
+          val ci = m.schema.fieldNames.indexOf("configuration")
+          if (ci >= 0 && !m.isNullAt(ci))
+            config = m.getAs[scala.collection.Map[String, String]](ci).toMap
         }
         struct(row, "add").foreach { a =>
           val dvi = a.schema.fieldNames.indexOf("deletionVector")
@@ -204,17 +261,21 @@ object DeltaImport {
         .filter(_.trim.nonEmpty).foreach { line =>
           actionOf(line) match {
             case "protocol" =>
-              ReaderVRe.findFirstMatchIn(line).foreach { m =>
-                require(m.group(1).toInt <= 1,
-                  s"delta minReaderVersion ${m.group(1)} at $deltaPath needs " +
-                    "reader features (deletion vectors / column mapping) this " +
-                    "import does not speak — compact the source table first")
-              }
+              val mrv = ReaderVRe.findFirstMatchIn(line)
+                .map(_.group(1).toInt).getOrElse(1)
+              val feats = """"readerFeatures":\[([^\]]*)\]""".r.unanchored
+                .findFirstMatchIn(line)
+                .map(m => KvParse.strings(m.group(1)).toSet)
+              checkProtocol(mrv, feats, deltaPath)
             case "metaData" =>
               SchemaRe.findFirstMatchIn(line).foreach(m =>
                 schemaJson = Some(unesc(m.group(1))))
               partCols = PartRe.findFirstMatchIn(line).map(m =>
                 KvParse.strings(m.group(1))).getOrElse(Seq.empty)
+              config = jsonObjectBody(line, "\"configuration\":").map { body =>
+                KvRe.findAllMatchIn(body)
+                  .map(k => unesc(k.group(1)) -> unesc(k.group(2))).toMap
+              }.getOrElse(Map.empty)
             case "add" =>
               require(!line.contains("\"deletionVector\""),
                 s"delta add with a deletion vector at $deltaPath — " +
@@ -235,7 +296,7 @@ object DeltaImport {
     }
     require(schemaJson.nonEmpty, s"no metaData action in delta log at $deltaPath")
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
-    DeltaState(schema, partCols, live.toSeq)
+    DeltaState(schema, partCols, live.toSeq, config)
   }
 
   /** The active rows of the delta table as ONE DataFrame: data columns
@@ -246,13 +307,32 @@ object DeltaImport {
       : (DataFrame, DeltaState) = {
     val st = foldDeltaLog(spark, deltaPath)
     require(st.activeFiles.nonEmpty, s"delta table at $deltaPath has no live files")
-    val dataSchema = StructType(
-      st.schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+    // COLUMN MAPPING: name mode reads the files under their PHYSICAL
+    // names (every level) and restores the logical names; id mode
+    // matches columns by parquet field id, which this reader does not
+    // speak — loud refusal, never a misread.
+    val mode = st.config.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "none" || mode == "name",
+      s"delta column mapping mode '$mode' at $deltaPath — only name " +
+        "mode (and unmapped tables) import; rewrite the source to name " +
+        "mode first")
+    val dataFields =
+      st.schema.fields.filterNot(f => st.partitionCols.contains(f.name)).toSeq
+    val readSchema = physicalSchema(StructType(dataFields))
+    // physical -> logical restore: top-level rename + a struct cast
+    // that renames every nested level back (types are unchanged, so
+    // the cast is a pure rename; identity when unmapped)
+    def restore(raw: DataFrame): DataFrame =
+      raw.select(dataFields.map(f =>
+        col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // partitionValues are keyed by PHYSICAL name under column mapping
+    val physOfPart = st.partitionCols.map(pc =>
+      pc -> physicalName(st.schema(pc))).toMap
     def abs(p: String) = Paths.get(deltaPath, p).toString
     val df =
       if (st.partitionCols.isEmpty)
-        spark.read.schema(dataSchema)
-          .parquet(st.activeFiles.map(f => abs(f._1)): _*)
+        restore(spark.read.schema(readSchema)
+          .parquet(st.activeFiles.map(f => abs(f._1)): _*))
       else {
         // Delta stores partition values ONLY in the log — group the
         // live files by tuple (O(tuples) relations) and re-inject.
@@ -260,10 +340,11 @@ object DeltaImport {
           .groupBy(_._2).toSeq
           .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
         groups.map { case (pv, files) =>
-          var g = spark.read.schema(dataSchema).parquet(files.map(f => abs(f._1)): _*)
+          var g = restore(spark.read.schema(readSchema)
+            .parquet(files.map(f => abs(f._1)): _*))
           st.partitionCols.foreach { pc =>
             val dt = st.schema(pc).dataType
-            val raw = pv.get(pc).filter(_ != null)
+            val raw = pv.get(physOfPart(pc)).filter(_ != null)
             g = g.withColumn(pc,
               raw.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
           }
@@ -297,17 +378,21 @@ object DeltaImport {
         statsCols = (statsCols ++ st.partitionCols).distinct)
   }
 
-  /** Extract the `partitionValues` object BODY with a string-aware
-    * scan: a legal Delta partition value string may contain '{' or
-    * '}', so a brace-bounded regex would truncate the object
-    * mid-value and silently drop/corrupt the values that get
-    * re-injected as literals. The scan respects JSON string
-    * boundaries (escapes included) and refuses loudly on an
-    * unterminated object. None when the action carries no
-    * partitionValues (an unpartitioned add).
+  /** Extract the `partitionValues` object body ([[jsonObjectBody]]).
+    * None when the action carries no partitionValues.
     */
-  private[graft] def partValsBody(line: String): Option[String] = {
-    val key = "\"partitionValues\":"
+  private[graft] def partValsBody(line: String): Option[String] =
+    jsonObjectBody(line, "\"partitionValues\":")
+
+  /** Extract the object BODY following `key` with a string-aware
+    * scan: a legal JSON string value may contain '{' or '}', so a
+    * brace-bounded regex would truncate the object mid-value and
+    * silently drop/corrupt entries. The scan respects JSON string
+    * boundaries (escapes included) and refuses loudly on an
+    * unterminated object. None when `key` is absent.
+    */
+  private[graft] def jsonObjectBody(
+      line: String, key: String): Option[String] = {
     val at = line.indexOf(key)
     if (at < 0) return None
     var i = at + key.length

@@ -224,7 +224,7 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
       Seq("f0.parquet" -> Map.empty), minReader = 3)
     val e1 = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, deltaA))
-    assert(e1.getMessage.contains("minReaderVersion"))
+    assert(e1.getMessage.contains("readerFeatures"))
     val deltaB = freshDelta()
     seedFlat(deltaB)
     writeCheckpoint(deltaB, 1L, schemaJson, Seq.empty,
@@ -253,7 +253,7 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""))
     val e2 = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, delta2))
-    assert(e2.getMessage.contains("minReaderVersion"))
+    assert(e2.getMessage.contains("deletionVectors"))
     // an add carrying a deletion vector
     val delta3 = freshDelta()
     seedFlat(delta3)
@@ -309,6 +309,64 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
       """{"add":{"path":"p","partitionValues":{"k":"v}w","j":"x\"y}z"},"size":1}}""")
       .contains(""""k":"v}w","j":"x\"y}z""""))
     assert(DeltaImport.partValsBody("""{"remove":{"path":"p"}}""").isEmpty)
+  }
+
+  test("column mapping (name mode): physical file names restore to logical; id mode refuses") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val delta = freshDelta()
+    Files.createDirectories(Paths.get(delta, "_delta_log"))
+    def mapped(name: String, phys: String, id: Int, dt: DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id.toLong).build())
+    val logical = StructType(Seq(
+      mapped("id", "col-aaa111", 1, LongType),
+      mapped("tag", "col-bbb222", 2, StringType),
+      mapped("grp", "col-ccc333", 3, StringType)))
+    // data files carry PHYSICAL names; the partition column is absent
+    val full = (1 to 20).map(i =>
+      (i.toLong, s"r$i", if (i <= 10) "x" else "y")).toDF("id", "tag", "grp")
+    stage(delta, full.filter(col("grp") === "x")
+      .select(col("id").as("col-aaa111"), col("tag").as("col-bbb222")), "px")
+    stage(delta, full.filter(col("grp") === "y")
+      .select(col("id").as("col-aaa111"), col("tag").as("col-bbb222")), "py")
+    val schemaJson = jesc(logical.json)
+    writeLog(delta, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet"},"schemaString":"$schemaJson","partitionColumns":["grp"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""",
+      // partitionValues keyed by the PHYSICAL name, per the protocol
+      """{"add":{"path":"px.parquet","partitionValues":{"col-ccc333":"x"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"py.parquet","partitionValues":{"col-ccc333":"y"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val (df, st) = DeltaImport.readDelta(spark, delta)
+    assert(st.config("delta.columnMapping.mode") == "name")
+    assert(df.columns.toSeq == Seq("id", "tag", "grp"))
+    assert(df.filter(col("grp") === "x").agg(max(col("id")))
+      .head.getLong(0) == 10L)
+    assert(df.count() == 20)
+    // a protocol-v3 table whose ONLY reader feature is columnMapping
+    // also imports
+    val delta3 = freshDelta()
+    Files.createDirectories(Paths.get(delta3, "_delta_log"))
+    stage(delta3, full.select(col("id").as("col-aaa111"),
+      col("tag").as("col-bbb222"), col("grp").as("col-ccc333")), "all")
+    writeLog(delta3, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet"},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"all.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val (df3, _) = DeltaImport.readDelta(spark, delta3)
+    assert(df3.columns.toSeq == Seq("id", "tag", "grp") && df3.count() == 20)
+    // id mode matches by parquet field id — loud refusal, never a misread
+    val deltaId = freshDelta()
+    Files.createDirectories(Paths.get(deltaId, "_delta_log"))
+    stage(deltaId, full.limit(1), "f")
+    writeLog(deltaId, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet"},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, deltaId))
+    assert(e.getMessage.contains("column mapping mode 'id'"))
   }
 
   test("re-added file counts once; remove of a never-added path is a no-op") {
