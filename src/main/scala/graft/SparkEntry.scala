@@ -596,6 +596,50 @@ object SparkEntry {
         .withColumn("delta_cp_ok", lit(ok))
         .orderBy(col("bucket"))
     }),
+    // STATS-DRIVEN PLAN FLIP: the manifest-served table statistics
+    // (SupportsReportStatistics — sizeInBytes from file bytes,
+    // numRows from _ridmap sidecars) must CHANGE the physical plan,
+    // not just exist. A kilobyte lake dimension joined to the lake
+    // fact auto-broadcasts ONLY because the scan reports its true
+    // size; with the stats kill-switch on, the same join falls back
+    // to the stats-less DSv2 default (defaultSizeInBytes = huge) and
+    // must NOT broadcast. Both plan facts are in-row flags; rows are
+    // the join itself. Oracle: orders joined to its own distinct
+    // statuses.
+    "src68_stats_broadcast" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val pf = scratch("graft_lake_statfact", dir)
+      val pd = scratch("graft_lake_statdim", dir)
+      rmrf(pf); rmrf(pd)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.create(o, pf, statsCols = Seq("cents"))
+      GraftLake.create(
+        o.select(col("status")).distinct()
+          .withColumn("scode", ascii(col("status"))), pd)
+      def planOf(): String = {
+        val f = s.read.format("graftlake").load(pf)
+        val d = s.read.format("graftlake").load(pd)
+        f.join(d, "status").groupBy(col("status"), col("scode"))
+          .agg(count(lit(1)).as("n"))
+          .queryExecution.executedPlan.toString
+      }
+      val bcastWithStats = planOf().contains("BroadcastHashJoin")
+      val noBcastWithout =
+        try {
+          s.conf.set("spark.graft.lake.stats.enabled", "false")
+          !planOf().contains("BroadcastHashJoin")
+        } finally s.conf.unset("spark.graft.lake.stats.enabled")
+      val f = s.read.format("graftlake").load(pf)
+      val d = s.read.format("graftlake").load(pd)
+      f.join(d, "status")
+        .groupBy(col("status"), col("scode"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .withColumn("stats_flip_ok", lit(bcastWithStats && noBcastWithout))
+        .orderBy(col("status"))
+    }),
     // DELTA COLUMN-MAPPING IMPORT: a name-mode column-mapped table —
     // on by default for modern Delta writers — where the parquet
     // files and partitionValues speak PHYSICAL names (col-uuid) and
@@ -4225,6 +4269,13 @@ object SparkEntry {
         |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
         |  min(okey) AS lo, max(okey) AS hi, TRUE AS roundtrip_ok
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src68_stats_broadcast" ->
+      """WITH t AS (SELECT o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT status, ascii(status) AS scode, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum, TRUE AS stats_flip_ok
+        |FROM t GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "src67_delta_colmap" ->
       """WITH t AS (SELECT o_orderkey AS okey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

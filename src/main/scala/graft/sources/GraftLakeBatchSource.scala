@@ -448,6 +448,20 @@ private[sources] class GraftLakeBatchScan(
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     import scala.jdk.CollectionConverters._
+    // Kill-switch (`spark.graft.lake.stats.enabled=false`): report
+    // nothing, exactly like a stats-less DSv2 source — the ops
+    // escape hatch for a corrupt-manifest incident, and the control
+    // leg of the plan-flip gate (src68 proves the reported stats are
+    // what FLIPS a fact⋈dim join to broadcast).
+    if (!org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.lake.stats.enabled", "true")
+        .equalsIgnoreCase("true"))
+      return new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
     val bytes =
       try {
         java.util.OptionalLong.of(sets.map { ls =>

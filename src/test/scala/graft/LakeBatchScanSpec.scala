@@ -433,6 +433,27 @@ class LakeBatchScanSpec extends AnyFunSuite with SparkSpec {
       s"small lake dim must auto-broadcast off metadata stats:\n$plan")
   }
 
+  test("stats kill-switch: with stats.enabled=false the same join must NOT broadcast") {
+    import spark.implicits._
+    val fact = fresh(); val dim = fresh()
+    GraftLake.create((1 to 5000).map(i => (i.toLong, i % 40L, i * 2L))
+      .toDF("id", "k", "v"), fact, statsCols = Seq("id"))
+    GraftLake.create((0 until 40).map(i => (i.toLong, s"g$i"))
+      .toDF("k", "name"), dim, statsCols = Seq("k"))
+    def plan(): String = spark.read.format("graftlake").load(fact)
+      .join(spark.read.format("graftlake").load(dim), Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan().contains("BroadcastHashJoin"))
+    try {
+      spark.conf.set("spark.graft.lake.stats.enabled", "false")
+      // stats-less DSv2 sizes at defaultSizeInBytes — the broadcast
+      // decision must flip, proving the reported stats drive it
+      assert(!plan().contains("BroadcastHashJoin"),
+        "kill-switched stats must fall back to the no-broadcast default")
+    } finally spark.conf.unset("spark.graft.lake.stats.enabled")
+    assert(plan().contains("BroadcastHashJoin"))
+  }
+
   test("column statistics serve the CBO from manifests: exact min/max/nullCount") {
     import scala.jdk.CollectionConverters._
     val p = fresh()
