@@ -596,6 +596,46 @@ object SparkEntry {
         .withColumn("delta_cp_ok", lit(ok))
         .orderBy(col("bucket"))
     }),
+    // DATE->NTZ WIDENING OVER LIVE DAY-DOMAIN STATS: two commits
+    // record day-image zone maps on a DATE column, then an NTZ
+    // writer widens the schema in place — the old refuse-while-
+    // statted fence is lifted because the fold retags day stats to
+    // micros (the per-set schema is the domain tag). The in-row flag
+    // pins the plan fact: a micros probe PRUNES both day sets
+    // (scanned==1, skipped==2) yet a boundary-crossing micros filter
+    // loses no rows. Oracle: orders from 1995 on, by year.
+    "src69_date_ntz_widen" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.GraftLake
+      val path = scratch("graft_lake_ntzwiden", dir)
+      rmrf(path)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderdate").cast("date").as("od"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val y = year(col("od"))
+      GraftLake.create(o.filter(y.isNull || y < 1997), path,
+        statsCols = Seq("od"))
+      GraftLake.append(o.filter(y >= 1997 && y < 1999), path,
+        statsCols = Seq("od"))
+      // the widening writer: same rows cast up — old files read as
+      // midnight, which IS the date value
+      GraftLake.append(o.filter(y >= 1999)
+        .withColumn("od", col("od").cast("timestamp_ntz")), path,
+        statsCols = Seq("od"))
+      val us1999 = java.time.LocalDate.parse("1999-01-01").toEpochDay *
+        86400000000L
+      val (_, scanned, skipped) = GraftLake.readPruned(s, path,
+        Seq(("od", us1999, Long.MaxValue)))
+      val ok = scanned == 1 && skipped == 2
+      GraftLake.read(s, path)
+        .filter(col("od") >=
+          lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)))
+        .groupBy(year(col("od")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .withColumn("widen_ok", lit(ok))
+        .orderBy(col("y"))
+    }),
     // STATS-DRIVEN PLAN FLIP: the manifest-served table statistics
     // (SupportsReportStatistics — sizeInBytes from file bytes,
     // numRows from _ridmap sidecars) must CHANGE the physical plan,
@@ -1598,9 +1638,10 @@ object SparkEntry {
       val dsv = s.read.format("graftlake").load(path)
         .agg(count(lit(1)), sum(col("okey"))).first
       // DATE -> TIMESTAMP_NTZ rung: widens on stat-less sets (both
-      // read paths serve midnight); REFUSES while day-domain zone
-      // maps are live (a micros probe would misread them); DECIMAL
-      // grows precision/scale losslessly and refuses a shrinking
+      // read paths serve midnight); widens OVER day-domain zone maps
+      // too — the fold retags them to micros off the per-set schema
+      // (src69 gates the full pruning story); DECIMAL grows
+      // precision/scale losslessly and refuses a shrinking
       // integer-digit budget.
       val pathT = scratch("graft_lake_widen_t", dir)
       rmrf(pathT)
@@ -1617,14 +1658,22 @@ object SparkEntry {
       rmrf(pathS)
       GraftLake.create(Seq((1L, java.sql.Date.valueOf("1994-01-05")))
         .toDF("k", "ts"), pathS, statsCols = Seq("ts"))
-      val ntzStatRefused =
+      val ntzStatWidened =
         try {
           GraftLake.append(
             Seq((2L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
               .toDF("k", "ts"), pathS, statsCols = Seq("ts"))
-          false
-        } catch { case e: IllegalArgumentException =>
-          e.getMessage.contains("day-domain") }
+          // retagged day stats: the micros probe finds the date row
+          // and a 2000+ range prunes both sets
+          val found = s.read.format("graftlake").load(pathS)
+            .filter(col("ts") <=
+              lit(java.time.LocalDateTime.of(1994, 1, 5, 0, 0)))
+            .count() == 1
+          val (_, sc, sk) = GraftLake.readPruned(s, pathS, Seq(
+            ("ts", java.time.LocalDate.parse("2000-01-01").toEpochDay *
+              86400000000L, Long.MaxValue)))
+          found && sc == 0 && sk == 2
+        } catch { case _: Exception => false }
       val pathD = scratch("graft_lake_widen_d", dir)
       rmrf(pathD)
       GraftLake.create(Seq((1L, "12.34")).toDF("k", "d")
@@ -1647,8 +1696,8 @@ object SparkEntry {
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("okey")).as("sum_okey"),
           min(col("price")).as("lo"), max(col("price")).as("hi"))
-        .withColumn("widen_ok", lit(widened && ntzOk && decOk))
-        .withColumn("refuse_ok", lit(refuse && ntzStatRefused && decRefused))
+        .withColumn("widen_ok", lit(widened && ntzOk && ntzStatWidened && decOk))
+        .withColumn("refuse_ok", lit(refuse && decRefused))
         .withColumn("dsv2_ok", lit(api == dsv))
         .orderBy(col("status"))
     }),
@@ -4269,6 +4318,14 @@ object SparkEntry {
         |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
         |  min(okey) AS lo, max(okey) AS hi, TRUE AS roundtrip_ok
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src69_date_ntz_widen" ->
+      """WITH t AS (SELECT CAST(o_orderdate AS DATE) AS od,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(year(od) AS INT) AS y, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum, TRUE AS widen_ok
+        |FROM t WHERE od >= DATE '1996-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src68_stats_broadcast" ->
       """WITH t AS (SELECT o_orderstatus AS status,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents

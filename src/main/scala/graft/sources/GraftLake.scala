@@ -2263,23 +2263,24 @@ object GraftLake {
               "use a different name or overwrite() to reset the lineage")
           val merged = mergeSchemas(oldSt, dfSchema)
           // DATE -> TIMESTAMP_NTZ changes the zone-map IMAGE DOMAIN
-          // (epoch days -> local micros): recorded day-domain stats
-          // under a micros-domain probe would wrongly SKIP live sets.
-          // The integral ladder shares one domain (the value itself)
-          // and float/decimal columns never carry zone maps, so only
-          // this rung needs the fence: refuse while any live set
-          // still records stats on the widened column.
+          // (epoch days -> local micros). Day-recorded stats on
+          // ordinary columns are DOMAIN-CORRECTED at fold time
+          // ([[normalizeStatDomains]] — the per-set schema is the
+          // domain tag), so stats-bearing columns widen freely. The
+          // one remaining fence is a LAYOUT column: its day-image
+          // constants are baked into directory names and min==max
+          // partition pins that SPJ / hive-pruning key on — those
+          // cannot be retagged in place.
           merged.fields.foreach { f =>
             val was = oldSt.fields.find(_.name == f.name).map(_.dataType)
             if (was.contains(org.apache.spark.sql.types.DateType) &&
-                f.dataType == org.apache.spark.sql.types.TimestampNTZType) {
-              val statted = snap.live.filter(_.statsFor(f.name).isDefined)
-              if (statted.nonEmpty) throw new IllegalArgumentException(
+                f.dataType == org.apache.spark.sql.types.TimestampNTZType &&
+                snap.partitionCols.contains(f.name))
+              throw new IllegalArgumentException(
                 s"widening '${f.name}' DATE -> TIMESTAMP_NTZ at $path: " +
-                  s"${statted.size} live set(s) record day-domain zone " +
-                  "maps on it, which a micros-domain probe would misread " +
-                  "— compact (re-stating under the new type) first")
-            }
+                  "it is a partition-layout column whose day-image " +
+                  "directory constants cannot be retagged — rewrite the " +
+                  "layout (overwrite/clone) first")
           }
           merged.toDDL
         }
@@ -2565,7 +2566,61 @@ object GraftLake {
     * keys and folds into `tombstones`. Every commit carries the full
     * current schema, so the last one folded wins `schemaDdl`.
     */
+  /** Every folded state is served DOMAIN-NORMALIZED: see
+    * [[normalizeStatDomains]]. The checkpoint writer is the one
+    * consumer that must see raw stats ([[foldStateRaw]] /
+    * [[snapshotRaw]]) — baking scaled numbers next to the original
+    * per-set schema would double-scale on reload.
+    */
   private def foldState(base: Snapshot, cs: Seq[Commit]): Snapshot =
+    normalizeStatDomains(foldStateRaw(base, cs))
+
+  private val MicrosPerDay = 86400000000L
+
+  /** Domain-correct day-recorded zone maps under a widened table: a
+    * set written while the column was DATE records day-image stats;
+    * a table since widened to TIMESTAMP_NTZ probes micros images.
+    * Old files read as MIDNIGHT of each local day, so the exact
+    * image span of such a set under the CURRENT schema is
+    * [min, max] * MicrosPerDay — the per-set `schemaDdl` IS the
+    * stat's domain tag; no new manifest field is needed. Applying
+    * the correction at fold time gives every probe (scan prune,
+    * merge/delete prune, CDC replay, DSv2, metadata aggregates) one
+    * consistent domain, which is what lifts the old
+    * refuse-while-statted widening fence.
+    */
+  private def normalizeStatDomains(s: Snapshot): Snapshot = {
+    if (s.schemaDdl.isEmpty ||
+        !s.schemaDdl.toUpperCase.contains("TIMESTAMP_NTZ")) return s
+    val table = scala.util.Try(StructType.fromDDL(s.schemaDdl))
+      .getOrElse(return s)
+    val ntz = table.fields.filter(
+        _.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .map(_.name).toSet
+    if (ntz.isEmpty) return s
+    // few distinct per-set schemas — parse each once
+    val dayColsOf = scala.collection.mutable.HashMap[String, Set[String]]()
+    def dayCols(ddl: String): Set[String] =
+      dayColsOf.getOrElseUpdate(ddl,
+        if (ddl.isEmpty || ddl == s.schemaDdl) Set.empty
+        else scala.util.Try(StructType.fromDDL(ddl)).toOption
+          .map(_.fields.filter(f => ntz.contains(f.name) &&
+            f.dataType == org.apache.spark.sql.types.DateType)
+            .map(_.name).toSet)
+          .getOrElse(Set.empty))
+    if (!s.live.exists(ls => ls.stats.nonEmpty &&
+        dayCols(ls.schemaDdl).nonEmpty)) return s
+    s.copy(live = s.live.map { ls =>
+      val dc = dayCols(ls.schemaDdl)
+      if (dc.isEmpty) ls
+      else ls.copy(stats = ls.stats.map(st =>
+        if (dc.contains(st.col))
+          st.copy(min = st.min * MicrosPerDay, max = st.max * MicrosPerDay)
+        else st))
+    })
+  }
+
+  private def foldStateRaw(base: Snapshot, cs: Seq[Commit]): Snapshot =
     cs.foldLeft(base) { (s, c) =>
       // Constraint commits carry rules, not file-sets: `add` holds
       // "name=sql" items, `remove` holds dropped names.
@@ -2691,6 +2746,14 @@ object GraftLake {
     foldState(base, commitsFrom(path, base.version + 1))
   }
 
+  /** [[snapshot]] WITHOUT domain normalization — checkpoint-writer
+    * only (see [[foldState]]).
+    */
+  private def snapshotRaw(path: String): Snapshot = {
+    val base = loadCheckpoint(path).getOrElse(EmptySnapshot)
+    foldStateRaw(base, commitsFrom(path, base.version + 1))
+  }
+
   /** Snapshot if the table exists; None for an uncreated path. */
   private def snapshotIfExists(path: String): Option[Snapshot] =
     if (Files.exists(logDir(path))) Some(snapshot(path)) else None
@@ -2722,7 +2785,10 @@ object GraftLake {
       s"cannot checkpoint $path: pending cross-table transaction " +
         s"commit(s) at version(s) ${pendingTxn.map(_.version).mkString(",")}" +
         " — commitTxn/abortTxn them first")
-    val s = snapshot(path)
+    // RAW fold: each ckptset line pairs stats with the set's own
+    // schema, so they must stay in that schema's domain — baking the
+    // normalized (scaled) numbers would double-scale on reload.
+    val s = snapshotRaw(path)
     require(s.version >= 0, s"no table at $path")
     val tagItems = s.tags.toSeq.sortBy(_._2).map { case (t, v) => s"$v:$t" }
     val lines =

@@ -180,28 +180,75 @@ class LakeTypeWideningSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, path).count() == 1)
   }
 
-  test("date->ntz refuses while day-domain zone maps exist on live sets") {
+  test("date->ntz widens OVER day-domain zone maps: stats retag at fold time") {
     import spark.implicits._
+    import graft.sources.GraftLakeBatchSource
     val path = freshTable()
     GraftLake.create(
-      Seq((1L, java.sql.Date.valueOf("1994-01-05"))).toDF("k", "ts"),
+      Seq((1L, java.sql.Date.valueOf("1994-01-05")),
+        (2L, java.sql.Date.valueOf("1995-06-30"))).toDF("k", "ts"),
       path, statsCols = Seq("ts"))
-    // the widened column's old DATE-days stats would be misread by a
-    // TIMESTAMP_NTZ-micros probe (wrong SKIPS, lost rows) — the
-    // widening must refuse loudly while such stats are live
+    // the old refuse-while-statted fence is lifted: the per-set
+    // schema is the stat's domain tag, and the fold scales day
+    // images to micros (old files read as midnight)
+    GraftLake.append(
+      Seq((3L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
+        .toDF("k", "ts"), path, statsCols = Seq("ts"))
+    val snap = GraftLake.snapshot(path)
+    assert(StructType.fromDDL(snap.schemaDdl)("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // the day-written set's served stats are now micros (midnights)
+    val dayUs = java.time.LocalDate.parse("1994-01-05").toEpochDay *
+      86400000000L
+    assert(snap.live.exists(_.statsFor("ts").exists(_.min == dayUs)))
+    // micros-domain probes neither wrongly SKIP (lost rows) ...
+    def scan = spark.read.format("graftlake").load(path)
+    val probe94 = lit(java.time.LocalDateTime.of(1994, 1, 1, 0, 0))
+    assert(scan.filter(col("ts") >= probe94).count() == 3)
+    assert(scan.filter(col("ts") >= probe94 &&
+      col("ts") < lit(java.time.LocalDateTime.of(1995, 1, 1, 0, 0)))
+      .count() == 1)
+    // ... nor wrongly KEEP what the scaled maps prove absent
+    val (_, scanned, skipped) = GraftLake.readPruned(spark, path, Seq(
+      ("ts", java.time.LocalDate.parse("2000-01-01").toEpochDay *
+        86400000000L, Long.MaxValue)))
+    assert(scanned == 0 && skipped == 2)
+    // metadata MIN pushdown serves the true midnight, not a day
+    // count reinterpreted as micros
+    GraftLakeBatchSource.lastAggPushed = false
+    assert(scan.agg(min(col("ts"))).head
+      .getAs[java.time.LocalDateTime](0).toString == "1994-01-05T00:00")
+    assert(GraftLakeBatchSource.lastAggPushed)
+    // the lost-delete direction: a micros-pruned DV delete must still
+    // find rows inside the day-written set
+    val (_, n) = GraftLake.deleteDv(spark, path,
+      col("ts") >= probe94 &&
+        col("ts") < lit(java.time.LocalDateTime.of(1995, 1, 1, 0, 0)))
+    assert(n == 1L)
+    assert(GraftLake.read(spark, path).count() == 2)
+    // a checkpoint bakes RAW stats beside the set's own schema — the
+    // reload must not double-scale
+    GraftLake.checkpoint(path)
+    val snap2 = GraftLake.snapshot(path)
+    assert(snap2.live.exists(_.statsFor("ts").exists(_.min == dayUs)))
+    assert(scan.filter(col("ts") >= probe94).count() == 2)
+  }
+
+  test("date->ntz still refuses on a partition-LAYOUT column (day-image dirs)") {
+    import spark.implicits._
+    val path = freshTable()
+    // the integral-image layout writer cannot lay a DATE column out,
+    // so the fence guards the DECLARED layout (defense in depth)
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("1994-01-05")),
+      (2L, java.sql.Date.valueOf("1994-01-06"))).toDF("k", "d")
+    GraftLake.create(df, path, statsCols = Seq("k"))
+    GraftLake.setPartitionColumns(path, Seq("d"))
     val e = intercept[IllegalArgumentException] {
       GraftLake.append(
-        Seq((2L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
-          .toDF("k", "ts"), path, statsCols = Seq("ts"))
+        Seq((3L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
+          .toDF("k", "d"), path)
     }
-    assert(e.getMessage.contains("day-domain"))
-    // a compact under the NEW type re-states and unblocks... but the
-    // schema is still DATE here, so simply re-laying out keeps DATE
-    // stats; the supported route is stat-less sets (as in the first
-    // date->ntz test). Pruning on the untouched table still works.
-    GraftLake.deleteRange(spark, path, "ts",
-      java.time.LocalDate.parse("1999-01-01").toEpochDay,
-      java.time.LocalDate.parse("1999-12-31").toEpochDay)
-    assert(GraftLake.read(spark, path).count() == 1)
+    assert(e.getMessage.contains("partition-layout column"))
   }
 }
