@@ -596,6 +596,88 @@ object SparkEntry {
         .withColumn("delta_cp_ok", lit(ok))
         .orderBy(col("bucket"))
     }),
+    // SQL TRANSACTIONS: BEGIN TRANSACTION / COMMIT / ROLLBACK — the
+    // SQL twin of src64. Staged INSERTs land on BOTH tables through
+    // one cross-table transaction marker; a CHECK-violating COMMIT
+    // aborts the WHOLE transaction and leaves both tables unchanged.
+    // Abort-invariance flag in-row. Oracle: per-status totals served
+    // identically by the fact table and the folded summary.
+    "src70_sql_txn" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, LakeSql}
+      val pa = scratch("graft_sqltxn_fact", dir)
+      val pb = scratch("graft_sqltxn_summary", dir)
+      rmrf(pa); rmrf(pb)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val even = o.filter(pmod(col("okey"), lit(2L)) === 0)
+      val odd = o.filter(pmod(col("okey"), lit(2L)) === 1)
+      def summarize(df: DataFrame): DataFrame =
+        df.groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      GraftLake.create(even, pa, statsCols = Seq("okey"))
+      GraftLake.create(summarize(even), pb)
+      LakeSql.register(s, pa, "g70_fact", "okey")
+      LakeSql.register(s, pb, "g70_summary", "n")
+      odd.createOrReplaceTempView("g70_odd")
+      summarize(odd).createOrReplaceTempView("g70_oddsum")
+      s.sql("BEGIN TRANSACTION")
+      s.sql("INSERT INTO g70_fact SELECT * FROM g70_odd")
+      s.sql("INSERT INTO g70_summary SELECT * FROM g70_oddsum")
+      s.sql("COMMIT")
+      // the aborting transaction: the summary side violates its CHECK
+      GraftLake.addConstraint(s, pb, "nonneg_cents", "cents >= 0")
+      val before = (GraftLake.read(s, pa).count(), GraftLake.read(s, pb).count())
+      s.sql("BEGIN TRANSACTION")
+      s.sql("INSERT INTO g70_fact SELECT * FROM g70_odd")
+      s.sql("INSERT INTO g70_summary SELECT status, n, -1 AS cents FROM g70_oddsum")
+      val aborted =
+        try { s.sql("COMMIT"); false } catch { case _: Exception => true }
+      val after = (GraftLake.read(s, pa).count(), GraftLake.read(s, pb).count())
+      val ok = aborted && before == after
+      val fact = GraftLake.read(s, pa).groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("side", lit("fact"))
+      val summ = GraftLake.read(s, pb).groupBy(col("status"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("side", lit("summary"))
+      fact.unionByName(summ)
+        .select(col("side"), col("status"), col("n"), col("cents"))
+        .withColumn("sql_txn_ok", lit(ok))
+        .orderBy(col("side"), col("status"))
+    }),
+    // DELTA INTEROP AS SQL: CONVERT TO DELTA exports the registered
+    // lake table as a self-contained public-protocol Delta table;
+    // CONVERT FROM DELTA imports it back as a NEW registered,
+    // DML-capable lake table — the SQL twin of src63/src65. The
+    // log-exists flag is in-row. Oracle: per-status totals of orders.
+    "src71_sql_convert_delta" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, LakeSql}
+      val gp = scratch("graft_sqlconv_src", dir)
+      val dp = scratch("graft_sqlconv_delta", dir)
+      val gp2 = scratch("graft_sqlconv_back", dir)
+      rmrf(gp); rmrf(dp); rmrf(gp2)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GraftLake.create(o, gp, statsCols = Seq("okey"))
+      LakeSql.register(s, gp, "g71_src", "okey")
+      s.sql(s"CONVERT TO DELTA '$dp' FROM g71_src")
+      s.sql(s"CONVERT FROM DELTA '$dp' TO GRAFTLAKE '$gp2' " +
+        "AS g71_back STATSCOL 'okey'")
+      val ok = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dp, "_delta_log")) &&
+        GraftLake.snapshot(gp2).version >= 0
+      s.sql("""SELECT status, count(*) AS n, sum(cents) AS cents_sum,
+          |  min(okey) AS lo, max(okey) AS hi
+          |FROM g71_back GROUP BY status""".stripMargin)
+        .withColumn("convert_sql_ok", lit(ok))
+        .orderBy(col("status"))
+    }),
     // DATE->NTZ WIDENING OVER LIVE DAY-DOMAIN STATS: two commits
     // record day-image zone maps on a DATE column, then an NTZ
     // writer widens the schema in place — the old refuse-while-
@@ -4317,6 +4399,23 @@ object SparkEntry {
         |  FROM orders)
         |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
         |  min(okey) AS lo, max(okey) AS hi, TRUE AS roundtrip_ok
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src70_sql_txn" ->
+      """WITH t AS (SELECT o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM t GROUP BY 1)
+        |SELECT 'fact' AS side, status, n, cents, TRUE AS sql_txn_ok FROM a
+        |UNION ALL
+        |SELECT 'summary', status, n, cents, TRUE FROM a
+        |ORDER BY side, status""".stripMargin,
+    "src71_sql_convert_delta" ->
+      """WITH t AS (SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  min(okey) AS lo, max(okey) AS hi, TRUE AS convert_sql_ok
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "src69_date_ntz_widen" ->
       """WITH t AS (SELECT CAST(o_orderdate AS DATE) AS od,

@@ -57,6 +57,54 @@ object LakeSql {
   def unregister(name: String): Unit =
     tables.remove(name.toLowerCase(java.util.Locale.ROOT))
 
+  // ----- BEGIN/COMMIT/ROLLBACK TRANSACTION (SQL surface of
+  // [[GraftLake.appendAtomic]]): between BEGIN TRANSACTION and
+  // COMMIT, plain `INSERT INTO <lake>` statements STAGE instead of
+  // committing; COMMIT lands them all-or-nothing through the
+  // cross-table transaction marker (one table degenerates to a plain
+  // append — trivially atomic). ROLLBACK discards the stage. The
+  // stage is session-global like the registry: one open transaction
+  // at a time, which is the single-session SQL shape this surface
+  // serves.
+  private[sources] final case class StagedInsert(
+      df: org.apache.spark.sql.DataFrame, path: String,
+      statsCol: String, viewName: String)
+  private val txnStage = new java.util.concurrent.atomic.AtomicReference[
+    Option[Vector[StagedInsert]]](None)
+
+  private[sources] def txnOpen: Boolean = txnStage.get.isDefined
+
+  private[sources] def txnBegin(): Unit =
+    require(txnStage.compareAndSet(None, Some(Vector.empty)),
+      "BEGIN TRANSACTION: a SQL transaction is already open — " +
+        "COMMIT or ROLLBACK it first")
+
+  private[sources] def txnStageInsert(si: StagedInsert): Unit = {
+    val cur = txnStage.get
+    require(cur.isDefined, "no open SQL transaction")
+    require(txnStage.compareAndSet(cur, Some(cur.get :+ si)),
+      "concurrent SQL transaction mutation")
+  }
+
+  private[sources] def txnRollback(): Unit = {
+    require(txnStage.getAndSet(None).isDefined,
+      "ROLLBACK: no open SQL transaction")
+  }
+
+  private[sources] def txnCommit(spark: SparkSession): Unit = {
+    val staged = txnStage.getAndSet(None).getOrElse(
+      throw new IllegalArgumentException("COMMIT: no open SQL transaction"))
+    if (staged.isEmpty) return
+    if (staged.size == 1) {
+      val si = staged.head
+      GraftLake.append(si.df, si.path, statsCol = Some(si.statsCol))
+    } else
+      GraftLake.appendAtomic(staged.map(si => (si.df, si.path)),
+        statsCols = staged.map(si => si.path -> Seq(si.statsCol)).toMap)
+    staged.foreach(si =>
+      GraftLake.read(spark, si.path).createOrReplaceTempView(si.viewName))
+  }
+
   private[sources] def lookup(name: String): Option[DmlTable] =
     Option(tables.get(name.toLowerCase(java.util.Locale.ROOT)))
 
@@ -668,6 +716,20 @@ final case class GraftLakeInsertCommand(
       val gf = target.fields.find(_.name.equalsIgnoreCase(g)).get
       df0.withColumn(gf.name, expr(sql).cast(gf.dataType))
     }
+    // Inside an open SQL transaction, a plain append STAGES (lands
+    // all-or-nothing at COMMIT via appendAtomic). Only plain appends
+    // participate — the other shapes rewrite state appendAtomic's
+    // provisional-commit model cannot hold back.
+    if (LakeSql.txnOpen) {
+      require(!overwrite && layout.isEmpty && idCols.isEmpty,
+        s"INSERT INTO $viewName inside BEGIN TRANSACTION: only plain " +
+          "appends participate (no OVERWRITE, partitioned layouts, or " +
+          "IDENTITY tables) — COMMIT first")
+      LakeSql.txnStageInsert(LakeSql.StagedInsert(
+        withGen.select(target.fields.map(f => col(f.name)).toIndexedSeq: _*),
+        path, statsCol, viewName))
+      return Seq.empty
+    }
     // IDENTITY tables route through the allocating append: values are
     // computed off the row-tracking range claim, never supplied.
     if (idCols.nonEmpty) {
@@ -1110,6 +1172,54 @@ final case class GraftLakeConvertCommand(
   }
 }
 
+/** BEGIN TRANSACTION / COMMIT / ROLLBACK — the SQL surface of
+  * [[GraftLake.appendAtomic]] (see [[LakeSql.txnBegin]]).
+  */
+final case class GraftLakeTxnCommand(verb: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    verb match {
+      case "begin" => LakeSql.txnBegin()
+      case "commit" => LakeSql.txnCommit(spark)
+      case "rollback" => LakeSql.txnRollback()
+    }
+    Seq.empty
+  }
+}
+
+/** CONVERT FROM DELTA '<deltaDir>' TO GRAFTLAKE '<graftDir>'
+  * [AS <name>] [STATSCOL '<col>'] — the SQL surface of
+  * [[DeltaImport.importDelta]] (Delta's `CONVERT TO DELTA`, pointed
+  * the other way); `AS <name>` registers the imported table for DML.
+  */
+final case class GraftDeltaImportCommand(
+    deltaDir: String, graftDir: String, name: Option[String],
+    statsCol: Option[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaImport.importDelta(spark, deltaDir, graftDir,
+      statsCols = statsCol.toSeq)
+    name.foreach { n =>
+      val sc = statsCol.getOrElse(
+        GraftLake.read(spark, graftDir).columns.head)
+      LakeSql.register(spark, graftDir, n, sc)
+    }
+    Seq.empty
+  }
+}
+
+/** CONVERT TO DELTA '<deltaDir>' FROM <registered lake name> — the
+  * SQL surface of [[DeltaExport.exportDelta]]: the table's current
+  * snapshot lands as a self-contained Delta table at `deltaDir`.
+  */
+final case class GraftDeltaExportCommand(path: String, deltaDir: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaExport.exportDelta(spark, path, deltaDir)
+    Seq.empty
+  }
+}
+
 /** Parser wrapper for lake DDL: `ALTER TABLE <registered lake name>
   * RENAME COLUMN old TO new` is substituted RIGHT AFTER PARSING with
   * the runnable rename command — the analyzer's ResolveRelations
@@ -1164,8 +1274,29 @@ final class LakeDdlParser(
     ("""(?is)\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'""" +
       """(?:\s+FILEFORMAT\s*=\s*(\w+))?""" +
       """(?:\s+FORMAT_OPTIONS\s*\(\s*(.+?)\s*\))?\s*;?\s*""").r
+  // BEGIN TRANSACTION / COMMIT / ROLLBACK — Spark has no transaction
+  // grammar at all, so the pre-parse intercept is unambiguous.
+  private val BeginTxnRe = """(?is)\s*BEGIN\s+TRANSACTION\s*;?\s*""".r
+  private val CommitTxnRe = """(?is)\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*""".r
+  private val RollbackTxnRe = """(?is)\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*""".r
+  // Delta interop: CONVERT FROM DELTA (import) / CONVERT TO DELTA
+  // (export) — Delta's own CONVERT grammar family.
+  private val ConvertFromDeltaRe =
+    ("""(?is)\s*CONVERT\s+FROM\s+DELTA\s+'([^']+)'\s+TO\s+GRAFTLAKE\s+""" +
+      """'([^']+)'(?:\s+AS\s+([\w.]+))?(?:\s+STATSCOL\s+'(\w+)')?\s*;?\s*""").r
+  private val ConvertToDeltaRe =
+    """(?is)\s*CONVERT\s+TO\s+DELTA\s+'([^']+)'\s+FROM\s+([\w.]+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case BeginTxnRe() => GraftLakeTxnCommand("begin")
+    case CommitTxnRe() => GraftLakeTxnCommand("commit")
+    case RollbackTxnRe() => GraftLakeTxnCommand("rollback")
+    case ConvertFromDeltaRe(deltaDir, graftDir, name, statsCol) =>
+      GraftDeltaImportCommand(deltaDir, graftDir,
+        Option(name), Option(statsCol))
+    case ConvertToDeltaRe(deltaDir, srcName)
+        if LakeSql.lookup(srcName).isDefined =>
+      GraftDeltaExportCommand(LakeSql.lookup(srcName).get.path, deltaDir)
     case RestoreRe(name, ver) if LakeSql.lookup(name).isDefined =>
       GraftLakeRestoreCommand(LakeSql.lookup(name).get.path, ver.toInt)
     case RestoreTsRe(name, tsLit, tsNum) if LakeSql.lookup(name).isDefined =>

@@ -857,4 +857,75 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, p).filter(col("yr") === 1).count() == 20)
     assert(GraftLake.read(spark, p).filter(col("yr") === 2).count() == 21)
   }
+
+  test("BEGIN TRANSACTION / COMMIT: staged inserts land all-or-nothing") {
+    import spark.implicits._
+    val (pa, pb) = freshPair()
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pa, Some("id"))
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pb, Some("id"))
+    LakeSql.register(spark, pa, "txnsql_a", "id")
+    LakeSql.register(spark, pb, "txnsql_b", "id")
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txnsql_a VALUES (2, 20)")
+    spark.sql("INSERT INTO txnsql_b VALUES (3, 30), (4, 40)")
+    // nothing visible until COMMIT - the stage holds both
+    assert(GraftLake.read(spark, pa).count() == 1)
+    assert(GraftLake.read(spark, pb).count() == 1)
+    spark.sql("COMMIT")
+    assert(GraftLake.read(spark, pa).count() == 2)
+    assert(GraftLake.read(spark, pb).count() == 3)
+    // the commits rode ONE cross-table transaction: both carry a txn
+    // token decided committed
+    val ha = GraftLake.history(spark, pa).collect().map(_.getString(1))
+    assert(ha.toSeq == Seq("create", "append"))
+    // ROLLBACK discards the stage entirely
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txnsql_a VALUES (9, 90)")
+    spark.sql("ROLLBACK")
+    assert(GraftLake.read(spark, pa).count() == 2)
+    // a failing participant aborts the WHOLE transaction
+    GraftLake.addConstraint(spark, pb, "v_small", "v < 100")
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txnsql_a VALUES (5, 50)")
+    spark.sql("INSERT INTO txnsql_b VALUES (6, 600)")
+    intercept[Exception](spark.sql("COMMIT"))
+    assert(GraftLake.read(spark, pa).count() == 2)
+    assert(GraftLake.read(spark, pb).count() == 3)
+    // single-table transaction degenerates to a plain append
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txnsql_a VALUES (7, 70)")
+    spark.sql("COMMIT")
+    assert(GraftLake.read(spark, pa).count() == 3)
+    // refusals: nested BEGIN, COMMIT with nothing open, non-append
+    // shapes inside a transaction
+    spark.sql("BEGIN TRANSACTION")
+    val e1 = intercept[Exception](spark.sql("BEGIN TRANSACTION"))
+    assert(e1.getMessage.contains("already open"))
+    val e2 = intercept[Exception](
+      spark.sql("INSERT OVERWRITE txnsql_a VALUES (1, 1)"))
+    assert(e2.getMessage.contains("only plain appends"))
+    spark.sql("ROLLBACK")
+    val e3 = intercept[Exception](spark.sql("COMMIT"))
+    assert(e3.getMessage.contains("no open SQL transaction"))
+  }
+
+  test("CONVERT TO DELTA / CONVERT FROM DELTA round-trip through SQL") {
+    import spark.implicits._
+    val (gp, _) = freshPair()
+    val base = Files.createTempDirectory("graft-sqldelta")
+    val dp = base.resolve("delta").toString
+    val gp2 = base.resolve("back").toString
+    GraftLake.create(
+      (1L to 30L).map(i => (i, s"r$i")).toDF("id", "tag"), gp, Some("id"))
+    LakeSql.register(spark, gp, "convsql_t", "id")
+    spark.sql(s"CONVERT TO DELTA '$dp' FROM convsql_t")
+    // the export is a valid public-protocol delta table
+    assert(Files.exists(java.nio.file.Paths.get(dp, "_delta_log")))
+    spark.sql(
+      s"CONVERT FROM DELTA '$dp' TO GRAFTLAKE '$gp2' AS convsql_back STATSCOL 'id'")
+    assert(spark.sql("SELECT count(*) FROM convsql_back").head.getLong(0) == 30L)
+    // the registered import is DML-capable
+    spark.sql("DELETE FROM convsql_back WHERE id <= 10")
+    assert(GraftLake.read(spark, gp2).count() == 20)
+  }
 }
