@@ -108,6 +108,8 @@ object SparkEntry {
     "d39_nb_classifier" -> ((s: SparkSession, d: String) => graft.operators.Classifier.d39NbClassifier(s, d)),
     "d40_dsir_weights" -> ((s: SparkSession, d: String) => graft.operators.Classifier.d40DsirWeights(s, d)),
     "d41_kmeans" -> ((s: SparkSession, d: String) => graft.operators.Clustering.d41Kmeans(s, d)),
+    "d42_unigram_train" -> ((s: SparkSession, d: String) => graft.operators.Unigram.d42UnigramTrain(s, d)),
+    "d43_unigram_apply" -> ((s: SparkSession, d: String) => graft.operators.Unigram.d43UnigramApply(s, d)),
     "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
@@ -4313,6 +4315,8 @@ object SparkEntry {
     "d39_nb_classifier" -> graft.operators.Classifier.d39OracleSql,
     "d40_dsir_weights" -> graft.operators.Classifier.d40OracleSql,
     "d41_kmeans" -> graft.operators.Clustering.d41OracleSql,
+    "d42_unigram_train" -> graft.operators.Unigram.d42OracleSql,
+    "d43_unigram_apply" -> graft.operators.Unigram.d43OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->
