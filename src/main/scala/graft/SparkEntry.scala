@@ -109,6 +109,7 @@ object SparkEntry {
     "d40_dsir_weights" -> ((s: SparkSession, d: String) => graft.operators.Classifier.d40DsirWeights(s, d)),
     "d41_kmeans" -> ((s: SparkSession, d: String) => graft.operators.Clustering.d41Kmeans(s, d)),
     "d42_unigram_train" -> ((s: SparkSession, d: String) => graft.operators.Unigram.d42UnigramTrain(s, d)),
+    "d44_temperature_sample" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d44TemperatureSample(s, d)),
     "d43_unigram_apply" -> ((s: SparkSession, d: String) => graft.operators.Unigram.d43UnigramApply(s, d)),
     "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
@@ -4316,6 +4317,7 @@ object SparkEntry {
     "d40_dsir_weights" -> graft.operators.Classifier.d40OracleSql,
     "d41_kmeans" -> graft.operators.Clustering.d41OracleSql,
     "d42_unigram_train" -> graft.operators.Unigram.d42OracleSql,
+    "d44_temperature_sample" -> graft.operators.TextCorpus.d44OracleSql,
     "d43_unigram_apply" -> graft.operators.Unigram.d43OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.

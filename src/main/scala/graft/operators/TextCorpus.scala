@@ -620,6 +620,85 @@ object TextCorpus {
       |  CAST(sum(least(128, n - s0)) - n AS BIGINT) AS overlap_tokens
       |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  /** d44: TEMPERATURE-SCALED MIXTURE SAMPLING — the T-scaled recipe
+    * real multilingual/multi-source data mixes use (sample source i
+    * with probability ∝ p_i^(1/T), T > 1 flattening toward rare
+    * sources), generalizing d34's fixed target weights. EXACT
+    * integer arithmetic via repeated integer square roots: the
+    * temperature weight of a source with n docs is n (T=1),
+    * isqrt(n) (T=2), or isqrt(isqrt(n)) (T=4) — n^(1/T) for the
+    * power-of-two temperatures, with isqrt = floor(sqrt(n)) which
+    * IEEE computes exactly for integral n (sqrt is correctly
+    * rounded; the nearest non-square is Θ(√n) away, astronomically
+    * beyond one ulp), so Spark and DuckDB agree bit-for-bit. The
+    * keep-rate/budget/hash-gate machinery is d34's verbatim: rate
+    * bp_i = min(10000, w_i·(N/2)·10000 / (W·n_i)), survive iff
+    * polyHash(text) % 10000 < bp. Same scale shape as d34: one map,
+    * one O(sources) agg, one broadcast join — the corpus never
+    * shuffles.
+    */
+  def temperatureSample(docs: DataFrame, temperature: Int): DataFrame = {
+    require(Set(1, 2, 4).contains(temperature),
+      s"temperature $temperature: the exact-integer weights support " +
+        "T in {1, 2, 4} (repeated integer square roots)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, src) =>
+        (id, src, Dedup.polyHash(text.trim.toLowerCase) % 10000L)
+      }
+      .toDF("doc_id", "source", "h")
+    def isqrt(c: org.apache.spark.sql.Column) =
+      floor(sqrt(c.cast("double"))).cast("long")
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", temperature match {
+        case 1 => col("n_docs")
+        case 2 => isqrt(col("n_docs"))
+        case 4 => isqrt(isqrt(col("n_docs")))
+      })
+    val tot = counts
+      .agg(sum(col("n_docs")).as("n_total"), sum(col("w")).as("w_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("bp", least(lit(10000L),
+        expr("(w * (n_total div 2) * 10000) div (w_total * n_docs)")))
+      .select(col("source"), col("n_docs"), col("w"), col("bp"))
+      .localCheckpoint(true)
+    val kept = hashed
+      .join(broadcast(rates.select(col("source"), col("bp"))), "source")
+      .filter(col("h") < col("bp"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("w"), col("bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  def d44TemperatureSample(spark: SparkSession, dir: String): DataFrame =
+    temperatureSample(Tables.documents(spark, dir), temperature = 2)
+
+  val d44OracleSql: String =
+    """WITH t AS (SELECT doc_id, source, lower(trim(text)) AS s FROM documents),
+      |h AS (SELECT doc_id, source,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(unicode(s[i:i]) AS BIGINT) FOR i IN range(1, length(s) + 1)]),
+      |  (a, c) -> (a * 131 + c) % 1000000007) % 10000 AS hh FROM t),
+      |c AS (SELECT source, count(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM t GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |    CAST(sum(w) AS BIGINT) AS w_total FROM c),
+      |r AS (SELECT source, n_docs, w,
+      |    least(10000, (w * (n_total // 2) * 10000) // (w_total * n_docs))
+      |      AS bp
+      |  FROM c CROSS JOIN tt),
+      |k AS (SELECT h.source, count(*) AS n_kept
+      |  FROM h JOIN r ON h.source = r.source WHERE hh < bp GROUP BY 1)
+      |SELECT r.source, r.n_docs, r.w, r.bp, COALESCE(k.n_kept, 0) AS n_kept
+      |FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin
+
   /** d34: TRAINING-MIXTURE RESAMPLING — re-weight a multi-source
     * corpus to TARGET mixture proportions by deterministic
     * hash-thresholded downsampling (the "sample The Pile to your

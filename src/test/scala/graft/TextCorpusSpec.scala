@@ -439,4 +439,52 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     }
     assert(got.values.exists(_._2 > L)) // overlap-merged removals happened
   }
+
+  test("d44: temperature weights are exact repeated isqrts; rates replay in plain Scala") {
+    val sf = "/root/testdata/sf0.001"
+    import graft.operators.{Dedup, TextCorpus}
+    // brute replay: counts, isqrt weights, integer rates, hash gate
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => (r.getString(2), Dedup.polyHash(
+        r.getString(1).trim.toLowerCase) % 10000L))
+    def isqrt(n: Long) = math.floor(math.sqrt(n.toDouble)).toLong
+    val bysrc = rows.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val nTotal = rows.length.toLong
+    val wTotal = bysrc.values.map(h => isqrt(h.length.toLong)).sum
+    val expect = bysrc.toSeq.sortBy(_._1).map { case (s, hs) =>
+      val n = hs.length.toLong
+      val w = isqrt(n)
+      val bp = math.min(10000L, (w * (nTotal / 2) * 10000L) / (wTotal * n))
+      (s, n, w, bp, hs.count(_ < bp).toLong)
+    }
+    val got = TextCorpus.d44TemperatureSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+    // T=2 flattens: on a skewed corpus the rare source keeps a
+    // strictly higher rate than the common one (sf0.001's sources
+    // are uniform, so the property needs a synthetic skew)
+    locally {
+      import spark.implicits._
+      val skew = ((1 to 900).map(i => (i.toLong, s"text $i", "big")) ++
+        (1 to 100).map(i => (1000L + i, s"rare $i", "small")))
+        .toDF("doc_id", "text", "source")
+      val r = TextCorpus.temperatureSample(skew, temperature = 2).collect()
+        .map(x => x.getString(0) -> x.getLong(3)).toMap
+      assert(r("small") > r("big"))
+    }
+    // T=1 degenerates to a uniform keep-rate (w = n cancels)
+    val t1 = TextCorpus.temperatureSample(
+      Tables.documents(spark, sf), temperature = 1).collect()
+    assert(t1.map(_.getLong(3)).distinct.length == 1)
+    // T=4 double-isqrt weight
+    val t4 = TextCorpus.temperatureSample(
+      Tables.documents(spark, sf), temperature = 4).collect()
+    t4.foreach(r => assert(r.getLong(2) == isqrt(isqrt(r.getLong(1)))))
+    // unsupported temperatures refuse loudly
+    val e = intercept[IllegalArgumentException](TextCorpus.temperatureSample(
+      Tables.documents(spark, sf), temperature = 3))
+    assert(e.getMessage.contains("T in {1, 2, 4}"))
+  }
 }
