@@ -50,6 +50,45 @@ def bench(tree, keys, sf_dir, cpus="16"):
     raise SystemExit(f"no metric line from bench in {tree}:\n{r.stdout[-2000:]}")
 
 
+def gate_block(entry_source, key):
+    """The gate's defining block inside SparkEntry.scala: from the
+    `"<key>" ->` binding to the next top-level `"..." ->` binding.
+    Whitespace-normalized so formatting-only churn doesn't flag."""
+    m = re.search(r'"%s"\s*->' % re.escape(key), entry_source)
+    if not m:
+        return None
+    rest = entry_source[m.end():]
+    nxt = re.search(r'\n    "[a-z]\w+"\s*->', rest)
+    block = rest[:nxt.start()] if nxt else rest[:20000]
+    return re.sub(r"\s+", " ", block).strip()
+
+
+def gate_changed_flags(prior, keys):
+    """Per key: did the gate's own code change between the prior tree
+    and HEAD? A grown gate legitimately costs more, so its control
+    ratio says nothing about engine regressions — the round-14
+    src52/src57 lesson. Compares the SparkEntry entry block AND any
+    operator files it references."""
+    path = "src/main/scala/graft/SparkEntry.scala"
+    old_src = sh(f"git show {prior}:{path}").stdout
+    new_src = open(f"{REPO}/{path}").read()
+    flags = {}
+    for k in keys:
+        ob, nb = gate_block(old_src, k), gate_block(new_src, k)
+        changed = ob != nb
+        # a delegating entry ("-> Operators.fn _") also changes when
+        # its operator file does
+        if not changed and nb:
+            for f in set(re.findall(r"(?:graft\.)?(?:operators|streaming|multimodal)\.(\w+)", nb)):
+                for sub in ("operators", "streaming", "multimodal"):
+                    fp = f"src/main/scala/graft/{sub}/{f}.scala"
+                    if os.path.exists(f"{REPO}/{fp}"):
+                        if sh(f"git diff --quiet {prior} HEAD -- {fp}").returncode != 0:
+                            changed = True
+        flags[k] = changed
+    return flags
+
+
 def main():
     bench_json = sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/bench_last.json"
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -84,12 +123,17 @@ def main():
     finally:
         sh(f"git worktree remove --force {wt}")
 
+    gate_flags = gate_changed_flags(prior, keys)
     rows = {k: {"prior_code_sec": old.get(k), "current_code_sec": new.get(k),
                 "ratio_current_over_prior":
-                    round(new[k] / old[k], 3) if old.get(k) and new.get(k) else None}
+                    round(new[k] / old[k], 3) if old.get(k) and new.get(k) else None,
+                "gate_changed": gate_flags.get(k)}
             for k in keys}
     out = {"method": "prior-round code re-benched on CURRENT data vs current code, "
-                     "same keys/cpus/sf — ratio~1.0 means drift is environmental",
+                     "same keys/cpus/sf — ratio~1.0 means drift is environmental. "
+                     "gate_changed=true keys GREW their gate between the trees: "
+                     "their ratio measures the new gate leg, not the engine — "
+                     "exclude them from regression claims",
            "prior_commit": prior, "sf_dir": sf_dir, "queries": rows}
     with open(f"{REPO}/bench_control.json", "w") as f:
         json.dump(out, f, indent=1)
