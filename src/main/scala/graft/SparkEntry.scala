@@ -599,6 +599,83 @@ object SparkEntry {
         .withColumn("delta_cp_ok", lit(ok))
         .orderBy(col("bucket"))
     }),
+    // DELTA DELETION-VECTOR IMPORT: a Delta table with outstanding
+    // MoR deletion vectors — reader feature deletionVectors, the
+    // default for modern DELETE/UPDATE writers — imports by
+    // materializing VISIBLE rows: the public roaring-bitmap blobs
+    // (one inline z85, one file-backed with crc) resolve to row
+    // positions and each masked file drops them via the parquet
+    // row_index metadata column. The kept-count flag is in-row.
+    // Oracle: orders minus the two masked slices.
+    "src72_delta_dv_import" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{DeltaImport, GraftLake}
+      val delta = scratch("graft_delta_dv", dir)
+      val gp = scratch("graft_delta_dv_import", dir)
+      rmrf(delta); rmrf(gp)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      new java.io.File(s"$delta/_delta_log").mkdirs()
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = s"$delta/_tmp_$name"
+        df.repartition(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(delta, s"$name.parquet"))
+        rmrf(tmp)
+      }
+      stage(o.filter(pmod(col("okey"), lit(2L)) === 0), "f0")
+      stage(o.filter(pmod(col("okey"), lit(2L)) === 1), "f1")
+      // the DVs index ROW POSITIONS — learn them from the staged
+      // files for the predicate each slice deletes
+      def posOf(name: String, pred: org.apache.spark.sql.Column): Seq[Long] =
+        s.read.parquet(s"$delta/$name.parquet")
+          .filter(pred).select(col("_metadata.row_index"))
+          .collect().map(_.getLong(0)).toSeq.sorted
+      val pos0 = posOf("f0", col("cents") >= 30000000L)
+      val pos1 = posOf("f1", col("cents") >= 40000000L)
+      // inline z85 DV for f0
+      val d0 = DeltaImport.serializeRoaringArray(pos0)
+      val inl = DeltaImport.z85Encode(
+        d0 ++ Array.fill[Byte]((4 - d0.length % 4) % 4)(0))
+      // file-backed DV for f1: version byte, BE size, data, BE crc32
+      val d1 = DeltaImport.serializeRoaringArray(pos1)
+      val crc = new java.util.zip.CRC32; crc.update(d1)
+      val uuid = java.util.UUID.randomUUID()
+      val ub = java.nio.ByteBuffer.allocate(16)
+      ub.putLong(uuid.getMostSignificantBits)
+      ub.putLong(uuid.getLeastSignificantBits)
+      val blob = java.nio.ByteBuffer.allocate(1 + 4 + d1.length + 4)
+      blob.put(1.toByte); blob.putInt(d1.length); blob.put(d1)
+      blob.putInt(crc.getValue.toInt)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(delta, s"deletion_vector_$uuid.bin"),
+        blob.array())
+      val uuidZ85 = DeltaImport.z85Encode(ub.array())
+      def jesc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val schemaJson = jesc(o.schema.json)
+      val v0 = Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"m0","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inl","sizeInBytes":${d0.length},"cardinality":${pos0.size}}}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85","offset":1,"sizeInBytes":${d1.length},"cardinality":${pos1.size}}}}"""
+      ).mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        delta, "_delta_log", "0" * 20 + ".json"), v0 + "\n")
+      DeltaImport.importDelta(s, delta, gp, statsCols = Seq("okey"))
+      val total = o.count()
+      val ok = GraftLake.read(s, gp).count() ==
+        total - pos0.size - pos1.size
+      GraftLake.read(s, gp)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+        .withColumn("dv_import_ok", lit(ok))
+        .orderBy(col("status"))
+    }),
     // SQL TRANSACTIONS: BEGIN TRANSACTION / COMMIT / ROLLBACK — the
     // SQL twin of src64. Staged INSERTs land on BOTH tables through
     // one cross-table transaction marker; a CHECK-violating COMMIT
@@ -4406,6 +4483,16 @@ object SparkEntry {
         |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
         |  min(okey) AS lo, max(okey) AS hi, TRUE AS roundtrip_ok
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src72_delta_dv_import" ->
+      """WITH t AS (SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  min(okey) AS lo, max(okey) AS hi, TRUE AS dv_import_ok
+        |FROM t
+        |WHERE NOT (okey % 2 = 0 AND cents >= 30000000)
+        |  AND NOT (okey % 2 = 1 AND cents >= 40000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src70_sql_txn" ->
       """WITH t AS (SELECT o_orderstatus AS status,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -45,7 +45,252 @@ object DeltaImport {
       activeFiles: Seq[(String, Map[String, String])],
       // the metaData `configuration` map — carries
       // delta.columnMapping.mode for column-mapped tables
-      config: Map[String, String] = Map.empty)
+      config: Map[String, String] = Map.empty,
+      // outstanding DELETION VECTORS: file path -> deleted row
+      // positions (resolved from the descriptor at fold time,
+      // O(dv bytes) driver work). Only DV-bearing live files appear.
+      deletes: Map[String, Array[Long]] = Map.empty)
+
+  // ---------------------------------------------------- deletion vectors
+
+  /** The public DeletionVectorDescriptor (PROTOCOL.md): storageType
+    * `i` = inline (pathOrInlineDv is the Z85-encoded serialized
+    * bitmap), `u` = relative UUID file (Z85 of [prefix +] 16-byte
+    * UUID; stored as `[prefix/]deletion_vector_<uuid>.bin` under the
+    * table root), `p` = absolute path. `offset` locates the blob in
+    * the file; `sizeInBytes` is the blob's data length.
+    */
+  private[graft] final case class DvDesc(
+      storageType: String, pathOrInlineDv: String,
+      offset: Long, sizeInBytes: Long, cardinality: Long)
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private lazy val Z85Decode: Array[Int] = {
+    val d = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => d(c.toInt) = i }
+    d
+  }
+
+  /** ZeroMQ Z85: 5 chars -> 4 bytes, big-endian base-85. */
+  private[graft] def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j).toInt
+        val d = if (c < 128) Z85Decode(c) else -1
+        require(d >= 0, s"invalid z85 character '${s.charAt(i + j)}'")
+        v = v * 85 + d
+        j += 1
+      }
+      val o = i / 5 * 4
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      i += 5
+    }
+    out
+  }
+
+  private[graft] def z85Encode(b: Array[Byte]): String = {
+    require(b.length % 4 == 0, s"z85 input length ${b.length} not *4")
+    val sb = new java.lang.StringBuilder(b.length / 4 * 5)
+    var i = 0
+    while (i < b.length) {
+      var v = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      val cs = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { cs(j) = Z85Alphabet(((v % 85).toInt)); v /= 85; j -= 1 }
+      sb.append(cs)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Deserialize Delta's RoaringBitmapArray "portable" format: magic
+    * 1681511377 (int32 LE), bitmap count (int64 LE), then one
+    * standard 32-bit roaring portable bitmap per entry (index i
+    * contributes the high 32 bits). Returns sorted positions.
+    */
+  private[graft] def roaringArrayPositions(data: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == 1681511377,
+      s"deletion vector bitmap magic $magic != 1681511377 — not the " +
+        "portable RoaringBitmapArray format")
+    val nBitmaps = bb.getLong
+    require(nBitmaps >= 0 && nBitmaps < (1L << 20),
+      s"implausible bitmap count $nBitmaps")
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var bi = 0L
+    while (bi < nBitmaps) {
+      val high = bi << 32
+      // ---- one 32-bit roaring portable bitmap (RoaringFormatSpec)
+      val cookie = bb.getInt
+      val (size, runFlags) =
+        if ((cookie & 0xffff) == 12347) { // SERIAL_COOKIE: runs present
+          val n = (cookie >>> 16) + 1
+          val flags = new Array[Byte]((n + 7) / 8)
+          bb.get(flags)
+          (n, flags)
+        } else {
+          require(cookie == 12346,
+            s"unknown roaring cookie $cookie")
+          (bb.getInt, Array.empty[Byte])
+        }
+      val keys = new Array[Int](size)
+      val cards = new Array[Int](size)
+      var i = 0
+      while (i < size) {
+        keys(i) = bb.getShort & 0xffff
+        cards(i) = (bb.getShort & 0xffff) + 1
+        i += 1
+      }
+      // offsets are present for the no-run cookie or size >= 4 —
+      // containers are sequential, so skip them
+      if (runFlags.isEmpty || size >= 4) bb.position(bb.position() + 4 * size)
+      i = 0
+      while (i < size) {
+        val base = high | (keys(i).toLong << 16)
+        val isRun = runFlags.nonEmpty &&
+          (runFlags(i / 8) & (1 << (i % 8))) != 0
+        if (isRun) {
+          val nRuns = bb.getShort & 0xffff
+          var r = 0
+          while (r < nRuns) {
+            val start = bb.getShort & 0xffff
+            val len = bb.getShort & 0xffff
+            var v = start
+            while (v <= start + len) { out += (base | v.toLong); v += 1 }
+            r += 1
+          }
+        } else if (cards(i) <= 4096) {
+          var c = 0
+          while (c < cards(i)) {
+            out += (base | (bb.getShort & 0xffff).toLong)
+            c += 1
+          }
+        } else {
+          var w = 0
+          while (w < 1024) {
+            val word = bb.getLong
+            var bit = 0
+            while (bit < 64) {
+              if ((word & (1L << bit)) != 0)
+                out += (base | ((w * 64 + bit).toLong))
+              bit += 1
+            }
+            w += 1
+          }
+        }
+        i += 1
+      }
+      bi += 1
+    }
+    out.toArray.sorted
+  }
+
+  /** Serialize positions as a portable RoaringBitmapArray (array and
+    * bitmap containers, no runs) — the writer half used to fabricate
+    * protocol-conformant DVs for gates/specs (and a future DV
+    * export). Inverse of [[roaringArrayPositions]].
+    */
+  private[graft] def serializeRoaringArray(positions: Seq[Long]): Array[Byte] = {
+    require(positions.forall(p => p >= 0), "negative row position")
+    val byHigh = positions.distinct.sorted.groupBy(_ >>> 32).toSeq.sortBy(_._1)
+    val nBitmaps = if (byHigh.isEmpty) 0L else byHigh.last._1 + 1
+    val bitmaps = (0L until nBitmaps).map(h =>
+      byHigh.toMap.getOrElse(h, Seq.empty).map(p => (p & 0xffffffffL).toInt))
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >>> 8) & 0xff)
+      bos.write((v >>> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    le32(1681511377)
+    le32(nBitmaps.toInt); le32((nBitmaps >>> 32).toInt)
+    bitmaps.foreach { vals =>
+      val conts = vals.groupBy(_ >>> 16).toSeq.sortBy(_._1)
+      le32(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
+      le32(conts.size)
+      conts.foreach { case (k, vs) => le16(k); le16(vs.size - 1) }
+      // offsets (always present for the no-run cookie)
+      var off = 4 + 4 + 4 * conts.size + 4 * conts.size
+      conts.foreach { case (_, vs) =>
+        le32(off)
+        off += (if (vs.size <= 4096) 2 * vs.size else 8192)
+      }
+      conts.foreach { case (_, vs) =>
+        if (vs.size <= 4096) vs.sorted.foreach(v => le16(v & 0xffff))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val low = v & 0xffff
+            words(low / 64) |= (1L << (low % 64))
+          }
+          words.foreach { w =>
+            var b = 0
+            while (b < 8) { bos.write(((w >>> (8 * b)) & 0xff).toInt); b += 1 }
+          }
+        }
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** Resolve a descriptor to its deleted row positions. File-backed
+    * blobs follow the public DV file layout: a 1-byte format version
+    * (1), and at `offset` a big-endian int32 data size, the bitmap
+    * data, and a big-endian CRC32 of the data (verified — a torn DV
+    * must fail loudly, silently missing deletes resurrects rows).
+    */
+  private[graft] def dvPositions(
+      deltaPath: String, dv: DvDesc): Array[Long] = dv.storageType match {
+    case "i" =>
+      // z85 pads to 4-byte groups; sizeInBytes trims the padding
+      val data = z85Decode(dv.pathOrInlineDv)
+      val n = if (dv.sizeInBytes >= 0) dv.sizeInBytes.toInt else data.length
+      roaringArrayPositions(data.take(n))
+    case t @ ("u" | "p") =>
+      val file =
+        if (t == "p") Paths.get(dv.pathOrInlineDv)
+        else {
+          val raw = z85Decode(dv.pathOrInlineDv)
+          require(raw.length >= 16,
+            s"DV uuid payload too short: ${raw.length} bytes")
+          val prefixLen = dv.pathOrInlineDv.length - 20
+          val prefix =
+            if (prefixLen > 0) dv.pathOrInlineDv.take(prefixLen) + "/" else ""
+          val bb = java.nio.ByteBuffer.wrap(raw.takeRight(16))
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          Paths.get(deltaPath, prefix + s"deletion_vector_$uuid.bin")
+        }
+      require(Files.exists(file), s"deletion vector file missing: $file")
+      val all = Files.readAllBytes(file)
+      require(all.nonEmpty && all(0) == 1,
+        s"unsupported DV file format version ${all.headOption.orNull} at $file")
+      val bb = java.nio.ByteBuffer.wrap(all) // big-endian (default)
+      bb.position(dv.offset.toInt)
+      val size = bb.getInt
+      require(size == dv.sizeInBytes,
+        s"DV blob size $size != descriptor sizeInBytes ${dv.sizeInBytes} at $file")
+      val data = new Array[Byte](size)
+      bb.get(data)
+      val storedCrc = bb.getInt
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      require(crc.getValue.toInt == storedCrc,
+        s"DV blob checksum mismatch at $file offset ${dv.offset}")
+      roaringArrayPositions(data)
+    case other => throw new IllegalArgumentException(
+      s"unknown DV storageType '$other'")
+  }
 
   /** The PHYSICAL column name of a field under Delta column mapping
     * (name mode): the `delta.columnMapping.physicalName` entry of the
@@ -86,11 +331,11 @@ object DeltaImport {
       case v if v <= 2 => ()
       case 3 =>
         val fs = readerFeatures.getOrElse(Set("<unlisted>"))
-        val unsupported = fs -- Set("columnMapping")
+        val unsupported = fs -- Set("columnMapping", "deletionVectors")
         require(unsupported.isEmpty,
           s"delta readerFeatures ${unsupported.mkString(", ")} at $where — " +
-            "this import speaks only columnMapping; compact the source " +
-            "table first")
+            "this import speaks only columnMapping and deletionVectors; " +
+            "compact the source table first")
       case v => throw new IllegalArgumentException(
         s"delta minReaderVersion $v at $where is unsupported")
     }
@@ -165,6 +410,10 @@ object DeltaImport {
     var config: Map[String, String] = Map.empty
     // insertion-ordered so import output is deterministic
     val live = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    // path -> outstanding deletion-vector descriptor (an add WITHOUT
+    // a DV clears any prior one — Delta re-adds replace the whole
+    // file state)
+    val dvs = scala.collection.mutable.HashMap[String, DvDesc]()
     val SchemaRe = """"schemaString":"((?:[^"\\]|\\.)*)"""".r.unanchored
     val PartRe = """"partitionColumns":\[([^\]]*)\]""".r.unanchored
     val PathRe = """"path":"((?:[^"\\]|\\.)*)"""".r.unanchored
@@ -237,14 +486,26 @@ object DeltaImport {
             config = m.getAs[scala.collection.Map[String, String]](ci).toMap
         }
         struct(row, "add").foreach { a =>
-          val dvi = a.schema.fieldNames.indexOf("deletionVector")
-          require(dvi < 0 || a.isNullAt(dvi),
-            s"delta checkpoint add with a deletion vector at $deltaPath — " +
-              "unsupported; compact the source table first")
           val pv = Option(a.getAs[scala.collection.Map[String, String]](
               "partitionValues")).map(_.toMap)
             .getOrElse(Map.empty[String, String])
-          cpAdds += a.getAs[String]("path") -> pv
+          val p = a.getAs[String]("path")
+          cpAdds += p -> pv
+          dvs.remove(p)
+          val dvi = a.schema.fieldNames.indexOf("deletionVector")
+          if (dvi >= 0 && !a.isNullAt(dvi)) {
+            val d = a.getStruct(dvi)
+            def nfld(k: String): Long = {
+              val i = d.schema.fieldNames.indexOf(k)
+              if (i < 0 || d.isNullAt(i)) -1L
+              else d.get(i).asInstanceOf[Number].longValue
+            }
+            dvs.put(p, DvDesc(
+              d.getAs[String]("storageType"),
+              d.getAs[String]("pathOrInlineDv"),
+              math.max(nfld("offset"), 1L), nfld("sizeInBytes"),
+              nfld("cardinality")))
+          }
         }
         // checkpoint `remove` rows are expired-tombstone bookkeeping
         // (vacuum state), never a file effect on the live set
@@ -277,9 +538,6 @@ object DeltaImport {
                   .map(k => unesc(k.group(1)) -> unesc(k.group(2))).toMap
               }.getOrElse(Map.empty)
             case "add" =>
-              require(!line.contains("\"deletionVector\""),
-                s"delta add with a deletion vector at $deltaPath — " +
-                  "unsupported; compact the source table first")
               for (p <- PathRe.findFirstMatchIn(line).map(m => unesc(m.group(1)))) {
                 val pv = partValsBody(line).map { body =>
                   KvRe.findAllMatchIn(body)
@@ -287,16 +545,46 @@ object DeltaImport {
                 }.getOrElse(Map.empty[String, String])
                 live.remove(p) // re-add moves to the tail (Delta semantics: latest wins)
                 live.put(p, pv)
+                dvs.remove(p) // a DV-less re-add clears the file's DV
+                jsonObjectBody(line, "\"deletionVector\":").foreach { body =>
+                  // manual scan, not regex: the per-character regex
+                  // alternation overflows the stack on multi-KB
+                  // inline z85 payloads
+                  def sf(k: String) = jsonStringField(body, k).map(unesc)
+                  def nf(k: String) =
+                    (s""""$k":(-?\\d+)""").r.unanchored
+                      .findFirstMatchIn(body).map(_.group(1).toLong)
+                  dvs.put(p, DvDesc(
+                    sf("storageType").getOrElse(""),
+                    sf("pathOrInlineDv").getOrElse(""),
+                    nf("offset").getOrElse(1L),
+                    nf("sizeInBytes").getOrElse(-1L),
+                    nf("cardinality").getOrElse(-1L)))
+                }
               }
             case "remove" =>
-              PathRe.findFirstMatchIn(line).foreach(m => live.remove(unesc(m.group(1))))
+              PathRe.findFirstMatchIn(line).foreach { m =>
+                live.remove(unesc(m.group(1)))
+                dvs.remove(unesc(m.group(1)))
+              }
             case _ => () // commitInfo, cdc, domainMetadata, txn — no file effect
           }
         }
     }
     require(schemaJson.nonEmpty, s"no metaData action in delta log at $deltaPath")
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
-    DeltaState(schema, partCols, live.toSeq, config)
+    // Resolve outstanding DVs on LIVE files to row positions now —
+    // O(dv bytes) driver work, verified against the descriptor's
+    // cardinality (an under-read DV would silently resurrect rows).
+    val deletes = dvs.toMap.filter { case (p, _) => live.contains(p) }
+      .map { case (p, d) =>
+        val pos = dvPositions(deltaPath, d)
+        require(d.cardinality < 0 || pos.length == d.cardinality,
+          s"DV for $p decoded ${pos.length} positions but the descriptor " +
+            s"claims ${d.cardinality}")
+        p -> pos
+      }
+    DeltaState(schema, partCols, live.toSeq, config, deletes)
   }
 
   /** The active rows of the delta table as ONE DataFrame: data columns
@@ -329,10 +617,33 @@ object DeltaImport {
     val physOfPart = st.partitionCols.map(pc =>
       pc -> physicalName(st.schema(pc))).toMap
     def abs(p: String) = Paths.get(deltaPath, p).toString
+    // DV-bearing files read INDIVIDUALLY with the parquet
+    // `_metadata.row_index` column — the file-order row position the
+    // DV indexes — and drop masked positions via a BROADCAST
+    // anti-join against the position list (scales to million-row
+    // DVs where an In-literal list would blow the plan; the
+    // positions are per-file bounded). DV-free files keep the one
+    // grouped scan.
+    def readFiles(files: Seq[String]): DataFrame = {
+      val (dvd, plain) = files.partition(st.deletes.contains)
+      val parts =
+        (if (plain.nonEmpty)
+           Seq(spark.read.schema(readSchema).parquet(plain.map(abs): _*))
+         else Seq.empty) ++
+        dvd.map { f =>
+          import spark.implicits._
+          val posDf = st.deletes(f).toSeq.toDF("__graft_del_pos")
+          spark.read.schema(readSchema).parquet(abs(f))
+            .select(col("*"), col("_metadata.row_index").as("__graft_pos"))
+            .join(broadcast(posDf),
+              col("__graft_pos") === col("__graft_del_pos"), "left_anti")
+            .drop("__graft_pos")
+        }
+      restore(parts.reduce(_ unionByName _))
+    }
     val df =
       if (st.partitionCols.isEmpty)
-        restore(spark.read.schema(readSchema)
-          .parquet(st.activeFiles.map(f => abs(f._1)): _*))
+        readFiles(st.activeFiles.map(_._1))
       else {
         // Delta stores partition values ONLY in the log — group the
         // live files by tuple (O(tuples) relations) and re-inject.
@@ -340,8 +651,7 @@ object DeltaImport {
           .groupBy(_._2).toSeq
           .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
         groups.map { case (pv, files) =>
-          var g = restore(spark.read.schema(readSchema)
-            .parquet(files.map(f => abs(f._1)): _*))
+          var g = readFiles(files.map(_._1))
           st.partitionCols.foreach { pc =>
             val dt = st.schema(pc).dataType
             val raw = pv.get(physOfPart(pc)).filter(_ != null)
@@ -376,6 +686,26 @@ object DeltaImport {
     } else
       GraftLake.create(df, graftPath,
         statsCols = (statsCols ++ st.partitionCols).distinct)
+  }
+
+  /** The (still-escaped) string VALUE of `"key":"..."` in `line`,
+    * scanned manually: the `(?:[^"\\]|\\.)*` regex alternation
+    * recurses once per character and overflows the JVM stack on
+    * multi-KB values (inline deletion vectors).
+    */
+  private[graft] def jsonStringField(
+      line: String, key: String): Option[String] = {
+    val pat = "\"" + key + "\":\""
+    val at = line.indexOf(pat)
+    if (at < 0) return None
+    var i = at + pat.length
+    val b = new java.lang.StringBuilder()
+    while (i < line.length && line.charAt(i) != '"') {
+      if (line.charAt(i) == '\\' && i + 1 < line.length) {
+        b.append(line.charAt(i)); b.append(line.charAt(i + 1)); i += 2
+      } else { b.append(line.charAt(i)); i += 1 }
+    }
+    Some(b.toString)
   }
 
   /** Extract the `partitionValues` object body ([[jsonObjectBody]]).

@@ -213,7 +213,7 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("v2/UUID"))
   }
 
-  test("checkpoint rows with reader features or deletion vectors refuse loudly") {
+  test("checkpoint rows with unknown features or malformed DVs refuse loudly") {
     val schemaJson = {
       import spark.implicits._
       (1 to 1).map(i => (i.toLong, "x")).toDF("id", "tag").schema.json
@@ -227,11 +227,13 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(e1.getMessage.contains("readerFeatures"))
     val deltaB = freshDelta()
     seedFlat(deltaB)
+    // the checkpoint DV descriptor parses, but its malformed z85
+    // payload must fail loudly (a skipped DV resurrects rows)
     writeCheckpoint(deltaB, 1L, schemaJson, Seq.empty,
       Seq("f0.parquet" -> Map.empty), addDv = true)
     val e2 = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, deltaB))
-    assert(e2.getMessage.contains("deletion vector"))
+    assert(e2.getMessage.contains("z85 length"))
     // gap AFTER the checkpoint still refuses (non-contiguous suffix)
     val deltaC = freshDelta()
     seedFlat(deltaC)
@@ -245,23 +247,24 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("non-contiguous"))
   }
 
-  test("featured and DV-bearing JSON logs refuse loudly") {
-    // reader features beyond the basic protocol
+  test("unknown reader features and unresolvable DVs refuse loudly") {
+    // reader features beyond what this import speaks
     val delta2 = freshDelta()
     seedFlat(delta2)
     writeLog(delta2, 2, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""))
     val e2 = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, delta2))
-    assert(e2.getMessage.contains("deletionVectors"))
-    // an add carrying a deletion vector
+    assert(e2.getMessage.contains("v2Checkpoint"))
+    // a DV whose file is gone must fail loudly, never resurrect rows
     val delta3 = freshDelta()
     seedFlat(delta3)
+    val uuidZ85 = DeltaImport.z85Encode(Array.fill[Byte](16)(7))
     writeLog(delta3, 2, Seq(
-      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
     val e3 = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, delta3))
-    assert(e3.getMessage.contains("deletion vector"))
+    assert(e3.getMessage.contains("deletion vector file missing"))
     // non-contiguous versions (vacuumed/checkpoint-truncated prefix)
     val delta4 = freshDelta()
     seedFlat(delta4)
@@ -269,6 +272,81 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     val e4 = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, delta4))
     assert(e4.getMessage.contains("non-contiguous"))
+  }
+
+  test("roaring/z85 round-trip: array, bitmap, multi-word containers") {
+    // array container + high-bit second bitmap
+    val a = Seq(0L, 3L, 65535L, 65536L, 131072L + 5L, (1L << 32) + 9L)
+    assert(DeltaImport.roaringArrayPositions(
+      DeltaImport.serializeRoaringArray(a)).toSeq == a.sorted)
+    // dense container (> 4096 values) forces the bitmap form
+    val dense = (0L until 5000L) ++ Seq(70000L)
+    assert(DeltaImport.roaringArrayPositions(
+      DeltaImport.serializeRoaringArray(dense)).toSeq == dense.sorted)
+    // z85 is the exact ZeroMQ alphabet ("HelloWorld" test vector)
+    assert(DeltaImport.z85Encode(Array(0x86.toByte, 0x4f.toByte,
+      0xd2.toByte, 0x6f.toByte, 0xb5.toByte, 0x59.toByte,
+      0xf7.toByte, 0x5b.toByte)) == "HelloWorld")
+    assert(DeltaImport.z85Decode("HelloWorld").toSeq ==
+      Seq(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte))
+  }
+
+  test("deletion vectors: inline and file-backed DVs mask exactly their positions") {
+    import spark.implicits._
+    val delta = freshDelta()
+    Files.createDirectories(Paths.get(delta, "_delta_log"))
+    // f0: ids 1..20; f1: ids 21..40 (file order learned below — the
+    // DV indexes ROW POSITIONS, not values)
+    val df = (1 to 40).map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+    stage(delta, df.filter(col("id") <= 20), "f0")
+    stage(delta, df.filter(col("id") > 20), "f1")
+    def posOf(name: String, ids: Set[Long]): Seq[Long] =
+      spark.read.parquet(s"$delta/$name.parquet")
+        .select(col("_metadata.row_index").as("p"), col("id")).collect()
+        .filter(r => ids(r.getLong(1))).map(_.getLong(0)).toSeq.sorted
+    // inline DV on f0: drop ids 1, 4, 20 by their file positions
+    val pos0 = posOf("f0", Set(1L, 4L, 20L))
+    val inlData = DeltaImport.serializeRoaringArray(pos0)
+    val inl = DeltaImport.z85Encode(
+      inlData ++ Array.fill[Byte]((4 - inlData.length % 4) % 4)(0))
+    val inlSize = inlData.length
+    // file-backed DV on f1: drop ids 26, 27; public blob layout:
+    // version byte, BE size, data, BE crc32
+    val data = DeltaImport.serializeRoaringArray(posOf("f1", Set(26L, 27L)))
+    val crc = new java.util.zip.CRC32; crc.update(data)
+    val uuid = java.util.UUID.randomUUID()
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits)
+    ub.putLong(uuid.getLeastSignificantBits)
+    val blob = java.nio.ByteBuffer.allocate(1 + 4 + data.length + 4)
+    blob.put(1.toByte); blob.putInt(data.length); blob.put(data)
+    blob.putInt(crc.getValue.toInt)
+    Files.write(Paths.get(delta, s"deletion_vector_$uuid.bin"), blob.array())
+    val uuidZ85 = DeltaImport.z85Encode(ub.array())
+    val schemaJson = jesc(df.schema.json)
+    writeLog(delta, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet"},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inl","sizeInBytes":$inlSize,"cardinality":3}}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85","offset":1,"sizeInBytes":${data.length},"cardinality":2}}}"""))
+    val (out, st) = DeltaImport.readDelta(spark, delta)
+    assert(st.deletes("f0.parquet").toSeq == pos0)
+    val ids = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((1L to 40L).toSet -- Set(1L, 4L, 20L, 26L, 27L)).toSeq.sorted)
+    // a DV-less re-add clears the mask
+    writeLog(delta, 1, Seq(
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val (out2, st2) = DeltaImport.readDelta(spark, delta)
+    assert(!st2.deletes.contains("f0.parquet"))
+    assert(out2.count() == 38)
+    // a corrupted blob fails its crc loudly
+    val f = Paths.get(delta, s"deletion_vector_$uuid.bin")
+    val bytes = Files.readAllBytes(f)
+    bytes(7) = (bytes(7) ^ 0x1).toByte
+    Files.write(f, bytes)
+    val e = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, delta))
+    assert(e.getMessage.contains("checksum mismatch"))
   }
 
   test("action classification is by the top-level key, never a substring") {
