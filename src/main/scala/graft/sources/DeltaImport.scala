@@ -261,13 +261,18 @@ object DeltaImport {
       val file =
         if (t == "p") Paths.get(dv.pathOrInlineDv)
         else {
-          val raw = z85Decode(dv.pathOrInlineDv)
-          require(raw.length >= 16,
-            s"DV uuid payload too short: ${raw.length} bytes")
-          val prefixLen = dv.pathOrInlineDv.length - 20
-          val prefix =
-            if (prefixLen > 0) dv.pathOrInlineDv.take(prefixLen) + "/" else ""
-          val bb = java.nio.ByteBuffer.wrap(raw.takeRight(16))
+          // only the LAST 20 chars are the z85-encoded 16-byte uuid;
+          // anything before them is a literal random-prefix directory
+          // (decoding the whole string would break on prefixes whose
+          // length is not a multiple of 5)
+          require(dv.pathOrInlineDv.length >= 20,
+            s"DV uuid payload too short: '${dv.pathOrInlineDv}'")
+          val raw = z85Decode(dv.pathOrInlineDv.takeRight(20))
+          val prefix = dv.pathOrInlineDv.dropRight(20) match {
+            case "" => ""
+            case p => p + "/"
+          }
+          val bb = java.nio.ByteBuffer.wrap(raw)
           val uuid = new java.util.UUID(bb.getLong, bb.getLong)
           Paths.get(deltaPath, prefix + s"deletion_vector_$uuid.bin")
         }
@@ -793,6 +798,16 @@ object DeltaExport {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val st = DeltaImport.foldDeltaLog(spark, deltaPath)
+    // This writer does not re-express DeletionVectorDescriptors: a
+    // checkpoint that silently dropped them would RESURRECT the
+    // masked rows the moment the JSON prefix is vacuumed — refuse
+    // loudly instead (the import direction materializes visible
+    // rows; checkpoint after that).
+    require(st.deletes.isEmpty,
+      s"delta table at $deltaPath has ${st.deletes.size} file(s) with " +
+        "outstanding deletion vectors — checkpointing would drop the " +
+        "masks and resurrect deleted rows; compact (or import, which " +
+        "materializes visible rows) first")
     val logDir = Paths.get(deltaPath, "_delta_log")
     val listing = Files.list(logDir)
     val jsonVersions =
@@ -820,10 +835,16 @@ object DeltaExport {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType))))))
+    // the configuration map MUST ride along: dropping
+    // delta.columnMapping.mode would make readers (ours included)
+    // probe logical names against physical files; the protocol
+    // version widens with it
+    val mapped =
+      st.config.get("delta.columnMapping.mode").exists(_ != "none")
     val rows: Seq[Row] =
-      Seq(Row(Row(1, 2), null, null),
+      Seq(Row(Row(if (mapped) 2 else 1, if (mapped) 5 else 2), null, null),
         Row(null, Row("graft-checkpoint", st.schema.json,
-          st.partitionCols, Map.empty[String, String]), null)) ++
+          st.partitionCols, st.config), null)) ++
       st.activeFiles.map { case (p, pv) =>
         val f = Paths.get(deltaPath, p)
         Row(null, null, Row(p, pv, Files.size(f),

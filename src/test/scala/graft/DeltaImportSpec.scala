@@ -233,7 +233,7 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
       Seq("f0.parquet" -> Map.empty), addDv = true)
     val e2 = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, deltaB))
-    assert(e2.getMessage.contains("z85 length"))
+    assert(e2.getMessage.contains("DV uuid payload too short"))
     // gap AFTER the checkpoint still refuses (non-contiguous suffix)
     val deltaC = freshDelta()
     seedFlat(deltaC)
@@ -339,8 +339,20 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     val (out2, st2) = DeltaImport.readDelta(spark, delta)
     assert(!st2.deletes.contains("f0.parquet"))
     assert(out2.count() == 38)
-    // a corrupted blob fails its crc loudly
-    val f = Paths.get(delta, s"deletion_vector_$uuid.bin")
+    // a RANDOM-PREFIXED 'u' descriptor: only the last 20 chars are
+    // the z85 uuid; the prefix (any length, here 3 — not a multiple
+    // of 5) is a literal subdirectory
+    writeLog(delta, 2, Seq(
+      """{"remove":{"path":"f1.parquet","dataChange":true}}"""))
+    Files.createDirectories(Paths.get(delta, "ab1"))
+    Files.copy(Paths.get(delta, s"deletion_vector_$uuid.bin"),
+      Paths.get(delta, "ab1", s"deletion_vector_$uuid.bin"))
+    writeLog(delta, 3, Seq(
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab1$uuidZ85","offset":1,"sizeInBytes":${data.length},"cardinality":2}}}"""))
+    val (out3, _) = DeltaImport.readDelta(spark, delta)
+    assert(out3.count() == 38) // f0 unmasked (v1), f1 re-masked via prefix dir
+    // a corrupted blob (the one now referenced) fails its crc loudly
+    val f = Paths.get(delta, "ab1", s"deletion_vector_$uuid.bin")
     val bytes = Files.readAllBytes(f)
     bytes(7) = (bytes(7) ^ 0x1).toByte
     Files.write(f, bytes)
@@ -445,6 +457,49 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, deltaId))
     assert(e.getMessage.contains("column mapping mode 'id'"))
+  }
+
+  test("checkpointDelta refuses DV-bearing logs; carries column-mapping config") {
+    import spark.implicits._
+    import graft.sources.DeltaExport
+    // DV refusal: a checkpoint that dropped the descriptors would
+    // resurrect the masked rows once the prefix is vacuumed
+    val deltaDv = freshDelta()
+    Files.createDirectories(Paths.get(deltaDv, "_delta_log"))
+    val df = (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+    stage(deltaDv, df, "f0")
+    val data = DeltaImport.serializeRoaringArray(Seq(0L))
+    val inl = DeltaImport.z85Encode(
+      data ++ Array.fill[Byte]((4 - data.length % 4) % 4)(0))
+    writeLog(deltaDv, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet"},"schemaString":"${jesc(df.schema.json)}","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inl","sizeInBytes":${data.length},"cardinality":1}}}"""))
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.checkpointDelta(spark, deltaDv))
+    assert(e.getMessage.contains("resurrect"))
+    // column-mapping config rides the checkpoint: fold -> checkpoint
+    // -> vacuum prefix -> re-read still restores LOGICAL names
+    import org.apache.spark.sql.types._
+    val deltaCm = freshDelta()
+    Files.createDirectories(Paths.get(deltaCm, "_delta_log"))
+    def mapped(name: String, phys: String, id: Int, dt: DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id.toLong).build())
+    val logical = StructType(Seq(
+      mapped("id", "col-x1", 1, LongType), mapped("tag", "col-x2", 2, StringType)))
+    stage(deltaCm,
+      df.select(col("id").as("col-x1"), col("tag").as("col-x2")), "p0")
+    writeLog(deltaCm, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet"},"schemaString":"${jesc(logical.json)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"p0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    DeltaExport.checkpointDelta(spark, deltaCm)
+    Files.delete(Paths.get(deltaCm, "_delta_log", "0" * 20 + ".json"))
+    val (out, st) = DeltaImport.readDelta(spark, deltaCm)
+    assert(st.config("delta.columnMapping.mode") == "name")
+    assert(out.columns.toSeq == Seq("id", "tag") && out.count() == 10)
   }
 
   test("re-added file counts once; remove of a never-added path is a no-op") {
