@@ -63,37 +63,42 @@ object LakeSql {
   // committing; COMMIT lands them all-or-nothing through the
   // cross-table transaction marker (one table degenerates to a plain
   // append — trivially atomic). ROLLBACK discards the stage. The
-  // stage is session-global like the registry: one open transaction
-  // at a time, which is the single-session SQL shape this surface
-  // serves.
+  // stage is THREAD-scoped (Spark executes SQL commands eagerly on
+  // the calling thread): a transaction belongs to the thread that
+  // opened it, so concurrent sessions/threads running their own
+  // INSERTs can never be captured by someone else's open transaction
+  // — the single-session SQL shape, made safe under parallelism.
   private[sources] final case class StagedInsert(
       df: org.apache.spark.sql.DataFrame, path: String,
       statsCol: String, viewName: String)
-  private val txnStage = new java.util.concurrent.atomic.AtomicReference[
-    Option[Vector[StagedInsert]]](None)
+  private val txnStage =
+    ThreadLocal.withInitial[Option[Vector[StagedInsert]]](() => None)
 
   private[sources] def txnOpen: Boolean = txnStage.get.isDefined
 
-  private[sources] def txnBegin(): Unit =
-    require(txnStage.compareAndSet(None, Some(Vector.empty)),
+  private[sources] def txnBegin(): Unit = {
+    require(txnStage.get.isEmpty,
       "BEGIN TRANSACTION: a SQL transaction is already open — " +
         "COMMIT or ROLLBACK it first")
+    txnStage.set(Some(Vector.empty))
+  }
 
   private[sources] def txnStageInsert(si: StagedInsert): Unit = {
     val cur = txnStage.get
     require(cur.isDefined, "no open SQL transaction")
-    require(txnStage.compareAndSet(cur, Some(cur.get :+ si)),
-      "concurrent SQL transaction mutation")
+    txnStage.set(Some(cur.get :+ si))
   }
 
   private[sources] def txnRollback(): Unit = {
-    require(txnStage.getAndSet(None).isDefined,
+    require(txnStage.get.isDefined,
       "ROLLBACK: no open SQL transaction")
+    txnStage.set(None)
   }
 
   private[sources] def txnCommit(spark: SparkSession): Unit = {
-    val staged = txnStage.getAndSet(None).getOrElse(
+    val staged = txnStage.get.getOrElse(
       throw new IllegalArgumentException("COMMIT: no open SQL transaction"))
+    txnStage.set(None)
     if (staged.isEmpty) return
     if (staged.size == 1) {
       val si = staged.head

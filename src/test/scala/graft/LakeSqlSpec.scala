@@ -909,6 +909,34 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("no open SQL transaction"))
   }
 
+  test("SQL transactions are thread-scoped: a concurrent INSERT is never captured") {
+    import spark.implicits._
+    val (pa, pb) = freshPair()
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pa, Some("id"))
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pb, Some("id"))
+    LakeSql.register(spark, pa, "txniso_a", "id")
+    LakeSql.register(spark, pb, "txniso_b", "id")
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txniso_a VALUES (2, 20)")
+    // another thread's INSERT lands IMMEDIATELY — it must not stage
+    // into (or be held back by) this thread's open transaction
+    val t = new Thread(() => spark.sql("INSERT INTO txniso_b VALUES (3, 30)"))
+    t.start(); t.join()
+    assert(GraftLake.read(spark, pb).count() == 2) // landed
+    assert(GraftLake.read(spark, pa).count() == 1) // still staged
+    spark.sql("COMMIT")
+    assert(GraftLake.read(spark, pa).count() == 2)
+    // and the other thread's COMMIT sees no open transaction
+    @volatile var msg = ""
+    val t2 = new Thread(() => {
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("ROLLBACK")
+      try spark.sql("COMMIT") catch { case e: Exception => msg = e.getMessage }
+    })
+    t2.start(); t2.join()
+    assert(msg.contains("no open SQL transaction"))
+  }
+
   test("CONVERT TO DELTA / CONVERT FROM DELTA round-trip through SQL") {
     import spark.implicits._
     val (gp, _) = freshPair()
