@@ -810,12 +810,24 @@ object DeltaExport {
         "materializes visible rows) first")
     val logDir = Paths.get(deltaPath, "_delta_log")
     val listing = Files.list(logDir)
-    val jsonVersions =
+    val jsonVersionsAll =
       try listing.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
         .map(_.dropRight(5).toLong).toSeq
       finally listing.close()
+    // Only versions PAST the existing checkpoint count: an
+    // un-vacuumed JSON prefix would otherwise recompute the same
+    // version and the Files.move below would throw
+    // FileAlreadyExistsException instead of the documented refusal.
+    val ckptDone = {
+      val f = logDir.resolve("_last_checkpoint")
+      if (!Files.exists(f)) -1L
+      else """"version"\s*:\s*(\d+)""".r.unanchored
+        .findFirstMatchIn(Files.readString(f))
+        .map(_.group(1).toLong).getOrElse(-1L)
+    }
+    val jsonVersions = jsonVersionsAll.filter(_ > ckptDone)
     require(jsonVersions.nonEmpty,
       s"nothing to checkpoint at $deltaPath: no JSON commits past the " +
         "existing checkpoint")
@@ -826,9 +838,15 @@ object DeltaExport {
         StructField("minWriterVersion", IntegerType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
+        // `format` is REQUIRED metaData in the Delta protocol —
+        // upstream readers reject a checkpoint without it
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
-        StructField("configuration", MapType(StringType, StringType))))),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
@@ -841,14 +859,22 @@ object DeltaExport {
     // version widens with it
     val mapped =
       st.config.get("delta.columnMapping.mode").exists(_ != "none")
+    // createdTime: the earliest surviving commit file's stamp — the
+    // closest deterministic proxy this fold has for table creation.
+    val createdTime = Files.getLastModifiedTime(
+      logDir.resolve(f"${jsonVersionsAll.min}%020d.json")).toMillis
     val rows: Seq[Row] =
       Seq(Row(Row(if (mapped) 2 else 1, if (mapped) 5 else 2), null, null),
-        Row(null, Row("graft-checkpoint", st.schema.json,
-          st.partitionCols, st.config), null)) ++
+        Row(null, Row("graft-checkpoint", Row("parquet",
+          Map.empty[String, String]), st.schema.json,
+          st.partitionCols, st.config, createdTime), null)) ++
       st.activeFiles.map { case (p, pv) =>
         val f = Paths.get(deltaPath, p)
+        // dataChange=false: checkpoint add rows RESTATE state, they
+        // do not change it — the protocol requires it and CDF readers
+        // would otherwise replay the whole table as inserts
         Row(null, null, Row(p, pv, Files.size(f),
-          Files.getLastModifiedTime(f).toMillis, true))
+          Files.getLastModifiedTime(f).toMillis, false))
       }
     val tmp = s"$deltaPath/_tmp_checkpoint"
     spark.createDataFrame(

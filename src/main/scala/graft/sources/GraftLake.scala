@@ -779,7 +779,13 @@ object GraftLake {
     require(s.tombstones.isEmpty,
       s"outstanding merge-on-read tombstones at $srcPath: compact before cloning")
     val absSrc = Paths.get(srcPath).toAbsolutePath.normalize.toString
-    val perSet = s.live.map(ls => ls.copy(set = s"$absSrc/${ls.set}"))
+    // Clone padd lines must carry RAW stats: each LiveSet's own
+    // schemaDdl is its stat-domain tag, and snapshot() serves
+    // day-domain zone maps already scaled to micros — re-publishing
+    // those under the original DATE-era tag would double-scale on the
+    // clone's next fold. The raw fold re-normalizes correctly forever.
+    val perSet = snapshotRaw(srcPath).live
+      .map(ls => ls.copy(set = s"$absSrc/${ls.set}"))
     Files.createDirectories(logDir(dstPath))
     // Register BEFORE publishing the clone's commit: if we crash
     // between the two, a stale registration is harmless (expired on
@@ -5545,6 +5551,12 @@ object GraftLake {
     require(version >= 0 && version < all.size,
       s"version $version not in [0, ${all.size - 1}] for $path")
     val target = foldState(EmptySnapshot, all.take(version + 1))
+    // The re-published padd lines must carry RAW stats: foldState
+    // retags day-domain zone maps to micros, but each LiveSet keeps
+    // its original (possibly DATE-era) schemaDdl as the domain tag —
+    // re-publishing the scaled numbers under that tag would scale
+    // them AGAIN on the next fold (Long overflow, corrupt zone maps).
+    val targetRaw = foldStateRaw(EmptySnapshot, all.take(version + 1))
     val cur = foldState(EmptySnapshot, all)
     if (cur.version == version) return cur.version // no-op
     require(target.renames.isEmpty && cur.renames.isEmpty,
@@ -5591,7 +5603,7 @@ object GraftLake {
     }
     publishEntry(path, "restore", "",
       StructType.fromDDL(target.schemaDdl), None, Seq.empty,
-      cur.live.map(_.set), None, perSet = target.live, cdfSet = cdfSet,
+      cur.live.map(_.set), None, perSet = targetRaw.live, cdfSet = cdfSet,
       expectVersion = Some(cur.version))
   }
 

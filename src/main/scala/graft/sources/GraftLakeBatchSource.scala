@@ -633,7 +633,9 @@ private[sources] class GraftLakeBatchScan(
   /** All file partitions of one set (per-file granularity). */
   private def setFilePartitions(ls: GraftLake.LiveSet): Seq[LakeFilePartition] = {
     import java.nio.file.{Files, Paths}
-    val dir = Paths.get(path, ls.set)
+    // setPathOf, not a raw join: a SHALLOW CLONE's sets are absolute
+    // paths into the source table
+    val dir = Paths.get(GraftLake.setPathOf(path, ls.set))
     val top = Files.list(dir).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.toString)

@@ -100,13 +100,22 @@ object LakeSql {
       throw new IllegalArgumentException("COMMIT: no open SQL transaction"))
     txnStage.set(None)
     if (staged.isEmpty) return
-    if (staged.size == 1) {
-      val si = staged.head
+    // Two INSERTs into the SAME table inside one transaction are a
+    // legal SQL shape: union them into one staged plan per path
+    // (appendAtomic refuses duplicate paths — its marker protocol is
+    // one commit per table). First-seen path order, rows in statement
+    // order within a path.
+    val byPath = staged.map(_.path).distinct.map { p =>
+      val group = staged.filter(_.path == p)
+      group.head.copy(df = group.map(_.df).reduce(_.unionByName(_)))
+    }
+    if (byPath.size == 1) {
+      val si = byPath.head
       GraftLake.append(si.df, si.path, statsCol = Some(si.statsCol))
     } else
-      GraftLake.appendAtomic(staged.map(si => (si.df, si.path)),
-        statsCols = staged.map(si => si.path -> Seq(si.statsCol)).toMap)
-    staged.foreach(si =>
+      GraftLake.appendAtomic(byPath.map(si => (si.df, si.path)),
+        statsCols = byPath.map(si => si.path -> Seq(si.statsCol)).toMap)
+    byPath.foreach(si =>
       GraftLake.read(spark, si.path).createOrReplaceTempView(si.viewName))
   }
 
@@ -464,7 +473,9 @@ final case class GraftLakeDetailCommand(path: String)
     // driver-side metadata walk, no tasks.
     import scala.jdk.CollectionConverters._
     val files = s.live.flatMap { ls =>
-      java.nio.file.Files.walk(java.nio.file.Paths.get(path, ls.set))
+      // setPathOf: a shallow clone's sets are absolute source paths
+      java.nio.file.Files.walk(java.nio.file.Paths.get(
+        GraftLake.setPathOf(path, ls.set)))
         .iterator().asScala.toSeq
         .filter(_.getFileName.toString.endsWith(".parquet"))
     }

@@ -197,7 +197,9 @@ private[sources] class LakeMicroBatchStream(
   override def stop(): Unit = ()
 
   private def setFiles(set: String): Seq[java.nio.file.Path] = {
-    val dir = java.nio.file.Paths.get(path, set)
+    // setPathOf, not a raw join: a SHALLOW CLONE's sets are absolute
+    // paths into the source table
+    val dir = java.nio.file.Paths.get(GraftLake.setPathOf(path, set))
     java.nio.file.Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       .sortBy(_.toString)
@@ -216,7 +218,7 @@ private[sources] class LakeMicroBatchStream(
       if (c.perSet.nonEmpty) c.perSet
       else Seq(GraftLake.LiveSet(c.add.head, c.schemaDdl, c.stats))
     sets.flatMap { ls =>
-      val dir = java.nio.file.Paths.get(path, ls.set)
+      val dir = java.nio.file.Paths.get(GraftLake.setPathOf(path, ls.set))
       val leaves = GraftLake.hiveLeaves(dir).filter(_._2.nonEmpty)
       require(leaves.nonEmpty,
         s"padd set ${ls.set} at $path has no partition directory")
@@ -270,7 +272,8 @@ private[sources] class LakeMicroBatchStream(
           // sets (Delta's file-level remove); vacuumed sets refuse.
           case "truncate" =>
             GraftLake.removedDataSetsAt(path, c.version).flatMap { ls =>
-              val dir = java.nio.file.Paths.get(path, ls.set)
+              val dir = java.nio.file.Paths.get(
+                GraftLake.setPathOf(path, ls.set))
               require(java.nio.file.Files.exists(dir),
                 s"commit ${c.version}'s truncated set ${ls.set} was " +
                   "vacuumed — restart from a fresh snapshot")

@@ -502,6 +502,39 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.toSeq == Seq("id", "tag") && out.count() == 10)
   }
 
+  test("checkpointDelta writes protocol-required fields; recheckpoint without new commits refuses") {
+    import graft.sources.DeltaExport
+    val delta = freshDelta()
+    seedFlat(delta)
+    val v = DeltaExport.checkpointDelta(spark, delta)
+    assert(v == 1L)
+    val cp = spark.read.parquet(
+      Paths.get(delta, "_delta_log", "0" * 19 + "1.checkpoint.parquet")
+        .toString)
+    // checkpoint add rows RESTATE state: dataChange must be false
+    val adds = cp.filter(col("add").isNotNull)
+      .select(col("add.dataChange")).collect()
+    assert(adds.length == 2 && adds.forall(!_.getBoolean(0)))
+    // metaData carries the protocol-REQUIRED format (and createdTime)
+    val md = cp.filter(col("metaData").isNotNull)
+      .select(col("metaData.format.provider"),
+        col("metaData.createdTime")).head
+    assert(md.getString(0) == "parquet" && !md.isNullAt(1))
+    // no new commits after the checkpoint: the refusal is the clean
+    // documented one, not a FileAlreadyExistsException mid-move, and
+    // no temp dir is left behind
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.checkpointDelta(spark, delta))
+    assert(e.getMessage.contains("nothing to checkpoint"))
+    assert(!Files.exists(Paths.get(delta, "_tmp_checkpoint")))
+    // a fresh commit past the checkpoint re-enables checkpointing
+    writeLog(delta, 2, Seq(
+      """{"remove":{"path":"f0.parquet","dataChange":true}}"""))
+    assert(DeltaExport.checkpointDelta(spark, delta) == 2L)
+    val (out, _) = DeltaImport.readDelta(spark, delta)
+    assert(out.count() == 10)
+  }
+
   test("re-added file counts once; remove of a never-added path is a no-op") {
     import spark.implicits._
     val delta = freshDelta()

@@ -909,6 +909,32 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("no open SQL transaction"))
   }
 
+  test("two INSERTs into the SAME table inside one transaction union and land once") {
+    import spark.implicits._
+    val (pa, pb) = freshPair()
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pa, Some("id"))
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pb, Some("id"))
+    LakeSql.register(spark, pa, "txndup_a", "id")
+    LakeSql.register(spark, pb, "txndup_b", "id")
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txndup_a VALUES (2, 20)")
+    spark.sql("INSERT INTO txndup_a VALUES (3, 30)")
+    spark.sql("INSERT INTO txndup_b VALUES (4, 40)")
+    spark.sql("COMMIT")
+    assert(spark.sql("SELECT id FROM txndup_a ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(GraftLake.read(spark, pb).count() == 2)
+    // the same-path union rode ONE commit: history shows one append
+    assert(GraftLake.history(spark, pa).collect().map(_.getString(1))
+      .toSeq == Seq("create", "append"))
+    // degenerate same-table-only transaction unions too
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txndup_a VALUES (5, 50)")
+    spark.sql("INSERT INTO txndup_a VALUES (6, 60)")
+    spark.sql("COMMIT")
+    assert(GraftLake.read(spark, pa).count() == 5)
+  }
+
   test("SQL transactions are thread-scoped: a concurrent INSERT is never captured") {
     import spark.implicits._
     val (pa, pb) = freshPair()

@@ -234,6 +234,71 @@ class LakeTypeWideningSpec extends AnyFunSuite with SparkSpec {
     assert(scan.filter(col("ts") >= probe94).count() == 2)
   }
 
+  test("restore after date->ntz widening re-publishes RAW stats (no double-scale)") {
+    import spark.implicits._
+    val path = freshTable()
+    GraftLake.create(
+      Seq((1L, java.sql.Date.valueOf("1994-01-05")),
+        (2L, java.sql.Date.valueOf("1995-06-30"))).toDF("k", "ts"),
+      path, statsCols = Seq("ts"))
+    GraftLake.append(
+      Seq((3L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
+        .toDF("k", "ts"), path, statsCols = Seq("ts")) // widen: v1
+    GraftLake.append(
+      Seq((4L, java.time.LocalDateTime.of(1997, 8, 9, 6, 0)))
+        .toDF("k", "ts"), path, statsCols = Seq("ts")) // v2
+    GraftLake.restore(spark, path, 1)
+    // the restore commit's padd lines must carry RAW (day-domain)
+    // stats under the day-era set's own schema tag — re-publishing
+    // the fold-scaled micros under that tag would scale them AGAIN
+    // on this snapshot (Long overflow, corrupt zone maps)
+    val snap = GraftLake.snapshot(path)
+    val dayUs = java.time.LocalDate.parse("1994-01-05").toEpochDay *
+      86400000000L
+    assert(snap.live.exists(_.statsFor("ts").exists(_.min == dayUs)))
+    assert(snap.live.forall(_.statsFor("ts").forall(st =>
+      st.min >= 0 && st.min <= st.max)))
+    // pruned reads of the widened table still see the day-era set
+    def scan = spark.read.format("graftlake").load(path)
+    val probe94 = lit(java.time.LocalDateTime.of(1994, 1, 1, 0, 0))
+    assert(scan.filter(col("ts") >= probe94).count() == 3)
+    assert(scan.filter(col("ts") >= probe94 &&
+      col("ts") < lit(java.time.LocalDateTime.of(1995, 1, 1, 0, 0)))
+      .count() == 1)
+    // ... and the scaled maps still prove absence correctly
+    val (_, scanned, skipped) = GraftLake.readPruned(spark, path, Seq(
+      ("ts", java.time.LocalDate.parse("2000-01-01").toEpochDay *
+        86400000000L, Long.MaxValue)))
+    assert(scanned == 0 && skipped > 0)
+  }
+
+  test("shallow clone after date->ntz widening re-publishes RAW stats (no double-scale)") {
+    import spark.implicits._
+    val src = freshTable()
+    GraftLake.create(
+      Seq((1L, java.sql.Date.valueOf("1994-01-05")),
+        (2L, java.sql.Date.valueOf("1995-06-30"))).toDF("k", "ts"),
+      src, statsCols = Seq("ts"))
+    GraftLake.append(
+      Seq((3L, java.time.LocalDateTime.of(1996, 3, 4, 12, 30)))
+        .toDF("k", "ts"), src, statsCols = Seq("ts"))
+    val dst = freshTable()
+    GraftLake.shallowClone(src, dst)
+    val snap = GraftLake.snapshot(dst)
+    val dayUs = java.time.LocalDate.parse("1994-01-05").toEpochDay *
+      86400000000L
+    assert(snap.live.exists(_.statsFor("ts").exists(_.min == dayUs)))
+    assert(snap.live.forall(_.statsFor("ts").forall(st =>
+      st.min >= 0 && st.min <= st.max)))
+    def scan = spark.read.format("graftlake").load(dst)
+    val probe94 = lit(java.time.LocalDateTime.of(1994, 1, 1, 0, 0))
+    assert(scan.filter(col("ts") >= probe94).count() == 3)
+    val (_, scanned, skipped) = GraftLake.readPruned(spark, dst, Seq(
+      ("ts", java.time.LocalDate.parse("2000-01-01").toEpochDay *
+        86400000000L, Long.MaxValue)))
+    assert(scanned == 0 && skipped > 0)
+  }
+
   test("date->ntz still refuses on a partition-LAYOUT column (day-image dirs)") {
     import spark.implicits._
     val path = freshTable()
