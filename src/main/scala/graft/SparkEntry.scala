@@ -676,6 +676,156 @@ object SparkEntry {
         .withColumn("dv_import_ok", lit(ok))
         .orderBy(col("status"))
     }),
+    // DELTA V2 (UUID-NAMED) CHECKPOINT IMPORT: the checkpoint form
+    // modern Delta 3.x writes when newer table features are enabled —
+    // a `<v>.checkpoint.<uuid>.parquet` manifest whose `sidecar` rows
+    // name add-shards under `_delta_log/_sidecars/`, readerFeature
+    // v2Checkpoint, a checkpointMetadata row pinning the version, and
+    // inline adds still legal beside the sidecar refs. The JSON
+    // prefix is deleted so ONLY the v2 chain can supply the adds; a
+    // JSON suffix commit folds on top. Oracle: orders minus the
+    // suffix-removed bucket slice.
+    "src73_delta_v2_checkpoint" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.sources.{DeltaImport, GraftLake}
+      val delta = scratch("graft_delta_v2cp", dir)
+      val gp = scratch("graft_delta_v2cp_import", dir)
+      rmrf(delta); rmrf(gp)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        pmod(col("o_orderkey"), lit(4L)).as("bucket"))
+      new java.io.File(s"$delta/_delta_log/_sidecars").mkdirs()
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = s"$delta/_tmp_$name"
+        df.repartition(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(delta, s"$name.parquet"))
+        rmrf(tmp)
+      }
+      (0L until 4L).foreach(b => stage(o.filter(col("bucket") === b), s"f$b"))
+      stage(o.filter(col("bucket") === 2 && col("cents") < 22000000L), "f2c")
+      val addT = StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))
+      def addRow(p: String) = Row(p, Map.empty[String, String], 1L, 0L, false)
+      def onePart(rows: Seq[Row], schema: StructType, dst: String): Unit = {
+        val tmp = s"$delta/_tmp_cp"
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+          .write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dst))
+        rmrf(tmp)
+      }
+      // sidecar shard: f0+f1 adds; manifest: protocol/metaData/
+      // checkpointMetadata/sidecar ref + INLINE adds f2, f3
+      val scName = "5c0de001-0000-4000-8000-000000000001.parquet"
+      onePart(
+        Seq(Row(addRow("f0.parquet")), Row(addRow("f1.parquet"))),
+        StructType(Seq(StructField("add", addT))),
+        s"$delta/_delta_log/_sidecars/$scName")
+      val manifestT = StructType(Seq(
+        StructField("protocol", StructType(Seq(
+          StructField("minReaderVersion", IntegerType),
+          StructField("minWriterVersion", IntegerType),
+          StructField("readerFeatures", ArrayType(StringType)),
+          StructField("writerFeatures", ArrayType(StringType))))),
+        StructField("metaData", StructType(Seq(
+          StructField("id", StringType),
+          StructField("schemaString", StringType),
+          StructField("partitionColumns", ArrayType(StringType)),
+          StructField("configuration", MapType(StringType, StringType))))),
+        StructField("checkpointMetadata", StructType(Seq(
+          StructField("version", LongType)))),
+        StructField("sidecar", StructType(Seq(
+          StructField("path", StringType),
+          StructField("sizeInBytes", LongType)))),
+        StructField("add", addT)))
+      val dataSchemaJson = o.drop("bucket").schema.json
+      onePart(Seq(
+        Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")),
+          null, null, null, null),
+        Row(null, Row("m", dataSchemaJson, Seq.empty[String],
+          Map.empty[String, String]), null, null, null),
+        Row(null, null, Row(1L), null, null),
+        Row(null, null, null, Row(scName, 1L), null),
+        Row(null, null, null, null, addRow("f2.parquet")),
+        Row(null, null, null, null, addRow("f3.parquet"))),
+        manifestT,
+        s"$delta/_delta_log/" + "0" * 19 +
+          "1.checkpoint.9e0aa111-2222-4333-8444-555566667777.parquet")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(delta, "_delta_log", "_last_checkpoint"),
+        """{"version":1}""")
+      // JSON suffix: replace f2 with its filtered slice
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(delta, "_delta_log", "0" * 19 + "2.json"),
+        Seq(
+          """{"remove":{"path":"f2.parquet","dataChange":true,"deletionTimestamp":0}}""",
+          """{"add":{"path":"f2c.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+        ).mkString("", "\n", "\n"))
+      DeltaImport.importDelta(s, delta, gp, statsCols = Seq("okey"))
+      val ok = !java.nio.file.Files.exists(java.nio.file.Paths.get(
+        delta, "_delta_log", "0" * 20 + ".json"))
+      GraftLake.read(s, gp)
+        .withColumn("bucket", pmod(col("okey"), lit(4L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+        .withColumn("v2cp_ok", lit(ok))
+        .orderBy(col("bucket"))
+    }),
+    // ICEBERG ROUND-TRIP: export a v2 Iceberg table (parquet data
+    // files + manifest avro + manifest-list avro + metadata.json,
+    // the published spec shape, no Iceberg library), append a
+    // POSITION-DELETE snapshot (the MoR shape engines write for
+    // row-level deletes), then import the current snapshot — masked
+    // rows drop via one distributed anti-join on
+    // (_metadata.file_path, row_index). Structure flags in-row.
+    // Oracle: orders minus the deleted slice.
+    "src74_iceberg_import" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, IcebergExport, IcebergImport}
+      val ice = scratch("graft_iceberg", dir)
+      val gp = scratch("graft_iceberg_import", dir)
+      rmrf(ice); rmrf(gp)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      IcebergExport.exportIceberg(o.repartition(4, col("okey")), ice)
+      // the deletes index ROW POSITIONS: learn them from the staged
+      // files for the predicate this snapshot deletes
+      val dels = s.read.parquet(s"$ice/data")
+        .filter(col("cents") >= 35000000L)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+            .as("file_path"),
+          col("_metadata.row_index").as("pos"))
+      val delDir = s"$ice/deletes"
+      dels.repartition(1).write.parquet(delDir)
+      val delFiles = new java.io.File(delDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+      IcebergExport.appendPositionDeletes(s, ice, delFiles)
+      val st = IcebergImport.importIceberg(s, ice, gp,
+        statsCols = Seq("okey"))
+      val ok = st.formatVersion == 2 && st.posDeleteFiles.size == 1 &&
+        st.dataFiles.size == 4 && st.snapshotId == 2L
+      GraftLake.read(s, gp)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+        .withColumn("iceberg_ok", lit(ok))
+        .orderBy(col("status"))
+    }),
     // SQL TRANSACTIONS: BEGIN TRANSACTION / COMMIT / ROLLBACK — the
     // SQL twin of src64. Staged INSERTs land on BOTH tables through
     // one cross-table transaction marker; a CHECK-violating COMMIT
@@ -4492,6 +4642,24 @@ object SparkEntry {
         |FROM t
         |WHERE NOT (okey % 2 = 0 AND cents >= 30000000)
         |  AND NOT (okey % 2 = 1 AND cents >= 40000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src73_delta_v2_checkpoint" ->
+      """WITH t AS (SELECT o_orderkey AS okey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 4 AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  min(okey) AS lo, max(okey) AS hi, TRUE AS v2cp_ok
+        |FROM t
+        |WHERE NOT (bucket = 2 AND cents >= 22000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src74_iceberg_import" ->
+      """WITH t AS (SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  min(okey) AS lo, max(okey) AS hi, TRUE AS iceberg_ok
+        |FROM t WHERE cents < 35000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src70_sql_txn" ->
       """WITH t AS (SELECT o_orderstatus AS status,

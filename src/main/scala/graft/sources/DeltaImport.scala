@@ -325,8 +325,8 @@ object DeltaImport {
   /** The protocol gate, shared by the JSON and checkpoint folds:
     * reader version 1 is the base protocol, 2 adds column mapping
     * (name mode imports; id mode refuses when metaData declares it),
-    * 3 lists explicit readerFeatures of which only columnMapping is
-    * spoken — anything else (deletionVectors, v2Checkpoint, ...)
+    * 3 lists explicit readerFeatures of which columnMapping,
+    * deletionVectors, and v2Checkpoint are spoken — anything else
     * changes file semantics this import does not speak.
     */
   private def checkProtocol(
@@ -336,21 +336,23 @@ object DeltaImport {
       case v if v <= 2 => ()
       case 3 =>
         val fs = readerFeatures.getOrElse(Set("<unlisted>"))
-        val unsupported = fs -- Set("columnMapping", "deletionVectors")
+        val unsupported =
+          fs -- Set("columnMapping", "deletionVectors", "v2Checkpoint")
         require(unsupported.isEmpty,
           s"delta readerFeatures ${unsupported.mkString(", ")} at $where — " +
-            "this import speaks only columnMapping and deletionVectors; " +
-            "compact the source table first")
+            "this import speaks only columnMapping, deletionVectors, and " +
+            "v2Checkpoint; compact the source table first")
       case v => throw new IllegalArgumentException(
         s"delta minReaderVersion $v at $where is unsupported")
     }
 
   /** The checkpoint `_last_checkpoint` names: (version, checkpoint
-    * parquet files). Classic naming only — single-file
-    * `<v>.checkpoint.parquet` or multi-part
-    * `<v>.checkpoint.<i>.<n>.parquet`; a `_last_checkpoint` whose
-    * files are absent under those names (a v2/UUID-named checkpoint,
-    * or a torn write) refuses loudly.
+    * parquet files). Classic single-file `<v>.checkpoint.parquet`,
+    * classic multi-part `<v>.checkpoint.<i>.<n>.parquet`, or the V2
+    * UUID-named manifest `<v>.checkpoint.<uuid>.parquet` (whose
+    * `sidecar` rows the fold resolves under `_sidecars/`). A v2
+    * manifest in JSON form, or a `_last_checkpoint` whose files are
+    * absent under every spoken name (a torn write), refuses loudly.
     */
   private def readLastCheckpoint(
       logDir: java.nio.file.Path, deltaPath: String)
@@ -370,11 +372,31 @@ object DeltaImport {
         f"$v%020d.checkpoint.$i%010d.$p%010d.parquet")
     }
     val missing = names.filterNot(n => Files.exists(logDir.resolve(n)))
-    require(missing.isEmpty,
+    if (missing.isEmpty)
+      return Some(v -> names.map(n => logDir.resolve(n).toString))
+    // V2 (UUID-named) checkpoint manifest: <v>.checkpoint.<uuid>.parquet
+    // — 4 dot-segments with a non-numeric third (multi-part classic
+    // has 5; classic single has 3).
+    val prefix = f"$v%020d.checkpoint."
+    val listing = Files.list(logDir)
+    val cands =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).toSeq
+      finally listing.close()
+    val v2 = cands.filter { n =>
+      val segs = n.split("\\.")
+      n.endsWith(".parquet") && segs.length == 4 && !segs(2).forall(_.isDigit)
+    }
+    if (v2.nonEmpty)
+      return Some(v -> v2.sorted.map(n => logDir.resolve(n).toString))
+    require(!cands.exists(_.endsWith(".json")),
+      s"checkpoint at $deltaPath v$v is a V2 manifest in JSON form " +
+        s"(${cands.filter(_.endsWith(".json")).mkString(", ")}) — this " +
+        "import speaks parquet manifests only")
+    throw new IllegalArgumentException(
       s"_last_checkpoint at $deltaPath names version $v but " +
-        s"${missing.mkString(", ")} is missing — a v2/UUID-named or " +
-        "incomplete checkpoint this import does not speak")
-    Some(v -> names.map(n => logDir.resolve(n).toString))
+        s"${missing.mkString(", ")} is missing and no UUID-named " +
+        "manifest exists — an incomplete checkpoint")
   }
 
   /** Fold `_delta_log` at `deltaPath` into (schema, partition columns,
@@ -461,16 +483,20 @@ object DeltaImport {
     // Checkpoint fold: one distributed parquet read, then O(files)
     // driver rows — the same budget class as the JSON log parse
     // (Delta readers reconstruct snapshots driver-side the same way).
-    checkpoint.foreach { case (_, files) =>
+    checkpoint.foreach { case (cpv, files) =>
       val cdf = spark.read.parquet(files: _*)
-      val cols = cdf.schema.fieldNames.toSet
       def struct(row: org.apache.spark.sql.Row, name: String)
           : Option[org.apache.spark.sql.Row] =
-        if (cols(name) && !row.isNullAt(row.fieldIndex(name)))
+        if (row.schema.fieldNames.contains(name) &&
+            !row.isNullAt(row.fieldIndex(name)))
           Some(row.getAs[org.apache.spark.sql.Row](name))
         else None
       val cpAdds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
-      cdf.collect().foreach { row =>
+      // V2 manifests carry `sidecar` rows naming add/remove shards
+      // under _sidecars/, and a `checkpointMetadata` row pinning the
+      // version — inline add rows stay legal in both forms.
+      val sidecars = scala.collection.mutable.ArrayBuffer[String]()
+      def processRow(row: org.apache.spark.sql.Row): Unit = {
         struct(row, "protocol").foreach { p =>
           val fi = p.schema.fieldNames.indexOf("minReaderVersion")
           val mrv = if (fi >= 0 && !p.isNullAt(fi)) p.getInt(fi) else 1
@@ -514,7 +540,35 @@ object DeltaImport {
         }
         // checkpoint `remove` rows are expired-tombstone bookkeeping
         // (vacuum state), never a file effect on the live set
+        struct(row, "checkpointMetadata").foreach { cm =>
+          val vi = cm.schema.fieldNames.indexOf("version")
+          if (vi >= 0 && !cm.isNullAt(vi)) {
+            val mv = cm.get(vi).asInstanceOf[Number].longValue
+            require(mv == cpv,
+              s"v2 checkpoint manifest at $deltaPath declares version " +
+                s"$mv but _last_checkpoint names $cpv — torn or " +
+                "mismatched checkpoint")
+          }
+        }
+        struct(row, "sidecar").foreach { sc =>
+          Option(sc.getAs[String]("path")).foreach { p =>
+            // sidecar paths are file names under _sidecars/ or
+            // absolute URIs (the spec allows both)
+            val resolved =
+              if (p.startsWith("/")) p
+              else if (p.startsWith("file:"))
+                p.stripPrefix("file:").replaceAll("^//", "")
+              else logDir.resolve("_sidecars").resolve(p).toString
+            require(Files.exists(Paths.get(resolved)),
+              s"v2 checkpoint sidecar $p at $deltaPath is missing " +
+                s"(expected $resolved)")
+            sidecars += resolved
+          }
+        }
       }
+      cdf.collect().foreach(processRow)
+      if (sidecars.nonEmpty)
+        spark.read.parquet(sidecars.toSeq: _*).collect().foreach(processRow)
       // the checkpoint is a SNAPSHOT — row order is meaningless; sort
       // by path so import output is deterministic
       cpAdds.sortBy(_._1).foreach { case (p, pv) =>

@@ -1,0 +1,677 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Apache Iceberg TABLE IMPORT — the second public open-table-format
+  * on-ramp beside [[DeltaImport]], speaking the published Iceberg
+  * table spec (format versions 1 and 2) with no Iceberg library
+  * dependency:
+  *
+  *   `metadata/vN.metadata.json` (JSON: schema, snapshots)
+  *     → current snapshot's MANIFEST LIST (Avro: one row per manifest)
+  *       → each MANIFEST (Avro: one entry per data/delete file)
+  *         → parquet data files, minus POSITION-DELETE rows.
+  *
+  * Scale shape: the metadata chain is O(manifests + files) DRIVER
+  * rows — the same budget class as Iceberg's own driver-side snapshot
+  * planning — while all DATA moves distributed: live parquet files
+  * read in ONE multi-path scan; position-masked files read with
+  * `_metadata` (file_path, row_index) and dropped via a single
+  * distributed ANTI-JOIN against the delete-file rows (never an
+  * In-literal, never a collect of data-sized state).
+  *
+  * Loud refusals, never silent misreads: format-version 3+ (deletion
+  * vectors, row lineage), EQUALITY deletes (need sequence-number
+  * scoped application), non-parquet data files, nested field types.
+  */
+object IcebergImport {
+
+  /** Folded current-snapshot state: the Spark-typed table schema,
+    * identity partition column names (informational — Iceberg data
+    * files CONTAIN their partition source columns), live data-file
+    * paths, and position-delete file paths, all absolute.
+    */
+  final case class IcebergState(
+      schema: StructType,
+      partitionCols: Seq[String],
+      dataFiles: Seq[String],
+      posDeleteFiles: Seq[String],
+      formatVersion: Int,
+      snapshotId: Long)
+
+  // ------------------------------------------------------- tiny JSON
+
+  /** Minimal recursive-descent JSON reader for the metadata file —
+    * objects → Map[String, Any], arrays → Vector[Any], numbers →
+    * Long/Double, plus String/Boolean/null. Metadata-sized input
+    * (driver-side, KBs); a full parser beats regex scraping because
+    * `metadata.json` nests schemas inside snapshot arrays.
+    */
+  private[sources] def parseJson(s: String): Any = {
+    var i = 0
+    def ws(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"bad JSON at offset $i: $msg")
+    def value(): Any = {
+      ws()
+      s.charAt(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => i += 4; true
+        case 'f' => i += 5; false
+        case 'n' => i += 4; null
+        case _ => num()
+      }
+    }
+    def obj(): Map[String, Any] = {
+      i += 1; ws()
+      val m = scala.collection.mutable.LinkedHashMap[String, Any]()
+      if (s.charAt(i) == '}') { i += 1; return m.toMap }
+      while (true) {
+        ws()
+        val k = str()
+        ws()
+        if (s.charAt(i) != ':') fail("expected ':'")
+        i += 1
+        m(k) = value()
+        ws()
+        s.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; return m.toMap
+          case _ => fail("expected ',' or '}'")
+        }
+      }
+      m.toMap
+    }
+    def arr(): Vector[Any] = {
+      i += 1; ws()
+      val b = Vector.newBuilder[Any]
+      if (s.charAt(i) == ']') { i += 1; return b.result() }
+      while (true) {
+        b += value()
+        ws()
+        s.charAt(i) match {
+          case ',' => i += 1
+          case ']' => i += 1; return b.result()
+          case _ => fail("expected ',' or ']'")
+        }
+      }
+      b.result()
+    }
+    def str(): String = {
+      if (s.charAt(i) != '"') fail("expected string")
+      i += 1
+      val b = new java.lang.StringBuilder()
+      while (s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          s.charAt(i + 1) match {
+            case 'n' => b.append('\n'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case 'b' => b.append('\b'); i += 2
+            case 'f' => b.append('\f'); i += 2
+            case 'u' =>
+              b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case e => b.append(e); i += 2
+          }
+        } else { b.append(c); i += 1 }
+      }
+      i += 1
+      b.toString
+    }
+    def num(): Any = {
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      val t = s.substring(start, i)
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble
+      else t.toLong
+    }
+    val v = value()
+    v
+  }
+
+  // --------------------------------------------------- schema mapping
+
+  /** Iceberg primitive type name → Spark type. `timestamp` is
+    * zone-less micros (TIMESTAMP_NTZ); `timestamptz` is instant
+    * micros (TIMESTAMP). Nested types refuse loudly — a struct read
+    * as null would silently corrupt results.
+    */
+  private def toSparkType(t: Any, field: String): DataType = t match {
+    case s: String => s match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "string" => StringType
+      case "uuid" => StringType
+      case "binary" => BinaryType
+      case dec if dec.startsWith("decimal(") =>
+        val ps = dec.stripPrefix("decimal(").stripSuffix(")").split(",")
+        DecimalType(ps(0).trim.toInt, ps(1).trim.toInt)
+      case fixed if fixed.startsWith("fixed") => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"iceberg type '$other' of field '$field' is not supported")
+    }
+    case _: Map[_, _] => throw new IllegalArgumentException(
+      s"nested iceberg type at field '$field' (struct/list/map) is not " +
+        "supported by this import")
+    case other => throw new IllegalArgumentException(
+      s"unreadable iceberg type $other at field '$field'")
+  }
+
+  private def schemaOf(meta: Map[String, Any]): StructType = {
+    val fields: Vector[Any] = meta.get("schemas") match {
+      case Some(schemas: Vector[_]) =>
+        val curId = meta.getOrElse("current-schema-id", 0L)
+        val cur = schemas.collectFirst {
+          case m: Map[String, Any] @unchecked
+              if m.getOrElse("schema-id", 0L) == curId => m
+        }.getOrElse(throw new IllegalArgumentException(
+          s"current-schema-id $curId not among schemas"))
+        cur("fields").asInstanceOf[Vector[Any]]
+      case _ => // format v1: single "schema"
+        meta("schema").asInstanceOf[Map[String, Any]]("fields")
+          .asInstanceOf[Vector[Any]]
+    }
+    StructType(fields.map { f =>
+      val m = f.asInstanceOf[Map[String, Any]]
+      val name = m("name").asInstanceOf[String]
+      StructField(name, toSparkType(m("type"), name),
+        nullable = !m.getOrElse("required", false).asInstanceOf[Boolean])
+    })
+  }
+
+  /** Identity-transform partition field names of the current spec. */
+  private def partitionColsOf(meta: Map[String, Any]): Seq[String] = {
+    val fields: Vector[Any] = meta.get("partition-specs") match {
+      case Some(specs: Vector[_]) =>
+        val curId = meta.getOrElse("default-spec-id", 0L)
+        specs.collectFirst {
+          case m: Map[String, Any] @unchecked
+              if m.getOrElse("spec-id", 0L) == curId =>
+            m("fields").asInstanceOf[Vector[Any]]
+        }.getOrElse(Vector.empty)
+      case _ => meta.get("partition-spec") match {
+        case Some(v: Vector[_]) => v.asInstanceOf[Vector[Any]]
+        case _ => Vector.empty
+      }
+    }
+    fields.collect {
+      case m: Map[String, Any] @unchecked
+          if m.getOrElse("transform", "") == "identity" =>
+        m("name").asInstanceOf[String]
+    }
+  }
+
+  // ------------------------------------------------------ avro chain
+
+  /** Strip a `file:` URI scheme — hand-written and engine-written
+    * metadata may reference either plain paths or file URIs.
+    */
+  private[sources] def stripScheme(p: String): String =
+    if (p.startsWith("file://")) p.stripPrefix("file://")
+    else if (p.startsWith("file:")) p.stripPrefix("file:")
+    else p
+
+  /** Read one Avro container file as GenericRecords (driver-side —
+    * manifest lists and manifests are metadata-sized).
+    */
+  private def avroRecords(path: String): Seq[GenericRecord] = {
+    val reader = new DataFileReader[GenericRecord](
+      new File(stripScheme(path)), new GenericDatumReader[GenericRecord]())
+    val rows = reader.iterator().asScala.toVector
+    reader.close()
+    rows
+  }
+
+  private def fieldOf(rec: GenericRecord, name: String): Option[AnyRef] =
+    if (rec.getSchema.getField(name) == null) None
+    else Option(rec.get(name))
+
+  private def longField(rec: GenericRecord, name: String, dflt: Long): Long =
+    fieldOf(rec, name).map(_.asInstanceOf[Number].longValue).getOrElse(dflt)
+
+  private def strField(rec: GenericRecord, name: String): Option[String] =
+    fieldOf(rec, name).map(_.toString)
+
+  // ------------------------------------------------------------ fold
+
+  /** Resolve the CURRENT metadata file: `version-hint.text` when
+    * present (the HadoopTables convention), otherwise the highest
+    * `vN.metadata.json` / lexicographically-last `*.metadata.json`.
+    */
+  private def currentMetadataFile(tablePath: String): java.nio.file.Path = {
+    val mdir = Paths.get(tablePath, "metadata")
+    require(Files.isDirectory(mdir), s"no iceberg metadata dir at $tablePath")
+    val hint = mdir.resolve("version-hint.text")
+    if (Files.exists(hint)) {
+      val v = Files.readString(hint).trim
+      val f = mdir.resolve(s"v$v.metadata.json")
+      require(Files.exists(f), s"version-hint names v$v but $f is missing")
+      f
+    } else {
+      val listing = Files.list(mdir)
+      val cands =
+        try listing.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".metadata.json")).toSeq
+        finally listing.close()
+      require(cands.nonEmpty, s"no *.metadata.json under $mdir")
+      def verOf(n: String): Long = {
+        val m = """^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(n)
+        m.map(_.group(1).toLong).getOrElse(-1L)
+      }
+      val best =
+        if (cands.exists(verOf(_) >= 0)) cands.maxBy(verOf)
+        else cands.max
+      mdir.resolve(best)
+    }
+  }
+
+  /** Fold the current snapshot: metadata.json → manifest list →
+    * manifests → (live data files, position-delete files).
+    */
+  def foldIceberg(tablePath: String): IcebergState = {
+    val mf = currentMetadataFile(tablePath)
+    val meta = parseJson(Files.readString(mf)).asInstanceOf[Map[String, Any]]
+    val fv = meta.getOrElse("format-version", 1L).asInstanceOf[Long].toInt
+    require(fv == 1 || fv == 2,
+      s"iceberg format-version $fv at $tablePath is not supported " +
+        "(this import speaks v1/v2; v3 adds deletion vectors and row " +
+        "lineage it would misread)")
+    val schema = schemaOf(meta)
+    val snapId = meta.getOrElse("current-snapshot-id", -1L) match {
+      case n: Long => n
+      case d: Double => d.toLong
+      case _ => -1L
+    }
+    require(snapId != -1L,
+      s"iceberg table at $tablePath has no current snapshot (empty " +
+        "table or staged-only metadata)")
+    val snaps = meta.getOrElse("snapshots", Vector.empty)
+      .asInstanceOf[Vector[Any]]
+    val cur = snaps.collectFirst {
+      case m: Map[String, Any] @unchecked
+          if m.getOrElse("snapshot-id", 0L) == snapId => m
+    }.getOrElse(throw new IllegalArgumentException(
+      s"current-snapshot-id $snapId not among snapshots at $tablePath"))
+    val mlPath = cur.get("manifest-list") match {
+      case Some(p: String) => resolve(tablePath, p)
+      case _ => throw new IllegalArgumentException(
+        s"snapshot $snapId has no manifest-list (v1 inline 'manifests' " +
+          "lists are not supported — rewrite the snapshot or upgrade)")
+    }
+
+    val dataFiles = Vector.newBuilder[String]
+    val posDeletes = Vector.newBuilder[String]
+    avroRecords(mlPath).foreach { mrec =>
+      val manifestPath = strField(mrec, "manifest_path").getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest-list row without manifest_path in $mlPath"))
+      // v2 manifest-list rows carry content: 0=data, 1=deletes; v1
+      // has no field — all data.
+      val manifestContent = longField(mrec, "content", 0L)
+      avroRecords(resolve(tablePath, manifestPath)).foreach { entry =>
+        val status = longField(entry, "status", 1L)
+        if (status != 2L) { // 2 = DELETED: not part of the snapshot
+          val df = fieldOf(entry, "data_file").getOrElse(
+            throw new IllegalArgumentException(
+              s"manifest entry without data_file in $manifestPath"))
+            .asInstanceOf[GenericRecord]
+          val path = strField(df, "file_path").getOrElse(
+            throw new IllegalArgumentException(
+              s"data_file without file_path in $manifestPath"))
+          val fmt = strField(df, "file_format").getOrElse("PARQUET")
+          require(fmt.equalsIgnoreCase("parquet"),
+            s"iceberg data file format '$fmt' is not supported " +
+              s"(parquet only): $path")
+          // file content: 0=data, 1=position deletes, 2=equality
+          // deletes (v2 data_file field; v1 manifests are data-only)
+          val content = longField(df, "content", manifestContent)
+          content match {
+            case 0L => dataFiles += resolve(tablePath, path)
+            case 1L => posDeletes += resolve(tablePath, path)
+            case 2L => throw new IllegalArgumentException(
+              s"iceberg EQUALITY delete file at $path — equality " +
+                "deletes need sequence-number-scoped application this " +
+                "import does not speak; compact the table first")
+            case other => throw new IllegalArgumentException(
+              s"unknown iceberg file content $other at $path")
+          }
+        }
+      }
+    }
+    IcebergState(schema, partitionColsOf(meta), dataFiles.result(),
+      posDeletes.result(), fv, snapId)
+  }
+
+  private def resolve(tablePath: String, p: String): String = {
+    val s = stripScheme(p)
+    if (s.startsWith("/")) s else s"$tablePath/$s"
+  }
+
+  /** Read the visible rows of the current snapshot as a DataFrame.
+    *
+    * Unmasked files read in ONE multi-path parquet scan. Files named
+    * by any position-delete row read in a second scan that exposes
+    * `_metadata.file_path` + `row_index` and drops deleted positions
+    * via a distributed LEFT ANTI join against the delete rows — the
+    * only shape that survives real delete-file sizes (an In-literal
+    * list would overflow the analyzer; a collect would move
+    * data-sized state to the driver).
+    */
+  def readIceberg(spark: SparkSession, tablePath: String)
+      : (DataFrame, IcebergState) = {
+    val st = foldIceberg(tablePath)
+    require(st.dataFiles.nonEmpty,
+      s"iceberg snapshot ${st.snapshotId} at $tablePath has no data files")
+    val cols = st.schema.fieldNames.map(col).toSeq
+
+    if (st.posDeleteFiles.isEmpty)
+      return (spark.read.parquet(st.dataFiles: _*).select(cols: _*), st)
+
+    // position-delete rows: (file_path, pos) per the spec; normalize
+    // the URI scheme so both join sides speak plain absolute paths
+    val dels = spark.read.parquet(st.posDeleteFiles: _*)
+      .select(
+        regexp_replace(col("file_path"), "^file:(//)?", "").as("del_file"),
+        col("pos").as("del_pos"))
+    val masked = {
+      // driver-side metadata probe: which data files do delete rows
+      // name? O(delete rows) distinct-collect of FILE PATHS (file
+      // count, not row count — the manifest-sized budget class).
+      val named = dels.select(col("del_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      st.dataFiles.filter(named.contains)
+    }
+    val unmasked = st.dataFiles.filterNot(masked.toSet)
+    val maskedDf =
+      if (masked.isEmpty) None
+      else Some {
+        spark.read.parquet(masked: _*)
+          .select(cols :+
+            regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+              .as("__file") :+
+            col("_metadata.row_index").as("__pos"): _*)
+          // no broadcast hint: the delete side's parquet size stats
+          // let Catalyst/AQE auto-broadcast when small and fall back
+          // to a shuffled anti-join when a table has huge delete
+          // files — forcing broadcast would OOM at real MoR scale
+          .join(dels,
+            col("__file") === col("del_file") && col("__pos") === col("del_pos"),
+            "left_anti")
+          .select(cols: _*)
+      }
+    val unmaskedDf =
+      if (unmasked.isEmpty) None
+      else Some(spark.read.parquet(unmasked: _*).select(cols: _*))
+    val out = (unmaskedDf, maskedDf) match {
+      case (Some(u), Some(m)) => u.unionByName(m)
+      case (Some(u), None) => u
+      case (None, Some(m)) => m
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
+    (out, st)
+  }
+
+  /** Import the current snapshot into a NEW graft-lake table. */
+  def importIceberg(
+      spark: SparkSession, tablePath: String, graftPath: String,
+      statsCols: Seq[String] = Seq.empty): IcebergState = {
+    require(!Files.exists(Paths.get(graftPath, "_graft_log")),
+      s"graft table already exists at $graftPath")
+    val (df, st) = readIceberg(spark, tablePath)
+    GraftLake.create(df, graftPath, statsCols = statsCols)
+    st
+  }
+}
+
+/** Apache Iceberg TABLE EXPORT — the write direction of
+  * [[IcebergImport]] (DeltaExport's twin for the other public
+  * format): materialize a DataFrame's rows as parquet data files plus
+  * the spec-shaped v2 metadata chain (manifest Avro → manifest-list
+  * Avro → vN.metadata.json + version-hint.text). Snapshot staging is
+  * exposed piecewise (data snapshot / delete snapshot) so multi-
+  * snapshot logs — an append then a position-delete — can be built
+  * from the same writers the one-shot export uses.
+  *
+  * Scale shape: the DATA write is one distributed `df.write.parquet`
+  * (parallelism = partitions); per-file record counts come from ONE
+  * distributed `_metadata.file_path` aggregation, never a per-file
+  * driver loop; metadata files are O(files) driver rows.
+  */
+object IcebergExport {
+
+  import org.apache.avro.file.DataFileWriter
+  import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+
+  private def icebergType(dt: DataType, field: String): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"iceberg export: unsupported type $other for column '$field'")
+  }
+
+  private[graft] val manifestEntrySchemaJson: String =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+
+  private[graft] val manifestListSchemaJson: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"existing_files_count","type":"int"},
+      |{"name":"deleted_files_count","type":"int"},
+      |{"name":"added_rows_count","type":"long"},
+      |{"name":"existing_rows_count","type":"long"},
+      |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin
+
+  /** One (file_path, record_count, file_size, content) data-file row. */
+  final case class ExportFile(
+      path: String, records: Long, size: Long, content: Int)
+
+  /** Write one manifest Avro of ADDED entries; returns its path. */
+  private[graft] def writeManifest(
+      mdir: String, name: String, snapId: Long,
+      files: Seq[ExportFile]): String = {
+    val schema = new org.apache.avro.Schema.Parser()
+      .parse(manifestEntrySchemaJson)
+    val dfSchema = schema.getField("data_file").schema()
+    val out = s"$mdir/$name.avro"
+    val w = new DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new File(out))
+    files.foreach { f =>
+      val rec = new GenericData.Record(schema)
+      rec.put("status", Integer.valueOf(1)) // ADDED
+      rec.put("snapshot_id", java.lang.Long.valueOf(snapId))
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", Integer.valueOf(f.content))
+      d.put("file_path", f.path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", java.lang.Long.valueOf(f.records))
+      d.put("file_size_in_bytes", java.lang.Long.valueOf(f.size))
+      rec.put("data_file", d)
+      w.append(rec)
+    }
+    w.close()
+    out
+  }
+
+  /** Write the manifest-list Avro over (path, content, rows) rows. */
+  private[graft] def writeManifestList(
+      mdir: String, name: String, snapId: Long, seq: Long,
+      manifests: Seq[(String, Int, Long)]): String = {
+    val schema = new org.apache.avro.Schema.Parser()
+      .parse(manifestListSchemaJson)
+    val out = s"$mdir/$name.avro"
+    val w = new DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new File(out))
+    manifests.foreach { case (p, content, rows) =>
+      val rec = new GenericData.Record(schema)
+      rec.put("manifest_path", p)
+      rec.put("manifest_length", java.lang.Long.valueOf(Files.size(Paths.get(p))))
+      rec.put("partition_spec_id", Integer.valueOf(0))
+      rec.put("content", Integer.valueOf(content))
+      rec.put("sequence_number", java.lang.Long.valueOf(seq))
+      rec.put("min_sequence_number", java.lang.Long.valueOf(seq))
+      rec.put("added_snapshot_id", java.lang.Long.valueOf(snapId))
+      rec.put("added_files_count", Integer.valueOf(1))
+      rec.put("existing_files_count", Integer.valueOf(0))
+      rec.put("deleted_files_count", Integer.valueOf(0))
+      rec.put("added_rows_count", java.lang.Long.valueOf(rows))
+      rec.put("existing_rows_count", java.lang.Long.valueOf(0L))
+      rec.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+      w.append(rec)
+    }
+    w.close()
+    out
+  }
+
+  /** The iceberg schema-JSON fields body for a Spark schema (field
+    * ids 1..n in order).
+    */
+  private[graft] def schemaFieldsJson(st: StructType): String =
+    st.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
+        s""""type":"${icebergType(f.dataType, f.name)}"}"""
+    }.mkString(",")
+
+  /** Write `vN.metadata.json` + advance `version-hint.text`. Every
+    * prior snapshot stays in the log (Iceberg keeps snapshot history
+    * in each metadata file; this writer keeps only the chain it
+    * built, which is all a fresh export has).
+    */
+  private[graft] def writeMetadata(
+      tablePath: String, version: Int, st: StructType,
+      snapshots: Seq[(Long, Long, String)]): Unit = {
+    val mdir = s"$tablePath/metadata"
+    val snapsJson = snapshots.map { case (id, seq, ml) =>
+      s"""{"snapshot-id":$id,"sequence-number":$seq,""" +
+        s""""timestamp-ms":${System.currentTimeMillis()},""" +
+        s""""summary":{"operation":"append"},"manifest-list":"$ml"}"""
+    }.mkString(",")
+    val (curId, lastSeq) = (snapshots.last._1, snapshots.last._2)
+    val meta =
+      s"""{"format-version":2,"table-uuid":"graft-${tablePath.hashCode.toHexString}",
+         |"location":"$tablePath","last-sequence-number":$lastSeq,
+         |"last-updated-ms":${System.currentTimeMillis()},
+         |"last-column-id":${st.fields.length},
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[${schemaFieldsJson(st)}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"properties":{},
+         |"current-snapshot-id":$curId,
+         |"snapshots":[$snapsJson]}""".stripMargin
+    Files.writeString(Paths.get(mdir, s"v$version.metadata.json"), meta)
+    Files.writeString(Paths.get(mdir, "version-hint.text"), version.toString)
+  }
+
+  /** Per-file (path, rows) of the parquet files under `dataDir` — ONE
+    * distributed metadata aggregation, no per-file jobs.
+    */
+  private[graft] def fileRows(
+      spark: SparkSession, dataDir: String): Seq[(String, Long)] =
+    spark.read.parquet(dataDir)
+      .groupBy(regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+        .as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+
+  /** Export `df` as a NEW single-snapshot Iceberg v2 table. Returns
+    * the snapshot id.
+    */
+  def exportIceberg(df: DataFrame, tablePath: String): Long = {
+    val spark = df.sparkSession
+    require(!Files.exists(Paths.get(tablePath, "metadata")),
+      s"iceberg table already exists at $tablePath")
+    val mdir = s"$tablePath/metadata"
+    Files.createDirectories(Paths.get(mdir))
+    df.write.parquet(s"$tablePath/data")
+    val files = fileRows(spark, s"$tablePath/data")
+      .map { case (p, n) => ExportFile(p, n, Files.size(Paths.get(p)), 0) }
+    val snapId = 1L
+    val m = writeManifest(mdir, "m0-data", snapId, files)
+    val ml = writeManifestList(mdir, "ml0", snapId, 1L,
+      Seq((m, 0, files.map(_.records).sum)))
+    writeMetadata(tablePath, 1, df.schema, Seq((snapId, 1L, ml)))
+    snapId
+  }
+
+  /** Append a POSITION-DELETE snapshot over `deleteFiles` (parquet
+    * files of (file_path, pos) rows, already written under the
+    * table) — the MoR shape engines write for row-level deletes. The
+    * prior snapshot's manifests carry over untouched.
+    */
+  def appendPositionDeletes(
+      spark: SparkSession, tablePath: String,
+      deleteFiles: Seq[String]): Long = {
+    val mdir = s"$tablePath/metadata"
+    val prior = IcebergImport.foldIceberg(tablePath)
+    val snapId = prior.snapshotId + 1
+    // real record counts (engines plan scans from them): one
+    // distributed _metadata aggregation per file group, no per-file
+    // driver jobs
+    def counted(paths: Seq[String], content: Int): Seq[ExportFile] = {
+      val rows = spark.read.parquet(paths: _*)
+        .groupBy(regexp_replace(col("_metadata.file_path"),
+          "^file:(//)?", "").as("f"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      paths.sorted.map(p =>
+        ExportFile(p, rows.getOrElse(p, 0L), Files.size(Paths.get(p)), content))
+    }
+    val dataFiles = counted(prior.dataFiles, 0)
+    val delFiles = counted(deleteFiles, 1)
+    val m0 = writeManifest(mdir, s"m$snapId-data", snapId, dataFiles)
+    val m1 = writeManifest(mdir, s"m$snapId-del", snapId, delFiles)
+    val ml = writeManifestList(mdir, s"ml$snapId", snapId, 2L,
+      Seq((m0, 0, dataFiles.size.toLong), (m1, 1, delFiles.size.toLong)))
+    val hint = Files.readString(Paths.get(mdir, "version-hint.text")).trim.toInt
+    val schema = prior.schema
+    writeMetadata(tablePath, hint + 1, schema,
+      Seq((snapId, 2L, ml)))
+    snapId
+  }
+}

@@ -190,7 +190,7 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(ids.toSeq == (1L to 20L))
   }
 
-  test("multi-part checkpoint reads all parts; missing part refuses as v2/UUID") {
+  test("multi-part checkpoint reads all parts; missing part refuses as incomplete") {
     val delta = freshDelta()
     seedFlat(delta)
     val schemaJson = {
@@ -206,11 +206,12 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(st.activeFiles.map(_._1).sorted == Seq("f0.parquet", "f2.parquet"))
     assert(df.count() == 20)
     // a part vanishes -> the classic naming probe fails loudly
+    // (and no UUID-named v2 manifest exists to fall back to)
     Files.delete(Paths.get(delta, "_delta_log",
       f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
     val e = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, delta))
-    assert(e.getMessage.contains("v2/UUID"))
+    assert(e.getMessage.contains("incomplete checkpoint"))
   }
 
   test("checkpoint rows with unknown features or malformed DVs refuse loudly") {
@@ -252,10 +253,10 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     val delta2 = freshDelta()
     seedFlat(delta2)
     writeLog(delta2, 2, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["unknownFutureFeature"]}}"""))
     val e2 = intercept[IllegalArgumentException](
       DeltaImport.readDelta(spark, delta2))
-    assert(e2.getMessage.contains("v2Checkpoint"))
+    assert(e2.getMessage.contains("unknownFutureFeature"))
     // a DV whose file is gone must fail loudly, never resurrect rows
     val delta3 = freshDelta()
     seedFlat(delta3)
@@ -533,6 +534,108 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(DeltaExport.checkpointDelta(spark, delta) == 2L)
     val (out, _) = DeltaImport.readDelta(spark, delta)
     assert(out.count() == 10)
+  }
+
+  test("v2 UUID-named checkpoints: sidecar + inline adds fold; mismatch/missing/json refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val delta = freshDelta()
+    Files.createDirectories(Paths.get(delta, "_delta_log", "_sidecars"))
+    val df = (1 to 30).map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+    stage(delta, df.filter(col("id") <= 10), "f0")
+    stage(delta, df.filter(col("id") > 10 && col("id") <= 20), "f1")
+    stage(delta, df.filter(col("id") > 20), "f2")
+
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    def addRow(p: String) =
+      Row(p, Map.empty[String, String], 1L, 0L, false)
+    def onePart(rows: Seq[Row], schema: StructType, dst: java.nio.file.Path): Unit = {
+      val tmp = s"$delta/_tmp_cp"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, dst)
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+        .reverse.foreach(Files.deleteIfExists(_))
+    }
+    // sidecar shard: f0 + f1 as add rows
+    val scName = "11111111-2222-3333-4444-555555555555.parquet"
+    onePart(Seq(Row(addRow("f0.parquet")), Row(addRow("f1.parquet"))),
+      StructType(Seq(StructField("add", addT))),
+      Paths.get(delta, "_delta_log", "_sidecars", scName))
+    // manifest: protocol(v2Checkpoint) + metaData + checkpointMetadata
+    // + one sidecar ref + ONE INLINE add (f2) — both forms fold
+    val manifestT = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType)))),
+      StructField("add", addT)))
+    def manifestRows(cmVersion: Long) = Seq(
+      Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")),
+        null, null, null, null),
+      Row(null, Row("m", df.schema.json, Seq.empty[String],
+        Map.empty[String, String]), null, null, null),
+      Row(null, null, Row(cmVersion), null, null),
+      Row(null, null, null, Row(scName, 1L), null),
+      Row(null, null, null, null, addRow("f2.parquet")))
+    val mName = "0" * 19 + "1.checkpoint.aaaabbbb-cccc-dddd-eeee-ffff00001111.parquet"
+    onePart(manifestRows(1L), manifestT,
+      Paths.get(delta, "_delta_log", mName))
+    Files.writeString(Paths.get(delta, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""")
+    // a JSON commit past the checkpoint still folds on top
+    writeLog(delta, 2, Seq(
+      """{"remove":{"path":"f1.parquet","dataChange":true}}"""))
+    val (out, st) = DeltaImport.readDelta(spark, delta)
+    assert(st.activeFiles.map(_._1).sorted == Seq("f0.parquet", "f2.parquet"))
+    assert(out.count() == 20)
+    assert(out.columns.toSeq == Seq("id", "tag"))
+
+    // checkpointMetadata version mismatch refuses loudly
+    Files.delete(Paths.get(delta, "_delta_log", mName))
+    onePart(manifestRows(9L), manifestT,
+      Paths.get(delta, "_delta_log", mName))
+    val e1 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, delta))
+    assert(e1.getMessage.contains("declares version 9"))
+
+    // missing sidecar refuses loudly
+    Files.delete(Paths.get(delta, "_delta_log", mName))
+    onePart(manifestRows(1L), manifestT,
+      Paths.get(delta, "_delta_log", mName))
+    Files.delete(Paths.get(delta, "_delta_log", "_sidecars", scName))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, delta))
+    assert(e2.getMessage.contains("sidecar"))
+
+    // a v2 manifest in JSON form refuses loudly
+    Files.delete(Paths.get(delta, "_delta_log", mName))
+    Files.writeString(Paths.get(delta, "_delta_log",
+      "0" * 19 + "1.checkpoint.aaaabbbb-cccc-dddd-eeee-ffff00001111.json"),
+      "{}")
+    val e3 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, delta))
+    assert(e3.getMessage.contains("JSON form"))
   }
 
   test("re-added file counts once; remove of a never-added path is a no-op") {

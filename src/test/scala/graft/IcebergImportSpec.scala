@@ -1,0 +1,285 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftLake, IcebergImport}
+
+/** Iceberg import: the published metadata.json → manifest-list →
+  * manifest → parquet chain folds to the right live set, position
+  * deletes mask exactly their rows through the distributed anti-join,
+  * and every unsupported protocol feature refuses loudly. Tables are
+  * staged BY HAND against the public spec (no Iceberg library), the
+  * same posture as DeltaImportSpec — and the reader resolves Avro
+  * fields BY NAME so engine-written manifests with more fields than
+  * these minimal ones read identically.
+  */
+class IcebergImportSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft-iceberg").resolve("t").toString
+
+  /** Write one Avro container file of `rows` under `schemaJson`. */
+  private def writeAvro(
+      path: String, schemaJson: String, rows: Seq[Map[String, Any]]): Unit = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    Files.createDirectories(Paths.get(path).getParent)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(path))
+    rows.foreach { m =>
+      val rec = new GenericData.Record(schema)
+      m.foreach { case (k, v) =>
+        val vv: AnyRef = v match {
+          case sub: Map[String, Any] @unchecked =>
+            val subSchema = {
+              val f = schema.getField(k).schema()
+              if (f.getType == Schema.Type.UNION)
+                f.getTypes.get(1)
+              else f
+            }
+            val sr = new GenericData.Record(subSchema)
+            sub.foreach { case (sk, sv) => sr.put(sk, sv.asInstanceOf[AnyRef]) }
+            sr
+          case other => other.asInstanceOf[AnyRef]
+        }
+        rec.put(k, vv)
+      }
+      w.append(rec)
+    }
+    w.close()
+  }
+
+  private val manifestListSchema =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"content","type":"int"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin
+
+  private val manifestEntrySchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"}]}}]}""".stripMargin
+
+  /** Stage `df` as one parquet file at `<t>/data/<name>.parquet`. */
+  private def stageData(t: String, df: org.apache.spark.sql.DataFrame,
+      name: String): String = {
+    val tmp = s"$t/_tmp_$name"
+    df.repartition(1).write.parquet(tmp)
+    val part = new File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(Paths.get(t, "data"))
+    val dst = Paths.get(t, "data", s"$name.parquet")
+    Files.move(part.toPath, dst)
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+      .reverse.foreach(Files.deleteIfExists(_))
+    dst.toString
+  }
+
+  private def manifestEntry(status: Int, path: String, content: Int = 0,
+      fmt: String = "PARQUET"): Map[String, Any] =
+    Map("status" -> status,
+      "data_file" -> Map("content" -> content, "file_path" -> path,
+        "file_format" -> fmt, "record_count" -> 1L))
+
+  /** Write manifests + manifest list + vN.metadata.json for one
+    * snapshot over `entries` (grouped into one manifest per content
+    * kind), with `schemaFields` as the iceberg field JSON array body.
+    */
+  private def stageSnapshot(t: String, schemaFields: String,
+      dataEntries: Seq[Map[String, Any]],
+      deleteEntries: Seq[Map[String, Any]] = Seq.empty,
+      version: Int = 1, formatVersion: Int = 2,
+      writeHint: Boolean = true): Unit = {
+    val mdir = s"$t/metadata"
+    Files.createDirectories(Paths.get(mdir))
+    val snapId = 7700L + version
+    var mlRows = Seq(Map[String, Any](
+      "manifest_path" -> s"$mdir/m$version-data.avro",
+      "manifest_length" -> 1L, "content" -> 0, "added_snapshot_id" -> snapId))
+    writeAvro(s"$mdir/m$version-data.avro", manifestEntrySchema, dataEntries)
+    if (deleteEntries.nonEmpty) {
+      writeAvro(s"$mdir/m$version-del.avro", manifestEntrySchema, deleteEntries)
+      mlRows = mlRows :+ Map[String, Any](
+        "manifest_path" -> s"$mdir/m$version-del.avro",
+        "manifest_length" -> 1L, "content" -> 1, "added_snapshot_id" -> snapId)
+    }
+    writeAvro(s"$mdir/ml$version.avro", manifestListSchema, mlRows)
+    val meta =
+      s"""{"format-version":$formatVersion,"table-uuid":"u-$version",
+         |"location":"$t","last-sequence-number":$version,
+         |"current-snapshot-id":$snapId,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[$schemaFields]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"snapshots":[{"snapshot-id":$snapId,"sequence-number":$version,
+         |"manifest-list":"file://$mdir/ml$version.avro"}]}""".stripMargin
+    Files.writeString(Paths.get(mdir, s"v$version.metadata.json"), meta)
+    if (writeHint)
+      Files.writeString(Paths.get(mdir, "version-hint.text"), version.toString)
+  }
+
+  private val kvFields =
+    """{"id":1,"name":"k","required":true,"type":"long"},
+      |{"id":2,"name":"tag","required":false,"type":"string"},
+      |{"id":3,"name":"x","required":false,"type":"double"}""".stripMargin
+
+  test("v2 flat table: live set folds, schema maps, deleted entries drop") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (1 to 30).map(i => (i.toLong, s"r$i", i * 1.5)).toDF("k", "tag", "x")
+    val f0 = stageData(t, df.filter(col("k") <= 10), "f0")
+    val f1 = stageData(t, df.filter(col("k") > 10 && col("k") <= 20), "f1")
+    val f2 = stageData(t, df.filter(col("k") > 20), "f2")
+    // f1 is DELETED (status=2): not part of the snapshot
+    stageSnapshot(t, kvFields, Seq(
+      manifestEntry(1, s"file://$f0"),
+      manifestEntry(2, s"file://$f1"),
+      manifestEntry(0, f2)))
+    val (out, st) = IcebergImport.readIceberg(spark, t)
+    assert(st.formatVersion == 2 && st.dataFiles.size == 2)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "tag", "x"))
+    assert(!st.schema("k").nullable && st.schema("tag").nullable)
+    assert(st.schema("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(out.as[(Long, String, Double)].collect().map(_._1).toSet ==
+      ((1L to 10L) ++ (21L to 30L)).toSet)
+  }
+
+  test("position deletes mask exactly their rows via the anti-join") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (1 to 40).map(i => (i.toLong, s"r$i", i * 1.5)).toDF("k", "tag", "x")
+    val f0 = stageData(t, df.filter(col("k") <= 20).orderBy(col("k")), "f0")
+    val f1 = stageData(t, df.filter(col("k") > 20).orderBy(col("k")), "f1")
+    // delete positions 0,1,2 of f0 (k=1,2,3) and 5 of f1 (k=26);
+    // the delete file references f0 by URI and f1 by plain path —
+    // both must normalize onto _metadata.file_path
+    val delPath = {
+      val tmp = s"$t/_tmp_del"
+      Seq((s"file://$f0", 0L), (s"file://$f0", 1L), (s"file://$f0", 2L),
+        (f1, 5L))
+        .toDF("file_path", "pos").repartition(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(t, "data", "del0.parquet")
+      Files.move(part.toPath, dst)
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+        .reverse.foreach(Files.deleteIfExists(_))
+      dst.toString
+    }
+    stageSnapshot(t, kvFields,
+      Seq(manifestEntry(1, f0), manifestEntry(1, f1)),
+      Seq(manifestEntry(1, delPath, content = 1)))
+    val (out, st) = IcebergImport.readIceberg(spark, t)
+    assert(st.posDeleteFiles.size == 1)
+    val ks = out.select(col("k")).as[Long].collect().toSet
+    assert(ks == ((4L to 25L) ++ (27L to 40L)).toSet)
+    // import lands the VISIBLE rows in a graft table
+    val gp = freshTable()
+    IcebergImport.importIceberg(spark, t, gp, statsCols = Seq("k"))
+    assert(GraftLake.read(spark, gp).count() == 36)
+  }
+
+  test("refusals: format v3, equality deletes, non-parquet, nested types, no snapshot") {
+    import spark.implicits._
+    val t1 = freshTable()
+    val f = stageData(t1, Seq((1L, "a", 1.0)).toDF("k", "tag", "x"), "f0")
+    stageSnapshot(t1, kvFields, Seq(manifestEntry(1, f)), formatVersion = 3)
+    val e1 = intercept[IllegalArgumentException](
+      IcebergImport.foldIceberg(t1))
+    assert(e1.getMessage.contains("format-version 3"))
+
+    val t2 = freshTable()
+    val f2 = stageData(t2, Seq((1L, "a", 1.0)).toDF("k", "tag", "x"), "f0")
+    stageSnapshot(t2, kvFields, Seq(
+      manifestEntry(1, f2), manifestEntry(1, f2, content = 2)))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergImport.foldIceberg(t2))
+    assert(e2.getMessage.contains("EQUALITY delete"))
+
+    val t3 = freshTable()
+    val f3 = stageData(t3, Seq((1L, "a", 1.0)).toDF("k", "tag", "x"), "f0")
+    stageSnapshot(t3, kvFields, Seq(manifestEntry(1, f3, fmt = "ORC")))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergImport.foldIceberg(t3))
+    assert(e3.getMessage.contains("parquet only"))
+
+    val t4 = freshTable()
+    val f4 = stageData(t4, Seq((1L, "a", 1.0)).toDF("k", "tag", "x"), "f0")
+    stageSnapshot(t4,
+      """{"id":1,"name":"k","required":true,"type":"long"},
+        |{"id":2,"name":"pt","required":false,"type":
+        |  {"type":"struct","fields":[]}}""".stripMargin,
+      Seq(manifestEntry(1, f4)))
+    val e4 = intercept[IllegalArgumentException](
+      IcebergImport.foldIceberg(t4))
+    assert(e4.getMessage.contains("nested iceberg type"))
+
+    val t5 = freshTable()
+    Files.createDirectories(Paths.get(t5, "metadata"))
+    Files.writeString(Paths.get(t5, "metadata", "v1.metadata.json"),
+      s"""{"format-version":2,"current-snapshot-id":-1,
+         |"schemas":[{"schema-id":0,"fields":[$kvFields]}],
+         |"current-schema-id":0,"snapshots":[]}""".stripMargin)
+    Files.writeString(Paths.get(t5, "metadata", "version-hint.text"), "1")
+    val e5 = intercept[IllegalArgumentException](
+      IcebergImport.foldIceberg(t5))
+    assert(e5.getMessage.contains("no current snapshot"))
+  }
+
+  test("metadata resolution: version-hint wins; highest vN without it; v1 single-schema reads") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (1 to 10).map(i => (i.toLong, s"r$i", 0.0)).toDF("k", "tag", "x")
+    val f0 = stageData(t, df.filter(col("k") <= 5), "f0")
+    val f1 = stageData(t, df, "f1")
+    // v1 names f0 only; v2 names f1 only — the hint pins v1
+    stageSnapshot(t, kvFields, Seq(manifestEntry(1, f0)), version = 1)
+    stageSnapshot(t, kvFields, Seq(manifestEntry(1, f1)), version = 2,
+      writeHint = false)
+    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "1")
+    assert(IcebergImport.readIceberg(spark, t)._1.count() == 5)
+    // without the hint, the highest vN wins
+    Files.delete(Paths.get(t, "metadata", "version-hint.text"))
+    assert(IcebergImport.readIceberg(spark, t)._1.count() == 10)
+    // format v1 metadata: single "schema", no manifest content field
+    val t2 = freshTable()
+    val g0 = stageData(t2, df, "f0")
+    val mdir = s"$t2/metadata"
+    Files.createDirectories(Paths.get(mdir))
+    writeAvro(s"$mdir/m1.avro", manifestEntrySchema,
+      Seq(manifestEntry(1, g0)))
+    // v1 manifest-list rows have no `content` field
+    writeAvro(s"$mdir/ml1.avro",
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin,
+      Seq(Map[String, Any]("manifest_path" -> s"$mdir/m1.avro",
+        "manifest_length" -> 1L, "added_snapshot_id" -> 9L)))
+    Files.writeString(Paths.get(mdir, "v1.metadata.json"),
+      s"""{"format-version":1,"location":"$t2","current-snapshot-id":9,
+         |"schema":{"type":"struct","fields":[$kvFields]},
+         |"partition-spec":[],
+         |"snapshots":[{"snapshot-id":9,"manifest-list":"$mdir/ml1.avro"}]}"""
+        .stripMargin)
+    Files.writeString(Paths.get(mdir, "version-hint.text"), "1")
+    val (out, st) = IcebergImport.readIceberg(spark, t2)
+    assert(st.formatVersion == 1 && out.count() == 10)
+  }
+}
