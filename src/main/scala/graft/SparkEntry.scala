@@ -111,6 +111,7 @@ object SparkEntry {
     "d42_unigram_train" -> ((s: SparkSession, d: String) => graft.operators.Unigram.d42UnigramTrain(s, d)),
     "d44_temperature_sample" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d44TemperatureSample(s, d)),
     "d43_unigram_apply" -> ((s: SparkSession, d: String) => graft.operators.Unigram.d43UnigramApply(s, d)),
+    "d45_byte_fallback" -> ((s: SparkSession, d: String) => graft.operators.Unigram.d45ByteFallback(s, d)),
     "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
@@ -4546,6 +4547,7 @@ object SparkEntry {
     "d42_unigram_train" -> graft.operators.Unigram.d42OracleSql,
     "d44_temperature_sample" -> graft.operators.TextCorpus.d44OracleSql,
     "d43_unigram_apply" -> graft.operators.Unigram.d43OracleSql,
+    "d45_byte_fallback" -> graft.operators.Unigram.d45OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->

@@ -127,6 +127,74 @@ object Unigram {
   private def bitsOf(u: Long): Long =
     java.lang.Long.toBinaryString(u).length.toLong
 
+  // ------------------------------------------------- byte fallback
+
+  /** UTF-8 bytes of one code point by PURE INTEGER ARITHMETIC —
+    * bit-identical to `String.getBytes(UTF_8)` (spec-pinned against
+    * the JDK across all four length classes), and replayable in any
+    * engine as div/mod on the code point (the d45 oracle's form).
+    */
+  private[graft] def utf8Bytes(cp: Int): Seq[Int] =
+    if (cp < 0x80) Seq(cp)
+    else if (cp < 0x800) Seq(0xC0 + cp / 64, 0x80 + cp % 64)
+    else if (cp < 0x10000)
+      Seq(0xE0 + cp / 4096, 0x80 + (cp / 64) % 64, 0x80 + cp % 64)
+    else Seq(0xF0 + cp / 262144, 0x80 + (cp / 4096) % 64,
+      0x80 + (cp / 64) % 64, 0x80 + cp % 64)
+
+  private[graft] def byteToken(b: Int): String = f"<0x$b%02X>"
+
+  /** GPT-2-style BYTE-FALLBACK apply leg: characters the piece table
+    * covers segment via Viterbi over maximal covered runs; every
+    * OTHER character — any script, any byte sequence — emits its
+    * UTF-8 bytes as `<0xNN>` tokens. Makes the tokenizer TOTAL:
+    * every string segments with zero loss
+    * (`detokenize(segmentByteFallback(w)) == w`, spec-pinned), the
+    * guarantee a word-alphabet vocabulary alone cannot give.
+    */
+  private[graft] def segmentByteFallback(
+      w: String, scores: scala.collection.Map[String, Long]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val n = w.length
+    var i = 0
+    while (i < n) {
+      if (scores.contains(w.substring(i, i + 1))) {
+        var j = i + 1
+        while (j < n && scores.contains(w.substring(j, j + 1))) j += 1
+        out ++= segment(w.substring(i, j), scores)
+        i = j
+      } else {
+        // half a surrogate pair is never a covered char, so the
+        // code-point step always lands here intact
+        val cp = w.codePointAt(i)
+        utf8Bytes(cp).foreach(b => out += byteToken(b))
+        i += Character.charCount(cp)
+      }
+    }
+    out.result()
+  }
+
+  /** Inverse of [[segmentByteFallback]]: consecutive `<0xNN>` tokens
+    * re-assemble to bytes and decode as UTF-8; piece tokens append
+    * verbatim.
+    */
+  private[graft] def detokenize(tokens: Seq[String]): String = {
+    val sb = new java.lang.StringBuilder()
+    val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    def flush(): Unit = if (bytes.nonEmpty) {
+      sb.append(new String(bytes.toArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      bytes.clear()
+    }
+    tokens.foreach { t =>
+      if (t.length == 6 && t.startsWith("<0x") && t.endsWith(">"))
+        bytes += Integer.parseInt(t.substring(3, 5), 16).toByte
+      else { flush(); sb.append(t) }
+    }
+    flush()
+    sb.toString
+  }
+
   /** One EM round: segment the vocab under `scores` (a bounded
     * broadcastable map), return frequency-weighted piece usage
     * (piece, u). Pieces that fall out of use simply don't appear —
@@ -171,6 +239,49 @@ object Unigram {
     (pieces, scores1, v)
   }
 
+  /** Train to CONVERGENCE rather than the fixed two EM rounds — the
+    * production stop rule (Kudo's EM+prune iterates until the
+    * likelihood stabilizes; the integer image of that is a SCORE
+    * TABLE fixpoint: one more segment-and-rescore round reproduces
+    * the table exactly). Segmentation, scoring, and tie-breaks are
+    * byte-identical to [[trainPieces]], so when the fixpoint lands by
+    * round 2 — as on the gate corpus, spec-pinned — the converged
+    * piece table IS the d42 table and the gated unrolled oracle
+    * covers this loop too. `maxRounds` bounds the driver elections
+    * (each round is one distributed vocab pass + an O(256) collect).
+    * Returns (pieces as (piece, freq, score), rounds run, converged).
+    */
+  def trainToConvergence(docs: DataFrame, maxRounds: Int = 16)
+      : (DataFrame, Int, Boolean) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val v = vocab(docs).cache()
+    v.count()
+    val seed = seedPieces(candidateCounts(v))
+    var scores: Map[String, Long] = seed.collect()
+      .map(r => r.getString(0) -> bitsOf(r.getLong(1))).toMap
+    val chars = scores.keySet.filter(_.length == 1)
+    var rounds = 0
+    var converged = false
+    var lastUsage: Map[String, Long] = Map.empty
+    while (rounds < maxRounds && !converged) {
+      val u: Map[String, Long] = usageUnder(v, scores).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val next: Map[String, Long] =
+        u.map { case (p, c) => p -> bitsOf(c) } ++
+          chars.filterNot(u.contains).map(_ -> bitsOf(0L)).toMap
+      rounds += 1
+      lastUsage = u
+      if (next == scores) converged = true else scores = next
+    }
+    val pieces = lastUsage.toSeq.toDF("piece", "freq")
+      .select(col("piece"), col("freq"),
+        length(bin(col("freq"))).cast("long").as("score"))
+      .localCheckpoint(true)
+    v.unpersist()
+    (pieces, rounds, converged)
+  }
+
   /** d42: TRAIN — the learned piece table, top-32 by round-2 corpus
     * frequency (freq DESC, piece ASC).
     */
@@ -212,6 +323,46 @@ object Unigram {
       .groupBy(col("wlen"))
       .agg(sum(col("words")).as("words"), sum(col("pieces")).as("pieces"))
       .orderBy(col("wlen"))
+      .localCheckpoint(true)
+    v.unpersist()
+    out
+  }
+
+  /** d45: BYTE-FALLBACK TOKENIZATION — the apply leg made TOTAL.
+    * Stored pieces train as d43; the tokenized stream is the vocab
+    * with one deterministic OUT-OF-ALPHABET prefix character per word
+    * (the corpus is pure `[a-z0-9 ]`, so OOV-ness must be synthesized
+    * to be gateable): the shared Horner hash picks a code point in
+    * the 2-, 3-, or 4-byte UTF-8 class (surrogate range excluded).
+    * The REAL segmenter runs over the real strings; output is the
+    * fallback byte histogram `(byte, cnt)` plus one `(-1, total
+    * piece tokens)` row. The oracle replays the bytes as div/mod
+    * arithmetic on the same hash and the pieces through the unrolled
+    * DP — bit-identical without ever materializing a char in SQL.
+    */
+  def d45ByteFallback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val (_, scores1, v) = trainPieces(docs)
+    val b = spark.sparkContext.broadcast(scores1)
+    val out = v.select(col("w"), col("n")).as[(String, Long)]
+      .flatMap { case (w, n) =>
+        val h = Dedup.polyHash(w)
+        val cp = (h % 3L) match {
+          case 0L => 161 + (h % 1887L).toInt // 2-byte: U+00A1..U+07FF
+          case 1L => 2048 + (h % 53248L).toInt // 3-byte, below surrogates
+          case _ => 65536 + (h % 4096L).toInt // 4-byte
+        }
+        val synth = new String(Character.toChars(cp)) + w
+        segmentByteFallback(synth, b.value).map { t =>
+          if (t.startsWith("<0x"))
+            (Integer.parseInt(t.substring(3, 5), 16).toLong, n)
+          else (-1L, n)
+        }
+      }
+      .toDF("byte", "cnt0")
+      .groupBy(col("byte")).agg(sum(col("cnt0")).as("cnt"))
+      .orderBy(col("byte"))
       .localCheckpoint(true)
     v.unpersist()
     out
@@ -308,4 +459,39 @@ object Unigram {
        |    AS BIGINT) AS pieces
        |FROM b2_best
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** d45 oracle: the Horner hash picks the prefix code point, div/mod
+    * arithmetic expands its UTF-8 bytes, and the b2 DP supplies the
+    * in-alphabet piece counts — all integer, no chr()/encode() needed.
+    */
+  def d45OracleSql: String =
+    s"""$chainSql,
+       |hh AS MATERIALIZED (
+       |  SELECT w, n,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(unicode(w[i:i]) AS BIGINT) FOR i IN range(1, length(w) + 1)]),
+       |      (a, c) -> (a * 131 + c) % 1000000007) AS h
+       |  FROM v),
+       |cps AS (
+       |  SELECT n, CASE
+       |    WHEN h % 3 = 0 THEN 161 + h % 1887
+       |    WHEN h % 3 = 1 THEN 2048 + h % 53248
+       |    ELSE 65536 + h % 4096 END AS cp
+       |  FROM hh),
+       |fb AS (
+       |  SELECT unnest(CASE
+       |    WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+       |    WHEN cp < 65536 THEN
+       |      [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+       |    ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+       |      128 + (cp // 64) % 64, 128 + cp % 64] END) AS byte, n
+       |  FROM cps),
+       |ptoks AS (
+       |  SELECT CAST(-1 AS BIGINT) AS byte,
+       |    n * (length(path) - length(replace(path, ',', '')) + 1) AS n
+       |  FROM b2_best)
+       |SELECT byte, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |  SELECT CAST(byte AS BIGINT) AS byte, n FROM fb
+       |  UNION ALL SELECT byte, n FROM ptoks)
+       |GROUP BY byte ORDER BY byte""".stripMargin
 }
