@@ -867,7 +867,19 @@ object SparkEntry {
       val aborted =
         try { s.sql("COMMIT"); false } catch { case _: Exception => true }
       val after = (GraftLake.read(s, pa).count(), GraftLake.read(s, pb).count())
-      val ok = aborted && before == after
+      // the REWRITE refusal contract: DML inside an open transaction
+      // refuses loudly (it could never be rolled back), mutates
+      // nothing, and leaves the stage intact for COMMIT
+      s.sql("BEGIN TRANSACTION")
+      s.sql("INSERT INTO g70_fact SELECT * FROM g70_odd")
+      val dmlRefused =
+        try { s.sql("DELETE FROM g70_fact WHERE cents >= 0"); false }
+        catch { case e: Exception =>
+          e.getMessage.contains("BEGIN TRANSACTION") }
+      val factMid = GraftLake.read(s, pa).count()
+      s.sql("ROLLBACK")
+      val ok = aborted && before == after && dmlRefused &&
+        factMid == after._1 && GraftLake.read(s, pa).count() == after._1
       val fact = GraftLake.read(s, pa).groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("side", lit("fact"))

@@ -76,6 +76,21 @@ object LakeSql {
 
   private[sources] def txnOpen: Boolean = txnStage.get.isDefined
 
+  /** Row-rewriting statements inside an open SQL transaction refuse
+    * LOUDLY instead of silently running non-transactionally (a
+    * BEGIN; DELETE; ROLLBACK must never lose rows). They cannot
+    * stage either: the provisional-commit model holds back APPENDS,
+    * but a staged rewrite executed at COMMIT would run against a
+    * snapshot that hides this transaction's earlier statements (and
+    * DV/CDF sidecars index versions assuming visibility never
+    * changes retroactively) — the refusal IS the contract.
+    */
+  private[sources] def refuseInTxn(stmt: String): Unit =
+    require(!txnOpen,
+      s"$stmt inside BEGIN TRANSACTION: only plain INSERT INTO stages " +
+        "transactionally; rewrites cannot be rolled back or held back " +
+        "by the provisional-commit model — COMMIT or ROLLBACK first")
+
   private[sources] def txnBegin(): Unit = {
     require(txnStage.get.isEmpty,
       "BEGIN TRANSACTION: a SQL transaction is already open — " +
@@ -339,6 +354,7 @@ final case class GraftLakeDeleteCommand(
     viewName: String = "")
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"DELETE FROM $viewName")
     // Tables opted into deletion vectors (Delta's
     // enableDeletionVectors) take the merge-on-read route: an
     // O(deleted rows) position sidecar instead of a file-set rewrite;
@@ -366,6 +382,7 @@ final case class GraftLakeDeleteInCommand(
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = keys :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"DELETE FROM $viewName")
     val kdf = GraftSqlBridge.ofRows(spark, keys)
     require(kdf.columns.length == 1,
       s"DELETE FROM $viewName WHERE $keyCol IN (subquery): the subquery " +
@@ -393,6 +410,7 @@ final case class GraftLakeUpdateCommand(
     statsCol: String)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"UPDATE at $path")
     // Tables opted into deletion vectors (Delta's
     // enableDeletionVectors) take the merge-on-read route: ONE atomic
     // commit of a position sidecar + the rewritten rows — zero bytes
@@ -414,6 +432,7 @@ final case class GraftLakeUpdateCommand(
 final case class GraftLakeRestoreCommand(path: String, version: Int)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"RESTORE TABLE at $path")
     GraftLake.restore(spark, path, version)
     Seq.empty
   }
@@ -933,6 +952,7 @@ final case class GraftLakeCreateEmptyCommand(
 final case class GraftLakeTruncateCommand(path: String, viewName: String)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"TRUNCATE TABLE $viewName")
     GraftLake.truncate(path)
     GraftLake.read(spark, path).createOrReplaceTempView(viewName)
     Seq.empty
@@ -1038,6 +1058,7 @@ final case class GraftLakeMergeCommand(
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = source :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"MERGE INTO at $path")
     // Tables opted into deletion vectors (Delta's
     // enableDeletionVectors) take the merge-on-read route: a position
     // sidecar masks the matched target rows and ONE appended set
@@ -1071,6 +1092,7 @@ final case class GraftLakeMergeActionsCommand(
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = source :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"MERGE INTO $viewName")
     // Same DV opt-in routing as the canonical MERGE: tables with
     // enableDeletionVectors take the merge-on-read clause executor
     // (position sidecar + O(affected rows) append, zero set rewrites).

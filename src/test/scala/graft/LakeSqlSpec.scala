@@ -935,6 +935,46 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, pa).count() == 5)
   }
 
+  test("rewrites inside BEGIN TRANSACTION refuse loudly; the stage survives the refusal") {
+    import spark.implicits._
+    val (pa, pb) = freshPair()
+    GraftLake.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), pa, Some("id"))
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pb, Some("id"))
+    LakeSql.register(spark, pa, "txndml_a", "id")
+    LakeSql.register(spark, pb, "txndml_b", "id")
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txndml_a VALUES (3, 30)")
+    // every rewriting verb refuses LOUDLY — none may run
+    // non-transactionally under an open BEGIN (a ROLLBACK could
+    // never undo it), and none may silently stage
+    def refused(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains("BEGIN TRANSACTION"), sql)
+    }
+    refused("DELETE FROM txndml_a WHERE id = 1")
+    refused("DELETE FROM txndml_a WHERE id IN (SELECT id FROM txndml_b)")
+    refused("UPDATE txndml_a SET v = 99 WHERE id = 1")
+    refused("""MERGE INTO txndml_a USING (SELECT CAST(1 AS BIGINT) AS id,
+              |  CAST(5 AS BIGINT) AS v) s
+              |ON txndml_a.id = s.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    refused("""MERGE INTO txndml_a USING (SELECT CAST(1 AS BIGINT) AS id,
+              |  CAST(5 AS BIGINT) AS v) s
+              |ON txndml_a.id = s.id
+              |WHEN MATCHED THEN DELETE""".stripMargin)
+    refused("TRUNCATE TABLE txndml_a")
+    refused("RESTORE TABLE txndml_a TO VERSION AS OF 0")
+    // the refusals neither mutated the table nor discarded the stage
+    assert(GraftLake.read(spark, pa).count() == 2)
+    spark.sql("COMMIT")
+    assert(spark.sql("SELECT v FROM txndml_a ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
+    // after COMMIT the same verbs run again
+    spark.sql("DELETE FROM txndml_a WHERE id = 1")
+    assert(GraftLake.read(spark, pa).count() == 2)
+  }
+
   test("SQL transactions are thread-scoped: a concurrent INSERT is never captured") {
     import spark.implicits._
     val (pa, pb) = freshPair()
