@@ -1258,6 +1258,42 @@ final case class GraftDeltaExportCommand(path: String, deltaDir: String)
   }
 }
 
+/** CONVERT FROM ICEBERG '<tableDir>' TO GRAFTLAKE '<graftDir>'
+  * [AS <name>] [STATSCOL '<col>'] — the SQL surface of
+  * [[IcebergImport.importIceberg]]: the current Iceberg snapshot
+  * (v1/v2, position deletes applied) lands as a NEW graft table,
+  * optionally registered DML-capable.
+  */
+final case class GraftIcebergImportCommand(
+    icebergDir: String, graftDir: String,
+    name: Option[String], statsCol: Option[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    IcebergImport.importIceberg(spark, icebergDir, graftDir,
+      statsCols = statsCol.toSeq)
+    name.foreach { n =>
+      val sc = statsCol.getOrElse(
+        GraftLake.read(spark, graftDir).columns.head)
+      LakeSql.register(spark, graftDir, n, sc)
+    }
+    Seq.empty
+  }
+}
+
+/** CONVERT TO ICEBERG '<tableDir>' FROM <registered lake name> — the
+  * SQL surface of [[IcebergExport.exportIceberg]]: the table's
+  * VISIBLE rows (MoR state materialized through the read path, the
+  * DeltaExport posture) land as a self-contained single-snapshot
+  * Iceberg v2 table.
+  */
+final case class GraftIcebergExportCommand(path: String, icebergDir: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    IcebergExport.exportIceberg(GraftLake.read(spark, path), icebergDir)
+    Seq.empty
+  }
+}
+
 /** Parser wrapper for lake DDL: `ALTER TABLE <registered lake name>
   * RENAME COLUMN old TO new` is substituted RIGHT AFTER PARSING with
   * the runnable rename command — the analyzer's ResolveRelations
@@ -1324,6 +1360,12 @@ final class LakeDdlParser(
       """'([^']+)'(?:\s+AS\s+([\w.]+))?(?:\s+STATSCOL\s+'(\w+)')?\s*;?\s*""").r
   private val ConvertToDeltaRe =
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+'([^']+)'\s+FROM\s+([\w.]+)\s*;?\s*""".r
+  // Iceberg interop: the same CONVERT grammar family, other format.
+  private val ConvertFromIcebergRe =
+    ("""(?is)\s*CONVERT\s+FROM\s+ICEBERG\s+'([^']+)'\s+TO\s+GRAFTLAKE\s+""" +
+      """'([^']+)'(?:\s+AS\s+([\w.]+))?(?:\s+STATSCOL\s+'(\w+)')?\s*;?\s*""").r
+  private val ConvertToIcebergRe =
+    """(?is)\s*CONVERT\s+TO\s+ICEBERG\s+'([^']+)'\s+FROM\s+([\w.]+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case BeginTxnRe() => GraftLakeTxnCommand("begin")
@@ -1335,6 +1377,12 @@ final class LakeDdlParser(
     case ConvertToDeltaRe(deltaDir, srcName)
         if LakeSql.lookup(srcName).isDefined =>
       GraftDeltaExportCommand(LakeSql.lookup(srcName).get.path, deltaDir)
+    case ConvertFromIcebergRe(iceDir, graftDir, name, statsCol) =>
+      GraftIcebergImportCommand(iceDir, graftDir,
+        Option(name), Option(statsCol))
+    case ConvertToIcebergRe(iceDir, srcName)
+        if LakeSql.lookup(srcName).isDefined =>
+      GraftIcebergExportCommand(LakeSql.lookup(srcName).get.path, iceDir)
     case RestoreRe(name, ver) if LakeSql.lookup(name).isDefined =>
       GraftLakeRestoreCommand(LakeSql.lookup(name).get.path, ver.toInt)
     case RestoreTsRe(name, tsLit, tsNum) if LakeSql.lookup(name).isDefined =>

@@ -1003,6 +1003,33 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(msg.contains("no open SQL transaction"))
   }
 
+  test("CONVERT TO ICEBERG / CONVERT FROM ICEBERG round-trip through SQL") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sqliceberg")
+    val gp = base.resolve("src").toString
+    val ip = base.resolve("iceberg").toString
+    val gp2 = base.resolve("back").toString
+    GraftLake.create(
+      (1L to 30L).map(i => (i, s"r$i")).toDF("id", "tag"), gp, Some("id"))
+    LakeSql.register(spark, gp, "convice_t", "id")
+    spark.sql(s"CONVERT TO ICEBERG '$ip' FROM convice_t")
+    assert(Files.exists(java.nio.file.Paths.get(ip, "metadata",
+      "version-hint.text")))
+    spark.sql(
+      s"CONVERT FROM ICEBERG '$ip' TO GRAFTLAKE '$gp2' AS convice_back STATSCOL 'id'")
+    assert(spark.sql("SELECT count(*) FROM convice_back").head.getLong(0) == 30L)
+    // the registered import is DML-capable
+    spark.sql("DELETE FROM convice_back WHERE id <= 10")
+    assert(GraftLake.read(spark, gp2).count() == 20)
+    // MoR state exports MATERIALIZED: the iceberg copy of the mutated
+    // table serves the visible rows
+    LakeSql.register(spark, gp2, "convice_back2", "id")
+    val ip2 = base.resolve("iceberg2").toString
+    spark.sql(s"CONVERT TO ICEBERG '$ip2' FROM convice_back2")
+    val (out, st) = graft.sources.IcebergImport.readIceberg(spark, ip2)
+    assert(st.formatVersion == 2 && out.count() == 20)
+  }
+
   test("CONVERT TO DELTA / CONVERT FROM DELTA round-trip through SQL") {
     import spark.implicits._
     val (gp, _) = freshPair()
