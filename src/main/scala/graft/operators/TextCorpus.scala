@@ -1097,4 +1097,69 @@ object TextCorpus {
       |    ORDER BY tok.p), '')) AS cleaned_md5
       |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
       |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
+
+  // -------------------------------------------------- sequence packing
+
+  /** Context-window size for [[d46SequencePack]] (tokens per packed
+    * training sequence; 4096 is a common pretraining setting).
+    */
+  val PackWindow = 4096L
+
+  /** d46: SEQUENCE PACKING — the concat-then-chunk recipe pretraining
+    * pipelines use to fill fixed-length context windows: documents
+    * concatenate in stream order (doc_id) and the token stream chunks
+    * into windows of [[PackWindow]]. Each doc's window assignment is
+    * pure arithmetic on the EXCLUSIVE prefix sum of its token count —
+    * computed with the distributed scan primitive
+    * ([[Ranks.withRunningTotal]]: range-partition + per-partition
+    * totals + broadcast offsets; no single-task window). Output per
+    * window: docs starting in it, their token mass, and how many
+    * straddle the boundary into the next window (the fragmentation a
+    * packer trades against padding). Token count = the d02 whitespace
+    * tokenization, so both engines agree exactly.
+    */
+  def d46SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      // coalesce against a literal pins nullable=false (the scan
+      // primitive requires it; text is non-null in the data anyway)
+      .select(col("doc_id"),
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+          .as("tokens"))
+    val cum = Ranks.withRunningTotal(
+      toks, Seq(col("doc_id")), "tokens", "cum")
+    cum
+      // `div` is Spark's INTEGRAL division (`/` on longs widens to
+      // double) — cum/tokens are nonnegative, so div == floor ==
+      // DuckDB's `//`
+      .select(col("doc_id"), col("tokens"),
+        expr(s"cum div $PackWindow").as("bin"),
+        expr(s"(cum + tokens - 1) div $PackWindow").as("end_bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tokens_sum"),
+        sum(when(col("end_bin") > col("bin"), 1L).otherwise(0L))
+          .as("n_straddle"))
+      .orderBy(col("bin"))
+  }
+
+  /** d46 oracle: the same exclusive running sum as a window frame —
+    * integer division only, token counts via the d02-pinned
+    * whitespace split.
+    */
+  def d46OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tokens,
+       |    coalesce(sum(tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM t)
+       |SELECT CAST(cum // $PackWindow AS BIGINT) AS bin,
+       |  count(*) AS n_docs,
+       |  CAST(sum(tokens) AS BIGINT) AS tokens_sum,
+       |  CAST(sum(CASE WHEN (cum + tokens - 1) // $PackWindow
+       |    > cum // $PackWindow THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -487,4 +487,33 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
       Tables.documents(spark, sf), temperature = 3))
     assert(e.getMessage.contains("T in {1, 2, 4}"))
   }
+
+  test("d46 sequence packing equals a driver-side brute replay") {
+    val dir = "/root/testdata/sf0.001"
+    // plain-Scala replay: stream-order exclusive cumsum, chunk math
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val w = TextCorpus.PackWindow
+    var cum = 0L
+    val expect = scala.collection.mutable.LinkedHashMap[Long, (Long, Long, Long)]()
+    docs.foreach { case (_, text) =>
+      val toks = text.split(" ", -1).length.toLong
+      val bin = cum / w
+      val endBin = (cum + toks - 1) / w
+      val (d, t, st) = expect.getOrElse(bin, (0L, 0L, 0L))
+      expect(bin) = (d + 1, t + toks, st + (if (endBin > bin) 1L else 0L))
+      cum += toks
+    }
+    val got = TextCorpus.d46SequencePack(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect.toMap)
+    // every token is packed exactly once: window masses total the stream
+    assert(got.values.map(_._2).sum == cum)
+    // interior windows each START at a multiple of w (full coverage):
+    // each bin's doc count is positive and bins are contiguous 0..max
+    val bins = got.keySet
+    assert(bins == (0L to bins.max).toSet)
+  }
 }
