@@ -828,6 +828,52 @@ object SparkEntry {
         .withColumn("iceberg_ok", lit(ok))
         .orderBy(col("status"))
     }),
+    // ICEBERG EQUALITY DELETES, SEQUENCE-SCOPED: the v2 MoR shape
+    // streaming CDC writers (Flink) produce — a delete file names
+    // rows by COLUMN VALUE and applies only to data files with
+    // STRICTLY LOWER sequence numbers, so rows re-inserted in the
+    // same snapshot survive their own delete. One distributed
+    // anti-join on (equality cols, data.seq < delete.seq). Oracle:
+    // orders minus the deleted band plus the re-inserted sub-band.
+    "src75_iceberg_eq_deletes" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{GraftLake, IcebergExport, IcebergImport}
+      val ice = scratch("graft_iceberg_eq", dir)
+      val gp = scratch("graft_iceberg_eq_import", dir)
+      rmrf(ice); rmrf(gp)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      IcebergExport.exportIceberg(o.repartition(4, col("okey")), ice)
+      def onePart(d: DataFrame, dst: String): Seq[String] = {
+        val tmp = s"$ice/_tmp_x"
+        d.repartition(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dst))
+        rmrf(tmp)
+        Seq(dst)
+      }
+      // equality-delete okeys with cents >= 45M; the SAME snapshot
+      // re-inserts the cents >= 52M sub-band — it must survive
+      val delF = onePart(o.filter(col("cents") >= 45000000L)
+        .select(col("okey")), s"$ice/data/eqdel.parquet")
+      val reinsF = onePart(o.filter(col("cents") >= 52000000L),
+        s"$ice/data/reins.parquet")
+      IcebergExport.appendEqualityDeletes(s, ice, delF, Seq(1), reinsF)
+      val st = IcebergImport.importIceberg(s, ice, gp,
+        statsCols = Seq("okey"))
+      val ok = st.eqDeleteFiles.size == 1 &&
+        st.eqDeleteFiles.head._3 == Seq(1) && st.snapshotId == 2L &&
+        st.dataFileSeqs.values.toSet == Set(1L, 2L)
+      GraftLake.read(s, gp)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+        .withColumn("eq_del_ok", lit(ok))
+        .orderBy(col("status"))
+    }),
     // SQL TRANSACTIONS: BEGIN TRANSACTION / COMMIT / ROLLBACK — the
     // SQL twin of src64. Staged INSERTs land on BOTH tables through
     // one cross-table transaction marker; a CHECK-violating COMMIT
@@ -4668,6 +4714,14 @@ object SparkEntry {
         |  min(okey) AS lo, max(okey) AS hi, TRUE AS v2cp_ok
         |FROM t
         |WHERE NOT (bucket = 2 AND cents >= 22000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src75_iceberg_eq_deletes" ->
+      """WITH t AS (SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  min(okey) AS lo, max(okey) AS hi, TRUE AS eq_del_ok
+        |FROM t WHERE cents < 45000000 OR cents >= 52000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src74_iceberg_import" ->
       """WITH t AS (SELECT o_orderkey AS okey, o_orderstatus AS status,

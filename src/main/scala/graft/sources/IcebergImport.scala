@@ -29,9 +29,13 @@ import org.apache.spark.sql.types._
   * distributed ANTI-JOIN against the delete-file rows (never an
   * In-literal, never a collect of data-sized state).
   *
+  * EQUALITY deletes apply sequence-scoped (a delete at sequence S
+  * removes matching rows only from files with strictly lower
+  * sequence numbers) through one distributed anti-join.
+  *
   * Loud refusals, never silent misreads: format-version 3+ (deletion
-  * vectors, row lineage), EQUALITY deletes (need sequence-number
-  * scoped application), non-parquet data files, nested field types.
+  * vectors, row lineage), mixed equality_ids sets, non-parquet data
+  * files, nested field types.
   */
 object IcebergImport {
 
@@ -46,7 +50,14 @@ object IcebergImport {
       dataFiles: Seq[String],
       posDeleteFiles: Seq[String],
       formatVersion: Int,
-      snapshotId: Long)
+      snapshotId: Long,
+      // data sequence number per data file (equality-delete scoping)
+      dataFileSeqs: Map[String, Long] = Map.empty,
+      // (path, sequence number, equality field ids) per EQUALITY
+      // delete file — applies to data files with STRICTLY LOWER seq
+      eqDeleteFiles: Seq[(String, Long, Seq[Int])] = Seq.empty,
+      // iceberg field id -> column name (equality ids resolve here)
+      fieldIdToName: Map[Int, String] = Map.empty)
 
   // ------------------------------------------------------- tiny JSON
 
@@ -176,7 +187,11 @@ object IcebergImport {
       s"unreadable iceberg type $other at field '$field'")
   }
 
-  private def schemaOf(meta: Map[String, Any]): StructType = {
+  private def schemaOf(meta: Map[String, Any]): StructType =
+    schemaWithIds(meta)._1
+
+  private def schemaWithIds(meta: Map[String, Any])
+      : (StructType, Map[Int, String]) = {
     val fields: Vector[Any] = meta.get("schemas") match {
       case Some(schemas: Vector[_]) =>
         val curId = meta.getOrElse("current-schema-id", 0L)
@@ -190,12 +205,18 @@ object IcebergImport {
         meta("schema").asInstanceOf[Map[String, Any]]("fields")
           .asInstanceOf[Vector[Any]]
     }
-    StructType(fields.map { f =>
+    val st = StructType(fields.map { f =>
       val m = f.asInstanceOf[Map[String, Any]]
       val name = m("name").asInstanceOf[String]
       StructField(name, toSparkType(m("type"), name),
         nullable = !m.getOrElse("required", false).asInstanceOf[Boolean])
     })
+    val ids = fields.map { f =>
+      val m = f.asInstanceOf[Map[String, Any]]
+      m.getOrElse("id", 0L).asInstanceOf[Long].toInt ->
+        m("name").asInstanceOf[String]
+    }.toMap
+    (st, ids)
   }
 
   /** Identity-transform partition field names of the current spec. */
@@ -295,7 +316,7 @@ object IcebergImport {
       s"iceberg format-version $fv at $tablePath is not supported " +
         "(this import speaks v1/v2; v3 adds deletion vectors and row " +
         "lineage it would misread)")
-    val schema = schemaOf(meta)
+    val (schema, fieldIds) = schemaWithIds(meta)
     val snapId = meta.getOrElse("current-snapshot-id", -1L) match {
       case n: Long => n
       case d: Double => d.toLong
@@ -319,14 +340,18 @@ object IcebergImport {
     }
 
     val dataFiles = Vector.newBuilder[String]
+    val dataSeqs = Map.newBuilder[String, Long]
     val posDeletes = Vector.newBuilder[String]
+    val eqDeletes = Vector.newBuilder[(String, Long, Seq[Int])]
     avroRecords(mlPath).foreach { mrec =>
       val manifestPath = strField(mrec, "manifest_path").getOrElse(
         throw new IllegalArgumentException(
           s"manifest-list row without manifest_path in $mlPath"))
       // v2 manifest-list rows carry content: 0=data, 1=deletes; v1
-      // has no field — all data.
+      // has no field — all data. The list row's sequence_number is
+      // what ADDED entries inherit when they carry none themselves.
       val manifestContent = longField(mrec, "content", 0L)
+      val manifestSeq = longField(mrec, "sequence_number", 0L)
       avroRecords(resolve(tablePath, manifestPath)).foreach { entry =>
         val status = longField(entry, "status", 1L)
         if (status != 2L) { // 2 = DELETED: not part of the snapshot
@@ -341,16 +366,27 @@ object IcebergImport {
           require(fmt.equalsIgnoreCase("parquet"),
             s"iceberg data file format '$fmt' is not supported " +
               s"(parquet only): $path")
+          val seq = longField(entry, "sequence_number", manifestSeq)
           // file content: 0=data, 1=position deletes, 2=equality
           // deletes (v2 data_file field; v1 manifests are data-only)
           val content = longField(df, "content", manifestContent)
           content match {
-            case 0L => dataFiles += resolve(tablePath, path)
+            case 0L =>
+              val rp = resolve(tablePath, path)
+              dataFiles += rp
+              dataSeqs += (rp -> seq)
             case 1L => posDeletes += resolve(tablePath, path)
-            case 2L => throw new IllegalArgumentException(
-              s"iceberg EQUALITY delete file at $path — equality " +
-                "deletes need sequence-number-scoped application this " +
-                "import does not speak; compact the table first")
+            case 2L =>
+              val ids = fieldOf(df, "equality_ids") match {
+                case Some(xs: java.util.List[_]) =>
+                  xs.asScala.toSeq.map(_.asInstanceOf[Number].intValue)
+                case Some(xs: org.apache.avro.generic.GenericData.Array[_]) =>
+                  xs.asScala.toSeq.map(_.asInstanceOf[Number].intValue)
+                case _ => throw new IllegalArgumentException(
+                  s"iceberg EQUALITY delete file at $path carries no " +
+                    "equality_ids — unreadable")
+              }
+              eqDeletes += ((resolve(tablePath, path), seq, ids))
             case other => throw new IllegalArgumentException(
               s"unknown iceberg file content $other at $path")
           }
@@ -358,7 +394,8 @@ object IcebergImport {
       }
     }
     IcebergState(schema, partitionColsOf(meta), dataFiles.result(),
-      posDeletes.result(), fv, snapId)
+      posDeletes.result(), fv, snapId, dataSeqs.result(),
+      eqDeletes.result(), fieldIds)
   }
 
   private def resolve(tablePath: String, p: String): String = {
@@ -382,6 +419,9 @@ object IcebergImport {
     require(st.dataFiles.nonEmpty,
       s"iceberg snapshot ${st.snapshotId} at $tablePath has no data files")
     val cols = st.schema.fieldNames.map(col).toSeq
+
+    if (st.eqDeleteFiles.nonEmpty)
+      return (readWithEqualityDeletes(spark, st, cols), st)
 
     if (st.posDeleteFiles.isEmpty)
       return (spark.read.parquet(st.dataFiles: _*).select(cols: _*), st)
@@ -428,6 +468,68 @@ object IcebergImport {
       case (None, None) => throw new IllegalStateException("unreachable")
     }
     (out, st)
+  }
+
+  /** EQUALITY deletes, sequence-scoped: a delete file with data
+    * sequence number S removes rows matching its equality columns
+    * from data files with STRICTLY LOWER sequence numbers (a file
+    * added in the same snapshot as the delete survives — the spec's
+    * re-insert semantics). Distributed shape: every data row tags
+    * with its file's sequence number through a broadcast join on the
+    * O(files) `(file, seq)` frame, delete rows tag with theirs at
+    * plan time, and ONE LEFT ANTI join on `(equality columns, data
+    * seq < delete seq)` drops the dead rows — never an In-literal,
+    * never a row-sized collect. One equality-id SET per table: mixed
+    * sets would need one join per set; refused loudly until a table
+    * needs it.
+    */
+  private def readWithEqualityDeletes(
+      spark: SparkSession, st: IcebergState, cols: Seq[org.apache.spark.sql.Column])
+      : DataFrame = {
+    import spark.implicits._
+    val idSets = st.eqDeleteFiles.map(_._3.toSet).distinct
+    require(idSets.size == 1,
+      s"iceberg equality-delete files carry MIXED equality_ids sets " +
+        s"(${idSets.map(_.toSeq.sorted.mkString("[", ",", "]")).mkString(", ")}) " +
+        "— one set per table is supported; compact the table first")
+    val eqCols = idSets.head.toSeq.sorted.map(id =>
+      st.fieldIdToName.getOrElse(id, throw new IllegalArgumentException(
+        s"equality id $id names no field of the current schema")))
+    // delete rows, tagged with their file's sequence number: one read
+    // per distinct delete seq (O(snapshots) plan entries)
+    val delBySeq = st.eqDeleteFiles.groupBy(_._2).toSeq.sortBy(_._1)
+    val dels = delBySeq.map { case (seq, files) =>
+      spark.read.parquet(files.map(_._1): _*)
+        .select(eqCols.map(c => col(c).as(s"__del_$c")) :+
+          lit(seq).as("__dseq"): _*)
+    }.reduce(_.unionByName(_))
+    // data rows, tagged with their file's sequence number via the
+    // O(files) broadcast map frame
+    val seqMap = broadcast(
+      st.dataFiles.map(f => (f, st.dataFileSeqs.getOrElse(f, 0L)))
+        .toDF("__file", "__seq"))
+    val posDels =
+      if (st.posDeleteFiles.isEmpty) None
+      else Some(spark.read.parquet(st.posDeleteFiles: _*)
+        .select(
+          regexp_replace(col("file_path"), "^file:(//)?", "").as("del_file"),
+          col("pos").as("del_pos")))
+    var data = spark.read.parquet(st.dataFiles: _*)
+      .select(cols :+
+        regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+          .as("__file") :+
+        col("_metadata.row_index").as("__pos"): _*)
+    posDels.foreach { pd =>
+      data = data.join(pd,
+        col("__file") === col("del_file") && col("__pos") === col("del_pos"),
+        "left_anti")
+    }
+    val eqCond = eqCols.map(c => col(c) <=> col(s"__del_$c"))
+      .reduce(_ && _) && col("__seq") < col("__dseq")
+    data
+      .join(seqMap, Seq("__file"))
+      .join(dels, eqCond, "left_anti")
+      .select(cols: _*)
   }
 
   /** Import the current snapshot into a NEW graft-lake table. */
@@ -486,7 +588,9 @@ object IcebergExport {
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |    "default":null}]}}]}""".stripMargin
 
   private[graft] val manifestListSchemaJson: String =
     """{"type":"record","name":"manifest_file","fields":[
@@ -506,7 +610,8 @@ object IcebergExport {
 
   /** One (file_path, record_count, file_size, content) data-file row. */
   final case class ExportFile(
-      path: String, records: Long, size: Long, content: Int)
+      path: String, records: Long, size: Long, content: Int,
+      eqIds: Seq[Int] = Seq.empty)
 
   /** Write one manifest Avro of ADDED entries; returns its path. */
   private[graft] def writeManifest(
@@ -529,6 +634,11 @@ object IcebergExport {
       d.put("file_format", "PARQUET")
       d.put("record_count", java.lang.Long.valueOf(f.records))
       d.put("file_size_in_bytes", java.lang.Long.valueOf(f.size))
+      if (f.eqIds.nonEmpty) {
+        val arr = new java.util.ArrayList[Integer](f.eqIds.size)
+        f.eqIds.foreach(i => arr.add(Integer.valueOf(i)))
+        d.put("equality_ids", arr)
+      }
       rec.put("data_file", d)
       w.append(rec)
     }
@@ -536,17 +646,21 @@ object IcebergExport {
     out
   }
 
-  /** Write the manifest-list Avro over (path, content, rows) rows. */
+  /** Write the manifest-list Avro over (path, content, rows, seq)
+    * rows — per-MANIFEST sequence numbers, so a delete snapshot can
+    * restate prior data manifests at their ORIGINAL sequence (the
+    * inheritance equality-delete scoping depends on).
+    */
   private[graft] def writeManifestList(
-      mdir: String, name: String, snapId: Long, seq: Long,
-      manifests: Seq[(String, Int, Long)]): String = {
+      mdir: String, name: String, snapId: Long,
+      manifests: Seq[(String, Int, Long, Long)]): String = {
     val schema = new org.apache.avro.Schema.Parser()
       .parse(manifestListSchemaJson)
     val out = s"$mdir/$name.avro"
     val w = new DataFileWriter[org.apache.avro.generic.GenericRecord](
       new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
     w.create(schema, new File(out))
-    manifests.foreach { case (p, content, rows) =>
+    manifests.foreach { case (p, content, rows, seq) =>
       val rec = new GenericData.Record(schema)
       rec.put("manifest_path", p)
       rec.put("manifest_length", java.lang.Long.valueOf(Files.size(Paths.get(p))))
@@ -633,16 +747,18 @@ object IcebergExport {
       .map { case (p, n) => ExportFile(p, n, Files.size(Paths.get(p)), 0) }
     val snapId = 1L
     val m = writeManifest(mdir, "m0-data", snapId, files)
-    val ml = writeManifestList(mdir, "ml0", snapId, 1L,
-      Seq((m, 0, files.map(_.records).sum)))
+    val ml = writeManifestList(mdir, "ml0", snapId,
+      Seq((m, 0, files.map(_.records).sum, 1L)))
     writeMetadata(tablePath, 1, df.schema, Seq((snapId, 1L, ml)))
     snapId
   }
 
   /** Append a POSITION-DELETE snapshot over `deleteFiles` (parquet
     * files of (file_path, pos) rows, already written under the
-    * table) — the MoR shape engines write for row-level deletes. The
-    * prior snapshot's manifests carry over untouched.
+    * table) — the MoR shape engines write for row-level deletes. ALL
+    * prior state restates at its ORIGINAL sequence numbers (data
+    * manifests per seq group, prior position- and equality-delete
+    * manifests included — dropping any would resurrect rows).
     */
   def appendPositionDeletes(
       spark: SparkSession, tablePath: String,
@@ -650,28 +766,91 @@ object IcebergExport {
     val mdir = s"$tablePath/metadata"
     val prior = IcebergImport.foldIceberg(tablePath)
     val snapId = prior.snapshotId + 1
-    // real record counts (engines plan scans from them): one
-    // distributed _metadata aggregation per file group, no per-file
-    // driver jobs
-    def counted(paths: Seq[String], content: Int): Seq[ExportFile] = {
-      val rows = spark.read.parquet(paths: _*)
-        .groupBy(regexp_replace(col("_metadata.file_path"),
-          "^file:(//)?", "").as("f"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      paths.sorted.map(p =>
-        ExportFile(p, rows.getOrElse(p, 0L), Files.size(Paths.get(p)), content))
-    }
-    val dataFiles = counted(prior.dataFiles, 0)
-    val delFiles = counted(deleteFiles, 1)
-    val m0 = writeManifest(mdir, s"m$snapId-data", snapId, dataFiles)
-    val m1 = writeManifest(mdir, s"m$snapId-del", snapId, delFiles)
-    val ml = writeManifestList(mdir, s"ml$snapId", snapId, 2L,
-      Seq((m0, 0, dataFiles.size.toLong), (m1, 1, delFiles.size.toLong)))
+    val newSeq = prior.dataFileSeqs.values.foldLeft(1L)(math.max) + 1L
+    val manifests = restatePrior(spark, mdir, snapId, prior)
+    val m1 = writeManifest(mdir, s"m$snapId-del", snapId,
+      countFiles(spark, deleteFiles, 1))
+    manifests += ((m1, 1, deleteFiles.size.toLong, newSeq))
+    val ml = writeManifestList(mdir, s"ml$snapId", snapId, manifests.toSeq)
     val hint = Files.readString(Paths.get(mdir, "version-hint.text")).trim.toInt
-    val schema = prior.schema
-    writeMetadata(tablePath, hint + 1, schema,
-      Seq((snapId, 2L, ml)))
+    writeMetadata(tablePath, hint + 1, prior.schema, Seq((snapId, newSeq, ml)))
+    snapId
+  }
+
+  /** Real record counts per file (engines plan scans from them): one
+    * distributed `_metadata` aggregation per group, no per-file
+    * driver jobs.
+    */
+  private def countFiles(
+      spark: SparkSession, paths: Seq[String], content: Int,
+      ids: Seq[Int] = Seq.empty): Seq[ExportFile] = {
+    val rows = spark.read.parquet(paths: _*)
+      .groupBy(regexp_replace(col("_metadata.file_path"),
+        "^file:(//)?", "").as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    paths.sorted.map(p => ExportFile(p, rows.getOrElse(p, 0L),
+      Files.size(Paths.get(p)), content, ids))
+  }
+
+  /** Restate every prior manifest group at its ORIGINAL sequence:
+    * data files per seq group, prior equality-delete files per
+    * (seq, ids) group, prior position-delete files at the prior max
+    * seq. Returns the mutable manifest-list row buffer for the
+    * caller to extend.
+    */
+  private def restatePrior(
+      spark: SparkSession, mdir: String, snapId: Long,
+      prior: IcebergImport.IcebergState)
+      : scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long)] = {
+    val manifests = scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long)]()
+    prior.dataFiles.groupBy(p => prior.dataFileSeqs.getOrElse(p, 1L))
+      .toSeq.sortBy(_._1).foreach { case (seq, files) =>
+        val m = writeManifest(mdir, s"m$snapId-restate-s$seq", snapId,
+          countFiles(spark, files, 0))
+        manifests += ((m, 0, files.size.toLong, seq))
+      }
+    prior.eqDeleteFiles.groupBy(e => (e._2, e._3)).toSeq
+      .sortBy(_._1._1).zipWithIndex.foreach { case (((seq, ids), fs), i) =>
+        val m = writeManifest(mdir, s"m$snapId-restate-eqdel$i", snapId,
+          countFiles(spark, fs.map(_._1), 2, ids))
+        manifests += ((m, 1, fs.size.toLong, seq))
+      }
+    if (prior.posDeleteFiles.nonEmpty) {
+      val seq = prior.dataFileSeqs.values.foldLeft(1L)(math.max)
+      val m = writeManifest(mdir, s"m$snapId-restate-posdel", snapId,
+        countFiles(spark, prior.posDeleteFiles, 1))
+      manifests += ((m, 1, prior.posDeleteFiles.size.toLong, seq))
+    }
+    manifests
+  }
+
+  /** Append an EQUALITY-DELETE snapshot: `deleteFiles` are parquet
+    * files holding just the equality columns (`equalityIds` names
+    * them by field id); `newDataFiles` (optional) land IN THE SAME
+    * snapshot at the delete's sequence number — the re-insert shape:
+    * the delete scopes to strictly lower sequences, so the new rows
+    * survive it. All prior state restates at its original sequences.
+    */
+  def appendEqualityDeletes(
+      spark: SparkSession, tablePath: String, deleteFiles: Seq[String],
+      equalityIds: Seq[Int], newDataFiles: Seq[String] = Seq.empty): Long = {
+    val mdir = s"$tablePath/metadata"
+    val prior = IcebergImport.foldIceberg(tablePath)
+    val snapId = prior.snapshotId + 1
+    val newSeq = prior.dataFileSeqs.values.foldLeft(1L)(math.max) + 1L
+    val manifests = restatePrior(spark, mdir, snapId, prior)
+    if (newDataFiles.nonEmpty) {
+      val m = writeManifest(mdir, s"m$snapId-newdata", snapId,
+        countFiles(spark, newDataFiles, 0))
+      manifests += ((m, 0, newDataFiles.size.toLong, newSeq))
+    }
+    val md = writeManifest(mdir, s"m$snapId-eqdel", snapId,
+      countFiles(spark, deleteFiles, 2, equalityIds))
+    manifests += ((md, 1, deleteFiles.size.toLong, newSeq))
+    val ml = writeManifestList(mdir, s"ml$snapId", snapId, manifests.toSeq)
+    val hint = Files.readString(Paths.get(mdir, "version-hint.text")).trim.toInt
+    writeMetadata(tablePath, hint + 1, prior.schema, Seq((snapId, newSeq, ml)))
     snapId
   }
 }

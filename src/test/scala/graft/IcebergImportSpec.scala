@@ -208,9 +208,10 @@ class IcebergImportSpec extends AnyFunSuite with SparkSpec {
     val f2 = stageData(t2, Seq((1L, "a", 1.0)).toDF("k", "tag", "x"), "f0")
     stageSnapshot(t2, kvFields, Seq(
       manifestEntry(1, f2), manifestEntry(1, f2, content = 2)))
+    // a content=2 entry WITHOUT equality_ids is unreadable
     val e2 = intercept[IllegalArgumentException](
       IcebergImport.foldIceberg(t2))
-    assert(e2.getMessage.contains("EQUALITY delete"))
+    assert(e2.getMessage.contains("equality_ids"))
 
     val t3 = freshTable()
     val f3 = stageData(t3, Seq((1L, "a", 1.0)).toDF("k", "tag", "x"), "f0")
@@ -240,6 +241,66 @@ class IcebergImportSpec extends AnyFunSuite with SparkSpec {
     val e5 = intercept[IllegalArgumentException](
       IcebergImport.foldIceberg(t5))
     assert(e5.getMessage.contains("no current snapshot"))
+  }
+
+  test("equality deletes: sequence-scoped, same-snapshot re-inserts survive; mixed id sets refuse") {
+    import spark.implicits._
+    import graft.sources.IcebergExport
+    val t = freshTable()
+    val df = (1 to 30).map(i => (i.toLong, s"r$i", i * 1.0)).toDF("k", "tag", "x")
+    IcebergExport.exportIceberg(df.repartition(2, col("k")), t) // seq 1
+    // delete k in 1..10 by equality on field id 1 (k); the SAME
+    // snapshot re-inserts k in 1..5 — they survive (delete scopes to
+    // strictly LOWER sequences)
+    def onePart(d: org.apache.spark.sql.DataFrame, dst: String): Seq[String] = {
+      val tmp = s"$t/_tmp_x"
+      d.repartition(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(dst).getParent)
+      Files.move(part.toPath, Paths.get(dst))
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+        .reverse.foreach(Files.deleteIfExists(_))
+      Seq(dst)
+    }
+    val delF = onePart((1L to 10L).toDF("k"), s"$t/data/eqdel0.parquet")
+    val reinsF = onePart(
+      (1 to 5).map(i => (i.toLong, s"re$i", i * 2.0)).toDF("k", "tag", "x"),
+      s"$t/data/reins0.parquet")
+    IcebergImport // silence unused-import style
+    IcebergExport.appendEqualityDeletes(spark, t, delF, Seq(1), reinsF)
+    val (out, st) = IcebergImport.readIceberg(spark, t)
+    assert(st.eqDeleteFiles.size == 1 && st.eqDeleteFiles.head._3 == Seq(1))
+    val got = out.select(col("k"), col("tag")).as[(Long, String)]
+      .collect().toSet
+    val expect = ((11L to 30L).map(i => (i, s"r$i")) ++
+      (1L to 5L).map(i => (i, s"re$i"))).toSet
+    assert(got == expect)
+    // position + equality deletes compose: pos-delete one surviving
+    // re-inserted row, then re-fold
+    val posF = onePart(Seq((s"$t/data/reins0.parquet", 0L))
+      .toDF("file_path", "pos"), s"$t/data/posdel0.parquet")
+    // learn which k sits at position 0 of the re-insert file
+    val k0 = spark.read.parquet(s"$t/data/reins0.parquet")
+      .select(col("k"), col("_metadata.row_index").as("p"))
+      .filter(col("p") === 0L).head.getLong(0)
+    IcebergExport.appendPositionDeletes(spark, t, posF)
+    val (out2, _) = IcebergImport.readIceberg(spark, t)
+    assert(out2.count() == 24)
+    assert(!out2.select("k").as[Long].collect().contains(k0) ||
+      (11L to 30L).contains(k0))
+
+    // mixed equality_ids sets refuse loudly
+    val t2 = freshTable()
+    IcebergExport.exportIceberg(df.repartition(1), t2)
+    val d1 = onePart((1L to 3L).toDF("k"), s"$t2/data/e1.parquet")
+    IcebergExport.appendEqualityDeletes(spark, t2, d1, Seq(1))
+    val d2 = onePart(Seq("r9").toDF("tag"), s"$t2/data/e2.parquet")
+    IcebergExport.appendEqualityDeletes(spark, t2, d2, Seq(2))
+    val e = intercept[IllegalArgumentException](
+      IcebergImport.readIceberg(spark, t2))
+    assert(e.getMessage.contains("MIXED equality_ids"))
   }
 
   test("metadata resolution: version-hint wins; highest vN without it; v1 single-schema reads") {
