@@ -343,4 +343,50 @@ class IcebergImportSpec extends AnyFunSuite with SparkSpec {
     val (out, st) = IcebergImport.readIceberg(spark, t2)
     assert(st.formatVersion == 1 && out.count() == 10)
   }
+
+  test("temporal/decimal/float types round-trip export -> import exactly") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = spark.sql(
+      """SELECT id,
+        |  CAST(date_add(DATE '1994-01-05', CAST(id AS INT)) AS DATE) AS d,
+        |  CAST(timestamp_ntz'1996-03-04 12:30:00' + make_interval(0,0,0,0,0,0,id) AS TIMESTAMP_NTZ) AS ts,
+        |  CAST(id * 1.25 AS DECIMAL(10,4)) AS dec,
+        |  CAST(id AS FLOAT) AS f,
+        |  CAST(id % 2 = 0 AS BOOLEAN) AS b
+        |FROM range(1, 21)""".stripMargin)
+    graft.sources.IcebergExport.exportIceberg(df.repartition(2), t)
+    val (out, st) = IcebergImport.readIceberg(spark, t)
+    // the metadata chain re-derives the exact Spark types
+    import org.apache.spark.sql.types._
+    assert(st.schema("d").dataType == DateType)
+    assert(st.schema("ts").dataType == TimestampNTZType)
+    assert(st.schema("dec").dataType == DecimalType(10, 4))
+    assert(st.schema("f").dataType == FloatType)
+    assert(st.schema("b").dataType == BooleanType)
+    val got = out.orderBy(col("id")).collect()
+    val want = df.orderBy(col("id")).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("real-warehouse metadata naming (00001-uuid.metadata.json) resolves to the latest") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (1 to 10).map(i => (i.toLong, s"r$i", 0.0)).toDF("k", "tag", "x")
+    val f0 = stageData(t, df.filter(col("k") <= 4), "f0")
+    val f1 = stageData(t, df, "f1")
+    // stage two snapshots under vN names, then RENAME to the
+    // sequence-prefixed uuid form engines actually write (no hint)
+    stageSnapshot(t, kvFields, Seq(manifestEntry(1, f0)), version = 1,
+      writeHint = false)
+    stageSnapshot(t, kvFields, Seq(manifestEntry(1, f1)), version = 2,
+      writeHint = false)
+    val mdir = Paths.get(t, "metadata")
+    Files.move(mdir.resolve("v1.metadata.json"),
+      mdir.resolve("00001-aaaa1111-2222-4333-8444-555566667777.metadata.json"))
+    Files.move(mdir.resolve("v2.metadata.json"),
+      mdir.resolve("00002-bbbb1111-2222-4333-8444-555566667777.metadata.json"))
+    // lexicographically-last wins = the highest sequence prefix
+    assert(IcebergImport.readIceberg(spark, t)._1.count() == 10)
+  }
 }
