@@ -57,7 +57,30 @@ object IcebergImport {
       // delete file — applies to data files with STRICTLY LOWER seq
       eqDeleteFiles: Seq[(String, Long, Seq[Int])] = Seq.empty,
       // iceberg field id -> column name (equality ids resolve here)
-      fieldIdToName: Map[Int, String] = Map.empty)
+      fieldIdToName: Map[Int, String] = Map.empty,
+      // metadata `last-sequence-number`: the table-wide high water —
+      // the NEXT snapshot's sequence is this + 1, NOT max(data seqs)
+      // + 1 (a delete-only snapshot advances the sequence without
+      // adding any data file; deriving from data seqs would reuse it)
+      lastSequenceNumber: Long = 0L,
+      // the default partition spec's fields (ALL transforms, not just
+      // identity) — the manifest-level file-prune index
+      partSpec: Seq[PartitionField] = Seq.empty,
+      // EVERY snapshot in the metadata file: (id, sequence-number,
+      // manifest-list path as written) — the time-travel index, and
+      // what append writers carry forward so history never truncates
+      snapshots: Seq[(Long, Long, String)] = Seq.empty,
+      // per data file: partition-field name -> value as recorded in
+      // the manifest's data_file.partition struct (normalized: Long
+      // for integral/date values, String for strings)
+      dataFilePartitions: Map[String, Map[String, Any]] = Map.empty)
+
+  /** One partition-spec field: `transform(sourceColumn)` named
+    * `name`. Supported transforms: identity, bucket[N], truncate[W],
+    * days/day, months/month, years/year, hours/hour, void.
+    */
+  final case class PartitionField(
+      name: String, transform: String, sourceId: Int)
 
   // ------------------------------------------------------- tiny JSON
 
@@ -67,14 +90,21 @@ object IcebergImport {
     * (driver-side, KBs); a full parser beats regex scraping because
     * `metadata.json` nests schemas inside snapshot arrays.
     */
-  private[sources] def parseJson(s: String): Any = {
+  private[graft] def parseJson(s: String): Any = {
     var i = 0
     def ws(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
     def fail(msg: String) =
       throw new IllegalArgumentException(s"bad JSON at offset $i: $msg")
+    // Every charAt goes through here: a TRUNCATED/torn metadata file
+    // must refuse with the loud offset diagnostic, never surface as a
+    // raw StringIndexOutOfBoundsException from a bare charAt.
+    def cur(): Char = {
+      if (i >= s.length) fail("unexpected end of input")
+      s.charAt(i)
+    }
     def value(): Any = {
       ws()
-      s.charAt(i) match {
+      cur() match {
         case '{' => obj()
         case '[' => arr()
         case '"' => str()
@@ -87,16 +117,16 @@ object IcebergImport {
     def obj(): Map[String, Any] = {
       i += 1; ws()
       val m = scala.collection.mutable.LinkedHashMap[String, Any]()
-      if (s.charAt(i) == '}') { i += 1; return m.toMap }
+      if (cur() == '}') { i += 1; return m.toMap }
       while (true) {
         ws()
         val k = str()
         ws()
-        if (s.charAt(i) != ':') fail("expected ':'")
+        if (cur() != ':') fail("expected ':'")
         i += 1
         m(k) = value()
         ws()
-        s.charAt(i) match {
+        cur() match {
           case ',' => i += 1
           case '}' => i += 1; return m.toMap
           case _ => fail("expected ',' or '}'")
@@ -107,11 +137,11 @@ object IcebergImport {
     def arr(): Vector[Any] = {
       i += 1; ws()
       val b = Vector.newBuilder[Any]
-      if (s.charAt(i) == ']') { i += 1; return b.result() }
+      if (cur() == ']') { i += 1; return b.result() }
       while (true) {
         b += value()
         ws()
-        s.charAt(i) match {
+        cur() match {
           case ',' => i += 1
           case ']' => i += 1; return b.result()
           case _ => fail("expected ',' or ']'")
@@ -120,12 +150,13 @@ object IcebergImport {
       b.result()
     }
     def str(): String = {
-      if (s.charAt(i) != '"') fail("expected string")
+      if (cur() != '"') fail("expected string")
       i += 1
       val b = new java.lang.StringBuilder()
-      while (s.charAt(i) != '"') {
+      while (cur() != '"') {
         val c = s.charAt(i)
         if (c == '\\') {
+          if (i + 1 >= s.length) fail("unexpected end of input in escape")
           s.charAt(i + 1) match {
             case 'n' => b.append('\n'); i += 2
             case 't' => b.append('\t'); i += 2
@@ -133,6 +164,7 @@ object IcebergImport {
             case 'b' => b.append('\b'); i += 2
             case 'f' => b.append('\f'); i += 2
             case 'u' =>
+              if (i + 6 > s.length) fail("unexpected end of input in \\u escape")
               b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
               i += 6
             case e => b.append(e); i += 2
@@ -146,6 +178,7 @@ object IcebergImport {
       val start = i
       while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
       val t = s.substring(start, i)
+      if (t.isEmpty) fail("expected a JSON value")
       if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble
       else t.toLong
     }
@@ -155,10 +188,14 @@ object IcebergImport {
 
   // --------------------------------------------------- schema mapping
 
-  /** Iceberg primitive type name → Spark type. `timestamp` is
-    * zone-less micros (TIMESTAMP_NTZ); `timestamptz` is instant
-    * micros (TIMESTAMP). Nested types refuse loudly — a struct read
-    * as null would silently corrupt results.
+  /** Iceberg type → Spark type. `timestamp` is zone-less micros
+    * (TIMESTAMP_NTZ); `timestamptz` is instant micros (TIMESTAMP).
+    * NESTED struct/list recurse (parquet stores them structurally,
+    * so the one multi-path scan reads them like any column); `map`
+    * refuses loudly — its key/value repetition interacts with
+    * position-delete row indexing in ways this import has no test
+    * oracle for yet, and a silently null-read map would corrupt
+    * results.
     */
   private def toSparkType(t: Any, field: String): DataType = t match {
     case s: String => s match {
@@ -180,9 +217,24 @@ object IcebergImport {
       case other => throw new IllegalArgumentException(
         s"iceberg type '$other' of field '$field' is not supported")
     }
-    case _: Map[_, _] => throw new IllegalArgumentException(
-      s"nested iceberg type at field '$field' (struct/list/map) is not " +
-        "supported by this import")
+    case m: Map[String, Any] @unchecked => m.getOrElse("type", "") match {
+      case "struct" =>
+        StructType(m("fields").asInstanceOf[Vector[Any]].map { f =>
+          val fm = f.asInstanceOf[Map[String, Any]]
+          val name = fm("name").asInstanceOf[String]
+          StructField(name, toSparkType(fm("type"), s"$field.$name"),
+            nullable = !fm.getOrElse("required", false).asInstanceOf[Boolean])
+        })
+      case "list" =>
+        ArrayType(toSparkType(m("element"), s"$field.element"),
+          containsNull =
+            !m.getOrElse("element-required", false).asInstanceOf[Boolean])
+      case "map" => throw new IllegalArgumentException(
+        s"iceberg map type at field '$field' is not supported by this " +
+          "import (struct and list are)")
+      case other => throw new IllegalArgumentException(
+        s"unreadable nested iceberg type '$other' at field '$field'")
+    }
     case other => throw new IllegalArgumentException(
       s"unreadable iceberg type $other at field '$field'")
   }
@@ -219,8 +271,11 @@ object IcebergImport {
     (st, ids)
   }
 
-  /** Identity-transform partition field names of the current spec. */
-  private def partitionColsOf(meta: Map[String, Any]): Seq[String] = {
+  /** The default partition spec's fields — every transform, with its
+    * source field id (pruning resolves source COLUMNS through the
+    * schema's field-id map, never by name guessing).
+    */
+  private def partitionSpecOf(meta: Map[String, Any]): Seq[PartitionField] = {
     val fields: Vector[Any] = meta.get("partition-specs") match {
       case Some(specs: Vector[_]) =>
         val curId = meta.getOrElse("default-spec-id", 0L)
@@ -234,12 +289,18 @@ object IcebergImport {
         case _ => Vector.empty
       }
     }
-    fields.collect {
-      case m: Map[String, Any] @unchecked
-          if m.getOrElse("transform", "") == "identity" =>
-        m("name").asInstanceOf[String]
+    fields.map { f =>
+      val m = f.asInstanceOf[Map[String, Any]]
+      PartitionField(
+        m("name").asInstanceOf[String],
+        m.getOrElse("transform", "identity").asInstanceOf[String],
+        m.getOrElse("source-id", 0L).asInstanceOf[Long].toInt)
     }
   }
+
+  /** Identity-transform partition field names of the current spec. */
+  private def partitionColsOf(meta: Map[String, Any]): Seq[String] =
+    partitionSpecOf(meta).filter(_.transform == "identity").map(_.name)
 
   // ------------------------------------------------------ avro chain
 
@@ -305,10 +366,14 @@ object IcebergImport {
     }
   }
 
-  /** Fold the current snapshot: metadata.json → manifest list →
-    * manifests → (live data files, position-delete files).
+  /** Fold one snapshot: metadata.json → manifest list → manifests →
+    * (live data files, position-delete files). `asOfSnapshotId`
+    * time-travels to any snapshot still in the metadata's snapshot
+    * list (Iceberg keeps full history per metadata file); `None`
+    * reads the current one.
     */
-  def foldIceberg(tablePath: String): IcebergState = {
+  def foldIceberg(
+      tablePath: String, asOfSnapshotId: Option[Long] = None): IcebergState = {
     val mf = currentMetadataFile(tablePath)
     val meta = parseJson(Files.readString(mf)).asInstanceOf[Map[String, Any]]
     val fv = meta.getOrElse("format-version", 1L).asInstanceOf[Long].toInt
@@ -317,21 +382,27 @@ object IcebergImport {
         "(this import speaks v1/v2; v3 adds deletion vectors and row " +
         "lineage it would misread)")
     val (schema, fieldIds) = schemaWithIds(meta)
-    val snapId = meta.getOrElse("current-snapshot-id", -1L) match {
+    val curId = meta.getOrElse("current-snapshot-id", -1L) match {
       case n: Long => n
       case d: Double => d.toLong
       case _ => -1L
     }
-    require(snapId != -1L,
+    require(asOfSnapshotId.nonEmpty || curId != -1L,
       s"iceberg table at $tablePath has no current snapshot (empty " +
         "table or staged-only metadata)")
+    val snapId = asOfSnapshotId.getOrElse(curId)
     val snaps = meta.getOrElse("snapshots", Vector.empty)
       .asInstanceOf[Vector[Any]]
     val cur = snaps.collectFirst {
       case m: Map[String, Any] @unchecked
           if m.getOrElse("snapshot-id", 0L) == snapId => m
     }.getOrElse(throw new IllegalArgumentException(
-      s"current-snapshot-id $snapId not among snapshots at $tablePath"))
+      if (asOfSnapshotId.isDefined)
+        s"snapshot $snapId is not in the metadata snapshot list at " +
+          s"$tablePath (expired or never existed) — snapshots present: " +
+          snaps.collect { case m: Map[String, Any] @unchecked =>
+            m.getOrElse("snapshot-id", 0L) }.mkString(", ")
+      else s"current-snapshot-id $snapId not among snapshots at $tablePath"))
     val mlPath = cur.get("manifest-list") match {
       case Some(p: String) => resolve(tablePath, p)
       case _ => throw new IllegalArgumentException(
@@ -343,6 +414,7 @@ object IcebergImport {
     val dataSeqs = Map.newBuilder[String, Long]
     val posDeletes = Vector.newBuilder[String]
     val eqDeletes = Vector.newBuilder[(String, Long, Seq[Int])]
+    val partVals = Map.newBuilder[String, Map[String, Any]]
     avroRecords(mlPath).foreach { mrec =>
       val manifestPath = strField(mrec, "manifest_path").getOrElse(
         throw new IllegalArgumentException(
@@ -375,6 +447,22 @@ object IcebergImport {
               val rp = resolve(tablePath, path)
               dataFiles += rp
               dataSeqs += (rp -> seq)
+              // the manifest's per-file partition struct IS the
+              // file-prune index: record its values (normalized to
+              // Long/String) for partition-level pruning
+              fieldOf(df, "partition").foreach {
+                case pr: GenericRecord =>
+                  val vals = pr.getSchema.getFields.asScala.map { f =>
+                    f.name() -> (pr.get(f.name()) match {
+                      case null => null
+                      case n: Number => n.longValue()
+                      case b: java.lang.Boolean => b
+                      case other => other.toString
+                    })
+                  }.toMap
+                  if (vals.nonEmpty) partVals += (rp -> vals)
+                case _ => ()
+              }
             case 1L => posDeletes += resolve(tablePath, path)
             case 2L =>
               val ids = fieldOf(df, "equality_ids") match {
@@ -393,14 +481,137 @@ object IcebergImport {
         }
       }
     }
+    val lastSeq = meta.getOrElse("last-sequence-number", 0L) match {
+      case n: Long => n
+      case d: Double => d.toLong
+      case _ => 0L
+    }
+    val allSnaps = snaps.collect {
+      case m: Map[String, Any] @unchecked =>
+        (m.getOrElse("snapshot-id", 0L).asInstanceOf[Number].longValue,
+          m.getOrElse("sequence-number", 0L).asInstanceOf[Number].longValue,
+          m.getOrElse("manifest-list", "").asInstanceOf[String])
+    }
     IcebergState(schema, partitionColsOf(meta), dataFiles.result(),
       posDeletes.result(), fv, snapId, dataSeqs.result(),
-      eqDeletes.result(), fieldIds)
+      eqDeletes.result(), fieldIds, lastSeq,
+      partitionSpecOf(meta), allSnaps, partVals.result())
   }
 
   private def resolve(tablePath: String, p: String): String = {
     val s = stripScheme(p)
     if (s.startsWith("/")) s else s"$tablePath/$s"
+  }
+
+  /** Iceberg partition-transform value mapping (table spec, Partition
+    * Transforms + Appendix B): given a transform name and a SOURCE
+    * value, the partition value a spec-conformant writer records —
+    * the manifest-level prune compares recorded values against
+    * these. `None` = cannot prune (unknown transform, void, null).
+    */
+  private[graft] object IcebergTransforms {
+    private val BucketRe = """bucket\[(\d+)\]""".r
+    private val TruncRe = """truncate\[(\d+)\]""".r
+
+    def apply(transform: String, v: Any): Option[Any] = {
+      if (v == null) return None
+      transform match {
+        case "identity" => Some(v)
+        case BucketRe(n) =>
+          bucketHash(v).map(h => ((h & Int.MaxValue) % n.toInt).toLong)
+        case TruncRe(w) => v match {
+          case s: String => Some(s.substring(0, math.min(w.toInt, s.length)))
+          case n: Number if !v.isInstanceOf[java.lang.Double] &&
+              !v.isInstanceOf[java.lang.Float] =>
+            val W = w.toLong
+            Some(n.longValue - Math.floorMod(n.longValue, W))
+          case _ => None
+        }
+        case "days" | "day" => epochDays(v)
+        case "months" | "month" => epochDays(v).map { d =>
+          val ld = java.time.LocalDate.ofEpochDay(d)
+          ((ld.getYear - 1970) * 12 + ld.getMonthValue - 1).toLong
+        }
+        case "years" | "year" => epochDays(v).map(d =>
+          (java.time.LocalDate.ofEpochDay(d).getYear - 1970).toLong)
+        case "hours" | "hour" =>
+          epochMicros(v).map(us => Math.floorDiv(us, 3600L * 1000000L))
+        case _ => None // void and future transforms: no prune
+      }
+    }
+
+    /** Spec bucket hash: murmur3_x86_32 seed 0 — int/long/date hash
+      * their LONG value as 8 little-endian bytes, strings their
+      * UTF-8 bytes (Appendix B; test vectors pinned in the spec).
+      */
+    private def bucketHash(v: Any): Option[Int] = v match {
+      case n: Number if !v.isInstanceOf[java.lang.Double] &&
+          !v.isInstanceOf[java.lang.Float] => Some(hashLong(n.longValue))
+      case s: String => Some(murmur3(s.getBytes("UTF-8")))
+      case d: java.sql.Date => Some(hashLong(d.toLocalDate.toEpochDay))
+      case d: java.time.LocalDate => Some(hashLong(d.toEpochDay))
+      case _ => None
+    }
+
+    private[graft] def hashLong(x: Long): Int = {
+      val b = new Array[Byte](8)
+      var i = 0; var v = x
+      while (i < 8) { b(i) = (v & 0xffL).toByte; v >>>= 8; i += 1 }
+      murmur3(b)
+    }
+
+    /** murmur3_x86_32, the public reference algorithm, seed 0. */
+    private[graft] def murmur3(data: Array[Byte], seed: Int = 0): Int = {
+      val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+      var h = seed
+      val n = data.length / 4
+      var i = 0
+      while (i < n) {
+        var k = (data(4 * i) & 0xff) | ((data(4 * i + 1) & 0xff) << 8) |
+          ((data(4 * i + 2) & 0xff) << 16) | ((data(4 * i + 3) & 0xff) << 24)
+        k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+        h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+        i += 1
+      }
+      val tail = n * 4
+      var k = 0
+      (data.length & 3) match {
+        case 3 =>
+          k ^= (data(tail + 2) & 0xff) << 16
+          k ^= (data(tail + 1) & 0xff) << 8
+          k ^= data(tail) & 0xff
+        case 2 =>
+          k ^= (data(tail + 1) & 0xff) << 8
+          k ^= data(tail) & 0xff
+        case 1 => k ^= data(tail) & 0xff
+        case _ => ()
+      }
+      if ((data.length & 3) != 0) {
+        k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+      }
+      h ^= data.length
+      h ^= h >>> 16; h *= 0x85ebca6b
+      h ^= h >>> 13; h *= 0xc2b2ae35
+      h ^= h >>> 16
+      h
+    }
+
+    private def epochDays(v: Any): Option[Long] = v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case n: Number => Some(n.longValue)
+      case s: String =>
+        scala.util.Try(java.time.LocalDate.parse(s).toEpochDay).toOption
+      case _ => None
+    }
+
+    private def epochMicros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp => Some(t.getTime * 1000L)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
   }
 
   /** Read the visible rows of the current snapshot as a DataFrame.
@@ -413,18 +624,93 @@ object IcebergImport {
     * list would overflow the analyzer; a collect would move
     * data-sized state to the driver).
     */
-  def readIceberg(spark: SparkSession, tablePath: String)
+  def readIceberg(spark: SparkSession, tablePath: String,
+      asOfSnapshotId: Option[Long] = None): (DataFrame, IcebergState) = {
+    val st = foldIceberg(tablePath, asOfSnapshotId)
+    (readState(spark, st, tablePath), st)
+  }
+
+  /** Partition-PRUNED read: `eq` is a conjunction of source-column
+    * equality predicates. For every partition-spec field whose source
+    * column is constrained, the predicate value maps through the
+    * field's TRANSFORM (identity / bucket[N] / truncate[W] / days /
+    * months / years / hours) and data files whose manifest-recorded
+    * partition value differs are dropped BEFORE the parquet read —
+    * manifest-level pruning, the same job Iceberg's own scan
+    * planning does. Files with no recorded partition value stay
+    * (safe), and the full predicate re-applies as a residual filter
+    * (bucket/truncate map many values to one partition, so the prune
+    * alone is not exact). Returns the pruned state — `dataFiles`
+    * there is exactly the scanned set, so callers can prove the
+    * prune happened.
+    */
+  def readIcebergPruned(
+      spark: SparkSession, tablePath: String, eq: Seq[(String, Any)])
       : (DataFrame, IcebergState) = {
-    val st = foldIceberg(tablePath)
+    val st0 = foldIceberg(tablePath)
+    val keep = st0.dataFiles.filter(f => partitionMatches(st0, f, eq))
+    val st = st0.copy(dataFiles = keep,
+      dataFileSeqs = st0.dataFileSeqs.filter(kv => keep.contains(kv._1)),
+      dataFilePartitions =
+        st0.dataFilePartitions.filter(kv => keep.contains(kv._1)))
+    val residual = eq.map { case (c, v) => col(c) === lit(v) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    (readState(spark, st, tablePath).filter(residual), st)
+  }
+
+  /** Does `file` possibly hold rows matching every `col = value`
+    * constraint, judged ONLY from its manifest partition record?
+    */
+  private def partitionMatches(
+      st: IcebergState, file: String, eq: Seq[(String, Any)]): Boolean = {
+    val vals = st.dataFilePartitions.getOrElse(file, Map.empty)
+    if (vals.isEmpty) return true // no recorded values — cannot prune
+    eq.forall { case (c, v) =>
+      val srcId = st.fieldIdToName.collectFirst {
+        case (id, n) if n == c => id }.getOrElse(-1)
+      st.partSpec.filter(_.sourceId == srcId).forall { pf =>
+        vals.get(pf.name) match {
+          case Some(rec) if rec != null =>
+            IcebergTransforms(pf.transform, v).forall(expected =>
+              normalizePartVal(rec) == normalizePartVal(expected))
+          case _ => true
+        }
+      }
+    }
+  }
+
+  private def normalizePartVal(v: Any): Any = v match {
+    case n: Number => n.longValue()
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case other => other
+  }
+
+  /** Read the visible rows of a folded snapshot (see [[readIceberg]]
+    * for the plan shape).
+    */
+  private def readState(
+      spark: SparkSession, st: IcebergState, tablePath: String): DataFrame = {
     require(st.dataFiles.nonEmpty,
       s"iceberg snapshot ${st.snapshotId} at $tablePath has no data files")
     val cols = st.schema.fieldNames.map(col).toSeq
 
+    // HIVE-LAYOUT identity partitioning: data files written under
+    // `pc=value/` directories do not CONTAIN the partition source
+    // column — re-inject it per distinct partition tuple as a typed
+    // literal (the Delta importer's shape). Detected from the union
+    // parquet schema: one driver-side footer pass, no data read.
+    val fileSchema = spark.read.parquet(st.dataFiles: _*).schema
+    val missing = st.schema.fields.filterNot(f =>
+      fileSchema.fieldNames.contains(f.name))
+    if (missing.nonEmpty)
+      return readInjecting(spark, st, missing.toSeq, tablePath)
+
     if (st.eqDeleteFiles.nonEmpty)
-      return (readWithEqualityDeletes(spark, st, cols), st)
+      return readWithEqualityDeletes(spark, st, cols)
 
     if (st.posDeleteFiles.isEmpty)
-      return (spark.read.parquet(st.dataFiles: _*).select(cols: _*), st)
+      return spark.read.parquet(st.dataFiles: _*).select(cols: _*)
 
     // position-delete rows: (file_path, pos) per the spec; normalize
     // the URI scheme so both join sides speak plain absolute paths
@@ -461,13 +747,56 @@ object IcebergImport {
     val unmaskedDf =
       if (unmasked.isEmpty) None
       else Some(spark.read.parquet(unmasked: _*).select(cols: _*))
-    val out = (unmaskedDf, maskedDf) match {
+    (unmaskedDf, maskedDf) match {
       case (Some(u), Some(m)) => u.unionByName(m)
       case (Some(u), None) => u
       case (None, Some(m)) => m
       case (None, None) => throw new IllegalStateException("unreachable")
     }
-    (out, st)
+  }
+
+  /** Read data files that LACK identity partition source columns,
+    * re-injecting each missing column from the manifest partition
+    * record as a typed literal — one multi-path scan per DISTINCT
+    * partition tuple (O(partitions) plan branches, the hive-read
+    * shape), unioned. Delete files refuse: a position index into a
+    * column-injected scan has no oracle here yet, and real writers
+    * that produce delete files also store the source columns.
+    */
+  private def readInjecting(
+      spark: SparkSession, st: IcebergState,
+      missing: Seq[StructField], tablePath: String): DataFrame = {
+    require(st.posDeleteFiles.isEmpty && st.eqDeleteFiles.isEmpty,
+      s"iceberg table at $tablePath stores partition columns " +
+        s"(${missing.map(_.name).mkString(", ")}) only in manifest " +
+        "metadata AND carries delete files — unsupported combination")
+    val byName = st.partSpec.filter(_.transform == "identity")
+      .map(pf => st.fieldIdToName.getOrElse(pf.sourceId, "") -> pf.name).toMap
+    missing.foreach { f =>
+      require(byName.contains(f.name),
+        s"column '${f.name}' of the iceberg schema at $tablePath is in " +
+          "no data file and is not an identity partition column — " +
+          "unreadable")
+    }
+    val cols = st.schema.fieldNames.map(col).toSeq
+    val groups = st.dataFiles.groupBy { f =>
+      val vals = st.dataFilePartitions.getOrElse(f, Map.empty)
+      missing.map(m => normalizePartVal(vals.getOrElse(byName(m.name), null)))
+    }
+    groups.toSeq.sortBy(_._1.map(String.valueOf(_)).mkString("|")).map {
+      case (tuple, files) =>
+        var df = spark.read.parquet(files: _*)
+        missing.zip(tuple).foreach { case (m, v) =>
+          val c = m.dataType match {
+            case DateType if v != null =>
+              to_date(lit(java.time.LocalDate.ofEpochDay(
+                v.asInstanceOf[Long]).toString))
+            case _ => lit(v).cast(m.dataType)
+          }
+          df = df.withColumn(m.name, c)
+        }
+        df.select(cols: _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** EQUALITY deletes, sequence-scoped: a delete file with data
@@ -532,13 +861,16 @@ object IcebergImport {
       .select(cols: _*)
   }
 
-  /** Import the current snapshot into a NEW graft-lake table. */
+  /** Import one snapshot into a NEW graft-lake table —
+    * `asOfSnapshotId` time-travels to any un-expired snapshot.
+    */
   def importIceberg(
       spark: SparkSession, tablePath: String, graftPath: String,
-      statsCols: Seq[String] = Seq.empty): IcebergState = {
+      statsCols: Seq[String] = Seq.empty,
+      asOfSnapshotId: Option[Long] = None): IcebergState = {
     require(!Files.exists(Paths.get(graftPath, "_graft_log")),
       s"graft table already exists at $graftPath")
-    val (df, st) = readIceberg(spark, tablePath)
+    val (df, st) = readIceberg(spark, tablePath, asOfSnapshotId)
     GraftLake.create(df, graftPath, statsCols = statsCols)
     st
   }
@@ -579,50 +911,132 @@ object IcebergExport {
       s"iceberg export: unsupported type $other for column '$field'")
   }
 
-  private[graft] val manifestEntrySchemaJson: String =
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |  {"name":"content","type":"int"},
-      |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string"},
-      |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
-      |    "default":null}]}}]}""".stripMargin
+  /** Manifest-entry Avro schema with the spec's `field-id`
+    * annotations (real readers resolve manifest fields BY ID, not
+    * name) and the REQUIRED `partition` struct r102 —
+    * `partitionAvroFields` is the comma-joined field list of that
+    * record, empty for unpartitioned tables.
+    */
+  private[graft] def manifestEntrySchemaJson(
+      partitionAvroFields: String): String =
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int","field-id":0},
+       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+       |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+       |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+       |  {"name":"content","type":"int","field-id":134},
+       |  {"name":"file_path","type":"string","field-id":100},
+       |  {"name":"file_format","type":"string","field-id":101},
+       |  {"name":"partition","field-id":102,
+       |    "type":{"type":"record","name":"r102","fields":[$partitionAvroFields]}},
+       |  {"name":"record_count","type":"long","field-id":103},
+       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+       |  {"name":"equality_ids",
+       |    "type":["null",{"type":"array","items":"int","element-id":136}],
+       |    "default":null,"field-id":135}]}}]}""".stripMargin
 
   private[graft] val manifestListSchemaJson: String =
     """{"type":"record","name":"manifest_file","fields":[
-      |{"name":"manifest_path","type":"string"},
-      |{"name":"manifest_length","type":"long"},
-      |{"name":"partition_spec_id","type":"int"},
-      |{"name":"content","type":"int"},
-      |{"name":"sequence_number","type":"long"},
-      |{"name":"min_sequence_number","type":"long"},
-      |{"name":"added_snapshot_id","type":"long"},
-      |{"name":"added_files_count","type":"int"},
-      |{"name":"existing_files_count","type":"int"},
-      |{"name":"deleted_files_count","type":"int"},
-      |{"name":"added_rows_count","type":"long"},
-      |{"name":"existing_rows_count","type":"long"},
-      |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}]}""".stripMargin
 
-  /** One (file_path, record_count, file_size, content) data-file row. */
+  /** Spark type of a partition source column → the Avro type of its
+    * slot in the r102 partition record.
+    */
+  private def partAvroType(dt: DataType, c: String): String = dt match {
+    case IntegerType | DateType => "int"
+    case LongType => "long"
+    case StringType => "string"
+    case other => throw new IllegalArgumentException(
+      s"iceberg export: unsupported partition column type $other for '$c'")
+  }
+
+  private def partAvroValue(dt: DataType, v: Any): AnyRef =
+    if (v == null) null
+    else dt match {
+      case DateType => Integer.valueOf(v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+        case n: Number => n.intValue
+        case other => throw new IllegalArgumentException(
+          s"unreadable date partition value $other")
+      })
+      case IntegerType => Integer.valueOf(v.asInstanceOf[Number].intValue)
+      case LongType => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue)
+      case StringType => v.toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition value type $other")
+    }
+
+  /** Export-side table context: the table schema + its identity
+    * partition columns, rendering every spec-required JSON/Avro
+    * fragment (schema, partition spec, partition record) once.
+    * Partition field-ids live in the spec's 1000+ space; source-ids
+    * are the schema's 1..n field ids.
+    */
+  private[graft] final case class TableCtx(
+      st: StructType, partCols: Seq[String]) {
+    partCols.foreach(c => require(st.fieldNames.contains(c),
+      s"partition column '$c' is not in the schema"))
+    val partFields: Seq[(String, DataType)] =
+      partCols.map(c => c -> st(c).dataType)
+    def sourceId(c: String): Int = st.fieldNames.indexOf(c) + 1
+    def schemaJson: String =
+      s"""{"type":"struct","schema-id":0,"fields":[${schemaFieldsJson(st)}]}"""
+    def specFieldsJson: String = partCols.zipWithIndex.map { case (c, i) =>
+      s"""{"name":"$c","transform":"identity",""" +
+        s""""source-id":${sourceId(c)},"field-id":${1000 + i}}"""
+    }.mkString(",")
+    def specJson: String = s"""{"spec-id":0,"fields":[$specFieldsJson]}"""
+    def partitionAvroFields: String = partFields.zipWithIndex.map {
+      case ((c, dt), i) =>
+        s"""{"name":"$c","type":["null","${partAvroType(dt, c)}"],""" +
+          s""""default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+  }
+
+  /** One (file_path, record_count, file_size, content) data-file row;
+    * `partition` holds the file's partition values aligned with the
+    * table's partition fields.
+    */
   final case class ExportFile(
       path: String, records: Long, size: Long, content: Int,
-      eqIds: Seq[Int] = Seq.empty)
+      eqIds: Seq[Int] = Seq.empty, partition: Seq[Any] = Seq.empty)
 
-  /** Write one manifest Avro of ADDED entries; returns its path. */
+  /** Write one manifest Avro of ADDED entries with the spec's header
+    * key-value metadata (schema / partition-spec / format-version /
+    * content — readers cross-check these before trusting entries);
+    * returns its path.
+    */
   private[graft] def writeManifest(
       mdir: String, name: String, snapId: Long,
-      files: Seq[ExportFile]): String = {
+      files: Seq[ExportFile], ctx: TableCtx,
+      deletes: Boolean = false): String = {
     val schema = new org.apache.avro.Schema.Parser()
-      .parse(manifestEntrySchemaJson)
+      .parse(manifestEntrySchemaJson(ctx.partitionAvroFields))
     val dfSchema = schema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
     val out = s"$mdir/$name.avro"
     val w = new DataFileWriter[org.apache.avro.generic.GenericRecord](
       new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.setMeta("schema", ctx.schemaJson)
+    w.setMeta("schema-id", "0")
+    w.setMeta("partition-spec", s"[${ctx.specFieldsJson}]")
+    w.setMeta("partition-spec-id", "0")
+    w.setMeta("format-version", "2")
+    w.setMeta("content", if (deletes) "deletes" else "data")
     w.create(schema, new File(out))
     files.foreach { f =>
       val rec = new GenericData.Record(schema)
@@ -632,6 +1046,12 @@ object IcebergExport {
       d.put("content", Integer.valueOf(f.content))
       d.put("file_path", f.path)
       d.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(partSchema)
+      ctx.partFields.zipWithIndex.foreach { case ((c, dt), i) =>
+        pr.put(c, partAvroValue(dt,
+          if (i < f.partition.size) f.partition(i) else null))
+      }
+      d.put("partition", pr)
       d.put("record_count", java.lang.Long.valueOf(f.records))
       d.put("file_size_in_bytes", java.lang.Long.valueOf(f.size))
       if (f.eqIds.nonEmpty) {
@@ -659,6 +1079,8 @@ object IcebergExport {
     val out = s"$mdir/$name.avro"
     val w = new DataFileWriter[org.apache.avro.generic.GenericRecord](
       new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.setMeta("format-version", "2")
+    w.setMeta("snapshot-id", snapId.toString)
     w.create(schema, new File(out))
     manifests.foreach { case (p, content, rows, seq) =>
       val rec = new GenericData.Record(schema)
@@ -696,7 +1118,7 @@ object IcebergExport {
     * built, which is all a fresh export has).
     */
   private[graft] def writeMetadata(
-      tablePath: String, version: Int, st: StructType,
+      tablePath: String, version: Int, ctx: TableCtx,
       snapshots: Seq[(Long, Long, String)]): Unit = {
     val mdir = s"$tablePath/metadata"
     val snapsJson = snapshots.map { case (id, seq, ml) =>
@@ -705,15 +1127,20 @@ object IcebergExport {
         s""""summary":{"operation":"append"},"manifest-list":"$ml"}"""
     }.mkString(",")
     val (curId, lastSeq) = (snapshots.last._1, snapshots.last._2)
+    // a REAL (parseable) UUID — engines java.util.UUID.fromString it;
+    // name-based from the table path, so re-writes are deterministic
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      tablePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val meta =
-      s"""{"format-version":2,"table-uuid":"graft-${tablePath.hashCode.toHexString}",
+      s"""{"format-version":2,"table-uuid":"$uuid",
          |"location":"$tablePath","last-sequence-number":$lastSeq,
          |"last-updated-ms":${System.currentTimeMillis()},
-         |"last-column-id":${st.fields.length},
+         |"last-column-id":${ctx.st.fields.length},
          |"current-schema-id":0,
-         |"schemas":[{"type":"struct","schema-id":0,"fields":[${schemaFieldsJson(st)}]}],
-         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
-         |"last-partition-id":999,"default-sort-order-id":0,
+         |"schemas":[${ctx.schemaJson}],
+         |"default-spec-id":0,"partition-specs":[${ctx.specJson}],
+         |"last-partition-id":${999 + ctx.partCols.size},
+         |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"properties":{},
          |"current-snapshot-id":$curId,
@@ -733,23 +1160,48 @@ object IcebergExport {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
 
-  /** Export `df` as a NEW single-snapshot Iceberg v2 table. Returns
-    * the snapshot id.
+  /** Per-file (path, rows, partition values) — ONE distributed
+    * `_metadata.file_path` aggregation; hive-layout files are
+    * value-pure per partition column, so `first()` is exact.
     */
-  def exportIceberg(df: DataFrame, tablePath: String): Long = {
+  private def fileRowsPart(
+      spark: SparkSession, dataDir: String,
+      ctx: TableCtx): Seq[ExportFile] = {
+    val base = spark.read.parquet(dataDir)
+      .groupBy(regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+        .as("f"))
+      .agg(count(lit(1)).as("n"),
+        ctx.partCols.map(c => first(col(c)).as(c)): _*)
+      .collect()
+    base.map { r =>
+      val p = r.getString(0)
+      ExportFile(p, r.getLong(1), Files.size(Paths.get(p)), 0,
+        partition = ctx.partCols.map(c => r.get(r.fieldIndex(c))))
+    }.toSeq.sortBy(_.path)
+  }
+
+  /** Export `df` as a NEW single-snapshot Iceberg v2 table —
+    * optionally IDENTITY-PARTITIONED by `partitionBy` (hive-layout
+    * data directories; per-file partition values land in the
+    * manifest's r102 struct, the prune index engines plan from).
+    * Returns the snapshot id.
+    */
+  def exportIceberg(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     require(!Files.exists(Paths.get(tablePath, "metadata")),
       s"iceberg table already exists at $tablePath")
     val mdir = s"$tablePath/metadata"
     Files.createDirectories(Paths.get(mdir))
-    df.write.parquet(s"$tablePath/data")
-    val files = fileRows(spark, s"$tablePath/data")
-      .map { case (p, n) => ExportFile(p, n, Files.size(Paths.get(p)), 0) }
+    val ctx = TableCtx(df.schema, partitionBy)
+    if (partitionBy.isEmpty) df.write.parquet(s"$tablePath/data")
+    else df.write.partitionBy(partitionBy: _*).parquet(s"$tablePath/data")
+    val files = fileRowsPart(spark, s"$tablePath/data", ctx)
     val snapId = 1L
-    val m = writeManifest(mdir, "m0-data", snapId, files)
+    val m = writeManifest(mdir, "m0-data", snapId, files, ctx)
     val ml = writeManifestList(mdir, "ml0", snapId,
       Seq((m, 0, files.map(_.records).sum, 1L)))
-    writeMetadata(tablePath, 1, df.schema, Seq((snapId, 1L, ml)))
+    writeMetadata(tablePath, 1, ctx, Seq((snapId, 1L, ml)))
     snapId
   }
 
@@ -765,17 +1217,47 @@ object IcebergExport {
       deleteFiles: Seq[String]): Long = {
     val mdir = s"$tablePath/metadata"
     val prior = IcebergImport.foldIceberg(tablePath)
+    val ctx = ctxOf(prior)
     val snapId = prior.snapshotId + 1
-    val newSeq = prior.dataFileSeqs.values.foldLeft(1L)(math.max) + 1L
-    val manifests = restatePrior(spark, mdir, snapId, prior)
+    val newSeq = nextSeq(prior)
+    val manifests = restatePrior(spark, mdir, snapId, prior, ctx)
     val m1 = writeManifest(mdir, s"m$snapId-del", snapId,
-      countFiles(spark, deleteFiles, 1))
+      countFiles(spark, deleteFiles, 1), ctx, deletes = true)
     manifests += ((m1, 1, deleteFiles.size.toLong, newSeq))
     val ml = writeManifestList(mdir, s"ml$snapId", snapId, manifests.toSeq)
     val hint = Files.readString(Paths.get(mdir, "version-hint.text")).trim.toInt
-    writeMetadata(tablePath, hint + 1, prior.schema, Seq((snapId, newSeq, ml)))
+    writeMetadata(tablePath, hint + 1, ctx,
+      prior.snapshots :+ ((snapId, newSeq, ml)))
     snapId
   }
+
+  /** Export context of an existing table: its schema + identity
+    * partition columns (append writers restate prior manifests under
+    * the same spec).
+    */
+  private def ctxOf(prior: IcebergImport.IcebergState): TableCtx =
+    TableCtx(prior.schema, prior.partitionCols)
+
+  /** Partition values of a prior file, aligned to `ctx.partFields`
+    * (identity fields: partition-field name == source column name).
+    */
+  private def priorPartition(
+      prior: IcebergImport.IcebergState, ctx: TableCtx,
+      path: String): Seq[Any] = {
+    val vals = prior.dataFilePartitions.getOrElse(path, Map.empty)
+    ctx.partCols.map(c => vals.getOrElse(c, null))
+  }
+
+  /** The NEXT snapshot's sequence number: metadata's table-wide
+    * `last-sequence-number` high water + 1. Falling back to max(data
+    * seqs) only for chains that never recorded one — deriving from
+    * data seqs alone would REUSE a sequence after a delete-only
+    * snapshot (equality delete at seq S, no new data file), breaking
+    * monotonicity and mis-scoping later equality deletes.
+    */
+  private def nextSeq(prior: IcebergImport.IcebergState): Long =
+    math.max(prior.lastSequenceNumber,
+      prior.dataFileSeqs.values.foldLeft(1L)(math.max)) + 1L
 
   /** Real record counts per file (engines plan scans from them): one
     * distributed `_metadata` aggregation per group, no per-file
@@ -783,14 +1265,16 @@ object IcebergExport {
     */
   private def countFiles(
       spark: SparkSession, paths: Seq[String], content: Int,
-      ids: Seq[Int] = Seq.empty): Seq[ExportFile] = {
+      ids: Seq[Int] = Seq.empty,
+      parts: Map[String, Seq[Any]] = Map.empty): Seq[ExportFile] = {
     val rows = spark.read.parquet(paths: _*)
       .groupBy(regexp_replace(col("_metadata.file_path"),
         "^file:(//)?", "").as("f"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     paths.sorted.map(p => ExportFile(p, rows.getOrElse(p, 0L),
-      Files.size(Paths.get(p)), content, ids))
+      Files.size(Paths.get(p)), content, ids,
+      parts.getOrElse(p, Seq.empty)))
   }
 
   /** Restate every prior manifest group at its ORIGINAL sequence:
@@ -801,25 +1285,27 @@ object IcebergExport {
     */
   private def restatePrior(
       spark: SparkSession, mdir: String, snapId: Long,
-      prior: IcebergImport.IcebergState)
+      prior: IcebergImport.IcebergState, ctx: TableCtx)
       : scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long)] = {
     val manifests = scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long)]()
+    val priorParts = prior.dataFiles
+      .map(p => p -> priorPartition(prior, ctx, p)).toMap
     prior.dataFiles.groupBy(p => prior.dataFileSeqs.getOrElse(p, 1L))
       .toSeq.sortBy(_._1).foreach { case (seq, files) =>
         val m = writeManifest(mdir, s"m$snapId-restate-s$seq", snapId,
-          countFiles(spark, files, 0))
+          countFiles(spark, files, 0, parts = priorParts), ctx)
         manifests += ((m, 0, files.size.toLong, seq))
       }
     prior.eqDeleteFiles.groupBy(e => (e._2, e._3)).toSeq
       .sortBy(_._1._1).zipWithIndex.foreach { case (((seq, ids), fs), i) =>
         val m = writeManifest(mdir, s"m$snapId-restate-eqdel$i", snapId,
-          countFiles(spark, fs.map(_._1), 2, ids))
+          countFiles(spark, fs.map(_._1), 2, ids), ctx, deletes = true)
         manifests += ((m, 1, fs.size.toLong, seq))
       }
     if (prior.posDeleteFiles.nonEmpty) {
       val seq = prior.dataFileSeqs.values.foldLeft(1L)(math.max)
       val m = writeManifest(mdir, s"m$snapId-restate-posdel", snapId,
-        countFiles(spark, prior.posDeleteFiles, 1))
+        countFiles(spark, prior.posDeleteFiles, 1), ctx, deletes = true)
       manifests += ((m, 1, prior.posDeleteFiles.size.toLong, seq))
     }
     manifests
@@ -837,20 +1323,22 @@ object IcebergExport {
       equalityIds: Seq[Int], newDataFiles: Seq[String] = Seq.empty): Long = {
     val mdir = s"$tablePath/metadata"
     val prior = IcebergImport.foldIceberg(tablePath)
+    val ctx = ctxOf(prior)
     val snapId = prior.snapshotId + 1
-    val newSeq = prior.dataFileSeqs.values.foldLeft(1L)(math.max) + 1L
-    val manifests = restatePrior(spark, mdir, snapId, prior)
+    val newSeq = nextSeq(prior)
+    val manifests = restatePrior(spark, mdir, snapId, prior, ctx)
     if (newDataFiles.nonEmpty) {
       val m = writeManifest(mdir, s"m$snapId-newdata", snapId,
-        countFiles(spark, newDataFiles, 0))
+        countFiles(spark, newDataFiles, 0), ctx)
       manifests += ((m, 0, newDataFiles.size.toLong, newSeq))
     }
     val md = writeManifest(mdir, s"m$snapId-eqdel", snapId,
-      countFiles(spark, deleteFiles, 2, equalityIds))
+      countFiles(spark, deleteFiles, 2, equalityIds), ctx, deletes = true)
     manifests += ((md, 1, deleteFiles.size.toLong, newSeq))
     val ml = writeManifestList(mdir, s"ml$snapId", snapId, manifests.toSeq)
     val hint = Files.readString(Paths.get(mdir, "version-hint.text")).trim.toInt
-    writeMetadata(tablePath, hint + 1, prior.schema, Seq((snapId, newSeq, ml)))
+    writeMetadata(tablePath, hint + 1, ctx,
+      prior.snapshots :+ ((snapId, newSeq, ml)))
     snapId
   }
 }

@@ -1201,6 +1201,7 @@ final case class GraftLakeConvertCommand(
     dir: String, name: Option[String], statsCol: Option[String])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"CONVERT TO GRAFTLAKE '$dir'")
     GraftLake.convert(spark, dir, statsCol)
     name.foreach { n =>
       val sc = statsCol.getOrElse(GraftLake.read(spark, dir).columns.head)
@@ -1235,6 +1236,7 @@ final case class GraftDeltaImportCommand(
     statsCol: Option[String])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"CONVERT FROM DELTA '$deltaDir'")
     DeltaImport.importDelta(spark, deltaDir, graftDir,
       statsCols = statsCol.toSeq)
     name.foreach { n =>
@@ -1253,6 +1255,7 @@ final case class GraftDeltaImportCommand(
 final case class GraftDeltaExportCommand(path: String, deltaDir: String)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"CONVERT TO DELTA '$deltaDir'")
     DeltaExport.exportDelta(spark, path, deltaDir)
     Seq.empty
   }
@@ -1269,6 +1272,7 @@ final case class GraftIcebergImportCommand(
     name: Option[String], statsCol: Option[String])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"CONVERT FROM ICEBERG '$icebergDir'")
     IcebergImport.importIceberg(spark, icebergDir, graftDir,
       statsCols = statsCol.toSeq)
     name.foreach { n =>
@@ -1289,6 +1293,7 @@ final case class GraftIcebergImportCommand(
 final case class GraftIcebergExportCommand(path: String, icebergDir: String)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    LakeSql.refuseInTxn(s"CONVERT TO ICEBERG '$icebergDir'")
     IcebergExport.exportIceberg(GraftLake.read(spark, path), icebergDir)
     Seq.empty
   }

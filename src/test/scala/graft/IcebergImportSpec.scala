@@ -33,26 +33,22 @@ class IcebergImportSpec extends AnyFunSuite with SparkSpec {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, new File(path))
-    rows.foreach { m =>
-      val rec = new GenericData.Record(schema)
+    def toRec(s: Schema, m: Map[String, Any]): GenericData.Record = {
+      val rec = new GenericData.Record(s)
       m.foreach { case (k, v) =>
+        val fs = {
+          val f = s.getField(k).schema()
+          if (f.getType == Schema.Type.UNION) f.getTypes.get(1) else f
+        }
         val vv: AnyRef = v match {
-          case sub: Map[String, Any] @unchecked =>
-            val subSchema = {
-              val f = schema.getField(k).schema()
-              if (f.getType == Schema.Type.UNION)
-                f.getTypes.get(1)
-              else f
-            }
-            val sr = new GenericData.Record(subSchema)
-            sub.foreach { case (sk, sv) => sr.put(sk, sv.asInstanceOf[AnyRef]) }
-            sr
+          case sub: Map[String, Any] @unchecked => toRec(fs, sub)
           case other => other.asInstanceOf[AnyRef]
         }
         rec.put(k, vv)
       }
-      w.append(rec)
+      rec
     }
+    rows.foreach(m => w.append(toRec(schema, m)))
     w.close()
   }
 
@@ -225,11 +221,12 @@ class IcebergImportSpec extends AnyFunSuite with SparkSpec {
     stageSnapshot(t4,
       """{"id":1,"name":"k","required":true,"type":"long"},
         |{"id":2,"name":"pt","required":false,"type":
-        |  {"type":"struct","fields":[]}}""".stripMargin,
+        |  {"type":"map","key":"string","value":"long",
+        |   "key-id":5,"value-id":6,"value-required":false}}""".stripMargin,
       Seq(manifestEntry(1, f4)))
     val e4 = intercept[IllegalArgumentException](
       IcebergImport.foldIceberg(t4))
-    assert(e4.getMessage.contains("nested iceberg type"))
+    assert(e4.getMessage.contains("map type"))
 
     val t5 = freshTable()
     Files.createDirectories(Paths.get(t5, "metadata"))
@@ -367,6 +364,267 @@ class IcebergImportSpec extends AnyFunSuite with SparkSpec {
     val got = out.orderBy(col("id")).collect()
     val want = df.orderBy(col("id")).collect()
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("nested struct and list columns import value-exact; map refuses") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = spark.sql(
+      """SELECT id AS k,
+        |  named_struct('s', concat('v', id), 'n', id * 2) AS st,
+        |  array(id, id + 1, id + 2) AS xs
+        |FROM range(1, 21)""".stripMargin)
+    val f0 = stageData(t, df, "f0")
+    stageSnapshot(t,
+      """{"id":1,"name":"k","required":true,"type":"long"},
+        |{"id":2,"name":"st","required":false,"type":{"type":"struct","fields":[
+        |  {"id":4,"name":"s","required":false,"type":"string"},
+        |  {"id":5,"name":"n","required":false,"type":"long"}]}},
+        |{"id":3,"name":"xs","required":false,"type":
+        |  {"type":"list","element-id":6,"element":"long","element-required":true}}"""
+        .stripMargin,
+      Seq(manifestEntry(1, f0)))
+    val (out, st) = IcebergImport.readIceberg(spark, t)
+    import org.apache.spark.sql.types._
+    assert(st.schema("st").dataType.isInstanceOf[StructType])
+    assert(st.schema("st").dataType.asInstanceOf[StructType]("n").dataType
+      == LongType)
+    assert(st.schema("xs").dataType == ArrayType(LongType, containsNull = false))
+    val got = out.orderBy(col("k")).collect().toSeq
+    val want = df.orderBy(col("k")).collect().toSeq
+    assert(got == want)
+  }
+
+  test("partition transforms match the spec's published vectors") {
+    import graft.sources.IcebergImport.IcebergTransforms
+    // murmur3_x86_32 bucket-hash vectors pinned in the Iceberg table
+    // spec, Appendix B
+    assert(IcebergTransforms.hashLong(34L) == 2017239379)
+    assert(IcebergTransforms.murmur3("iceberg".getBytes("UTF-8"))
+      == 1210000089)
+    val d = java.time.LocalDate.of(2017, 11, 16)
+    assert(IcebergTransforms.hashLong(d.toEpochDay) == -653330422)
+    // bucket[16] of int 34: (2017239379 & Int.MaxValue) % 16
+    assert(IcebergTransforms("bucket[16]", 34L) ==
+      Some((2017239379L & Int.MaxValue) % 16))
+    assert(IcebergTransforms("truncate[10]", 27L) == Some(20L))
+    assert(IcebergTransforms("truncate[10]", -3L) == Some(-10L))
+    assert(IcebergTransforms("truncate[3]", "icebergs") == Some("ice"))
+    assert(IcebergTransforms("days", d) == Some(d.toEpochDay))
+    assert(IcebergTransforms("months", d) == Some(((2017 - 1970) * 12 + 10).toLong))
+    assert(IcebergTransforms("years", d) == Some(47L))
+    assert(IcebergTransforms("void", 5L) == None)
+    assert(IcebergTransforms("identity", "x") == Some("x"))
+  }
+
+  test("identity-partitioned export: manifest partition values drive file pruning; hive columns re-inject") {
+    import spark.implicits._
+    import graft.sources.IcebergExport
+    val t = freshTable()
+    val df = (1 to 60).map(i => (i.toLong, i % 4, s"r$i")).toDF("k", "p", "tag")
+    IcebergExport.exportIceberg(df.repartition(2), t, partitionBy = Seq("p"))
+    val st0 = IcebergImport.foldIceberg(t)
+    assert(st0.partSpec.map(f => (f.name, f.transform)) ==
+      Seq(("p", "identity")))
+    // every data file carries its manifest-recorded partition value
+    assert(st0.dataFiles.nonEmpty &&
+      st0.dataFiles.forall(f => st0.dataFilePartitions(f).contains("p")))
+    // prune to p = 2: strictly fewer files scanned, rows exact, and
+    // the hive-dropped partition column re-injects typed
+    val (out, st) = IcebergImport.readIcebergPruned(spark, t, Seq("p" -> 2))
+    assert(st.dataFiles.nonEmpty && st.dataFiles.size < st0.dataFiles.size)
+    assert(st.dataFiles.forall(f =>
+      st0.dataFilePartitions(f)("p") == 2L))
+    val got = out.select(col("k"), col("p"), col("tag"))
+      .as[(Long, Int, String)].collect().toSet
+    val want = (1 to 60).filter(_ % 4 == 2)
+      .map(i => (i.toLong, 2, s"r$i")).toSet
+    assert(got == want)
+    // the UNPRUNED read also re-injects and returns everything
+    val (all, _) = IcebergImport.readIceberg(spark, t)
+    assert(all.count() == 60)
+    assert(all.select(sum(col("p"))).head.getLong(0) ==
+      (1 to 60).map(_ % 4).sum.toLong)
+  }
+
+  test("bucket/days-partitioned manifests prune by transform value") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (1 to 40).map(i => (i.toLong, s"r$i", 0.0)).toDF("k", "tag", "x")
+    // two files: k 1..20 and 21..40; hand-write manifests recording
+    // bucket[8](min k of file) — entries carry a partition record
+    val f0 = stageData(t, df.filter(col("k") <= 20), "f0")
+    val f1 = stageData(t, df.filter(col("k") > 20), "f1")
+    import graft.sources.IcebergImport.IcebergTransforms
+    def b8(v: Long): Int =
+      IcebergTransforms("bucket[8]", v).get.asInstanceOf[Long].toInt
+    // pretend all rows of f0 hash to b8(5) and f1 to b8(25) — for the
+    // PRUNE test only the recorded values matter
+    val entrySchema =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |    {"name":"k_bucket","type":["null","int"],"default":null}]}},
+        |  {"name":"record_count","type":"long"}]}}]}""".stripMargin
+    val mdir = s"$t/metadata"
+    Files.createDirectories(Paths.get(mdir))
+    writeAvro(s"$mdir/m1.avro", entrySchema, Seq(
+      Map("status" -> 1, "data_file" -> Map("content" -> 0,
+        "file_path" -> f0, "file_format" -> "PARQUET",
+        "partition" -> Map("k_bucket" -> b8(5L)), "record_count" -> 20L)),
+      Map("status" -> 1, "data_file" -> Map("content" -> 0,
+        "file_path" -> f1, "file_format" -> "PARQUET",
+        "partition" -> Map("k_bucket" -> b8(25L)), "record_count" -> 20L))))
+    writeAvro(s"$mdir/ml1.avro", manifestListSchema,
+      Seq(Map[String, Any]("manifest_path" -> s"$mdir/m1.avro",
+        "manifest_length" -> 1L, "content" -> 0,
+        "added_snapshot_id" -> 7701L)))
+    Files.writeString(Paths.get(mdir, "v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"u-1","location":"$t",
+         |"last-sequence-number":1,"current-snapshot-id":7701,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[$kvFields]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"k_bucket","transform":"bucket[8]","source-id":1,"field-id":1000}]}],
+         |"default-spec-id":0,
+         |"snapshots":[{"snapshot-id":7701,"sequence-number":1,
+         |"manifest-list":"$mdir/ml1.avro"}]}""".stripMargin)
+    Files.writeString(Paths.get(mdir, "version-hint.text"), "1")
+    // a predicate k = 25 maps through bucket[8]; only files whose
+    // recorded bucket matches b8(25) survive the manifest prune
+    assume(b8(5L) != b8(25L)) // the vectors differ for these keys
+    val (out, st) = IcebergImport.readIcebergPruned(spark, t, Seq("k" -> 25L))
+    assert(st.dataFiles == Seq(f1))
+    import spark.implicits._
+    assert(out.select("k").as[Long].collect().toSeq == Seq(25L))
+  }
+
+  test("export writes spec-grade metadata: header kv, field-ids, parseable UUID, partition struct") {
+    import spark.implicits._
+    import graft.sources.IcebergExport
+    val t = freshTable()
+    val df = (1 to 12).map(i => (i.toLong, i % 3, s"r$i")).toDF("k", "p", "tag")
+    IcebergExport.exportIceberg(df.repartition(1), t, partitionBy = Seq("p"))
+    // manifest header metadata per the spec
+    val mdir = Paths.get(t, "metadata")
+    import scala.jdk.CollectionConverters._
+    val manifest = Files.list(mdir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("m0-data")).get
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      manifest.toFile,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    assert(r.getMetaString("format-version") == "2")
+    assert(r.getMetaString("content") == "data")
+    assert(r.getMetaString("schema").contains("\"schema-id\":0"))
+    assert(r.getMetaString("partition-spec").contains("\"transform\":\"identity\""))
+    // Avro field-id annotations: readers resolve manifest fields by id
+    val sch = r.getSchema
+    assert(sch.getField("status").getObjectProp("field-id") == 0)
+    assert(sch.getField("data_file").getObjectProp("field-id") == 2)
+    val dfs = sch.getField("data_file").schema()
+    assert(dfs.getField("file_path").getObjectProp("field-id") == 100)
+    assert(dfs.getField("partition").getObjectProp("field-id") == 102)
+    // the r102 partition record carries the partition value
+    val entry = r.iterator().asScala.next()
+    val part = entry.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(part.getSchema.getFields.asScala.map(_.name()).toSeq == Seq("p"))
+    r.close()
+    // table-uuid parses as a real UUID, deterministically
+    val metaJson = Files.readString(mdir.resolve("v1.metadata.json"))
+    val uuid = """"table-uuid":"([^"]+)"""".r
+      .findFirstMatchIn(metaJson).get.group(1)
+    assert(java.util.UUID.fromString(uuid) ==
+      java.util.UUID.nameUUIDFromBytes(t.getBytes("UTF-8")))
+  }
+
+  test("import-side time travel: AS OF an earlier snapshot skips later deletes") {
+    import spark.implicits._
+    import graft.sources.{IcebergExport, GraftLake}
+    val t = freshTable()
+    val df = (1 to 30).map(i => (i.toLong, s"r$i", 0.0)).toDF("k", "tag", "x")
+    IcebergExport.exportIceberg(df.repartition(1), t) // snapshot 1
+    def onePart(d: org.apache.spark.sql.DataFrame, dst: String): Seq[String] = {
+      val tmp = s"$t/_tmp_x"
+      d.repartition(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(dst).getParent)
+      Files.move(part.toPath, Paths.get(dst))
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+        .reverse.foreach(Files.deleteIfExists(_))
+      Seq(dst)
+    }
+    val delF = onePart((1L to 10L).toDF("k"), s"$t/data/eqdel0.parquet")
+    IcebergExport.appendEqualityDeletes(spark, t, delF, Seq(1)) // snapshot 2
+    // head reads 20 rows; AS OF snapshot 1 reads all 30
+    assert(IcebergImport.readIceberg(spark, t)._1.count() == 20)
+    val (v1, st1) = IcebergImport.readIceberg(spark, t, Some(1L))
+    assert(st1.snapshotId == 1L && v1.count() == 30)
+    // importIceberg AS OF lands the old rows in a graft table
+    val gp = freshTable()
+    IcebergImport.importIceberg(spark, t, gp, asOfSnapshotId = Some(1L))
+    assert(GraftLake.read(spark, gp).count() == 30)
+    // an unknown snapshot id refuses with the list of live ones
+    val e = intercept[IllegalArgumentException](
+      IcebergImport.foldIceberg(t, Some(99L)))
+    assert(e.getMessage.contains("not in the metadata snapshot list"))
+  }
+
+  test("delete-only snapshots keep sequence numbers strictly monotonic") {
+    import spark.implicits._
+    import graft.sources.IcebergExport
+    val t = freshTable()
+    val df = (1 to 20).map(i => (i.toLong, s"r$i", 0.0)).toDF("k", "tag", "x")
+    IcebergExport.exportIceberg(df.repartition(1), t) // seq 1
+    def onePart(d: org.apache.spark.sql.DataFrame, dst: String): Seq[String] = {
+      val tmp = s"$t/_tmp_x"
+      d.repartition(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(dst).getParent)
+      Files.move(part.toPath, Paths.get(dst))
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+        .reverse.foreach(Files.deleteIfExists(_))
+      Seq(dst)
+    }
+    // DELETE-ONLY snapshot at seq 2 (no new data file)
+    val d1 = onePart((1L to 5L).toDF("k"), s"$t/data/e1.parquet")
+    IcebergExport.appendEqualityDeletes(spark, t, d1, Seq(1))
+    val st2 = IcebergImport.foldIceberg(t)
+    assert(st2.lastSequenceNumber == 2L)
+    assert(st2.eqDeleteFiles.map(_._2) == Seq(2L))
+    // the NEXT delete-only snapshot must take seq 3, never reuse 2
+    val d2 = onePart((6L to 8L).toDF("k"), s"$t/data/e2.parquet")
+    IcebergExport.appendEqualityDeletes(spark, t, d2, Seq(1))
+    val st3 = IcebergImport.foldIceberg(t)
+    assert(st3.lastSequenceNumber == 3L)
+    assert(st3.eqDeleteFiles.map(_._2).sorted == Seq(2L, 3L))
+    // all three delete waves apply: rows 9..20 remain
+    import spark.implicits._
+    val (out, _) = IcebergImport.readIceberg(spark, t)
+    assert(out.select("k").as[Long].collect().toSet == (9L to 20L).toSet)
+  }
+
+  test("torn metadata.json refuses with the offset diagnostic, never a raw index error") {
+    val good = """{"format-version":2,"snapshots":[{"snapshot-id":1}]}"""
+    for (cut <- Seq(5, 20, good.length - 1)) {
+      val e = intercept[IllegalArgumentException](
+        IcebergImport.parseJson(good.take(cut)))
+      assert(e.getMessage.contains("bad JSON at offset"))
+    }
+    val e2 = intercept[IllegalArgumentException](
+      IcebergImport.parseJson("""{"a":"unterminated"""))
+    assert(e2.getMessage.contains("bad JSON at offset"))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergImport.parseJson("""{"a":"esc\"""))
+    assert(e3.getMessage.contains("bad JSON at offset"))
   }
 
   test("real-warehouse metadata naming (00001-uuid.metadata.json) resolves to the latest") {

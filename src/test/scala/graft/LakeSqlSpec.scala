@@ -965,6 +965,14 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
               |WHEN MATCHED THEN DELETE""".stripMargin)
     refused("TRUNCATE TABLE txndml_a")
     refused("RESTORE TABLE txndml_a TO VERSION AS OF 0")
+    // CONVERT commands refuse too: an export would snapshot a state
+    // that hides this transaction's staged INSERT, and an import /
+    // conversion cannot be rolled back
+    val convDir = Files.createTempDirectory("graft-conv").toString
+    refused(s"CONVERT TO DELTA '$convDir/d' FROM txndml_a")
+    refused(s"CONVERT TO ICEBERG '$convDir/i' FROM txndml_a")
+    refused(s"CONVERT FROM DELTA '$convDir/d' TO GRAFTLAKE '$convDir/g'")
+    refused(s"CONVERT FROM ICEBERG '$convDir/i' TO GRAFTLAKE '$convDir/g'")
     // the refusals neither mutated the table nor discarded the stage
     assert(GraftLake.read(spark, pa).count() == 2)
     spark.sql("COMMIT")
