@@ -480,95 +480,124 @@ object DeltaImport {
       m.map(_.group(1)).getOrElse("")
     }
 
-    // Checkpoint fold: one distributed parquet read, then O(files)
-    // driver rows — the same budget class as the JSON log parse
-    // (Delta readers reconstruct snapshots driver-side the same way).
+    // Checkpoint fold — DISTRIBUTED projection, bounded collects. A
+    // production checkpoint carries millions of add rows with fat
+    // stats/remove/txn payloads; collecting full rows would move GBs
+    // to the driver. Instead: (a) the O(1)/O(sidecars) control rows
+    // (protocol, metaData, checkpointMetadata, sidecar) come back
+    // through per-column filtered selects, and (b) add rows come
+    // back through ONE narrow (path, partitionValues, deletionVector)
+    // projection — nested-schema pruning keeps `add.stats` and every
+    // other column out of the scan, so driver memory is exactly the
+    // O(live files) state this fold must hold anyway. `remove` rows
+    // in a checkpoint are expired-tombstone bookkeeping with no file
+    // effect and are never read at all.
     checkpoint.foreach { case (cpv, files) =>
       val cdf = spark.read.parquet(files: _*)
-      def struct(row: org.apache.spark.sql.Row, name: String)
-          : Option[org.apache.spark.sql.Row] =
-        if (row.schema.fieldNames.contains(name) &&
-            !row.isNullAt(row.fieldIndex(name)))
-          Some(row.getAs[org.apache.spark.sql.Row](name))
-        else None
       val cpAdds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
       // V2 manifests carry `sidecar` rows naming add/remove shards
       // under _sidecars/, and a `checkpointMetadata` row pinning the
       // version — inline add rows stay legal in both forms.
       val sidecars = scala.collection.mutable.ArrayBuffer[String]()
-      def processRow(row: org.apache.spark.sql.Row): Unit = {
-        struct(row, "protocol").foreach { p =>
-          val fi = p.schema.fieldNames.indexOf("minReaderVersion")
-          val mrv = if (fi >= 0 && !p.isNullAt(fi)) p.getInt(fi) else 1
-          val ffi = p.schema.fieldNames.indexOf("readerFeatures")
-          val feats =
-            if (ffi >= 0 && !p.isNullAt(ffi))
-              Some(p.getSeq[String](ffi).toSet)
-            else None
-          checkProtocol(mrv, feats, s"checkpoint at $deltaPath")
-        }
-        struct(row, "metaData").foreach { m =>
-          Option(m.getAs[String]("schemaString")).foreach(sj =>
-            schemaJson = Some(sj))
-          partCols = Option(m.getAs[scala.collection.Seq[String]](
-            "partitionColumns")).map(_.toSeq).getOrElse(Seq.empty)
-          val ci = m.schema.fieldNames.indexOf("configuration")
-          if (ci >= 0 && !m.isNullAt(ci))
-            config = m.getAs[scala.collection.Map[String, String]](ci).toMap
-        }
-        struct(row, "add").foreach { a =>
-          val pv = Option(a.getAs[scala.collection.Map[String, String]](
-              "partitionValues")).map(_.toMap)
-            .getOrElse(Map.empty[String, String])
-          val p = a.getAs[String]("path")
-          cpAdds += p -> pv
-          dvs.remove(p)
-          val dvi = a.schema.fieldNames.indexOf("deletionVector")
-          if (dvi >= 0 && !a.isNullAt(dvi)) {
-            val d = a.getStruct(dvi)
-            def nfld(k: String): Long = {
-              val i = d.schema.fieldNames.indexOf(k)
-              if (i < 0 || d.isNullAt(i)) -1L
-              else d.get(i).asInstanceOf[Number].longValue
+      def controlRows(df: org.apache.spark.sql.DataFrame): Unit = {
+        val fields = df.schema.fieldNames
+        if (fields.contains("protocol"))
+          df.filter(col("protocol").isNotNull).select(col("protocol"))
+            .collect().foreach { r =>
+              val p = r.getStruct(0)
+              val fi = p.schema.fieldNames.indexOf("minReaderVersion")
+              val mrv = if (fi >= 0 && !p.isNullAt(fi)) p.getInt(fi) else 1
+              val ffi = p.schema.fieldNames.indexOf("readerFeatures")
+              val feats =
+                if (ffi >= 0 && !p.isNullAt(ffi))
+                  Some(p.getSeq[String](ffi).toSet)
+                else None
+              checkProtocol(mrv, feats, s"checkpoint at $deltaPath")
             }
-            dvs.put(p, DvDesc(
-              d.getAs[String]("storageType"),
-              d.getAs[String]("pathOrInlineDv"),
-              math.max(nfld("offset"), 1L), nfld("sizeInBytes"),
-              nfld("cardinality")))
-          }
-        }
-        // checkpoint `remove` rows are expired-tombstone bookkeeping
-        // (vacuum state), never a file effect on the live set
-        struct(row, "checkpointMetadata").foreach { cm =>
-          val vi = cm.schema.fieldNames.indexOf("version")
-          if (vi >= 0 && !cm.isNullAt(vi)) {
-            val mv = cm.get(vi).asInstanceOf[Number].longValue
-            require(mv == cpv,
-              s"v2 checkpoint manifest at $deltaPath declares version " +
-                s"$mv but _last_checkpoint names $cpv — torn or " +
-                "mismatched checkpoint")
-          }
-        }
-        struct(row, "sidecar").foreach { sc =>
-          Option(sc.getAs[String]("path")).foreach { p =>
-            // sidecar paths are file names under _sidecars/ or
-            // absolute URIs (the spec allows both)
-            val resolved =
-              if (p.startsWith("/")) p
-              else if (p.startsWith("file:"))
-                p.stripPrefix("file:").replaceAll("^//", "")
-              else logDir.resolve("_sidecars").resolve(p).toString
-            require(Files.exists(Paths.get(resolved)),
-              s"v2 checkpoint sidecar $p at $deltaPath is missing " +
-                s"(expected $resolved)")
-            sidecars += resolved
-          }
-        }
+        if (fields.contains("metaData"))
+          df.filter(col("metaData").isNotNull).select(col("metaData"))
+            .collect().foreach { r =>
+              val m = r.getStruct(0)
+              Option(m.getAs[String]("schemaString")).foreach(sj =>
+                schemaJson = Some(sj))
+              partCols = Option(m.getAs[scala.collection.Seq[String]](
+                "partitionColumns")).map(_.toSeq).getOrElse(Seq.empty)
+              val ci = m.schema.fieldNames.indexOf("configuration")
+              if (ci >= 0 && !m.isNullAt(ci))
+                config = m.getAs[scala.collection.Map[String, String]](ci).toMap
+            }
+        if (fields.contains("checkpointMetadata"))
+          df.filter(col("checkpointMetadata").isNotNull)
+            .select(col("checkpointMetadata")).collect().foreach { r =>
+              val cm = r.getStruct(0)
+              val vi = cm.schema.fieldNames.indexOf("version")
+              if (vi >= 0 && !cm.isNullAt(vi)) {
+                val mv = cm.get(vi).asInstanceOf[Number].longValue
+                require(mv == cpv,
+                  s"v2 checkpoint manifest at $deltaPath declares version " +
+                    s"$mv but _last_checkpoint names $cpv — torn or " +
+                    "mismatched checkpoint")
+              }
+            }
+        if (fields.contains("sidecar"))
+          df.filter(col("sidecar").isNotNull).select(col("sidecar.path"))
+            .collect().foreach { r =>
+              Option(r.getString(0)).foreach { p =>
+                // sidecar paths are file names under _sidecars/ or
+                // absolute URIs (the spec allows both)
+                val resolved =
+                  if (p.startsWith("/")) p
+                  else if (p.startsWith("file:"))
+                    p.stripPrefix("file:").replaceAll("^//", "")
+                  else logDir.resolve("_sidecars").resolve(p).toString
+                require(Files.exists(Paths.get(resolved)),
+                  s"v2 checkpoint sidecar $p at $deltaPath is missing " +
+                    s"(expected $resolved)")
+                sidecars += resolved
+              }
+            }
       }
-      cdf.collect().foreach(processRow)
+      def addRows(df: org.apache.spark.sql.DataFrame): Unit = {
+        if (!df.schema.fieldNames.contains("add")) return
+        val addT = df.schema("add").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val pvCol =
+          if (addT.fieldNames.contains("partitionValues"))
+            col("add.partitionValues")
+          else typedLit(Map.empty[String, String])
+        val dvCol =
+          if (addT.fieldNames.contains("deletionVector"))
+            col("add.deletionVector")
+          else lit(null)
+        df.filter(col("add").isNotNull)
+          .select(col("add.path").as("p"), pvCol.as("pv"), dvCol.as("dv"))
+          .collect().foreach { r =>
+            val p = r.getString(0)
+            val pv = Option(r.getAs[scala.collection.Map[String, String]](1))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            cpAdds += p -> pv
+            dvs.remove(p)
+            if (!r.isNullAt(2)) {
+              val d = r.getStruct(2)
+              def nfld(k: String): Long = {
+                val i = d.schema.fieldNames.indexOf(k)
+                if (i < 0 || d.isNullAt(i)) -1L
+                else d.get(i).asInstanceOf[Number].longValue
+              }
+              dvs.put(p, DvDesc(
+                d.getAs[String]("storageType"),
+                d.getAs[String]("pathOrInlineDv"),
+                math.max(nfld("offset"), 1L), nfld("sizeInBytes"),
+                nfld("cardinality")))
+            }
+          }
+      }
+      controlRows(cdf)
+      addRows(cdf)
+      // sidecar shards carry FILE actions only (the v2 spec) — one
+      // multi-path narrow add-projection over all of them
       if (sidecars.nonEmpty)
-        spark.read.parquet(sidecars.toSeq: _*).collect().foreach(processRow)
+        addRows(spark.read.parquet(sidecars.toSeq: _*))
       // the checkpoint is a SNAPSHOT — row order is meaningless; sort
       // by path so import output is deterministic
       cpAdds.sortBy(_._1).foreach { case (p, pv) =>

@@ -638,6 +638,69 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("JSON form"))
   }
 
+  test("100k-add checkpoint folds with a bounded (narrow-projection) driver collect") {
+    // A production Delta checkpoint carries millions of add rows with
+    // fat per-file stats; the fold must move only (path,
+    // partitionValues, deletionVector) to the driver — never whole
+    // rows. This fixture pins that shape at 100k adds x 256-byte
+    // stats: nested-schema pruning keeps `add.stats` (and the remove/
+    // txn columns) out of the scan, and the fold stays seconds-fast
+    // with O(live files) driver state.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val delta = freshDelta()
+    Files.createDirectories(Paths.get(delta, "_delta_log"))
+    val schema = StructType(Seq(
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType))))))
+    val schemaJson = new StructType().add("k", LongType).json
+    val n = 100000
+    val fat = "x" * 256
+    val addRows = spark.range(n).rdd.map { r =>
+      val i: Long = r
+      Row(null,
+        Row(f"part-$i%06d.parquet", Map("p" -> (i % 7).toString), 1L,
+          true, fat))
+    }
+    val metaRow = spark.sparkContext.parallelize(Seq(
+      Row(Row("m", schemaJson, Seq("p"), Map.empty[String, String]), null)))
+    val df = spark.createDataFrame(metaRow.union(addRows), schema)
+    val tmp = s"$delta/_tmp_cp"
+    df.repartition(4).write.parquet(tmp)
+    val pieces = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    pieces.zipWithIndex.foreach { case (f, i) =>
+      Files.move(f.toPath, Paths.get(delta, "_delta_log",
+        f"${5L}%020d.checkpoint.${i + 1}%010d.${pieces.length}%010d.parquet"))
+    }
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+      .reverse.foreach(Files.deleteIfExists(_))
+    Files.writeString(Paths.get(delta, "_delta_log", "_last_checkpoint"),
+      s"""{"version":5,"size":${n + 1},"parts":${pieces.length}}""")
+    val t0 = System.nanoTime()
+    val st = DeltaImport.foldDeltaLog(spark, delta)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(st.activeFiles.size == n)
+    assert(st.partitionCols == Seq("p"))
+    assert(st.activeFiles.head._1 == "part-000000.parquet")
+    assert(st.activeFiles.map(_._1).toSet.contains("part-099999.parquet"))
+    assert(st.activeFiles.forall { case (_, pv) => pv.keySet == Set("p") })
+    // generous ceiling: a full-row collect of 100k fat rows through
+    // the old path was also seconds, but a DATA-sized misfold (e.g.
+    // accidentally reading stats per row into driver maps) trips this
+    assert(sec < 60.0, s"checkpoint fold took $sec s")
+  }
+
   test("re-added file counts once; remove of a never-added path is a no-op") {
     import spark.implicits._
     val delta = freshDelta()
