@@ -409,10 +409,19 @@ object DeltaImport {
     * checkpoint+1 (from 0 when there is no checkpoint).
     */
   private[graft] def foldDeltaLog(
-      spark: SparkSession, deltaPath: String): DeltaState = {
+      spark: SparkSession, deltaPath: String,
+      asOfVersion: Option[Long] = None): DeltaState = {
     val logDir = Paths.get(deltaPath, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log at $deltaPath")
-    val checkpoint = readLastCheckpoint(logDir, deltaPath)
+    val checkpointHead = readLastCheckpoint(logDir, deltaPath)
+    // TIME TRAVEL behind the checkpoint replays the JSON commits from
+    // version 0 instead (the checkpoint bakes later state in) — the
+    // contiguity check below refuses loudly if that prefix was
+    // vacuumed away, exactly like Delta's own AS OF.
+    val checkpoint = asOfVersion match {
+      case Some(v) if checkpointHead.exists(_._1 > v) => None
+      case _ => checkpointHead
+    }
     val listing = Files.list(logDir)
     val allVersions =
       try listing.iterator().asScala
@@ -420,12 +429,22 @@ object DeltaImport {
         .filter(n => n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
         .map(n => n.dropRight(5).toLong -> n).toSeq.sortBy(_._1)
       finally listing.close()
+    asOfVersion.foreach { v =>
+      val maxKnown = math.max(checkpointHead.map(_._1).getOrElse(-1L),
+        allVersions.lastOption.map(_._1).getOrElse(-1L))
+      require(v >= 0 && v <= maxKnown,
+        s"version AS OF $v at $deltaPath does not exist " +
+          s"(latest version is $maxKnown)")
+    }
     // Versions at or below the checkpoint are baked into it — a
     // vacuumed/truncated prefix there is normal, not an error.
     val minV = checkpoint.map(_._1 + 1).getOrElse(0L)
     val versions = allVersions.filter(_._1 >= minV)
+      .filter(nv => asOfVersion.forall(nv._1 <= _))
     require(checkpoint.nonEmpty || versions.nonEmpty,
-      s"empty _delta_log at $deltaPath")
+      s"empty _delta_log at $deltaPath" + asOfVersion.map(v =>
+        s" at version $v (its JSON commits were vacuumed past the " +
+          "checkpoint — AS OF cannot reconstruct it)").getOrElse(""))
     require(versions.map(_._1) ==
       (minV until minV + versions.size.toLong),
       s"non-contiguous delta log versions after ${minV - 1} at $deltaPath " +
@@ -679,9 +698,9 @@ object DeltaImport {
     * read from the live files, partition columns re-injected per
     * distinct partition tuple as typed literals.
     */
-  private[graft] def readDelta(spark: SparkSession, deltaPath: String)
-      : (DataFrame, DeltaState) = {
-    val st = foldDeltaLog(spark, deltaPath)
+  private[graft] def readDelta(spark: SparkSession, deltaPath: String,
+      asOfVersion: Option[Long] = None): (DataFrame, DeltaState) = {
+    val st = foldDeltaLog(spark, deltaPath, asOfVersion)
     require(st.activeFiles.nonEmpty, s"delta table at $deltaPath has no live files")
     // COLUMN MAPPING: name mode reads the files under their PHYSICAL
     // names (every level) and restores the logical names; id mode
@@ -762,8 +781,9 @@ object DeltaImport {
     */
   def importDelta(
       spark: SparkSession, deltaPath: String, graftPath: String,
-      statsCols: Seq[String] = Seq.empty): Int = {
-    val (df, st) = readDelta(spark, deltaPath)
+      statsCols: Seq[String] = Seq.empty,
+      asOfVersion: Option[Long] = None): Int = {
+    val (df, st) = readDelta(spark, deltaPath, asOfVersion)
     val hiveable = st.partitionCols.nonEmpty && st.partitionCols.forall(pc =>
       GraftLake.sumStatEligible(st.schema(pc).dataType))
     if (hiveable) {

@@ -638,6 +638,42 @@ class DeltaImportSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("JSON form"))
   }
 
+  test("readDelta AS OF version: replays to the cut, reaches behind a checkpoint, refuses vacuumed/missing") {
+    val delta = freshDelta()
+    seedFlat(delta) // v0: add f0,f1; v1: remove f1, add f2
+    // head = {f0, f2}; AS OF 0 = {f0, f1}
+    val (v0df, v0st) = DeltaImport.readDelta(spark, delta, Some(0L))
+    assert(v0st.activeFiles.map(_._1).sorted == Seq("f0.parquet", "f1.parquet"))
+    assert(v0df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 20L))
+    val (v1df, v1st) = DeltaImport.readDelta(spark, delta, Some(1L))
+    assert(v1st.activeFiles.map(_._1).sorted == Seq("f0.parquet", "f2.parquet"))
+    assert(v1df.count() == 20)
+    // a checkpoint at v1 does NOT block AS OF 0 while v0's JSON lives
+    val schemaJson = {
+      import spark.implicits._
+      (1 to 1).map(i => (i.toLong, "x")).toDF("id", "tag").schema.json
+    }
+    writeCheckpoint(delta, 1L, schemaJson, Seq.empty,
+      Seq("f0.parquet" -> Map.empty, "f2.parquet" -> Map.empty))
+    assert(DeltaImport.readDelta(spark, delta, Some(0L))._2
+      .activeFiles.map(_._1).sorted == Seq("f0.parquet", "f1.parquet"))
+    // importDelta AS OF lands the old snapshot in a graft table
+    val gp = Files.createTempDirectory("graft-delta-asof").resolve("t").toString
+    DeltaImport.importDelta(spark, delta, gp, asOfVersion = Some(0L))
+    assert(GraftLake.read(spark, gp).count() == 20)
+    // vacuum v0's JSON: AS OF 0 now refuses loudly (cannot reconstruct)
+    Files.delete(Paths.get(delta, "_delta_log", "0" * 20 + ".json"))
+    val e1 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, delta, Some(0L)))
+    assert(e1.getMessage.contains("vacuumed") ||
+      e1.getMessage.contains("non-contiguous"))
+    // a version that never existed refuses with the latest
+    val e2 = intercept[IllegalArgumentException](
+      DeltaImport.readDelta(spark, delta, Some(7L)))
+    assert(e2.getMessage.contains("does not exist"))
+  }
+
   test("100k-add checkpoint folds with a bounded (narrow-projection) driver collect") {
     // A production Delta checkpoint carries millions of add rows with
     // fat per-file stats; the fold must move only (path,
