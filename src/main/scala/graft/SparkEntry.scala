@@ -113,6 +113,7 @@ object SparkEntry {
     "d43_unigram_apply" -> ((s: SparkSession, d: String) => graft.operators.Unigram.d43UnigramApply(s, d)),
     "d45_byte_fallback" -> ((s: SparkSession, d: String) => graft.operators.Unigram.d45ByteFallback(s, d)),
     "d46_sequence_pack" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d46SequencePack(s, d)),
+    "d47_global_shuffle" -> ((s: SparkSession, d: String) => graft.operators.TextCorpus.d47GlobalShuffle(s, d)),
     "d32_containment"    -> TextCorpus.d32Containment _,
     "s01_ann_brute"      -> Similarity.s01AnnBrute _,
     "s02_ann_lsh"        -> Similarity.s02AnnLsh _,
@@ -4608,6 +4609,7 @@ object SparkEntry {
     "d43_unigram_apply" -> graft.operators.Unigram.d43OracleSql,
     "d45_byte_fallback" -> graft.operators.Unigram.d45OracleSql,
     "d46_sequence_pack" -> graft.operators.TextCorpus.d46OracleSql,
+    "d47_global_shuffle" -> graft.operators.TextCorpus.d47OracleSql,
     // Gini impurity in integer numerators with one trailing division;
     // spaces excluded from the char stream on both sides.
     "d26_char_diversity" ->

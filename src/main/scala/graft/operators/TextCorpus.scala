@@ -1142,6 +1142,78 @@ object TextCorpus {
       .orderBy(col("bin"))
   }
 
+  // ------------------------------------------- deterministic shuffle
+
+  /** Seed mixed into the d47 shuffle key; changing it permutes the
+    * whole training order deterministically.
+    */
+  val ShuffleSeed = 17L
+
+  /** Shard count for the d47 reshard. */
+  val ShuffleShards = 8
+
+  /** d47: DETERMINISTIC GLOBAL SHUFFLE — the training-order reshard a
+    * pretraining pipeline runs last: corpus order randomizes as a
+    * PURE FUNCTION of content + seed (shuffle key = the d18 Horner
+    * content hash mixed with [[ShuffleSeed]]), rows take their global
+    * position from ONE range-partitioned sort on that key
+    * ([[Ranks.withGlobalIndex]] — per-partition counts + broadcast
+    * offsets, no single-task window, no driver state), and positions
+    * bin into [[ShuffleShards]] near-equal shards with standard
+    * NTILE arithmetic (first `total mod n` shards one row larger).
+    * Re-running on the same corpus + seed reproduces the order
+    * bit-for-bit regardless of input partitioning — the
+    * reproducibility contract training runs need.
+    */
+  def d47GlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ph = Dedup.polyHash(text.trim.toLowerCase)
+        (id, (ph * 1000003L + ShuffleSeed) % 1000000007L)
+      }.toDF("doc_id", "skey")
+    val total = keyed.count()
+    val nsh = ShuffleShards.toLong
+    require(total >= nsh, s"corpus of $total docs < $nsh shards")
+    val q = total / nsh
+    val r = total % nsh
+    Ranks.withGlobalIndex(keyed, Seq(col("skey"), col("doc_id")), "idx0")
+      .withColumn("pos", col("idx0") + lit(1L))
+      // NTILE(n) arithmetic on nonnegative longs: `div` == floor ==
+      // DuckDB `//`
+      .withColumn("shard",
+        when(col("pos") <= lit(r * (q + 1)),
+          expr(s"((pos - 1) div ${q + 1}) + 1"))
+          .otherwise(expr(s"$r + ((pos - 1 - ${r * (q + 1)}) div $q) + 1"))
+          .cast("int"))
+      .select(col("doc_id"), col("skey"), col("pos"), col("shard"))
+      .orderBy(col("pos"))
+  }
+
+  /** d47 oracle: same content hash, same seed mix, same NTILE
+    * arithmetic — the order is a pure function both engines replay.
+    */
+  def d47OracleSql: String =
+    s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+       |h AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    [CAST(unicode(s[i:i]) AS BIGINT) FOR i IN range(1, length(s) + 1)]),
+       |  (a, c) -> (a * 131 + c) % 1000000007) AS ph FROM t),
+       |k AS (SELECT doc_id,
+       |  (ph * 1000003 + $ShuffleSeed) % 1000000007 AS skey FROM h),
+       |p AS (SELECT doc_id, skey,
+       |  CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS pos,
+       |  (SELECT count(*) FROM k) AS total FROM k)
+       |SELECT doc_id, skey, pos,
+       |  CAST(CASE WHEN pos <= (total % $ShuffleShards) * (total // $ShuffleShards + 1)
+       |    THEN (pos - 1) // (total // $ShuffleShards + 1) + 1
+       |    ELSE (total % $ShuffleShards)
+       |      + (pos - 1 - (total % $ShuffleShards) * (total // $ShuffleShards + 1))
+       |        // (total // $ShuffleShards) + 1
+       |  END AS INT) AS shard
+       |FROM p ORDER BY pos""".stripMargin
+
   /** d46 oracle: the same exclusive running sum as a window frame —
     * integer division only, token counts via the d02-pinned
     * whitespace split.

@@ -137,6 +137,47 @@ class TextCorpusSpec extends AnyFunSuite with SparkSpec {
     half.foreach { case (id, split) => assert(full(id) == split, s"doc $id moved") }
   }
 
+  test("d47 global shuffle: reproducible order, balanced shards, permutation of the corpus") {
+    val out1 = TextCorpus.d47GlobalShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val out2 = TextCorpus.d47GlobalShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // bit-for-bit reproducible: the order is a pure function of
+    // content + seed, independent of any physical partitioning
+    assert(out1.toSeq == out2.toSeq)
+    val n = out1.length
+    // a PERMUTATION: every doc exactly once, positions 1..n
+    assert(out1.map(_._1).toSet.size == n)
+    assert(out1.map(_._3).toSeq == (1L to n.toLong))
+    // shard balance: standard NTILE — sizes differ by at most one,
+    // first (n mod shards) shards carry the extra row
+    val sizes = out1.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (1 to TextCorpus.ShuffleShards).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    val q = n / TextCorpus.ShuffleShards
+    val r = n % TextCorpus.ShuffleShards
+    (1 to TextCorpus.ShuffleShards).foreach { sh =>
+      assert(sizes(sh) == (if (sh <= r) q + 1 else q), s"shard $sh")
+    }
+    // shard assignment is monotone in position (contiguous ranges)
+    out1.sortBy(_._3).map(_._4).sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) <= w(1))
+    }
+    // the order actually shuffles: not the doc_id order
+    assert(out1.map(_._1).toSeq != out1.map(_._1).sorted.toSeq)
+    // driver replay: key = (polyHash(lower(trim(text))) * 1000003 +
+    // seed) mod p, order = (key, doc_id)
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.map { case (id, text) =>
+      val ph = graft.operators.Dedup.polyHash(text.trim.toLowerCase)
+      (id, (ph * 1000003L + TextCorpus.ShuffleSeed) % 1000000007L)
+    }.sortBy { case (id, k) => (k, id) }
+    assert(out1.map(t => (t._1, t._2)).toSeq == expect.toSeq)
+  }
+
   test("d19 edit distance matches a brute-force Levenshtein DP") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
