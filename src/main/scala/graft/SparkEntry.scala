@@ -875,6 +875,43 @@ object SparkEntry {
         .withColumn("eq_del_ok", lit(ok))
         .orderBy(col("status"))
     }),
+    // ICEBERG PARTITION-SPEC PRUNING: an identity-partitioned v2
+    // table (hive-layout data dirs; per-file partition values in the
+    // manifest's r102 struct) imports through MANIFEST-LEVEL file
+    // pruning — a source-column equality predicate maps through the
+    // spec transform and drops non-matching data files BEFORE the
+    // parquet read, then the hive-dropped partition column re-injects
+    // as a typed literal. prune_ok pins the plan facts in-row: the
+    // pruned scan set is strictly smaller, non-empty, and every kept
+    // file's recorded partition value matches. Oracle: orders
+    // restricted to the predicate band.
+    "src76_iceberg_partition_prune" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{IcebergExport, IcebergImport}
+      val ice = scratch("graft_iceberg_part", dir)
+      rmrf(ice)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"),
+        pmod(col("o_orderkey"), lit(8L)).cast("int").as("pb"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      IcebergExport.exportIceberg(o.repartition(4, col("okey")), ice,
+        partitionBy = Seq("pb"))
+      val st0 = IcebergImport.foldIceberg(ice)
+      val (df, st) = IcebergImport.readIcebergPruned(s, ice, Seq("pb" -> 3))
+      val ok = st.dataFiles.nonEmpty &&
+        st.dataFiles.size < st0.dataFiles.size &&
+        st.partSpec.map(f => (f.name, f.transform)) ==
+          Seq(("pb", "identity")) &&
+        st.dataFiles.forall(f => st0.dataFilePartitions(f)("pb") == 3L) &&
+        st0.dataFiles.filterNot(st.dataFiles.toSet)
+          .forall(f => st0.dataFilePartitions(f)("pb") != 3L)
+      df.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+        .withColumn("prune_ok", lit(ok))
+        .orderBy(col("status"))
+    }),
     // SQL TRANSACTIONS: BEGIN TRANSACTION / COMMIT / ROLLBACK — the
     // SQL twin of src64. Staged INSERTs land on BOTH tables through
     // one cross-table transaction marker; a CHECK-violating COMMIT
@@ -4724,6 +4761,14 @@ object SparkEntry {
         |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
         |  min(okey) AS lo, max(okey) AS hi, TRUE AS eq_del_ok
         |FROM t WHERE cents < 45000000 OR cents >= 52000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src76_iceberg_partition_prune" ->
+      """WITH t AS (SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  min(okey) AS lo, max(okey) AS hi, TRUE AS prune_ok
+        |FROM t WHERE okey % 8 = 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src74_iceberg_import" ->
       """WITH t AS (SELECT o_orderkey AS okey, o_orderstatus AS status,
