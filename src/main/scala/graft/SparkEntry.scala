@@ -913,11 +913,18 @@ object SparkEntry {
         .orderBy(col("status"))
     }),
     // SQL TRANSACTIONS: BEGIN TRANSACTION / COMMIT / ROLLBACK — the
-    // SQL twin of src64. Staged INSERTs land on BOTH tables through
-    // one cross-table transaction marker; a CHECK-violating COMMIT
-    // aborts the WHOLE transaction and leaves both tables unchanged.
-    // Abort-invariance flag in-row. Oracle: per-status totals served
-    // identically by the fact table and the folded summary.
+    // SQL twin of src64, upgraded to MIXED DML: INSERT / DELETE /
+    // UPDATE / MERGE execute eagerly as PROVISIONAL commits riding
+    // one shared token (invisible to other threads until the single
+    // decision marker flips, visible to this thread's own later
+    // statements), COMMIT lands them all-or-nothing, ROLLBACK leaves
+    // zero trace, and a CHECK-violating statement refuses eagerly.
+    // In-row sql_txn_ok pins: cross-table atomic commit, statement-
+    // time constraint refusal + clean rollback, mixed-DML rollback
+    // zero-trace, mid-transaction isolation (another thread sees the
+    // pre-transaction state), and the committed mixed-DML final
+    // state. Oracle: fact = orders below the deleted band, summary =
+    // all orders.
     "src70_sql_txn" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       import graft.sources.{GraftLake, LakeSql}
@@ -939,32 +946,51 @@ object SparkEntry {
       LakeSql.register(s, pb, "g70_summary", "n")
       odd.createOrReplaceTempView("g70_odd")
       summarize(odd).createOrReplaceTempView("g70_oddsum")
+      def pubCount(p: String): Long = {
+        @volatile var n = -1L
+        val th = new Thread(() => n = GraftLake.read(s, p).count())
+        th.start(); th.join()
+        n
+      }
+      // txn 1 (COMMIT): cross-table INSERTs land together
       s.sql("BEGIN TRANSACTION")
       s.sql("INSERT INTO g70_fact SELECT * FROM g70_odd")
+      val isolatedIns = pubCount(pa) == even.count()
       s.sql("INSERT INTO g70_summary SELECT * FROM g70_oddsum")
       s.sql("COMMIT")
-      // the aborting transaction: the summary side violates its CHECK
+      val full = (GraftLake.read(s, pa).count(), GraftLake.read(s, pb).count())
+      // txn 2: a CHECK-violating statement refuses AT STATEMENT TIME;
+      // ROLLBACK buries the earlier valid statement — no trace
       GraftLake.addConstraint(s, pb, "nonneg_cents", "cents >= 0")
-      val before = (GraftLake.read(s, pa).count(), GraftLake.read(s, pb).count())
       s.sql("BEGIN TRANSACTION")
       s.sql("INSERT INTO g70_fact SELECT * FROM g70_odd")
-      s.sql("INSERT INTO g70_summary SELECT status, n, -1 AS cents FROM g70_oddsum")
-      val aborted =
-        try { s.sql("COMMIT"); false } catch { case _: Exception => true }
-      val after = (GraftLake.read(s, pa).count(), GraftLake.read(s, pb).count())
-      // the REWRITE refusal contract: DML inside an open transaction
-      // refuses loudly (it could never be rolled back), mutates
-      // nothing, and leaves the stage intact for COMMIT
-      s.sql("BEGIN TRANSACTION")
-      s.sql("INSERT INTO g70_fact SELECT * FROM g70_odd")
-      val dmlRefused =
-        try { s.sql("DELETE FROM g70_fact WHERE cents >= 0"); false }
-        catch { case e: Exception =>
-          e.getMessage.contains("BEGIN TRANSACTION") }
-      val factMid = GraftLake.read(s, pa).count()
+      val stmtRefused =
+        try {
+          s.sql("INSERT INTO g70_summary SELECT status, n, -1 AS cents " +
+            "FROM g70_oddsum")
+          false
+        } catch { case _: Exception => true }
       s.sql("ROLLBACK")
-      val ok = aborted && before == after && dmlRefused &&
-        factMid == after._1 && GraftLake.read(s, pa).count() == after._1
+      val afterAbort =
+        (GraftLake.read(s, pa).count(), GraftLake.read(s, pb).count())
+      // txn 3 (mixed DML, ROLLBACK): zero trace
+      s.sql("BEGIN TRANSACTION")
+      s.sql("INSERT INTO g70_fact SELECT * FROM g70_odd")
+      s.sql("DELETE FROM g70_fact WHERE cents >= 48000000")
+      s.sql("ROLLBACK")
+      val afterRollback = GraftLake.read(s, pa).count()
+      // txn 4 (mixed DML, COMMIT): the deleted band stays out; the
+      // public view holds the full state until the marker flips
+      val bandN = GraftLake.read(s, pa)
+        .filter(col("cents") >= 48000000L).count()
+      s.sql("BEGIN TRANSACTION")
+      s.sql("DELETE FROM g70_fact WHERE cents >= 48000000")
+      val isolatedDel = pubCount(pa) == full._1 &&
+        GraftLake.read(s, pa).count() == full._1 - bandN
+      s.sql("COMMIT")
+      val ok = isolatedIns && stmtRefused && full == afterAbort &&
+        afterRollback == full._1 && isolatedDel && bandN > 0 &&
+        GraftLake.read(s, pa).count() == full._1 - bandN
       val fact = GraftLake.read(s, pa).groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("side", lit("fact"))
@@ -4781,12 +4807,14 @@ object SparkEntry {
     "src70_sql_txn" ->
       """WITH t AS (SELECT o_orderstatus AS status,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders),
-        |a AS (SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
-        |  FROM t GROUP BY 1)
-        |SELECT 'fact' AS side, status, n, cents, TRUE AS sql_txn_ok FROM a
+        |  FROM orders)
+        |SELECT 'fact' AS side, status, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, TRUE AS sql_txn_ok
+        |FROM t WHERE cents < 48000000 GROUP BY 2
         |UNION ALL
-        |SELECT 'summary', status, n, cents, TRUE FROM a
+        |SELECT 'summary', status, count(*),
+        |  CAST(sum(cents) AS BIGINT), TRUE
+        |FROM t GROUP BY 2
         |ORDER BY side, status""".stripMargin,
     "src71_sql_convert_delta" ->
       """WITH t AS (SELECT o_orderkey AS okey, o_orderstatus AS status,

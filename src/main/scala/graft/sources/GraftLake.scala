@@ -91,7 +91,16 @@ object GraftLake {
       // [[appendAtomic]]. Pending/aborted tokens resolve the commit
       // to a version-only no-op at read time (commitsFrom), so a
       // half-landed transaction can never surface on any table.
-      txn: Option[String] = None)
+      txn: Option[String] = None,
+      // UNDECIDED-transaction claims, populated ONLY on the read-time
+      // no-op a PENDING txn commit resolves to: the original action
+      // and its add/remove lists. The mutation fence treats these as
+      // held locks (a racing rewrite of a pending-removed set, or a
+      // racing mask race against a pending mask, must wait for the
+      // decision) — aborted txns resolve with these EMPTY.
+      heldAction: String = "",
+      heldAdds: Seq[String] = Seq.empty,
+      heldRemoves: Seq[String] = Seq.empty)
 
   /** Per-file-set min/max of one long column, recorded at commit time
     * from the written files — the manifest-level zone map that lets
@@ -168,7 +177,15 @@ object GraftLake {
       // (Delta's allowExplicitInsert): writers MAY supply values;
       // the high water advances past supplied maxima so generated
       // values never collide. Recorded as a ",d" item suffix.
-      identityDefaults: Set[String] = Set.empty)
+      identityDefaults: Set[String] = Set.empty,
+      // Claims of UNDECIDED transactions folded from their read-time
+      // no-ops: file-sets a pending txn commit REMOVES (a racing
+      // rewrite/mask of one must wait for the decision) and position
+      // sidecars a pending txn commit ADDS (a racing rewrite of the
+      // masked sets must wait too) — the cross-writer face of "the
+      // MutationFence claim is held across the transaction".
+      pendingRemoves: Set[String] = Set.empty,
+      pendingMasks: Seq[String] = Seq.empty)
 
   /** Reserved manifest-stats name carrying a set's row-id range
     * ([base, base+rows-1]) — never a real column (guarded at
@@ -1691,7 +1708,10 @@ object GraftLake {
     * caller's transaction — its own claim/publish run serializes it
     * against every other writer.
     */
-  private def maybeAutoCompact(spark: SparkSession, path: String): Unit =
+  private def maybeAutoCompact(spark: SparkSession, path: String): Unit = {
+    // never inside an open SQL transaction: the compact would fold a
+    // self-visible snapshot and materialize pending rows durably
+    if (activeSqlTxn.get.isDefined) return
     autoCompactThreshold(path).foreach { t =>
       try {
         val s = snapshot(path)
@@ -1713,6 +1733,7 @@ object GraftLake {
               s"${e.getClass.getName}: ${e.getMessage}")
       }
     }
+  }
 
   /** Test observability: the last swallowed auto-compact failure on
     * this thread (None after a clean round). Thread-local, same
@@ -2141,11 +2162,49 @@ object GraftLake {
       txn: Option[String] = None): Int = {
     val hook = beforePublishHook.get()
     if (hook.isDefined) { beforePublishHook.set(None); hook.get.apply() }
+    // An open SQL transaction on this thread CAPTURES data-bearing
+    // commits: they ride its shared token as provisional commits
+    // (invisible until the decision marker). DDL passes through
+    // non-transactionally (its prior contract); maintenance shapes
+    // refuse loudly — a ROLLBACK could not undo them.
+    val sqlCtx = activeSqlTxn.get
+    val effTxn = txn.orElse {
+      sqlCtx.flatMap { ctx =>
+        if (TxnPassActions.contains(action)) None
+        else {
+          require(TxnAttachActions.contains(action),
+            s"'$action' at $path inside BEGIN TRANSACTION: this " +
+              "operation cannot be staged transactionally or rolled " +
+              "back — COMMIT or ROLLBACK first")
+          if (ctx.token.isEmpty)
+            ctx.token = Some(s"${logDir(path).toAbsolutePath}|sql" +
+              java.util.UUID.randomUUID().toString.take(12))
+          ctx.token
+        }
+      }
+    }
+    val sqlAttached = txn.isEmpty && effTxn.isDefined
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 50, s"gave up committing to $path after 50 races")
       val snap = snapshot(path)
+      // In-transaction writes refuse the version-indexed table
+      // features (the appendAtomic refusal set): a pending commit's
+      // later decision would insert change rows / id-range claims
+      // BEHIND consumers that already read past its version.
+      if (sqlAttached) {
+        require(!cdfEnabled(path),
+          s"'$action' on CDF-enabled table $path inside BEGIN " +
+            "TRANSACTION: the change feed indexes versions assuming " +
+            "visibility never changes retroactively")
+        require(!rowTrackingEnabled(path),
+          s"'$action' on row-tracking table $path inside BEGIN " +
+            "TRANSACTION: a pending commit cannot hold an id-range claim")
+        require(snap.identities.isEmpty,
+          s"'$action' on IDENTITY table $path inside BEGIN TRANSACTION: " +
+            "allocation rides row tracking")
+      }
       // Constraint-freshness check INSIDE the claim loop: if a racing
       // writer published new CHECK rules after this commit validated
       // its delta, landing would bypass them — fail loudly so the
@@ -2184,6 +2243,24 @@ object GraftLake {
             s"a concurrent commit landed a position mask on a file-set " +
               s"this mutation at $path read; re-run against the fresh " +
               "snapshot")
+        // UNDECIDED-transaction claims: a pending txn commit that
+        // removes one of our reference sets, or holds a position mask
+        // touching one, is a lock held across that transaction — this
+        // mutation must wait for the decision (retry after COMMIT/
+        // ROLLBACK/commitTxn/abortTxn), never land a rewrite the
+        // pending commit's decision would invalidate.
+        val held = f.refSets.intersect(snap.pendingRemoves)
+        if (held.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"file-set(s) ${held.toSeq.sorted.mkString(", ")} at $path " +
+              "are claimed by an UNDECIDED transaction's rewrite; " +
+              "retry after it commits or aborts")
+        val pendMasks = snap.pendingMasks.filterNot(f.readTombstones)
+        if (pendMasks.nonEmpty && f.masksTouch(pendMasks))
+          throw new java.util.ConcurrentModificationException(
+            s"an UNDECIDED transaction holds a position mask on a " +
+              s"file-set this mutation at $path read; retry after it " +
+              "commits or aborts")
       }
       // IDENTITY freshness: the staged values embed a row-tracking
       // base; if a racing commit advanced the high water, landing
@@ -2304,6 +2381,16 @@ object GraftLake {
           throw new java.util.ConcurrentModificationException(
             s"file-set $r was removed by a concurrent commit; retry the merge")
         }
+        // An UNDECIDED transaction's rewrite holds its removed sets
+        // as claims: a racing rewrite of one must wait for the
+        // decision (committing it now would fork the set's lineage —
+        // both rewrites computed from the same parent).
+        val heldRw = removed.toSet.intersect(snap.pendingRemoves)
+        if (heldRw.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"file-set(s) ${heldRw.toSeq.sorted.mkString(", ")} at $path " +
+              "are claimed by an UNDECIDED transaction's rewrite; retry " +
+              "after it commits or aborts")
       }
       // RESTORE must replace the EXACT snapshot it diffed against —
       // by VERSION, not just by live-set equality: a racing commit
@@ -2340,7 +2427,7 @@ object GraftLake {
         case _ => stats
       }
       val header = render(Commit(v, action, mergedDdl, addItems, removed, tag,
-        statsEff, ts, cdf = cdfSet, txn = txn))
+        statsEff, ts, cdf = cdfSet, txn = effTxn))
       // Partitioned commits append one sealed per-set manifest line
       // per added set — still ONE file, ONE atomic publish.
       val json = {
@@ -2366,6 +2453,8 @@ object GraftLake {
         Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
         maybeAutoCheckpoint(path, v)
+        if (sqlAttached)
+          sqlCtx.get.journal += ((path, v, fence, removed, addItems))
         return v
       }
       // Lost the race. A claim that stays EMPTY past the stale-claim
@@ -2508,10 +2597,167 @@ object GraftLake {
   private def resolveTxn(path: String)(c: Commit): Commit = c.txn match {
     case None => c
     case Some(token) =>
-      if (txnDecision(path, token).contains("committed")) c
-      else c.copy(action = "txnnoop", add = Seq.empty, remove = Seq.empty,
-        tag = None, stats = Seq.empty, perSet = Seq.empty, cdf = None,
-        ingest = Seq.empty)
+      // READ-YOUR-WRITES: the thread that holds an open SQL
+      // transaction sees its OWN provisional commits as committed
+      // (statements inside the transaction must observe the earlier
+      // ones); every other thread/process resolves them pending.
+      if (txnDecision(path, token).contains("committed") ||
+          activeSqlTxn.get.exists(_.token.contains(token))) c
+      else {
+        val decided = txnDecision(path, token).isDefined // => aborted
+        c.copy(action = "txnnoop", add = Seq.empty, remove = Seq.empty,
+          tag = None, stats = Seq.empty, perSet = Seq.empty, cdf = None,
+          ingest = Seq.empty,
+          // a PENDING commit still HOLDS its mutation claims — an
+          // aborted one holds nothing
+          heldAction = if (decided) "" else c.action,
+          heldAdds = if (decided) Seq.empty else c.add,
+          heldRemoves = if (decided) Seq.empty else c.remove)
+      }
+  }
+
+  // ------------------------------------------------ SQL transactions
+
+  /** Thread-scoped SQL-transaction context (BEGIN TRANSACTION …
+    * COMMIT/ROLLBACK): statements execute EAGERLY as PROVISIONAL
+    * commits carrying one shared token — invisible to every other
+    * reader until the single decision marker flips (the
+    * [[appendAtomic]] machinery), visible to this thread's own later
+    * statements ([[resolveTxn]]'s read-your-writes). COMMIT
+    * revalidates every journaled mutation fence against the PUBLIC
+    * view and flips the marker; ROLLBACK (or a commit-time conflict)
+    * publishes the abort decision and reclaims the invisible staged
+    * sets — zero trace.
+    */
+  private[sources] final class SqlTxn {
+    // minted off the FIRST written table (its log dir hosts the
+    // decision marker — the coordinator role of appendAtomic)
+    var token: Option[String] = None
+    // every provisional commit: (table path, version, its fence, the
+    // sets it removed, the sets it added). Removed sets revalidate at
+    // COMMIT against the public view; the added lists identify OUR
+    // OWN intermediate sets (a later in-txn statement rewriting an
+    // earlier one's output is internal chaining, not a conflict).
+    val journal = scala.collection.mutable.ArrayBuffer[
+      (String, Int, Option[MutationFence], Seq[String], Seq[String])]()
+    // lake views touched by statements — re-registered at COMMIT
+    // (mid-transaction refreshes would leak pending rows to other
+    // threads through the session-global temp view)
+    val views = scala.collection.mutable.LinkedHashMap[String, String]()
+  }
+
+  private[graft] val activeSqlTxn =
+    ThreadLocal.withInitial[Option[SqlTxn]](() => None)
+
+  /** Register a lake view touched by an in-transaction statement —
+    * re-registered once at COMMIT (see [[SqlTxn.views]]).
+    */
+  private[sources] def txnTouchView(view: String, path: String): Unit =
+    activeSqlTxn.get.foreach(_.views.put(view, path))
+
+  /** Commit actions that PARTICIPATE in an open SQL transaction (the
+    * data-bearing DML shapes). DDL/maintenance actions stay
+    * non-transactional (their prior contract); anything else refuses
+    * loudly inside a transaction rather than silently landing
+    * durable state a ROLLBACK could not undo.
+    */
+  private val TxnAttachActions = Set(
+    "append", "overwrite", "merge", "delete", "update", "tombstone",
+    "updatedv", "padd", "poverwrite")
+  private val TxnPassActions = Set(
+    "create", "constraint", "evolve", "rename", "dropcol", "partition",
+    "coldef", "lineage")
+
+  def sqlTxnBegin(): Unit = {
+    require(activeSqlTxn.get.isEmpty,
+      "BEGIN TRANSACTION: a SQL transaction is already open — " +
+        "COMMIT or ROLLBACK it first")
+    activeSqlTxn.set(Some(new SqlTxn))
+  }
+
+  def sqlTxnOpen: Boolean = activeSqlTxn.get.isDefined
+
+  /** COMMIT: revalidate every journaled fence against the PUBLIC view
+    * (our own commits resolve pending there — exactly the racing-
+    * writer perspective), then flip the ONE decision marker. Any
+    * conflict aborts the WHOLE transaction and rethrows.
+    */
+  def sqlTxnCommit(spark: SparkSession): Unit = {
+    val ctx = activeSqlTxn.get.getOrElse(
+      throw new IllegalArgumentException("COMMIT: no open SQL transaction"))
+    activeSqlTxn.set(None) // public view from here on
+    ctx.token.foreach { tok =>
+      try {
+        val selfAdded = ctx.journal.groupBy(_._1).view
+          .mapValues(_.flatMap(_._5).toSet).toMap
+        ctx.journal.foreach { case (path, _, fenceOpt, removed0, _) =>
+          val snap = snapshot(path)
+          val liveNames = (snap.live.map(_.set) ++ snap.tombstones).toSet ++
+            selfAdded.getOrElse(path, Set.empty)
+          val removed = removed0
+          // every set this transaction rewrote must still exist in
+          // the PUBLIC view (our own removals resolve pending there,
+          // so only a racing writer can have taken one)
+          removed.find(r => !liveNames(r)).foreach { r =>
+            throw new java.util.ConcurrentModificationException(
+              s"file-set $r at $path was rewritten by a concurrent " +
+                "commit while this transaction held a rewrite of it; " +
+                "the transaction aborts — re-run it")
+          }
+          fenceOpt.foreach { f =>
+            f.refSets.find(r => !liveNames(r)).foreach { r =>
+              throw new java.util.ConcurrentModificationException(
+                s"file-set $r at $path was rewritten by a concurrent " +
+                  "commit while this transaction held positions into " +
+                  "it; the transaction aborts — re-run it")
+            }
+            val freshMasks = snap.tombstones.filterNot(f.readTombstones)
+            if (freshMasks.nonEmpty && f.masksTouch(freshMasks))
+              throw new java.util.ConcurrentModificationException(
+                s"a concurrent commit masked a file-set this " +
+                  s"transaction read at $path; the transaction aborts " +
+                  "— re-run it")
+          }
+        }
+        publishDecision(txnMarkerPath(tok), "committed")
+        cacheTxnDecisionLocally(ctx.journal.map(_._1).distinct.toSeq,
+          tok, "committed")
+      } catch {
+        case e if scala.util.control.NonFatal(e) =>
+          sqlTxnAbort(ctx, tok)
+          throw e
+      }
+    }
+    ctx.views.foreach { case (view, path) =>
+      read(spark, path).createOrReplaceTempView(view)
+    }
+  }
+
+  /** ROLLBACK: abort marker + best-effort reclaim of the invisible
+    * staged sets — the table trees end byte-identical to BEGIN.
+    */
+  def sqlTxnRollback(): Unit = {
+    val ctx = activeSqlTxn.get.getOrElse(
+      throw new IllegalArgumentException("ROLLBACK: no open SQL transaction"))
+    activeSqlTxn.set(None)
+    ctx.token.foreach(tok => sqlTxnAbort(ctx, tok))
+  }
+
+  private def sqlTxnAbort(ctx: SqlTxn, tok: String): Unit = {
+    try {
+      publishDecision(txnMarkerPath(tok), "aborted")
+      cacheTxnDecisionLocally(ctx.journal.map(_._1).distinct.toSeq,
+        tok, "aborted")
+      ctx.journal.foreach { case (p, v, _, _, _) =>
+        import scala.jdk.CollectionConverters._
+        parse(Files.readString(logFile(p, v))).add.foreach { setName =>
+          val sp = Paths.get(setPath(p, setName))
+          if (Files.exists(sp))
+            Files.walk(sp).iterator().asScala.toSeq.reverse
+              .foreach(q => Files.deleteIfExists(q))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** The single decision marker of a transaction: ONE file whose
@@ -2663,9 +2909,15 @@ object GraftLake {
         // version slot (later commits built on top of it) but
         // contributes nothing — not even its schema, which would
         // otherwise evolve the table ahead of the transaction's
-        // decision.
+        // decision. A PENDING one still HOLDS its mutation claims
+        // (held* fields) so racing rewrites wait for the decision.
         s.copy(version = c.version,
-          tsMillis = math.max(s.tsMillis, c.tsMillis))
+          tsMillis = math.max(s.tsMillis, c.tsMillis),
+          pendingRemoves = s.pendingRemoves ++ c.heldRemoves,
+          pendingMasks = s.pendingMasks ++
+            (if (c.heldAction == "tombstone" || c.heldAction == "updatedv")
+              c.heldAdds
+            else Seq.empty))
       } else if (c.action == "partition") {
         // add = the layout columns in order: table metadata, no
         // file-sets (one entry = single-column, several = a tuple).

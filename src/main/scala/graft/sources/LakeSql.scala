@@ -57,82 +57,36 @@ object LakeSql {
   def unregister(name: String): Unit =
     tables.remove(name.toLowerCase(java.util.Locale.ROOT))
 
-  // ----- BEGIN/COMMIT/ROLLBACK TRANSACTION (SQL surface of
-  // [[GraftLake.appendAtomic]]): between BEGIN TRANSACTION and
-  // COMMIT, plain `INSERT INTO <lake>` statements STAGE instead of
-  // committing; COMMIT lands them all-or-nothing through the
-  // cross-table transaction marker (one table degenerates to a plain
-  // append — trivially atomic). ROLLBACK discards the stage. The
-  // stage is THREAD-scoped (Spark executes SQL commands eagerly on
-  // the calling thread): a transaction belongs to the thread that
-  // opened it, so concurrent sessions/threads running their own
-  // INSERTs can never be captured by someone else's open transaction
-  // — the single-session SQL shape, made safe under parallelism.
-  private[sources] final case class StagedInsert(
-      df: org.apache.spark.sql.DataFrame, path: String,
-      statsCol: String, viewName: String)
-  private val txnStage =
-    ThreadLocal.withInitial[Option[Vector[StagedInsert]]](() => None)
+  // ----- BEGIN/COMMIT/ROLLBACK TRANSACTION (SQL surface of the
+  // provisional-commit machinery, see [[GraftLake.sqlTxnBegin]]):
+  // between BEGIN TRANSACTION and COMMIT, INSERT / DELETE / UPDATE /
+  // MERGE statements execute EAGERLY as PROVISIONAL commits carrying
+  // one shared token — invisible to every other reader until COMMIT
+  // flips the single decision marker, visible to this thread's own
+  // later statements (read-your-writes). ROLLBACK publishes the
+  // abort decision and reclaims the invisible staged sets. The
+  // transaction is THREAD-scoped (Spark executes SQL commands
+  // eagerly on the calling thread): concurrent sessions/threads
+  // running their own statements can never be captured by someone
+  // else's open transaction.
+  private[sources] def txnOpen: Boolean = GraftLake.sqlTxnOpen
 
-  private[sources] def txnOpen: Boolean = txnStage.get.isDefined
-
-  /** Row-rewriting statements inside an open SQL transaction refuse
-    * LOUDLY instead of silently running non-transactionally (a
-    * BEGIN; DELETE; ROLLBACK must never lose rows). They cannot
-    * stage either: the provisional-commit model holds back APPENDS,
-    * but a staged rewrite executed at COMMIT would run against a
-    * snapshot that hides this transaction's earlier statements (and
-    * DV/CDF sidecars index versions assuming visibility never
-    * changes retroactively) — the refusal IS the contract.
+  /** Statements that can neither stage transactionally nor be rolled
+    * back (TRUNCATE / RESTORE / CONVERT) refuse LOUDLY inside an open
+    * SQL transaction instead of silently running non-transactionally.
     */
   private[sources] def refuseInTxn(stmt: String): Unit =
     require(!txnOpen,
-      s"$stmt inside BEGIN TRANSACTION: only plain INSERT INTO stages " +
-        "transactionally; rewrites cannot be rolled back or held back " +
-        "by the provisional-commit model — COMMIT or ROLLBACK first")
+      s"$stmt inside BEGIN TRANSACTION: this statement cannot be " +
+        "staged transactionally or rolled back — COMMIT or ROLLBACK " +
+        "first")
 
-  private[sources] def txnBegin(): Unit = {
-    require(txnStage.get.isEmpty,
-      "BEGIN TRANSACTION: a SQL transaction is already open — " +
-        "COMMIT or ROLLBACK it first")
-    txnStage.set(Some(Vector.empty))
-  }
+  private[sources] def txnBegin(): Unit = GraftLake.sqlTxnBegin()
 
-  private[sources] def txnStageInsert(si: StagedInsert): Unit = {
-    val cur = txnStage.get
-    require(cur.isDefined, "no open SQL transaction")
-    txnStage.set(Some(cur.get :+ si))
-  }
+  private[sources] def txnRollback(): Unit = GraftLake.sqlTxnRollback()
 
-  private[sources] def txnRollback(): Unit = {
-    require(txnStage.get.isDefined,
-      "ROLLBACK: no open SQL transaction")
-    txnStage.set(None)
-  }
-
-  private[sources] def txnCommit(spark: SparkSession): Unit = {
-    val staged = txnStage.get.getOrElse(
-      throw new IllegalArgumentException("COMMIT: no open SQL transaction"))
-    txnStage.set(None)
-    if (staged.isEmpty) return
-    // Two INSERTs into the SAME table inside one transaction are a
-    // legal SQL shape: union them into one staged plan per path
-    // (appendAtomic refuses duplicate paths — its marker protocol is
-    // one commit per table). First-seen path order, rows in statement
-    // order within a path.
-    val byPath = staged.map(_.path).distinct.map { p =>
-      val group = staged.filter(_.path == p)
-      group.head.copy(df = group.map(_.df).reduce(_.unionByName(_)))
-    }
-    if (byPath.size == 1) {
-      val si = byPath.head
-      GraftLake.append(si.df, si.path, statsCol = Some(si.statsCol))
-    } else
-      GraftLake.appendAtomic(byPath.map(si => (si.df, si.path)),
-        statsCols = byPath.map(si => si.path -> Seq(si.statsCol)).toMap)
-    byPath.foreach(si =>
-      GraftLake.read(spark, si.path).createOrReplaceTempView(si.viewName))
-  }
+  private[sources] def txnCommit(spark: SparkSession): Unit =
+    GraftLake.sqlTxnCommit(spark)
 
   private[sources] def lookup(name: String): Option[DmlTable] =
     Option(tables.get(name.toLowerCase(java.util.Locale.ROOT)))
@@ -354,17 +308,20 @@ final case class GraftLakeDeleteCommand(
     viewName: String = "")
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeSql.refuseInTxn(s"DELETE FROM $viewName")
     // Tables opted into deletion vectors (Delta's
     // enableDeletionVectors) take the merge-on-read route: an
     // O(deleted rows) position sidecar instead of a file-set rewrite;
     // OPTIMIZE materializes. Otherwise copy-on-write as before.
+    // Inside BEGIN TRANSACTION the commit rides the transaction
+    // token (provisional, rolled back by ROLLBACK).
     if (GraftLake.dvDeletesEnabled(path))
       GraftLake.deleteDv(spark, path, expr(condSql))
     else
       GraftLake.delete(spark, path, expr(condSql), statsCol = Some(statsCol))
-    if (viewName.nonEmpty)
-      GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    if (viewName.nonEmpty) {
+      if (LakeSql.txnOpen) GraftLake.txnTouchView(viewName, path)
+      else GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    }
     Seq.empty
   }
 }
@@ -382,7 +339,6 @@ final case class GraftLakeDeleteInCommand(
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = keys :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeSql.refuseInTxn(s"DELETE FROM $viewName")
     val kdf = GraftSqlBridge.ofRows(spark, keys)
     require(kdf.columns.length == 1,
       s"DELETE FROM $viewName WHERE $keyCol IN (subquery): the subquery " +
@@ -395,7 +351,8 @@ final case class GraftLakeDeleteInCommand(
       throw new IllegalArgumentException(
         s"DELETE FROM $viewName: no column '$keyCol'"))
     GraftLake.deleteKeys(spark, path, kdf.toDF(canon), canon, Some(statsCol))
-    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    if (LakeSql.txnOpen) GraftLake.txnTouchView(viewName, path)
+    else GraftLake.read(spark, path).createOrReplaceTempView(viewName)
     Seq.empty
   }
 }
@@ -410,7 +367,6 @@ final case class GraftLakeUpdateCommand(
     statsCol: String)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeSql.refuseInTxn(s"UPDATE at $path")
     // Tables opted into deletion vectors (Delta's
     // enableDeletionVectors) take the merge-on-read route: ONE atomic
     // commit of a position sidecar + the rewritten rows — zero bytes
@@ -751,18 +707,21 @@ final case class GraftLakeInsertCommand(
       val gf = target.fields.find(_.name.equalsIgnoreCase(g)).get
       df0.withColumn(gf.name, expr(sql).cast(gf.dataType))
     }
-    // Inside an open SQL transaction, a plain append STAGES (lands
-    // all-or-nothing at COMMIT via appendAtomic). Only plain appends
-    // participate — the other shapes rewrite state appendAtomic's
-    // provisional-commit model cannot hold back.
+    // Inside an open SQL transaction, a plain append executes as a
+    // PROVISIONAL commit riding the transaction token (invisible
+    // until COMMIT, visible to this thread's later statements). Only
+    // plain appends participate; the view re-registers at COMMIT —
+    // a mid-transaction refresh would leak pending rows to other
+    // threads through the session-global temp view.
     if (LakeSql.txnOpen) {
       require(!overwrite && layout.isEmpty && idCols.isEmpty,
         s"INSERT INTO $viewName inside BEGIN TRANSACTION: only plain " +
           "appends participate (no OVERWRITE, partitioned layouts, or " +
           "IDENTITY tables) — COMMIT first")
-      LakeSql.txnStageInsert(LakeSql.StagedInsert(
+      GraftLake.append(
         withGen.select(target.fields.map(f => col(f.name)).toIndexedSeq: _*),
-        path, statsCol, viewName))
+        path, statsCol = Some(statsCol))
+      GraftLake.txnTouchView(viewName, path)
       return Seq.empty
     }
     // IDENTITY tables route through the allocating append: values are
@@ -1058,7 +1017,6 @@ final case class GraftLakeMergeCommand(
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = source :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeSql.refuseInTxn(s"MERGE INTO at $path")
     // Tables opted into deletion vectors (Delta's
     // enableDeletionVectors) take the merge-on-read route: a position
     // sidecar masks the matched target rows and ONE appended set
@@ -1092,7 +1050,6 @@ final case class GraftLakeMergeActionsCommand(
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = source :: Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeSql.refuseInTxn(s"MERGE INTO $viewName")
     // Same DV opt-in routing as the canonical MERGE: tables with
     // enableDeletionVectors take the merge-on-read clause executor
     // (position sidecar + O(affected rows) append, zero set rewrites).
@@ -1102,7 +1059,8 @@ final case class GraftLakeMergeActionsCommand(
     else
       GraftLake.mergeActions(spark, path,
         GraftSqlBridge.ofRows(spark, source), keyCols, statsCol, clauses)
-    GraftLake.read(spark, path).createOrReplaceTempView(viewName)
+    if (LakeSql.txnOpen) GraftLake.txnTouchView(viewName, path)
+    else GraftLake.read(spark, path).createOrReplaceTempView(viewName)
     Seq.empty
   }
 }

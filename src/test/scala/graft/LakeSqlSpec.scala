@@ -858,7 +858,17 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, p).filter(col("yr") === 2).count() == 21)
   }
 
-  test("BEGIN TRANSACTION / COMMIT: staged inserts land all-or-nothing") {
+  /** Read `path` from ANOTHER thread — the public (non-transaction)
+    * view, since SQL transactions are thread-scoped.
+    */
+  private def publicCount(path: String): Long = {
+    @volatile var n = -1L
+    val t = new Thread(() => n = GraftLake.read(spark, path).count())
+    t.start(); t.join()
+    n
+  }
+
+  test("BEGIN TRANSACTION / COMMIT: provisional commits land all-or-nothing") {
     import spark.implicits._
     val (pa, pb) = freshPair()
     GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pa, Some("id"))
@@ -868,36 +878,39 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     spark.sql("BEGIN TRANSACTION")
     spark.sql("INSERT INTO txnsql_a VALUES (2, 20)")
     spark.sql("INSERT INTO txnsql_b VALUES (3, 30), (4, 40)")
-    // nothing visible until COMMIT - the stage holds both
-    assert(GraftLake.read(spark, pa).count() == 1)
-    assert(GraftLake.read(spark, pb).count() == 1)
-    spark.sql("COMMIT")
+    // ISOLATION: no other thread sees the pending rows...
+    assert(publicCount(pa) == 1 && publicCount(pb) == 1)
+    // ...but THIS transaction reads its own writes
     assert(GraftLake.read(spark, pa).count() == 2)
     assert(GraftLake.read(spark, pb).count() == 3)
-    // the commits rode ONE cross-table transaction: both carry a txn
-    // token decided committed
+    spark.sql("COMMIT")
+    assert(publicCount(pa) == 2 && publicCount(pb) == 3)
     val ha = GraftLake.history(spark, pa).collect().map(_.getString(1))
     assert(ha.toSeq == Seq("create", "append"))
-    // ROLLBACK discards the stage entirely
+    // ROLLBACK leaves zero trace
     spark.sql("BEGIN TRANSACTION")
     spark.sql("INSERT INTO txnsql_a VALUES (9, 90)")
     spark.sql("ROLLBACK")
     assert(GraftLake.read(spark, pa).count() == 2)
-    // a failing participant aborts the WHOLE transaction
+    // a CHECK-violating statement refuses AT STATEMENT TIME (eager
+    // validation); ROLLBACK then buries the earlier valid statement —
+    // all-or-nothing holds
     GraftLake.addConstraint(spark, pb, "v_small", "v < 100")
     spark.sql("BEGIN TRANSACTION")
     spark.sql("INSERT INTO txnsql_a VALUES (5, 50)")
-    spark.sql("INSERT INTO txnsql_b VALUES (6, 600)")
-    intercept[Exception](spark.sql("COMMIT"))
-    assert(GraftLake.read(spark, pa).count() == 2)
-    assert(GraftLake.read(spark, pb).count() == 3)
-    // single-table transaction degenerates to a plain append
+    intercept[Exception](spark.sql("INSERT INTO txnsql_b VALUES (6, 600)"))
+    spark.sql("ROLLBACK")
+    assert(publicCount(pa) == 2 && publicCount(pb) == 3)
+    // single-table transaction works
     spark.sql("BEGIN TRANSACTION")
     spark.sql("INSERT INTO txnsql_a VALUES (7, 70)")
     spark.sql("COMMIT")
     assert(GraftLake.read(spark, pa).count() == 3)
+    // an EMPTY transaction commits as a no-op
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("COMMIT")
     // refusals: nested BEGIN, COMMIT with nothing open, non-append
-    // shapes inside a transaction
+    // insert shapes inside a transaction
     spark.sql("BEGIN TRANSACTION")
     val e1 = intercept[Exception](spark.sql("BEGIN TRANSACTION"))
     assert(e1.getMessage.contains("already open"))
@@ -909,7 +922,7 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e3.getMessage.contains("no open SQL transaction"))
   }
 
-  test("two INSERTs into the SAME table inside one transaction union and land once") {
+  test("two INSERTs into the SAME table inside one transaction land together") {
     import spark.implicits._
     val (pa, pb) = freshPair()
     GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pa, Some("id"))
@@ -920,14 +933,17 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     spark.sql("INSERT INTO txndup_a VALUES (2, 20)")
     spark.sql("INSERT INTO txndup_a VALUES (3, 30)")
     spark.sql("INSERT INTO txndup_b VALUES (4, 40)")
+    // isolation across all three statements
+    assert(publicCount(pa) == 1 && publicCount(pb) == 1)
     spark.sql("COMMIT")
     assert(spark.sql("SELECT id FROM txndup_a ORDER BY id").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     assert(GraftLake.read(spark, pb).count() == 2)
-    // the same-path union rode ONE commit: history shows one append
+    // each statement is its own provisional commit riding ONE
+    // decision — history shows both appends
     assert(GraftLake.history(spark, pa).collect().map(_.getString(1))
-      .toSeq == Seq("create", "append"))
-    // degenerate same-table-only transaction unions too
+      .toSeq == Seq("create", "append", "append"))
+    // degenerate same-table-only transaction
     spark.sql("BEGIN TRANSACTION")
     spark.sql("INSERT INTO txndup_a VALUES (5, 50)")
     spark.sql("INSERT INTO txndup_a VALUES (6, 60)")
@@ -935,52 +951,59 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(GraftLake.read(spark, pa).count() == 5)
   }
 
-  test("rewrites inside BEGIN TRANSACTION refuse loudly; the stage survives the refusal") {
+  test("DELETE/UPDATE/MERGE stage transactionally: mixed txn lands all-or-nothing, ROLLBACK zero trace") {
     import spark.implicits._
     val (pa, pb) = freshPair()
     GraftLake.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), pa, Some("id"))
     GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pb, Some("id"))
     LakeSql.register(spark, pa, "txndml_a", "id")
     LakeSql.register(spark, pb, "txndml_b", "id")
+    def stateA: Seq[(Long, Long)] =
+      GraftLake.read(spark, pa).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // ---- ROLLBACK leg first: mixed DML leaves ZERO trace
+    val before = stateA
     spark.sql("BEGIN TRANSACTION")
     spark.sql("INSERT INTO txndml_a VALUES (3, 30)")
-    // every rewriting verb refuses LOUDLY — none may run
-    // non-transactionally under an open BEGIN (a ROLLBACK could
-    // never undo it), and none may silently stage
+    spark.sql("DELETE FROM txndml_a WHERE id = 1")
+    spark.sql("UPDATE txndml_a SET v = 99 WHERE id = 2")
+    // read-your-writes saw all three
+    assert(stateA == Seq((2L, 99L), (3L, 30L)))
+    // the public view saw none of them
+    assert(publicCount(pa) == 2)
+    spark.sql("ROLLBACK")
+    assert(stateA == before)
+    // ---- COMMIT leg: INSERT + DELETE + MERGE land together
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txndml_a VALUES (3, 30)")
+    spark.sql("DELETE FROM txndml_a WHERE id = 1")
+    spark.sql("""MERGE INTO txndml_a USING (SELECT CAST(2 AS BIGINT) AS id,
+                |  CAST(222 AS BIGINT) AS v
+                |  UNION ALL SELECT CAST(4 AS BIGINT), CAST(44 AS BIGINT)) s
+                |ON txndml_a.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(publicCount(pa) == 2) // still isolated
+    spark.sql("COMMIT")
+    assert(stateA == Seq((2L, 222L), (3L, 30L), (4L, 44L)))
+    assert(publicCount(pa) == 3)
+    // ---- statements that cannot stage still refuse loudly
+    spark.sql("BEGIN TRANSACTION")
     def refused(sql: String): Unit = {
       val e = intercept[Exception](spark.sql(sql))
       assert(e.getMessage.contains("BEGIN TRANSACTION"), sql)
     }
-    refused("DELETE FROM txndml_a WHERE id = 1")
-    refused("DELETE FROM txndml_a WHERE id IN (SELECT id FROM txndml_b)")
-    refused("UPDATE txndml_a SET v = 99 WHERE id = 1")
-    refused("""MERGE INTO txndml_a USING (SELECT CAST(1 AS BIGINT) AS id,
-              |  CAST(5 AS BIGINT) AS v) s
-              |ON txndml_a.id = s.id
-              |WHEN MATCHED THEN UPDATE SET *
-              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    refused("""MERGE INTO txndml_a USING (SELECT CAST(1 AS BIGINT) AS id,
-              |  CAST(5 AS BIGINT) AS v) s
-              |ON txndml_a.id = s.id
-              |WHEN MATCHED THEN DELETE""".stripMargin)
     refused("TRUNCATE TABLE txndml_a")
     refused("RESTORE TABLE txndml_a TO VERSION AS OF 0")
-    // CONVERT commands refuse too: an export would snapshot a state
-    // that hides this transaction's staged INSERT, and an import /
-    // conversion cannot be rolled back
     val convDir = Files.createTempDirectory("graft-conv").toString
     refused(s"CONVERT TO DELTA '$convDir/d' FROM txndml_a")
     refused(s"CONVERT TO ICEBERG '$convDir/i' FROM txndml_a")
     refused(s"CONVERT FROM DELTA '$convDir/d' TO GRAFTLAKE '$convDir/g'")
     refused(s"CONVERT FROM ICEBERG '$convDir/i' TO GRAFTLAKE '$convDir/g'")
-    // the refusals neither mutated the table nor discarded the stage
-    assert(GraftLake.read(spark, pa).count() == 2)
-    spark.sql("COMMIT")
-    assert(spark.sql("SELECT v FROM txndml_a ORDER BY id").collect()
-      .map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
-    // after COMMIT the same verbs run again
-    spark.sql("DELETE FROM txndml_a WHERE id = 1")
-    assert(GraftLake.read(spark, pa).count() == 2)
+    spark.sql("ROLLBACK")
+    // after ROLLBACK the same verbs run again, durably
+    spark.sql("DELETE FROM txndml_a WHERE id = 4")
+    assert(publicCount(pa) == 2)
   }
 
   test("SQL transactions are thread-scoped: a concurrent INSERT is never captured") {
@@ -996,10 +1019,10 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     // into (or be held back by) this thread's open transaction
     val t = new Thread(() => spark.sql("INSERT INTO txniso_b VALUES (3, 30)"))
     t.start(); t.join()
-    assert(GraftLake.read(spark, pb).count() == 2) // landed
-    assert(GraftLake.read(spark, pa).count() == 1) // still staged
+    assert(GraftLake.read(spark, pb).count() == 2) // landed durably
+    assert(publicCount(pa) == 1) // ours still pending to others
     spark.sql("COMMIT")
-    assert(GraftLake.read(spark, pa).count() == 2)
+    assert(publicCount(pa) == 2)
     // and the other thread's COMMIT sees no open transaction
     @volatile var msg = ""
     val t2 = new Thread(() => {
@@ -1009,6 +1032,42 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     })
     t2.start(); t2.join()
     assert(msg.contains("no open SQL transaction"))
+  }
+
+  test("racing writers and an undecided transaction: claims hold, conflicts abort loudly") {
+    import spark.implicits._
+    val (pa, pb) = freshPair()
+    GraftLake.create(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      pa, Some("id"))
+    LakeSql.register(spark, pa, "txnrace_a", "id")
+    // our transaction REWRITES the table's only set (CoW delete)
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("DELETE FROM txnrace_a WHERE id = 1")
+    // a racing writer's rewrite of the SAME set refuses while the
+    // transaction is undecided (the claim is held across the txn)
+    @volatile var raceMsg = ""
+    val t = new Thread(() => {
+      try GraftLake.delete(spark, pa,
+        org.apache.spark.sql.functions.col("id") === 2L, Some("id"))
+      catch { case e: Exception => raceMsg = e.getMessage }
+    })
+    t.start(); t.join()
+    assert(raceMsg.contains("UNDECIDED transaction"), raceMsg)
+    // a racing BLIND APPEND composes fine (no claim touched)
+    val t2 = new Thread(() =>
+      GraftLake.append(Seq((9L, 90L)).toDF("id", "v"), pa,
+        statsCol = Some("id")))
+    t2.start(); t2.join()
+    assert(publicCount(pa) == 4) // 3 original + the append
+    // COMMIT lands our delete on top; final = append + delete both
+    spark.sql("COMMIT")
+    assert(publicCount(pa) == 3) // id 1 gone, id 9 in
+    assert(GraftLake.read(spark, pa).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 9L))
+    // after the decision, the raced rewrite succeeds on retry
+    GraftLake.delete(spark, pa,
+      org.apache.spark.sql.functions.col("id") === 2L, Some("id"))
+    assert(publicCount(pa) == 2)
   }
 
   test("CONVERT TO ICEBERG / CONVERT FROM ICEBERG round-trip through SQL") {
