@@ -112,6 +112,67 @@ object DeltaImport {
     sb.toString
   }
 
+  /** Serialize one 32-bit roaring bitmap (RoaringFormatSpec, no-run
+    * cookie 12346): descriptive headers (key, cardinality-1),
+    * per-container byte offsets, then array containers (card ≤ 4096,
+    * sorted uint16 values) or 1024-word bitmap containers —
+    * little-endian throughout, the exact inverse of what
+    * [[roaringArrayPositions]] reads.
+    */
+  private[graft] def serializeRoaring32(values: Array[Int]): Array[Byte] = {
+    val byKey = values.map(_ & 0xffffffffL).distinct.sorted
+      .groupBy(v => ((v >>> 16) & 0xffffL).toInt).toSeq.sortBy(_._1)
+    val payloads = byKey.map { case (_, vs) =>
+      if (vs.length <= 4096) 2 * vs.length else 8192
+    }
+    val size = byKey.size
+    val headerLen = 4 + 4 + 4 * size + 4 * size
+    val bb = java.nio.ByteBuffer.allocate(headerLen + payloads.sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12346)
+    bb.putInt(size)
+    byKey.foreach { case (k, vs) =>
+      bb.putShort(k.toShort); bb.putShort((vs.length - 1).toShort)
+    }
+    var off = headerLen
+    payloads.foreach { pl => bb.putInt(off); off += pl }
+    byKey.foreach { case (_, vs) =>
+      if (vs.length <= 4096)
+        vs.foreach(v => bb.putShort((v & 0xffffL).toShort))
+      else {
+        val words = new Array[Long](1024)
+        vs.foreach { v =>
+          val low = (v & 0xffffL).toInt
+          words(low >>> 6) |= (1L << (low & 63))
+        }
+        words.foreach(bb.putLong)
+      }
+    }
+    bb.array()
+  }
+
+  /** Serialize Delta's RoaringBitmapArray "portable" format (magic,
+    * bitmap count, one 32-bit roaring bitmap per 2^32 position range
+    * — intermediate empties included, since readers assign the high
+    * bits by INDEX).
+    */
+  private[graft] def serializeRoaringArray(positions: Array[Long]): Array[Byte] = {
+    require(positions.forall(_ >= 0), "negative deletion-vector position")
+    val sorted = positions.distinct.sorted
+    val maxHigh = if (sorted.isEmpty) -1L else sorted.last >>> 32
+    val groups = sorted.groupBy(_ >>> 32)
+    val parts = (0L to maxHigh).map { hi =>
+      serializeRoaring32(
+        groups.getOrElse(hi, Array.empty[Long]).map(p => (p & 0xffffffffL).toInt))
+    }
+    val bb = java.nio.ByteBuffer.allocate(12 + parts.map(_.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377)
+    bb.putLong(maxHigh + 1)
+    parts.foreach(bb.put)
+    bb.array()
+  }
+
   /** Deserialize Delta's RoaringBitmapArray "portable" format: magic
     * 1681511377 (int32 LE), bitmap count (int64 LE), then one
     * standard 32-bit roaring portable bitmap per entry (index i
@@ -1030,6 +1091,21 @@ object DeltaExport {
       s"delta table already exists at $deltaPath")
     val schema = StructType.fromDDL(snap.schemaDdl)
     val parts = snap.partitionCols
+    // DV-FIDELITY fast path: a table whose only outstanding MoR state
+    // is POSITION sidecars exports them as REAL Delta deletion
+    // vectors over byte-copied data files — zero data rewritten, the
+    // masking travels as inline roaring DVs. Falls back to the
+    // materializing path whenever the state cannot be expressed
+    // faithfully (partitioned layout, column-mapping lineage,
+    // schema-evolved sets, key tombstones).
+    if (snap.tombstones.nonEmpty && parts.isEmpty && snap.renames.isEmpty &&
+        snap.live.forall(_.schemaDdl == snap.schemaDdl)) {
+      val masks = GraftLake.loadScanMasks(spark, graftPath, snap.tombstones)
+      if (masks.keyMasks.isEmpty && masks.dvByFile.nonEmpty) {
+        exportDeltaWithDvs(graftPath, deltaPath, snap, schema, masks.dvByFile)
+        return
+      }
+    }
     val df = GraftLake.read(spark, graftPath)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     // ONE distributed pass lays the data down in Delta's directory
@@ -1077,6 +1153,63 @@ object DeltaExport {
         s""""schemaString":"${jesc(schema.json)}",""" +
         s""""partitionColumns":[${parts.map(p => s""""${jesc(p)}"""").mkString(",")}],""" +
         s""""configuration":{},"createdTime":0}}""") ++ adds
+    Files.createDirectories(Paths.get(deltaPath, "_delta_log"))
+    Files.writeString(Paths.get(deltaPath, "_delta_log", "0" * 20 + ".json"),
+      lines.mkString("", "\n", "\n"))
+  }
+
+  /** The DV-fidelity export leg: every live set's parquet files
+    * BYTE-COPY under their set-relative names (no Spark job, no row
+    * rewrite), and each masked file's positions serialize as an
+    * INLINE deletion vector (z85 of the portable RoaringBitmapArray —
+    * the exact format [[DeltaImport.dvPositions]] reads back). The
+    * log is one commit of remove-free adds under the
+    * deletionVectors protocol (minReaderVersion 3).
+    */
+  private def exportDeltaWithDvs(
+      graftPath: String, deltaPath: String, snap: GraftLake.Snapshot,
+      schema: StructType,
+      dvByFile: Map[(String, String), Set[Long]]): Unit = {
+    val adds = scala.collection.mutable.ArrayBuffer[String]()
+    snap.live.foreach { ls =>
+      val setDir = Paths.get(GraftLake.setPathOf(graftPath, ls.set))
+      val listing = Files.list(setDir)
+      val files =
+        try listing.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }.toSeq.sortBy(_.getFileName.toString)
+        finally listing.close()
+      files.foreach { f =>
+        val rel = s"${ls.set}/${f.getFileName}"
+        val dst = Paths.get(deltaPath, rel)
+        Files.createDirectories(dst.getParent)
+        Files.copy(f, dst)
+        val dvJson = dvByFile.get((ls.set, f.getFileName.toString)).map {
+          poss =>
+            val raw = DeltaImport.serializeRoaringArray(poss.toArray)
+            val padded =
+              raw ++ Array.fill((4 - raw.length % 4) % 4)(0.toByte)
+            s""","deletionVector":{"storageType":"i",""" +
+              s""""pathOrInlineDv":"${DeltaImport.z85Encode(padded)}",""" +
+              s""""sizeInBytes":${raw.length},"cardinality":${poss.size}}"""
+        }.getOrElse("")
+        adds += s"""{"add":{"path":"${jesc(rel)}","partitionValues":{},""" +
+          s""""size":${Files.size(dst)},""" +
+          s""""modificationTime":${Files.getLastModifiedTime(dst).toMillis},""" +
+          s""""dataChange":true$dvJson}}"""
+      }
+    }
+    require(adds.nonEmpty, s"DV export found no parquet files at $graftPath")
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"graft-export","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${jesc(schema.json)}","partitionColumns":[],""" +
+        s""""configuration":{"delta.enableDeletionVectors":"true"},"createdTime":0}}""") ++
+      adds
     Files.createDirectories(Paths.get(deltaPath, "_delta_log"))
     Files.writeString(Paths.get(deltaPath, "_delta_log", "0" * 20 + ".json"),
       lines.mkString("", "\n", "\n"))
