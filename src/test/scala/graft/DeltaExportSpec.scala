@@ -116,6 +116,27 @@ class DeltaExportSpec extends AnyFunSuite with SparkSpec {
     assert(visible sameElements back)
   }
 
+  test("DV export falls back to materializing for partitioned layouts") {
+    import spark.implicits._
+    val gp = fresh("dvp"); val dp = fresh("dvpd")
+    val df = (1 to 40).map(i => (i.toLong, i % 2, s"r$i")).toDF("id", "p", "tag")
+    GraftLake.appendPartitionedBy(df, gp, Seq("p"), statsCols = Seq("id"))
+    GraftLake.setPartitionColumns(gp, Seq("p"))
+    GraftLake.enableDeletionVectors(gp)
+    GraftLake.deleteDv(spark, gp, col("id") <= 5L)
+    DeltaExport.exportDelta(spark, gp, dp)
+    // the materializing path: basic protocol, hive layout, no DVs in
+    // the log, masked rows already dropped from the data files
+    val log = Files.readString(
+      Paths.get(dp, "_delta_log", "0" * 20 + ".json"))
+    assert(log.contains("\"minReaderVersion\":1"))
+    assert(!log.contains("deletionVector"))
+    val (out, st) = DeltaImport.readDelta(spark, dp)
+    assert(st.partitionCols == Seq("p"))
+    assert(out.count() == 35)
+    assert(out.filter(col("id") <= 5L).count() == 0)
+  }
+
   test("roaring DV serialization round-trips through the import reader") {
     // array containers, bitmap container (>4096 in one 64k chunk),
     // multi-container, multi-bitmap (positions past 2^32), empties

@@ -503,6 +503,35 @@ class IcebergImportSpec extends AnyFunSuite with SparkSpec {
     assert(out.select("k").as[Long].collect().toSeq == Seq(25L))
   }
 
+  test("DATE identity partitioning: epoch-day values in the manifest, typed re-injection, day prune") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = spark.sql(
+      """SELECT id AS k,
+        |  date_add(DATE '2020-03-01', CAST(id % 3 AS INT)) AS d,
+        |  concat('r', id) AS tag
+        |FROM range(1, 31)""".stripMargin)
+    graft.sources.IcebergExport.exportIceberg(df, t, partitionBy = Seq("d"))
+    val st0 = IcebergImport.foldIceberg(t)
+    // the manifest records epoch days (the iceberg date representation)
+    val want = java.time.LocalDate.of(2020, 3, 1).toEpochDay
+    assert(st0.dataFiles.nonEmpty)
+    assert(st0.dataFiles.flatMap(f =>
+      st0.dataFilePartitions(f).get("d")).map(_.asInstanceOf[Long]).toSet ==
+      Set(want, want + 1, want + 2))
+    // prune by a DATE predicate value; the hive-dropped column
+    // re-injects as a real DateType column
+    val day = java.sql.Date.valueOf("2020-03-02")
+    val (out, st) = IcebergImport.readIcebergPruned(spark, t, Seq("d" -> day))
+    assert(st.dataFiles.size < st0.dataFiles.size)
+    assert(out.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    val got = out.select("k", "d").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+    val expect = (1L to 30L).filter(_ % 3 == 1)
+      .map(k => (k, "2020-03-02")).toSet
+    assert(got == expect)
+  }
+
   test("export writes spec-grade metadata: header kv, field-ids, parseable UUID, partition struct") {
     import spark.implicits._
     import graft.sources.IcebergExport

@@ -1034,6 +1034,38 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(msg.contains("no open SQL transaction"))
   }
 
+  test("DV-route DML stages transactionally; CDF tables refuse in-transaction writes") {
+    import spark.implicits._
+    val (pa, pb) = freshPair()
+    GraftLake.create(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      pa, Some("id"))
+    GraftLake.enableDeletionVectors(pa)
+    LakeSql.register(spark, pa, "txndv_a", "id")
+    // the merge-on-read DELETE (position sidecar, zero rewrite) rides
+    // the transaction token like any other DML
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("DELETE FROM txndv_a WHERE id = 1")
+    assert(GraftLake.read(spark, pa).count() == 2) // read-your-writes
+    assert(publicCount(pa) == 3)                   // isolated
+    spark.sql("ROLLBACK")
+    assert(GraftLake.read(spark, pa).count() == 3) // zero trace
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("DELETE FROM txndv_a WHERE id = 1")
+    spark.sql("COMMIT")
+    assert(publicCount(pa) == 2)
+    // CDF-enabled tables refuse in-transaction writes loudly (the
+    // change feed indexes versions assuming visibility is final)
+    GraftLake.create(Seq((1L, 10L)).toDF("id", "v"), pb, Some("id"))
+    GraftLake.enableCdf(pb)
+    LakeSql.register(spark, pb, "txncdf_b", "id")
+    spark.sql("BEGIN TRANSACTION")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO txncdf_b VALUES (2, 20)"))
+    assert(e.getMessage.contains("CDF-enabled"))
+    spark.sql("ROLLBACK")
+    assert(GraftLake.read(spark, pb).count() == 1)
+  }
+
   test("racing writers and an undecided transaction: claims hold, conflicts abort loudly") {
     import spark.implicits._
     val (pa, pb) = freshPair()
