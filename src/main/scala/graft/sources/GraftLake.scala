@@ -185,7 +185,12 @@ object GraftLake {
       // masked sets must wait too) — the cross-writer face of "the
       // MutationFence claim is held across the transaction".
       pendingRemoves: Set[String] = Set.empty,
-      pendingMasks: Seq[String] = Seq.empty)
+      pendingMasks: Seq[String] = Seq.empty,
+      // true while ANY undecided-transaction commit is in the log —
+      // schema/constraint DDL waits for the decision (a rule added
+      // over pending rows would bypass their validation; a rename
+      // would re-base a schema the pending commit already baked)
+      pendingTxn: Boolean = false)
 
   /** Reserved manifest-stats name carrying a set's row-id range
     * ([base, base+rows-1]) — never a real column (guarded at
@@ -2193,6 +2198,15 @@ object GraftLake {
       // features (the appendAtomic refusal set): a pending commit's
       // later decision would insert change rows / id-range claims
       // BEHIND consumers that already read past its version.
+      // Schema/constraint DDL cannot land over an UNDECIDED
+      // transaction: a CHECK added now would bypass validation of the
+      // pending rows at their later decision; a rename/drop re-bases
+      // a schema a pending commit already baked into its line.
+      if ((action == "constraint" || action == "rename" ||
+          action == "dropcol") && snap.pendingTxn)
+        throw new java.util.ConcurrentModificationException(
+          s"'$action' at $path: an UNDECIDED transaction holds pending " +
+            "commits on this table; retry after it commits or aborts")
       if (sqlAttached) {
         require(!cdfEnabled(path),
           s"'$action' on CDF-enabled table $path inside BEGIN " +
@@ -2917,7 +2931,8 @@ object GraftLake {
           pendingMasks = s.pendingMasks ++
             (if (c.heldAction == "tombstone" || c.heldAction == "updatedv")
               c.heldAdds
-            else Seq.empty))
+            else Seq.empty),
+          pendingTxn = s.pendingTxn || c.heldAction.nonEmpty)
       } else if (c.action == "partition") {
         // add = the layout columns in order: table metadata, no
         // file-sets (one entry = single-column, several = a tuple).

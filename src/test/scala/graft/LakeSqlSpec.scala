@@ -1034,6 +1034,35 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     assert(msg.contains("no open SQL transaction"))
   }
 
+  test("schema/constraint DDL waits for an undecided transaction") {
+    import spark.implicits._
+    val (pa, _) = freshPair()
+    GraftLake.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), pa, Some("id"))
+    LakeSql.register(spark, pa, "txnddl_a", "id")
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txnddl_a VALUES (3, -5)")
+    // a CHECK added now would bypass validation of the pending row;
+    // a rename would re-base a schema the pending commit baked
+    @volatile var m1 = ""; @volatile var m2 = ""
+    val t1 = new Thread(() =>
+      try GraftLake.addConstraint(spark, pa, "pos_v", "v >= 0")
+      catch { case e: Exception => m1 = e.getMessage })
+    t1.start(); t1.join()
+    val t2 = new Thread(() =>
+      try GraftLake.renameColumn(pa, "v", "w")
+      catch { case e: Exception => m2 = e.getMessage })
+    t2.start(); t2.join()
+    assert(m1.contains("UNDECIDED transaction"), m1)
+    assert(m2.contains("UNDECIDED transaction"), m2)
+    spark.sql("COMMIT")
+    // after the decision both DDLs land (rename first — a rule
+    // referencing the old name would fence the rename)
+    GraftLake.renameColumn(pa, "v", "w")
+    GraftLake.addConstraint(spark, pa, "pos_w", "w >= -100")
+    assert(GraftLake.read(spark, pa).columns.toSeq == Seq("id", "w"))
+    assert(GraftLake.read(spark, pa).count() == 3)
+  }
+
   test("DV-route DML stages transactionally; CDF tables refuse in-transaction writes") {
     import spark.implicits._
     val (pa, pb) = freshPair()
