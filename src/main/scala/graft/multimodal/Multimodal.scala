@@ -242,8 +242,8 @@ object Multimodal {
     */
   def m02Resize(spark: SparkSession, dir: String, target: Int = 32): DataFrame = {
     import spark.implicits._
-    val payloads = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val payloads = graft.operators.Par.fanOut(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val c0 = headerCp(text, 0)
         val c1 = headerCp(text, 1)
@@ -284,8 +284,8 @@ object Multimodal {
     */
   def m04Grayscale(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val payloads = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val payloads = graft.operators.Par.fanOut(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val c0 = headerCp(text, 0)
         val c1 = headerCp(text, 1)
@@ -320,8 +320,8 @@ object Multimodal {
       spark: SparkSession, dir: String,
       frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     import spark.implicits._
-    val videos = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val videos = graft.operators.Par.fanOut(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val c0 = headerCp(text, 0)
         val c1 = headerCp(text, 1)
@@ -364,8 +364,8 @@ object Multimodal {
     */
   def m05PHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val payloads = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val payloads = graft.operators.Par.fanOut(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val c0 = headerCp(text, 0)
         val c1 = headerCp(text, 1)
@@ -397,8 +397,8 @@ object Multimodal {
 
   def m06ImageDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ph = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val ph = graft.operators.Par.fanOut(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val c0 = headerCp(text, 0)
         val c1 = headerCp(text, 1)

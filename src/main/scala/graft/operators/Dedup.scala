@@ -78,8 +78,8 @@ object Dedup {
     */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    Par.fanOut(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) =>
         val sh = shinglesOf(text)
         val base = sh.map(polyHash)
@@ -103,8 +103,8 @@ object Dedup {
   private[graft] def bandRowsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    Par.fanOut(docs
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .flatMap { case (id, text) =>
         val base = shinglesOf(text).map(polyHash)
         val sig = Array.tabulate(NPerms) { p =>
@@ -399,8 +399,8 @@ object Dedup {
 
   def d10RollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    Par.fanOut(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) =>
         val picks = rollingFingerprints(text)
         if (picks.isEmpty) (id, 0, 0L, 0L)
@@ -418,8 +418,8 @@ object Dedup {
     import spark.implicits._
     // Typed gram extraction for the same reason as [[signatures]]:
     // a Catalyst lambda would re-normalize the text per trigram.
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val docs = Par.fanOut(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) =>
         val t = text.trim.toLowerCase
         val g =
