@@ -116,9 +116,8 @@ object Materialized {
     try {
       // Stage one delta file-set per refresh; each appears to the file
       // source as exactly one new micro-batch.
-      (0 until 3).foreach { i =>
-        orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
-          .write.mode("append").parquet(inDir)
+      graft.streaming.Staging.stageBatches(orders,
+        pmod(col("o_orderkey"), lit(3)), 3, inDir) { _ =>
         q.processAllAvailable()
       }
     } finally {

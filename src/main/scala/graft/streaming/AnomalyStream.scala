@@ -59,14 +59,11 @@ object AnomalyStream {
         min(col("ts")).cast("long"), max(col("ts")).cast("long")).head
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-      Seq(
-        col("ts").cast("long") <= c1,
-        col("ts").cast("long") > c1 && col("ts").cast("long") <= c2,
-        col("ts").cast("long") > c2)
-        .foreach { pred =>
-          events.filter(pred).write.mode("append").parquet(inDir)
-          q.processAllAvailable()
-        }
+      Staging.stageBatches(events,
+        when(col("ts").cast("long") <= c1, 0)
+          .when(col("ts").cast("long") <= c2, 1).otherwise(2), 3, inDir) { _ =>
+        q.processAllAvailable()
+      }
     } finally {
       q.stop()
       scala.util.Try {

@@ -87,9 +87,7 @@ object DedupStream {
       }
       .start()
     try {
-      (0 to 2).foreach { k =>
-        docs.filter(pmod(col("doc_id"), lit(3)) === k)
-          .write.mode("append").parquet(inDir)
+      Staging.stageBatches(docs, pmod(col("doc_id"), lit(3)), 3, inDir) { _ =>
         q.processAllAvailable()
       }
     } finally {

@@ -150,17 +150,29 @@ object FunnelStream {
     val inDir = base.resolve("in").toString
     val ckDir = base.resolve("ck").toString
     val outDir = base.resolve("out").toString
-    val q = spark.readStream.schema(events.schema).parquet(inDir)
-      .as[Event]
-      .transform(funnelStates)
-      .writeStream
-      .option("checkpointLocation", ckDir)
-      .outputMode("update")
-      .foreachBatch { (batch: Dataset[FunnelProg], _: Long) =>
-        batch.toDF().write.mode("append").parquet(outDir)
-        ()
+    // The per-user state store instantiates one partition per shuffle
+    // partition and commits EVERY one each micro-batch; 8 partitions
+    // hold the O(users) state comfortably and cut the per-batch commit
+    // fan-out 4x vs the session's setting (st17's pattern). Read at
+    // query START, so the temporary setting scopes to this stream only.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try {
+        spark.readStream.schema(events.schema).parquet(inDir)
+          .as[Event]
+          .transform(funnelStates)
+          .writeStream
+          .option("checkpointLocation", ckDir)
+          .outputMode("update")
+          .foreachBatch { (batch: Dataset[FunnelProg], _: Long) =>
+            batch.toDF().write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
-      .start()
     try {
       // ABSOLUTE event-time thresholds, not dayofmonth: batch k holds
       // ts in [c(k-1), c(k)), so a later batch can never carry an
@@ -173,10 +185,9 @@ object FunnelStream {
       val step = math.max((hi - lo) / 3, 1L)
       val c1 = new java.sql.Timestamp(lo + step)
       val c2 = new java.sql.Timestamp(lo + 2 * step)
-      Seq(col("ts") < lit(c1),
-        col("ts") >= lit(c1) && col("ts") < lit(c2),
-        col("ts") >= lit(c2)).foreach { pred =>
-        events.filter(pred).write.mode("append").parquet(inDir)
+      Staging.stageBatches(events,
+        when(col("ts") < lit(c1), 0)
+          .when(col("ts") < lit(c2), 1).otherwise(2), 3, inDir) { _ =>
         q.processAllAvailable()
       }
     } finally {

@@ -48,9 +48,8 @@ object LakeStream {
       }
       .outputMode("append").start()
     try {
-      (0 until 3).foreach { i =>
-        orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
-          .write.mode("append").parquet(inDir)
+      Staging.stageBatches(orders,
+        pmod(col("o_orderkey"), lit(3)), 3, inDir) { _ =>
         q.processAllAvailable()
       }
     } finally {
@@ -219,9 +218,8 @@ object LakeStream {
       .option("checkpointLocation", base.resolve("ck").toString)
       .outputMode("append").start()
     try {
-      (0 until 3).foreach { i =>
-        orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
-          .write.mode("append").parquet(inDir)
+      Staging.stageBatches(orders,
+        pmod(col("o_orderkey"), lit(3)), 3, inDir) { _ =>
         q.processAllAvailable()
       }
     } finally {

@@ -100,11 +100,9 @@ object WatermarkLake {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
     try {
-      Seq(
-        events.filter(unix_timestamp(col("ts")) <= cut1),
-        events.filter(unix_timestamp(col("ts")) > cut1)
-      ).foreach { b =>
-        b.write.mode("append").parquet(inDir)
+      Staging.stageBatches(events,
+        when(unix_timestamp(col("ts")) <= cut1, 0).otherwise(1),
+        2, inDir) { _ =>
         q.processAllAvailable()
       }
       // The sentinel closes the tail: one far-future row whose event
