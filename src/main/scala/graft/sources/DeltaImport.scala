@@ -259,51 +259,12 @@ object DeltaImport {
 
   /** Serialize positions as a portable RoaringBitmapArray (array and
     * bitmap containers, no runs) — the writer half used to fabricate
-    * protocol-conformant DVs for gates/specs (and a future DV
-    * export). Inverse of [[roaringArrayPositions]].
+    * protocol-conformant DVs for gates/specs and the DV export.
+    * Inverse of [[roaringArrayPositions]]; delegates to the
+    * Array[Long] overload (one wire-format implementation).
     */
-  private[graft] def serializeRoaringArray(positions: Seq[Long]): Array[Byte] = {
-    require(positions.forall(p => p >= 0), "negative row position")
-    val byHigh = positions.distinct.sorted.groupBy(_ >>> 32).toSeq.sortBy(_._1)
-    val nBitmaps = if (byHigh.isEmpty) 0L else byHigh.last._1 + 1
-    val bitmaps = (0L until nBitmaps).map(h =>
-      byHigh.toMap.getOrElse(h, Seq.empty).map(p => (p & 0xffffffffL).toInt))
-    val bos = new java.io.ByteArrayOutputStream()
-    def le32(v: Int): Unit = {
-      bos.write(v & 0xff); bos.write((v >>> 8) & 0xff)
-      bos.write((v >>> 16) & 0xff); bos.write((v >>> 24) & 0xff)
-    }
-    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
-    le32(1681511377)
-    le32(nBitmaps.toInt); le32((nBitmaps >>> 32).toInt)
-    bitmaps.foreach { vals =>
-      val conts = vals.groupBy(_ >>> 16).toSeq.sortBy(_._1)
-      le32(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
-      le32(conts.size)
-      conts.foreach { case (k, vs) => le16(k); le16(vs.size - 1) }
-      // offsets (always present for the no-run cookie)
-      var off = 4 + 4 + 4 * conts.size + 4 * conts.size
-      conts.foreach { case (_, vs) =>
-        le32(off)
-        off += (if (vs.size <= 4096) 2 * vs.size else 8192)
-      }
-      conts.foreach { case (_, vs) =>
-        if (vs.size <= 4096) vs.sorted.foreach(v => le16(v & 0xffff))
-        else {
-          val words = new Array[Long](1024)
-          vs.foreach { v =>
-            val low = v & 0xffff
-            words(low / 64) |= (1L << (low % 64))
-          }
-          words.foreach { w =>
-            var b = 0
-            while (b < 8) { bos.write(((w >>> (8 * b)) & 0xff).toInt); b += 1 }
-          }
-        }
-      }
-    }
-    bos.toByteArray
-  }
+  private[graft] def serializeRoaringArray(positions: Seq[Long]): Array[Byte] =
+    serializeRoaringArray(positions.toArray)
 
   /** Resolve a descriptor to its deleted row positions. File-backed
     * blobs follow the public DV file layout: a 1-byte format version
@@ -1100,9 +1061,10 @@ object DeltaExport {
     // schema-evolved sets, key tombstones).
     if (snap.tombstones.nonEmpty && parts.isEmpty && snap.renames.isEmpty &&
         snap.live.forall(_.schemaDdl == snap.schemaDdl)) {
-      val masks = GraftLake.loadScanMasks(spark, graftPath, snap.tombstones)
-      if (masks.keyMasks.isEmpty && masks.dvByFile.nonEmpty) {
-        exportDeltaWithDvs(graftPath, deltaPath, snap, schema, masks.dvByFile)
+      val refs = GraftLake.loadScanMaskRefs(graftPath, snap.tombstones)
+      if (refs.keyRefs.isEmpty && refs.dvDirs.nonEmpty) {
+        exportDeltaWithDvs(spark, graftPath, deltaPath, snap, schema,
+          refs.dvDirs)
         return
       }
     }
@@ -1159,19 +1121,27 @@ object DeltaExport {
   }
 
   /** The DV-fidelity export leg: every live set's parquet files
-    * BYTE-COPY under their set-relative names (no Spark job, no row
-    * rewrite), and each masked file's positions serialize as an
-    * INLINE deletion vector (z85 of the portable RoaringBitmapArray —
-    * the exact format [[DeltaImport.dvPositions]] reads back). The
-    * log is one commit of remove-free adds under the
-    * deletionVectors protocol (minReaderVersion 3).
+    * BYTE-COPY under their set-relative names (no row rewrite), and
+    * each masked file's positions serialize as an INLINE deletion
+    * vector (z85 of the portable RoaringBitmapArray — the exact
+    * format [[DeltaImport.dvPositions]] reads back). The log is one
+    * commit of remove-free adds under the deletionVectors protocol
+    * (minReaderVersion 3).
+    *
+    * DISTRIBUTED: the driver plans only the (set, file) list —
+    * O(files) strings — and ONE Spark job does the copies; each task
+    * byte-copies its file, loads that file's DV positions from the
+    * sidecar descriptors ([[MorMasks.dvPositions]], row-group pruned)
+    * and serializes the roaring bitmap executor-side. At 100 TB the
+    * copy runs at cluster bandwidth instead of one driver thread,
+    * and no position set ever touches the driver — the add lines
+    * that return are O(files) metadata.
     */
   private def exportDeltaWithDvs(
-      graftPath: String, deltaPath: String, snap: GraftLake.Snapshot,
-      schema: StructType,
-      dvByFile: Map[(String, String), Set[Long]]): Unit = {
-    val adds = scala.collection.mutable.ArrayBuffer[String]()
-    snap.live.foreach { ls =>
+      spark: SparkSession, graftPath: String, deltaPath: String,
+      snap: GraftLake.Snapshot, schema: StructType,
+      dvDirs: Seq[String]): Unit = {
+    val fileSpecs: Seq[(String, String)] = snap.live.flatMap { ls =>
       val setDir = Paths.get(GraftLake.setPathOf(graftPath, ls.set))
       val listing = Files.list(setDir)
       val files =
@@ -1181,27 +1151,43 @@ object DeltaExport {
             n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
           }.toSeq.sortBy(_.getFileName.toString)
         finally listing.close()
-      files.foreach { f =>
-        val rel = s"${ls.set}/${f.getFileName}"
+      files.map(f => (ls.set, f.toString))
+    }
+    require(fileSpecs.nonEmpty, s"DV export found no parquet files at $graftPath")
+    val slices = math.max(1,
+      math.min(fileSpecs.size, spark.sparkContext.defaultParallelism))
+    val adds = spark.sparkContext
+      .parallelize(fileSpecs, slices)
+      .map { case (set, src) =>
+        val f = Paths.get(src)
+        val name = f.getFileName.toString
+        val rel = s"$set/$name"
         val dst = Paths.get(deltaPath, rel)
         Files.createDirectories(dst.getParent)
-        Files.copy(f, dst)
-        val dvJson = dvByFile.get((ls.set, f.getFileName.toString)).map {
-          poss =>
-            val raw = DeltaImport.serializeRoaringArray(poss.toArray)
+        // REPLACE_EXISTING: byte-copy is idempotent under task retry.
+        Files.copy(f, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val poss = MorMasks.dvPositions(dvDirs, set, name)
+        val dvJson =
+          if (poss.isEmpty) ""
+          else {
+            val arr = new Array[Long](poss.size)
+            val it = poss.iterator()
+            var i = 0
+            while (it.hasNext) { arr(i) = it.next(); i += 1 }
+            val raw = DeltaImport.serializeRoaringArray(arr)
             val padded =
               raw ++ Array.fill((4 - raw.length % 4) % 4)(0.toByte)
             s""","deletionVector":{"storageType":"i",""" +
               s""""pathOrInlineDv":"${DeltaImport.z85Encode(padded)}",""" +
               s""""sizeInBytes":${raw.length},"cardinality":${poss.size}}"""
-        }.getOrElse("")
-        adds += s"""{"add":{"path":"${jesc(rel)}","partitionValues":{},""" +
+          }
+        rel -> (s"""{"add":{"path":"${jesc(rel)}","partitionValues":{},""" +
           s""""size":${Files.size(dst)},""" +
           s""""modificationTime":${Files.getLastModifiedTime(dst).toMillis},""" +
-          s""""dataChange":true$dvJson}}"""
+          s""""dataChange":true$dvJson}}""")
       }
-    }
-    require(adds.nonEmpty, s"DV export found no parquet files at $graftPath")
+      .collect().sortBy(_._1).map(_._2).toSeq
     val lines = Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],""" +

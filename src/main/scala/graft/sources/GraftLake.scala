@@ -3238,54 +3238,43 @@ object GraftLake {
   }
 
   /** The outstanding merge-on-read masks of one snapshot, resolved to
-    * DRIVER-SIDE values for the DSv2 batch scan: positional DV masks
-    * keyed by (set, file name) with the masked row indices, and key
-    * tombstones as (key column, normalized value set). Both are
-    * O(deleted rows) by construction — the same frames the DataFrame
-    * path broadcasts — so collecting them at plan time is the same
-    * budget class as planning the anti-join. Normalization widens
-    * integral keys to Long and keeps strings; any other key type
-    * refuses loudly (read through [[read]] instead) rather than
-    * silently serving unmasked rows.
+    * DESCRIPTORS for the DSv2 batch scan: the DV sidecar set
+    * directories (each partition reader loads ITS file's positions
+    * task-side — [[MorMasks.dvPositions]], the Delta/Iceberg
+    * task-side DV shape) and the key-tombstone sidecars as (key
+    * column, set directory) pairs ([[MorMasks.keyMask]] loads and
+    * caches values executor-side). Driver state is O(outstanding
+    * sidecar sets), never O(deleted rows) — a billion masked rows
+    * plan as a handful of directory strings.
     */
-  private[sources] final case class ScanMasks(
-      dvByFile: Map[(String, String), Set[Long]],
-      keyMasks: Seq[(String, Set[Any])]) {
-    def isEmpty: Boolean = dvByFile.isEmpty && keyMasks.isEmpty
+  private[sources] final case class ScanMaskRefs(
+      dvDirs: Seq[String],
+      keyRefs: Seq[(String, String)]) {
+    def isEmpty: Boolean = dvDirs.isEmpty && keyRefs.isEmpty
   }
 
-  private[sources] def loadScanMasks(
-      spark: SparkSession, path: String, ts: Seq[String]): ScanMasks = {
-    if (ts.isEmpty) return ScanMasks(Map.empty, Seq.empty)
-    val (dv, keys) = loadTombstones(spark, path, ts)
-    val dvByFile = dv match {
-      case None => Map.empty[(String, String), Set[Long]]
-      case Some(d) =>
-        d.select(col("__dv_set"), col("__dv_file"), col("__dv_pos"))
-          .collect()
-          .groupBy(r => (r.getString(0), r.getString(1)))
-          .map { case (k, rows) => k -> rows.map(_.getLong(2)).toSet }
+  private[sources] def loadScanMaskRefs(
+      path: String, ts: Seq[String]): ScanMaskRefs = {
+    if (ts.isEmpty) return ScanMaskRefs(Seq.empty, Seq.empty)
+    val shaped = ts.map { t =>
+      val dir = setPath(path, t)
+      (dir, MorMasks.sidecarShape(dir))
     }
-    val keyMasks = keys.map { k =>
-      val c = k.columns.head
-      val vals: Set[Any] = k.schema(c).dataType match {
-        case LongType => k.distinct().collect().map(_.getLong(0): Any).toSet
-        case IntegerType =>
-          k.distinct().collect().map(_.getInt(0).toLong: Any).toSet
-        case ShortType =>
-          k.distinct().collect().map(_.getShort(0).toLong: Any).toSet
-        case ByteType =>
-          k.distinct().collect().map(_.getByte(0).toLong: Any).toSet
-        case org.apache.spark.sql.types.StringType =>
-          k.distinct().collect().map(_.getString(0): Any).toSet
-        case dt => throw new IllegalStateException(
-          s"graftlake batch read at $path: key tombstones on a $dt " +
+    val (dvs, keys) = shaped.partition {
+      case (_, (names, _)) => names.sorted == DvCols.sorted
+    }
+    val keyRefs = keys.map { case (dir, (names, dt)) =>
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType |
+            org.apache.spark.sql.types.StringType => ()
+        case other => throw new IllegalStateException(
+          s"graftlake batch read at $path: key tombstones on a $other " +
             "column need DataFrame-side masking — read through " +
             "GraftLake.read, or compact first")
       }
-      c -> vals
+      names.head -> dir
     }
-    ScanMasks(dvByFile, keyMasks)
+    ScanMaskRefs(dvs.map(_._1), keyRefs)
   }
 
   /** Anti-join `df` against the union of live tombstone key-sets (a

@@ -86,19 +86,19 @@ private[sources] class GraftLakeBatchTable(path: String, tableSchema: StructType
       s"graftlake batch read at $path: column-mapping renames need " +
         "per-set name resolution — read through GraftLake.read")
     // Outstanding merge-on-read state (DV sidecars / key tombstones)
-    // resolves at PLAN time into per-file position masks + key value
-    // masks — O(deleted rows), applied inside the per-file readers.
+    // resolves at PLAN time into sidecar DESCRIPTORS only — O(sidecar
+    // sets) driver strings; each partition reader loads its OWN
+    // file's positions / the key value sets task-side (MorMasks).
     // Metadata-served aggregates refuse while masks are outstanding
     // (physical counts/extremes would overstate the visible rows).
-    val masks = GraftLake.loadScanMasks(
-      org.apache.spark.sql.SparkSession.active, path, snap.tombstones)
+    val masks = GraftLake.loadScanMaskRefs(path, snap.tombstones)
     new GraftLakeScanBuilder(path, snap, tableSchema, masks)
   }
 }
 
 private[sources] class GraftLakeScanBuilder(
     path: String, snap: GraftLake.Snapshot, full: StructType,
-    masks: GraftLake.ScanMasks)
+    masks: GraftLake.ScanMaskRefs)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -420,7 +420,8 @@ private[sources] class GraftLakeScanBuilder(
 
 private[sources] class GraftLakeBatchScan(
     path: String, initialSets: Seq[GraftLake.LiveSet], required: StructType,
-    masks: GraftLake.ScanMasks = GraftLake.ScanMasks(Map.empty, Seq.empty))
+    masks: GraftLake.ScanMaskRefs =
+      GraftLake.ScanMaskRefs(Seq.empty, Seq.empty))
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -639,11 +640,9 @@ private[sources] class GraftLakeBatchScan(
     val top = Files.list(dir).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.toString)
-    def posMask(f: java.nio.file.Path): Set[Long] =
-      masks.dvByFile.getOrElse((ls.set, f.getFileName.toString), Set.empty)
     if (top.nonEmpty)
       top.map(f => LakeFilePartition(f.toString, ls.schemaDdl, -1,
-        maskedPos = posMask(f)))
+        dvSet = ls.set, dvDirs = masks.dvDirs))
     else {
       // padd set: hive-encoded partition subdirs (one level per
       // layout column); the values are per-partition constants
@@ -658,7 +657,7 @@ private[sources] class GraftLakeBatchScan(
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .sortBy(_.toString)
             .map(f => LakeFilePartition(f.toString, minusPart.toDDL, -1,
-              constLongs = consts, maskedPos = posMask(f)))
+              constLongs = consts, dvSet = ls.set, dvDirs = masks.dvDirs))
         }
     }
   }
@@ -684,7 +683,7 @@ private[sources] class GraftLakeBatchScan(
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeFileReaderFactory(required, masks.keyMasks)
+    new LakeFileReaderFactory(required, masks.keyRefs)
 }
 
 /** One partition VALUE TUPLE's worth of files — the SPJ grouping.

@@ -353,19 +353,22 @@ private[sources] case class LakeFilePartition(
     // columns and their values, one pair per layout level — absent
     // from the parquet bytes, served as per-partition constants.
     constLongs: Seq[(String, Long)] = Seq.empty,
-    // Outstanding positional deletion-vector mask for THIS file:
-    // `_metadata.row_index` positions to skip — O(this file's deleted
-    // rows), resolved at plan time from the live DV sidecars. The
-    // batch scan's merge-on-read leg; empty everywhere else.
-    maskedPos: Set[Long] = Set.empty) extends InputPartition
+    // Outstanding positional deletion-vector DESCRIPTORS for THIS
+    // file: its owning set name plus the live DV sidecar set
+    // directories. The reader loads the positions TASK-side
+    // ([[MorMasks.dvPositions]]) — O(sidecar dirs) driver metadata
+    // per partition, never O(deleted rows). The batch scan's
+    // merge-on-read leg; empty everywhere else.
+    dvSet: String = "",
+    dvDirs: Seq[String] = Seq.empty) extends InputPartition
 
 private[sources] class LakeFileReaderFactory(
     required: StructType,
-    // Outstanding KEY-tombstone masks: (key column, normalized masked
-    // values — Long for integral keys, String for strings). Shipped
-    // once per task with the factory; O(deleted keys) by construction
-    // (the DataFrame path broadcasts the same frames).
-    keyMasks: Seq[(String, Set[Any])] = Seq.empty)
+    // Outstanding KEY-tombstone DESCRIPTORS: (key column, sidecar set
+    // directory). Value sets load executor-side with a per-directory
+    // cache ([[MorMasks.keyMask]]) — the factory ships O(sidecar
+    // sets) strings, never the values.
+    keyRefs: Seq[(String, String)] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -378,7 +381,7 @@ private[sources] class LakeFileReaderFactory(
             while (true) {
               if (cur == null) {
                 if (!it.hasNext) return false
-                cur = new LakeFileReader(it.next(), required, keyMasks)
+                cur = new LakeFileReader(it.next(), required, keyRefs)
               }
               if (cur.next()) return true
               cur.close(); cur = null
@@ -388,7 +391,7 @@ private[sources] class LakeFileReaderFactory(
           override def get(): InternalRow = cur.get()
           override def close(): Unit = if (cur != null) cur.close()
         }
-      case f: LakeFilePartition => new LakeFileReader(f, required, keyMasks)
+      case f: LakeFilePartition => new LakeFileReader(f, required, keyRefs)
     }
 }
 
@@ -399,7 +402,7 @@ private[sources] class LakeFileReaderFactory(
   */
 private[sources] class LakeFileReader(
     part: LakeFilePartition, required: StructType,
-    keyMasks: Seq[(String, Set[Any])] = Seq.empty)
+    keyRefs: Seq[(String, String)] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val written = StructType.fromDDL(part.writtenDdl)
@@ -411,10 +414,20 @@ private[sources] class LakeFileReader(
   // the parquet bytes), so masks on it test there — dropping them
   // would resurrect MoR-deleted rows. A mask column in NEITHER place
   // is a column added after this set was written: every row reads it
-  // as NULL, and NULL never matches a mask.
+  // as NULL, and NULL never matches a mask. Value sets load HERE,
+  // task-side, from the sidecar descriptors (cached per directory).
   private val maskFields: Array[(String, Set[Any])] =
-    keyMasks.filter(km => writtenNames(km._1) ||
-      part.constLongs.exists(_._1 == km._1)).toArray
+    keyRefs.filter(km => writtenNames(km._1) ||
+      part.constLongs.exists(_._1 == km._1))
+      .map { case (c, dir) => c -> MorMasks.keyMask(dir)._2 }
+      .groupBy(_._1).map { case (c, vs) =>
+        c -> vs.map(_._2).reduce(_ ++ _)
+      }.toArray
+  // This file's positional deletion-vector mask, loaded task-side
+  // from the DV sidecar sets (row-group pruned to this file's rows).
+  private val maskedPos: java.util.HashSet[Long] =
+    MorMasks.dvPositions(part.dvDirs, part.dvSet,
+      java.nio.file.Paths.get(part.file).getFileName.toString)
   // Data fields to decode from THIS file (ordered as in `required`),
   // carrying the WRITTEN set's nullability: Spark writes non-nullable
   // columns as parquet `required`, and the projection's repetition
@@ -549,7 +562,7 @@ private[sources] class LakeFileReader(
       // masks drop this file's masked row indices; key tombstones
       // drop rows whose key value is masked — exactly the DataFrame
       // path's anti-joins, without a separate join operator.
-      val masked = part.maskedPos.contains(rowIdx) ||
+      val masked = maskedPos.contains(rowIdx) ||
         maskFields.exists { case (c, vs) =>
           val v = maskValue(c); v != null && vs.contains(v)
         }
