@@ -2207,6 +2207,18 @@ object GraftLake {
         throw new java.util.ConcurrentModificationException(
           s"'$action' at $path: an UNDECIDED transaction holds pending " +
             "commits on this table; retry after it commits or aborts")
+      // A NON-transactional OVERWRITE over an UNDECIDED transaction
+      // waits too: its remove list is computed from the PUBLIC live
+      // set, so the pending commits' staged sets would survive the
+      // "replace everything" semantics if the transaction later
+      // commits — and the overwrite bypasses the per-set claim checks
+      // below by design. (An overwrite staged INSIDE a transaction
+      // resolves its own commits committed, so pendingTxn is false
+      // for self-staged state.)
+      if (action == "overwrite" && snap.pendingTxn)
+        throw new java.util.ConcurrentModificationException(
+          s"overwrite at $path: an UNDECIDED transaction holds pending " +
+            "commits on this table; retry after it commits or aborts")
       if (sqlAttached) {
         require(!cdfEnabled(path),
           s"'$action' on CDF-enabled table $path inside BEGIN " +
@@ -2405,6 +2417,22 @@ object GraftLake {
             s"file-set(s) ${heldRw.toSeq.sorted.mkString(", ")} at $path " +
               "are claimed by an UNDECIDED transaction's rewrite; retry " +
               "after it commits or aborts")
+        // An UNDECIDED transaction's POSITION masks pin the sets they
+        // target exactly like its rewrites: a compact/merge removing a
+        // masked set now would orphan the pending positions, and the
+        // transaction's COMMIT (whose revalidate->decision-flip window
+        // cannot see this commit) would silently resurrect its deleted
+        // rows. O(pending sidecars) tiny-file reads, conflict path only.
+        if (snap.pendingMasks.nonEmpty) {
+          val rm = removed.toSet
+          val heldMask = snap.pendingMasks.filter(t =>
+            MorMasks.dvTargetSets(setPath(path, t)).exists(rm))
+          if (heldMask.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"file-set(s) removed by this $action at $path are " +
+                "position-masked by an UNDECIDED transaction; retry " +
+                "after it commits or aborts")
+        }
       }
       // RESTORE must replace the EXACT snapshot it diffed against —
       // by VERSION, not just by live-set equality: a racing commit
@@ -2642,6 +2670,16 @@ object GraftLake {
     * view and flips the marker; ROLLBACK (or a commit-time conflict)
     * publishes the abort decision and reclaims the invisible staged
     * sets — zero trace.
+    *
+    * VIEW-STALENESS CARVE-OUT: read-your-writes covers statements
+    * that resolve lake tables by PATH (DML on the same table, or
+    * reads through [[read]]). A SELECT through a REGISTERED lake
+    * temp view inside the transaction reads the PRE-transaction
+    * snapshot — views re-register only at COMMIT, because a
+    * mid-transaction refresh would leak pending rows to every other
+    * thread through the session-GLOBAL temp view. Statements that
+    * must see earlier in-transaction writes should reference the
+    * table, not a view over it.
     */
   private[sources] final class SqlTxn {
     // minted off the FIRST written table (its log dir hosts the
@@ -2764,7 +2802,12 @@ object GraftLake {
         tok, "aborted")
       ctx.journal.foreach { case (p, v, _, _, _) =>
         import scala.jdk.CollectionConverters._
-        parse(Files.readString(logFile(p, v))).add.foreach { setName =>
+        // HEADER line only: partitioned (padd/poverwrite) commit files
+        // are multi-line (header + per-set manifest lines), and the
+        // header's add list already names every staged set — parsing
+        // the whole file would throw and silently skip the reclaim.
+        parse(Files.readString(logFile(p, v)).linesIterator.next())
+          .add.foreach { setName =>
           val sp = Paths.get(setPath(p, setName))
           if (Files.exists(sp))
             Files.walk(sp).iterator().asScala.toSeq.reverse

@@ -698,9 +698,12 @@ object IcebergImport {
     // HIVE-LAYOUT identity partitioning: data files written under
     // `pc=value/` directories do not CONTAIN the partition source
     // column — re-inject it per distinct partition tuple as a typed
-    // literal (the Delta importer's shape). Detected from the union
-    // parquet schema: one driver-side footer pass, no data read.
-    val fileSchema = spark.read.parquet(st.dataFiles: _*).schema
+    // literal (the Delta importer's shape). Detected from the UNION
+    // parquet schema — mergeSchema, not the default single-footer
+    // sample, or a schema-evolved table whose sampled file predates a
+    // newer column would be misrouted into readInjecting and refused.
+    val fileSchema =
+      spark.read.option("mergeSchema", "true").parquet(st.dataFiles: _*).schema
     val missing = st.schema.fields.filterNot(f =>
       fileSchema.fieldNames.contains(f.name))
     if (missing.nonEmpty)

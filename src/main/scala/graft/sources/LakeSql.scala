@@ -63,7 +63,11 @@ object LakeSql {
   // MERGE statements execute EAGERLY as PROVISIONAL commits carrying
   // one shared token — invisible to every other reader until COMMIT
   // flips the single decision marker, visible to this thread's own
-  // later statements (read-your-writes). ROLLBACK publishes the
+  // later statements (read-your-writes — for statements resolving
+  // the TABLE; a SELECT through a registered lake temp view reads
+  // the pre-transaction snapshot, since views re-register only at
+  // COMMIT to keep pending rows out of the session-global view).
+  // ROLLBACK publishes the
   // abort decision and reclaims the invisible staged sets. The
   // transaction is THREAD-scoped (Spark executes SQL commands
   // eagerly on the calling thread): concurrent sessions/threads

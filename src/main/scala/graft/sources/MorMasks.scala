@@ -121,6 +121,33 @@ private[sources] object MorMasks {
     r
   }
 
+  /** The DISTINCT `__dv_set` values of one positional-DV sidecar set
+    * — the file-sets its positions target. O(sidecar rows) read of
+    * tiny files, no Spark job; returns empty for key tombstones (no
+    * `__dv_set` column). Used on commit conflict paths to decide
+    * whether a pending mask pins a set being removed.
+    */
+  def dvTargetSets(dir: String): Set[String] = {
+    val out = scala.collection.mutable.HashSet[String]()
+    parquetFiles(dir).foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(f.toString))
+        .withConf(new Configuration())
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (!g.getType.containsField("__dv_set")) return Set.empty
+          val i = g.getType.getFieldIndex("__dv_set")
+          if (g.getFieldRepetitionCount(i) > 0) out += g.getString(i, 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.toSet
+  }
+
   /** Plan-time classification of one sidecar set: its column names
     * and the head column's Spark type, from ONE parquet footer — no
     * Spark job, no row read.

@@ -1177,4 +1177,57 @@ class LakeSqlSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DELETE FROM convsql_back WHERE id <= 10")
     assert(GraftLake.read(spark, gp2).count() == 20)
   }
+
+  test("overwrite waits for an undecided transaction (staged sets must not survive it)") {
+    import spark.implicits._
+    val (pa, pb) = freshPair()
+    GraftLake.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), pa, Some("id"))
+    LakeSql.register(spark, pa, "txnow_a", "id")
+    spark.sql("BEGIN TRANSACTION")
+    spark.sql("INSERT INTO txnow_a VALUES (3, 30)")
+    // a racing overwrite computes its remove list from the PUBLIC
+    // view; landing now would let the pending insert's staged set
+    // survive "replace everything" — it must wait for the decision
+    @volatile var msg = ""
+    val t = new Thread(() => {
+      try GraftLake.overwrite(Seq((9L, 90L)).toDF("id", "v"), pa)
+      catch { case e: Exception => msg = e.getMessage }
+    })
+    t.start(); t.join()
+    assert(msg.contains("UNDECIDED transaction"), msg)
+    spark.sql("COMMIT")
+    assert(publicCount(pa) == 3)
+    // decided: the overwrite now succeeds and owns the table
+    GraftLake.overwrite(Seq((9L, 90L)).toDF("id", "v"), pa)
+    assert(publicCount(pa) == 1)
+  }
+
+  test("ROLLBACK of an in-transaction partitioned append reclaims its staged sets") {
+    import spark.implicits._
+    val (pa, _) = freshPair()
+    GraftLake.appendPartitionedBy(
+      Seq((1L, 1L, 10L)).toDF("yr", "id", "v"), pa, Seq("yr"),
+      statsCols = Seq("id"))
+    val before = GraftLake.read(spark, pa).count()
+    spark.sql("BEGIN TRANSACTION")
+    GraftLake.appendPartitionedBy(
+      Seq((2L, 2L, 20L), (3L, 3L, 30L)).toDF("yr", "id", "v"), pa, Seq("yr"),
+      statsCols = Seq("id"))
+    // the staged padd commit is a MULTI-LINE log file (header +
+    // per-set manifest lines); reclaim must parse the HEADER only
+    val v = GraftLake.latestVersion(pa)
+    val txt = Files.readString(java.nio.file.Paths.get(
+      pa, "_graft_log", f"$v%08d.json"))
+    assert(txt.contains("\n"), "expected a multi-line padd commit")
+    spark.sql("ROLLBACK")
+    assert(GraftLake.read(spark, pa).count() == before)
+    // every staged set directory of the rolled-back append is gone
+    import scala.jdk.CollectionConverters._
+    val dataDir = java.nio.file.Paths.get(pa, "data")
+    val leftover = Files.list(dataDir).iterator().asScala
+      .map("data/" + _.getFileName.toString).toSeq
+    val liveSets = GraftLake.snapshot(pa).live.map(_.set).toSet
+    assert(leftover.forall(liveSets), s"leaked staged sets: " +
+      leftover.filterNot(liveSets).mkString(", "))
+  }
 }
