@@ -393,18 +393,17 @@ object GraftLake {
         val gf = target.fields.find(_.name.equalsIgnoreCase(g)).get
         df0.withColumn(gf.name, functions.expr(sql).cast(gf.dataType))
       }.select(target.fields.map(f => col(f.name)).toIndexedSeq: _*)
-      enforceConstraints(aligned, s0.constraints)
       val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
-      aligned.write.parquet(s"$path/$setName")
-      val stats = footerStats(spark, path, setName, statsCol.toSeq)
-      val rows = spark.read.parquet(s"$path/$setName").count()
+      // CHECK + stats fused into the write ([[stageSet]]); the row
+      // count comes from the `_ridmap` footer walk — no count() job.
+      val stats = stageSet(aligned, path, setName, statsCol.toSeq,
+        s0.constraints)
+      val rows = setRowCount(path, setName) // sidecar for every set
       try {
         val v = publishEntry(path, "copyinto", setName, aligned.schema,
           None, stats, Seq.empty, Some(s0.constraints),
-          ingestFiles = fresh.map(idOf), ridRows = {
-            val n = setRowCount(path, setName) // sidecar for every set
-            if (rowTrackingEnabled(path)) Some(n) else None
-          })
+          ingestFiles = fresh.map(idOf),
+          ridRows = if (rowTrackingEnabled(path)) Some(rows) else None)
         maybeAutoCompact(spark, path)
         return (v, fresh.size, rows)
       } catch {
@@ -1831,20 +1830,16 @@ object GraftLake {
       if (action == "create" || action == "append" ||
           action == "overwrite" || action == "merge" ||
           action == "update") {
-        val cons =
+        Some(
           if (Files.exists(logDir(path))) snapshot(path).constraints
-          else Map.empty[String, String]
-        enforceConstraints(df, cons)
-        Some(cons)
+          else Map.empty[String, String])
       } else None
     // 1. stage the file-set — invisible until the log names it.
+    // CHECK validation and zone-map stats ride the write job itself
+    // ([[stageSet]]'s observe) — no separate pass re-reads the bytes.
     val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.parquet(s"$path/$setName")
-    // Bloom sidecars are part of the STAGED set (written before the
-    // log names it), so a published set and its point-lookup index
-    // appear atomically together.
-    bloomCols.foreach(c => writeBloomSidecar(df.sparkSession, path, setName, c))
-    val stats = footerStats(df.sparkSession, path, setName, statsCols)
+    val stats = stageSet(df, path, setName, statsCols,
+      validatedCons.getOrElse(Map.empty))
     // EVERY staged set records its per-file counts as the `_ridmap`
     // sidecar (one write-time footer walk) so read-side metadata
     // consumers — COUNT(*) pushdown, DESCRIBE DETAIL num_rows, row-id
@@ -1852,6 +1847,12 @@ object GraftLake {
     // additionally claims a contiguous id range off the total
     // (rewrites re-assign — the un-materialized Delta posture).
     val nRows = setRowCount(path, setName)
+    // Bloom sidecars are part of the STAGED set (written before the
+    // log names it), so a published set and its point-lookup index
+    // appear atomically together. Sized from the footer-walk count —
+    // no count() job.
+    bloomCols.foreach(c =>
+      writeBloomSidecar(df.sparkSession, path, setName, c, Some(nRows)))
     val ridRows =
       if (rowTrackingEnabled(path))
         Some(math.max(nRows, ridMinClaim.getOrElse(0L)))
@@ -1879,6 +1880,88 @@ object GraftLake {
     if (action == "create" || action == "append")
       maybeAutoCompact(df.sparkSession, path)
     v
+  }
+
+  /** Stage `df` as the parquet set `setName` with CHECK validation
+    * and zone-map stats FUSED into the write job itself (one
+    * `observe`/CollectMetrics node on the written plan): the staged
+    * bytes are never re-read for validation or stats, which removes
+    * one full pass (+ one pass per CHECK rule) from every data-
+    * bearing commit — the guide's "remove passes" lever, and at
+    * 100 TB the difference between writing a set once and scanning
+    * it three times. Stats are recorded in the TABLE type's image
+    * domain exactly as [[footerStats]] records them (the observe runs
+    * over the same rows the files hold). A violated CHECK deletes the
+    * staged directory and refuses with the same loud error the
+    * pre-write validation raised — nothing is ever published.
+    */
+  private def stageSet(
+      df: DataFrame, path: String, setName: String,
+      statsCols: Seq[String], cons: Map[String, String]): Seq[SetStats] = {
+    val dest = s"$path/$setName"
+    if (statsCols.isEmpty && cons.isEmpty) {
+      df.write.parquet(dest)
+      return Seq.empty
+    }
+    val tableSt = snapshotIfExists(path)
+      .filter(sn => sn.version >= 0 && sn.schemaDdl.nonEmpty)
+      .map(sn => StructType.fromDDL(sn.schemaDdl))
+    // Same domain rule as footerStats: record in the table's WIDER
+    // type when the writer is the narrow side of a lossless widening.
+    val effDt = statsCols.map { c =>
+      val wdt = df.schema(c).dataType
+      c -> tableSt.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+        .filter(t => t != wdt && widensTo(wdt, t)).getOrElse(wdt)
+    }
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    effDt.zipWithIndex.foreach { case ((c, dt), i) =>
+      val e = statLongExpr(dt, col(c).cast(dt))
+      aggs += functions.min(e).as(s"mn_$i")
+      aggs += functions.max(e).as(s"mx_$i")
+      if (sumStatEligible(dt))
+        aggs += functions.sum(col(c).cast("decimal(38,0)")).as(s"sm_$i")
+      aggs += functions.count(col(c)).as(s"nn_$i")
+    }
+    val rules = cons.toSeq.sortBy(_._1)
+    rules.zipWithIndex.foreach { case ((_, sql), i) =>
+      aggs += functions.sum(
+        when(coalesce(functions.expr(sql), lit(true)) === false, 1L)
+          .otherwise(0L)).as(s"ck_$i")
+    }
+    val obs = org.apache.spark.sql.Observation(
+      "graft-stage-" + java.util.UUID.randomUUID().toString.take(8))
+    val t0 = System.nanoTime()
+    df.observe(obs, aggs.head, aggs.tail.toSeq: _*).write.parquet(dest)
+    val t1 = System.nanoTime()
+    val m = obs.get
+    if (sys.env.contains("GRAFT_STAGE_DEBUG"))
+      System.err.println(f"[stage] write=${(t1 - t0) / 1e6}%.0f ms " +
+        f"obsWait=${(System.nanoTime() - t1) / 1e6}%.0f ms")
+    rules.zipWithIndex.foreach { case ((name, sql), i) =>
+      val bad = m(s"ck_$i") match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
+      }
+      if (bad > 0) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(Paths.get(dest)).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        throw new IllegalStateException(
+          s"CHECK constraint '$name' ($sql) violated by $bad row(s) — " +
+            "commit refused")
+      }
+    }
+    effDt.zipWithIndex.flatMap { case ((c, dt), i) =>
+      if (m(s"mn_$i") == null) None
+      else Some(SetStats(c, m(s"mn_$i").asInstanceOf[Long],
+        m(s"mx_$i").asInstanceOf[Long],
+        if (sumStatEligible(dt))
+          Option(m(s"sm_$i")).flatMap(d => scala.util.Try(
+            d.asInstanceOf[java.math.BigDecimal].longValueExact()).toOption)
+        else None,
+        Some(m(s"nn_$i").asInstanceOf[Long])))
+    }
   }
 
   /** Zone-map stats from the WRITTEN files (parquet-footer-cheap
@@ -3729,7 +3812,8 @@ object GraftLake {
   }
 
   private def writeBloomSidecar(
-      spark: SparkSession, table: String, set: String, c: String): Unit = {
+      spark: SparkSession, table: String, set: String, c: String,
+      knownRows: Option[Long] = None): Unit = {
     import graft.plans.GraftBloom
     val written = spark.read.parquet(s"$table/$set")
     // An empty bloom from an all-null cast would wrongly prune live
@@ -3740,7 +3824,9 @@ object GraftLake {
       case other => throw new IllegalArgumentException(
         s"bloom column '$c' must be integral, got $other")
     }
-    val n = written.count()
+    // Sizing count: the commit path already knows the staged row
+    // count from the `_ridmap` footer walk — no count() job then.
+    val n = knownRows.getOrElse(written.count())
     val words = GraftBloom.wordsFor(n)
     val bytes = written
       .agg(graft.functions.VectorFunctions.bloomAgg(
@@ -4149,7 +4235,6 @@ object GraftLake {
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     val cons = s.constraints
-    enforceConstraints(alignedUpdates, cons)
     val ukeys = updates.select(keyCols.map(col): _*).distinct()
     // Only span-overlapping sets can hold matched targets (the
     // statsCol contract) — everything else never scans.
@@ -4183,9 +4268,17 @@ object GraftLake {
     val dvName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     m.select(DvCols.map(col): _*).write.parquet(s"$path/$dvName")
     val dataName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
-    alignedUpdates.write.parquet(s"$path/$dataName")
-    val stats = footerStats(spark, path, dataName,
-      reRecordable(target, s.renames, Seq(statsCol)))
+    // CHECK + stats fused into the data-set write; a violation must
+    // also reclaim the already-staged DV sidecar.
+    val stats =
+      try stageSet(alignedUpdates, path, dataName,
+        reRecordable(target, s.renames, Seq(statsCol)), cons)
+      catch { case e: IllegalStateException =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(Paths.get(path, dvName)).iterator().asScala.toSeq
+          .reverse.foreach(p => Files.deleteIfExists(p))
+        throw e
+      }
     val cdfSet =
       if (!cdfEnabled(path)) None
       else {
@@ -4661,15 +4754,22 @@ object GraftLake {
     }
     val postImages = j.filter(disp.updPred).select(disp.survivorCols: _*)
     val appended = postImages.unionByName(inserts)
-    enforceConstraints(appended, consRules)
     val dvName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     j.filter(disp.updPred || disp.delPred)
       .select(DvCols.map(c => col(s"t.$c").as(c)): _*)
       .write.parquet(s"$path/$dvName")
     val dataName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
-    appended.write.parquet(s"$path/$dataName")
-    val stats = footerStats(spark, path, dataName,
-      reRecordable(target, s.renames, Seq(statsCol)))
+    // CHECK + stats fused into the data-set write; a violation must
+    // also reclaim the already-staged DV sidecar.
+    val stats =
+      try stageSet(appended, path, dataName,
+        reRecordable(target, s.renames, Seq(statsCol)), consRules)
+      catch { case e: IllegalStateException =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(Paths.get(path, dvName)).iterator().asScala.toSeq
+          .reverse.foreach(p => Files.deleteIfExists(p))
+        throw e
+      }
     val cdfSet =
       if (!cdfEnabled(path)) None
       else stageCdf(path, Seq(
@@ -5289,16 +5389,23 @@ object GraftLake {
     // like any append, and the validated rule-set rides the publish
     // loop's racing-writer freshness fence.
     val cons = s.constraints
-    enforceConstraints(post, cons)
     // Stage both halves before the claim: the DV sidecar masking the
     // old positions, and the data set carrying the new rows. The log
     // entry names them together, so readers see neither or both.
+    // CHECK + stats ride the data-set write ([[stageSet]]); a
+    // violation reclaims the already-staged DV sidecar too.
     val dvName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     matching.select(DvCols.map(col): _*).write.parquet(s"$path/$dvName")
     val dataName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
-    post.write.parquet(s"$path/$dataName")
-    val stats = footerStats(spark, path, dataName,
-      reRecordable(target, s.renames, statsCol.toSeq))
+    val stats =
+      try stageSet(post, path, dataName,
+        reRecordable(target, s.renames, statsCol.toSeq), cons)
+      catch { case e: IllegalStateException =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(Paths.get(path, dvName)).iterator().asScala.toSeq
+          .reverse.foreach(p => Files.deleteIfExists(p))
+        throw e
+      }
     val cdfSet =
       if (!cdfEnabled(path)) None
       else stageCdf(path, Seq(
