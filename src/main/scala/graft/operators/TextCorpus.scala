@@ -136,8 +136,12 @@ object TextCorpus {
     val benchFps = fingerprints(
       Tables.documents(spark, dir).filter(col("doc_id") < 50))
       .select(col("fp")).distinct()
-    val corpus = fingerprints(
-      Tables.documents(spark, dir).filter(col("doc_id") >= 50))
+    // fanOut the corpus side only: the winnowing flatMap is the
+    // dominant cost and the bench scan is one partition; the filter
+    // stays upstream so pushdown still reaches the scan.
+    val corpus = fingerprints(Par.fanOut(
+      Tables.documents(spark, dir).filter(col("doc_id") >= 50)
+        .select(col("doc_id"), col("text"))))
     val hits = corpus.join(broadcast(benchFps), "fp")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_shared_fp"))
@@ -214,7 +218,11 @@ object TextCorpus {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         substring(lower(trim(col("text"))), 1, EditDistancePrefix).as("s"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
+    // fanOut the probe side: b broadcasts (tiny), so the O(len²) DP
+    // map below inherits a's partitioning — one bench scan partition
+    // without this (no-op at production scale).
+    val a = Par.fanOut(
+      docs.select(col("doc_id").as("doc_a"), col("s").as("s_a")))
     val b = docs.select((col("doc_id") - 1).as("doc_a"),
       col("doc_id").as("doc_b"), col("s").as("s_b"))
     // Typed pass so the O(len^2) DP runs ONCE per pair — as a Column
@@ -558,8 +566,8 @@ object TextCorpus {
     */
   def d32Containment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val sh = Par.fanOut(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, t) => (id, Dedup.shinglesOf(t)) }
       .toDF("doc_id", "shingles")
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
@@ -770,7 +778,8 @@ object TextCorpus {
     // Pure Column expressions (no typed flatMap): the gram explosion
     // stays inside whole-stage codegen — no Row encode/decode per
     // document on the corpus-sized pass.
-    def grams(df: DataFrame): DataFrame = df
+    def grams(df: DataFrame): DataFrame = Par.fanOut(df
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         array_remove(split(col("text"), " "), "").as("ws"))
       .filter(size(col("ws")) >= DecontamN)
@@ -826,9 +835,11 @@ object TextCorpus {
     */
   def d36LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    // fanOut: the split/explode/bigram stages below are the hot path
+    // and the bench scan is one partition (no-op at production scale).
+    val docs = Par.fanOut(Tables.documents(spark, dir)
       .select(col("doc_id"),
-        array_remove(split(col("text"), " "), "").as("ws"))
+        array_remove(split(col("text"), " "), "").as("ws")))
     val bi = docs.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws)-2), " +
@@ -1037,9 +1048,12 @@ object TextCorpus {
     val L = 8
     val boiler = " shared footer alpha beta gamma delta epsilon zeta " +
       "eta theta iota kappa"
-    val toks = Tables.documents(spark, dir)
+    // fanOut before the checkpoint: the gram explode + md5 below is
+    // the hot path and the bench scan is one partition (no-op at
+    // production scale where the scan already splits).
+    val toks = Par.fanOut(Tables.documents(spark, dir)
       .withColumn("ws", split(concat(col("text"), lit(boiler)), " "))
-      .select(col("doc_id"), col("ws"))
+      .select(col("doc_id"), col("ws")))
       .localCheckpoint(true) // feeds grams AND reassembly
     val grams = toks
       .select(col("doc_id"), explode(transform(
