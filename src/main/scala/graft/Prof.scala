@@ -28,14 +28,27 @@ object Prof {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var jobMs = 0L
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val bySite = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        starts.put(j.jobId, System.nanoTime()); jobs += 1
+        val site = j.stageInfos.lastOption.map { si =>
+          val n = si.name
+          val d = si.details.linesIterator.toSeq
+            .find(l => l.contains("graft.") && !l.contains("Prof"))
+            .getOrElse("").trim.take(80)
+          s"$n | $d"
+        }.getOrElse("?")
+        starts.put(j.jobId, (System.nanoTime(), site)); jobs += 1
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         val t0 = starts.remove(j.jobId)
-        if (t0 != null) jobMs += (System.nanoTime() - t0) / 1000000L
+        if (t0 != null) {
+          val ms = (System.nanoTime() - t0._1) / 1000000L
+          jobMs += ms
+          bySite.merge(t0._2, (1, ms),
+            (a, b) => (a._1 + b._1, a._2 + b._2))
+        }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1; tasks += s.stageInfo.numTasks
@@ -52,7 +65,7 @@ object Prof {
         .write.format("noop").mode("overwrite").save()
     }
     names.foreach { n =>
-      jobs = 0; stages = 0; tasks = 0; jobMs = 0
+      jobs = 0; stages = 0; tasks = 0; jobMs = 0; bySite.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -60,6 +73,13 @@ object Prof {
       val wallMs = (System.nanoTime() - t0) / 1000000L
       println(f"[prof] $n%-28s wall=${wallMs}%6d ms jobs=$jobs%4d " +
         f"stages=$stages%4d tasks=$tasks%6d jobMs=$jobMs%6d")
+      if (sys.env.contains("GRAFT_PROF_SITES")) {
+        import scala.jdk.CollectionConverters._
+        bySite.asScala.toSeq.sortBy(-_._2._2).take(15).foreach {
+          case (site, (n2, ms)) =>
+            println(f"[site]   $site%-46s n=$n2%3d ms=$ms%6d")
+        }
+      }
     }
     spark.stop()
   }

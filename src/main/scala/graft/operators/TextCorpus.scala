@@ -227,8 +227,9 @@ object TextCorpus {
       col("doc_id").as("doc_b"), col("s").as("s_b"))
     // Typed pass so the O(len^2) DP runs ONCE per pair — as a Column
     // expression CollapseProject inlines it into both output columns
-    // (2x the dominant cost, measured).
-    a.join(b, "doc_a")
+    // (2x the dominant cost, measured). Broadcast b EXPLICITLY so the
+    // fanned-out a side is always the streamed side the DP map runs on.
+    a.join(broadcast(b), "doc_a")
       .select(col("doc_a"), col("doc_b"), col("s_a"), col("s_b"))
       .as[(Long, Long, String, String)]
       .map { case (da, db, sa, sb) =>
