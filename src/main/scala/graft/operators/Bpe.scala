@@ -94,7 +94,16 @@ object Bpe {
   private def trainLoop(
       docs: DataFrame, rounds: Int, minPairCount: Long): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    var words = vocab0(docs).cache()
+    // ONE cached base; per-round merges chain LAZILY on top of it. A
+    // round's election recomputes the (tiny, cached) vocab's replace
+    // chain instead of paying a cache+count materialization job per
+    // round — re-materialize only every `Rebase` merges to keep the
+    // lineage (and per-election planning) bounded for the
+    // to-convergence variant's thousands of rounds.
+    val Rebase = 16
+    var base = vocab0(docs).cache()
+    var chainLen = 0
+    var words = base
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -106,19 +115,31 @@ object Bpe {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, cnt))
-        val next = words
+        words = words
           .withColumn("w", replace(col("w"), lit(s"$a $b"), lit(a + b)))
-          .cache()
-        next.count() // materialize before dropping the parent
-        words.unpersist()
-        words = next
+        chainLen += 1
+        if (chainLen >= Rebase) {
+          val next = words.cache()
+          next.count() // materialize before dropping the parent
+          base.unpersist()
+          base = next
+          words = next
+          chainLen = 0
+        }
       }
       r += 1
+    }
+    // Materialize the FINAL vocab once (callers read it repeatedly).
+    val out = if (chainLen == 0) words else {
+      val next = words.cache()
+      next.count()
+      base.unpersist()
+      next
     }
     import spark.implicits._
     val mergesDf = merges.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
       .orderBy(col("round"))
-    (mergesDf, words)
+    (mergesDf, out)
   }
 
   /** Train `rounds` merges; returns (round, left_sym, right_sym,
