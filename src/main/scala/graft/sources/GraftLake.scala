@@ -4255,16 +4255,20 @@ object GraftLake {
     val m = matched.get
     val matchedKeys = m.select(keyCols.map(col): _*).distinct()
       .localCheckpoint(true)
-    // Delta's cardinality rule: a target row may be replaced by at
-    // most ONE source row — delta-sized probe, no extra table scan.
-    val dup = updates.groupBy(keyCols.map(col): _*)
+    // Delta's cardinality rule + inserted count in ONE delta-sized
+    // job: per-update-key counts restricted to MATCHED keys answer
+    // both "does any matched key carry >1 source row" (max) and "how
+    // many update rows matched" (sum; inserted = span - matched).
+    val mk = updates.groupBy(keyCols.map(col): _*)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).drop("__n")
-    require(dup.join(matchedKeys, keyCols, "left_semi").head(1).isEmpty,
+      .join(matchedKeys, keyCols, "left_semi")
+      .agg(org.apache.spark.sql.functions.sum(col("__n")),
+        org.apache.spark.sql.functions.max(col("__n"))).head
+    require(mk.isNullAt(1) || mk.getLong(1) <= 1L,
       "mergeDv: multiple update rows share a key that matches a target " +
         "row — each matched target may be replaced by at most one source row")
-    val nInserted = span.getLong(0) - alignedUpdates
-      .join(matchedKeys, keyCols, "left_semi").count()
+    val nInserted = span.getLong(0) -
+      (if (mk.isNullAt(0)) 0L else mk.getLong(0))
     val dvName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     m.select(DvCols.map(col): _*).write.parquet(s"$path/$dvName")
     val dataName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
