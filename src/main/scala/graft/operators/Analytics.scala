@@ -362,20 +362,17 @@ object Analytics {
     val c = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
-    val med = Percentiles.exactByHistogram(
-      c, "l_returnflag", "cents", Seq(0.5), Seq("med"), discrete = true)
-      .select(col("l_returnflag"), col("med").cast("long").as("med"))
-    val dev = c.join(broadcast(med), "l_returnflag")
-      .withColumn("dev", abs(col("cents") - col("med")))
-    val mad = Percentiles.exactByHistogram(
-      dev.select(col("l_returnflag"), col("dev")),
-      "l_returnflag", "dev", Seq(0.5), Seq("mad"), discrete = true)
-      .select(col("l_returnflag"), col("mad").cast("long").as("mad"))
-    dev.join(broadcast(mad), "l_returnflag")
-      .groupBy(col("l_returnflag"))
-      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
-        sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"))
+    // ONE scan+cache of the projection feeds both ladders AND the
+    // fence count ([[Percentiles.medianMadDiscrete]]): the deviation
+    // lane derives its bounds from the median lane's stats and folds
+    // |cents - med| lazily per round — no dev column materialization,
+    // no second persist, no third scan for the outlier count. All
+    // values are integers < 2^53, so the double domain is exact.
+    Percentiles.medianMadDiscrete(c, "l_returnflag", "cents", outlierK = 3.0)
+      .select(col("l_returnflag"),
+        col("med").cast("long").as("med"),
+        col("mad").cast("long").as("mad"),
+        col("n_outliers"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Exact per-group continuous percentiles WITHOUT a per-group O(rows)
   * aggregation buffer.
@@ -143,66 +143,267 @@ object Percentiles {
       df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], outNames: Seq[String],
       nBuckets: Int = 8192, maxCollect: Int = 1 << 18,
-      discrete: Boolean = false): DataFrame = {
-    require(ps.length == outNames.length, "one output name per fraction")
-    val spark = df.sparkSession
+      discrete: Boolean = false): DataFrame =
+    exactByHistogramMulti(df, groupCol,
+      Seq(HistSpec(valueCol, ps, outNames, discrete)), nBuckets, maxCollect)
 
-    val rows = df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
+  /** One value column's percentile request for
+    * [[exactByHistogramMulti]]: fractions `ps` land in output columns
+    * `outNames`; `discrete` = nearest-rank (`percentile_disc`)
+    * semantics, otherwise type-7 continuous interpolation.
+    */
+  case class HistSpec(
+      valueCol: String, ps: Seq[Double], outNames: Seq[String],
+      discrete: Boolean = false)
+
+  /** Exact per-group percentiles of SEVERAL value columns in ONE
+    * narrowing loop: one cached 2+K-column projection, one fused
+    * per-group stats job, and per round ONE histogram job covering
+    * every live cluster of every lane (guide §1.2 "remove passes" —
+    * the fusion halves q34's pass count vs two independent ladders).
+    * Output: one row per group holding every spec's outNames; groups
+    * with no non-null value in SOME lane are dropped (the same inner
+    * semantics as joining per-column results). Resolution math is
+    * identical to the single-column form — each (lane, group) narrows
+    * independently, so fusing lanes changes job shape, never values.
+    */
+  def exactByHistogramMulti(
+      df: DataFrame, groupCol: String, specs: Seq[HistSpec],
+      nBuckets: Int = 8192, maxCollect: Int = 1 << 18): DataFrame = {
+    require(specs.nonEmpty, "no percentile specs")
+    specs.foreach(s =>
+      require(s.ps.length == s.outNames.length, "one output name per fraction"))
+    val spark = df.sparkSession
+    val keyField = df.schema(groupCol)
+
+    val rows = df.select(
+      (col(groupCol).as("__g") +: specs.zipWithIndex.map { case (s, i) =>
+        col(s.valueCol).cast("double").as(s"__v$i")
+      }).toIndexedSeq: _*)
+      .filter(specs.indices.map(i => col(s"__v$i").isNotNull).reduce(_ || _))
       .persist()
 
-    val stats: Array[(Any, (Long, Double, Double))] = rows.groupBy(col("__g"))
-      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
-      .collect()
-      .map(r => (r.get(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    // ONE stats job: per group, every lane's non-null count and actual
+    // min/max (count(col) skips nulls, so each lane sees exactly its
+    // own non-null population — same as the single-column filter).
+    val statAggs = specs.indices.flatMap(i => Seq(
+      count(col(s"__v$i")).as(s"n_$i"),
+      min(col(s"__v$i")).as(s"lo_$i"),
+      max(col(s"__v$i")).as(s"hi_$i")))
+    val statRows = rows.groupBy(col("__g"))
+      .agg(statAggs.head, statAggs.tail: _*).collect()
+    val keys: Array[Any] = statRows.map(_.get(0))
 
-    // Per group (keyed by index into `stats`): the 0-based target
-    // order-statistic ranks and their type-7 interpolation fractions.
-    // `discrete` = nearest-rank (percentile_disc): the smallest value
-    // whose cume_dist >= p, i.e. 0-based rank ceil(p·n) - 1, frac 0 —
-    // the answer is always an actual data value. Otherwise type-7
-    // continuous interpolation at p·(n-1).
-    case class Target(j: Int, rank: Long, frac: Double)
-    val targets: Array[Seq[Target]] = stats.map { case (_, (n, _, _)) =>
-      ps.zipWithIndex.map { case (p, j) =>
-        if (discrete) Target(j, math.max(0L, math.ceil(p * n).toLong - 1L), 0.0)
-        else {
-          val pos = p * (n - 1)
-          Target(j, math.floor(pos).toLong, pos - math.floor(pos))
-        }
+    val targets: Array[Array[Seq[Target]]] = Array.tabulate(specs.length) { i =>
+      statRows.map { r =>
+        val n = r.getLong(1 + 3 * i)
+        if (n == 0L) Seq.empty[Target]
+        else targetsFor(n, specs(i).ps, specs(i).discrete)
       }
     }
-    val neededRanks: Array[Seq[Long]] = targets.map(ts =>
-      ts.flatMap(t =>
-        if (t.frac == 0.0) Seq(t.rank) else Seq(t.rank, t.rank + 1)).distinct.sorted)
-
-    // One cluster per contiguous run of unresolved ranks: its rows are
-    // exactly { group == key(gid) && lo <= v <= hi } with lo/hi actual
-    // data min/max; `base` = group rows ranked strictly below it.
-    case class St(gid: Int, ranks: Seq[Long], base: Long, cnt: Long, lo: Double, hi: Double)
-    var live: List[St] = stats.toList.zipWithIndex.map { case ((_, (n, lo, hi)), gid) =>
-      St(gid, neededRanks(gid), 0L, n, lo, hi)
+    val lanes = specs.indices.map { i =>
+      val bounds: Array[Option[(Long, Double, Double)]] = statRows.map { r =>
+        val n = r.getLong(1 + 3 * i)
+        if (n == 0L) None
+        else Some((n, r.getDouble(1 + 3 * i + 1), r.getDouble(1 + 3 * i + 2)))
+      }
+      val needed = targets(i).map(ts => ts.flatMap(t =>
+        if (t.frac == 0.0) Seq(t.rank) else Seq(t.rank, t.rank + 1))
+        .distinct.sorted)
+      Lane(i, None, bounds, needed)
     }
-    val resolved = scala.collection.mutable.Map.empty[(Int, Long), Double]
+    val resolved = resolveRanks(rows, keyField.dataType, keys, lanes,
+      specs.length, nBuckets, maxCollect)
+    rows.unpersist(false)
 
+    // Assemble the |groups|-row result on the driver with the ORIGINAL
+    // key objects — no stringified-key re-join, so Decimal / Float /
+    // null keys round-trip exactly.
+    val outRows = keys.indices.flatMap { gid =>
+      if (specs.indices.exists(i => targets(i)(gid).isEmpty)) None
+      else Some(Row.fromSeq(keys(gid) +: specs.indices.flatMap { i =>
+        targets(i)(gid).sortBy(_.j).map { t =>
+          val vLo = resolved((i, gid, t.rank))
+          val vHi = if (t.frac == 0.0) vLo else resolved((i, gid, t.rank + 1))
+          vLo + (vHi - vLo) * t.frac
+        }
+      }))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toSeq, 1),
+      StructType(keyField +:
+        specs.flatMap(_.outNames).map(n => StructField(n, DoubleType))))
+  }
+
+  /** Per-group DISCRETE median and MAD (median absolute deviation) of
+    * `valueCol`, plus the count of rows beyond `outlierK` x MAD — the
+    * robust-dispersion trio in the FEWEST possible passes: both
+    * ladders and the fence count share ONE cached 2-column projection
+    * and ONE stats job. The deviation lane starts with DERIVED bounds
+    * (dev in [0, max(hi - med, med - lo)] — exactness never needs
+    * tight bounds, only coverage) so it pays no stats pass, and its
+    * values fold lazily per round as |v - median(group)| through the
+    * cluster table's shift column — the deviation column is never
+    * materialized or re-joined. Output: (groupCol, med, mad,
+    * n_outliers) with med/mad as actual data values (doubles).
+    */
+  def medianMadDiscrete(
+      df: DataFrame, groupCol: String, valueCol: String, outlierK: Double,
+      nBuckets: Int = 8192, maxCollect: Int = 1 << 18): DataFrame = {
+    val spark = df.sparkSession
     val keyField = df.schema(groupCol)
+    val rows = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("double").as("__v0"))
+      .filter(col("__v0").isNotNull)
+      .persist()
+    val statRows = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), min(col("__v0")).as("lo"),
+        max(col("__v0")).as("hi")).collect()
+    val keys: Array[Any] = statRows.map(_.get(0))
+    val stats: Array[(Long, Double, Double)] =
+      statRows.map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // Discrete median rank: smallest value with cume_dist >= 0.5.
+    val medRank: Array[Long] =
+      stats.map { case (n, _, _) => math.max(0L, math.ceil(0.5 * n).toLong - 1L) }
+
+    val laneV = Lane(0, None, stats.map(Option(_)), medRank.map(Seq(_)))
+    val resV = resolveRanks(rows, keyField.dataType, keys, Seq(laneV), 1,
+      nBuckets, maxCollect)
+    val med: Array[Double] =
+      keys.indices.map(g => resV((0, g, medRank(g)))).toArray
+
+    val devBounds: Array[Option[(Long, Double, Double)]] =
+      stats.zipWithIndex.map { case ((n, lo, hi), g) =>
+        Some((n, 0.0, math.max(hi - med(g), med(g) - lo)))
+      }
+    val laneD = Lane(0, Some(med), devBounds, medRank.map(Seq(_)))
+    val resD = resolveRanks(rows, keyField.dataType, keys, Seq(laneD), 1,
+      nBuckets, maxCollect)
+    val mad: Array[Double] =
+      keys.indices.map(g => resD((0, g, medRank(g)))).toArray
+
+    // Outlier fence: ONE partial-agg job over the same cached rows —
+    // |v - med| > k * mad, all integers exact in double here.
+    val fence = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.indices.map(g =>
+        Row(keys(g), med(g), mad(g))).toSeq, 1),
+      StructType(Seq(
+        StructField("__fk", keyField.dataType, nullable = true),
+        StructField("__med", DoubleType, nullable = false),
+        StructField("__mad", DoubleType, nullable = false))))
+    val outliers: Map[Int, Long] = {
+      val byKey = rows.join(broadcast(fence), col("__g") <=> col("__fk"))
+        .groupBy(col("__g"))
+        .agg(sum(when(
+          abs(col("__v0") - col("__med")) > lit(outlierK) * col("__mad"), 1L)
+          .otherwise(0L)).as("__n"))
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      keys.indices.map(g => g -> byKey.getOrElse(keys(g), 0L)).toMap
+    }
+    rows.unpersist(false)
+
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.indices.map(g =>
+        Row(keys(g), med(g), mad(g), outliers(g))).toSeq, 1),
+      StructType(Seq(keyField,
+        StructField("med", DoubleType, nullable = true),
+        StructField("mad", DoubleType, nullable = true),
+        StructField("n_outliers", LongType, nullable = true))))
+  }
+
+  // ------------------------------------------- shared narrowing engine
+
+  /** One target order statistic: output slot `j`, 0-based `rank`, and
+    * its type-7 interpolation fraction (0 for discrete/nearest-rank).
+    */
+  private case class Target(j: Int, rank: Long, frac: Double)
+
+  private def targetsFor(
+      n: Long, ps: Seq[Double], discrete: Boolean): Seq[Target] =
+    ps.zipWithIndex.map { case (p, j) =>
+      if (discrete) Target(j, math.max(0L, math.ceil(p * n).toLong - 1L), 0.0)
+      else {
+        val pos = p * (n - 1)
+        Target(j, math.floor(pos).toLong, pos - math.floor(pos))
+      }
+    }
+
+  /** A narrowing lane: value column `__v<vIdx>` of the projected rows,
+    * optionally folded per group to |v - shift(gid)| (the MAD lane);
+    * `bounds(gid)` = (n, lo, hi) where lo/hi are ANY values bracketing
+    * the lane's group data (actual min/max or derived bounds — the
+    * resolution is by rank against actual bucket contents, so
+    * exactness never depends on tight bounds, only on coverage);
+    * `needed(gid)` = the 0-based ranks to resolve.
+    */
+  private case class Lane(
+      vIdx: Int, shift: Option[Array[Double]],
+      bounds: Array[Option[(Long, Double, Double)]],
+      needed: Array[Seq[Long]])
+
+  /** One cluster: a contiguous run of unresolved ranks of one (lane,
+    * group); its rows are exactly { group == key(gid) && lo <= v <= hi }
+    * in the lane's (possibly shifted) value domain; `base` = group rows
+    * ranked strictly below it.
+    */
+  private case class St(
+      lane: Int, gid: Int, ranks: Seq[Long],
+      base: Long, cnt: Long, lo: Double, hi: Double)
+
+  /** The shared histogram-narrowing loop over every lane's clusters at
+    * once: per round ONE histogram job across all oversized clusters
+    * and ONE bounded collect across all small ones, exactly the
+    * round structure of the original single-lane loop (the bucket
+    * expression is monotone and deterministic per value, keeping
+    * `base` exact under FP bucket-edge wobble; buckets where
+    * min == max resolve exactly, terminating duplicate floods).
+    * Returns (laneIdx, gid, rank) -> value.
+    */
+  private def resolveRanks(
+      rows: DataFrame, keyType: org.apache.spark.sql.types.DataType,
+      keys: Array[Any], lanes: Seq[Lane], nLaneCols: Int,
+      nBuckets: Int, maxCollect: Int)
+      : scala.collection.Map[(Int, Int, Long), Double] = {
+    val spark = rows.sparkSession
+    var live: List[St] = lanes.zipWithIndex.toList.flatMap { case (ln, li) =>
+      keys.indices.flatMap { gid =>
+        ln.bounds(gid)
+          .filter(_ => ln.needed(gid).nonEmpty)
+          .map { case (n, lo, hi) => St(li, gid, ln.needed(gid), 0L, n, lo, hi) }
+      }
+    }
+    val resolved = scala.collection.mutable.Map.empty[(Int, Int, Long), Double]
+
     def clusterDf(cs: Seq[(St, Int)]): DataFrame =
       spark.createDataFrame(
         spark.sparkContext.parallelize(cs.map { case (s, cid) =>
-          Row(cid, stats(s.gid)._1, s.lo, s.hi)
+          Row(cid, keys(s.gid), s.lo, s.hi, s.lane,
+            lanes(s.lane).shift
+              .map(sh => java.lang.Double.valueOf(sh(s.gid))).orNull)
         }.toSeq, 1),
         StructType(Seq(
           StructField("__cid", IntegerType, nullable = false),
-          StructField("__gk", keyField.dataType, nullable = true),
+          StructField("__gk", keyType, nullable = true),
           StructField("__lo", DoubleType, nullable = false),
-          StructField("__hi", DoubleType, nullable = false))))
+          StructField("__hi", DoubleType, nullable = false),
+          StructField("__vc", IntegerType, nullable = false),
+          StructField("__sh", DoubleType, nullable = true))))
 
     // Membership: null-safe equi-join on the group key (a broadcast
-    // hash join) with the cluster's closed value range as the join
-    // filter. The cluster table is O(|groups| x |ranks|) rows.
-    def memberRows(cs: Seq[(St, Int)]): DataFrame =
+    // hash join) with the cluster's closed value range — in the lane's
+    // effective domain — as the join filter. A null raw value nulls
+    // the range predicate and drops out, matching the per-lane
+    // non-null population.
+    def memberRows(cs: Seq[(St, Int)]): DataFrame = {
+      val raw = (0 until nLaneCols)
+        .foldLeft(lit(null).cast(DoubleType): org.apache.spark.sql.Column) {
+          case (acc, i) => when(col("__vc") === i, col(s"__v$i")).otherwise(acc)
+        }
+      val vEff = when(col("__sh").isNotNull, abs(raw - col("__sh"))).otherwise(raw)
       rows.join(broadcast(clusterDf(cs)),
-        col("__g") <=> col("__gk") && col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        col("__g") <=> col("__gk") && vEff >= col("__lo") && vEff <= col("__hi"))
+        .select(col("__cid"), vEff.as("__v"), col("__lo"), col("__hi"))
+    }
 
     var rounds = 0
     while (live.nonEmpty && rounds < 12) {
@@ -220,13 +421,13 @@ object Percentiles {
           val vs = byCid.getOrElse(cid, Array.empty[Row]).map(_.getDouble(1)).sorted
           require(vs.length == s.cnt,
             s"histogram-percentile cluster drift: expected ${s.cnt} rows, got ${vs.length}")
-          s.ranks.foreach(r => resolved((s.gid, r)) = vs((r - s.base).toInt))
+          s.ranks.foreach(r => resolved((s.lane, s.gid, r)) = vs((r - s.base).toInt))
         }
       }
 
       live = if (big.isEmpty) Nil
       else {
-        // ONE histogram job across every oversized cluster.
+        // ONE histogram job across every oversized cluster of every lane.
         val w = (col("__hi") - col("__lo")) / lit(nBuckets.toDouble)
         val bkt = when(col("__hi") <= col("__lo"), lit(0)).otherwise(
           greatest(
@@ -253,7 +454,7 @@ object Percentiles {
           // exactly — this is what terminates duplicate floods.
           val open = s.ranks.filter { r =>
             val (_, mn, mx) = hist(bucketFor(r))
-            if (mn == mx) { resolved((s.gid, r)) = mn; false } else true
+            if (mn == mx) { resolved((s.lane, s.gid, r)) = mn; false } else true
           }
           // Remaining ranks cluster by contiguous runs of their buckets;
           // each run narrows independently next round.
@@ -265,7 +466,7 @@ object Percentiles {
             }
           runs.map { run =>
             val (bLo, bHi) = (run.min, run.max)
-            St(s.gid, run.flatMap(byBucket.getOrElse(_, Nil)).sorted,
+            St(s.lane, s.gid, run.flatMap(byBucket.getOrElse(_, Nil)).sorted,
               cum(bLo), (bLo to bHi).map(counts(_)).sum,
               run.map(b => hist(b)._2).min, run.map(b => hist(b)._3).max)
           }
@@ -274,21 +475,6 @@ object Percentiles {
     }
     require(live.isEmpty,
       s"histogram percentile did not converge in $rounds rounds")
-    rows.unpersist(false)
-
-    // Assemble the |groups|-row result on the driver with the ORIGINAL
-    // key objects — no stringified-key re-join, so Decimal / Float /
-    // null keys round-trip exactly.
-    val outRows = stats.zipWithIndex.map { case ((g, _), gid) =>
-      val vals = targets(gid).sortBy(_.j).map { t =>
-        val vLo = resolved((gid, t.rank))
-        val vHi = if (t.frac == 0.0) vLo else resolved((gid, t.rank + 1))
-        vLo + (vHi - vLo) * t.frac
-      }
-      Row.fromSeq(g +: vals)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(outRows.toSeq, 1),
-      StructType(keyField +: outNames.map(n => StructField(n, DoubleType))))
+    resolved
   }
 }

@@ -184,11 +184,12 @@ object Relational2 {
     */
   def q34Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val qty = Percentiles.exactByHistogram(
-      li, "l_returnflag", "l_quantity", Seq(0.5, 0.9), Seq("mq", "pq"))
-    val price = Percentiles.exactByHistogram(
-      li, "l_returnflag", "l_extendedprice", Seq(0.5), Seq("mp"))
-    qty.join(price, "l_returnflag")
+    // BOTH columns' ladders run in ONE fused loop (one cached
+    // projection, one stats job, one histogram job per round) — half
+    // the passes of two independent calls, same exact order statistics.
+    Percentiles.exactByHistogramMulti(li, "l_returnflag", Seq(
+      Percentiles.HistSpec("l_quantity", Seq(0.5, 0.9), Seq("mq", "pq")),
+      Percentiles.HistSpec("l_extendedprice", Seq(0.5), Seq("mp"))))
       .select(
         col("l_returnflag"),
         round(col("mq"), 4).as("median_qty"),

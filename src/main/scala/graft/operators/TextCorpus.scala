@@ -227,9 +227,16 @@ object TextCorpus {
       col("doc_id").as("doc_b"), col("s").as("s_b"))
     // Typed pass so the O(len^2) DP runs ONCE per pair — as a Column
     // expression CollapseProject inlines it into both output columns
-    // (2x the dominant cost, measured). Broadcast b EXPLICITLY so the
-    // fanned-out a side is always the streamed side the DP map runs on.
-    a.join(broadcast(b), "doc_a")
+    // (2x the dominant cost, measured). Broadcast b explicitly so the
+    // fanned-out a side is always the streamed side the DP map runs on
+    // — but ONLY when the plan-time size estimate says b fits under
+    // the session's broadcast threshold: b is the FULL corpus
+    // projected to (id, id, prefix), so an unconditional hint would
+    // force an O(N) broadcast relation at production scale. Over the
+    // threshold the planner picks a shuffle join on doc_a instead.
+    val bFits = b.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      spark.sessionState.conf.autoBroadcastJoinThreshold
+    a.join(if (bFits) broadcast(b) else b, "doc_a")
       .select(col("doc_a"), col("doc_b"), col("s_a"), col("s_b"))
       .as[(Long, Long, String, String)]
       .map { case (da, db, sa, sb) =>

@@ -1794,6 +1794,26 @@ object GraftLake {
     * snapshot's live list. Returns the set name to record in the
     * commit, or None when the feed is off or `rows` is empty-typed.
     */
+  /** Stage a positional-DV sidecar set WITH its `_dv_targets.json`
+    * manifest: the distinct target sets ride the write job itself via
+    * observe (zero extra passes), so MoR readers can skip sidecars
+    * that cannot mask their file and conflict probes answer from
+    * metadata instead of parquet rows ([[MorMasks.targetsOf]]).
+    */
+  private def stageDvSidecar(
+      dvRows: DataFrame, path: String, setName: String): Unit = {
+    val obs = org.apache.spark.sql.Observation(
+      "graft-dvt-" + java.util.UUID.randomUUID().toString.take(8))
+    dvRows.observe(obs,
+        org.apache.spark.sql.functions.collect_set(col("__dv_set")).as("ts"))
+      .write.parquet(s"$path/$setName")
+    val targets = obs.get("ts") match {
+      case s: scala.collection.Seq[_] => s.map(_.toString).toSeq
+      case _ => Seq.empty[String]
+    }
+    MorMasks.writeTargetsManifest(setPath(path, setName), targets)
+  }
+
   private def stageCdf(
       path: String, parts: Seq[(DataFrame, String)]): Option[String] = {
     if (!cdfEnabled(path)) return None
@@ -1837,9 +1857,15 @@ object GraftLake {
     // 1. stage the file-set — invisible until the log names it.
     // CHECK validation and zone-map stats ride the write job itself
     // ([[stageSet]]'s observe) — no separate pass re-reads the bytes.
+    // A positional-DV tombstone additionally records its target
+    // manifest off the same write ([[stageDvSidecar]]).
     val setName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
-    val stats = stageSet(df, path, setName, statsCols,
-      validatedCons.getOrElse(Map.empty))
+    val stats =
+      if (action == "tombstone" && df.columns.contains("__dv_set")) {
+        stageDvSidecar(df, path, setName)
+        Seq.empty[SetStats]
+      } else stageSet(df, path, setName, statsCols,
+        validatedCons.getOrElse(Map.empty))
     // EVERY staged set records its per-file counts as the `_ridmap`
     // sidecar (one write-time footer walk) so read-side metadata
     // consumers — COUNT(*) pushdown, DESCRIBE DETAIL num_rows, row-id
@@ -2182,22 +2208,18 @@ object GraftLake {
 
   /** [[MutationFence.masksTouch]] closure: do any of these freshly-
     * landed tombstone sets POSITIONALLY mask one of `refSets`? A
-    * positional sidecar names the sets it masks in its own rows —
-    * read here, O(new masks) tiny files, and only on the CONFLICT
-    * path (an uncontended commit sees no fresh tombstones and never
-    * calls this). Key tombstones (no `__dv_set` column) never
-    * conflict.
+    * positional sidecar names the sets it masks in its commit-time
+    * target manifest (legacy sidecars: in their own rows) — answered
+    * by [[MorMasks.dvTargetSets]] with NO Spark job, and only on the
+    * CONFLICT path (an uncontended commit sees no fresh tombstones
+    * and never calls this). Key tombstones (no `__dv_set` column)
+    * never conflict.
     */
   private def masksTouchFn(
       spark: SparkSession, path: String,
       refSets: Set[String]): Seq[String] => Boolean =
-    newTombs => newTombs.exists { t =>
-      val df = spark.read.parquet(setPath(path, t))
-      df.columns.contains("__dv_set") &&
-        df.select(col("__dv_set")).distinct()
-          .filter(col("__dv_set").isin(refSets.toSeq: _*))
-          .head(1).nonEmpty
-    }
+    newTombs => newTombs.exists(t =>
+      MorMasks.dvTargetSets(setPath(path, t)).exists(refSets))
 
   private def fenceFor(
       spark: SparkSession, path: String, refSets: Set[String],
@@ -4270,7 +4292,7 @@ object GraftLake {
     val nInserted = span.getLong(0) -
       (if (mk.isNullAt(0)) 0L else mk.getLong(0))
     val dvName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
-    m.select(DvCols.map(col): _*).write.parquet(s"$path/$dvName")
+    stageDvSidecar(m.select(DvCols.map(col): _*), path, dvName)
     val dataName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     // CHECK + stats fused into the data-set write; a violation must
     // also reclaim the already-staged DV sidecar.
@@ -4759,9 +4781,8 @@ object GraftLake {
     val postImages = j.filter(disp.updPred).select(disp.survivorCols: _*)
     val appended = postImages.unionByName(inserts)
     val dvName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
-    j.filter(disp.updPred || disp.delPred)
-      .select(DvCols.map(c => col(s"t.$c").as(c)): _*)
-      .write.parquet(s"$path/$dvName")
+    stageDvSidecar(j.filter(disp.updPred || disp.delPred)
+      .select(DvCols.map(c => col(s"t.$c").as(c)): _*), path, dvName)
     val dataName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     // CHECK + stats fused into the data-set write; a violation must
     // also reclaim the already-staged DV sidecar.
@@ -5399,7 +5420,7 @@ object GraftLake {
     // CHECK + stats ride the data-set write ([[stageSet]]); a
     // violation reclaims the already-staged DV sidecar too.
     val dvName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
-    matching.select(DvCols.map(col): _*).write.parquet(s"$path/$dvName")
+    stageDvSidecar(matching.select(DvCols.map(col): _*), path, dvName)
     val dataName = s"data/c${java.util.UUID.randomUUID().toString.take(12)}"
     val stats =
       try stageSet(post, path, dataName,

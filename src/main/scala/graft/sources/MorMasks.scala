@@ -38,11 +38,54 @@ private[sources] object MorMasks {
     finally listing.close()
   }
 
+  /** Name of the per-sidecar target manifest: the distinct `__dv_set`
+    * values of a positional-DV sidecar, written at COMMIT time (the
+    * writer already knows them — collected via observe on the sidecar
+    * write itself, zero extra passes). Readers consult it to skip
+    * sidecars that cannot mask their file, collapsing the per-task
+    * footer probing from O(all sidecar sets) to O(sidecars targeting
+    * the own set); conflict probes ([[dvTargetSets]]) answer from it
+    * without opening parquet rows at all.
+    */
+  private val TargetsManifest = "_dv_targets.json"
+
+  def writeTargetsManifest(dir: String, targets: Seq[String]): Unit =
+    Files.writeString(Paths.get(dir, TargetsManifest),
+      targets.sorted.distinct
+        .map(t => "\"" + t + "\"").mkString("[", ",", "]"))
+
+  /** Cached manifest lookup: Some(targets) when the sidecar carries
+    * one, None for legacy/key-tombstone sidecars (callers fall back
+    * to probing). Sidecar sets are immutable once committed, so a
+    * cache hit is always current; cleared wholesale past a small
+    * bound (same posture as [[keyMask]]'s cache).
+    */
+  private val targetsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Set[String]]]()
+
+  def targetsOf(dir: String): Option[Set[String]] = {
+    val cached = targetsCache.get(dir)
+    if (cached != null) return cached
+    val p = Paths.get(dir, TargetsManifest)
+    val r =
+      if (!Files.exists(p)) None
+      else {
+        val body = Files.readString(p).trim.stripPrefix("[").stripSuffix("]")
+        Some(
+          if (body.isEmpty) Set.empty[String]
+          else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet)
+      }
+    if (targetsCache.size > 256) targetsCache.clear()
+    targetsCache.put(dir, r)
+    r
+  }
+
   /** Positions masked for (`set`, `fileName`) across the DV sidecar
-    * sets under `dvDirs`. Row-group and dictionary statistics prune
-    * non-matching groups via the pushed equality predicate, so a
-    * task touches O(its own file's positions) of each sidecar, plus
-    * one footer per sidecar part-file.
+    * sets under `dvDirs`. Sidecars whose target manifest excludes
+    * `set` are skipped without opening a single footer; for the rest,
+    * row-group and dictionary statistics prune non-matching groups
+    * via the pushed equality predicate, so a task touches O(its own
+    * file's positions) of each relevant sidecar.
     */
   def dvPositions(dvDirs: Seq[String], set: String, fileName: String)
       : java.util.HashSet[Long] = {
@@ -53,7 +96,7 @@ private[sources] object MorMasks {
         Binary.fromString(set)),
       FilterApi.eq(FilterApi.binaryColumn("__dv_file"),
         Binary.fromString(fileName)))
-    dvDirs.foreach { dir =>
+    dvDirs.filter(d => targetsOf(d).forall(_.contains(set))).foreach { dir =>
       parquetFiles(dir).foreach { f =>
         val reader = ParquetReader
           .builder(new GroupReadSupport(),
@@ -122,12 +165,15 @@ private[sources] object MorMasks {
   }
 
   /** The DISTINCT `__dv_set` values of one positional-DV sidecar set
-    * — the file-sets its positions target. O(sidecar rows) read of
-    * tiny files, no Spark job; returns empty for key tombstones (no
-    * `__dv_set` column). Used on commit conflict paths to decide
+    * — the file-sets its positions target. Served from the commit-time
+    * target manifest when present (pure metadata, no parquet rows);
+    * legacy sidecars fall back to an O(sidecar rows) read of tiny
+    * files, no Spark job either way. Returns empty for key tombstones
+    * (no `__dv_set` column). Used on commit conflict paths to decide
     * whether a pending mask pins a set being removed.
     */
   def dvTargetSets(dir: String): Set[String] = {
+    targetsOf(dir).foreach(ts => return ts)
     val out = scala.collection.mutable.HashSet[String]()
     parquetFiles(dir).foreach { f =>
       val reader = ParquetReader

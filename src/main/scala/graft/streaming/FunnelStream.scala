@@ -151,12 +151,15 @@ object FunnelStream {
     val ckDir = base.resolve("ck").toString
     val outDir = base.resolve("out").toString
     // The per-user state store instantiates one partition per shuffle
-    // partition and commits EVERY one each micro-batch; 8 partitions
-    // hold the O(users) state comfortably and cut the per-batch commit
-    // fan-out 4x vs the session's setting (st17's pattern). Read at
+    // partition and commits EVERY one each micro-batch; a quarter of
+    // the session's shuffle setting holds the O(users) state while
+    // cutting the per-batch commit fan-out 4x (st17's pattern) —
+    // DERIVED from the session, never a literal, so a production
+    // session's state parallelism scales with its cluster. Read at
     // query START, so the temporary setting scopes to this stream only.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1, prevParts.toInt / 4).toString)
     val q =
       try {
         spark.readStream.schema(events.schema).parquet(inDir)

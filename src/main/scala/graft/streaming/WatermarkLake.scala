@@ -78,12 +78,14 @@ object WatermarkLake {
 
     // The windowed-agg state store instantiates one partition per
     // shuffle partition and commits EVERY one each micro-batch; the
-    // state here is O(windows × types) rows, so 8 partitions hold it
-    // comfortably and cut the per-batch commit fan-out 4× vs the
-    // session's 32. Read at query START, so the temporary setting
-    // scopes to this stream only.
+    // state here is O(windows × types) rows, so a quarter of the
+    // session's shuffle setting holds it comfortably and cuts the
+    // per-batch commit fan-out 4× — DERIVED from the session, never a
+    // literal, so state parallelism scales with the cluster. Read at
+    // query START, so the temporary setting scopes to this stream only.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1, prevParts.toInt / 4).toString)
     val q =
       try {
         agg.writeStream

@@ -136,6 +136,62 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
     assert(ranked(1).getString(0) == "a" && math.abs(ranked(1).getDouble(1) - 2.0) < 1e-9)
   }
 
+  test("fused multi-column ladder equals independent single-column ladders") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1717)
+    // Two value columns with DIFFERENT null patterns, tiny budgets so
+    // both lanes' clusters share several narrowing rounds.
+    val data = (1 to 600).map { i =>
+      val g = Seq("x", "y", "z")(rnd.nextInt(3))
+      val a = if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 100)
+      val b = if (rnd.nextInt(7) == 0) None else Some((rnd.nextInt(6) * 5).toDouble)
+      (g, a, b)
+    }
+    val df = data.toDF("g", "a", "b").repartition(5)
+    val fused = Percentiles.exactByHistogramMulti(df, "g", Seq(
+      Percentiles.HistSpec("a", Seq(0.25, 0.5), Seq("a25", "a50")),
+      Percentiles.HistSpec("b", Seq(0.5, 0.9), Seq("b50", "b90"), discrete = true)),
+      nBuckets = 16, maxCollect = 48)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), (1 to 4).map(r.getDouble).toSeq))
+    val lane0 = Percentiles.exactByHistogram(
+      df, "g", "a", Seq(0.25, 0.5), Seq("a25", "a50"),
+      nBuckets = 16, maxCollect = 48)
+    val lane1 = Percentiles.exactByHistogram(
+      df, "g", "b", Seq(0.5, 0.9), Seq("b50", "b90"),
+      nBuckets = 16, maxCollect = 48, discrete = true)
+    val joined = lane0.join(lane1, "g").orderBy("g").collect()
+      .map(r => (r.getString(0), (1 to 4).map(r.getDouble).toSeq))
+    assert(fused.toSeq == joined.toSeq)
+  }
+
+  test("medianMadDiscrete matches brute-force median, MAD and fence counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9090)
+    val data = (1 to 500).map { i =>
+      val g = Seq("p", "q")(rnd.nextInt(2))
+      (g, (rnd.nextInt(200) - 100).toDouble)
+    } ++ Seq.fill(300)(("dup", 42.0)) ++ Seq(("dup", 1.0), ("dup", 400.0))
+    val df = data.toDF("g", "v").repartition(4)
+    def discMedian(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      s(math.max(0, math.ceil(0.5 * s.length).toInt - 1))
+    }
+    val expected = data.groupBy(_._1).map { case (g, rows) =>
+      val vs = rows.map(_._2)
+      val med = discMedian(vs)
+      val mad = discMedian(vs.map(v => math.abs(v - med)))
+      val outl = vs.count(v => math.abs(v - med) > 3.0 * mad)
+      g -> (med, mad, outl.toLong)
+    }
+    val got = Percentiles.medianMadDiscrete(df, "g", "v", outlierK = 3.0,
+      nBuckets = 16, maxCollect = 48)
+      .orderBy("g").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+  }
+
   test("null values are excluded like SQL percentile semantics") {
     import spark.implicits._
     val df = Seq(

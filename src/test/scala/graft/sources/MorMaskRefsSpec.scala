@@ -108,4 +108,65 @@ class MorMaskRefsSpec extends AnyFunSuite with SparkSpec {
     // A file name that is not in the sidecar resolves to an empty mask.
     assert(MorMasks.dvPositions(refs.dvDirs, ls.set, "no-such.parquet").isEmpty)
   }
+
+  test("many sidecar sets: a reader opens only the sidecars targeting its own set") {
+    import spark.implicits._
+    val p = fresh()
+    // FIVE independently-masked data sets, each with its own DV commit
+    // — five outstanding sidecar sets, each targeting exactly one set.
+    (0 until 5).foreach { k =>
+      val lo = k * 1000L + 1L
+      val part = spark.range(lo, lo + 1000L, 1L, 2)
+        .select(col("id"), (col("id") % 9).as("m"))
+      if (k == 0) GraftLake.create(part, p, statsCols = Seq("id"))
+      else GraftLake.append(part, p, statsCols = Seq("id"))
+      GraftLake.deleteDv(spark, p,
+        col("id") >= lo && col("id") < lo + 1000L && col("id") % 4 === 1)
+    }
+    val s = GraftLake.snapshot(p)
+    val refs = GraftLake.loadScanMaskRefs(p, s.tombstones)
+    assert(refs.dvDirs.size == 5)
+    // Every sidecar carries a commit-time target manifest naming
+    // EXACTLY its own data set.
+    val manifests = refs.dvDirs.map(MorMasks.targetsOf)
+    assert(manifests.forall(_.exists(_.size == 1)),
+      s"per-sidecar targets: ${manifests.mkString(", ")}")
+    assert(manifests.flatMap(_.get).toSet == s.live.map(_.set).toSet)
+    // dvTargetSets answers from the manifest — identical to the
+    // parquet-row fallback.
+    refs.dvDirs.foreach { d =>
+      val viaManifest = MorMasks.dvTargetSets(d)
+      val viaRows = spark.read.parquet(d).select(col("__dv_set"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(viaManifest == viaRows)
+    }
+    // O(own blob) reads: CORRUPT every other sidecar's parquet bytes —
+    // a reader of set k still resolves its masks exactly, proving it
+    // never opened the non-targeting sidecars (the pre-manifest code
+    // opened a footer of EVERY sidecar part-file per masked file).
+    val bySet = s.live.sortBy(_.statsFor("id").get.min).map(_.set)
+    val ownSet = bySet.head
+    val ownDir = refs.dvDirs.find(d =>
+      MorMasks.targetsOf(d).get.contains(ownSet)).get
+    refs.dvDirs.filterNot(_ == ownDir).foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(java.nio.file.Paths.get(d))
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(f => Files.write(f, Array[Byte](0, 1, 2, 3)))
+      finally listing.close()
+    }
+    val setDir = java.nio.file.Paths.get(GraftLake.setPathOf(p, ownSet))
+    val listing = Files.list(setDir)
+    val files =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+      } finally listing.close()
+    val total = files.map(f =>
+      MorMasks.dvPositions(refs.dvDirs, ownSet, f).size()).sum
+    // ids lo..lo+999 with id % 4 == 1: exactly 250 masked positions.
+    assert(total == 250, s"own-set masks after corrupting others: $total")
+  }
 }
