@@ -32,13 +32,20 @@ object Prof {
     val bySite = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = j.stageInfos.lastOption.map { si =>
+        // Prefer the job's captured callSite (survives executeTake's
+        // thread hop); fall back to the last stage's graft frame.
+        val cs = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.long")))
+          .flatMap(_.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("Prof")))
+          .map(_.trim.take(80))
+        val site = cs.orElse(j.stageInfos.lastOption.map { si =>
           val n = si.name
           val d = si.details.linesIterator.toSeq
             .find(l => l.contains("graft.") && !l.contains("Prof"))
             .getOrElse("").trim.take(80)
           s"$n | $d"
-        }.getOrElse("?")
+        }).getOrElse("?")
         starts.put(j.jobId, (System.nanoTime(), site)); jobs += 1
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
@@ -53,6 +60,16 @@ object Prof {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1; tasks += s.stageInfo.numTasks
       }
+      // SQL executions carry the ORIGINAL action call site even when
+      // the job itself runs on an executeTake future thread — the only
+      // reliable attribution for head()/collect() probes.
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            bySite.merge("sql: " + s.description.linesIterator.next().take(70),
+              (1, 0L), (a, b) => (a._1 + b._1, a._2 + b._2))
+          case _ => ()
+        }
     })
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -75,7 +92,7 @@ object Prof {
         f"stages=$stages%4d tasks=$tasks%6d jobMs=$jobMs%6d")
       if (sys.env.contains("GRAFT_PROF_SITES")) {
         import scala.jdk.CollectionConverters._
-        bySite.asScala.toSeq.sortBy(-_._2._2).take(15).foreach {
+        bySite.asScala.toSeq.sortBy(s => (-s._2._2, -s._2._1)).take(40).foreach {
           case (site, (n2, ms)) =>
             println(f"[site]   $site%-46s n=$n2%3d ms=$ms%6d")
         }

@@ -7,7 +7,7 @@ import scala.util.matching.Regex
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions}
 import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** A minimal ACID table format over parquet — the "lakehouse" surface
   * the plain directory layouts (Sources.scala) don't give: snapshot
@@ -634,9 +634,15 @@ object GraftLake {
       statsCols: Seq[String] = Seq.empty): Int = {
     val cons = snapshotIfExists(path).map(_.constraints)
       .getOrElse(Map.empty[String, String])
-    enforceConstraints(df, cons)
+    // CHECK rules and the per-leaf extra stats share ONE grouped pass
+    // over the input ([[partitionedInputProbe]]) instead of one count
+    // scan per rule plus a separate stats pass; with neither, nothing
+    // but the write touches the rows.
+    val extraPre =
+      if (cons.isEmpty && statsCols.isEmpty) None
+      else Some(partitionedInputProbe(df, partCols, statsCols, cons)._1)
     Files.createDirectories(logDir(path))
-    val perSet = stagePartitionedMulti(df, path, partCols, statsCols)
+    val perSet = stagePartitionedMulti(df, path, partCols, statsCols, extraPre)
     val flat = partCols.map(pc => SetStats(pc,
       perSet.flatMap(_.statsFor(pc)).map(_.min).min,
       perSet.flatMap(_.statsFor(pc)).map(_.max).max))
@@ -715,18 +721,17 @@ object GraftLake {
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    enforceConstraints(aligned, cons)
-    // The incoming partition value TUPLES — O(partitions) driver rows
-    // by layout design (the layout columns' joint domain is small).
-    val values: Set[Seq[Long]] = aligned
-      .select(pcs.map(pc => col(pc).cast("long")): _*).distinct()
-      .collect().map { r =>
-        pcs.indices.map { i =>
-          require(!r.isNullAt(i),
-            s"dynamic partition overwrite: NULL ${pcs(i)} value in the input")
-          r.getLong(i)
-        }
-      }.toSet
+    // ONE grouped pass over the input answers everything the commit
+    // needs beyond the write itself: the incoming partition value
+    // TUPLES (O(partitions) driver rows by layout design), the
+    // per-leaf extra stats, and every CHECK rule's violation count —
+    // previously a distinct pass + a stats pass + one scan per rule.
+    val probeStats = reRecordable(target, s.renames,
+      statsCols.filterNot(pcs.contains))
+    val (extraPre, values) =
+      partitionedInputProbe(aligned, pcs, probeStats, cons,
+        nullKeyMsg = i =>
+          s"dynamic partition overwrite: NULL ${pcs(i)} value in the input")
     require(values.nonEmpty, "dynamic partition overwrite: empty input")
     // A victim is PINNED: min==max on every layout column, and the
     // pinned tuple is one of the incoming values.
@@ -756,7 +761,7 @@ object GraftLake {
         stageCdf(path, old.map(_ -> "delete").toSeq :+ (aligned -> "insert"))
       }
     val perSet = stagePartitionedMulti(aligned, path, pcs,
-      reRecordable(target, s.renames, statsCols.filterNot(pcs.contains)))
+      probeStats, Some(extraPre))
     val flat = pcs.map(pc => SetStats(pc,
       perSet.flatMap(_.statsFor(pc)).map(_.min).min,
       perSet.flatMap(_.statsFor(pc)).map(_.max).max))
@@ -904,54 +909,98 @@ object GraftLake {
     * Spark's own partition discovery re-derives the values at read
     * (the files do not carry the layout columns).
     */
+  /** ONE grouped pass over a partitioned write's input: per
+    * partition-tuple extra stats (exactly the image domains the old
+    * internal pass recorded), the distinct partition tuples, AND every
+    * CHECK rule's violation count — the rule scans and the dynamic
+    * overwrite's distinct pass used to be separate passes over the
+    * same rows (guide §1.2). Null partition keys throw `nullKeyMsg`
+    * when provided, otherwise their groups are skipped (the write
+    * itself refuses them with the layout error).
+    */
+  private def partitionedInputProbe(
+      df: DataFrame, partCols: Seq[String], statsCols: Seq[String],
+      cons: Map[String, String],
+      nullKeyMsg: Int => String = null)
+      : (Map[Seq[Long], Seq[SetStats]], Set[Seq[Long]]) = {
+    val aggs = statsCols.flatMap { c =>
+      val e = statLongExpr(df.schema(c).dataType, col(c))
+      Seq(org.apache.spark.sql.functions.min(e),
+        org.apache.spark.sql.functions.max(e))
+    }
+    // Per-leaf SUMs for integral stat columns, same pass (see
+    // footerStats) — lets grouped/filtered SUM pushdown serve
+    // hive-laid-out tables from manifests alone.
+    val sumIdx = statsCols.zipWithIndex.collect {
+      case (c, i) if sumStatEligible(df.schema(c).dataType) => (c, i)
+    }
+    val sumAggs = sumIdx.map { case (c, _) =>
+      org.apache.spark.sql.functions.sum(col(c).cast("decimal(38,0)"))
+    }
+    val nnAggs = statsCols.map(c =>
+      org.apache.spark.sql.functions.count(col(c)))
+    val rules = cons.toSeq.sortBy(_._1)
+    val ckAggs = rules.map { case (_, sql) =>
+      org.apache.spark.sql.functions.sum(
+        when(coalesce(functions.expr(sql), lit(true)) === false, 1L)
+          .otherwise(0L))
+    }
+    val all = (aggs ++ sumAggs ++ nnAggs ++ ckAggs) :+
+      org.apache.spark.sql.functions.count(lit(1))
+    val rows = df.groupBy(partCols.map(c => col(c).cast("long")): _*)
+      .agg(all.head, all.tail: _*).collect()
+    val base = partCols.length
+    val sumBase = base + 2 * statsCols.length
+    val nnBase = sumBase + sumIdx.length
+    val ckBase = nnBase + statsCols.length
+    rules.zipWithIndex.foreach { case ((name, sql), i) =>
+      val bad = rows.map(r =>
+        if (r.isNullAt(ckBase + i)) 0L else r.getLong(ckBase + i)).sum
+      if (bad > 0) throw new IllegalStateException(
+        s"CHECK constraint '$name' ($sql) violated by $bad row(s) — " +
+          "commit refused")
+    }
+    val extra = rows.flatMap { r =>
+      val nullIdx = partCols.indices.find(r.isNullAt)
+      nullIdx.foreach { i =>
+        if (nullKeyMsg != null)
+          throw new IllegalArgumentException(nullKeyMsg(i))
+      }
+      if (nullIdx.isDefined) None // write path raises the layout error
+      else {
+        val key: Seq[Long] = partCols.indices.map(r.getLong(_))
+        val sums: Map[Int, Long] = sumIdx.zipWithIndex.flatMap {
+          case ((_, origIdx), j) =>
+            if (r.isNullAt(sumBase + j)) None
+            else scala.util.Try(r.getDecimal(sumBase + j).longValueExact())
+              .toOption.map(origIdx -> _)
+        }.toMap
+        Some(key -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(base + 2 * i)) None
+          else Some(SetStats(c, r.getLong(base + 2 * i),
+            r.getLong(base + 2 * i + 1), sums.get(i),
+            Some(r.getLong(nnBase + i))))
+        })
+      }
+    }.toMap
+    (extra, extra.keySet)
+  }
+
   private def stagePartitionedMulti(
       df: DataFrame, path: String, partCols: Seq[String],
-      statsCols: Seq[String]): Seq[LiveSet] = {
+      statsCols: Seq[String],
+      extraPre: Option[Map[Seq[Long], Seq[SetStats]]] = None): Seq[LiveSet] = {
     import scala.jdk.CollectionConverters._
     require(partCols.nonEmpty, "empty partition layout")
     val stage = Paths.get(path, s"_stage_p${java.util.UUID.randomUUID().toString.take(12)}")
     df.write.partitionBy(partCols: _*).parquet(stage.toString)
-    // Optional extra dimensions: ONE grouped pass, O(partitions) rows.
-    val extra: Map[Seq[Long], Seq[SetStats]] =
+    // Optional extra dimensions: ONE grouped pass, O(partitions) rows
+    // — or the caller's precomputed probe ([[partitionedInputProbe]]),
+    // which fused this pass with its CHECK/values needs.
+    val extra: Map[Seq[Long], Seq[SetStats]] = extraPre.getOrElse {
       if (statsCols.isEmpty) Map.empty
-      else {
-        val aggs = statsCols.flatMap { c =>
-          val e = statLongExpr(df.schema(c).dataType, col(c))
-          Seq(org.apache.spark.sql.functions.min(e),
-            org.apache.spark.sql.functions.max(e))
-        }
-        // Per-leaf SUMs for integral stat columns, same pass (see
-        // footerStats) — lets grouped/filtered SUM pushdown serve
-        // hive-laid-out tables from manifests alone.
-        val sumIdx = statsCols.zipWithIndex.collect {
-          case (c, i) if sumStatEligible(df.schema(c).dataType) => (c, i)
-        }
-        val sumAggs = sumIdx.map { case (c, _) =>
-          org.apache.spark.sql.functions.sum(col(c).cast("decimal(38,0)"))
-        }
-        val nnAggs = statsCols.map(c =>
-          org.apache.spark.sql.functions.count(col(c)))
-        val all = aggs ++ sumAggs ++ nnAggs
-        df.groupBy(partCols.map(c => col(c).cast("long")): _*)
-          .agg(all.head, all.tail: _*).collect().map { r =>
-            val key = partCols.indices.map(r.getLong(_))
-            val base = partCols.length
-            val sumBase = base + 2 * statsCols.length
-            val nnBase = sumBase + sumIdx.length
-            val sums: Map[Int, Long] = sumIdx.zipWithIndex.flatMap {
-              case ((_, origIdx), j) =>
-                if (r.isNullAt(sumBase + j)) None
-                else scala.util.Try(r.getDecimal(sumBase + j).longValueExact())
-                  .toOption.map(origIdx -> _)
-            }.toMap
-            key -> statsCols.zipWithIndex.flatMap { case (c, i) =>
-              if (r.isNullAt(base + 2 * i)) None
-              else Some(SetStats(c, r.getLong(base + 2 * i),
-                r.getLong(base + 2 * i + 1), sums.get(i),
-                Some(r.getLong(nnBase + i))))
-            }
-          }.toMap
-      }
+      else partitionedInputProbe(df, partCols, statsCols, Map.empty)._1
+    }
     // Walk the expected levels: depth i holds `partCols(i)=v` dirs.
     def leaves(dir: Path, depth: Int, acc: Seq[Long])
         : Seq[(Path, Seq[Long])] =
@@ -1862,6 +1911,28 @@ object GraftLake {
     out.toMap
   }
 
+  /** `localCheckpoint(true)` with the row count riding the SAME
+    * materialization via observe — the separate count()/head(1)
+    * execution (and its AQE job train) every mutation paid after
+    * checkpointing its matched slice disappears (guide §1.2).
+    * localCheckpoint runs through the same withAction/SQLExecution
+    * machinery as the writes [[stageSet]] already observes, so the
+    * blocking get resolves as soon as the bus drains (~1 ms).
+    */
+  private def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation(
+      "graft-ckc-" + java.util.UUID.randomUUID().toString.take(8))
+    val ck = df.observe(obs,
+      org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val n = obs.get("n") match {
+      case null => 0L
+      case l: java.lang.Long => l.longValue()
+      case other => other.toString.toLong
+    }
+    (ck, n)
+  }
+
   /** Delete a staged (but unpublished) set directory, if present. */
   private def reclaimStaged(path: String, setName: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1932,7 +2003,8 @@ object GraftLake {
     // appear atomically together. Sized from the footer-walk count —
     // no count() job.
     bloomCols.foreach(c =>
-      writeBloomSidecar(df.sparkSession, path, setName, c, Some(nRows)))
+      writeBloomSidecar(df.sparkSession, path, setName, c, Some(nRows),
+        Some(df.schema)))
     val ridRows =
       if (rowTrackingEnabled(path))
         Some(math.max(nRows, ridMinClaim.getOrElse(0L)))
@@ -3460,7 +3532,23 @@ object GraftLake {
   private def loadTombstones(
       spark: SparkSession, path: String,
       ts: Seq[String]): (Option[DataFrame], Seq[DataFrame]) = {
-    val loaded = ts.map(t => spark.read.parquet(setPath(path, t)))
+    // The sidecar schema is read from ONE footer on the driver
+    // ([[MorMasks.sidecarShape]]) and passed explicitly — a bare
+    // parquet read would launch a distributed footer-inference job
+    // per sidecar set on EVERY read of a table with outstanding
+    // masks. Unexpected shapes fall back to inference.
+    val loaded = ts.map { t =>
+      val dir = setPath(path, t)
+      val (names, headDt) = MorMasks.sidecarShape(dir)
+      if (names.sorted == DvCols.sorted)
+        spark.read.schema(StructType(names.map(n => StructField(n,
+          if (n == "__dv_pos") LongType else StringType,
+          nullable = true)))).parquet(dir)
+      else if (names.size == 1)
+        spark.read.schema(StructType(Seq(
+          StructField(names.head, headDt, nullable = true)))).parquet(dir)
+      else spark.read.parquet(dir)
+    }
     val (dvs, keys) = loaded.partition(isDvSidecar)
     (dvs.reduceLeftOption(_.unionByName(_)), keys)
   }
@@ -3915,9 +4003,14 @@ object GraftLake {
 
   private def writeBloomSidecar(
       spark: SparkSession, table: String, set: String, c: String,
-      knownRows: Option[Long] = None): Unit = {
+      knownRows: Option[Long] = None,
+      writtenSchema: Option[StructType] = None): Unit = {
     import graft.plans.GraftBloom
-    val written = spark.read.parquet(s"$table/$set")
+    // The writer knows the staged set's schema — passing it skips the
+    // distributed footer-inference job a bare parquet read launches.
+    val written = writtenSchema
+      .map(st => spark.read.schema(st).parquet(s"$table/$set"))
+      .getOrElse(spark.read.parquet(s"$table/$set"))
     // An empty bloom from an all-null cast would wrongly prune live
     // data — only integral key columns may carry a bloom.
     written.schema(c).dataType match {
@@ -4345,8 +4438,8 @@ object GraftLake {
     // The matched slice, ONE resolution reused everywhere: positions
     // for the sidecar, pre-images for CDF, keys for insert splitting.
     val matched = visible
-      .map(_.join(ukeys, keyCols, "left_semi").localCheckpoint(true))
-    val nMatched = matched.map(_.count()).getOrElse(0L)
+      .map(v => checkpointWithCount(v.join(ukeys, keyCols, "left_semi")))
+    val nMatched = matched.map(_._2).getOrElse(0L)
     if (nMatched == 0L) {
       // Pure insert: a plain append commit — no empty sidecar to drag
       // through the tombstone lifecycle.
@@ -4354,7 +4447,7 @@ object GraftLake {
         reRecordable(target, s.renames, Seq(statsCol)))
       return (v, 0L, span.getLong(0))
     }
-    val m = matched.get
+    val m = matched.get._1
     val matchedKeys = m.select(keyCols.map(col): _*).distinct()
       .localCheckpoint(true)
     // Delta's cardinality rule + inserted count in ONE delta-sized
@@ -4659,10 +4752,10 @@ object GraftLake {
     // Delta's cardinality rule: bail only when a duplicated source
     // key actually matches a target row (dup keys among pure inserts
     // are legal). Both probes are delta-sized.
-    val dupKeys = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).drop("_n")
-      .localCheckpoint(true)
-    if (dupKeys.head(1).nonEmpty) {
+    val (dupKeys, nDup) = checkpointWithCount(
+      source.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).drop("_n"))
+    if (nDup > 0) {
       val ambiguous = scanDf.exists(df =>
         df.select(keyCols.map(col): _*)
           .join(dupKeys, keyCols, "left_semi").head(1).nonEmpty)
@@ -4814,10 +4907,10 @@ object GraftLake {
       .localCheckpoint(true)
     // Delta's cardinality rule: bail only when a duplicated source
     // key actually matches a target row. Both probes are delta-sized.
-    val dupKeys = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).drop("_n")
-      .localCheckpoint(true)
-    if (dupKeys.head(1).nonEmpty) {
+    val (dupKeys, nDup) = checkpointWithCount(
+      source.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).drop("_n"))
+    if (nDup > 0) {
       val matchedKeys = j.filter(disp.tEx && disp.sEx)
         .select(keyCols.map(k => col(s"s.$k").as(k)): _*)
       require(matchedKeys.join(dupKeys, keyCols, "left_semi").head(1).isEmpty,
@@ -4932,8 +5025,8 @@ object GraftLake {
       spark: SparkSession, path: String, predicate: Column,
       keyCol: String): (Int, Long) = {
     val matching = read(spark, path).filter(coalesce(predicate, lit(false)))
-    val keys = matching.select(col(keyCol)).distinct().localCheckpoint(true)
-    val n = keys.count()
+    val (keys, n) =
+      checkpointWithCount(matching.select(col(keyCol)).distinct())
     if (n == 0) return (latestVersion(path), 0L)
     // CDF sidecar: the rows VISIBLE at tombstone time, typed 'delete'.
     // (A tombstone also suppresses same-key rows appended later; those
@@ -4984,9 +5077,8 @@ object GraftLake {
     val visible = visibleWithPositions(spark, path, s,
       predicateConstraints(predicate, target, s.generated))
       .getOrElse(return (s.version, 0L))
-    val matching = visible.filter(coalesce(predicate, lit(false)))
-      .localCheckpoint(true)
-    val n = matching.count()
+    val (matching, n) =
+      checkpointWithCount(visible.filter(coalesce(predicate, lit(false))))
     if (n == 0L) return (s.version, 0L)
     val cdfSet =
       if (!cdfEnabled(path)) None
@@ -5477,9 +5569,8 @@ object GraftLake {
     val visible = visibleWithPositions(spark, path, s,
       predicateConstraints(predicate, target, s.generated))
       .getOrElse(return (s.version, 0L))
-    val matching = visible.filter(coalesce(predicate, lit(false)))
-      .localCheckpoint(true)
-    val n = matching.count()
+    val (matching, n) =
+      checkpointWithCount(visible.filter(coalesce(predicate, lit(false))))
     if (n == 0L) return (s.version, 0L)
     val pre = matching.select(target.fieldNames.toIndexedSeq.map(col): _*)
     // All assignments in ONE select over the pre-image (every row here
@@ -5624,7 +5715,6 @@ object GraftLake {
         "(a raw file-set rewrite would resurrect tombstoned rows)")
     val target = StructType.fromDDL(s.schemaDdl)
     require(target.fieldNames.contains(keyCol), s"no column '$keyCol' at $path")
-    val k = keys.select(col(keyCol)).distinct().localCheckpoint(true)
     val live = s.live
     // VICTIM SHORTLISTING — the delta is small, the table is not, so
     // no set may be scanned before cheaper evidence says it MIGHT hold
@@ -5652,19 +5742,25 @@ object GraftLake {
     // than risking a silently-missed delete.
     // (DATE/TIMESTAMP keys also span-prune: statLongExpr is the exact
     // integer image their stats were recorded under.)
-    val keyIsIntegral = isPrunableType(k.schema(keyCol).dataType)
+    // Span/emptiness probe FIRST, over the RAW delta (count/min/max
+    // are duplicate-invariant): an empty delta — every batch of a CDC
+    // stream with no deletes — exits after ONE tiny agg, never paying
+    // the distinct+checkpoint materialization below.
+    val rawKeys = keys.select(col(keyCol))
+    val keyIsIntegral = isPrunableType(rawKeys.schema(keyCol).dataType)
     val kSpan =
       if (keyIsIntegral) {
-        val e = statLongExpr(k.schema(keyCol).dataType, col(keyCol))
-        k.agg(
+        val e = statLongExpr(rawKeys.schema(keyCol).dataType, col(keyCol))
+        rawKeys.agg(
           org.apache.spark.sql.functions.count(col(keyCol)),
           org.apache.spark.sql.functions.min(e),
           org.apache.spark.sql.functions.max(e)).head
       }
-      else k.agg(
+      else rawKeys.agg(
         org.apache.spark.sql.functions.count(col(keyCol)),
         lit(null).cast("long"), lit(null).cast("long")).head
     if (kSpan.getLong(0) == 0L) return (s.version, 0, live.size, 0L) // empty delta
+    val k = rawKeys.distinct().localCheckpoint(true)
     val castable = keyIsIntegral && !kSpan.isNullAt(1) && !kSpan.isNullAt(2)
     val (kMin, kMax) =
       if (castable) (kSpan.getLong(1), kSpan.getLong(2)) else (0L, 0L)
