@@ -42,6 +42,26 @@ object SparkEntry {
     }
   }
 
+  /** Multiset equality of two same-schema frames in ONE execution:
+    * a tagged union groups per side into (count, xxhash64-sum — the
+    * 64-bit per-row digest the per-side sig probes used, collision
+    * odds negligible at gate sizes). Halves the proof executions the
+    * equality gates paid (guide §1.2 — one pass, not one per side).
+    */
+  private[graft] def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    import org.apache.spark.sql.functions._
+    def side(df: DataFrame, t: Int) = df.select(
+      lit(t).as("__side"),
+      xxhash64(df.columns.map(col).toIndexedSeq: _*)
+        .cast("decimal(38,0)").as("__h"))
+    val per = side(a, 0).unionByName(side(b, 1))
+      .groupBy(org.apache.spark.sql.functions.col("__side"))
+      .agg(count(lit(1)).as("n"), sum(org.apache.spark.sql.functions.col("__h")).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    per.getOrElse(0, (0L, null)) == per.getOrElse(1, (0L, null))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q04JoinStar(spark, "/root/testdata/sf0.001")
@@ -1591,14 +1611,9 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("cents"))
         .localCheckpoint(true)
       val table = GraftLake.read(s, path)
-      // Multiset equality via (count, xxhash64-sum — 64-bit per-row
-      // digest, collision odds negligible at gate sizes) — one scan per
-      // side instead of two shuffling exceptAll joins (src23's trick).
-      def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
-        count(lit(1)),
-        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
-        .head.toSeq
-      val consistent = sig(mirror) == sig(table)
+      // Multiset equality via tagged-union (count, xxhash64-sum) —
+      // ONE execution for both sides (multisetEqual).
+      val consistent = multisetEqual(mirror, table)
       val cnt = feed.groupBy(col("o_orderstatus")).agg(
         sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
           .as("n_insert"),
@@ -1862,11 +1877,7 @@ object SparkEntry {
           MergeClause("bySource", "delete", Some("t.k4 = 3"))))
       val a = GraftLake.read(s, pathSql)
       val b = GraftLake.read(s, pathApi)
-      def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
-        count(lit(1)),
-        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
-          .cast("decimal(38,0)"))).head.toSeq
-      val same = sig(a) == sig(b)
+      val same = multisetEqual(a, b)
       a.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("sql_equals_api", lit(same))
@@ -2675,15 +2686,11 @@ object SparkEntry {
         snapAfter.tombstones.size == 1
       val a = GraftLake.read(s, pathDv)
       val b = GraftLake.read(s, pathCow)
-      def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
-        count(lit(1)),
-        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
-          .cast("decimal(38,0)"))).head.toSeq
-      val same = sig(a) == sig(b)
+      val same = multisetEqual(a, b)
       GraftLake.compact(s, pathDv, Seq("o_orderkey"), numFiles = 4,
         Some("o_orderkey"))
       val cleared = GraftLake.snapshot(pathDv).tombstones.isEmpty
-      val sameAfter = sig(GraftLake.read(s, pathDv)) == sig(b)
+      val sameAfter = multisetEqual(GraftLake.read(s, pathDv), b)
       GraftLake.read(s, pathDv)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -3300,14 +3307,9 @@ object SparkEntry {
       val travelOk = v0n == o.count()
       val a = GraftLake.read(s, pathSql)
       val b = GraftLake.read(s, pathApi)
-      // Multiset equality via (count, xxhash64-sum — 64-bit per-row
-      // digest, collision odds negligible at gate sizes) — one scan per
-      // side instead of two shuffling exceptAll joins.
-      def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
-        count(lit(1)),
-        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
-        .head.toSeq
-      val same = sig(a) == sig(b)
+      // Multiset equality via tagged-union (count, xxhash64-sum) —
+      // ONE execution for both sides (multisetEqual).
+      val same = multisetEqual(a, b)
       a.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("sql_equals_api", lit(same))

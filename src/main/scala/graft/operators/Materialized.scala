@@ -490,13 +490,9 @@ object Materialized {
     val recompute = GraftLake.read(spark, path)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-    // (count, xxhash64-sum) multiset signature — 64-bit per-row
-    // digest (collision odds negligible), one scan per side.
-    def sig(df: DataFrame) = df.agg(
-      count(lit(1)),
-      sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
-      .head.toSeq
-    val same = sig(view) == sig(recompute)
+    // Tagged-union (count, xxhash64-sum) multiset signature — ONE
+    // execution covers both sides (SparkEntry.multisetEqual).
+    val same = graft.SparkEntry.multisetEqual(view, recompute)
     view.withColumn("retract_equals_recompute", lit(same))
       .orderBy(col("o_orderstatus"))
   }

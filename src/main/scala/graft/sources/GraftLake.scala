@@ -4448,8 +4448,14 @@ object GraftLake {
       return (v, 0L, span.getLong(0))
     }
     val m = matched.get._1
-    val matchedKeys = m.select(keyCols.map(col): _*).distinct()
-      .localCheckpoint(true)
+    // The distinct matched-key frame feeds the cardinality probe and
+    // — only when CDF stages post/insert images — two more joins;
+    // with one consumer the checkpoint materialization is pure waste
+    // (the probe recomputes the same distinct inside its own job).
+    val matchedKeysPlain = m.select(keyCols.map(col): _*).distinct()
+    val matchedKeys =
+      if (cdfEnabled(path)) matchedKeysPlain.localCheckpoint(true)
+      else matchedKeysPlain
     // Delta's cardinality rule + inserted count in ONE delta-sized
     // job: per-update-key counts restricted to MATCHED keys answer
     // both "does any matched key carry >1 source row" (max) and "how

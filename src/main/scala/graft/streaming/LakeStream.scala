@@ -441,13 +441,9 @@ object LakeStream {
     } finally q.stop()
     val srcDf = GraftLake.read(spark, src)
     val dstDf = GraftLake.read(spark, dst)
-    // (count, xxhash64-sum) multiset signature — 64-bit per-row
-    // digest (collision odds negligible), one scan per side.
-    def sig(df: DataFrame) = df.agg(
-      count(lit(1)),
-      sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
-      .head.toSeq
-    val same = sig(dstDf) == sig(srcDf)
+    // Tagged-union (count, xxhash64-sum) multiset signature — ONE
+    // execution covers both sides (SparkEntry.multisetEqual).
+    val same = graft.SparkEntry.multisetEqual(dstDf, srcDf)
     dstDf.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
       .withColumn("mirror_equals_source", lit(same))
